@@ -1,0 +1,147 @@
+"""Portable column-level primitives used across fuel_spark operators.
+
+Every helper comes in a *pair*: a Spark ``Column`` builder and a
+DuckDB-SQL fragment builder with identical semantics.  The pairs are
+what make the correctness gate work — deterministic "randomness" is
+md5 over explicit keys (bit-identical text in both engines), text
+normalization uses the same regex in both, and float-bearing outputs
+either do per-row arithmetic (identical fp ops) or exact decimal
+aggregation cast to double at the end.
+
+This module is the whole-stage-codegen path: no Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# --------------------------------------------------------------------------
+# Deterministic permutation / hashing (fuel's rng → portable md5 keys)
+# --------------------------------------------------------------------------
+
+
+def det_key(seed: int | str, col: Column) -> Column:
+    """Deterministic pseudo-random sort key: md5('<seed>-' || key).
+
+    Replaces fuel's numpy RandomState permutation
+    (reference ``fuel/schemes.py:195`` ShuffledScheme): ordering rows by
+    this key is a seeded shuffle that is reproducible across engines,
+    partitionings, and cluster sizes.
+    """
+    return F.md5(F.concat_ws("-", F.lit(str(seed)), col.cast("string")))
+
+
+def det_key_sql(seed: int | str, col_sql: str) -> str:
+    return f"md5(concat('{seed}', '-', CAST({col_sql} AS VARCHAR)))"
+
+
+# --------------------------------------------------------------------------
+# Text normalization / tokenization (shared by text, dedup ops)
+# --------------------------------------------------------------------------
+
+_NORM_RE = "[^a-z0-9]+"
+
+
+def norm_text(col: Column) -> Column:
+    """Lowercase, collapse non-alphanumeric runs to single spaces, trim."""
+    return F.trim(F.regexp_replace(F.lower(col), _NORM_RE, " "))
+
+
+def norm_text_sql(col_sql: str) -> str:
+    return f"trim(regexp_replace(lower({col_sql}), '{_NORM_RE}', ' ', 'g'))"
+
+
+def words(col: Column) -> Column:
+    """Normalized word array (split on single space after collapsing)."""
+    return F.split(norm_text(col), " ")
+
+
+def words_sql(col_sql: str) -> str:
+    return f"string_split({norm_text_sql(col_sql)}, ' ')"
+
+
+def char_shingles_expr(text_col_name: str, k: int = 5) -> Column:
+    """Distinct character k-shingles of the normalized text.
+
+    ``substring`` is 1-indexed in both engines; texts shorter than k
+    produce the single truncated prefix shingle.
+    """
+    norm = (
+        f"trim(regexp_replace(lower({text_col_name}), '{_NORM_RE}', ' '))"
+    )
+    return F.expr(
+        f"array_distinct(transform(sequence(1, greatest(length({norm}) - {k - 1}, 1)),"
+        f" i -> substring({norm}, i, {k})))"
+    )
+
+
+def char_shingles_sql(text_col_sql: str, k: int = 5) -> str:
+    norm = norm_text_sql(text_col_sql)
+    return (
+        f"list_distinct(list_transform(generate_series(1, greatest(length({norm}) - {k - 1}, 1)),"
+        f" i -> substring({norm}, i, {k})))"
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash (dedup) — md5-based so both engines agree bit-for-bit
+# --------------------------------------------------------------------------
+
+
+def minhash_expr(shingles_col_name: str, hash_idx: int) -> Column:
+    """One minhash value: lexicographic min of md5('<j>|' || shingle)."""
+    return F.expr(
+        f"array_min(transform({shingles_col_name}, s -> md5(concat('{hash_idx}|', s))))"
+    )
+
+
+def minhash_sql(shingles_col_sql: str, hash_idx: int) -> str:
+    return (
+        f"list_min(list_transform({shingles_col_sql},"
+        f" s -> md5(concat('{hash_idx}|', s))))"
+    )
+
+
+# --------------------------------------------------------------------------
+# Vector math over array<float|double> (similarity ops)
+# --------------------------------------------------------------------------
+
+
+def dot_expr(a: str, b: str) -> Column:
+    """Dot product with strict left-to-right double accumulation."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        f" CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def norm2_expr(a: str) -> Column:
+    return F.sqrt(
+        F.expr(
+            f"aggregate(transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+            f" CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+    )
+
+
+def cosine_expr(a: str, b: str) -> Column:
+    return dot_expr(a, b) / (norm2_expr(a) * norm2_expr(b))
+
+
+def dot_sql(a: str, b: str) -> str:
+    """DuckDB twin: same left-to-right accumulation via list_reduce over
+    the element-wise product list."""
+    prod = (
+        f"list_transform(generate_series(1, len({a})),"
+        f" i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))"
+    )
+    return f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {prod}), (acc, v) -> acc + v)"
+
+
+def norm2_sql(a: str) -> str:
+    sq = f"list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+    return f"sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {sq}), (acc, v) -> acc + v))"
+
+
+def cosine_sql(a: str, b: str) -> str:
+    return f"({dot_sql(a, b)} / ({norm2_sql(a)} * {norm2_sql(b)}))"

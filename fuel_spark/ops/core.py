@@ -1,0 +1,241 @@
+"""Core stream transformers, re-expressed as DataFrame operators.
+
+Reference parity (``/root/reference/fuel/transformers/__init__.py``):
+Mapping:187 Filter:454 Flatten:343 ScaleAndShift:385 Cast:411
+ForceFloatX:437 Cache:477 SortMapping:539 Batch:566 Unpack:629
+Padding:667 Merge:747 Rename:890 FilterSources:955.
+
+fuel streams carry named *sources* per example; here sources are
+columns.  Batch-oriented transformers (Batch/Unpack/Padding/Sort) use
+an explicit ``batch_id`` column produced by
+:mod:`fuel_spark.schemes`, which is the distributed replacement for
+fuel's sequential minibatch requests.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping as MappingABC
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+# -- Mapping (187) ---------------------------------------------------------
+
+
+def mapping(
+    df: DataFrame, exprs: MappingABC[str, Column], add_sources: bool = True
+) -> DataFrame:
+    """Apply named column expressions; fuel's Mapping with
+    ``add_sources`` semantics (keep originals and append) or replace."""
+    if add_sources:
+        out = df
+        for name, col in exprs.items():
+            out = out.withColumn(name, col)
+        return out
+    return df.select(*[col.alias(name) for name, col in exprs.items()])
+
+
+# -- Filter (454) ----------------------------------------------------------
+
+
+def filter_rows(df: DataFrame, predicate: Column) -> DataFrame:
+    """fuel Filter: keep rows where predicate holds.  Declarative, so
+    Catalyst pushes it into the parquet scan when possible."""
+    return df.where(predicate)
+
+
+# -- Flatten (343) ---------------------------------------------------------
+
+
+def flatten_nested(df: DataFrame, source: str, out: str | None = None) -> DataFrame:
+    """Flatten an array<array<T>> source along all but the example axis
+    — fuel's Flatten reshape (n, a, b) -> (n, a*b)."""
+    return df.withColumn(out or source, F.flatten(F.col(source)))
+
+
+# -- ScaleAndShift (385) ---------------------------------------------------
+
+
+def scale_and_shift(
+    df: DataFrame, scale: float, shift: float, which_sources: list[str]
+) -> DataFrame:
+    """x*scale + shift on the selected numeric sources.  Also covers
+    uint8_pixels_to_floatX (defaults.py:6) as scale=1/255, shift=0."""
+    out = df
+    for s in which_sources:
+        out = out.withColumn(s, F.col(s).cast("double") * scale + shift)
+    return out
+
+
+# -- Cast (411) / ForceFloatX (437) ---------------------------------------
+
+
+def cast_sources(df: DataFrame, dtype: str, which_sources: list[str]) -> DataFrame:
+    out = df
+    for s in which_sources:
+        out = out.withColumn(s, F.col(s).cast(dtype))
+    return out
+
+
+def force_floatx(df: DataFrame, floatx: str = "float") -> DataFrame:
+    """Cast every floating column to the configured float width; fuel's
+    ForceFloatX with floatX=float32."""
+    cols = [
+        f.name
+        for f in df.schema.fields
+        if f.dataType.typeName() in ("double", "float") and f.dataType.typeName() != floatx
+    ]
+    return cast_sources(df, floatx, cols)
+
+
+# -- Rename (890) / FilterSources (955) -----------------------------------
+
+
+def rename_sources(df: DataFrame, names: MappingABC[str, str]) -> DataFrame:
+    return df.withColumnsRenamed(dict(names))
+
+
+def filter_sources(df: DataFrame, sources: list[str]) -> DataFrame:
+    """Project a subset of sources, preserving the stream's column
+    order (fuel keeps data_stream.sources order)."""
+    keep = [c for c in df.columns if c in set(sources)]
+    return df.select(*keep)
+
+
+# -- Batch (566) / Unpack (629) -------------------------------------------
+
+
+def pack_batches(
+    df: DataFrame,
+    batch_col: str,
+    payload: list[str],
+    keep: list[str] | None = None,
+    order_within: str | None = None,
+) -> DataFrame:
+    """Collapse example rows into one row per minibatch: each payload
+    source becomes an array ordered by ``order_within``.
+
+    The batch_col comes from :mod:`fuel_spark.schemes`; at scale the
+    groupBy shuffles once on batch_id (map-side partial collect), the
+    distributed analogue of fuel's driver-side accumulation loop
+    (reference transformers/__init__.py:608-626).
+    """
+    order = order_within or payload[0]
+    aggs = [
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(order).alias("_k"), F.col(p).alias("_v")))
+            ),
+            lambda s: s["_v"],
+        ).alias(p)
+        for p in payload
+    ]
+    aggs.append(F.count(F.lit(1)).alias("batch_size"))
+    if keep:
+        aggs.extend(F.first(k).alias(k) for k in keep)
+    return df.groupBy(batch_col).agg(*aggs)
+
+
+def unpack_batches(
+    df: DataFrame, array_sources: list[str], keep: list[str] | None = None
+) -> DataFrame:
+    """Inverse of pack_batches: explode aligned arrays back to example
+    rows (fuel Unpack).  Uses a single posexplode + element_at so the
+    arrays stay aligned positionally."""
+    first = array_sources[0]
+    keep = keep or []
+    exploded = df.select(
+        *keep,
+        *[F.col(s) for s in array_sources[1:]],
+        F.posexplode(F.col(first)).alias("_pos", first),
+    )
+    cols = list(keep) + [first] + [
+        F.element_at(F.col(s), F.col("_pos") + 1).alias(s) for s in array_sources[1:]
+    ]
+    return exploded.select(*cols)
+
+
+# -- Padding (667) ---------------------------------------------------------
+
+
+def pad_sequences(
+    df: DataFrame,
+    seq_col: str,
+    batch_col: str,
+    pad_value=0,
+    mask_dtype: str = "int",
+) -> DataFrame:
+    """Pad variable-length array rows to their minibatch max length and
+    emit a companion ``<seq>_mask`` source — fuel's Padding.
+
+    Window-max over the batch replaces fuel's per-batch numpy zeros();
+    one shuffle on batch_id, everything else stays in codegen.
+    """
+    w = Window.partitionBy(batch_col)
+    maxlen = F.max(F.size(F.col(seq_col))).over(w)
+    pad_n = maxlen - F.size(F.col(seq_col))
+    padded = F.concat(
+        F.col(seq_col),
+        F.array_repeat(F.lit(pad_value), pad_n.cast("int")),
+    )
+    mask = F.concat(
+        F.array_repeat(F.lit(1).cast(mask_dtype), F.size(F.col(seq_col))),
+        F.array_repeat(F.lit(0).cast(mask_dtype), pad_n.cast("int")),
+    )
+    return df.withColumn(seq_col, padded).withColumn(f"{seq_col}_mask", mask)
+
+
+# -- SortMapping (539) -----------------------------------------------------
+
+
+def sort_within_batches(
+    df: DataFrame,
+    batch_col: str,
+    key_col: str,
+    payload: list[str],
+    reverse: bool = False,
+) -> DataFrame:
+    """Sort examples inside each minibatch by a key — fuel's
+    SortMapping composed with Mapping (used there to sort batches by
+    sequence length before Padding)."""
+    struct = F.struct(F.col(key_col).alias("_k"), *[F.col(p).alias(p) for p in payload])
+    arr = F.array_sort(F.collect_list(struct))
+    if reverse:
+        arr = F.reverse(arr)
+    aggs = [F.transform(arr, lambda s: s[p]).alias(p) for p in payload]
+    aggs.insert(0, F.transform(arr, lambda s: s["_k"]).alias(key_col))
+    aggs.append(F.count(F.lit(1)).alias("batch_size"))
+    return df.groupBy(batch_col).agg(*aggs)
+
+
+# -- Merge (747) -----------------------------------------------------------
+
+
+def merge_streams(
+    left: DataFrame,
+    right: DataFrame,
+    left_order: str,
+    right_order: str,
+) -> DataFrame:
+    """Zip two streams positionally into one row per position — fuel's
+    Merge of equal-length streams.
+
+    Positions come from row_number over explicit deterministic orders.
+    At scale prefer joining on a real shared key; positional zip is
+    inherently order-defined, so the global sort is the semantics.
+    """
+    lw = Window.orderBy(left_order)
+    rw = Window.orderBy(right_order)
+    l = left.withColumn("_pos", F.row_number().over(lw))
+    r = right.withColumn("_pos", F.row_number().over(rw))
+    return l.join(r, "_pos", "inner").drop("_pos")
+
+
+# -- Cache (477) / MultiProcessing (847) ----------------------------------
+
+
+def cache_stream(df: DataFrame) -> DataFrame:
+    """fuel's Cache re-chunking maps to persisting the upstream plan;
+    re-batching is pack_batches with a different scheme.  fuel's
+    MultiProcessing (background prefetch) needs no analogue: Spark
+    executors already overlap IO and compute across tasks."""
+    return df.persist()

@@ -1,0 +1,158 @@
+"""Deduplication operators for LLM-scale corpora.
+
+Beyond the fuel surface (its pipelines assume pre-cleaned corpora);
+first-class here because dedup is the canonical 100 TB text job.
+Design: everything is hash-based and *pair-bounded* —
+
+- exact: one groupBy on a text digest (map-side partial agg).
+- minhash LSH: per-doc sketch (narrow), then band-bucket self-join;
+  candidate pairs only, never the full quadratic pair space.
+- jaccard verify: array intersection on the candidate pairs.
+- simhash: bit-vote fingerprint, one narrow projection.
+
+No Python UDFs; md5-based hashing keeps Spark and the DuckDB oracle
+bit-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from fuel_spark.functions import char_shingles_expr, minhash_expr
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact duplicate groups by md5(text): canonical (min-id) doc,
+    duplicate count.  One shuffle on the digest; at 100 TB this is the
+    cheapest possible full-corpus dedup (digest is 16 bytes/row)."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def with_minhash_bands(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 9,
+    bands: int = 3,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Per-doc minhash sketch grouped into LSH bands.
+
+    Output: id, band_id, band_key (concat of the band's minhashes).
+    rows = docs × bands — linear, shuffle-free (narrow projection).
+    """
+    rows_per_band = num_hashes // bands
+    out = df.select(F.col(id_col), char_shingles_expr(text_col, shingle_k).alias("_sh"))
+    mh = [minhash_expr("_sh", j).alias(f"_mh{j}") for j in range(num_hashes)]
+    out = out.select(id_col, *mh)
+    band_structs = []
+    for b in range(bands):
+        cols = [F.col(f"_mh{j}") for j in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        band_structs.append(
+            F.struct(F.lit(b).alias("band_id"), F.concat_ws("|", *cols).alias("band_key"))
+        )
+    out = out.select(id_col, F.explode(F.array(*band_structs)).alias("_b"))
+    return out.select(id_col, "_b.band_id", "_b.band_key")
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 9,
+    bands: int = 3,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """LSH candidate pairs (a < b) sharing any band bucket.
+
+    Self-join on (band_id, band_key): the shuffle key is the bucket, so
+    work is proportional to bucket sizes, not corpus².  Skewed buckets
+    (boilerplate docs) are exactly what AQE skew-join splitting
+    handles; for pathological cases cap bucket size upstream.
+    """
+    bands_df = with_minhash_bands(df, id_col, text_col, num_hashes, bands, shingle_k)
+    a = bands_df.select(
+        F.col("band_id"), F.col("band_key"), F.col(id_col).alias("id_a")
+    )
+    b = bands_df.select(
+        F.col("band_id"), F.col("band_key"), F.col(id_col).alias("id_b")
+    )
+    return (
+        a.join(b, ["band_id", "band_key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.0,
+    num_hashes: int = 9,
+    bands: int = 3,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Verified near-dup pairs: jaccard over distinct char-shingle sets
+    computed on LSH candidates only (sketch → candidates → verify, the
+    standard MinHashLSH pipeline shape)."""
+    cands = minhash_candidate_pairs(df, id_col, text_col, num_hashes, bands, shingle_k)
+    sh = df.select(F.col(id_col), char_shingles_expr(text_col, shingle_k).alias("sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    out = (
+        cands.join(a, "id_a").join(b, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint"))
+        .withColumn(
+            "uni",
+            (F.size("sh_a") + F.size("sh_b") - F.col("inter")).cast("bigint"),
+        )
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter").cast("double") / F.greatest(F.col("uni"), F.lit(1)), 6),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "inter", "uni", "jaccard")
+    )
+    return out
+
+
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 16,
+    out_col: str = "simhash",
+) -> DataFrame:
+    """SimHash fingerprint: each word votes ±1 per bit position using
+    the high bit of the b-th hex nibble of md5(word); fingerprint sets
+    bit b where the vote sum is positive.
+
+    Pure projection + per-row array aggregation — no shuffle at all.
+    ``bits`` ≤ 32 (md5 has 32 hex nibbles).
+    """
+    from fuel_spark.functions import words
+
+    w = words(F.col(text_col))
+    out = df.withColumn("_w", w)
+    bit_terms = []
+    for b in range(bits):
+        # +1 when nibble in 8..f (high bit set), else -1; sum over words
+        vote = F.aggregate(
+            F.col("_w"),
+            F.lit(0),
+            lambda acc, word: acc
+            + F.when(
+                F.substring(F.md5(word), b + 1, 1).isin(*"89abcdef"), F.lit(1)
+            ).otherwise(F.lit(-1)),
+        )
+        bit_terms.append(F.when(vote > 0, F.lit(1 << b)).otherwise(F.lit(0)))
+    fp = bit_terms[0]
+    for t in bit_terms[1:]:
+        fp = fp + t
+    return out.withColumn(out_col, fp.cast("bigint")).drop("_w")

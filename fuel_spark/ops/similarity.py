@@ -1,0 +1,143 @@
+"""Similarity search over embedding columns (array<float>).
+
+LLM-pipeline extension (no fuel analogue).  Brute-force cosine top-k
+is the exact baseline: broadcast the (small) query set against the
+corpus, score with JVM-side lambda expressions (zip_with/aggregate —
+no Python), rank per query.  The scale path is LSH bucketing
+(random-hyperplane signs) so candidate generation touches only
+matching buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.functions import broadcast
+
+from fuel_spark.functions import cosine_expr
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    queries is assumed small (broadcast); corpus any size.  One
+    broadcast nested-loop score pass + per-query top-k (window rank
+    bounded by k), no quadratic shuffle.
+    Output: query_id, neighbor_id, cosine, rank.
+    """
+    q = broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        )
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    scored = q.crossJoin(c).where(F.col("query_id") != F.col("neighbor_id"))
+    scored = scored.withColumn(
+        "cosine", F.round(cosine_expr("qvec", "cvec"), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def cosine_pairs_within(
+    corpus: DataFrame,
+    group_col: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding near-duplicate pairs within a blocking group
+    (e.g. label, LSH bucket): join keyed on the group bounds the pair
+    space; cosine ≥ threshold marks near-dups."""
+    a = corpus.select(
+        F.col(group_col).alias("g"), F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+    )
+    b = corpus.select(
+        F.col(group_col).alias("g"), F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+    )
+    return (
+        a.join(b, "g")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cosine_expr("va", "vb"), 6))
+        .where(F.col("cosine") >= threshold)
+        .select(F.col("g").alias(group_col), "id_a", "id_b", "cosine")
+    )
+
+
+def lsh_bucket(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    num_planes: int = 8,
+    seed: int = 42,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Random-hyperplane LSH bucket id (sign pattern of dot products
+    with seeded ±1 planes).
+
+    Plane p's component i is ±1 from xxhash64(seed, p, i) parity —
+    deterministic, needs no stored plane matrix, and evaluates as a
+    narrow JVM projection.  Scale path for ANN: join/bucket on this id
+    then verify with exact cosine (Spark-side; not SQL-oracle-able,
+    recorded rows-only).
+    """
+    dim_probe = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    dim = dim_probe["d"] if dim_probe else 0
+    bucket = F.lit(0).cast("long")
+    for p in range(num_planes):
+        # sign_i = +1 if xxhash64(seed, p, i) even else -1; dot = Σ sign_i * v_i
+        terms = F.expr(
+            f"aggregate(zip_with({vec_col}, sequence(0, {dim - 1}),"
+            f" (v, i) -> CASE WHEN pmod(xxhash64({seed}L, {p}L, i), 2) = 0"
+            f"  THEN CAST(v AS DOUBLE) ELSE -CAST(v AS DOUBLE) END),"
+            f" CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        )
+        bucket = bucket + F.when(terms > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return df.withColumn(out_col, bucket)
+
+
+def lsh_ann(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    num_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's LSH bucket, then
+    exact cosine rank within candidates.  At 100 TB the bucket join
+    replaces the full scan per query with ~corpus/2^planes rows."""
+    cb = lsh_bucket(corpus, vec_col, num_planes, seed)
+    qb = lsh_bucket(queries, vec_col, num_planes, seed)
+    q = broadcast(
+        qb.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            F.col("bucket"),
+        )
+    )
+    c = cb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"), "bucket")
+    scored = (
+        q.join(c, "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.round(cosine_expr("qvec", "cvec"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

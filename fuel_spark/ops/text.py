@@ -1,0 +1,129 @@
+"""Text analysis operators for LLM-scale data pipelines.
+
+Not in the fuel surface (closest: fuel/datasets/text.py tokenization);
+these are the training-data-pipeline extensions: language ID, quality
+scoring, token counting, fingerprinting.  All pure
+``pyspark.sql.functions`` — no Python in the hot path, so a 100 TB
+documents table streams through whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from fuel_spark.functions import char_shingles_expr, norm_text, words
+
+# Tiny per-language stopword lists (public, standard closed-class
+# words).  Kept deliberately small so the oracle SQL stays readable —
+# this is a heuristic language id, like fastText's char-ngram scoring
+# in spirit but pure-SQL.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "was"],
+    "fr": ["le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "von"],
+    "es": ["el", "la", "los", "de", "y", "un", "una", "es", "que", "por"],
+}
+
+# BPE-ish pre-tokenizer: letter runs | single digits | single
+# non-alphanumeric marks (GPT-2-style pre-tokenization shape).
+BPE_RE = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+
+
+def _stopword_hits(words_col, lang: str):
+    # Count with multiplicity (repeated stopwords count each time),
+    # matching the oracle's list_filter/len semantics.
+    arr = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(words_col, lambda w: F.array_contains(arr, w)))
+
+
+def lang_id(df: DataFrame, text_col: str, out_col: str = "pred_lang") -> DataFrame:
+    """Pick the language whose stopwords cover the largest fraction of
+    the document's words; deterministic tie-break by language code."""
+    w = words(F.col(text_col))
+    out = df.withColumn("_words", w)
+    scores = [
+        (_stopword_hits(F.col("_words"), lang) / F.greatest(F.size("_words"), F.lit(1)))
+        .alias(f"score_{lang}")
+        for lang in STOPWORDS
+    ]
+    out = out.select("*", *scores)
+    # argmax with lexicographic tie-break: max over (score, -rank(lang))
+    best = None
+    for lang in sorted(STOPWORDS):
+        cond = F.lit(True)
+        for other in sorted(STOPWORDS):
+            if other == lang:
+                continue
+            if other < lang:
+                cond = cond & (F.col(f"score_{lang}") > F.col(f"score_{other}"))
+            else:
+                cond = cond & (F.col(f"score_{lang}") >= F.col(f"score_{other}"))
+        best = F.when(cond, F.lit(lang)) if best is None else best.when(cond, F.lit(lang))
+    out = out.withColumn(out_col, F.coalesce(best, F.lit("und")))
+    return out.drop("_words")
+
+
+def quality_score(df: DataFrame, text_col: str) -> DataFrame:
+    """Heuristic document quality features + a combined score.
+
+    Features mirror standard LLM-corpus filters (C4/Gopher rules):
+    length, mean word length, alpha ratio, stopword ratio.
+    """
+    t = F.col(text_col)
+    w = words(t)
+    n_chars = F.length(t)
+    n_words = F.size(w)
+    alpha = F.length(F.regexp_replace(F.lower(t), "[^a-z]", ""))
+    en_hits = _stopword_hits(w, "en")
+    out = (
+        df.withColumn("n_chars_q", n_chars.cast("bigint"))
+        .withColumn("n_words", n_words.cast("bigint"))
+        .withColumn(
+            "mean_word_len",
+            F.round(
+                F.length(F.concat_ws("", w)).cast("double")
+                / F.greatest(n_words, F.lit(1)),
+                6,
+            ),
+        )
+        .withColumn(
+            "alpha_ratio",
+            F.round(alpha.cast("double") / F.greatest(n_chars, F.lit(1)), 6),
+        )
+        .withColumn(
+            "stopword_ratio",
+            F.round(en_hits.cast("double") / F.greatest(n_words, F.lit(1)), 6),
+        )
+    )
+    score = (
+        F.when((F.col("n_words") >= 10) & (F.col("n_words") <= 100000), 0.25).otherwise(0.0)
+        + F.when((F.col("mean_word_len") >= 3) & (F.col("mean_word_len") <= 10), 0.25).otherwise(0.0)
+        + F.when(F.col("alpha_ratio") >= 0.6, 0.25).otherwise(0.0)
+        + F.when(F.col("stopword_ratio") >= 0.05, 0.25).otherwise(0.0)
+    )
+    return out.withColumn("quality", F.round(score, 2))
+
+
+def token_counts(df: DataFrame, text_col: str) -> DataFrame:
+    """Whitespace token count + BPE-ish pre-token count (regex)."""
+    t = F.col(text_col)
+    ws = F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(t), "\\s+"))
+    )
+    bpe = F.regexp_count(t, F.lit(BPE_RE))
+    return df.withColumn("ws_tokens", ws.cast("bigint")).withColumn(
+        "bpe_tokens", bpe.cast("bigint")
+    )
+
+
+def fingerprint(
+    df: DataFrame, text_col: str, k: int = 5, num_keep: int = 4,
+    out_col: str = "fingerprint",
+) -> DataFrame:
+    """Document fingerprint: the num_keep lexicographically-smallest
+    md5 hashes of the text's char-k-shingles (min-k sketch — the
+    set-sketch at the heart of winnowing/minhash dedup)."""
+    sh = char_shingles_expr(text_col, k)
+    hashed = F.transform(sh, lambda s: F.md5(s))
+    sketch = F.slice(F.array_sort(hashed), 1, num_keep)
+    return df.withColumn(out_col, F.concat_ws("", sketch))

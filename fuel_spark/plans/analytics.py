@@ -1,0 +1,253 @@
+"""Analytic query library — the bench headliners.
+
+TPC-H-shaped queries over the star schema plus event-stream analytics.
+All aggregations of doubles go through exact DECIMAL accumulation and
+cast to DOUBLE at the end: associative-order differences between
+engines (and between cluster sizes!) then cannot change a single bit
+of output — determinism at any parallelism, which is also why the
+DuckDB oracle matches.
+
+Scale notes per query are inline; dims are broadcast, facts shuffle on
+join keys once, filters sit directly on scan columns for pushdown.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.functions import broadcast
+
+DEC = "decimal(27,6)"
+
+
+def _dsum(expr) -> F.Column:
+    """Exact decimal sum → double (deterministic under reordering)."""
+    return F.sum(expr.cast(DEC)).cast("double")
+
+
+def pricing_summary(t: dict[str, DataFrame]) -> DataFrame:
+    """FLAGSHIP — TPC-H Q1 shape: pricing summary report.
+
+    Scan-heavy single-table agg; the filter pushes to parquet, the
+    groupBy has 4 groups so partial aggregation collapses nearly all
+    rows map-side.  Scales linearly with lineitem bytes.
+    """
+    l = t["lineitem"]
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        l.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity")).alias("sum_qty"),
+            _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _dsum(disc_price).alias("sum_disc_price"),
+            _dsum(charge).alias("sum_charge"),
+            F.round(
+                F.avg(F.col("l_quantity").cast(DEC)).cast("double"), 6
+            ).alias("avg_qty"),
+            F.round(
+                F.avg(F.col("l_extendedprice").cast(DEC)).cast("double"), 6
+            ).alias("avg_price"),
+            F.round(
+                F.avg(F.col("l_discount").cast(DEC)).cast("double"), 6
+            ).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def revenue_forecast(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q6 shape: selective scan + single scalar agg.  Pure
+    pushdown showcase — all three predicates reach the parquet reader,
+    no shuffle at all (partial sums coalesce to one row)."""
+    l = t["lineitem"]
+    return (
+        l.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(_dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+    )
+
+
+def top_revenue_orders(t: dict[str, DataFrame], limit: int = 10) -> DataFrame:
+    """TPC-H Q3 shape: customer ⋈ orders ⋈ lineitem, top-k revenue.
+
+    customer is broadcast (dim); orders⋈lineitem shuffles on orderkey.
+    Top-k via global sort-limit — Spark executes as per-partition
+    TakeOrdered, no full sort materialization.
+    """
+    c = t["customer"].where(F.col("c_mktsegment") == "BUILDING")
+    o = t["orders"].where(F.col("o_orderdate") < F.lit("1997-06-01").cast("timestamp"))
+    l = t["lineitem"]
+    return (
+        broadcast(c.select("c_custkey"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(l, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(limit)
+    )
+
+
+def regional_revenue(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q5 shape: 5-way star join.
+
+    region→nation→customer chain stays broadcast end-to-end; the only
+    real shuffle is orders⋈lineitem on orderkey.  supplier-nation
+    match condition included per Q5 semantics.
+    """
+    r = t["region"]
+    n = t["nation"]
+    c = t["customer"]
+    o = t["orders"].where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    l = t["lineitem"]
+    dims = (
+        r.join(n, F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(c, F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("r_name", "n_name", "n_nationkey", "c_custkey")
+    )
+    return (
+        l.join(broadcast(t["supplier"].select("s_suppkey", "s_nationkey")),
+               F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(dims),
+              (F.col("o_custkey") == F.col("c_custkey"))
+              & (F.col("s_nationkey") == F.col("n_nationkey")))
+        .groupBy("n_name")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+def order_priority_counts(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS semi-join orders ← lineitem.
+
+    left_semi avoids materializing the join payload — at scale the
+    probe side streams and only order keys shuffle.
+    """
+    o = t["orders"].where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    l = t["lineitem"]
+    return (
+        o.join(
+            l.select("l_orderkey").distinct(),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def market_share(t: dict[str, DataFrame]) -> DataFrame:
+    """Q8-ish: yearly revenue share of one supplier nation within a
+    region's market.  Two-level agg on top of the star join."""
+    n = t["nation"]
+    r = t["region"]
+    c = t["customer"]
+    s = t["supplier"]
+    o = t["orders"]
+    l = t["lineitem"]
+    cust_dims = (
+        r.join(n, F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(c, F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(F.col("r_name"), F.col("c_custkey"))
+    )
+    supp_nat = s.join(
+        n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")),
+        F.col("s_nationkey") == F.col("sn_key"),
+    ).select("s_suppkey", "supp_nation")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(cust_dims), F.col("o_custkey") == F.col("c_custkey"))
+        .join(broadcast(supp_nat), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(
+            F.col("r_name"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            F.col("supp_nation"),
+        )
+        .agg(_dsum(vol).alias("nation_volume"))
+        .orderBy("r_name", "o_year", "supp_nation")
+    )
+
+
+# ------------------------------ events --------------------------------
+
+
+def events_tumbling_window(t: dict[str, DataFrame]) -> DataFrame:
+    """Tumbling 1-hour windows per event type: the batch twin of the
+    Structured Streaming windowed aggregation (streaming/serve.py)."""
+    e = t["events"]
+    return (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _dsum(F.col("value")).alias("sum_value"),
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+def events_sessionize(t: dict[str, DataFrame], gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionization per user: a new session starts when
+    the inter-event gap exceeds ``gap_minutes``.
+
+    lag + running sum over (user_id, ts) — one shuffle on user_id;
+    state never leaves the JVM.  The streaming twin is
+    applyInPandasWithState in streaming/serve.py.
+    """
+    from pyspark.sql import Window as W
+
+    e = t["events"]
+    w = W.partitionBy("user_id").orderBy("ts")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    new_session = F.when(
+        gap.isNull() | (gap > gap_minutes * 60), F.lit(1)
+    ).otherwise(F.lit(0))
+    sess = (
+        e.withColumn("_new", new_session)
+        .withColumn("session_seq", F.sum("_new").over(w.rowsBetween(W.unboundedPreceding, 0)))
+    )
+    return (
+        sess.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))).alias(
+                "duration_sec"
+            ),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+def events_topk_users(t: dict[str, DataFrame], k: int = 20) -> DataFrame:
+    """Top-k users by total event value (heavy-hitter shape)."""
+    e = t["events"]
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _dsum(F.col("value")).alias("total_value"),
+        )
+        .orderBy(F.col("total_value").desc(), F.col("user_id"))
+        .limit(k)
+    )

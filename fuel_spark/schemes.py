@@ -1,0 +1,133 @@
+"""Iteration schemes as deterministic, distributed batch planners.
+
+Reference parity (``/root/reference/fuel/schemes.py``):
+SequentialScheme:180 ShuffledScheme:195 SequentialExampleScheme:232
+ShuffledExampleScheme:242 ConstantScheme:144 ConcatenatedScheme:95
+cross_validation:260.
+
+fuel schemes materialize ``list(range(num_examples))`` on the driver
+and (for shuffled variants) permute it with a numpy RNG — impossible at
+100 TB.  Here a scheme is a *column expression* assigning each row a
+position and a batch id:
+
+- sequential  → row_number over the natural key
+- shuffled    → row_number over md5(seed || key)  (seeded permutation,
+  bit-identical in Spark and the DuckDB oracle)
+- example vs batch schemes → with/without the batch_id division
+
+Global row_number is a sort — acceptable when batch *identity* must be
+reproducible (the correctness-gated path).  For pure throughput at
+scale use :func:`partition_local_batches`, which assigns batch ids
+within each partition with zero shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from fuel_spark.functions import det_key
+
+
+def with_positions(
+    df: DataFrame, key: str, shuffled: bool = False, seed: int = 42,
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Assign each example its 0-based iteration position."""
+    if shuffled:
+        w = Window.orderBy(det_key(seed, F.col(key)), F.col(key))
+    else:
+        w = Window.orderBy(F.col(key))
+    return df.withColumn(pos_col, F.row_number().over(w) - 1)
+
+
+def sequential_batches(
+    df: DataFrame, key: str, batch_size: int, batch_col: str = "batch_id"
+) -> DataFrame:
+    """SequentialScheme: contiguous key-ordered minibatches."""
+    out = with_positions(df, key, shuffled=False)
+    return out.withColumn(batch_col, F.floor(F.col("pos") / batch_size))
+
+
+def shuffled_batches(
+    df: DataFrame, key: str, batch_size: int, seed: int = 42,
+    batch_col: str = "batch_id",
+) -> DataFrame:
+    """ShuffledScheme: seeded deterministic permutation, then batches."""
+    out = with_positions(df, key, shuffled=True, seed=seed)
+    return out.withColumn(batch_col, F.floor(F.col("pos") / batch_size))
+
+
+def concatenated_batches(
+    dfs: list[DataFrame], keys: list[str], batch_size: int,
+    batch_col: str = "batch_id",
+) -> DataFrame:
+    """ConcatenatedScheme: iterate scheme A fully, then scheme B, with
+    globally increasing batch ids.  Implemented as a union with a
+    stream ordinal folded into the position, so downstream operators
+    see one coherent batch sequence."""
+    parts = []
+    offset = F.lit(0)
+    for i, (df, key) in enumerate(zip(dfs, keys)):
+        part = with_positions(df, key).withColumn("_stream", F.lit(i))
+        parts.append(part.select(F.col(key).alias("key"), "pos", "_stream"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    # Position offset = total examples in earlier streams: window count.
+    w = Window.partitionBy().orderBy("_stream").rangeBetween(Window.unboundedPreceding, -1)
+    out = out.withColumn("_offset", F.coalesce(F.count(F.lit(1)).over(w), F.lit(0)))
+    return out.withColumn(
+        batch_col, F.floor((F.col("pos") + F.col("_offset")) / batch_size)
+    ).drop("_offset")
+
+
+def cross_validation_folds(
+    df: DataFrame, key: str, num_folds: int, fold_col: str = "fold"
+) -> DataFrame:
+    """cross_validation (schemes.py:260): contiguous equal fold ranges
+    of size n//k over the key order; remainder rows join the last fold
+    (fuel raises under strict=True unless divisible — we take the
+    lenient path and document it).
+
+    Scale note: contiguous-range folds require positions (one sort);
+    hash-mod folds (``pxxhash % k``) avoid it — exposed via
+    ``hash_folds`` for the 100 TB path.
+    """
+    out = with_positions(df, key)
+    n = df.count()
+    fold_size = max(n // num_folds, 1)
+    return out.withColumn(
+        fold_col,
+        F.least(F.floor(F.col("pos") / fold_size), F.lit(num_folds - 1)),
+    )
+
+
+def hash_folds(
+    df: DataFrame, key: str, num_folds: int, seed: int = 42,
+    fold_col: str = "fold",
+) -> DataFrame:
+    """Shuffle-free fold assignment for scale: fold = xxhash(key) % k."""
+    return df.withColumn(
+        fold_col, F.abs(F.xxhash64(F.col(key), F.lit(seed))) % num_folds
+    )
+
+
+def partition_local_batches(
+    df: DataFrame, batch_size: int, batch_col: str = "batch_id"
+) -> DataFrame:
+    """ConstantScheme for infinite/unordered streams at scale: batch
+    ids are (partition_id, local_index // batch_size) — no shuffle, no
+    global order, exactly fuel's 'just give me batches of n' contract
+    (reference schemes.py:144).
+    """
+    out = df.withColumn("_pid", F.spark_partition_id())
+    w = Window.partitionBy("_pid").orderBy(F.monotonically_increasing_id())
+    out = out.withColumn("_local", F.row_number().over(w) - 1)
+    return (
+        out.withColumn(
+            batch_col,
+            F.col("_pid").cast("long") * F.lit(1 << 32)
+            + F.floor(F.col("_local") / batch_size),
+        )
+        .drop("_pid", "_local")
+    )

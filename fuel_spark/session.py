@@ -1,0 +1,68 @@
+"""SparkSession factory tuned for the fuel_spark workload.
+
+Single place where execution knobs live so tests, bench, and the
+driver entry point all run the same configuration.  Defaults target
+the local[32] test harness but are chosen to scale: AQE handles
+runtime re-planning (partition coalescing, skew-join splitting) on a
+real cluster, and the broadcast threshold covers the dimension tables
+of a TPC-H-ish star schema at any scale factor.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CONF = {
+    # Adaptive execution: runtime partition coalescing + skew-join
+    # splitting. At 100 TB this is what keeps reducer partitions sized
+    # to memory without hand-tuning per-query.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Dimension tables (region/nation/supplier/customer/part) stay
+    # broadcast-able well past sf1k; 64 MB covers them while keeping
+    # fact-fact joins as shuffle joins.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Arrow for every pandas interchange (multimodal ops, toPandas).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Deterministic timestamp semantics for the DuckDB oracle.
+    "spark.sql.session.timeZone": "UTC",
+    # 128 MB split targets: big enough to amortize task overhead,
+    # small enough that a scan task's working set fits executor memory.
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    "spark.sql.parquet.compression.codec": "zstd",
+    # Source data carries TIMESTAMP(NANOS) (unsupported natively);
+    # read as int64 ns and convert at load (sources/tables.py).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def get_spark(
+    app_name: str = "fuel_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or get) a SparkSession with fuel_spark defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, else 32)
+    so the same code runs unchanged under the driver harness; on a real
+    cluster, pass ``master=None`` with ``spark.master`` preset and this
+    only applies SQL conf.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if master is None:
+        master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", cpus))
+
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = dict(DEFAULT_CONF)
+    conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,26 @@
+"""Dataset ingestion — the Spark-first analogue of ``fuel.datasets``.
+
+fuel Datasets (reference ``fuel/datasets/base.py:14``) are named tuples
+of sources with stateful open/get_data; here a dataset is simply a
+DataFrame whose *columns* are the sources, read lazily from columnar
+storage so scans prune and push down.
+"""
+
+from fuel_spark.sources.tables import TABLE_NAMES, load_table, load_tables
+from fuel_spark.sources.memory import from_rows
+from fuel_spark.sources.splits import SplitDataset
+from fuel_spark.sources.text import build_dictionary, dictionary_encode, read_text_lines
+from fuel_spark.sources.toy import spiral, swiss_roll
+
+__all__ = [
+    "TABLE_NAMES",
+    "load_table",
+    "load_tables",
+    "from_rows",
+    "SplitDataset",
+    "build_dictionary",
+    "dictionary_encode",
+    "read_text_lines",
+    "spiral",
+    "swiss_roll",
+]

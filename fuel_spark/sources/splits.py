@@ -1,0 +1,61 @@
+"""Named splits over a dataset — analogue of H5PYDataset's split dict
+(reference ``fuel/datasets/hdf5.py:95``, ``create_split_array`` :235).
+
+fuel stores (split, source, start, stop, indices) ranges inside the
+HDF5 file; here a split is a *predicate over a deterministic row
+index*, so selecting a split is a filter Catalyst can push down, and
+the split definition scales to any table size (no driver-side index
+arrays).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F, Window
+
+
+class SplitDataset:
+    """A DataFrame plus named row-range splits.
+
+    Ranges are interpreted against ``row_number() - 1`` ordered by
+    ``order_key`` — the distributed, reproducible equivalent of fuel's
+    positional ``subset`` slices.  For scale, prefer key-hash splits
+    (:meth:`add_hash_split`) which need no global sort.
+    """
+
+    def __init__(self, df: DataFrame, order_key: str):
+        self.df = df
+        self.order_key = order_key
+        self._range_splits: dict[str, tuple[int, int]] = {}
+        self._hash_splits: dict[str, Column] = {}
+
+    def add_split(self, name: str, start: int, stop: int) -> "SplitDataset":
+        """Positional split [start, stop) — H5PYDataset semantics."""
+        self._range_splits[name] = (start, stop)
+        return self
+
+    def add_hash_split(
+        self, name: str, seed: int, lo: float, hi: float
+    ) -> "SplitDataset":
+        """Scale path: membership by deterministic hash bucket of the key
+        — no global sort, stable under growth/repartitioning."""
+        bucket = (
+            F.abs(F.xxhash64(F.col(self.order_key), F.lit(seed))) % 10000
+        ) / 10000.0
+        self._hash_splits[name] = (bucket >= lo) & (bucket < hi)
+        return self
+
+    @property
+    def splits(self) -> tuple[str, ...]:
+        return tuple(self._range_splits) + tuple(self._hash_splits)
+
+    def get_split(self, name: str) -> DataFrame:
+        if name in self._hash_splits:
+            return self.df.where(self._hash_splits[name])
+        start, stop = self._range_splits[name]
+        w = Window.orderBy(self.order_key)
+        pos = F.row_number().over(w) - 1
+        return (
+            self.df.withColumn("__pos", pos)
+            .where((F.col("__pos") >= start) & (F.col("__pos") < stop))
+            .drop("__pos")
+        )

@@ -1,0 +1,91 @@
+"""Text corpus ingestion — analogue of fuel.datasets.TextFile
+(reference ``fuel/datasets/text.py:7``) and the shape of
+OneBillionWord (``fuel/datasets/billion.py``).
+
+fuel reads files line-by-line on one machine and dict-encodes each
+line in Python; here the corpus is a DataFrame of documents, the
+dictionary is *built distributed* (explode + count + rank) and
+encoding is an explode/join/re-collect — every step shuffles on keys
+Spark can balance, so the same code dict-encodes a 100 TB corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from fuel_spark.functions import words
+
+BOS_ID = 0
+EOS_ID = 1
+UNK_ID = 2
+FIRST_WORD_ID = 3
+
+
+def read_text_lines(spark: SparkSession, path: str) -> DataFrame:
+    """Line-per-row text source (TextFile's file reading)."""
+    return spark.read.text(path).withColumnRenamed("value", "line")
+
+
+def build_dictionary(
+    df: DataFrame, text_col: str, vocab_size: int = 10000
+) -> DataFrame:
+    """Top-``vocab_size`` words by frequency → ids starting at
+    FIRST_WORD_ID.  Ties break lexicographically so the dictionary is
+    deterministic across engines and cluster sizes.
+    Output: word, word_id.
+    """
+    counts = (
+        df.select(F.explode(words(F.col(text_col))).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("word"))
+    return (
+        counts.withColumn("word_id", F.row_number().over(w) + FIRST_WORD_ID - 1)
+        .where(F.col("word_id") < vocab_size + FIRST_WORD_ID)
+        .select("word", F.col("word_id").cast("bigint"))
+    )
+
+
+def dictionary_encode(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    dictionary: DataFrame,
+    bos: bool = True,
+    eos: bool = True,
+) -> DataFrame:
+    """Encode each document as <S> w1 … wn </S> token-id arrays with
+    unknown-word fallback — TextFile's per-line encoding loop
+    (text.py:129-144), distributed.
+
+    The dictionary join is a broadcast (vocabularies are small); token
+    order is restored with a positional re-collect.
+    Output: id_col, token_ids (array<bigint>).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(words(F.col(text_col))).alias("pos", "word"),
+    ).where(F.col("word") != "")
+    joined = toks.join(F.broadcast(dictionary), "word", "left").withColumn(
+        "tok", F.coalesce(F.col("word_id"), F.lit(UNK_ID).cast("bigint"))
+    )
+    body = (
+        joined.groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos").alias("_k"), F.col("tok").alias("_v")))
+                ),
+                lambda s: s["_v"],
+            ).alias("body")
+        )
+    )
+    pieces = []
+    if bos:
+        pieces.append(F.array(F.lit(BOS_ID).cast("bigint")))
+    pieces.append(F.col("body"))
+    if eos:
+        pieces.append(F.array(F.lit(EOS_ID).cast("bigint")))
+    return body.select(F.col(id_col), F.concat(*pieces).alias("token_ids"))
