@@ -1,38 +1,885 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every operator in SURVEY.md §2 marked [x] has a ``queries()`` entry
+here plus a DuckDB ``oracle_sql()`` twin.  The Spark side is built
+exclusively from :mod:`fuel_spark` operators; the SQL side re-derives
+the same semantics with engine-portable primitives (md5 permutations,
+exact DECIMAL aggregation cast to DOUBLE, identical regexes) so the
+driver's row-count/schema/value-hash compare is exact.
+
+Rows-only entries (no oracle): toy_spiral (xxhash64 synthesis),
+multimodal_decode (Arrow/mapInPandas plumbing), ann_lsh (hyperplane
+LSH buckets) — non-SQL-expressible by design.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from fuel_spark import schemes
+from fuel_spark.ops import core, dedup, multimodal, sequences, similarity
+from fuel_spark.ops import text as text_ops
+from fuel_spark.ops.text import BPE_RE, STOPWORDS
+from fuel_spark.sources import (
+    SplitDataset,
+    build_dictionary,
+    dictionary_encode,
+    load_tables,
+    spiral,
+)
+from fuel_spark.plans import analytics
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (the DuckDB twins of fuel_spark.functions)
+# ---------------------------------------------------------------------------
+
+DEC = "DECIMAL(27,6)"
+
+
+def _norm_sql(c: str) -> str:
+    return f"trim(regexp_replace(lower({c}), '[^a-z0-9]+', ' ', 'g'))"
+
+
+def _words_sql(c: str) -> str:
+    return f"string_split({_norm_sql(c)}, ' ')"
+
+
+def _shingles_sql(c: str, k: int = 5) -> str:
+    n = _norm_sql(c)
+    return (
+        f"list_distinct(list_transform(generate_series(1, greatest(length({n}) - {k - 1}, 1)),"
+        f" i -> substring({n}, i, {k})))"
+    )
+
+
+def _dsum_sql(expr: str) -> str:
+    return f"CAST(sum(CAST({expr} AS {DEC})) AS DOUBLE)"
+
+
+def _dot_sql(a: str, b: str) -> str:
+    prod = (
+        f"list_transform(generate_series(1, len({a})),"
+        f" i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))"
+    )
+    return f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {prod}), (acc, v) -> acc + v)"
+
+
+def _norm2_sql(a: str) -> str:
+    sq = f"list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+    return f"sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {sq}), (acc, v) -> acc + v))"
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return f"({_dot_sql(a, b)} / ({_norm2_sql(a)} * {_norm2_sql(b)}))"
+
+
+def _langid_sql() -> str:
+    w = _words_sql("text")
+    scores = {}
+    for lang, sw in STOPWORDS.items():
+        arr = "[" + ",".join(f"'{x}'" for x in sw) + "]"
+        scores[lang] = (
+            f"(CAST(len(list_filter(w, x -> list_contains({arr}, x))) AS DOUBLE)"
+            f" / greatest(len(w), 1))"
+        )
+    langs = sorted(STOPWORDS)
+    cases = []
+    for lang in langs:
+        conds = []
+        for other in langs:
+            if other == lang:
+                continue
+            op = ">" if other < lang else ">="
+            conds.append(f"s_{lang} {op} s_{other}")
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    case = "CASE " + " ".join(cases) + " ELSE 'und' END"
+    score_cols = ", ".join(f"{v} AS s_{k}" for k, v in scores.items())
+    return (
+        f"WITH d AS (SELECT doc_id, lang, {w} AS w FROM documents), "
+        f"s AS (SELECT doc_id, lang, {score_cols} FROM d) "
+        f"SELECT doc_id, lang, {case} AS pred_lang FROM s"
+    )
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    w = _words_sql("text")
+    votes = []
+    for b in range(bits):
+        vote = (
+            f"list_sum(list_transform(w, x -> CASE WHEN"
+            f" strpos('89abcdef', substring(md5(x), {b + 1}, 1)) > 0"
+            f" THEN 1 ELSE -1 END))"
+        )
+        votes.append(f"CASE WHEN {vote} > 0 THEN {1 << b} ELSE 0 END")
+    fp = " + ".join(votes)
+    return (
+        f"WITH d AS (SELECT doc_id, {w} AS w FROM documents) "
+        f"SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM d"
+    )
+
+
+def _minhash_bands_sql(num_hashes: int = 9, bands: int = 3, k: int = 5) -> str:
+    """CTE text producing bands(doc_id, band_id, band_key)."""
+    mh_cols = ", ".join(
+        f"list_min(list_transform(s, x -> md5(concat('{j}|', x)))) AS m{j}"
+        for j in range(num_hashes)
+    )
+    rpb = num_hashes // bands
+    band_selects = []
+    for b in range(bands):
+        cols = ", '|', ".join(f"m{j}" for j in range(b * rpb, (b + 1) * rpb))
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band_id, concat({cols}) AS band_key FROM mh"
+        )
+    return (
+        f"sh AS (SELECT doc_id, {_shingles_sql('text', k)} AS s FROM documents), "
+        f"mh AS (SELECT doc_id, {mh_cols} FROM sh), "
+        f"bands AS ({' UNION ALL '.join(band_selects)})"
+    )
+
+
+# ---------------------------------------------------------------------------
+# entry
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: TPC-H-Q1-shaped pricing summary on sf0.001."""
+    t = load_tables(spark, "/root/testdata/sf0.001")
+    return analytics.pricing_summary(t)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def _t(spark, sf_dir):
+    return load_tables(spark, sf_dir)
+
+
+def q_mapping(spark, sf):
+    l = _t(spark, sf)["lineitem"]
+    out = core.mapping(
+        l,
+        {"revenue": F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6)},
+    )
+    return out.select("l_orderkey", "l_linenumber", "revenue")
+
+
+def q_filter(spark, sf):
+    o = _t(spark, sf)["orders"]
+    out = core.filter_rows(
+        o, (F.col("o_totalprice") > 200000) & (F.col("o_orderstatus") == "O")
+    )
+    return out.select("o_orderkey", "o_totalprice")
+
+
+def q_flatten(spark, sf):
+    l = _t(spark, sf)["lineitem"]
+    nested = l.withColumn(
+        "nested",
+        F.array(
+            F.array(F.col("l_quantity"), F.col("l_discount")), F.array(F.col("l_tax"))
+        ),
+    )
+    out = core.flatten_nested(nested, "nested", "flat")
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        "flat",
+        F.size("flat").cast("bigint").alias("flat_len"),
+    )
+
+
+def q_scale_shift(spark, sf):
+    l = _t(spark, sf)["lineitem"]
+    out = core.scale_and_shift(l, 0.01, 5.0, ["l_extendedprice", "l_quantity"])
+    return out.select(
+        "l_orderkey", "l_linenumber",
+        F.round("l_extendedprice", 6).alias("l_extendedprice"),
+        F.round("l_quantity", 6).alias("l_quantity"),
+    )
+
+
+def q_cast(spark, sf):
+    l = _t(spark, sf)["lineitem"]
+    out = core.cast_sources(l, "bigint", ["l_quantity"])
+    out = core.cast_sources(out, "double", ["l_linenumber"])
+    return out.select(
+        "l_orderkey",
+        F.col("l_quantity").alias("qty_int"),
+        F.col("l_linenumber").alias("line_double"),
+    )
+
+
+def q_force_floatx(spark, sf):
+    c = _t(spark, sf)["customer"]
+    out = core.force_floatx(c.select("c_custkey", "c_acctbal"))
+    return out.withColumnRenamed("c_acctbal", "acctbal_f")
+
+
+def q_rename_select(spark, sf):
+    c = _t(spark, sf)["customer"]
+    out = core.rename_sources(
+        c, {"c_custkey": "customer_id", "c_name": "customer_name"}
+    )
+    return core.filter_sources(out, ["customer_id", "customer_name"])
+
+
+def q_pack_batches(spark, sf):
+    o = _t(spark, sf)["orders"]
+    b = schemes.sequential_batches(o, "o_orderkey", 32)
+    return core.pack_batches(b, "batch_id", ["o_orderkey"], order_within="o_orderkey")
+
+
+def q_unpack_batches(spark, sf):
+    o = _t(spark, sf)["orders"]
+    b = schemes.sequential_batches(o, "o_orderkey", 32)
+    packed = core.pack_batches(
+        b, "batch_id", ["o_orderkey", "o_totalprice"], order_within="o_orderkey"
+    )
+    out = core.unpack_batches(
+        packed, ["o_orderkey", "o_totalprice"], keep=["batch_id"]
+    )
+    return out.select("batch_id", "o_orderkey", "o_totalprice")
+
+
+def _doc_token_lens(t):
+    from fuel_spark.functions import words
+
+    return t["documents"].select(
+        "doc_id",
+        F.transform(words(F.col("text")), lambda w: F.length(w).cast("bigint")).alias(
+            "token_lens"
+        ),
+    )
+
+
+def q_pad_sequences(spark, sf):
+    d = _doc_token_lens(_t(spark, sf))
+    b = schemes.sequential_batches(d, "doc_id", 16)
+    out = core.pad_sequences(b, "token_lens", "batch_id", pad_value=0, mask_dtype="bigint")
+    return out.select("doc_id", "batch_id", "token_lens", "token_lens_mask")
+
+
+def q_sort_batches(spark, sf):
+    o = _t(spark, sf)["orders"]
+    b = schemes.sequential_batches(o, "o_orderkey", 32)
+    return core.sort_within_batches(b, "batch_id", "o_totalprice", ["o_orderkey"])
+
+
+def q_merge(spark, sf):
+    t = _t(spark, sf)
+    s = t["supplier"].select("s_suppkey", "s_name")
+    c = t["customer"].select("c_custkey", "c_name")
+    return core.merge_streams(s, c, "s_suppkey", "c_custkey")
+
+
+def q_scheme_sequential(spark, sf):
+    c = _t(spark, sf)["customer"]
+    out = schemes.sequential_batches(c, "c_custkey", 20)
+    return out.select("c_custkey", "pos", "batch_id")
+
+
+def q_scheme_shuffled(spark, sf):
+    c = _t(spark, sf)["customer"]
+    out = schemes.shuffled_batches(c, "c_custkey", 20, seed=7)
+    return out.select("c_custkey", "pos", "batch_id")
+
+
+def q_scheme_concat(spark, sf):
+    t = _t(spark, sf)
+    r = t["region"].select(F.col("r_regionkey").cast("bigint").alias("key"))
+    n = t["nation"].select(F.col("n_nationkey").cast("bigint").alias("key"))
+    out = schemes.concatenated_batches([r, n], ["key", "key"], 8)
+    return out.select(
+        "key", "pos", F.col("_stream").cast("bigint").alias("stream"), "batch_id"
+    )
+
+
+def q_cross_validation(spark, sf):
+    o = _t(spark, sf)["orders"]
+    out = schemes.cross_validation_folds(o, "o_orderkey", 5)
+    return out.groupBy("fold").agg(F.count(F.lit(1)).alias("fold_size"))
+
+
+def q_split_select(spark, sf):
+    c = _t(spark, sf)["customer"]
+    ds = SplitDataset(c.select("c_custkey", "c_name"), "c_custkey")
+    ds.add_split("train", 0, 100)
+    return ds.get_split("train")
+
+
+def q_ngrams(spark, sf):
+    from fuel_spark.functions import words
+
+    d = _t(spark, sf)["documents"].select(
+        "doc_id", words(F.col("text")).alias("w")
+    )
+    out = sequences.ngrams(d, "w", 3, keep=["doc_id"])
+    return out.select(
+        "doc_id", F.col("win_pos").cast("bigint").alias("win_pos"), "gram", "target"
+    )
+
+
+def q_sliding_window(spark, sf):
+    from fuel_spark.functions import words
+
+    d = _t(spark, sf)["documents"].select(
+        "doc_id", words(F.col("text")).alias("w")
+    )
+    out = sequences.sliding_window(
+        d, "w", offset=1, source_window=3, target_window=3, overlapping=True,
+        keep=["doc_id"],
+    )
+    return out.select(
+        "doc_id", F.col("win_pos").cast("bigint").alias("win_pos"), "source", "target"
+    )
+
+
+def q_dictionary_encode(spark, sf):
+    docs = _t(spark, sf)["documents"]
+    dic = build_dictionary(docs, "text", vocab_size=200)
+    enc = dictionary_encode(docs, "doc_id", "text", dic)
+    empty = F.array(F.lit(0).cast("bigint"), F.lit(1).cast("bigint"))
+    return (
+        docs.select("doc_id")
+        .join(enc, "doc_id", "left")
+        .select("doc_id", F.coalesce("token_ids", empty).alias("token_ids"))
+    )
+
+
+def q_lang_id(spark, sf):
+    d = _t(spark, sf)["documents"].select("doc_id", "lang", "text")
+    return text_ops.lang_id(d, "text").select("doc_id", "lang", "pred_lang")
+
+
+def q_quality(spark, sf):
+    d = _t(spark, sf)["documents"].select("doc_id", "text")
+    return text_ops.quality_score(d, "text").select(
+        "doc_id", "n_chars_q", "n_words", "mean_word_len", "alpha_ratio",
+        "stopword_ratio", "quality",
+    )
+
+
+def q_token_counts(spark, sf):
+    d = _t(spark, sf)["documents"].select("doc_id", "text")
+    return text_ops.token_counts(d, "text").select("doc_id", "ws_tokens", "bpe_tokens")
+
+
+def q_fingerprint(spark, sf):
+    d = _t(spark, sf)["documents"].select("doc_id", "text")
+    return text_ops.fingerprint(d, "text").select("doc_id", "fingerprint")
+
+
+def q_dedup_exact(spark, sf):
+    d = _t(spark, sf)["documents"]
+    return dedup.exact_dedup(d, "doc_id", "text")
+
+
+def q_dedup_minhash(spark, sf):
+    d = _t(spark, sf)["documents"]
+    return dedup.minhash_candidate_pairs(d, "doc_id", "text")
+
+
+def q_dedup_jaccard(spark, sf):
+    d = _t(spark, sf)["documents"]
+    return dedup.ngram_jaccard_pairs(d, "doc_id", "text")
+
+
+def q_dedup_simhash(spark, sf):
+    d = _t(spark, sf)["documents"]
+    return dedup.simhash(d, "doc_id", "text").select("doc_id", "simhash")
+
+
+def q_embedding_near_dup(spark, sf):
+    e = _t(spark, sf)["embeddings"]
+    return similarity.cosine_pairs_within(e, "label", threshold=0.2)
+
+
+def q_ann_topk(spark, sf):
+    e = _t(spark, sf)["embeddings"]
+    q = e.where(F.col("vec_id") < 5)
+    return similarity.cosine_topk(e, q, k=5)
+
+
+# rows-only (non-SQL-expressible)
+
+
+def q_toy_spiral(spark, sf):
+    return spiral(spark, num_examples=1000, classes=3, noise=0.05)
+
+
+def q_multimodal(spark, sf):
+    d = _t(spark, sf)["documents"].select(
+        F.col("doc_id"), F.col("text").cast("binary").alias("payload")
+    )
+    dec = multimodal.decode_images(d, "doc_id", "payload")
+    dec = multimodal.ensure_min_dims(dec, 8, 8)
+    out = multimodal.random_crop(dec, 4, 4)
+    return out.select("item_id", "channels", "height", "width", "needs_upscale",
+                      F.size("pixels").alias("n_pixels"))
+
+
+def q_ann_lsh(spark, sf):
+    e = _t(spark, sf)["embeddings"]
+    q = e.where(F.col("vec_id") < 5)
+    return similarity.lsh_ann(e, q, k=5, num_planes=4)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # analytics / query engine
+        "pricing_summary": lambda s, d: analytics.pricing_summary(_t(s, d)),
+        "revenue_forecast": lambda s, d: analytics.revenue_forecast(_t(s, d)),
+        "top_revenue_orders": lambda s, d: analytics.top_revenue_orders(_t(s, d)),
+        "regional_revenue": lambda s, d: analytics.regional_revenue(_t(s, d)),
+        "order_priority_counts": lambda s, d: analytics.order_priority_counts(_t(s, d)),
+        "market_share": lambda s, d: analytics.market_share(_t(s, d)),
+        "events_tumbling_window": lambda s, d: analytics.events_tumbling_window(_t(s, d)),
+        "events_sessionize": lambda s, d: analytics.events_sessionize(_t(s, d)),
+        "events_topk_users": lambda s, d: analytics.events_topk_users(_t(s, d)),
+        # core transformers
+        "mapping_project": q_mapping,
+        "filter_rows": q_filter,
+        "flatten_nested": q_flatten,
+        "scale_shift": q_scale_shift,
+        "cast_sources": q_cast,
+        "force_floatx": q_force_floatx,
+        "rename_select": q_rename_select,
+        "pack_batches": q_pack_batches,
+        "unpack_batches": q_unpack_batches,
+        "pad_sequences": q_pad_sequences,
+        "sort_within_batches": q_sort_batches,
+        "merge_streams": q_merge,
+        # schemes
+        "scheme_sequential": q_scheme_sequential,
+        "scheme_shuffled": q_scheme_shuffled,
+        "scheme_concat": q_scheme_concat,
+        "cross_validation": q_cross_validation,
+        "split_select": q_split_select,
+        # sequences / text sources
+        "ngrams": q_ngrams,
+        "sliding_window": q_sliding_window,
+        "text_dictionary_encode": q_dictionary_encode,
+        # text analysis
+        "text_lang_id": q_lang_id,
+        "text_quality": q_quality,
+        "text_token_counts": q_token_counts,
+        "text_fingerprint": q_fingerprint,
+        # dedup
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_pairs": q_dedup_minhash,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_simhash": q_dedup_simhash,
+        # similarity
+        "embedding_near_dup": q_embedding_near_dup,
+        "ann_topk_cosine": q_ann_topk,
+        # rows-only
+        "toy_spiral": q_toy_spiral,
+        "multimodal_decode": q_multimodal,
+        "ann_lsh": q_ann_lsh,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracles
+# ---------------------------------------------------------------------------
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    w = _words_sql("text")
+    rev = "l_extendedprice * (1 - l_discount)"
+    sqls: dict[str, str] = {}
+
+    sqls["pricing_summary"] = f"""
+        SELECT l_returnflag, l_linestatus,
+          {_dsum_sql('l_quantity')} AS sum_qty,
+          {_dsum_sql('l_extendedprice')} AS sum_base_price,
+          {_dsum_sql(rev)} AS sum_disc_price,
+          {_dsum_sql(rev + ' * (1 + l_tax)')} AS sum_charge,
+          round({_dsum_sql('l_quantity')} / count(*), 6) AS avg_qty,
+          round({_dsum_sql('l_extendedprice')} / count(*), 6) AS avg_price,
+          round({_dsum_sql('l_discount')} / count(*), 6) AS avg_disc,
+          count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
     """
-    return {}
+
+    sqls["revenue_forecast"] = f"""
+        SELECT {_dsum_sql('l_extendedprice * l_discount')} AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount >= 0.03 AND l_discount <= 0.07 AND l_quantity < 24
+    """
+
+    sqls["top_revenue_orders"] = f"""
+        SELECT o_orderkey, o_orderdate, {_dsum_sql(rev)} AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1997-06-01'
+        GROUP BY o_orderkey, o_orderdate
+        ORDER BY revenue DESC, o_orderkey
+        LIMIT 10
+    """
+
+    sqls["regional_revenue"] = f"""
+        SELECT n_name, {_dsum_sql(rev)} AS revenue
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey AND s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY n_name
+    """
+
+    sqls["order_priority_counts"] = """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-07-01'
+          AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+        GROUP BY o_orderpriority
+    """
+
+    sqls["market_share"] = f"""
+        SELECT r_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               n2.n_name AS supp_nation, {_dsum_sql(rev)} AS nation_volume
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region ON n1.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        GROUP BY r_name, o_year, supp_nation
+    """
+
+    sqls["events_tumbling_window"] = f"""
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               count(*) AS n_events, {_dsum_sql('value')} AS sum_value
+        FROM events GROUP BY 1, 2
+    """
+
+    sqls["events_sessionize"] = """
+        WITH e AS (SELECT user_id, epoch_us(ts) // 1000000 AS sec FROM events),
+        g AS (
+          SELECT user_id, sec,
+            CASE WHEN lag(sec) OVER w IS NULL OR sec - lag(sec) OVER w > 1800
+                 THEN 1 ELSE 0 END AS new_s
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec)
+        ),
+        s AS (
+          SELECT user_id, sec,
+            CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY sec
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+          FROM g
+        )
+        SELECT user_id, session_seq, count(*) AS n_events,
+               min(sec) AS session_start_sec,
+               max(sec) - min(sec) AS duration_sec
+        FROM s GROUP BY user_id, session_seq
+    """
+
+    sqls["events_topk_users"] = f"""
+        SELECT user_id, count(*) AS n_events, {_dsum_sql('value')} AS total_value
+        FROM events GROUP BY user_id
+        ORDER BY total_value DESC, user_id LIMIT 20
+    """
+
+    sqls["mapping_project"] = """
+        SELECT l_orderkey, l_linenumber,
+               round(l_extendedprice * (1 - l_discount), 6) AS revenue
+        FROM lineitem
+    """
+
+    sqls["filter_rows"] = """
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_totalprice > 200000 AND o_orderstatus = 'O'
+    """
+
+    sqls["flatten_nested"] = """
+        SELECT l_orderkey, l_linenumber,
+               flatten([[l_quantity, l_discount], [l_tax]]) AS flat,
+               CAST(len(flatten([[l_quantity, l_discount], [l_tax]])) AS BIGINT) AS flat_len
+        FROM lineitem
+    """
+
+    sqls["scale_shift"] = """
+        SELECT l_orderkey, l_linenumber,
+               round(l_extendedprice * 0.01 + 5.0, 6) AS l_extendedprice,
+               round(l_quantity * 0.01 + 5.0, 6) AS l_quantity
+        FROM lineitem
+    """
+
+    sqls["cast_sources"] = """
+        SELECT l_orderkey, CAST(l_quantity AS BIGINT) AS qty_int,
+               CAST(l_linenumber AS DOUBLE) AS line_double
+        FROM lineitem
+    """
+
+    sqls["force_floatx"] = """
+        SELECT c_custkey, CAST(c_acctbal AS REAL) AS acctbal_f FROM customer
+    """
+
+    sqls["rename_select"] = """
+        SELECT c_custkey AS customer_id, c_name AS customer_name FROM customer
+    """
+
+    sqls["pack_batches"] = """
+        WITH t AS (SELECT o_orderkey,
+                          row_number() OVER (ORDER BY o_orderkey) - 1 AS pos
+                   FROM orders)
+        SELECT pos // 32 AS batch_id,
+               list(o_orderkey ORDER BY o_orderkey) AS o_orderkey,
+               count(*) AS batch_size
+        FROM t GROUP BY 1
+    """
+
+    sqls["unpack_batches"] = """
+        SELECT (row_number() OVER (ORDER BY o_orderkey) - 1) // 32 AS batch_id,
+               o_orderkey, o_totalprice
+        FROM orders
+    """
+
+    sqls["pad_sequences"] = f"""
+        WITH d AS (
+          SELECT doc_id,
+                 list_transform({w}, x -> length(x)) AS toks,
+                 row_number() OVER (ORDER BY doc_id) - 1 AS pos
+          FROM documents
+        ),
+        b AS (SELECT doc_id, toks, pos // 16 AS batch_id FROM d),
+        m AS (SELECT *, max(len(toks)) OVER (PARTITION BY batch_id) AS maxlen FROM b)
+        SELECT doc_id, batch_id,
+               list_concat(toks, list_transform(generate_series(1, maxlen - len(toks)),
+                           x -> CAST(0 AS BIGINT))) AS token_lens,
+               list_concat(list_transform(generate_series(1, len(toks)),
+                           x -> CAST(1 AS BIGINT)),
+                           list_transform(generate_series(1, maxlen - len(toks)),
+                           x -> CAST(0 AS BIGINT))) AS token_lens_mask
+        FROM m
+    """
+
+    sqls["sort_within_batches"] = """
+        WITH t AS (SELECT o_orderkey, o_totalprice,
+                          (row_number() OVER (ORDER BY o_orderkey) - 1) // 32 AS batch_id
+                   FROM orders)
+        SELECT batch_id,
+               list(o_totalprice ORDER BY o_totalprice, o_orderkey) AS o_totalprice,
+               list(o_orderkey ORDER BY o_totalprice, o_orderkey) AS o_orderkey,
+               count(*) AS batch_size
+        FROM t GROUP BY batch_id
+    """
+
+    sqls["merge_streams"] = """
+        SELECT s_suppkey, s_name, c_custkey, c_name FROM
+          (SELECT s_suppkey, s_name,
+                  row_number() OVER (ORDER BY s_suppkey) AS pos FROM supplier) a
+        JOIN
+          (SELECT c_custkey, c_name,
+                  row_number() OVER (ORDER BY c_custkey) AS pos FROM customer) b
+        USING (pos)
+    """
+
+    sqls["scheme_sequential"] = """
+        SELECT c_custkey, row_number() OVER (ORDER BY c_custkey) - 1 AS pos,
+               (row_number() OVER (ORDER BY c_custkey) - 1) // 20 AS batch_id
+        FROM customer
+    """
+
+    sqls["scheme_shuffled"] = """
+        WITH t AS (
+          SELECT c_custkey,
+                 row_number() OVER (
+                   ORDER BY md5(concat('7', '-', CAST(c_custkey AS VARCHAR))),
+                            c_custkey) - 1 AS pos
+          FROM customer)
+        SELECT c_custkey, pos, pos // 20 AS batch_id FROM t
+    """
+
+    sqls["scheme_concat"] = """
+        WITH a AS (SELECT CAST(r_regionkey AS BIGINT) AS key,
+                          row_number() OVER (ORDER BY r_regionkey) - 1 AS pos,
+                          0 AS stream FROM region),
+        b AS (SELECT CAST(n_nationkey AS BIGINT) AS key,
+                     row_number() OVER (ORDER BY n_nationkey) - 1 AS pos,
+                     1 AS stream FROM nation),
+        u AS (SELECT * FROM a UNION ALL SELECT * FROM b),
+        o AS (SELECT *, COALESCE(count(*) OVER (
+                ORDER BY stream RANGE BETWEEN UNBOUNDED PRECEDING
+                AND 1 PRECEDING), 0) AS off FROM u)
+        SELECT key, pos, CAST(stream AS BIGINT) AS stream,
+               (pos + off) // 8 AS batch_id
+        FROM o
+    """
+
+    sqls["cross_validation"] = """
+        WITH t AS (SELECT row_number() OVER (ORDER BY o_orderkey) - 1 AS pos
+                   FROM orders)
+        SELECT least(pos // (SELECT greatest(count(*) // 5, 1) FROM orders), 4) AS fold,
+               count(*) AS fold_size
+        FROM t GROUP BY 1
+    """
+
+    sqls["split_select"] = """
+        WITH t AS (SELECT c_custkey, c_name,
+                          row_number() OVER (ORDER BY c_custkey) - 1 AS pos
+                   FROM customer)
+        SELECT c_custkey, c_name FROM t WHERE pos >= 0 AND pos < 100
+    """
+
+    sqls["ngrams"] = f"""
+        WITH d AS (SELECT doc_id, {w} AS w FROM documents)
+        SELECT doc_id, CAST(i - 1 AS BIGINT) AS win_pos,
+               w[i:i+2] AS gram, w[i+3] AS target
+        FROM d, LATERAL (SELECT unnest(generate_series(1, len(w) - 3)) AS i) u
+    """
+
+    sqls["sliding_window"] = f"""
+        WITH d AS (SELECT doc_id, {w} AS w FROM documents)
+        SELECT doc_id, CAST(i - 1 AS BIGINT) AS win_pos,
+               w[i:i+2] AS source, w[i+1:i+3] AS target
+        FROM d, LATERAL (SELECT unnest(generate_series(1, len(w) - 3)) AS i) u
+    """
+
+    sqls["text_dictionary_encode"] = f"""
+        WITH dd AS (SELECT doc_id, {w} AS words FROM documents),
+        tok AS (
+          SELECT doc_id, pos, words[pos] AS word
+          FROM dd, LATERAL (SELECT unnest(generate_series(1, len(words))) AS pos) u
+          WHERE words[pos] <> ''
+        ),
+        cnt AS (SELECT word, count(*) AS cnt FROM tok GROUP BY word),
+        dict AS (
+          SELECT word, row_number() OVER (ORDER BY cnt DESC, word) + 2 AS word_id
+          FROM cnt QUALIFY word_id < 203
+        ),
+        enc AS (SELECT tok.doc_id, tok.pos, COALESCE(dict.word_id, 2) AS tok_id
+                FROM tok LEFT JOIN dict USING (word)),
+        body AS (SELECT doc_id, list(tok_id ORDER BY pos) AS body
+                 FROM enc GROUP BY doc_id)
+        SELECT d.doc_id,
+               list_concat(list_concat([CAST(0 AS BIGINT)],
+                   COALESCE(body, CAST([] AS BIGINT[]))),
+                   [CAST(1 AS BIGINT)]) AS token_ids
+        FROM documents d LEFT JOIN body USING (doc_id)
+    """
+
+    sqls["text_lang_id"] = _langid_sql()
+
+    en = "[" + ",".join(f"'{x}'" for x in STOPWORDS["en"]) + "]"
+    sqls["text_quality"] = f"""
+        WITH d AS (SELECT doc_id, text, {w} AS w FROM documents),
+        f AS (
+          SELECT doc_id,
+            CAST(length(text) AS BIGINT) AS n_chars_q,
+            CAST(len(w) AS BIGINT) AS n_words,
+            round(CAST(COALESCE(list_sum(list_transform(w, x -> length(x))), 0) AS DOUBLE)
+                  / greatest(len(w), 1), 6) AS mean_word_len,
+            round(CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+                  / greatest(length(text), 1), 6) AS alpha_ratio,
+            round(CAST(len(list_filter(w, x -> list_contains({en}, x))) AS DOUBLE)
+                  / greatest(len(w), 1), 6) AS stopword_ratio
+          FROM d
+        )
+        SELECT doc_id, n_chars_q, n_words, mean_word_len, alpha_ratio, stopword_ratio,
+          round(
+            (CASE WHEN n_words >= 10 AND n_words <= 100000 THEN 0.25 ELSE 0.0 END)
+            + (CASE WHEN mean_word_len >= 3 AND mean_word_len <= 10 THEN 0.25 ELSE 0.0 END)
+            + (CASE WHEN alpha_ratio >= 0.6 THEN 0.25 ELSE 0.0 END)
+            + (CASE WHEN stopword_ratio >= 0.05 THEN 0.25 ELSE 0.0 END), 2) AS quality
+        FROM f
+    """
+
+    sqls["text_token_counts"] = f"""
+        SELECT doc_id,
+          CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS ws_tokens,
+          CAST(len(regexp_extract_all(text, '{BPE_RE}')) AS BIGINT) AS bpe_tokens
+        FROM documents
+    """
+
+    fp = f"list_sort(list_transform({_shingles_sql('text')}, x -> md5(x)))"
+    sqls["text_fingerprint"] = f"""
+        SELECT doc_id,
+          concat(COALESCE({fp}[1], ''), COALESCE({fp}[2], ''),
+                 COALESCE({fp}[3], ''), COALESCE({fp}[4], '')) AS fingerprint
+        FROM documents
+    """
+
+    sqls["dedup_exact"] = """
+        SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+               count(*) AS dup_count
+        FROM documents GROUP BY 1
+    """
+
+    sqls["dedup_minhash_pairs"] = f"""
+        WITH {_minhash_bands_sql()}
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    """
+
+    sqls["dedup_jaccard"] = f"""
+        WITH {_minhash_bands_sql()},
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b
+            ON a.band_id = b.band_id AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id
+        ),
+        shd AS (SELECT doc_id, {_shingles_sql('text')} AS s FROM documents)
+        SELECT id_a, id_b,
+          CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT) AS inter,
+          CAST(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS BIGINT) AS uni,
+          round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                / greatest(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)), 1),
+                6) AS jaccard
+        FROM cand
+        JOIN shd sa ON sa.doc_id = id_a
+        JOIN shd sb ON sb.doc_id = id_b
+    """
+
+    sqls["dedup_simhash"] = _simhash_sql()
+
+    cos = _cos_sql("a.embedding", "b.embedding")
+    sqls["embedding_near_dup"] = f"""
+        SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
+               round({cos}, 6) AS cosine
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE round({cos}, 6) >= 0.2
+    """
+
+    qcos = _cos_sql("qe", "ce")
+    sqls["ann_topk_cosine"] = f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                   FROM embeddings WHERE vec_id < 5),
+        c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+        scored AS (
+          SELECT query_id, neighbor_id, round({qcos}, 6) AS cosine
+          FROM q, c WHERE query_id <> neighbor_id
+        ),
+        ranked AS (
+          SELECT query_id, neighbor_id, cosine,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, neighbor_id) AS rank
+          FROM scored
+        )
+        SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= 5
+    """
+
+    return sqls

@@ -171,17 +171,19 @@ def pad_sequences(
     one shuffle on batch_id, everything else stays in codegen.
     """
     w = Window.partitionBy(batch_col)
-    maxlen = F.max(F.size(F.col(seq_col))).over(w)
-    pad_n = maxlen - F.size(F.col(seq_col))
-    padded = F.concat(
-        F.col(seq_col),
-        F.array_repeat(F.lit(pad_value), pad_n.cast("int")),
-    )
+    out = df.withColumn("_len", F.size(F.col(seq_col)))
+    maxlen = F.max("_len").over(w)
+    pad_n = (maxlen - F.col("_len")).cast("int")
+    padded = F.concat(F.col(seq_col), F.array_repeat(F.lit(pad_value), pad_n))
     mask = F.concat(
-        F.array_repeat(F.lit(1).cast(mask_dtype), F.size(F.col(seq_col))),
-        F.array_repeat(F.lit(0).cast(mask_dtype), pad_n.cast("int")),
+        F.array_repeat(F.lit(1).cast(mask_dtype), F.col("_len")),
+        F.array_repeat(F.lit(0).cast(mask_dtype), pad_n),
     )
-    return df.withColumn(seq_col, padded).withColumn(f"{seq_col}_mask", mask)
+    return (
+        out.withColumn(f"{seq_col}_mask", mask)
+        .withColumn(seq_col, padded)
+        .drop("_len")
+    )
 
 
 # -- SortMapping (539) -----------------------------------------------------

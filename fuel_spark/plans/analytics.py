@@ -42,14 +42,19 @@ def pricing_summary(t: dict[str, DataFrame]) -> DataFrame:
             _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
             _dsum(disc_price).alias("sum_disc_price"),
             _dsum(charge).alias("sum_charge"),
+            # avgs as exact-decimal sum ÷ count (not F.avg): identical
+            # double result on any engine / any partitioning
             F.round(
-                F.avg(F.col("l_quantity").cast(DEC)).cast("double"), 6
+                (F.sum(F.col("l_quantity").cast(DEC)).cast("double")
+                 / F.count(F.lit(1))), 6
             ).alias("avg_qty"),
             F.round(
-                F.avg(F.col("l_extendedprice").cast(DEC)).cast("double"), 6
+                (F.sum(F.col("l_extendedprice").cast(DEC)).cast("double")
+                 / F.count(F.lit(1))), 6
             ).alias("avg_price"),
             F.round(
-                F.avg(F.col("l_discount").cast(DEC)).cast("double"), 6
+                (F.sum(F.col("l_discount").cast(DEC)).cast("double")
+                 / F.count(F.lit(1))), 6
             ).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
@@ -224,13 +229,16 @@ def events_sessionize(t: dict[str, DataFrame], gap_minutes: int = 30) -> DataFra
     ).otherwise(F.lit(0))
     sess = (
         e.withColumn("_new", new_session)
-        .withColumn("session_seq", F.sum("_new").over(w.rowsBetween(W.unboundedPreceding, 0)))
+        .withColumn(
+            "session_seq",
+            F.sum("_new").over(w.rowsBetween(W.unboundedPreceding, 0)).cast("bigint"),
+        )
     )
     return (
         sess.groupBy("user_id", "session_seq")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.min("ts").alias("session_start"),
+            F.min(F.col("ts").cast("long")).alias("session_start_sec"),
             (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))).alias(
                 "duration_sec"
             ),

@@ -37,7 +37,7 @@ def with_positions(
         w = Window.orderBy(det_key(seed, F.col(key)), F.col(key))
     else:
         w = Window.orderBy(F.col(key))
-    return df.withColumn(pos_col, F.row_number().over(w) - 1)
+    return df.withColumn(pos_col, (F.row_number().over(w) - 1).cast("bigint"))
 
 
 def sequential_batches(
