@@ -94,7 +94,9 @@ def _langid_sql() -> str:
             op = ">" if other < lang else ">="
             conds.append(f"s_{lang} {op} s_{other}")
         cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
-    case = "CASE " + " ".join(cases) + " ELSE 'und' END"
+    inner = "CASE " + " ".join(cases) + " ELSE 'und' END"
+    anyhit = "greatest(" + ", ".join(f"s_{x}" for x in langs) + ") > 0"
+    case = f"CASE WHEN {anyhit} THEN {inner} ELSE 'und' END"
     score_cols = ", ".join(f"{v} AS s_{k}" for k, v in scores.items())
     return (
         f"WITH d AS (SELECT doc_id, lang, {w} AS w FROM documents), "

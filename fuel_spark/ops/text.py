@@ -59,7 +59,10 @@ def lang_id(df: DataFrame, text_col: str, out_col: str = "pred_lang") -> DataFra
             else:
                 cond = cond & (F.col(f"score_{lang}") >= F.col(f"score_{other}"))
         best = F.when(cond, F.lit(lang)) if best is None else best.when(cond, F.lit(lang))
-    out = out.withColumn(out_col, F.coalesce(best, F.lit("und")))
+    any_hit = F.greatest(*[F.col(f"score_{lang}") for lang in sorted(STOPWORDS)]) > 0
+    out = out.withColumn(
+        out_col, F.when(any_hit, F.coalesce(best, F.lit("und"))).otherwise(F.lit("und"))
+    )
     return out.drop("_words")
 
 

@@ -1,0 +1,96 @@
+"""Behavioral tests for core transformers — mirrors the reference's
+tests/test_transformers.py style: tiny fixtures, exact expected rows."""
+
+from pyspark.sql import functions as F
+
+from fuel_spark import schemes
+from fuel_spark.ops import core
+from fuel_spark.sources import from_rows
+
+
+def _ds(spark):
+    return from_rows(
+        spark,
+        [(i, float(i) * 2.0, f"w{i}") for i in range(10)],
+        schema="k bigint, v double, s string",
+    )
+
+
+def test_mapping_add_and_replace(spark):
+    df = _ds(spark)
+    added = core.mapping(df, {"v2": F.col("v") + 1})
+    assert added.columns == ["k", "v", "s", "v2"]
+    replaced = core.mapping(df, {"only": F.col("k")}, add_sources=False)
+    assert replaced.columns == ["only"]
+    assert replaced.count() == 10
+
+
+def test_filter_rows(spark):
+    out = core.filter_rows(_ds(spark), F.col("k") >= 7)
+    assert sorted(r.k for r in out.collect()) == [7, 8, 9]
+
+
+def test_flatten_nested(spark):
+    df = from_rows(spark, [(1, [[1, 2], [3]])], schema="k bigint, a array<array<int>>")
+    out = core.flatten_nested(df, "a")
+    assert out.first().a == [1, 2, 3]
+
+
+def test_scale_shift_cast_floatx(spark):
+    df = _ds(spark)
+    out = core.scale_and_shift(df, 2.0, 1.0, ["v"])
+    assert out.where(F.col("k") == 3).first().v == 13.0
+    out = core.cast_sources(df, "int", ["v"])
+    assert dict(out.dtypes)["v"] == "int"
+    out = core.force_floatx(df)
+    assert dict(out.dtypes)["v"] == "float"
+
+
+def test_rename_and_filter_sources(spark):
+    df = _ds(spark)
+    out = core.rename_sources(df, {"k": "key"})
+    assert out.columns == ["key", "v", "s"]
+    out = core.filter_sources(df, ["s", "k"])
+    assert out.columns == ["k", "s"]  # stream order preserved
+
+
+def test_pack_unpack_roundtrip(spark):
+    df = schemes.sequential_batches(_ds(spark), "k", 4)
+    packed = core.pack_batches(df, "batch_id", ["k", "v"], order_within="k")
+    rows = {r.batch_id: r for r in packed.collect()}
+    assert rows[0].k == [0, 1, 2, 3] and rows[2].k == [8, 9]
+    assert rows[0].batch_size == 4 and rows[2].batch_size == 2
+    unpacked = core.unpack_batches(packed, ["k", "v"], keep=["batch_id"])
+    back = sorted((r.k, r.v) for r in unpacked.collect())
+    assert back == [(i, float(i) * 2.0) for i in range(10)]
+
+
+def test_pad_sequences_masks(spark):
+    df = from_rows(
+        spark,
+        [(0, 0, [1, 2]), (1, 0, [1, 2, 3, 4]), (2, 1, [5])],
+        schema="k bigint, batch_id bigint, seq array<bigint>",
+    )
+    out = {r.k: r for r in core.pad_sequences(df, "seq", "batch_id").collect()}
+    assert out[0].seq == [1, 2, 0, 0] and out[0].seq_mask == [1, 1, 0, 0]
+    assert out[1].seq == [1, 2, 3, 4] and out[1].seq_mask == [1, 1, 1, 1]
+    assert out[2].seq == [5] and out[2].seq_mask == [1]
+
+
+def test_sort_within_batches(spark):
+    df = from_rows(
+        spark,
+        [(0, 3.0, "a"), (0, 1.0, "b"), (0, 2.0, "c"), (1, 9.0, "d")],
+        schema="batch_id bigint, key double, payload string",
+    )
+    out = {r.batch_id: r for r in
+           core.sort_within_batches(df, "batch_id", "key", ["payload"]).collect()}
+    assert out[0].key == [1.0, 2.0, 3.0]
+    assert out[0].payload == ["b", "c", "a"]
+
+
+def test_merge_streams_zips_positionally(spark):
+    a = from_rows(spark, [(1, "x"), (2, "y")], schema="ak bigint, av string")
+    b = from_rows(spark, [(10, "p"), (20, "q")], schema="bk bigint, bv string")
+    out = sorted((r.ak, r.bk) for r in core.merge_streams(a, b, "ak", "bk").collect())
+    assert out == [(1, 10), (2, 20)]

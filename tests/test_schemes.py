@@ -1,0 +1,70 @@
+"""Scheme determinism tests — mirrors reference tests/test_schemes.py
+(exact request sequences) with distributed-planner semantics."""
+
+from pyspark.sql import functions as F
+
+from fuel_spark import schemes
+from fuel_spark.sources import from_rows
+
+
+def _keys(spark, n=20):
+    return from_rows(spark, [(i,) for i in range(n)], schema="k bigint")
+
+
+def test_sequential_positions(spark):
+    out = schemes.sequential_batches(_keys(spark), "k", 6)
+    rows = {r.k: (r.pos, r.batch_id) for r in out.collect()}
+    assert rows[0] == (0, 0) and rows[5] == (5, 0) and rows[6] == (6, 1)
+    assert rows[19] == (19, 3)
+
+
+def test_shuffled_is_permutation_and_seeded(spark):
+    df = _keys(spark)
+    a = schemes.shuffled_batches(df, "k", 6, seed=1)
+    b = schemes.shuffled_batches(df, "k", 6, seed=1)
+    c = schemes.shuffled_batches(df, "k", 6, seed=2)
+    pa = [r.k for r in a.orderBy("pos").collect()]
+    pb = [r.k for r in b.orderBy("pos").collect()]
+    pc = [r.k for r in c.orderBy("pos").collect()]
+    assert sorted(pa) == list(range(20))
+    assert pa == pb  # same seed → same permutation
+    assert pa != pc  # different seed → different permutation
+    assert pa != list(range(20))  # actually shuffled
+
+
+def test_cross_validation_fold_sizes(spark):
+    out = schemes.cross_validation_folds(_keys(spark, 23), "k", 5)
+    sizes = {r.fold: r.cnt for r in
+             out.groupBy("fold").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    # 23 // 5 = 4 per fold, remainder 3 joins the last fold
+    assert sizes == {0: 4, 1: 4, 2: 4, 3: 4, 4: 7}
+
+
+def test_hash_folds_deterministic_partition(spark):
+    df = _keys(spark, 100)
+    a = schemes.hash_folds(df, "k", 4, seed=9)
+    b = schemes.hash_folds(df.repartition(7), "k", 4, seed=9)
+    ra = {r.k: r.fold for r in a.collect()}
+    rb = {r.k: r.fold for r in b.collect()}
+    assert ra == rb  # invariant under repartitioning
+    assert set(ra.values()) == {0, 1, 2, 3}
+
+
+def test_concatenated_offsets(spark):
+    a = _keys(spark, 5)
+    b = _keys(spark, 7)
+    out = schemes.concatenated_batches([a, b], ["k", "k"], 4)
+    rows = sorted((r["_stream"], r.pos, r.batch_id) for r in out.collect())
+    # stream 0 occupies global positions 0-4, stream 1 positions 5-11
+    assert rows[0] == (0, 0, 0)
+    assert rows[5] == (1, 0, 1)  # global pos 5 → batch 1
+    assert rows[-1] == (1, 6, 2)  # global pos 11 → batch 2
+
+
+def test_partition_local_batches_no_global_sort(spark):
+    df = _keys(spark, 100).repartition(4)
+    out = schemes.partition_local_batches(df, 10)
+    sizes = [r.cnt for r in
+             out.groupBy("batch_id").agg(F.count(F.lit(1)).alias("cnt")).collect()]
+    assert sum(sizes) == 100
+    assert max(sizes) <= 10

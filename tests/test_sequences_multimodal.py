@@ -1,0 +1,94 @@
+"""Sliding windows / n-grams (fuel.transformers.sequences parity) and
+multimodal plumbing."""
+
+from pyspark.sql import functions as F
+
+from fuel_spark.ops import multimodal, sequences
+from fuel_spark.sources import from_rows
+
+
+def _seq_df(spark):
+    return from_rows(
+        spark, [(0, list(range(6)))], schema="k bigint, seq array<bigint>"
+    )
+
+
+def test_ngrams_with_targets(spark):
+    # fuel NGrams(3): grams [i..i+2], target seq[i+3]
+    out = sorted(
+        (r.win_pos, r.gram, r.target)
+        for r in sequences.ngrams(_seq_df(spark), "seq", 3, keep=["k"]).collect()
+    )
+    assert out == [
+        (0, [0, 1, 2], 3),
+        (1, [1, 2, 3], 4),
+        (2, [2, 3, 4], 5),
+    ]
+
+
+def test_sliding_window_overlapping(spark):
+    # source [i..i+2], target offset 1 overlapping → [i+1..i+3]
+    out = sorted(
+        (r.win_pos, r.source, r.target)
+        for r in sequences.sliding_window(
+            _seq_df(spark), "seq", offset=1, source_window=3, target_window=3,
+            overlapping=True, keep=["k"],
+        ).collect()
+    )
+    assert out[0] == (0, [0, 1, 2], [1, 2, 3])
+    assert out[-1] == (2, [2, 3, 4], [3, 4, 5])
+
+
+def test_sliding_window_nonoverlapping_rnn_shape(spark):
+    # fuel docstring case: source N, target N, offset 1, overlap → [1,N],[2,N+1]
+    out = sequences.sliding_window(
+        _seq_df(spark), "seq", offset=0, source_window=2, target_window=2,
+        overlapping=False, keep=["k"],
+    ).collect()
+    first = sorted((r.win_pos, r.source, r.target) for r in out)[0]
+    assert first == (0, [0, 1], [2, 3])
+
+
+def test_short_sequences_dropped(spark):
+    df = from_rows(spark, [(0, [1, 2])], schema="k bigint, seq array<bigint>")
+    assert sequences.ngrams(df, "seq", 3, keep=["k"]).count() == 0
+
+
+def test_decode_images_shapes(spark):
+    df = from_rows(
+        spark,
+        [(0, bytearray(b"abc")), (1, bytearray(b""))],
+        schema="item_id bigint, payload binary",
+    )
+    out = {r.item_id: r for r in
+           multimodal.decode_images(df, "item_id", "payload").collect()}
+    assert out[0].channels == 3 and out[0].height == 8 and out[0].width == 8
+    assert len(out[0].pixels) == 3 * 8 * 8
+    # deterministic fake decode: same payload → same pixels
+    again = multimodal.decode_images(df, "item_id", "payload").collect()
+    assert {r.item_id: r.pixels for r in again}[0] == out[0].pixels
+
+
+def test_random_crop_seeded(spark):
+    df = from_rows(
+        spark,
+        [(0, bytearray(b"some-image-bytes"))],
+        schema="item_id bigint, payload binary",
+    )
+    dec = multimodal.decode_images(df, "item_id", "payload")
+    a = multimodal.random_crop(dec, 4, 4, seed=1).first()
+    b = multimodal.random_crop(dec, 4, 4, seed=1).first()
+    c = multimodal.random_crop(dec, 4, 4, seed=2).first()
+    assert a.height == 4 and a.width == 4 and len(a.pixels) == 3 * 4 * 4
+    assert a.pixels == b.pixels  # seeded reproducibility
+    assert isinstance(c.pixels, list)
+
+
+def test_frame_sample(spark):
+    df = from_rows(
+        spark,
+        [(0, [[1], [2], [3], [4], [5], [6], [7]])],
+        schema="item_id bigint, frames array<array<int>>",
+    )
+    r = multimodal.frame_sample(df, n_frames=3, stride=2).first()
+    assert r.sampled_frames == [[1], [3], [5]]

@@ -1,0 +1,43 @@
+"""Sources: splits, toys, text corpus ingestion."""
+
+from fuel_spark.sources import SplitDataset, from_rows, spiral, swiss_roll
+
+
+def test_split_ranges(spark):
+    df = from_rows(spark, [(i,) for i in range(50)], schema="k bigint")
+    ds = (
+        SplitDataset(df, "k")
+        .add_split("train", 0, 40)
+        .add_split("valid", 40, 50)
+    )
+    assert set(ds.splits) == {"train", "valid"}
+    assert ds.get_split("train").count() == 40
+    valid = sorted(r.k for r in ds.get_split("valid").collect())
+    assert valid == list(range(40, 50))
+
+
+def test_hash_split_disjoint_cover(spark):
+    df = from_rows(spark, [(i,) for i in range(200)], schema="k bigint")
+    ds = (
+        SplitDataset(df, "k")
+        .add_hash_split("train", seed=3, lo=0.0, hi=0.8)
+        .add_hash_split("valid", seed=3, lo=0.8, hi=1.0)
+    )
+    tr = {r.k for r in ds.get_split("train").collect()}
+    va = {r.k for r in ds.get_split("valid").collect()}
+    assert tr | va == set(range(200))
+    assert not (tr & va)
+
+
+def test_spiral_deterministic(spark):
+    a = spiral(spark, 100, classes=2, noise=0.1, seed=5).collect()
+    b = spiral(spark, 100, classes=2, noise=0.1, seed=5).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    labels = {r.label for r in a}
+    assert labels == {0, 1}
+
+
+def test_swiss_roll_shape(spark):
+    rows = swiss_roll(spark, 50, seed=1).collect()
+    assert len(rows) == 50
+    assert all(hasattr(r, c) for r in rows[:1] for c in ("x", "y", "z", "t"))

@@ -1,0 +1,83 @@
+"""Structured Streaming equivalents of fuel.server — file-source micro
+batches with availableNow, and the stateful sessionizer."""
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from fuel_spark.streaming import serve
+
+
+@pytest.fixture()
+def workdir():
+    d = tempfile.mkdtemp(prefix="fuel_spark_stream_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _write_events(spark, path):
+    df = spark.createDataFrame(
+        [(i, i % 3, f"e{i % 2}", float(i)) for i in range(100)],
+        "event_id long, user_id long, event_type string, value double",
+    ).withColumn("ts", F.timestamp_seconds(F.col("event_id") * 600))
+    df.write.mode("overwrite").parquet(path)
+    return df
+
+
+def test_windowed_stream_matches_batch(spark, workdir):
+    src = os.path.join(workdir, "src")
+    sink = os.path.join(workdir, "sink")
+    ckpt = os.path.join(workdir, "ckpt")
+    batch_df = _write_events(spark, src)
+
+    stream = serve.stream_events_from_files(
+        spark, src,
+        "event_id long, user_id long, event_type string, value double, ts timestamp",
+    )
+    q = serve.serve_batches(serve.windowed_counts(stream), sink, ckpt)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(sink)
+    batch = (
+        batch_df.groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    # append mode only emits windows the watermark has passed; at
+    # availableNow termination the trailing ~watermark of windows is
+    # retained as state, so emitted ⊂ batch with identical counts.
+    assert 0 < got.count() <= batch.count()
+    j = got.join(batch, ["window_start", "event_type"], "left")
+    assert j.count() == got.count()
+    assert j.where(got.n_events != batch.n_events).count() == 0
+
+
+def test_sessionize_stateful_matches_batch_twin(spark, workdir):
+    src = os.path.join(workdir, "src")
+    sink = os.path.join(workdir, "sink")
+    ckpt = os.path.join(workdir, "ckpt")
+    _write_events(spark, src)
+
+    stream = serve.stream_events_from_files(
+        spark, src,
+        "event_id long, user_id long, event_type string, value double, ts timestamp",
+    )
+    q = (
+        serve.sessionize_stateful(stream, gap_sec=1800)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("sessions_out")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM sessions_out")
+    # events per user arrive every 1800s (3 users, 600s global cadence)
+    # → consecutive per-user gaps == gap_sec → single session per user
+    assert got.select("user_id").distinct().count() == 3
+    assert got.agg(F.sum("n_events")).first()[0] == 100

@@ -1,0 +1,112 @@
+"""Text / dedup / similarity operator tests with planted fixtures."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from fuel_spark.ops import dedup, similarity, text as text_ops
+from fuel_spark.sources import build_dictionary, dictionary_encode, from_rows
+
+
+def _docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = "the quick brown fox jumps over the lazy cat again and again"
+    other = "completely different words about spark engines and shuffles"
+    return from_rows(
+        spark,
+        [(0, base), (1, base), (2, near), (3, other)],
+        schema="doc_id bigint, text string",
+    )
+
+
+def test_exact_dedup_groups(spark):
+    out = dedup.exact_dedup(_docs(spark), "doc_id", "text").collect()
+    by_keep = {r.keep_id: r.dup_count for r in out}
+    assert by_keep[0] == 2  # docs 0 and 1 identical
+    assert by_keep[2] == 1 and by_keep[3] == 1
+
+
+def test_minhash_finds_near_dup_not_unrelated(spark):
+    pairs = {(r.id_a, r.id_b) for r in
+             dedup.minhash_candidate_pairs(_docs(spark), "doc_id", "text").collect()}
+    assert (0, 1) in pairs  # identical docs always collide
+    assert (0, 2) in pairs or (1, 2) in pairs  # near-dup should bucket together
+    assert (0, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_jaccard_values(spark):
+    out = {(r.id_a, r.id_b): r.jaccard for r in
+           dedup.ngram_jaccard_pairs(_docs(spark), "doc_id", "text").collect()}
+    assert out[(0, 1)] == 1.0
+    assert 0.5 < out.get((0, 2), out.get((1, 2), 0)) < 1.0
+
+
+def test_simhash_close_for_near_dup(spark):
+    fp = {r.doc_id: r.simhash for r in
+          dedup.simhash(_docs(spark), "doc_id", "text").collect()}
+    assert fp[0] == fp[1]
+    ham_near = bin(fp[0] ^ fp[2]).count("1")
+    ham_far = bin(fp[0] ^ fp[3]).count("1")
+    assert ham_near < ham_far
+
+
+def test_lang_id_english(spark):
+    df = from_rows(
+        spark,
+        [(0, "the cat is in the house and it is warm"),
+         (1, "le chat est dans la maison et il est un chat"),
+         (2, "xyzzy qwerty")],
+        schema="doc_id bigint, text string",
+    )
+    out = {r.doc_id: r.pred_lang for r in text_ops.lang_id(df, "text").collect()}
+    assert out[0] == "en"
+    assert out[1] == "fr"
+    assert out[2] == "und"
+
+
+def test_token_counts(spark):
+    df = from_rows(spark, [(0, "Hello, world! 42"), (1, "")],
+                   schema="doc_id bigint, text string")
+    out = {r.doc_id: (r.ws_tokens, r.bpe_tokens) for r in
+           text_ops.token_counts(df, "text").collect()}
+    assert out[0][0] == 3
+    # Hello , world ! 4 2 → 6 BPE-ish pre-tokens
+    assert out[0][1] == 6
+    assert out[1] == (0, 0)
+
+
+def test_quality_score_range(spark):
+    df = from_rows(
+        spark,
+        [(0, "the cat and the dog sat in the warm house for hours today")],
+        schema="doc_id bigint, text string",
+    )
+    r = text_ops.quality_score(df, "text").first()
+    assert r.quality == 1.0
+
+
+def test_cosine_topk_matches_numpy(spark):
+    import numpy as np
+
+    vecs = {0: [1.0, 0.0], 1: [0.9, 0.1], 2: [0.0, 1.0], 3: [-1.0, 0.0]}
+    df = from_rows(spark, [(k, v) for k, v in vecs.items()],
+                   schema="vec_id bigint, embedding array<float>")
+    out = similarity.cosine_topk(df, df.where(F.col("vec_id") == 0), k=3).collect()
+    got = [(r.neighbor_id, r.cosine) for r in sorted(out, key=lambda r: r.rank)]
+    def cos(a, b):
+        a, b = np.array(a), np.array(b)
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+    assert [g[0] for g in got] == [1, 2, 3]
+    for nid, c in got:
+        assert math.isclose(c, cos(vecs[0], vecs[nid]), abs_tol=1e-6)
+
+
+def test_dictionary_encode_bos_eos_unk(spark):
+    df = from_rows(spark, [(0, "aa bb aa"), (1, "aa zz")],
+                   schema="doc_id bigint, text string")
+    dic = build_dictionary(df, "text", vocab_size=1)  # only 'aa' in vocab
+    enc = {r.doc_id: r.token_ids for r in
+           dictionary_encode(df, "doc_id", "text", dic).collect()}
+    # BOS=0 EOS=1 UNK=2, first word id 3
+    assert enc[0] == [0, 3, 2, 3, 1]
+    assert enc[1] == [0, 3, 2, 1]
