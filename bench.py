@@ -1,0 +1,82 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...}, "sf": "..."}
+
+Each query is forced end-to-end with a count-collapsing action
+(``df.count()`` after the full plan; results are small aggregates or
+pair sets, so count ≈ full materialization cost).  A warmup pass
+primes the JVM/codegen caches; reported numbers are the best of
+``--reps`` timed runs per query (steady-state throughput, the number
+that scales).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINERS = (
+    "pricing_summary",
+    "revenue_forecast",
+    "top_revenue_orders",
+    "regional_revenue",
+    "market_share",
+    "events_tumbling_window",
+    "events_sessionize",
+    "dedup_exact",
+    "dedup_minhash_pairs",
+    "text_quality",
+    "text_token_counts",
+    "ann_topk_cosine",
+)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--queries", nargs="*", default=None)
+    args = ap.parse_args()
+
+    import __spark_entry__ as entry_mod
+    from fuel_spark.session import get_spark
+
+    spark = get_spark("fuel_spark-bench",
+                      extra_conf={"spark.ui.showConsoleProgress": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entry_mod.queries()
+    names = args.queries or [n for n in HEADLINERS if n in qs]
+
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = qs[name]
+        fn(spark, args.sf_dir).count()  # warmup (codegen, scan caches)
+        best = float("inf")
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            fn(spark, args.sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": os.path.basename(args.sf_dir.rstrip("/")),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

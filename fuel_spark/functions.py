@@ -13,7 +13,23 @@ This module is the whole-stage-codegen path: no Python UDFs anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Round-robin repartition when the scan produced fewer partitions
+    than the cluster has cores.
+
+    Heavy narrow ops (minhash, simhash, per-row vector math) are
+    CPU-bound: at 100 TB the scan naturally yields thousands of splits,
+    but a small table arrives as 1 partition and would single-thread a
+    32-core stage.  One cheap round-robin exchange unlocks full-width
+    codegen; skipped entirely when the input is already wide enough.
+    """
+    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 # --------------------------------------------------------------------------
 # Deterministic permutation / hashing (fuel's rng → portable md5 keys)
@@ -60,12 +76,27 @@ def words_sql(col_sql: str) -> str:
     return f"string_split({norm_text_sql(col_sql)}, ' ')"
 
 
-def char_shingles_expr(text_col_name: str, k: int = 5) -> Column:
-    """Distinct character k-shingles of the normalized text.
+def shingles_over_norm(norm_col_name: str, k: int = 5) -> Column:
+    """Distinct character k-shingles over an ALREADY-normalized column.
+
+    The caller must materialize ``norm_text`` into a real column first:
+    referencing the normalization expression inside the lambda would
+    re-run the regex once per shingle (O(len²) per doc — measured 30×
+    slowdown on the dedup path).
 
     ``substring`` is 1-indexed in both engines; texts shorter than k
     produce the single truncated prefix shingle.
     """
+    n = norm_col_name
+    return F.expr(
+        f"array_distinct(transform(sequence(1, greatest(length({n}) - {k - 1}, 1)),"
+        f" i -> substring({n}, i, {k})))"
+    )
+
+
+def char_shingles_expr(text_col_name: str, k: int = 5) -> Column:
+    """Shingles straight from a raw text column (convenience; prefer
+    projecting norm_text first + shingles_over_norm in hot paths)."""
     norm = (
         f"trim(regexp_replace(lower({text_col_name}), '{_NORM_RE}', ' '))"
     )

@@ -18,7 +18,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from fuel_spark.functions import char_shingles_expr, minhash_expr
+from fuel_spark.functions import (
+    ensure_parallelism,
+    minhash_expr,
+    norm_text,
+    shingles_over_norm,
+)
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -49,7 +54,11 @@ def with_minhash_bands(
     rows = docs × bands — linear, shuffle-free (narrow projection).
     """
     rows_per_band = num_hashes // bands
-    out = df.select(F.col(id_col), char_shingles_expr(text_col, shingle_k).alias("_sh"))
+    # normalize once, then shingle over the materialized column —
+    # inlining the regex into the shingle lambda is O(len²)/doc
+    out = ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
+    out = out.select(F.col(id_col), norm_text(F.col(text_col)).alias("_norm"))
+    out = out.select(F.col(id_col), shingles_over_norm("_norm", shingle_k).alias("_sh"))
     mh = [minhash_expr("_sh", j).alias(f"_mh{j}") for j in range(num_hashes)]
     out = out.select(id_col, *mh)
     band_structs = []
@@ -105,7 +114,9 @@ def ngram_jaccard_pairs(
     computed on LSH candidates only (sketch → candidates → verify, the
     standard MinHashLSH pipeline shape)."""
     cands = minhash_candidate_pairs(df, id_col, text_col, num_hashes, bands, shingle_k)
-    sh = df.select(F.col(id_col), char_shingles_expr(text_col, shingle_k).alias("sh"))
+    sh = ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
+    sh = sh.select(F.col(id_col), norm_text(F.col(text_col)).alias("_norm"))
+    sh = sh.select(F.col(id_col), shingles_over_norm("_norm", shingle_k).alias("sh"))
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     out = (
@@ -139,7 +150,7 @@ def simhash(
     from fuel_spark.functions import words
 
     w = words(F.col(text_col))
-    out = df.withColumn("_w", w)
+    out = ensure_parallelism(df).withColumn("_w", w)
     bit_terms = []
     for b in range(bits):
         # +1 when nibble in 8..f (high bit set), else -1; sum over words

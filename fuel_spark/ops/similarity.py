@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.functions import broadcast
 
-from fuel_spark.functions import cosine_expr
+from fuel_spark.functions import cosine_expr, ensure_parallelism
 
 
 def cosine_topk(
@@ -35,7 +35,9 @@ def cosine_topk(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
         )
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    c = ensure_parallelism(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    )
     scored = q.crossJoin(c).where(F.col("query_id") != F.col("neighbor_id"))
     scored = scored.withColumn(
         "cosine", F.round(cosine_expr("qvec", "cvec"), 6)

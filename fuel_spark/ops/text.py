@@ -11,7 +11,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from fuel_spark.functions import char_shingles_expr, norm_text, words
+from fuel_spark.functions import (
+    ensure_parallelism,
+    norm_text,
+    shingles_over_norm,
+    words,
+)
 
 # Tiny per-language stopword lists (public, standard closed-class
 # words).  Kept deliberately small so the oracle SQL stays readable —
@@ -126,7 +131,8 @@ def fingerprint(
     """Document fingerprint: the num_keep lexicographically-smallest
     md5 hashes of the text's char-k-shingles (min-k sketch — the
     set-sketch at the heart of winnowing/minhash dedup)."""
-    sh = char_shingles_expr(text_col, k)
+    out = ensure_parallelism(df).withColumn("_norm", norm_text(F.col(text_col)))
+    sh = shingles_over_norm("_norm", k)
     hashed = F.transform(sh, lambda s: F.md5(s))
     sketch = F.slice(F.array_sort(hashed), 1, num_keep)
-    return df.withColumn(out_col, F.concat_ws("", sketch))
+    return out.withColumn(out_col, F.concat_ws("", sketch)).drop("_norm")
