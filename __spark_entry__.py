@@ -392,6 +392,12 @@ def q_dedup_jaccard(spark, sf):
     return dedup.ngram_jaccard_pairs(d, "doc_id", "text")
 
 
+def q_dedup_apply(spark, sf):
+    d = _t(spark, sf)["documents"]
+    out = dedup.apply_dedup(d, "doc_id", "text", threshold=0.5)
+    return out.select("doc_id", "n_chars")
+
+
 def q_dedup_simhash(spark, sf):
     d = _t(spark, sf)["documents"]
     return dedup.simhash(d, "doc_id", "text").select("doc_id", "simhash")
@@ -476,6 +482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_pairs": q_dedup_minhash,
         "dedup_jaccard": q_dedup_jaccard,
+        "dedup_apply": q_dedup_apply,
         "dedup_simhash": q_dedup_simhash,
         # similarity
         "embedding_near_dup": q_embedding_near_dup,
@@ -852,6 +859,27 @@ def oracle_sql() -> dict[str, str]:
         FROM cand
         JOIN shd sa ON sa.doc_id = id_a
         JOIN shd sb ON sb.doc_id = id_b
+    """
+
+    sqls["dedup_apply"] = f"""
+        WITH {_minhash_bands_sql()},
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b
+            ON a.band_id = b.band_id AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id
+        ),
+        shd AS (SELECT doc_id, {_shingles_sql('text')} AS s FROM documents),
+        losers AS (
+          SELECT DISTINCT id_b FROM cand
+          JOIN shd sa ON sa.doc_id = id_a
+          JOIN shd sb ON sb.doc_id = id_b
+          WHERE round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                / greatest(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)), 1),
+                6) >= 0.5
+        )
+        SELECT doc_id, n_chars FROM documents
+        WHERE doc_id NOT IN (SELECT id_b FROM losers)
     """
 
     sqls["dedup_simhash"] = _simhash_sql()

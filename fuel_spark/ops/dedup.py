@@ -136,6 +136,31 @@ def ngram_jaccard_pairs(
     return out
 
 
+def apply_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 9,
+    bands: int = 3,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """The full near-dup pipeline, applied: sketch → LSH candidates →
+    jaccard verify → greedy keep-smallest-id.
+
+    A document survives iff no verified near-duplicate with a smaller
+    id exists (covers exact dups too — identical texts share every
+    band).  The kill set is tiny relative to the corpus, so the final
+    step is a broadcast-able left_anti join: corpus-sized data crosses
+    the wire exactly once.
+    """
+    pairs = ngram_jaccard_pairs(
+        df, id_col, text_col, threshold, num_hashes, bands, shingle_k
+    )
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
 def simhash(
     df: DataFrame, id_col: str, text_col: str, bits: int = 16,
     out_col: str = "simhash",

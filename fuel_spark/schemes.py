@@ -116,18 +116,18 @@ def partition_local_batches(
     df: DataFrame, batch_size: int, batch_col: str = "batch_id"
 ) -> DataFrame:
     """ConstantScheme for infinite/unordered streams at scale: batch
-    ids are (partition_id, local_index // batch_size) — no shuffle, no
-    global order, exactly fuel's 'just give me batches of n' contract
-    (reference schemes.py:144).
+    ids are (partition_id, local_index // batch_size) — zero shuffle,
+    no global order, exactly fuel's 'just give me batches of n'
+    contract (reference schemes.py:144).
+
+    ``monotonically_increasing_id`` already encodes
+    ``partition_id << 33 | row_index_within_partition``, so both parts
+    of the batch identity come from one pure projection — no window,
+    no Exchange anywhere in the plan (asserted in tests/test_plans.py).
     """
-    out = df.withColumn("_pid", F.spark_partition_id())
-    w = Window.partitionBy("_pid").orderBy(F.monotonically_increasing_id())
-    out = out.withColumn("_local", F.row_number().over(w) - 1)
-    return (
-        out.withColumn(
-            batch_col,
-            F.col("_pid").cast("long") * F.lit(1 << 32)
-            + F.floor(F.col("_local") / batch_size),
-        )
-        .drop("_pid", "_local")
+    mid = F.monotonically_increasing_id()
+    pid = F.shiftrightunsigned(mid, 33)
+    local = mid.bitwiseAND(F.lit((1 << 33) - 1))
+    return df.withColumn(
+        batch_col, pid * F.lit(1 << 31) + F.floor(local / batch_size)
     )

@@ -89,6 +89,12 @@ def test_sort_within_batches(spark):
     assert out[0].payload == ["b", "c", "a"]
 
 
+def test_cache_stream_persists(spark):
+    df = core.cache_stream(_ds(spark))
+    assert df.storageLevel.useMemory
+    df.unpersist()
+
+
 def test_merge_streams_zips_positionally(spark):
     a = from_rows(spark, [(1, "x"), (2, "y")], schema="ak bigint, av string")
     b = from_rows(spark, [(10, "p"), (20, "q")], schema="bk bigint, bv string")

@@ -1,0 +1,77 @@
+"""Physical-plan assertions — the 100 TB design contract.
+
+Correctness tests prove the small-SF answer; these prove the *plan*
+is the one that survives a 1000-executor scale-up: filters reach the
+parquet scan, projections prune the read schema, dimension joins
+broadcast, and the scale-path batcher stays shuffle-free.
+"""
+
+from pyspark.sql import functions as F
+
+from fuel_spark import schemes
+from fuel_spark.sources import from_rows, load_tables
+from fuel_spark.plans import analytics
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _explain(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_pricing_summary_pushdown_and_pruning(spark):
+    t = load_tables(spark, SF)
+    s = _explain(analytics.pricing_summary(t))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in s
+    # projection pruning: unneeded fact columns never leave the scan
+    assert "l_orderkey" not in s.split("ReadSchema")[1].split("\n")[0]
+    # map-side combine before the exchange
+    assert "partial_sum" in s
+
+
+def test_revenue_forecast_all_filters_pushed(spark):
+    t = load_tables(spark, SF)
+    s = _explain(analytics.revenue_forecast(t))
+    pushed = s.split("PushedFilters:")[1].split("\n")[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed: {pushed}"
+
+
+def test_star_joins_broadcast_dims(spark):
+    t = load_tables(spark, SF)
+    assert "BroadcastHashJoin" in _plan(analytics.top_revenue_orders(t))
+    p5 = _plan(analytics.regional_revenue(t))
+    assert "BroadcastHashJoin" in p5
+    # the one legitimate shuffle join: fact ⋈ fact on orderkey
+    assert p5.count("SortMergeJoin") <= 1
+
+
+def test_semi_join_for_exists(spark):
+    t = load_tables(spark, SF)
+    p = _plan(analytics.order_priority_counts(t))
+    assert "LeftSemi" in p
+
+
+def test_partition_local_batches_no_exchange(spark):
+    df = from_rows(spark, [(i,) for i in range(100)], schema="k bigint").repartition(4)
+    p = _plan(schemes.partition_local_batches(df, 10))
+    # one Exchange from the explicit repartition fixture, none added by
+    # the batcher itself
+    assert p.count("Exchange") == 1
+    assert "Window" not in p
+
+
+def test_filter_pushdown_through_operator_chain(spark):
+    from fuel_spark.ops import core
+
+    t = load_tables(spark, SF)
+    out = core.rename_sources(t["orders"], {"o_totalprice": "price"})
+    out = core.filter_rows(out, F.col("price") > 100000.0)
+    s = _explain(out)
+    assert "GreaterThan(o_totalprice,100000.0)" in s

@@ -41,6 +41,13 @@ def test_jaccard_values(spark):
     assert 0.5 < out.get((0, 2), out.get((1, 2), 0)) < 1.0
 
 
+def test_apply_dedup_keeps_canonicals(spark):
+    out = sorted(r.doc_id for r in
+                 dedup.apply_dedup(_docs(spark), "doc_id", "text", threshold=0.5).collect())
+    # doc 1 (exact dup of 0) and doc 2 (near-dup of 0) drop; 0 and 3 survive
+    assert out == [0, 3]
+
+
 def test_simhash_close_for_near_dup(spark):
     fp = {r.doc_id: r.simhash for r in
           dedup.simhash(_docs(spark), "doc_id", "text").collect()}
