@@ -438,6 +438,14 @@ def q_ann_lsh(spark, sf):
     return similarity.lsh_ann(e, q, k=5, num_planes=4)
 
 
+def q_ann_ivf(spark, sf):
+    from fuel_spark import ml
+
+    e = _t(spark, sf)["embeddings"]
+    q = e.where(F.col("vec_id") < 5)
+    return ml.ivf_ann(e, q, k=5, k_clusters=8, nprobe=4, seed=7)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # analytics / query engine
@@ -491,6 +499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "toy_spiral": q_toy_spiral,
         "multimodal_decode": q_multimodal,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
     }
 
 

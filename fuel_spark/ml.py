@@ -1,0 +1,124 @@
+"""MLlib integration: vector interop + IVF-style ANN.
+
+fuel feeds numpy minibatches to a training loop; the Spark-native
+counterpart feeds MLlib.  This module bridges the engine's
+``array<float>`` embedding columns to ``pyspark.ml`` vectors and uses
+an MLlib KMeans model as the coarse quantizer for IVF approximate
+nearest-neighbor search — the scale path beyond brute force
+(ops/similarity.py) and hyperplane LSH.
+
+IVF at 100 TB: centroids are a tiny broadcast model; cluster
+assignment is one narrow ML transform; the search join touches only
+``nprobe`` of ``k_clusters`` inverted lists (~nprobe/k of the corpus).
+"""
+
+from __future__ import annotations
+
+from pyspark.ml.clustering import KMeans
+from pyspark.ml.functions import array_to_vector, vector_to_array
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.functions import broadcast
+
+from fuel_spark.functions import cosine_expr
+
+
+def to_ml_vector(df: DataFrame, array_col: str, out_col: str = "features") -> DataFrame:
+    """array<float|double> → MLlib VectorUDT (for any pyspark.ml stage)."""
+    return df.withColumn(out_col, array_to_vector(F.col(array_col)))
+
+
+def from_ml_vector(df: DataFrame, vec_col: str, out_col: str) -> DataFrame:
+    """VectorUDT → array<double> (back to engine-native columns)."""
+    return df.withColumn(out_col, vector_to_array(F.col(vec_col)))
+
+
+def fit_ivf_index(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    k_clusters: int = 16,
+    seed: int = 42,
+):
+    """Train the IVF coarse quantizer (KMeans) on the corpus.
+
+    Returns the fitted model; at scale, fit on a sample
+    (``corpus.sample(...)``) — centroid quality needs thousands of
+    points, not the full corpus.
+    """
+    feats = to_ml_vector(corpus.select(vec_col), vec_col)
+    return KMeans(k=k_clusters, seed=seed, featuresCol="features").fit(feats)
+
+
+def assign_clusters(
+    model, df: DataFrame, vec_col: str = "embedding", out_col: str = "ivf_cluster"
+) -> DataFrame:
+    """Attach the inverted-list id to each row (narrow ML transform)."""
+    feats = to_ml_vector(df, vec_col)
+    assigned = model.transform(feats).withColumnRenamed("prediction", out_col)
+    return assigned.drop("features")
+
+
+def ivf_ann(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    k_clusters: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate top-k cosine neighbors.
+
+    Queries probe their ``nprobe`` nearest centroids; candidates are
+    corpus rows in those inverted lists; exact cosine ranks within
+    candidates.  Output: query_id, neighbor_id, cosine, rank.
+    """
+    model = fit_ivf_index(corpus, vec_col, k_clusters, seed)
+    centers = model.clusterCenters()
+
+    c = assign_clusters(model, corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        F.col("ivf_cluster").alias("bucket"),
+    )
+
+    # per-query nprobe nearest centroids, via a tiny broadcast
+    # centroid table (k_clusters rows) — no model call per probe
+    spark = corpus.sparkSession
+    centers_df = broadcast(
+        spark.createDataFrame(
+            [(i, [float(x) for x in cvec]) for i, cvec in enumerate(centers)],
+            "bucket int, center array<double>",
+        )
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    qc = q.crossJoin(centers_df).withColumn(
+        "dist2",
+        F.expr(
+            "aggregate(zip_with(qvec, center, (a, b) -> (CAST(a AS DOUBLE) - b)"
+            " * (CAST(a AS DOUBLE) - b)), CAST(0.0 AS DOUBLE), (s, v) -> s + v)"
+        ),
+    )
+    pw = Window.partitionBy("query_id").orderBy("dist2", "bucket")
+    probes = (
+        qc.withColumn("_r", F.row_number().over(pw))
+        .where(F.col("_r") <= nprobe)
+        .select("query_id", "qvec", "bucket")
+    )
+
+    scored = (
+        broadcast(probes)
+        .join(c, "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.round(cosine_expr("qvec", "cvec"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -76,9 +76,13 @@ def cast_sources(df: DataFrame, dtype: str, which_sources: list[str]) -> DataFra
     return out
 
 
-def force_floatx(df: DataFrame, floatx: str = "float") -> DataFrame:
+def force_floatx(df: DataFrame, floatx: str | None = None) -> DataFrame:
     """Cast every floating column to the configured float width; fuel's
-    ForceFloatX with floatX=float32."""
+    ForceFloatX with config.floatX (reference config_parser.py)."""
+    if floatx is None:
+        from fuel_spark.config import floatx as _fx
+
+        floatx = _fx()
     cols = [
         f.name
         for f in df.schema.fields

@@ -78,25 +78,45 @@ def minhash_candidate_pairs(
     num_hashes: int = 9,
     bands: int = 3,
     shingle_k: int = 5,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """LSH candidate pairs (a < b) sharing any band bucket.
 
-    Self-join on (band_id, band_key): the shuffle key is the bucket, so
-    work is proportional to bucket sizes, not corpus².  Skewed buckets
-    (boilerplate docs) are exactly what AQE skew-join splitting
-    handles; for pathological cases cap bucket size upstream.
+    One groupBy on (band_id, band_key) collects each bucket's ids,
+    then pairs expand JVM-side from the sorted array — the minhash
+    subtree is computed once and shuffles once (a self-join would
+    compute and shuffle it twice; Spark can't reuse the exchange
+    because the two projections differ).  Work is proportional to
+    Σ bucket², never corpus².
+
+    ``max_bucket`` guards the 100 TB pathological case (a boilerplate
+    bucket of 10^6 docs → 10^12 pairs): oversized buckets degrade to
+    pairing every member with the bucket minimum — linear, and still
+    sufficient for greedy keep-smallest dedup within the bucket.
     """
     bands_df = with_minhash_bands(df, id_col, text_col, num_hashes, bands, shingle_k)
-    a = bands_df.select(
-        F.col("band_id"), F.col("band_key"), F.col(id_col).alias("id_a")
+    buckets = (
+        bands_df.groupBy("band_id", "band_key")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+        .where(F.size("ids") > 1)
     )
-    b = bands_df.select(
-        F.col("band_id"), F.col("band_key"), F.col(id_col).alias("id_b")
+    all_pairs = (
+        "flatten(transform(sequence(1, size(ids) - 1),"
+        " i -> transform(slice(ids, i + 1, size(ids) - i),"
+        " x -> struct(element_at(ids, i) AS id_a, x AS id_b))))"
+    )
+    star_pairs = (
+        "transform(slice(ids, 2, size(ids) - 1),"
+        " x -> struct(element_at(ids, 1) AS id_a, x AS id_b))"
+    )
+    pair_expr = (
+        all_pairs
+        if max_bucket is None
+        else f"CASE WHEN size(ids) <= {max_bucket} THEN {all_pairs} ELSE {star_pairs} END"
     )
     return (
-        a.join(b, ["band_id", "band_key"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        buckets.select(F.explode(F.expr(pair_expr)).alias("_p"))
+        .select("_p.id_a", "_p.id_b")
         .distinct()
     )
 

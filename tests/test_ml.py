@@ -1,0 +1,33 @@
+"""MLlib integration: vector interop + IVF ANN quality vs brute force."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fuel_spark import ml
+from fuel_spark.ops import similarity
+from fuel_spark.sources import from_rows, load_tables
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_vector_roundtrip(spark):
+    df = from_rows(spark, [(0, [1.0, 2.0, 3.0])], schema="k bigint, a array<float>")
+    v = ml.to_ml_vector(df, "a")
+    assert "features" in v.columns
+    back = ml.from_ml_vector(v, "features", "b").first()
+    assert back.b == [1.0, 2.0, 3.0]
+
+
+def test_ivf_ann_recall_vs_bruteforce(spark):
+    e = load_tables(spark, SF)["embeddings"]
+    q = e.where(F.col("vec_id") < 5)
+    exact = similarity.cosine_topk(e, q, k=5)
+    approx = ml.ivf_ann(e, q, k=5, k_clusters=8, nprobe=4, seed=7)
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # nprobe=4 of 8 clusters should recover most true neighbors
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+    # ranks are 1..k per query, cosine within [-1, 1]
+    for r in approx.collect():
+        assert 1 <= r.rank <= 5 and -1.0 <= r.cosine <= 1.0
