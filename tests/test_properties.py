@@ -1,0 +1,44 @@
+"""Property-based tests (hypothesis) for scheme/batch invariants —
+the reference checks exact sequences; we additionally check the
+algebraic contracts hold for arbitrary shapes."""
+
+from hypothesis import given, settings, strategies as st
+
+from fuel_spark import schemes
+from fuel_spark.ops import core
+from fuel_spark.sources import from_rows
+
+SET = settings(max_examples=8, deadline=None)
+
+
+@given(n=st.integers(1, 40), bs=st.integers(1, 10), seed=st.integers(0, 5))
+@SET
+def test_shuffled_batches_partition_everything(spark, n, bs, seed):
+    df = from_rows(spark, [(i,) for i in range(n)], schema="k bigint")
+    out = schemes.shuffled_batches(df, "k", bs, seed=seed).collect()
+    assert sorted(r.pos for r in out) == list(range(n))
+    assert sorted(r.k for r in out) == list(range(n))
+    for r in out:
+        assert r.batch_id == r.pos // bs
+
+
+@given(n=st.integers(1, 30), bs=st.integers(1, 8))
+@SET
+def test_pack_unpack_is_identity(spark, n, bs):
+    df = from_rows(spark, [(i, i * 3) for i in range(n)], schema="k bigint, v bigint")
+    b = schemes.sequential_batches(df, "k", bs)
+    packed = core.pack_batches(b, "batch_id", ["k", "v"], order_within="k")
+    unpacked = core.unpack_batches(packed, ["k", "v"])
+    assert sorted((r.k, r.v) for r in unpacked.collect()) == [
+        (i, i * 3) for i in range(n)
+    ]
+
+
+@given(k=st.integers(2, 6), n=st.integers(6, 50))
+@SET
+def test_cross_validation_covers_all(spark, k, n):
+    df = from_rows(spark, [(i,) for i in range(n)], schema="k bigint")
+    out = schemes.cross_validation_folds(df, "k", k).collect()
+    assert len(out) == n
+    folds = {r.fold for r in out}
+    assert folds == set(range(k))  # every fold non-empty (n >= k guaranteed)
