@@ -455,6 +455,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regional_revenue": lambda s, d: analytics.regional_revenue(_t(s, d)),
         "order_priority_counts": lambda s, d: analytics.order_priority_counts(_t(s, d)),
         "market_share": lambda s, d: analytics.market_share(_t(s, d)),
+        "volume_shipping": lambda s, d: analytics.volume_shipping(_t(s, d)),
+        "product_profit": lambda s, d: analytics.product_profit(_t(s, d)),
+        "returned_items": lambda s, d: analytics.returned_items(_t(s, d)),
+        "customer_running_totals": lambda s, d: analytics.customer_running_totals(_t(s, d)),
+        "events_pivot": lambda s, d: analytics.events_pivot(_t(s, d)),
+        "sales_rollup": lambda s, d: analytics.sales_rollup(_t(s, d)),
         "events_tumbling_window": lambda s, d: analytics.events_tumbling_window(_t(s, d)),
         "events_sessionize": lambda s, d: analytics.events_sessionize(_t(s, d)),
         "events_topk_users": lambda s, d: analytics.events_topk_users(_t(s, d)),
@@ -581,6 +587,72 @@ def oracle_sql() -> dict[str, str]:
         JOIN supplier ON l_suppkey = s_suppkey
         JOIN nation n2 ON s_nationkey = n2.n_nationkey
         GROUP BY r_name, o_year, supp_nation
+    """
+
+    sqls["volume_shipping"] = f"""
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS BIGINT) AS l_year,
+               {_dsum_sql(rev)} AS volume
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+           OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        GROUP BY supp_nation, cust_nation, l_year
+    """
+
+    sqls["product_profit"] = f"""
+        SELECT n_name, CAST(year(l_shipdate) AS BIGINT) AS o_year,
+               {_dsum_sql('l_extendedprice * (1 - l_discount)'
+                          ' - p_retailprice * l_quantity * 0.1')} AS profit
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_type = 'ECONOMY'
+        GROUP BY n_name, o_year
+    """
+
+    sqls["returned_items"] = f"""
+        SELECT c_custkey, c_name, lost_revenue FROM (
+          SELECT o_custkey, {_dsum_sql(rev)} AS lost_revenue
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          WHERE l_returnflag = 'R'
+            AND o_orderdate >= TIMESTAMP '1996-01-01'
+            AND o_orderdate < TIMESTAMP '1996-07-01'
+          GROUP BY o_custkey
+        ) r JOIN customer ON o_custkey = c_custkey
+        ORDER BY lost_revenue DESC, c_custkey LIMIT 20
+    """
+
+    sqls["customer_running_totals"] = """
+        SELECT o_custkey, o_orderkey,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(27,6))) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
+        FROM orders
+    """
+
+    ev_types = ["click", "error", "purchase", "signup", "view"]
+    pivot_cols = ", ".join(
+        f"count(*) FILTER (WHERE event_type = '{t}') AS \"{t}\"" for t in ev_types
+    )
+    sqls["events_pivot"] = f"""
+        SELECT user_id, {pivot_cols} FROM events GROUP BY user_id
+    """
+
+    sqls["sales_rollup"] = f"""
+        SELECT r_name, n_name, {_dsum_sql('o_totalprice')} AS revenue,
+               count(*) AS n_orders
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)
     """
 
     sqls["events_tumbling_window"] = f"""

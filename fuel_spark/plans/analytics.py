@@ -191,6 +191,133 @@ def market_share(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def volume_shipping(t: dict[str, DataFrame]) -> DataFrame:
+    """Q7 shape: trade volume between a nation pair, by direction and
+    year.  Both nation dims broadcast; the fact⋈fact shuffle on
+    orderkey is the only wide edge."""
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        t["lineitem"]
+        .join(broadcast(t["supplier"].select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .join(t["orders"].select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(t["customer"].select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        .where(pair)
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def product_profit(t: dict[str, DataFrame]) -> DataFrame:
+    """Q9 shape: profit by supplier nation and year; part and supplier
+    dims broadcast, profit arithmetic per-row then exact-decimal agg."""
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity") * 0.1
+    )
+    return (
+        t["lineitem"]
+        .join(broadcast(t["part"].select("p_partkey", "p_retailprice", "p_type")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .where(F.col("p_type") == "ECONOMY")
+        .join(broadcast(t["supplier"].select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(broadcast(t["nation"].select("n_nationkey", "n_name")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", F.year("l_shipdate").cast("bigint").alias("o_year"))
+        .agg(_dsum(profit).alias("profit"))
+        .orderBy("n_name", "o_year")
+    )
+
+
+def returned_items(t: dict[str, DataFrame], limit: int = 20) -> DataFrame:
+    """Q10 shape: customers ranked by revenue lost to returns in a
+    window.  Customer dim broadcast into the aggregated fact."""
+    o = t["orders"].where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    l = t["lineitem"].where(F.col("l_returnflag") == "R")
+    return (
+        l.join(o.select("o_orderkey", "o_custkey"),
+               F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("lost_revenue"))
+        .join(broadcast(t["customer"].select("c_custkey", "c_name")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "c_name", "lost_revenue")
+        .orderBy(F.col("lost_revenue").desc(), F.col("c_custkey"))
+        .limit(limit)
+    )
+
+
+def customer_running_totals(t: dict[str, DataFrame]) -> DataFrame:
+    """Cumulative spend per customer over order history — window
+    function coverage.  Exact-decimal prefix sums: the running value
+    is bit-deterministic at any parallelism."""
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return t["orders"].select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double").alias("running_total"),
+    )
+
+
+def events_pivot(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-user event-type histogram via pivot (conditional agg under
+    the hood — one shuffle on user_id)."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        t["events"]
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+        .orderBy("user_id")
+    )
+
+
+def sales_rollup(t: dict[str, DataFrame]) -> DataFrame:
+    """ROLLUP(region, nation) revenue — multi-level aggregate coverage
+    with a single pass (grouping sets share the scan)."""
+    dims = (
+        t["region"]
+        .join(t["nation"], F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(t["customer"], F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("r_name", "n_name", "c_custkey")
+    )
+    return (
+        t["orders"]
+        .join(broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
+        .rollup("r_name", "n_name")
+        .agg(_dsum(F.col("o_totalprice")).alias("revenue"),
+             F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("r_name", "n_name")
+    )
+
+
 # ------------------------------ events --------------------------------
 
 
