@@ -417,6 +417,30 @@ def q_ann_topk(spark, sf):
 # rows-only (non-SQL-expressible)
 
 
+def q_asof_join(spark, sf):
+    t = _t(spark, sf)
+    e = t["events"].select("event_id", "user_id", "ts")
+    o = t["orders"].select(
+        F.col("o_custkey").alias("user_id"), "o_orderkey", "o_orderdate"
+    )
+    out = core.asof_join(e, o, "user_id", "ts", "o_orderdate", ["o_orderkey"])
+    return out.select(
+        "event_id", "user_id", F.col("o_orderkey").alias("last_orderkey")
+    )
+
+
+def q_quantiles(spark, sf):
+    e = _t(spark, sf)["events"]
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.round(F.percentile("value", 0.5), 6).alias("p50"),
+            F.round(F.percentile("value", 0.9), 6).alias("p90"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )
+
+
 def q_toy_spiral(spark, sf):
     return spiral(spark, num_examples=1000, classes=3, noise=0.05)
 
@@ -501,6 +525,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity
         "embedding_near_dup": q_embedding_near_dup,
         "ann_topk_cosine": q_ann_topk,
+        # custom operators
+        "asof_join": q_asof_join,
+        "value_quantiles": q_quantiles,
         # rows-only
         "toy_spiral": q_toy_spiral,
         "multimodal_decode": q_multimodal,
@@ -964,6 +991,29 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sqls["dedup_simhash"] = _simhash_sql()
+
+    sqls["asof_join"] = """
+        WITH e AS (SELECT event_id, user_id, epoch_us(ts) // 1000000 AS t
+                   FROM events),
+        o AS (SELECT o_custkey, o_orderkey,
+                     epoch_us(o_orderdate) // 1000000 AS ot FROM orders),
+        j AS (
+          SELECT e.event_id, e.user_id, o.o_orderkey,
+                 row_number() OVER (PARTITION BY e.event_id
+                                    ORDER BY o.ot DESC, o.o_orderkey DESC) AS rn
+          FROM e LEFT JOIN o ON e.user_id = o.o_custkey AND o.ot <= e.t
+        )
+        SELECT event_id, user_id, o_orderkey AS last_orderkey
+        FROM j WHERE rn = 1
+    """
+
+    sqls["value_quantiles"] = """
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 6) AS p50,
+               round(quantile_cont(value, 0.9), 6) AS p90,
+               count(DISTINCT user_id) AS n_users
+        FROM events GROUP BY event_type
+    """
 
     cos = _cos_sql("a.embedding", "b.embedding")
     sqls["embedding_near_dup"] = f"""

@@ -31,6 +31,41 @@ def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame
         return df.repartition(target)
     return df
 
+def salted_sum(
+    df: DataFrame,
+    key_cols: list[str],
+    agg_cols: dict[str, str],
+    salt_buckets: int = 64,
+) -> DataFrame:
+    """Two-phase skew-proof aggregation: partial sums per
+    (key, salt), then final sums per key.
+
+    A heavy-hitter key at 100 TB lands its entire group on one reducer
+    in a plain groupBy; salting splits it across ``salt_buckets``
+    reducers, and because partial aggregation is exact
+    (DECIMAL/BIGINT sums), the result is bit-identical to the direct
+    plan.  AQE skew handling covers joins; this covers aggregation.
+
+    ``agg_cols`` maps input column → output alias; sums run in
+    DECIMAL(27,6) and come back as double.
+    """
+    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))
+    partial = (
+        df.withColumn("_salt", salt)
+        .groupBy(*key_cols, "_salt")
+        .agg(*[
+            F.sum(F.col(c).cast("decimal(27,6)")).alias(f"_p_{a}")
+            for c, a in agg_cols.items()
+        ], F.count(F.lit(1)).alias("_p_cnt"))
+    )
+    return (
+        partial.groupBy(*key_cols)
+        .agg(*[
+            F.sum(f"_p_{a}").cast("double").alias(a) for a in agg_cols.values()
+        ], F.sum("_p_cnt").alias("n_rows"))
+    )
+
+
 # --------------------------------------------------------------------------
 # Deterministic permutation / hashing (fuel's rng → portable md5 keys)
 # --------------------------------------------------------------------------

@@ -236,6 +236,64 @@ def merge_streams(
     return l.join(r, "_pos", "inner").drop("_pos")
 
 
+# -- as-of join (no fuel / native-Spark analogue) --------------------------
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_payload: list[str],
+) -> DataFrame:
+    """Backward as-of join: for each left row, the most recent right
+    row with the same key and ``right_ts <= left_ts``.
+
+    Spark has no native ASOF; the naive inequality-join is O(n·m) per
+    key.  This is the scalable formulation: union both streams tagged,
+    one window sort per key, and ``last(..., ignorenulls)`` carries the
+    latest right payload forward — O((n+m) log(n+m)) with a single
+    shuffle on the key.
+
+    Tie rules (deterministic): at equal timestamps the right row wins
+    (inclusive match); among right ties the greatest payload-order row
+    (sorted by the payload columns) wins.
+    """
+    def _epoch_sec(c: str):  # NTZ needs an intermediate cast (UTC session)
+        return F.col(c).cast("timestamp").cast("long")
+
+    lcols = left.columns
+    l = left.select(
+        F.col(key).alias("_k"),
+        _epoch_sec(left_ts).alias("_t"),
+        F.lit(1).alias("_is_left"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(dict(right.dtypes)[p]).alias(f"_r_{p}") for p in right_payload],
+    )
+    r = right.select(
+        F.col(key).alias("_k"),
+        _epoch_sec(right_ts).alias("_t"),
+        F.lit(0).alias("_is_left"),
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in lcols],
+        *[F.col(p).alias(f"_r_{p}") for p in right_payload],
+    )
+    u = l.unionByName(r)
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_t", "_is_left", *[f"_r_{p}" for p in right_payload])
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = [
+        F.last(f"_r_{p}", ignorenulls=True).over(w).alias(p) for p in right_payload
+    ]
+    return (
+        u.select(*lcols, F.col("_is_left"), *carried)
+        .where(F.col("_is_left") == 1)
+        .drop("_is_left")
+    )
+
+
 # -- Cache (477) / MultiProcessing (847) ----------------------------------
 
 

@@ -89,6 +89,25 @@ def test_sort_within_batches(spark):
     assert out[0].payload == ["b", "c", "a"]
 
 
+def test_asof_join_backward(spark):
+    events = from_rows(
+        spark,
+        [(1, 10, 100), (2, 10, 250), (3, 10, 50), (4, 20, 500)],
+        schema="event_id bigint, uid bigint, t bigint",
+    ).withColumn("t", F.timestamp_seconds(F.col("t")))
+    orders = from_rows(
+        spark,
+        [(10, 11, 100), (10, 12, 200), (20, 21, 600)],
+        schema="uid bigint, oid bigint, t2 bigint",
+    ).withColumn("t2", F.timestamp_seconds(F.col("t2")))
+    out = {r.event_id: r.oid for r in
+           core.asof_join(events, orders, "uid", "t", "t2", ["oid"]).collect()}
+    assert out[1] == 11   # inclusive match at equal ts
+    assert out[2] == 12   # latest order at t<=250
+    assert out[3] is None  # no order yet
+    assert out[4] is None  # user 20's order is in the future
+
+
 def test_cache_stream_persists(spark):
     df = core.cache_stream(_ds(spark))
     assert df.storageLevel.useMemory

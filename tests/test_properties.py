@@ -34,6 +34,33 @@ def test_pack_unpack_is_identity(spark, n, bs):
     ]
 
 
+def test_salted_sum_equals_direct(spark):
+    from pyspark.sql import functions as F
+
+    from fuel_spark.functions import salted_sum
+    from fuel_spark.sources import load_tables
+
+    l = load_tables(spark, "/root/testdata/sf0.001")["lineitem"]
+    direct = {
+        (r.l_returnflag, r.l_linestatus): (r.s, r.c)
+        for r in l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(27,6)"))
+            .cast("double").alias("s"),
+            F.count(F.lit(1)).alias("c"),
+        )
+        .collect()
+    }
+    salted = {
+        (r.l_returnflag, r.l_linestatus): (r.sum_price, r.n_rows)
+        for r in salted_sum(
+            l, ["l_returnflag", "l_linestatus"],
+            {"l_extendedprice": "sum_price"}, salt_buckets=16,
+        ).collect()
+    }
+    assert direct == salted  # bit-identical: exact decimal partials
+
+
 @given(k=st.integers(2, 6), n=st.integers(6, 50))
 @SET
 def test_cross_validation_covers_all(spark, k, n):
