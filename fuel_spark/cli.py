@@ -1,0 +1,79 @@
+"""Command-line tools — analogue of fuel's bin scripts
+(reference ``fuel/bin/fuel_convert.py``, ``fuel_info.py``,
+``fuel_download.py``).
+
+fuel converts downloads into HDF5 and prints dataset metadata; here
+``convert`` ingests csv/json/text/parquet into a partitioned parquet
+dataset (the engine's native store) and ``info`` prints table shapes
+for a dataset directory.
+
+Usage:
+    python -m fuel_spark info <dir>
+    python -m fuel_spark convert --input f.csv --format csv \
+        --output out_dir [--partition-by col] [--header]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+
+from fuel_spark.session import get_spark
+from fuel_spark.sources.sink import write_dataset
+
+
+def cmd_info(args) -> int:
+    spark = get_spark("fuel_spark-info")
+    spark.sparkContext.setLogLevel("ERROR")
+    paths = sorted(glob.glob(os.path.join(args.path, "*.parquet")))
+    if os.path.isfile(args.path) or not paths:
+        paths = [args.path]
+    for p in paths:
+        df = spark.read.parquet(p)
+        name = os.path.basename(p).replace(".parquet", "")
+        cols = ", ".join(f"{f.name}:{f.dataType.simpleString()}" for f in df.schema)
+        print(f"{name}\trows={df.count()}\t{cols}")
+    return 0
+
+
+def cmd_convert(args) -> int:
+    spark = get_spark("fuel_spark-convert")
+    spark.sparkContext.setLogLevel("ERROR")
+    reader = spark.read
+    if args.format == "csv":
+        df = reader.option("header", str(args.header).lower()).option(
+            "inferSchema", "true"
+        ).csv(args.input)
+    elif args.format == "json":
+        df = reader.json(args.input)
+    elif args.format == "text":
+        df = reader.text(args.input).withColumnRenamed("value", "line")
+    elif args.format == "parquet":
+        df = reader.parquet(args.input)
+    else:
+        raise SystemExit(f"unknown format: {args.format}")
+    write_dataset(df, args.output, partition_by=args.partition_by or None)
+    print(f"wrote {args.output} ({df.count()} rows)")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="fuel_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p_info = sub.add_parser("info", help="print table shapes for a dataset dir")
+    p_info.add_argument("path")
+    p_info.set_defaults(fn=cmd_info)
+
+    p_conv = sub.add_parser("convert", help="ingest csv/json/text into parquet")
+    p_conv.add_argument("--input", required=True)
+    p_conv.add_argument("--format", default="csv",
+                        choices=["csv", "json", "text", "parquet"])
+    p_conv.add_argument("--output", required=True)
+    p_conv.add_argument("--partition-by", nargs="*", default=None)
+    p_conv.add_argument("--header", action="store_true")
+    p_conv.set_defaults(fn=cmd_convert)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)

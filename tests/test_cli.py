@@ -1,0 +1,34 @@
+import os
+import shutil
+import tempfile
+
+import pytest
+
+from fuel_spark.cli import main
+
+
+@pytest.fixture()
+def outdir():
+    d = tempfile.mkdtemp(prefix="fuel_spark_cli_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_convert_csv_and_info(spark, outdir, capsys):
+    csv = os.path.join(outdir, "in.csv")
+    with open(csv, "w") as f:
+        f.write("k,lang,v\n")
+        for i in range(20):
+            f.write(f"{i},{'en' if i % 2 else 'fr'},{i * 1.5}\n")
+    out = os.path.join(outdir, "ds")
+    assert main(["convert", "--input", csv, "--format", "csv", "--header",
+                 "--output", out, "--partition-by", "lang"]) == 0
+    assert os.path.isdir(os.path.join(out, "lang=en"))
+    back = spark.read.parquet(out)
+    assert back.count() == 20
+    captured = capsys.readouterr().out
+    assert "20 rows" in captured
+
+    assert main(["info", out]) == 0
+    captured = capsys.readouterr().out
+    assert "rows=20" in captured
