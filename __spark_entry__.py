@@ -486,6 +486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_pivot": lambda s, d: analytics.events_pivot(_t(s, d)),
         "sales_rollup": lambda s, d: analytics.sales_rollup(_t(s, d)),
         "events_tumbling_window": lambda s, d: analytics.events_tumbling_window(_t(s, d)),
+        "events_sliding_window": lambda s, d: analytics.events_sliding_window(_t(s, d)),
         "events_sessionize": lambda s, d: analytics.events_sessionize(_t(s, d)),
         "events_topk_users": lambda s, d: analytics.events_topk_users(_t(s, d)),
         # core transformers
@@ -686,6 +687,16 @@ def oracle_sql() -> dict[str, str]:
         SELECT date_trunc('hour', ts) AS window_start, event_type,
                count(*) AS n_events, {_dsum_sql('value')} AS sum_value
         FROM events GROUP BY 1, 2
+    """
+
+    sqls["events_sliding_window"] = """
+        WITH dup AS (
+          SELECT date_trunc('hour', ts) AS window_start, event_type FROM events
+          UNION ALL
+          SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type FROM events
+        )
+        SELECT window_start, event_type, count(*) AS n_events
+        FROM dup GROUP BY window_start, event_type
     """
 
     sqls["events_sessionize"] = """

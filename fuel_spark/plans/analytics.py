@@ -338,6 +338,21 @@ def events_tumbling_window(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def events_sliding_window(t: dict[str, DataFrame]) -> DataFrame:
+    """Sliding 2h windows every 1h per event type (each event counts
+    in 2 windows) — F.window with slide; the batch twin of a sliding
+    streaming aggregation."""
+    e = t["events"]
+    return (
+        e.groupBy(F.window("ts", "2 hours", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("window_start"), "event_type", "n_events"
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
 def events_sessionize(t: dict[str, DataFrame], gap_minutes: int = 30) -> DataFrame:
     """Gap-based sessionization per user: a new session starts when
     the inter-event gap exceeds ``gap_minutes``.

@@ -34,6 +34,39 @@ def test_pack_unpack_is_identity(spark, n, bs):
     ]
 
 
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 1000)), min_size=1, max_size=25
+    ),
+    orders=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 1000)), min_size=1, max_size=25
+    ),
+)
+@SET
+def test_asof_join_matches_reference_model(spark, events, orders):
+    from pyspark.sql import functions as F
+
+    from fuel_spark.ops import core
+
+    e = from_rows(
+        spark,
+        [(i, k, t) for i, (k, t) in enumerate(events)],
+        schema="eid bigint, k bigint, t bigint",
+    ).withColumn("ts", F.timestamp_seconds("t")).drop("t")
+    o = from_rows(
+        spark,
+        [(i, k, t) for i, (k, t) in enumerate(orders)],
+        schema="oid bigint, k bigint, t bigint",
+    ).withColumn("ts2", F.timestamp_seconds("t")).drop("t")
+    got = {r.eid: r.oid for r in
+           core.asof_join(e, o, "k", "ts", "ts2", ["oid"]).collect()}
+    for i, (k, t) in enumerate(events):
+        cands = [(ot, oi) for oi, (ok, ot) in enumerate(orders)
+                 if ok == k and ot <= t]
+        want = max(cands)[1] if cands else None
+        assert got[i] == want, (i, k, t, cands)
+
+
 def test_salted_sum_equals_direct(spark):
     from pyspark.sql import functions as F
 
