@@ -417,6 +417,17 @@ def q_ann_topk(spark, sf):
 # rows-only (non-SQL-expressible)
 
 
+def q_embedding_normalize(spark, sf):
+    e = _t(spark, sf)["embeddings"]
+    out = similarity.l2_normalize(e)
+    return out.select("vec_id", "vec_norm", "unit")
+
+
+def q_sign_sketch(spark, sf):
+    e = _t(spark, sf)["embeddings"]
+    return similarity.sign_sketch(e).select("vec_id", "sign_bucket")
+
+
 def q_asof_join(spark, sf):
     t = _t(spark, sf)
     e = t["events"].select("event_id", "user_id", "ts")
@@ -526,6 +537,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity
         "embedding_near_dup": q_embedding_near_dup,
         "ann_topk_cosine": q_ann_topk,
+        "embedding_normalize": q_embedding_normalize,
+        "embedding_sign_sketch": q_sign_sketch,
         # custom operators
         "asof_join": q_asof_join,
         "value_quantiles": q_quantiles,
@@ -1002,6 +1015,22 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sqls["dedup_simhash"] = _simhash_sql()
+
+    sqls["embedding_normalize"] = f"""
+        SELECT vec_id, round({_norm2_sql('embedding')}, 6) AS vec_norm,
+               list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) / {_norm2_sql('embedding')}) AS unit
+        FROM embeddings
+    """
+
+    sign_terms = " + ".join(
+        f"(CASE WHEN embedding[{b + 1}] > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(16)
+    )
+    sqls["embedding_sign_sketch"] = f"""
+        SELECT vec_id, CAST({sign_terms} AS BIGINT) AS sign_bucket
+        FROM embeddings
+    """
 
     sqls["asof_join"] = """
         WITH e AS (SELECT event_id, user_id, epoch_us(ts) // 1000000 AS t

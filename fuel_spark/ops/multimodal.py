@@ -160,6 +160,51 @@ def random_rotation(
     return out
 
 
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("item_id", LongType()),
+        StructField("n_samples", IntegerType()),
+        StructField("rms", ArrayType(IntegerType())),
+        StructField("zero_crossings", ArrayType(IntegerType())),
+    ]
+)
+
+
+def extract_audio_features(
+    df: DataFrame, id_col: str, bytes_col: str, frame: int = 256
+) -> DataFrame:
+    """Audio-column pipeline: binary payload → framed features
+    (per-frame RMS energy + zero-crossing counts).
+
+    Same design as decode_images: Arrow-batched ``mapInPandas``, typed
+    metadata out, and the PCM decode step gated — without an audio
+    codec lib in the container, payload bytes are interpreted as
+    deterministic fake 8-bit PCM (centered), which keeps every piece
+    of the Spark plumbing real and testable.
+    """
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for item_id, payload in zip(pdf[id_col], pdf[bytes_col]):
+                raw = bytes(payload or b"")
+                pcm = np.frombuffer(raw, dtype=np.uint8).astype(np.int16) - 128
+                n = len(pcm)
+                rms, zc = [], []
+                for s in range(0, max(n, 1), frame):
+                    fr = pcm[s : s + frame]
+                    if not len(fr):
+                        fr = np.zeros(1, np.int16)
+                    rms.append(int(np.sqrt(np.mean(fr.astype(np.float64) ** 2))))
+                    zc.append(int(np.sum(np.signbit(fr[:-1]) != np.signbit(fr[1:]))))
+                rows.append((int(item_id), n, rms, zc))
+            yield pd.DataFrame(
+                rows, columns=["item_id", "n_samples", "rms", "zero_crossings"]
+            )
+
+    return df.select(id_col, bytes_col).mapInPandas(feats, AUDIO_SCHEMA)
+
+
 def frame_sample(
     df: DataFrame, n_frames: int, stride: int, id_col: str = "item_id"
 ) -> DataFrame:

@@ -79,6 +79,44 @@ def cosine_pairs_within(
     )
 
 
+def l2_normalize(
+    df: DataFrame, vec_col: str = "embedding", out_col: str = "unit"
+) -> DataFrame:
+    """Unit-normalize an embedding column (double precision), keeping
+    the norm as a feature — standard pre-step before cosine/ANN so
+    downstream similarity is a plain dot product."""
+    from fuel_spark.functions import norm2_expr
+
+    # materialize the norm once; dividing inside the lambda against the
+    # inlined norm expression would recompute it per element
+    out = df.withColumn("_n2", norm2_expr(vec_col))
+    unit = F.transform(
+        F.col(vec_col), lambda x: x.cast("double") / F.col("_n2")
+    )
+    return (
+        out.withColumn("vec_norm", F.round(F.col("_n2"), 6))
+        .withColumn(out_col, unit)
+        .drop("_n2")
+    )
+
+
+def sign_sketch(
+    df: DataFrame, vec_col: str = "embedding", bits: int = 16,
+    out_col: str = "sign_bucket",
+) -> DataFrame:
+    """Axis-sign sketch: bit b set iff component b > 0 — the simplest
+    LSH family (axis-aligned hyperplanes), fully portable to the SQL
+    oracle.  Groups of equal sketches are near-dup candidate blocks."""
+    terms = [
+        F.when(F.element_at(F.col(vec_col), b + 1) > 0, F.lit(1 << b)).otherwise(0)
+        for b in range(bits)
+    ]
+    acc = terms[0]
+    for t in terms[1:]:
+        acc = acc + t
+    return df.withColumn(out_col, acc.cast("bigint"))
+
+
 def lsh_bucket(
     df: DataFrame,
     vec_col: str = "embedding",
