@@ -61,6 +61,12 @@ def get_spark(
     builder = SparkSession.builder.appName(app_name).master(master)
     conf = dict(DEFAULT_CONF)
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    # local mode runs everything in the driver JVM; the 1g default is
+    # the first thing to fall over under a 32-thread shuffle. Applied
+    # at JVM launch (no-op if a session already exists).
+    conf.setdefault(
+        "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
+    )
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():

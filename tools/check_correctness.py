@@ -103,6 +103,12 @@ def main() -> int:
             continue
         sn, sc, sh = frame_hash(sdf)
         on, oc, oh = frame_hash(odf)
+        sdt = {c: str(sdf[c].dtype) for c in sdf.columns}
+        odt = {c: str(odf[c].dtype) for c in odf.columns}
+        dtdiff = {c: (sdt.get(c), odt.get(c)) for c in set(sdt) | set(odt)
+                  if sdt.get(c) != odt.get(c)}
+        if dtdiff:
+            print(f"  dtypes {name}: {dtdiff}")
         if sc != oc:
             fails.append((name, f"schema {sc} vs {oc}"))
             print(f"FAIL {name}: columns {sc} != {oc}")

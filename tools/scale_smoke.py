@@ -1,0 +1,89 @@
+"""Scale smoke: multiply the sf0.1 tables N× (key-shifted copies) into
+a local parquet dataset and time the headline queries against it.
+
+The point is plan behavior under growth — does runtime scale ~linearly
+with input (healthy scan-bound plans) or blow up (accidental quadratic
+joins / driver materialization)?  Usage:
+
+    python tools/scale_smoke.py [N] [src_sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+KEYED = {
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey", "c_nationkey"],
+    "supplier": ["s_suppkey", "s_nationkey"],
+    "part": ["p_partkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+SHIFT = 10_000_000
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+
+    import __spark_entry__ as entry_mod
+    from pyspark.sql import functions as F
+    from fuel_spark.session import get_spark
+    from fuel_spark.sources import TABLE_NAMES, load_table
+
+    spark = get_spark("scale-smoke", extra_conf={"spark.ui.showConsoleProgress": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+
+    out_dir = tempfile.mkdtemp(prefix="fuel_spark_scale_")
+    try:
+        for t in TABLE_NAMES:
+            df = load_table(spark, src, t)
+            if t in KEYED:
+                # nation keys must stay in-domain; only surrogate keys shift
+                copies = []
+                for i in range(n):
+                    c = df
+                    for k in KEYED[t]:
+                        if k in ("c_nationkey", "s_nationkey"):
+                            continue
+                        c = c.withColumn(k, F.col(k) + F.lit(i * SHIFT))
+                    copies.append(c)
+                big = copies[0]
+                for c in copies[1:]:
+                    big = big.unionByName(c)
+            else:
+                big = df
+            big.write.mode("overwrite").parquet(os.path.join(out_dir, f"{t}.parquet"))
+
+        qs = entry_mod.queries()
+        names = [
+            "pricing_summary", "revenue_forecast", "top_revenue_orders",
+            "regional_revenue", "events_sessionize", "dedup_exact",
+            "dedup_minhash_pairs", "text_quality", "ann_topk_cosine",
+            "asof_join",
+        ]
+        timings = {}
+        for name in names:
+            fn = qs[name]
+            fn(spark, out_dir).count()  # warm
+            t0 = time.perf_counter()
+            cnt = fn(spark, out_dir).count()
+            timings[name] = {"sec": round(time.perf_counter() - t0, 2), "rows": cnt}
+        print(json.dumps({"multiplier": n, "src": src, "timings": timings}))
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
