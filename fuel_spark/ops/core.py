@@ -17,6 +17,7 @@ from __future__ import annotations
 from collections.abc import Mapping as MappingABC
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql.types import ArrayType
 
 # -- Mapping (187) ---------------------------------------------------------
 
@@ -114,6 +115,8 @@ def pack_batches(
     payload: list[str],
     keep: list[str] | None = None,
     order_within: str | None = None,
+    strictness: int = 0,
+    batch_size: int | None = None,
 ) -> DataFrame:
     """Collapse example rows into one row per minibatch: each payload
     source becomes an array ordered by ``order_within``.
@@ -122,6 +125,10 @@ def pack_batches(
     groupBy shuffles once on batch_id (map-side partial collect), the
     distributed analogue of fuel's driver-side accumulation loop
     (reference transformers/__init__.py:608-626).
+
+    ``strictness`` follows fuel Batch (transformers/__init__.py:580):
+    0 keeps the trailing partial batch, 1 drops batches smaller than
+    ``batch_size`` (required when strictness=1).
     """
     order = order_within or payload[0]
     aggs = [
@@ -136,7 +143,12 @@ def pack_batches(
     aggs.append(F.count(F.lit(1)).alias("batch_size"))
     if keep:
         aggs.extend(F.first(k).alias(k) for k in keep)
-    return df.groupBy(batch_col).agg(*aggs)
+    out = df.groupBy(batch_col).agg(*aggs)
+    if strictness >= 1:
+        if batch_size is None:
+            raise ValueError("strictness=1 requires batch_size")
+        out = out.where(F.col("batch_size") == batch_size)
+    return out
 
 
 def unpack_batches(
@@ -178,7 +190,16 @@ def pad_sequences(
     out = df.withColumn("_len", F.size(F.col(seq_col)))
     maxlen = F.max("_len").over(w)
     pad_n = (maxlen - F.col("_len")).cast("int")
-    padded = F.concat(F.col(seq_col), F.array_repeat(F.lit(pad_value), pad_n))
+    elem_is_nested = isinstance(df.schema[seq_col].dataType.elementType, ArrayType)
+    if elem_is_nested:
+        # 2-D sequences (fuel test_2d_sequences): the fill element is a
+        # zero-row matching the sequence's inner width
+        fill = F.array_repeat(
+            F.lit(pad_value), F.size(F.element_at(F.col(seq_col), 1))
+        )
+    else:
+        fill = F.lit(pad_value)
+    padded = F.concat(F.col(seq_col), F.array_repeat(fill, pad_n))
     mask = F.concat(
         F.array_repeat(F.lit(1).cast(mask_dtype), F.col("_len")),
         F.array_repeat(F.lit(0).cast(mask_dtype), pad_n),
@@ -214,6 +235,16 @@ def sort_within_batches(
 
 
 # -- Merge (747) -----------------------------------------------------------
+
+
+def merge_many(streams: list[tuple[DataFrame, str]]) -> DataFrame:
+    """Merge N streams positionally (fuel Merge with >2 streams): fold
+    of positional zips.  The accumulated side keeps its first stream's
+    order column, so each zip re-keys on that."""
+    out, first_order = streams[0]
+    for df, order in streams[1:]:
+        out = merge_streams(out, df, first_order, order)
+    return out
 
 
 def merge_streams(

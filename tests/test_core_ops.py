@@ -119,3 +119,46 @@ def test_merge_streams_zips_positionally(spark):
     b = from_rows(spark, [(10, "p"), (20, "q")], schema="bk bigint, bv string")
     out = sorted((r.ak, r.bk) for r in core.merge_streams(a, b, "ak", "bk").collect())
     assert out == [(1, 10), (2, 20)]
+
+
+def test_merge_many_three_streams(spark):
+    a = from_rows(spark, [(1,), (2,)], schema="ak bigint")
+    b = from_rows(spark, [(10,), (20,)], schema="bk bigint")
+    c = from_rows(spark, [(100,), (200,)], schema="ck bigint")
+    out = sorted(
+        (r.ak, r.bk, r.ck)
+        for r in core.merge_many([(a, "ak"), (b, "bk"), (c, "ck")]).collect()
+    )
+    assert out == [(1, 10, 100), (2, 20, 200)]
+
+
+def test_pack_batches_strictness_drops_partial(spark):
+    df = schemes.sequential_batches(_ds(spark), "k", 4)  # 10 rows → 4,4,2
+    strict = core.pack_batches(
+        df, "batch_id", ["k"], order_within="k", strictness=1, batch_size=4
+    )
+    assert sorted(r.batch_id for r in strict.collect()) == [0, 1]
+
+
+def test_pad_sequences_2d(spark):
+    # fuel test_2d_sequences: pad (len, d) arrays with zero-rows
+    df = from_rows(
+        spark,
+        [(0, 0, [[1, 2], [3, 4]]), (1, 0, [[5, 6]])],
+        schema="k bigint, batch_id bigint, seq array<array<bigint>>",
+    )
+    out = {r.k: r for r in core.pad_sequences(df, "seq", "batch_id").collect()}
+    assert out[1].seq == [[5, 6], [0, 0]]
+    assert out[1].seq_mask == [1, 0]
+    assert out[0].seq == [[1, 2], [3, 4]]
+
+
+def test_sort_within_batches_reverse(spark):
+    df = from_rows(
+        spark,
+        [(0, 1.0, "a"), (0, 3.0, "b"), (0, 2.0, "c")],
+        schema="batch_id bigint, key double, payload string",
+    )
+    out = core.sort_within_batches(df, "batch_id", "key", ["payload"], reverse=True).first()
+    assert out.key == [3.0, 2.0, 1.0]
+    assert out.payload == ["b", "c", "a"]
