@@ -26,16 +26,30 @@ def read_text_lines(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.text(path).withColumnRenamed("value", "line")
 
 
+def _tokens(text_col: str, level: str):
+    """Token array for a text column: 'word' (normalized words) or
+    'character' (raw chars — fuel TextFile's level option,
+    reference text.py:89 ``level`` parameter)."""
+    if level == "word":
+        return words(F.col(text_col))
+    if level == "character":
+        return F.expr(
+            f"transform(sequence(1, greatest(length({text_col}), 0)),"
+            f" i -> substring({text_col}, i, 1))"
+        )
+    raise ValueError(f"level must be 'word' or 'character', got {level!r}")
+
+
 def build_dictionary(
-    df: DataFrame, text_col: str, vocab_size: int = 10000
+    df: DataFrame, text_col: str, vocab_size: int = 10000, level: str = "word"
 ) -> DataFrame:
-    """Top-``vocab_size`` words by frequency → ids starting at
+    """Top-``vocab_size`` tokens by frequency → ids starting at
     FIRST_WORD_ID.  Ties break lexicographically so the dictionary is
     deterministic across engines and cluster sizes.
     Output: word, word_id.
     """
     counts = (
-        df.select(F.explode(words(F.col(text_col))).alias("word"))
+        df.select(F.explode(_tokens(text_col, level)).alias("word"))
         .where(F.col("word") != "")
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -55,6 +69,7 @@ def dictionary_encode(
     dictionary: DataFrame,
     bos: bool = True,
     eos: bool = True,
+    level: str = "word",
 ) -> DataFrame:
     """Encode each document as <S> w1 … wn </S> token-id arrays with
     unknown-word fallback — TextFile's per-line encoding loop
@@ -66,7 +81,7 @@ def dictionary_encode(
     """
     toks = df.select(
         F.col(id_col),
-        F.posexplode(words(F.col(text_col))).alias("pos", "word"),
+        F.posexplode(_tokens(text_col, level)).alias("pos", "word"),
     ).where(F.col("word") != "")
     joined = toks.join(F.broadcast(dictionary), "word", "left").withColumn(
         "tok", F.coalesce(F.col("word_id"), F.lit(UNK_ID).cast("bigint"))

@@ -49,6 +49,21 @@ def test_sliding_window_nonoverlapping_rnn_shape(spark):
     assert first == (0, [0, 1], [2, 3])
 
 
+def test_sliding_window_negative_offset(spark):
+    # negative offset: target window starts before the source window;
+    # fuel clamps the start index so both windows stay in range
+    out = sorted(
+        (r.win_pos, r.source, r.target)
+        for r in sequences.sliding_window(
+            _seq_df(spark), "seq", offset=-2, source_window=2, target_window=2,
+            overlapping=False, keep=["k"],
+        ).collect()
+    )
+    # shift = -2 + 2 = 0 → target == source window positions
+    assert out[0] == (0, [0, 1], [0, 1])
+    assert out[-1] == (4, [4, 5], [4, 5])
+
+
 def test_short_sequences_dropped(spark):
     df = from_rows(spark, [(0, [1, 2])], schema="k bigint, seq array<bigint>")
     assert sequences.ngrams(df, "seq", 3, keep=["k"]).count() == 0

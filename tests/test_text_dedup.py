@@ -108,6 +108,15 @@ def test_cosine_topk_matches_numpy(spark):
         assert math.isclose(c, cos(vecs[0], vecs[nid]), abs_tol=1e-6)
 
 
+def test_char_level_encode(spark):
+    df = from_rows(spark, [(0, "aba")], schema="doc_id bigint, text string")
+    dic = build_dictionary(df, "text", vocab_size=10, level="character")
+    ids = {r.word: r.word_id for r in dic.collect()}
+    assert ids["a"] == 3 and ids["b"] == 4  # 'a' more frequent
+    enc = dictionary_encode(df, "doc_id", "text", dic, level="character").first()
+    assert enc.token_ids == [0, 3, 4, 3, 1]
+
+
 def test_dictionary_encode_bos_eos_unk(spark):
     df = from_rows(spark, [(0, "aa bb aa"), (1, "aa zz")],
                    schema="doc_id bigint, text string")
