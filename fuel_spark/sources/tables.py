@@ -36,6 +36,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     to microsecond timestamps — the same truncation DuckDB applies, so
     the oracle agrees.
     """
+    # Defensive: the caller's session may not be ours (driver harness).
+    # Both confs are runtime-settable and define engine semantics:
+    # ns-timestamp ingestion and UTC determinism.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn(
