@@ -35,6 +35,7 @@ HEADLINERS = (
     "text_quality",
     "text_token_counts",
     "ann_topk_cosine",
+    "asof_join",
 )
 
 

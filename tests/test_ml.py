@@ -1,6 +1,5 @@
 """MLlib integration: vector interop + IVF ANN quality vs brute force."""
 
-import pytest
 from pyspark.sql import functions as F
 
 from fuel_spark import ml

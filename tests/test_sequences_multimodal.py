@@ -1,8 +1,6 @@
 """Sliding windows / n-grams (fuel.transformers.sequences parity) and
 multimodal plumbing."""
 
-from pyspark.sql import functions as F
-
 from fuel_spark.ops import multimodal, sequences
 from fuel_spark.sources import from_rows
 
@@ -97,6 +95,18 @@ def test_random_crop_seeded(spark):
     assert a.height == 4 and a.width == 4 and len(a.pixels) == 3 * 4 * 4
     assert a.pixels == b.pixels  # seeded reproducibility
     assert isinstance(c.pixels, list)
+
+
+def test_random_rotation_seeded(spark):
+    df = from_rows(
+        spark, [(0, bytearray(b"img"))], schema="item_id bigint, payload binary"
+    )
+    dec = multimodal.decode_images(df, "item_id", "payload")
+    a = multimodal.random_rotation(dec, 30.0, seed=1).first().angle
+    b = multimodal.random_rotation(dec, 30.0, seed=1).first().angle
+    c = multimodal.random_rotation(dec, 30.0, seed=2).first().angle
+    assert a == b and -30.0 <= a <= 30.0
+    assert a != c
 
 
 def test_frame_sample(spark):
