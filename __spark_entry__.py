@@ -453,7 +453,11 @@ def q_quantiles(spark, sf):
 
 
 def q_toy_spiral(spark, sf):
-    return spiral(spark, num_examples=1000, classes=3, noise=0.05)
+    out = spiral(spark, num_examples=1000, classes=3, noise=0.05)
+    # round: JVM vs libm cos/sin may differ in the final ULP
+    return out.select(
+        "example_id", F.round("x", 6).alias("x"), F.round("y", 6).alias("y"), "label"
+    )
 
 
 def q_multimodal(spark, sf):
@@ -1015,6 +1019,30 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sqls["dedup_simhash"] = _simhash_sql()
+
+    import math
+
+    def _u_sql(seed, salt):
+        return (
+            f"(CAST(CAST(concat('0x', substring(md5(concat('{seed}', '-', '{salt}', '-',"
+            f" CAST(i AS VARCHAR))), 1, 6)) AS UBIGINT) AS DOUBLE) / 16777216.0)"
+        )
+
+    # fp-op order mirrors toy.spiral exactly: ((u*cycles)*2.0)*pi etc.
+    pi = repr(math.pi)
+    third = repr(2.0 * math.pi / 3)  # python-folded constant, same bits
+    u0, u1, u2 = _u_sql(42, 0), _u_sql(42, 1), _u_sql(42, 2)
+    angle = f"((({u0} * 1.0) * 2.0) * {pi} + CAST(i % 3 AS DOUBLE) * {third})"
+    sqls["toy_spiral"] = f"""
+        WITH t AS (SELECT unnest(generate_series(0, 999)) AS i)
+        SELECT i AS example_id,
+               round(({u0} * 1.0) * cos({angle})
+                     + ((({u1} - 0.5) * 2.0) * 0.05), 6) AS x,
+               round(({u0} * 1.0) * sin({angle})
+                     + ((({u2} - 0.5) * 2.0) * 0.05), 6) AS y,
+               i % 3 AS label
+        FROM t
+    """
 
     sqls["embedding_normalize"] = f"""
         SELECT vec_id, round({_norm2_sql('embedding')}, 6) AS vec_norm,

@@ -14,11 +14,19 @@ import math
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
-def _uniform(seed: int, salt: int, *cols) -> F.Column:
-    """Deterministic U(0,1) per row from a hash — reproducible across
-    partitionings, unlike F.rand which depends on partition layout."""
-    h = F.abs(F.xxhash64(F.lit(seed), F.lit(salt), *cols))
-    return (h % F.lit(1_000_000_007)).cast("double") / 1_000_000_007.0
+def _uniform(seed: int, salt: int, col) -> F.Column:
+    """Deterministic U(0,1) per row from md5('<seed>-<salt>-<i>') —
+    reproducible across partitionings (unlike F.rand, which depends on
+    partition layout) AND engine-portable, so synthesis is
+    oracle-checkable bit-for-bit."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("-", F.lit(str(seed)), F.lit(str(salt)), col.cast("string"))),
+            1, 6,
+        ),
+        16, 10,
+    ).cast("bigint")
+    return h.cast("double") / 16777216.0
 
 
 def spiral(
