@@ -28,6 +28,7 @@ from fuel_spark.sources import (
     dictionary_encode,
     load_tables,
     spiral,
+    swiss_roll,
 )
 from fuel_spark.plans import analytics
 
@@ -460,6 +461,14 @@ def q_toy_spiral(spark, sf):
     )
 
 
+def q_toy_swiss_roll(spark, sf):
+    out = swiss_roll(spark, num_examples=1000, noise=0.1)
+    return out.select(
+        "example_id", F.round("x", 6).alias("x"), F.round("y", 6).alias("y"),
+        F.round("z", 6).alias("z"), F.round("t", 6).alias("t"),
+    )
+
+
 def q_multimodal(spark, sf):
     d = _t(spark, sf)["documents"].select(
         F.col("doc_id"), F.col("text").cast("binary").alias("payload")
@@ -546,8 +555,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # custom operators
         "asof_join": q_asof_join,
         "value_quantiles": q_quantiles,
-        # rows-only
         "toy_spiral": q_toy_spiral,
+        "toy_swiss_roll": q_toy_swiss_roll,
+        # rows-only
         "multimodal_decode": q_multimodal,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -1041,6 +1051,19 @@ def oracle_sql() -> dict[str, str]:
                round(({u0} * 1.0) * sin({angle})
                      + ((({u2} - 0.5) * 2.0) * 0.05), 6) AS y,
                i % 3 AS label
+        FROM t
+    """
+
+    c1 = repr(1.5 * math.pi)
+    su0, su1, su2, su3 = _u_sql(42, 0), _u_sql(42, 1), _u_sql(42, 2), _u_sql(42, 3)
+    tex = f"({c1} * (1.0 + 2.0 * {su0}))"
+    sqls["toy_swiss_roll"] = f"""
+        WITH t AS (SELECT unnest(generate_series(0, 999)) AS i)
+        SELECT i AS example_id,
+               round({tex} * cos({tex}) + ((({su2} - 0.5) * 2.0) * 0.1), 6) AS x,
+               round(21.0 * {su1}, 6) AS y,
+               round({tex} * sin({tex}) + ((({su3} - 0.5) * 2.0) * 0.1), 6) AS z,
+               round({tex}, 6) AS t
         FROM t
     """
 

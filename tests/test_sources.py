@@ -37,6 +37,16 @@ def test_spiral_deterministic(spark):
     assert labels == {0, 1}
 
 
+def test_read_text_lines(spark, tmp_path):
+    from fuel_spark.sources import read_text_lines
+
+    p = tmp_path / "corpus.txt"
+    p.write_text("hello world\nsecond line\n")
+    df = read_text_lines(spark, str(p))
+    assert df.columns == ["line"]
+    assert sorted(r.line for r in df.collect()) == ["hello world", "second line"]
+
+
 def test_swiss_roll_shape(spark):
     rows = swiss_roll(spark, 50, seed=1).collect()
     assert len(rows) == 50
