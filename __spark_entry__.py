@@ -418,6 +418,12 @@ def q_ann_topk(spark, sf):
 # rows-only (non-SQL-expressible)
 
 
+def q_ann_sign_block(spark, sf):
+    e = _t(spark, sf)["embeddings"]
+    q = e.where(F.col("vec_id") < 5)
+    return similarity.sign_block_ann(e, q, k=5, bits=8)
+
+
 def q_embedding_normalize(spark, sf):
     e = _t(spark, sf)["embeddings"]
     out = similarity.l2_normalize(e)
@@ -550,6 +556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity
         "embedding_near_dup": q_embedding_near_dup,
         "ann_topk_cosine": q_ann_topk,
+        "ann_sign_block": q_ann_sign_block,
         "embedding_normalize": q_embedding_normalize,
         "embedding_sign_sketch": q_sign_sketch,
         # custom operators
@@ -1113,6 +1120,32 @@ def oracle_sql() -> dict[str, str]:
         FROM embeddings a JOIN embeddings b
           ON a.label = b.label AND a.vec_id < b.vec_id
         WHERE round({cos}, 6) >= 0.2
+    """
+
+    sign8 = " + ".join(
+        f"(CASE WHEN embedding[{b + 1}] > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(8)
+    )
+    bcos = _cos_sql("qe", "ce")
+    sqls["ann_sign_block"] = f"""
+        WITH s AS (SELECT vec_id, embedding,
+                          CAST({sign8} AS BIGINT) AS sign_bucket FROM embeddings),
+        q AS (SELECT vec_id AS query_id, embedding AS qe, sign_bucket
+              FROM s WHERE vec_id < 5),
+        c AS (SELECT vec_id AS neighbor_id, embedding AS ce, sign_bucket FROM s),
+        scored AS (
+          SELECT query_id, neighbor_id, round({bcos}, 6) AS cosine
+          FROM q JOIN c USING (sign_bucket)
+          WHERE query_id <> neighbor_id
+        ),
+        ranked AS (
+          SELECT query_id, neighbor_id, cosine,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, neighbor_id) AS rank
+          FROM scored
+        )
+        SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= 5
     """
 
     qcos = _cos_sql("qe", "ce")

@@ -117,6 +117,45 @@ def sign_sketch(
     return df.withColumn(out_col, acc.cast("bigint"))
 
 
+def sign_block_ann(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    bits: int = 8,
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's axis-sign
+    sketch block, exact cosine reranks within the block.
+
+    The fully-portable ANN variant (sign_sketch is plain SQL), so this
+    one is oracle-checked end-to-end; lsh_ann (seeded hyperplanes) and
+    ivf_ann (KMeans) trade portability for better recall.
+    """
+    cb = sign_sketch(corpus, vec_col, bits).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"),
+        F.col("sign_bucket"),
+    )
+    qb = sign_sketch(queries, vec_col, bits).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
+        F.col("sign_bucket"),
+    )
+    scored = (
+        broadcast(qb)
+        .join(cb, "sign_bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.round(cosine_expr("qvec", "cvec"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def lsh_bucket(
     df: DataFrame,
     vec_col: str = "embedding",
