@@ -373,6 +373,18 @@ def q_token_counts(spark, sf):
     return text_ops.token_counts(d, "text").select("doc_id", "ws_tokens", "bpe_tokens")
 
 
+def q_tfidf(spark, sf):
+    d = _t(spark, sf)["documents"]
+    return text_ops.tf_idf_top_terms(d, "doc_id", "text")
+
+
+def q_sample(spark, sf):
+    d = _t(spark, sf)["documents"]
+    return schemes.deterministic_sample(d, "doc_id", 0.25, seed=11).select(
+        "doc_id", "n_chars"
+    )
+
+
 def q_fingerprint(spark, sf):
     d = _t(spark, sf)["documents"].select("doc_id", "text")
     return text_ops.fingerprint(d, "text").select("doc_id", "fingerprint")
@@ -547,6 +559,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_quality,
         "text_token_counts": q_token_counts,
         "text_fingerprint": q_fingerprint,
+        "text_tfidf_top_terms": q_tfidf,
+        "sample_fraction": q_sample,
         # dedup
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_pairs": q_dedup_minhash,
@@ -970,6 +984,33 @@ def oracle_sql() -> dict[str, str]:
                ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS ws_tokens,
           CAST(len(regexp_extract_all(text, '{BPE_RE}')) AS BIGINT) AS bpe_tokens
         FROM documents
+    """
+
+    sqls["text_tfidf_top_terms"] = f"""
+        WITH tok AS (
+          SELECT doc_id, w AS word FROM (
+            SELECT doc_id, unnest({w}) AS w FROM documents)
+          WHERE w <> ''
+        ),
+        terms AS (SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY doc_id, word),
+        dfreq AS (SELECT word, count(*) AS df FROM terms GROUP BY word),
+        s AS (
+          SELECT doc_id, word, tf, df,
+                 round(tf * (ln((CAST((SELECT count(*) FROM documents) AS DOUBLE) + 1.0)
+                              / (df + 1.0)) + 1.0), 6) AS tfidf
+          FROM terms JOIN dfreq USING (word)
+        ),
+        r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                    ORDER BY tfidf DESC, word) AS term_rank FROM s)
+        SELECT doc_id, word, tf, df, tfidf, CAST(term_rank AS BIGINT) AS term_rank
+        FROM r WHERE term_rank <= 3
+    """
+
+    sqls["sample_fraction"] = """
+        SELECT doc_id, n_chars FROM documents
+        WHERE CAST(CAST(concat('0x', substring(
+                md5(concat('11', '-', CAST(doc_id AS VARCHAR))), 1, 6))
+              AS UBIGINT) AS BIGINT) < 4194304
     """
 
     fp = f"list_sort(list_transform({_shingles_sql('text')}, x -> md5(x)))"

@@ -124,6 +124,43 @@ def token_counts(df: DataFrame, text_col: str) -> DataFrame:
     )
 
 
+def tf_idf_top_terms(
+    df: DataFrame, id_col: str, text_col: str, top_n: int = 3
+) -> DataFrame:
+    """Top-N characteristic terms per document by TF-IDF.
+
+    Two shuffles total: (doc, word) term counts, then a broadcast of
+    the (small) document-frequency table back onto terms.  idf uses
+    ln((N+1)/(df+1)) + 1 (smoothed); per-row arithmetic → portable.
+    Output: id, word, tf, df, tfidf, term_rank.
+    """
+    from pyspark.sql import Window
+
+    n_docs = df.count()
+    terms = (
+        df.select(F.col(id_col), F.explode(words(F.col(text_col))).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy(id_col, "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = terms.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("word")
+    )
+    return (
+        terms.join(F.broadcast(dfreq), "word")
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf") * (F.log((n_docs + 1.0) / (F.col("df") + 1.0)) + 1.0), 6
+            ),
+        )
+        .withColumn("term_rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("term_rank") <= top_n)
+        .select(id_col, "word", "tf", "df", "tfidf", "term_rank")
+    )
+
+
 def fingerprint(
     df: DataFrame, text_col: str, k: int = 5, num_keep: int = 4,
     out_col: str = "fingerprint",

@@ -112,6 +112,21 @@ def hash_folds(
     )
 
 
+def deterministic_sample(
+    df: DataFrame, key: str, fraction: float, seed: int = 42
+) -> DataFrame:
+    """Reproducible row sampling: keep rows whose md5(seed-key) prefix
+    falls under the fraction threshold.
+
+    Unlike ``df.sample``, membership depends only on (seed, key) — the
+    same rows are kept on any cluster, any partitioning, any engine
+    (the DuckDB oracle computes the identical set), and the sample is
+    stable under corpus growth (new keys don't reshuffle old ones).
+    """
+    bucket = F.conv(F.substring(det_key(seed, F.col(key)), 1, 6), 16, 10).cast("bigint")
+    return df.where(bucket < int(fraction * 16777216))
+
+
 def partition_local_batches(
     df: DataFrame, batch_size: int, batch_col: str = "batch_id"
 ) -> DataFrame:
