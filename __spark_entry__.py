@@ -529,6 +529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sales_rollup": lambda s, d: analytics.sales_rollup(_t(s, d)),
         "events_tumbling_window": lambda s, d: analytics.events_tumbling_window(_t(s, d)),
         "events_sliding_window": lambda s, d: analytics.events_sliding_window(_t(s, d)),
+        "events_json_props": lambda s, d: analytics.events_json_props(_t(s, d)),
         "events_sessionize": lambda s, d: analytics.events_sessionize(_t(s, d)),
         "events_topk_users": lambda s, d: analytics.events_topk_users(_t(s, d)),
         # core transformers
@@ -745,6 +746,14 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT window_start, event_type, count(*) AS n_events
         FROM dup GROUP BY window_start, event_type
+    """
+
+    sqls["events_json_props"] = """
+        SELECT event_type, count(*) AS n_events,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+               min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+               max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        FROM events GROUP BY event_type
     """
 
     sqls["events_sessionize"] = """

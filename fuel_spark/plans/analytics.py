@@ -338,6 +338,25 @@ def events_tumbling_window(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def events_json_props(t: dict[str, DataFrame]) -> DataFrame:
+    """Semi-structured column handling: extract a typed field from the
+    JSON props payload and aggregate on it (get_json_object stays in
+    codegen — no UDF for JSON at scale)."""
+    e = t["events"]
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        e.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def events_sliding_window(t: dict[str, DataFrame]) -> DataFrame:
     """Sliding 2h windows every 1h per event type (each event counts
     in 2 windows) — F.window with slide; the batch twin of a sliding
