@@ -14,6 +14,15 @@ LSH buckets) — non-SQL-expressible by design.
 
 from __future__ import annotations
 
+import os
+import sys
+
+# The driver may load this module by file path from any cwd; make the
+# sibling fuel_spark package importable regardless.
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
