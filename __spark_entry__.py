@@ -48,6 +48,44 @@ from fuel_spark.plans import analytics
 DEC = "DECIMAL(27,6)"
 
 
+def _arr_str(col, typ: str = "bigint", delim: str = ","):
+    """Serialize an array column to a deterministic string.
+
+    The driver's canonicalizer (pandas sort_values over raw cells)
+    cannot hash list cells, so every compared array column is emitted
+    as a flat string: doubles go through round(6) -> DECIMAL(18,6) so
+    the text form is engine-portable (fixed-point, no exponent), ints
+    and strings are joined verbatim.  ``_arrstr_sql`` is the DuckDB
+    twin.
+    """
+    if typ == "double":
+        return F.concat_ws(
+            delim,
+            F.transform(
+                col, lambda x: F.round(x, 6).cast("decimal(18,6)").cast("string")
+            ),
+        )
+    if typ == "string":
+        return F.concat_ws(delim, col)
+    return F.concat_ws(delim, F.transform(col, lambda x: x.cast("string")))
+
+
+def _arrstr_sql(expr: str, typ: str = "bigint", delim: str = ",") -> str:
+    """DuckDB twin of :func:`_arr_str`.  COALESCE because DuckDB's
+    array_to_string returns NULL for an empty list where Spark's
+    concat_ws returns ''."""
+    if typ == "double":
+        inner = (
+            f"list_transform({expr},"
+            f" x -> CAST(CAST(round(x, 6) AS DECIMAL(18,6)) AS VARCHAR))"
+        )
+    elif typ == "string":
+        inner = expr
+    else:
+        inner = f"list_transform({expr}, x -> CAST(x AS VARCHAR))"
+    return f"COALESCE(array_to_string({inner}, '{delim}'), '')"
+
+
 def _norm_sql(c: str) -> str:
     return f"trim(regexp_replace(lower({c}), '[^a-z0-9]+', ' ', 'g'))"
 
@@ -201,7 +239,7 @@ def q_flatten(spark, sf):
     return out.select(
         "l_orderkey",
         "l_linenumber",
-        "flat",
+        _arr_str(F.col("flat"), "double").alias("flat"),
         F.size("flat").cast("bigint").alias("flat_len"),
     )
 
@@ -244,7 +282,12 @@ def q_rename_select(spark, sf):
 def q_pack_batches(spark, sf):
     o = _t(spark, sf)["orders"]
     b = schemes.sequential_batches(o, "o_orderkey", 32)
-    return core.pack_batches(b, "batch_id", ["o_orderkey"], order_within="o_orderkey")
+    packed = core.pack_batches(
+        b, "batch_id", ["o_orderkey"], order_within="o_orderkey"
+    )
+    return packed.select(
+        "batch_id", _arr_str(F.col("o_orderkey")).alias("o_orderkey"), "batch_size"
+    )
 
 
 def q_unpack_batches(spark, sf):
@@ -274,13 +317,24 @@ def q_pad_sequences(spark, sf):
     d = _doc_token_lens(_t(spark, sf))
     b = schemes.sequential_batches(d, "doc_id", 16)
     out = core.pad_sequences(b, "token_lens", "batch_id", pad_value=0, mask_dtype="bigint")
-    return out.select("doc_id", "batch_id", "token_lens", "token_lens_mask")
+    return out.select(
+        "doc_id",
+        "batch_id",
+        _arr_str(F.col("token_lens")).alias("token_lens"),
+        _arr_str(F.col("token_lens_mask")).alias("token_lens_mask"),
+    )
 
 
 def q_sort_batches(spark, sf):
     o = _t(spark, sf)["orders"]
     b = schemes.sequential_batches(o, "o_orderkey", 32)
-    return core.sort_within_batches(b, "batch_id", "o_totalprice", ["o_orderkey"])
+    out = core.sort_within_batches(b, "batch_id", "o_totalprice", ["o_orderkey"])
+    return out.select(
+        "batch_id",
+        _arr_str(F.col("o_totalprice"), "double").alias("o_totalprice"),
+        _arr_str(F.col("o_orderkey")).alias("o_orderkey"),
+        "batch_size",
+    )
 
 
 def q_merge(spark, sf):
@@ -333,7 +387,10 @@ def q_ngrams(spark, sf):
     )
     out = sequences.ngrams(d, "w", 3, keep=["doc_id"])
     return out.select(
-        "doc_id", F.col("win_pos").cast("bigint").alias("win_pos"), "gram", "target"
+        "doc_id",
+        F.col("win_pos").cast("bigint").alias("win_pos"),
+        _arr_str(F.col("gram"), "string", "|").alias("gram"),
+        "target",
     )
 
 
@@ -348,7 +405,10 @@ def q_sliding_window(spark, sf):
         keep=["doc_id"],
     )
     return out.select(
-        "doc_id", F.col("win_pos").cast("bigint").alias("win_pos"), "source", "target"
+        "doc_id",
+        F.col("win_pos").cast("bigint").alias("win_pos"),
+        _arr_str(F.col("source"), "string", "|").alias("source"),
+        _arr_str(F.col("target"), "string", "|").alias("target"),
     )
 
 
@@ -356,12 +416,7 @@ def q_dictionary_encode(spark, sf):
     docs = _t(spark, sf)["documents"]
     dic = build_dictionary(docs, "text", vocab_size=200)
     enc = dictionary_encode(docs, "doc_id", "text", dic)
-    empty = F.array(F.lit(0).cast("bigint"), F.lit(1).cast("bigint"))
-    return (
-        docs.select("doc_id")
-        .join(enc, "doc_id", "left")
-        .select("doc_id", F.coalesce("token_ids", empty).alias("token_ids"))
-    )
+    return enc.select("doc_id", _arr_str(F.col("token_ids")).alias("token_ids"))
 
 
 def q_lang_id(spark, sf):
@@ -448,7 +503,9 @@ def q_ann_sign_block(spark, sf):
 def q_embedding_normalize(spark, sf):
     e = _t(spark, sf)["embeddings"]
     out = similarity.l2_normalize(e)
-    return out.select("vec_id", "vec_norm", "unit")
+    return out.select(
+        "vec_id", "vec_norm", _arr_str(F.col("unit"), "double").alias("unit")
+    )
 
 
 def q_sign_sketch(spark, sf):
@@ -802,10 +859,11 @@ def oracle_sql() -> dict[str, str]:
         WHERE o_totalprice > 200000 AND o_orderstatus = 'O'
     """
 
-    sqls["flatten_nested"] = """
+    flat = "flatten([[l_quantity, l_discount], [l_tax]])"
+    sqls["flatten_nested"] = f"""
         SELECT l_orderkey, l_linenumber,
-               flatten([[l_quantity, l_discount], [l_tax]]) AS flat,
-               CAST(len(flatten([[l_quantity, l_discount], [l_tax]])) AS BIGINT) AS flat_len
+               {_arrstr_sql(flat, 'double')} AS flat,
+               CAST(len({flat}) AS BIGINT) AS flat_len
         FROM lineitem
     """
 
@@ -830,12 +888,12 @@ def oracle_sql() -> dict[str, str]:
         SELECT c_custkey AS customer_id, c_name AS customer_name FROM customer
     """
 
-    sqls["pack_batches"] = """
+    sqls["pack_batches"] = f"""
         WITH t AS (SELECT o_orderkey,
                           row_number() OVER (ORDER BY o_orderkey) - 1 AS pos
                    FROM orders)
         SELECT pos // 32 AS batch_id,
-               list(o_orderkey ORDER BY o_orderkey) AS o_orderkey,
+               {_arrstr_sql('list(o_orderkey ORDER BY o_orderkey)')} AS o_orderkey,
                count(*) AS batch_size
         FROM t GROUP BY 1
     """
@@ -856,22 +914,28 @@ def oracle_sql() -> dict[str, str]:
         b AS (SELECT doc_id, toks, pos // 16 AS batch_id FROM d),
         m AS (SELECT *, max(len(toks)) OVER (PARTITION BY batch_id) AS maxlen FROM b)
         SELECT doc_id, batch_id,
-               list_concat(toks, list_transform(generate_series(1, maxlen - len(toks)),
-                           x -> CAST(0 AS BIGINT))) AS token_lens,
-               list_concat(list_transform(generate_series(1, len(toks)),
-                           x -> CAST(1 AS BIGINT)),
-                           list_transform(generate_series(1, maxlen - len(toks)),
-                           x -> CAST(0 AS BIGINT))) AS token_lens_mask
+               {_arrstr_sql(
+                   'list_concat(toks, list_transform('
+                   'generate_series(1, maxlen - len(toks)), x -> CAST(0 AS BIGINT)))'
+               )} AS token_lens,
+               {_arrstr_sql(
+                   'list_concat(list_transform(generate_series(1, len(toks)),'
+                   ' x -> CAST(1 AS BIGINT)),'
+                   ' list_transform(generate_series(1, maxlen - len(toks)),'
+                   ' x -> CAST(0 AS BIGINT)))'
+               )} AS token_lens_mask
         FROM m
     """
 
-    sqls["sort_within_batches"] = """
+    sqls["sort_within_batches"] = f"""
         WITH t AS (SELECT o_orderkey, o_totalprice,
                           (row_number() OVER (ORDER BY o_orderkey) - 1) // 32 AS batch_id
                    FROM orders)
         SELECT batch_id,
-               list(o_totalprice ORDER BY o_totalprice, o_orderkey) AS o_totalprice,
-               list(o_orderkey ORDER BY o_totalprice, o_orderkey) AS o_orderkey,
+               {_arrstr_sql('list(o_totalprice ORDER BY o_totalprice, o_orderkey)',
+                            'double')} AS o_totalprice,
+               {_arrstr_sql('list(o_orderkey ORDER BY o_totalprice, o_orderkey)')}
+                 AS o_orderkey,
                count(*) AS batch_size
         FROM t GROUP BY batch_id
     """
@@ -936,14 +1000,15 @@ def oracle_sql() -> dict[str, str]:
     sqls["ngrams"] = f"""
         WITH d AS (SELECT doc_id, {w} AS w FROM documents)
         SELECT doc_id, CAST(i - 1 AS BIGINT) AS win_pos,
-               w[i:i+2] AS gram, w[i+3] AS target
+               {_arrstr_sql('w[i:i+2]', 'string', '|')} AS gram, w[i+3] AS target
         FROM d, LATERAL (SELECT unnest(generate_series(1, len(w) - 3)) AS i) u
     """
 
     sqls["sliding_window"] = f"""
         WITH d AS (SELECT doc_id, {w} AS w FROM documents)
         SELECT doc_id, CAST(i - 1 AS BIGINT) AS win_pos,
-               w[i:i+2] AS source, w[i+1:i+3] AS target
+               {_arrstr_sql('w[i:i+2]', 'string', '|')} AS source,
+               {_arrstr_sql('w[i+1:i+3]', 'string', '|')} AS target
         FROM d, LATERAL (SELECT unnest(generate_series(1, len(w) - 3)) AS i) u
     """
 
@@ -964,9 +1029,11 @@ def oracle_sql() -> dict[str, str]:
         body AS (SELECT doc_id, list(tok_id ORDER BY pos) AS body
                  FROM enc GROUP BY doc_id)
         SELECT d.doc_id,
-               list_concat(list_concat([CAST(0 AS BIGINT)],
-                   COALESCE(body, CAST([] AS BIGINT[]))),
-                   [CAST(1 AS BIGINT)]) AS token_ids
+               {_arrstr_sql(
+                   'list_concat(list_concat([CAST(0 AS BIGINT)],'
+                   ' COALESCE(body, CAST([] AS BIGINT[]))),'
+                   ' [CAST(1 AS BIGINT)])'
+               )} AS token_ids
         FROM documents d LEFT JOIN body USING (doc_id)
     """
 
@@ -1133,10 +1200,12 @@ def oracle_sql() -> dict[str, str]:
         FROM t
     """
 
+    unit_expr = (
+        f"list_transform(embedding, x -> CAST(x AS DOUBLE) / {_norm2_sql('embedding')})"
+    )
     sqls["embedding_normalize"] = f"""
         SELECT vec_id, round({_norm2_sql('embedding')}, 6) AS vec_norm,
-               list_transform(embedding,
-                 x -> CAST(x AS DOUBLE) / {_norm2_sql('embedding')}) AS unit
+               {_arrstr_sql(unit_expr, 'double')} AS unit
         FROM embeddings
     """
 

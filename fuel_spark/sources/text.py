@@ -97,6 +97,14 @@ def dictionary_encode(
             ).alias("body")
         )
     )
+    # Empty/punctuation-only documents produce no exploded tokens, but
+    # fuel's TextFile still yields them as [<S>, </S>] (text.py:129-144)
+    # — re-attach them with an empty body so every input id gets a row.
+    body = (
+        df.select(F.col(id_col))
+        .join(body, id_col, "left")
+        .withColumn("body", F.coalesce("body", F.array().cast("array<bigint>")))
+    )
     pieces = []
     if bos:
         pieces.append(F.array(F.lit(BOS_ID).cast("bigint")))

@@ -48,6 +48,18 @@ def canon_cell(v):
     return str(v)
 
 
+def driver_canon_ok(pdf) -> bool:
+    """Replicate the driver's list-intolerant canonicalization: pandas
+    sort_values over every column raises TypeError on list/ndarray
+    cells.  If this returns False the driver's gate would ERR even if
+    our stringified hash matches — treat as a failure locally."""
+    try:
+        pdf.sort_values(by=sorted(pdf.columns))
+        return True
+    except Exception:
+        return False
+
+
 def frame_hash(pdf) -> tuple[int, tuple, str]:
     import numpy as np
 
@@ -100,6 +112,13 @@ def main() -> int:
         except Exception as e:
             fails.append((name, f"ORACLE ERROR: {e}"))
             print(f"FAIL {name}: oracle error {str(e)[:300]}")
+            continue
+        if not driver_canon_ok(sdf) or not driver_canon_ok(odf):
+            fails.append((name, "driver canonicalizer cannot sort cells"))
+            print(
+                f"FAIL {name}: unsortable cells (array column?) — the"
+                f" driver gate would ERR; serialize arrays to strings"
+            )
             continue
         sn, sc, sh = frame_hash(sdf)
         on, oc, oh = frame_hash(odf)
