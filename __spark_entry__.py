@@ -1219,10 +1219,10 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sqls["asof_join"] = """
-        WITH e AS (SELECT event_id, user_id, epoch_us(ts) // 1000000 AS t
+        WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS t
                    FROM events),
         o AS (SELECT o_custkey, o_orderkey,
-                     epoch_us(o_orderdate) // 1000000 AS ot FROM orders),
+                     epoch_us(o_orderdate) AS ot FROM orders),
         j AS (
           SELECT e.event_id, e.user_id, o.o_orderkey,
                  row_number() OVER (PARTITION BY e.event_id

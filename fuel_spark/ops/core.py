@@ -290,21 +290,26 @@ def asof_join(
     Tie rules (deterministic): at equal timestamps the right row wins
     (inclusive match); among right ties the greatest payload-order row
     (sorted by the payload columns) wins.
+
+    Timestamps compare at microsecond precision (Spark's native
+    timestamp resolution) — whole-second truncation would let a right
+    row up to ~0.999s in the future still match, leaking future data
+    for sub-second inputs.
     """
-    def _epoch_sec(c: str):  # NTZ needs an intermediate cast (UTC session)
-        return F.col(c).cast("timestamp").cast("long")
+    def _epoch_us(c: str):  # NTZ needs an intermediate cast (UTC session)
+        return F.unix_micros(F.col(c).cast("timestamp"))
 
     lcols = left.columns
     l = left.select(
         F.col(key).alias("_k"),
-        _epoch_sec(left_ts).alias("_t"),
+        _epoch_us(left_ts).alias("_t"),
         F.lit(1).alias("_is_left"),
         *[F.col(c) for c in lcols],
         *[F.lit(None).cast(dict(right.dtypes)[p]).alias(f"_r_{p}") for p in right_payload],
     )
     r = right.select(
         F.col(key).alias("_k"),
-        _epoch_sec(right_ts).alias("_t"),
+        _epoch_us(right_ts).alias("_t"),
         F.lit(0).alias("_is_left"),
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in lcols],
         *[F.col(p).alias(f"_r_{p}") for p in right_payload],

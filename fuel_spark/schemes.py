@@ -143,6 +143,9 @@ def partition_local_batches(
     mid = F.monotonically_increasing_id()
     pid = F.shiftrightunsigned(mid, 33)
     local = mid.bitwiseAND(F.lit((1 << 33) - 1))
+    # pid gets the full 2^33 headroom: local is a 33-bit index, so
+    # floor(local / batch_size) < 2^33 for any batch_size >= 1 and two
+    # partitions can never collide (pid * 2^33 + x <= mid, fits a long).
     return df.withColumn(
-        batch_col, pid * F.lit(1 << 31) + F.floor(local / batch_size)
+        batch_col, pid * F.lit(1 << 33) + F.floor(local / batch_size)
     )

@@ -43,9 +43,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
-        )
+        # Exact integer division: floor(col/1000) goes through a
+        # double, and epoch-nanosecond magnitudes (~1.7e18) exceed
+        # 2^53, so the bigint->double cast can round by ~±100ns and
+        # floor to the wrong microsecond at boundaries.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

@@ -67,7 +67,7 @@ def serve_batches(
 # -------------------- custom stateful operator ------------------------
 
 
-SESSION_STATE_SCHEMA = "last_ts long, session_id long"
+SESSION_STATE_SCHEMA = "last_ts long, session_id long, n_events long, min_ts long"
 SESSION_OUT_SCHEMA = (
     "user_id long, session_id long, n_events long, min_ts long, max_ts long"
 )
@@ -78,30 +78,47 @@ def sessionize_stateful(events: DataFrame, gap_sec: int = 1800) -> DataFrame:
     (applyInPandasWithState) — the pattern fuel cannot express at all:
     distributed, fault-tolerant per-key state.
 
+    Cross-batch contract (update mode): state carries the *open*
+    session's running accumulators (last_ts, session_id, n_events,
+    min_ts), so a session spanning micro-batches re-emits its
+    (user_id, session_id) row with cumulative counts that supersede
+    the previous emission.  All Arrow chunks of a micro-batch are
+    concatenated before sorting — chunk-local sorts would process a
+    key's events out of time order and mis-assign sessions.
+
     Batch twin: plans.analytics.events_sessionize (oracle-checked).
     """
     import pandas as pd
 
     def fn(key, pdfs, state: GroupState):
         (user_id,) = key
-        last_ts, session_id = state.get if state.exists else (None, 0)
-        rows = []
-        for pdf in pdfs:
-            for ts in sorted(pdf["ts_long"]):
-                if last_ts is not None and ts - last_ts <= gap_sec:
-                    rows.append((user_id, session_id, ts))
-                else:
-                    session_id += 1
-                    rows.append((user_id, session_id, ts))
-                last_ts = ts
-        state.update((last_ts, session_id))
-        out = pd.DataFrame(rows, columns=["user_id", "session_id", "ts"])
-        agg = (
-            out.groupby(["user_id", "session_id"])
-            .agg(n_events=("ts", "size"), min_ts=("ts", "min"), max_ts=("ts", "max"))
-            .reset_index()
+        if state.exists:
+            last_ts, session_id, n_events, min_ts = state.get
+        else:
+            last_ts, session_id, n_events, min_ts = None, 0, 0, 0
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        all_ts = (
+            sorted(pd.concat(chunks)["ts_long"].tolist()) if chunks else []
         )
-        yield agg
+        rows = []
+        for ts in all_ts:
+            if last_ts is not None and ts - last_ts <= gap_sec:
+                n_events += 1
+            else:
+                if last_ts is not None:
+                    # close the previous session with its final totals
+                    rows.append((user_id, session_id, n_events, min_ts, last_ts))
+                session_id += 1
+                n_events = 1
+                min_ts = ts
+            last_ts = ts
+        if last_ts is not None and all_ts:
+            # emit the (still open) session's cumulative row
+            rows.append((user_id, session_id, n_events, min_ts, last_ts))
+        state.update((last_ts, session_id, n_events, min_ts))
+        yield pd.DataFrame(
+            rows, columns=["user_id", "session_id", "n_events", "min_ts", "max_ts"]
+        )
 
     prepared = events.select(
         F.col("user_id"), F.col("ts").cast("long").alias("ts_long")

@@ -81,3 +81,49 @@ def test_sessionize_stateful_matches_batch_twin(spark, workdir):
     # → consecutive per-user gaps == gap_sec → single session per user
     assert got.select("user_id").distinct().count() == 3
     assert got.agg(F.sum("n_events")).first()[0] == 100
+
+
+def test_sessionize_state_spans_micro_batches(spark, workdir):
+    """A session continuing into a later micro-batch must re-emit its
+    (user_id, session_id) with *cumulative* n_events/min_ts, and a
+    gap must roll the session id forward from state."""
+    src = os.path.join(workdir, "src")
+    ckpt = os.path.join(workdir, "ckpt")
+    schema = "user_id long, ts timestamp"
+
+    def run(name):
+        emitted = []
+        q = (
+            serve.sessionize_stateful(
+                serve.stream_events_from_files(spark, src, schema), gap_sec=1800
+            )
+            .writeStream.outputMode("update")
+            .foreachBatch(lambda df, _id: emitted.extend(df.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return emitted
+
+    def write(tag, secs):
+        # the file source lists the top-level dir only: land each
+        # micro-batch's part files flat under src with unique names
+        tmp = os.path.join(workdir, f"tmp_{tag}")
+        spark.createDataFrame([(1, s) for s in secs], "user_id long, sec long") \
+            .coalesce(1) \
+            .select("user_id", F.timestamp_seconds("sec").alias("ts")) \
+            .write.mode("overwrite").parquet(tmp)
+        for i, f in enumerate(sorted(os.listdir(tmp))):
+            if f.endswith(".parquet"):
+                shutil.copy(os.path.join(tmp, f), os.path.join(src, f"{tag}_{i}.parquet"))
+
+    os.makedirs(src, exist_ok=True)
+    write("b1", [0, 600, 1200])
+    r1 = {(r.session_id): (r.n_events, r.min_ts, r.max_ts) for r in run("s1")}
+    assert r1 == {1: (3, 0, 1200)}
+
+    # batch 2: 1800 continues session 1 (gap 600); 99999 opens session 2
+    write("b2", [1800, 99999])
+    r2 = {(r.session_id): (r.n_events, r.min_ts, r.max_ts) for r in run("s2")}
+    assert r2 == {1: (4, 0, 1800), 2: (1, 99999, 99999)}
