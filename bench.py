@@ -4,12 +4,14 @@ Prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
    "queries": {...}, "sf": "..."}
 
-Each query is forced end-to-end with a count-collapsing action
-(``df.count()`` after the full plan; results are small aggregates or
-pair sets, so count ≈ full materialization cost).  A warmup pass
-primes the JVM/codegen caches; reported numbers are the best of
-``--reps`` timed runs per query (steady-state throughput, the number
-that scales).
+Each query is forced end-to-end with a checksum action —
+``bit_xor(xxhash64(*all_columns))`` — so every projected column must
+be computed.  (A bare ``df.count()`` lets Catalyst prune projected
+columns that don't affect cardinality, so projection-only queries
+would time the scan, not the expression work.)  A warmup pass primes
+the JVM/codegen caches; reported numbers are the best of ``--reps``
+timed runs per query (steady-state throughput, the number that
+scales).
 """
 
 from __future__ import annotations
@@ -57,14 +59,29 @@ def main() -> int:
     qs = entry_mod.queries()
     names = args.queries or [n for n in HEADLINERS if n in qs]
 
+    from pyspark.sql import functions as F
+
+    def force(df):
+        # checksum over every output column: nothing can be pruned.
+        # bit_xor (not sum): summing 64-bit hashes overflows ANSI longs.
+        df.select(F.bit_xor(F.xxhash64(*df.columns)).alias("chk")).collect()
+
+    def quiesce():
+        # steady-state hygiene between queries: drop cached plans and
+        # let the JVM collect shuffle/broadcast debris so query N's
+        # garbage doesn't tax query N+1's measurement
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+
     timings: dict[str, float] = {}
     for name in names:
         fn = qs[name]
-        fn(spark, args.sf_dir).count()  # warmup (codegen, scan caches)
+        force(fn(spark, args.sf_dir))  # warmup (codegen, scan caches)
         best = float("inf")
         for _ in range(args.reps):
+            quiesce()
             t0 = time.perf_counter()
-            fn(spark, args.sf_dir).count()
+            force(fn(spark, args.sf_dir))
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
