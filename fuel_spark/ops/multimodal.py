@@ -8,11 +8,11 @@ Crop, ``:274`` Random2DRotation; ``defaults.py:12`` ToBytes).
 Design for Spark: media payloads are opaque ``binary`` columns with
 typed metadata (width/height/channels); heavy per-item decode work
 runs in Arrow-batched ``mapInPandas`` so Python cost is amortized per
-batch, and the *plumbing* (schemas, batch iteration, seeded per-row
-augmentation parameters) is real and tested.  PIL is not in this
-container, so the pixel-level decode/resample steps are gated behind
-an import-try with a documented deterministic fake (hash-derived
-pixels), exactly as the build brief prescribes.
+batch.  When PIL is importable the decode/resample/rotate branches
+are real (bytes → PIL → (c,h,w) uint8 tensors, bicubic upscale,
+bilinear rotation); without it — as in this build container — a
+documented deterministic fake decoder (hash-derived pixels) keeps
+every piece of the Spark plumbing runnable and asserted.
 """
 
 from __future__ import annotations
@@ -53,6 +53,35 @@ def _fake_decode(payload: bytes, channels: int = 3) -> np.ndarray:
     return np.tile(h, reps)[:size].reshape(channels, 8, 8)
 
 
+def _pil_decode(payload: bytes, channels: int) -> np.ndarray:
+    """Real decode (reference fuel/transformers/image.py:40-60
+    ImagesFromBytes.transform_source_example): bytes → PIL → uint8
+    ndarray in (channels, height, width) layout; grayscale gets a
+    length-1 channel axis."""
+    from io import BytesIO
+
+    from PIL import Image
+
+    mode = "RGB" if channels == 3 else "L"
+    arr = np.asarray(Image.open(BytesIO(payload)).convert(mode), dtype=np.uint8)
+    if arr.ndim == 2:
+        return arr[None, :, :]
+    return arr.transpose(2, 0, 1)
+
+
+def _decode_any(payload, channels: int) -> np.ndarray:
+    """PIL decode when available and the payload is a real image;
+    deterministic fake otherwise, so the pipeline stays runnable on
+    non-image fixtures and in containers without image libs."""
+    raw = payload if isinstance(payload, bytes) else bytes(payload or b"")
+    if HAVE_PIL:
+        try:
+            return _pil_decode(raw, channels)
+        except Exception:
+            pass
+    return _fake_decode(raw, channels)
+
+
 DECODED_SCHEMA = StructType(
     [
         StructField("item_id", LongType()),
@@ -76,24 +105,14 @@ def decode_images(
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if HAVE_PIL:  # pragma: no cover
-                raise NotImplementedError(
-                    "PIL decode path: Image.open(BytesIO(b)).convert('RGB') "
-                    "then transpose to (c, h, w) — enable when PIL present"
-                )
+            tensors = [_decode_any(b, channels) for b in pdf[bytes_col]]
             out = pd.DataFrame(
                 {
                     "item_id": pdf[id_col].astype("int64"),
-                    "channels": channels,
-                    "height": 8,
-                    "width": 8,
-                    "pixels": [
-                        _fake_decode(b if isinstance(b, bytes) else bytes(b or b""), channels)
-                        .ravel()
-                        .astype("int32")
-                        .tolist()
-                        for b in pdf[bytes_col]
-                    ],
+                    "channels": [t.shape[0] for t in tensors],
+                    "height": [t.shape[1] for t in tensors],
+                    "width": [t.shape[2] for t in tensors],
+                    "pixels": [t.ravel().astype("int32").tolist() for t in tensors],
                 }
             )
             yield out
@@ -102,14 +121,54 @@ def decode_images(
 
 
 def ensure_min_dims(
-    df: DataFrame, min_height: int, min_width: int
+    df: DataFrame, min_height: int, min_width: int, resample: bool = False
 ) -> DataFrame:
-    """MinimumImageDimensions: flag/upscale items below a minimum
-    size.  The decision predicate is metadata-only (no pixel reads —
-    pushdown-friendly at scale); actual resample is the gated decode
-    path."""
+    """MinimumImageDimensions (reference fuel/transformers/image.py:105):
+    flag items below a minimum size; with ``resample=True`` and PIL
+    present, upscale them preserving aspect ratio (image.py:141-152:
+    multiplier = max(min_h/h, min_w/w), ceil dims, PIL resize).
+
+    The decision predicate is metadata-only (no pixel reads —
+    pushdown-friendly at scale); only flagged rows pay the Python
+    resample cost.
+    """
+    import math
+
     needs = (F.col("height") < min_height) | (F.col("width") < min_width)
-    return df.withColumn("needs_upscale", needs)
+    out = df.withColumn("needs_upscale", needs)
+    if not (resample and HAVE_PIL):
+        return out
+
+    schema = StructType(out.schema.fields)
+
+    def upscale(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from PIL import Image
+
+        for pdf in batches:
+            for i in pdf.index:
+                if not pdf.at[i, "needs_upscale"]:
+                    continue
+                c = int(pdf.at[i, "channels"])
+                h = int(pdf.at[i, "height"])
+                w = int(pdf.at[i, "width"])
+                mult = max(min_height / h, min_width / w)
+                nh, nw = int(math.ceil(h * mult)), int(math.ceil(w * mult))
+                px = np.asarray(pdf.at[i, "pixels"], dtype=np.uint8).reshape(c, h, w)
+                res = np.stack(
+                    [
+                        np.asarray(
+                            Image.fromarray(ch).resize((nw, nh), Image.BICUBIC),
+                            dtype=np.uint8,
+                        )
+                        for ch in px
+                    ]
+                )
+                pdf.at[i, "pixels"] = res.ravel().astype("int32").tolist()
+                pdf.at[i, "height"] = nh
+                pdf.at[i, "width"] = nw
+            yield pdf
+
+    return out.mapInPandas(upscale, schema)
 
 
 def random_crop(
@@ -142,11 +201,23 @@ def random_crop(
 
 
 def random_rotation(
-    df: DataFrame, max_angle: float, seed: int = 42, id_col: str = "item_id"
+    df: DataFrame,
+    max_angle: float,
+    seed: int = 42,
+    id_col: str = "item_id",
+    rotate_pixels: bool = True,
 ) -> DataFrame:
-    """Random2DRotation: seeded per-row angle in [-max_angle, max_angle]
-    (degrees).  Interpolated pixel rotation requires an image lib —
-    gated; the angle assignment + plumbing is the real, tested part."""
+    """Random2DRotation (reference fuel/transformers/image.py:274):
+    seeded per-row angle in [-max_angle, max_angle] degrees; with PIL
+    present the pixel tensor is rotated per channel with bilinear
+    resample (image.py:300-318).  Without PIL the angle column is
+    still assigned (the deterministic, distributed part) and pixels
+    pass through unchanged.
+
+    Seeding is (row, seed)-hash based, so re-running the pipeline
+    rotates identically under any partitioning — fuel's driver RNG
+    cannot reproduce under distributed reordering.
+    """
     u = (
         F.pmod(F.xxhash64(F.col(id_col), F.lit(seed), F.lit("rot")), F.lit(10_000))
         .cast("double")
@@ -154,9 +225,35 @@ def random_rotation(
     )
     angle = (u * 2.0 - 1.0) * max_angle
     out = df.withColumn("angle", F.round(angle, 6))
-    if HAVE_PIL:  # pragma: no cover
-        raise NotImplementedError("PIL rotate path — enable when PIL present")
-    return out
+    if not (rotate_pixels and HAVE_PIL):
+        return out
+
+    schema = StructType(out.schema.fields)
+
+    def rotate(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from PIL import Image
+
+        for pdf in batches:
+            for i in pdf.index:
+                c = int(pdf.at[i, "channels"])
+                h = int(pdf.at[i, "height"])
+                w = int(pdf.at[i, "width"])
+                px = np.asarray(pdf.at[i, "pixels"], dtype=np.uint8).reshape(c, h, w)
+                rot = np.stack(
+                    [
+                        np.asarray(
+                            Image.fromarray(ch).rotate(
+                                float(pdf.at[i, "angle"]), resample=Image.BILINEAR
+                            ),
+                            dtype=np.uint8,
+                        )
+                        for ch in px
+                    ]
+                )
+                pdf.at[i, "pixels"] = rot.ravel().astype("int32").tolist()
+            yield pdf
+
+    return out.mapInPandas(rotate, schema)
 
 
 AUDIO_SCHEMA = StructType(

@@ -1,6 +1,8 @@
 """Sliding windows / n-grams (fuel.transformers.sequences parity) and
 multimodal plumbing."""
 
+import pytest
+
 from fuel_spark.ops import multimodal, sequences
 from fuel_spark.sources import from_rows
 
@@ -117,3 +119,49 @@ def test_frame_sample(spark):
     )
     r = multimodal.frame_sample(df, n_frames=3, stride=2).first()
     assert r.sampled_frames == [[1], [3], [5]]
+
+
+def test_decode_falls_back_on_invalid_bytes(spark):
+    """Non-image payloads decode via the deterministic fake in every
+    environment — with PIL present the real branch raises internally
+    and falls back, without PIL the fake is the only branch."""
+    df = from_rows(
+        spark,
+        [(0, bytearray(b"definitely not a png"))],
+        schema="item_id bigint, payload binary",
+    )
+    r = multimodal.decode_images(df, "item_id", "payload").first()
+    assert (r.channels, r.height, r.width) == (3, 8, 8)
+    assert len(r.pixels) == 3 * 8 * 8
+
+
+@pytest.mark.skipif(not multimodal.HAVE_PIL, reason="PIL not installed")
+def test_pil_real_decode_rotate_upscale(spark):
+    """Real-pixel path (reference fuel/transformers/image.py:40-60
+    decode, :141-152 min-dims resize, :300-318 rotation)."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    rng = np.random.RandomState(7)
+    arr = rng.randint(0, 255, size=(6, 4, 3), dtype="uint8")  # h=6 w=4
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    df = from_rows(
+        spark,
+        [(0, bytearray(buf.getvalue()))],
+        schema="item_id bigint, payload binary",
+    )
+    dec = multimodal.decode_images(df, "item_id", "payload")
+    r = dec.first()
+    assert (r.channels, r.height, r.width) == (3, 6, 4)
+    got = np.asarray(r.pixels, dtype="uint8").reshape(3, 6, 4)
+    assert (got == arr.transpose(2, 0, 1)).all()  # lossless PNG roundtrip
+
+    up = multimodal.ensure_min_dims(dec, 8, 8, resample=True).first()
+    assert up.needs_upscale and up.height == 12 and up.width == 8
+    assert len(up.pixels) == 3 * 12 * 8
+
+    rot = multimodal.random_rotation(dec, 30.0, seed=1).first()
+    assert len(rot.pixels) == 3 * 6 * 4 and -30.0 <= rot.angle <= 30.0
