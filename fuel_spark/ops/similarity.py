@@ -58,10 +58,21 @@ def cosine_pairs_within(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    max_block: int | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs within a blocking group
-    (e.g. label, LSH bucket): join keyed on the group bounds the pair
-    space; cosine ≥ threshold marks near-dups."""
+    (e.g. label, or a :func:`sign_sketch` / :func:`lsh_bucket`
+    column): join keyed on the group bounds the pair space; cosine ≥
+    threshold marks near-dups.
+
+    ``max_block`` guards the pathological block (a dominant group at
+    100 TB goes quadratic on one reducer): blocks larger than the cap
+    degrade to star pairs against the block's minimum id — mirroring
+    ``minhash_candidate_pairs``' ``max_bucket`` guard.  The left side
+    is pruned *before* the join (oversized blocks contribute only
+    their anchor row), so join work is Σ_small n² + Σ_large n, never
+    corpus².
+    """
     a = corpus.select(
         F.col(group_col).alias("g"), F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("va"),
@@ -70,6 +81,15 @@ def cosine_pairs_within(
         F.col(group_col).alias("g"), F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("vb"),
     )
+    if max_block is not None:
+        sizes = corpus.groupBy(F.col(group_col).alias("g")).agg(
+            F.min(id_col).alias("_anchor"), F.count(F.lit(1)).alias("_n")
+        )
+        a = (
+            a.join(sizes, "g")
+            .where((F.col("_n") <= max_block) | (F.col("id_a") == F.col("_anchor")))
+            .drop("_anchor", "_n")
+        )
     return (
         a.join(b, "g")
         .where(F.col("id_a") < F.col("id_b"))

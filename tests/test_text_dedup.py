@@ -126,3 +126,21 @@ def test_dictionary_encode_bos_eos_unk(spark):
     # BOS=0 EOS=1 UNK=2, first word id 3
     assert enc[0] == [0, 3, 2, 3, 1]
     assert enc[1] == [0, 3, 2, 1]
+
+
+def test_cosine_pairs_max_block_star_degrade(spark):
+    """A block over the cap contributes star pairs (anchor × rest),
+    never all-pairs — bounded expansion on skewed blocking keys."""
+    rows = [(i, 0, [1.0, float(i)]) for i in range(6)]  # giant block
+    rows += [(10 + i, 1, [1.0, float(i)]) for i in range(3)]  # small block
+    df = from_rows(spark, rows, schema="vec_id bigint, label int, embedding array<double>")
+    capped = similarity.cosine_pairs_within(
+        df, "label", threshold=-1.0, max_block=4
+    ).collect()
+    uncapped = similarity.cosine_pairs_within(df, "label", threshold=-1.0).collect()
+    assert len(uncapped) == 15 + 3
+    assert len(capped) == 5 + 3  # star pairs for the giant block
+    giant = [(r.id_a, r.id_b) for r in capped if r.label == 0]
+    assert all(a == 0 for a, _ in giant)  # anchored at the block min id
+    small = {(r.id_a, r.id_b) for r in capped if r.label == 1}
+    assert small == {(10, 11), (10, 12), (11, 12)}  # small block: all pairs
