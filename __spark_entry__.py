@@ -379,6 +379,16 @@ def q_split_select(spark, sf):
     return ds.get_split("train")
 
 
+INDEX_SPLIT_KEYS = list(range(1, 400, 7))
+
+
+def q_split_select_indices(spark, sf):
+    c = _t(spark, sf)["customer"]
+    ds = SplitDataset(c.select("c_custkey", "c_name"), "c_custkey")
+    ds.add_index_split("picked", INDEX_SPLIT_KEYS)
+    return ds.get_split("picked")
+
+
 def q_ngrams(spark, sf):
     from fuel_spark.functions import words
 
@@ -617,6 +627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scheme_concat": q_scheme_concat,
         "cross_validation": q_cross_validation,
         "split_select": q_split_select,
+        "split_select_indices": q_split_select_indices,
         # sequences / text sources
         "ngrams": q_ngrams,
         "sliding_window": q_sliding_window,
@@ -995,6 +1006,12 @@ def oracle_sql() -> dict[str, str]:
                           row_number() OVER (ORDER BY c_custkey) - 1 AS pos
                    FROM customer)
         SELECT c_custkey, c_name FROM t WHERE pos >= 0 AND pos < 100
+    """
+
+    keys = ", ".join(str(k) for k in INDEX_SPLIT_KEYS)
+    sqls["split_select_indices"] = f"""
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_custkey IN ({keys})
     """
 
     sqls["ngrams"] = f"""

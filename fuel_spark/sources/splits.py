@@ -27,10 +27,33 @@ class SplitDataset:
         self.order_key = order_key
         self._range_splits: dict[str, tuple[int, int]] = {}
         self._hash_splits: dict[str, Column] = {}
+        self._index_splits: dict[str, DataFrame] = {}
 
     def add_split(self, name: str, start: int, stop: int) -> "SplitDataset":
         """Positional split [start, stop) — H5PYDataset semantics."""
         self._range_splits[name] = (start, stop)
+        return self
+
+    def add_index_split(self, name: str, keys) -> "SplitDataset":
+        """Non-contiguous key-list split — H5PYDataset's ``indices``
+        subsets (reference fuel/datasets/hdf5.py:235 create_split_array
+        ``indices`` field; fuel/utils/__init__.py:30 Subset list-based
+        fancy indexing).
+
+        ``keys`` is a Python sequence of key values or a single-column
+        DataFrame of them.  Membership is a broadcast semi-join
+        against the keys table — the key set stays one small relation
+        (never a giant ``isin`` literal in the plan), and a key table
+        too large to broadcast still works as a plain semi-join.
+        """
+        if isinstance(keys, DataFrame):
+            keys_df = keys.select(F.col(keys.columns[0]).alias(self.order_key))
+        else:
+            key_type = self.df.schema[self.order_key].dataType.simpleString()
+            keys_df = self.df.sparkSession.createDataFrame(
+                [(k,) for k in keys], f"{self.order_key} {key_type}"
+            )
+        self._index_splits[name] = keys_df
         return self
 
     def add_hash_split(
@@ -46,9 +69,17 @@ class SplitDataset:
 
     @property
     def splits(self) -> tuple[str, ...]:
-        return tuple(self._range_splits) + tuple(self._hash_splits)
+        return (
+            tuple(self._range_splits)
+            + tuple(self._hash_splits)
+            + tuple(self._index_splits)
+        )
 
     def get_split(self, name: str) -> DataFrame:
+        if name in self._index_splits:
+            return self.df.join(
+                F.broadcast(self._index_splits[name]), self.order_key, "semi"
+            )
         if name in self._hash_splits:
             return self.df.where(self._hash_splits[name])
         start, stop = self._range_splits[name]

@@ -51,3 +51,16 @@ def test_swiss_roll_shape(spark):
     rows = swiss_roll(spark, 50, seed=1).collect()
     assert len(rows) == 50
     assert all(hasattr(r, c) for r in rows[:1] for c in ("x", "y", "z", "t"))
+
+
+def test_index_split_list_and_dataframe(spark):
+    df = from_rows(spark, [(i, i * 10) for i in range(20)], schema="k bigint, v bigint")
+    ds = SplitDataset(df, "k")
+    ds.add_index_split("picked", [3, 7, 11, 99])  # 99 absent: semi-join ignores
+    got = sorted(r.k for r in ds.get_split("picked").collect())
+    assert got == [3, 7, 11]
+    # DataFrame-of-keys form (the 100 TB path: keys live in storage)
+    keys_df = from_rows(spark, [(7,), (11,)], schema="key bigint")
+    ds.add_index_split("picked2", keys_df)
+    assert sorted(r.k for r in ds.get_split("picked2").collect()) == [7, 11]
+    assert set(ds.splits) >= {"picked", "picked2"}
