@@ -337,6 +337,43 @@ def q_sort_batches(spark, sf):
     )
 
 
+def q_pack_batches_local(spark, sf):
+    """Scale-tier pack: zero-Exchange per-partition packing (rows-only:
+    batch membership is partitioning-defined by design)."""
+    o = _t(spark, sf)["orders"].select("o_orderkey")
+    out = core.pack_batches_local(o, ["o_orderkey"], 32)
+    return out.select(
+        "batch_id", _arr_str(F.col("o_orderkey")).alias("o_orderkey"), "batch_size"
+    )
+
+
+def q_pad_sequences_local(spark, sf):
+    """Scale-tier pad: batch ids from partition_local_batches (no
+    global sort anywhere; one hash shuffle on batch_id)."""
+    d = _doc_token_lens(_t(spark, sf))
+    b = schemes.partition_local_batches(d, 16)
+    out = core.pad_sequences(b, "token_lens", "batch_id", pad_value=0, mask_dtype="bigint")
+    return out.select(
+        "doc_id",
+        _arr_str(F.col("token_lens")).alias("token_lens"),
+        _arr_str(F.col("token_lens_mask")).alias("token_lens_mask"),
+    )
+
+
+def q_sort_batches_local(spark, sf):
+    """Scale-tier sort-within-batch: partition-local batch ids, one
+    hash shuffle, no single-partition sort."""
+    o = _t(spark, sf)["orders"].select("o_orderkey", "o_totalprice")
+    b = schemes.partition_local_batches(o, 32)
+    out = core.sort_within_batches(b, "batch_id", "o_totalprice", ["o_orderkey"])
+    return out.select(
+        "batch_id",
+        _arr_str(F.col("o_totalprice"), "double").alias("o_totalprice"),
+        _arr_str(F.col("o_orderkey")).alias("o_orderkey"),
+        "batch_size",
+    )
+
+
 def q_merge(spark, sf):
     t = _t(spark, sf)
     s = t["supplier"].select("s_suppkey", "s_name")
@@ -660,6 +697,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        # rows-only scale tier (batch identity is partitioning-defined)
+        "pack_batches_local": q_pack_batches_local,
+        "pad_sequences_local": q_pad_sequences_local,
+        "sort_batches_local": q_sort_batches_local,
     }
 
 

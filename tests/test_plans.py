@@ -75,3 +75,40 @@ def test_filter_pushdown_through_operator_chain(spark):
     out = core.filter_rows(out, F.col("price") > 100000.0)
     s = _explain(out)
     assert "GreaterThan(o_totalprice,100000.0)" in s
+
+
+def test_pack_batches_local_zero_exchange(spark):
+    from fuel_spark.ops import core
+
+    df = from_rows(spark, [(i,) for i in range(100)], schema="k bigint").repartition(4)
+    packed = core.pack_batches_local(df, ["k"], 10)
+    p = _plan(packed)
+    # only the fixture repartition shuffles; the packer adds nothing
+    assert p.count("Exchange") == 1
+    assert "MapInPandas" in p and "Sort" not in p
+    rows = packed.collect()
+    assert sum(r.batch_size for r in rows) == 100
+    # at most one trailing partial batch per partition, rest full
+    sizes = [r.batch_size for r in rows]
+    assert all(1 <= s <= 10 for s in sizes)
+    assert sum(1 for s in sizes if s < 10) <= 4
+    for r in rows:
+        assert len(r.k) == r.batch_size
+    assert len({r.batch_id for r in rows}) == len(rows)  # ids unique
+
+
+def test_scale_batch_family_no_single_partition_sort(spark):
+    from fuel_spark.ops import core
+
+    d = from_rows(
+        spark,
+        [(i, list(range(i % 5 + 1))) for i in range(50)],
+        schema="k bigint, seq array<bigint>",
+    )
+    b = schemes.partition_local_batches(d, 8)
+    padded = _plan(core.pad_sequences(b, "seq", "batch_id"))
+    sorted_p = _plan(core.sort_within_batches(b, "batch_id", "k", ["seq"]))
+    # hash-partitioned window/agg only: a global order would plan an
+    # Exchange SinglePartition (the single-task bottleneck at scale)
+    assert "SinglePartition" not in padded
+    assert "SinglePartition" not in sorted_p
