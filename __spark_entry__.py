@@ -466,6 +466,17 @@ def q_dictionary_encode(spark, sf):
     return enc.select("doc_id", _arr_str(F.col("token_ids")).alias("token_ids"))
 
 
+FIXED_VOCAB = {"the": 3, "a": 4, "of": 5, "and": 6, "to": 7, "data": 8}
+
+
+def q_dictionary_encode_fixed(spark, sf):
+    """Pre-built-dictionary mode (fuel TextFile's `dictionary` param):
+    user-supplied {word: id} vocabulary, everything else unk."""
+    docs = _t(spark, sf)["documents"]
+    enc = dictionary_encode(docs, "doc_id", "text", FIXED_VOCAB)
+    return enc.select("doc_id", _arr_str(F.col("token_ids")).alias("token_ids"))
+
+
 def q_lang_id(spark, sf):
     d = _t(spark, sf)["documents"].select("doc_id", "lang", "text")
     return text_ops.lang_id(d, "text").select("doc_id", "lang", "pred_lang")
@@ -669,6 +680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngrams": q_ngrams,
         "sliding_window": q_sliding_window,
         "text_dictionary_encode": q_dictionary_encode,
+        "text_dictionary_encode_fixed": q_dictionary_encode_fixed,
         # text analysis
         "text_lang_id": q_lang_id,
         "text_quality": q_quality,
@@ -1084,6 +1096,30 @@ def oracle_sql() -> dict[str, str]:
         ),
         enc AS (SELECT tok.doc_id, tok.pos, COALESCE(dict.word_id, 2) AS tok_id
                 FROM tok LEFT JOIN dict USING (word)),
+        body AS (SELECT doc_id, list(tok_id ORDER BY pos) AS body
+                 FROM enc GROUP BY doc_id)
+        SELECT d.doc_id,
+               {_arrstr_sql(
+                   'list_concat(list_concat([CAST(0 AS BIGINT)],'
+                   ' COALESCE(body, CAST([] AS BIGINT[]))),'
+                   ' [CAST(1 AS BIGINT)])'
+               )} AS token_ids
+        FROM documents d LEFT JOIN body USING (doc_id)
+    """
+
+    vocab_case = " ".join(
+        f"WHEN '{w}' THEN {i}" for w, i in FIXED_VOCAB.items()
+    )
+    sqls["text_dictionary_encode_fixed"] = f"""
+        WITH dd AS (SELECT doc_id, {w} AS words FROM documents),
+        tok AS (
+          SELECT doc_id, pos, words[pos] AS word
+          FROM dd, LATERAL (SELECT unnest(generate_series(1, len(words))) AS pos) u
+          WHERE words[pos] <> ''
+        ),
+        enc AS (SELECT doc_id, pos,
+                       CAST(CASE word {vocab_case} ELSE 2 END AS BIGINT) AS tok_id
+                FROM tok),
         body AS (SELECT doc_id, list(tok_id ORDER BY pos) AS body
                  FROM enc GROUP BY doc_id)
         SELECT d.doc_id,

@@ -9,7 +9,12 @@ storage so scans prune and push down.
 from fuel_spark.sources.tables import TABLE_NAMES, load_table, load_tables
 from fuel_spark.sources.memory import from_rows
 from fuel_spark.sources.splits import SplitDataset
-from fuel_spark.sources.text import build_dictionary, dictionary_encode, read_text_lines
+from fuel_spark.sources.text import (
+    build_dictionary,
+    dictionary_encode,
+    dictionary_from_mapping,
+    read_text_lines,
+)
 from fuel_spark.sources.toy import spiral, swiss_roll
 
 __all__ = [
@@ -20,6 +25,7 @@ __all__ = [
     "SplitDataset",
     "build_dictionary",
     "dictionary_encode",
+    "dictionary_from_mapping",
     "read_text_lines",
     "spiral",
     "swiss_roll",

@@ -62,11 +62,21 @@ def build_dictionary(
     )
 
 
+def dictionary_from_mapping(spark: SparkSession, mapping) -> DataFrame:
+    """Lift a user-supplied {word: id} vocabulary — fuel TextFile's
+    ``dictionary`` parameter (reference fuel/datasets/text.py:64) —
+    into the (word, word_id) relation ``dictionary_encode`` joins
+    against."""
+    return spark.createDataFrame(
+        [(w, int(i)) for w, i in mapping.items()], "word string, word_id bigint"
+    )
+
+
 def dictionary_encode(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    dictionary: DataFrame,
+    dictionary,
     bos: bool = True,
     eos: bool = True,
     level: str = "word",
@@ -75,10 +85,16 @@ def dictionary_encode(
     unknown-word fallback — TextFile's per-line encoding loop
     (text.py:129-144), distributed.
 
+    ``dictionary`` is either a (word, word_id) DataFrame (e.g. from
+    :func:`build_dictionary`) or a plain ``{word: id}`` mapping —
+    fuel TextFile's pre-built-dictionary mode (text.py:64).
+
     The dictionary join is a broadcast (vocabularies are small); token
     order is restored with a positional re-collect.
     Output: id_col, token_ids (array<bigint>).
     """
+    if not isinstance(dictionary, DataFrame):
+        dictionary = dictionary_from_mapping(df.sparkSession, dictionary)
     toks = df.select(
         F.col(id_col),
         F.posexplode(_tokens(text_col, level)).alias("pos", "word"),

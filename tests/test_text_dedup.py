@@ -144,3 +144,18 @@ def test_cosine_pairs_max_block_star_degrade(spark):
     assert all(a == 0 for a, _ in giant)  # anchored at the block min id
     small = {(r.id_a, r.id_b) for r in capped if r.label == 1}
     assert small == {(10, 11), (10, 12), (11, 12)}  # small block: all pairs
+
+
+def test_dictionary_encode_external_vocab(spark):
+    from fuel_spark.sources.text import BOS_ID, EOS_ID, UNK_ID
+
+    df = from_rows(
+        spark,
+        [(0, "the cat"), (1, ""), (2, "dog")],
+        schema="doc_id bigint, text string",
+    )
+    enc = {r.doc_id: r.token_ids
+           for r in dictionary_encode(df, "doc_id", "text", {"the": 3, "cat": 4}).collect()}
+    assert enc[0] == [BOS_ID, 3, 4, EOS_ID]
+    assert enc[1] == [BOS_ID, EOS_ID]  # empty doc still yields a row
+    assert enc[2] == [BOS_ID, UNK_ID, EOS_ID]
