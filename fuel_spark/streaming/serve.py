@@ -64,6 +64,105 @@ def serve_batches(
     return writer.start()
 
 
+# -------------------- live network serving ---------------------------
+
+
+class SocketBatchServer:
+    """Live producer/consumer decoupling over a TCP socket — the twin
+    of fuel's ``start_server`` (reference fuel/server.py:32, ZMQ PUSH
+    of numpy batches) with ``ServerDataStream`` (fuel/streams.py:186)
+    as the pull side.
+
+    Each micro-batch is pushed to every connected client as
+    newline-delimited JSON rows; the Spark-native consumer is the
+    built-in ``format("socket")`` source + ``from_json`` (see
+    :func:`client_stream`).  Like fuel's server this is a single
+    egress point — the horizontal-scale variant of the same facade is
+    ``foreachBatch`` writing to a partitioned bus (kafka-shaped sink)
+    with executor-side writes; the micro-batch contract is identical.
+    """
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 0):
+        import socket
+        import threading
+
+        self._srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self._srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._srv.bind((host, port))
+        self._srv.listen(8)
+        self.host, self.port = self._srv.getsockname()
+        self._clients: list = []
+        self._closed = False
+
+        def accept_loop():
+            while not self._closed:
+                try:
+                    conn, _ = self._srv.accept()
+                except OSError:
+                    return
+                self._clients.append(conn)
+
+        self._thread = threading.Thread(target=accept_loop, daemon=True)
+        self._thread.start()
+
+    def sink(self, df: DataFrame, batch_id: int) -> None:
+        """foreachBatch callback: push the micro-batch as JSON lines."""
+        rows = df.toJSON().collect()
+        if not rows:
+            return
+        payload = ("\n".join(rows) + "\n").encode()
+        alive = []
+        for conn in self._clients:
+            try:
+                conn.sendall(payload)
+                alive.append(conn)
+            except OSError:
+                conn.close()
+        self._clients[:] = alive
+
+    def close(self) -> None:
+        self._closed = True
+        for conn in self._clients:
+            try:
+                conn.close()
+            except OSError:
+                pass
+        self._srv.close()
+
+
+def serve_over_socket(
+    stream: DataFrame,
+    server: SocketBatchServer,
+    checkpoint: str,
+    trigger_available_now: bool = True,
+    processing_time: str | None = None,
+):
+    """Start a streaming query that pushes every micro-batch through
+    ``server`` — the fuel-server producer loop, checkpointed."""
+    writer = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(server.sink)
+        .option("checkpointLocation", checkpoint)
+    )
+    if processing_time is not None:
+        writer = writer.trigger(processingTime=processing_time)
+    elif trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def client_stream(spark: SparkSession, host: str, port: int, schema: str) -> DataFrame:
+    """ServerDataStream pull side: subscribe to a socket server and
+    parse the JSON rows back into typed columns."""
+    raw = (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", port)
+        .load()
+    )
+    return raw.select(F.from_json("value", schema).alias("r")).select("r.*")
+
+
 # -------------------- custom stateful operator ------------------------
 
 

@@ -127,3 +127,38 @@ def test_sessionize_state_spans_micro_batches(spark, workdir):
     write("b2", [1800, 99999])
     r2 = {(r.session_id): (r.n_events, r.min_ts, r.max_ts) for r in run("s2")}
     assert r2 == {1: (4, 0, 1800), 2: (1, 99999, 99999)}
+
+
+def test_socket_serve_rate_source_round_trip(spark, workdir):
+    """fuel-server round trip: rate source → foreachBatch socket push →
+    raw client receives JSON rows."""
+    import json
+    import socket as socketlib
+    import time
+
+    server = serve.SocketBatchServer()
+    client = socketlib.create_connection((server.host, server.port), timeout=10)
+    client.settimeout(10)
+
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", "50")
+        .load()
+        .select(F.col("value"), (F.col("value") * 2).alias("doubled"))
+    )
+    q = serve.serve_over_socket(
+        rate, server, os.path.join(workdir, "ckpt"), processing_time="1 seconds"
+    )
+    try:
+        buf = b""
+        deadline = time.time() + 60
+        while b"\n" not in buf and time.time() < deadline:
+            buf += client.recv(65536)
+        lines = [l for l in buf.decode().split("\n") if l]
+        assert lines, "no rows received over the socket"
+        row = json.loads(lines[0])
+        assert row["doubled"] == row["value"] * 2
+    finally:
+        q.stop()
+        client.close()
+        server.close()
