@@ -37,15 +37,35 @@ def fit_ivf_index(
     vec_col: str = "embedding",
     k_clusters: int = 16,
     seed: int = 42,
+    fit_fraction: float | None = None,
 ):
-    """Train the IVF coarse quantizer (KMeans) on the corpus.
+    """Train the IVF coarse quantizer (KMeans).
 
-    Returns the fitted model; at scale, fit on a sample
-    (``corpus.sample(...)``) — centroid quality needs thousands of
-    points, not the full corpus.
+    ``fit_fraction`` samples the corpus before the (iterative,
+    multi-pass) KMeans fit — centroid quality needs thousands of
+    points, not the full corpus, so at 100 TB pass a fraction that
+    yields ~10^5-10^6 rows and the fit cost stays constant while the
+    index still covers everything (assignment is a narrow transform
+    over the full corpus either way).
     """
-    feats = to_ml_vector(corpus.select(vec_col), vec_col)
+    feats = corpus.select(vec_col)
+    if fit_fraction is not None and fit_fraction < 1.0:
+        feats = feats.sample(fraction=fit_fraction, seed=seed)
+    feats = to_ml_vector(feats, vec_col)
     return KMeans(k=k_clusters, seed=seed, featuresCol="features").fit(feats)
+
+
+def save_ivf_index(model, path: str) -> None:
+    """Persist the coarse quantizer so the (expensive) fit is paid
+    once and reused across queries/sessions."""
+    model.write().overwrite().save(path)
+
+
+def load_ivf_index(path: str):
+    """Reload a persisted coarse quantizer (KMeansModel)."""
+    from pyspark.ml.clustering import KMeansModel
+
+    return KMeansModel.load(path)
 
 
 def assign_clusters(
@@ -66,14 +86,21 @@ def ivf_ann(
     k_clusters: int = 16,
     nprobe: int = 4,
     seed: int = 42,
+    model=None,
+    fit_fraction: float | None = None,
 ) -> DataFrame:
     """IVF approximate top-k cosine neighbors.
 
     Queries probe their ``nprobe`` nearest centroids; candidates are
     corpus rows in those inverted lists; exact cosine ranks within
     candidates.  Output: query_id, neighbor_id, cosine, rank.
+
+    Pass ``model`` (from :func:`fit_ivf_index` / :func:`load_ivf_index`)
+    to reuse a persisted index; otherwise one is fit here, optionally
+    on a ``fit_fraction`` sample.
     """
-    model = fit_ivf_index(corpus, vec_col, k_clusters, seed)
+    if model is None:
+        model = fit_ivf_index(corpus, vec_col, k_clusters, seed, fit_fraction)
     centers = model.clusterCenters()
 
     c = assign_clusters(model, corpus, vec_col).select(

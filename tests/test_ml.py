@@ -30,3 +30,22 @@ def test_ivf_ann_recall_vs_bruteforce(spark):
     # ranks are 1..k per query, cosine within [-1, 1]
     for r in approx.collect():
         assert 1 <= r.rank <= 5 and -1.0 <= r.cosine <= 1.0
+
+
+def test_ivf_sampled_fit_and_persisted_index(spark, tmp_path):
+    """Sampled coarse-quantizer fit + save/load roundtrip: recall
+    holds with a half-corpus fit and a reloaded index."""
+    e = load_tables(spark, SF)["embeddings"]
+    q = e.where(F.col("vec_id") < 5)
+    model = ml.fit_ivf_index(e, k_clusters=8, seed=7, fit_fraction=0.5)
+    path = str(tmp_path / "ivf_index")
+    ml.save_ivf_index(model, path)
+    loaded = ml.load_ivf_index(path)
+    assert len(loaded.clusterCenters()) == 8
+
+    exact = similarity.cosine_topk(e, q, k=5)
+    approx = ml.ivf_ann(e, q, k=5, k_clusters=8, nprobe=4, seed=7, model=loaded)
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, f"sampled-fit IVF recall too low: {recall}"
