@@ -182,6 +182,7 @@ def lsh_bucket(
     num_planes: int = 8,
     seed: int = 42,
     out_col: str = "bucket",
+    dim: int | None = None,
 ) -> DataFrame:
     """Random-hyperplane LSH bucket id (sign pattern of dot products
     with seeded ±1 planes).
@@ -191,9 +192,13 @@ def lsh_bucket(
     narrow JVM projection.  Scale path for ANN: join/bucket on this id
     then verify with exact cosine (Spark-side; not SQL-oracle-able,
     recorded rows-only).
+
+    Pass ``dim`` (the embedding width) to keep the plan fully lazy;
+    without it a one-row probe reads the first vector's length.
     """
-    dim_probe = df.select(F.size(F.col(vec_col)).alias("d")).first()
-    dim = dim_probe["d"] if dim_probe else 0
+    if dim is None:
+        dim_probe = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        dim = dim_probe["d"] if dim_probe else 0
     bucket = F.lit(0).cast("long")
     for p in range(num_planes):
         # sign_i = +1 if xxhash64(seed, p, i) even else -1; dot = Σ sign_i * v_i
@@ -215,12 +220,16 @@ def lsh_ann(
     k: int = 5,
     num_planes: int = 8,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates share the query's LSH bucket, then
     exact cosine rank within candidates.  At 100 TB the bucket join
     replaces the full scan per query with ~corpus/2^planes rows."""
-    cb = lsh_bucket(corpus, vec_col, num_planes, seed)
-    qb = lsh_bucket(queries, vec_col, num_planes, seed)
+    if dim is None:
+        probe = queries.select(F.size(F.col(vec_col)).alias("d")).first()
+        dim = probe["d"] if probe else 0
+    cb = lsh_bucket(corpus, vec_col, num_planes, seed, dim=dim)
+    qb = lsh_bucket(queries, vec_col, num_planes, seed, dim=dim)
     q = broadcast(
         qb.select(
             F.col(id_col).alias("query_id"),

@@ -132,11 +132,13 @@ def tf_idf_top_terms(
     Two shuffles total: (doc, word) term counts, then a broadcast of
     the (small) document-frequency table back onto terms.  idf uses
     ln((N+1)/(df+1)) + 1 (smoothed); per-row arithmetic → portable.
+    N rides along as a broadcast 1-row relation inside the same plan
+    (no separate driver-side count pass over the corpus).
     Output: id, word, tf, df, tfidf, term_rank.
     """
     from pyspark.sql import Window
 
-    n_docs = df.count()
+    n_df = df.select(F.count(F.lit(1)).cast("double").alias("_n"))
     terms = (
         df.select(F.col(id_col), F.explode(words(F.col(text_col))).alias("word"))
         .where(F.col("word") != "")
@@ -149,10 +151,13 @@ def tf_idf_top_terms(
     )
     return (
         terms.join(F.broadcast(dfreq), "word")
+        .crossJoin(F.broadcast(n_df))
         .withColumn(
             "tfidf",
             F.round(
-                F.col("tf") * (F.log((n_docs + 1.0) / (F.col("df") + 1.0)) + 1.0), 6
+                F.col("tf")
+                * (F.log((F.col("_n") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                6,
             ),
         )
         .withColumn("term_rank", F.row_number().over(w).cast("bigint"))
