@@ -51,6 +51,12 @@ def cmd_convert(args) -> int:
         df = reader.text(args.input).withColumnRenamed("value", "line")
     elif args.format == "parquet":
         df = reader.parquet(args.input)
+    elif args.format == "hdf5":
+        from fuel_spark.sources.hdf5 import hdf5_to_parquet
+
+        rows = hdf5_to_parquet(spark, args.input, args.output)
+        print(f"wrote {args.output} ({rows} rows)")
+        return 0
     else:
         raise SystemExit(f"unknown format: {args.format}")
     write_dataset(df, args.output, partition_by=args.partition_by or None)
@@ -69,7 +75,7 @@ def main(argv: list[str] | None = None) -> int:
     p_conv = sub.add_parser("convert", help="ingest csv/json/text into parquet")
     p_conv.add_argument("--input", required=True)
     p_conv.add_argument("--format", default="csv",
-                        choices=["csv", "json", "text", "parquet"])
+                        choices=["csv", "json", "text", "parquet", "hdf5"])
     p_conv.add_argument("--output", required=True)
     p_conv.add_argument("--partition-by", nargs="*", default=None)
     p_conv.add_argument("--header", action="store_true")

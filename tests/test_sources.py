@@ -64,3 +64,41 @@ def test_index_split_list_and_dataframe(spark):
     ds.add_index_split("picked2", keys_df)
     assert sorted(r.k for r in ds.get_split("picked2").collect()) == [7, 11]
     assert set(ds.splits) >= {"picked", "picked2"}
+
+
+def test_hdf5_bridge_gated_without_h5py(spark, tmp_path):
+    try:
+        import h5py  # noqa: F401
+        have = True
+    except ImportError:
+        have = False
+    from fuel_spark.sources import hdf5 as h5mod
+
+    if not have:
+        import pytest as _pytest
+
+        with _pytest.raises(ImportError, match="h5py"):
+            h5mod.hdf5_to_parquet(spark, "/nonexistent.h5", str(tmp_path / "o"))
+        return
+    # real roundtrip when h5py exists: 2-D features + 1-D targets + splits
+    import numpy as np
+
+    p = str(tmp_path / "ds.h5")
+    with h5py.File(p, "w") as f:
+        f["features"] = np.arange(20, dtype="float64").reshape(10, 2)
+        f["targets"] = np.arange(10, dtype="int64")
+        dt = h5py.special_dtype(vlen=bytes)
+        split = np.array(
+            [(b"train", b"features", 0, 8), (b"test", b"features", 8, 10)],
+            dtype=[("split", dt), ("source", dt), ("start", "<i8"), ("stop", "<i8")],
+        )
+        f.attrs["split"] = split
+    out = str(tmp_path / "out")
+    n = h5mod.hdf5_to_parquet(spark, p, out, chunk_rows=4)
+    assert n == 10
+    df = spark.read.parquet(out)
+    assert df.count() == 10 and set(df.columns) == {"features", "targets"}
+    splits = spark.read.parquet(out + "_splits.parquet")
+    ds = h5mod.split_dataset_from_hdf5_splits(df, splits, "targets")
+    assert ds.get_split("train").count() == 8
+    assert ds.get_split("test").count() == 2
