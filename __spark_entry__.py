@@ -656,6 +656,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_props": lambda s, d: analytics.events_json_props(_t(s, d)),
         "events_sessionize": lambda s, d: analytics.events_sessionize(_t(s, d)),
         "events_topk_users": lambda s, d: analytics.events_topk_users(_t(s, d)),
+        "promo_revenue": lambda s, d: analytics.promo_revenue(_t(s, d)),
+        "small_quantity_revenue": lambda s, d: analytics.small_quantity_revenue(_t(s, d)),
+        "large_orders": lambda s, d: analytics.large_orders(_t(s, d)),
+        "waiting_customers": lambda s, d: analytics.waiting_customers(_t(s, d)),
+        "customer_distribution": lambda s, d: analytics.customer_distribution(_t(s, d)),
+        "top_supplier": lambda s, d: analytics.top_supplier(_t(s, d)),
+        "bracket_revenue": lambda s, d: analytics.bracket_revenue(_t(s, d)),
+        "supplier_part_types": lambda s, d: analytics.supplier_part_types(_t(s, d)),
+        "best_supplier_per_nation": lambda s, d: analytics.best_supplier_per_nation(_t(s, d)),
         # core transformers
         "mapping_project": q_mapping,
         "filter_rows": q_filter,
@@ -910,6 +919,118 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id, count(*) AS n_events, {_dsum_sql('value')} AS total_value
         FROM events GROUP BY user_id
         ORDER BY total_value DESC, user_id LIMIT 20
+    """
+
+    sqls["promo_revenue"] = f"""
+        SELECT round(100.0 * {_dsum_sql(
+            "CASE WHEN p_type = 'PROMO' THEN " + rev + " ELSE 0.0 END")}
+               / {_dsum_sql(rev)}, 6) AS promo_pct,
+               {_dsum_sql("CASE WHEN p_type = 'PROMO' THEN " + rev + " ELSE 0.0 END")}
+                 AS promo_revenue,
+               {_dsum_sql(rev)} AS total_revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+    """
+
+    sqls["small_quantity_revenue"] = f"""
+        WITH branded AS (
+          SELECT l_partkey, l_quantity, l_extendedprice
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_brand = 'Brand#3'
+        ),
+        avgs AS (
+          SELECT l_partkey,
+                 CAST(sum(CAST(l_quantity AS {DEC})) AS DOUBLE) / count(*) AS avg_qty
+          FROM branded GROUP BY l_partkey
+        )
+        SELECT round({_dsum_sql('l_extendedprice')} / 7.0, 6) AS avg_yearly
+        FROM branded JOIN avgs USING (l_partkey)
+        WHERE l_quantity < 0.2 * avg_qty
+    """
+
+    sqls["large_orders"] = f"""
+        WITH big AS (
+          SELECT l_orderkey, {_dsum_sql('l_quantity')} AS total_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING {_dsum_sql('l_quantity')} > 150.0
+        )
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+        FROM big
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+    """
+
+    sqls["waiting_customers"] = f"""
+        WITH avg_bal AS (
+          SELECT CAST(sum(CAST(c_acctbal AS {DEC})) AS DOUBLE) / count(*) AS a
+          FROM customer WHERE c_acctbal > 0.0
+        )
+        SELECT c_nationkey, count(*) AS numcust,
+               {_dsum_sql('c_acctbal')} AS totacctbal
+        FROM customer, avg_bal
+        WHERE c_acctbal > a
+          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                          AND o_orderdate >= TIMESTAMP '2000-01-01')
+        GROUP BY c_nationkey
+    """
+
+    sqls["customer_distribution"] = """
+        WITH per_cust AS (
+          SELECT c_custkey, count(o_orderkey) AS c_count
+          FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+          GROUP BY c_custkey
+        )
+        SELECT c_count, count(*) AS custdist FROM per_cust GROUP BY c_count
+    """
+
+    sqls["top_supplier"] = f"""
+        WITH rev AS (
+          SELECT l_suppkey, {_dsum_sql(rev)} AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1996-04-01'
+          GROUP BY l_suppkey
+        )
+        SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+               round(total_revenue, 6) AS total_revenue
+        FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+    """
+
+    sqls["bracket_revenue"] = f"""
+        SELECT {_dsum_sql(rev)} AS revenue, count(*) AS n_lines
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 20)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+               AND l_quantity BETWEEN 10 AND 30)
+    """
+
+    sqls["supplier_part_types"] = """
+        SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_size IN (5, 10, 15, 20)
+        GROUP BY p_brand, p_type
+    """
+
+    sqls["best_supplier_per_nation"] = f"""
+        WITH rev AS (
+          SELECT l_suppkey, {_dsum_sql(rev)} AS revenue
+          FROM lineitem GROUP BY l_suppkey
+        ),
+        ranked AS (
+          SELECT n_name, s_suppkey, s_name, revenue,
+                 row_number() OVER (PARTITION BY n_name
+                                    ORDER BY revenue DESC, s_suppkey) AS r
+          FROM rev
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+        )
+        SELECT n_name, CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+               round(revenue, 6) AS revenue
+        FROM ranked WHERE r = 1
     """
 
     sqls["mapping_project"] = """

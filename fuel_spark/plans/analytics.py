@@ -420,3 +420,207 @@ def events_topk_users(t: dict[str, DataFrame], k: int = 20) -> DataFrame:
         .orderBy(F.col("total_value").desc(), F.col("user_id"))
         .limit(k)
     )
+
+
+def promo_revenue(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share over a month.
+
+    part is broadcast; the date filter pushes to the lineitem scan.
+    Both numerator and denominator are exact-decimal sums, so the
+    ratio is bit-deterministic at any parallelism.
+    """
+    l = t["lineitem"].where(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    p = t["part"].select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        l.join(broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(100.0 * _dsum(promo) / _dsum(rev), 6).alias("promo_pct"),
+            _dsum(promo).alias("promo_revenue"),
+            _dsum(rev).alias("total_revenue"),
+        )
+    )
+
+
+def small_quantity_revenue(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q17 shape: revenue lost to small orders of one brand.
+
+    The correlated per-part average becomes a groupBy + broadcast
+    join — the standard decorrelation; no per-row subquery exists at
+    any scale.
+    """
+    p = t["part"].where(F.col("p_brand") == "Brand#3").select("p_partkey")
+    l = t["lineitem"].select("l_partkey", "l_quantity", "l_extendedprice")
+    branded = l.join(broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    avg_qty = branded.groupBy("l_partkey").agg(
+        (F.sum(F.col("l_quantity").cast(DEC)).cast("double") / F.count(F.lit(1)))
+        .alias("_avg_qty")
+    )
+    return (
+        branded.join(broadcast(avg_qty), "l_partkey")
+        .where(F.col("l_quantity") < 0.2 * F.col("_avg_qty"))
+        .agg(F.round(_dsum(F.col("l_extendedprice")) / 7.0, 6).alias("avg_yearly"))
+    )
+
+
+def large_orders(t: dict[str, DataFrame], min_qty: float = 150.0, limit: int = 20) -> DataFrame:
+    """TPC-H Q18 shape: large-volume orders (group-having on the fact,
+    then enrich).  The having filter collapses lineitem before the
+    orders/customer joins — the join input is already tiny."""
+    l = t["lineitem"]
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(_dsum(F.col("l_quantity")).alias("total_qty"))
+        .where(F.col("total_qty") > min_qty)
+    )
+    o = t["orders"].select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    c = t["customer"].select("c_custkey", "c_name")
+    return (
+        big.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(limit)
+    )
+
+
+def waiting_customers(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q22 shape: well-funded customers with no recent orders.
+
+    The global average rides along as a broadcast 1-row relation;
+    customers-without-recent-orders is a left_anti join on the
+    custkey (no correlated NOT EXISTS at any scale), with the date
+    filter pushed into the anti side's scan.
+    """
+    c = t["customer"].select("c_custkey", "c_nationkey", "c_acctbal")
+    avg_bal = (
+        c.where(F.col("c_acctbal") > 0.0)
+        .agg(
+            (F.sum(F.col("c_acctbal").cast(DEC)).cast("double") / F.count(F.lit(1)))
+            .alias("_avg_bal")
+        )
+    )
+    o = t["orders"].where(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    ).select("o_custkey")
+    return (
+        c.crossJoin(broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            _dsum(F.col("c_acctbal")).alias("totacctbal"),
+        )
+    )
+
+
+def customer_distribution(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q13 shape: distribution of order counts per customer
+    (left join so zero-order customers count), then a second tiny
+    aggregation over the counts."""
+    c = t["customer"].select("c_custkey")
+    o = t["orders"].select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+def top_supplier(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with maximum quarterly revenue.
+    The max is a broadcast 1-row relation joined back — the view +
+    scalar-subquery formulation, decorrelated."""
+    l = t["lineitem"].where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = (
+        l.groupBy("l_suppkey")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_max_rev"))
+    s = t["supplier"].select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(broadcast(mx))
+        .where(F.col("total_revenue") == F.col("_max_rev"))
+        .join(broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("s_suppkey").cast("bigint").alias("s_suppkey"),
+            "s_name",
+            F.round("total_revenue", 6).alias("total_revenue"),
+        )
+    )
+
+
+def bracket_revenue(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of brand/size/quantity brackets.
+    The OR-of-ANDs predicate stays declarative so Catalyst can push
+    the common part-side conjuncts into the broadcast build side."""
+    p = t["part"].select("p_partkey", "p_brand", "p_size")
+    l = t["lineitem"].select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    j = l.join(broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 30)
+        )
+    )
+    return j.where(cond).agg(
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+def supplier_part_types(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q16 shape (reshaped to this schema): how many distinct
+    suppliers ship each (brand, type) for selected sizes.  distinct
+    count shuffles once on the group key."""
+    p = t["part"].where(F.col("p_size").isin(5, 10, 15, 20)).select(
+        "p_partkey", "p_brand", "p_type"
+    )
+    l = t["lineitem"].select("l_partkey", "l_suppkey")
+    return (
+        l.join(broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def best_supplier_per_nation(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-nation revenue argmax: window rank over the supplier
+    revenue aggregate, partitioned by nation — no global sort, one
+    shuffle for the agg and one hash-partitioned window."""
+    from pyspark.sql import Window
+
+    l = t["lineitem"].select("l_suppkey", "l_extendedprice", "l_discount")
+    s = t["supplier"].select("s_suppkey", "s_name", "s_nationkey")
+    n = t["nation"].select("n_nationkey", "n_name")
+    rev = l.groupBy("l_suppkey").agg(
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+    )
+    w = Window.partitionBy("n_name").orderBy(F.col("revenue").desc(), F.col("s_suppkey"))
+    return (
+        rev.join(broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") == 1)
+        .select(
+            "n_name",
+            F.col("s_suppkey").cast("bigint").alias("s_suppkey"),
+            "s_name",
+            F.round("revenue", 6).alias("revenue"),
+        )
+    )

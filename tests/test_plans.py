@@ -112,3 +112,13 @@ def test_scale_batch_family_no_single_partition_sort(spark):
     # Exchange SinglePartition (the single-task bottleneck at scale)
     assert "SinglePartition" not in padded
     assert "SinglePartition" not in sorted_p
+
+
+def test_new_tpch_shapes_broadcast_and_partitioned(spark):
+    t = load_tables(spark, SF)
+    promo = _plan(analytics.promo_revenue(t))
+    assert "BroadcastHashJoin" in promo  # part is a broadcast dim
+    best = _plan(analytics.best_supplier_per_nation(t))
+    assert "SinglePartition" not in best  # argmax window is per-nation
+    waiting = _plan(analytics.waiting_customers(t))
+    assert "LeftAnti" in waiting
