@@ -64,6 +64,54 @@ def serve_batches(
     return writer.start()
 
 
+def dedup_stream(
+    events: DataFrame,
+    id_cols: list[str],
+    watermark_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: keep the first occurrence of each id
+    within the watermark horizon — the Structured Streaming twin of
+    ``ops.dedup.exact_dedup`` for at-least-once sources (replayed
+    events, producer retries).
+
+    State is bounded: ids older than the watermark are evicted, so
+    memory is O(events per horizon), not O(corpus) — the only dedup
+    contract that works on an infinite stream.
+    """
+    return events.withWatermark(watermark_col, watermark).dropDuplicates(
+        id_cols + [watermark_col]
+    )
+
+
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lower: str = "0 seconds",
+    upper: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: right rows within
+    ``[left_ts - upper, left_ts - lower]`` of each left row, same key.
+
+    Both sides are watermarked so the join state is bounded — Spark
+    evicts buffered rows once the watermark passes the interval. The
+    streaming analogue of ``ops.core.asof_join``'s bounded-lookback
+    case (an unbounded as-of cannot have finite state on a stream).
+    """
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}") >= F.expr(f"l.{left_ts} - INTERVAL {upper}"))
+        & (F.col(f"r.{right_ts}") <= F.expr(f"l.{left_ts} - INTERVAL {lower}"))
+    )
+    return l.join(r, cond, "inner")
+
+
 # -------------------- live network serving ---------------------------
 
 

@@ -162,3 +162,60 @@ def test_socket_serve_rate_source_round_trip(spark, workdir):
         q.stop()
         client.close()
         server.close()
+
+
+def test_dedup_stream_drops_replays(spark, workdir):
+    src = os.path.join(workdir, "src")
+    ckpt = os.path.join(workdir, "ckpt")
+    # each event replayed 3× (at-least-once source); times sit a day
+    # past epoch 0 so no event-time equals the initial watermark
+    df = spark.createDataFrame(
+        [(i % 20, 86400 + i % 20 * 60) for i in range(60)], "event_id long, sec long"
+    ).select("event_id", F.timestamp_seconds("sec").alias("ts"))
+    df.write.mode("overwrite").parquet(src)
+
+    stream = serve.stream_events_from_files(spark, src, "event_id long, ts timestamp")
+    out = []
+    q = (
+        serve.dedup_stream(stream, ["event_id"])
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda d, _i: out.extend(d.collect()))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(r.event_id for r in out) == list(range(20))
+
+
+def test_interval_join_streams(spark, workdir):
+    src_a = os.path.join(workdir, "a")
+    src_b = os.path.join(workdir, "b")
+    ckpt = os.path.join(workdir, "ckpt")
+    # user 1: click at t=D+3600; impressions at D (in the 1h lookback)
+    # and D+7250 (in the future → excluded); user 2 has no click
+    D = 86400
+    spark.createDataFrame(
+        [(1, D + 3600)], "user_id long, sec long"
+    ).select("user_id", F.timestamp_seconds("sec").alias("ts")) \
+        .write.mode("overwrite").parquet(src_a)
+    spark.createDataFrame(
+        [(1, D), (1, D + 7250), (2, D + 3600)], "user_id long, sec long"
+    ).select("user_id", F.timestamp_seconds("sec").alias("imp_ts")) \
+        .write.mode("overwrite").parquet(src_b)
+
+    clicks = serve.stream_events_from_files(spark, src_a, "user_id long, ts timestamp")
+    imps = serve.stream_events_from_files(spark, src_b, "user_id long, imp_ts timestamp")
+    out = []
+    q = (
+        serve.interval_join_streams(clicks, imps, "user_id", "ts", "imp_ts")
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda d, _i: out.extend(d.collect()))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # only the impression 1h before the click, same user
+    assert len(out) == 1
+    assert out[0]["user_id"] == 1 and out[0]["imp_ts"].timestamp() == D
