@@ -500,6 +500,36 @@ def q_tfidf(spark, sf):
     return text_ops.tf_idf_top_terms(d, "doc_id", "text")
 
 
+def q_remove_stopwords(spark, sf):
+    d = _t(spark, sf)["documents"].select("doc_id", "text")
+    out = text_ops.remove_stopwords(d, "text")
+    return out.select(
+        "doc_id",
+        _arr_str(F.col("content_words"), "string", "|").alias("content_words"),
+        "n_content_words",
+    )
+
+
+def q_sentence_stats(spark, sf):
+    d = _t(spark, sf)["documents"].select("doc_id", "text")
+    return text_ops.sentence_stats(d, "text").select(
+        "doc_id", "n_sentences", "mean_sentence_chars"
+    )
+
+
+def q_bigram_counts(spark, sf):
+    d = _t(spark, sf)["documents"].select("text")
+    return text_ops.ngram_counts(d, "text", n=2, min_count=3)
+
+
+def q_label_centroids(spark, sf):
+    e = _t(spark, sf)["embeddings"]
+    out = similarity.label_centroids(e, "label", "embedding")
+    return out.select(
+        "label", _arr_str(F.col("centroid"), "double").alias("centroid"), "dim"
+    )
+
+
 def q_sample(spark, sf):
     d = _t(spark, sf)["documents"]
     return schemes.deterministic_sample(d, "doc_id", 0.25, seed=11).select(
@@ -696,6 +726,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_counts": q_token_counts,
         "text_fingerprint": q_fingerprint,
         "text_tfidf_top_terms": q_tfidf,
+        "text_remove_stopwords": q_remove_stopwords,
+        "text_sentence_stats": q_sentence_stats,
+        "text_bigram_counts": q_bigram_counts,
+        "embedding_label_centroids": q_label_centroids,
         "sample_fraction": q_sample,
         # dedup
         "dedup_exact": q_dedup_exact,
@@ -1304,6 +1338,53 @@ def oracle_sql() -> dict[str, str]:
                     ORDER BY tfidf DESC, word) AS term_rank FROM s)
         SELECT doc_id, word, tf, df, tfidf, CAST(term_rank AS BIGINT) AS term_rank
         FROM r WHERE term_rank <= 3
+    """
+
+    en_arr = "[" + ",".join(f"'{x}'" for x in STOPWORDS["en"]) + "]"
+    kept = f"list_filter({w}, x -> NOT list_contains({en_arr}, x))"
+    sqls["text_remove_stopwords"] = f"""
+        SELECT doc_id,
+               {_arrstr_sql(kept, 'string', '|')} AS content_words,
+               CAST(len({kept}) AS BIGINT) AS n_content_words
+        FROM documents
+    """
+
+    segs = (
+        "list_filter(list_transform(string_split_regex(text, '[.!?]+'),"
+        " s -> trim(s)), s -> s <> '')"
+    )
+    sqls["text_sentence_stats"] = f"""
+        WITH d AS (SELECT doc_id, {segs} AS segs FROM documents)
+        SELECT doc_id, CAST(len(segs) AS BIGINT) AS n_sentences,
+               round(CAST(COALESCE(list_sum(list_transform(segs, s -> length(s))), 0)
+                     AS DOUBLE) / greatest(len(segs), 1), 6) AS mean_sentence_chars
+        FROM d
+    """
+
+    sqls["text_bigram_counts"] = f"""
+        WITH d AS (SELECT {w} AS w FROM documents),
+        g AS (
+          SELECT array_to_string(w[i:i+1], ' ') AS gram
+          FROM d, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) u
+          WHERE len(w) >= 2
+        )
+        SELECT gram, count(*) AS cnt FROM g GROUP BY gram HAVING count(*) >= 3
+    """
+
+    sqls["embedding_label_centroids"] = f"""
+        WITH e AS (
+          SELECT label, i AS pos,
+                 CAST(round(CAST(embedding[i] AS DOUBLE), 6) AS DECIMAL(27,6)) AS v
+          FROM embeddings,
+               LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) u
+        ),
+        m AS (
+          SELECT label, pos, round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS m
+          FROM e GROUP BY label, pos
+        )
+        SELECT label, {_arrstr_sql('list(m ORDER BY pos)', 'double')} AS centroid,
+               count(*) AS dim
+        FROM m GROUP BY label
     """
 
     sqls["sample_fraction"] = """

@@ -249,3 +249,45 @@ def lsh_ann(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def label_centroids(
+    df: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    out_col: str = "centroid",
+) -> DataFrame:
+    """Per-group mean embedding (class centroids — nearest-centroid
+    classification, cluster summaries, IVF-style coarse codebooks).
+
+    posexplode → groupBy(group, position) exact-decimal mean →
+    re-collect ordered by position: two shuffles, both on small keys,
+    deterministic at any parallelism.  Components round(6) before the
+    decimal sum so Spark and the SQL oracle accumulate identical
+    values.
+    """
+    exploded = df.select(
+        F.col(group_col).alias("g"),
+        F.posexplode(F.col(vec_col)).alias("pos", "v"),
+    )
+    per_dim = exploded.groupBy("g", "pos").agg(
+        F.round(
+            F.sum(F.round(F.col("v").cast("double"), 6).cast("decimal(27,6)"))
+            .cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("m")
+    )
+    return (
+        per_dim.groupBy("g")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos").alias("_k"), F.col("m").alias("_v")))
+                ),
+                lambda s: s["_v"],
+            ).alias(out_col),
+            F.count(F.lit(1)).alias("dim"),
+        )
+        .select(F.col("g").alias(group_col), out_col, "dim")
+    )

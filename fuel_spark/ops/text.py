@@ -178,3 +178,62 @@ def fingerprint(
     hashed = F.transform(sh, lambda s: F.md5(s))
     sketch = F.slice(F.array_sort(hashed), 1, num_keep)
     return out.withColumn(out_col, F.concat_ws("", sketch)).drop("_norm")
+
+
+def remove_stopwords(
+    df: DataFrame, text_col: str, lang: str = "en", out_col: str = "content_words"
+) -> DataFrame:
+    """Drop closed-class words from the token stream — the standard
+    pre-step before TF-IDF/topic features.  Pure array filter in
+    codegen; no shuffle."""
+    arr = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    w = words(F.col(text_col))
+    kept = F.filter(w, lambda x: ~F.array_contains(arr, x))
+    return df.withColumn(out_col, kept).withColumn(
+        f"n_{out_col}", F.size(kept).cast("bigint")
+    )
+
+
+def sentence_stats(df: DataFrame, text_col: str) -> DataFrame:
+    """Per-document sentence segmentation stats: count and mean
+    length in characters.  Sentences split on runs of [.!?]; empty
+    segments (trailing punctuation) are ignored.  Pure projection."""
+    segs = F.filter(
+        F.transform(F.split(F.col(text_col), "[.!?]+"), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+    n = F.size(segs)
+    total_chars = F.aggregate(
+        segs, F.lit(0), lambda acc, s: acc + F.length(s)
+    )
+    return df.withColumn("n_sentences", n.cast("bigint")).withColumn(
+        "mean_sentence_chars",
+        F.round(total_chars.cast("double") / F.greatest(n, F.lit(1)), 6),
+    )
+
+
+def ngram_counts(
+    df: DataFrame, text_col: str, n: int = 2, min_count: int = 1
+) -> DataFrame:
+    """Corpus-wide word n-gram counts (the count table of an n-gram
+    language model).  One explode + one groupBy shuffle on the gram
+    key — the canonical map-side-combinable aggregation.
+    Output: gram (words joined by space), cnt.
+    """
+    w = words(F.col(text_col))
+    # guard short docs: sequence(1, 0) would count DOWN in Spark
+    grams = F.expr(
+        f"CASE WHEN size(_w) >= {n} THEN"
+        f" transform(sequence(1, size(_w) - {n - 1}),"
+        f" i -> array_join(slice(_w, i, {n}), ' '))"
+        f" ELSE CAST(array() AS array<string>) END"
+    )
+    out = (
+        df.withColumn("_w", w)
+        .select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    if min_count > 1:
+        out = out.where(F.col("cnt") >= min_count)
+    return out

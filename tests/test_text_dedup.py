@@ -159,3 +159,38 @@ def test_dictionary_encode_external_vocab(spark):
     assert enc[0] == [BOS_ID, 3, 4, EOS_ID]
     assert enc[1] == [BOS_ID, EOS_ID]  # empty doc still yields a row
     assert enc[2] == [BOS_ID, UNK_ID, EOS_ID]
+
+
+def test_remove_stopwords_and_sentences(spark):
+    df = from_rows(
+        spark,
+        [(0, "The cat sat. The dog ran! And then?")],
+        schema="doc_id bigint, text string",
+    )
+    r = text_ops.remove_stopwords(df, "text").first()
+    assert "the" not in r.content_words and "cat" in r.content_words
+    s = text_ops.sentence_stats(df, "text").first()
+    assert s.n_sentences == 3
+
+
+def test_ngram_counts_short_doc_safe(spark):
+    df = from_rows(
+        spark,
+        [(0, "a b a b"), (1, "a b"), (2, "x"), (3, "")],
+        schema="doc_id bigint, text string",
+    )
+    got = {r.gram: r.cnt for r in text_ops.ngram_counts(df, "text", n=2).collect()}
+    assert got["a b"] == 3  # two in doc 0, one in doc 1
+    assert got["b a"] == 1
+    assert all(" " in g for g in got)  # no single-word grams leaked
+
+
+def test_label_centroids_matches_numpy(spark):
+    import numpy as np
+
+    rows = [(0, 0, [1.0, 2.0]), (1, 0, [3.0, 6.0]), (2, 1, [5.0, 5.0])]
+    df = from_rows(spark, rows, schema="vec_id bigint, label int, embedding array<double>")
+    got = {r.label: (r.centroid, r.dim) for r in
+           similarity.label_centroids(df).collect()}
+    assert got[0] == ([2.0, 4.0], 2)
+    assert got[1] == ([5.0, 5.0], 2)
