@@ -21,7 +21,14 @@ def test_oracle_keys_subset_of_queries():
     o = set(E.oracle_sql())
     assert o <= q
     # rows-only set is exactly the documented non-SQL-expressible ops
-    assert q - o == {"multimodal_decode", "ann_lsh", "ann_ivf"}
+    assert q - o == {
+        "multimodal_decode",
+        "ann_lsh",
+        "ann_ivf",
+        "pack_batches_local",
+        "pad_sequences_local",
+        "sort_batches_local",
+    }
 
 
 def test_every_query_runs_at_sf0001(spark):
