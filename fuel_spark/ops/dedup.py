@@ -22,6 +22,7 @@ from fuel_spark.functions import (
     ensure_parallelism,
     minhash_expr,
     norm_text,
+    shingle_hashes_expr,
     shingles_over_norm,
 )
 
@@ -55,11 +56,14 @@ def with_minhash_bands(
     """
     rows_per_band = num_hashes // bands
     # normalize once, then shingle over the materialized column —
-    # inlining the regex into the shingle lambda is O(len²)/doc
+    # inlining the regex into the shingle lambda is O(len²)/doc.
+    # One md5 per shingle materialized as `_hs`; the K minhashes are
+    # integer rehashes of that array (see functions.minhash_expr).
     out = ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
     out = out.select(F.col(id_col), norm_text(F.col(text_col)).alias("_norm"))
     out = out.select(F.col(id_col), shingles_over_norm("_norm", shingle_k).alias("_sh"))
-    mh = [minhash_expr("_sh", j).alias(f"_mh{j}") for j in range(num_hashes)]
+    out = out.select(F.col(id_col), shingle_hashes_expr("_sh").alias("_hs"))
+    mh = [minhash_expr("_hs", j).alias(f"_mh{j}") for j in range(num_hashes)]
     out = out.select(id_col, *mh)
     band_structs = []
     for b in range(bands):
