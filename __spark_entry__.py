@@ -544,6 +544,84 @@ def q_fingerprint(spark, sf):
     return text_ops.fingerprint(d, "text").select("doc_id", "fingerprint")
 
 
+def q_repetition(spark, sf):
+    d = _t(spark, sf)["documents"].select("doc_id", "text")
+    return text_ops.repetition_stats(d, "text").select(
+        "doc_id", "n_words", "dup_word_frac", "dup_bigram_frac", "top_bigram_frac"
+    )
+
+
+def _inject_pii(d):
+    # plant deterministic PII in every 5th doc so the redaction oracle
+    # actually exercises the patterns (the corpus itself is clean)
+    injected = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" reach me at user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or call 555-123-4567 from 10.0.0."),
+            (F.col("doc_id") % 256).cast("string"),
+        ),
+    ).otherwise(F.col("text"))
+    return d.withColumn("text", injected)
+
+
+def q_redact_pii(spark, sf):
+    d = _inject_pii(_t(spark, sf)["documents"].select("doc_id", "text"))
+    return text_ops.redact_pii(d, "text").select(
+        "doc_id", "n_email", "n_phone", "n_ipv4", "redacted"
+    )
+
+
+def q_stratified_sample(spark, sf):
+    d = _t(spark, sf)["documents"]
+    out = schemes.stratified_sample(
+        d,
+        "lang",
+        {"en": 0.5, "fr": 0.3, "de": 0.2},
+        key="doc_id",
+        seed=7,
+        default_fraction=0.1,
+    )
+    return out.select("doc_id", "lang", "source")
+
+
+def _with_len_bucket(d):
+    return d.withColumn(
+        "len_bucket", F.floor(F.col("n_chars") / 100).cast("bigint")
+    )
+
+
+def q_mixture_weights(spark, sf):
+    d = _with_len_bucket(_t(spark, sf)["documents"])
+    return schemes.temperature_weights(d, "len_bucket", alpha=0.7)
+
+
+def q_mixture_sample(spark, sf):
+    d = _with_len_bucket(_t(spark, sf)["documents"])
+    out = schemes.apply_mixture_sample(
+        d, "len_bucket", key="doc_id", alpha=0.7, seed=13
+    )
+    return (
+        out.groupBy("len_bucket")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .orderBy("len_bucket")
+    )
+
+
+def q_events_funnel(spark, sf):
+    return analytics.events_funnel(_t(spark, sf))
+
+
+def q_cohort_retention(spark, sf):
+    out = analytics.events_cohort_retention(_t(spark, sf))
+    # date -> string: pandas date vs datetime64 canonicalize differently
+    return out.withColumn(
+        "cohort_day", F.date_format("cohort_day", "yyyy-MM-dd")
+    )
+
+
 def q_dedup_exact(spark, sf):
     d = _t(spark, sf)["documents"]
     return dedup.exact_dedup(d, "doc_id", "text")
@@ -733,6 +811,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bigram_counts": q_bigram_counts,
         "embedding_label_centroids": q_label_centroids,
         "sample_fraction": q_sample,
+        "text_repetition": q_repetition,
+        "text_redact_pii": q_redact_pii,
+        "sample_stratified": q_stratified_sample,
+        "mixture_weights": q_mixture_weights,
+        "mixture_sample": q_mixture_sample,
+        "events_funnel": q_events_funnel,
+        "events_cohort_retention": q_cohort_retention,
         # dedup
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_pairs": q_dedup_minhash,
@@ -1591,6 +1676,143 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
         FROM ranked WHERE rank <= 5
+    """
+
+    # --- LLM-pipeline round-2 additions -----------------------------------
+    sqls["text_repetition"] = f"""
+        WITH d AS (SELECT doc_id, {w} AS w FROM documents),
+        b AS (
+          SELECT doc_id, w,
+                 CASE WHEN len(w) >= 2 THEN
+                   list_transform(generate_series(1, len(w) - 1),
+                                  i -> concat(w[i], ' ', w[i+1]))
+                 ELSE [] END AS bg
+          FROM d
+        )
+        SELECT doc_id,
+               CAST(len(w) AS BIGINT) AS n_words,
+               round(CAST(len(w) - len(list_distinct(w)) AS DOUBLE)
+                     / greatest(len(w), 1), 6) AS dup_word_frac,
+               round(CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE)
+                     / greatest(len(bg), 1), 6) AS dup_bigram_frac,
+               round(CAST(CASE WHEN len(bg) = 0 THEN 0 ELSE
+                       list_max(list_transform(list_distinct(bg),
+                                g -> len(list_filter(bg, x -> x = g))))
+                     END AS DOUBLE) / greatest(len(bg), 1), 6) AS top_bigram_frac
+        FROM b
+    """
+
+    from fuel_spark.ops.text import PII_PATTERNS
+
+    _em, _ph, _ip = (
+        PII_PATTERNS["email"], PII_PATTERNS["phone"], PII_PATTERNS["ipv4"]
+    )
+    sqls["text_redact_pii"] = f"""
+        WITH inj AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 5 = 0 THEN
+                   concat(text, ' reach me at user', CAST(doc_id AS VARCHAR),
+                          '@example.com or call 555-123-4567 from 10.0.0.',
+                          CAST(doc_id % 256 AS VARCHAR))
+                 ELSE text END AS text
+          FROM documents
+        ),
+        r1 AS (
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(text, '{_em}')) AS BIGINT) AS n_email,
+                 regexp_replace(text, '{_em}', '<EMAIL>', 'g') AS t1
+          FROM inj
+        ),
+        r2 AS (
+          SELECT doc_id, n_email,
+                 CAST(len(regexp_extract_all(t1, '{_ph}')) AS BIGINT) AS n_phone,
+                 regexp_replace(t1, '{_ph}', '<PHONE>', 'g') AS t2
+          FROM r1
+        )
+        SELECT doc_id, n_email, n_phone,
+               CAST(len(regexp_extract_all(t2, '{_ip}')) AS BIGINT) AS n_ipv4,
+               regexp_replace(t2, '{_ip}', '<IPV4>', 'g') AS redacted
+        FROM r2
+    """
+
+    _strat_thr = {"en": int(0.5 * 16777216), "fr": int(0.3 * 16777216),
+                  "de": int(0.2 * 16777216)}
+    _strat_cases = " ".join(
+        f"WHEN lang = '{g}' THEN {t}" for g, t in _strat_thr.items()
+    )
+    sqls["sample_stratified"] = f"""
+        SELECT doc_id, lang, source FROM documents
+        WHERE CAST(CAST(concat('0x', substring(
+                md5(concat('7', '-', CAST(doc_id AS VARCHAR))), 1, 6))
+              AS UBIGINT) AS BIGINT)
+          < (CASE {_strat_cases} ELSE {int(0.1 * 16777216)} END)
+    """
+
+    _mix_cte = """
+        g AS (SELECT CAST(floor(n_chars / 100) AS BIGINT) AS len_bucket,
+                     count(*) AS n_rows
+              FROM documents GROUP BY 1),
+        p AS (SELECT len_bucket, n_rows,
+                     pow(CAST(n_rows AS DOUBLE), 0.7) AS pw FROM g),
+        s AS (SELECT len_bucket, n_rows,
+                     pw / sum(pw) OVER () AS weight FROM p),
+        r AS (SELECT len_bucket, n_rows, weight,
+                     weight / n_rows AS rr FROM s),
+        rates AS (SELECT len_bucket, n_rows, round(weight, 6) AS weight,
+                         round(rr / max(rr) OVER (), 6) AS sample_rate FROM r)
+    """
+    sqls["mixture_weights"] = f"""
+        WITH {_mix_cte}
+        SELECT len_bucket, n_rows, weight, sample_rate FROM rates
+    """
+
+    sqls["mixture_sample"] = f"""
+        WITH {_mix_cte},
+        kept AS (
+          SELECT CAST(floor(d.n_chars / 100) AS BIGINT) AS len_bucket
+          FROM documents d
+          JOIN rates ON CAST(floor(d.n_chars / 100) AS BIGINT) = rates.len_bucket
+          WHERE CAST(CAST(concat('0x', substring(
+                  md5(concat('13', '-', CAST(d.doc_id AS VARCHAR))), 1, 6))
+                AS UBIGINT) AS BIGINT) < floor(rates.sample_rate * 16777216)
+        )
+        SELECT len_bucket, count(*) AS n_kept FROM kept GROUP BY 1 ORDER BY 1
+    """
+
+    sqls["events_funnel"] = """
+        WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                    WHERE event_type = 'view' GROUP BY 1),
+        s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+               JOIN s1 ON e.user_id = s1.user_id
+               WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+        s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+               JOIN s2 ON e.user_id = s2.user_id
+               WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1),
+        u AS (
+          SELECT 1 AS stage, 'view' AS step, count(*) AS n_users FROM s1
+          UNION ALL
+          SELECT 2, 'click', count(*) FROM s2
+          UNION ALL
+          SELECT 3, 'purchase', count(*) FROM s3
+        )
+        SELECT stage, step, n_users,
+               round(CAST(n_users AS DOUBLE)
+                     / first_value(n_users) OVER (ORDER BY stage), 6)
+               AS conversion
+        FROM u
+    """
+
+    sqls["events_cohort_retention"] = """
+        WITH fs AS (SELECT user_id, date_trunc('day', min(ts)) AS cohort_day
+                    FROM events GROUP BY 1),
+        a AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+        j AS (SELECT a.user_id, fs.cohort_day,
+                     date_diff('day', fs.cohort_day, a.day) AS day_offset
+              FROM a JOIN fs ON a.user_id = fs.user_id)
+        SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+               CAST(day_offset AS BIGINT) AS day_offset,
+               count(*) AS n_active_users
+        FROM j GROUP BY 1, 2 ORDER BY 1, 2
     """
 
     return sqls

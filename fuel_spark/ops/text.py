@@ -237,3 +237,81 @@ def ngram_counts(
     if min_count > 1:
         out = out.where(F.col("cnt") >= min_count)
     return out
+
+
+def repetition_stats(df: DataFrame, text_col: str) -> DataFrame:
+    """Gopher-style repetition signals per document (Rae et al. 2021,
+    "Scaling Language Models", Table A1): duplicate-word fraction,
+    duplicate-bigram fraction, and the fraction of the document taken
+    by the single most frequent bigram.
+
+    All per-row array expressions in codegen — no shuffle; the
+    top-bigram scan is O(distinct_bigrams x n_bigrams) per document,
+    bounded by document length, never by corpus size.
+    """
+    out = df.withColumn("_w", words(F.col(text_col)))
+    bigrams = F.expr(
+        "CASE WHEN size(_w) >= 2 THEN"
+        " transform(sequence(1, size(_w) - 1),"
+        " i -> array_join(slice(_w, i, 2), ' '))"
+        " ELSE CAST(array() AS array<string>) END"
+    )
+    out = out.withColumn("_bg", bigrams)
+    nw = F.size("_w").cast("double")
+    nbg = F.size("_bg").cast("double")
+    top_bg = F.expr(
+        "CASE WHEN size(_bg) = 0 THEN 0 ELSE"
+        " array_max(transform(array_distinct(_bg),"
+        " g -> size(filter(_bg, x -> x = g)))) END"
+    )
+    return (
+        out.withColumn("n_words", F.size("_w").cast("bigint"))
+        .withColumn(
+            "dup_word_frac",
+            F.round(
+                (nw - F.size(F.array_distinct("_w"))) / F.greatest(nw, F.lit(1.0)), 6
+            ),
+        )
+        .withColumn(
+            "dup_bigram_frac",
+            F.round(
+                (nbg - F.size(F.array_distinct("_bg"))) / F.greatest(nbg, F.lit(1.0)),
+                6,
+            ),
+        )
+        .withColumn(
+            "top_bigram_frac",
+            F.round(top_bg.cast("double") / F.greatest(nbg, F.lit(1.0)), 6),
+        )
+        .drop("_w", "_bg")
+    )
+
+
+# PII patterns chosen to parse identically under Java regex (Spark)
+# and RE2 (DuckDB): plain character classes, no lookaround.
+PII_PATTERNS = {
+    "email": "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "phone": "\\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}",
+    "ipv4": "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}",
+}
+
+
+def redact_pii(
+    df: DataFrame, text_col: str, out_col: str = "redacted"
+) -> DataFrame:
+    """Scrub emails / phone numbers / IPv4 literals, the standard
+    pre-training privacy pass: each match is replaced by a typed
+    sentinel (``<EMAIL>`` etc.) and counted per document.
+
+    Pure projection (regexp_replace + regexp_count in codegen);
+    patterns apply in a fixed order so overlapping matches resolve
+    deterministically in both engines.
+    """
+    red = F.col(text_col)
+    counts = []
+    for name, pat in PII_PATTERNS.items():
+        counts.append(
+            F.regexp_count(red, F.lit(pat)).cast("bigint").alias(f"n_{name}")
+        )
+        red = F.regexp_replace(red, pat, f"<{name.upper()}>")
+    return df.select("*", *counts).withColumn(out_col, red)

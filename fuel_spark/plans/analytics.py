@@ -624,3 +624,79 @@ def best_supplier_per_nation(t: dict[str, DataFrame]) -> DataFrame:
             F.round("revenue", 6).alias("revenue"),
         )
     )
+
+
+def events_funnel(
+    t: dict[str, DataFrame],
+    steps: tuple[str, str, str] = ("view", "click", "purchase"),
+) -> DataFrame:
+    """Ordered conversion funnel: users whose first ``steps[0]`` is
+    followed (strictly later) by a ``steps[1]``, then a ``steps[2]``.
+
+    Per-step per-user minima are one shuffle each on user_id; the
+    step tables are user-cardinality (tiny vs the event log) so the
+    chaining joins broadcast.  Emits one row per funnel stage with a
+    conversion rate off the stage-1 population.
+    """
+    e = t["events"]
+    s1 = (
+        e.where(F.col("event_type") == steps[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        e.where(F.col("event_type") == steps[1])
+        .join(F.broadcast(s1), "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        e.where(F.col("event_type") == steps[2])
+        .join(F.broadcast(s2), "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    from pyspark.sql import Window as W
+
+    stages = [(1, steps[0], s1), (2, steps[1], s2), (3, steps[2], s3)]
+    rows = None
+    for i, name, s in stages:
+        c = s.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(i).alias("stage"),
+            F.lit(name).alias("step"),
+            "n_users",
+        )
+        rows = c if rows is None else rows.unionByName(c)
+    # base population = stage 1's count, read off the 3-row union with
+    # a window — no separate driver-side count pass
+    base = F.first("n_users").over(W.orderBy("stage"))
+    return rows.withColumn(
+        "conversion", F.round(F.col("n_users").cast("double") / base, 6)
+    )
+
+
+def events_cohort_retention(t: dict[str, DataFrame]) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-seen day,
+    counted as retained in each later day-offset they were active.
+
+    Two user-keyed shuffles (first-seen min, then distinct activity) —
+    both map-side combinable; the output is |cohorts| x |offsets|,
+    independent of event volume.
+    """
+    e = t["events"]
+    first_seen = e.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    )
+    active = (
+        e.select("user_id", F.date_trunc("day", F.col("ts")).alias("day"))
+        .distinct()
+        .join(F.broadcast(first_seen), "user_id")
+        .withColumn("day_offset", F.datediff("day", "cohort_day").cast("bigint"))
+    )
+    return (
+        active.groupBy(F.to_date("cohort_day").alias("cohort_day"), "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+        .orderBy("cohort_day", "day_offset")
+    )

@@ -149,3 +149,81 @@ def partition_local_batches(
     return df.withColumn(
         batch_col, pid * F.lit(1 << 33) + F.floor(local / batch_size)
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    group_col: str,
+    fractions: dict[str, float],
+    key: str,
+    seed: int = 42,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-group deterministic sampling (language/source-balanced
+    corpus construction): each group keeps its own fraction, membership
+    decided by md5(seed-key) exactly like ``deterministic_sample`` —
+    reproducible across engines, partitionings, and corpus growth.
+
+    The per-group threshold is a literal CASE chain (no join, no
+    shuffle): at 100 TB this is a pure scan-side filter that combines
+    with predicate pushdown on ``group_col`` when present.
+    """
+    bucket = F.conv(F.substring(det_key(seed, F.col(key)), 1, 6), 16, 10).cast("bigint")
+    thr = F.lit(int(default_fraction * 16777216))
+    for g, frac in sorted(fractions.items()):
+        thr = F.when(F.col(group_col) == g, F.lit(int(frac * 16777216))).otherwise(thr)
+    return df.where(bucket < thr)
+
+
+def temperature_weights(
+    df: DataFrame, group_col: str, alpha: float = 0.7
+) -> DataFrame:
+    """Temperature-based mixture weights over groups (multilingual
+    LM sampling, Conneau & Lample 2019 §3.1): group g gets probability
+    p_g = n_g^alpha / sum_h n_h^alpha, flattening the head and
+    boosting the tail as alpha -> 0.
+
+    Also emits ``sample_rate``: the per-row keep probability that
+    realizes the mixture without upsampling (rate_g proportional to
+    p_g / n_g, scaled so the largest rate is 1.0).  One tiny groupBy;
+    the window runs over the group table (|groups| rows), never the
+    corpus.
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_rows"))
+    w = Window.partitionBy()
+    pw = F.pow(F.col("n_rows").cast("double"), F.lit(alpha))
+    rate_raw = F.col("weight") / F.col("n_rows")
+    return (
+        counts.withColumn("weight", pw / F.sum(pw).over(w))
+        .withColumn("sample_rate", rate_raw / F.max(rate_raw).over(w))
+        .withColumn("weight", F.round("weight", 6))
+        .withColumn("sample_rate", F.round("sample_rate", 6))
+    )
+
+
+def apply_mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    key: str,
+    alpha: float = 0.7,
+    seed: int = 42,
+) -> DataFrame:
+    """Materialize a temperature-mixture sample: broadcast-join the
+    per-group ``sample_rate`` (tiny) onto the corpus and keep rows by
+    the same md5 threshold rule as ``deterministic_sample``.  The
+    rounded rate is the join key's contract, so Spark and the oracle
+    agree bit-for-bit on membership.
+    """
+    rates = temperature_weights(df, group_col, alpha).select(
+        group_col, "sample_rate"
+    )
+    bucket = F.conv(F.substring(det_key(seed, F.col(key)), 1, 6), 16, 10).cast("bigint")
+    # explicit floor: DuckDB's double->bigint CAST rounds while Spark's
+    # truncates, so the threshold must be floored before comparing
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .where(bucket < F.floor(F.col("sample_rate") * 16777216))
+        .drop("sample_rate")
+    )

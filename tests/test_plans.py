@@ -122,3 +122,57 @@ def test_new_tpch_shapes_broadcast_and_partitioned(spark):
     assert "SinglePartition" not in best  # argmax window is per-nation
     waiting = _plan(analytics.waiting_customers(t))
     assert "LeftAnti" in waiting
+
+
+def test_events_funnel_counts(spark):
+    import datetime as dt
+
+    from fuel_spark.plans import analytics
+    from fuel_spark.sources import from_rows
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(uid, typ, minutes):
+        return (uid, typ, t0 + dt.timedelta(minutes=minutes), 1.0)
+
+    rows = [
+        ev(1, "view", 0), ev(1, "click", 5), ev(1, "purchase", 9),
+        ev(2, "view", 0), ev(2, "click", 3),
+        ev(3, "click", 1),                      # click without view
+        ev(4, "purchase", 0), ev(4, "view", 5),  # purchase BEFORE view
+    ]
+    e = from_rows(
+        spark, rows,
+        schema="user_id bigint, event_type string, ts timestamp, value double",
+    )
+    out = {r.stage: r for r in analytics.events_funnel({"events": e}).collect()}
+    assert out[1].n_users == 3          # users 1, 2, 4 viewed
+    assert out[2].n_users == 2          # 1 and 2 clicked after viewing
+    assert out[3].n_users == 1          # only 1 purchased after clicking
+    assert abs(out[3].conversion - 1 / 3) < 1e-5
+
+
+def test_cohort_retention_offsets(spark):
+    import datetime as dt
+
+    from fuel_spark.plans import analytics
+    from fuel_spark.sources import from_rows
+
+    def ev(uid, day, hour):
+        return (uid, "view", dt.datetime(2024, 1, day, hour), 1.0)
+
+    rows = [
+        ev(1, 1, 9), ev(1, 1, 17), ev(1, 2, 9),   # day-0 twice, day-1
+        ev(2, 2, 9), ev(2, 4, 9),                 # cohort Jan 2: offsets 0, 2
+    ]
+    e = from_rows(
+        spark, rows,
+        schema="user_id bigint, event_type string, ts timestamp, value double",
+    )
+    out = analytics.events_cohort_retention({"events": e}).collect()
+    got = {(str(r.cohort_day), r.day_offset): r.n_active_users for r in out}
+    assert got[("2024-01-01", 0)] == 1
+    assert got[("2024-01-01", 1)] == 1
+    assert got[("2024-01-02", 0)] == 1
+    assert got[("2024-01-02", 2)] == 1
+    assert len(got) == 4

@@ -68,3 +68,51 @@ def test_partition_local_batches_no_global_sort(spark):
              out.groupBy("batch_id").agg(F.count(F.lit(1)).alias("cnt")).collect()]
     assert sum(sizes) == 100
     assert max(sizes) <= 10
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    rows = [(i, "en" if i % 2 == 0 else "fr") for i in range(400)]
+    df = from_rows(spark, rows, schema="k bigint, lang string")
+    out = schemes.stratified_sample(
+        df, "lang", {"en": 1.0, "fr": 0.0}, key="k", seed=3
+    )
+    got = [(r.k, r.lang) for r in out.collect()]
+    assert len(got) == 200 and all(l == "en" for _, l in got)
+    # partial fractions land near target and repeat exactly
+    out2 = schemes.stratified_sample(df, "lang", {"en": 0.5}, key="k", seed=3)
+    n = out2.count()
+    assert 60 <= n <= 140  # 200 * 0.5 ± slack
+    assert out2.count() == n
+
+
+def test_temperature_weights_alpha_one_is_proportional(spark):
+    rows = [(i, "a" if i < 90 else "b") for i in range(100)]
+    df = from_rows(spark, rows, schema="k bigint, g string")
+    w = {r.g: (r.weight, r.sample_rate) for r in
+         schemes.temperature_weights(df, "g", alpha=1.0).collect()}
+    assert abs(w["a"][0] - 0.9) < 1e-6 and abs(w["b"][0] - 0.1) < 1e-6
+    # alpha=1 → per-row keep rate identical across groups
+    assert w["a"][1] == 1.0 and w["b"][1] == 1.0
+
+
+def test_temperature_weights_flattens_head(spark):
+    rows = [(i, "big" if i < 180 else "small") for i in range(200)]
+    df = from_rows(spark, rows, schema="k bigint, g string")
+    w = {r.g: r.weight for r in
+         schemes.temperature_weights(df, "g", alpha=0.5).collect()}
+    # sqrt flattening: big keeps majority but far below its 0.9 share
+    assert 0.5 < w["big"] < 0.9
+    rates = {r.g: r.sample_rate for r in
+             schemes.temperature_weights(df, "g", alpha=0.5).collect()}
+    # the smallest group is never downsampled
+    assert rates["small"] == 1.0 and rates["big"] < 1.0
+
+
+def test_apply_mixture_sample_keeps_all_of_smallest(spark):
+    rows = [(i, "big" if i < 180 else "small") for i in range(200)]
+    df = from_rows(spark, rows, schema="k bigint, g string")
+    out = schemes.apply_mixture_sample(df, "g", key="k", alpha=0.5, seed=5)
+    by_g = {r.g: r.cnt for r in
+            out.groupBy("g").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert by_g["small"] == 20  # rate 1.0 → everything kept
+    assert 0 < by_g["big"] < 180

@@ -194,3 +194,35 @@ def test_label_centroids_matches_numpy(spark):
            similarity.label_centroids(df).collect()}
     assert got[0] == ([2.0, 4.0], 2)
     assert got[1] == ([5.0, 5.0], 2)
+
+
+def test_repetition_stats_known_fractions(spark):
+    df = from_rows(spark, [(1, "a a a b"), (2, "x y z w")],
+                   schema="doc_id bigint, text string")
+    rows = {r.doc_id: r for r in
+            text_ops.repetition_stats(df, "text").collect()}
+    r1 = rows[1]
+    assert r1.n_words == 4
+    assert abs(r1.dup_word_frac - 0.5) < 1e-9        # 4 words, 2 distinct
+    assert abs(r1.dup_bigram_frac - (1 / 3)) < 1e-5  # [a a, a a, a b]
+    assert abs(r1.top_bigram_frac - (2 / 3)) < 1e-5
+    r2 = rows[2]
+    assert r2.dup_word_frac == 0.0 and r2.top_bigram_frac < 0.5
+
+
+def test_redact_pii_counts_and_sentinels(spark):
+    df = from_rows(
+        spark,
+        [(1, "mail bob@corp.io or bob.smith@mail.example.org today"),
+         (2, "call 555-123-4567 now"),
+         (3, "server at 192.168.1.10 up"),
+         (4, "clean text")],
+        schema="doc_id bigint, text string",
+    )
+    rows = {r.doc_id: r for r in text_ops.redact_pii(df, "text").collect()}
+    assert rows[1].n_email == 2 and "<EMAIL>" in rows[1].redacted
+    assert "bob" not in rows[1].redacted.replace("<EMAIL>", "")
+    assert rows[2].n_phone == 1 and "<PHONE>" in rows[2].redacted
+    assert rows[3].n_ipv4 == 1 and "<IPV4>" in rows[3].redacted
+    assert rows[4].redacted == "clean text"
+    assert rows[4].n_email == rows[4].n_phone == rows[4].n_ipv4 == 0
