@@ -622,6 +622,16 @@ def q_cohort_retention(spark, sf):
     )
 
 
+def q_ngram_dup(spark, sf):
+    d = _t(spark, sf)["documents"].select("doc_id", "text")
+    return dedup.cross_doc_ngram_dup(d, "doc_id", "text", n=3)
+
+
+def q_unigram_logprob(spark, sf):
+    d = _t(spark, sf)["documents"].select("doc_id", "text")
+    return text_ops.unigram_logprob(d, "doc_id", "text")
+
+
 def q_dedup_exact(spark, sf):
     d = _t(spark, sf)["documents"]
     return dedup.exact_dedup(d, "doc_id", "text")
@@ -818,6 +828,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "events_funnel": q_events_funnel,
         "events_cohort_retention": q_cohort_retention,
+        "dedup_ngram_spans": q_ngram_dup,
+        "text_unigram_logprob": q_unigram_logprob,
         # dedup
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_pairs": q_dedup_minhash,
@@ -1800,6 +1812,43 @@ def oracle_sql() -> dict[str, str]:
                      / first_value(n_users) OVER (ORDER BY stage), 6)
                AS conversion
         FROM u
+    """
+
+    sqls["dedup_ngram_spans"] = f"""
+        WITH d AS (SELECT doc_id, {w} AS w FROM documents),
+        g AS (
+          SELECT doc_id,
+                 CASE WHEN len(w) >= 3 THEN
+                   list_distinct(list_transform(generate_series(1, len(w) - 2),
+                     i -> substring(md5(concat(w[i], ' ', w[i+1], ' ', w[i+2])),
+                                    1, 16)))
+                 ELSE [] END AS gs
+          FROM d
+        ),
+        e AS (SELECT doc_id, unnest(gs) AS gh FROM g),
+        c AS (SELECT gh, count(*) AS n_docs FROM e GROUP BY 1)
+        SELECT e.doc_id, count(*) AS n_grams,
+               CAST(sum(CASE WHEN c.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dup_grams,
+               round(CAST(sum(CASE WHEN c.n_docs >= 2 THEN 1 ELSE 0 END)
+                     AS DOUBLE) / greatest(count(*), 1), 6) AS dup_gram_frac
+        FROM e JOIN c ON e.gh = c.gh GROUP BY 1
+    """
+
+    sqls["text_unigram_logprob"] = f"""
+        WITH t AS (SELECT doc_id, unnest({w}) AS word FROM documents),
+        tt AS (SELECT doc_id, word FROM t WHERE word <> ''),
+        c AS (SELECT word, count(*) AS cnt FROM tt GROUP BY 1),
+        tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM c),
+        s AS (
+          SELECT tt.doc_id,
+                 CAST(round(log10(CAST(c.cnt AS DOUBLE) / tot.total), 6)
+                      AS DECIMAL(27,6)) AS lp
+          FROM tt JOIN c ON tt.word = c.word CROSS JOIN tot
+        )
+        SELECT doc_id, count(*) AS n_tokens,
+               round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS mean_logprob
+        FROM s GROUP BY 1
     """
 
     sqls["events_cohort_retention"] = """

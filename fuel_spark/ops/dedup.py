@@ -216,3 +216,57 @@ def simhash(
     for t in bit_terms[1:]:
         fp = fp + t
     return out.withColumn(out_col, fp.cast("bigint")).drop("_w")
+
+
+def cross_doc_ngram_dup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Cross-document duplicated-span signal (the word-n-gram
+    relaxation of suffix-array substring dedup, Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better"):
+    for each document, the fraction of its distinct word n-grams that
+    also occur in at least one OTHER document.
+
+    Grams shuffle as 16-hex md5 prefixes (64-bit keys), not raw
+    strings — at 100 TB the gram exchange is the cost, and hashing
+    cuts it to fixed width.  Two map-side-combinable shuffles (per-doc
+    distinct grams, corpus gram counts) + one join back on the hash.
+    """
+    grams = F.expr(
+        f"CASE WHEN size(_w) >= {n} THEN"
+        f" array_distinct(transform(sequence(1, size(_w) - {n - 1}),"
+        f" i -> substring(md5(array_join(slice(_w, i, {n}), ' ')), 1, 16)))"
+        f" ELSE CAST(array() AS array<string>) END"
+    )
+    from fuel_spark.functions import words
+
+    per_doc = (
+        ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
+        .withColumn("_w", words(F.col(text_col)))
+        .select(F.col(id_col), grams.alias("_g"))
+        .select(F.col(id_col), F.explode("_g").alias("gh"))
+    )
+    doc_counts = per_doc.groupBy("gh").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    return (
+        per_doc.join(doc_counts, "gh")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0)).alias(
+                "n_dup_grams"
+            ),
+        )
+        .withColumn(
+            "dup_gram_frac",
+            F.round(
+                F.col("n_dup_grams").cast("double")
+                / F.greatest(F.col("n_grams"), F.lit(1)),
+                6,
+            ),
+        )
+    )

@@ -315,3 +315,50 @@ def redact_pii(
         )
         red = F.regexp_replace(red, pat, f"<{name.upper()}>")
     return df.select("*", *counts).withColumn(out_col, red)
+
+
+def unigram_logprob(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Corpus-unigram language-model score per document: the mean
+    log10 probability of the document's tokens under the corpus's own
+    unigram distribution — the classic cheap fluency/outlier filter
+    (CCNet uses a KenLM for the same purpose; the unigram LM is its
+    portable, in-plan reduction).
+
+    One shuffle builds the count table, the corpus total rides along
+    as a broadcast 1-row relation (no driver pass), and each token
+    joins back to its probability.  Per-token log probs are rounded
+    then summed as DECIMAL so the per-doc mean is bit-deterministic
+    at any parallelism.
+    Output: id, n_tokens, mean_logprob.
+    """
+    toks = (
+        ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), F.explode(words(F.col(text_col))).alias("word"))
+        .where(F.col("word") != "")
+    )
+    counts = toks.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.select(F.sum("cnt").cast("double").alias("_total"))
+    lp6 = F.round(
+        F.log10(F.col("cnt").cast("double") / F.col("_total")), 6
+    ).cast("decimal(27,6)")
+    scored = (
+        toks.join(F.broadcast(counts), "word")
+        .crossJoin(F.broadcast(total))
+        .withColumn("_lp", lp6)
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("_lp").alias("_sum_lp"),
+        )
+        .withColumn(
+            "mean_logprob",
+            F.round(
+                F.col("_sum_lp").cast("double") / F.col("n_tokens"), 6
+            ),
+        )
+        .drop("_sum_lp")
+    )

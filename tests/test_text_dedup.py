@@ -226,3 +226,31 @@ def test_redact_pii_counts_and_sentinels(spark):
     assert rows[3].n_ipv4 == 1 and "<IPV4>" in rows[3].redacted
     assert rows[4].redacted == "clean text"
     assert rows[4].n_email == rows[4].n_phone == rows[4].n_ipv4 == 0
+
+
+def test_cross_doc_ngram_dup_fraction(spark):
+    df = from_rows(
+        spark,
+        [(1, "a b c d"), (2, "a b c e"), (3, "x y z w")],
+        schema="doc_id bigint, text string",
+    )
+    rows = {r.doc_id: r for r in
+            dedup.cross_doc_ngram_dup(df, "doc_id", "text", n=3).collect()}
+    assert rows[1].n_grams == 2 and rows[1].n_dup_grams == 1
+    assert abs(rows[1].dup_gram_frac - 0.5) < 1e-9   # shares 'a b c' with doc 2
+    assert rows[3].n_dup_grams == 0 and rows[3].dup_gram_frac == 0.0
+
+
+def test_unigram_logprob_matches_hand_computation(spark):
+    df = from_rows(
+        spark, [(1, "a a a"), (2, "a b")],
+        schema="doc_id bigint, text string",
+    )
+    rows = {r.doc_id: r for r in
+            text_ops.unigram_logprob(df, "doc_id", "text").collect()}
+    # counts: a=4, b=1, total=5
+    assert rows[1].n_tokens == 3
+    assert abs(rows[1].mean_logprob - math.log10(0.8)) < 1e-5
+    expect2 = (math.log10(0.8) + math.log10(0.2)) / 2
+    assert rows[2].n_tokens == 2
+    assert abs(rows[2].mean_logprob - expect2) < 1e-5
