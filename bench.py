@@ -38,6 +38,9 @@ HEADLINERS = (
     "text_token_counts",
     "ann_topk_cosine",
     "asof_join",
+    "dedup_ngram_spans",
+    "text_unigram_logprob",
+    "events_funnel",
 )
 
 

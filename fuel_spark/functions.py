@@ -31,6 +31,19 @@ def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame
         return df.repartition(target)
     return df
 
+def with_materialized(df: DataFrame, name: str, col: Column) -> DataFrame:
+    """Materialize an expensive expression as a real per-row column
+    behind a Generate barrier: ``explode(array(col))`` yields exactly
+    one row and CollapseProject cannot inline generator output into
+    later projections, so ``col`` evaluates once per row even when the
+    result is referenced from several expressions or inside
+    higher-order-function lambdas (which would otherwise re-evaluate
+    it per element — the O(len^2) trap).  No shuffle; the Generate
+    node stays inside whole-stage codegen.
+    """
+    return df.select("*", F.explode(F.array(col)).alias(name))
+
+
 def salted_sum(
     df: DataFrame,
     key_cols: list[str],

@@ -243,9 +243,16 @@ def cross_doc_ngram_dup(
     )
     from fuel_spark.functions import words
 
+    # explode(array(words)) is a Generate node: a projection-collapse
+    # barrier that forces _w to materialize once per row.  Without it
+    # Catalyst inlines the normalize+split into the per-position gram
+    # lambda — O(len^2) per doc, measured 30x slower at sf0.1.
     per_doc = (
         ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
-        .withColumn("_w", words(F.col(text_col)))
+        .select(
+            F.col(id_col),
+            F.explode(F.array(words(F.col(text_col)))).alias("_w"),
+        )
         .select(F.col(id_col), grams.alias("_g"))
         .select(F.col(id_col), F.explode("_g").alias("gh"))
     )

@@ -15,6 +15,7 @@ from fuel_spark.functions import (
     ensure_parallelism,
     norm_text,
     shingles_over_norm,
+    with_materialized,
     words,
 )
 
@@ -78,7 +79,11 @@ def quality_score(df: DataFrame, text_col: str) -> DataFrame:
     length, mean word length, alpha ratio, stopword ratio.
     """
     t = F.col(text_col)
-    w = words(t)
+    # barrier-materialize the normalized word array: it is referenced
+    # by three features and would otherwise re-run the normalize+split
+    # regex for each (see functions.with_materialized)
+    df = with_materialized(df, "_w", words(t))
+    w = F.col("_w")
     n_chars = F.length(t)
     n_words = F.size(w)
     alpha = F.length(F.regexp_replace(F.lower(t), "[^a-z]", ""))
@@ -109,7 +114,7 @@ def quality_score(df: DataFrame, text_col: str) -> DataFrame:
         + F.when(F.col("alpha_ratio") >= 0.6, 0.25).otherwise(0.0)
         + F.when(F.col("stopword_ratio") >= 0.05, 0.25).otherwise(0.0)
     )
-    return out.withColumn("quality", F.round(score, 2))
+    return out.withColumn("quality", F.round(score, 2)).drop("_w")
 
 
 def token_counts(df: DataFrame, text_col: str) -> DataFrame:
@@ -189,8 +194,10 @@ def remove_stopwords(
     arr = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
     w = words(F.col(text_col))
     kept = F.filter(w, lambda x: ~F.array_contains(arr, x))
-    return df.withColumn(out_col, kept).withColumn(
-        f"n_{out_col}", F.size(kept).cast("bigint")
+    # barrier so the filtered array (and its normalize+split input)
+    # evaluates once, not once per referencing expression
+    return with_materialized(df, out_col, kept).withColumn(
+        f"n_{out_col}", F.size(out_col).cast("bigint")
     )
 
 
@@ -202,13 +209,18 @@ def sentence_stats(df: DataFrame, text_col: str) -> DataFrame:
         F.transform(F.split(F.col(text_col), "[.!?]+"), lambda s: F.trim(s)),
         lambda s: s != "",
     )
-    n = F.size(segs)
+    df = with_materialized(df, "_segs", segs)
+    n = F.size("_segs")
     total_chars = F.aggregate(
-        segs, F.lit(0), lambda acc, s: acc + F.length(s)
+        F.col("_segs"), F.lit(0), lambda acc, s: acc + F.length(s)
     )
-    return df.withColumn("n_sentences", n.cast("bigint")).withColumn(
-        "mean_sentence_chars",
-        F.round(total_chars.cast("double") / F.greatest(n, F.lit(1)), 6),
+    return (
+        df.withColumn("n_sentences", n.cast("bigint"))
+        .withColumn(
+            "mean_sentence_chars",
+            F.round(total_chars.cast("double") / F.greatest(n, F.lit(1)), 6),
+        )
+        .drop("_segs")
     )
 
 
