@@ -632,6 +632,28 @@ def q_unigram_logprob(spark, sf):
     return text_ops.unigram_logprob(d, "doc_id", "text")
 
 
+def q_quantize_embeddings(spark, sf):
+    from fuel_spark.functions import cosine_expr
+
+    e = _t(spark, sf)["embeddings"].select("vec_id", "embedding")
+    q = similarity.quantize_int8(e)
+    dq = similarity.dequantize_int8(q)
+    return dq.select(
+        "vec_id",
+        _arr_str(F.col("qvec"), "int").alias("qvec"),
+        F.round("scale", 6).alias("scale"),
+        F.round(cosine_expr("embedding", "dq"), 6).alias("recon_cos"),
+    )
+
+
+def q_quantiles_by_type(spark, sf):
+    return analytics.events_value_quantiles_by_type(_t(spark, sf))
+
+
+def q_rolling_revenue(spark, sf):
+    return analytics.customer_rolling_revenue(_t(spark, sf))
+
+
 def q_dedup_exact(spark, sf):
     d = _t(spark, sf)["documents"]
     return dedup.exact_dedup(d, "doc_id", "text")
@@ -830,6 +852,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cohort_retention": q_cohort_retention,
         "dedup_ngram_spans": q_ngram_dup,
         "text_unigram_logprob": q_unigram_logprob,
+        "embedding_quantize_int8": q_quantize_embeddings,
+        "events_quantiles_by_type": q_quantiles_by_type,
+        "customer_rolling_revenue": q_rolling_revenue,
         # dedup
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_pairs": q_dedup_minhash,
@@ -1849,6 +1874,56 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, count(*) AS n_tokens,
                round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS mean_logprob
         FROM s GROUP BY 1
+    """
+
+    _dq_cos = _cos_sql("embedding", "dq")
+    sqls["embedding_quantize_int8"] = f"""
+        WITH a AS (
+          SELECT vec_id, embedding,
+                 greatest(list_max(list_transform(embedding,
+                          x -> abs(CAST(x AS DOUBLE)))), 1e-30) AS amax
+          FROM embeddings
+        ),
+        q AS (
+          SELECT vec_id, embedding, amax,
+                 list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / amax)
+                        AS INTEGER)) AS qv
+          FROM a
+        ),
+        d AS (
+          SELECT vec_id, embedding, amax, qv,
+                 list_transform(qv, v -> CAST(v AS DOUBLE) * (amax / 127.0))
+                   AS dq
+          FROM q
+        )
+        SELECT vec_id, {_arrstr_sql('qv', 'bigint')} AS qvec,
+               round(amax / 127.0, 6) AS scale,
+               round({_dq_cos}, 6) AS recon_cos
+        FROM d
+    """
+
+    sqls["events_quantiles_by_type"] = """
+        WITH q AS (SELECT event_type,
+                          quantile_cont(value, [0.25, 0.5, 0.75, 0.9]) AS qs
+                   FROM events GROUP BY 1)
+        SELECT event_type, ([0.25, 0.5, 0.75, 0.9])[i] AS prob,
+               round(qs[i], 6) AS quantile
+        FROM q, LATERAL (SELECT unnest(generate_series(1, 4)) AS i) u
+        ORDER BY event_type, prob
+    """
+
+    sqls["customer_rolling_revenue"] = """
+        SELECT o_custkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+               o_orderkey,
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(27,6))) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY date_diff('day', DATE '1970-01-01',
+                                      CAST(o_orderdate AS DATE))
+                   RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+                 AS DOUBLE), 6) AS rolling_revenue
+        FROM orders
     """
 
     sqls["events_cohort_retention"] = """

@@ -291,3 +291,51 @@ def label_centroids(
         )
         .select(F.col("g").alias(group_col), out_col, "dim")
     )
+
+
+def quantize_int8(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    q_col: str = "qvec",
+    scale_col: str = "scale",
+) -> DataFrame:
+    """Symmetric int8 quantization of an embedding column: per-vector
+    scale = absmax/127, q_i = round(x_i / scale) in [-127, 127].
+    Cuts embedding storage/shuffle width 4x for ANN at 100 TB; the
+    companion ``dequantize`` restores approximate doubles.
+
+    The absmax is barrier-materialized (functions.with_materialized):
+    referenced from inside the quantize lambda, an inlined absmax
+    would re-reduce the whole vector per element.
+    """
+    from fuel_spark.functions import with_materialized
+
+    absmax = F.array_max(
+        F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double")))
+    )
+    out = with_materialized(
+        df, "_amax", F.greatest(absmax, F.lit(1e-30))
+    )
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * 127.0 / F.col("_amax"))
+        .cast("int"),
+    )
+    return (
+        out.withColumn(q_col, q)
+        .withColumn(scale_col, F.col("_amax") / F.lit(127.0))
+        .drop("_amax")
+    )
+
+
+def dequantize_int8(
+    df: DataFrame, q_col: str = "qvec", scale_col: str = "scale",
+    out_col: str = "dq",
+) -> DataFrame:
+    """Inverse of ``quantize_int8``: x_i ~ q_i * scale."""
+    return df.withColumn(
+        out_col,
+        F.transform(
+            F.col(q_col), lambda q: q.cast("double") * F.col(scale_col)
+        ),
+    )

@@ -700,3 +700,56 @@ def events_cohort_retention(t: dict[str, DataFrame]) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_active_users"))
         .orderBy("cohort_day", "day_offset")
     )
+
+
+def events_value_quantiles_by_type(
+    t: dict[str, DataFrame], probs: tuple = (0.25, 0.5, 0.75, 0.9)
+) -> DataFrame:
+    """Exact per-group quantiles (percentile with linear interpolation,
+    identical to SQL quantile_cont): one map-side-combinable shuffle on
+    event_type; output is |groups| x |probs| rows.  The approx path for
+    100 TB is approx_percentile (tests/test_sketches.py shows the
+    accuracy band) — this is the exact tier.
+    """
+    e = t["events"]
+    plist = ", ".join(str(p) for p in probs)
+    qs = e.groupBy("event_type").agg(
+        F.expr(f"percentile(value, array({plist}))").alias("_q")
+    )
+    prob = F.element_at(F.array(*[F.lit(p) for p in probs]), F.col("pos") + 1)
+    return (
+        qs.select("event_type", F.posexplode("_q").alias("pos", "_v"))
+        .select(
+            "event_type",
+            prob.alias("prob"),
+            F.round(F.col("_v"), 6).alias("quantile"),
+        )
+        .orderBy("event_type", "prob")
+    )
+
+
+def customer_rolling_revenue(t: dict[str, DataFrame], days: int = 7) -> DataFrame:
+    """Rolling N-day revenue per customer — a RANGE-frame window over
+    the day index, so the frame is defined by VALUES (calendar days),
+    not row counts: same-day orders are peers, gaps shrink the frame.
+    One shuffle on o_custkey; exact-decimal accumulation keeps the
+    prefix sums bit-deterministic at any parallelism.
+    """
+    from pyspark.sql import Window as W
+
+    o = t["orders"]
+    day_idx = F.datediff(
+        F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
+    )
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(day_idx)
+        .rangeBetween(-(days - 1), 0)
+    )
+    rolling = F.sum(F.col("o_totalprice").cast("decimal(27,6)")).over(w)
+    return o.select(
+        "o_custkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+        "o_orderkey",
+        F.round(rolling.cast("double"), 6).alias("rolling_revenue"),
+    )

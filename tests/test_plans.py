@@ -176,3 +176,96 @@ def test_cohort_retention_offsets(spark):
     assert got[("2024-01-02", 0)] == 1
     assert got[("2024-01-02", 2)] == 1
     assert len(got) == 4
+
+
+def test_no_regex_inlined_into_lambdas(spark):
+    """Catalyst projection-collapse regression: no normalize/split
+    regex may appear inside a higher-order-function lambda body (it
+    would re-evaluate per array element - O(len^2) per doc)."""
+    import re
+
+    from fuel_spark.ops import dedup, text as text_ops
+    from fuel_spark.sources import from_rows
+
+    d = from_rows(
+        spark, [(1, "some text to scan")], schema="doc_id bigint, text string"
+    )
+
+    def assert_clean(df, name):
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        for line in plan.splitlines():
+            lams = [m.start() for m in re.finditer("lambdafunction", line)]
+            regs = [m.start() for m in
+                    re.finditer("regexp_replace|split\\(", line)]
+            if lams and regs:
+                inlined = [r for r in regs if r > min(lams)]
+                assert not inlined, f"{name}: regex inlined into lambda"
+
+    assert_clean(text_ops.quality_score(d, "text"), "quality_score")
+    assert_clean(text_ops.remove_stopwords(d, "text"), "remove_stopwords")
+    assert_clean(text_ops.sentence_stats(d, "text"), "sentence_stats")
+    assert_clean(text_ops.repetition_stats(d, "text"), "repetition_stats")
+    assert_clean(
+        dedup.cross_doc_ngram_dup(d, "doc_id", "text", 3), "cross_doc_ngram_dup"
+    )
+    assert_clean(
+        dedup.with_minhash_bands(d, "doc_id", "text"), "with_minhash_bands"
+    )
+
+
+def test_quantize_int8_roundtrip(spark):
+    from fuel_spark.ops import similarity
+    from fuel_spark.sources import from_rows
+
+    df = from_rows(
+        spark, [(1, [1.0, -0.5, 0.25]), (2, [0.0, 0.0, 2.0])],
+        schema="vec_id bigint, embedding array<double>",
+    )
+    q = similarity.quantize_int8(df)
+    dq = {r.vec_id: r for r in similarity.dequantize_int8(q).collect()}
+    assert dq[1].qvec == [127, -64, 32]          # round(-63.5) away from 0
+    assert abs(dq[1].scale - 1 / 127) < 1e-12
+    for orig, rec in zip([1.0, -0.5, 0.25], dq[1].dq):
+        assert abs(orig - rec) <= dq[1].scale / 2 + 1e-12
+    assert dq[2].qvec == [0, 0, 127]
+
+
+def test_quantiles_by_type_interpolation(spark):
+    import datetime as dt
+
+    from fuel_spark.plans import analytics
+    from fuel_spark.sources import from_rows
+
+    rows = [(i, "a", dt.datetime(2024, 1, 1), float(v))
+            for i, v in enumerate([1.0, 2.0, 3.0, 4.0])]
+    e = from_rows(
+        spark, rows,
+        schema="user_id bigint, event_type string, ts timestamp, value double",
+    )
+    out = {r.prob: r.quantile for r in
+           analytics.events_value_quantiles_by_type({"events": e}).collect()}
+    assert abs(out[0.5] - 2.5) < 1e-9    # linear interpolation
+    assert abs(out[0.25] - 1.75) < 1e-9
+    assert abs(out[0.9] - 3.7) < 1e-9
+
+
+def test_rolling_revenue_range_frame(spark):
+    import datetime as dt
+
+    from fuel_spark.plans import analytics
+    from fuel_spark.sources import from_rows
+
+    def order(k, day, price):
+        return (k, 1, dt.datetime(2024, 1, day), price)
+
+    rows = [order(1, 1, 100.0), order(2, 2, 50.0), order(3, 10, 7.0)]
+    o = from_rows(
+        spark, rows,
+        schema="o_orderkey bigint, o_custkey bigint, "
+               "o_orderdate timestamp, o_totalprice double",
+    )
+    out = {r.o_orderkey: r.rolling_revenue for r in
+           analytics.customer_rolling_revenue({"orders": o}).collect()}
+    assert out[1] == 100.0
+    assert out[2] == 150.0   # day 2 sees day 1 (within 7 days)
+    assert out[3] == 7.0     # day 10 is past the frame
