@@ -21,10 +21,13 @@ DEFAULT_CONF = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
-    # Dimension tables (region/nation/supplier/customer/part) stay
-    # broadcast-able well past sf1k; 64 MB covers them while keeping
-    # fact-fact joins as shuffle joins.
-    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Dims are broadcast via explicit broadcast() hints in the query
+    # library (hints override this threshold), so the automatic bar
+    # stays conservative: a column-pruned FACT scan can estimate under
+    # a generous threshold and get broadcast — measured on the 10x
+    # scale smoke, where 6M lineitem rows were hash-broadcast at 64 MB.
+    # 16 MB keeps small true dims automatic and facts shuffling.
+    "spark.sql.autoBroadcastJoinThreshold": str(16 * 1024 * 1024),
     # Arrow for every pandas interchange (multimodal ops, toPandas).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Deterministic timestamp semantics for the DuckDB oracle.

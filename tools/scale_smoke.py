@@ -70,7 +70,8 @@ def main() -> int:
             "pricing_summary", "revenue_forecast", "top_revenue_orders",
             "regional_revenue", "events_sessionize", "dedup_exact",
             "dedup_minhash_pairs", "text_quality", "ann_topk_cosine",
-            "asof_join",
+            "asof_join", "dedup_ngram_spans", "text_unigram_logprob",
+            "events_funnel", "customer_rolling_revenue", "mixture_sample",
         ]
         timings = {}
         for name in names:
