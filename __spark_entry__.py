@@ -632,6 +632,12 @@ def q_unigram_logprob(spark, sf):
     return text_ops.unigram_logprob(d, "doc_id", "text")
 
 
+def q_dedup_components(spark, sf):
+    d = _t(spark, sf)["documents"].select("doc_id", "text")
+    out = dedup.dedup_components(d, "doc_id", "text", threshold=0.5)
+    return out.select(F.col("doc_id"), F.col("component"))
+
+
 def q_quantize_embeddings(spark, sf):
     from fuel_spark.functions import cosine_expr
 
@@ -852,6 +858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cohort_retention": q_cohort_retention,
         "dedup_ngram_spans": q_ngram_dup,
         "text_unigram_logprob": q_unigram_logprob,
+        "dedup_components": q_dedup_components,
         "embedding_quantize_int8": q_quantize_embeddings,
         "events_quantiles_by_type": q_quantiles_by_type,
         "customer_rolling_revenue": q_rolling_revenue,
@@ -1874,6 +1881,41 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, count(*) AS n_tokens,
                round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS mean_logprob
         FROM s GROUP BY 1
+    """
+
+    sqls["dedup_components"] = f"""
+        WITH RECURSIVE
+        {_minhash_bands_sql()},
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b
+            ON a.band_id = b.band_id AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id
+        ),
+        shd AS (SELECT doc_id, {_shingles_sql('text')} AS s FROM documents),
+        verified AS (
+          SELECT id_a, id_b FROM cand
+          JOIN shd sa ON sa.doc_id = id_a
+          JOIN shd sb ON sb.doc_id = id_b
+          WHERE round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                / greatest(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)), 1),
+                6) >= 0.5
+        ),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM verified
+          UNION
+          SELECT id_b, id_a FROM verified
+        ),
+        reach AS (
+          SELECT src AS v, dst AS u FROM edges
+          UNION
+          SELECT r.v, e.dst FROM reach r JOIN edges e ON r.u = e.src
+        ),
+        comp AS (
+          SELECT v, least(v, min(u)) AS component FROM reach GROUP BY v
+        )
+        SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.v
     """
 
     _dq_cos = _cos_sql("embedding", "dq")

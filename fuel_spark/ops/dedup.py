@@ -277,3 +277,88 @@ def cross_doc_ngram_dup(
             ),
         )
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components of the near-dup pair graph by iterative
+    min-label propagation: every vertex converges to the smallest id
+    reachable from it, so each duplicate CLUSTER gets one canonical
+    label even when similarity is only transitive (a~b, b~c, a!~c) —
+    the case greedy pair-kill dedup under-merges.
+
+    Each iteration is one join + one min-aggregation (both on the
+    vertex key); iterations needed = graph diameter, which for
+    near-dup clusters is tiny (boilerplate families are dense).  The
+    driver checks convergence with a count per round — an O(diameter)
+    sequence of small actions, the standard Spark CC loop (GraphX/
+    GraphFrames does the same under the hood).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("v"))
+        .distinct()
+        .withColumn("component", F.col("v"))
+    ).cache()
+    edges = edges.cache()
+    try:
+        for _ in range(max_iter):
+            msgs = (
+                edges.join(labels, edges.src == labels.v)
+                .select(F.col("dst").alias("v"), "component")
+            )
+            new_labels = (
+                labels.select("v", "component")
+                .union(msgs)
+                .groupBy("v")
+                .agg(F.min("component").alias("component"))
+            ).cache()
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "v")
+                .where(F.col("n.component") != F.col("o.component"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels.select("v", "component")
+    finally:
+        edges.unpersist()
+
+
+def dedup_components(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    num_hashes: int = 9,
+    bands: int = 3,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Cluster-level near-dup assignment: every document labeled with
+    the canonical (minimum) id of its verified near-dup cluster;
+    documents with no near-dup keep their own id.  The downstream
+    keep-rule (keep id == component) then retains exactly one doc per
+    transitive cluster."""
+    pairs = ngram_jaccard_pairs(
+        df, id_col, text_col, threshold, num_hashes, bands, shingle_k
+    ).where(F.col("jaccard") >= threshold)
+    comp = connected_components(pairs)
+    return (
+        df.select(id_col)
+        .join(comp, F.col(id_col) == F.col("v"), "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("component", F.col(id_col)).alias("component"),
+        )
+    )

@@ -254,3 +254,30 @@ def test_unigram_logprob_matches_hand_computation(spark):
     expect2 = (math.log10(0.8) + math.log10(0.2)) / 2
     assert rows[2].n_tokens == 2
     assert abs(rows[2].mean_logprob - expect2) < 1e-5
+
+
+def test_connected_components_transitive_chain(spark):
+    pairs = from_rows(
+        spark,
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)],
+        schema="id_a bigint, id_b bigint",
+    )
+    comp = {r.v: r.component for r in
+            dedup.connected_components(pairs).collect()}
+    # the 5-chain needs several propagation rounds to fully converge
+    assert all(comp[v] == 1 for v in (1, 2, 3, 4, 5))
+    assert comp[10] == 10 and comp[11] == 10
+
+
+def test_dedup_components_labels_all_docs(spark):
+    df = from_rows(
+        spark,
+        [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+         (2, "alpha beta gamma delta epsilon zeta eta iota"),
+         (3, "totally different words with no overlap here")],
+        schema="doc_id bigint, text string",
+    )
+    out = {r.doc_id: r.component for r in
+           dedup.dedup_components(df, "doc_id", "text", 0.5).collect()}
+    assert out[1] == 1 and out[2] == 1    # near-dups share a component
+    assert out[3] == 3                    # singleton keeps its own id
