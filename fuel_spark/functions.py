@@ -26,6 +26,10 @@ def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame
     32-core stage.  One cheap round-robin exchange unlocks full-width
     codegen; skipped entirely when the input is already wide enough.
     """
+    if df.isStreaming:
+        # micro-batch width is the source's concern; .rdd is also
+        # unavailable on streaming plans
+        return df
     target = min_parts or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)

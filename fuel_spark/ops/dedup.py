@@ -75,6 +75,45 @@ def with_minhash_bands(
     return out.select(id_col, "_b.band_id", "_b.band_key")
 
 
+def minhash_band_key_cols(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 9,
+    bands: int = 3,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Like :func:`with_minhash_bands` but WIDE: one row per doc with
+    ``band_key_0..B-1`` columns instead of an exploded (band_id, key)
+    row per band.  The wide shape keeps per-doc decisions row-local —
+    required by streaming consumers (``streaming.near_dup_stream``),
+    where an explode + re-aggregate would need streaming state."""
+    rows_per_band = num_hashes // bands
+    out = ensure_parallelism(df)
+    out = out.withColumn("_norm", norm_text(F.col(text_col)))
+    out = with_materialized_shingle_hashes(out, shingle_k)
+    mh = [minhash_expr("_hs", j).alias(f"_mh{j}") for j in range(num_hashes)]
+    out = out.select("*", *mh)
+    keys = [
+        F.concat_ws(
+            "|",
+            *[F.col(f"_mh{j}")
+              for j in range(b * rows_per_band, (b + 1) * rows_per_band)],
+        ).alias(f"band_key_{b}")
+        for b in range(bands)
+    ]
+    return out.select(
+        *[c for c in df.columns], *keys
+    )
+
+
+def with_materialized_shingle_hashes(out: DataFrame, shingle_k: int) -> DataFrame:
+    """_norm -> shingles -> base hashes, each through its own
+    projection so none inlines into a downstream lambda."""
+    out = out.withColumn("_sh", shingles_over_norm("_norm", shingle_k))
+    return out.withColumn("_hs", shingle_hashes_expr("_sh")).drop("_norm", "_sh")
+
+
 def minhash_candidate_pairs(
     df: DataFrame,
     id_col: str,

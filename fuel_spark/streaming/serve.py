@@ -277,3 +277,48 @@ def sessionize_stateful(events: DataFrame, gap_sec: int = 1800) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def near_dup_stream(
+    docs: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 9,
+    bands: int = 3,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Streaming near-dup screen against a STATIC MinHash band index:
+    each incoming document is sketched with the same minhash family as
+    ``ops.dedup.with_minhash_bands`` and dropped if ANY of its band
+    keys collides with the reference corpus's index — how new crawl
+    data is screened against an already-deduplicated 100 TB corpus
+    without rebuilding anything.
+
+    Stream-compatible by construction: band keys are WIDE columns
+    (``minhash_band_key_cols``), so the collision check is B chained
+    stream-static LEFT OUTER joins (supported in append mode, no
+    streaming state) + a row-local null filter.  The static per-band
+    key sets broadcast when small; at scale they shuffle-join against
+    the micro-batch.  ``index`` comes from ``with_minhash_bands`` over
+    the reference corpus (materialize to parquet and reload).  Exact
+    duplicates compose upstream via ``dedup_stream``.
+    """
+    from fuel_spark.ops.dedup import minhash_band_key_cols
+
+    wide = minhash_band_key_cols(
+        docs, id_col, text_col, num_hashes, bands, shingle_k
+    )
+    for b in range(bands):
+        idx_b = (
+            index.where(F.col("band_id") == b)
+            .select(F.col("band_key").alias(f"_ik_{b}"))
+            .distinct()
+        )
+        wide = wide.join(
+            idx_b, wide[f"band_key_{b}"] == idx_b[f"_ik_{b}"], "left"
+        )
+    clean = wide.where(
+        " AND ".join(f"_ik_{b} IS NULL" for b in range(bands))
+    )
+    return clean.select(*docs.columns)

@@ -269,3 +269,34 @@ def test_rolling_revenue_range_frame(spark):
     assert out[1] == 100.0
     assert out[2] == 150.0   # day 2 sees day 1 (within 7 days)
     assert out[3] == 7.0     # day 10 is past the frame
+
+
+def test_text_ops_prune_documents_scan(spark):
+    """Text operators must read only (doc_id, text) — a 100 TB
+    documents table with heavy payload columns may not be fully
+    scanned for a text-only feature."""
+    from fuel_spark.ops import text as text_ops
+
+    t = load_tables(spark, SF)
+    d = t["documents"].select("doc_id", "text")
+    for df in (
+        text_ops.quality_score(d, "text"),
+        text_ops.unigram_logprob(d, "doc_id", "text"),
+    ):
+        s = _explain(df.select("doc_id"))
+        read = s.split("ReadSchema")[1].split("\n")[0]
+        assert "lang" not in read and "source" not in read and "n_chars" not in read
+
+
+def test_no_fact_table_auto_broadcast(spark):
+    """Regression for the 10x smoke finding: a column-pruned fact scan
+    (6M lineitem rows reading 3 columns) estimated under a 64MB
+    autoBroadcastJoinThreshold and got hash-broadcast.  At sf0.001 the
+    fact genuinely fits, so the plan legitimately broadcasts; the
+    contract pinned here is the conservative threshold — dims rely on
+    explicit broadcast() hints, which override it."""
+    thr = int(spark.conf.get("spark.sql.autoBroadcastJoinThreshold").rstrip("b"))
+    assert thr <= 16 * 1024 * 1024
+    # and the dim hint stays present so lowering the bar costs nothing
+    t = load_tables(spark, SF)
+    assert "BroadcastHashJoin" in _plan(analytics.top_revenue_orders(t))

@@ -219,3 +219,56 @@ def test_interval_join_streams(spark, workdir):
     # only the impression 1h before the click, same user
     assert len(out) == 1
     assert out[0]["user_id"] == 1 and out[0]["imp_ts"].timestamp() == D
+
+
+def _corpus_and_index(spark):
+    from fuel_spark.ops.dedup import with_minhash_bands
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+         (2, "one two three four five six seven eight nine ten")],
+        "doc_id long, text string",
+    )
+    return corpus, with_minhash_bands(corpus, "doc_id", "text")
+
+
+def test_near_dup_screen_batch_semantics(spark):
+    corpus, index = _corpus_and_index(spark)
+    incoming = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+         (11, "completely unrelated fresh document with new words only")],
+        "doc_id long, text string",
+    )
+    out = serve.near_dup_stream(incoming, index)
+    kept = [r.doc_id for r in out.collect()]
+    assert kept == [11]          # the near-copy of doc 1 is screened out
+    assert out.columns == ["doc_id", "text"]
+
+
+def test_near_dup_screen_streaming(spark, workdir):
+    src = os.path.join(workdir, "docs")
+    sink = os.path.join(workdir, "clean")
+    ckpt = os.path.join(workdir, "ck")
+    corpus, index = _corpus_and_index(spark)
+    spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+         (11, "completely unrelated fresh document with new words only"),
+         (12, "one two three four five six seven eight nine ten")],
+        "doc_id long, text string",
+    ).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string").parquet(src)
+    )
+    clean = serve.near_dup_stream(stream, index)
+    assert clean.isStreaming
+    q = (
+        clean.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    kept = sorted(r.doc_id for r in spark.read.parquet(sink).collect())
+    assert kept == [11]          # both index collisions screened out
