@@ -170,10 +170,19 @@ def _simhash_sql(bits: int = 16) -> str:
     )
 
 
-def _minhash_bands_sql(num_hashes: int = 9, bands: int = 3, k: int = 5) -> str:
-    """CTE text producing bands(doc_id, band_id, band_key)."""
+def _minhash_bands_sql(
+    num_hashes: int = 9,
+    bands: int = 3,
+    k: int = 5,
+    src: str = "documents",
+    prefix: str = "",
+) -> str:
+    """CTE text producing {prefix}bands(doc_id, band_id, band_key)
+    over ``src`` (any table expression); ``prefix`` namespaces the
+    intermediate CTEs so two band pipelines can coexist in a query."""
     from fuel_spark.functions import minhash_sql, shingle_hashes_sql
 
+    p = prefix
     mh_cols = ", ".join(
         f"{minhash_sql('h', j)} AS m{j}" for j in range(num_hashes)
     )
@@ -182,13 +191,13 @@ def _minhash_bands_sql(num_hashes: int = 9, bands: int = 3, k: int = 5) -> str:
     for b in range(bands):
         cols = ", '|', ".join(f"m{j}" for j in range(b * rpb, (b + 1) * rpb))
         band_selects.append(
-            f"SELECT doc_id, {b} AS band_id, concat({cols}) AS band_key FROM mh"
+            f"SELECT doc_id, {b} AS band_id, concat({cols}) AS band_key FROM {p}mh"
         )
     return (
-        f"sh AS (SELECT doc_id, {_shingles_sql('text', k)} AS s FROM documents), "
-        f"hs AS (SELECT doc_id, {shingle_hashes_sql('s')} AS h FROM sh), "
-        f"mh AS (SELECT doc_id, {mh_cols} FROM hs), "
-        f"bands AS ({' UNION ALL '.join(band_selects)})"
+        f"{p}sh AS (SELECT doc_id, {_shingles_sql('text', k)} AS s FROM {src}), "
+        f"{p}hs AS (SELECT doc_id, {shingle_hashes_sql('s')} AS h FROM {p}sh), "
+        f"{p}mh AS (SELECT doc_id, {mh_cols} FROM {p}hs), "
+        f"{p}bands AS ({' UNION ALL '.join(band_selects)})"
     )
 
 
@@ -638,6 +647,18 @@ def q_dedup_components(spark, sf):
     return out.select(F.col("doc_id"), F.col("component"))
 
 
+def q_dedup_screen(spark, sf):
+    # batch twin of streaming.near_dup_stream: screen the upper half of
+    # the corpus against a band index built from the lower half
+    from fuel_spark.streaming.serve import near_dup_stream
+
+    d = _t(spark, sf)["documents"].select("doc_id", "text")
+    ref = d.where(F.col("doc_id") < 250)
+    incoming = d.where(F.col("doc_id") >= 250)
+    idx = dedup.with_minhash_bands(ref, "doc_id", "text")
+    return near_dup_stream(incoming, idx).select("doc_id")
+
+
 def q_quantize_embeddings(spark, sf):
     from fuel_spark.functions import cosine_expr
 
@@ -859,6 +880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_spans": q_ngram_dup,
         "text_unigram_logprob": q_unigram_logprob,
         "dedup_components": q_dedup_components,
+        "dedup_screen_vs_index": q_dedup_screen,
         "embedding_quantize_int8": q_quantize_embeddings,
         "events_quantiles_by_type": q_quantiles_by_type,
         "customer_rolling_revenue": q_rolling_revenue,
@@ -1916,6 +1938,25 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
         FROM documents d LEFT JOIN comp c ON d.doc_id = c.v
+    """
+
+    _ref_bands = _minhash_bands_sql(
+        src="(SELECT * FROM documents WHERE doc_id < 250)", prefix="ref_"
+    )
+    _inc_bands = _minhash_bands_sql(
+        src="(SELECT * FROM documents WHERE doc_id >= 250)", prefix="inc_"
+    )
+    sqls["dedup_screen_vs_index"] = f"""
+        WITH {_ref_bands},
+        {_inc_bands}
+        SELECT d.doc_id FROM documents d
+        WHERE d.doc_id >= 250
+          AND NOT EXISTS (
+            SELECT 1 FROM inc_bands ib
+            JOIN ref_bands rb
+              ON ib.band_id = rb.band_id AND ib.band_key = rb.band_key
+            WHERE ib.doc_id = d.doc_id
+          )
     """
 
     _dq_cos = _cos_sql("embedding", "dq")
