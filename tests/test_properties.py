@@ -102,3 +102,36 @@ def test_cross_validation_covers_all(spark, k, n):
     assert len(out) == n
     folds = {r.fold for r in out}
     assert folds == set(range(k))  # every fold non-empty (n >= k guaranteed)
+
+
+@given(
+    f1=st.floats(0.0, 1.0), f2=st.floats(0.0, 1.0), seed=st.integers(0, 5)
+)
+@SET
+def test_deterministic_sample_is_monotone_in_fraction(spark, f1, f2, seed):
+    """sample(min(f1,f2)) is a subset of sample(max(f1,f2)) — the
+    threshold rule makes fractions nested, so a pipeline can grow its
+    sample without resampling old members."""
+    lo, hi = sorted([f1, f2])
+    df = from_rows(spark, [(i,) for i in range(300)], schema="k bigint")
+    small = {r.k for r in
+             schemes.deterministic_sample(df, "k", lo, seed=seed).collect()}
+    big = {r.k for r in
+           schemes.deterministic_sample(df, "k", hi, seed=seed).collect()}
+    assert small <= big
+
+
+@given(seed=st.integers(0, 5), extra=st.integers(1, 100))
+@SET
+def test_deterministic_sample_stable_under_growth(spark, seed, extra):
+    """Membership of existing keys never changes when the corpus
+    grows — the contract df.sample() cannot give."""
+    base = from_rows(spark, [(i,) for i in range(200)], schema="k bigint")
+    grown = from_rows(
+        spark, [(i,) for i in range(200 + extra)], schema="k bigint"
+    )
+    a = {r.k for r in
+         schemes.deterministic_sample(base, "k", 0.4, seed=seed).collect()}
+    b = {r.k for r in
+         schemes.deterministic_sample(grown, "k", 0.4, seed=seed).collect()}
+    assert a == {k for k in b if k < 200}
