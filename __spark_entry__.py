@@ -647,6 +647,10 @@ def q_dedup_components(spark, sf):
     return out.select(F.col("doc_id"), F.col("component"))
 
 
+def q_user_rfm(spark, sf):
+    return analytics.events_user_rfm(_t(spark, sf))
+
+
 def q_dedup_screen(spark, sf):
     # batch twin of streaming.near_dup_stream: screen the upper half of
     # the corpus against a band index built from the lower half
@@ -884,6 +888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize_int8": q_quantize_embeddings,
         "events_quantiles_by_type": q_quantiles_by_type,
         "customer_rolling_revenue": q_rolling_revenue,
+        "events_user_rfm": q_user_rfm,
         # dedup
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_pairs": q_dedup_minhash,
@@ -1938,6 +1943,24 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
         FROM documents d LEFT JOIN comp c ON d.doc_id = c.v
+    """
+
+    sqls["events_user_rfm"] = """
+        WITH m AS (SELECT max(ts) AS max_ts FROM events),
+        u AS (SELECT user_id, max(ts) AS last_ts, min(ts) AS first_ts,
+                     count(*) AS frequency,
+                     CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE)
+                       AS monetary
+              FROM events GROUP BY 1)
+        SELECT user_id,
+               CAST(date_diff('day', CAST(last_ts AS DATE),
+                              CAST(max_ts AS DATE)) AS BIGINT)
+                 AS recency_days,
+               frequency, monetary,
+               round(CAST(CAST(floor(epoch(last_ts)) AS BIGINT)
+                          - CAST(floor(epoch(first_ts)) AS BIGINT) AS DOUBLE)
+                     / greatest(frequency - 1, 1), 6) AS mean_gap_sec
+        FROM u, m ORDER BY user_id
     """
 
     _ref_bands = _minhash_bands_sql(

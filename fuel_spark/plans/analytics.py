@@ -763,3 +763,37 @@ def customer_rolling_revenue(t: dict[str, DataFrame], days: int = 7) -> DataFram
         "o_orderkey",
         F.round(rolling.cast("double"), 6).alias("rolling_revenue"),
     )
+
+
+def events_user_rfm(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-user RFM features (recency / frequency / monetary) — the
+    classic activity feature block for downstream models.  One
+    map-side-combinable shuffle on user_id; the corpus max timestamp
+    rides along as a broadcast 1-row relation (no driver pass).
+    Mean inter-event gap falls out of the telescoping identity
+    (last - first) / (n - 1) — no window needed.
+    """
+    e = t["events"]
+    corpus_max = e.agg(F.max("ts").alias("_max_ts"))
+    per_user = e.groupBy("user_id").agg(
+        F.max("ts").alias("_last"),
+        F.min("ts").alias("_first"),
+        F.count(F.lit(1)).alias("frequency"),
+        _dsum(F.col("value")).alias("monetary"),
+    )
+    gap = (
+        F.unix_timestamp("_last") - F.unix_timestamp("_first")
+    ).cast("double") / F.greatest(F.col("frequency") - 1, F.lit(1))
+    return (
+        per_user.crossJoin(broadcast(corpus_max))
+        .select(
+            "user_id",
+            F.datediff(
+                F.to_date("_max_ts"), F.to_date("_last")
+            ).cast("bigint").alias("recency_days"),
+            "frequency",
+            "monetary",
+            F.round(gap, 6).alias("mean_gap_sec"),
+        )
+        .orderBy("user_id")
+    )

@@ -300,3 +300,27 @@ def test_no_fact_table_auto_broadcast(spark):
     # and the dim hint stays present so lowering the bar costs nothing
     t = load_tables(spark, SF)
     assert "BroadcastHashJoin" in _plan(analytics.top_revenue_orders(t))
+
+
+def test_user_rfm_hand_computed(spark):
+    import datetime as dt
+
+    from fuel_spark.sources import from_rows
+
+    rows = [
+        (1, "view", dt.datetime(2024, 1, 1, 0, 0, 0), 10.0),
+        (1, "view", dt.datetime(2024, 1, 1, 0, 1, 40), 5.0),   # +100s
+        (1, "view", dt.datetime(2024, 1, 3, 0, 0, 0), 1.0),
+        (2, "view", dt.datetime(2024, 1, 5, 0, 0, 0), 2.5),
+    ]
+    e = from_rows(
+        spark, rows,
+        schema="user_id bigint, event_type string, ts timestamp, value double",
+    )
+    out = {r.user_id: r for r in
+           analytics.events_user_rfm({"events": e}).collect()}
+    assert out[1].recency_days == 2 and out[1].frequency == 3
+    assert out[1].monetary == 16.0
+    # telescoping mean gap: (2 days) / 2 = 86400s
+    assert abs(out[1].mean_gap_sec - 86400.0) < 1e-6
+    assert out[2].recency_days == 0 and out[2].mean_gap_sec == 0.0
