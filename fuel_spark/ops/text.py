@@ -338,33 +338,38 @@ def unigram_logprob(
     (CCNet uses a KenLM for the same purpose; the unigram LM is its
     portable, in-plan reduction).
 
-    One shuffle builds the count table, the corpus total rides along
-    as a broadcast 1-row relation (no driver pass), and each token
-    joins back to its probability.  Per-token log probs are rounded
-    then summed as DECIMAL so the per-doc mean is bit-deterministic
+    The corpus is tokenized ONCE into per-doc term frequencies; the
+    corpus count table derives from those (sum of tf), the total rides
+    along as a broadcast 1-row relation (no driver pass), and scoring
+    joins the doc x distinct-word table — smaller than the raw token
+    stream by the in-doc repetition factor.  Per-word log probs are
+    rounded then tf-weighted and summed as DECIMAL (exactly the sum
+    over token occurrences), so the per-doc mean is bit-deterministic
     at any parallelism.
     Output: id, n_tokens, mean_logprob.
     """
-    toks = (
+    tf = (
         ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
         .select(F.col(id_col), F.explode(words(F.col(text_col))).alias("word"))
         .where(F.col("word") != "")
+        .groupBy(id_col, "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
     )
-    counts = toks.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    counts = tf.groupBy("word").agg(F.sum("tf").alias("cnt"))
     total = counts.select(F.sum("cnt").cast("double").alias("_total"))
     lp6 = F.round(
         F.log10(F.col("cnt").cast("double") / F.col("_total")), 6
     ).cast("decimal(27,6)")
     scored = (
-        toks.join(F.broadcast(counts), "word")
+        tf.join(F.broadcast(counts), "word")
         .crossJoin(F.broadcast(total))
-        .withColumn("_lp", lp6)
+        .withColumn("_wlp", lp6 * F.col("tf"))
     )
     return (
         scored.groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.sum("_lp").alias("_sum_lp"),
+            F.sum("tf").alias("n_tokens"),
+            F.sum("_wlp").alias("_sum_lp"),
         )
         .withColumn(
             "mean_logprob",
