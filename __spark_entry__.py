@@ -838,6 +838,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bracket_revenue": lambda s, d: analytics.bracket_revenue(_t(s, d)),
         "supplier_part_types": lambda s, d: analytics.supplier_part_types(_t(s, d)),
         "best_supplier_per_nation": lambda s, d: analytics.best_supplier_per_nation(_t(s, d)),
+        "min_cost_supplier": lambda s, d: analytics.min_cost_supplier(_t(s, d)),
+        "important_parts": lambda s, d: analytics.important_parts(_t(s, d)),
+        "priority_by_linestatus": lambda s, d: analytics.priority_by_linestatus(_t(s, d)),
+        "heavy_part_suppliers": lambda s, d: analytics.heavy_part_suppliers(_t(s, d)),
+        "sole_blame_suppliers": lambda s, d: analytics.sole_blame_suppliers(_t(s, d)),
         # core transformers
         "mapping_project": q_mapping,
         "filter_rows": q_filter,
@@ -1223,6 +1228,113 @@ def oracle_sql() -> dict[str, str]:
         SELECT n_name, CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
                round(revenue, 6) AS revenue
         FROM ranked WHERE r = 1
+    """
+
+    sqls["min_cost_supplier"] = """
+        WITH sup AS (
+          SELECT s_suppkey, s_name, n_name FROM supplier
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          WHERE r_name = 'EUROPE'
+        ),
+        par AS (
+          SELECT p_partkey, p_name FROM part
+          WHERE p_size = 15 AND p_type = 'STANDARD'
+        ),
+        cost AS (
+          SELECT l_partkey, l_suppkey,
+                 min(l_extendedprice / l_quantity) AS unit_cost
+          FROM lineitem
+          JOIN par ON l_partkey = p_partkey
+          JOIN sup ON l_suppkey = s_suppkey
+          GROUP BY l_partkey, l_suppkey
+        ),
+        best AS (
+          SELECT l_partkey AS b_partkey, min(unit_cost) AS _best
+          FROM cost GROUP BY l_partkey
+        )
+        SELECT CAST(p_partkey AS BIGINT) AS p_partkey, p_name,
+               CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name, n_name,
+               round(unit_cost, 6) AS unit_cost
+        FROM cost
+        JOIN best ON l_partkey = b_partkey AND unit_cost = _best
+        JOIN par ON l_partkey = p_partkey
+        JOIN sup ON l_suppkey = s_suppkey
+    """
+
+    sqls["important_parts"] = f"""
+        WITH nat_sup AS (
+          SELECT s_suppkey FROM supplier
+          JOIN nation ON s_nationkey = n_nationkey
+          WHERE n_name = 'NATION_9'
+        ),
+        per_part AS (
+          SELECT l_partkey, {_dsum_sql('l_extendedprice')} AS part_value
+          FROM lineitem JOIN nat_sup ON l_suppkey = s_suppkey
+          GROUP BY l_partkey
+        ),
+        total AS (
+          SELECT CAST(sum(CAST(part_value AS {DEC})) AS DOUBLE) AS _total
+          FROM per_part
+        )
+        SELECT CAST(l_partkey AS BIGINT) AS p_partkey,
+               round(part_value, 6) AS part_value
+        FROM per_part, total
+        WHERE part_value > 0.001 * _total
+    """
+
+    sqls["priority_by_linestatus"] = """
+        SELECT l_linestatus,
+               count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                          THEN 1 END) AS high_line_count,
+               count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                          THEN 1 END) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY l_linestatus
+    """
+
+    sqls["heavy_part_suppliers"] = f"""
+        WITH heavy AS (
+          SELECT l_suppkey, {_dsum_sql('l_quantity')} AS total_qty
+          FROM lineitem
+          JOIN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%') pp
+            ON l_partkey = p_partkey
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1997-01-01'
+          GROUP BY l_suppkey
+          HAVING {_dsum_sql('l_quantity')} > 400.0
+        )
+        SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name, n_name,
+               round(total_qty, 6) AS total_qty
+        FROM supplier
+        JOIN heavy ON s_suppkey = l_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+    """
+
+    sqls["sole_blame_suppliers"] = """
+        WITH fin AS (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'),
+        lx AS (
+          SELECT l_orderkey, l_suppkey, l_returnflag
+          FROM lineitem JOIN fin ON l_orderkey = o_orderkey
+        ),
+        ret AS (
+          SELECT DISTINCT l_orderkey, l_suppkey FROM lx WHERE l_returnflag = 'R'
+        ),
+        allp AS (
+          SELECT DISTINCT l_orderkey AS a_orderkey, l_suppkey AS a_suppkey FROM lx
+        )
+        SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+               count(*) AS numwait
+        FROM ret r
+        JOIN supplier ON r.l_suppkey = s_suppkey
+        WHERE EXISTS (SELECT 1 FROM allp
+                      WHERE a_orderkey = r.l_orderkey AND a_suppkey <> r.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM ret r2
+                          WHERE r2.l_orderkey = r.l_orderkey
+                            AND r2.l_suppkey <> r.l_suppkey)
+        GROUP BY s_suppkey, s_name
     """
 
     sqls["mapping_project"] = """

@@ -636,6 +636,203 @@ def best_supplier_per_nation(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def min_cost_supplier(t: dict[str, DataFrame], region: str = "EUROPE") -> DataFrame:
+    """TPC-H Q2 shape reshaped to this schema: cheapest supplier per part
+    within a region.
+
+    Without a partsupp table, the observed unit price
+    (l_extendedprice / l_quantity, min over a supplier's shipments of
+    the part) stands in for ps_supplycost.  The correlated
+    ``cost = (SELECT min(cost) ...)`` subquery is decorrelated into a
+    per-part min aggregate joined back — no per-row subquery at any
+    scale.  Supplier/nation/region dims are broadcast; lineitem
+    shuffles once on (partkey, suppkey).
+
+    Reference parity: the reference has no SQL engine; this answers the
+    same "pick the best provider per item" need its users would script.
+    """
+    n = t["nation"].select("n_nationkey", "n_name", "n_regionkey")
+    r = t["region"].where(F.col("r_name") == region).select("r_regionkey")
+    s = (
+        t["supplier"]
+        .join(broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    p = t["part"].where((F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")).select(
+        "p_partkey", "p_name"
+    )
+    l = t["lineitem"].select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+    # Per (part, regional supplier): min observed unit price.  The
+    # division is per-row identical in both engines; min of identical
+    # doubles is order-independent, so the equality join below is safe.
+    cost = (
+        l.join(broadcast(p.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
+        .join(broadcast(s.select("s_suppkey")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    best = cost.groupBy("l_partkey").agg(F.min("unit_cost").alias("_best"))
+    return (
+        cost.join(broadcast(best), "l_partkey")
+        .where(F.col("unit_cost") == F.col("_best"))
+        .join(broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("p_partkey").cast("bigint").alias("p_partkey"),
+            "p_name",
+            F.col("s_suppkey").cast("bigint").alias("s_suppkey"),
+            "s_name",
+            "n_name",
+            F.round("unit_cost", 6).alias("unit_cost"),
+        )
+    )
+
+
+def important_parts(t: dict[str, DataFrame], nation: str = "NATION_9",
+                    fraction: float = 0.001) -> DataFrame:
+    """TPC-H Q11 shape: parts representing an outsized share of one
+    nation's shipped value.
+
+    ps_supplycost*ps_availqty becomes shipped value
+    (l_extendedprice summed) from the nation's suppliers.  The
+    HAVING-against-a-scalar-subquery is decorrelated: the national
+    total rides along as a broadcast 1-row relation.  Both sides of
+    the comparison are exact-decimal sums, deterministic at any
+    parallelism.
+    """
+    n = t["nation"].where(F.col("n_name") == nation).select("n_nationkey")
+    s = (
+        t["supplier"]
+        .join(broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    l = t["lineitem"].select("l_partkey", "l_suppkey", "l_extendedprice")
+    national = l.join(broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+    per_part = national.groupBy("l_partkey").agg(
+        _dsum(F.col("l_extendedprice")).alias("part_value")
+    )
+    total = per_part.agg(F.sum(F.col("part_value").cast(DEC)).cast("double").alias("_total"))
+    return (
+        per_part.crossJoin(broadcast(total))
+        .where(F.col("part_value") > fraction * F.col("_total"))
+        .select(
+            F.col("l_partkey").cast("bigint").alias("p_partkey"),
+            F.round("part_value", 6).alias("part_value"),
+        )
+    )
+
+
+def priority_by_linestatus(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q12 shape (no shipmode column → linestatus): how many
+    high- vs low-priority orders shipped in 1996, per linestatus.
+
+    One fact⋈fact join on orderkey, conditional counts map-side; the
+    ship-date filter pushes to the lineitem scan.
+    """
+    l = t["lineitem"].where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_linestatus")
+    o = t["orders"].select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.when(high, F.lit(1))).alias("high_line_count"),
+            F.count(F.when(~high, F.lit(1))).alias("low_line_count"),
+        )
+    )
+
+
+def heavy_part_suppliers(t: dict[str, DataFrame], name_prefix: str = "red",
+                         min_qty: float = 400.0) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who moved a large volume of a
+    part-name family in 1996 (stand-in for excess availqty).
+
+    The nested IN-subqueries are a semi-join chain: part names →
+    partkeys (broadcast), shipped-qty-per-supplier aggregate →
+    threshold filter → broadcast semi onto supplier.  No correlated
+    subquery survives.
+    """
+    p = t["part"].where(F.col("p_name").startswith(name_prefix)).select("p_partkey")
+    l = t["lineitem"].where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("l_partkey", "l_suppkey", "l_quantity")
+    heavy = (
+        l.join(broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(_dsum(F.col("l_quantity")).alias("total_qty"))
+        .where(F.col("total_qty") > min_qty)
+    )
+    s = t["supplier"].select("s_suppkey", "s_name", "s_nationkey")
+    n = t["nation"].select("n_nationkey", "n_name")
+    return (
+        s.join(broadcast(heavy), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("s_suppkey").cast("bigint").alias("s_suppkey"),
+            "s_name",
+            "n_name",
+            F.round("total_qty", 6).alias("total_qty"),
+        )
+    )
+
+
+def sole_blame_suppliers(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q21 shape (no receipt/commit dates → returnflag): on
+    finished multi-supplier orders, suppliers whose lines were
+    returned while *no other* supplier's were.
+
+    The EXISTS / NOT EXISTS pair is decorrelated into a semi-join
+    (some other supplier shipped on the order) and an anti-join (no
+    other supplier had a return) over distinct (orderkey, suppkey)
+    pairs — each a single shuffle on orderkey; no per-row subquery.
+    """
+    o = t["orders"].where(F.col("o_orderstatus") == "F").select("o_orderkey")
+    l = t["lineitem"].select("l_orderkey", "l_suppkey", "l_returnflag")
+    pairs = (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("l_orderkey", "l_suppkey", "l_returnflag")
+    )
+    returned = (
+        pairs.where(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    all_pairs = pairs.select(
+        F.col("l_orderkey").alias("a_orderkey"), F.col("l_suppkey").alias("a_suppkey")
+    ).distinct()
+    with_others = returned.join(
+        all_pairs,
+        (F.col("l_orderkey") == F.col("a_orderkey"))
+        & (F.col("l_suppkey") != F.col("a_suppkey")),
+        "left_semi",
+    )
+    other_returns = returned.select(
+        F.col("l_orderkey").alias("r_orderkey"), F.col("l_suppkey").alias("r_suppkey")
+    )
+    blamed = with_others.join(
+        other_returns,
+        (F.col("l_orderkey") == F.col("r_orderkey"))
+        & (F.col("l_suppkey") != F.col("r_suppkey")),
+        "left_anti",
+    )
+    s = t["supplier"].select("s_suppkey", "s_name")
+    return (
+        blamed.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("s_suppkey").cast("bigint").alias("s_suppkey"),
+            "s_name",
+            "numwait",
+        )
+    )
+
+
 def events_funnel(
     t: dict[str, DataFrame],
     steps: tuple[str, str, str] = ("view", "click", "purchase"),
