@@ -677,6 +677,25 @@ def q_quantize_embeddings(spark, sf):
     )
 
 
+def q_decontaminate(spark, sf):
+    # benchmark = first 20 docs (stand-in eval set), corpus = the rest
+    d = _t(spark, sf)["documents"].select("doc_id", "text")
+    bench = d.where(F.col("doc_id") < 20)
+    corpus = d.where(F.col("doc_id") >= 20)
+    return dedup.decontaminate(corpus, "doc_id", "text", bench, "text", n=3)
+
+
+def q_semantic_dedup(spark, sf):
+    e = _t(spark, sf)["embeddings"]
+    out = similarity.semantic_dedup(e, threshold=0.3, bits=8)
+    return out.select("vec_id", "label")
+
+
+def q_corpus_stats(spark, sf):
+    d = _t(spark, sf)["documents"]
+    return text_ops.corpus_stats(d, "text", ("lang", "source"))
+
+
 def q_quantiles_by_type(spark, sf):
     return analytics.events_value_quantiles_by_type(_t(spark, sf))
 
@@ -890,6 +909,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_unigram_logprob": q_unigram_logprob,
         "dedup_components": q_dedup_components,
         "dedup_screen_vs_index": q_dedup_screen,
+        "dedup_decontaminate": q_decontaminate,
+        "dedup_semantic": q_semantic_dedup,
+        "text_corpus_stats": q_corpus_stats,
         "embedding_quantize_int8": q_quantize_embeddings,
         "events_quantiles_by_type": q_quantiles_by_type,
         "customer_rolling_revenue": q_rolling_revenue,
@@ -2092,6 +2114,75 @@ def oracle_sql() -> dict[str, str]:
               ON ib.band_id = rb.band_id AND ib.band_key = rb.band_key
             WHERE ib.doc_id = d.doc_id
           )
+    """
+
+    sqls["dedup_decontaminate"] = f"""
+        WITH grams AS (
+          SELECT doc_id, gs FROM (
+            SELECT doc_id,
+                   CASE WHEN len(w) >= 3 THEN
+                     list_distinct(list_transform(generate_series(1, len(w) - 2),
+                       i -> substring(md5(concat(w[i], ' ', w[i+1], ' ', w[i+2])),
+                                      1, 16)))
+                   ELSE [] END AS gs
+            FROM (SELECT doc_id, {w} AS w FROM documents))
+        ),
+        bench AS (
+          SELECT DISTINCT unnest(gs) AS gh FROM grams WHERE doc_id < 20
+        ),
+        corpus AS (
+          SELECT doc_id, unnest(gs) AS gh FROM grams WHERE doc_id >= 20
+        ),
+        per_doc AS (SELECT doc_id, count(*) AS n_grams FROM corpus GROUP BY 1),
+        hits AS (
+          SELECT doc_id, count(*) AS n_contaminated
+          FROM corpus WHERE gh IN (SELECT gh FROM bench) GROUP BY 1
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams,
+               CAST(COALESCE(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+               COALESCE(h.n_contaminated, 0) > 0 AS contaminated
+        FROM documents d
+        LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+        LEFT JOIN hits h ON d.doc_id = h.doc_id
+        WHERE d.doc_id >= 20
+    """
+
+    _sd_sign8 = " + ".join(
+        f"(CASE WHEN embedding[{b + 1}] > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(8)
+    )
+    _sd_cos = _cos_sql("a.embedding", "b.embedding")
+    sqls["dedup_semantic"] = f"""
+        WITH s AS (
+          SELECT vec_id, label, embedding,
+                 CAST({_sd_sign8} AS BIGINT) AS g
+          FROM embeddings
+        ),
+        kills AS (
+          SELECT DISTINCT b.vec_id AS kid
+          FROM s a JOIN s b ON a.g = b.g AND a.vec_id < b.vec_id
+          WHERE round({_sd_cos}, 6) >= 0.3
+        )
+        SELECT vec_id, label FROM embeddings
+        WHERE vec_id NOT IN (SELECT kid FROM kills)
+    """
+
+    sqls["text_corpus_stats"] = """
+        WITH d AS (
+          SELECT lang, source,
+                 CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(string_split_regex(trim(text), '\\s+')) END AS tok,
+                 length(text) AS nch
+          FROM documents
+        )
+        SELECT lang, source, count(*) AS n_docs,
+               CAST(sum(tok) AS BIGINT) AS total_tokens,
+               round(CAST(sum(CAST(tok AS DECIMAL(27,6))) AS DOUBLE)
+                     / count(*), 6) AS mean_tokens,
+               round(quantile_cont(tok, 0.5), 6) AS p50_tokens,
+               CAST(sum(nch) AS BIGINT) AS total_chars
+        FROM d GROUP BY lang, source
     """
 
     _dq_cos = _cos_sql("embedding", "dq")

@@ -318,6 +318,70 @@ def cross_doc_ngram_dup(
     )
 
 
+def decontaminate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    benchmark: DataFrame,
+    bench_text_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination signal: for each corpus document, how
+    many of its distinct word n-grams also appear in a held-out
+    benchmark/eval set (the GPT-3 appendix-C / PaLM §8 procedure —
+    training documents overlapping eval n-grams must be flagged or
+    dropped before training).
+
+    The benchmark gram set is tiny next to the corpus, so it rides
+    along as a broadcast relation; the corpus side is one narrow
+    explode of 64-bit hashed grams (never raw strings on the wire) and
+    one map-side-combinable groupBy.  A left join back onto the id
+    spine guarantees every input document yields a row (zero-hit docs
+    report 0, mirroring `dictionary_encode`'s empty-doc contract).
+    """
+    from pyspark.sql.functions import broadcast
+
+    from fuel_spark.functions import words
+
+    def grams_of(frame: DataFrame, key, text) -> DataFrame:
+        g = F.expr(
+            f"CASE WHEN size(_w) >= {n} THEN"
+            f" array_distinct(transform(sequence(1, size(_w) - {n - 1}),"
+            f" i -> substring(md5(array_join(slice(_w, i, {n}), ' ')), 1, 16)))"
+            f" ELSE CAST(array() AS array<string>) END"
+        )
+        # explode(array(...)) Generate barrier: keep the normalize+split
+        # out of the per-position lambda (see cross_doc_ngram_dup)
+        return (
+            frame.select(key.alias("_id"), F.explode(F.array(words(text))).alias("_w"))
+            .select(F.col("_id"), F.explode(g).alias("gh"))
+        )
+
+    bench_grams = (
+        grams_of(benchmark, F.lit(0), F.col(bench_text_col)).select("gh").distinct()
+    )
+    doc_grams = grams_of(df, F.col(id_col), F.col(text_col))
+    per_doc = doc_grams.groupBy("_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        doc_grams.join(broadcast(bench_grams), "gh", "left_semi")
+        .groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(per_doc, F.col(id_col) == F.col("_id"), "left")
+        .drop("_id")
+        .join(hits, F.col(id_col) == F.col("_id"), "left")
+        .drop("_id")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
+            F.coalesce("n_contaminated", F.lit(0)).cast("bigint").alias("n_contaminated"),
+            (F.coalesce("n_contaminated", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",

@@ -99,6 +99,39 @@ def cosine_pairs_within(
     )
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.97,
+    bits: int = 16,
+    max_block: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): drop documents whose *embeddings* are
+    near-identical even when their text is not.
+
+    Spark-first shape: the paper's k-means clustering step is replaced
+    by :func:`sign_sketch` blocking (axis-sign LSH) — same role
+    (bound the pair space so within-block comparison is feasible at
+    corpus scale), but expressible as a pure projection with no fitted
+    model and portable to the SQL oracle.  Within each block,
+    cosine ≥ threshold pairs mark duplicates and the larger id of
+    every pair is killed — the survivor of a dense semantic cluster is
+    its minimum id, mirroring ``apply_dedup``'s greedy keep-min.
+    ``max_block`` caps pathological blocks exactly as in
+    :func:`cosine_pairs_within`.  One narrow projection, one blocked
+    self-join, one left_anti — no all-pairs stage anywhere.
+    """
+    blocked = sign_sketch(corpus, vec_col=vec_col, bits=bits, out_col="_sd_block")
+    pairs = cosine_pairs_within(
+        blocked, "_sd_block", id_col=id_col, vec_col=vec_col,
+        threshold=threshold, max_block=max_block,
+    )
+    kills = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return corpus.join(kills, id_col, "left_anti")
+
+
 def l2_normalize(
     df: DataFrame, vec_col: str = "embedding", out_col: str = "unit"
 ) -> DataFrame:

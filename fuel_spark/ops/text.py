@@ -379,3 +379,41 @@ def unigram_logprob(
         )
         .drop("_sum_lp")
     )
+
+
+def corpus_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    group_cols: tuple[str, ...] = ("lang", "source"),
+) -> DataFrame:
+    """Corpus composition report per stratum (the mixture dashboard
+    every pre-training run starts from — what the reference's users
+    compute with driver-side numpy over full epochs): document count,
+    token totals/means, and exact median document length.
+
+    One map-side-combinable groupBy on the stratum key; token count is
+    the same whitespace rule as :func:`token_counts` (parity-proven
+    against the oracle).  percentile() is exact and equals DuckDB's
+    quantile_cont — fine at a few thousand strata, swap to
+    approx_percentile when strata are huge and exactness is not
+    contractual.
+    """
+    t = F.col(text_col)
+    ws = F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(t), "\\s+"))
+    )
+    out = df.withColumn("_tok", ws.cast("bigint"))
+    return (
+        out.groupBy(*[F.col(c) for c in group_cols])
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_tok").alias("total_tokens"),
+            F.round(
+                F.sum(F.col("_tok").cast("decimal(27,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_tokens"),
+            F.round(F.expr("percentile(_tok, 0.5)"), 6).alias("p50_tokens"),
+            F.sum(F.length(t).cast("bigint")).alias("total_chars"),
+        )
+    )

@@ -281,3 +281,50 @@ def test_dedup_components_labels_all_docs(spark):
            dedup.dedup_components(df, "doc_id", "text", 0.5).collect()}
     assert out[1] == 1 and out[2] == 1    # near-dups share a component
     assert out[3] == 3                    # singleton keeps its own id
+
+
+def test_decontaminate_flags_overlap(spark):
+    bench = from_rows(
+        spark,
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        schema="doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in
+           dedup.decontaminate(_docs(spark), "doc_id", "text", bench, "text", n=3)
+           .collect()}
+    # docs 0/1 share the benchmark's trigrams verbatim; doc 3 shares none
+    assert out[0].contaminated and out[1].contaminated
+    assert not out[3].contaminated and out[3].n_contaminated == 0
+    # every input doc yields a row, even without grams
+    assert set(out) == {0, 1, 2, 3}
+    assert out[0].n_contaminated > 0
+    assert out[0].n_grams >= out[0].n_contaminated
+
+
+def test_semantic_dedup_kills_near_identical_vectors(spark):
+    rows = [
+        (0, [1.0, 0.1, 0.2], 0),
+        (1, [1.0, 0.11, 0.2], 0),   # near-identical to 0: same signs, cos ~1
+        (2, [-1.0, 0.5, -0.3], 1),  # different sign block
+        (3, [0.1, 1.0, 0.9], 2),    # same signs as 0/1, low cosine
+    ]
+    df = from_rows(spark, rows, schema="vec_id bigint, embedding array<double>, label int")
+    kept = sorted(r.vec_id for r in
+                  similarity.semantic_dedup(df, threshold=0.97, bits=3).collect())
+    assert kept == [0, 2, 3]  # 1 killed as the larger id of the (0,1) pair
+
+
+def test_corpus_stats_hand_counts(spark):
+    rows = [
+        (0, "a b c", "en", "web"),
+        (1, "d e", "en", "web"),
+        (2, "f", "fr", "book"),
+    ]
+    df = from_rows(spark, rows,
+                   schema="doc_id bigint, text string, lang string, source string")
+    out = {(r.lang, r.source): r for r in
+           text_ops.corpus_stats(df, "text", ("lang", "source")).collect()}
+    en = out[("en", "web")]
+    assert en.n_docs == 2 and en.total_tokens == 5
+    assert en.mean_tokens == 2.5 and en.p50_tokens == 2.5
+    assert out[("fr", "book")].total_tokens == 1
