@@ -696,6 +696,31 @@ def q_corpus_stats(spark, sf):
     return text_ops.corpus_stats(d, "text", ("lang", "source"))
 
 
+def q_profile_lineitem(spark, sf):
+    from fuel_spark.ops import profile
+
+    l = _t(spark, sf)["lineitem"]
+    return profile.profile_columns(
+        l, ["l_quantity", "l_extendedprice", "l_returnflag", "l_shipdate"]
+    )
+
+
+def q_check_expectations(spark, sf):
+    from fuel_spark.ops import profile
+
+    o = _t(spark, sf)["orders"]
+    return profile.check_expectations(
+        o,
+        [
+            ("orderkey_unique", "unique", "o_orderkey"),
+            ("custkey_not_null", "not_null", "o_custkey"),
+            ("totalprice_non_negative", "non_negative", "o_totalprice"),
+            ("status_in_set", "in_set", "o_orderstatus", ["O", "F", "P"]),
+            ("priority_format", "matches", "o_orderpriority", "[1-5]-[A-Z ]+"),
+        ],
+    )
+
+
 def q_quantiles_by_type(spark, sf):
     return analytics.events_value_quantiles_by_type(_t(spark, sf))
 
@@ -912,6 +937,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_decontaminate": q_decontaminate,
         "dedup_semantic": q_semantic_dedup,
         "text_corpus_stats": q_corpus_stats,
+        "profile_lineitem": q_profile_lineitem,
+        "check_expectations": q_check_expectations,
         "embedding_quantize_int8": q_quantize_embeddings,
         "events_quantiles_by_type": q_quantiles_by_type,
         "customer_rolling_revenue": q_rolling_revenue,
@@ -2183,6 +2210,50 @@ def oracle_sql() -> dict[str, str]:
                round(quantile_cont(tok, 0.5), 6) AS p50_tokens,
                CAST(sum(nch) AS BIGINT) AS total_chars
         FROM d GROUP BY lang, source
+    """
+
+    def _prof_row(col: str, numeric: bool) -> str:
+        mean = (
+            f"round(CAST(sum(CAST({col} AS DECIMAL(27,6))) AS DOUBLE)"
+            f" / count({col}), 6)"
+            if numeric else "CAST(NULL AS DOUBLE)"
+        )
+        return f"""
+          SELECT '{col}' AS "column", count(*) AS n_rows,
+                 count(*) - count({col}) AS n_null,
+                 count(DISTINCT {col}) AS n_distinct,
+                 CAST(min({col}) AS VARCHAR) AS min_value,
+                 CAST(max({col}) AS VARCHAR) AS max_value,
+                 {mean} AS mean
+          FROM lineitem"""
+
+    sqls["profile_lineitem"] = " UNION ALL ".join([
+        _prof_row("l_quantity", True),
+        _prof_row("l_extendedprice", True),
+        _prof_row("l_returnflag", False),
+        _prof_row("l_shipdate", False),
+    ])
+
+    sqls["check_expectations"] = """
+        WITH s AS (
+          SELECT count(o_orderkey) - count(DISTINCT o_orderkey) AS v1,
+                 count(CASE WHEN o_custkey IS NULL THEN 1 END) AS v2,
+                 count(CASE WHEN o_totalprice < 0 OR o_totalprice IS NULL
+                            THEN 1 END) AS v3,
+                 count(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                            OR o_orderstatus IS NULL THEN 1 END) AS v4,
+                 count(CASE WHEN NOT regexp_full_match(o_orderpriority,
+                                                       '([1-5]-[A-Z ]+)')
+                            OR o_orderpriority IS NULL THEN 1 END) AS v5
+          FROM orders
+        )
+        SELECT 'orderkey_unique' AS rule, 'unique' AS kind,
+               v1 AS n_violations, v1 = 0 AS passed FROM s
+        UNION ALL SELECT 'custkey_not_null', 'not_null', v2, v2 = 0 FROM s
+        UNION ALL SELECT 'totalprice_non_negative', 'non_negative', v3,
+                         v3 = 0 FROM s
+        UNION ALL SELECT 'status_in_set', 'in_set', v4, v4 = 0 FROM s
+        UNION ALL SELECT 'priority_format', 'matches', v5, v5 = 0 FROM s
     """
 
     _dq_cos = _cos_sql("embedding", "dq")

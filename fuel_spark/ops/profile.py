@@ -1,0 +1,137 @@
+"""Data-quality profiling and expectation checks.
+
+LLM-pipeline extension (no fuel analogue — fuel assumes clean curated
+datasets; a 100 TB ingest cannot).  The shape follows the public
+Deequ/Great-Expectations pattern: declarative per-column metrics and
+constraints compiled into ONE aggregation pass over the data — never
+one job per metric, which at scale multiplies full scans.
+
+Everything is built-in `pyspark.sql.functions` aggregates, so the
+whole profile is a single map-side-combinable agg (one shuffle of a
+handful of rows); distinct counts use exact count_distinct by default
+(one extra expand) with approx_count_distinct available when exactness
+is not contractual.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+_NUMERIC = {"int", "bigint", "smallint", "tinyint", "double", "float", "decimal"}
+
+
+def _is_numeric(dtype: str) -> bool:
+    return dtype.split("(")[0] in _NUMERIC
+
+
+def profile_columns(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    exact_distinct: bool = True,
+) -> DataFrame:
+    """Per-column profile in long format: one output row per column
+    with row/null/distinct counts, lexicographic-or-numeric min/max
+    (as strings, so one schema fits every column type), and the mean
+    for numeric columns (exact DECIMAL accumulation → deterministic
+    at any parallelism).
+
+    Compiled into a single agg: profiling 50 columns of a 100 TB table
+    is one scan, not 50.
+    """
+    dtypes = dict(df.dtypes)
+    cols = list(cols) if cols is not None else list(df.columns)
+    aggs: list[F.Column] = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs.append(F.count(F.col(c)).alias(f"_nn_{c}"))
+        if exact_distinct:
+            aggs.append(F.count_distinct(F.col(c)).alias(f"_nd_{c}"))
+        else:
+            aggs.append(F.approx_count_distinct(F.col(c)).alias(f"_nd_{c}"))
+        aggs.append(F.min(F.col(c)).cast("string").alias(f"_mn_{c}"))
+        aggs.append(F.max(F.col(c)).cast("string").alias(f"_mx_{c}"))
+        if _is_numeric(dtypes[c]):
+            aggs.append(
+                F.round(
+                    F.sum(F.col(c).cast("decimal(27,6)")).cast("double")
+                    / F.count(F.col(c)),
+                    6,
+                ).alias(f"_mean_{c}")
+            )
+    wide = df.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("_n").cast("bigint").alias("n_rows"),
+            (F.col("_n") - F.col(f"_nn_{c}")).cast("bigint").alias("n_null"),
+            F.col(f"_nd_{c}").cast("bigint").alias("n_distinct"),
+            F.col(f"_mn_{c}").alias("min_value"),
+            F.col(f"_mx_{c}").alias("max_value"),
+            (
+                F.col(f"_mean_{c}") if _is_numeric(dtypes[c])
+                else F.lit(None).cast("double")
+            ).alias("mean"),
+        )
+        for c in cols
+    ]
+    return wide.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
+
+
+def check_expectations(
+    df: DataFrame,
+    rules: list[tuple],
+) -> DataFrame:
+    """Declarative constraint suite → one row per rule with its
+    violation count and pass flag, evaluated in a single scan.
+
+    Rules (name, kind, *args):
+      ("r1", "not_null", col)            — no NULLs in col
+      ("r2", "between", col, lo, hi)     — lo <= col <= hi (NULL violates)
+      ("r3", "in_set", col, [v, ...])    — col ∈ set (NULL violates)
+      ("r4", "matches", col, regex)      — full-match regex (NULL violates)
+      ("r5", "unique", col)              — no duplicate values
+      ("r6", "non_negative", col)
+
+    Uniqueness needs distinct counts, which fold into the same agg as
+    the row-level violation sums — still one pass.
+    """
+    aggs: list[F.Column] = []
+    for name, kind, *args in rules:
+        if kind == "not_null":
+            (c,) = args
+            bad = F.col(c).isNull()
+        elif kind == "between":
+            c, lo, hi = args
+            bad = ~F.col(c).between(lo, hi) | F.col(c).isNull()
+        elif kind == "in_set":
+            c, values = args
+            bad = ~F.col(c).isin(list(values)) | F.col(c).isNull()
+        elif kind == "matches":
+            c, pat = args
+            bad = ~F.col(c).rlike(f"^({pat})$") | F.col(c).isNull()
+        elif kind == "non_negative":
+            (c,) = args
+            bad = (F.col(c) < 0) | F.col(c).isNull()
+        elif kind == "unique":
+            (c,) = args
+            aggs.append(
+                (F.count(F.col(c)) - F.count_distinct(F.col(c)))
+                .cast("bigint")
+                .alias(f"_v_{name}")
+            )
+            continue
+        else:
+            raise ValueError(f"unknown expectation kind: {kind}")
+        aggs.append(
+            F.count(F.when(bad, F.lit(1))).cast("bigint").alias(f"_v_{name}")
+        )
+    wide = df.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(name).alias("rule"),
+            F.lit(kind).alias("kind"),
+            F.col(f"_v_{name}").alias("n_violations"),
+            (F.col(f"_v_{name}") == 0).alias("passed"),
+        )
+        for name, kind, *_ in rules
+    ]
+    return wide.select(F.explode(F.array(*rows)).alias("r")).select("r.*")

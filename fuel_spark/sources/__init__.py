@@ -9,6 +9,7 @@ storage so scans prune and push down.
 from fuel_spark.sources.tables import TABLE_NAMES, load_table, load_tables
 from fuel_spark.sources.memory import from_rows
 from fuel_spark.sources.splits import SplitDataset
+from fuel_spark.sources.jsonl import corrupt_split, read_jsonl_corpus, write_jsonl
 from fuel_spark.sources.text import (
     build_dictionary,
     dictionary_encode,
@@ -22,6 +23,9 @@ __all__ = [
     "load_table",
     "load_tables",
     "from_rows",
+    "read_jsonl_corpus",
+    "corrupt_split",
+    "write_jsonl",
     "SplitDataset",
     "build_dictionary",
     "dictionary_encode",

@@ -1,0 +1,78 @@
+"""Data-quality profiling / expectations / JSONL source tests."""
+
+from fuel_spark.ops import profile
+from fuel_spark.sources import (
+    corrupt_split,
+    from_rows,
+    read_jsonl_corpus,
+    write_jsonl,
+)
+
+
+def _frame(spark):
+    rows = [
+        (1, 10.0, "a"),
+        (2, 20.0, "b"),
+        (3, None, "a"),
+        (3, 40.0, None),
+    ]
+    return from_rows(spark, rows, schema="k bigint, v double, s string")
+
+
+def test_profile_columns_hand_counts(spark):
+    out = {r.column: r for r in profile.profile_columns(_frame(spark)).collect()}
+    assert out["k"].n_rows == 4 and out["k"].n_null == 0
+    assert out["k"].n_distinct == 3
+    assert out["v"].n_null == 1 and out["v"].n_distinct == 3
+    assert out["v"].min_value == "10.0" and out["v"].max_value == "40.0"
+    assert abs(out["v"].mean - (70.0 / 3)) < 1e-6
+    assert out["s"].mean is None  # non-numeric: no mean
+    assert out["s"].n_null == 1
+
+
+def test_profile_single_pass(spark):
+    # the whole profile must compile to ONE aggregate over the input —
+    # no per-column jobs
+    plan = profile.profile_columns(_frame(spark))._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.lower().count("localrelation") + plan.lower().count("scan") <= 1
+
+
+def test_check_expectations_counts(spark):
+    out = {r.rule: r for r in profile.check_expectations(
+        _frame(spark),
+        [
+            ("k_unique", "unique", "k"),
+            ("v_not_null", "not_null", "v"),
+            ("v_range", "between", "v", 0.0, 25.0),
+            ("s_in_set", "in_set", "s", ["a", "b"]),
+            ("k_non_negative", "non_negative", "k"),
+            ("s_format", "matches", "s", "[a-z]"),
+        ],
+    ).collect()}
+    assert out["k_unique"].n_violations == 1 and not out["k_unique"].passed
+    assert out["v_not_null"].n_violations == 1
+    # 40.0 out of range + NULL violates => 2
+    assert out["v_range"].n_violations == 2
+    assert out["s_in_set"].n_violations == 1  # the NULL
+    assert out["k_non_negative"].passed
+    assert out["s_format"].n_violations == 1  # NULL fails the regex
+
+
+def test_jsonl_roundtrip_and_quarantine(spark, tmp_path):
+    d = from_rows(
+        spark,
+        [(1, "hello world", "en", "web", 11), (2, "bonjour", "fr", "book", 7)],
+        schema="doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    path = str(tmp_path / "corpus")
+    write_jsonl(d, path, partitions=1)
+    back = read_jsonl_corpus(spark, path)
+    assert sorted((r.doc_id, r.text) for r in back.collect()) == [
+        (1, "hello world"), (2, "bonjour"),
+    ]
+    # plant a corrupt line alongside the good shards
+    (tmp_path / "corpus" / "zz_bad.json").write_text('{"doc_id": broken\n')
+    df = read_jsonl_corpus(spark, path, keep_corrupt=True)
+    good, bad = corrupt_split(df)
+    assert good.count() == 2
+    assert bad.count() == 1
