@@ -1322,14 +1322,15 @@ def oracle_sql() -> dict[str, str]:
           FROM lineitem JOIN nat_sup ON l_suppkey = s_suppkey
           GROUP BY l_partkey
         ),
-        total AS (
-          SELECT CAST(sum(CAST(part_value AS {DEC})) AS DOUBLE) AS _total
+        m AS (
+          SELECT CAST(sum(CAST(part_value AS {DEC})) AS DOUBLE) / count(*)
+                   AS _mean
           FROM per_part
         )
         SELECT CAST(l_partkey AS BIGINT) AS p_partkey,
                round(part_value, 6) AS part_value
-        FROM per_part, total
-        WHERE part_value > 0.001 * _total
+        FROM per_part, m
+        WHERE part_value > 2.0 * _mean
     """
 
     sqls["priority_by_linestatus"] = """

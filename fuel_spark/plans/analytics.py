@@ -690,16 +690,19 @@ def min_cost_supplier(t: dict[str, DataFrame], region: str = "EUROPE") -> DataFr
 
 
 def important_parts(t: dict[str, DataFrame], nation: str = "NATION_9",
-                    fraction: float = 0.001) -> DataFrame:
+                    mean_mult: float = 2.0) -> DataFrame:
     """TPC-H Q11 shape: parts representing an outsized share of one
     nation's shipped value.
 
     ps_supplycost*ps_availqty becomes shipped value
     (l_extendedprice summed) from the nation's suppliers.  The
     HAVING-against-a-scalar-subquery is decorrelated: the national
-    total rides along as a broadcast 1-row relation.  Both sides of
-    the comparison are exact-decimal sums, deterministic at any
-    parallelism.
+    mean rides along as a broadcast 1-row relation.  The threshold is
+    a multiple of the MEAN part value (Q11's fixed fraction-of-total
+    selects ~nothing once the part count grows 10×: selectivity must
+    be scale-invariant for the query to mean anything at 100 TB).
+    Both comparison sides are exact-decimal sums, deterministic at
+    any parallelism.
     """
     n = t["nation"].where(F.col("n_name") == nation).select("n_nationkey")
     s = (
@@ -712,10 +715,13 @@ def important_parts(t: dict[str, DataFrame], nation: str = "NATION_9",
     per_part = national.groupBy("l_partkey").agg(
         _dsum(F.col("l_extendedprice")).alias("part_value")
     )
-    total = per_part.agg(F.sum(F.col("part_value").cast(DEC)).cast("double").alias("_total"))
+    mean = per_part.agg(
+        (F.sum(F.col("part_value").cast(DEC)).cast("double") / F.count(F.lit(1)))
+        .alias("_mean")
+    )
     return (
-        per_part.crossJoin(broadcast(total))
-        .where(F.col("part_value") > fraction * F.col("_total"))
+        per_part.crossJoin(broadcast(mean))
+        .where(F.col("part_value") > mean_mult * F.col("_mean"))
         .select(
             F.col("l_partkey").cast("bigint").alias("p_partkey"),
             F.round("part_value", 6).alias("part_value"),
