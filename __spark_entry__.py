@@ -721,6 +721,32 @@ def q_check_expectations(spark, sf):
     )
 
 
+def q_sample_n_per_group(spark, sf):
+    from fuel_spark import schemes
+
+    d = _t(spark, sf)["documents"].select("doc_id", "lang")
+    return schemes.sample_n_per_group(d, "lang", 30, "doc_id", seed=42)
+
+
+def q_pack_token_budget(spark, sf):
+    d = _t(spark, sf)["documents"].select("doc_id", "text")
+    d = text_ops.token_counts(d, "text").select("doc_id", "ws_tokens")
+    return core.pack_token_budget(d, "doc_id", "ws_tokens", budget=500)
+
+
+def q_pack_token_budget_local(spark, sf):
+    d = _t(spark, sf)["documents"].select("doc_id", "text")
+    d = text_ops.token_counts(d, "text").select("doc_id", "ws_tokens")
+    out = core.pack_token_budget_local(d, "doc_id", "ws_tokens", budget=500)
+    return out.select("pack_id", _arr_str(F.col("doc_ids"), "int").alias("doc_ids"),
+                      "n_docs", "n_tokens")
+
+
+def q_leakage_split(spark, sf):
+    d = _t(spark, sf)["documents"].select("doc_id", "text")
+    return dedup.leakage_free_split(d, "doc_id", "text", holdout_fraction=0.25)
+
+
 def q_quantiles_by_type(spark, sf):
     return analytics.events_value_quantiles_by_type(_t(spark, sf))
 
@@ -939,6 +965,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_corpus_stats": q_corpus_stats,
         "profile_lineitem": q_profile_lineitem,
         "check_expectations": q_check_expectations,
+        "sample_n_per_group": q_sample_n_per_group,
+        "pack_token_budget": q_pack_token_budget,
+        "dedup_leakage_split": q_leakage_split,
+        # rows-only: pack identity is partitioning-defined
+        "pack_token_budget_local": q_pack_token_budget_local,
         "embedding_quantize_int8": q_quantize_embeddings,
         "events_quantiles_by_type": q_quantiles_by_type,
         "customer_rolling_revenue": q_rolling_revenue,
@@ -2255,6 +2286,76 @@ def oracle_sql() -> dict[str, str]:
                          v3 = 0 FROM s
         UNION ALL SELECT 'status_in_set', 'in_set', v4, v4 = 0 FROM s
         UNION ALL SELECT 'priority_format', 'matches', v5, v5 = 0 FROM s
+    """
+
+    sqls["sample_n_per_group"] = """
+        WITH r AS (
+          SELECT doc_id, lang,
+                 row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(concat('42', '-', CAST(doc_id AS VARCHAR))),
+                            doc_id) AS rnk
+          FROM documents)
+        SELECT doc_id, lang FROM r WHERE rnk <= 30
+    """
+
+    sqls["pack_token_budget"] = """
+        WITH tok AS (
+          SELECT doc_id,
+                 CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(string_split_regex(trim(text), '\\s+')) END
+                      AS BIGINT) AS ws_tokens
+          FROM documents)
+        SELECT doc_id, ws_tokens,
+               CAST(COALESCE(sum(ws_tokens) OVER (
+                      ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    // 500 AS BIGINT) AS pack_id
+        FROM tok
+    """
+
+    _lfs_bands = _minhash_bands_sql()
+    sqls["dedup_leakage_split"] = f"""
+        WITH RECURSIVE
+        {_lfs_bands},
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b
+            ON a.band_id = b.band_id AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id
+        ),
+        shd AS (SELECT doc_id, {_shingles_sql('text')} AS s FROM documents),
+        verified AS (
+          SELECT id_a, id_b FROM cand
+          JOIN shd sa ON sa.doc_id = id_a
+          JOIN shd sb ON sb.doc_id = id_b
+          WHERE round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                / greatest(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)), 1),
+                6) >= 0.5
+        ),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM verified
+          UNION
+          SELECT id_b, id_a FROM verified
+        ),
+        reach AS (
+          SELECT src AS v, dst AS u FROM edges
+          UNION
+          SELECT r.v, e.dst FROM reach r JOIN edges e ON r.u = e.src
+        ),
+        comp AS (
+          SELECT v, least(v, min(u)) AS component FROM reach GROUP BY v
+        ),
+        labeled AS (
+          SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+          FROM documents d LEFT JOIN comp c ON d.doc_id = c.v
+        )
+        SELECT doc_id, component,
+               CASE WHEN CAST(CAST(concat('0x', substring(
+                        md5(concat('42', '-', CAST(component AS VARCHAR))), 1, 6))
+                      AS UBIGINT) AS BIGINT) < 4194304
+                    THEN 'holdout' ELSE 'train' END AS split
+        FROM labeled
     """
 
     _dq_cos = _cos_sql("embedding", "dq")

@@ -400,3 +400,105 @@ def cache_stream(df: DataFrame) -> DataFrame:
     MultiProcessing (background prefetch) needs no analogue: Spark
     executors already overlap IO and compute across tasks."""
     return df.persist()
+
+
+def pack_token_budget(
+    df: DataFrame,
+    id_col: str,
+    token_count_col: str,
+    budget: int,
+    batch_col: str = "pack_id",
+) -> DataFrame:
+    """Token-budget sequence packing, offset-binned: concatenate the
+    corpus in ``id_col`` order and assign each document to the chunk
+    its FIRST token lands in (chunk = ``budget`` tokens) — the
+    concatenate-and-chunk packing of GPT-style pre-training, relaxed
+    to whole-document assignment so it stays a pure column expression.
+    A chunk may overflow by at most one document's tail; a document
+    longer than the budget owns its chunk start.
+
+    Reproducibility tier: the running offset is a global-order window
+    cumsum (one range-partitioned sort shuffle — bounded, but a real
+    sort at 100 TB).  For the throughput tier compose per-partition:
+    :func:`pack_token_budget_local` keeps the same greedy fill with
+    zero Exchange.
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col(id_col)).rowsBetween(Window.unboundedPreceding, -1)
+    start = F.coalesce(
+        F.sum(F.col(token_count_col)).over(w), F.lit(0)
+    ).cast("bigint")
+    return df.withColumn("_start", start).withColumn(
+        batch_col, F.floor(F.col("_start") / budget).cast("bigint")
+    ).drop("_start")
+
+
+def pack_token_budget_local(
+    df: DataFrame,
+    id_col: str,
+    token_count_col: str,
+    budget: int,
+) -> DataFrame:
+    """Zero-shuffle greedy token packing: each input partition fills
+    batches up to ``budget`` tokens (first-fit in arrival order; a
+    document larger than the budget gets a batch of its own).  True
+    greedy semantics — a batch never exceeds the budget unless it
+    holds a single oversized document — which needs sequential state
+    and therefore lives in an Arrow-streamed mapInPandas with a carry
+    buffer, like :func:`pack_batches_local`.
+
+    Output: one row per packed batch — pack_id, the member ids (in
+    order), n_docs, n_tokens.  pack identity is
+    ``partition_id * 2^33 + local_pack_index``.
+    """
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    src = df.select(
+        F.spark_partition_id().alias("_pid"),
+        F.col(id_col).alias("_id"),
+        F.col(token_count_col).cast("bigint").alias("_tok"),
+    )
+    schema = StructType([
+        StructField("pack_id", LongType()),
+        StructField("doc_ids", ArrayType(LongType())),
+        StructField("n_docs", LongType()),
+        StructField("n_tokens", LongType()),
+    ])
+
+    def pack(chunks):
+        pid = None
+        np_ = 0
+        cur_ids: list[int] = []
+        cur_tok = 0
+
+        def flush():
+            nonlocal np_, cur_ids, cur_tok
+            row = [(pid << 33) + np_, list(cur_ids), len(cur_ids), cur_tok]
+            np_ += 1
+            cur_ids, cur_tok = [], 0
+            return row
+
+        for pdf in chunks:
+            if pid is None and len(pdf):
+                pid = int(pdf["_pid"].iloc[0])
+            rows = []
+            for doc_id, tok in zip(pdf["_id"], pdf["_tok"]):
+                tok = int(tok)
+                if cur_ids and cur_tok + tok > budget:
+                    rows.append(flush())
+                cur_ids.append(int(doc_id))
+                cur_tok += tok
+                if cur_tok >= budget:
+                    rows.append(flush())
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["pack_id", "doc_ids", "n_docs", "n_tokens"]
+                )
+        if cur_ids:
+            yield pd.DataFrame(
+                [flush()], columns=["pack_id", "doc_ids", "n_docs", "n_tokens"]
+            )
+
+    return src.mapInPandas(pack, schema)

@@ -465,3 +465,36 @@ def dedup_components(
             F.coalesce("component", F.col(id_col)).alias("component"),
         )
     )
+
+
+def leakage_free_split(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    holdout_fraction: float = 0.1,
+    seed: int = 42,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup-aware train/holdout split: documents in the same
+    near-duplicate CLUSTER always land on the same side, so the
+    holdout cannot leak paraphrases of training documents (the
+    contamination a row-wise random split produces whenever the corpus
+    has near-dups — which at 100 TB it always does).
+
+    Composition of existing scale-safe pieces: MinHash candidate
+    pairs → Jaccard verify → connected components gives each doc a
+    canonical cluster id; the split hashes the CLUSTER id with the
+    deterministic md5 rule, so assignment is reproducible on any
+    engine/partitioning and stable as the corpus grows.
+    """
+    comp = dedup_components(df, id_col, text_col, threshold=threshold)
+    from fuel_spark.functions import det_key
+
+    bucket = F.conv(
+        F.substring(det_key(seed, F.col("component")), 1, 6), 16, 10
+    ).cast("bigint")
+    return comp.withColumn(
+        "split",
+        F.when(bucket < int(holdout_fraction * 16777216), F.lit("holdout"))
+        .otherwise(F.lit("train")),
+    )

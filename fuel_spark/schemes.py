@@ -175,6 +175,29 @@ def stratified_sample(
     return df.where(bucket < thr)
 
 
+def sample_n_per_group(
+    df: DataFrame, group_col: str, n: int, key: str, seed: int = 42
+) -> DataFrame:
+    """Exactly-n-per-group deterministic sampling (eval-set and
+    few-shot pool construction: "give me 500 docs per language").
+
+    Rank rows within each group by the seeded md5 key and keep the
+    first n — a reproducible draw (same members on any engine or
+    partitioning) rather than ``sample``'s RNG.  The window
+    partitions by group, so there is one shuffle on ``group_col`` and
+    no global sort; rank is bounded by n per group, never corpus-wide.
+    Groups smaller than n keep everything.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(det_key(seed, F.col(key)), F.col(key))
+    return (
+        df.withColumn("_rnk", F.row_number().over(w))
+        .where(F.col("_rnk") <= n)
+        .drop("_rnk")
+    )
+
+
 def temperature_weights(
     df: DataFrame, group_col: str, alpha: float = 0.7
 ) -> DataFrame:

@@ -162,3 +162,47 @@ def test_sort_within_batches_reverse(spark):
     out = core.sort_within_batches(df, "batch_id", "key", ["payload"], reverse=True).first()
     assert out.key == [3.0, 2.0, 1.0]
     assert out.payload == ["b", "c", "a"]
+
+
+def test_pack_token_budget_offset_bins(spark):
+    from fuel_spark.ops import core
+    from fuel_spark.sources import from_rows
+
+    rows = [(i, 100) for i in range(10)]  # 1000 tokens total
+    df = from_rows(spark, rows, schema="doc_id bigint, tok bigint")
+    out = {r.doc_id: r.pack_id for r in
+           core.pack_token_budget(df, "doc_id", "tok", budget=300).collect()}
+    # starts: 0,100,200,300,...  -> bins 0,0,0,1,1,1,2,2,2,3
+    assert [out[i] for i in range(10)] == [0, 0, 0, 1, 1, 1, 2, 2, 2, 3]
+
+
+def test_pack_token_budget_local_greedy_bound(spark):
+    from fuel_spark.ops import core
+    from fuel_spark.sources import from_rows
+
+    rows = [(i, t) for i, t in enumerate([120, 120, 120, 500, 90, 90, 90, 90])]
+    df = from_rows(spark, rows, schema="doc_id bigint, tok bigint").repartition(1)
+    packs = core.pack_token_budget_local(df, "doc_id", "tok", budget=300).collect()
+    # every pack respects the budget unless it is a single oversized doc
+    for p in packs:
+        assert p.n_tokens <= 300 or p.n_docs == 1
+    # all docs packed exactly once
+    all_ids = sorted(i for p in packs for i in p.doc_ids)
+    assert all_ids == list(range(8))
+
+
+def test_sample_n_per_group_exact_counts(spark):
+    from fuel_spark import schemes
+    from fuel_spark.sources import from_rows
+
+    rows = [(i, "a" if i < 50 else "b") for i in range(60)]
+    df = from_rows(spark, rows, schema="k bigint, g string")
+    out = schemes.sample_n_per_group(df, "g", 10, "k", seed=1).collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r.g, []).append(r.k)
+    assert len(by_g["a"]) == 10
+    assert len(by_g["b"]) == 10  # group b has exactly 10 rows -> all kept
+    # determinism: same seed, same members
+    again = schemes.sample_n_per_group(df, "g", 10, "k", seed=1).collect()
+    assert {r.k for r in again} == {r.k for r in out}

@@ -28,6 +28,7 @@ def test_oracle_keys_subset_of_queries():
         "pack_batches_local",
         "pad_sequences_local",
         "sort_batches_local",
+        "pack_token_budget_local",
     }
 
 

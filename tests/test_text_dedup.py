@@ -328,3 +328,15 @@ def test_corpus_stats_hand_counts(spark):
     assert en.n_docs == 2 and en.total_tokens == 5
     assert en.mean_tokens == 2.5 and en.p50_tokens == 2.5
     assert out[("fr", "book")].total_tokens == 1
+
+
+def test_leakage_split_cohesive_clusters(spark):
+    out = {r.doc_id: r for r in
+           dedup.leakage_free_split(_docs(spark), "doc_id", "text",
+                                    holdout_fraction=0.5).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    # near-dup cluster {0,1,2} must land on ONE side, whole
+    sides = {out[i].split for i in (0, 1, 2)}
+    assert len(sides) == 1
+    comps = {out[i].component for i in (0, 1, 2)}
+    assert comps == {0}
