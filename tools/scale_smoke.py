@@ -72,6 +72,10 @@ def main() -> int:
             "dedup_minhash_pairs", "text_quality", "ann_topk_cosine",
             "asof_join", "dedup_ngram_spans", "text_unigram_logprob",
             "events_funnel", "customer_rolling_revenue", "mixture_sample",
+            "dedup_decontaminate", "dedup_semantic", "profile_lineitem",
+            "check_expectations", "sample_n_per_group", "pack_token_budget",
+            "pack_token_budget_local", "text_corpus_stats",
+            "sole_blame_suppliers", "min_cost_supplier",
         ]
         timings = {}
         for name in names:
