@@ -663,18 +663,24 @@ def min_cost_supplier(t: dict[str, DataFrame], region: str = "EUROPE") -> DataFr
         "p_partkey", "p_name"
     )
     l = t["lineitem"].select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+    from pyspark.sql import Window
+
     # Per (part, regional supplier): min observed unit price.  The
     # division is per-row identical in both engines; min of identical
-    # doubles is order-independent, so the equality join below is safe.
+    # doubles is order-independent, so the equality filter below is
+    # safe.  The per-part best comes from a window partitioned by
+    # l_partkey — a SUBSET of the groupBy keys, so it reuses the agg's
+    # exchange (no second shuffle, no recomputation of the cost
+    # subtree that a join-back formulation would cost).
     cost = (
         l.join(broadcast(p.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
         .join(broadcast(s.select("s_suppkey")), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
     )
-    best = cost.groupBy("l_partkey").agg(F.min("unit_cost").alias("_best"))
+    best = F.min("unit_cost").over(Window.partitionBy("l_partkey"))
     return (
-        cost.join(broadcast(best), "l_partkey")
+        cost.withColumn("_best", best)
         .where(F.col("unit_cost") == F.col("_best"))
         .join(broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .join(broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
@@ -792,39 +798,30 @@ def sole_blame_suppliers(t: dict[str, DataFrame]) -> DataFrame:
     finished multi-supplier orders, suppliers whose lines were
     returned while *no other* supplier's were.
 
-    The EXISTS / NOT EXISTS pair is decorrelated into a semi-join
-    (some other supplier shipped on the order) and an anti-join (no
-    other supplier had a return) over distinct (orderkey, suppkey)
-    pairs — each a single shuffle on orderkey; no per-row subquery.
+    The EXISTS / NOT EXISTS pair decorrelates WITHOUT self-joins:
+    collapse to distinct (orderkey, supplier, had_return) rows — one
+    shuffle on orderkey — then per-order supplier/return counts come
+    from a window partitioned by orderkey, a SUBSET of the groupBy
+    keys, so the window reuses the aggregation's exchange.  "Some
+    other supplier shipped" ⇔ n_suppliers > 1; "no other supplier
+    returned" ⇔ this supplier returned and n_returning == 1.  Total:
+    one fact shuffle + one tiny groupBy, versus the textbook
+    semi+anti formulation's four shuffles of the pair set.
     """
     o = t["orders"].where(F.col("o_orderstatus") == "F").select("o_orderkey")
     l = t["lineitem"].select("l_orderkey", "l_suppkey", "l_returnflag")
-    pairs = (
+    per_pair = (
         l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .select("l_orderkey", "l_suppkey", "l_returnflag")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(F.col("l_returnflag") == "R").alias("_ret"))
     )
-    returned = (
-        pairs.where(F.col("l_returnflag") == "R")
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
-    )
-    all_pairs = pairs.select(
-        F.col("l_orderkey").alias("a_orderkey"), F.col("l_suppkey").alias("a_suppkey")
-    ).distinct()
-    with_others = returned.join(
-        all_pairs,
-        (F.col("l_orderkey") == F.col("a_orderkey"))
-        & (F.col("l_suppkey") != F.col("a_suppkey")),
-        "left_semi",
-    )
-    other_returns = returned.select(
-        F.col("l_orderkey").alias("r_orderkey"), F.col("l_suppkey").alias("r_suppkey")
-    )
-    blamed = with_others.join(
-        other_returns,
-        (F.col("l_orderkey") == F.col("r_orderkey"))
-        & (F.col("l_suppkey") != F.col("r_suppkey")),
-        "left_anti",
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_orderkey")
+    blamed = (
+        per_pair.withColumn("_n_supp", F.count(F.lit(1)).over(w))
+        .withColumn("_n_ret", F.sum(F.col("_ret").cast("int")).over(w))
+        .where(F.col("_ret") & (F.col("_n_supp") > 1) & (F.col("_n_ret") == 1))
     )
     s = t["supplier"].select("s_suppkey", "s_name")
     return (

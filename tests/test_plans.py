@@ -324,3 +324,17 @@ def test_user_rfm_hand_computed(spark):
     # telescoping mean gap: (2 days) / 2 = 86400s
     assert abs(out[1].mean_gap_sec - 86400.0) < 1e-6
     assert out[2].recency_days == 0 and out[2].mean_gap_sec == 0.0
+
+
+def test_q2_q21_shapes_reuse_partitioning(spark):
+    """The window-over-groupBy formulations must reuse the agg's
+    exchange (window keys are a subset of the groupBy keys): pinned
+    shuffle budgets — regressions to join-back/self-join shapes double
+    the fact shuffles."""
+    t = load_tables(spark, SF)
+    mc = _plan(analytics.min_cost_supplier(t))
+    assert mc.count("Exchange hashpartitioning") <= 2
+    sb = _plan(analytics.sole_blame_suppliers(t))
+    assert sb.count("Exchange hashpartitioning") <= 3
+    # per-order counts must NOT re-join the pair set against itself
+    assert sb.count("SortMergeJoin") == 0
