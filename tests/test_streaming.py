@@ -272,3 +272,52 @@ def test_near_dup_screen_streaming(spark, workdir):
     q.awaitTermination(120)
     kept = sorted(r.doc_id for r in spark.read.parquet(sink).collect())
     assert kept == [11]          # both index collisions screened out
+
+
+def test_pack_tokens_stateful_spans_micro_batches(spark, workdir):
+    """An open pack's fill must carry across micro-batches: batch 1
+    under-fills (open re-emission, closed=False), batch 2 completes
+    the SAME pack with cumulative members, then keeps packing."""
+    src = os.path.join(workdir, "pk_src")
+    ckpt = os.path.join(workdir, "pk_ckpt")
+    schema = "shard long, doc_id long, ws_tokens long"
+
+    def run(name):
+        emitted = []
+        q = (
+            serve.pack_tokens_stateful(
+                serve.stream_events_from_files(spark, src, schema), budget=300
+            )
+            .writeStream.outputMode("update")
+            .foreachBatch(lambda df, _id: emitted.extend(df.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return emitted
+
+    def write(tag, rows):
+        tmp = os.path.join(workdir, f"pk_tmp_{tag}")
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("overwrite").parquet(tmp)
+        for i, f in enumerate(sorted(os.listdir(tmp))):
+            if f.endswith(".parquet"):
+                shutil.copy(os.path.join(tmp, f),
+                            os.path.join(src, f"{tag}_{i}.parquet"))
+
+    os.makedirs(src, exist_ok=True)
+    write("b1", [(0, 1, 120), (0, 2, 100)])  # 220 < 300: pack 0 stays open
+    r1 = {r.pack_id: r for r in run("p1")}
+    assert r1[0].closed is False
+    assert sorted(r1[0].doc_ids) == [1, 2] and r1[0].n_tokens == 220
+
+    # batch 2: doc 3 (100) overflows 220+100 > 300 → pack 0 closes at
+    # [1,2]; doc 3 starts pack 1; doc 4 (250) overflows again → pack 1
+    # closes at [3]; doc 4 stays open in pack 2
+    write("b2", [(0, 3, 100), (0, 4, 250)])
+    r2 = {r.pack_id: r for r in run("p2")}
+    assert r2[0].closed is True and sorted(r2[0].doc_ids) == [1, 2]
+    assert r2[1].closed is True and list(r2[1].doc_ids) == [3]
+    assert r2[2].closed is False and list(r2[2].doc_ids) == [4]
+    assert r2[2].n_tokens == 250
