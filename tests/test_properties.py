@@ -135,3 +135,45 @@ def test_deterministic_sample_stable_under_growth(spark, seed, extra):
     b = {r.k for r in
          schemes.deterministic_sample(grown, "k", 0.4, seed=seed).collect()}
     assert a == {k for k in b if k < 200}
+
+
+@given(
+    toks=st.lists(st.integers(1, 400), min_size=1, max_size=30),
+    budget=st.integers(50, 400),
+)
+@SET
+def test_pack_token_budget_local_invariants(spark, toks, budget):
+    rows = [(i, t) for i, t in enumerate(toks)]
+    df = from_rows(spark, rows, schema="doc_id bigint, tok bigint").repartition(1)
+    packs = core.pack_token_budget_local(df, "doc_id", "tok", budget).collect()
+    # every doc packed exactly once
+    assert sorted(i for p in packs for i in p.doc_ids) == list(range(len(toks)))
+    for p in packs:
+        # greedy budget bound: only a single oversized doc may exceed
+        assert p.n_tokens <= budget or p.n_docs == 1
+        assert p.n_docs == len(p.doc_ids)
+        assert p.n_tokens == sum(toks[i] for i in p.doc_ids)
+
+
+@given(
+    n=st.integers(1, 40),
+    k=st.integers(1, 12),
+    seed=st.integers(0, 3),
+)
+@SET
+def test_sample_n_per_group_counts_and_stability(spark, n, k, seed):
+    rows = [(i, "g" + str(i % 3)) for i in range(n)]
+    df = from_rows(spark, rows, schema="key bigint, g string")
+    out = schemes.sample_n_per_group(df, "g", k, "key", seed=seed).collect()
+    sizes = {}
+    for r in out:
+        sizes[r.g] = sizes.get(r.g, 0) + 1
+    from collections import Counter
+
+    group_totals = Counter("g" + str(i % 3) for i in range(n))
+    for g, total in group_totals.items():
+        assert sizes.get(g, 0) == min(k, total)
+    # sampled set is a subset and deterministic
+    again = {r.key for r in
+             schemes.sample_n_per_group(df, "g", k, "key", seed=seed).collect()}
+    assert again == {r.key for r in out}
