@@ -747,6 +747,15 @@ def q_leakage_split(spark, sf):
     return dedup.leakage_free_split(d, "doc_id", "text", holdout_fraction=0.25)
 
 
+def q_sentiment(spark, sf):
+    d = _t(spark, sf)["documents"].select("doc_id", "text")
+    return text_ops.sentiment_score(d, "text")
+
+
+def q_similar_users(spark, sf):
+    return analytics.events_similar_users(_t(spark, sf), threshold=0.2)
+
+
 def q_quantiles_by_type(spark, sf):
     return analytics.events_value_quantiles_by_type(_t(spark, sf))
 
@@ -966,6 +975,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_lineitem": q_profile_lineitem,
         "check_expectations": q_check_expectations,
         "sample_n_per_group": q_sample_n_per_group,
+        "text_sentiment": q_sentiment,
+        "events_similar_users": q_similar_users,
         "pack_token_budget": q_pack_token_budget,
         "dedup_leakage_split": q_leakage_split,
         # rows-only: pack identity is partitioning-defined
@@ -2356,6 +2367,61 @@ def oracle_sql() -> dict[str, str]:
                       AS UBIGINT) AS BIGINT) < 4194304
                     THEN 'holdout' ELSE 'train' END AS split
         FROM labeled
+    """
+
+    _pos = "['good', 'great', 'fast', 'big', 'excellent', 'love', 'best']"
+    _neg = "['bad', 'poor', 'slow', 'small', 'terrible', 'hate', 'worst']"
+    sqls["text_sentiment"] = f"""
+        WITH d AS (
+          SELECT doc_id, text, {w} AS wt FROM documents
+        ),
+        c AS (
+          SELECT doc_id, text,
+                 CAST(len(list_filter(wt, x -> list_contains({_pos}, x)))
+                       AS BIGINT) AS n_pos,
+                 CAST(len(list_filter(wt, x -> list_contains({_neg}, x)))
+                       AS BIGINT) AS n_neg
+          FROM d
+        ),
+        p AS (
+          SELECT doc_id, text, n_pos, n_neg,
+                 CASE WHEN n_pos + n_neg = 0 THEN 0.0
+                      ELSE round(CAST(n_pos - n_neg AS DOUBLE)
+                                 / (n_pos + n_neg), 6) END AS polarity
+          FROM c
+        )
+        SELECT *, CASE WHEN polarity > 0.2 THEN 'positive'
+                       WHEN polarity < -0.2 THEN 'negative'
+                       ELSE 'neutral' END AS sentiment
+        FROM p
+    """
+
+    _trail_src = (
+        "(SELECT user_id AS doc_id, "
+        "string_agg(event_type, ' ' ORDER BY ts, event_id) AS text "
+        "FROM events GROUP BY user_id)"
+    )
+    _tr_bands = _minhash_bands_sql(num_hashes=9, bands=9, k=20, src=_trail_src, prefix="tr_")
+    sqls["events_similar_users"] = f"""
+        WITH {_tr_bands},
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM tr_bands a JOIN tr_bands b
+            ON a.band_id = b.band_id AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id
+        ),
+        shd AS (SELECT doc_id, {_shingles_sql('text', 20)} AS s
+                FROM {_trail_src} t)
+        SELECT id_a, id_b,
+          round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                / greatest(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)), 1),
+                6) AS jaccard
+        FROM cand
+        JOIN shd sa ON sa.doc_id = id_a
+        JOIN shd sb ON sb.doc_id = id_b
+        WHERE round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                / greatest(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)), 1),
+                6) >= 0.2
     """
 
     _dq_cos = _cos_sql("embedding", "dq")

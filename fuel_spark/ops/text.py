@@ -417,3 +417,48 @@ def corpus_stats(
             F.sum(F.length(t).cast("bigint")).alias("total_chars"),
         )
     )
+
+
+POS_LEXICON = ("good", "great", "fast", "big", "excellent", "love", "best")
+NEG_LEXICON = ("bad", "poor", "slow", "small", "terrible", "hate", "worst")
+
+
+def sentiment_score(
+    df: DataFrame,
+    text_col: str,
+    pos: tuple[str, ...] = POS_LEXICON,
+    neg: tuple[str, ...] = NEG_LEXICON,
+) -> DataFrame:
+    """Lexicon-based sentiment polarity per document (the distributed
+    scale-out of dictionary sentiment scoring, cf. "Large Scale
+    Sentiment Analysis on Twitter with Spark", EDBT 2016): count
+    positive/negative lexicon hits over the normalized token stream
+    and derive polarity in [-1, 1] plus a 3-way label.
+
+    Pure per-row array expressions in codegen (token membership via a
+    literal array — the lexicon travels inside the plan, no join, no
+    shuffle); occurrences count multiplicity, not distinct presence.
+    """
+    out = df.withColumn("_w", words(F.col(text_col)))
+    pos_arr = F.array(*[F.lit(x) for x in pos])
+    neg_arr = F.array(*[F.lit(x) for x in neg])
+    n_pos = F.size(F.filter(F.col("_w"), lambda x: F.array_contains(pos_arr, x)))
+    n_neg = F.size(F.filter(F.col("_w"), lambda x: F.array_contains(neg_arr, x)))
+    out = (
+        out.withColumn("n_pos", n_pos.cast("bigint"))
+        .withColumn("n_neg", n_neg.cast("bigint"))
+    )
+    tot = F.col("n_pos") + F.col("n_neg")
+    polarity = F.when(tot == 0, F.lit(0.0)).otherwise(
+        F.round((F.col("n_pos") - F.col("n_neg")).cast("double") / tot, 6)
+    )
+    return (
+        out.withColumn("polarity", polarity)
+        .withColumn(
+            "sentiment",
+            F.when(F.col("polarity") > 0.2, "positive")
+            .when(F.col("polarity") < -0.2, "negative")
+            .otherwise("neutral"),
+        )
+        .drop("_w")
+    )

@@ -836,6 +836,45 @@ def sole_blame_suppliers(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def events_similar_users(
+    t: dict[str, DataFrame], threshold: float = 0.2,
+    num_hashes: int = 9, bands: int = 9, shingle_k: int = 20,
+) -> DataFrame:
+    """Behavior-similarity pairs: users whose event-type *trails*
+    (type sequence in time order) are near-duplicates — the
+    trajectory-similarity-search shape (cf. REPOSE, ICDE 2021:
+    distributed top-k trajectory similarity via locality-grouped
+    reference points) re-expressed on the text-dedup machinery:
+    trail string → MinHash bands (the locality grouping) → candidate
+    pairs → shingle-Jaccard verify.
+
+    One groupBy builds trails (deterministic (ts, event_id) order);
+    the pair space is banded, never users² — the same scale bound as
+    document dedup, because it IS the document pipeline applied to
+    behavioral sequences.
+    """
+    e = t["events"]
+    trail = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ),
+            lambda s: s["event_type"],
+        ),
+        " ",
+    )
+    trails = e.groupBy("user_id").agg(trail.alias("trail"))
+    from fuel_spark.ops import dedup
+
+    return (
+        dedup.ngram_jaccard_pairs(
+            trails, "user_id", "trail", threshold=threshold,
+            num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
+        )
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def events_funnel(
     t: dict[str, DataFrame],
     steps: tuple[str, str, str] = ("view", "click", "purchase"),

@@ -340,3 +340,43 @@ def test_leakage_split_cohesive_clusters(spark):
     assert len(sides) == 1
     comps = {out[i].component for i in (0, 1, 2)}
     assert comps == {0}
+
+
+def test_sentiment_score_polarity(spark):
+    rows = [
+        (0, "good great fast excellent"),
+        (1, "bad slow terrible"),
+        (2, "table scan row"),
+        (3, "good bad"),
+    ]
+    df = from_rows(spark, rows, schema="doc_id bigint, text string")
+    out = {r.doc_id: r for r in
+           text_ops.sentiment_score(df, "text").collect()}
+    assert out[0].sentiment == "positive" and out[0].polarity == 1.0
+    assert out[1].sentiment == "negative" and out[1].polarity == -1.0
+    assert out[2].sentiment == "neutral" and out[2].n_pos == 0
+    assert out[3].polarity == 0.0 and out[3].n_pos == 1 and out[3].n_neg == 1
+
+
+def test_events_similar_users_finds_twin_trails(spark):
+    import datetime as dt
+
+    from fuel_spark.plans import analytics
+
+    # users 1 and 2 follow the same 12-step trail; user 3 diverges
+    base = ["view", "click", "view", "purchase"] * 3
+    other = ["click", "click", "view", "view"] * 3
+    rows = []
+    eid = 0
+    for uid, trail in ((1, base), (2, base), (3, other)):
+        for i, et in enumerate(trail):
+            rows.append((eid, uid, et, dt.datetime(2024, 1, 1, 0, i)))
+            eid += 1
+    e = from_rows(
+        spark, rows,
+        schema="event_id bigint, user_id bigint, event_type string, ts timestamp",
+    )
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in
+             analytics.events_similar_users({"events": e}, threshold=0.5).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 3) not in pairs and (2, 3) not in pairs
