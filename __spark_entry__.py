@@ -977,6 +977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_n_per_group": q_sample_n_per_group,
         "text_sentiment": q_sentiment,
         "events_similar_users": q_similar_users,
+        "events_daily_anomalies": lambda s, d: analytics.events_daily_anomalies(_t(s, d)),
         "pack_token_budget": q_pack_token_budget,
         "dedup_leakage_split": q_leakage_split,
         # rows-only: pack identity is partitioning-defined
@@ -2422,6 +2423,28 @@ def oracle_sql() -> dict[str, str]:
         WHERE round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
                 / greatest(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)), 1),
                 6) >= 0.2
+    """
+
+    sqls["events_daily_anomalies"] = f"""
+        WITH daily AS (
+          SELECT event_type, date_trunc('day', ts) AS day,
+                 {_dsum_sql('value')} AS day_value
+          FROM events GROUP BY 1, 2
+        ),
+        m AS (
+          SELECT event_type, count(*) AS n,
+                 CAST(sum(CAST(day_value AS {DEC})) AS DOUBLE) AS s1,
+                 CAST(sum(CAST(day_value * day_value AS {DEC})) AS DOUBLE) AS s2
+          FROM daily GROUP BY 1
+        )
+        SELECT d.event_type, d.day, round(d.day_value, 6) AS day_value,
+               round((d.day_value - s1 / n)
+                     / sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 1e-12)),
+                     6) AS z,
+               abs(round((d.day_value - s1 / n)
+                     / sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 1e-12)),
+                     6)) > 3.0 AS is_anomaly
+        FROM daily d JOIN m USING (event_type)
     """
 
     _dq_cos = _cos_sql("embedding", "dq")

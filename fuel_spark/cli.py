@@ -64,6 +64,25 @@ def cmd_convert(args) -> int:
     return 0
 
 
+def cmd_profile(args) -> int:
+    """Per-column data-quality profile of a parquet table (the
+    ``fuel-info`` idea upgraded from shapes to content statistics)."""
+    from fuel_spark.ops.profile import profile_columns
+
+    spark = get_spark("fuel_spark-profile")
+    spark.sparkContext.setLogLevel("ERROR")
+    df = spark.read.parquet(args.path)
+    cols = args.columns or None
+    prof = profile_columns(df, cols, exact_distinct=not args.approx)
+    for r in prof.collect():
+        mean = "" if r.mean is None else f"\tmean={r.mean}"
+        print(
+            f"{r.column}\trows={r.n_rows}\tnulls={r.n_null}\t"
+            f"distinct={r.n_distinct}\tmin={r.min_value}\tmax={r.max_value}{mean}"
+        )
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="fuel_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -80,6 +99,13 @@ def main(argv: list[str] | None = None) -> int:
     p_conv.add_argument("--partition-by", nargs="*", default=None)
     p_conv.add_argument("--header", action="store_true")
     p_conv.set_defaults(fn=cmd_convert)
+
+    p_prof = sub.add_parser("profile", help="per-column data-quality profile")
+    p_prof.add_argument("path")
+    p_prof.add_argument("--columns", nargs="*", default=None)
+    p_prof.add_argument("--approx", action="store_true",
+                        help="approx distinct counts (cheaper at scale)")
+    p_prof.set_defaults(fn=cmd_profile)
 
     args = ap.parse_args(argv)
     return args.fn(args)

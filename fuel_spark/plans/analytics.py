@@ -1036,3 +1036,44 @@ def events_user_rfm(t: dict[str, DataFrame]) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+def events_daily_anomalies(
+    t: dict[str, DataFrame], z_threshold: float = 3.0
+) -> DataFrame:
+    """Volume-anomaly detection: per (event_type, day) revenue z-score
+    against that type's own daily history; |z| over the threshold
+    flags the day.
+
+    Two map-side-combinable aggs (daily rollup, then per-type moments
+    from exact-decimal Σx/Σx² — NOT stddev_pop, whose float
+    accumulation order differs across engines and partitionings) and
+    one broadcast join of the tiny per-type moment table back onto the
+    daily rollup.  Deterministic at any parallelism, so the z-scores
+    hash-match the oracle bit-for-bit.
+    """
+    e = t["events"]
+    daily = (
+        e.groupBy(
+            F.col("event_type"),
+            F.date_trunc("day", F.col("ts")).alias("day"),
+        )
+        .agg(_dsum(F.col("value")).alias("day_value"))
+    )
+    moments = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("day_value").cast(DEC)).cast("double").alias("_s1"),
+        F.sum((F.col("day_value") * F.col("day_value")).cast(DEC))
+        .cast("double")
+        .alias("_s2"),
+    )
+    mean = F.col("_s1") / F.col("_n")
+    var = F.col("_s2") / F.col("_n") - mean * mean
+    z = (F.col("day_value") - mean) / F.sqrt(F.greatest(var, F.lit(1e-12)))
+    return (
+        daily.join(broadcast(moments), "event_type")
+        .withColumn("z", F.round(z, 6))
+        .withColumn("is_anomaly", F.abs(F.col("z")) > z_threshold)
+        .select("event_type", "day", F.round("day_value", 6).alias("day_value"),
+                "z", "is_anomaly")
+    )

@@ -32,3 +32,13 @@ def test_convert_csv_and_info(spark, outdir, capsys):
     assert main(["info", out]) == 0
     captured = capsys.readouterr().out
     assert "rows=20" in captured
+
+
+def test_cli_profile(capsys):
+    from fuel_spark.cli import main
+
+    rc = main(["profile", "/root/testdata/sf0.001/region.parquet"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "r_regionkey" in out and "distinct=5" in out
+    assert "mean=2.0" in out  # keys 0..4

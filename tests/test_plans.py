@@ -338,3 +338,25 @@ def test_q2_q21_shapes_reuse_partitioning(spark):
     assert sb.count("Exchange hashpartitioning") <= 3
     # per-order counts must NOT re-join the pair set against itself
     assert sb.count("SortMergeJoin") == 0
+
+
+def test_daily_anomalies_flags_planted_spike(spark):
+    import datetime as dt
+
+    from fuel_spark.sources import from_rows
+
+    rows = []
+    eid = 0
+    for day in range(1, 21):
+        v = 1000.0 if day == 15 else 10.0  # day 15 is the spike
+        rows.append((eid, "view", dt.datetime(2024, 1, day), v))
+        eid += 1
+    e = from_rows(
+        spark, rows,
+        schema="event_id bigint, event_type string, ts timestamp, value double",
+    )
+    out = {r.day.day: r for r in
+           analytics.events_daily_anomalies({"events": e}).collect()}
+    assert out[15].is_anomaly
+    flagged = [d for d, r in out.items() if r.is_anomaly]
+    assert flagged == [15]
