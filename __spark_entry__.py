@@ -756,6 +756,14 @@ def q_similar_users(spark, sf):
     return analytics.events_similar_users(_t(spark, sf), threshold=0.2)
 
 
+BM25_QUERY = ("fast", "join", "window")
+
+
+def q_bm25(spark, sf):
+    d = _t(spark, sf)["documents"].select("doc_id", "text")
+    return text_ops.bm25_scores(d, "doc_id", "text", BM25_QUERY, top_n=20)
+
+
 def q_quantiles_by_type(spark, sf):
     return analytics.events_value_quantiles_by_type(_t(spark, sf))
 
@@ -978,6 +986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_sentiment": q_sentiment,
         "events_similar_users": q_similar_users,
         "events_daily_anomalies": lambda s, d: analytics.events_daily_anomalies(_t(s, d)),
+        "text_bm25": q_bm25,
         "pack_token_budget": q_pack_token_budget,
         "dedup_leakage_split": q_leakage_split,
         # rows-only: pack identity is partitioning-defined
@@ -2445,6 +2454,47 @@ def oracle_sql() -> dict[str, str]:
                      / sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 1e-12)),
                      6)) > 3.0 AS is_anomaly
         FROM daily d JOIN m USING (event_type)
+    """
+
+    _bm25_terms = "['fast', 'join', 'window']"
+    sqls["text_bm25"] = f"""
+        WITH lens AS (
+          SELECT doc_id,
+                 len(list_filter({w}, x -> x <> '')) AS dlen
+          FROM documents
+        ),
+        stats AS (
+          SELECT CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(CAST(dlen AS DECIMAL(27,6))) AS DOUBLE) / count(*)
+                   AS avglen
+          FROM lens
+        ),
+        terms AS (
+          SELECT doc_id, word, count(*) AS tf FROM (
+            SELECT doc_id, unnest({w}) AS word FROM documents)
+          WHERE list_contains({_bm25_terms}, word)
+          GROUP BY doc_id, word
+        ),
+        dfreq AS (SELECT word, count(*) AS df FROM terms GROUP BY word),
+        scored AS (
+          SELECT t.doc_id, count(*) AS n_terms_hit,
+                 round(CAST(sum(CAST(round(
+                     ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                     * (t.tf * (1.2 + 1.0)
+                        / (t.tf + 1.2 * (1.0 - 0.75
+                           + 0.75 * l.dlen / s.avglen))), 9)
+                   AS DECIMAL(27,9))) AS DOUBLE), 6) AS score
+          FROM terms t
+          JOIN dfreq d USING (word)
+          JOIN lens l ON l.doc_id = t.doc_id
+          CROSS JOIN stats s
+          GROUP BY t.doc_id
+        )
+        SELECT doc_id, n_terms_hit, score,
+               CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+                 AS rank
+        FROM scored
+        ORDER BY score DESC, doc_id LIMIT 20
     """
 
     _dq_cos = _cos_sql("embedding", "dq")

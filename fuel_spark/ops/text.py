@@ -462,3 +462,75 @@ def sentiment_score(
         )
         .drop("_w")
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: tuple[str, ...],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_n: int = 10,
+) -> DataFrame:
+    """BM25 keyword retrieval (Robertson & Zaragoza 2009) — score every
+    document against a term query and return the top-N, the keyword
+    leg of hybrid (keyword + vector) retrieval over a training corpus.
+
+    Scale shape: the query-term list is an in-plan literal filter, so
+    only matching (doc, term) rows survive the explode; document
+    frequency and average length ride along as broadcast relations
+    (|terms| rows and 1 row — never corpus-width).  idf uses the
+    standard ln(1 + (N-df+0.5)/(df+0.5)); all arithmetic is per-row
+    double ops on deterministic counts, portable to the oracle.
+    Output: id, n_terms_hit, score (round 6), rank.
+    """
+    from pyspark.sql import Window
+
+    q = F.array(*[F.lit(t) for t in query_terms])
+    lengths = df.select(
+        F.col(id_col),
+        F.size(F.filter(words(F.col(text_col)), lambda x: x != "")).alias("_len"),
+    )
+    stats = lengths.agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        (F.sum(F.col("_len").cast("decimal(27,6)")).cast("double")
+         / F.count(F.lit(1))).alias("_avglen"),
+    )
+    terms = (
+        df.select(F.col(id_col), F.explode(words(F.col(text_col))).alias("word"))
+        .where(F.array_contains(q, F.col("word")))
+        .groupBy(id_col, "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = terms.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        1.0 + (F.col("_n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_part = (
+        F.col("tf") * (k1 + 1.0)
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("_len") / F.col("_avglen")))
+    )
+    scored = (
+        terms.join(F.broadcast(dfreq), "word")
+        .join(lengths, id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn("_term_score", idf * tf_part)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_hit"),
+            # per-term scores rounded then decimal-summed: the per-doc
+            # total cannot depend on float accumulation order
+            F.round(
+                F.sum(F.round(F.col("_term_score"), 9).cast("decimal(27,9)"))
+                .cast("double"),
+                6,
+            ).alias("score"),
+        )
+    )
+    # top-N via sort-limit (executes as per-partition TakeOrdered — no
+    # single-partition window over every matched doc), then rank the
+    # already-tiny result
+    top = scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(top_n)
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col))
+    return top.withColumn("rank", F.row_number().over(w).cast("bigint"))

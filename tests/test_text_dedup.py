@@ -380,3 +380,21 @@ def test_events_similar_users_finds_twin_trails(spark):
              analytics.events_similar_users({"events": e}, threshold=0.5).collect()}
     assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_bm25_ranks_matching_docs(spark):
+    rows = [
+        (0, "spark spark spark shuffle"),     # high tf for 'spark'
+        (1, "spark engine shuffle"),          # one hit each
+        (2, "completely unrelated words"),    # no hits
+        (3, "engine engine engine engine"),   # rare-term tf
+    ]
+    df = from_rows(spark, rows, schema="doc_id bigint, text string")
+    out = text_ops.bm25_scores(df, "doc_id", "text", ("spark", "engine"), top_n=5)
+    got = {r.doc_id: r for r in out.collect()}
+    assert 2 not in got                       # zero-hit docs don't score
+    assert got[0].n_terms_hit == 1 and got[1].n_terms_hit == 2
+    ranks = sorted((r.rank, r.doc_id) for r in got.values())
+    assert [r for r, _ in ranks] == [1, 2, 3]
+    # doc 1 hits both terms; saturation (k1) caps doc 0's repeated term
+    assert got[1].score > got[0].score
