@@ -764,6 +764,12 @@ def q_bm25(spark, sf):
     return text_ops.bm25_scores(d, "doc_id", "text", BM25_QUERY, top_n=20)
 
 
+def q_ann_int8(spark, sf):
+    e = _t(spark, sf)["embeddings"]
+    q = e.where(F.col("vec_id") < 5)
+    return similarity.quantized_ann(e, q, k=5, bits=8)
+
+
 def q_quantiles_by_type(spark, sf):
     return analytics.events_value_quantiles_by_type(_t(spark, sf))
 
@@ -987,6 +993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_similar_users": q_similar_users,
         "events_daily_anomalies": lambda s, d: analytics.events_daily_anomalies(_t(s, d)),
         "text_bm25": q_bm25,
+        "ann_int8": q_ann_int8,
         "pack_token_budget": q_pack_token_budget,
         "dedup_leakage_split": q_leakage_split,
         # rows-only: pack identity is partitioning-defined
@@ -2495,6 +2502,53 @@ def oracle_sql() -> dict[str, str]:
                  AS rank
         FROM scored
         ORDER BY score DESC, doc_id LIMIT 20
+    """
+
+    _qa_sign8 = " + ".join(
+        f"(CASE WHEN embedding[{b + 1}] > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(8)
+    )
+    _qa_idot = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT),"
+        " list_transform(generate_series(1, len(qqv)),"
+        " i -> CAST(qqv[i] AS BIGINT) * CAST(cqv[i] AS BIGINT))),"
+        " (acc, v) -> acc + v)"
+    )
+    sqls["ann_int8"] = f"""
+        WITH a AS (
+          SELECT vec_id, embedding, CAST({_qa_sign8} AS BIGINT) AS g,
+                 greatest(list_max(list_transform(embedding,
+                          x -> abs(CAST(x AS DOUBLE)))), 1e-30) AS amax
+          FROM embeddings
+        ),
+        qz AS (
+          SELECT vec_id, g,
+                 list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / amax)
+                        AS INTEGER)) AS qv,
+                 amax / 127.0 AS scale
+          FROM a
+        ),
+        qq AS (SELECT vec_id AS query_id, g, qv AS qqv, scale AS qscale
+               FROM qz WHERE vec_id < 5),
+        cc AS (SELECT vec_id AS neighbor_id, g, qv AS cqv, scale AS cscale
+               FROM qz),
+        scored AS (
+          SELECT query_id, neighbor_id,
+                 round(CAST({_qa_idot} AS DOUBLE) * qscale * cscale, 6)
+                   AS approx_dot
+          FROM qq JOIN cc USING (g)
+          WHERE query_id <> neighbor_id
+        ),
+        ranked AS (
+          SELECT query_id, neighbor_id, approx_dot,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY approx_dot DESC, neighbor_id)
+                   AS rank
+          FROM scored
+        )
+        SELECT query_id, neighbor_id, approx_dot, CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= 5
     """
 
     _dq_cos = _cos_sql("embedding", "dq")

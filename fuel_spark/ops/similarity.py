@@ -372,3 +372,59 @@ def dequantize_int8(
             F.col(q_col), lambda q: q.cast("double") * F.col(scale_col)
         ),
     )
+
+
+def quantized_ann(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    bits: int = 8,
+) -> DataFrame:
+    """Approximate top-k over the INT8-quantized corpus: sign-sketch
+    blocking bounds the candidate set, then scoring runs entirely on
+    quantized vectors — the integer dot product q_a·q_b rescales to an
+    approximate float dot via scale_a*scale_b.
+
+    This is :func:`sign_block_ann` with the 4× narrower shuffle/store
+    payload that :func:`quantize_int8` exists for: at 100 TB the
+    corpus ships as int8 arrays + one double scale per vector, and
+    full-precision embeddings never enter the join.  Ranking is by
+    approximate score (int math + one per-pair multiply, both
+    engine-portable); recall vs exact rerank is property-tested.
+    Output: query_id, neighbor_id, approx_dot (round 6), rank.
+    """
+    cq = quantize_int8(sign_sketch(corpus, vec_col, bits), vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("qvec").alias("cq"),
+        F.col("scale").alias("cscale"), F.col("sign_bucket"),
+    )
+    qq = quantize_int8(sign_sketch(queries, vec_col, bits), vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("qvec").alias("qq"),
+        F.col("scale").alias("qscale"), F.col("sign_bucket"),
+    )
+    # integer dot of the two int8 arrays, then one rescale multiply
+    int_dot = F.aggregate(
+        F.zip_with(F.col("qq"), F.col("cq"), lambda a, b: (a * b).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        broadcast(qq)
+        .join(cq, "sign_bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "approx_dot",
+            F.round(
+                int_dot.cast("double") * F.col("qscale") * F.col("cscale"), 6
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_dot").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "approx_dot", "rank")
+    )

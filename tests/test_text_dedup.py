@@ -398,3 +398,22 @@ def test_bm25_ranks_matching_docs(spark):
     assert [r for r, _ in ranks] == [1, 2, 3]
     # doc 1 hits both terms; saturation (k1) caps doc 0's repeated term
     assert got[1].score > got[0].score
+
+
+def test_quantized_ann_agrees_with_exact_rerank(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(200)
+    ]
+    df = from_rows(spark, rows, schema="vec_id bigint, embedding array<double>")
+    q = df.where("vec_id < 3")
+    approx = {(r.query_id, r.neighbor_id)
+              for r in similarity.quantized_ann(df, q, k=5, bits=4).collect()}
+    exact = {(r.query_id, r.neighbor_id)
+             for r in similarity.sign_block_ann(df, q, k=5, bits=4).collect()}
+    # same blocking, int8 vs float scoring: top-5 sets nearly coincide
+    assert approx and exact
+    overlap = len(approx & exact) / len(exact)
+    assert overlap >= 0.8
