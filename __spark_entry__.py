@@ -770,6 +770,29 @@ def q_ann_int8(spark, sf):
     return similarity.quantized_ann(e, q, k=5, bits=8)
 
 
+def q_curation_pipeline(spark, sf):
+    # THE canonical corpus job, end-to-end: quality filter -> near-dup
+    # apply -> benchmark decontamination -> deterministic sample.  One
+    # lazy plan; every stage is an existing first-class operator.
+    from fuel_spark import schemes
+
+    d = _t(spark, sf)["documents"]
+    corpus = d.where(F.col("doc_id") >= 20).select("doc_id", "text", "lang")
+    bench = d.where(F.col("doc_id") < 20).select("text")
+    kept = (
+        text_ops.quality_score(corpus, "text")
+        .where(F.col("quality") >= 0.9)
+        .select("doc_id", "text", "lang")
+    )
+    deduped = dedup.apply_dedup(kept, "doc_id", "text", threshold=0.5)
+    flags = dedup.decontaminate(deduped, "doc_id", "text", bench, "text", n=3)
+    clean = deduped.join(
+        flags.where(~F.col("contaminated")).select("doc_id"), "doc_id"
+    )
+    sampled = schemes.deterministic_sample(clean, "doc_id", 0.5, seed=11)
+    return sampled.select("doc_id", "lang")
+
+
 def q_quantiles_by_type(spark, sf):
     return analytics.events_value_quantiles_by_type(_t(spark, sf))
 
@@ -994,6 +1017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_daily_anomalies": lambda s, d: analytics.events_daily_anomalies(_t(s, d)),
         "text_bm25": q_bm25,
         "ann_int8": q_ann_int8,
+        "curation_pipeline": q_curation_pipeline,
         "pack_token_budget": q_pack_token_budget,
         "dedup_leakage_split": q_leakage_split,
         # rows-only: pack identity is partitioning-defined
@@ -2549,6 +2573,76 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT query_id, neighbor_id, approx_dot, CAST(rank AS BIGINT) AS rank
         FROM ranked WHERE rank <= 5
+    """
+
+    _cp_bands = _minhash_bands_sql(src="dd0", prefix="cp_")
+    _cp_grams = (
+        "CASE WHEN len(w) >= 3 THEN"
+        " list_distinct(list_transform(generate_series(1, len(w) - 2),"
+        " i -> substring(md5(concat(w[i], ' ', w[i+1], ' ', w[i+2])), 1, 16)))"
+        " ELSE [] END"
+    )
+    sqls["curation_pipeline"] = f"""
+        WITH cor AS (
+          SELECT doc_id, text, lang FROM documents WHERE doc_id >= 20
+        ),
+        qw AS (SELECT doc_id, text, {w} AS w FROM cor),
+        qf AS (
+          SELECT doc_id FROM (
+            SELECT doc_id,
+              round(
+                (CASE WHEN len(w) BETWEEN 10 AND 100000 THEN 0.25 ELSE 0.0 END)
+                + (CASE WHEN round(CAST(COALESCE(list_sum(list_transform(w,
+                       x -> length(x))), 0) AS DOUBLE) / greatest(len(w), 1), 6)
+                     BETWEEN 3 AND 10 THEN 0.25 ELSE 0.0 END)
+                + (CASE WHEN round(CAST(length(regexp_replace(lower(text),
+                       '[^a-z]', '', 'g')) AS DOUBLE)
+                     / greatest(length(text), 1), 6) >= 0.6
+                     THEN 0.25 ELSE 0.0 END)
+                + (CASE WHEN round(CAST(len(list_filter(w,
+                       x -> list_contains({en}, x))) AS DOUBLE)
+                     / greatest(len(w), 1), 6) >= 0.05
+                     THEN 0.25 ELSE 0.0 END), 2) AS quality
+            FROM qw)
+          WHERE quality >= 0.9
+        ),
+        dd0 AS (SELECT c.doc_id, c.text, c.lang FROM cor c JOIN qf USING (doc_id)),
+        {_cp_bands},
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM cp_bands a JOIN cp_bands b
+            ON a.band_id = b.band_id AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id
+        ),
+        shd AS (SELECT doc_id, {_shingles_sql('text')} AS s FROM dd0),
+        losers AS (
+          SELECT DISTINCT id_b FROM cand
+          JOIN shd sa ON sa.doc_id = id_a
+          JOIN shd sb ON sb.doc_id = id_b
+          WHERE round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                / greatest(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)), 1),
+                6) >= 0.5
+        ),
+        dd AS (SELECT * FROM dd0
+               WHERE doc_id NOT IN (SELECT id_b FROM losers)),
+        bgr AS (
+          SELECT DISTINCT unnest(gs) AS gh FROM (
+            SELECT {_cp_grams} AS gs FROM
+              (SELECT {w} AS w FROM documents WHERE doc_id < 20))
+        ),
+        cgr AS (
+          SELECT doc_id, unnest(gs) AS gh FROM (
+            SELECT doc_id, {_cp_grams} AS gs FROM
+              (SELECT doc_id, {w} AS w FROM dd))
+        ),
+        contam AS (
+          SELECT DISTINCT doc_id FROM cgr WHERE gh IN (SELECT gh FROM bgr)
+        )
+        SELECT doc_id, lang FROM dd
+        WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+          AND CAST(CAST(concat('0x', substring(
+                md5(concat('11', '-', CAST(doc_id AS VARCHAR))), 1, 6))
+              AS UBIGINT) AS BIGINT) < 8388608
     """
 
     _dq_cos = _cos_sql("embedding", "dq")
