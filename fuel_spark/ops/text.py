@@ -381,6 +381,62 @@ def unigram_logprob(
     )
 
 
+def lexical_diversity(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Per-document vocabulary-richness block: type-token ratio, hapax
+    fraction, and Shannon word entropy — the standard cheap signals for
+    boilerplate/templated text (low entropy, low TTR) vs natural prose.
+
+    Linear, scale-safe shape: explode once to (doc, word) term
+    frequencies (same tokenization contract as :func:`unigram_logprob`),
+    then one map-side-combinable groupBy per doc.  Entropy uses the
+    single-pass identity  H = log2(n) - sum(c*log2 c)/n  so no second
+    join for the doc total is needed.  Docs with zero tokens are kept
+    (left join back) with zeroed stats, mirroring the empty-doc rule of
+    ``dictionary_encode``.
+    Output: id, n_words, n_distinct, ttr, hapax_frac, entropy.
+    """
+    tf = (
+        ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), F.explode(words(F.col(text_col))).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy(id_col, "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    per_doc = tf.groupBy(id_col).agg(
+        F.sum("tf").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.when(F.col("tf") == 1, 1).otherwise(0)).alias("_hapax"),
+        F.sum(F.col("tf").cast("double") * F.log2(F.col("tf").cast("double"))).alias("_clog"),
+    )
+    n = F.col("n_words").cast("double")
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_words", F.lit(0)).cast("bigint").alias("n_words"),
+            F.coalesce("n_distinct", F.lit(0)).cast("bigint").alias("n_distinct"),
+            F.when(
+                F.col("n_words").isNull(), F.lit(0.0)
+            ).otherwise(
+                F.round(F.col("n_distinct").cast("double") / n, 6)
+            ).alias("ttr"),
+            F.when(
+                F.col("n_distinct").isNull(), F.lit(0.0)
+            ).otherwise(
+                F.round(F.col("_hapax").cast("double") / F.col("n_distinct"), 6)
+            ).alias("hapax_frac"),
+            F.when(
+                F.col("n_words").isNull(), F.lit(0.0)
+            ).otherwise(
+                F.round(F.log2(n) - F.col("_clog") / n, 6)
+            ).alias("entropy"),
+        )
+    )
+
+
 def corpus_stats(
     df: DataFrame,
     text_col: str = "text",
