@@ -392,6 +392,17 @@ def q_merge(spark, sf):
     return core.merge_streams(s, c, "s_suppkey", "c_custkey")
 
 
+def q_merge_local(spark, sf):
+    """merge_streams_local: positional zip in partition-arrival order
+    (rows-only: position identity is partitioning-defined)."""
+    t = _t(spark, sf)
+    a = t["supplier"].select("s_suppkey", "s_name")
+    b = t["supplier"].select(
+        F.col("s_suppkey").alias("k2"), F.col("s_acctbal").alias("bal2")
+    )
+    return core.merge_streams_local(a, b)
+
+
 def q_scheme_sequential(spark, sf):
     c = _t(spark, sf)["customer"]
     out = schemes.sequential_batches(c, "c_custkey", 20)
@@ -418,6 +429,35 @@ def q_cross_validation(spark, sf):
     o = _t(spark, sf)["orders"]
     out = schemes.cross_validation_folds(o, "o_orderkey", 5)
     return out.groupBy("fold").agg(F.count(F.lit(1)).alias("fold_size"))
+
+
+def q_scheme_hash_folds(spark, sf):
+    """hash_folds (portable md5 mode): shuffle-free per-row fold
+    assignment, checked row-by-row against the oracle's identical md5
+    rule — the 100 TB fold path (cross_validation_folds needs global
+    positions; this needs nothing but a projection)."""
+    o = _t(spark, sf)["orders"]
+    out = schemes.hash_folds(o, "o_orderkey", 5, seed=42, portable=True)
+    return out.select("o_orderkey", "fold")
+
+
+def q_cache_stream_rebatch(spark, sf):
+    """Cache (reference fuel/transformers/__init__.py:477): persist the
+    upstream plan, then RE-BATCH at a different size — fuel's Cache
+    exists precisely to serve a new batch scheme from cached examples.
+    The persist is plan-level (no semantic effect — the oracle computes
+    the same rows cold); the re-batching is what's checked."""
+    from fuel_spark.ops import core as _core
+
+    c = _t(spark, sf)["customer"].select("c_custkey")
+    cached = _core.cache_stream(c)
+    b = schemes.sequential_batches(cached, "c_custkey", 50)
+    packed = _core.pack_batches(
+        b, "batch_id", ["c_custkey"], order_within="c_custkey"
+    )
+    return packed.select(
+        "batch_id", _arr_str(F.col("c_custkey")).alias("c_custkey"), "batch_size"
+    )
 
 
 def q_split_select(spark, sf):
@@ -926,8 +966,84 @@ def q_ann_ivf(spark, sf):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Query registry.  ORDERING IS DELIBERATE: the driver's
+    correctness gate checks the FIRST 50 keys, so each round leads
+    with the keys that do not yet have a driver-green CORRECTNESS row.
+    Round 3 window: the 43 oracle-checked queries never reached by the
+    r1/r2 windows (all LLM-pipeline ops + the two r1 driver-ERR fixes
+    ``sliding_window`` / ``text_dictionary_encode``), the 2 new oracle
+    queries, and the 5 highest-value rows-only queries.  Keys past 50
+    all have prior driver-green rows (r1 or r2) and stay covered by
+    ``tools/check_correctness.py`` locally.
+    """
     return {
-        # analytics / query engine
+        # ---- driver window (first 50): never driver-checked ----
+        # r1 driver-ERRs whose fixes were only locally verified so far
+        "sliding_window": q_sliding_window,
+        "text_dictionary_encode": q_dictionary_encode,
+        "text_dictionary_encode_fixed": q_dictionary_encode_fixed,
+        # text analysis
+        "text_remove_stopwords": q_remove_stopwords,
+        "text_sentence_stats": q_sentence_stats,
+        "text_bigram_counts": q_bigram_counts,
+        "text_repetition": q_repetition,
+        "text_redact_pii": q_redact_pii,
+        "text_corpus_stats": q_corpus_stats,
+        "text_sentiment": q_sentiment,
+        "text_bm25": q_bm25,
+        "text_unigram_logprob": q_unigram_logprob,
+        # dedup / decontamination / clustering
+        "dedup_ngram_spans": q_ngram_dup,
+        "dedup_components": q_dedup_components,
+        "dedup_screen_vs_index": q_dedup_screen,
+        "dedup_decontaminate": q_decontaminate,
+        "dedup_semantic": q_semantic_dedup,
+        "dedup_leakage_split": q_leakage_split,
+        # embeddings / ANN
+        "embedding_label_centroids": q_label_centroids,
+        "embedding_quantize_int8": q_quantize_embeddings,
+        "embedding_normalize": q_embedding_normalize,
+        "embedding_sign_sketch": q_sign_sketch,
+        "ann_int8": q_ann_int8,
+        "ann_sign_block": q_ann_sign_block,
+        # sampling / mixtures / packing
+        "sample_stratified": q_stratified_sample,
+        "sample_n_per_group": q_sample_n_per_group,
+        "mixture_weights": q_mixture_weights,
+        "mixture_sample": q_mixture_sample,
+        "pack_token_budget": q_pack_token_budget,
+        "curation_pipeline": q_curation_pipeline,
+        # events / analytics additions
+        "events_funnel": q_events_funnel,
+        "events_cohort_retention": q_cohort_retention,
+        "events_similar_users": q_similar_users,
+        "events_daily_anomalies": lambda s, d: analytics.events_daily_anomalies(_t(s, d)),
+        "events_quantiles_by_type": q_quantiles_by_type,
+        "events_user_rfm": q_user_rfm,
+        "customer_rolling_revenue": q_rolling_revenue,
+        # profiling / expectations
+        "profile_lineitem": q_profile_lineitem,
+        "check_expectations": q_check_expectations,
+        # custom operators
+        "asof_join": q_asof_join,
+        "value_quantiles": q_quantiles,
+        "toy_spiral": q_toy_spiral,
+        "toy_swiss_roll": q_toy_swiss_roll,
+        # new this round (oracle-checked)
+        "scheme_hash_folds": q_scheme_hash_folds,
+        "cache_stream_rebatch": q_cache_stream_rebatch,
+        # rows-only, never driver-recorded: highest-value five
+        "multimodal_decode": q_multimodal,
+        "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
+        "pack_token_budget_local": q_pack_token_budget_local,
+        "merge_streams_local": q_merge_local,
+        # ---- end of driver window ------------------------------
+        # rows-only scale tier (batch identity is partitioning-defined)
+        "pack_batches_local": q_pack_batches_local,
+        "pad_sequences_local": q_pad_sequences_local,
+        "sort_batches_local": q_sort_batches_local,
+        # analytics / query engine (driver-green r2)
         "pricing_summary": lambda s, d: analytics.pricing_summary(_t(s, d)),
         "revenue_forecast": lambda s, d: analytics.revenue_forecast(_t(s, d)),
         "top_revenue_orders": lambda s, d: analytics.top_revenue_orders(_t(s, d)),
@@ -981,76 +1097,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_select_indices": q_split_select_indices,
         # sequences / text sources
         "ngrams": q_ngrams,
-        "sliding_window": q_sliding_window,
-        "text_dictionary_encode": q_dictionary_encode,
-        "text_dictionary_encode_fixed": q_dictionary_encode_fixed,
-        # text analysis
+        # text analysis (driver-green r1)
         "text_lang_id": q_lang_id,
         "text_quality": q_quality,
         "text_token_counts": q_token_counts,
         "text_fingerprint": q_fingerprint,
         "text_tfidf_top_terms": q_tfidf,
-        "text_remove_stopwords": q_remove_stopwords,
-        "text_sentence_stats": q_sentence_stats,
-        "text_bigram_counts": q_bigram_counts,
-        "embedding_label_centroids": q_label_centroids,
         "sample_fraction": q_sample,
-        "text_repetition": q_repetition,
-        "text_redact_pii": q_redact_pii,
-        "sample_stratified": q_stratified_sample,
-        "mixture_weights": q_mixture_weights,
-        "mixture_sample": q_mixture_sample,
-        "events_funnel": q_events_funnel,
-        "events_cohort_retention": q_cohort_retention,
-        "dedup_ngram_spans": q_ngram_dup,
-        "text_unigram_logprob": q_unigram_logprob,
-        "dedup_components": q_dedup_components,
-        "dedup_screen_vs_index": q_dedup_screen,
-        "dedup_decontaminate": q_decontaminate,
-        "dedup_semantic": q_semantic_dedup,
-        "text_corpus_stats": q_corpus_stats,
-        "profile_lineitem": q_profile_lineitem,
-        "check_expectations": q_check_expectations,
-        "sample_n_per_group": q_sample_n_per_group,
-        "text_sentiment": q_sentiment,
-        "events_similar_users": q_similar_users,
-        "events_daily_anomalies": lambda s, d: analytics.events_daily_anomalies(_t(s, d)),
-        "text_bm25": q_bm25,
-        "ann_int8": q_ann_int8,
-        "curation_pipeline": q_curation_pipeline,
-        "pack_token_budget": q_pack_token_budget,
-        "dedup_leakage_split": q_leakage_split,
-        # rows-only: pack identity is partitioning-defined
-        "pack_token_budget_local": q_pack_token_budget_local,
-        "embedding_quantize_int8": q_quantize_embeddings,
-        "events_quantiles_by_type": q_quantiles_by_type,
-        "customer_rolling_revenue": q_rolling_revenue,
-        "events_user_rfm": q_user_rfm,
-        # dedup
+        # dedup (driver-green r1)
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_pairs": q_dedup_minhash,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_apply": q_dedup_apply,
         "dedup_simhash": q_dedup_simhash,
-        # similarity
+        # similarity (driver-green r1)
         "embedding_near_dup": q_embedding_near_dup,
         "ann_topk_cosine": q_ann_topk,
-        "ann_sign_block": q_ann_sign_block,
-        "embedding_normalize": q_embedding_normalize,
-        "embedding_sign_sketch": q_sign_sketch,
-        # custom operators
-        "asof_join": q_asof_join,
-        "value_quantiles": q_quantiles,
-        "toy_spiral": q_toy_spiral,
-        "toy_swiss_roll": q_toy_swiss_roll,
-        # rows-only
-        "multimodal_decode": q_multimodal,
-        "ann_lsh": q_ann_lsh,
-        "ann_ivf": q_ann_ivf,
-        # rows-only scale tier (batch identity is partitioning-defined)
-        "pack_batches_local": q_pack_batches_local,
-        "pad_sequences_local": q_pad_sequences_local,
-        "sort_batches_local": q_sort_batches_local,
     }
 
 
@@ -1609,6 +1671,24 @@ def oracle_sql() -> dict[str, str]:
                    FROM orders)
         SELECT least(pos // (SELECT greatest(count(*) // 5, 1) FROM orders), 4) AS fold,
                count(*) AS fold_size
+        FROM t GROUP BY 1
+    """
+
+    sqls["scheme_hash_folds"] = """
+        SELECT o_orderkey,
+               CAST(CAST(concat('0x', substring(
+                   md5(concat('42', '-', CAST(o_orderkey AS VARCHAR))), 1, 6))
+                 AS UBIGINT) AS BIGINT) % 5 AS fold
+        FROM orders
+    """
+
+    sqls["cache_stream_rebatch"] = f"""
+        WITH t AS (SELECT c_custkey,
+                          row_number() OVER (ORDER BY c_custkey) - 1 AS pos
+                   FROM customer)
+        SELECT pos // 50 AS batch_id,
+               {_arrstr_sql('list(c_custkey ORDER BY c_custkey)')} AS c_custkey,
+               count(*) AS batch_size
         FROM t GROUP BY 1
     """
 
@@ -2467,7 +2547,7 @@ def oracle_sql() -> dict[str, str]:
 
     sqls["events_daily_anomalies"] = f"""
         WITH daily AS (
-          SELECT event_type, date_trunc('day', ts) AS day,
+          SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
                  {_dsum_sql('value')} AS day_value
           FROM events GROUP BY 1, 2
         ),

@@ -308,6 +308,78 @@ def merge_many(streams: list[tuple[DataFrame, str]]) -> DataFrame:
     return out
 
 
+_MID_PARTITION_SHIFT = 33  # monotonically_increasing_id: pid << 33 | local row
+
+
+def _offset_positions(d: DataFrame, pos_col: str, base: int) -> DataFrame:
+    """Shared partition-offset core: given ``d`` already in final
+    partition layout, derive (pid, local index) from
+    ``monotonically_increasing_id`` (pid<<33 | in-partition row number
+    — assigned in partition order, zero extra shuffle), aggregate
+    per-partition row counts (num_partitions rows, metadata-sized),
+    window them into cumulative offsets, and broadcast back.
+    ``pos = offset[pid] + local_index + base``."""
+    d = d.withColumn("_mid", F.monotonically_increasing_id())
+    d = d.withColumn(
+        "_wpid", F.shiftrightunsigned("_mid", _MID_PARTITION_SHIFT)
+    ).withColumn(
+        "_lidx", F.col("_mid") % F.lit(1 << _MID_PARTITION_SHIFT)
+    )
+    counts = d.groupBy("_wpid").agg(F.count(F.lit(1)).alias("_n"))
+    # cumulative offsets over num_partitions rows — tiny by construction
+    ow = Window.orderBy("_wpid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_wpid", F.coalesce(F.sum("_n").over(ow), F.lit(0)).alias("_off")
+    )
+    return (
+        d.join(F.broadcast(offsets), "_wpid")
+        .withColumn(
+            pos_col, (F.col("_off") + F.col("_lidx") + base).cast("bigint")
+        )
+        .drop("_mid", "_wpid", "_lidx", "_off")
+    )
+
+
+def with_positions(
+    df: DataFrame,
+    order_col,
+    pos_col: str = "_pos",
+    base: int = 1,
+) -> DataFrame:
+    """Global positions (``base``-based) in ``order_col`` order WITHOUT
+    the ``Window.orderBy`` single-partition collapse.
+
+    Two-pass partition-offset scheme: (1) range-partition + local sort
+    on the order column(s) (one *parallel* sort shuffle — every
+    partition sorts its own range); (2) local row index from
+    ``monotonically_increasing_id``; (3) per-partition row counts
+    turned into cumulative offsets and broadcast back.  Because range
+    partitioning keeps partition k's keys strictly before partition
+    k+1's, ``offset[pid] + local_index`` equals the global row_number —
+    identical output to the naive single-partition window, but the big
+    side never leaves parallel execution.
+
+    ``order_col`` may be a single column name/Column or a list (ties
+    broken by later entries).
+    """
+    cols = order_col if isinstance(order_col, (list, tuple)) else [order_col]
+    cols = [F.col(c) if isinstance(c, str) else c for c in cols]
+    d = df.repartitionByRange(*cols).sortWithinPartitions(*cols)
+    return _offset_positions(d, pos_col, base)
+
+
+def with_positions_local(df: DataFrame, pos_col: str = "_pos") -> DataFrame:
+    """Scale tier of :func:`with_positions`: positions in PARTITION
+    ARRIVAL order (partition id, then in-partition order) with zero
+    sort shuffle — only the metadata-sized count aggregate and a
+    broadcast of the offsets.  Use when the upstream partitioning
+    already defines the order (sorted writes, ingestion order); like
+    ``pack_batches_local``, position identity is partitioning-defined,
+    so queries over it are rows-only checked.
+    """
+    return _offset_positions(df, pos_col, 1)
+
+
 def merge_streams(
     left: DataFrame,
     right: DataFrame,
@@ -315,16 +387,29 @@ def merge_streams(
     right_order: str,
 ) -> DataFrame:
     """Zip two streams positionally into one row per position — fuel's
-    Merge of equal-length streams.
+    Merge of equal-length streams
+    (reference fuel/transformers/__init__.py:747).
 
-    Positions come from row_number over explicit deterministic orders.
-    At scale prefer joining on a real shared key; positional zip is
-    inherently order-defined, so the global sort is the semantics.
+    Positions come from :func:`with_positions` — exact global order
+    semantics via range-partitioned sort + partition-offset ids, NOT
+    ``Window.orderBy`` (which would funnel each whole stream through
+    one task).  The zip join then shuffles on ``_pos``; at scale
+    prefer a real shared key when one exists, but this plan keeps both
+    sides parallel end-to-end.
     """
-    lw = Window.orderBy(left_order)
-    rw = Window.orderBy(right_order)
-    l = left.withColumn("_pos", F.row_number().over(lw))
-    r = right.withColumn("_pos", F.row_number().over(rw))
+    l = with_positions(left, left_order)
+    r = with_positions(right, right_order)
+    return l.join(r, "_pos", "inner").drop("_pos")
+
+
+def merge_streams_local(left: DataFrame, right: DataFrame) -> DataFrame:
+    """Zero-sort scale tier of :func:`merge_streams`: zip in partition
+    arrival order via :func:`with_positions_local`.  No
+    ``Exchange SinglePartition`` and no range sort anywhere in the
+    plan — the only wide operations are the metadata-sized count aggs
+    and the positional join itself."""
+    l = with_positions_local(left)
+    r = with_positions_local(right)
     return l.join(r, "_pos", "inner").drop("_pos")
 
 
@@ -417,21 +502,41 @@ def pack_token_budget(
     A chunk may overflow by at most one document's tail; a document
     longer than the budget owns its chunk start.
 
-    Reproducibility tier: the running offset is a global-order window
-    cumsum (one range-partitioned sort shuffle — bounded, but a real
-    sort at 100 TB).  For the throughput tier compose per-partition:
-    :func:`pack_token_budget_local` keeps the same greedy fill with
-    zero Exchange.
+    Reproducibility tier, parallel formulation: the running token
+    offset is computed with the partition-offset scheme (same idea as
+    :func:`with_positions`) — range-partition + local sort on
+    ``id_col``, per-partition token totals (num_partitions rows)
+    turned into cumulative partition offsets and broadcast back, plus
+    a WITHIN-partition cumsum window.  Because range partitioning
+    keeps ids ordered across partitions, ``offset[pid] +
+    local_cumsum`` equals the global-order cumsum exactly — but no
+    stage ever collapses to one task, unlike a bare
+    ``Window.orderBy`` cumsum.  For the zero-shuffle throughput tier:
+    :func:`pack_token_budget_local`.
     """
-    from pyspark.sql import Window
-
-    w = Window.orderBy(F.col(id_col)).rowsBetween(Window.unboundedPreceding, -1)
-    start = F.coalesce(
-        F.sum(F.col(token_count_col)).over(w), F.lit(0)
-    ).cast("bigint")
-    return df.withColumn("_start", start).withColumn(
-        batch_col, F.floor(F.col("_start") / budget).cast("bigint")
-    ).drop("_start")
+    tok = F.col(token_count_col).cast("bigint")
+    d = (
+        df.repartitionByRange(F.col(id_col))
+        .sortWithinPartitions(id_col)
+        .withColumn("_ppid", F.spark_partition_id().cast("bigint"))
+    )
+    totals = d.groupBy("_ppid").agg(F.sum(tok).alias("_ptok"))
+    ow = Window.orderBy("_ppid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_ppid", F.coalesce(F.sum("_ptok").over(ow), F.lit(0)).alias("_poff")
+    )
+    lw = (
+        Window.partitionBy("_ppid")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local_start = F.coalesce(F.sum(tok).over(lw), F.lit(0))
+    return (
+        d.join(F.broadcast(offsets), "_ppid")
+        .withColumn("_start", (F.col("_poff") + local_start).cast("bigint"))
+        .withColumn(batch_col, F.floor(F.col("_start") / budget).cast("bigint"))
+        .drop("_start", "_ppid", "_poff")
+    )
 
 
 def pack_token_budget_local(

@@ -122,6 +122,7 @@ def minhash_candidate_pairs(
     bands: int = 3,
     shingle_k: int = 5,
     max_bucket: int | None = None,
+    distinct_pairs: bool = True,
 ) -> DataFrame:
     """LSH candidate pairs (a < b) sharing any band bucket.
 
@@ -136,6 +137,12 @@ def minhash_candidate_pairs(
     bucket of 10^6 docs → 10^12 pairs): oversized buckets degrade to
     pairing every member with the bucket minimum — linear, and still
     sufficient for greedy keep-smallest dedup within the bucket.
+
+    ``distinct_pairs=False`` skips the final pair-set dedup shuffle: a
+    pair colliding in several bands appears up to ``bands`` times.
+    Consumers that reduce over pairs anyway (greedy keep-min apply,
+    connected components — both end in their own distinct/agg) should
+    pass False; it removes a full shuffle of the pair set.
     """
     bands_df = with_minhash_bands(df, id_col, text_col, num_hashes, bands, shingle_k)
     buckets = (
@@ -157,11 +164,11 @@ def minhash_candidate_pairs(
         if max_bucket is None
         else f"CASE WHEN size(ids) <= {max_bucket} THEN {all_pairs} ELSE {star_pairs} END"
     )
-    return (
+    out = (
         buckets.select(F.explode(F.expr(pair_expr)).alias("_p"))
         .select("_p.id_a", "_p.id_b")
-        .distinct()
     )
+    return out.distinct() if distinct_pairs else out
 
 
 def ngram_jaccard_pairs(
@@ -172,11 +179,18 @@ def ngram_jaccard_pairs(
     num_hashes: int = 9,
     bands: int = 3,
     shingle_k: int = 5,
+    distinct_pairs: bool = True,
 ) -> DataFrame:
     """Verified near-dup pairs: jaccard over distinct char-shingle sets
     computed on LSH candidates only (sketch → candidates → verify, the
-    standard MinHashLSH pipeline shape)."""
-    cands = minhash_candidate_pairs(df, id_col, text_col, num_hashes, bands, shingle_k)
+    standard MinHashLSH pipeline shape).  ``distinct_pairs=False``
+    propagates to the candidate stage (multi-band collisions verify
+    more than once but skip the pair-set shuffle — right when the
+    consumer reduces over pairs anyway)."""
+    cands = minhash_candidate_pairs(
+        df, id_col, text_col, num_hashes, bands, shingle_k,
+        distinct_pairs=distinct_pairs,
+    )
     sh = ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
     sh = sh.select(F.col(id_col), norm_text(F.col(text_col)).alias("_norm"))
     sh = sh.select(F.col(id_col), shingles_over_norm("_norm", shingle_k).alias("sh"))
@@ -215,10 +229,14 @@ def apply_dedup(
     id exists (covers exact dups too — identical texts share every
     band).  The kill set is tiny relative to the corpus, so the final
     step is a broadcast-able left_anti join: corpus-sized data crosses
-    the wire exactly once.
+    the wire exactly once.  Candidate pairs stay non-distinct
+    (``distinct_pairs=False``): keep-min only needs the SET of loser
+    ids, and the losers projection dedups one id column — strictly
+    cheaper than a distinct over full pairs.
     """
     pairs = ngram_jaccard_pairs(
-        df, id_col, text_col, threshold, num_hashes, bands, shingle_k
+        df, id_col, text_col, threshold, num_hashes, bands, shingle_k,
+        distinct_pairs=False,
     )
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
@@ -387,6 +405,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 50,
+    checkpoint_interval: int = 5,
 ) -> DataFrame:
     """Connected components of the near-dup pair graph by iterative
     min-label propagation: every vertex converges to the smallest id
@@ -400,6 +419,13 @@ def connected_components(
     driver checks convergence with a count per round — an O(diameter)
     sequence of small actions, the standard Spark CC loop (GraphX/
     GraphFrames does the same under the hood).
+
+    Lineage is truncated with ``localCheckpoint`` every
+    ``checkpoint_interval`` iterations (the GraphFrames pattern):
+    caching alone keeps chaining the logical plan, so on a
+    high-diameter graph a lost executor at iteration k would recompute
+    the whole k-deep chain and very deep loops can overflow plan-size
+    limits.  A checkpoint makes each ~5-iteration block restart-cheap.
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -413,7 +439,7 @@ def connected_components(
     ).cache()
     edges = edges.cache()
     try:
-        for _ in range(max_iter):
+        for it in range(max_iter):
             msgs = (
                 edges.join(labels, edges.src == labels.v)
                 .select(F.col("dst").alias("v"), "component")
@@ -423,7 +449,12 @@ def connected_components(
                 .union(msgs)
                 .groupBy("v")
                 .agg(F.min("component").alias("component"))
-            ).cache()
+            )
+            if checkpoint_interval and (it + 1) % checkpoint_interval == 0:
+                # eager truncation: materializes AND severs lineage
+                new_labels = new_labels.localCheckpoint(eager=True)
+            else:
+                new_labels = new_labels.cache()
             changed = (
                 new_labels.alias("n")
                 .join(labels.alias("o"), "v")
@@ -452,9 +483,12 @@ def dedup_components(
     the canonical (minimum) id of its verified near-dup cluster;
     documents with no near-dup keep their own id.  The downstream
     keep-rule (keep id == component) then retains exactly one doc per
-    transitive cluster."""
+    transitive cluster.  Pairs stay non-distinct: connected_components
+    dedups edges itself, so a pair-set shuffle here would be pure
+    waste."""
     pairs = ngram_jaccard_pairs(
-        df, id_col, text_col, threshold, num_hashes, bands, shingle_k
+        df, id_col, text_col, threshold, num_hashes, bands, shingle_k,
+        distinct_pairs=False,
     ).where(F.col("jaccard") >= threshold)
     comp = connected_components(pairs)
     return (

@@ -882,10 +882,14 @@ def events_funnel(
     """Ordered conversion funnel: users whose first ``steps[0]`` is
     followed (strictly later) by a ``steps[1]``, then a ``steps[2]``.
 
-    Per-step per-user minima are one shuffle each on user_id; the
-    step tables are user-cardinality (tiny vs the event log) so the
-    chaining joins broadcast.  Emits one row per funnel stage with a
-    conversion rate off the stage-1 population.
+    Per-step per-user minima are one shuffle each on user_id, and the
+    chaining joins are also keyed on user_id — so every stage shares
+    one hash partitioning and the step tables are NEVER broadcast:
+    user cardinality is unbounded at the 100 TB tier (every active
+    user), so a forced broadcast of a fact-derived aggregate would be
+    an unconditional executor OOM.  AQE still downgrades to broadcast
+    at runtime when a stage table is genuinely small.  Emits one row
+    per funnel stage with a conversion rate off the stage-1 population.
     """
     e = t["events"]
     s1 = (
@@ -895,14 +899,14 @@ def events_funnel(
     )
     s2 = (
         e.where(F.col("event_type") == steps[1])
-        .join(F.broadcast(s1), "user_id")
+        .join(s1, "user_id")
         .where(F.col("ts") > F.col("t1"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
     )
     s3 = (
         e.where(F.col("event_type") == steps[2])
-        .join(F.broadcast(s2), "user_id")
+        .join(s2, "user_id")
         .where(F.col("ts") > F.col("t2"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t3"))
@@ -932,7 +936,10 @@ def events_cohort_retention(t: dict[str, DataFrame]) -> DataFrame:
 
     Two user-keyed shuffles (first-seen min, then distinct activity) —
     both map-side combinable; the output is |cohorts| x |offsets|,
-    independent of event volume.
+    independent of event volume.  first_seen is a per-user aggregate of
+    the fact table (unbounded cardinality at scale) so it joins on the
+    shared user_id partitioning, never broadcast — AQE may still choose
+    broadcast at runtime when it is measured small.
     """
     e = t["events"]
     first_seen = e.groupBy("user_id").agg(
@@ -941,7 +948,7 @@ def events_cohort_retention(t: dict[str, DataFrame]) -> DataFrame:
     active = (
         e.select("user_id", F.date_trunc("day", F.col("ts")).alias("day"))
         .distinct()
-        .join(F.broadcast(first_seen), "user_id")
+        .join(first_seen, "user_id")
         .withColumn("day_offset", F.datediff("day", "cohort_day").cast("bigint"))
     )
     return (
@@ -1053,10 +1060,14 @@ def events_daily_anomalies(
     hash-match the oracle bit-for-bit.
     """
     e = t["events"]
+    # day is a yyyy-MM-dd STRING, not a truncated timestamp or date:
+    # temporal round-trips pick up engine-dependent pandas precision
+    # (ns vs us, date vs midnight-datetime) that would skew the
+    # driver's schema/hash compare; a string is unambiguous.
     daily = (
         e.groupBy(
             F.col("event_type"),
-            F.date_trunc("day", F.col("ts")).alias("day"),
+            F.date_format(F.col("ts"), "yyyy-MM-dd").alias("day"),
         )
         .agg(_dsum(F.col("value")).alias("day_value"))
     )

@@ -32,12 +32,23 @@ def with_positions(
     df: DataFrame, key: str, shuffled: bool = False, seed: int = 42,
     pos_col: str = "pos",
 ) -> DataFrame:
-    """Assign each example its 0-based iteration position."""
+    """Assign each example its 0-based iteration position.
+
+    Positions come from the partition-offset scheme
+    (:func:`fuel_spark.ops.core.with_positions`): a *parallel*
+    range-partitioned sort plus broadcast per-partition offsets —
+    bit-identical to a global ``row_number`` but with no
+    ``Exchange SinglePartition``, so every scheme built on this
+    (sequential/shuffled batches, cross-validation ranges) keeps the
+    whole dataset in parallel execution.
+    """
+    from fuel_spark.ops.core import with_positions as _core_positions
+
     if shuffled:
-        w = Window.orderBy(det_key(seed, F.col(key)), F.col(key))
-    else:
-        w = Window.orderBy(F.col(key))
-    return df.withColumn(pos_col, (F.row_number().over(w) - 1).cast("bigint"))
+        d = df.withColumn("_ord", det_key(seed, F.col(key)))
+        out = _core_positions(d, ["_ord", key], pos_col=pos_col, base=0)
+        return out.drop("_ord")
+    return _core_positions(df, key, pos_col=pos_col, base=0)
 
 
 def sequential_batches(
@@ -66,17 +77,22 @@ def concatenated_batches(
     stream ordinal folded into the position, so downstream operators
     see one coherent batch sequence."""
     parts = []
-    offset = F.lit(0)
     for i, (df, key) in enumerate(zip(dfs, keys)):
         part = with_positions(df, key).withColumn("_stream", F.lit(i))
         parts.append(part.select(F.col(key).alias("key"), "pos", "_stream"))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    # Position offset = total examples in earlier streams: window count.
-    w = Window.partitionBy().orderBy("_stream").rangeBetween(Window.unboundedPreceding, -1)
-    out = out.withColumn("_offset", F.coalesce(F.count(F.lit(1)).over(w), F.lit(0)))
-    return out.withColumn(
+    # Position offset = total examples in earlier streams.  Computed as
+    # a per-stream count aggregate (num_streams rows) windowed into
+    # cumulative offsets and broadcast back — the naive global window
+    # count would funnel every row through one task.
+    counts = out.groupBy("_stream").agg(F.count(F.lit(1)).alias("_n"))
+    ow = Window.orderBy("_stream").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_stream", F.coalesce(F.sum("_n").over(ow), F.lit(0)).alias("_offset")
+    )
+    return out.join(F.broadcast(offsets), "_stream").withColumn(
         batch_col, F.floor((F.col("pos") + F.col("_offset")) / batch_size)
     ).drop("_offset")
 
@@ -104,9 +120,21 @@ def cross_validation_folds(
 
 def hash_folds(
     df: DataFrame, key: str, num_folds: int, seed: int = 42,
-    fold_col: str = "fold",
+    fold_col: str = "fold", portable: bool = False,
 ) -> DataFrame:
-    """Shuffle-free fold assignment for scale: fold = xxhash(key) % k."""
+    """Shuffle-free fold assignment for scale: fold = hash(key) % k.
+
+    Default hash is JVM-side ``xxhash64`` (codegen, fastest).
+    ``portable=True`` switches to the md5 ``det_key`` rule — the same
+    fold for the same (seed, key) on ANY engine, which is what the
+    DuckDB oracle checks; both modes are deterministic, stable under
+    repartitioning/growth, and require zero shuffle.
+    """
+    if portable:
+        bucket = F.conv(
+            F.substring(det_key(seed, F.col(key)), 1, 6), 16, 10
+        ).cast("bigint")
+        return df.withColumn(fold_col, bucket % num_folds)
     return df.withColumn(
         fold_col, F.abs(F.xxhash64(F.col(key), F.lit(seed))) % num_folds
     )

@@ -85,16 +85,34 @@ def hdf5_to_parquet(
         if split_attr is not None:
             rows = []
             for entry in split_attr:
+                # create_split_array (reference fuel/datasets/hdf5.py:235)
+                # writes 7 fields; two change the meaning of (start, stop):
+                # available=False marks a placeholder (no data for this
+                # split/source pair) and a non-null `indices` reference
+                # means the subset is an explicit index list, NOT a range.
+                # Writing either as a plain (start, stop) row would
+                # silently corrupt the migrated split.
+                fields = getattr(getattr(entry, "dtype", None), "names", None) or ()
+                if "available" in fields and not bool(entry["available"]):
+                    continue
+                idx_list = None
+                if "indices" in fields:
+                    ref = entry["indices"]
+                    if ref:  # null h5py.Reference is falsy
+                        idx_list = [int(i) for i in f[ref][()]]
                 rows.append(
                     (
                         _to_str(entry["split"]),
                         _to_str(entry["source"]),
                         int(entry["start"]),
                         int(entry["stop"]),
+                        idx_list,
                     )
                 )
             spark.createDataFrame(
-                rows, "split string, source string, start bigint, stop bigint"
+                rows,
+                "split string, source string, start bigint, stop bigint, "
+                "indices array<bigint>",
             ).write.mode("overwrite").parquet(out_path + "_splits.parquet")
     return total
 
@@ -108,12 +126,19 @@ def split_dataset_from_hdf5_splits(
 ):
     """Rehydrate a :class:`SplitDataset` from a converted splits table
     (the H5PYDataset split dict, reference fuel/datasets/hdf5.py:130
-    get_all_splits)."""
+    get_all_splits).  Range rows become range splits; rows carrying an
+    ``indices`` list (H5PYDataset's indices-reference form) become
+    index splits, preserving the reference's exact subset semantics.
+    The splits table is tiny metadata, so the collect is bounded."""
     from fuel_spark.sources.splits import SplitDataset
 
     ds = SplitDataset(df, order_key)
+    has_indices = "indices" in splits_df.columns
     for r in splits_df.collect():
         if source is not None and r.source != source:
             continue
-        ds.add_split(r.split, int(r.start), int(r.stop))
+        if has_indices and r.indices is not None:
+            ds.add_index_split(r.split, [int(i) for i in r.indices])
+        else:
+            ds.add_split(r.split, int(r.start), int(r.stop))
     return ds

@@ -75,13 +75,17 @@ def dedup_stream(
     ``ops.dedup.exact_dedup`` for at-least-once sources (replayed
     events, producer retries).
 
-    State is bounded: ids older than the watermark are evicted, so
-    memory is O(events per horizon), not O(corpus) — the only dedup
-    contract that works on an infinite stream.
+    Dedup is on the id columns ALONE (``dropDuplicatesWithinWatermark``):
+    a producer retry that re-stamps the event with a fresh timestamp is
+    still the same id and still gets dropped — keying on (id, ts) would
+    only catch byte-identical replays.  State is bounded: ids older
+    than the watermark are evicted, so memory is O(events per horizon),
+    not O(corpus) — the only dedup contract that works on an infinite
+    stream.
     """
-    return events.withWatermark(watermark_col, watermark).dropDuplicates(
-        id_cols + [watermark_col]
-    )
+    return events.withWatermark(
+        watermark_col, watermark
+    ).dropDuplicatesWithinWatermark(id_cols)
 
 
 def interval_join_streams(
@@ -140,6 +144,11 @@ class SocketBatchServer:
         self._srv.listen(8)
         self.host, self.port = self._srv.getsockname()
         self._clients: list = []
+        # guards _clients: the accept thread appends while sink()
+        # rebuilds the registry — an unsynchronized rebuild from a
+        # pre-send snapshot would silently drop (and leak) any client
+        # accepted mid-batch.
+        self._lock = threading.Lock()
         self._closed = False
 
         def accept_loop():
@@ -148,7 +157,8 @@ class SocketBatchServer:
                     conn, _ = self._srv.accept()
                 except OSError:
                     return
-                self._clients.append(conn)
+                with self._lock:
+                    self._clients.append(conn)
 
         self._thread = threading.Thread(target=accept_loop, daemon=True)
         self._thread.start()
@@ -159,18 +169,25 @@ class SocketBatchServer:
         if not rows:
             return
         payload = ("\n".join(rows) + "\n").encode()
-        alive = []
-        for conn in self._clients:
+        with self._lock:
+            snapshot = list(self._clients)
+        dead = []
+        for conn in snapshot:
             try:
                 conn.sendall(payload)
-                alive.append(conn)
             except OSError:
                 conn.close()
-        self._clients[:] = alive
+                dead.append(conn)
+        with self._lock:
+            # remove only the connections *we* saw fail; clients
+            # accepted during the send loop stay registered
+            self._clients[:] = [c for c in self._clients if c not in dead]
 
     def close(self) -> None:
         self._closed = True
-        for conn in self._clients:
+        with self._lock:
+            clients = list(self._clients)
+        for conn in clients:
             try:
                 conn.close()
             except OSError:

@@ -60,24 +60,31 @@ class DataStream:
     def sources(self) -> tuple[str, ...]:
         return tuple(self.df.columns)
 
-    def _epoch_df(self, epoch: int) -> DataFrame:
+    def _planned(self, epoch: int) -> DataFrame:
         if self.shuffled:
-            planned = schemes.shuffled_batches(
+            return schemes.shuffled_batches(
                 self.df, self.key, self.batch_size, seed=self.seed + epoch
             )
-        else:
-            planned = schemes.sequential_batches(self.df, self.key, self.batch_size)
+        return schemes.sequential_batches(self.df, self.key, self.batch_size)
+
+    def _epoch_df(self, epoch: int, from_batch: int = 0) -> DataFrame:
+        planned = self._planned(epoch)
+        if from_batch:
+            # batch ids are a deterministic function of (key, seed,
+            # epoch), so "resume at batch k" is a plain filter Catalyst
+            # pushes toward the scan — no driver-side iterator state to
+            # pickle (fuel serializes the in-flight iterator instead:
+            # reference fuel/iterator.py:8, tests/test_serialization.py).
+            planned = planned.where(planned["batch_id"] >= from_batch)
         return planned.orderBy("pos").drop("pos", "batch_id")
 
-    def get_epoch_iterator(self, as_dict: bool = True) -> Iterator:
-        """One pass over the data in this epoch's order, batched."""
-        epoch = self._epoch
-        self._epoch += 1
+    def _batched_iter(self, epoch: int, from_batch: int, as_dict: bool) -> Iterator:
         cols = self.df.columns
 
         def gen():
             buf: list[tuple] = []
-            for row in self._epoch_df(epoch).toLocalIterator(prefetchPartitions=True):
+            df = self._epoch_df(epoch, from_batch)
+            for row in df.toLocalIterator(prefetchPartitions=True):
                 buf.append(tuple(row))
                 if len(buf) == self.batch_size:
                     yield self._to_batch(buf, cols, as_dict)
@@ -86,6 +93,28 @@ class DataStream:
                 yield self._to_batch(buf, cols, as_dict)
 
         return gen()
+
+    def get_epoch_iterator(self, as_dict: bool = True) -> Iterator:
+        """One pass over the data in this epoch's order, batched."""
+        epoch = self._epoch
+        self._epoch += 1
+        return self._batched_iter(epoch, 0, as_dict)
+
+    def resume(
+        self, epoch: int, batch_index: int, as_dict: bool = True
+    ) -> Iterator:
+        """Mid-epoch resume: the remainder of epoch ``epoch`` starting
+        at minibatch ``batch_index`` — identical batches, in order, to
+        what an uninterrupted epoch iterator would have produced from
+        that point (fuel's checkpoint/restore contract, without
+        serializing an iterator: the cursor IS the state).
+
+        Also re-aims the stream so the next ``get_epoch_iterator``
+        yields epoch ``epoch + 1`` — resuming a training job mid-epoch
+        then continuing is seamless.
+        """
+        self._epoch = epoch + 1
+        return self._batched_iter(epoch, batch_index, as_dict)
 
     def iterate_epochs(self, as_dict: bool = True) -> Iterator[Iterator]:
         while True:

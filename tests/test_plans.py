@@ -355,8 +355,120 @@ def test_daily_anomalies_flags_planted_spike(spark):
         spark, rows,
         schema="event_id bigint, event_type string, ts timestamp, value double",
     )
-    out = {r.day.day: r for r in
+    out = {int(r.day[-2:]): r for r in
            analytics.events_daily_anomalies({"events": e}).collect()}
     assert out[15].is_anomaly
     flagged = [d for d, r in out.items() if r.is_anomaly]
     assert flagged == [15]
+
+
+def test_funnel_and_cohort_never_hint_broadcast_of_fact_aggregates(spark):
+    """Per-user aggregates of the event log are unbounded at scale
+    (every active user): a forced broadcast hint would be an
+    unconditional executor OOM at 100 TB.  The optimized plans must
+    carry NO broadcast hint — AQE may still choose broadcast at
+    runtime when a side is measured small, which is exactly the
+    desired behavior (hint = always, AQE = only-when-small)."""
+    t = load_tables(spark, SF)
+    for df in (analytics.events_funnel(t), analytics.events_cohort_retention(t)):
+        opt = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "strategy=broadcast" not in opt, opt
+
+
+def _single_partition_only_over_count_agg(plan: str) -> bool:
+    """True iff every Exchange SinglePartition in the plan feeds the
+    metadata-sized per-partition count/total aggregate (its input is a
+    HashAggregate on the synthetic partition-id key) — i.e. the STREAM
+    data never collapses to one task."""
+    lines = plan.split("\n")
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" not in ln:
+            continue
+        below = "\n".join(lines[i + 1 : i + 3])
+        if "HashAggregate" not in below:
+            return False
+    return True
+
+
+def test_merge_streams_no_single_partition_exchange(spark):
+    """Positional zip must not funnel either stream through one task:
+    positions come from range-sort + partition offsets.  The only
+    single-partition stage allowed is the cumulative-offset window
+    over the per-partition COUNTS (num_partitions rows — metadata,
+    invariant in data volume)."""
+    from fuel_spark.ops import core
+
+    a = from_rows(spark, [(i, i * 2) for i in range(100)], schema="ka bigint, va bigint")
+    b = from_rows(spark, [(i, i * 3) for i in range(100)], schema="kb bigint, vb bigint")
+    merged = core.merge_streams(a, b, "ka", "kb")
+    p = _plan(merged)
+    assert _single_partition_only_over_count_agg(p), p
+    assert "rangepartitioning" in p
+    rows = {r.ka: r for r in merged.collect()}
+    assert len(rows) == 100
+    # exact positional semantics: i-th of a zips with i-th of b
+    assert all(rows[i].kb == i for i in range(100))
+
+
+def test_merge_streams_local_zero_sort(spark):
+    """Scale tier: partition-arrival zip — no SinglePartition, no
+    range sort, no Sort node over the streams at all (only the
+    metadata-sized offset agg shuffles)."""
+    from fuel_spark.ops import core
+
+    a = from_rows(spark, [(i,) for i in range(60)], schema="ka bigint")
+    b = from_rows(spark, [(i * 10,) for i in range(60)], schema="kb bigint")
+    merged = core.merge_streams_local(a, b)
+    p = _plan(merged)
+    assert _single_partition_only_over_count_agg(p), p
+    assert "rangepartitioning" not in p
+    rows = merged.collect()
+    assert len(rows) == 60
+    # every row of both sides appears exactly once
+    assert sorted(r.ka for r in rows) == list(range(60))
+    assert sorted(r.kb for r in rows) == [i * 10 for i in range(60)]
+
+
+def test_with_positions_matches_global_row_number(spark):
+    from pyspark.sql import Window
+
+    from fuel_spark.ops import core
+
+    df = from_rows(
+        spark, [((i * 37) % 101, i) for i in range(101)], schema="k bigint, v bigint"
+    ).repartition(7)
+    got = {r.k: r._pos for r in core.with_positions(df, "k").collect()}
+    want = {
+        r.k: r.rn
+        for r in df.withColumn(
+            "rn", F.row_number().over(Window.orderBy("k"))
+        ).collect()
+    }
+    assert got == want
+
+
+def test_pack_token_budget_parallel_and_exact(spark):
+    """The reproducibility-tier packer must compute the global cumsum
+    without any single-task stage: range sort + partition offsets.
+    Result must equal the naive global-window formulation."""
+    from pyspark.sql import Window
+
+    from fuel_spark.ops import core
+
+    df = from_rows(
+        spark,
+        [(i, (i * 13) % 90 + 10) for i in range(200)],
+        schema="doc_id bigint, n_tokens bigint",
+    ).repartition(6)
+    packed = core.pack_token_budget(df, "doc_id", "n_tokens", budget=128)
+    p = _plan(packed)
+    assert _single_partition_only_over_count_agg(p), p
+    assert "rangepartitioning" in p
+    got = {r.doc_id: r.pack_id for r in packed.collect()}
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    naive = df.withColumn(
+        "pack_id",
+        F.floor(F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / 128),
+    )
+    want = {r.doc_id: r.pack_id for r in naive.collect()}
+    assert got == want

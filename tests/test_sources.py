@@ -102,3 +102,22 @@ def test_hdf5_bridge_gated_without_h5py(spark, tmp_path):
     ds = h5mod.split_dataset_from_hdf5_splits(df, splits, "targets")
     assert ds.get_split("train").count() == 8
     assert ds.get_split("test").count() == 2
+
+
+def test_split_rehydrate_honors_indices_rows(spark):
+    """Splits-table rows carrying an ``indices`` list (H5PYDataset's
+    indices-reference form, reference fuel/datasets/hdf5.py:235) must
+    rehydrate as index splits — not be misread as (start, stop)
+    ranges, which for such rows hold a meaningless [0, 0)."""
+    from fuel_spark.sources import hdf5 as h5mod
+
+    df = from_rows(spark, [(i,) for i in range(10)], schema="k bigint")
+    splits = from_rows(
+        spark,
+        [("train", "k", 0, 8, None), ("picked", "k", 0, 0, [2, 5, 9])],
+        schema="split string, source string, start bigint, stop bigint, "
+               "indices array<bigint>",
+    )
+    ds = h5mod.split_dataset_from_hdf5_splits(df, splits, "k")
+    assert ds.get_split("train").count() == 8
+    assert sorted(r.k for r in ds.get_split("picked").collect()) == [2, 5, 9]

@@ -269,6 +269,27 @@ def test_connected_components_transitive_chain(spark):
     assert comp[10] == 10 and comp[11] == 10
 
 
+def test_connected_components_deep_path_past_checkpoint_interval(spark):
+    """A 20-edge path graph has diameter > the 5-iteration
+    localCheckpoint interval: convergence must cross several lineage
+    truncations and still produce one component.  (Without truncation
+    this shape is exactly what overflows plan-size limits / makes
+    recovery recompute the whole chain.)"""
+    n = 21
+    pairs = from_rows(
+        spark,
+        [(i, i + 1) for i in range(1, n)],
+        schema="id_a bigint, id_b bigint",
+    )
+    comp = {r.v: r.component for r in
+            dedup.connected_components(pairs).collect()}
+    assert all(comp[v] == 1 for v in range(1, n + 1))
+    # and a truncation-free run (interval 0 disables) agrees
+    comp2 = {r.v: r.component for r in
+             dedup.connected_components(pairs, checkpoint_interval=0).collect()}
+    assert comp == comp2
+
+
 def test_dedup_components_labels_all_docs(spark):
     df = from_rows(
         spark,
