@@ -68,8 +68,13 @@ def bench_streaming_screen(spark, sf_dir: str) -> float:
         "band_id", "band_key")
     work = tempfile.mkdtemp(prefix="fuel_spark_bench_stream_")
     try:
+        # the file source needs a DIRECTORY; the testdata table is a
+        # single parquet file — stage it behind a symlink dir
+        src_dir = os.path.join(work, "src")
+        os.makedirs(src_dir)
+        os.symlink(src, os.path.join(src_dir, "documents.parquet"))
         t0 = time.perf_counter()
-        stream = spark.readStream.schema(docs.schema).parquet(src)
+        stream = spark.readStream.schema(docs.schema).parquet(src_dir)
         clean = sserve.near_dup_stream(stream, index)
         q = (
             clean.writeStream.format("parquet")

@@ -405,7 +405,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 50,
-    checkpoint_interval: int = 5,
+    checkpoint_interval: int = 3,
 ) -> DataFrame:
     """Connected components of the near-dup pair graph by iterative
     min-label propagation: every vertex converges to the smallest id
@@ -413,19 +413,25 @@ def connected_components(
     label even when similarity is only transitive (a~b, b~c, a!~c) —
     the case greedy pair-kill dedup under-merges.
 
-    Each iteration is one join + one min-aggregation (both on the
-    vertex key); iterations needed = graph diameter, which for
-    near-dup clusters is tiny (boilerplate families are dense).  The
-    driver checks convergence with a count per round — an O(diameter)
-    sequence of small actions, the standard Spark CC loop (GraphX/
-    GraphFrames does the same under the hood).
+    Each iteration propagates neighbor minima (one join + one
+    min-aggregation on the vertex key) and then SHORT-CUTS with one
+    label-of-label lookup (pointer doubling / path compression, the
+    trick behind log-round MapReduce CC a la Kiveris et al.): label
+    distances halve each round, so convergence needs O(log diameter)
+    rounds, not O(diameter).  Near-dup clusters are dense (tiny
+    diameter) anyway, but the log bound keeps pathological chain
+    graphs from turning into diameter-many full-data shuffles.  The
+    driver checks convergence with a count per round, the standard
+    Spark CC loop.
 
     Lineage is truncated with ``localCheckpoint`` every
     ``checkpoint_interval`` iterations (the GraphFrames pattern):
     caching alone keeps chaining the logical plan, so on a
     high-diameter graph a lost executor at iteration k would recompute
     the whole k-deep chain and very deep loops can overflow plan-size
-    limits.  A checkpoint makes each ~5-iteration block restart-cheap.
+    limits.  With the short-cut self-join the analyzed plan triples
+    per un-truncated iteration, so the default interval is 3 (27x
+    growth per block); a checkpoint makes each block restart-cheap.
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -444,11 +450,29 @@ def connected_components(
                 edges.join(labels, edges.src == labels.v)
                 .select(F.col("dst").alias("v"), "component")
             )
-            new_labels = (
+            stepped = (
                 labels.select("v", "component")
                 .union(msgs)
                 .groupBy("v")
                 .agg(F.min("component").alias("component"))
+            )
+            # pointer doubling: label(v) <- min(label(v),
+            # label(label(v))).  Labels are always ids of reachable
+            # vertices, so the self-lookup stays within the component
+            # and the reachable-min invariant holds; chain distances
+            # halve per round.
+            parent = stepped.select(
+                F.col("v").alias("_pv"), F.col("component").alias("_pc")
+            )
+            new_labels = (
+                stepped.join(parent, stepped.component == F.col("_pv"), "left")
+                .select(
+                    "v",
+                    F.least(
+                        F.col("component"),
+                        F.coalesce(F.col("_pc"), F.col("component")),
+                    ).alias("component"),
+                )
             )
             if checkpoint_interval and (it + 1) % checkpoint_interval == 0:
                 # eager truncation: materializes AND severs lineage

@@ -117,7 +117,8 @@ def decode_images(
             )
             yield out
 
-    return df.select(id_col, bytes_col).mapInPandas(decode, DECODED_SCHEMA)
+    out = df.select(id_col, bytes_col).mapInPandas(decode, DECODED_SCHEMA)
+    return with_axis_labels(out, "pixels", ("channel", "height", "width"))
 
 
 def ensure_min_dims(
@@ -181,6 +182,7 @@ def random_crop(
 
     Crops the flattened (c,h,w) pixel array with JVM slice arithmetic.
     """
+    expect_axis_labels(df, "pixels", ("channel", "height", "width"))
     max_y = F.col("height") - crop_h
     max_x = F.col("width") - crop_w
     y0 = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed), F.lit("y")), F.greatest(max_y + 1, F.lit(1)))
@@ -192,12 +194,14 @@ def random_crop(
         f"flatten(transform(sequence(0, {crop_h - 1}), dy -> "
         f"slice(pixels, c * height * width + (_y0 + dy) * width + _x0 + 1, {crop_w})))))"
     )
-    return (
+    cropped = (
         out.withColumn("pixels", crop)
         .withColumn("height", F.lit(crop_h))
         .withColumn("width", F.lit(crop_w))
         .drop("_y0", "_x0")
     )
+    # withColumn replaced the pixels column — re-attach the labels
+    return with_axis_labels(cropped, "pixels", ("channel", "height", "width"))
 
 
 def random_rotation(
@@ -218,6 +222,7 @@ def random_rotation(
     rotates identically under any partitioning — fuel's driver RNG
     cannot reproduce under distributed reordering.
     """
+    expect_axis_labels(df, "pixels", ("channel", "height", "width"))
     u = (
         F.pmod(F.xxhash64(F.col(id_col), F.lit(seed), F.lit("rot")), F.lit(10_000))
         .cast("double")
@@ -314,3 +319,50 @@ def frame_sample(
         "sampled_frames",
         F.transform(idx, lambda i: F.element_at(F.col("frames"), i + 1)),
     )
+
+
+# ---------------------------------------------------------------------------
+# Axis-label metadata (reference fuel/transformers/__init__.py:19
+# ExpectsAxisLabels + fuel Dataset.axis_labels): fuel propagates
+# ('batch', 'channel', 'height', 'width')-style labels with the data
+# and transformers verify them before operating.  The Spark-native
+# carrier is column metadata — it rides through select/withColumn
+# renames in the logical plan, costs nothing at runtime, and survives
+# parquet round-trips (written into the parquet field metadata).
+# ---------------------------------------------------------------------------
+
+AXIS_LABELS_KEY = "axis_labels"
+
+
+def with_axis_labels(df: DataFrame, col: str, labels: tuple | list) -> DataFrame:
+    """Attach semantic axis labels to a tensor-carrying column
+    (e.g. ``('channel', 'height', 'width')`` on a flattened pixel
+    array).  Pure metadata: no plan change, no runtime cost."""
+    return df.withMetadata(col, {AXIS_LABELS_KEY: list(labels)})
+
+
+def axis_labels(df: DataFrame, col: str) -> tuple | None:
+    """Read back a column's axis labels (None if unlabeled)."""
+    for f in df.schema.fields:
+        if f.name == col:
+            md = f.metadata or {}
+            got = md.get(AXIS_LABELS_KEY)
+            return tuple(got) if got is not None else None
+    raise ValueError(f"no such column: {col}")
+
+
+def expect_axis_labels(
+    df: DataFrame, col: str, expected: tuple | list
+) -> DataFrame:
+    """Verify a column's axis labels before operating on it —
+    the ExpectsAxisLabels contract (fuel/transformers/__init__.py:19
+    verify_axis_labels warns/raises on mismatch; here: raise, since a
+    silently mis-ordered tensor axis is a correctness bug).  Unlabeled
+    columns pass (opt-in metadata), mismatched labels raise."""
+    got = axis_labels(df, col)
+    if got is not None and got != tuple(expected):
+        raise ValueError(
+            f"axis labels mismatch on {col!r}: expected {tuple(expected)}, "
+            f"got {got}"
+        )
+    return df

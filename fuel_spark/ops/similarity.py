@@ -428,3 +428,263 @@ def quantized_ann(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "approx_dot", "rank")
     )
+
+
+def pq_fit(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    k_codes: int = 16,
+    sample_n: int = 4096,
+    seed: int = 42,
+    iters: int = 20,
+) -> list:
+    """Train product-quantization codebooks: split the vector into
+    ``m`` subspaces and Lloyd-iterate ``k_codes`` centroids per
+    subspace on a deterministic sample (driver-side numpy — same
+    sampled-fit contract as the IVF coarse quantizer in ml.py:
+    codebook quality needs thousands of points, not the corpus, so
+    the fit cost is constant while encode/search stay distributed).
+
+    Returns ``codebooks[m][k_codes][d/m]`` as plain Python floats,
+    ready to embed as JVM literals in :func:`pq_encode` /
+    :func:`pq_ann`.
+    """
+    import numpy as np
+
+    rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.md5(F.concat(F.lit(str(seed)), F.col(id_col).cast("string"))))
+        .limit(sample_n)
+        .collect()
+    )
+    X = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    d = X.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    rng = np.random.RandomState(seed)
+    books = []
+    for i in range(m):
+        S = X[:, i * dsub:(i + 1) * dsub]
+        C = S[rng.choice(len(S), size=min(k_codes, len(S)), replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(1)
+            for j in range(len(C)):
+                pts = S[assign == j]
+                if len(pts):
+                    C[j] = pts.mean(0)
+        books.append([[float(x) for x in row] for row in C])
+    return books
+
+
+def _pq_lit(codebooks) -> F.Column:
+    """codebooks → one array<array<array<double>>> literal (a few KB:
+    m*k*dsub doubles — constant-folded, broadcast with the plan)."""
+    return F.array(*[
+        F.array(*[F.array(*[F.lit(v) for v in cent]) for cent in book])
+        for book in codebooks
+    ])
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes_col: str = "pq_codes",
+    norm_col: str = "recon_norm",
+) -> DataFrame:
+    """Encode each vector to ``m`` small codes (nearest sub-centroid
+    per subspace) + the reconstruction norm.
+
+    Storage/shuffle width per vector drops from 4*d bytes to m bytes
+    + one double — at 100 TB the encoded corpus is what ships into
+    the ANN join, never the raw embeddings (same motive as
+    quantize_int8, ~16x narrower here).  Entirely JVM expressions:
+    argmin is ``array_min`` over (distance, code) structs (struct
+    ordering gives the deterministic lowest-code tie-break), distances
+    are fold-left sums, so encode runs in whole-stage codegen with no
+    Python and no shuffle.  recon_norm falls out of the chosen
+    centroids' precomputed norms (subspaces are an orthogonal
+    decomposition, so ||x_hat||^2 = sum of sub-centroid norms^2).
+    """
+    from fuel_spark.functions import with_materialized
+
+    m = len(codebooks)
+    k = len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    cb = _pq_lit(codebooks)
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+
+    def dist2(i, j):
+        cent = F.element_at(F.element_at(cb, i + 1), j + 1)
+        sub = F.slice(vec, i * dsub + 1, dsub)
+        return F.aggregate(
+            F.zip_with(sub, cent, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda s, v: s + v,
+        )
+
+    codes = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(k - 1)),
+                lambda j: F.struct(dist2(i, j).alias("d"), j.alias("j")),
+            )
+        )["j"].cast("int"),
+    )
+    out = with_materialized(df, codes_col, codes)
+    n2 = F.array(*[
+        F.array(*[F.lit(sum(v * v for v in cent)) for cent in book])
+        for book in codebooks
+    ])
+    recon = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col(codes_col),
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda c, i: F.element_at(F.element_at(n2, i + 1), c + 1),
+            ),
+            F.lit(0.0),
+            lambda s, v: s + v,
+        )
+    )
+    return out.withColumn(norm_col, recon)
+
+
+def pq_ann(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    m: int = 8,
+    k_codes: int = 16,
+    codebooks: list | None = None,
+    encoded: DataFrame | None = None,
+    sample_n: int = 4096,
+    seed: int = 42,
+    rerank: int = 0,
+) -> DataFrame:
+    """Approximate top-k cosine via PQ asymmetric distance (ADC):
+    each query precomputes an m*k lookup table of sub-inner-products
+    against the codebooks, then every corpus vector scores as m table
+    lookups over its codes — no per-pair float dot product, and the
+    corpus side of the join carries only (id, m codes, recon_norm).
+
+    ``rerank=R`` adds the standard refine stage (IVF-PQ+refine shape):
+    the ADC pass keeps a top-R shortlist per query, and only those
+    R*|queries| full vectors are fetched for an exact cosine re-rank —
+    so the lossy codes bound recall while the exact math touches a
+    vanishing fraction of the corpus.  Scores in the output are then
+    exact cosines.
+
+    Pass ``codebooks``/``encoded`` to reuse a persisted index (the
+    production shape: fit once, encode once, search many).  The scan
+    is full-corpus ADC (IVF-flat-without-lists); compose with
+    sign_sketch blocking or ivf_ann lists to cut candidates further —
+    the encoded frame keeps whatever bucket columns it came with.
+    Output: query_id, neighbor_id, score (round 6), rank.
+    """
+    from fuel_spark.functions import with_materialized
+
+    if codebooks is None:
+        codebooks = pq_fit(corpus, id_col, vec_col, m, k_codes, sample_n, seed)
+    m = len(codebooks)
+    k_codes = len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    if encoded is None:
+        encoded = pq_encode(corpus, codebooks, id_col, vec_col)
+    c = ensure_parallelism(
+        encoded.select(
+            F.col(id_col).alias("neighbor_id"), "pq_codes", "recon_norm"
+        )
+    )
+
+    cb = _pq_lit(codebooks)
+    qvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    lut = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda i: F.transform(
+                F.sequence(F.lit(0), F.lit(k_codes - 1)),
+                lambda j: F.aggregate(
+                    F.zip_with(
+                        F.slice(qvec, i * dsub + 1, dsub),
+                        F.element_at(F.element_at(cb, i + 1), j + 1),
+                        lambda a, b: a * b,
+                    ),
+                    F.lit(0.0),
+                    lambda s, v: s + v,
+                ),
+            ),
+        )
+    )
+    qnorm = F.sqrt(
+        F.aggregate(
+            F.transform(qvec, lambda x: x * x), F.lit(0.0), lambda s, v: s + v
+        )
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col))
+    q = with_materialized(q, "_lut", lut)
+    q = broadcast(q.select("query_id", "_lut", qnorm.alias("_qnorm")))
+
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("pq_codes"),
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda c_, i: F.element_at(F.col("_lut"), i * k_codes + c_ + 1),
+        ),
+        F.lit(0.0),
+        lambda s, v: s + v,
+    )
+    scored = (
+        q.crossJoin(c)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "score",
+            F.round(
+                adc / (F.col("_qnorm") * F.greatest(F.col("recon_norm"), F.lit(1e-30))),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    top = (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= max(k, rerank))
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+    if rerank <= 0:
+        return top
+
+    # refine: exact cosine over the R*|queries| shortlist only — the
+    # shortlist is broadcast, so the corpus-side fetch of full vectors
+    # is one broadcast hash join (no shuffle of the corpus)
+    cand = broadcast(top.select("query_id", "neighbor_id"))
+    full = cand.join(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+        ),
+        "neighbor_id",
+    )
+    qfull = broadcast(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    )
+    rer = full.join(qfull, "query_id").withColumn(
+        "score", F.round(cosine_expr("qvec", "cvec"), 6)
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(w2).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )

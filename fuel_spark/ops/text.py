@@ -590,3 +590,57 @@ def bm25_scores(
     top = scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(top_n)
     w = Window.orderBy(F.col("score").desc(), F.col(id_col))
     return top.withColumn("rank", F.row_number().over(w).cast("bigint"))
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Split each document into fixed-size token windows for
+    context-length training prep (the standard LM chunking shape:
+    ``chunk_size`` whitespace-normalized tokens per chunk, windows
+    advancing by ``stride`` tokens so consecutive chunks overlap by
+    ``chunk_size - stride``).
+
+    LLM-pipeline extension (no fuel analogue; the closest reference
+    surface is fuel/transformers/sequences.py Window, which slides
+    over a flat stream — this chunks WITHIN each document).  All JVM
+    expressions: words once (barrier-materialized), ``sequence`` for
+    the start offsets, ``slice`` per chunk — no Python, no shuffle;
+    the explode is the only row expansion and it is bounded by
+    len/stride per doc.  A trailing window that is fully contained in
+    its predecessor (the previous chunk already reached the end of
+    the doc) is dropped, so every emitted chunk contributes at least
+    one new token.  Empty documents emit no chunks.
+
+    Output: ``id_col``, chunk_id (0-based window index), start
+    (0-based token offset), n_tokens, chunk_text.
+    """
+    if stride <= 0 or chunk_size <= 0:
+        raise ValueError("chunk_size and stride must be positive")
+    base = df.select(F.col(id_col), F.col(text_col).alias("_t"))
+    base = with_materialized(base, "_words", words(F.col("_t")))
+    n = F.size("_words")
+    starts = F.when(
+        F.length(F.trim(norm_text(F.col("_t")))) == 0,
+        F.array().cast("array<int>"),
+    ).otherwise(
+        F.sequence(F.lit(0), n - 1, F.lit(stride)).cast("array<int>")
+    )
+    exploded = base.select(
+        id_col, "_words", F.explode(starts).alias("start")
+    ).where(
+        (F.col("start") == 0)
+        | (F.col("start") - stride + chunk_size < F.size("_words"))
+    )
+    chunk = F.slice("_words", F.col("start") + 1, F.lit(chunk_size))
+    return exploded.select(
+        F.col(id_col),
+        (F.col("start") / stride).cast("int").alias("chunk_id"),
+        F.col("start"),
+        F.size(chunk).alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )

@@ -42,12 +42,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # Exact integer division: floor(col/1000) goes through a
-        # double, and epoch-nanosecond magnitudes (~1.7e18) exceed
-        # 2^53, so the bigint->double cast can round by ~±100ns and
-        # floor to the wrong microsecond at boundaries.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # TIMESTAMP(NANOS) source read via nanosAsLong.  Exact
+            # integer division: floor(col/1000) goes through a
+            # double, and epoch-nanosecond magnitudes (~1.7e18) exceed
+            # 2^53, so the bigint->double cast can round by ~±100ns
+            # and floor to the wrong microsecond at boundaries.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # µs timestamps without isAdjustedToUTC read as
+            # TIMESTAMP_NTZ under inferTimestampNTZ (Spark 4 default).
+            # Normalize to session-local (UTC-pinned above) timestamps
+            # so epoch casts/window arithmetic behave identically
+            # across source flavors; wall-clock values are unchanged.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -29,6 +29,8 @@ def test_oracle_keys_subset_of_queries():
         "pad_sequences_local",
         "sort_batches_local",
         "pack_token_budget_local",
+        "merge_streams_local",
+        "ann_pq",
     }
 
 

@@ -165,3 +165,51 @@ def test_pil_real_decode_rotate_upscale(spark):
 
     rot = multimodal.random_rotation(dec, 30.0, seed=1).first()
     assert len(rot.pixels) == 3 * 6 * 4 and -30.0 <= rot.angle <= 30.0
+
+
+def test_axis_labels_attach_read_expect(spark):
+    from fuel_spark.ops import multimodal as mm
+    from fuel_spark.sources import from_rows
+
+    df = from_rows(
+        spark,
+        [(1, 1, 2, 2, [0, 1, 2, 3])],
+        schema="item_id bigint, channels int, height int, width int,"
+               " pixels array<int>",
+    )
+    assert mm.axis_labels(df, "pixels") is None  # unlabeled: opt-in
+    labeled = mm.with_axis_labels(df, "pixels", ("channel", "height", "width"))
+    assert mm.axis_labels(labeled, "pixels") == ("channel", "height", "width")
+    # correct expectation passes and returns the frame
+    assert mm.expect_axis_labels(
+        labeled, "pixels", ("channel", "height", "width")
+    ) is labeled
+    # wrong order raises (the ExpectsAxisLabels contract)
+    try:
+        mm.expect_axis_labels(labeled, "pixels", ("height", "width", "channel"))
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "axis labels mismatch" in str(e)
+    # labels survive projection; random_crop re-attaches after rewrite
+    proj = labeled.select("item_id", "pixels", "channels", "height", "width")
+    assert mm.axis_labels(proj, "pixels") == ("channel", "height", "width")
+    cropped = mm.random_crop(labeled, 1, 1)
+    assert mm.axis_labels(cropped, "pixels") == ("channel", "height", "width")
+
+
+def test_axis_labels_reject_mislabeled_crop(spark):
+    from fuel_spark.ops import multimodal as mm
+    from fuel_spark.sources import from_rows
+
+    df = from_rows(
+        spark,
+        [(1, 1, 2, 2, [0, 1, 2, 3])],
+        schema="item_id bigint, channels int, height int, width int,"
+               " pixels array<int>",
+    )
+    bad = mm.with_axis_labels(df, "pixels", ("height", "width", "channel"))
+    try:
+        mm.random_crop(bad, 1, 1)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass

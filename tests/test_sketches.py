@@ -59,3 +59,74 @@ def test_audio_features_deterministic(spark):
     again = {r.item_id: r.rms for r in
              multimodal.extract_audio_features(df, "item_id", "payload", frame=256).collect()}
     assert again[0] == out[0].rms
+
+
+def _toy_vectors(spark, n=120, d=16, seed=3):
+    import random
+
+    rng = random.Random(seed)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(d)]) for i in range(n)]
+    return from_rows(
+        spark, rows, schema="vec_id bigint, embedding array<float>"
+    )
+
+
+def test_pq_encode_shape_and_determinism(spark):
+    e = _toy_vectors(spark)
+    books = similarity.pq_fit(e, m=4, k_codes=8, sample_n=64, seed=11, iters=8)
+    assert len(books) == 4 and len(books[0]) == 8 and len(books[0][0]) == 4
+    enc = similarity.pq_encode(e, books)
+    rows = {r.vec_id: r for r in enc.collect()}
+    assert all(len(r.pq_codes) == 4 for r in rows.values())
+    assert all(0 <= c < 8 for r in rows.values() for c in r.pq_codes)
+    assert all(r.recon_norm >= 0 for r in rows.values())
+    # same fit inputs → identical codebooks → identical codes
+    books2 = similarity.pq_fit(e, m=4, k_codes=8, sample_n=64, seed=11, iters=8)
+    assert books2 == books
+    again = {r.vec_id: list(r.pq_codes) for r in
+             similarity.pq_encode(e, books2).collect()}
+    assert again == {k: list(v.pq_codes) for k, v in rows.items()}
+
+
+def test_pq_recon_norm_matches_codebooks(spark):
+    import math as m_
+
+    e = _toy_vectors(spark, n=40, d=8)
+    books = similarity.pq_fit(e, m=2, k_codes=4, sample_n=40, seed=5, iters=8)
+    r = similarity.pq_encode(e, books).first()
+    want = m_.sqrt(sum(
+        sum(v * v for v in books[i][code])
+        for i, code in enumerate(r.pq_codes)
+    ))
+    assert m_.isclose(r.recon_norm, want, rel_tol=1e-9)
+
+
+def test_pq_ann_rerank_recall(spark):
+    e = _toy_vectors(spark, n=150, d=16)
+    q = e.where(F.col("vec_id") < 5)
+    exact = {(r.query_id, r.neighbor_id) for r in
+             similarity.cosine_topk(e, q, k=5).collect()}
+    books = similarity.pq_fit(e, m=8, k_codes=16, sample_n=150, seed=9, iters=10)
+    got = similarity.pq_ann(e, q, k=5, codebooks=books, rerank=30)
+    pairs = {(r.query_id, r.neighbor_id) for r in got.collect()}
+    recall = len(exact & pairs) / len(exact)
+    # lossy codes bound the shortlist; exact rerank restores recall
+    assert recall >= 0.8
+    # rerank output scores are exact cosines: spot-check one pair
+    row = got.first()
+    vecs = {r.vec_id: list(r.embedding) for r in e.collect()}
+    a, b = vecs[row.query_id], vecs[row.neighbor_id]
+    dot = sum(x * y for x, y in zip(a, b))
+    na = sum(x * x for x in a) ** 0.5
+    nb = sum(x * x for x in b) ** 0.5
+    assert abs(row.score - round(dot / (na * nb), 6)) < 1e-4
+
+
+def test_pq_ann_adc_only_ranks_by_lut(spark):
+    e = _toy_vectors(spark, n=60, d=8)
+    q = e.where(F.col("vec_id") == 0)
+    books = similarity.pq_fit(e, m=2, k_codes=4, sample_n=60, seed=2, iters=8)
+    out = similarity.pq_ann(e, q, k=3, codebooks=books, rerank=0).collect()
+    assert len(out) == 3
+    assert [r.rank for r in out] == [1, 2, 3]
+    assert out[0].score >= out[1].score >= out[2].score

@@ -284,10 +284,24 @@ def test_connected_components_deep_path_past_checkpoint_interval(spark):
     comp = {r.v: r.component for r in
             dedup.connected_components(pairs).collect()}
     assert all(comp[v] == 1 for v in range(1, n + 1))
-    # and a truncation-free run (interval 0 disables) agrees
-    comp2 = {r.v: r.component for r in
-             dedup.connected_components(pairs, checkpoint_interval=0).collect()}
-    assert comp == comp2
+    # a truncation-free control agrees — on a SHORT path only: with
+    # no checkpoint the analyzed plan doubles per iteration (labels
+    # feeds both the join and the union), so a 20-iteration
+    # truncation-free loop is exactly the analyzer blow-up the
+    # checkpoint exists to prevent.  8 iterations (2^8 plan nodes)
+    # is still cheap and exercises the same code path.
+    m = 9
+    short = from_rows(
+        spark,
+        [(i, i + 1) for i in range(1, m)],
+        schema="id_a bigint, id_b bigint",
+    )
+    want = {r.v: r.component for r in
+            dedup.connected_components(short).collect()}
+    got = {r.v: r.component for r in
+           dedup.connected_components(short, checkpoint_interval=0).collect()}
+    assert want == got
+    assert all(want[v] == 1 for v in range(1, m + 1))
 
 
 def test_dedup_components_labels_all_docs(spark):
@@ -438,3 +452,36 @@ def test_quantized_ann_agrees_with_exact_rerank(spark):
     assert approx and exact
     overlap = len(approx & exact) / len(exact)
     assert overlap >= 0.8
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    # 10 words: w0..w9; size 4, stride 3 → starts 0,3,6,9 but the
+    # start=9 window [w9] is fully inside [w6..w9] → dropped
+    text = " ".join(f"w{i}" for i in range(10))
+    df = from_rows(spark, [(1, text)], schema="doc_id bigint, text string")
+    out = text_ops.chunk_documents(df, chunk_size=4, stride=3)
+    rows = sorted((r.chunk_id, r.start, r.n_tokens, r.chunk_text)
+                  for r in out.collect())
+    assert rows == [
+        (0, 0, 4, "w0 w1 w2 w3"),
+        (1, 3, 4, "w3 w4 w5 w6"),
+        (2, 6, 4, "w6 w7 w8 w9"),
+    ]
+
+
+def test_chunk_documents_short_and_empty_docs(spark):
+    df = from_rows(
+        spark,
+        [(1, "only two"), (2, ""), (3, "   "), (4, "one")],
+        schema="doc_id bigint, text string",
+    )
+    out = text_ops.chunk_documents(df, chunk_size=4, stride=3)
+    rows = {r.doc_id: (r.n_tokens, r.chunk_text) for r in out.collect()}
+    # short docs → one partial chunk; empty/whitespace docs → no chunks
+    assert rows == {1: (2, "only two"), 4: (1, "one")}
+
+
+def test_chunk_documents_no_shuffle(spark):
+    df = from_rows(spark, [(1, "a b c d e")], schema="doc_id bigint, text string")
+    plan = text_ops.chunk_documents(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
