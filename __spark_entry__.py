@@ -973,6 +973,32 @@ def q_ann_ivf(spark, sf):
     return ml.ivf_ann(e, q, k=5, k_clusters=8, nprobe=4, seed=7)
 
 
+def q_events_approx_distinct(spark, sf):
+    """Sketch-tier distinct counting: per-type daily approx distinct
+    users (HyperLogLog++) next to the exact count — the 100 TB shape
+    where exact distinct is a full shuffle of user ids per group but
+    the HLL sketch is constant memory per group.  rows-only: sketch
+    estimates are engine-specific by design; the accuracy band vs
+    exact is asserted in tests/test_sketches.py."""
+    e = _t(spark, sf)["events"]
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.count_distinct("user_id").alias("exact_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+def q_dedup_containment(spark, sf):
+    """Asymmetric containment verify over LSH candidates: catches
+    subset duplication (short doc quoted inside a long one) that a
+    Jaccard threshold misses."""
+    d = _t(spark, sf)["documents"].select("doc_id", "text")
+    return dedup.containment_pairs(d, "doc_id", "text", threshold=0.6)
+
+
 def q_ann_pq(spark, sf):
     """Product-quantization ANN: 16 sub-codebooks x 64 centroids (16
     one-byte codes per 64-dim vector, 16x narrower than raw floats),
@@ -1067,7 +1093,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sort_batches_local": q_sort_batches_local,
         # round-3 additions (next window rotation picks these up)
         "text_chunk_documents": q_chunk_documents,
+        "dedup_containment": q_dedup_containment,
         "ann_pq": q_ann_pq,
+        "events_approx_distinct": q_events_approx_distinct,
         # analytics / query engine (driver-green r2)
         "pricing_summary": lambda s, d: analytics.pricing_summary(_t(s, d)),
         "revenue_forecast": lambda s, d: analytics.revenue_forecast(_t(s, d)),
@@ -1818,6 +1846,30 @@ def oracle_sql() -> dict[str, str]:
             + (CASE WHEN alpha_ratio >= 0.6 THEN 0.25 ELSE 0.0 END)
             + (CASE WHEN stopword_ratio >= 0.05 THEN 0.25 ELSE 0.0 END), 2) AS quality
         FROM f
+    """
+
+    sqls["dedup_containment"] = f"""
+        WITH {_minhash_bands_sql()},
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b
+            ON a.band_id = b.band_id AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id
+        ),
+        shd AS (SELECT doc_id, {_shingles_sql('text')} AS s FROM documents),
+        scored AS (
+          SELECT id_a, id_b,
+            CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT) AS inter,
+            round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                  / greatest(len(sa.s), 1), 6) AS containment_ab,
+            round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                  / greatest(len(sb.s), 1), 6) AS containment_ba
+          FROM cand
+          JOIN shd sa ON sa.doc_id = id_a
+          JOIN shd sb ON sb.doc_id = id_b
+        )
+        SELECT * FROM scored
+        WHERE containment_ab >= 0.6 OR containment_ba >= 0.6
     """
 
     sqls["text_chunk_documents"] = f"""

@@ -556,3 +556,63 @@ def leakage_free_split(
         F.when(bucket < int(holdout_fraction * 16777216), F.lit("holdout"))
         .otherwise(F.lit("train")),
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 9,
+    bands: int = 3,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Asymmetric containment over LSH candidates: |A∩B| / |A| and
+    |A∩B| / |B| per pair.  Catches subset duplication — a short doc
+    quoted wholesale inside a long one scores near 1.0 containment
+    while its Jaccard stays low (the union is dominated by the long
+    doc), so a Jaccard-threshold dedup misses it (Broder's original
+    resemblance-vs-containment distinction).
+
+    Same plan shape as the Jaccard verify: bucketed LSH candidates
+    only, one shingle-set join per side, JVM set intersection; a pair
+    is kept when EITHER direction clears ``threshold``.  At 100 TB
+    nothing here is new cost — it is the same verify join with two
+    extra divisions.
+    """
+    cands = minhash_candidate_pairs(
+        df, id_col, text_col, num_hashes, bands, shingle_k,
+        distinct_pairs=True,
+    )
+    sh = ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
+    sh = sh.select(F.col(id_col), norm_text(F.col(text_col)).alias("_norm"))
+    sh = sh.select(F.col(id_col), shingles_over_norm("_norm", shingle_k).alias("sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint")
+    out = (
+        cands.join(a, "id_a").join(b, "id_b")
+        .withColumn("inter", inter)
+        .withColumn(
+            "containment_ab",
+            F.round(
+                F.col("inter").cast("double")
+                / F.greatest(F.size("sh_a"), F.lit(1)),
+                6,
+            ),
+        )
+        .withColumn(
+            "containment_ba",
+            F.round(
+                F.col("inter").cast("double")
+                / F.greatest(F.size("sh_b"), F.lit(1)),
+                6,
+            ),
+        )
+        .where(
+            (F.col("containment_ab") >= threshold)
+            | (F.col("containment_ba") >= threshold)
+        )
+        .select("id_a", "id_b", "inter", "containment_ab", "containment_ba")
+    )
+    return out

@@ -31,6 +31,7 @@ def test_oracle_keys_subset_of_queries():
         "pack_token_budget_local",
         "merge_streams_local",
         "ann_pq",
+        "events_approx_distinct",
     }
 
 

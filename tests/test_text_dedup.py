@@ -485,3 +485,28 @@ def test_chunk_documents_no_shuffle(spark):
     df = from_rows(spark, [(1, "a b c d e")], schema="doc_id bigint, text string")
     plan = text_ops.chunk_documents(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_containment_catches_subset_duplication(spark):
+    short = "the quick brown fox jumps over the lazy dog again and again"
+    long_ = short + " plus a tail"
+    other = "completely different words about spark engines and shuffles"
+    df = from_rows(
+        spark,
+        [(0, short), (1, long_), (2, other)],
+        schema="doc_id bigint, text string",
+    )
+    # single-row bands: LSH recall at moderate Jaccard (the containment
+    # case lowers J by construction — the union grows with the tail)
+    rows = {(r.id_a, r.id_b): r for r in
+            dedup.containment_pairs(df, "doc_id", "text", threshold=0.9,
+                                    num_hashes=9, bands=9)
+            .collect()}
+    assert (0, 1) in rows
+    r = rows[(0, 1)]
+    # every shingle of the short doc appears in the long one
+    assert r.containment_ab == 1.0
+    # but not vice versa (the tail is unique to the long doc)
+    assert r.containment_ba < 1.0
+    # the unrelated doc pairs with nothing
+    assert all(2 not in pair for pair in rows)
