@@ -44,6 +44,9 @@ HEADLINERS = (
     # the flagship LLM path, timed end-to-end (not just its stages)
     "dedup_apply",
     "curation_pipeline",
+    # round-3 additions: LM-prep chunking + PQ ANN with rerank
+    "text_chunk_documents",
+    "ann_pq",
     # one real Structured Streaming run (availableNow), special-cased
     "streaming_screen_availablenow",
 )

@@ -579,10 +579,16 @@ def containment_pairs(
     is kept when EITHER direction clears ``threshold``.  At 100 TB
     nothing here is new cost — it is the same verify join with two
     extra divisions.
+
+    Candidates stay NON-distinct through the verify (multi-band
+    collisions are ~1% of pairs, and an early pair-distinct forces an
+    exchange that breaks the broadcast verify join — measured 5x
+    slower); the output is deduped after the threshold filter, where
+    the surviving set is tiny.
     """
     cands = minhash_candidate_pairs(
         df, id_col, text_col, num_hashes, bands, shingle_k,
-        distinct_pairs=True,
+        distinct_pairs=False,
     )
     sh = ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
     sh = sh.select(F.col(id_col), norm_text(F.col(text_col)).alias("_norm"))
@@ -615,4 +621,4 @@ def containment_pairs(
         )
         .select("id_a", "id_b", "inter", "containment_ab", "containment_ba")
     )
-    return out
+    return out.distinct()

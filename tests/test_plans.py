@@ -472,3 +472,31 @@ def test_pack_token_budget_parallel_and_exact(spark):
     )
     want = {r.doc_id: r.pack_id for r in naive.collect()}
     assert got == want
+
+
+def test_pq_ann_corpus_never_shuffles_before_scoring(spark):
+    """PQ ADC scan shape: encode is a narrow projection (no Exchange
+    on the corpus side), the query side is broadcast, and the only
+    shuffle in the whole ADC plan is the per-query top-k ranking
+    window over the already-scored rows."""
+    from fuel_spark.ops import similarity
+    from fuel_spark.sources import from_rows
+
+    rows = [(i, [float(i % 7), float(i % 5), 1.0, 0.5]) for i in range(40)]
+    df = from_rows(spark, rows, schema="vec_id bigint, embedding array<float>")
+    books = similarity.pq_fit(df, m=2, k_codes=4, sample_n=40, seed=1, iters=5)
+
+    enc_plan = similarity.pq_encode(df, books)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in enc_plan
+
+    ann = similarity.pq_ann(
+        df, df.where("vec_id < 2"), k=3, codebooks=books, rerank=0
+    )
+    plan = ann._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # one hash-partition exchange for the ranking window, nothing else
+    import re
+    shuffles = re.findall(r"Exchange hashpartitioning", plan)
+    assert len(shuffles) == 1, plan
