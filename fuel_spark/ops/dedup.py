@@ -180,16 +180,19 @@ def ngram_jaccard_pairs(
     bands: int = 3,
     shingle_k: int = 5,
     distinct_pairs: bool = True,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Verified near-dup pairs: jaccard over distinct char-shingle sets
     computed on LSH candidates only (sketch → candidates → verify, the
     standard MinHashLSH pipeline shape).  ``distinct_pairs=False``
     propagates to the candidate stage (multi-band collisions verify
     more than once but skip the pair-set shuffle — right when the
-    consumer reduces over pairs anyway)."""
+    consumer reduces over pairs anyway).  ``max_bucket`` propagates
+    the star-degrade guard: on boilerplate-heavy corpora the verify
+    join is quadratic in bucket size without it."""
     cands = minhash_candidate_pairs(
         df, id_col, text_col, num_hashes, bands, shingle_k,
-        distinct_pairs=distinct_pairs,
+        max_bucket=max_bucket, distinct_pairs=distinct_pairs,
     )
     sh = ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
     sh = sh.select(F.col(id_col), norm_text(F.col(text_col)).alias("_norm"))
@@ -221,6 +224,7 @@ def apply_dedup(
     num_hashes: int = 9,
     bands: int = 3,
     shingle_k: int = 5,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """The full near-dup pipeline, applied: sketch → LSH candidates →
     jaccard verify → greedy keep-smallest-id.
@@ -236,7 +240,7 @@ def apply_dedup(
     """
     pairs = ngram_jaccard_pairs(
         df, id_col, text_col, threshold, num_hashes, bands, shingle_k,
-        distinct_pairs=False,
+        distinct_pairs=False, max_bucket=max_bucket,
     )
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
@@ -566,6 +570,7 @@ def containment_pairs(
     num_hashes: int = 9,
     bands: int = 3,
     shingle_k: int = 5,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Asymmetric containment over LSH candidates: |A∩B| / |A| and
     |A∩B| / |B| per pair.  Catches subset duplication — a short doc
@@ -588,7 +593,7 @@ def containment_pairs(
     """
     cands = minhash_candidate_pairs(
         df, id_col, text_col, num_hashes, bands, shingle_k,
-        distinct_pairs=False,
+        max_bucket=max_bucket, distinct_pairs=False,
     )
     sh = ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
     sh = sh.select(F.col(id_col), norm_text(F.col(text_col)).alias("_norm"))

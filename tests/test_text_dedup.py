@@ -510,3 +510,22 @@ def test_containment_catches_subset_duplication(spark):
     assert r.containment_ba < 1.0
     # the unrelated doc pairs with nothing
     assert all(2 not in pair for pair in rows)
+
+
+def test_minhash_max_bucket_star_degrade(spark):
+    """An over-cap LSH bucket contributes star pairs (bucket-min x
+    rest), never all-pairs — the bounded-expansion guard for
+    boilerplate buckets at scale."""
+    text = "the same boilerplate text repeated verbatim in every document"
+    df = from_rows(
+        spark,
+        [(i, text) for i in range(6)],
+        schema="doc_id bigint, text string",
+    )
+    uncapped = {(r.id_a, r.id_b) for r in
+                dedup.minhash_candidate_pairs(df, "doc_id", "text").collect()}
+    assert len(uncapped) == 15  # all pairs of 6 identical docs
+    capped = {(r.id_a, r.id_b) for r in
+              dedup.minhash_candidate_pairs(
+                  df, "doc_id", "text", max_bucket=4).collect()}
+    assert capped == {(0, j) for j in range(1, 6)}  # anchored at min id

@@ -76,6 +76,7 @@ def main() -> int:
             "check_expectations", "sample_n_per_group", "pack_token_budget",
             "pack_token_budget_local", "text_corpus_stats",
             "sole_blame_suppliers", "min_cost_supplier",
+            "text_chunk_documents", "dedup_containment", "ann_pq",
         ]
         timings = {}
         for name in names:
