@@ -614,7 +614,10 @@ def chunk_documents(
     len/stride per doc.  A trailing window that is fully contained in
     its predecessor (the previous chunk already reached the end of
     the doc) is dropped, so every emitted chunk contributes at least
-    one new token.  Empty documents emit no chunks.
+    one new token.  Empty documents emit no chunks.  ``stride <=
+    chunk_size`` covers every token (property-tested); a larger
+    stride is deliberate gap-sampling and skips tokens between
+    windows.
 
     Output: ``id_col``, chunk_id (0-based window index), start
     (0-based token offset), n_tokens, chunk_text.

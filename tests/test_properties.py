@@ -177,3 +177,39 @@ def test_sample_n_per_group_counts_and_stability(spark, n, k, seed):
     again = {r.key for r in
              schemes.sample_n_per_group(df, "g", k, "key", seed=seed).collect()}
     assert again == {r.key for r in out}
+
+
+@given(
+    n_words=st.integers(0, 30),
+    chunk_size=st.integers(1, 10),
+    stride=st.integers(1, 10),
+)
+@SET
+def test_chunk_documents_matches_reference_model(spark, n_words, chunk_size, stride):
+    """Chunking invariants vs a pure-Python reference: same windows,
+    every token covered, every chunk contributes a new token."""
+    from fuel_spark.ops.text import chunk_documents
+    from fuel_spark.sources import from_rows
+
+    words = [f"w{i}" for i in range(n_words)]
+    df = from_rows(spark, [(1, " ".join(words))],
+                   schema="doc_id bigint, text string")
+    got = sorted(
+        (r.chunk_id, r.start, r.n_tokens, r.chunk_text)
+        for r in chunk_documents(df, chunk_size=chunk_size, stride=stride).collect()
+    )
+
+    want = []
+    for idx, start in enumerate(range(0, n_words, stride)):
+        if start > 0 and start - stride + chunk_size >= n_words:
+            break  # previous window already reached the end
+        chunk = words[start:start + chunk_size]
+        want.append((idx, start, len(chunk), " ".join(chunk)))
+    assert got == want
+    # full coverage holds iff windows overlap or abut (stride <=
+    # chunk_size); a larger stride is deliberate gap-sampling
+    if n_words and stride <= chunk_size:
+        covered = set()
+        for _, start, n, _ in want:
+            covered.update(range(start, start + n))
+        assert covered == set(range(n_words))
