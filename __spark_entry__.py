@@ -667,6 +667,19 @@ def q_mixture_sample(spark, sf):
     )
 
 
+def q_events_range_join(spark, sf):
+    """Non-equi point-in-interval join through the bucketed grid
+    (ops.core.range_join): purchase lookback windows vs the whole
+    click stream, zero-click windows preserved."""
+    return analytics.events_range_join(_t(spark, sf))
+
+
+def q_events_attribution(spark, sf):
+    """Last-touch attribution composed from asof_join + tolerance
+    filter + channel rollup."""
+    return analytics.events_attribution(_t(spark, sf))
+
+
 def q_events_funnel(spark, sf):
     return analytics.events_funnel(_t(spark, sf))
 
@@ -1105,6 +1118,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_containment": q_dedup_containment,
         "ann_pq": q_ann_pq,
         "events_approx_distinct": q_events_approx_distinct,
+        "events_range_join": q_events_range_join,
+        "events_attribution": q_events_attribution,
         # analytics / query engine (driver-green r2)
         "pricing_summary": lambda s, d: analytics.pricing_summary(_t(s, d)),
         "revenue_forecast": lambda s, d: analytics.revenue_forecast(_t(s, d)),
@@ -2116,6 +2131,51 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT event_id, user_id, o_orderkey AS last_orderkey
         FROM j WHERE rn = 1
+    """
+
+    sqls["events_range_join"] = f"""
+        WITH iv AS (
+          SELECT event_id AS interval_id,
+                 ts - INTERVAL 3600 SECOND AS s, ts AS e
+          FROM events
+          WHERE event_type = 'purchase' AND user_id % 10 = 0
+        ),
+        p AS (
+          SELECT event_id AS click_id, ts AS cts, value
+          FROM events WHERE event_type = 'click'
+        )
+        SELECT interval_id,
+               count(click_id) AS n_clicks,
+               COALESCE({_dsum_sql('value')}, 0.0) AS click_value_sum
+        FROM iv LEFT JOIN p ON p.cts >= iv.s AND p.cts <= iv.e
+        GROUP BY interval_id
+    """
+
+    sqls["events_attribution"] = f"""
+        WITH p AS (
+          SELECT user_id, epoch_us(ts) AS t, event_id AS purchase_id, value
+          FROM events WHERE event_type = 'purchase'
+        ),
+        tch AS (
+          SELECT user_id, epoch_us(ts) AS tt, event_type AS channel
+          FROM events WHERE event_type IN ('click', 'view')
+        ),
+        j AS (
+          SELECT p.purchase_id, p.value, p.t, tch.tt, tch.channel,
+                 row_number() OVER (PARTITION BY p.purchase_id
+                                    ORDER BY tch.tt DESC, tch.channel DESC) AS rn
+          FROM p LEFT JOIN tch
+            ON p.user_id = tch.user_id AND tch.tt <= p.t
+        ),
+        best AS (SELECT * FROM j WHERE rn = 1),
+        lab AS (
+          SELECT CASE WHEN tt IS NOT NULL AND t - tt <= 1800000000
+                      THEN channel ELSE 'none' END AS channel, value
+          FROM best
+        )
+        SELECT channel, count(*) AS n_purchases,
+               {_dsum_sql('value')} AS purchase_value
+        FROM lab GROUP BY channel
     """
 
     sqls["value_quantiles"] = """

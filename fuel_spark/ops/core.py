@@ -476,6 +476,94 @@ def asof_join(
     )
 
 
+# -- range join (no fuel / native-Spark analogue) --------------------------
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_ts: str,
+    end_ts: str,
+    bucket_width: int,
+    equi_keys: list[str] | None = None,
+    how: str = "inner",
+    interval_id: list[str] | None = None,
+) -> DataFrame:
+    """Point-in-interval join (``start <= point <= end``, inclusive)
+    without a cartesian/nested-loop plan.
+
+    Spark executes a bare inequality join as BroadcastNestedLoop or
+    CartesianProduct — O(|points| x |intervals|).  This is the bucketed
+    formulation: both sides map onto a fixed epoch grid
+    (``bucket_width`` seconds for timestamp columns, plain units for
+    numerics); each INTERVAL explodes to the grid cells it covers
+    (``sequence(floor(s/w), floor(e/w))``), each POINT lands in exactly
+    one cell, and the join runs as an ordinary hash/sort-merge equi
+    join on (grid cell, *equi_keys) with the exact containment
+    predicate applied after.  Output pairs are exact and unique — a
+    point has one cell, so a (point, interval) pair can only meet once.
+
+    Scale shape: the big side (points — typically the fact stream) is
+    shuffled once with NO row expansion; only intervals replicate, by
+    ``ceil(interval_len / bucket_width) + 1`` rows each.  Pick
+    ``bucket_width`` near the typical interval length so that factor
+    stays ~2.  A pathological interval spanning the whole time range
+    degrades to |grid| replicas — bound it upstream or raise
+    ``bucket_width``; no setting of this knob can produce a cartesian.
+
+    ``how='inner'`` emits matched pairs.  ``how='left'`` preserves
+    intervals with zero matching points (point columns null) and
+    requires ``interval_id`` — unique column(s) identifying an
+    interval row — to restore the unmatched rows after the bucketed
+    inner pass.  Column names must be disjoint between the two inputs.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("how must be 'inner' or 'left'")
+    if how == "left" and not interval_id:
+        raise ValueError("how='left' requires interval_id columns")
+
+    def _grid(df: DataFrame, col: str) -> Column:
+        c = F.col(col)
+        if "timestamp" in dict(df.dtypes)[col]:
+            # microsecond epoch (Spark's native resolution); NTZ needs
+            # the intermediate cast under a UTC session
+            return F.unix_micros(c.cast("timestamp")), bucket_width * 1_000_000
+        return c, bucket_width
+
+    pt, pw = _grid(points, point_ts)
+    s, iw = _grid(intervals, start_ts)
+    e, _ = _grid(intervals, end_ts)
+    keys = list(equi_keys or [])
+    p = points.withColumn("_cell", F.floor(pt / pw))
+    # inverted intervals (end < start) contain nothing: drop them before
+    # the explode — Spark's sequence() would otherwise step DOWNWARD
+    # through every cell between the two ends
+    iv = intervals.where(e >= s).withColumn(
+        "_cell",
+        F.explode(F.sequence(F.floor(s / iw), F.floor(e / iw))),
+    )
+    pairs = (
+        iv.join(p, ["_cell", *keys] if keys else ["_cell"], "inner")
+        .where(
+            (F.col(point_ts) >= F.col(start_ts))
+            & (F.col(point_ts) <= F.col(end_ts))
+        )
+        .drop("_cell")
+    )
+    if how == "inner":
+        return pairs
+    # left: restore intervals whose bucketed inner pass matched nothing
+    matched = pairs.select(*interval_id).distinct()
+    unmatched = intervals.join(matched, interval_id, "left_anti")
+    null_points = [
+        F.lit(None).cast(t).alias(c)
+        for c, t in points.dtypes
+        if c not in (equi_keys or [])
+    ]
+    return pairs.unionByName(unmatched.select("*", *null_points))
+
+
 # -- Cache (477) / MultiProcessing (847) ----------------------------------
 
 

@@ -1088,3 +1088,105 @@ def events_daily_anomalies(
         .select("event_type", "day", F.round("day_value", 6).alias("day_value"),
                 "z", "is_anomaly")
     )
+
+
+def events_range_join(
+    t: dict[str, DataFrame],
+    lookback_seconds: int = 3600,
+    user_mod: int = 10,
+) -> DataFrame:
+    """Per-purchase lookback window vs the whole click stream — the
+    non-equi point-in-interval shape, executed through the bucketed
+    :func:`fuel_spark.ops.core.range_join` (no per-user equi key on
+    purpose: this exercises the pure range path a cartesian plan would
+    otherwise eat).
+
+    Intervals: each purchase by the sampled user cohort opens
+    ``[ts - lookback, ts]``.  Points: every click event, any user.
+    One grid shuffle of the click fact (no expansion) + a ~2x
+    replicated interval side; the left mode keeps zero-click windows.
+    Output per interval: click count + exact-decimal click value sum.
+    """
+    from fuel_spark.ops.core import range_join
+
+    e = t["events"]
+    iv = (
+        e.where(
+            (F.col("event_type") == "purchase")
+            & (F.col("user_id") % user_mod == 0)
+        )
+        .select(
+            F.col("event_id").alias("interval_id"),
+            (F.col("ts") - F.expr(f"INTERVAL {lookback_seconds} SECONDS")).alias(
+                "win_start"
+            ),
+            F.col("ts").alias("win_end"),
+        )
+    )
+    p = e.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("value").alias("click_value"),
+    )
+    pairs = range_join(
+        p,
+        iv,
+        "click_ts",
+        "win_start",
+        "win_end",
+        bucket_width=lookback_seconds,
+        how="left",
+        interval_id=["interval_id"],
+    )
+    return pairs.groupBy("interval_id").agg(
+        F.count("click_id").alias("n_clicks"),
+        F.coalesce(_dsum(F.col("click_value")), F.lit(0.0)).alias("click_value_sum"),
+    )
+
+
+def events_attribution(
+    t: dict[str, DataFrame], window_seconds: int = 1800
+) -> DataFrame:
+    """Last-touch attribution: each purchase credits the most recent
+    prior click/view by the same user within ``window_seconds``;
+    purchases with no qualifying touch fall into the 'none' channel.
+
+    Composition of the first-class as-of machinery
+    (:func:`fuel_spark.ops.core.asof_join` — union + one user-keyed
+    window carry-forward, O((n+m)log) with a single shuffle), then a
+    tolerance filter and a 3-row channel rollup.  Tie rules inherit
+    from asof_join: an equal-timestamp touch wins (inclusive); among
+    touch ties the greatest (touch_ts, channel) wins.
+    """
+    from fuel_spark.ops.core import asof_join
+
+    e = t["events"]
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id"), "value"
+    )
+    touches = e.where(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        F.col("ts").alias("touch_ts"),
+        F.col("event_type").alias("channel"),
+    )
+    attributed = asof_join(
+        purchases, touches, "user_id", "ts", "touch_ts", ["touch_ts", "channel"]
+    )
+    in_window = (
+        F.col("touch_ts").isNotNull()
+        & (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("touch_ts").cast("timestamp"))
+            <= window_seconds * 1_000_000
+        )
+    )
+    return (
+        attributed.withColumn(
+            "channel", F.when(in_window, F.col("channel")).otherwise(F.lit("none"))
+        )
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            _dsum(F.col("value")).alias("purchase_value"),
+        )
+    )

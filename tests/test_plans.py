@@ -500,3 +500,107 @@ def test_pq_ann_corpus_never_shuffles_before_scoring(spark):
     import re
     shuffles = re.findall(r"Exchange hashpartitioning", plan)
     assert len(shuffles) == 1, plan
+
+
+def test_range_join_bucketed_never_cartesian(spark):
+    """The non-equi point-in-interval query must run as an equi join on
+    the grid cell — a naive inequality join would plan as
+    BroadcastNestedLoopJoin/CartesianProduct, which is O(n*m)."""
+    t = load_tables(spark, SF)
+    s = _plan(analytics.events_range_join(t))
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoop" not in s
+
+
+def test_range_join_exact_pairs(spark):
+    from fuel_spark.ops.core import range_join
+
+    iv = from_rows(
+        spark,
+        [
+            {"iid": 1, "s": 10.0, "e": 20.0},   # spans cells 1..2 at w=10
+            {"iid": 2, "s": 35.0, "e": 36.0},   # inside one cell
+            {"iid": 3, "s": 50.0, "e": 40.0},   # inverted: matches nothing
+            {"iid": 4, "s": 100.0, "e": 200.0}, # no points at all
+        ],
+    )
+    p = from_rows(
+        spark,
+        [
+            {"pid": 10, "x": 10.0},  # == start (inclusive)
+            {"pid": 11, "x": 20.0},  # == end (inclusive)
+            {"pid": 12, "x": 21.0},  # just outside
+            {"pid": 13, "x": 35.5},
+            {"pid": 14, "x": 45.0},  # inside inverted interval's span
+        ],
+    )
+    got = {
+        (r.iid, r.pid)
+        for r in range_join(p, iv, "x", "s", "e", bucket_width=10).collect()
+    }
+    assert got == {(1, 10), (1, 11), (2, 13)}
+    left = range_join(
+        p, iv, "x", "s", "e", bucket_width=10, how="left", interval_id=["iid"]
+    )
+    rows = {(r.iid, r.pid) for r in left.collect()}
+    assert rows == {(1, 10), (1, 11), (2, 13), (3, None), (4, None)}
+
+
+def test_range_join_equi_keys_scope_matches(spark):
+    from fuel_spark.ops.core import range_join
+
+    iv = from_rows(
+        spark,
+        [{"iid": 1, "u": 7, "s": 0.0, "e": 100.0},
+         {"iid": 2, "u": 8, "s": 0.0, "e": 100.0}],
+    )
+    p = from_rows(spark, [{"pid": 1, "u": 7, "x": 50.0}])
+    got = {
+        (r.iid, r.pid)
+        for r in range_join(
+            p, iv, "x", "s", "e", bucket_width=10, equi_keys=["u"]
+        ).collect()
+    }
+    assert got == {(1, 1)}
+
+
+def test_attribution_hand_computed(spark):
+    """Purchases credit the latest prior touch within the window; the
+    'none' channel collects the rest (no touch / touch too old)."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(eid, mins, typ, uid, value=10.0):
+        return {
+            "event_id": eid,
+            "ts": base + dt.timedelta(minutes=mins),
+            "user_id": uid,
+            "event_type": typ,
+            "value": value,
+            "props": "{}",
+        }
+
+    rows = [
+        ev(1, 0, "click", 1),
+        ev(2, 10, "purchase", 1),        # click 10 min before -> click
+        ev(3, 0, "view", 2),
+        ev(4, 5, "click", 2),
+        ev(5, 6, "purchase", 2),         # click is latest -> click
+        ev(6, 0, "click", 3),
+        ev(7, 60, "purchase", 3),        # touch too old (>30min) -> none
+        ev(8, 0, "purchase", 4),         # no touch at all -> none
+        ev(9, 20, "view", 5),
+        ev(10, 20, "purchase", 5),       # equal-ts touch counts -> view
+    ]
+    out = {
+        r.channel: (r.n_purchases, r.purchase_value)
+        for r in analytics.events_attribution(
+            {"events": from_rows(spark, rows)}
+        ).collect()
+    }
+    assert out == {
+        "click": (2, 20.0),
+        "view": (1, 10.0),
+        "none": (2, 20.0),
+    }
