@@ -667,6 +667,13 @@ def q_mixture_sample(spark, sf):
     )
 
 
+def q_dedup_segments(spark, sf):
+    """Segment-level exact dedup: non-overlapping 32-token segments
+    hashed corpus-wide, repeats past the min-(doc,pos) keeper flagged
+    (C4/RefinedWeb paragraph-dedup shape)."""
+    return dedup.segment_dedup(_t(spark, sf)["documents"])
+
+
 def q_events_range_join(spark, sf):
     """Non-equi point-in-interval join through the bucketed grid
     (ops.core.range_join): purchase lookback windows vs the whole
@@ -1120,6 +1127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_approx_distinct": q_events_approx_distinct,
         "events_range_join": q_events_range_join,
         "events_attribution": q_events_attribution,
+        "dedup_segments": q_dedup_segments,
         # analytics / query engine (driver-green r2)
         "pricing_summary": lambda s, d: analytics.pricing_summary(_t(s, d)),
         "revenue_forecast": lambda s, d: analytics.revenue_forecast(_t(s, d)),
@@ -2131,6 +2139,29 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT event_id, user_id, o_orderkey AS last_orderkey
         FROM j WHERE rn = 1
+    """
+
+    sqls["dedup_segments"] = f"""
+        WITH w AS (
+          SELECT doc_id, {_words_sql('text')} AS ws, {_norm_sql('text')} AS nrm
+          FROM documents
+        ),
+        s AS (
+          SELECT doc_id, ws,
+                 CAST(unnest(CASE WHEN length(nrm) = 0 THEN CAST([] AS BIGINT[])
+                                  ELSE generate_series(0, len(ws) - 1, 32) END) AS INT) AS start
+          FROM w
+        ),
+        c AS (
+          SELECT doc_id, CAST(start // 32 AS INT) AS chunk_id,
+                 md5(array_to_string(ws[start + 1 : start + 32], ' ')) AS seg_hash
+          FROM s WHERE start = 0 OR start - 32 + 32 < len(ws)
+        )
+        SELECT doc_id, chunk_id, seg_hash,
+               count(*) OVER (PARTITION BY seg_hash) AS n_copies,
+               (row_number() OVER (PARTITION BY seg_hash
+                                   ORDER BY doc_id, chunk_id) > 1) AS is_dup
+        FROM c
     """
 
     sqls["events_range_join"] = f"""

@@ -627,3 +627,51 @@ def containment_pairs(
         .select("id_a", "id_b", "inter", "containment_ab", "containment_ba")
     )
     return out.distinct()
+
+
+def segment_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    segment_words: int = 32,
+) -> DataFrame:
+    """Segment-level exact dedup — the C4/RefinedWeb paragraph-dedup
+    shape adapted to unpunctuated corpora: documents split into
+    non-overlapping ``segment_words``-token segments (via
+    :func:`fuel_spark.ops.text.chunk_documents` with stride ==
+    chunk_size), each segment hashed, and every repeat of a segment
+    beyond its first (min (doc, position)) occurrence flagged.
+
+    Finer-grained than doc-level exact dedup (catches boilerplate
+    repeated INSIDE otherwise-distinct documents) and cheaper than
+    the n-gram span machinery (one 16-byte digest per segment on the
+    wire, no gram explode).  Two shuffles, both on seg_hash — the agg
+    and the flag-join share the partitioning, so AQE plans the second
+    exchange-free.
+
+    Output: one row per segment — id, chunk_id, seg_hash, n_copies
+    (corpus-wide), is_dup (true for every occurrence after the
+    keeper).
+    """
+    from fuel_spark.ops.text import chunk_documents
+
+    segs = chunk_documents(
+        df, text_col, id_col, chunk_size=segment_words, stride=segment_words
+    ).select(id_col, "chunk_id", F.md5(F.col("chunk_text")).alias("seg_hash"))
+    stats = segs.groupBy("seg_hash").agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min(F.struct(id_col, "chunk_id")).alias("_keep"),
+    )
+    keep = (F.col(f"_keep.{id_col}") == F.col(id_col)) & (
+        F.col("_keep.chunk_id") == F.col("chunk_id")
+    )
+    return (
+        segs.join(stats, "seg_hash")
+        .select(
+            id_col,
+            "chunk_id",
+            "seg_hash",
+            "n_copies",
+            (~keep).alias("is_dup"),
+        )
+    )

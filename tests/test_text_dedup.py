@@ -529,3 +529,27 @@ def test_minhash_max_bucket_star_degrade(spark):
               dedup.minhash_candidate_pairs(
                   df, "doc_id", "text", max_bucket=4).collect()}
     assert capped == {(0, j) for j in range(1, 6)}  # anchored at min id
+
+
+def test_segment_dedup_flags_repeats_keeps_first(spark):
+    """Four-word segments: the shared boilerplate segment is flagged in
+    every doc but its first (min doc_id, min position) occurrence;
+    unique segments never flag."""
+    boiler = "alpha beta gamma delta"
+    docs = from_rows(
+        spark,
+        [
+            {"doc_id": 1, "text": boiler + " one two three four"},
+            {"doc_id": 2, "text": boiler + " five six seven eight"},
+            # boilerplate appears at position 1 here, not 0
+            {"doc_id": 3, "text": "x y z w " + boiler},
+        ],
+    )
+    out = dedup.segment_dedup(docs, segment_words=4)
+    rows = {(r.doc_id, r.chunk_id): (r.n_copies, r.is_dup) for r in out.collect()}
+    assert rows[(1, 0)] == (3, False)      # keeper: min (doc, pos)
+    assert rows[(2, 0)] == (3, True)
+    assert rows[(3, 1)] == (3, True)
+    assert rows[(1, 1)] == (1, False)
+    assert rows[(2, 1)] == (1, False)
+    assert rows[(3, 0)] == (1, False)
