@@ -667,6 +667,23 @@ def q_mixture_sample(spark, sf):
     )
 
 
+def q_quantile_bins(spark, sf):
+    """Exact equal-frequency binning of events.value: decile
+    cutpoints as an in-plan broadcast relation, per-bin rollup."""
+    from fuel_spark.ops import profile
+
+    return profile.quantile_bins(_t(spark, sf)["events"], "value", k=10)
+
+
+def q_dsir_weights(spark, sf):
+    """DSIR importance weights (Xie et al. 2023): hashed-unigram
+    log p_target/p_raw per doc, target = the 'src0' slice."""
+    d = _t(spark, sf)["documents"]
+    return text_ops.dsir_weights(
+        d, "doc_id", "text", F.col("source") == "src0"
+    )
+
+
 def q_dedup_segments(spark, sf):
     """Segment-level exact dedup: non-overlapping 32-token segments
     hashed corpus-wide, repeats past the min-(doc,pos) keeper flagged
@@ -1128,6 +1145,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_range_join": q_events_range_join,
         "events_attribution": q_events_attribution,
         "dedup_segments": q_dedup_segments,
+        "text_dsir_weights": q_dsir_weights,
+        "feature_quantile_bins": q_quantile_bins,
         # analytics / query engine (driver-green r2)
         "pricing_summary": lambda s, d: analytics.pricing_summary(_t(s, d)),
         "revenue_forecast": lambda s, d: analytics.revenue_forecast(_t(s, d)),
@@ -2139,6 +2158,55 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT event_id, user_id, o_orderkey AS last_orderkey
         FROM j WHERE rn = 1
+    """
+
+    qcuts = ", ".join(f"quantile_cont(value, {i / 10})" for i in range(1, 10))
+    sqls["feature_quantile_bins"] = f"""
+        WITH cuts AS (SELECT [{qcuts}] AS cs FROM events),
+        b AS (
+          SELECT value,
+                 CAST(len(list_filter(cs, c -> c <= value)) AS INT) AS bin
+          FROM events, cuts
+        )
+        SELECT bin, count(*) AS n,
+               round(min(value), 6) AS min_value,
+               round(max(value), 6) AS max_value,
+               {_dsum_sql('value')} AS sum_value
+        FROM b GROUP BY bin
+    """
+
+    sqls["text_dsir_weights"] = f"""
+        WITH t0 AS (
+          SELECT doc_id, (source = 'src0') AS tgt, unnest({_words_sql('text')}) AS w
+          FROM documents
+        ),
+        toks AS (
+          SELECT doc_id, tgt,
+                 CAST('0x' || substring(md5(w), 1, 8) AS BIGINT) % 256 AS b
+          FROM t0 WHERE w <> ''
+        ),
+        tf AS (
+          SELECT doc_id, tgt, b, count(*) AS tf FROM toks GROUP BY 1, 2, 3
+        ),
+        bt AS (
+          SELECT b, sum(tf) AS cr,
+                 sum(CASE WHEN tgt THEN tf ELSE 0 END) AS ct
+          FROM tf GROUP BY b
+        ),
+        tot AS (
+          SELECT CAST(sum(cr) AS DOUBLE) AS r, CAST(sum(ct) AS DOUBLE) AS t
+          FROM bt
+        ),
+        lr AS (
+          SELECT b,
+                 CAST(round(ln((ct + 1.0) / (t + 256))
+                            - ln((cr + 1.0) / (r + 256)), 6) AS {DEC}) AS lr6
+          FROM bt, tot
+        )
+        SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+               CAST(sum(lr6 * tf) AS DOUBLE) AS log_weight
+        FROM tf JOIN lr USING (b)
+        GROUP BY doc_id
     """
 
     sqls["dedup_segments"] = f"""

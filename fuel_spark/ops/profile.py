@@ -135,3 +135,42 @@ def check_expectations(
         for name, kind, *_ in rules
     ]
     return wide.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
+
+
+def quantile_bins(df, value_col: str, k: int = 10):
+    """Equal-frequency discretization (the exact tier of MLlib's
+    QuantileDiscretizer): k-quantile cutpoints of ``value_col``
+    computed in one pass, then each row assigned the bin = number of
+    inner cutpoints <= its value (0..k-1; values below the first cut
+    land in 0, ties go up — the half-open [cut, next) convention).
+
+    The k-1 cutpoints ride along as a broadcast 1-row relation
+    (no driver round-trip, the fit stays inside the plan); assignment
+    is a JVM array filter per row.  Exact `percentile` is a
+    sort-based agg — at the 100 TB tier swap in approx_percentile
+    (tests/test_sketches.py bounds the error) — the op shape is
+    identical.
+
+    Output: per-bin rollup — bin, n, min/max value, exact-decimal sum.
+    """
+    from pyspark.sql import functions as F
+
+    probs = ", ".join(str(i / k) for i in range(1, k))
+    cuts = df.agg(
+        F.expr(f"percentile({value_col}, array({probs}))").alias("_cuts")
+    )
+    binned = df.crossJoin(F.broadcast(cuts)).withColumn(
+        "bin",
+        F.size(F.filter("_cuts", lambda c: c <= F.col(value_col))),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min(value_col), 6).alias("min_value"),
+            F.round(F.max(value_col), 6).alias("max_value"),
+            F.sum(F.col(value_col).cast("decimal(27,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )

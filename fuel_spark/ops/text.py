@@ -647,3 +647,72 @@ def chunk_documents(
         F.size(chunk).alias("n_tokens"),
         F.array_join(chunk, " ").alias("chunk_text"),
     )
+
+
+def dsir_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    is_target,
+    buckets: int = 256,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023,
+    arXiv:2302.03169): per-document log importance weight
+    ``sum_f count(f) * ln(p_target(f) / p_raw(f))`` over hashed
+    unigram features, used to resample a raw corpus toward a target
+    domain.  ``is_target`` is a boolean Column marking the target
+    rows inside ``df`` (the usual setup: a small trusted slice of the
+    same corpus).
+
+    One tokenize pass: per-(doc, bucket) term frequencies feed BOTH
+    the bucket distributions (raw + target derived from the same tf
+    table, Laplace +1 smoothing) and the scoring join; the bucket
+    table is at most ``buckets`` rows, broadcast.  The per-bucket
+    log-ratio is rounded then tf-weighted and summed as DECIMAL, so
+    the weight is bit-deterministic at any parallelism and
+    hash-matches the DuckDB oracle.  Feature hashing is the portable
+    md5-prefix bigint (fuel_spark.functions.shingle_hashes_expr
+    convention), so Spark and the oracle bucket identically.
+
+    Output: id, n_tokens, log_weight (higher = more target-like).
+    """
+    toks = (
+        ensure_parallelism(
+            df.select(F.col(id_col), F.col(text_col), is_target.alias("_tgt"))
+        )
+        .select(
+            F.col(id_col),
+            "_tgt",
+            F.explode(words(F.col(text_col))).alias("_w"),
+        )
+        .where(F.col("_w") != "")
+        .withColumn(
+            "_b",
+            F.expr(
+                f"CAST(conv(substring(md5(_w), 1, 8), 16, 10) AS BIGINT) % {buckets}"
+            ),
+        )
+    )
+    tf = toks.groupBy(id_col, "_tgt", "_b").agg(F.count(F.lit(1)).alias("_tf"))
+    bt = tf.groupBy("_b").agg(
+        F.sum("_tf").alias("_cr"),
+        F.sum(F.when(F.col("_tgt"), F.col("_tf")).otherwise(F.lit(0))).alias("_ct"),
+    )
+    tot = bt.select(
+        F.sum("_cr").cast("double").alias("_r"),
+        F.sum("_ct").cast("double").alias("_t"),
+    )
+    lr6 = F.round(
+        F.log((F.col("_ct") + 1.0) / (F.col("_t") + buckets))
+        - F.log((F.col("_cr") + 1.0) / (F.col("_r") + buckets)),
+        6,
+    ).cast("decimal(27,6)")
+    bucket_lr = bt.crossJoin(F.broadcast(tot)).select("_b", lr6.alias("_lr6"))
+    return (
+        tf.join(F.broadcast(bucket_lr), "_b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_tf").alias("n_tokens"),
+            F.sum(F.col("_lr6") * F.col("_tf")).cast("double").alias("log_weight"),
+        )
+    )

@@ -76,3 +76,22 @@ def test_jsonl_roundtrip_and_quarantine(spark, tmp_path):
     good, bad = corrupt_split(df)
     assert good.count() == 2
     assert bad.count() == 1
+
+
+def test_quantile_bins_equal_frequency(spark):
+    """100 distinct uniform values, k=10 -> ten bins of ten; bin
+    edges follow the ties-go-up [cut, next) convention."""
+    from fuel_spark.ops.profile import quantile_bins
+    from fuel_spark.sources import from_rows
+
+    rows = [{"v": float(i)} for i in range(100)]
+    out = {r.bin: (r.n, r.min_value, r.max_value)
+           for r in quantile_bins(from_rows(spark, rows), "v", k=10).collect()}
+    assert set(out) == set(range(10))
+    assert sum(n for n, _, _ in out.values()) == 100
+    # every bin holds ~10 of 100 uniform values (interpolated cuts
+    # can shift one value across an edge)
+    assert all(8 <= n <= 12 for n, _, _ in out.values())
+    # bins tile the range in order
+    order = [out[b] for b in range(10)]
+    assert all(order[i][2] < order[i + 1][1] for i in range(9))

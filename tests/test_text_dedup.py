@@ -553,3 +553,23 @@ def test_segment_dedup_flags_repeats_keeps_first(spark):
     assert rows[(1, 1)] == (1, False)
     assert rows[(2, 1)] == (1, False)
     assert rows[(3, 0)] == (1, False)
+
+
+def test_dsir_weights_rank_target_like_docs_higher(spark):
+    """Docs made of target-slice vocabulary must score higher than
+    docs of off-target vocabulary; token counts are exact."""
+    rows = (
+        [{"doc_id": i, "text": "foo foo bar", "grp": "tgt"} for i in range(3)]
+        + [{"doc_id": 10 + i, "text": "baz qux zap", "grp": "raw"} for i in range(3)]
+        + [{"doc_id": 20, "text": "foo foo foo foo", "grp": "raw"},
+           {"doc_id": 21, "text": "baz baz baz baz", "grp": "raw"}]
+    )
+    out = {
+        r.doc_id: (r.n_tokens, r.log_weight)
+        for r in text_ops.dsir_weights(
+            from_rows(spark, rows), "doc_id", "text", F.col("grp") == "tgt"
+        ).collect()
+    }
+    assert out[20][0] == 4 and out[21][0] == 4
+    # doc 20 is pure target vocabulary, doc 21 pure non-target
+    assert out[20][1] > out[21][1]
