@@ -1010,6 +1010,17 @@ def q_ann_ivf(spark, sf):
     return ml.ivf_ann(e, q, k=5, k_clusters=8, nprobe=4, seed=7)
 
 
+def q_embedding_pca(spark, sf):
+    """PCA dimensionality reduction of the embedding column (MLlib
+    distributed covariance/SVD fit, narrow projection transform).
+    rows-only: the eigenbasis is not SQL-expressible."""
+    from fuel_spark import ml
+
+    return ml.pca_embeddings(
+        _t(spark, sf)["embeddings"], "vec_id", "embedding", k=8
+    )
+
+
 def q_events_approx_distinct(spark, sf):
     """Sketch-tier distinct counting: per-type daily approx distinct
     users (HyperLogLog++) next to the exact count — the 100 TB shape
@@ -1147,6 +1158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_segments": q_dedup_segments,
         "text_dsir_weights": q_dsir_weights,
         "feature_quantile_bins": q_quantile_bins,
+        "embedding_pca": q_embedding_pca,
         # analytics / query engine (driver-green r2)
         "pricing_summary": lambda s, d: analytics.pricing_summary(_t(s, d)),
         "revenue_forecast": lambda s, d: analytics.revenue_forecast(_t(s, d)),

@@ -49,3 +49,42 @@ def test_ivf_sampled_fit_and_persisted_index(spark, tmp_path):
     approx_set = {(r.query_id, r.neighbor_id) for r in approx.collect()}
     recall = len(exact_set & approx_set) / len(exact_set)
     assert recall >= 0.5, f"sampled-fit IVF recall too low: {recall}"
+
+
+def test_pca_matches_numpy_up_to_sign(spark):
+    """Projections agree with numpy's covariance eigendecomposition up
+    to per-component sign; variance concentrates in the first
+    component for an anisotropic cloud."""
+    import numpy as np
+
+    from fuel_spark.ml import pca_embeddings
+    from fuel_spark.sources import from_rows
+
+    rng = np.random.RandomState(7)
+    # stretched along a fixed direction in 6-d
+    base = rng.randn(200, 6) * np.array([5.0, 2.0, 1.0, 0.5, 0.2, 0.1])
+    rows = [
+        {"vec_id": i, "embedding": [float(x) for x in base[i]]}
+        for i in range(200)
+    ]
+    out = (
+        pca_embeddings(from_rows(spark, rows), "vec_id", "embedding", k=2)
+        .orderBy("vec_id")
+        .collect()
+    )
+    got = np.array([r.pca for r in out])
+
+    # MLlib convention: eigenbasis of the CENTERED sample covariance,
+    # but transform projects the raw (uncentered) rows onto it
+    x = base - base.mean(axis=0)
+    cov = (x.T @ x) / (len(base) - 1)
+    w, v = np.linalg.eigh(cov)
+    comps = v[:, np.argsort(w)[::-1][:2]]
+    want = base @ comps
+    for j in range(2):
+        assert (
+            np.allclose(got[:, j], want[:, j], atol=1e-6)
+            or np.allclose(got[:, j], -want[:, j], atol=1e-6)
+        )
+    # anisotropy: first component carries far more energy
+    assert (got[:, 0] ** 2).sum() > 4 * (got[:, 1] ** 2).sum()
