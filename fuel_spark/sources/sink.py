@@ -50,3 +50,89 @@ def write_bucketed_table(
     if sort_col:
         writer = writer.sortBy(sort_col)
     writer.saveAsTable(table_name, format="parquet")
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_by: list[str],
+    bits: int = 8,
+    target_partitions: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet laid out on a Z-order (Morton) curve over
+    ``zorder_by`` — multi-column data skipping: row-group/file min-max
+    stats stay narrow on EVERY curve column at once, so selective
+    filters on any of them prune most files before IO (a plain sort
+    gives that for its leading column only).
+
+    In-plan fit: one approx-percentile pass per column yields
+    ``2^bits`` equal-frequency rank buckets (broadcast 1-row cutpoint
+    relation, no driver round-trip); the Z value interleaves the
+    bucket bits JVM-side; one range shuffle on Z + in-partition sort
+    orders the write.  Columns must be numeric (cast timestamps to
+    epoch first).
+    """
+    from pyspark.sql import functions as F
+
+    m = len(zorder_by)
+    if m == 0:
+        raise ValueError("zorder_by must name at least one column")
+    probs = ", ".join(str(i / (1 << bits)) for i in range(1, 1 << bits))
+    cuts = df.agg(
+        *[
+            F.expr(f"approx_percentile({c}, array({probs}), 1000)").alias(f"_cuts_{i}")
+            for i, c in enumerate(zorder_by)
+        ]
+    )
+    d = df.crossJoin(F.broadcast(cuts))
+    for i, c in enumerate(zorder_by):
+        d = d.withColumn(
+            f"_rank_{i}",
+            F.size(F.filter(f"_cuts_{i}", lambda x: x <= F.col(c))).cast("long"),
+        )
+    z = F.lit(0).cast("long")
+    for j in range(bits):
+        for i in range(m):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(F.col(f"_rank_{i}"), j).bitwiseAND(F.lit(1)),
+                    j * m + i,
+                )
+            )
+    d = d.withColumn("_z", z).drop(
+        *[f"_cuts_{i}" for i in range(m)], *[f"_rank_{i}" for i in range(m)]
+    )
+    n = target_partitions or df.sparkSession.sparkContext.defaultParallelism
+    (
+        d.repartitionByRange(n, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def compact_dataset(
+    spark,
+    path_in: str,
+    path_out: str,
+    target_mb: int = 256,
+    mode: str = "overwrite",
+) -> int:
+    """Rewrite a parquet directory into ~``target_mb`` files — the
+    small-file compaction pass every long-lived ingest needs (streams
+    and per-batch writes accrete kilobyte files; each costs a task +
+    a footer read forever after).
+
+    Sizing uses the Hadoop FileSystem listing (driver-side metadata
+    only, no data read); the rewrite itself is one round-robin
+    repartition.  Returns the output file count."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path_in)
+    fs = p.getFileSystem(conf)
+    total = fs.getContentSummary(p).getLength()
+    n = max(1, int(total // (target_mb * 1024 * 1024)) + (1 if total % (target_mb * 1024 * 1024) else 0))
+    spark.read.parquet(path_in).repartition(n).write.mode(mode).parquet(path_out)
+    return n

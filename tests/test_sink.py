@@ -55,3 +55,67 @@ def test_bucketed_table_join_skips_shuffle(spark, outdir):
         )
         spark.sql("DROP TABLE IF EXISTS t_bucketed_a")
         spark.sql("DROP TABLE IF EXISTS t_bucketed_b")
+
+
+def test_zorder_write_narrows_minmax_on_both_columns(spark, outdir):
+    """Z-order promise: per-file min-max stays narrow on EVERY curve
+    column; a plain sort narrows only its leading column."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    rng_rows = [
+        (i, float((i * 7919) % 1000), float((i * 104729) % 1000))
+        for i in range(20000)
+    ]
+    df = from_rows(spark, rng_rows, schema="k bigint, u double, v double")
+    from fuel_spark.sources.sink import write_zordered
+
+    zpath = os.path.join(outdir, "zorder")
+    write_zordered(df, zpath, ["u", "v"], bits=8, target_partitions=16)
+    spath = os.path.join(outdir, "plain_sort")
+    df.repartitionByRange(16, "u").sortWithinPartitions("u").write.parquet(spath)
+
+    def avg_ranges(path):
+        ru, rv, n = 0.0, 0.0, 0
+        for f in glob.glob(os.path.join(path, "*.parquet")):
+            md = pq.read_metadata(f)
+            lo_u = min(md.row_group(g).column(1).statistics.min for g in range(md.num_row_groups))
+            hi_u = max(md.row_group(g).column(1).statistics.max for g in range(md.num_row_groups))
+            lo_v = min(md.row_group(g).column(2).statistics.min for g in range(md.num_row_groups))
+            hi_v = max(md.row_group(g).column(2).statistics.max for g in range(md.num_row_groups))
+            ru += hi_u - lo_u
+            rv += hi_v - lo_v
+            n += 1
+        return ru / n / 1000.0, rv / n / 1000.0  # fraction of global range
+
+    zu, zv = avg_ranges(zpath)
+    su, sv = avg_ranges(spath)
+    # plain sort: u razor-thin, v spans most of the range
+    assert su < 0.2 and sv > 0.6
+    # z-order: BOTH columns well under the full range, and v
+    # materially narrower than the plain sort leaves it
+    assert zu < 0.6 and zv < 0.6
+    assert zv < sv - 0.2
+    # round-trips all rows
+    assert spark.read.parquet(zpath).count() == 20000
+
+
+def test_compact_dataset_reduces_file_count(spark, outdir):
+    from fuel_spark.sources.sink import compact_dataset
+
+    df = from_rows(
+        spark, [(i, float(i)) for i in range(5000)], schema="k bigint, v double"
+    )
+    src = os.path.join(outdir, "fragmented")
+    df.repartition(64).write.parquet(src)
+    import glob
+
+    assert len(glob.glob(os.path.join(src, "*.parquet"))) == 64
+    dst = os.path.join(outdir, "compacted")
+    compact_dataset(spark, src, dst, target_mb=256)
+    out_files = glob.glob(os.path.join(dst, "*.parquet"))
+    assert len(out_files) == 1
+    back = spark.read.parquet(dst)
+    assert back.count() == 5000
+    assert back.agg(F.sum("k")).collect()[0][0] == sum(range(5000))
