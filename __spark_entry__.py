@@ -667,6 +667,15 @@ def q_mixture_sample(spark, sf):
     )
 
 
+def q_winnowing(spark, sf):
+    """Winnowing fingerprints (Schleimer et al. 2003 / MOSS): min hash
+    of every 4-gram-hash window; shared substrings of length k+w-1
+    guarantee a shared fingerprint."""
+    return text_ops.winnow_fingerprints(
+        _t(spark, sf)["documents"], "doc_id", "text", k=8, window=4
+    )
+
+
 def q_quantile_bins(spark, sf):
     """Exact equal-frequency binning of events.value: decile
     cutpoints as an in-plan broadcast relation, per-bin rollup."""
@@ -1159,6 +1168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_dsir_weights": q_dsir_weights,
         "feature_quantile_bins": q_quantile_bins,
         "embedding_pca": q_embedding_pca,
+        "text_winnowing": q_winnowing,
         # analytics / query engine (driver-green r2)
         "pricing_summary": lambda s, d: analytics.pricing_summary(_t(s, d)),
         "revenue_forecast": lambda s, d: analytics.revenue_forecast(_t(s, d)),
@@ -2170,6 +2180,28 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT event_id, user_id, o_orderkey AS last_orderkey
         FROM j WHERE rn = 1
+    """
+
+    sqls["text_winnowing"] = f"""
+        WITH n AS (SELECT doc_id, {_norm_sql('text')} AS nrm FROM documents),
+        h AS (
+          SELECT doc_id,
+                 CASE WHEN length(nrm) < 8 THEN CAST([] AS BIGINT[])
+                      ELSE list_transform(generate_series(1, length(nrm) - 7),
+                           i -> CAST('0x' || substring(md5(substring(nrm, i, 8)), 1, 8) AS BIGINT))
+                 END AS hs
+          FROM n
+        ),
+        f AS (
+          SELECT doc_id,
+                 CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[])
+                      WHEN len(hs) < 4 THEN [list_min(hs)]
+                      ELSE list_distinct(list_transform(generate_series(1, len(hs) - 3),
+                           i -> list_min(hs[i : i + 3])))
+                 END AS fps
+          FROM h
+        )
+        SELECT doc_id, unnest(fps) AS fingerprint FROM f
     """
 
     qcuts = ", ".join(f"quantile_cont(value, {i / 10})" for i in range(1, 10))

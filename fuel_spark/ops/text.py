@@ -716,3 +716,60 @@ def dsir_weights(
             F.sum(F.col("_lr6") * F.col("_tf")).cast("double").alias("log_weight"),
         )
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the
+    MOSS local document fingerprinting): positional char ``k``-gram
+    hashes, then the minimum hash of every ``window`` consecutive
+    grams is selected; the distinct selected hashes are the document's
+    fingerprint set.  Guarantees a shared substring of length
+    ``k + window - 1`` between two docs yields a shared fingerprint —
+    the locality property plain min-k sampling (ops.text.fingerprint)
+    lacks.
+
+    All JVM expressions: the positional gram-hash array materializes
+    once per doc (barrier), windows are ``slice`` + ``array_min`` —
+    no shuffle before the final explode.  Ties collapse through the
+    distinct (the standard relaxation of the rightmost-tie rule).
+    Docs shorter than ``k`` chars (normalized) emit nothing.
+
+    Output: id, fingerprint (bigint) — one row per distinct selected
+    hash; feed into the segment/minhash join machinery for
+    plagiarism-style overlap detection.
+    """
+    base = df.select(F.col(id_col), norm_text(F.col(text_col)).alias("_n"))
+    base = with_materialized(
+        base,
+        "_hs",
+        F.expr(
+            f"""CASE WHEN length(_n) < {k} THEN CAST(array() AS ARRAY<BIGINT>)
+            ELSE transform(sequence(1, length(_n) - {k} + 1),
+                 i -> CAST(conv(substring(md5(substring(_n, i, {k})), 1, 8), 16, 10) AS BIGINT))
+            END"""
+        ),
+    )
+    fps = F.when(
+        F.size("_hs") < window,
+        # fewer grams than one window: the doc's single window is the
+        # whole gram list (standard winnowing edge case)
+        F.when(F.size("_hs") > 0, F.array(F.array_min("_hs"))).otherwise(
+            F.expr("CAST(array() AS ARRAY<BIGINT>)")
+        ),
+    ).otherwise(
+        F.array_distinct(
+            F.expr(
+                f"transform(sequence(1, size(_hs) - {window} + 1),"
+                f" i -> array_min(slice(_hs, i, {window})))"
+            )
+        )
+    )
+    return base.select(
+        F.col(id_col), F.explode(fps).alias("fingerprint")
+    )

@@ -573,3 +573,28 @@ def test_dsir_weights_rank_target_like_docs_higher(spark):
     assert out[20][0] == 4 and out[21][0] == 4
     # doc 20 is pure target vocabulary, doc 21 pure non-target
     assert out[20][1] > out[21][1]
+
+
+def test_winnowing_locality_guarantee(spark):
+    """Docs sharing a substring of length k + window - 1 (= 11 here)
+    must share a fingerprint; docs over disjoint alphabets share
+    none; short docs still emit their single-window fingerprint."""
+    shared = "abcdefghijk"  # 11 chars
+    docs = from_rows(
+        spark,
+        [
+            {"doc_id": 1, "text": "xxxx" + shared + "yyyy"},
+            {"doc_id": 2, "text": "zzzz" + shared + "wwww"},
+            {"doc_id": 3, "text": "mnopqrstuvmnopqrstuv"},
+            {"doc_id": 4, "text": "tiny"},   # < k chars: nothing
+            {"doc_id": 5, "text": "exactly09"},  # 9 chars: 2 grams, 1 window
+        ],
+    )
+    out = text_ops.winnow_fingerprints(docs, "doc_id", "text", k=8, window=4)
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.fingerprint)
+    assert by_doc[1] & by_doc[2]
+    assert not (by_doc[1] & by_doc[3])
+    assert 4 not in by_doc
+    assert len(by_doc[5]) == 1
