@@ -83,6 +83,31 @@ def cmd_profile(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    """Small-file compaction: rewrite a parquet dir into ~target-mb
+    files (metadata-only sizing, one repartition pass)."""
+    from fuel_spark.sources.sink import compact_dataset
+
+    spark = get_spark("fuel_spark-compact")
+    spark.sparkContext.setLogLevel("ERROR")
+    n = compact_dataset(spark, args.input, args.output, target_mb=args.target_mb)
+    print(f"wrote {args.output} ({n} files)")
+    return 0
+
+
+def cmd_zorder(args) -> int:
+    """Rewrite a parquet dir Z-ordered on the given columns for
+    multi-column min-max data skipping."""
+    from fuel_spark.sources.sink import write_zordered
+
+    spark = get_spark("fuel_spark-zorder")
+    spark.sparkContext.setLogLevel("ERROR")
+    df = spark.read.parquet(args.input)
+    write_zordered(df, args.output, args.by, target_partitions=args.files or None)
+    print(f"wrote {args.output} (zorder by {', '.join(args.by)})")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="fuel_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -106,6 +131,19 @@ def main(argv: list[str] | None = None) -> int:
     p_prof.add_argument("--approx", action="store_true",
                         help="approx distinct counts (cheaper at scale)")
     p_prof.set_defaults(fn=cmd_profile)
+
+    p_comp = sub.add_parser("compact", help="compact small parquet files")
+    p_comp.add_argument("--input", required=True)
+    p_comp.add_argument("--output", required=True)
+    p_comp.add_argument("--target-mb", type=int, default=256)
+    p_comp.set_defaults(fn=cmd_compact)
+
+    p_z = sub.add_parser("zorder", help="rewrite parquet Z-ordered on columns")
+    p_z.add_argument("--input", required=True)
+    p_z.add_argument("--output", required=True)
+    p_z.add_argument("--by", nargs="+", required=True)
+    p_z.add_argument("--files", type=int, default=None)
+    p_z.set_defaults(fn=cmd_zorder)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -42,3 +42,26 @@ def test_cli_profile(capsys):
     out = capsys.readouterr().out
     assert "r_regionkey" in out and "distinct=5" in out
     assert "mean=2.0" in out  # keys 0..4
+
+
+def test_cli_compact_and_zorder(spark, outdir, capsys):
+    from fuel_spark.cli import main
+    from fuel_spark.sources import from_rows
+
+    src = os.path.join(outdir, "frag")
+    from_rows(
+        spark,
+        [(i, float(i % 97), float(i % 53)) for i in range(2000)],
+        schema="k bigint, u double, v double",
+    ).repartition(16).write.parquet(src)
+
+    comp = os.path.join(outdir, "comp")
+    assert main(["compact", "--input", src, "--output", comp]) == 0
+    assert "1 files" in capsys.readouterr().out
+    assert spark.read.parquet(comp).count() == 2000
+
+    zout = os.path.join(outdir, "z")
+    assert main(["zorder", "--input", src, "--output", zout,
+                 "--by", "u", "v", "--files", "4"]) == 0
+    assert "zorder by u, v" in capsys.readouterr().out
+    assert spark.read.parquet(zout).count() == 2000
