@@ -1030,6 +1030,18 @@ def q_embedding_pca(spark, sf):
     )
 
 
+def q_corpus_domains(spark, sf):
+    """Corpus domain discovery: KMeans over embeddings + per-cluster
+    distinctive-term labels (data-mixture cartography).  rows-only:
+    kmeans is not SQL-expressible."""
+    from fuel_spark import ml
+
+    t = _t(spark, sf)
+    return ml.domain_clusters(
+        t["documents"], t["embeddings"], k_clusters=8, top_terms=5, seed=7
+    )
+
+
 def q_events_approx_distinct(spark, sf):
     """Sketch-tier distinct counting: per-type daily approx distinct
     users (HyperLogLog++) next to the exact count — the 100 TB shape
@@ -1169,6 +1181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_quantile_bins": q_quantile_bins,
         "embedding_pca": q_embedding_pca,
         "text_winnowing": q_winnowing,
+        "corpus_domains": q_corpus_domains,
         # analytics / query engine (driver-green r2)
         "pricing_summary": lambda s, d: analytics.pricing_summary(_t(s, d)),
         "revenue_forecast": lambda s, d: analytics.revenue_forecast(_t(s, d)),

@@ -216,3 +216,75 @@ def pca_embeddings(
             F.sqrt(F.aggregate("pca", F.lit(0.0), lambda a, x: a + x * x)), 6
         ).alias("pca_norm"),
     )
+
+
+def domain_clusters(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    doc_id: str = "doc_id",
+    vec_id: str = "vec_id",
+    text_col: str = "text",
+    vec_col: str = "embedding",
+    k_clusters: int = 8,
+    top_terms: int = 5,
+    seed: int = 42,
+    fit_fraction: float | None = None,
+) -> DataFrame:
+    """Corpus domain discovery: KMeans over the embedding column
+    (sampled fit, broadcast centroids, narrow assignment — the IVF
+    machinery reused as a cartographer), then each cluster labeled by
+    its most-frequent distinctive terms — the standard map step of
+    data-mixture curation (cluster the corpus, inspect/weight the
+    clusters).
+
+    Term ranking is cluster term count with corpus-wide stopword-ish
+    mass removed by document frequency (terms in > half the docs are
+    skipped), one explode + two map-side-combinable aggs; deterministic
+    tie-break on the term string.
+
+    Output: one row per cluster — cluster, n_docs, top_terms
+    (comma-joined, rank order).
+    """
+    from fuel_spark.functions import words
+
+    model = fit_ivf_index(embeddings, vec_col, k_clusters, seed, fit_fraction)
+    assigned = assign_clusters(model, embeddings, vec_col).select(
+        F.col(vec_id).alias("_id"), F.col("ivf_cluster").alias("cluster")
+    )
+    d = docs.select(F.col(doc_id).alias("_id"), F.col(text_col))
+    joined = d.join(assigned, "_id")
+    toks = joined.select(
+        "cluster", "_id", F.explode(words(F.col(text_col))).alias("_w")
+    ).where(F.col("_w") != "")
+    # corpus size rides along as a broadcast 1-row relation (no driver
+    # count pass — the tf_idf_top_terms convention)
+    total = d.agg(F.count(F.lit(1)).alias("_n"))
+    df_counts = (
+        toks.select("_id", "_w")
+        .distinct()
+        .groupBy("_w")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .crossJoin(F.broadcast(total))
+        .where(F.col("_df") <= F.col("_n") / 2)
+        .select("_w", "_df")
+    )
+    tf = toks.groupBy("cluster", "_w").agg(F.count(F.lit(1)).alias("_tf"))
+    ranked = (
+        tf.join(F.broadcast(df_counts), "_w")
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("cluster").orderBy(
+                    F.col("_tf").desc(), F.col("_w")
+                )
+            ),
+        )
+        .where(F.col("_rk") <= top_terms)
+    )
+    sizes = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_docs"))
+    terms = ranked.groupBy("cluster").agg(
+        F.concat_ws(",", F.array_sort(F.collect_list(F.struct("_rk", "_w"))._w)).alias("top_terms")
+    )
+    return sizes.join(terms, "cluster", "left").select(
+        "cluster", "n_docs", F.coalesce("top_terms", F.lit("")).alias("top_terms")
+    )

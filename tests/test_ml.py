@@ -88,3 +88,32 @@ def test_pca_matches_numpy_up_to_sign(spark):
         )
     # anisotropy: first component carries far more energy
     assert (got[:, 0] ** 2).sum() > 4 * (got[:, 1] ** 2).sum()
+
+
+def test_domain_clusters_separates_and_labels(spark):
+    """Two well-separated embedding blobs with distinct vocabularies:
+    the op finds both groups and labels each with its own terms."""
+    from fuel_spark.ml import domain_clusters
+    from fuel_spark.sources import from_rows
+
+    rows_d, rows_e = [], []
+    for i in range(30):
+        blob = i % 2
+        vec = [10.0 * blob + (i % 5) * 0.01, -3.0 * blob, 1.0]
+        text = "cats felines whiskers" if blob else "stocks markets bonds"
+        rows_d.append({"doc_id": i, "text": text})
+        rows_e.append({"vec_id": i, "embedding": vec})
+    out = domain_clusters(
+        from_rows(spark, rows_d),
+        from_rows(spark, rows_e),
+        k_clusters=2,
+        top_terms=3,
+        seed=3,
+    ).collect()
+    assert len(out) == 2
+    assert sorted(r.n_docs for r in out) == [15, 15]
+    labels = {frozenset(r.top_terms.split(",")) for r in out}
+    assert labels == {
+        frozenset(["cats", "felines", "whiskers"]),
+        frozenset(["stocks", "markets", "bonds"]),
+    }
