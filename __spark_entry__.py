@@ -7,9 +7,14 @@ the same semantics with engine-portable primitives (md5 permutations,
 exact DECIMAL aggregation cast to DOUBLE, identical regexes) so the
 driver's row-count/schema/value-hash compare is exact.
 
-Rows-only entries (no oracle): toy_spiral (xxhash64 synthesis),
-multimodal_decode (Arrow/mapInPandas plumbing), ann_lsh (hyperplane
-LSH buckets) — non-SQL-expressible by design.
+Rows-only entries (no oracle, non-SQL-expressible by design):
+multimodal_decode (Arrow/mapInPandas plumbing), ann_lsh / ann_ivf /
+ann_pq (hyperplane LSH / KMeans / PQ codebooks), embedding_pca /
+corpus_domains (eigenbasis / KMeans), events_approx_distinct (HLL
+sketch), and the partition-arrival scale tiers
+(pack_batches_local / pad_sequences_local / sort_batches_local /
+pack_token_budget_local / merge_streams_local) whose row identity is
+partitioning-defined.  Everything else is oracle-checked.
 """
 
 from __future__ import annotations
@@ -1095,10 +1100,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry.  ORDERING IS DELIBERATE: the driver's
     correctness gate checks the FIRST 50 keys, so each round leads
     with the keys that do not yet have a driver-green CORRECTNESS row.
-    Round 3 window: the 43 oracle-checked queries never reached by the
-    r1/r2 windows (all LLM-pipeline ops + the two r1 driver-ERR fixes
-    ``sliding_window`` / ``text_dictionary_encode``), the 2 new oracle
-    queries, and the 5 highest-value rows-only queries.  Keys past 50
+    Round 3 window: exactly 50 ORACLE-CHECKED queries never reached by
+    the r1/r2 windows — the 43 from the r1/r2 backlog (all
+    LLM-pipeline ops + the two r1 driver-ERR fixes ``sliding_window``
+    / ``text_dictionary_encode``), the hash-fold/cache-stream oracles,
+    and this round's chunking / containment / range-join / segment-
+    dedup / DSIR additions.  Three more oracle-checked queries
+    (attribution, quantile bins, winnowing) queue right behind for the
+    round-4 rotation; rows-only keys sit past them (a driver rows-only
+    row is weaker than their pytest evidence).  Keys past the window
     all have prior driver-green rows (r1 or r2) and stay covered by
     ``tools/check_correctness.py`` locally.
     """
@@ -1158,29 +1168,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new this round (oracle-checked)
         "scheme_hash_folds": q_scheme_hash_folds,
         "cache_stream_rebatch": q_cache_stream_rebatch,
-        # rows-only, never driver-recorded: highest-value five
+        "text_chunk_documents": q_chunk_documents,
+        "dedup_containment": q_dedup_containment,
+        "events_range_join": q_events_range_join,
+        "dedup_segments": q_dedup_segments,
+        "text_dsir_weights": q_dsir_weights,
+        # ---- end of driver window ------------------------------
+        # oracle-checked, next window rotation (round 4) picks these up
+        "events_attribution": q_events_attribution,
+        "feature_quantile_bins": q_quantile_bins,
+        "text_winnowing": q_winnowing,
+        # rows-only (the driver records a weaker rows-only row; full
+        # behavioral evidence lives in tests/)
         "multimodal_decode": q_multimodal,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "pack_token_budget_local": q_pack_token_budget_local,
         "merge_streams_local": q_merge_local,
-        # ---- end of driver window ------------------------------
         # rows-only scale tier (batch identity is partitioning-defined)
         "pack_batches_local": q_pack_batches_local,
         "pad_sequences_local": q_pad_sequences_local,
         "sort_batches_local": q_sort_batches_local,
-        # round-3 additions (next window rotation picks these up)
-        "text_chunk_documents": q_chunk_documents,
-        "dedup_containment": q_dedup_containment,
         "ann_pq": q_ann_pq,
         "events_approx_distinct": q_events_approx_distinct,
-        "events_range_join": q_events_range_join,
-        "events_attribution": q_events_attribution,
-        "dedup_segments": q_dedup_segments,
-        "text_dsir_weights": q_dsir_weights,
-        "feature_quantile_bins": q_quantile_bins,
         "embedding_pca": q_embedding_pca,
-        "text_winnowing": q_winnowing,
         "corpus_domains": q_corpus_domains,
         # analytics / query engine (driver-green r2)
         "pricing_summary": lambda s, d: analytics.pricing_summary(_t(s, d)),

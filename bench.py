@@ -47,6 +47,10 @@ HEADLINERS = (
     # round-3 additions: LM-prep chunking + PQ ANN with rerank
     "text_chunk_documents",
     "ann_pq",
+    # round-3 continuation: non-equi range join, segment dedup, DSIR
+    "events_range_join",
+    "dedup_segments",
+    "text_dsir_weights",
     # one real Structured Streaming run (availableNow), special-cased
     "streaming_screen_availablenow",
 )

@@ -32,6 +32,8 @@ def test_oracle_keys_subset_of_queries():
         "merge_streams_local",
         "ann_pq",
         "events_approx_distinct",
+        "embedding_pca",
+        "corpus_domains",
     }
 
 

@@ -213,3 +213,40 @@ def test_chunk_documents_matches_reference_model(spark, n_words, chunk_size, str
         for _, start, n, _ in want:
             covered.update(range(start, start + n))
         assert covered == set(range(n_words))
+
+
+@given(
+    points=st.lists(st.integers(0, 200), min_size=0, max_size=25),
+    intervals=st.lists(
+        st.tuples(st.integers(0, 200), st.integers(-30, 60)),
+        min_size=1,
+        max_size=10,
+    ),
+    width=st.sampled_from([1, 7, 10, 64]),
+)
+@SET
+def test_range_join_matches_bruteforce_model(spark, points, intervals, width):
+    """Bucketed range join == the O(n*m) reference model for any bucket
+    width, including inverted and zero-length intervals."""
+    pts = [{"pid": i, "x": float(v)} for i, v in enumerate(points)]
+    ivs = [
+        {"iid": i, "s": float(a), "e": float(a + d)}
+        for i, (a, d) in enumerate(intervals)
+    ]
+    want = {
+        (iv["iid"], p["pid"])
+        for iv in ivs
+        for p in pts
+        if iv["s"] <= p["x"] <= iv["e"]
+    }
+    if not pts:
+        pts_df = spark.createDataFrame([], schema="pid bigint, x double")
+    else:
+        pts_df = from_rows(spark, pts)
+    got = {
+        (r.iid, r.pid)
+        for r in core.range_join(
+            pts_df, from_rows(spark, ivs), "x", "s", "e", bucket_width=width
+        ).collect()
+    }
+    assert got == want

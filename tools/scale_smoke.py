@@ -77,6 +77,9 @@ def main() -> int:
             "pack_token_budget_local", "text_corpus_stats",
             "sole_blame_suppliers", "min_cost_supplier",
             "text_chunk_documents", "dedup_containment", "ann_pq",
+            "events_range_join", "events_attribution", "dedup_segments",
+            "text_dsir_weights", "feature_quantile_bins", "text_winnowing",
+            "embedding_pca",
         ]
         timings = {}
         for name in names:
