@@ -672,6 +672,14 @@ def q_mixture_sample(spark, sf):
     )
 
 
+def q_key_skew(spark, sf):
+    """Shuffle-key skew diagnostic: hottest user_ids with share and
+    uniform-spread skew ratio (distributed TakeOrdered top-n)."""
+    from fuel_spark.ops import profile
+
+    return profile.key_skew(_t(spark, sf)["events"], "user_id", top_n=20)
+
+
 def q_winnowing(spark, sf):
     """Winnowing fingerprints (Schleimer et al. 2003 / MOSS): min hash
     of every 4-gram-hash window; shared substrings of length k+w-1
@@ -1178,6 +1186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_attribution": q_events_attribution,
         "feature_quantile_bins": q_quantile_bins,
         "text_winnowing": q_winnowing,
+        "events_key_skew": q_key_skew,
         # rows-only (the driver records a weaker rows-only row; full
         # behavioral evidence lives in tests/)
         "multimodal_decode": q_multimodal,
@@ -2204,6 +2213,26 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT event_id, user_id, o_orderkey AS last_orderkey
         FROM j WHERE rn = 1
+    """
+
+    sqls["events_key_skew"] = """
+        WITH counts AS (
+          SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS n_rows
+          FROM events GROUP BY 1
+        ),
+        tot AS (
+          SELECT CAST(sum(n_rows) AS DOUBLE) AS total,
+                 CAST(count(*) AS DOUBLE) AS nkeys
+          FROM counts
+        ),
+        r AS (
+          SELECT key, n_rows,
+                 row_number() OVER (ORDER BY n_rows DESC, key) AS rank
+          FROM counts
+        )
+        SELECT key, n_rows, round(n_rows / total, 6) AS share,
+               round(n_rows * nkeys / total, 6) AS skew_ratio, rank
+        FROM r, tot WHERE rank <= 20
     """
 
     sqls["text_winnowing"] = f"""

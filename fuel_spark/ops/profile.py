@@ -174,3 +174,48 @@ def quantile_bins(df, value_col: str, k: int = 10):
             .alias("sum_value"),
         )
     )
+
+
+def key_skew(df, key_col: str, top_n: int = 20):
+    """Join/shuffle-key skew diagnostic: the ``top_n`` hottest keys
+    with their share of all rows, plus the skew ratio against a
+    perfectly uniform spread (share * n_distinct_keys — ratio 40 means
+    that key's shuffle partition runs ~40x the average).
+
+    This is the pre-flight check for every keyed operation in the
+    engine: a ratio in the hundreds says salt the aggregation
+    (functions.salted_sum), star-degrade the bucket (max_bucket
+    guards in dedup/similarity), or let AQE skew-split the join.  One
+    groupBy, a distributed TakeOrdered for the top-n (orderBy+limit —
+    NOT a global row_number window, which would single-partition the
+    whole key-count table), then ranking over the tiny result only;
+    totals ride along as a broadcast 1-row relation (no driver pass).
+
+    Output: key (as string), n_rows, share (round 6), skew_ratio
+    (round 6 — two-decimal rounding hits half-even vs half-up engine
+    disagreements at values like 1.275), rank.
+    """
+    from pyspark.sql import Window, functions as F
+
+    counts = df.groupBy(F.col(key_col).cast("string").alias("key")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    totals = counts.agg(
+        F.sum("n_rows").cast("double").alias("_total"),
+        F.count(F.lit(1)).cast("double").alias("_nkeys"),
+    )
+    top = counts.orderBy(F.col("n_rows").desc(), F.col("key")).limit(top_n)
+    w = Window.orderBy(F.col("n_rows").desc(), F.col("key"))
+    return (
+        top.crossJoin(F.broadcast(totals))
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .select(
+            "key",
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("_total"), 6).alias("share"),
+            F.round(F.col("n_rows") * F.col("_nkeys") / F.col("_total"), 6).alias(
+                "skew_ratio"
+            ),
+            "rank",
+        )
+    )

@@ -95,3 +95,19 @@ def test_quantile_bins_equal_frequency(spark):
     # bins tile the range in order
     order = [out[b] for b in range(10)]
     assert all(order[i][2] < order[i + 1][1] for i in range(9))
+
+
+def test_key_skew_hand_computed_and_takeordered_plan(spark):
+    """A planted hot key dominates with the right ratio, and the top-n
+    runs as a distributed TakeOrdered, not a global window sort."""
+    from fuel_spark.ops.profile import key_skew
+    from fuel_spark.sources import from_rows
+
+    rows = [{"k": 1} for _ in range(80)] + [{"k": i} for i in range(2, 22)]
+    out = key_skew(from_rows(spark, rows), "k", top_n=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrdered" in plan
+    got = {r.rank: (r.key, r.n_rows, r.skew_ratio) for r in out.collect()}
+    # 100 rows, 21 distinct keys; hot key holds 80 rows
+    assert got[1] == ("1", 80, round(80 * 21 / 100.0, 6))
+    assert got[2][1] == 1
