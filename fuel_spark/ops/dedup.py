@@ -675,3 +675,37 @@ def segment_dedup(
             (~keep).alias("is_dup"),
         )
     )
+
+
+def merge_into_index(
+    index: DataFrame,
+    accepted_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 9,
+    bands: int = 3,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Incremental index maintenance — the missing third step of the
+    screen-vs-index lifecycle (build: ``with_minhash_bands``; screen:
+    ``near_dup_stream`` / ``dedup_screen_vs_index``; MERGE: this).
+    Docs that survived a screen are sketched with the SAME minhash
+    family and their band rows appended, so the next batch screens
+    against both the frozen corpus and everything accepted since.
+
+    Pure union of narrow projections — no shuffle, no rebuild; in
+    production append the new band rows to the index's parquet
+    partition (write_dataset mode='append') rather than re-writing.
+    The id column is cast to the index's id dtype so unions stay
+    schema-stable across ingest sources.
+    """
+    new_bands = with_minhash_bands(
+        accepted_docs, id_col, text_col, num_hashes, bands, shingle_k
+    )
+    cols = index.columns
+    id_type = dict(index.dtypes)[cols[0]]
+    return index.unionByName(
+        new_bands.select(
+            F.col(id_col).cast(id_type).alias(cols[0]), "band_id", "band_key"
+        )
+    )

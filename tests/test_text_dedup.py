@@ -598,3 +598,33 @@ def test_winnowing_locality_guarantee(spark):
     assert not (by_doc[1] & by_doc[3])
     assert 4 not in by_doc
     assert len(by_doc[5]) == 1
+
+
+def test_merge_into_index_catches_cross_batch_dups(spark):
+    """Screen-vs-index lifecycle: batch 1's accepted docs merge into
+    the index, so batch 2's near-copy of a batch-1 doc is screened out
+    — without the merge it would sail through."""
+    from fuel_spark.streaming.serve import near_dup_stream
+
+    ref = from_rows(
+        spark,
+        [{"doc_id": 1, "text": "the quick brown fox jumps over the lazy dog " * 3}],
+    )
+    idx = dedup.with_minhash_bands(ref, "doc_id", "text")
+
+    b1_text = "pack my box with five dozen liquor jugs tonight " * 3
+    batch1 = from_rows(spark, [{"doc_id": 100, "text": b1_text}])
+    accepted1 = near_dup_stream(batch1, idx).select("doc_id", "text")
+    assert [r.doc_id for r in accepted1.collect()] == [100]
+
+    # batch 2 near-copies the batch-1 doc (and nothing from ref)
+    batch2 = from_rows(
+        spark, [{"doc_id": 200, "text": b1_text + "extra trailing words"}]
+    )
+    # stale index misses it
+    stale = near_dup_stream(batch2, idx).select("doc_id")
+    assert [r.doc_id for r in stale.collect()] == [200]
+    # merged index catches it
+    merged = dedup.merge_into_index(idx, accepted1)
+    fresh = near_dup_stream(batch2, merged).select("doc_id")
+    assert fresh.collect() == []
