@@ -672,6 +672,17 @@ def q_mixture_sample(spark, sf):
     )
 
 
+def q_fuzzy_join(spark, sf):
+    """Cross-corpus fuzzy record linkage: even-id docs vs odd-id docs
+    through shared MinHash band buckets + exact Jaccard verify."""
+    d = _t(spark, sf)["documents"].select("doc_id", "text")
+    return dedup.fuzzy_join(
+        d.where(F.col("doc_id") % 2 == 0),
+        d.where(F.col("doc_id") % 2 == 1),
+        threshold=0.4,
+    )
+
+
 def q_key_skew(spark, sf):
     """Shuffle-key skew diagnostic: hottest user_ids with share and
     uniform-spread skew ratio (distributed TakeOrdered top-n)."""
@@ -1187,6 +1198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_quantile_bins": q_quantile_bins,
         "text_winnowing": q_winnowing,
         "events_key_skew": q_key_skew,
+        "dedup_fuzzy_join": q_fuzzy_join,
         # rows-only (the driver records a weaker rows-only row; full
         # behavioral evidence lives in tests/)
         "multimodal_decode": q_multimodal,
@@ -2213,6 +2225,37 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT event_id, user_id, o_orderkey AS last_orderkey
         FROM j WHERE rn = 1
+    """
+
+    _fj_l = _minhash_bands_sql(
+        src="(SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0)",
+        prefix="fl_",
+    )
+    _fj_r = _minhash_bands_sql(
+        src="(SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1)",
+        prefix="fr_",
+    )
+    sqls["dedup_fuzzy_join"] = f"""
+        WITH {_fj_l}, {_fj_r},
+        cand AS (
+          SELECT DISTINCT l.doc_id AS id_l, r.doc_id AS id_r
+          FROM fl_bands l JOIN fr_bands r
+            ON l.band_id = r.band_id AND l.band_key = r.band_key
+        ),
+        shl AS (SELECT doc_id AS id_l, {_shingles_sql('text')} AS s
+                FROM documents WHERE doc_id % 2 = 0),
+        shr AS (SELECT doc_id AS id_r, {_shingles_sql('text')} AS s
+                FROM documents WHERE doc_id % 2 = 1),
+        v AS (
+          SELECT id_l, id_r,
+            CAST(len(list_intersect(shl.s, shr.s)) AS BIGINT) AS inter,
+            CAST(len(shl.s) + len(shr.s) - len(list_intersect(shl.s, shr.s)) AS BIGINT) AS uni
+          FROM cand JOIN shl USING (id_l) JOIN shr USING (id_r)
+        )
+        SELECT id_l, id_r, inter, uni,
+               round(CAST(inter AS DOUBLE) / greatest(uni, 1), 6) AS jaccard
+        FROM v
+        WHERE round(CAST(inter AS DOUBLE) / greatest(uni, 1), 6) >= 0.4
     """
 
     sqls["events_key_skew"] = """

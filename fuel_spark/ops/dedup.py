@@ -709,3 +709,88 @@ def merge_into_index(
             F.col(id_col).cast(id_type).alias(cols[0]), "band_id", "band_key"
         )
     )
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str = "doc_id",
+    right_id: str = "doc_id",
+    left_text: str = "text",
+    right_text: str = "text",
+    threshold: float = 0.5,
+    num_hashes: int = 9,
+    bands: int = 3,
+    shingle_k: int = 5,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Fuzzy record linkage ACROSS two corpora: candidate pairs from
+    shared MinHash band buckets, verified by exact shingle Jaccard —
+    the cross-table twin of the self-dedup pipeline (sketch →
+    candidates → verify), e.g. crawl-vs-reference matching or
+    catalog/entity linkage.
+
+    Both sides sketch with the SAME band family; per-bucket id arrays
+    collect once per side and the bucket join expands l x r pairs
+    JVM-side, so work is Σ |l_bucket| x |r_bucket| — never |L| x |R|.
+    ``max_bucket`` skips buckets larger than the cap on EITHER side
+    (boilerplate band keys; a 10^5 x 10^5 bucket is 10^10 pairs) —
+    the documented recall trade at the 100 TB tier.  Only candidate
+    pairs fetch shingle sets for the verify join.
+
+    Output: id_l, id_r, inter, uni, jaccard (>= threshold).
+    """
+    lb = with_minhash_bands(
+        left.select(left_id, left_text), left_id, left_text,
+        num_hashes, bands, shingle_k,
+    )
+    rb = with_minhash_bands(
+        right.select(right_id, right_text), right_id, right_text,
+        num_hashes, bands, shingle_k,
+    )
+    gl = lb.groupBy("band_id", "band_key").agg(
+        F.array_sort(F.collect_list(left_id)).alias("_ids_l")
+    )
+    gr = rb.groupBy("band_id", "band_key").agg(
+        F.array_sort(F.collect_list(right_id)).alias("_ids_r")
+    )
+    if max_bucket is not None:
+        gl = gl.where(F.size("_ids_l") <= max_bucket)
+        gr = gr.where(F.size("_ids_r") <= max_bucket)
+    cand = (
+        gl.join(gr, ["band_id", "band_key"])
+        .select(F.explode("_ids_l").alias("id_l"), "_ids_r")
+        .select("id_l", F.explode("_ids_r").alias("id_r"))
+        .distinct()
+    )
+
+    def _sh(df, idc, txt, out_id, out_sh):
+        d = ensure_parallelism(df.select(F.col(idc), F.col(txt)))
+        d = d.select(F.col(idc), norm_text(F.col(txt)).alias("_norm"))
+        return d.select(
+            F.col(idc).alias(out_id),
+            shingles_over_norm("_norm", shingle_k).alias(out_sh),
+        )
+
+    a = _sh(left, left_id, left_text, "id_l", "_sh_l")
+    b = _sh(right, right_id, right_text, "id_r", "_sh_r")
+    return (
+        cand.join(a, "id_l")
+        .join(b, "id_r")
+        .withColumn(
+            "inter", F.size(F.array_intersect("_sh_l", "_sh_r")).cast("bigint")
+        )
+        .withColumn(
+            "uni",
+            (F.size("_sh_l") + F.size("_sh_r") - F.col("inter")).cast("bigint"),
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter").cast("double") / F.greatest(F.col("uni"), F.lit(1)),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_l", "id_r", "inter", "uni", "jaccard")
+    )

@@ -628,3 +628,33 @@ def test_merge_into_index_catches_cross_batch_dups(spark):
     merged = dedup.merge_into_index(idx, accepted1)
     fresh = near_dup_stream(batch2, merged).select("doc_id")
     assert fresh.collect() == []
+
+
+def test_fuzzy_join_links_near_dups_across_corpora(spark):
+    """A left doc links to its right-side near-copy above threshold;
+    unrelated docs never pair; max_bucket skips boilerplate buckets."""
+    base = "the quick brown fox jumps over the lazy sleeping dog " * 2
+    left = from_rows(
+        spark,
+        [
+            {"doc_id": 1, "text": base},
+            {"doc_id": 2, "text": "completely different material about stocks " * 3},
+        ],
+    )
+    right = from_rows(
+        spark,
+        [
+            {"doc_id": 10, "text": base + "tail"},
+            {"doc_id": 11, "text": "unrelated musical prose entirely here " * 3},
+        ],
+    )
+    got = {
+        (r.id_l, r.id_r): r.jaccard
+        for r in dedup.fuzzy_join(left, right, threshold=0.5).collect()
+    }
+    assert set(got) == {(1, 10)}
+    assert got[(1, 10)] > 0.5
+    # a cap of 0 skips every bucket -> no candidates survive
+    assert (
+        dedup.fuzzy_join(left, right, threshold=0.0, max_bucket=0).count() == 0
+    )
