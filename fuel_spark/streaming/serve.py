@@ -423,3 +423,34 @@ def pack_tokens_stateful(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def segment_screen_stream(
+    docs: DataFrame,
+    seg_index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    segment_words: int = 32,
+) -> DataFrame:
+    """Streaming twin of ``ops.dedup.segment_dedup`` against a STATIC
+    segment-hash index: each incoming document's non-overlapping
+    ``segment_words``-token segments are hashed with the same digest
+    family and checked against the reference corpus's segment set.
+
+    Stream-compatible by construction: chunking is a stateless
+    per-row explode and the membership check is one stream-static
+    LEFT SEMI join — zero streaming state, append mode.  Emits the
+    FLAGGED segments (id, chunk_id, seg_hash); per-doc verdicts
+    aggregate downstream where a watermark is available (keeping the
+    emission segment-level is what keeps the operator stateless).
+    ``seg_index`` is the distinct seg_hash set of the reference corpus
+    (materialize from ``segment_dedup`` output or build with the same
+    chunk+md5 projection; parquet-reload in production).
+    """
+    from fuel_spark.ops.text import chunk_documents
+
+    segs = chunk_documents(
+        docs, text_col, id_col, chunk_size=segment_words, stride=segment_words
+    ).select(id_col, "chunk_id", F.md5(F.col("chunk_text")).alias("seg_hash"))
+    idx = seg_index.select("seg_hash").distinct()
+    return segs.join(idx, "seg_hash", "left_semi")

@@ -604,3 +604,20 @@ def test_attribution_hand_computed(spark):
         "view": (1, 10.0),
         "none": (2, 20.0),
     }
+
+
+def test_segment_dedup_shares_seg_hash_partitioning(spark):
+    """One hash shuffle on seg_hash for the agg; the flag-join either
+    broadcasts the stats (small input, AQE) or reuses the same
+    partitioning — never a second full repartition of the segments."""
+    from fuel_spark.ops.dedup import segment_dedup
+
+    t = load_tables(spark, SF)
+    p = _plan(segment_dedup(t["documents"]))
+    assert "CartesianProduct" not in p
+    hash_ex = [
+        ln for ln in p.splitlines()
+        if "Exchange hashpartitioning" in ln
+    ]
+    assert len(hash_ex) <= 2
+    assert all("seg_hash" in ln for ln in hash_ex)

@@ -321,3 +321,39 @@ def test_pack_tokens_stateful_spans_micro_batches(spark, workdir):
     assert r2[1].closed is True and list(r2[1].doc_ids) == [3]
     assert r2[2].closed is False and list(r2[2].doc_ids) == [4]
     assert r2[2].n_tokens == 250
+
+
+def test_segment_screen_stream_flags_shared_segments(spark, workdir):
+    """Streaming segment screen: a doc repeating a reference 4-word
+    segment flags exactly that segment; fresh docs emit nothing.
+    Stateless — one stream-static semi join, availableNow run."""
+    boiler = "alpha beta gamma delta"
+    ref = spark.createDataFrame(
+        [(1, boiler + " tail words here now")], "doc_id long, text string"
+    )
+    from fuel_spark.ops.dedup import segment_dedup
+
+    idx = segment_dedup(ref, segment_words=4).select("seg_hash")
+
+    src = os.path.join(workdir, "docs")
+    sink = os.path.join(workdir, "flagged")
+    ckpt = os.path.join(workdir, "ck2")
+    spark.createDataFrame(
+        [(10, "x y z w " + boiler),       # segment 1 == boiler -> flag
+         (11, "totally fresh words only every token unique")],
+        "doc_id long, text string",
+    ).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    flagged = serve.segment_screen_stream(stream, idx, segment_words=4)
+    assert flagged.isStreaming
+    q = (
+        flagged.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = [(r.doc_id, r.chunk_id) for r in spark.read.parquet(sink).collect()]
+    assert rows == [(10, 1)]
