@@ -672,6 +672,14 @@ def q_mixture_sample(spark, sf):
     )
 
 
+def q_oov_rate(spark, sf):
+    """Vocabulary coverage vs the corpus's own top-200 dictionary:
+    per-doc token/OOV counts and rate (tokenizer go/no-go check)."""
+    d = _t(spark, sf)["documents"]
+    vocab = build_dictionary(d, "text", 200)
+    return text_ops.oov_rate(d, "doc_id", "text", vocab)
+
+
 def q_fuzzy_join(spark, sf):
     """Cross-corpus fuzzy record linkage: even-id docs vs odd-id docs
     through shared MinHash band buckets + exact Jaccard verify."""
@@ -1218,6 +1226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_winnowing": q_winnowing,
         "events_key_skew": q_key_skew,
         "dedup_fuzzy_join": q_fuzzy_join,
+        "text_oov_rate": q_oov_rate,
         # rows-only (the driver records a weaker rows-only row; full
         # behavioral evidence lives in tests/)
         "multimodal_decode": q_multimodal,
@@ -2244,6 +2253,26 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT event_id, user_id, o_orderkey AS last_orderkey
         FROM j WHERE rn = 1
+    """
+
+    sqls["text_oov_rate"] = f"""
+        WITH dd AS (SELECT doc_id, {w} AS words FROM documents),
+        tok AS (
+          SELECT doc_id, words[pos] AS word
+          FROM dd, LATERAL (SELECT unnest(generate_series(1, len(words))) AS pos) u
+          WHERE words[pos] <> ''
+        ),
+        cnt AS (SELECT word, count(*) AS cnt FROM tok GROUP BY word),
+        dict AS (
+          SELECT word, row_number() OVER (ORDER BY cnt DESC, word) + 2 AS word_id
+          FROM cnt QUALIFY word_id < 203
+        )
+        SELECT doc_id, count(*) AS n_tokens,
+               count(CASE WHEN dict.word IS NULL THEN 1 END) AS n_oov,
+               round(CAST(count(CASE WHEN dict.word IS NULL THEN 1 END) AS DOUBLE)
+                     / count(*), 6) AS oov_rate
+        FROM tok LEFT JOIN dict USING (word)
+        GROUP BY doc_id
     """
 
     _fj_l = _minhash_bands_sql(

@@ -773,3 +773,40 @@ def winnow_fingerprints(
     return base.select(
         F.col(id_col), F.explode(fps).alias("fingerprint")
     )
+
+
+def oov_rate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    dictionary: DataFrame,
+) -> DataFrame:
+    """Vocabulary coverage: per-document token count, OOV count, and
+    OOV rate against a ``(word, word_id)`` dictionary (the
+    ``sources.text.build_dictionary`` relation) — the go/no-go check
+    before committing a tokenizer vocab to a training run.
+
+    One tokenize pass; the dictionary joins broadcast (a vocab is
+    small by construction) so the corpus never shuffles.  Documents
+    with zero tokens emit nothing (nothing to cover).
+
+    Output: id, n_tokens, n_oov, oov_rate (round 6).
+    """
+    toks = (
+        ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), F.explode(words(F.col(text_col))).alias("word"))
+        .where(F.col("word") != "")
+    )
+    vocab = dictionary.select("word").withColumn("_in", F.lit(1))
+    return (
+        toks.join(F.broadcast(vocab), "word", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count(F.when(F.col("_in").isNull(), F.lit(1))).alias("n_oov"),
+        )
+        .withColumn(
+            "oov_rate",
+            F.round(F.col("n_oov").cast("double") / F.col("n_tokens"), 6),
+        )
+    )

@@ -658,3 +658,24 @@ def test_fuzzy_join_links_near_dups_across_corpora(spark):
     assert (
         dedup.fuzzy_join(left, right, threshold=0.0, max_bucket=0).count() == 0
     )
+
+
+def test_oov_rate_hand_computed(spark):
+    """OOV = tokens outside the supplied vocab; empty docs emit no
+    row; exact counts and a round-6 rate."""
+    from fuel_spark.sources import dictionary_from_mapping
+
+    docs = from_rows(
+        spark,
+        [
+            {"doc_id": 1, "text": "cat dog cat bird"},   # bird OOV -> 1/4
+            {"doc_id": 2, "text": "zeb yak"},            # all OOV  -> 2/2
+            {"doc_id": 3, "text": ""},                   # no row
+        ],
+    )
+    vocab = dictionary_from_mapping(spark, {"cat": 3, "dog": 4})
+    out = {
+        r.doc_id: (r.n_tokens, r.n_oov, r.oov_rate)
+        for r in text_ops.oov_rate(docs, "doc_id", "text", vocab).collect()
+    }
+    assert out == {1: (4, 1, 0.25), 2: (2, 2, 1.0)}
