@@ -679,3 +679,36 @@ def test_oov_rate_hand_computed(spark):
         for r in text_ops.oov_rate(docs, "doc_id", "text", vocab).collect()
     }
     assert out == {1: (4, 1, 0.25), 2: (2, 2, 1.0)}
+
+
+def test_multiprobe_lsh_improves_recall_on_random_corpus(spark):
+    """Radius-1 multi-probe must find at least as many true top-k
+    pairs as single-probe, and strictly more on an unstructured
+    corpus (the measured failure mode of single-probe sign families)."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    X = rng.randn(150, 16)
+    rows = [
+        {"vec_id": i, "embedding": [float(v) for v in X[i]]} for i in range(150)
+    ]
+    e = from_rows(spark, rows)
+    q = e.where(F.col("vec_id") < 10)
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(e, q, "vec_id", "embedding", k=3).collect()
+    }
+
+    def got(probes):
+        return {
+            (r.query_id, r.neighbor_id)
+            for r in similarity.lsh_ann(
+                e, q, "vec_id", "embedding", k=3, num_planes=5, dim=16,
+                probes=probes,
+            ).collect()
+        }
+
+    r0 = len(got(0) & brute)
+    r1 = len(got(1) & brute)
+    assert r1 >= r0
+    assert r1 > r0  # random corpus: probing must actually help
