@@ -672,6 +672,21 @@ def q_mixture_sample(spark, sf):
     )
 
 
+def q_hard_negatives(spark, sf):
+    """Contrastive hard-negative mining: top-5 most-similar
+    different-label vectors per query."""
+    e = _t(spark, sf)["embeddings"]
+    q = e.where(F.col("vec_id") < 5)
+    return similarity.hard_negatives(e, q, k=5)
+
+
+def q_sample_negatives(spark, sf):
+    """Seeded uniform negatives over the dense id domain (md5 modulo,
+    no join, engine-portable)."""
+    e = _t(spark, sf)["embeddings"]
+    return similarity.sample_negatives(e.where(F.col("vec_id") < 50), k=4, seed=9)
+
+
 def q_oov_rate(spark, sf):
     """Vocabulary coverage vs the corpus's own top-200 dictionary:
     per-doc token/OOV counts and rate (tokenizer go/no-go check)."""
@@ -1227,6 +1242,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_key_skew": q_key_skew,
         "dedup_fuzzy_join": q_fuzzy_join,
         "text_oov_rate": q_oov_rate,
+        "embedding_hard_negatives": q_hard_negatives,
+        "embedding_sample_negatives": q_sample_negatives,
         # rows-only (the driver records a weaker rows-only row; full
         # behavioral evidence lives in tests/)
         "multimodal_decode": q_multimodal,
@@ -2253,6 +2270,42 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT event_id, user_id, o_orderkey AS last_orderkey
         FROM j WHERE rn = 1
+    """
+
+    hncos = _cos_sql("qe", "ce")
+    sqls["embedding_hard_negatives"] = f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label AS ql
+                   FROM embeddings WHERE vec_id < 5),
+        c AS (SELECT vec_id AS neighbor_id, embedding AS ce,
+                     label AS neighbor_label FROM embeddings),
+        scored AS (
+          SELECT query_id, neighbor_id, neighbor_label,
+                 round({hncos}, 6) AS cosine
+          FROM q, c WHERE ql <> neighbor_label
+        ),
+        ranked AS (
+          SELECT query_id, neighbor_id, neighbor_label, cosine,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, neighbor_id) AS rank
+          FROM scored
+        )
+        SELECT query_id, neighbor_id, neighbor_label, cosine,
+               CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= 5
+    """
+
+    sqls["embedding_sample_negatives"] = """
+        WITH base AS (SELECT vec_id FROM embeddings WHERE vec_id < 50),
+        n AS (SELECT count(*) AS nn FROM base),
+        e AS (SELECT vec_id, CAST(unnest([0, 1, 2, 3]) AS INT) AS j FROM base)
+        SELECT vec_id, j,
+               CAST('0x' || substring(md5(concat('9', ':',
+                    CAST(vec_id AS VARCHAR), ':', CAST(j AS VARCHAR))), 1, 12)
+                    AS BIGINT) % nn AS neg_id
+        FROM e, n
+        WHERE CAST('0x' || substring(md5(concat('9', ':',
+                   CAST(vec_id AS VARCHAR), ':', CAST(j AS VARCHAR))), 1, 12)
+                   AS BIGINT) % nn <> vec_id
     """
 
     sqls["text_oov_rate"] = f"""

@@ -770,3 +770,91 @@ def save_pq_index(encoded: DataFrame, path: str) -> None:
 def load_pq_index(spark, path: str) -> DataFrame:
     """Reload a persisted PQ index for :func:`pq_ann`'s ``encoded``."""
     return spark.read.parquet(path)
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query,
+    the ``k`` most-similar corpus rows with a DIFFERENT label — the
+    near-misses that make the strongest training signal (easy random
+    negatives are solved in a few epochs; hard ones define the
+    boundary).
+
+    Same shape as :func:`cosine_topk` (broadcast queries, one score
+    pass, rank bounded by k) with the label-mismatch predicate pushed
+    into the scoring join; at scale swap the scan for a blocked
+    candidate source (sign/IVF/PQ) and keep the rank stage.
+    Output: query_id, neighbor_id, neighbor_label, cosine, rank.
+    """
+    q = broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            F.col(label_col).alias("_qlab"),
+        )
+    )
+    c = ensure_parallelism(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cvec"),
+            F.col(label_col).alias("neighbor_label"),
+        )
+    )
+    scored = (
+        q.crossJoin(c)
+        .where(F.col("_qlab") != F.col("neighbor_label"))
+        .withColumn("cosine", F.round(cosine_expr("qvec", "cvec"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "neighbor_label", "cosine", "rank")
+    )
+
+
+def sample_negatives(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    k: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Seeded random negatives: for each row, ``k`` deterministic
+    pseudo-random OTHER ids drawn by md5 over a dense id domain — the
+    cheap uniform tier next to :func:`hard_negatives` (InfoNCE-style
+    batches mix both).
+
+    The id-domain size rides along as a broadcast 1-row relation;
+    `md5(seed, id, j) % n` is engine-portable (the oracle reproduces
+    it bit-for-bit), collisions with the anchor are skipped (so a row
+    yields k or k-1 negatives).  Assumes dense ids 0..n-1 (the
+    engine's id normalization, cf. schemes); remap first otherwise.
+    No join, no shuffle: one explode + modulo per row.
+    """
+    n = df.agg(F.count(F.lit(1)).alias("_n"))
+    exploded = (
+        df.select(F.col(id_col))
+        .crossJoin(F.broadcast(n))
+        .select(
+            id_col,
+            "_n",
+            F.explode(F.array(*[F.lit(j) for j in range(k)])).alias("j"),
+        )
+    )
+    h = F.expr(
+        f"CAST(conv(substring(md5(concat('{seed}', ':', CAST({id_col} AS STRING),"
+        f" ':', CAST(j AS STRING))), 1, 12), 16, 10) AS BIGINT)"
+    )
+    return (
+        exploded.withColumn("neg_id", h % F.col("_n"))
+        .where(F.col("neg_id") != F.col(id_col))
+        .select(id_col, "j", "neg_id")
+    )

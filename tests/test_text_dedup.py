@@ -712,3 +712,40 @@ def test_multiprobe_lsh_improves_recall_on_random_corpus(spark):
     r1 = len(got(1) & brute)
     assert r1 >= r0
     assert r1 > r0  # random corpus: probing must actually help
+
+
+def test_hard_negatives_exclude_same_label_and_rank_by_cosine(spark):
+    import numpy as np
+
+    rows = []
+    # label 0 anchors near axis-x; label 1 near-axis-x too (hard), label 2 orthogonal
+    vecs = {
+        0: [1.0, 0.0, 0.0],
+        1: [0.99, 0.14, 0.0],   # different label, very similar = hard
+        2: [0.0, 1.0, 0.0],     # different label, orthogonal = easy
+        3: [1.0, 0.01, 0.0],    # SAME label as anchor: must be excluded
+    }
+    labels = {0: 7, 1: 8, 2: 9, 3: 7}
+    for vid, v in vecs.items():
+        rows.append({"vec_id": vid, "embedding": v, "label": labels[vid]})
+    e = from_rows(spark, rows)
+    q = e.where(F.col("vec_id") == 0)
+    out = similarity.hard_negatives(e, q, k=2).orderBy("rank").collect()
+    assert [r.neighbor_id for r in out] == [1, 2]
+    assert all(r.neighbor_label != 7 for r in out)
+
+
+def test_sample_negatives_deterministic_and_self_free(spark):
+    e = from_rows(spark, [{"vec_id": i} for i in range(40)])
+    a = similarity.sample_negatives(e, k=4, seed=3).collect()
+    b = similarity.sample_negatives(e, k=4, seed=3).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert all(0 <= r.neg_id < 40 and r.neg_id != r.vec_id for r in a)
+    # each anchor yields k or k-1 negatives (anchor collisions skipped)
+    from collections import Counter
+
+    per = Counter(r.vec_id for r in a)
+    assert all(3 <= per[i] <= 4 for i in range(40))
+    # a different seed draws a different set
+    c = similarity.sample_negatives(e, k=4, seed=4).collect()
+    assert sorted(map(tuple, a)) != sorted(map(tuple, c))
