@@ -672,6 +672,12 @@ def q_mixture_sample(spark, sf):
     )
 
 
+def q_events_engagement(spark, sf):
+    """DAU/WAU/MAU + stickiness per day: broadcast calendar grid,
+    bounded fact expansion, one conditional-distinct agg."""
+    return analytics.events_engagement(_t(spark, sf))
+
+
 def q_hard_negatives(spark, sf):
     """Contrastive hard-negative mining: top-5 most-similar
     different-label vectors per query."""
@@ -1242,6 +1248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_key_skew": q_key_skew,
         "dedup_fuzzy_join": q_fuzzy_join,
         "text_oov_rate": q_oov_rate,
+        "events_engagement": q_events_engagement,
         "embedding_hard_negatives": q_hard_negatives,
         "embedding_sample_negatives": q_sample_negatives,
         # rows-only (the driver records a weaker rows-only row; full
@@ -2270,6 +2277,26 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT event_id, user_id, o_orderkey AS last_orderkey
         FROM j WHERE rn = 1
+    """
+
+    sqls["events_engagement"] = """
+        WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        grid AS (SELECT DISTINCT day AS grid_day FROM du),
+        j AS (
+          SELECT g.grid_day, d.day, d.user_id
+          FROM du d JOIN grid g
+            ON d.day <= g.grid_day
+           AND d.day >= g.grid_day - INTERVAL 27 DAY
+        )
+        SELECT strftime(grid_day, '%Y-%m-%d') AS day,
+               count(DISTINCT CASE WHEN j.day = grid_day THEN user_id END) AS dau,
+               count(DISTINCT CASE WHEN j.day >= grid_day - INTERVAL 6 DAY
+                                   THEN user_id END) AS wau,
+               count(DISTINCT user_id) AS mau,
+               round(CAST(count(DISTINCT CASE WHEN j.day = grid_day
+                                              THEN user_id END) AS DOUBLE)
+                     / count(DISTINCT user_id), 6) AS stickiness
+        FROM j GROUP BY grid_day
     """
 
     hncos = _cos_sql("qe", "ce")

@@ -1190,3 +1190,47 @@ def events_attribution(
             _dsum(F.col("value")).alias("purchase_value"),
         )
     )
+
+
+def events_engagement(
+    t: dict[str, DataFrame], week: int = 7, month: int = 28
+) -> DataFrame:
+    """Per-day engagement: DAU, WAU(7), MAU(28) and DAU/MAU
+    stickiness — the standard activity dashboard.
+
+    One distinct pass reduces events to (day, user) pairs; the
+    calendar-day grid (bounded by elapsed days, 365 rows/year)
+    broadcasts into a range-predicate join, so the fact side expands
+    at most ``month`` times and never shuffles wider than the distinct
+    pair set.  Distinct counts per grid day use conditional
+    count_distinct — one aggregation for all three windows.  Day
+    columns emit as yyyy-MM-dd strings (temporal round-trips pick up
+    engine-dependent pandas precision; see events_daily_anomalies).
+    """
+    e = t["events"]
+    du = e.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    grid = du.select(F.col("day").alias("grid_day")).distinct()
+    j = du.join(
+        broadcast(grid),
+        (F.col("day") <= F.col("grid_day"))
+        & (F.col("day") >= F.date_sub(F.col("grid_day"), month - 1)),
+    )
+    out = j.groupBy("grid_day").agg(
+        F.count_distinct(
+            F.when(F.col("day") == F.col("grid_day"), F.col("user_id"))
+        ).alias("dau"),
+        F.count_distinct(
+            F.when(
+                F.col("day") >= F.date_sub(F.col("grid_day"), week - 1),
+                F.col("user_id"),
+            )
+        ).alias("wau"),
+        F.count_distinct("user_id").alias("mau"),
+    )
+    return out.select(
+        F.date_format("grid_day", "yyyy-MM-dd").alias("day"),
+        "dau",
+        "wau",
+        "mau",
+        F.round(F.col("dau").cast("double") / F.col("mau"), 6).alias("stickiness"),
+    )

@@ -621,3 +621,28 @@ def test_segment_dedup_shares_seg_hash_partitioning(spark):
     ]
     assert len(hash_ex) <= 2
     assert all("seg_hash" in ln for ln in hash_ex)
+
+
+def test_engagement_hand_computed(spark):
+    """Three days, overlapping users: DAU exact per day, WAU/MAU are
+    trailing distinct unions, stickiness = dau/mau."""
+    import datetime as dt
+
+    rows = []
+    base = dt.datetime(2024, 3, 1, 8, 0, 0)
+    for day, users in [(0, [1, 2]), (1, [2, 3]), (2, [3])]:
+        for u in users:
+            rows.append({
+                "event_id": len(rows), "user_id": u, "event_type": "view",
+                "value": 1.0, "props": "{}",
+                "ts": base + dt.timedelta(days=day),
+            })
+    out = {
+        r.day: (r.dau, r.wau, r.mau, r.stickiness)
+        for r in analytics.events_engagement(
+            {"events": from_rows(spark, rows)}
+        ).collect()
+    }
+    assert out["2024-03-01"] == (2, 2, 2, 1.0)
+    assert out["2024-03-02"] == (2, 3, 3, round(2 / 3, 6))
+    assert out["2024-03-03"] == (1, 3, 3, round(1 / 3, 6))
