@@ -7,6 +7,16 @@ fuse into whole-stage-codegen plans instead of nested Python
 generators.
 """
 
-from fuel_spark.ops import core, dedup, multimodal, sequences, similarity, text
+from fuel_spark.ops import (
+    core,
+    dedup,
+    multimodal,
+    profile,
+    sequences,
+    similarity,
+    text,
+)
 
-__all__ = ["core", "dedup", "multimodal", "sequences", "similarity", "text"]
+__all__ = [
+    "core", "dedup", "multimodal", "profile", "sequences", "similarity", "text",
+]

@@ -79,7 +79,9 @@ def main() -> int:
             "text_chunk_documents", "dedup_containment", "ann_pq",
             "events_range_join", "events_attribution", "dedup_segments",
             "text_dsir_weights", "feature_quantile_bins", "text_winnowing",
-            "embedding_pca",
+            "embedding_pca", "events_key_skew", "dedup_fuzzy_join",
+            "text_oov_rate", "events_engagement", "embedding_hard_negatives",
+            "embedding_sample_negatives",
         ]
         timings = {}
         for name in names:
