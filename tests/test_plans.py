@@ -646,3 +646,18 @@ def test_engagement_hand_computed(spark):
     assert out["2024-03-01"] == (2, 2, 2, 1.0)
     assert out["2024-03-02"] == (2, 3, 3, round(2 / 3, 6))
     assert out["2024-03-03"] == (1, 3, 3, round(1 / 3, 6))
+
+
+def test_registry_wide_no_cartesian_product(spark):
+    """Plan lint over EVERY registry query: a CartesianProduct node
+    anywhere means some join degenerated to |L| x |R| — the one plan
+    shape that can never survive a 100x scale-up.  (Broadcast
+    nested-loop joins appear by design — in-plan scalar relations and
+    bounded query sets — and single-partition exchanges are the
+    metadata-sized final reduces / documented order-demo tiers; both
+    are asserted per-op elsewhere.)"""
+    import __spark_entry__ as E
+
+    for name, fn in E.queries().items():
+        p = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in p, name
