@@ -672,6 +672,12 @@ def q_mixture_sample(spark, sf):
     )
 
 
+def q_events_attribution_first(spark, sf):
+    """First-touch attribution — the range_join composition (earliest
+    in-window touch takes credit; left mode keeps no-touch purchases)."""
+    return analytics.events_attribution_first(_t(spark, sf))
+
+
 def q_events_engagement(spark, sf):
     """DAU/WAU/MAU + stickiness per day: broadcast calendar grid,
     bounded fact expansion, one conditional-distinct agg."""
@@ -1248,6 +1254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_key_skew": q_key_skew,
         "dedup_fuzzy_join": q_fuzzy_join,
         "text_oov_rate": q_oov_rate,
+        "events_attribution_first": q_events_attribution_first,
         "events_engagement": q_events_engagement,
         "embedding_hard_negatives": q_hard_negatives,
         "embedding_sample_negatives": q_sample_negatives,
@@ -2277,6 +2284,31 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT event_id, user_id, o_orderkey AS last_orderkey
         FROM j WHERE rn = 1
+    """
+
+    sqls["events_attribution_first"] = f"""
+        WITH iv AS (
+          SELECT user_id, event_id AS purchase_id,
+                 ts - INTERVAL 1800 SECOND AS s, ts AS e, value
+          FROM events WHERE event_type = 'purchase'
+        ),
+        p AS (
+          SELECT user_id, ts AS touch_ts, event_type AS channel
+          FROM events WHERE event_type IN ('click', 'view')
+        ),
+        j AS (
+          SELECT iv.purchase_id, iv.value, p.touch_ts, p.channel,
+                 row_number() OVER (PARTITION BY iv.purchase_id
+                                    ORDER BY p.touch_ts ASC NULLS LAST,
+                                             p.channel DESC) AS rk
+          FROM iv LEFT JOIN p
+            ON p.user_id = iv.user_id
+           AND p.touch_ts >= iv.s AND p.touch_ts <= iv.e
+        )
+        SELECT COALESCE(channel, 'none') AS channel,
+               count(*) AS n_purchases,
+               {_dsum_sql('value')} AS purchase_value
+        FROM j WHERE rk = 1 GROUP BY 1
     """
 
     sqls["events_engagement"] = """

@@ -1234,3 +1234,62 @@ def events_engagement(
         "mau",
         F.round(F.col("dau").cast("double") / F.col("mau"), 6).alias("stickiness"),
     )
+
+
+def events_attribution_first(
+    t: dict[str, DataFrame], window_seconds: int = 1800
+) -> DataFrame:
+    """First-touch attribution — the range-join composition: each
+    purchase opens a lookback interval, touches land in it via the
+    bucketed :func:`fuel_spark.ops.core.range_join` with the user as
+    an equi key (so buckets scope per user and the grid join stays
+    narrow), and the EARLIEST touch in the window takes the credit
+    (asof carry-forward finds the latest; first-touch wants a rank
+    inside the window, which the pair join gives directly).
+
+    Ties: equal earliest timestamps resolve to the greater channel
+    name (mirrors the last-touch rule).  Purchases with no touch in
+    window fall to 'none' via the left mode.
+    """
+    from fuel_spark.ops.core import range_join
+
+    e = t["events"]
+    iv = e.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        (F.col("ts") - F.expr(f"INTERVAL {window_seconds} SECONDS")).alias(
+            "win_start"
+        ),
+        F.col("ts").alias("win_end"),
+        "value",
+    )
+    p = e.where(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("touch_ts"),
+        F.col("event_type").alias("channel"),
+    )
+    pairs = range_join(
+        p.withColumnRenamed("t_user", "user_id"),
+        iv,
+        "touch_ts",
+        "win_start",
+        "win_end",
+        bucket_width=window_seconds,
+        equi_keys=["user_id"],
+        how="left",
+        interval_id=["purchase_id"],
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("purchase_id").orderBy(
+        F.col("touch_ts").asc_nulls_last(), F.col("channel").desc()
+    )
+    first = (
+        pairs.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .withColumn("channel", F.coalesce("channel", F.lit("none")))
+    )
+    return first.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        _dsum(F.col("value")).alias("purchase_value"),
+    )

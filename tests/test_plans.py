@@ -661,3 +661,27 @@ def test_registry_wide_no_cartesian_product(spark):
     for name, fn in E.queries().items():
         p = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in p, name
+
+
+def test_attribution_first_vs_last_touch(spark):
+    """Two touches inside the window: last-touch credits the later
+    (click), first-touch credits the earlier (view)."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(eid, mins, typ, uid):
+        return {"event_id": eid, "ts": base + dt.timedelta(minutes=mins),
+                "user_id": uid, "event_type": typ, "value": 10.0,
+                "props": "{}"}
+
+    rows = [
+        ev(1, 0, "view", 1),
+        ev(2, 5, "click", 1),
+        ev(3, 10, "purchase", 1),
+    ]
+    t = {"events": from_rows(spark, rows)}
+    last = {r.channel for r in analytics.events_attribution(t).collect()}
+    first = {r.channel for r in analytics.events_attribution_first(t).collect()}
+    assert last == {"click"}
+    assert first == {"view"}
