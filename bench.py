@@ -51,6 +51,7 @@ HEADLINERS = (
     "events_range_join",
     "dedup_segments",
     "text_dsir_weights",
+    "events_engagement",
     # one real Structured Streaming run (availableNow), special-cased
     "streaming_screen_availablenow",
 )
