@@ -366,3 +366,61 @@ def expect_axis_labels(
             f"got {got}"
         )
     return df
+
+
+def perceptual_hash(
+    df: DataFrame, id_col: str, bytes_col: str, hash_size: int = 8
+) -> DataFrame:
+    """pHash-style perceptual image fingerprint for IMAGE near-dup
+    detection: decode → grayscale → 32x32 resample → 2-D DCT → sign of
+    the ``hash_size`` x ``hash_size`` low-frequency block vs its
+    median → one 64-bit hash.  Near-identical images (recompression,
+    mild resize) land Hamming-close; exact-group them with the
+    doc-dedup machinery (groupBy on the hash == exact_dedup shape) or
+    band the bits for Hamming-tolerant blocking.
+
+    The decode/DCT runs in the same Arrow-batched ``mapInPandas`` tier
+    as decode_images (pure numpy — no scipy dependency: the DCT is two
+    small matmuls against a precomputed basis, the faiss/NumPy
+    idiom); everything downstream of the hash column is JVM-side.
+    Output: item_id, phash (bigint).
+    """
+    n = 32
+
+    def _dct_mat(size: int) -> np.ndarray:
+        k = np.arange(size)[None, :]
+        i = np.arange(size)[:, None]
+        m = np.cos(np.pi * (2 * k + 1) * i / (2 * size))
+        m[0] *= 1 / np.sqrt(2)
+        return m * np.sqrt(2 / size)
+
+    D = _dct_mat(n)
+
+    def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for payload in pdf[bytes_col]:
+                t = _decode_any(payload, 3).astype(np.float64)
+                gray = t.mean(axis=0)
+                h, w = gray.shape
+                # nearest-neighbor resample to n x n (no PIL needed)
+                yi = (np.arange(n) * h // n).clip(0, h - 1)
+                xi = (np.arange(n) * w // n).clip(0, w - 1)
+                small = gray[np.ix_(yi, xi)]
+                dct = D @ small @ D.T
+                low = dct[:hash_size, :hash_size].ravel()
+                bits = low > np.median(low)
+                val = 0
+                for b in bits:
+                    val = (val << 1) | int(b)
+                # two's-complement into a signed 64-bit long
+                if val >= 1 << 63:
+                    val -= 1 << 64
+                out.append(val)
+            yield pd.DataFrame(
+                {"item_id": pdf[id_col].astype("int64"), "phash": out}
+            )
+
+    return df.select(id_col, bytes_col).mapInPandas(
+        hashes, "item_id bigint, phash bigint"
+    )

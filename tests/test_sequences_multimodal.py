@@ -213,3 +213,34 @@ def test_axis_labels_reject_mislabeled_crop(spark):
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+def test_perceptual_hash_deterministic_and_discriminative(spark):
+    """Same payload -> same 64-bit phash; different payloads diverge;
+    PIL-identical re-decodes group exactly (the image-dedup shape)."""
+    rows = [
+        (1, b"image-payload-alpha" * 20),
+        (2, b"image-payload-alpha" * 20),   # exact duplicate payload
+        (3, b"completely-different-bytes" * 20),
+    ]
+    df = from_rows(spark, rows, schema="item_id bigint, payload binary")
+    out = {r.item_id: r.phash for r in
+           multimodal.perceptual_hash(df, "item_id", "payload").collect()}
+    assert out[1] == out[2]
+    assert out[1] != out[3]
+    # stable across invocations
+    again = {r.item_id: r.phash for r in
+             multimodal.perceptual_hash(df, "item_id", "payload").collect()}
+    assert again == out
+    # composes with exact dedup on the hash column
+    from fuel_spark.ops.dedup import exact_dedup
+
+    from pyspark.sql import functions as F
+
+    ph = multimodal.perceptual_hash(df, "item_id", "payload")
+    groups = exact_dedup(
+        ph.select("item_id", F.col("phash").cast("string").alias("t")),
+        "item_id", "t",
+    ).collect()
+    sizes = sorted(g.dup_count for g in groups)
+    assert sizes == [1, 2]
