@@ -672,6 +672,13 @@ def q_mixture_sample(spark, sf):
     )
 
 
+def q_simhash_pairs(spark, sf):
+    """SimHash fingerprints turned into near-dup PAIRS: pigeonhole
+    band blocking + bit_count Hamming verify (radius 3 over 16 bits)."""
+    fp = dedup.simhash(_t(spark, sf)["documents"], "doc_id", "text")
+    return dedup.hamming_near_dup(fp, "doc_id", "simhash", bits=16, radius=3)
+
+
 def q_events_attribution_first(spark, sf):
     """First-touch attribution — the range_join composition (earliest
     in-window touch takes credit; left mode keeps no-touch purchases)."""
@@ -1254,6 +1261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_key_skew": q_key_skew,
         "dedup_fuzzy_join": q_fuzzy_join,
         "text_oov_rate": q_oov_rate,
+        "dedup_simhash_pairs": q_simhash_pairs,
         "events_attribution_first": q_events_attribution_first,
         "events_engagement": q_events_engagement,
         "embedding_hard_negatives": q_hard_negatives,
@@ -2284,6 +2292,24 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT event_id, user_id, o_orderkey AS last_orderkey
         FROM j WHERE rn = 1
+    """
+
+    sqls["dedup_simhash_pairs"] = f"""
+        WITH sh AS ({_simhash_sql()}),
+        b AS (SELECT doc_id, simhash,
+                     CAST(unnest([0, 1, 2, 3]) AS INT) AS band FROM sh),
+        k AS (SELECT doc_id, simhash, band,
+                     (simhash >> (band * 4)) & 15 AS key FROM b),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
+                 a.simhash AS ha, b2.simhash AS hb
+          FROM k a JOIN k b2
+            ON a.band = b2.band AND a.key = b2.key
+           AND a.doc_id < b2.doc_id
+        )
+        SELECT id_a, id_b,
+               CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+        FROM cand WHERE bit_count(xor(ha, hb)) <= 3
     """
 
     sqls["events_attribution_first"] = f"""

@@ -794,3 +794,75 @@ def fuzzy_join(
         .where(F.col("jaccard") >= threshold)
         .select("id_l", "id_r", "inter", "uni", "jaccard")
     )
+
+
+def hamming_near_dup(
+    df: DataFrame,
+    id_col: str,
+    hash_col: str,
+    bits: int = 16,
+    radius: int = 3,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs from a bit fingerprint (simhash / perceptual
+    hash) within a Hamming radius — the step that turns a fingerprint
+    COLUMN into duplicate PAIRS.
+
+    Pigeonhole blocking: split the ``bits`` into ``radius + 1``
+    contiguous bands; two hashes within ``radius`` bit flips must
+    agree EXACTLY on at least one band, so candidates are bucket
+    collisions on (band, band_bits) and the verify is one JVM
+    ``bit_count(a ^ b) <= radius`` — no pairwise scan, work is
+    Σ bucket² like the MinHash path, with the same ``max_bucket``
+    star-degrade guard for boilerplate buckets.
+
+    Output: id_a, id_b (a < b), hamming.
+    """
+    bands = radius + 1
+    width = (bits + bands - 1) // bands
+    mask = (1 << width) - 1
+    tagged = df.select(
+        F.col(id_col).alias("_id"), F.col(hash_col).cast("bigint").alias("_h")
+    )
+    parts = []
+    for b in range(bands):
+        parts.append(
+            tagged.select(
+                "_id",
+                "_h",
+                F.lit(b).alias("_band"),
+                F.expr(f"shiftright(_h, {b * width}) & {mask}").alias("_key"),
+            )
+        )
+    all_bands = parts[0]
+    for p in parts[1:]:
+        all_bands = all_bands.unionByName(p)
+    buckets = (
+        all_bands.groupBy("_band", "_key")
+        .agg(F.array_sort(F.collect_list(F.struct("_id", "_h"))).alias("ms"))
+        .where(F.size("ms") > 1)
+    )
+    all_pairs = (
+        "flatten(transform(sequence(1, size(ms) - 1),"
+        " i -> transform(slice(ms, i + 1, size(ms) - i),"
+        " x -> struct(element_at(ms, i) AS a, x AS b))))"
+    )
+    star_pairs = (
+        "transform(slice(ms, 2, size(ms) - 1),"
+        " x -> struct(element_at(ms, 1) AS a, x AS b))"
+    )
+    pair_expr = (
+        all_pairs
+        if max_bucket is None
+        else f"CASE WHEN size(ms) <= {max_bucket} THEN {all_pairs} ELSE {star_pairs} END"
+    )
+    return (
+        buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select(
+            F.col("p.a._id").alias("id_a"),
+            F.col("p.b._id").alias("id_b"),
+            F.expr("bit_count(p.a._h ^ p.b._h)").alias("hamming"),
+        )
+        .where(F.col("hamming") <= radius)
+        .distinct()
+    )

@@ -749,3 +749,29 @@ def test_sample_negatives_deterministic_and_self_free(spark):
     # a different seed draws a different set
     c = similarity.sample_negatives(e, k=4, seed=4).collect()
     assert sorted(map(tuple, a)) != sorted(map(tuple, c))
+
+
+def test_hamming_near_dup_complete_within_radius(spark):
+    """Pigeonhole completeness: EVERY pair within the radius is found
+    (banding cannot miss one), and nothing outside the radius slips
+    through the verify."""
+    from itertools import combinations
+
+    hashes = {
+        1: 0b0000000000000000,
+        2: 0b0000000000000111,   # d(1,2)=3 -> pair
+        3: 0b0000000000001111,   # d(1,3)=4 -> no; d(2,3)=1 -> pair
+        4: 0b1111111100000000,   # far from all
+        5: 0b1111111100000001,   # d(4,5)=1 -> pair
+    }
+    df = from_rows(spark, [{"doc_id": k, "h": v} for k, v in hashes.items()])
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dedup.hamming_near_dup(df, "doc_id", "h", bits=16, radius=3).collect()
+    }
+    want = {
+        (a, b): bin(hashes[a] ^ hashes[b]).count("1")
+        for a, b in combinations(sorted(hashes), 2)
+        if bin(hashes[a] ^ hashes[b]).count("1") <= 3
+    }
+    assert got == want
