@@ -672,6 +672,25 @@ def q_mixture_sample(spark, sf):
     )
 
 
+def q_funnel_windowed(spark, sf):
+    """Time-bounded funnel: each step within 6h of the previous one
+    (the unbounded funnel overstates conversion)."""
+    return analytics.events_funnel_windowed(
+        _t(spark, sf), max_gap_seconds=21600
+    )
+
+
+def q_standardize(spark, sf):
+    """Per-type z-score standardization of events.value (exact-decimal
+    moments broadcast back; rows never reshuffle)."""
+    from fuel_spark.ops import profile
+
+    e = _t(spark, sf)["events"]
+    out = profile.standardize(e, "value", "event_type")
+    return out.select("event_id", "event_type",
+                      F.round("value", 6).alias("value"), "mean", "z")
+
+
 def q_simhash_pairs(spark, sf):
     """SimHash fingerprints turned into near-dup PAIRS: pigeonhole
     band blocking + bit_count Hamming verify (radius 3 over 16 bits)."""
@@ -1261,6 +1280,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_key_skew": q_key_skew,
         "dedup_fuzzy_join": q_fuzzy_join,
         "text_oov_rate": q_oov_rate,
+        "events_funnel_windowed": q_funnel_windowed,
+        "feature_standardize": q_standardize,
         "dedup_simhash_pairs": q_simhash_pairs,
         "events_attribution_first": q_events_attribution_first,
         "events_engagement": q_events_engagement,
@@ -2292,6 +2313,47 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT event_id, user_id, o_orderkey AS last_orderkey
         FROM j WHERE rn = 1
+    """
+
+    sqls["events_funnel_windowed"] = """
+        WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                    WHERE event_type = 'view' GROUP BY 1),
+        s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+               JOIN s1 ON e.user_id = s1.user_id
+               WHERE e.event_type = 'click' AND e.ts > s1.t1
+                 AND e.ts <= s1.t1 + INTERVAL 21600 SECOND GROUP BY 1),
+        s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+               JOIN s2 ON e.user_id = s2.user_id
+               WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+                 AND e.ts <= s2.t2 + INTERVAL 21600 SECOND GROUP BY 1),
+        u AS (
+          SELECT 1 AS stage, 'view' AS step, count(*) AS n_users FROM s1
+          UNION ALL
+          SELECT 2, 'click', count(*) FROM s2
+          UNION ALL
+          SELECT 3, 'purchase', count(*) FROM s3
+        )
+        SELECT stage, step, n_users,
+               round(CAST(n_users AS DOUBLE)
+                     / first_value(n_users) OVER (ORDER BY stage), 6)
+               AS conversion
+        FROM u
+    """
+
+    sqls["feature_standardize"] = f"""
+        WITH m AS (
+          SELECT event_type,
+                 count(value) AS n,
+                 CAST(sum(CAST(value AS {DEC})) AS DOUBLE) AS s1,
+                 CAST(sum(CAST(value * value AS {DEC})) AS DOUBLE) AS s2
+          FROM events GROUP BY event_type
+        )
+        SELECT event_id, e.event_type, round(value, 6) AS value,
+               round(s1 / n, 6) AS mean,
+               round((value - s1 / n)
+                     / sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 1e-12)),
+                     6) AS z
+        FROM events e JOIN m ON e.event_type = m.event_type
     """
 
     sqls["dedup_simhash_pairs"] = f"""

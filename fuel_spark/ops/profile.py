@@ -219,3 +219,47 @@ def key_skew(df, key_col: str, top_n: int = 20):
             "rank",
         )
     )
+
+
+def standardize(df, value_col: str, group_col: str | None = None):
+    """Z-score standardization (the exact tier of MLlib's
+    StandardScaler), optionally per group: moments from exact-decimal
+    Σx/Σx² (NOT stddev_pop — float accumulation order differs across
+    engines and partitionings), broadcast back onto the rows.
+
+    One map-side-combinable agg + one broadcast join; the row set
+    never reshuffles.  Emits the population z-score rounded at 6
+    (same moment machinery as plans.analytics.events_daily_anomalies).
+    Output: input columns + mean, z.
+    """
+    from pyspark.sql import functions as F
+
+    DEC = "decimal(27,6)"
+    keys = [group_col] if group_col else []
+    grouped = df.groupBy(*keys) if keys else df.groupBy()
+    moments = grouped.agg(
+        F.count(F.col(value_col)).alias("_n"),
+        F.sum(F.col(value_col).cast(DEC)).cast("double").alias("_s1"),
+        F.sum((F.col(value_col) * F.col(value_col)).cast(DEC))
+        .cast("double")
+        .alias("_s2"),
+    )
+    mean = F.col("_s1") / F.col("_n")
+    var = F.col("_s2") / F.col("_n") - mean * mean
+    joined = (
+        df.join(F.broadcast(moments), keys)
+        if keys
+        else df.crossJoin(F.broadcast(moments))
+    )
+    return (
+        joined.withColumn("mean", F.round(mean, 6))
+        .withColumn(
+            "z",
+            F.round(
+                (F.col(value_col) - mean)
+                / F.sqrt(F.greatest(var, F.lit(1e-12))),
+                6,
+            ),
+        )
+        .drop("_n", "_s1", "_s2")
+    )

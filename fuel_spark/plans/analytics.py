@@ -1293,3 +1293,53 @@ def events_attribution_first(
         F.count(F.lit(1)).alias("n_purchases"),
         _dsum(F.col("value")).alias("purchase_value"),
     )
+
+
+def events_funnel_windowed(
+    t: dict[str, DataFrame],
+    steps: tuple[str, str, str] = ("view", "click", "purchase"),
+    max_gap_seconds: int = 86400,
+) -> DataFrame:
+    """Time-bounded conversion funnel: like :func:`events_funnel`, but
+    each step must follow the previous one within ``max_gap_seconds``
+    — the product-analytics contract ("clicked within a day of the
+    first view"), which the unbounded funnel overstates.
+
+    Identical plan shape (per-step user-keyed minima, chained joins on
+    the shared user_id partitioning, never broadcast — fact-derived
+    aggregates are unbounded at scale); the gap bound is one extra
+    row-local predicate per stage.
+    """
+    e = t["events"]
+    gap = F.expr(f"INTERVAL {max_gap_seconds} SECONDS")
+    s1 = (
+        e.where(F.col("event_type") == steps[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        e.where(F.col("event_type") == steps[1])
+        .join(s1, "user_id")
+        .where((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + gap))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        e.where(F.col("event_type") == steps[2])
+        .join(s2, "user_id")
+        .where((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t2") + gap))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    from pyspark.sql import Window as W
+
+    rows = None
+    for i, (name, s) in enumerate([(steps[0], s1), (steps[1], s2), (steps[2], s3)], 1):
+        c = s.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(i).alias("stage"), F.lit(name).alias("step"), "n_users"
+        )
+        rows = c if rows is None else rows.unionByName(c)
+    base = F.first("n_users").over(W.orderBy("stage"))
+    return rows.withColumn(
+        "conversion", F.round(F.col("n_users").cast("double") / base, 6)
+    )

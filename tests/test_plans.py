@@ -685,3 +685,42 @@ def test_attribution_first_vs_last_touch(spark):
     first = {r.channel for r in analytics.events_attribution_first(t).collect()}
     assert last == {"click"}
     assert first == {"view"}
+
+
+def test_windowed_funnel_excludes_out_of_window_steps(spark):
+    """A click 2h after the first view converts in the unbounded
+    funnel but not in a 1h-windowed one."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(eid, mins, typ, uid):
+        return {"event_id": eid, "ts": base + dt.timedelta(minutes=mins),
+                "user_id": uid, "event_type": typ, "value": 1.0,
+                "props": "{}"}
+
+    rows = [
+        ev(1, 0, "view", 1), ev(2, 30, "click", 1), ev(3, 45, "purchase", 1),
+        ev(4, 0, "view", 2), ev(5, 120, "click", 2),  # outside 1h window
+    ]
+    t = {"events": from_rows(spark, rows)}
+    unbounded = {r.stage: r.n_users for r in analytics.events_funnel(t).collect()}
+    windowed = {r.stage: r.n_users
+                for r in analytics.events_funnel_windowed(
+                    t, max_gap_seconds=3600).collect()}
+    assert unbounded == {1: 2, 2: 2, 3: 1}
+    assert windowed == {1: 2, 2: 1, 3: 1}
+
+
+def test_standardize_hand_computed(spark):
+    from fuel_spark.ops.profile import standardize
+    from fuel_spark.sources import from_rows as fr
+
+    df = fr(spark, [{"g": "a", "v": 1.0}, {"g": "a", "v": 3.0},
+                    {"g": "b", "v": 10.0}])
+    out = {(r.g, r.v): (r.mean, r.z) for r in
+           standardize(df, "v", "g").collect()}
+    assert out[("a", 1.0)] == (2.0, -1.0)
+    assert out[("a", 3.0)] == (2.0, 1.0)
+    # singleton group: variance floors at 1e-12, z collapses to 0
+    assert out[("b", 10.0)][1] == 0.0
