@@ -672,6 +672,12 @@ def q_mixture_sample(spark, sf):
     )
 
 
+def q_events_transitions(spark, sf):
+    """Markov transition counts + row-normalized probabilities over
+    consecutive per-user events."""
+    return analytics.events_transitions(_t(spark, sf))
+
+
 def q_funnel_windowed(spark, sf):
     """Time-bounded funnel: each step within 6h of the previous one
     (the unbounded funnel overstates conversion)."""
@@ -1280,6 +1286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_key_skew": q_key_skew,
         "dedup_fuzzy_join": q_fuzzy_join,
         "text_oov_rate": q_oov_rate,
+        "events_transitions": q_events_transitions,
         "events_funnel_windowed": q_funnel_windowed,
         "feature_standardize": q_standardize,
         "dedup_simhash_pairs": q_simhash_pairs,
@@ -2313,6 +2320,23 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT event_id, user_id, o_orderkey AS last_orderkey
         FROM j WHERE rn = 1
+    """
+
+    sqls["events_transitions"] = """
+        WITH seq AS (
+          SELECT user_id, event_type AS to_type,
+                 lag(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS from_type
+          FROM events
+        ),
+        c AS (
+          SELECT from_type, to_type, count(*) AS n
+          FROM seq WHERE from_type IS NOT NULL GROUP BY 1, 2
+        ),
+        tot AS (SELECT from_type, sum(n) AS row_total FROM c GROUP BY 1)
+        SELECT c.from_type, c.to_type, c.n,
+               round(CAST(c.n AS DOUBLE) / row_total, 6) AS p
+        FROM c JOIN tot USING (from_type)
     """
 
     sqls["events_funnel_windowed"] = """

@@ -1343,3 +1343,38 @@ def events_funnel_windowed(
     return rows.withColumn(
         "conversion", F.round(F.col("n_users").cast("double") / base, 6)
     )
+
+
+def events_transitions(t: dict[str, DataFrame]) -> DataFrame:
+    """Markov transition counts between consecutive events per user —
+    the path-analysis primitive (what follows what, and how often).
+
+    One user-keyed window (lag over the per-user timeline — partitioned,
+    never global), then a map-side-combinable count rollup over the
+    |types|² transition space.  Ties at identical timestamps order by
+    event_id so the sequence is deterministic across engines.  Output
+    includes each type's share of outgoing transitions (row-normalized
+    probability, round 6).
+    """
+    from pyspark.sql import Window as W
+
+    e = t["events"]
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        F.col("event_type").alias("to_type"),
+        F.lag("event_type").over(w).alias("from_type"),
+    ).where(F.col("from_type").isNotNull())
+    counts = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = counts.groupBy("from_type").agg(F.sum("n").alias("_row_total"))
+    return (
+        counts.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.round(F.col("n") / F.col("_row_total"), 6).alias("p"),
+        )
+    )

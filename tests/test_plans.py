@@ -724,3 +724,22 @@ def test_standardize_hand_computed(spark):
     assert out[("a", 3.0)] == (2.0, 1.0)
     # singleton group: variance floors at 1e-12, z collapses to 0
     assert out[("b", 10.0)][1] == 0.0
+
+
+def test_transitions_hand_computed(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+
+    def ev(eid, mins, typ, uid):
+        return {"event_id": eid, "ts": base + dt.timedelta(minutes=mins),
+                "user_id": uid, "event_type": typ, "value": 1.0,
+                "props": "{}"}
+
+    # user 1: a->b->a ; user 2: a->b   => a->b: 2 (p=1.0), b->a: 1 (p=1.0)
+    rows = [ev(1, 0, "a", 1), ev(2, 1, "b", 1), ev(3, 2, "a", 1),
+            ev(4, 0, "a", 2), ev(5, 1, "b", 2)]
+    out = {(r.from_type, r.to_type): (r.n, r.p)
+           for r in analytics.events_transitions(
+               {"events": from_rows(spark, rows)}).collect()}
+    assert out == {("a", "b"): (2, 1.0), ("b", "a"): (1, 1.0)}
