@@ -672,6 +672,20 @@ def q_mixture_sample(spark, sf):
     )
 
 
+def q_dedup_cluster_sizes(spark, sf):
+    """Near-dup cluster-size histogram over the CC labels — the
+    dedup-health dashboard row (how much of the corpus sits in
+    how-big duplicate families)."""
+    d = _t(spark, sf)["documents"].select("doc_id", "text")
+    comp = dedup.dedup_components(d, "doc_id", "text", threshold=0.5)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters")
+    )
+
+
 def q_events_transitions(spark, sf):
     """Markov transition counts + row-normalized probabilities over
     consecutive per-user events."""
@@ -1286,6 +1300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_key_skew": q_key_skew,
         "dedup_fuzzy_join": q_fuzzy_join,
         "text_oov_rate": q_oov_rate,
+        "dedup_cluster_sizes": q_dedup_cluster_sizes,
         "events_transitions": q_events_transitions,
         "events_funnel_windowed": q_funnel_windowed,
         "feature_standardize": q_standardize,
@@ -2912,7 +2927,7 @@ def oracle_sql() -> dict[str, str]:
         FROM s GROUP BY 1
     """
 
-    sqls["dedup_components"] = f"""
+    _cc_core = f"""
         WITH RECURSIVE
         {_minhash_bands_sql()},
         cand AS (
@@ -2942,9 +2957,20 @@ def oracle_sql() -> dict[str, str]:
         ),
         comp AS (
           SELECT v, least(v, min(u)) AS component FROM reach GROUP BY v
+        ),
+        labeled AS (
+          SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+          FROM documents d LEFT JOIN comp c ON d.doc_id = c.v
         )
-        SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
-        FROM documents d LEFT JOIN comp c ON d.doc_id = c.v
+    """
+
+    sqls["dedup_components"] = _cc_core + "SELECT doc_id, component FROM labeled"
+
+    sqls["dedup_cluster_sizes"] = _cc_core + """
+        , sizes AS (
+          SELECT component, count(*) AS cluster_size FROM labeled GROUP BY 1
+        )
+        SELECT cluster_size, count(*) AS n_clusters FROM sizes GROUP BY 1
     """
 
     sqls["events_user_rfm"] = """
