@@ -672,6 +672,23 @@ def q_mixture_sample(spark, sf):
     )
 
 
+def q_asof_join_forward(spark, sf):
+    """Forward as-of: for each event, the NEXT order on/after it
+    (same union + frame-bounded first() shape, single key shuffle)."""
+    t = _t(spark, sf)
+    e = t["events"].select("event_id", "user_id", "ts")
+    o = t["orders"].select(
+        F.col("o_custkey").alias("user_id"), "o_orderkey", "o_orderdate"
+    )
+    out = core.asof_join(
+        e, o, "user_id", "ts", "o_orderdate", ["o_orderkey"],
+        direction="forward",
+    )
+    return out.select(
+        "event_id", "user_id", F.col("o_orderkey").alias("next_orderkey")
+    )
+
+
 def q_dedup_cluster_sizes(spark, sf):
     """Near-dup cluster-size histogram over the CC labels — the
     dedup-health dashboard row (how much of the corpus sits in
@@ -1300,6 +1317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_key_skew": q_key_skew,
         "dedup_fuzzy_join": q_fuzzy_join,
         "text_oov_rate": q_oov_rate,
+        "asof_join_forward": q_asof_join_forward,
         "dedup_cluster_sizes": q_dedup_cluster_sizes,
         "events_transitions": q_events_transitions,
         "events_funnel_windowed": q_funnel_windowed,
@@ -2702,6 +2720,21 @@ def oracle_sql() -> dict[str, str]:
         SELECT channel, count(*) AS n_purchases,
                {_dsum_sql('value')} AS purchase_value
         FROM lab GROUP BY channel
+    """
+
+    sqls["asof_join_forward"] = """
+        WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS t
+                   FROM events),
+        o AS (SELECT o_custkey, o_orderkey,
+                     epoch_us(o_orderdate) AS ot FROM orders),
+        j AS (
+          SELECT e.event_id, e.user_id, o.o_orderkey,
+                 row_number() OVER (PARTITION BY e.event_id
+                                    ORDER BY o.ot ASC, o.o_orderkey ASC) AS rn
+          FROM e LEFT JOIN o ON e.user_id = o.o_custkey AND o.ot >= e.t
+        )
+        SELECT event_id, user_id, o_orderkey AS next_orderkey
+        FROM j WHERE rn = 1
     """
 
     sqls["value_quantiles"] = """

@@ -423,55 +423,72 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     right_payload: list[str],
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: for each left row, the most recent right
-    row with the same key and ``right_ts <= left_ts``.
+    """As-of join: for each left row, the most recent right row with
+    ``right_ts <= left_ts`` (``direction='backward'``, the default) or
+    the next right row with ``right_ts >= left_ts`` (``'forward'``).
 
     Spark has no native ASOF; the naive inequality-join is O(n·m) per
     key.  This is the scalable formulation: union both streams tagged,
-    one window sort per key, and ``last(..., ignorenulls)`` carries the
-    latest right payload forward — O((n+m) log(n+m)) with a single
-    shuffle on the key.
+    one window sort per key, and a frame-bounded
+    ``last/first(..., ignorenulls)`` carries the matching right payload
+    — O((n+m) log(n+m)) with a single shuffle on the key.
 
     Tie rules (deterministic): at equal timestamps the right row wins
-    (inclusive match); among right ties the greatest payload-order row
-    (sorted by the payload columns) wins.
+    (inclusive match) in both directions; among right ties the
+    greatest payload-order row wins backward, the smallest wins
+    forward (the frame edge nearest the left row).
 
     Timestamps compare at microsecond precision (Spark's native
     timestamp resolution) — whole-second truncation would let a right
-    row up to ~0.999s in the future still match, leaking future data
-    for sub-second inputs.
+    row up to ~0.999s away still match, leaking future data for
+    sub-second inputs.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+
     def _epoch_us(c: str):  # NTZ needs an intermediate cast (UTC session)
         return F.unix_micros(F.col(c).cast("timestamp"))
 
+    # the left-tag value orders left rows AFTER rights at equal ts for
+    # backward (rights enter the trailing frame) and BEFORE for
+    # forward (rights stay inside the leading frame)
+    left_tag = 1 if direction == "backward" else 0
     lcols = left.columns
     l = left.select(
         F.col(key).alias("_k"),
         _epoch_us(left_ts).alias("_t"),
-        F.lit(1).alias("_is_left"),
+        F.lit(left_tag).alias("_is_left"),
         *[F.col(c) for c in lcols],
         *[F.lit(None).cast(dict(right.dtypes)[p]).alias(f"_r_{p}") for p in right_payload],
     )
     r = right.select(
         F.col(key).alias("_k"),
         _epoch_us(right_ts).alias("_t"),
-        F.lit(0).alias("_is_left"),
+        F.lit(1 - left_tag).alias("_is_left"),
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in lcols],
         *[F.col(p).alias(f"_r_{p}") for p in right_payload],
     )
     u = l.unionByName(r)
-    w = (
-        Window.partitionBy("_k")
-        .orderBy("_t", "_is_left", *[f"_r_{p}" for p in right_payload])
-        .rowsBetween(Window.unboundedPreceding, 0)
+    w = Window.partitionBy("_k").orderBy(
+        "_t", "_is_left", *[f"_r_{p}" for p in right_payload]
     )
-    carried = [
-        F.last(f"_r_{p}", ignorenulls=True).over(w).alias(p) for p in right_payload
-    ]
+    if direction == "backward":
+        w = w.rowsBetween(Window.unboundedPreceding, 0)
+        carried = [
+            F.last(f"_r_{p}", ignorenulls=True).over(w).alias(p)
+            for p in right_payload
+        ]
+    else:
+        w = w.rowsBetween(0, Window.unboundedFollowing)
+        carried = [
+            F.first(f"_r_{p}", ignorenulls=True).over(w).alias(p)
+            for p in right_payload
+        ]
     return (
         u.select(*lcols, F.col("_is_left"), *carried)
-        .where(F.col("_is_left") == 1)
+        .where(F.col("_is_left") == left_tag)
         .drop("_is_left")
     )
 

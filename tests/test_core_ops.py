@@ -206,3 +206,28 @@ def test_sample_n_per_group_exact_counts(spark):
     # determinism: same seed, same members
     again = schemes.sample_n_per_group(df, "g", 10, "k", seed=1).collect()
     assert {r.k for r in again} == {r.k for r in out}
+
+
+def test_asof_join_forward_hand_computed(spark):
+    """Forward as-of: next right on/after each left ts; equal-ts right
+    matches (inclusive); smallest payload wins right ties."""
+    import datetime as dt
+
+    from fuel_spark.ops.core import asof_join
+    from fuel_spark.sources import from_rows
+
+    base = dt.datetime(2024, 1, 1)
+    left = from_rows(spark, [
+        {"lid": 1, "k": 1, "lt": base},
+        {"lid": 2, "k": 1, "lt": base + dt.timedelta(hours=5)},
+        {"lid": 3, "k": 2, "lt": base},          # no right for key 2
+    ])
+    right = from_rows(spark, [
+        {"k": 1, "rt": base, "payload": 100},            # equal ts -> lid 1
+        {"k": 1, "rt": base, "payload": 99},             # tie: smaller wins
+        {"k": 1, "rt": base + dt.timedelta(hours=9), "payload": 200},
+    ])
+    out = {r.lid: r.payload for r in asof_join(
+        left, right, "k", "lt", "rt", ["payload"], direction="forward"
+    ).collect()}
+    assert out == {1: 99, 2: 200, 3: None}
