@@ -672,6 +672,17 @@ def q_mixture_sample(spark, sf):
     )
 
 
+def q_bpe_merges(spark, sf):
+    """BPE merge training (Sennrich 2016) on the word-frequency table:
+    12 merge rounds, each a vocab-sized pair-count + argmax (iterative
+    fit — rows-only: the loop is not SQL-expressible)."""
+    merges = text_ops.train_bpe(_t(spark, sf)["documents"], "text", n_merges=12)
+    return spark.createDataFrame(
+        [(i, a, b, n) for i, (a, b, n) in enumerate(merges)],
+        "rank int, sym_a string, sym_b string, pair_count bigint",
+    )
+
+
 def q_asof_join_forward(spark, sf):
     """Forward as-of: for each event, the NEXT order on/after it
     (same union + frame-bounded first() shape, single key shuffle)."""
@@ -1318,6 +1329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_fuzzy_join": q_fuzzy_join,
         "text_oov_rate": q_oov_rate,
         "asof_join_forward": q_asof_join_forward,
+        "text_bpe_merges": q_bpe_merges,
         "dedup_cluster_sizes": q_dedup_cluster_sizes,
         "events_transitions": q_events_transitions,
         "events_funnel_windowed": q_funnel_windowed,

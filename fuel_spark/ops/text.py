@@ -810,3 +810,85 @@ def oov_rate(
             F.round(F.col("n_oov").cast("double") / F.col("n_tokens"), 6),
         )
     )
+
+
+def train_bpe(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int = 16,
+    end_of_word: str = "</w>",
+) -> list[tuple[str, str, int]]:
+    """Byte-pair-encoding merge training (Sennrich, Haddow & Birch
+    2016): iteratively merge the most frequent adjacent symbol pair.
+
+    The Spark-shaped insight is the same one the reference algorithm
+    uses: BPE statistics live on the WORD-FREQUENCY table, not the
+    corpus — one corpus pass builds (distinct word, count), and every
+    merge iteration then runs on that vocabulary-sized table (pair
+    explode → weighted count → argmax), so ``n_merges`` iterations
+    cost n_merges tiny shuffles, not corpus scans.  The adjacent-pair
+    merge applies as a JVM ``aggregate`` fold over each word's symbol
+    array (left-to-right, the reference order).  The per-iteration
+    1-row argmax collect is the fit-loop action (same contract as
+    KMeans / connected components); ties break on the
+    lexicographically smallest pair, so training is deterministic.
+
+    Returns the merge table: [(sym_a, sym_b, pair_count), ...] in
+    merge order — feed to a tokenizer or inspect as the vocab.
+    """
+    wf = (
+        ensure_parallelism(df.select(F.col(text_col)))
+        .select(F.explode(words(F.col(text_col))).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    # word → symbol array: chars + end-of-word marker
+    wf = wf.select(
+        F.expr(
+            f"concat(transform(sequence(1, length(w)), i -> substring(w, i, 1)),"
+            f" array('{end_of_word}'))"
+        ).alias("syms"),
+        "freq",
+    ).localCheckpoint(eager=True)
+
+    merges: list[tuple[str, str, int]] = []
+    for it in range(n_merges):
+        pairs = wf.select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(syms) - 1),"
+                    " i -> struct(element_at(syms, i) AS a,"
+                    "             element_at(syms, i + 1) AS b))"
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.col("n").desc(), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["n"] < 2:
+            break
+        a, b, n = top[0]["a"], top[0]["b"], int(top[0]["n"])
+        merges.append((a, b, n))
+        qa, qb = a.replace("'", "\\'"), b.replace("'", "\\'")
+        wf = wf.select(
+            F.expr(
+                f"""aggregate(syms, CAST(array() AS ARRAY<STRING>),
+                    (acc, x) -> CASE WHEN size(acc) > 0
+                                      AND element_at(acc, -1) = '{qa}'
+                                      AND x = '{qb}'
+                                THEN concat(slice(acc, 1, size(acc) - 1),
+                                            array('{qa}{qb}'))
+                                ELSE concat(acc, array(x)) END)"""
+            ).alias("syms"),
+            "freq",
+        )
+        if (it + 1) % 4 == 0:
+            # fit-loop lineage hygiene (the connected-components rule)
+            wf = wf.localCheckpoint(eager=True)
+    return merges

@@ -34,6 +34,7 @@ def test_oracle_keys_subset_of_queries():
         "events_approx_distinct",
         "embedding_pca",
         "corpus_domains",
+        "text_bpe_merges",
     }
 
 

@@ -775,3 +775,52 @@ def test_hamming_near_dup_complete_within_radius(spark):
         if bin(hashes[a] ^ hashes[b]).count("1") <= 3
     }
     assert got == want
+
+
+def test_train_bpe_matches_reference_model(spark):
+    """Merge sequence equals a straightforward Python BPE (Sennrich
+    2016) with the same tie-break (max count, then lexicographically
+    smallest pair) on the classic low/lower/newest/widest corpus."""
+    corpus = (
+        ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    )
+
+    def ref_bpe(tokens, n):
+        from collections import Counter
+
+        vocab = Counter(tuple(w) + ("</w>",) for w in tokens)
+        out = []
+        for _ in range(n):
+            pc = Counter()
+            for syms, f in vocab.items():
+                for i in range(len(syms) - 1):
+                    pc[(syms[i], syms[i + 1])] += f
+            if not pc:
+                break
+            # tie-break: max count, then smallest (a, b)
+            top_n = max(pc.values())
+            cands = sorted(k for k, v in pc.items() if v == top_n)
+            a, b = cands[0]
+            if pc[(a, b)] < 2:
+                break
+            out.append((a, b, pc[(a, b)]))
+            new_vocab = Counter()
+            for syms, f in vocab.items():
+                merged, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        merged.append(a + b)
+                        i += 2
+                    else:
+                        merged.append(syms[i])
+                        i += 1
+                new_vocab[tuple(merged)] += f
+            vocab = new_vocab
+        return out
+
+    docs = from_rows(spark, [{"doc_id": 0, "text": " ".join(corpus)}])
+    got = text_ops.train_bpe(docs, "text", n_merges=8)
+    want = ref_bpe(corpus, 8)
+    assert got == want
+    # sanity: the famous first merges appear (es, est for 'newest'/'widest')
+    assert ("e", "s") in [(a, b) for a, b, _ in got[:2]]

@@ -81,7 +81,10 @@ def main() -> int:
             "text_dsir_weights", "feature_quantile_bins", "text_winnowing",
             "embedding_pca", "events_key_skew", "dedup_fuzzy_join",
             "text_oov_rate", "events_engagement", "embedding_hard_negatives",
-            "embedding_sample_negatives",
+            "embedding_sample_negatives", "events_transitions",
+            "events_funnel_windowed", "feature_standardize",
+            "dedup_simhash_pairs", "asof_join_forward",
+            "events_attribution_first",
         ]
         timings = {}
         for name in names:
