@@ -892,3 +892,62 @@ def train_bpe(
             # fit-loop lineage hygiene (the connected-components rule)
             wf = wf.localCheckpoint(eager=True)
     return merges
+
+
+def bpe_encode(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list[tuple[str, str, int]] | list[tuple[str, str]],
+    end_of_word: str = "</w>",
+) -> DataFrame:
+    """Apply trained BPE merges (:func:`train_bpe`) to a corpus: each
+    word starts as chars + end-of-word marker and every merge applies
+    in training order via the same left-to-right JVM aggregate fold.
+
+    One projection per merge, with a Generate barrier
+    (``with_materialized``) every 4 merges — Catalyst would otherwise
+    collapse the chained folds into one exponentially-nested
+    expression (the projection-collapse trap this engine already pins
+    for regex pipelines).  Output: id, tokens (the per-doc BPE symbol
+    sequence, words flattened in order), n_tokens.
+    """
+    d = ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
+    d = with_materialized(d, "_ws", words(F.col(text_col)))
+    d = d.select(
+        F.col(id_col),
+        F.expr(
+            f"""transform(filter(_ws, w -> w <> ''),
+                w -> concat(transform(sequence(1, length(w)),
+                                      i -> substring(w, i, 1)),
+                            array('{end_of_word}')))"""
+        ).alias("_sw"),
+    )
+    for i, m in enumerate(merges):
+        a, b = m[0], m[1]
+        qa, qb = a.replace("'", "\\'"), b.replace("'", "\\'")
+        fold = (
+            f"""transform(_sw, syms -> aggregate(syms,
+                CAST(array() AS ARRAY<STRING>),
+                (acc, x) -> CASE WHEN size(acc) > 0
+                                  AND element_at(acc, -1) = '{qa}'
+                                  AND x = '{qb}'
+                            THEN concat(slice(acc, 1, size(acc) - 1),
+                                        array('{qa}{qb}'))
+                            ELSE concat(acc, array(x)) END))"""
+        )
+        if (i + 1) % 4 == 0:
+            d = with_materialized(
+                d.select(id_col, F.expr(fold).alias("_sw0")).withColumnRenamed(
+                    "_sw0", "_pre"
+                ),
+                "_sw",
+                F.col("_pre"),
+            ).drop("_pre")
+        else:
+            d = d.select(id_col, F.expr(fold).alias("_sw"))
+    return d.select(
+        F.col(id_col),
+        F.flatten("_sw").alias("tokens"),
+        F.size(F.flatten("_sw")).alias("n_tokens"),
+    )

@@ -824,3 +824,20 @@ def test_train_bpe_matches_reference_model(spark):
     assert got == want
     # sanity: the famous first merges appear (es, est for 'newest'/'widest')
     assert ("e", "s") in [(a, b) for a, b, _ in got[:2]]
+
+
+def test_bpe_encode_roundtrips_training_corpus(spark):
+    """Encoding the training corpus with its own merges reproduces the
+    reference segmentation (e.g. newest -> n e w est</w> after enough
+    merges) and loses no characters."""
+    corpus = ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    docs = from_rows(spark, [{"doc_id": 0, "text": " ".join(corpus)}])
+    merges = text_ops.train_bpe(docs, "text", n_merges=8)
+    enc = text_ops.bpe_encode(docs, "doc_id", "text", merges).collect()[0]
+    toks = enc.tokens
+    # reconstruct: stripping markers and joining must give the corpus
+    flat = "".join(toks).replace("</w>", " ").strip().split()
+    assert flat == corpus
+    # the high-frequency word collapsed into few symbols
+    joined = " ".join(toks)
+    assert "est</w>" in joined or "newest</w>" in joined
