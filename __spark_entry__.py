@@ -1243,6 +1243,59 @@ def q_ann_pq(spark, sf):
     )
 
 
+def q_events_pareto(spark, sf):
+    return analytics.events_pareto_share(_t(spark, sf))
+
+
+def q_events_interarrival(spark, sf):
+    return analytics.events_interarrival(_t(spark, sf))
+
+
+def q_events_hourly(spark, sf):
+    return analytics.events_hourly_profile(_t(spark, sf))
+
+
+def q_events_new_vs_returning(spark, sf):
+    return analytics.events_new_vs_returning(_t(spark, sf))
+
+
+def q_events_cooccurrence(spark, sf):
+    return analytics.events_type_cooccurrence(_t(spark, sf))
+
+
+def q_customer_ltv_deciles(spark, sf):
+    return analytics.customer_ltv_deciles(_t(spark, sf))
+
+
+def q_shipping_delay(spark, sf):
+    return analytics.shipping_delay_stats(_t(spark, sf))
+
+
+def q_lexical_diversity(spark, sf):
+    d = _t(spark, sf)["documents"]
+    return text_ops.lexical_diversity(d, "doc_id", "text")
+
+
+def q_c4_filters(spark, sf):
+    d = _t(spark, sf)["documents"]
+    return text_ops.c4_filters(d, "doc_id", "text")
+
+
+def q_quality_classifier(spark, sf):
+    d = _t(spark, sf)["documents"]
+    return text_ops.quality_classifier(d, "doc_id", "text")
+
+
+def q_length_histogram(spark, sf):
+    d = _t(spark, sf)["documents"]
+    return text_ops.length_histogram(d, "n_chars", 50)
+
+
+def q_norm_extremes(spark, sf):
+    e = _t(spark, sf)["embeddings"]
+    return similarity.norm_extremes(e, "vec_id", "embedding", k=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry.  ORDERING IS DELIBERATE: the driver's
     correctness gate checks the FIRST 50 keys, so each round leads
@@ -1339,6 +1392,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_engagement": q_events_engagement,
         "embedding_hard_negatives": q_hard_negatives,
         "embedding_sample_negatives": q_sample_negatives,
+        "events_pareto_share": q_events_pareto,
+        "events_interarrival": q_events_interarrival,
+        "events_hourly_profile": q_events_hourly,
+        "events_new_vs_returning": q_events_new_vs_returning,
+        "events_type_cooccurrence": q_events_cooccurrence,
+        "customer_ltv_deciles": q_customer_ltv_deciles,
+        "shipping_delay_stats": q_shipping_delay,
+        "text_lexical_diversity": q_lexical_diversity,
+        "text_c4_filters": q_c4_filters,
+        "text_quality_classifier": q_quality_classifier,
+        "documents_length_histogram": q_length_histogram,
+        "embedding_norm_extremes": q_norm_extremes,
         # rows-only (the driver records a weaker rows-only row; full
         # behavioral evidence lives in tests/)
         "multimodal_decode": q_multimodal,
@@ -3534,6 +3599,223 @@ def oracle_sql() -> dict[str, str]:
                CAST(day_offset AS BIGINT) AS day_offset,
                count(*) AS n_active_users
         FROM j GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+    sqls["events_pareto_share"] = """
+        WITH pu AS (SELECT user_id, count(*) AS n_events
+                    FROM events GROUP BY 1),
+        r AS (SELECT user_id, n_events,
+                     ntile(10) OVER (ORDER BY n_events DESC, user_id) AS decile
+              FROM pu),
+        d AS (SELECT decile, count(*) AS n_users,
+                     CAST(sum(n_events) AS BIGINT) AS ne
+              FROM r GROUP BY 1),
+        t AS (SELECT CAST(sum(ne) AS DOUBLE) AS total FROM d)
+        SELECT decile, n_users, ne AS n_events,
+               round(CAST(ne AS DOUBLE) / t.total, 6) AS share,
+               round(CAST(sum(ne) OVER (ORDER BY decile
+                          ROWS UNBOUNDED PRECEDING) AS DOUBLE) / t.total,
+                     6) AS cum_share
+        FROM d CROSS JOIN t ORDER BY decile
+    """
+
+    sqls["events_interarrival"] = """
+        WITH g AS (
+          SELECT event_type,
+                 epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts, event_id) AS gap_us
+          FROM events
+        ),
+        gg AS (SELECT event_type, gap_us FROM g WHERE gap_us IS NOT NULL)
+        SELECT event_type, count(*) AS n_gaps,
+               round(CAST(sum(CAST(gap_us AS DECIMAL(27,6))) AS DOUBLE)
+                     / count(*) / 1000000.0, 6) AS avg_gap_s,
+               round(quantile_cont(gap_us, 0.5) / 1e6, 6) AS p50_gap_s,
+               round(CAST(max(gap_us) AS DOUBLE) / 1000000.0, 6) AS max_gap_s
+        FROM gg GROUP BY 1 ORDER BY 1
+    """
+
+    sqls["events_hourly_profile"] = """
+        WITH h AS (SELECT hour(ts) AS hour, event_type, count(*) AS n
+                   FROM events GROUP BY 1, 2)
+        SELECT hour, event_type, n,
+               round(CAST(n AS DOUBLE)
+                     / CAST(sum(n) OVER (PARTITION BY hour) AS DOUBLE),
+                     6) AS share_of_hour
+        FROM h ORDER BY hour, event_type
+    """
+
+    sqls["events_new_vs_returning"] = """
+        WITH fs AS (SELECT user_id, CAST(min(ts) AS DATE) AS first_day
+                    FROM events GROUP BY 1),
+        a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+        SELECT strftime(d, '%Y-%m-%d') AS day,
+               CAST(sum(CASE WHEN d = first_day THEN 1 ELSE 0 END)
+                    AS BIGINT) AS new_users,
+               CAST(sum(CASE WHEN d <> first_day THEN 1 ELSE 0 END)
+                    AS BIGINT) AS returning_users
+        FROM a JOIN fs USING (user_id) GROUP BY 1 ORDER BY 1
+    """
+
+    sqls["events_type_cooccurrence"] = """
+        WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               count(*) AS n_users
+        FROM ut a JOIN ut b ON a.user_id = b.user_id
+        WHERE a.event_type < b.event_type
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+    sqls["customer_ltv_deciles"] = """
+        WITH pc AS (SELECT o_custkey,
+                           sum(CAST(o_totalprice AS DECIMAL(27,6))) AS ltv
+                    FROM orders GROUP BY 1),
+        r AS (SELECT o_custkey, ltv,
+                     ntile(10) OVER (ORDER BY ltv DESC, o_custkey) AS decile
+              FROM pc),
+        d AS (SELECT decile, count(*) AS n_customers,
+                     sum(ltv) AS rev
+              FROM r GROUP BY 1),
+        t AS (SELECT CAST(sum(rev) AS DOUBLE) AS total FROM d)
+        SELECT decile, n_customers,
+               round(CAST(rev AS DOUBLE), 6) AS revenue,
+               round(CAST(rev AS DOUBLE) / n_customers, 6) AS avg_ltv,
+               round(CAST(rev AS DOUBLE) / t.total, 6) AS share
+        FROM d CROSS JOIN t ORDER BY decile
+    """
+
+    sqls["shipping_delay_stats"] = """
+        WITH x AS (
+          SELECT o.o_orderpriority,
+                 date_diff('day', o.o_orderdate, l.l_shipdate) AS delay_days
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        )
+        SELECT o_orderpriority, count(*) AS n_items,
+               round(CAST(sum(CAST(delay_days AS DECIMAL(27,6))) AS DOUBLE)
+                     / count(*), 6) AS avg_delay_days,
+               round(quantile_cont(delay_days, 0.5), 6) AS p50_delay_days,
+               CAST(max(delay_days) AS INT) AS max_delay_days,
+               round(CAST(sum(CASE WHEN delay_days > 90 THEN 1 ELSE 0 END)
+                          AS DOUBLE) / count(*), 6) AS late_frac
+        FROM x GROUP BY 1 ORDER BY 1
+    """
+
+    sqls["text_lexical_diversity"] = f"""
+        WITH tok AS (
+          SELECT doc_id, unnest({w}) AS word FROM documents
+        ),
+        tf AS (SELECT doc_id, word, count(*) AS tf
+               FROM tok WHERE word <> '' GROUP BY 1, 2),
+        per AS (
+          SELECT doc_id,
+                 CAST(sum(tf) AS BIGINT) AS n_words,
+                 count(*) AS n_distinct,
+                 CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS hapax,
+                 sum(CAST(round(CAST(tf AS DOUBLE)
+                                * log2(CAST(tf AS DOUBLE)), 6)
+                          AS DECIMAL(27,6))) AS clog
+          FROM tf GROUP BY 1
+        )
+        SELECT d.doc_id,
+               COALESCE(p.n_words, 0) AS n_words,
+               COALESCE(p.n_distinct, 0) AS n_distinct,
+               CASE WHEN p.n_words IS NULL THEN 0.0
+                    ELSE round(CAST(p.n_distinct AS DOUBLE) / p.n_words, 6)
+               END AS ttr,
+               CASE WHEN p.n_distinct IS NULL THEN 0.0
+                    ELSE round(CAST(p.hapax AS DOUBLE) / p.n_distinct, 6)
+               END AS hapax_frac,
+               CASE WHEN p.n_words IS NULL THEN 0.0
+                    ELSE round(log2(CAST(p.n_words AS DOUBLE))
+                               - CAST(p.clog AS DOUBLE) / p.n_words, 6)
+               END AS entropy
+        FROM documents d LEFT JOIN per p USING (doc_id)
+    """
+
+    sqls["text_c4_filters"] = f"""
+        WITH d AS (SELECT doc_id, text, {w} AS w FROM documents),
+        f AS (
+          SELECT doc_id,
+            CAST(len(w) AS BIGINT) AS n_words,
+            CAST(COALESCE(list_sum(list_transform(w, x -> length(x))), 0)
+                 AS DOUBLE) / greatest(len(w), 1) AS mwl,
+            CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                 AS DOUBLE) / greatest(length(text), 1) AS ar,
+            contains(lower(text), '{{') OR contains(lower(text), '}}')
+              AS has_brace,
+            contains(lower(text), 'lorem ipsum') AS has_lorem
+          FROM d
+        )
+        SELECT doc_id, n_words, round(mwl, 6) AS mean_word_len,
+               (n_words < 10) AS too_short,
+               NOT (mwl >= 3.0 AND mwl <= 10.0) AS bad_word_len,
+               has_brace, has_lorem,
+               (ar < 0.6) AS low_alpha,
+               NOT ((n_words < 10) OR NOT (mwl >= 3.0 AND mwl <= 10.0)
+                    OR has_brace OR has_lorem OR (ar < 0.6)) AS keep
+        FROM f
+    """
+
+    sqls["text_quality_classifier"] = f"""
+        WITH d AS (SELECT doc_id, text, {w} AS w FROM documents),
+        f AS (
+          SELECT doc_id,
+            CAST(len(w) AS DOUBLE) AS nw,
+            CAST(COALESCE(list_sum(list_transform(w, x -> length(x))), 0)
+                 AS DOUBLE) / greatest(len(w), 1) AS mwl,
+            CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                 AS DOUBLE) / greatest(length(text), 1) AS ar,
+            CAST(len(list_filter(w, x -> list_contains({en}, x)))
+                 AS DOUBLE) / greatest(len(w), 1) AS sr,
+            CAST(CAST(concat('0x', substring(
+                   md5(concat('7', '-', CAST(doc_id AS VARCHAR))), 1, 8))
+                 AS UBIGINT) AS DOUBLE) / 4294967296.0 AS u
+          FROM d
+        ),
+        z AS (
+          SELECT doc_id,
+                 -3.0 + 0.01 * least(nw, 300.0) + 4.0 * ar + 8.0 * sr
+                 - 0.4 * abs(mwl - 5.0) AS z,
+                 u
+          FROM f
+        )
+        SELECT doc_id,
+               round(1.0 / (1.0 + exp(-z)), 6) AS score,
+               round(u, 6) AS u,
+               (round(1.0 / (1.0 + exp(-z)), 6)
+                > pow(round(u, 6), 9.0)) AS keep
+        FROM z
+    """
+
+    sqls["documents_length_histogram"] = """
+        WITH h AS (SELECT CAST(floor(n_chars / 50) * 50 AS BIGINT)
+                            AS bucket_lo,
+                          count(*) AS n_docs
+                   FROM documents GROUP BY 1),
+        t AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS total FROM h)
+        SELECT bucket_lo, bucket_lo + 50 AS bucket_hi, n_docs,
+               round(CAST(n_docs AS DOUBLE) / t.total, 6) AS share
+        FROM h CROSS JOIN t ORDER BY bucket_lo
+    """
+
+    sqls["embedding_norm_extremes"] = f"""
+        WITH n AS (SELECT vec_id, round({_norm2_sql('embedding')}, 6)
+                            AS vec_norm
+                   FROM embeddings),
+        hi AS (SELECT 'high' AS side, vec_id, vec_norm FROM n
+               ORDER BY vec_norm DESC, vec_id LIMIT 10),
+        lo AS (SELECT 'low' AS side, vec_id, vec_norm FROM n
+               ORDER BY vec_norm ASC, vec_id LIMIT 10),
+        u AS (SELECT * FROM hi UNION ALL SELECT * FROM lo)
+        SELECT side,
+               CAST(row_number() OVER (
+                 PARTITION BY side
+                 ORDER BY CASE WHEN side = 'high' THEN -vec_norm
+                               ELSE vec_norm END, vec_id) AS INT) AS rank,
+               vec_id, vec_norm
+        FROM u
     """
 
     return sqls

@@ -858,3 +858,43 @@ def sample_negatives(
         .where(F.col("neg_id") != F.col(id_col))
         .select(id_col, "j", "neg_id")
     )
+
+
+def norm_extremes(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Embedding-norm outlier report: the k largest and k smallest L2
+    norms with their rank — the quick sanity screen for degenerate
+    vectors (zero/huge norms signal encoder failures or corrupt rows)
+    before any cosine-based stage trusts the column.
+
+    The norm is a per-row projection (strict left-to-right double
+    fold, identical in the oracle); each extreme side is a TakeOrdered
+    top-k over that projection — no global sort materializes, the
+    cluster keeps k rows per partition and merges.  Ranks tie-break on
+    the id for cross-engine determinism.
+    """
+    from fuel_spark.functions import norm2_expr
+
+    norms = ensure_parallelism(df.select(id_col, vec_col)).select(
+        F.col(id_col), F.round(norm2_expr(vec_col), 6).alias("vec_norm")
+    )
+    hi = norms.orderBy(F.desc("vec_norm"), F.asc(id_col)).limit(k)
+    lo = norms.orderBy(F.asc("vec_norm"), F.asc(id_col)).limit(k)
+    # one window over both 2k-row sides: negate the norm on the "high"
+    # side so a single ascending key ranks each side in its own order
+    rank = Window.partitionBy("side").orderBy(
+        F.when(F.col("side") == "high", -F.col("vec_norm")).otherwise(
+            F.col("vec_norm")
+        ).asc(),
+        F.asc(id_col),
+    )
+    return (
+        hi.withColumn("side", F.lit("high"))
+        .unionByName(lo.withColumn("side", F.lit("low")))
+        .withColumn("rank", F.row_number().over(rank))
+        .select("side", "rank", id_col, "vec_norm")
+    )

@@ -408,7 +408,15 @@ def lexical_diversity(
         F.sum("tf").alias("n_words"),
         F.count(F.lit(1)).alias("n_distinct"),
         F.sum(F.when(F.col("tf") == 1, 1).otherwise(0)).alias("_hapax"),
-        F.sum(F.col("tf").cast("double") * F.log2(F.col("tf").cast("double"))).alias("_clog"),
+        # round the transcendental per-term, then sum as exact DECIMAL
+        # (same determinism contract as unigram_logprob): reordering the
+        # sum across partitions cannot change a bit
+        F.sum(
+            F.round(
+                F.col("tf").cast("double") * F.log2(F.col("tf").cast("double")),
+                6,
+            ).cast("decimal(27,6)")
+        ).alias("_clog"),
     )
     n = F.col("n_words").cast("double")
     return (
@@ -431,7 +439,7 @@ def lexical_diversity(
             F.when(
                 F.col("n_words").isNull(), F.lit(0.0)
             ).otherwise(
-                F.round(F.log2(n) - F.col("_clog") / n, 6)
+                F.round(F.log2(n) - F.col("_clog").cast("double") / n, 6)
             ).alias("entropy"),
         )
     )
@@ -950,4 +958,144 @@ def bpe_encode(
         F.col(id_col),
         F.flatten("_sw").alias("tokens"),
         F.size(F.flatten("_sw")).alias("n_tokens"),
+    )
+
+
+def c4_filters(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """C4-style rule filters (Raffel et al. 2020, §2.2) adapted to
+    single-line documents: per-doc boolean flags for each rule plus the
+    conjunction ``keep`` — the standard first-pass web-corpus cleaner.
+
+    Rules: minimum word count, sane mean word length (3–10), no code
+    markers (braces), no "lorem ipsum" boilerplate, terminal
+    punctuation or prose-like alpha ratio.  Every flag is a pure
+    projection over one normalized-word materialization (Generate
+    barrier, single regex pass) — zero shuffles, streams through
+    codegen at any scale.  Flags stay in the output so downstream can
+    re-weight instead of hard-dropping.
+    """
+    t = F.col(text_col)
+    df = with_materialized(
+        df.select(F.col(id_col), t), "_w", words(t)
+    )
+    w = F.col("_w")
+    n_words = F.size(w)
+    mean_wl = F.length(F.concat_ws("", w)).cast("double") / F.greatest(
+        n_words, F.lit(1)
+    )
+    alpha = F.length(F.regexp_replace(F.lower(t), "[^a-z]", ""))
+    alpha_ratio = alpha.cast("double") / F.greatest(F.length(t), F.lit(1))
+    lower = F.lower(t)
+    flags = {
+        "too_short": n_words < 10,
+        "bad_word_len": ~((mean_wl >= 3.0) & (mean_wl <= 10.0)),
+        "has_brace": lower.contains("{") | lower.contains("}"),
+        "has_lorem": lower.contains("lorem ipsum"),
+        "low_alpha": alpha_ratio < 0.6,
+    }
+    out = df.select(
+        F.col(id_col),
+        n_words.cast("bigint").alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        *[c.alias(name) for name, c in flags.items()],
+    )
+    keep = ~(
+        F.col("too_short")
+        | F.col("bad_word_len")
+        | F.col("has_brace")
+        | F.col("has_lorem")
+        | F.col("low_alpha")
+    )
+    return out.withColumn("keep", keep)
+
+
+def quality_classifier(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    seed: int = 7,
+    alpha: float = 9.0,
+) -> DataFrame:
+    """GPT-3-style quality-classifier filtering (Brown et al. 2020,
+    Appendix A): score documents with a trained classifier, then keep a
+    document when ``score > threshold_sample`` so high-scoring docs are
+    kept deterministically and the low-scoring tail is sampled in
+    proportion to its score — preserving diversity instead of
+    hard-thresholding.
+
+    The "classifier" here is the reproducible stand-in for a trained
+    model: a fixed-weight linear scorer over the same features as
+    :func:`quality_score`, squashed by a logistic.  The stochastic
+    keep rule uses a deterministic md5 uniform per (seed, doc), so the
+    result is a pure projection — zero shuffles, identical on any
+    cluster size, and exactly re-expressible in the SQL oracle.
+    ``keep  iff  score > u ** alpha`` (u uniform): mirrors the paper's
+    Pareto-tail rule — almost always keeps score≈1 docs, keeps a
+    score-proportional sliver of the rest.
+    """
+    from fuel_spark.functions import det_key
+
+    t = F.col(text_col)
+    df = with_materialized(
+        df.select(F.col(id_col), t), "_w", words(t)
+    )
+    w = F.col("_w")
+    n_words = F.size(w).cast("double")
+    mean_wl = F.length(F.concat_ws("", w)).cast("double") / F.greatest(
+        F.size(w), F.lit(1)
+    )
+    alpha_ratio = (
+        F.length(F.regexp_replace(F.lower(t), "[^a-z]", "")).cast("double")
+        / F.greatest(F.length(t), F.lit(1))
+    )
+    stop_ratio = _stopword_hits(w, "en").cast("double") / F.greatest(
+        F.size(w), F.lit(1)
+    )
+    # fixed "trained" weights: prose-like docs (stopwords present,
+    # alpha-heavy, mid-length words) score high
+    z = (
+        F.lit(-3.0)
+        + F.lit(0.01) * F.least(n_words, F.lit(300.0))
+        + F.lit(4.0) * alpha_ratio
+        + F.lit(8.0) * stop_ratio
+        - F.lit(0.4) * F.abs(mean_wl - F.lit(5.0))
+    )
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    # deterministic uniform in [0,1): first 8 md5 hex digits / 2^32
+    u = (
+        F.conv(F.substring(det_key(seed, F.col(id_col)), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    return df.select(
+        F.col(id_col),
+        F.round(score, 6).alias("score"),
+        F.round(u, 6).alias("u"),
+        (F.round(score, 6) > F.pow(F.round(u, 6), F.lit(alpha))).alias("keep"),
+    )
+
+
+def length_histogram(
+    df: DataFrame, len_col: str = "n_chars", bucket: int = 50
+) -> DataFrame:
+    """Document-length histogram: counts per fixed-width length bucket
+    plus each bucket's share — the one-glance corpus shape check (and
+    the input to truncation/chunking policy decisions).
+
+    Map-side-combinable single shuffle over |buckets| groups; shares
+    divide exact BIGINTs.
+    """
+    from pyspark.sql import Window as W
+
+    b = (F.floor(F.col(len_col) / bucket) * bucket).cast("bigint")
+    h = df.groupBy(b.alias("bucket_lo")).agg(F.count(F.lit(1)).alias("n_docs"))
+    total = F.sum("n_docs").over(W.partitionBy())
+    return (
+        h.select(
+            "bucket_lo",
+            (F.col("bucket_lo") + bucket).alias("bucket_hi"),
+            "n_docs",
+            F.round(F.col("n_docs").cast("double") / total, 6).alias("share"),
+        )
+        .orderBy("bucket_lo")
     )

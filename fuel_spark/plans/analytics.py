@@ -1378,3 +1378,248 @@ def events_transitions(t: dict[str, DataFrame]) -> DataFrame:
             F.round(F.col("n") / F.col("_row_total"), 6).alias("p"),
         )
     )
+
+
+def events_pareto_share(t: dict[str, DataFrame], buckets: int = 10) -> DataFrame:
+    """Pareto concentration of event volume: rank users by activity,
+    bucket into deciles, report each decile's share and cumulative
+    share of all events (the "do 10% of users produce 80% of traffic"
+    readout).
+
+    One user-keyed count shuffle (map-side combinable), then the
+    windowing runs over |users| aggregate rows — ntile's global sort is
+    over the aggregate, not the fact table, and the final rollup is
+    |buckets| rows.  Shares are double divisions of exact BIGINT sums,
+    so they are bit-deterministic at any parallelism.  Ties order by
+    user_id for a stable decile assignment across engines.
+    """
+    from pyspark.sql import Window as W
+
+    e = t["events"]
+    per_user = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    ranked = per_user.withColumn(
+        "decile",
+        F.ntile(buckets).over(W.orderBy(F.desc("n_events"), F.asc("user_id"))),
+    )
+    by_decile = ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("n_events").alias("n_events"),
+    )
+    total = F.sum("n_events").over(W.partitionBy())
+    cum = F.sum("n_events").over(
+        W.orderBy("decile").rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        by_decile.select(
+            "decile",
+            "n_users",
+            "n_events",
+            F.round(F.col("n_events").cast("double") / total, 6).alias("share"),
+            F.round(cum.cast("double") / total, 6).alias("cum_share"),
+        )
+        .orderBy("decile")
+    )
+
+
+def events_interarrival(t: dict[str, DataFrame]) -> DataFrame:
+    """Inter-arrival time statistics per event type: how long between
+    consecutive events of the same type for the same user.
+
+    The lag window is partitioned by (user_id, event_type) — never
+    global — and the gap is computed on microsecond epochs as exact
+    BIGINTs, so the aggregate (decimal mean, interpolated median) is
+    bit-deterministic.  One window shuffle + one small agg shuffle.
+    """
+    from pyspark.sql import Window as W
+
+    e = t["events"]
+    us = F.unix_micros(F.col("ts"))
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gaps = (
+        e.select(
+            "event_type",
+            (us - F.lag(us).over(w)).alias("gap_us"),
+        )
+        .where(F.col("gap_us").isNotNull())
+    )
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.round(
+                F.sum(F.col("gap_us").cast(DEC)).cast("double")
+                / F.count(F.lit(1)) / F.lit(1_000_000.0),
+                6,
+            ).alias("avg_gap_s"),
+            F.round(
+                F.expr("percentile(gap_us, 0.5)") / 1e6, 6
+            ).alias("p50_gap_s"),
+            F.round(F.max("gap_us") / F.lit(1_000_000.0), 6).alias("max_gap_s"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def events_hourly_profile(t: dict[str, DataFrame]) -> DataFrame:
+    """Seasonality profile: event counts by (hour-of-day, type) with
+    each type's share of its hour — the load-shape primitive behind
+    capacity planning and anomaly baselines.
+
+    Single map-side-combinable rollup over a 24 x |types| output; the
+    share window runs over those aggregate rows only.  Shares divide
+    exact BIGINTs, bit-deterministic.
+    """
+    from pyspark.sql import Window as W
+
+    e = t["events"]
+    by_hour = e.groupBy(
+        F.hour("ts").alias("hour"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    hour_total = F.sum("n").over(W.partitionBy("hour"))
+    return (
+        by_hour.select(
+            "hour",
+            "event_type",
+            "n",
+            F.round(F.col("n").cast("double") / hour_total, 6).alias(
+                "share_of_hour"
+            ),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+def events_new_vs_returning(t: dict[str, DataFrame]) -> DataFrame:
+    """Daily new-vs-returning user split: for each activity day, how
+    many distinct users saw their first-ever event that day vs came
+    back.
+
+    Two user-keyed shuffles (first-seen min; distinct activity days),
+    then a join on the shared user_id partitioning — first_seen is a
+    per-user aggregate of the fact table (unbounded cardinality at
+    scale) so it is NEVER broadcast-hinted; AQE may still pick
+    broadcast when measured small.  Output is |days| rows; the day is
+    a yyyy-MM-dd STRING (same contract as events_daily_anomalies) so
+    date-vs-timestamp dtype skew between engines cannot trip the
+    driver's schema compare.
+    """
+    e = t["events"]
+    first_seen = e.groupBy("user_id").agg(
+        F.to_date(F.min("ts")).alias("first_day")
+    )
+    active = e.select("user_id", F.to_date("ts").alias("_day")).distinct()
+    return (
+        active.join(first_seen, "user_id")
+        .withColumn("is_new", (F.col("_day") == F.col("first_day")).cast("int"))
+        .groupBy(F.date_format("_day", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.sum("is_new").alias("new_users"),
+            F.sum(F.lit(1) - F.col("is_new")).alias("returning_users"),
+        )
+        .orderBy("day")
+    )
+
+
+def events_type_cooccurrence(t: dict[str, DataFrame]) -> DataFrame:
+    """Event-type co-occurrence: for each unordered pair of types, how
+    many users did both — the affinity matrix behind "users who X also
+    Y".
+
+    The self-join runs on the DISTINCT (user, type) projection — at
+    most |types| rows per user, not the raw event log — keyed on
+    user_id so both sides share one hash partitioning.  The a < b
+    predicate keeps each pair once.  Output is |types|² / 2 rows.
+    """
+    e = t["events"]
+    ut = e.select("user_id", "event_type").distinct()
+    a = ut.alias("a")
+    b = ut.alias("b")
+    return (
+        a.join(b, "user_id")
+        .where(F.col("a.event_type") < F.col("b.event_type"))
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("type_a", "type_b")
+    )
+
+
+def customer_ltv_deciles(t: dict[str, DataFrame], buckets: int = 10) -> DataFrame:
+    """Customer lifetime-value deciles: rank customers by total order
+    value, split into deciles, report each decile's size, revenue sum,
+    mean, and share of total — the standard LTV concentration report.
+
+    Revenue accumulates in exact DECIMAL, so every downstream double is
+    a single deterministic division.  ntile sorts the per-customer
+    aggregate (|customers| rows), never the fact table; ties break on
+    custkey for cross-engine stability.
+    """
+    from pyspark.sql import Window as W
+
+    o = t["orders"]
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).alias("ltv")
+    )
+    ranked = per_cust.withColumn(
+        "decile",
+        F.ntile(buckets).over(W.orderBy(F.desc("ltv"), F.asc("o_custkey"))),
+    )
+    by_decile = ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("ltv").alias("_rev"),
+    )
+    total = F.sum("_rev").over(W.partitionBy())
+    return (
+        by_decile.select(
+            "decile",
+            "n_customers",
+            F.round(F.col("_rev").cast("double"), 6).alias("revenue"),
+            F.round(
+                F.col("_rev").cast("double") / F.col("n_customers"), 6
+            ).alias("avg_ltv"),
+            F.round(
+                F.col("_rev").cast("double") / total.cast("double"), 6
+            ).alias("share"),
+        )
+        .orderBy("decile")
+    )
+
+
+def shipping_delay_stats(t: dict[str, DataFrame]) -> DataFrame:
+    """Fulfilment latency: order→ship delay distribution per order
+    priority (mean via exact decimal, interpolated median, max) plus
+    the slow fraction (shipped more than 90 days after the order).
+
+    The only join is the irreducible fact⋈fact orders⋈lineitem on
+    orderkey (same SMJ shape as Q3/Q12 — shared hash partitioning,
+    never broadcast); delays are integer day counts so every statistic
+    is deterministic at any parallelism.
+    """
+    l = t["lineitem"].select("l_orderkey", "l_shipdate")
+    o = t["orders"].select("o_orderkey", "o_orderdate", "o_orderpriority")
+    delay = F.datediff("l_shipdate", "o_orderdate")
+    j = l.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "o_orderpriority", delay.alias("delay_days")
+    )
+    late = F.when(F.col("delay_days") > 90, 1).otherwise(0)
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(F.col("delay_days").cast(DEC)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_delay_days"),
+            F.round(F.expr("percentile(delay_days, 0.5)"), 6).alias(
+                "p50_delay_days"
+            ),
+            F.max("delay_days").alias("max_delay_days"),
+            F.round(
+                F.sum(late).cast("double") / F.count(F.lit(1)), 6
+            ).alias("late_frac"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -1,0 +1,213 @@
+"""Behavioral tests for the round-3b reporting/filtering operators:
+event-stream concentration & seasonality reports, LTV deciles,
+fulfilment latency, C4 rule filters, the GPT-3-style quality
+classifier, lexical diversity, and embedding-norm extremes.
+
+Each test asserts an invariant a correct implementation cannot break
+(shares sum to 1, decile counts partition the population, flags imply
+keep=false, ranks are 1..k) rather than golden values — the exact
+values are pinned by the DuckDB oracle in the correctness gate.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from fuel_spark.ops import similarity, text as text_ops
+from fuel_spark.plans import analytics
+from fuel_spark.sources import load_tables
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def t(spark):
+    return load_tables(spark, SF)
+
+
+def test_pareto_share_partitions_population(t):
+    rows = analytics.events_pareto_share(t).collect()
+    assert [r.decile for r in rows] == list(range(1, len(rows) + 1))
+    total_events = t["events"].count()
+    total_users = t["events"].select("user_id").distinct().count()
+    assert sum(r.n_events for r in rows) == total_events
+    assert sum(r.n_users for r in rows) == total_users
+    # cumulative share is monotone and ends at 1; deciles are ranked by
+    # activity so the first decile holds the heaviest users
+    cums = [r.cum_share for r in rows]
+    assert cums == sorted(cums) and abs(cums[-1] - 1.0) < 1e-6
+    assert rows[0].n_events >= rows[-1].n_events
+
+
+def test_interarrival_gaps_positive_and_ordered(t):
+    rows = analytics.events_interarrival(t).collect()
+    assert rows, "expected at least one event type with repeat events"
+    for r in rows:
+        assert r.n_gaps > 0
+        assert 0 <= r.avg_gap_s <= r.max_gap_s
+        assert 0 <= r.p50_gap_s <= r.max_gap_s
+
+
+def test_hourly_profile_shares_sum_per_hour(t):
+    rows = analytics.events_hourly_profile(t).collect()
+    by_hour = {}
+    for r in rows:
+        assert 0 <= r.hour <= 23
+        by_hour.setdefault(r.hour, []).append(r.share_of_hour)
+    for hour, shares in by_hour.items():
+        assert abs(sum(shares) - 1.0) < 1e-5, hour
+
+
+def test_new_vs_returning_accounts_every_active_day(t):
+    rows = analytics.events_new_vs_returning(t).collect()
+    # every user is new on exactly one day
+    n_users = t["events"].select("user_id").distinct().count()
+    assert sum(r.new_users for r in rows) == n_users
+    active_days = (
+        t["events"]
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+        .count()
+    )
+    assert sum(r.new_users + r.returning_users for r in rows) == active_days
+    # first day has no returning users
+    assert rows[0].returning_users == 0
+
+
+def test_cooccurrence_pairs_are_canonical(t):
+    rows = analytics.events_type_cooccurrence(t).collect()
+    for r in rows:
+        assert r.type_a < r.type_b
+        assert r.n_users > 0
+    # a pair can never beat either type's own user count
+    per_type = dict(
+        t["events"]
+        .select("user_id", "event_type")
+        .distinct()
+        .groupBy("event_type")
+        .count()
+        .collect()
+    )
+    for r in rows:
+        assert r.n_users <= min(per_type[r.type_a], per_type[r.type_b])
+
+
+def test_ltv_deciles_concentrate_revenue(t):
+    rows = analytics.customer_ltv_deciles(t).collect()
+    assert [r.decile for r in rows] == list(range(1, len(rows) + 1))
+    n_cust = t["orders"].select("o_custkey").distinct().count()
+    assert sum(r.n_customers for r in rows) == n_cust
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-5
+    # ranked: decile 1's mean customer outspends the last decile's
+    assert rows[0].avg_ltv >= rows[-1].avg_ltv
+
+
+def test_shipping_delay_stats_sane(t):
+    rows = analytics.shipping_delay_stats(t).collect()
+    n_items = t["lineitem"].count()
+    assert sum(r.n_items for r in rows) == n_items
+    for r in rows:
+        assert r.avg_delay_days <= r.max_delay_days
+        assert 0.0 <= r.late_frac <= 1.0
+
+
+def test_c4_filters_flags_imply_drop(t):
+    d = t["documents"]
+    rows = text_ops.c4_filters(d, "doc_id", "text").collect()
+    assert len(rows) == d.count()
+    for r in rows:
+        flagged = (
+            r.too_short
+            or r.bad_word_len
+            or r.has_brace
+            or r.has_lorem
+            or r.low_alpha
+        )
+        assert r.keep == (not flagged)
+
+
+def test_c4_filters_catches_planted_boilerplate(spark):
+    from fuel_spark.sources import from_rows
+
+    docs = from_rows(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again today"),
+            (2, "short"),
+            (3, "function f() { return 1; } " * 5),
+            (4, "Lorem ipsum dolor sit amet " * 5),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in text_ops.c4_filters(docs, "doc_id", "text").collect()}
+    assert out[1].keep
+    assert out[2].too_short and not out[2].keep
+    assert out[3].has_brace and not out[3].keep
+    assert out[4].has_lorem and not out[4].keep
+
+
+def test_quality_classifier_keep_rule(t):
+    d = t["documents"]
+    rows = text_ops.quality_classifier(d, "doc_id", "text").collect()
+    assert len(rows) == d.count()
+    for r in rows:
+        assert 0.0 <= r.score <= 1.0 and 0.0 <= r.u < 1.0
+        assert r.keep == (r.score > r.u ** 9.0)
+    # the Pareto-tail rule keeps a nontrivial middle ground: some kept,
+    # and keeps must dominate drops in score on average
+    kept = [r.score for r in rows if r.keep]
+    dropped = [r.score for r in rows if not r.keep]
+    assert kept
+    if dropped:
+        assert sum(kept) / len(kept) > sum(dropped) / len(dropped)
+
+
+def test_quality_classifier_deterministic_across_runs(t):
+    d = t["documents"]
+    a = sorted(
+        text_ops.quality_classifier(d, "doc_id", "text").collect(),
+        key=lambda r: r.doc_id,
+    )
+    b = sorted(
+        text_ops.quality_classifier(d, "doc_id", "text").collect(),
+        key=lambda r: r.doc_id,
+    )
+    assert a == b
+
+
+def test_lexical_diversity_bounds(t):
+    d = t["documents"]
+    rows = text_ops.lexical_diversity(d, "doc_id", "text").collect()
+    assert len(rows) == d.count()
+    for r in rows:
+        assert r.n_distinct <= r.n_words
+        assert 0.0 <= r.ttr <= 1.0
+        assert 0.0 <= r.hapax_frac <= 1.0
+        # entropy of n_distinct symbols is at most log2(n_distinct)
+        if r.n_distinct:
+            assert -1e-6 <= r.entropy <= math.log2(r.n_distinct) + 1e-6
+
+
+def test_length_histogram_covers_corpus(t):
+    d = t["documents"]
+    rows = text_ops.length_histogram(d, "n_chars", 50).collect()
+    assert sum(r.n_docs for r in rows) == d.count()
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-5
+    for r in rows:
+        assert r.bucket_hi - r.bucket_lo == 50
+
+
+def test_norm_extremes_ranks_both_sides(t):
+    e = t["embeddings"]
+    rows = similarity.norm_extremes(e, "vec_id", "embedding", k=5).collect()
+    hi = sorted(
+        [r for r in rows if r.side == "high"], key=lambda r: r.rank
+    )
+    lo = sorted([r for r in rows if r.side == "low"], key=lambda r: r.rank)
+    assert [r.rank for r in hi] == [1, 2, 3, 4, 5]
+    assert [r.rank for r in lo] == [1, 2, 3, 4, 5]
+    # high side descends, low side ascends, and they do not cross
+    assert all(hi[i].vec_norm >= hi[i + 1].vec_norm for i in range(4))
+    assert all(lo[i].vec_norm <= lo[i + 1].vec_norm for i in range(4))
+    assert hi[-1].vec_norm >= lo[-1].vec_norm
