@@ -1296,6 +1296,63 @@ def q_norm_extremes(spark, sf):
     return similarity.norm_extremes(e, "vec_id", "embedding", k=10)
 
 
+def q_session_stats(spark, sf):
+    return analytics.events_session_stats(_t(spark, sf))
+
+
+def q_value_histogram(spark, sf):
+    return analytics.events_value_histogram(_t(spark, sf))
+
+
+def q_events_churn(spark, sf):
+    return analytics.events_churn(_t(spark, sf))
+
+
+def q_basket_pairs(spark, sf):
+    return analytics.basket_part_pairs(_t(spark, sf))
+
+
+def q_revenue_concentration(spark, sf):
+    return analytics.revenue_concentration(_t(spark, sf))
+
+
+def q_url_dedup(spark, sf):
+    """URL dedup over deterministically-injected messy URLs (the
+    corpus has no url column, so the query synthesizes the standard
+    crawl noise — scheme/www/trailing-slash/tracking-param/fragment
+    variants — exactly like redact_pii injects its PII)."""
+    d = _t(spark, sf)["documents"]
+    raw = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("http://")).otherwise(
+            F.lit("https://www.")
+        ),
+        F.col("source"),
+        F.lit(".example.com/items/"),
+        (F.col("doc_id") % 40).cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=feed&id="),
+        (F.col("doc_id") % 5).cast("string"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    docs = d.select("doc_id", raw.alias("url"))
+    return text_ops.url_dedup(docs, "doc_id", "url")
+
+
+def q_quality_by_source(spark, sf):
+    d = _t(spark, sf)["documents"]
+    return text_ops.quality_by_source(d, "doc_id", "text", "source", "lang")
+
+
+def q_doc_frequency(spark, sf):
+    d = _t(spark, sf)["documents"]
+    return text_ops.doc_frequency_ngrams(d, "doc_id", "text", n=2, top=20)
+
+
+def q_dim_stats(spark, sf):
+    e = _t(spark, sf)["embeddings"]
+    return similarity.dim_stats(e, "embedding")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry.  ORDERING IS DELIBERATE: the driver's
     correctness gate checks the FIRST 50 keys, so each round leads
@@ -1404,6 +1461,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_classifier": q_quality_classifier,
         "documents_length_histogram": q_length_histogram,
         "embedding_norm_extremes": q_norm_extremes,
+        "events_session_stats": q_session_stats,
+        "events_value_histogram": q_value_histogram,
+        "events_churn": q_events_churn,
+        "basket_part_pairs": q_basket_pairs,
+        "revenue_concentration": q_revenue_concentration,
+        "dedup_url": q_url_dedup,
+        "corpus_quality_by_source": q_quality_by_source,
+        "text_doc_frequency": q_doc_frequency,
+        "embedding_dim_stats": q_dim_stats,
         # rows-only (the driver records a weaker rows-only row; full
         # behavioral evidence lives in tests/)
         "multimodal_decode": q_multimodal,
@@ -3798,6 +3864,214 @@ def oracle_sql() -> dict[str, str]:
         SELECT bucket_lo, bucket_lo + 50 AS bucket_hi, n_docs,
                round(CAST(n_docs AS DOUBLE) / t.total, 6) AS share
         FROM h CROSS JOIN t ORDER BY bucket_lo
+    """
+
+    sqls["dedup_url"] = """
+        WITH raw AS (
+          SELECT doc_id,
+                 (CASE WHEN doc_id % 2 = 0 THEN 'http://'
+                       ELSE 'https://www.' END)
+                 || source || '.example.com/items/'
+                 || CAST(doc_id % 40 AS VARCHAR)
+                 || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
+                 || '?utm_source=feed&id=' || CAST(doc_id % 5 AS VARCHAR)
+                 || (CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END)
+                   AS url
+          FROM documents
+        ),
+        s1 AS (
+          SELECT doc_id,
+                 split_part(
+                   regexp_replace(
+                     regexp_replace(lower(trim(url)), '^https?://', ''),
+                     '^www\\.', ''),
+                   '#', 1) AS u
+          FROM raw
+        ),
+        s2 AS (
+          SELECT doc_id,
+                 regexp_replace(split_part(u, '?', 1), '/+$', '') AS path,
+                 array_to_string(
+                   list_sort(list_filter(
+                     string_split(split_part(u, '?', 2), '&'),
+                     p -> NOT (starts_with(p, 'utm_')
+                               OR starts_with(p, 'fbclid=')
+                               OR starts_with(p, 'gclid=')
+                               OR p = ''))),
+                   '&') AS qs
+          FROM s1
+        ),
+        canon AS (
+          SELECT doc_id,
+                 CASE WHEN qs = '' THEN path
+                      ELSE path || '?' || qs END AS canonical_url
+          FROM s2
+        ),
+        keep AS (SELECT canonical_url, min(doc_id) AS keep_id
+                 FROM canon GROUP BY 1)
+        SELECT c.doc_id, c.canonical_url,
+               (c.doc_id <> k.keep_id) AS is_dup
+        FROM canon c JOIN keep k USING (canonical_url)
+    """
+
+    sqls["corpus_quality_by_source"] = f"""
+        WITH d AS (SELECT doc_id, source, lang, text, {w} AS w
+                   FROM documents),
+        f AS (
+          SELECT source, lang,
+            CAST(len(w) AS BIGINT) AS n_words,
+            CAST(COALESCE(list_sum(list_transform(w, x -> length(x))), 0)
+                 AS DOUBLE) / greatest(len(w), 1) AS mwl,
+            CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                 AS DOUBLE) / greatest(length(text), 1) AS ar,
+            contains(lower(text), '{{') OR contains(lower(text), '}}')
+              AS has_brace,
+            contains(lower(text), 'lorem ipsum') AS has_lorem
+          FROM d
+        ),
+        k AS (
+          SELECT source, lang, n_words,
+                 NOT ((n_words < 10) OR NOT (mwl >= 3.0 AND mwl <= 10.0)
+                      OR has_brace OR has_lorem OR (ar < 0.6)) AS keep
+          FROM f
+        )
+        SELECT source, lang, count(*) AS n_docs,
+               round(CAST(sum(CAST(n_words AS DECIMAL(27,6))) AS DOUBLE)
+                     / count(*), 6) AS avg_words,
+               round(CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
+                     / count(*), 6) AS keep_frac
+        FROM k GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+    sqls["text_doc_frequency"] = f"""
+        WITH d AS (SELECT doc_id, {w} AS w FROM documents),
+        g AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   generate_series(1, greatest(len(w) - 1, 1)),
+                   i -> array_to_string(w[i:i+1], ' '))) AS grams
+          FROM d
+        ),
+        t AS (SELECT count(*) AS n_docs FROM documents),
+        x AS (SELECT unnest(grams) AS ngram FROM g),
+        c AS (SELECT ngram, count(*) AS n_docs_containing
+              FROM x GROUP BY 1)
+        SELECT ngram, n_docs_containing,
+               round(CAST(n_docs_containing AS DOUBLE) / t.n_docs, 6)
+                 AS doc_frac
+        FROM c CROSS JOIN t
+        ORDER BY n_docs_containing DESC, ngram LIMIT 20
+    """
+
+    sqls["embedding_dim_stats"] = """
+        WITH e AS (
+          SELECT i - 1 AS dim,
+                 CAST(round(CAST(embedding[i] AS DOUBLE), 6)
+                      AS DECIMAL(27,6)) AS v
+          FROM embeddings,
+               LATERAL (SELECT unnest(generate_series(1, len(embedding)))
+                        AS i) u
+        )
+        SELECT CAST(dim AS INT) AS dim, count(*) AS n,
+               round(CAST(min(v) AS DOUBLE), 6) AS min_v,
+               round(CAST(max(v) AS DOUBLE), 6) AS max_v,
+               round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS mean_v
+        FROM e GROUP BY 1 ORDER BY 1
+    """
+
+    sqls["events_session_stats"] = """
+        WITH e AS (SELECT user_id, epoch_us(ts) // 1000000 AS sec FROM events),
+        g AS (
+          SELECT user_id, sec,
+            CASE WHEN lag(sec) OVER w IS NULL OR sec - lag(sec) OVER w > 1800
+                 THEN 1 ELSE 0 END AS new_s
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec)
+        ),
+        s AS (
+          SELECT user_id, sec,
+            CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY sec
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+          FROM g
+        ),
+        sess AS (
+          SELECT user_id, session_seq, count(*) AS n_events,
+                 max(sec) - min(sec) AS duration_sec
+          FROM s GROUP BY 1, 2
+        )
+        SELECT count(*) AS n_sessions,
+               round(CAST(sum(CAST(n_events AS DECIMAL(27,6))) AS DOUBLE)
+                     / count(*), 6) AS avg_events_per_session,
+               round(CAST(sum(CAST(duration_sec AS DECIMAL(27,6))) AS DOUBLE)
+                     / count(*), 6) AS avg_duration_sec,
+               round(quantile_cont(duration_sec, 0.5), 6)
+                 AS p50_duration_sec,
+               round(CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                          AS DOUBLE) / count(*), 6) AS bounce_rate
+        FROM sess
+    """
+
+    sqls["events_value_histogram"] = """
+        SELECT event_type,
+               CAST(floor(value / 10.0) * 10.0 AS DOUBLE) AS bucket_lo,
+               count(*) AS n,
+               round(CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE), 6)
+                 AS sum_value
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+    sqls["events_churn"] = """
+        WITH h AS (SELECT CAST(max(ts) AS DATE) AS dmax FROM events),
+        t2 AS (
+          SELECT DISTINCT user_id,
+                 (date_diff('day', CAST(ts AS DATE), h.dmax) < 10) AS recent
+          FROM events CROSS JOIN h
+          WHERE date_diff('day', CAST(ts AS DATE), h.dmax) < 20
+        ),
+        f AS (
+          SELECT user_id,
+                 max(CASE WHEN recent THEN 1 ELSE 0 END) AS in_recent,
+                 max(CASE WHEN NOT recent THEN 1 ELSE 0 END) AS in_prior
+          FROM t2 GROUP BY 1
+        ),
+        agg AS (
+          SELECT CAST(sum(in_prior) AS BIGINT) AS n_prior,
+                 CAST(sum(CASE WHEN in_prior = 1 AND in_recent = 1
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+                 CAST(sum(CASE WHEN in_prior = 1 AND in_recent = 0
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_churned,
+                 CAST(sum(CASE WHEN in_prior = 0 AND in_recent = 1
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+          FROM f
+        )
+        SELECT n_prior, n_retained, n_churned, n_new,
+               round(CAST(n_churned AS DOUBLE) / greatest(n_prior, 1), 6)
+                 AS churn_rate
+        FROM agg
+    """
+
+    sqls["basket_part_pairs"] = """
+        WITH l AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               count(*) AS n_orders
+        FROM l a JOIN l b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        ORDER BY n_orders DESC, part_a, part_b LIMIT 20
+    """
+
+    sqls["revenue_concentration"] = """
+        WITH pc AS (SELECT o_custkey,
+                           sum(CAST(o_totalprice AS DECIMAL(27,6))) AS ltv
+                    FROM orders GROUP BY 1),
+        r AS (SELECT ltv,
+                     row_number() OVER (ORDER BY ltv ASC, o_custkey) AS i
+              FROM pc)
+        SELECT count(*) AS n_customers,
+               round(CAST(sum(ltv) AS DOUBLE), 6) AS total_revenue,
+               round(2.0 * CAST(sum(ltv * i) AS DOUBLE)
+                     / (count(*) * CAST(sum(ltv) AS DOUBLE))
+                     - (count(*) + 1.0) / count(*), 6) AS gini
+        FROM r
     """
 
     sqls["embedding_norm_extremes"] = f"""

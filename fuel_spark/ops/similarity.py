@@ -898,3 +898,38 @@ def norm_extremes(
         .withColumn("rank", F.row_number().over(rank))
         .select("side", "rank", id_col, "vec_norm")
     )
+
+
+def dim_stats(
+    df: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-dimension embedding profile: min / max / exact-decimal mean
+    for every coordinate — the column-profiler analogue for vector
+    columns (dead dimensions, scale skew, and clipped values show up
+    here before they poison distance metrics).
+
+    posexplode streams |rows| x dim values into one map-side-combinable
+    rollup keyed by the dimension index; per-value rounding before the
+    DECIMAL sum keeps the means bit-deterministic at any parallelism
+    (same contract as label_centroids).
+    """
+    vals = ensure_parallelism(df.select(vec_col)).select(
+        F.posexplode(vec_col).alias("dim", "_v")
+    ).select(
+        "dim",
+        F.round(F.col("_v").cast("double"), 6)
+        .cast("decimal(27,6)")
+        .alias("v"),
+    )
+    return (
+        vals.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("v").cast("double"), 6).alias("min_v"),
+            F.round(F.max("v").cast("double"), 6).alias("max_v"),
+            F.round(
+                F.sum("v").cast("double") / F.count(F.lit(1)), 6
+            ).alias("mean_v"),
+        )
+        .orderBy("dim")
+    )

@@ -1099,3 +1099,133 @@ def length_histogram(
         )
         .orderBy("bucket_lo")
     )
+
+
+def canonical_url(url) -> F.Column:
+    """Canonicalize a URL column: lowercase; drop scheme, ``www.``,
+    fragment, tracking parameters (utm_*/fbclid/gclid); sort the
+    surviving query params; trim trailing slashes.  Pure per-row
+    string expressions — zero shuffle, and exactly re-expressible in
+    the SQL oracle.
+    """
+    u = F.lower(F.trim(url))
+    u = F.regexp_replace(u, "^https?://", "")
+    u = F.regexp_replace(u, "^www\\.", "")
+    u = F.split_part(u, F.lit("#"), F.lit(1))
+    path = F.regexp_replace(F.split_part(u, F.lit("?"), F.lit(1)), "/+$", "")
+    qs = F.split_part(u, F.lit("?"), F.lit(2))
+    params = F.array_sort(
+        F.filter(
+            F.split(qs, "&"),
+            lambda p: ~(
+                p.startswith("utm_")
+                | p.startswith("fbclid=")
+                | p.startswith("gclid=")
+                | (p == "")
+            ),
+        )
+    )
+    joined = F.array_join(params, "&")
+    return F.when(joined == "", path).otherwise(
+        F.concat(path, F.lit("?"), joined)
+    )
+
+
+def url_dedup(df: DataFrame, id_col: str, url_col: str) -> DataFrame:
+    """URL-level exact dedup after canonicalization — the standard
+    crawl-corpus first pass (the same page arrives as http/https,
+    with/without www, with tracking params, trailing slash, fragment).
+
+    Canonicalization is a projection; the keeper rule is min(id) per
+    canonical URL — one 8-byte-key map-side-combinable shuffle, the
+    same scale shape as ``exact_dedup``.
+    Output: id, canonical_url, is_dup (true for every non-keeper).
+    """
+    canon = df.select(
+        F.col(id_col), canonical_url(F.col(url_col)).alias("canonical_url")
+    )
+    keepers = canon.groupBy("canonical_url").agg(
+        F.min(id_col).alias("_keep_id")
+    )
+    return (
+        canon.join(keepers, "canonical_url")
+        .select(
+            F.col(id_col),
+            "canonical_url",
+            (F.col(id_col) != F.col("_keep_id")).alias("is_dup"),
+        )
+    )
+
+
+def quality_by_source(df: DataFrame, id_col: str, text_col: str,
+                      *strata: str) -> DataFrame:
+    """Per-stratum corpus-quality rollup: document counts, mean length,
+    and the fraction surviving the C4 rule filters — the
+    which-source-is-dirty dashboard that decides mixture weights.
+
+    Composes :func:`c4_filters` (zero-shuffle projection) with one
+    map-side-combinable rollup over |strata| groups.
+    """
+    flags = c4_filters(df, id_col, text_col).select(
+        id_col, "n_words", "keep"
+    )
+    back = df.select(F.col(id_col), *[F.col(s) for s in strata])
+    return (
+        back.join(flags, id_col)
+        .groupBy(*strata)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.sum(F.col("n_words").cast("decimal(27,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_words"),
+            F.round(
+                F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("keep_frac"),
+        )
+        .orderBy(*strata)
+    )
+
+
+def doc_frequency_ngrams(
+    df: DataFrame, id_col: str, text_col: str, n: int = 2, top: int = 20
+) -> DataFrame:
+    """Highest document-frequency n-grams: the fraction of documents
+    containing each n-gram — high-DF n-grams are boilerplate/template
+    candidates (the signal `ngram_counts` term frequency misses, since
+    one spammy doc can dominate TF).
+
+    One tokenize pass; per-doc n-gram sets (array_distinct) so each doc
+    votes once; corpus size rides as a broadcast 1-row relation; top-k
+    is TakeOrdered with a full tiebreak.
+    """
+    d = ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
+    d = with_materialized(d, "_w", words(F.col(text_col)))
+    grams = F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, greatest(size(_w) - {n - 1}, 1)),"
+            f" i -> array_join(slice(_w, i, {n}), ' '))"
+        )
+    )
+    n_docs = d.select(F.count(F.lit(1)).alias("_n_docs"))
+    dfreq = (
+        d.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n_docs_containing"))
+    )
+    return (
+        dfreq.crossJoin(F.broadcast(n_docs))
+        .select(
+            "ngram",
+            "n_docs_containing",
+            F.round(
+                F.col("n_docs_containing").cast("double") / F.col("_n_docs"),
+                6,
+            ).alias("doc_frac"),
+        )
+        .orderBy(F.desc("n_docs_containing"), F.asc("ngram"))
+        .limit(top)
+    )

@@ -1623,3 +1623,179 @@ def shipping_delay_stats(t: dict[str, DataFrame]) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+def events_session_stats(
+    t: dict[str, DataFrame], gap_minutes: int = 30
+) -> DataFrame:
+    """Session-quality rollup over the gap-based sessionization: how
+    many sessions, how long, how deep, and what fraction bounce
+    (single-event sessions) — the engagement-health one-liner.
+
+    Reuses the sessionize plan (one user-keyed window shuffle) and
+    reduces its per-session rows to a single global row; means divide
+    exact sums, the median is interpolated over integer seconds.
+    """
+    sess = events_sessionize(t, gap_minutes=gap_minutes)
+    return sess.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.round(
+            F.sum(F.col("n_events").cast(DEC)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_events_per_session"),
+        F.round(
+            F.sum(F.col("duration_sec").cast(DEC)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_duration_sec"),
+        F.round(F.expr("percentile(duration_sec, 0.5)"), 6).alias(
+            "p50_duration_sec"
+        ),
+        F.round(
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+            .cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("bounce_rate"),
+    )
+
+
+def events_value_histogram(
+    t: dict[str, DataFrame], width: float = 10.0
+) -> DataFrame:
+    """Per-type value histogram in fixed-width buckets with exact
+    bucket revenue — the distribution behind the quantile readouts.
+
+    Single map-side-combinable rollup over |types| x |buckets| groups;
+    bucket assignment is per-row arithmetic (identical fp ops in both
+    engines), revenue accumulates in exact decimal.
+    """
+    e = t["events"]
+    lo = (F.floor(F.col("value") / width) * width).cast("double")
+    return (
+        e.groupBy("event_type", lo.alias("bucket_lo"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast(DEC)).cast("double"), 6).alias(
+                "sum_value"
+            ),
+        )
+        .orderBy("event_type", "bucket_lo")
+    )
+
+
+def events_churn(t: dict[str, DataFrame], window_days: int = 10) -> DataFrame:
+    """Window-over-window churn: users active in the prior window who
+    did (retained) or did not (churned) come back in the most recent
+    window, plus the users the recent window gained (new).
+
+    The corpus horizon (max day) rides along as a broadcast 1-row
+    relation — no driver pass; the two activity sets are one distinct
+    (user, window) projection wide, full-outer-joined on the shared
+    user_id partitioning.  Output is a single row.
+    """
+    e = t["events"]
+    horizon = e.agg(F.to_date(F.max("ts")).alias("_d_max"))
+    tagged = (
+        e.select("user_id", F.to_date("ts").alias("_day"))
+        .crossJoin(F.broadcast(horizon))
+        .withColumn("_age", F.datediff("_d_max", "_day"))
+        .where(F.col("_age") < 2 * window_days)
+        .select(
+            "user_id",
+            (F.col("_age") < window_days).alias("_recent"),
+        )
+        .distinct()
+    )
+    flags = tagged.groupBy("user_id").agg(
+        F.max(F.when(F.col("_recent"), 1).otherwise(0)).alias("in_recent"),
+        F.max(F.when(~F.col("_recent"), 1).otherwise(0)).alias("in_prior"),
+    )
+    return flags.agg(
+        F.sum("in_prior").alias("n_prior"),
+        F.sum(
+            F.when((F.col("in_prior") == 1) & (F.col("in_recent") == 1), 1)
+            .otherwise(0)
+        ).alias("n_retained"),
+        F.sum(
+            F.when((F.col("in_prior") == 1) & (F.col("in_recent") == 0), 1)
+            .otherwise(0)
+        ).alias("n_churned"),
+        F.sum(
+            F.when((F.col("in_prior") == 0) & (F.col("in_recent") == 1), 1)
+            .otherwise(0)
+        ).alias("n_new"),
+    ).select(
+        "n_prior",
+        "n_retained",
+        "n_churned",
+        "n_new",
+        F.round(
+            F.col("n_churned").cast("double")
+            / F.greatest(F.col("n_prior"), F.lit(1)),
+            6,
+        ).alias("churn_rate"),
+    )
+
+
+def basket_part_pairs(t: dict[str, DataFrame], top: int = 20) -> DataFrame:
+    """Market-basket affinity: the part pairs most often ordered
+    together, counted over distinct parts per order.
+
+    The self-join runs on the DISTINCT (order, part) projection keyed
+    by orderkey — both sides share one hash partitioning, and per-order
+    expansion is bounded by the lines-per-order cap (TPC-H ≤ 7), so the
+    pair stream is a small constant factor of the fact table, never
+    quadratic.  Top-k is TakeOrdered (no global sort materializes).
+    """
+    l = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
+    a = l.alias("a")
+    b = l.alias("b")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return pairs.orderBy(
+        F.desc("n_orders"), F.asc("part_a"), F.asc("part_b")
+    ).limit(top)
+
+
+def revenue_concentration(t: dict[str, DataFrame]) -> DataFrame:
+    """Gini coefficient of customer revenue concentration (plus the
+    top-decile share) — the one-number inequality readout over the
+    LTV distribution.
+
+    Gini over the per-customer aggregate via the rank identity
+    G = (2·Σ i·x_i) / (n·Σ x) − (n+1)/n with x ascending: one
+    user-keyed aggregate shuffle, one window over |customers| rows,
+    exact decimal sums — every double is a final division.
+    """
+    from pyspark.sql import Window as W
+
+    o = t["orders"]
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).alias("ltv")
+    )
+    ranked = per_cust.withColumn(
+        "i", F.row_number().over(W.orderBy(F.asc("ltv"), F.asc("o_custkey")))
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("ltv").alias("_tot"),
+        F.sum(F.col("ltv") * F.col("i")).alias("_wsum"),
+    ).select(
+        "n_customers",
+        F.round(F.col("_tot").cast("double"), 6).alias("total_revenue"),
+        F.round(
+            F.lit(2.0) * F.col("_wsum").cast("double")
+            / (F.col("n_customers") * F.col("_tot").cast("double"))
+            - (F.col("n_customers") + F.lit(1.0)) / F.col("n_customers"),
+            6,
+        ).alias("gini"),
+    )

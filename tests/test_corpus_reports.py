@@ -211,3 +211,110 @@ def test_norm_extremes_ranks_both_sides(t):
     assert all(hi[i].vec_norm >= hi[i + 1].vec_norm for i in range(4))
     assert all(lo[i].vec_norm <= lo[i + 1].vec_norm for i in range(4))
     assert hi[-1].vec_norm >= lo[-1].vec_norm
+
+
+def test_session_stats_consistent_with_sessionize(t):
+    row = analytics.events_session_stats(t).collect()[0]
+    sess = analytics.events_sessionize(t).collect()
+    assert row.n_sessions == len(sess)
+    assert row.avg_events_per_session >= 1.0
+    assert 0.0 <= row.bounce_rate <= 1.0
+    assert row.p50_duration_sec >= 0.0
+
+
+def test_value_histogram_partitions_events(t):
+    rows = analytics.events_value_histogram(t).collect()
+    assert sum(r.n for r in rows) == t["events"].count()
+    for r in rows:
+        # every event in the bucket lies in [bucket_lo, bucket_lo + 10)
+        assert r.bucket_lo % 10 == 0 or r.bucket_lo == int(r.bucket_lo)
+
+
+def test_churn_partitions_prior_window(t):
+    row = analytics.events_churn(t).collect()[0]
+    assert row.n_retained + row.n_churned == row.n_prior
+    assert 0.0 <= row.churn_rate <= 1.0
+
+
+def test_basket_pairs_canonical_and_bounded(t):
+    rows = analytics.basket_part_pairs(t, top=10).collect()
+    assert len(rows) <= 10
+    n_orders = t["lineitem"].select("l_orderkey").distinct().count()
+    for r in rows:
+        assert r.part_a < r.part_b
+        assert 0 < r.n_orders <= n_orders
+    counts = [r.n_orders for r in rows]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_gini_bounds_and_total(t):
+    row = analytics.revenue_concentration(t).collect()[0]
+    assert 0.0 <= row.gini < 1.0
+    exact_total = (
+        t["orders"]
+        .agg(F.round(F.sum(F.col("o_totalprice").cast("decimal(27,6)"))
+                     .cast("double"), 6))
+        .collect()[0][0]
+    )
+    assert abs(row.total_revenue - exact_total) < 1e-3
+
+
+def test_url_dedup_canonicalization(spark):
+    from fuel_spark.sources import from_rows
+
+    docs = from_rows(
+        spark,
+        [
+            (1, "https://www.Example.com/a/b/?utm_source=x&q=1#frag"),
+            (2, "http://example.com/a/b?q=1"),
+            (3, "https://example.com/a/b?q=2"),
+        ],
+        "doc_id bigint, url string",
+    )
+    out = {r.doc_id: r for r in text_ops.url_dedup(docs, "doc_id", "url").collect()}
+    # 1 and 2 collapse to the same canonical url; 3 differs by param
+    assert out[1].canonical_url == out[2].canonical_url == "example.com/a/b?q=1"
+    assert not out[1].is_dup and out[2].is_dup
+    assert out[3].canonical_url == "example.com/a/b?q=2" and not out[3].is_dup
+
+
+def test_quality_by_source_covers_corpus(t):
+    rows = text_ops.quality_by_source(
+        t["documents"], "doc_id", "text", "source", "lang"
+    ).collect()
+    assert sum(r.n_docs for r in rows) == t["documents"].count()
+    for r in rows:
+        assert 0.0 <= r.keep_frac <= 1.0 and r.avg_words > 0
+
+
+def test_doc_frequency_counts_docs_once(spark):
+    from fuel_spark.sources import from_rows
+
+    docs = from_rows(
+        spark,
+        [
+            (1, "spark query engine spark query engine"),
+            (2, "spark query plans"),
+            (3, "unrelated words here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r.ngram: r
+        for r in text_ops.doc_frequency_ngrams(
+            docs, "doc_id", "text", n=2, top=50
+        ).collect()
+    }
+    # "spark query" appears twice in doc 1 but counts once per doc
+    assert out["spark query"].n_docs_containing == 2
+    assert abs(out["spark query"].doc_frac - 2 / 3) < 1e-5
+
+
+def test_dim_stats_bounds(t):
+    rows = similarity.dim_stats(t["embeddings"], "embedding").collect()
+    n_vecs = t["embeddings"].count()
+    dims = [r.dim for r in rows]
+    assert dims == list(range(len(rows)))
+    for r in rows:
+        assert r.n == n_vecs
+        assert r.min_v <= r.mean_v <= r.max_v
