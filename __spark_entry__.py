@@ -1353,6 +1353,41 @@ def q_dim_stats(spark, sf):
     return similarity.dim_stats(e, "embedding")
 
 
+def q_ab_test(spark, sf):
+    return analytics.events_ab_test(_t(spark, sf))
+
+
+def q_monthly_growth(spark, sf):
+    return analytics.orders_monthly_growth(_t(spark, sf))
+
+
+def q_user_paths(spark, sf):
+    return analytics.events_user_path_topk(_t(spark, sf))
+
+
+def q_order_gaps(spark, sf):
+    return analytics.customer_order_gaps(_t(spark, sf))
+
+
+def q_part_price_stats(spark, sf):
+    return analytics.part_price_stats(_t(spark, sf))
+
+
+def q_dup_rate_by_source(spark, sf):
+    d = _t(spark, sf)["documents"]
+    return text_ops.dup_rate_by_source(d, "text", "source")
+
+
+def q_shingle_uniqueness(spark, sf):
+    d = _t(spark, sf)["documents"]
+    return text_ops.shingle_uniqueness(d, "doc_id", "text", k=5)
+
+
+def q_adjacent_cosine(spark, sf):
+    e = _t(spark, sf)["embeddings"]
+    return similarity.adjacent_cosine_histogram(e, "vec_id", "embedding")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry.  ORDERING IS DELIBERATE: the driver's
     correctness gate checks the FIRST 50 keys, so each round leads
@@ -1470,6 +1505,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_quality_by_source": q_quality_by_source,
         "text_doc_frequency": q_doc_frequency,
         "embedding_dim_stats": q_dim_stats,
+        "events_ab_test": q_ab_test,
+        "orders_monthly_growth": q_monthly_growth,
+        "events_user_path_topk": q_user_paths,
+        "customer_order_gaps": q_order_gaps,
+        "part_price_stats": q_part_price_stats,
+        "dedup_rate_by_source": q_dup_rate_by_source,
+        "text_shingle_uniqueness": q_shingle_uniqueness,
+        "embedding_adjacent_cosine": q_adjacent_cosine,
         # rows-only (the driver records a weaker rows-only row; full
         # behavioral evidence lives in tests/)
         "multimodal_decode": q_multimodal,
@@ -3864,6 +3907,117 @@ def oracle_sql() -> dict[str, str]:
         SELECT bucket_lo, bucket_lo + 50 AS bucket_hi, n_docs,
                round(CAST(n_docs AS DOUBLE) / t.total, 6) AS share
         FROM h CROSS JOIN t ORDER BY bucket_lo
+    """
+
+    sqls["events_ab_test"] = """
+        WITH pu AS (
+          SELECT CASE WHEN CAST(CAST(concat('0x', substring(
+                   md5(concat('exp1', '-', CAST(user_id AS VARCHAR))), 1, 6))
+                 AS UBIGINT) AS BIGINT) % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+                 user_id,
+                 count(*) AS n_ev,
+                 max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted,
+                 sum(CAST(value AS DECIMAL(27,6))) AS val
+          FROM events GROUP BY 1, 2
+        )
+        SELECT arm, count(*) AS n_users,
+               CAST(sum(n_ev) AS BIGINT) AS n_events,
+               round(CAST(sum(converted) AS DOUBLE) / count(*), 6)
+                 AS conversion,
+               round(CAST(sum(val) AS DOUBLE), 6) AS total_value
+        FROM pu GROUP BY 1 ORDER BY 1
+    """
+
+    sqls["orders_monthly_growth"] = """
+        WITH m AS (
+          SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                 count(*) AS n_orders,
+                 round(CAST(sum(CAST(o_totalprice AS DECIMAL(27,6)))
+                            AS DOUBLE), 6) AS revenue
+          FROM orders GROUP BY 1
+        )
+        SELECT month, n_orders, revenue,
+               CASE WHEN lag(revenue) OVER (ORDER BY month) IS NULL
+                    THEN NULL
+                    ELSE round((revenue - lag(revenue) OVER (ORDER BY month))
+                               / lag(revenue) OVER (ORDER BY month), 6)
+               END AS mom_growth
+        FROM m ORDER BY month
+    """
+
+    sqls["events_user_path_topk"] = """
+        WITH s AS (
+          SELECT lag(event_type, 2) OVER w AS step1,
+                 lag(event_type, 1) OVER w AS step2,
+                 event_type AS step3
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT step1, step2, step3, count(*) AS n
+        FROM s WHERE step1 IS NOT NULL
+        GROUP BY 1, 2, 3
+        ORDER BY n DESC, step1, step2, step3 LIMIT 15
+    """
+
+    sqls["customer_order_gaps"] = """
+        WITH g AS (
+          SELECT o_custkey,
+                 date_diff('day', lag(o_orderdate) OVER w, o_orderdate)
+                   AS gap_days
+          FROM orders
+          WINDOW w AS (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey)
+        ),
+        gg AS (SELECT c.c_mktsegment, g.gap_days
+               FROM g JOIN customer c ON g.o_custkey = c.c_custkey
+               WHERE g.gap_days IS NOT NULL)
+        SELECT c_mktsegment, count(*) AS n_gaps,
+               round(CAST(sum(CAST(gap_days AS DECIMAL(27,6))) AS DOUBLE)
+                     / count(*), 6) AS avg_gap_days,
+               round(quantile_cont(gap_days, 0.5), 6) AS p50_gap_days
+        FROM gg GROUP BY 1 ORDER BY 1
+    """
+
+    sqls["part_price_stats"] = """
+        SELECT p_brand, count(*) AS n_parts,
+               count(DISTINCT p_type) AS n_types,
+               round(min(p_retailprice), 6) AS min_price,
+               round(max(p_retailprice), 6) AS max_price,
+               round(CAST(sum(CAST(p_retailprice AS DECIMAL(27,6)))
+                          AS DOUBLE) / count(*), 6) AS avg_price
+        FROM part GROUP BY 1 ORDER BY 1
+    """
+
+    sqls["dedup_rate_by_source"] = """
+        SELECT source, count(*) AS n_docs,
+               count(DISTINCT md5(text)) AS n_unique,
+               round(1.0 - CAST(count(DISTINCT md5(text)) AS DOUBLE)
+                     / count(*), 6) AS dup_rate
+        FROM documents GROUP BY 1 ORDER BY 1
+    """
+
+    sqls["text_shingle_uniqueness"] = f"""
+        SELECT doc_id,
+               CAST(greatest(length({_norm_sql('text')}) - 4, 1) AS BIGINT)
+                 AS n_shingles,
+               CAST(len({_shingles_sql('text')}) AS BIGINT)
+                 AS n_distinct_shingles,
+               round(CAST(len({_shingles_sql('text')}) AS DOUBLE)
+                     / greatest(length({_norm_sql('text')}) - 4, 1), 6)
+                 AS uniqueness
+        FROM documents
+    """
+
+    _adj_cos = _cos_sql("a.embedding", "b.embedding")
+    sqls["embedding_adjacent_cosine"] = f"""
+        WITH p AS (
+          SELECT round({_adj_cos}, 6) AS c
+          FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+        )
+        SELECT round(floor(c / 0.1) * 0.1, 6) AS bucket_lo,
+               count(*) AS n_pairs
+        FROM p GROUP BY 1 ORDER BY 1
     """
 
     sqls["dedup_url"] = """

@@ -933,3 +933,33 @@ def dim_stats(
         )
         .orderBy("dim")
     )
+
+
+def adjacent_cosine_histogram(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket: float = 0.1,
+) -> DataFrame:
+    """Embedding-space health histogram: cosine similarity between
+    id-adjacent vectors (a deterministic linear sample of pairs — no
+    quadratic stage), bucketed into fixed-width bins.
+
+    A healthy unstructured space concentrates near 0; a collapsed
+    encoder (all vectors alike) pushes mass to 1.  One self-join on
+    the shifted id — both sides share the id partitioning — then a
+    |buckets|-row rollup.
+    """
+    a = df.select(F.col(id_col).alias("_ida"), F.col(vec_col).alias("va"))
+    b = df.select(
+        (F.col(id_col) - 1).alias("_ida"), F.col(vec_col).alias("vb")
+    )
+    cos = F.round(cosine_expr("va", "vb"), 6)
+    lo = (F.floor(cos / bucket) * bucket).cast("double")
+    return (
+        a.join(b, "_ida")
+        .select(F.round(lo, 6).alias("bucket_lo"))
+        .groupBy("bucket_lo")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("bucket_lo")
+    )

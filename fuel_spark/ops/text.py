@@ -1229,3 +1229,56 @@ def doc_frequency_ngrams(
         .orderBy(F.desc("n_docs_containing"), F.asc("ngram"))
         .limit(top)
     )
+
+
+def dup_rate_by_source(
+    df: DataFrame, text_col: str, *strata: str
+) -> DataFrame:
+    """Exact-duplicate rate per stratum: distinct text digests vs doc
+    count — the quick which-feed-is-replaying screen before the heavier
+    near-dup passes.
+
+    The digest is 16 bytes per row on the wire (md5), one map-side-
+    combinable rollup per stratum.
+    """
+    d = df.select(*[F.col(s) for s in strata], F.md5(F.col(text_col)).alias("_h"))
+    return (
+        d.groupBy(*strata)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("_h").alias("n_unique"),
+        )
+        .select(
+            *strata,
+            "n_docs",
+            "n_unique",
+            F.round(
+                F.lit(1.0)
+                - F.col("n_unique").cast("double") / F.col("n_docs"),
+                6,
+            ).alias("dup_rate"),
+        )
+        .orderBy(*strata)
+    )
+
+
+def shingle_uniqueness(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5
+) -> DataFrame:
+    """Per-document shingle-uniqueness ratio: distinct char-k-shingles
+    over total shingle positions — a repetitiveness signal in the
+    Gopher family (templated/looping text scores low) that reuses the
+    dedup pipeline's exact shingle definition.
+
+    Pure projection over one normalized materialization; zero shuffle.
+    """
+    d = ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
+    d = with_materialized(d, "_norm", norm_text(F.col(text_col)))
+    total = F.greatest(F.length("_norm") - (k - 1), F.lit(1)).cast("bigint")
+    distinct = F.size(shingles_over_norm("_norm", k)).cast("bigint")
+    return d.select(
+        F.col(id_col),
+        total.alias("n_shingles"),
+        distinct.alias("n_distinct_shingles"),
+        F.round(distinct.cast("double") / total, 6).alias("uniqueness"),
+    )

@@ -1799,3 +1799,174 @@ def revenue_concentration(t: dict[str, DataFrame]) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+def events_ab_test(t: dict[str, DataFrame], salt: str = "exp1") -> DataFrame:
+    """Deterministic A/B experiment readout: users hash-split into two
+    arms (md5 over salt+user — the reproducible assignment every
+    experiment framework needs), then per-arm population, activity,
+    purchase conversion, and exact-decimal revenue.
+
+    Assignment is a pure projection (no join — the arm derives from
+    the user id); one user-keyed rollup then a 2-row arm rollup.
+    """
+    e = t["events"]
+    arm = F.when(
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("-", F.lit(salt), F.col("user_id").cast("string"))),
+                1, 6,
+            ),
+            16, 10,
+        ).cast("bigint") % 2 == 0,
+        "A",
+    ).otherwise("B")
+    per_user = (
+        e.withColumn("arm", arm)
+        .groupBy("arm", "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ev"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("converted"),
+            F.sum(F.col("value").cast(DEC)).alias("val"),
+        )
+    )
+    return (
+        per_user.groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("n_ev").alias("n_events"),
+            F.round(
+                F.sum("converted").cast("double") / F.count(F.lit(1)), 6
+            ).alias("conversion"),
+            F.round(F.sum("val").cast("double"), 6).alias("total_value"),
+        )
+        .orderBy("arm")
+    )
+
+
+def orders_monthly_growth(t: dict[str, DataFrame]) -> DataFrame:
+    """Monthly order volume and revenue with month-over-month growth —
+    the trend line behind the seasonality profile.
+
+    One map-side-combinable rollup to |months| rows; the growth lag
+    window runs over those aggregate rows only.  Revenue accumulates
+    in exact decimal; growth divides two already-rounded doubles.
+    """
+    from pyspark.sql import Window as W
+
+    o = t["orders"]
+    m = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double"), 6
+        ).alias("revenue"),
+    )
+    prev = F.lag("revenue").over(W.orderBy("month"))
+    return m.select(
+        "month",
+        "n_orders",
+        "revenue",
+        F.when(prev.isNull(), F.lit(None).cast("double"))
+        .otherwise(F.round((F.col("revenue") - prev) / prev, 6))
+        .alias("mom_growth"),
+    ).orderBy("month")
+
+
+def events_user_path_topk(
+    t: dict[str, DataFrame], steps: int = 3, top: int = 15
+) -> DataFrame:
+    """Most common 3-step user paths: consecutive event-type
+    sequences per user, counted corpus-wide — the flow-mining view the
+    pairwise transition matrix can't show.
+
+    One user-keyed window shuffle (two lags over the per-user
+    timeline, ties broken by event_id) then a map-side-combinable
+    rollup over the |types|³ path space; top-k is TakeOrdered.
+    """
+    from pyspark.sql import Window as W
+
+    e = t["events"]
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.lag("event_type", 2).over(w).alias("step1"),
+        F.lag("event_type", 1).over(w).alias("step2"),
+        F.col("event_type").alias("step3"),
+    ).where(F.col("step1").isNotNull())
+    return (
+        seq.groupBy("step1", "step2", "step3")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "step1", "step2", "step3")
+        .limit(top)
+    )
+
+
+def customer_order_gaps(t: dict[str, DataFrame]) -> DataFrame:
+    """Repeat-purchase cadence by market segment: days between a
+    customer's consecutive orders, rolled up per segment (mean via
+    exact decimal, interpolated median).
+
+    The lag window is partitioned per customer — never global — and
+    the segment dim joins broadcast; gaps are integer day counts.
+    """
+    from pyspark.sql import Window as W
+
+    o = t["orders"]
+    c = t["customer"]
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        o.select(
+            "o_custkey",
+            F.datediff(
+                "o_orderdate", F.lag("o_orderdate").over(w)
+            ).alias("gap_days"),
+        )
+        .where(F.col("gap_days").isNotNull())
+        .join(
+            broadcast(c.select("c_custkey", "c_mktsegment")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+    )
+    return (
+        gaps.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.round(
+                F.sum(F.col("gap_days").cast(DEC)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_gap_days"),
+            F.round(F.expr("percentile(gap_days, 0.5)"), 6).alias(
+                "p50_gap_days"
+            ),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def part_price_stats(t: dict[str, DataFrame]) -> DataFrame:
+    """Catalog price profile per brand: part counts, distinct types,
+    exact price extrema and mean — the dimension-table profiling twin
+    of the fact-side rollups.
+
+    Single small-table rollup (parts are a dim); exact decimal mean.
+    """
+    p = t["part"]
+    return (
+        p.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.count_distinct("p_type").alias("n_types"),
+            F.round(F.min("p_retailprice"), 6).alias("min_price"),
+            F.round(F.max("p_retailprice"), 6).alias("max_price"),
+            F.round(
+                F.sum(F.col("p_retailprice").cast(DEC)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_price"),
+        )
+        .orderBy("p_brand")
+    )

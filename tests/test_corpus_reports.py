@@ -318,3 +318,94 @@ def test_dim_stats_bounds(t):
     for r in rows:
         assert r.n == n_vecs
         assert r.min_v <= r.mean_v <= r.max_v
+
+
+def test_ab_test_arms_partition_users(t):
+    rows = analytics.events_ab_test(t).collect()
+    assert sorted(r.arm for r in rows) == ["A", "B"]
+    n_users = t["events"].select("user_id").distinct().count()
+    assert sum(r.n_users for r in rows) == n_users
+    assert sum(r.n_events for r in rows) == t["events"].count()
+    for r in rows:
+        assert 0.0 <= r.conversion <= 1.0
+
+
+def test_ab_assignment_is_deterministic(t):
+    a = analytics.events_ab_test(t).collect()
+    b = analytics.events_ab_test(t).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_monthly_growth_chain(t):
+    rows = analytics.orders_monthly_growth(t).collect()
+    assert rows[0].mom_growth is None
+    for prev, cur in zip(rows, rows[1:]):
+        if cur.mom_growth is not None and prev.revenue:
+            expected = round((cur.revenue - prev.revenue) / prev.revenue, 6)
+            assert abs(cur.mom_growth - expected) < 1e-9
+    assert sum(r.n_orders for r in rows) == t["orders"].count()
+
+
+def test_user_paths_counts_positive_sorted(t):
+    rows = analytics.events_user_path_topk(t).collect()
+    ns = [r.n for r in rows]
+    assert ns == sorted(ns, reverse=True)
+    assert all(n > 0 for n in ns)
+
+
+def test_order_gaps_nonnegative(t):
+    rows = analytics.customer_order_gaps(t).collect()
+    for r in rows:
+        assert r.n_gaps > 0 and r.avg_gap_days >= 0 and r.p50_gap_days >= 0
+
+
+def test_part_price_stats_bounds(t):
+    rows = analytics.part_price_stats(t).collect()
+    assert sum(r.n_parts for r in rows) == t["part"].count()
+    for r in rows:
+        assert r.min_price <= r.avg_price <= r.max_price
+        assert r.n_types <= r.n_parts
+
+
+def test_dup_rate_by_source_detects_planted_dups(spark):
+    from fuel_spark.sources import from_rows
+
+    docs = from_rows(
+        spark,
+        [(1, "a", "same text"), (2, "a", "same text"),
+         (3, "a", "other"), (4, "b", "unique")],
+        "doc_id bigint, source string, text string",
+    )
+    out = {r.source: r for r in
+           text_ops.dup_rate_by_source(docs, "text", "source").collect()}
+    assert out["a"].n_docs == 3 and out["a"].n_unique == 2
+    assert abs(out["a"].dup_rate - (1 - 2 / 3)) < 1e-5
+    assert out["b"].dup_rate == 0.0
+
+
+def test_shingle_uniqueness_repetitive_text_scores_low(spark):
+    from fuel_spark.sources import from_rows
+
+    docs = from_rows(
+        spark,
+        [(1, "abcdefghij klmnop qrstu vwxyz unique stream"),
+         (2, "ab ab ab ab ab ab ab ab ab ab ab ab ab ab")],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in
+           text_ops.shingle_uniqueness(docs, "doc_id", "text").collect()}
+    assert out[1].uniqueness > out[2].uniqueness
+    for r in out.values():
+        assert 0 < r.uniqueness <= 1.0
+        assert r.n_distinct_shingles <= r.n_shingles
+
+
+def test_adjacent_cosine_histogram_counts_all_pairs(t):
+    rows = similarity.adjacent_cosine_histogram(
+        t["embeddings"], "vec_id", "embedding"
+    ).collect()
+    n_vecs = t["embeddings"].count()
+    # ids are dense 0..n-1, so there are n-1 adjacent pairs
+    assert sum(r.n_pairs for r in rows) == n_vecs - 1
+    for r in rows:
+        assert -1.0 <= r.bucket_lo <= 1.0
