@@ -1388,6 +1388,25 @@ def q_adjacent_cosine(spark, sf):
     return similarity.adjacent_cosine_histogram(e, "vec_id", "embedding")
 
 
+def q_lang_confusion(spark, sf):
+    d = _t(spark, sf)["documents"]
+    return text_ops.lang_confusion(d, "lang", "text")
+
+
+def q_epoch_batches(spark, sf):
+    c = _t(spark, sf)["customer"]
+    out = schemes.epoch_batches(c, "c_custkey", 20, epochs=2, seed=7)
+    return out.select("epoch", "c_custkey", "pos", "batch_id")
+
+
+def q_supplier_tiers(spark, sf):
+    return analytics.supplier_balance_tiers(_t(spark, sf))
+
+
+def q_priority_mix(spark, sf):
+    return analytics.priority_mix_by_segment(_t(spark, sf))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry.  ORDERING IS DELIBERATE: the driver's
     correctness gate checks the FIRST 50 keys, so each round leads
@@ -1513,6 +1532,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_rate_by_source": q_dup_rate_by_source,
         "text_shingle_uniqueness": q_shingle_uniqueness,
         "embedding_adjacent_cosine": q_adjacent_cosine,
+        "text_lang_confusion": q_lang_confusion,
+        "scheme_epoch_batches": q_epoch_batches,
+        "supplier_balance_tiers": q_supplier_tiers,
+        "priority_mix_by_segment": q_priority_mix,
         # rows-only (the driver records a weaker rows-only row; full
         # behavioral evidence lives in tests/)
         "multimodal_decode": q_multimodal,
@@ -3907,6 +3930,60 @@ def oracle_sql() -> dict[str, str]:
         SELECT bucket_lo, bucket_lo + 50 AS bucket_hi, n_docs,
                round(CAST(n_docs AS DOUBLE) / t.total, 6) AS share
         FROM h CROSS JOIN t ORDER BY bucket_lo
+    """
+
+    sqls["text_lang_confusion"] = f"""
+        WITH base AS ({_langid_sql()}),
+        c AS (SELECT lang AS lang_true, pred_lang, count(*) AS n
+              FROM base GROUP BY 1, 2)
+        SELECT lang_true, pred_lang, n,
+               round(CAST(n AS DOUBLE)
+                     / CAST(sum(n) OVER (PARTITION BY lang_true) AS DOUBLE),
+                     6) AS share_of_true
+        FROM c ORDER BY lang_true, pred_lang
+    """
+
+    sqls["scheme_epoch_batches"] = """
+        WITH e0 AS (
+          SELECT 0 AS epoch, c_custkey,
+                 row_number() OVER (
+                   ORDER BY md5(concat('7-0', '-', CAST(c_custkey AS VARCHAR))),
+                            c_custkey) - 1 AS pos
+          FROM customer),
+        e1 AS (
+          SELECT 1 AS epoch, c_custkey,
+                 row_number() OVER (
+                   ORDER BY md5(concat('7-1', '-', CAST(c_custkey AS VARCHAR))),
+                            c_custkey) - 1 AS pos
+          FROM customer),
+        u AS (SELECT * FROM e0 UNION ALL SELECT * FROM e1)
+        SELECT epoch, c_custkey, pos, pos // 20 AS batch_id FROM u
+    """
+
+    sqls["supplier_balance_tiers"] = """
+        SELECT n.n_name,
+               CASE WHEN s.s_acctbal < 0 THEN 'debt'
+                    WHEN s.s_acctbal <= 5000 THEN 'low'
+                    ELSE 'high' END AS tier,
+               count(*) AS n_suppliers,
+               round(CAST(sum(CAST(s.s_acctbal AS DECIMAL(27,6)))
+                          AS DOUBLE) / count(*), 6) AS avg_acctbal
+        FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+    sqls["priority_mix_by_segment"] = """
+        WITH m AS (
+          SELECT c.c_mktsegment, o.o_orderpriority,
+                 count(*) AS n_orders
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+          GROUP BY 1, 2
+        )
+        SELECT c_mktsegment, o_orderpriority, n_orders,
+               round(CAST(n_orders AS DOUBLE)
+                     / CAST(sum(n_orders) OVER (PARTITION BY c_mktsegment)
+                            AS DOUBLE), 6) AS share_of_segment
+        FROM m ORDER BY c_mktsegment, o_orderpriority
     """
 
     sqls["events_ab_test"] = """

@@ -1282,3 +1282,29 @@ def shingle_uniqueness(
         distinct.alias("n_distinct_shingles"),
         F.round(distinct.cast("double") / total, 6).alias("uniqueness"),
     )
+
+
+def lang_confusion(
+    df: DataFrame, label_col: str, text_col: str
+) -> DataFrame:
+    """Language-ID confusion matrix: predicted vs labeled language
+    with per-label recall shares — the accuracy readout that turns
+    :func:`lang_id` from a feature into an evaluated classifier.
+
+    One projection (the classifier is stopword arithmetic) + one
+    |langs|² rollup; shares divide exact counts over a window on the
+    aggregate rows only.
+    """
+    from pyspark.sql import Window as W
+
+    pred = lang_id(df.select(F.col(label_col), F.col(text_col)), text_col)
+    c = pred.groupBy(
+        F.col(label_col).alias("lang_true"), F.col("pred_lang")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = F.sum("n").over(W.partitionBy("lang_true"))
+    return c.select(
+        "lang_true",
+        "pred_lang",
+        "n",
+        F.round(F.col("n").cast("double") / tot, 6).alias("share_of_true"),
+    ).orderBy("lang_true", "pred_lang")

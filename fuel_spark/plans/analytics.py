@@ -1970,3 +1970,66 @@ def part_price_stats(t: dict[str, DataFrame]) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+def supplier_balance_tiers(t: dict[str, DataFrame]) -> DataFrame:
+    """Supplier account-balance tiers per nation: counts and exact
+    mean balance in debt / low / high bands — the credit-risk slice of
+    the supplier dimension.
+
+    Two broadcast dims, one small rollup (suppliers are a dim table);
+    the tier is a per-row CASE.
+    """
+    s = t["supplier"]
+    n = t["nation"]
+    tier = (
+        F.when(F.col("s_acctbal") < 0, "debt")
+        .when(F.col("s_acctbal") <= 5000, "low")
+        .otherwise("high")
+    )
+    return (
+        s.join(
+            broadcast(n.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name", tier.alias("tier"))
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(
+                F.sum(F.col("s_acctbal").cast(DEC)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_acctbal"),
+        )
+        .orderBy("n_name", "tier")
+    )
+
+
+def priority_mix_by_segment(t: dict[str, DataFrame]) -> DataFrame:
+    """Order-priority mix per market segment: the |segments| x
+    |priorities| composition matrix with within-segment shares.
+
+    Customer dim broadcast into the fact scan, one map-side-combinable
+    rollup, share window over aggregate rows only.
+    """
+    from pyspark.sql import Window as W
+
+    o = t["orders"]
+    c = t["customer"]
+    m = (
+        o.join(
+            broadcast(c.select("c_custkey", "c_mktsegment")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    tot = F.sum("n_orders").over(W.partitionBy("c_mktsegment"))
+    return m.select(
+        "c_mktsegment",
+        "o_orderpriority",
+        "n_orders",
+        F.round(F.col("n_orders").cast("double") / tot, 6).alias(
+            "share_of_segment"
+        ),
+    ).orderBy("c_mktsegment", "o_orderpriority")

@@ -278,3 +278,34 @@ def apply_mixture_sample(
         .where(bucket < F.floor(F.col("sample_rate") * 16777216))
         .drop("sample_rate")
     )
+
+
+def epoch_batches(
+    df: DataFrame, key: str, batch_size: int, epochs: int = 2, seed: int = 7
+) -> DataFrame:
+    """Multi-epoch shuffled batch plan: each epoch is an independent
+    seeded permutation (seed '<seed>-<epoch>'), mirroring fuel's
+    per-epoch reshuffle (reference fuel/schemes.py:195 ShuffledScheme
+    with rng state advancing per epoch) — but fully deterministic and
+    cluster-size independent.
+
+    The per-epoch plan is the same range-partitioned md5 ordering as
+    ``shuffled_batches``; epochs union lazily, so Spark runs them as
+    independent branches (no cross-epoch shuffle).
+    Output: epoch, key, pos, batch_id.
+    """
+    parts = []
+    for e in range(epochs):
+        p = shuffled_batches(df, key, batch_size, seed=f"{seed}-{e}")
+        parts.append(
+            p.select(
+                F.lit(e).alias("epoch"),
+                F.col(key),
+                "pos",
+                "batch_id",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -409,3 +409,49 @@ def test_adjacent_cosine_histogram_counts_all_pairs(t):
     assert sum(r.n_pairs for r in rows) == n_vecs - 1
     for r in rows:
         assert -1.0 <= r.bucket_lo <= 1.0
+
+
+def test_lang_confusion_shares_and_totals(t):
+    rows = text_ops.lang_confusion(t["documents"], "lang", "text").collect()
+    assert sum(r.n for r in rows) == t["documents"].count()
+    by_true = {}
+    for r in rows:
+        by_true.setdefault(r.lang_true, []).append(r.share_of_true)
+    for shares in by_true.values():
+        assert abs(sum(shares) - 1.0) < 1e-5
+
+
+def test_epoch_batches_independent_permutations(t):
+    from fuel_spark import schemes
+
+    out = schemes.epoch_batches(
+        t["customer"], "c_custkey", 20, epochs=2, seed=7
+    ).collect()
+    n = t["customer"].count()
+    e0 = {r.c_custkey: r.pos for r in out if r.epoch == 0}
+    e1 = {r.c_custkey: r.pos for r in out if r.epoch == 1}
+    # every epoch is a full permutation of the dataset
+    assert len(e0) == len(e1) == n
+    assert sorted(e0.values()) == list(range(n))
+    assert sorted(e1.values()) == list(range(n))
+    # and the epochs differ (independent seeded shuffles)
+    assert any(e0[k] != e1[k] for k in e0)
+
+
+def test_supplier_tiers_partition_suppliers(t):
+    rows = analytics.supplier_balance_tiers(t).collect()
+    assert sum(r.n_suppliers for r in rows) == t["supplier"].count()
+    for r in rows:
+        assert r.tier in ("debt", "low", "high")
+        if r.tier == "debt":
+            assert r.avg_acctbal < 0
+
+
+def test_priority_mix_shares_sum_per_segment(t):
+    rows = analytics.priority_mix_by_segment(t).collect()
+    assert sum(r.n_orders for r in rows) == t["orders"].count()
+    by_seg = {}
+    for r in rows:
+        by_seg.setdefault(r.c_mktsegment, []).append(r.share_of_segment)
+    for shares in by_seg.values():
+        assert abs(sum(shares) - 1.0) < 1e-5
