@@ -712,3 +712,37 @@ def pack_token_budget_local(
             )
 
     return src.mapInPandas(pack, schema)
+
+
+def parallel_ntile(
+    df: DataFrame,
+    order_cols,
+    k: int,
+    out_col: str = "ntile",
+    keep_pos: bool = False,
+) -> DataFrame:
+    """``ntile(k) OVER (ORDER BY ...)`` without the single-partition
+    window: positions come from :func:`with_positions` (parallel
+    range-sort + broadcast partition offsets), the total count rides as
+    a broadcast 1-row relation, and the bucket is closed-form integer
+    arithmetic reproducing SQL ntile's distribution exactly (the first
+    ``n % k`` buckets get the extra row).
+
+    A global ntile over a per-user/customer aggregate is still
+    unbounded-cardinality input at the 100 TB tier — ``ntile`` via
+    ``Window.orderBy`` would funnel all of it through ONE task; this
+    keeps the sort parallel.  Output is bit-identical to the window
+    version, so SQL oracles keep using plain ntile.
+    """
+    d = with_positions(df, order_cols, pos_col="_np", base=0)
+    n_rel = df.groupBy().agg(F.count(F.lit(1)).alias("_n_total"))
+    d = d.crossJoin(F.broadcast(n_rel))
+    bucket = F.expr(
+        f"CAST(CASE WHEN _np < (_n_total % {k}) * (_n_total DIV {k} + 1)"
+        f" THEN _np DIV (_n_total DIV {k} + 1) + 1"
+        f" ELSE (_n_total % {k})"
+        f"  + (_np - (_n_total % {k}) * (_n_total DIV {k} + 1))"
+        f"    DIV greatest(_n_total DIV {k}, 1) + 1 END AS INT)"
+    )
+    out = d.withColumn(out_col, bucket).drop("_n_total")
+    return out if keep_pos else out.drop("_np")

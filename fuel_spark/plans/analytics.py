@@ -1387,19 +1387,23 @@ def events_pareto_share(t: dict[str, DataFrame], buckets: int = 10) -> DataFrame
     readout).
 
     One user-keyed count shuffle (map-side combinable), then the
-    windowing runs over |users| aggregate rows — ntile's global sort is
-    over the aggregate, not the fact table, and the final rollup is
-    |buckets| rows.  Shares are double divisions of exact BIGINT sums,
-    so they are bit-deterministic at any parallelism.  Ties order by
-    user_id for a stable decile assignment across engines.
+    decile comes from the PARALLEL ntile (ops.core.parallel_ntile:
+    range-sorted partition-offset positions + closed-form bucket
+    arithmetic) — the per-user aggregate is unbounded cardinality at
+    100 TB, so a ``Window.orderBy`` ntile would funnel every active
+    user through one task.  Output is bit-identical to SQL ntile, so
+    the oracle stays plain ntile.  Shares are double divisions of
+    exact BIGINT sums; ties order by user_id for stability.
     """
     from pyspark.sql import Window as W
 
+    from fuel_spark.ops.core import parallel_ntile
+
     e = t["events"]
     per_user = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
-    ranked = per_user.withColumn(
-        "decile",
-        F.ntile(buckets).over(W.orderBy(F.desc("n_events"), F.asc("user_id"))),
+    ranked = parallel_ntile(
+        per_user, [(-F.col("n_events")).alias("_negn"), F.col("user_id")],
+        buckets, out_col="decile",
     )
     by_decile = ranked.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_users"),
@@ -1552,19 +1556,23 @@ def customer_ltv_deciles(t: dict[str, DataFrame], buckets: int = 10) -> DataFram
     mean, and share of total — the standard LTV concentration report.
 
     Revenue accumulates in exact DECIMAL, so every downstream double is
-    a single deterministic division.  ntile sorts the per-customer
-    aggregate (|customers| rows), never the fact table; ties break on
-    custkey for cross-engine stability.
+    a single deterministic division.  The decile uses the PARALLEL
+    ntile (range-sorted partition offsets, ops.core.parallel_ntile) —
+    per-customer aggregates are unbounded at 100 TB and must not
+    collapse into one ``Window.orderBy`` task; output is bit-identical
+    to SQL ntile so the oracle is unchanged.  Ties break on custkey.
     """
     from pyspark.sql import Window as W
+
+    from fuel_spark.ops.core import parallel_ntile
 
     o = t["orders"]
     per_cust = o.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast(DEC)).alias("ltv")
     )
-    ranked = per_cust.withColumn(
-        "decile",
-        F.ntile(buckets).over(W.orderBy(F.desc("ltv"), F.asc("o_custkey"))),
+    ranked = parallel_ntile(
+        per_cust, [(-F.col("ltv")).alias("_negltv"), F.col("o_custkey")],
+        buckets, out_col="decile",
     )
     by_decile = ranked.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_customers"),
@@ -1773,17 +1781,20 @@ def revenue_concentration(t: dict[str, DataFrame]) -> DataFrame:
 
     Gini over the per-customer aggregate via the rank identity
     G = (2·Σ i·x_i) / (n·Σ x) − (n+1)/n with x ascending: one
-    user-keyed aggregate shuffle, one window over |customers| rows,
-    exact decimal sums — every double is a final division.
+    user-keyed aggregate shuffle, then ranks from the PARALLEL
+    partition-offset positions (ops.core.with_positions — identical to
+    the global row_number, but the unbounded per-customer aggregate
+    never collapses to one task); exact decimal sums — every double is
+    a final division.
     """
-    from pyspark.sql import Window as W
+    from fuel_spark.ops.core import with_positions
 
     o = t["orders"]
     per_cust = o.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast(DEC)).alias("ltv")
     )
-    ranked = per_cust.withColumn(
-        "i", F.row_number().over(W.orderBy(F.asc("ltv"), F.asc("o_custkey")))
+    ranked = with_positions(
+        per_cust, [F.col("ltv"), F.col("o_custkey")], pos_col="i", base=1
     )
     return ranked.agg(
         F.count(F.lit(1)).alias("n_customers"),

@@ -743,3 +743,44 @@ def test_transitions_hand_computed(spark):
            for r in analytics.events_transitions(
                {"events": from_rows(spark, rows)}).collect()}
     assert out == {("a", "b"): (2, 1.0), ("b", "a"): (1, 1.0)}
+
+
+def test_parallel_ntile_matches_window_ntile(spark):
+    """parallel_ntile must reproduce SQL ntile exactly — including the
+    first-(n % k)-buckets-get-the-extra-row distribution — for bucket
+    counts that do and do not divide the row count."""
+    from pyspark.sql import Window as W
+
+    from fuel_spark.ops.core import parallel_ntile
+
+    df = spark.range(0, 103).select(
+        F.col("id"), (F.col("id") * 37 % 103).alias("v")
+    )
+    for k in (4, 10, 103, 200):
+        fast = {
+            r.id: r.b
+            for r in parallel_ntile(
+                df, [F.col("v"), F.col("id")], k, out_col="b"
+            ).collect()
+        }
+        slow = {
+            r.id: r.b
+            for r in df.withColumn(
+                "b", F.ntile(k).over(W.orderBy("v", "id"))
+            ).collect()
+        }
+        assert fast == slow, k
+
+
+def test_pareto_and_ltv_deciles_no_data_single_partition(spark):
+    """The decile queries must not funnel the per-user/customer
+    aggregate through one task: the only SinglePartition stages
+    allowed are the metadata-sized offset/total aggregates."""
+    t = load_tables(spark, SF)
+    for q in (
+        analytics.events_pareto_share(t),
+        analytics.customer_ltv_deciles(t),
+        analytics.revenue_concentration(t),
+    ):
+        p = _plan(q)
+        assert _single_partition_only_over_count_agg(p), p
