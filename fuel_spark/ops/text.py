@@ -961,7 +961,9 @@ def bpe_encode(
     )
 
 
-def c4_filters(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def c4_filters(
+    df: DataFrame, id_col: str, text_col: str, keep_cols: tuple = ()
+) -> DataFrame:
     """C4-style rule filters (Raffel et al. 2020, §2.2) adapted to
     single-line documents: per-doc boolean flags for each rule plus the
     conjunction ``keep`` — the standard first-pass web-corpus cleaner.
@@ -972,11 +974,14 @@ def c4_filters(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     projection over one normalized-word materialization (Generate
     barrier, single regex pass) — zero shuffles, streams through
     codegen at any scale.  Flags stay in the output so downstream can
-    re-weight instead of hard-dropping.
+    re-weight instead of hard-dropping.  ``keep_cols`` pass extra
+    columns through (so rollups like :func:`quality_by_source` need no
+    join back to the corpus).
     """
     t = F.col(text_col)
     df = with_materialized(
-        df.select(F.col(id_col), t), "_w", words(t)
+        df.select(F.col(id_col), t, *[F.col(c) for c in keep_cols]),
+        "_w", words(t),
     )
     w = F.col("_w")
     n_words = F.size(w)
@@ -995,6 +1000,7 @@ def c4_filters(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     }
     out = df.select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],
         n_words.cast("bigint").alias("n_words"),
         F.round(mean_wl, 6).alias("mean_word_len"),
         *[c.alias(name) for name, c in flags.items()],
@@ -1163,16 +1169,13 @@ def quality_by_source(df: DataFrame, id_col: str, text_col: str,
     and the fraction surviving the C4 rule filters — the
     which-source-is-dirty dashboard that decides mixture weights.
 
-    Composes :func:`c4_filters` (zero-shuffle projection) with one
-    map-side-combinable rollup over |strata| groups.
+    Composes :func:`c4_filters` (zero-shuffle projection, strata
+    passed through via ``keep_cols`` — no join back to the corpus)
+    with one map-side-combinable rollup over |strata| groups.
     """
-    flags = c4_filters(df, id_col, text_col).select(
-        id_col, "n_words", "keep"
-    )
-    back = df.select(F.col(id_col), *[F.col(s) for s in strata])
+    flags = c4_filters(df, id_col, text_col, keep_cols=tuple(strata))
     return (
-        back.join(flags, id_col)
-        .groupBy(*strata)
+        flags.groupBy(*strata)
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.round(
