@@ -1407,6 +1407,28 @@ def q_priority_mix(spark, sf):
     return analytics.priority_mix_by_segment(_t(spark, sf))
 
 
+def q_part_pagerank(spark, sf):
+    """PageRank over the part co-purchase graph (edges = parts ordered
+    together): the link-analysis ranking of catalog centrality.
+    Rows-only: iterative float fit, like PCA/BPE."""
+    from fuel_spark.ops import graph
+
+    l = _t(spark, sf)["lineitem"].select("l_orderkey", "l_partkey").distinct()
+    a = l.alias("a")
+    b = l.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    ranks = graph.pagerank(edges, iterations=8)
+    return ranks.orderBy(F.desc("rank"), F.asc("vertex")).limit(20)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry.  ORDERING IS DELIBERATE: the driver's
     correctness gate checks the FIRST 50 keys, so each round leads
@@ -1540,6 +1562,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scheme_epoch_batches": q_epoch_batches,
         "supplier_balance_tiers": q_supplier_tiers,
         "priority_mix_by_segment": q_priority_mix,
+        # rows-only: iterative PageRank (no SQL oracle, numpy-pinned
+        # in tests/test_graph.py)
+        "part_pagerank": q_part_pagerank,
         # rows-only (the driver records a weaker rows-only row; full
         # behavioral evidence lives in tests/)
         "multimodal_decode": q_multimodal,

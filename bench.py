@@ -52,6 +52,9 @@ HEADLINERS = (
     "dedup_segments",
     "text_dsir_weights",
     "events_engagement",
+    # late-r3: parallel-ntile decile ranking + the basket self-join
+    "events_pareto_share",
+    "basket_part_pairs",
     # one real Structured Streaming run (availableNow), special-cased
     "streaming_screen_availablenow",
 )

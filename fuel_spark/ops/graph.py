@@ -1,0 +1,138 @@
+"""Iterative graph analytics as DataFrame loops.
+
+LLM-pipeline extension (no fuel analogue; the iterative-loop
+discipline — cache, converge, ``localCheckpoint`` lineage hygiene —
+mirrors ``ops.dedup.connected_components``).  PageRank here is the
+link-analysis primitive for corpus curation: rank domains/documents by
+citation structure (the original use), or products by co-purchase
+affinity, without ever materializing anything denser than the edge
+list.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+DEC = "decimal(27,18)"
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iterations: int = 10,
+    checkpoint_interval: int = 3,
+    undirected: bool = True,
+) -> DataFrame:
+    """PageRank by power iteration over an edge DataFrame.
+
+    Spark-first shape (the GraphX/Pregel loop in plain DataFrames):
+    each round is one rank⋈edges join on the *source* key plus one
+    map-side-combinable sum on the *destination* key — both reuse the
+    same hash partitioning, nothing denser than the edge list ever
+    exists.  Per-message contributions are rounded then summed as
+    exact DECIMAL, so ranks are bit-deterministic at any parallelism
+    (the repo-wide float contract).  A fixed iteration count keeps the
+    loop deterministic; ``localCheckpoint`` every
+    ``checkpoint_interval`` rounds truncates lineage exactly as in
+    ``connected_components``.
+
+    Dangling vertices (no out-edges) redistribute their mass uniformly
+    — with ``undirected=True`` (each edge mirrored) none exist and the
+    ranks sum to 1 exactly up to rounding.
+    Output: vertex, rank.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if undirected:
+        e = e.union(
+            edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
+        )
+    e = e.distinct()
+
+    verts = (
+        e.select(F.col("src").alias("vertex"))
+        .union(e.select(F.col("dst").alias("vertex")))
+        .distinct()
+    )
+    deg = e.groupBy(F.col("src").alias("vertex")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    # degree is loop-invariant: weld it onto the edge list ONCE so each
+    # iteration costs a single src-keyed join + one dst-keyed sum
+    e = (
+        e.join(deg.select(F.col("vertex").alias("src"), "deg"), "src")
+        .select("src", "dst", F.col("deg").alias("src_deg"))
+        .cache()
+    )
+    n_rel = verts.groupBy().agg(
+        F.count(F.lit(1)).cast("double").alias("_n")
+    )
+    # vertex, deg (>=1 when undirected), n — the loop-invariant frame
+    base = (
+        verts.join(deg, "vertex", "left")
+        .crossJoin(F.broadcast(n_rel))
+        .select("vertex", F.coalesce("deg", F.lit(0)).alias("deg"), "_n")
+        .cache()
+    )
+    ranks = base.select(
+        "vertex", (F.lit(1.0) / F.col("_n")).alias("rank")
+    ).cache()
+    try:
+        for it in range(iterations):
+            contribs = (
+                e.join(ranks, e.src == ranks.vertex)
+                .select(
+                    F.col("dst").alias("vertex"),
+                    F.round(F.col("rank") / F.col("src_deg"), 15)
+                    .cast(DEC)
+                    .alias("c"),
+                )
+            )
+            summed = contribs.groupBy("vertex").agg(
+                F.sum("c").cast("double").alias("_in")
+            )
+            new_ranks = base.join(summed, "vertex", "left")
+            if undirected:
+                # mirrored edges mean deg >= 1 everywhere: no dangling
+                # mass, so skip that whole per-iteration aggregate
+                dmass = F.lit(0.0)
+            else:
+                # dangling mass: rank stuck on deg=0 vertices teleports
+                # uniformly (the standard correction)
+                dangling = (
+                    ranks.join(base.select("vertex", "deg"), "vertex")
+                    .where(F.col("deg") == 0)
+                    .groupBy()
+                    .agg(
+                        F.coalesce(
+                            F.sum(F.round(F.col("rank"), 15).cast(DEC)),
+                            F.lit(0).cast(DEC),
+                        ).cast("double").alias("_dangling")
+                    )
+                )
+                new_ranks = new_ranks.crossJoin(F.broadcast(dangling))
+                dmass = F.col("_dangling")
+            new_ranks = new_ranks.select(
+                "vertex",
+                (
+                    (F.lit(1.0) - damping) / F.col("_n")
+                    + F.lit(damping)
+                    * (
+                        F.coalesce("_in", F.lit(0.0))
+                        + dmass / F.col("_n")
+                    )
+                ).alias("rank"),
+            )
+            if checkpoint_interval and (it + 1) % checkpoint_interval == 0:
+                new_ranks = new_ranks.localCheckpoint(eager=True)
+            else:
+                new_ranks = new_ranks.cache()
+            ranks.unpersist()
+            ranks = new_ranks
+        return ranks.select(
+            "vertex", F.round(F.col("rank"), 12).alias("rank")
+        )
+    finally:
+        e.unpersist()
+        base.unpersist()

@@ -1,0 +1,86 @@
+"""PageRank: numpy power-iteration equivalence, mass conservation,
+determinism, and iterative-loop lineage hygiene."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from fuel_spark.ops import graph
+from fuel_spark.sources import from_rows
+
+
+def _numpy_pagerank(edges, n, damping=0.85, iterations=10):
+    """Reference model mirroring ops.graph.pagerank's conventions:
+    undirected (mirrored edges), uniform init, fixed rounds, per-round
+    contribution rounding at 15 dp."""
+    adj = {}
+    und = set()
+    for s, d in edges:
+        und.add((s, d))
+        und.add((d, s))
+    for s, d in und:
+        adj.setdefault(s, []).append(d)
+    r = {v: 1.0 / n for v in range(n)}
+    for _ in range(iterations):
+        incoming = {v: 0.0 for v in range(n)}
+        for s, outs in adj.items():
+            c = round(r[s] / len(outs), 15)
+            for d in outs:
+                incoming[d] += c
+        r = {
+            v: (1 - damping) / n + damping * incoming[v] for v in range(n)
+        }
+    return r
+
+
+@pytest.fixture()
+def star_plus_chain(spark):
+    # vertex 0 is a hub (star to 1..4); 4-5-6 is a chain tail
+    edges = [(0, 1), (0, 2), (0, 3), (0, 4), (4, 5), (5, 6)]
+    df = from_rows(spark, edges, "src bigint, dst bigint")
+    return df, edges, 7
+
+
+def test_pagerank_matches_numpy_reference(spark, star_plus_chain):
+    df, edges, n = star_plus_chain
+    out = {r.vertex: r.rank for r in graph.pagerank(df, iterations=10).collect()}
+    ref = _numpy_pagerank(edges, n, iterations=10)
+    assert set(out) == set(range(n))
+    for v in range(n):
+        assert abs(out[v] - ref[v]) < 1e-9, (v, out[v], ref[v])
+    # the hub outranks every leaf
+    assert out[0] == max(out.values())
+
+
+def test_pagerank_mass_conserved_and_deterministic(spark, star_plus_chain):
+    df, _, _ = star_plus_chain
+    a = {r.vertex: r.rank for r in graph.pagerank(df, iterations=10).collect()}
+    b = {r.vertex: r.rank for r in graph.pagerank(df, iterations=10).collect()}
+    assert a == b  # bit-identical across runs (decimal-summed messages)
+    assert abs(sum(a.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_deep_chain_survives_checkpointing(spark):
+    # diameter 30 > checkpoint interval: exercises lineage truncation
+    edges = [(i, i + 1) for i in range(30)]
+    df = from_rows(spark, edges, "src bigint, dst bigint")
+    out = graph.pagerank(df, iterations=12, checkpoint_interval=3).collect()
+    assert len(out) == 31
+    ref = _numpy_pagerank(edges, 31, iterations=12)
+    for r in out:
+        assert abs(r.rank - ref[r.vertex]) < 1e-9
+    # interior vertices (2 neighbors) outrank the chain endpoints
+    by_v = {r.vertex: r.rank for r in out}
+    assert by_v[15] > by_v[0] and by_v[15] > by_v[30]
+
+
+def test_pagerank_directed_dangling_mass(spark):
+    # 0 -> 1 -> 2, vertex 2 dangles: mass must still sum to 1
+    df = from_rows(spark, [(0, 1), (1, 2)], "src bigint, dst bigint")
+    out = {
+        r.vertex: r.rank
+        for r in graph.pagerank(df, undirected=False, iterations=20).collect()
+    }
+    assert abs(sum(out.values()) - 1.0) < 1e-6
+    # downstream of the chain accumulates rank
+    assert out[2] > out[1] > out[0]

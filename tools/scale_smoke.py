@@ -85,9 +85,31 @@ def main() -> int:
             "events_funnel_windowed", "feature_standardize",
             "dedup_simhash_pairs", "asof_join_forward",
             "events_attribution_first",
+            # late-r3 corpus & analytics reports
+            "text_c4_filters", "text_quality_classifier",
+            "text_lexical_diversity", "documents_length_histogram",
+            "embedding_norm_extremes", "events_pareto_share",
+            "events_interarrival", "events_hourly_profile",
+            "events_new_vs_returning", "events_type_cooccurrence",
+            "customer_ltv_deciles", "shipping_delay_stats",
+            "events_session_stats", "events_value_histogram",
+            "events_churn", "basket_part_pairs", "revenue_concentration",
+            "dedup_url", "corpus_quality_by_source", "text_doc_frequency",
+            "embedding_dim_stats", "events_ab_test",
+            "orders_monthly_growth", "events_user_path_topk",
+            "customer_order_gaps", "part_price_stats",
+            "dedup_rate_by_source", "text_shingle_uniqueness",
+            "embedding_adjacent_cosine", "text_lang_confusion",
+            "scheme_epoch_batches", "supplier_balance_tiers",
+            "priority_mix_by_segment",
         ]
         timings = {}
         for name in names:
+            # inter-query quiesce (same as bench.py): ~80 queries at 10x
+            # accumulate broadcast/cache debris fast enough to OOM the
+            # driver heap late in the sweep without it
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
             fn = qs[name]
             fn(spark, out_dir).count()  # warm
             t0 = time.perf_counter()
