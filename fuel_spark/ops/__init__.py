@@ -10,6 +10,7 @@ generators.
 from fuel_spark.ops import (
     core,
     dedup,
+    graph,
     multimodal,
     profile,
     sequences,
@@ -18,5 +19,6 @@ from fuel_spark.ops import (
 )
 
 __all__ = [
-    "core", "dedup", "multimodal", "profile", "sequences", "similarity", "text",
+    "core", "dedup", "graph", "multimodal", "profile", "sequences",
+    "similarity", "text",
 ]

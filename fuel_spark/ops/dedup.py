@@ -802,7 +802,7 @@ def hamming_near_dup(
     hash_col: str,
     bits: int = 16,
     radius: int = 3,
-    max_bucket: int | None = None,
+    max_bucket: int | None = 512,
 ) -> DataFrame:
     """Near-dup pairs from a bit fingerprint (simhash / perceptual
     hash) within a Hamming radius — the step that turns a fingerprint
@@ -812,9 +812,19 @@ def hamming_near_dup(
     contiguous bands; two hashes within ``radius`` bit flips must
     agree EXACTLY on at least one band, so candidates are bucket
     collisions on (band, band_bits) and the verify is one JVM
-    ``bit_count(a ^ b) <= radius`` — no pairwise scan, work is
-    Σ bucket² like the MinHash path, with the same ``max_bucket``
-    star-degrade guard for boilerplate buckets.
+    ``bit_count(a ^ b) <= radius`` — no pairwise scan.
+
+    SIZE-GUARDED two-pass expansion: short bands (16 bits / radius 3
+    → 4-bit bands, 16 keys) make bucket size O(corpus/16), so a
+    collect_list all-pairs bucket is a QUADRATIC ARRAY IN ONE ROW —
+    the 10× smoke OOM'd exactly there.  Bucket sizes are counted
+    first (one rollup on the band key); buckets ≤ ``max_bucket``
+    expand all-pairs from a bounded array, oversized buckets degrade
+    to star pairs (anchor = min member) built by a JOIN — linear rows,
+    no array ever exceeds ``max_bucket`` structs.  All three stages
+    (size rollup, small-bucket collect, star join) reuse the same
+    (band, key) hash partitioning.  ``max_bucket=None`` disables the
+    guard (exact pairs, only safe for high-cardinality fingerprints).
 
     Output: id_a, id_b (a < b), hamming.
     """
@@ -837,30 +847,50 @@ def hamming_near_dup(
     all_bands = parts[0]
     for p in parts[1:]:
         all_bands = all_bands.unionByName(p)
-    buckets = (
-        all_bands.groupBy("_band", "_key")
-        .agg(F.array_sort(F.collect_list(F.struct("_id", "_h"))).alias("ms"))
-        .where(F.size("ms") > 1)
-    )
+
     all_pairs = (
         "flatten(transform(sequence(1, size(ms) - 1),"
         " i -> transform(slice(ms, i + 1, size(ms) - i),"
         " x -> struct(element_at(ms, i) AS a, x AS b))))"
     )
-    star_pairs = (
-        "transform(slice(ms, 2, size(ms) - 1),"
-        " x -> struct(element_at(ms, 1) AS a, x AS b))"
-    )
-    pair_expr = (
-        all_pairs
-        if max_bucket is None
-        else f"CASE WHEN size(ms) <= {max_bucket} THEN {all_pairs} ELSE {star_pairs} END"
-    )
+
+    if max_bucket is None:
+        buckets = (
+            all_bands.groupBy("_band", "_key")
+            .agg(F.array_sort(F.collect_list(F.struct("_id", "_h"))).alias("ms"))
+            .where(F.size("ms") > 1)
+        )
+        pairs = buckets.select(F.explode(F.expr(all_pairs)).alias("p"))
+    else:
+        sizes = all_bands.groupBy("_band", "_key").agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.min(F.struct("_id", "_h")).alias("_anchor"),
+        )
+        sized = all_bands.join(sizes, ["_band", "_key"])
+        small = (
+            sized.where((F.col("_n") <= max_bucket) & (F.col("_n") > 1))
+            .groupBy("_band", "_key")
+            .agg(F.array_sort(F.collect_list(F.struct("_id", "_h"))).alias("ms"))
+            .select(F.explode(F.expr(all_pairs)).alias("p"))
+        )
+        large = (
+            sized.where(F.col("_n") > max_bucket)
+            .where(F.col("_id") != F.col("_anchor._id"))
+            .select(
+                F.struct(
+                    F.col("_anchor._id").alias("_id"),
+                    F.col("_anchor._h").alias("_h"),
+                ).alias("a"),
+                F.struct(F.col("_id"), F.col("_h")).alias("b"),
+            )
+            .select(F.struct("a", "b").alias("p"))
+        )
+        pairs = small.unionByName(large)
+
     return (
-        buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
-        .select(
-            F.col("p.a._id").alias("id_a"),
-            F.col("p.b._id").alias("id_b"),
+        pairs.select(
+            F.least(F.col("p.a._id"), F.col("p.b._id")).alias("id_a"),
+            F.greatest(F.col("p.a._id"), F.col("p.b._id")).alias("id_b"),
             F.expr("bit_count(p.a._h ^ p.b._h)").alias("hamming"),
         )
         .where(F.col("hamming") <= radius)

@@ -841,3 +841,48 @@ def test_bpe_encode_roundtrips_training_corpus(spark):
     # the high-frequency word collapsed into few symbols
     joined = " ".join(toks)
     assert "est</w>" in joined or "newest</w>" in joined
+
+
+def test_hamming_near_dup_star_degrade_guard(spark):
+    """Oversized band buckets must degrade to star pairs (anchor x
+    member) instead of materializing a quadratic in-row array — the
+    10x-smoke OOM shape: many identical fingerprints in a 4-bit band
+    keyspace."""
+    from fuel_spark.ops.dedup import hamming_near_dup
+    from fuel_spark.sources import from_rows
+
+    rows = [(i, 0b1010101010101010) for i in range(40)]
+    df = from_rows(spark, rows, "doc_id bigint, simhash bigint")
+    exact = hamming_near_dup(
+        df, "doc_id", "simhash", bits=16, radius=3, max_bucket=None
+    ).collect()
+    starred = hamming_near_dup(
+        df, "doc_id", "simhash", bits=16, radius=3, max_bucket=8
+    ).collect()
+    # exact: all 40*39/2 pairs; starred: one bucket anchor (min id)
+    # paired with every other member, per band -> same star set
+    assert len(exact) == 40 * 39 // 2
+    assert {(r.id_a, r.id_b) for r in starred} == {(0, i) for i in range(1, 40)}
+    assert all(r.hamming == 0 for r in starred)
+
+
+def test_hamming_near_dup_guard_keeps_small_buckets_exact(spark):
+    from fuel_spark.ops.dedup import hamming_near_dup
+    from fuel_spark.sources import from_rows
+
+    rows = [(1, 0b0000000000000000), (2, 0b0000000000000001),
+            (3, 0b1111111111111111), (4, 0b0000111100001111)]
+    df = from_rows(spark, rows, "doc_id bigint, simhash bigint")
+    guarded = {
+        (r.id_a, r.id_b): r.hamming
+        for r in hamming_near_dup(
+            df, "doc_id", "simhash", bits=16, radius=3, max_bucket=512
+        ).collect()
+    }
+    unguarded = {
+        (r.id_a, r.id_b): r.hamming
+        for r in hamming_near_dup(
+            df, "doc_id", "simhash", bits=16, radius=3, max_bucket=None
+        ).collect()
+    }
+    assert guarded == unguarded == {(1, 2): 1}

@@ -111,10 +111,15 @@ def main() -> int:
             spark.catalog.clearCache()
             spark.sparkContext._jvm.System.gc()
             fn = qs[name]
+            print(f"smoke: {name} ...", file=sys.stderr, flush=True)
             fn(spark, out_dir).count()  # warm
             t0 = time.perf_counter()
             cnt = fn(spark, out_dir).count()
             timings[name] = {"sec": round(time.perf_counter() - t0, 2), "rows": cnt}
+            print(
+                f"smoke: {name} {timings[name]['sec']}s {cnt} rows",
+                file=sys.stderr, flush=True,
+            )
         print(json.dumps({"multiplier": n, "src": src, "timings": timings}))
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
