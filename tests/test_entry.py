@@ -35,6 +35,8 @@ def test_oracle_keys_subset_of_queries():
         "embedding_pca",
         "corpus_domains",
         "text_bpe_merges",
+        "part_pagerank",
+        "text_quality_model",
     }
 
 

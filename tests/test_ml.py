@@ -117,3 +117,30 @@ def test_domain_clusters_separates_and_labels(spark):
         frozenset(["cats", "felines", "whiskers"]),
         frozenset(["stocks", "markets", "bonds"]),
     }
+
+
+def test_trained_quality_model_separates_prose_from_garbage(spark):
+    from fuel_spark import ml
+
+    prose = [
+        (i, "the quick brown fox jumps over the lazy dog and it was "
+            "a fine day for running in the field " * 2, 1.0)
+        for i in range(20)
+    ]
+    garbage = [
+        (100 + i, "zx qv kj wp 9 !!! ### ~~ " * 4, 0.0) for i in range(20)
+    ]
+    docs = spark.createDataFrame(
+        prose + garbage, "doc_id long, text string, label double"
+    )
+    model = ml.fit_quality_model(docs, "text", "label")
+    scored = {
+        r.doc_id: r.quality_prob
+        for r in ml.score_quality_model(model, docs, "text").collect()
+    }
+    prose_mean = sum(scored[i] for i in range(20)) / 20
+    garbage_mean = sum(scored[100 + i] for i in range(20)) / 20
+    assert prose_mean > 0.8 > 0.2 > garbage_mean
+    # scoring keeps the input columns (narrow transform contract)
+    row = ml.score_quality_model(model, docs, "text").columns
+    assert row == ["doc_id", "text", "label", "quality_prob"]

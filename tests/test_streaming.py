@@ -357,3 +357,65 @@ def test_segment_screen_stream_flags_shared_segments(spark, workdir):
     q.awaitTermination(120)
     rows = [(r.doc_id, r.chunk_id) for r in spark.read.parquet(sink).collect()]
     assert rows == [(10, 1)]
+
+
+def test_url_dedup_stream_collapses_crawl_variants(spark, workdir):
+    src = os.path.join(workdir, "url_src")
+    ckpt = os.path.join(workdir, "url_ckpt")
+    # the same logical page crawled as http/https/www/utm/slash
+    # variants, plus one genuinely different page
+    rows = [
+        (1, "http://example.com/a/b?q=1", 86400),
+        (2, "https://www.example.com/a/b/?utm_source=x&q=1", 86460),
+        (3, "https://EXAMPLE.com/a/b?q=1#frag", 86520),
+        (4, "https://example.com/other", 86580),
+    ]
+    spark.createDataFrame(
+        rows, "page_id long, url string, sec long"
+    ).select("page_id", "url", F.timestamp_seconds("sec").alias("ts")) \
+        .write.mode("overwrite").parquet(src)
+
+    stream = serve.stream_events_from_files(
+        spark, src, "page_id long, url string, ts timestamp"
+    )
+    out = []
+    q = (
+        serve.url_dedup_stream(stream, "url")
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda d, _i: out.extend(d.collect()))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    canon = sorted(r.canonical_url for r in out)
+    assert canon == ["example.com/a/b?q=1", "example.com/other"]
+
+
+def test_quality_screen_stream_matches_batch(spark, workdir):
+    src = os.path.join(workdir, "q_src")
+    ckpt = os.path.join(workdir, "q_ckpt")
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again today"),
+        (2, "short"),
+        (3, "Lorem ipsum dolor sit amet " * 5),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    docs.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    out = []
+    q = (
+        serve.quality_screen_stream(stream, "doc_id", "text")
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda d, _i: out.extend(d.collect()))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    from fuel_spark.ops.text import c4_filters
+
+    batch = {r.doc_id: r for r in c4_filters(docs, "doc_id", "text").collect()}
+    assert len(out) == 3
+    for r in out:
+        assert r == batch[r.doc_id]
