@@ -83,10 +83,13 @@ class SplitDataset:
         if name in self._hash_splits:
             return self.df.where(self._hash_splits[name])
         start, stop = self._range_splits[name]
-        w = Window.orderBy(self.order_key)
-        pos = F.row_number().over(w) - 1
+        # positions from the parallel partition-offset scheme — a
+        # global row_number window would single-task the whole dataset
+        # (fuel's (start, stop) ranges address the full corpus)
+        from fuel_spark.ops.core import with_positions
+
         return (
-            self.df.withColumn("__pos", pos)
+            with_positions(self.df, self.order_key, pos_col="__pos", base=0)
             .where((F.col("__pos") >= start) & (F.col("__pos") < stop))
             .drop("__pos")
         )

@@ -54,10 +54,14 @@ def build_dictionary(
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    # top-vocab via sort-limit FIRST (per-partition TakeOrdered — the
+    # corpus vocabulary is unbounded at scale, so ranking it with a
+    # global row_number window would funnel every distinct token
+    # through one task), then number the already-tiny result
+    top = counts.orderBy(F.col("cnt").desc(), F.col("word")).limit(vocab_size)
     w = Window.orderBy(F.col("cnt").desc(), F.col("word"))
     return (
-        counts.withColumn("word_id", F.row_number().over(w) + FIRST_WORD_ID - 1)
-        .where(F.col("word_id") < vocab_size + FIRST_WORD_ID)
+        top.withColumn("word_id", F.row_number().over(w) + FIRST_WORD_ID - 1)
         .select("word", F.col("word_id").cast("bigint"))
     )
 

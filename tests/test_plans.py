@@ -784,3 +784,25 @@ def test_pareto_and_ltv_deciles_no_data_single_partition(spark):
     ):
         p = _plan(q)
         assert _single_partition_only_over_count_agg(p), p
+
+
+def test_dictionary_and_range_split_no_data_single_partition(spark):
+    """Vocabulary ranking and fuel-style (start, stop) range splits
+    must not sort unbounded data in one task: the dictionary ranks a
+    sort-limited top-vocab, the split uses partition-offset
+    positions."""
+    from fuel_spark.sources import load_tables
+    from fuel_spark.sources.text import build_dictionary
+    from fuel_spark.sources.splits import SplitDataset
+
+    t = load_tables(spark, SF)
+    d = build_dictionary(t["documents"], "text", 200)
+    # the only single-partition stage ranks the 200-row top-vocab
+    plan = _plan(d)
+    for ln in plan.split("\n"):
+        if "Exchange SinglePartition" in ln:
+            assert "200" in plan  # bounded by the limit upstream
+    sd = SplitDataset(t["customer"], "c_custkey")
+    sd.add_split("train", 0, 100)
+    p = _plan(sd.get_split("train"))
+    assert _single_partition_only_over_count_agg(p), p
