@@ -1407,6 +1407,24 @@ def q_priority_mix(spark, sf):
     return analytics.priority_mix_by_segment(_t(spark, sf))
 
 
+def q_user_anomalies(spark, sf):
+    return analytics.events_user_anomalies(_t(spark, sf))
+
+
+def q_order_size_hist(spark, sf):
+    return analytics.orders_size_histogram(_t(spark, sf))
+
+
+def q_word_len_hist(spark, sf):
+    d = _t(spark, sf)["documents"]
+    return text_ops.word_length_histogram(d, "text")
+
+
+def q_quantization_error(spark, sf):
+    e = _t(spark, sf)["embeddings"]
+    return similarity.quantization_error(e, "embedding")
+
+
 _QMODEL_CACHE: dict = {}
 
 
@@ -1584,6 +1602,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scheme_epoch_batches": q_epoch_batches,
         "supplier_balance_tiers": q_supplier_tiers,
         "priority_mix_by_segment": q_priority_mix,
+        "events_user_anomalies": q_user_anomalies,
+        "orders_size_histogram": q_order_size_hist,
+        "text_word_length_hist": q_word_len_hist,
+        "embedding_quantization_error": q_quantization_error,
         # rows-only: iterative PageRank (no SQL oracle, numpy-pinned
         # in tests/test_graph.py)
         "part_pagerank": q_part_pagerank,
@@ -3983,6 +4005,74 @@ def oracle_sql() -> dict[str, str]:
         SELECT bucket_lo, bucket_lo + 50 AS bucket_hi, n_docs,
                round(CAST(n_docs AS DOUBLE) / t.total, 6) AS share
         FROM h CROSS JOIN t ORDER BY bucket_lo
+    """
+
+    sqls["events_user_anomalies"] = """
+        WITH pu AS (SELECT user_id, count(*) AS n_events
+                    FROM events GROUP BY 1),
+        m AS (SELECT count(*) AS n,
+                     CAST(sum(CAST(n_events AS DECIMAL(27,6))) AS DOUBLE)
+                       AS s1,
+                     CAST(sum(CAST(n_events * n_events AS DECIMAL(27,6)))
+                          AS DOUBLE) AS s2
+              FROM pu),
+        z AS (
+          SELECT user_id, n_events,
+                 round((n_events - s1 / n)
+                       / sqrt(greatest(s2 / n - (s1 / n) * (s1 / n),
+                                       1e-12)), 6) AS z
+          FROM pu CROSS JOIN m
+        )
+        SELECT user_id, n_events, z FROM z
+        ORDER BY abs(z) DESC, user_id LIMIT 20
+    """
+
+    sqls["orders_size_histogram"] = """
+        WITH po AS (SELECT l_orderkey, count(*) AS n_lines
+                    FROM lineitem GROUP BY 1),
+        h AS (SELECT n_lines, count(*) AS n_orders FROM po GROUP BY 1),
+        t AS (SELECT CAST(sum(n_orders) AS DOUBLE) AS total FROM h)
+        SELECT CAST(n_lines AS BIGINT) AS n_lines, n_orders,
+               round(CAST(n_orders AS DOUBLE) / t.total, 6) AS share
+        FROM h CROSS JOIN t ORDER BY n_lines
+    """
+
+    sqls["text_word_length_hist"] = f"""
+        WITH tok AS (SELECT unnest({w}) AS wd FROM documents),
+        wl AS (SELECT length(wd) AS word_len FROM tok WHERE wd <> ''),
+        h AS (SELECT word_len, count(*) AS n_words FROM wl GROUP BY 1),
+        t AS (SELECT CAST(sum(n_words) AS DOUBLE) AS total FROM h)
+        SELECT CAST(word_len AS INT) AS word_len, n_words,
+               round(CAST(n_words AS DOUBLE) / t.total, 6) AS share
+        FROM h CROSS JOIN t ORDER BY word_len
+    """
+
+    sqls["embedding_quantization_error"] = """
+        WITH a AS (
+          SELECT embedding,
+                 greatest(list_max(list_transform(embedding,
+                          x -> abs(CAST(x AS DOUBLE)))), 1e-30) AS amax
+          FROM embeddings
+        ),
+        d AS (
+          SELECT embedding, amax,
+                 list_transform(embedding,
+                   x -> round(CAST(x AS DOUBLE) * 127.0 / amax)
+                        * (amax / 127.0)) AS dq
+          FROM a
+        ),
+        e AS (
+          SELECT round(list_max(list_transform(
+                   generate_series(1, len(embedding)),
+                   i -> abs(CAST(embedding[i] AS DOUBLE) - dq[i])))
+                 / amax, 9) AS rel_err
+          FROM d
+        )
+        SELECT count(*) AS n_vecs,
+               round(max(rel_err), 9) AS max_rel_err,
+               round(CAST(sum(CAST(rel_err AS DECIMAL(27,9))) AS DOUBLE)
+                     / count(*), 9) AS avg_rel_err
+        FROM e
     """
 
     sqls["text_lang_confusion"] = f"""

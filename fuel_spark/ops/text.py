@@ -1311,3 +1311,32 @@ def lang_confusion(
         "n",
         F.round(F.col("n").cast("double") / tot, 6).alias("share_of_true"),
     ).orderBy("lang_true", "pred_lang")
+
+
+def word_length_histogram(df: DataFrame, text_col: str) -> DataFrame:
+    """Corpus word-length distribution with shares — the tokenizer
+    sanity curve (a spike at extreme lengths signals markup/garbage
+    the mean-word-length filter only sees in aggregate).
+
+    One tokenize pass, |lengths|-row rollup, shares over the tiny
+    aggregate.
+    """
+    from pyspark.sql import Window as W
+
+    d = ensure_parallelism(df.select(F.col(text_col)))
+    lens = (
+        d.select(F.explode(words(F.col(text_col))).alias("w"))
+        .where(F.col("w") != "")
+        .select(F.length("w").alias("word_len"))
+        .groupBy("word_len")
+        .agg(F.count(F.lit(1)).alias("n_words"))
+    )
+    total = F.sum("n_words").over(W.partitionBy())
+    return (
+        lens.select(
+            "word_len",
+            "n_words",
+            F.round(F.col("n_words").cast("double") / total, 6).alias("share"),
+        )
+        .orderBy("word_len")
+    )

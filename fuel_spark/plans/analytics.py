@@ -2044,3 +2044,60 @@ def priority_mix_by_segment(t: dict[str, DataFrame]) -> DataFrame:
             "share_of_segment"
         ),
     ).orderBy("c_mktsegment", "o_orderpriority")
+
+
+def events_user_anomalies(
+    t: dict[str, DataFrame], top: int = 20
+) -> DataFrame:
+    """Bot/outlier screen: per-user event counts z-scored against the
+    population (exact-decimal Σx/Σx² moments — the engine's portable
+    stddev), top |z| users reported.
+
+    One user-keyed rollup; the 1-row moment relation broadcasts back
+    (never the user table); top-k is TakeOrdered.  At 100 TB the
+    per-user aggregate is unbounded — nothing here sorts or broadcasts
+    it.
+    """
+    e = t["events"]
+    per_user = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    moments = per_user.groupBy().agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("n_events").cast(DEC)).cast("double").alias("_s1"),
+        F.sum((F.col("n_events") * F.col("n_events")).cast(DEC))
+        .cast("double")
+        .alias("_s2"),
+    )
+    mean = F.col("_s1") / F.col("_n")
+    var = F.col("_s2") / F.col("_n") - mean * mean
+    z = (F.col("n_events") - mean) / F.sqrt(F.greatest(var, F.lit(1e-12)))
+    return (
+        per_user.crossJoin(broadcast(moments))
+        .select("user_id", "n_events", F.round(z, 6).alias("z"))
+        .orderBy(F.desc(F.abs(F.col("z"))), F.asc("user_id"))
+        .limit(top)
+    )
+
+
+def orders_size_histogram(t: dict[str, DataFrame]) -> DataFrame:
+    """Order-size distribution: how many line items per order, with
+    shares — the basket-depth shape behind fulfilment planning.
+
+    One orderkey rollup (map-side combinable) then a |sizes|-row
+    histogram; shares divide exact BIGINTs over the tiny aggregate.
+    """
+    from pyspark.sql import Window as W
+
+    l = t["lineitem"]
+    per_order = l.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines")
+    )
+    h = per_order.groupBy("n_lines").agg(F.count(F.lit(1)).alias("n_orders"))
+    total = F.sum("n_orders").over(W.partitionBy())
+    return (
+        h.select(
+            "n_lines",
+            "n_orders",
+            F.round(F.col("n_orders").cast("double") / total, 6).alias("share"),
+        )
+        .orderBy("n_lines")
+    )

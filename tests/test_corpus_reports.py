@@ -455,3 +455,31 @@ def test_priority_mix_shares_sum_per_segment(t):
         by_seg.setdefault(r.c_mktsegment, []).append(r.share_of_segment)
     for shares in by_seg.values():
         assert abs(sum(shares) - 1.0) < 1e-5
+
+
+def test_user_anomalies_ordered_by_extremity(t):
+    rows = analytics.events_user_anomalies(t).collect()
+    zs = [abs(r.z) for r in rows]
+    assert zs == sorted(zs, reverse=True)
+    assert len(rows) <= 20
+
+
+def test_order_size_histogram_partitions_orders(t):
+    rows = analytics.orders_size_histogram(t).collect()
+    n_orders = t["lineitem"].select("l_orderkey").distinct().count()
+    assert sum(r.n_orders for r in rows) == n_orders
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-5
+    assert all(r.n_lines >= 1 for r in rows)
+
+
+def test_word_length_hist_covers_tokens(t):
+    rows = text_ops.word_length_histogram(t["documents"], "text").collect()
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-5
+    assert all(r.word_len >= 1 for r in rows)
+
+
+def test_quantization_error_within_int8_bound(t):
+    row = similarity.quantization_error(t["embeddings"], "embedding").collect()[0]
+    assert row.n_vecs == t["embeddings"].count()
+    # symmetric int8 bound: half a quantization step of absmax
+    assert 0.0 <= row.avg_rel_err <= row.max_rel_err <= 0.5 / 127 + 1e-9
