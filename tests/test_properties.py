@@ -250,3 +250,61 @@ def test_range_join_matches_bruteforce_model(spark, points, intervals, width):
         ).collect()
     }
     assert got == want
+
+
+def test_canonical_url_idempotent_and_variant_invariant(spark):
+    """Property: canonicalization is idempotent, and the standard
+    crawl-noise transforms (scheme/www/trailing-slash/fragment/
+    tracking params/param order) never change the canonical form."""
+    from fuel_spark.ops.text import canonical_url
+    from fuel_spark.sources import from_rows
+    from pyspark.sql import functions as F
+
+    bases = [
+        "example.com/a/b?q=1&x=2",
+        "site.org/path",
+        "a.b.c.net/deep/path/here?z=9",
+    ]
+    variants = []
+    for i, b in enumerate(bases):
+        sep = "&" if "?" in b else "?"
+        variants += [
+            (i, f"http://{b}"),
+            (i, f"https://www.{b}"),
+            (i, f"HTTPS://WWW.{b}#frag"),
+            (i, f"https://{b}{sep}utm_source=x&utm_medium=y"),
+        ]
+        if "?" not in b:
+            variants.append((i, f"http://{b}/"))
+    df = from_rows(spark, variants, "grp bigint, url string")
+    out = df.select(
+        "grp", canonical_url(F.col("url")).alias("c")
+    ).collect()
+    by_grp = {}
+    for r in out:
+        by_grp.setdefault(r.grp, set()).add(r.c)
+    for grp, forms in by_grp.items():
+        assert len(forms) == 1, (grp, forms)
+    # idempotence: canonicalizing the canonical form is a fixpoint
+    canon = df.select(canonical_url(F.col("url")).alias("url"))
+    twice = canon.select(canonical_url(F.col("url")).alias("c2")).collect()
+    once = canon.collect()
+    assert sorted(r.url for r in once) == sorted(r.c2 for r in twice)
+
+
+def test_parallel_ntile_bucket_sizes_property(spark):
+    """Property over many (n, k): bucket sizes differ by at most one,
+    big buckets come first, and all n rows are covered."""
+    from fuel_spark.ops.core import parallel_ntile
+    from pyspark.sql import functions as F
+
+    for n, k in [(1, 5), (7, 3), (64, 8), (100, 7)]:
+        df = spark.range(n).select((F.col("id") * 13 % n).alias("v"), "id")
+        rows = parallel_ntile(df, [F.col("v"), F.col("id")], k, "b").collect()
+        sizes = {}
+        for r in rows:
+            sizes[r.b] = sizes.get(r.b, 0) + 1
+        assert sum(sizes.values()) == n
+        vals = [sizes[b] for b in sorted(sizes)]
+        assert max(vals) - min(vals) <= 1
+        assert vals == sorted(vals, reverse=True)
