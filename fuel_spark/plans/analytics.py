@@ -839,6 +839,7 @@ def sole_blame_suppliers(t: dict[str, DataFrame]) -> DataFrame:
 def events_similar_users(
     t: dict[str, DataFrame], threshold: float = 0.2,
     num_hashes: int = 9, bands: int = 9, shingle_k: int = 20,
+    max_trail: int | None = None,
 ) -> DataFrame:
     """Behavior-similarity pairs: users whose event-type *trails*
     (type sequence in time order) are near-duplicates — the
@@ -852,8 +853,23 @@ def events_similar_users(
     the pair space is banded, never users² — the same scale bound as
     document dedup, because it IS the document pipeline applied to
     behavioral sequences.
+
+    ``max_trail`` bounds the per-user trail at scale: a heavy user
+    (bot, shared account) otherwise collects millions of events into
+    one array/string row.  The cap keeps each user's FIRST
+    ``max_trail`` events (row_number over the same (ts, event_id)
+    order — one extra window on the user partitioning, no new
+    shuffle), which preserves the prefix-similarity semantics; unset
+    (the sf-tier default) it is exact.
     """
     e = t["events"]
+    if max_trail is not None:
+        from pyspark.sql import Window as W
+
+        rn = F.row_number().over(
+            W.partitionBy("user_id").orderBy("ts", "event_id")
+        )
+        e = e.withColumn("_rn", rn).where(F.col("_rn") <= max_trail).drop("_rn")
     trail = F.array_join(
         F.transform(
             F.array_sort(

@@ -483,3 +483,16 @@ def test_quantization_error_within_int8_bound(t):
     assert row.n_vecs == t["embeddings"].count()
     # symmetric int8 bound: half a quantization step of absmax
     assert 0.0 <= row.avg_rel_err <= row.max_rel_err <= 0.5 / 127 + 1e-9
+
+
+def test_similar_users_trail_cap_preserves_prefix_semantics(t):
+    """max_trail keeps each user's first-N events; with a cap at or
+    above every user's event count the result is exactly the uncapped
+    one."""
+    big = max(
+        r[0] for r in
+        t["events"].groupBy("user_id").count().select("count").collect()
+    )
+    capped = analytics.events_similar_users(t, max_trail=big).collect()
+    exact = analytics.events_similar_users(t).collect()
+    assert sorted(map(tuple, capped)) == sorted(map(tuple, exact))

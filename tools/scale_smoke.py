@@ -102,6 +102,9 @@ def main() -> int:
             "embedding_adjacent_cosine", "text_lang_confusion",
             "scheme_epoch_batches", "supplier_balance_tiers",
             "priority_mix_by_segment",
+            "events_user_anomalies", "orders_size_histogram",
+            "text_word_length_hist", "embedding_quantization_error",
+            "part_pagerank", "text_quality_model",
         ]
         timings = {}
         for name in names:
