@@ -1407,6 +1407,27 @@ def q_priority_mix(spark, sf):
     return analytics.priority_mix_by_segment(_t(spark, sf))
 
 
+def q_conversion_lag(spark, sf):
+    return analytics.events_conversion_lag(_t(spark, sf))
+
+
+def q_customer_order_freq(spark, sf):
+    return analytics.customer_order_freq(_t(spark, sf))
+
+
+def q_monthly_type_mix(spark, sf):
+    return analytics.events_monthly_type_mix(_t(spark, sf))
+
+
+def q_discount_curve(spark, sf):
+    return analytics.discount_revenue_curve(_t(spark, sf))
+
+
+def q_label_separation(spark, sf):
+    e = _t(spark, sf)["embeddings"]
+    return similarity.label_separation(e, "label", "vec_id", "embedding")
+
+
 def q_user_anomalies(spark, sf):
     return analytics.events_user_anomalies(_t(spark, sf))
 
@@ -1606,6 +1627,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_size_histogram": q_order_size_hist,
         "text_word_length_hist": q_word_len_hist,
         "embedding_quantization_error": q_quantization_error,
+        "events_conversion_lag": q_conversion_lag,
+        "customer_order_freq": q_customer_order_freq,
+        "events_monthly_type_mix": q_monthly_type_mix,
+        "discount_revenue_curve": q_discount_curve,
+        "embedding_label_separation": q_label_separation,
         # rows-only: iterative PageRank (no SQL oracle, numpy-pinned
         # in tests/test_graph.py)
         "part_pagerank": q_part_pagerank,
@@ -4005,6 +4031,94 @@ def oracle_sql() -> dict[str, str]:
         SELECT bucket_lo, bucket_lo + 50 AS bucket_hi, n_docs,
                round(CAST(n_docs AS DOUBLE) / t.total, 6) AS share
         FROM h CROSS JOIN t ORDER BY bucket_lo
+    """
+
+    sqls["events_conversion_lag"] = """
+        WITH pu AS (
+          SELECT user_id,
+                 min(CASE WHEN event_type = 'view'
+                          THEN epoch_us(ts) END) AS v,
+                 min(CASE WHEN event_type = 'purchase'
+                          THEN epoch_us(ts) END) AS p
+          FROM events GROUP BY 1
+        ),
+        lags AS (SELECT p - v AS lag_us FROM pu
+                 WHERE v IS NOT NULL AND p IS NOT NULL AND p > v)
+        SELECT count(*) AS n_converters,
+               round(CAST(sum(CAST(lag_us AS DECIMAL(27,6))) AS DOUBLE)
+                     / count(*) / 3600e6, 6) AS avg_lag_hours,
+               round(quantile_cont(lag_us, 0.25) / 3600e6, 6)
+                 AS p25_lag_hours,
+               round(quantile_cont(lag_us, 0.5) / 3600e6, 6)
+                 AS p50_lag_hours,
+               round(quantile_cont(lag_us, 0.75) / 3600e6, 6)
+                 AS p75_lag_hours
+        FROM lags
+    """
+
+    sqls["customer_order_freq"] = """
+        WITH pc AS (SELECT o_custkey, count(*) AS n_orders
+                    FROM orders GROUP BY 1),
+        h AS (SELECT n_orders, count(*) AS n_customers FROM pc GROUP BY 1),
+        t AS (SELECT CAST(sum(n_customers) AS DOUBLE) AS total FROM h)
+        SELECT CAST(n_orders AS BIGINT) AS n_orders, n_customers,
+               round(CAST(n_customers AS DOUBLE) / t.total, 6) AS share
+        FROM h CROSS JOIN t ORDER BY n_orders
+    """
+
+    sqls["events_monthly_type_mix"] = """
+        WITH m AS (SELECT strftime(ts, '%Y-%m') AS month, event_type,
+                          count(*) AS n
+                   FROM events GROUP BY 1, 2)
+        SELECT month, event_type, n,
+               round(CAST(n AS DOUBLE)
+                     / CAST(sum(n) OVER (PARTITION BY month) AS DOUBLE),
+                     6) AS share_of_month
+        FROM m ORDER BY month, event_type
+    """
+
+    sqls["discount_revenue_curve"] = """
+        SELECT round(l_discount, 2) AS discount,
+               count(*) AS n_items,
+               CAST(sum(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE)
+                 AS total_qty,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+        FROM lineitem GROUP BY 1 ORDER BY 1
+    """
+
+    _ls_own = _cos_sql("emb.embedding", "ownc.own")
+    _ls_glob = _cos_sql("emb.embedding", "glc.glob")
+    sqls["embedding_label_separation"] = f"""
+        WITH e AS (
+          SELECT label, i AS pos,
+                 CAST(round(CAST(embedding[i] AS DOUBLE), 6)
+                      AS DECIMAL(27,6)) AS v
+          FROM embeddings,
+               LATERAL (SELECT unnest(generate_series(1, len(embedding)))
+                        AS i) u
+        ),
+        own AS (SELECT label, pos,
+                       round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS m
+                FROM e GROUP BY 1, 2),
+        ownc AS (SELECT label, list(m ORDER BY pos) AS own
+                 FROM own GROUP BY 1),
+        gl AS (SELECT pos, round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS g
+               FROM e GROUP BY 1),
+        glc AS (SELECT list(g ORDER BY pos) AS glob FROM gl),
+        sc AS (
+          SELECT emb.label,
+                 CAST(round({_ls_own}, 6) AS DECIMAL(27,6)) AS co,
+                 CAST(round({_ls_glob}, 6) AS DECIMAL(27,6)) AS cg
+          FROM embeddings emb
+          JOIN ownc ON emb.label = ownc.label
+          CROSS JOIN glc
+        )
+        SELECT label, count(*) AS n_members,
+               round(CAST(sum(co) AS DOUBLE) / count(*), 6) AS avg_cos_own,
+               round(CAST(sum(cg) AS DOUBLE) / count(*), 6)
+                 AS avg_cos_global
+        FROM sc GROUP BY 1 ORDER BY 1
     """
 
     sqls["events_user_anomalies"] = """

@@ -1012,3 +1012,67 @@ def quantization_error(
             9,
         ).alias("avg_rel_err"),
     )
+
+
+def label_separation(
+    df: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space label separation: per label, the mean cosine of
+    members to their own centroid vs to the global centroid — the
+    classifier-free clusterability readout (own ≫ global means the
+    labels are separable in this space).
+
+    Centroids come from :func:`label_centroids`' exact-decimal means
+    (|labels|+1 rows — broadcast); the member pass is one scan with
+    per-row JVM cosine, then a |labels|-row rollup.  Means sum
+    rounded decimals, so the report is bit-deterministic.
+    """
+    from fuel_spark.functions import cosine_expr
+
+    cents = label_centroids(df, label_col, vec_col)
+    own = cents.select(F.col(label_col), F.col("centroid").alias("_own"))
+    gmean = (
+        df.select(F.posexplode(vec_col).alias("pos", "v"))
+        .groupBy("pos")
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("v").cast("double"), 6).cast("decimal(27,6)"))
+                .cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("g")
+        )
+        .groupBy()
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "g"))).alias("_gs"))
+        .select(F.expr("transform(_gs, s -> s.g)").alias("_global"))
+    )
+    scored = (
+        ensure_parallelism(df.select(label_col, vec_col))
+        .join(broadcast(own), label_col)
+        .crossJoin(broadcast(gmean))
+        .select(
+            F.col(label_col),
+            F.round(cosine_expr(vec_col, "_own"), 6)
+            .cast("decimal(27,6)")
+            .alias("_co"),
+            F.round(cosine_expr(vec_col, "_global"), 6)
+            .cast("decimal(27,6)")
+            .alias("_cg"),
+        )
+    )
+    return (
+        scored.groupBy(label_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(
+                F.sum("_co").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_cos_own"),
+            F.round(
+                F.sum("_cg").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_cos_global"),
+        )
+        .orderBy(label_col)
+    )

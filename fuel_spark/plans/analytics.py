@@ -2117,3 +2117,112 @@ def orders_size_histogram(t: dict[str, DataFrame]) -> DataFrame:
         )
         .orderBy("n_lines")
     )
+
+
+def events_conversion_lag(t: dict[str, DataFrame]) -> DataFrame:
+    """View→purchase conversion latency: per converting user the gap
+    between first view and first later purchase, reduced to
+    distribution stats (exact-decimal mean, interpolated quartiles).
+
+    One user-keyed rollup with two conditional mins — no join, no
+    window; the lag math is exact µs integers.
+    """
+    e = t["events"]
+    per_user = e.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "view", F.unix_micros("ts"))
+        ).alias("_v"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.unix_micros("ts"))
+        ).alias("_p"),
+    )
+    lags = per_user.where(
+        F.col("_v").isNotNull() & F.col("_p").isNotNull() & (F.col("_p") > F.col("_v"))
+    ).select(((F.col("_p") - F.col("_v"))).alias("lag_us"))
+    return lags.agg(
+        F.count(F.lit(1)).alias("n_converters"),
+        F.round(
+            F.sum(F.col("lag_us").cast(DEC)).cast("double")
+            / F.count(F.lit(1)) / 3600e6,
+            6,
+        ).alias("avg_lag_hours"),
+        F.round(F.expr("percentile(lag_us, 0.25)") / 3600e6, 6).alias(
+            "p25_lag_hours"
+        ),
+        F.round(F.expr("percentile(lag_us, 0.5)") / 3600e6, 6).alias(
+            "p50_lag_hours"
+        ),
+        F.round(F.expr("percentile(lag_us, 0.75)") / 3600e6, 6).alias(
+            "p75_lag_hours"
+        ),
+    )
+
+
+def customer_order_freq(t: dict[str, DataFrame]) -> DataFrame:
+    """Order-frequency histogram: customers bucketed by lifetime order
+    count, with shares and the one-and-done rate implied by bucket 1 —
+    the repeat-purchase health curve.
+
+    One custkey rollup, |frequencies|-row histogram.
+    """
+    from pyspark.sql import Window as W
+
+    o = t["orders"]
+    per_cust = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    h = per_cust.groupBy("n_orders").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    total = F.sum("n_customers").over(W.partitionBy())
+    return (
+        h.select(
+            "n_orders",
+            "n_customers",
+            F.round(F.col("n_customers").cast("double") / total, 6).alias(
+                "share"
+            ),
+        )
+        .orderBy("n_orders")
+    )
+
+
+def events_monthly_type_mix(t: dict[str, DataFrame]) -> DataFrame:
+    """Event-mix drift: per (month, type) counts and within-month
+    shares — composition change over time (the input to retraining /
+    alerting on behavioral drift).
+
+    One rollup to |months| x |types| rows; the share window runs over
+    that aggregate only.
+    """
+    from pyspark.sql import Window as W
+
+    e = t["events"]
+    m = e.groupBy(
+        F.date_format("ts", "yyyy-MM").alias("month"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    total = F.sum("n").over(W.partitionBy("month"))
+    return m.select(
+        "month",
+        "event_type",
+        "n",
+        F.round(F.col("n").cast("double") / total, 6).alias("share_of_month"),
+    ).orderBy("month", "event_type")
+
+
+def discount_revenue_curve(t: dict[str, DataFrame]) -> DataFrame:
+    """Pricing curve: revenue and volume by discount level — the
+    elasticity readout (does deeper discounting buy proportionate
+    volume?).
+
+    Single scan, |discount levels| groups, exact-decimal revenue.
+    """
+    l = t["lineitem"]
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.groupBy(F.round(F.col("l_discount"), 2).alias("discount"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            _dsum(F.col("l_quantity")).alias("total_qty"),
+            _dsum(rev).alias("revenue"),
+        )
+        .orderBy("discount")
+    )

@@ -496,3 +496,57 @@ def test_similar_users_trail_cap_preserves_prefix_semantics(t):
     capped = analytics.events_similar_users(t, max_trail=big).collect()
     exact = analytics.events_similar_users(t).collect()
     assert sorted(map(tuple, capped)) == sorted(map(tuple, exact))
+
+
+def test_conversion_lag_quartiles_ordered(t):
+    row = analytics.events_conversion_lag(t).collect()[0]
+    if row.n_converters:
+        assert 0 <= row.p25_lag_hours <= row.p50_lag_hours <= row.p75_lag_hours
+        assert row.avg_lag_hours > 0
+
+
+def test_customer_order_freq_partitions_customers(t):
+    rows = analytics.customer_order_freq(t).collect()
+    n_cust = t["orders"].select("o_custkey").distinct().count()
+    assert sum(r.n_customers for r in rows) == n_cust
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-5
+
+
+def test_monthly_type_mix_shares(t):
+    rows = analytics.events_monthly_type_mix(t).collect()
+    assert sum(r.n for r in rows) == t["events"].count()
+    by_month = {}
+    for r in rows:
+        by_month.setdefault(r.month, []).append(r.share_of_month)
+    for shares in by_month.values():
+        assert abs(sum(shares) - 1.0) < 1e-5
+
+
+def test_discount_curve_totals(t):
+    rows = analytics.discount_revenue_curve(t).collect()
+    assert sum(r.n_items for r in rows) == t["lineitem"].count()
+    for r in rows:
+        assert 0.0 <= r.discount <= 0.2
+        assert r.revenue > 0
+
+
+def test_label_separation_own_beats_global_on_clustered_data(spark):
+    """Construct labels that ARE clusters: vectors around two opposite
+    anchors.  Members must be closer (cosine) to their own centroid
+    than to the global centroid."""
+    from fuel_spark.sources import from_rows
+
+    rows = []
+    for i in range(20):
+        eps = (i % 5) * 0.01
+        rows.append((i, [1.0, eps, 0.0], 0))
+        rows.append((100 + i, [-1.0, 0.0, eps], 1))
+    df = from_rows(
+        spark, rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    out = {r.label: r for r in
+           similarity.label_separation(df, "label", "vec_id", "embedding").collect()}
+    for lbl in (0, 1):
+        assert out[lbl].n_members == 20
+        assert out[lbl].avg_cos_own > 0.99
+        assert out[lbl].avg_cos_own > abs(out[lbl].avg_cos_global)
