@@ -1499,12 +1499,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     LLM-pipeline ops + the two r1 driver-ERR fixes ``sliding_window``
     / ``text_dictionary_encode``), the hash-fold/cache-stream oracles,
     and this round's chunking / containment / range-join / segment-
-    dedup / DSIR additions.  EXACTLY 50 more oracle-checked queries
+    dedup / DSIR additions.  59 more oracle-checked queries
     (attribution/quantile-bins/winnowing plus the late-r3 corpus &
     analytics reports: C4 filters, quality classifier, URL dedup,
-    Pareto/LTV/Gini, A/B, paths, confusion matrix, epoch plan, …)
-    queue right behind as the complete ROUND-4 window — rotate them
-    to the front at the start of round 4.  Rows-only keys sit past
+    Pareto/LTV/Gini, A/B, paths, confusion matrix, epoch plan,
+    anomaly/histogram/conversion/label-separation reports, …) queue
+    right behind; the FIRST 50 of them are the ROUND-4 window —
+    rotate them to the front at the start of round 4, the remainder
+    lead round 5's rotation.  Rows-only keys sit past
     them (a driver rows-only row is weaker than their pytest
     evidence).  Keys past the window all have prior driver-green rows
     (r1 or r2) and stay covered by ``tools/check_correctness.py``

@@ -105,6 +105,9 @@ def main() -> int:
             "events_user_anomalies", "orders_size_histogram",
             "text_word_length_hist", "embedding_quantization_error",
             "part_pagerank", "text_quality_model",
+            "events_conversion_lag", "customer_order_freq",
+            "events_monthly_type_mix", "discount_revenue_curve",
+            "embedding_label_separation",
         ]
         timings = {}
         for name in names:
