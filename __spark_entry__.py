@@ -1407,6 +1407,20 @@ def q_priority_mix(spark, sf):
     return analytics.priority_mix_by_segment(_t(spark, sf))
 
 
+def q_retention_curve(spark, sf):
+    return analytics.events_retention_curve(_t(spark, sf))
+
+
+def q_qty_price_corr(spark, sf):
+    l = _t(spark, sf)["lineitem"]
+    return analytics.column_correlation(l, "l_quantity", "l_extendedprice")
+
+
+def q_vocab_coverage(spark, sf):
+    d = _t(spark, sf)["documents"]
+    return text_ops.vocab_coverage_curve(d, "text", (10, 100, 1000))
+
+
 def q_conversion_lag(spark, sf):
     return analytics.events_conversion_lag(_t(spark, sf))
 
@@ -1634,6 +1648,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_monthly_type_mix": q_monthly_type_mix,
         "discount_revenue_curve": q_discount_curve,
         "embedding_label_separation": q_label_separation,
+        "events_retention_curve": q_retention_curve,
+        "lineitem_qty_price_corr": q_qty_price_corr,
+        "text_vocab_coverage": q_vocab_coverage,
         # rows-only: iterative PageRank (no SQL oracle, numpy-pinned
         # in tests/test_graph.py)
         "part_pagerank": q_part_pagerank,
@@ -4033,6 +4050,74 @@ def oracle_sql() -> dict[str, str]:
         SELECT bucket_lo, bucket_lo + 50 AS bucket_hi, n_docs,
                round(CAST(n_docs AS DOUBLE) / t.total, 6) AS share
         FROM h CROSS JOIN t ORDER BY bucket_lo
+    """
+
+    sqls["events_retention_curve"] = """
+        WITH fs AS (SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day
+                    FROM events GROUP BY 1),
+        a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        ret AS (SELECT date_diff('day', fs.cohort_day, a.day) AS day_offset,
+                       count(*) AS n_retained
+                FROM a JOIN fs USING (user_id) GROUP BY 1),
+        sizes AS (SELECT cohort_day, count(*) AS n_users
+                  FROM fs GROUP BY 1),
+        h AS (SELECT CAST(max(ts) AS DATE) AS dmax FROM events),
+        elig AS (
+          SELECT u.o AS day_offset,
+                 CAST(sum(s.n_users) AS BIGINT) AS n_eligible
+          FROM sizes s CROSS JOIN h,
+               LATERAL (SELECT unnest(generate_series(0,
+                          date_diff('day', s.cohort_day, h.dmax))) AS o) u
+          GROUP BY 1
+        )
+        SELECT CAST(e.day_offset AS BIGINT) AS day_offset,
+               CAST(COALESCE(r.n_retained, 0) AS BIGINT) AS n_retained,
+               e.n_eligible,
+               round(CAST(COALESCE(r.n_retained, 0) AS DOUBLE)
+                     / e.n_eligible, 6) AS retention
+        FROM elig e LEFT JOIN ret r ON e.day_offset = r.day_offset
+        ORDER BY 1
+    """
+
+    sqls["lineitem_qty_price_corr"] = """
+        WITH m AS (
+          SELECT count(*) AS n,
+            CAST(sum(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sx,
+            CAST(sum(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE)
+              AS sy,
+            CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(27,6)))
+                 AS DOUBLE) AS sxy,
+            CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(27,6)))
+                 AS DOUBLE) AS sxx,
+            CAST(sum(CAST(l_extendedprice * l_extendedprice
+                          AS DECIMAL(27,6))) AS DOUBLE) AS syy
+          FROM lineitem
+        )
+        SELECT n,
+               round((sxy / n - (sx / n) * (sy / n))
+                     / sqrt(greatest((sxx / n - (sx / n) * (sx / n))
+                                     * (syy / n - (sy / n) * (sy / n)),
+                                     1e-300)), 6) AS pearson_r
+        FROM m
+    """
+
+    sqls["text_vocab_coverage"] = f"""
+        WITH tok AS (SELECT unnest({w}) AS wd FROM documents),
+        c AS (SELECT wd AS word, count(*) AS cnt FROM tok
+              WHERE wd <> '' GROUP BY 1),
+        t AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM c),
+        top AS (SELECT word, cnt FROM c ORDER BY cnt DESC, word
+                LIMIT 1000),
+        r AS (SELECT cnt,
+                     row_number() OVER (ORDER BY cnt DESC, word) AS rank,
+                     sum(cnt) OVER (ORDER BY cnt DESC, word
+                                    ROWS UNBOUNDED PRECEDING) AS cum
+              FROM top)
+        SELECT CAST(rank AS INT) AS top_n,
+               CAST(cum AS BIGINT) AS n_tokens_covered,
+               round(CAST(cum AS DOUBLE) / t.total, 6) AS coverage
+        FROM r CROSS JOIN t
+        WHERE rank IN (10, 100, 1000) ORDER BY 1
     """
 
     sqls["events_conversion_lag"] = """

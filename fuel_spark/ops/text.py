@@ -1340,3 +1340,50 @@ def word_length_histogram(df: DataFrame, text_col: str) -> DataFrame:
         )
         .orderBy("word_len")
     )
+
+
+def vocab_coverage_curve(
+    df: DataFrame, text_col: str, checkpoints: tuple = (10, 100, 1000)
+) -> DataFrame:
+    """Vocabulary coverage curve: what share of the corpus token mass
+    the top-N words cover, for each checkpoint N — the vocabulary-size
+    sizing input (where the curve flattens is where a bigger dict
+    stops paying).
+
+    One tokenize pass to word counts; the top-maxN slice is a
+    sort-limit (TakeOrdered — the unbounded vocabulary never sorts in
+    one task), ranked and cumulated over the bounded result; total
+    mass rides as a broadcast 1-row relation.
+    """
+    from pyspark.sql import Window as W
+
+    max_n = max(checkpoints)
+    counts = (
+        ensure_parallelism(df.select(F.col(text_col)))
+        .select(F.explode(words(F.col(text_col))).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = counts.groupBy().agg(
+        F.sum("cnt").cast("double").alias("_total")
+    )
+    top = counts.orderBy(F.desc("cnt"), F.asc("w")).limit(max_n)
+    w = W.orderBy(F.desc("cnt"), F.asc("w"))
+    ranked = top.withColumn("rank", F.row_number().over(w)).withColumn(
+        "cum",
+        F.sum("cnt").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    marks = F.array(*[F.lit(c) for c in checkpoints])
+    return (
+        ranked.where(F.array_contains(marks, F.col("rank")))
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("rank").alias("top_n"),
+            F.col("cum").alias("n_tokens_covered"),
+            F.round(F.col("cum").cast("double") / F.col("_total"), 6).alias(
+                "coverage"
+            ),
+        )
+        .orderBy("top_n")
+    )

@@ -2226,3 +2226,95 @@ def discount_revenue_curve(t: dict[str, DataFrame]) -> DataFrame:
         )
         .orderBy("discount")
     )
+
+
+def events_retention_curve(t: dict[str, DataFrame]) -> DataFrame:
+    """Blended day-N retention curve: for each day offset, the share
+    of users (across all cohorts that could have reached that offset)
+    who were active — the single curve the cohort triangle rolls up
+    to.
+
+    Builds on the cohort rollup (two user-keyed shuffles); the
+    eligibility denominator (cohort sizes × offsets each cohort can
+    reach, bounded by the horizon) is computed over the |cohorts|-row
+    aggregate with a broadcast horizon — nothing beyond the triangle
+    ever materializes.
+    """
+    from pyspark.sql import Window as W
+
+    e = t["events"]
+    first_seen = e.groupBy("user_id").agg(
+        F.to_date(F.min("ts")).alias("cohort_day")
+    )
+    active = (
+        e.select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+        .join(first_seen, "user_id")
+        .withColumn(
+            "day_offset", F.datediff("day", "cohort_day").cast("bigint")
+        )
+    )
+    retained = active.groupBy("day_offset").agg(
+        F.count(F.lit(1)).alias("n_retained")
+    )
+    sizes = first_seen.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    horizon = e.agg(F.to_date(F.max("ts")).alias("_d_max"))
+    # eligible(offset) = Σ over cohorts whose span covers the offset
+    eligible = (
+        sizes.crossJoin(F.broadcast(horizon))
+        .withColumn("_span", F.datediff("_d_max", "cohort_day").cast("bigint"))
+        .select(
+            F.explode(F.expr("sequence(0, _span)")).alias("day_offset"),
+            "n_users",
+        )
+        .groupBy("day_offset")
+        .agg(F.sum("n_users").alias("n_eligible"))
+    )
+    return (
+        eligible.join(retained, "day_offset", "left")
+        .select(
+            "day_offset",
+            F.coalesce("n_retained", F.lit(0)).alias("n_retained"),
+            "n_eligible",
+            F.round(
+                F.coalesce("n_retained", F.lit(0)).cast("double")
+                / F.col("n_eligible"),
+                6,
+            ).alias("retention"),
+        )
+        .orderBy("day_offset")
+    )
+
+
+def column_correlation(
+    df: DataFrame, x_col: str, y_col: str
+) -> DataFrame:
+    """Exact Pearson correlation between two numeric columns from
+    decimal-exact moments (Σx, Σy, Σxy, Σx², Σy²) — the engine's
+    portable `corr` (float-accumulated corr differs across engines and
+    partitionings; this one is bit-deterministic).
+
+    Single scan, one 1-row aggregate.
+    """
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    m = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x.cast(DEC)).cast("double").alias("_sx"),
+        F.sum(y.cast(DEC)).cast("double").alias("_sy"),
+        F.sum((x * y).cast(DEC)).cast("double").alias("_sxy"),
+        F.sum((x * x).cast(DEC)).cast("double").alias("_sxx"),
+        F.sum((y * y).cast(DEC)).cast("double").alias("_syy"),
+    )
+    n = F.col("n")
+    cov = F.col("_sxy") / n - (F.col("_sx") / n) * (F.col("_sy") / n)
+    vx = F.col("_sxx") / n - (F.col("_sx") / n) * (F.col("_sx") / n)
+    vy = F.col("_syy") / n - (F.col("_sy") / n) * (F.col("_sy") / n)
+    return m.select(
+        "n",
+        F.round(cov / F.sqrt(F.greatest(vx * vy, F.lit(1e-300))), 6).alias(
+            "pearson_r"
+        ),
+    )

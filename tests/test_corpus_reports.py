@@ -550,3 +550,43 @@ def test_label_separation_own_beats_global_on_clustered_data(spark):
         assert out[lbl].n_members == 20
         assert out[lbl].avg_cos_own > 0.99
         assert out[lbl].avg_cos_own > abs(out[lbl].avg_cos_global)
+
+
+def test_retention_curve_monotone_denominator(t):
+    rows = analytics.events_retention_curve(t).collect()
+    assert rows[0].day_offset == 0
+    # day-0 retention is 1 by construction (every user is active on
+    # their own first day)
+    assert abs(rows[0].retention - 1.0) < 1e-9
+    eligibles = [r.n_eligible for r in rows]
+    assert eligibles == sorted(eligibles, reverse=True)
+    for r in rows:
+        assert 0.0 <= r.retention <= 1.0
+        assert r.n_retained <= r.n_eligible
+
+
+def test_column_correlation_known_cases(spark):
+    from fuel_spark.sources import from_rows
+
+    perfect = from_rows(
+        spark, [(float(i), 2.0 * i + 1) for i in range(50)],
+        "x double, y double",
+    )
+    r1 = analytics.column_correlation(perfect, "x", "y").collect()[0]
+    assert abs(r1.pearson_r - 1.0) < 1e-6
+    anti = from_rows(
+        spark, [(float(i), -3.0 * i) for i in range(50)],
+        "x double, y double",
+    )
+    r2 = analytics.column_correlation(anti, "x", "y").collect()[0]
+    assert abs(r2.pearson_r + 1.0) < 1e-6
+
+
+def test_vocab_coverage_monotone(t):
+    rows = text_ops.vocab_coverage_curve(
+        t["documents"], "text", (5, 10, 20)
+    ).collect()
+    assert [r.top_n for r in rows] == sorted(r.top_n for r in rows)
+    covs = [r.coverage for r in rows]
+    assert covs == sorted(covs)
+    assert all(0 < c <= 1.0 for c in covs)
