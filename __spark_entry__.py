@@ -1407,6 +1407,28 @@ def q_priority_mix(spark, sf):
     return analytics.priority_mix_by_segment(_t(spark, sf))
 
 
+def q_centroid_confusion(spark, sf):
+    e = _t(spark, sf)["embeddings"]
+    return similarity.centroid_confusion(e, "label", "embedding")
+
+
+def q_balance_ltv_corr(spark, sf):
+    """Correlation as a reusable primitive: does a customer's account
+    balance predict lifetime order value?"""
+    t = _t(spark, sf)
+    per_cust = (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(27,6)"))
+             .cast("double").alias("ltv"))
+        .join(
+            t["customer"].select("c_custkey", "c_acctbal"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+    )
+    return analytics.column_correlation(per_cust, "c_acctbal", "ltv")
+
+
 def q_retention_curve(spark, sf):
     return analytics.events_retention_curve(_t(spark, sf))
 
@@ -1651,6 +1673,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_retention_curve": q_retention_curve,
         "lineitem_qty_price_corr": q_qty_price_corr,
         "text_vocab_coverage": q_vocab_coverage,
+        "embedding_centroid_confusion": q_centroid_confusion,
+        "customer_balance_ltv_corr": q_balance_ltv_corr,
         # rows-only: iterative PageRank (no SQL oracle, numpy-pinned
         # in tests/test_graph.py)
         "part_pagerank": q_part_pagerank,
@@ -4050,6 +4074,52 @@ def oracle_sql() -> dict[str, str]:
         SELECT bucket_lo, bucket_lo + 50 AS bucket_hi, n_docs,
                round(CAST(n_docs AS DOUBLE) / t.total, 6) AS share
         FROM h CROSS JOIN t ORDER BY bucket_lo
+    """
+
+    _cc_cos = _cos_sql("a.c", "b.c")
+    sqls["embedding_centroid_confusion"] = f"""
+        WITH e AS (
+          SELECT label, i AS pos,
+                 CAST(round(CAST(embedding[i] AS DOUBLE), 6)
+                      AS DECIMAL(27,6)) AS v
+          FROM embeddings,
+               LATERAL (SELECT unnest(generate_series(1, len(embedding)))
+                        AS i) u
+        ),
+        m AS (SELECT label, pos,
+                     round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS m
+              FROM e GROUP BY 1, 2),
+        c AS (SELECT label, list(m ORDER BY pos) AS c FROM m GROUP BY 1)
+        SELECT a.label AS label_a, b.label AS label_b,
+               round({_cc_cos}, 6) AS centroid_cosine
+        FROM c a JOIN c b ON a.label < b.label
+        ORDER BY 1, 2
+    """
+
+    sqls["customer_balance_ltv_corr"] = """
+        WITH pc AS (
+          SELECT o.o_custkey,
+                 CAST(sum(CAST(o.o_totalprice AS DECIMAL(27,6)))
+                      AS DOUBLE) AS ltv
+          FROM orders o GROUP BY 1
+        ),
+        j AS (SELECT c.c_acctbal AS x, pc.ltv AS y
+              FROM pc JOIN customer c ON pc.o_custkey = c.c_custkey),
+        m AS (
+          SELECT count(*) AS n,
+            CAST(sum(CAST(x AS DECIMAL(27,6))) AS DOUBLE) AS sx,
+            CAST(sum(CAST(y AS DECIMAL(27,6))) AS DOUBLE) AS sy,
+            CAST(sum(CAST(x * y AS DECIMAL(27,6))) AS DOUBLE) AS sxy,
+            CAST(sum(CAST(x * x AS DECIMAL(27,6))) AS DOUBLE) AS sxx,
+            CAST(sum(CAST(y * y AS DECIMAL(27,6))) AS DOUBLE) AS syy
+          FROM j
+        )
+        SELECT n,
+               round((sxy / n - (sx / n) * (sy / n))
+                     / sqrt(greatest((sxx / n - (sx / n) * (sx / n))
+                                     * (syy / n - (sy / n) * (sy / n)),
+                                     1e-300)), 6) AS pearson_r
+        FROM m
     """
 
     sqls["events_retention_curve"] = """

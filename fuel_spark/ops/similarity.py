@@ -1076,3 +1076,36 @@ def label_separation(
         )
         .orderBy(label_col)
     )
+
+
+def centroid_confusion(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Inter-centroid cosine matrix: which label pairs sit close in
+    embedding space (the confusion-risk readout that complements
+    :func:`label_separation`'s per-label view).
+
+    The |labels| centroid table is tiny by construction, so the pair
+    join is a broadcast self-join over aggregate rows — the corpus is
+    touched exactly once (inside label_centroids).
+    """
+    from fuel_spark.functions import cosine_expr
+
+    cents = label_centroids(df, label_col, vec_col)
+    a = cents.select(
+        F.col(label_col).alias("label_a"), F.col("centroid").alias("_ca")
+    )
+    b = cents.select(
+        F.col(label_col).alias("label_b"), F.col("centroid").alias("_cb")
+    )
+    return (
+        a.join(broadcast(b), F.col("label_a") < F.col("label_b"))
+        .select(
+            "label_a",
+            "label_b",
+            F.round(cosine_expr("_ca", "_cb"), 6).alias("centroid_cosine"),
+        )
+        .orderBy("label_a", "label_b")
+    )

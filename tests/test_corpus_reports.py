@@ -590,3 +590,33 @@ def test_vocab_coverage_monotone(t):
     covs = [r.coverage for r in rows]
     assert covs == sorted(covs)
     assert all(0 < c <= 1.0 for c in covs)
+
+
+def test_centroid_confusion_canonical_pairs(t):
+    rows = similarity.centroid_confusion(
+        t["embeddings"], "label", "embedding"
+    ).collect()
+    n_labels = t["embeddings"].select("label").distinct().count()
+    assert len(rows) == n_labels * (n_labels - 1) // 2
+    for r in rows:
+        assert r.label_a < r.label_b
+        assert -1.0 <= r.centroid_cosine <= 1.0
+
+
+def test_centroid_confusion_detects_close_pair(spark):
+    from fuel_spark.sources import from_rows
+
+    rows = []
+    for i in range(10):
+        rows += [
+            (i, [1.0, 0.01 * i, 0.0], 0),     # labels 0 and 1 overlap
+            (100 + i, [1.0, 0.0, 0.01 * i], 1),
+            (200 + i, [-1.0, 0.0, 0.0], 2),   # label 2 is opposite
+        ]
+    df = from_rows(
+        spark, rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    out = {(r.label_a, r.label_b): r.centroid_cosine
+           for r in similarity.centroid_confusion(df, "label", "embedding").collect()}
+    assert out[(0, 1)] > 0.99
+    assert out[(0, 2)] < -0.99 and out[(1, 2)] < -0.99
