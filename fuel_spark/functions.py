@@ -268,3 +268,63 @@ def norm2_sql(a: str) -> str:
 
 def cosine_sql(a: str, b: str) -> str:
     return f"({dot_sql(a, b)} / ({norm2_sql(a)} * {norm2_sql(b)}))"
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Skew-proof equi-join: replicate the RIGHT side ``salt_buckets``×
+    and scatter the LEFT side's rows across the salted keys, so a
+    heavy-hitter join key spreads over ``salt_buckets`` reducers
+    instead of landing on one.
+
+    The companion to :func:`salted_sum` for joins: AQE's skew handling
+    splits oversized sort-merge partitions at runtime, but a hash join
+    against a mid-sized right side (too big to broadcast, small enough
+    to replicate) with an extreme hot key still bottlenecks — explicit
+    salting is the production answer there.  Left rows salt by a hash
+    of their whole row id (round-robin-like but deterministic); right
+    rows replicate to every salt.  Output = the plain inner join's
+    rows exactly (the salt column never leaks).
+    """
+    salt = F.pmod(
+        F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets)
+    ).cast("int")
+    l = left.withColumn("_salt", salt)
+    r = right.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    return l.join(r, [key, "_salt"]).drop("_salt")
+
+
+def plan_report(df: DataFrame) -> dict:
+    """Physical-plan introspection: counts of the stages that matter
+    at 100 TB — shuffles (hash / range / single-partition exchanges),
+    scans, broadcast joins/exchanges, and whole-stage-codegen spans.
+
+    The programmatic twin of ``.explain()`` for assertions and
+    dashboards: the plan-shape tests in tests/test_plans.py check
+    exactly these properties; pipelines can gate deploys on them
+    ("this query must stay at ≤2 shuffles and 0 cartesian products").
+    """
+    import re
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # codegen spans print as `*(N)` node prefixes; distinct N = spans.
+    # Under AQE they appear once the final plan exists (i.e. after the
+    # query ran) — call plan_report after an action for that field.
+    codegen = len(set(re.findall(r"\*\((\d+)\)", plan)))
+    return {
+        "hash_exchanges": plan.count("Exchange hashpartitioning"),
+        "range_exchanges": plan.count("Exchange rangepartitioning"),
+        "single_partition_exchanges": plan.count("Exchange SinglePartition"),
+        "scans": plan.count("Scan parquet") + plan.count("Scan ExistingRDD"),
+        "broadcast_exchanges": plan.count("BroadcastExchange"),
+        "broadcast_joins": plan.count("BroadcastHashJoin"),
+        "sort_merge_joins": plan.count("SortMergeJoin"),
+        "cartesian_products": plan.count("CartesianProduct"),
+        "codegen_spans": codegen,
+    }

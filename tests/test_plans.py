@@ -806,3 +806,40 @@ def test_dictionary_and_range_split_no_data_single_partition(spark):
     sd.add_split("train", 0, 100)
     p = _plan(sd.get_split("train"))
     assert _single_partition_only_over_count_agg(p), p
+
+
+def test_salted_join_matches_plain_join_under_skew(spark):
+    """A 90%-hot-key join must produce exactly the plain join's rows,
+    with the hot key spread across salt buckets."""
+    from fuel_spark.functions import salted_join
+
+    left = spark.range(0, 1000).select(
+        F.when(F.col("id") < 900, 7).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("lv"),
+    )
+    right = from_rows(
+        spark, [(7, "hot"), (950, "cold"), (999, "cold2")],
+        "k bigint, rv string",
+    )
+    fast = salted_join(left, right, "k", salt_buckets=8).collect()
+    slow = left.join(right, "k").collect()
+    assert sorted((r.k, r.lv, r.rv) for r in fast) == sorted(
+        (r.k, r.lv, r.rv) for r in slow
+    )
+    assert len(fast) == 902  # 900 hot + 2 cold
+
+
+def test_plan_report_counts_known_plan(spark):
+    from fuel_spark.functions import plan_report
+
+    t = load_tables(spark, SF)
+    q = analytics.pricing_summary(t)
+    rep = plan_report(q)
+    assert rep["cartesian_products"] == 0
+    assert rep["hash_exchanges"] == 1  # the single groupBy shuffle
+    # codegen spans appear once AQE finalizes the plan (post-action)
+    q.collect()
+    assert plan_report(q)["codegen_spans"] >= 1
+    rep2 = plan_report(analytics.regional_revenue(t))
+    assert rep2["broadcast_joins"] >= 2  # dim chain broadcasts
+    assert rep2["cartesian_products"] == 0
