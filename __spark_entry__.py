@@ -1407,6 +1407,11 @@ def q_priority_mix(spark, sf):
     return analytics.priority_mix_by_segment(_t(spark, sf))
 
 
+def q_bigram_logprob(spark, sf):
+    d = _t(spark, sf)["documents"]
+    return text_ops.bigram_logprob(d, "doc_id", "text")
+
+
 def q_centroid_confusion(spark, sf):
     e = _t(spark, sf)["embeddings"]
     return similarity.centroid_confusion(e, "label", "embedding")
@@ -1675,6 +1680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_vocab_coverage": q_vocab_coverage,
         "embedding_centroid_confusion": q_centroid_confusion,
         "customer_balance_ltv_corr": q_balance_ltv_corr,
+        "text_bigram_logprob": q_bigram_logprob,
         # rows-only: iterative PageRank (no SQL oracle, numpy-pinned
         # in tests/test_graph.py)
         "part_pagerank": q_part_pagerank,
@@ -4074,6 +4080,42 @@ def oracle_sql() -> dict[str, str]:
         SELECT bucket_lo, bucket_lo + 50 AS bucket_hi, n_docs,
                round(CAST(n_docs AS DOUBLE) / t.total, 6) AS share
         FROM h CROSS JOIN t ORDER BY bucket_lo
+    """
+
+    sqls["text_bigram_logprob"] = f"""
+        WITH d AS (SELECT doc_id, {w} AS ws FROM documents),
+        g AS (
+          SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+          FROM d, LATERAL (SELECT unnest(generate_series(1,
+                             greatest(len(ws) - 1, 1))) AS i) u
+          WHERE len(ws) >= 2 AND ws[i] <> '' AND ws[i + 1] <> ''
+        ),
+        db AS (SELECT doc_id, w1, w2, count(*) AS tf FROM g
+               GROUP BY 1, 2, 3),
+        bc AS (SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS c12
+               FROM db GROUP BY 1, 2),
+        uc AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1
+               FROM bc GROUP BY 1),
+        v AS (SELECT CAST(count(DISTINCT wd) AS DOUBLE) AS v
+              FROM (SELECT unnest(ws) AS wd FROM d) WHERE wd <> ''),
+        s AS (
+          SELECT db.doc_id, db.tf,
+                 CAST(round(log10((bc.c12 + 1.0)
+                                  / (uc.c1 + 1.0 * v.v)), 6)
+                      AS DECIMAL(27,6)) AS lp
+          FROM db JOIN bc USING (w1, w2) JOIN uc USING (w1)
+          CROSS JOIN v
+        )
+        , agg AS (
+          SELECT doc_id, CAST(sum(tf) AS BIGINT) AS nb,
+                 CAST(sum(lp * tf) * 1000000 AS BIGINT) AS num
+          FROM s GROUP BY 1
+        )
+        SELECT doc_id, nb AS n_bigrams,
+               CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END)
+                    * ((2 * abs(num) + nb) // (2 * nb)) AS BIGINT)
+               / 1e6 AS mean_logprob2
+        FROM agg
     """
 
     _cc_cos = _cos_sql("a.c", "b.c")

@@ -1387,3 +1387,84 @@ def vocab_coverage_curve(
         )
         .orderBy("top_n")
     )
+
+
+def bigram_logprob(
+    df: DataFrame, id_col: str, text_col: str, alpha: float = 1.0
+) -> DataFrame:
+    """Corpus-bigram language-model score per document: mean log10 of
+    add-α-smoothed conditional bigram probabilities
+    p(w₂|w₁) = (c(w₁w₂) + α) / (c(w₁) + α·V) — the next tier above
+    :func:`unigram_logprob` (word order now matters: scrambled text
+    scores low even when its unigram mix is fluent), i.e. the
+    portable KenLM-style fluency filter.
+
+    One tokenize pass feeds both per-doc bigram tfs and (by summing
+    them) the corpus bigram/unigram count tables; V (vocabulary) and
+    nothing else rides as a broadcast 1-row relation.  The scoring
+    join is keyed on the bigram (doc-distinct bigrams, smaller than
+    the token stream by in-doc repetition); history counts join
+    broadcast-or-shuffle on w₁ as AQE measures.  Per-bigram log
+    probs round(6) then tf-weight and sum as exact DECIMAL — the
+    per-doc mean is bit-deterministic at any parallelism.
+    Output: id, n_bigrams, mean_logprob2.
+    """
+    d = ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
+    d = with_materialized(d, "_w", words(F.col(text_col)))
+    # the size(_w) >= 2 guard inside the lambda drops the spurious
+    # element the greatest(...) floor creates for single-word docs
+    # (an untyped empty-array CASE branch would not type-unify)
+    grams = F.expr(
+        "filter(transform(sequence(1, greatest(size(_w) - 1, 1)),"
+        "   i -> struct(element_at(_w, i) AS w1,"
+        "               element_at(_w, least(i + 1, size(_w))) AS w2)),"
+        "   g -> size(_w) >= 2 AND g.w1 != '' AND g.w2 != '')"
+    )
+    doc_bi = (
+        d.select(F.col(id_col), F.explode(grams).alias("g"))
+        .select(F.col(id_col), F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+        .groupBy(id_col, "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    bi_counts = doc_bi.groupBy("w1", "w2").agg(F.sum("tf").alias("c12"))
+    uni_counts = bi_counts.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = (
+        d.select(F.explode(F.col("_w")).alias("w"))
+        .where(F.col("w") != "")
+        .agg(F.count_distinct("w").cast("double").alias("_v"))
+    )
+    lp6 = F.round(
+        F.log10(
+            (F.col("c12") + F.lit(alpha))
+            / (F.col("c1") + F.lit(alpha) * F.col("_v"))
+        ),
+        6,
+    ).cast("decimal(27,6)")
+    scored = (
+        doc_bi.join(bi_counts, ["w1", "w2"])
+        .join(uni_counts, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn("_wlp", lp6 * F.col("tf"))
+    )
+    # the 6-dp mean via EXACT INTEGER rounded division: the decimal sum
+    # ×1e6 is an exact BIGINT, and (2|num| + n) DIV 2n is
+    # half-away-from-zero — engines disagree on double-rounding exact
+    # halves (hit in practice: −61.534011/42 = −1.4650955), integer
+    # arithmetic cannot
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.sum("tf").alias("n_bigrams"),
+            F.sum("_wlp").alias("_slp"),
+        )
+        .withColumn("_num", (F.col("_slp") * 1000000).cast("long"))
+        .withColumn(
+            "mean_logprob2",
+            F.expr(
+                "CAST((CASE WHEN _num < 0 THEN -1 ELSE 1 END)"
+                " * ((2 * abs(_num) + n_bigrams) DIV (2 * n_bigrams))"
+                " AS BIGINT) / 1e6"
+            ),
+        )
+        .drop("_slp", "_num")
+    )

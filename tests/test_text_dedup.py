@@ -886,3 +886,46 @@ def test_hamming_near_dup_guard_keeps_small_buckets_exact(spark):
         ).collect()
     }
     assert guarded == unguarded == {(1, 2): 1}
+
+
+def test_bigram_logprob_rewards_repeated_word_order(spark):
+    """Word order matters: a corpus where 'alpha beta' always appears
+    in that order scores the in-order doc higher than a reversed one,
+    even though their unigram mixes are identical."""
+    from fuel_spark.ops.text import bigram_logprob
+    from fuel_spark.sources import from_rows
+
+    docs = [(i, "alpha beta gamma delta " * 5) for i in range(8)]
+    docs.append((100, "alpha beta gamma delta " * 5))          # in-order
+    docs.append((101, "delta gamma beta alpha " * 5))          # reversed
+    df = from_rows(spark, docs, "doc_id bigint, text string")
+    out = {r.doc_id: r.mean_logprob2
+           for r in bigram_logprob(df, "doc_id", "text").collect()}
+    assert out[100] > out[101]
+
+
+def test_bigram_logprob_single_word_docs_excluded(spark):
+    from fuel_spark.ops.text import bigram_logprob
+    from fuel_spark.sources import from_rows
+
+    df = from_rows(
+        spark,
+        [(1, "only"), (2, "two words")],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in bigram_logprob(df, "doc_id", "text").collect()}
+    assert 1 not in out          # no bigram can exist
+    assert out[2].n_bigrams == 1
+
+
+def test_bigram_logprob_half_boundary_deterministic(spark):
+    """The rounded mean comes from exact integer division, so repeat
+    runs at different parallelism are bit-identical."""
+    from fuel_spark.ops.text import bigram_logprob
+    from fuel_spark.sources import load_tables
+
+    d = load_tables(spark, "/root/testdata/sf0.001")["documents"]
+    a = sorted(map(tuple, bigram_logprob(d, "doc_id", "text").collect()))
+    b = sorted(map(tuple, bigram_logprob(
+        d.repartition(7), "doc_id", "text").collect()))
+    assert a == b
