@@ -108,6 +108,9 @@ def main() -> int:
             "events_conversion_lag", "customer_order_freq",
             "events_monthly_type_mix", "discount_revenue_curve",
             "embedding_label_separation",
+            "events_retention_curve", "lineitem_qty_price_corr",
+            "text_vocab_coverage", "embedding_centroid_confusion",
+            "customer_balance_ltv_corr", "text_bigram_logprob",
         ]
         timings = {}
         for name in names:
