@@ -1407,6 +1407,22 @@ def q_priority_mix(spark, sf):
     return analytics.priority_mix_by_segment(_t(spark, sf))
 
 
+def q_block_size_profile(spark, sf):
+    e = _t(spark, sf)["embeddings"]
+    return similarity.block_size_profile(e, "embedding", bits=16)
+
+
+def q_dow_hour_heatmap(spark, sf):
+    return analytics.events_dow_hour_heatmap(_t(spark, sf))
+
+
+def q_pair_quality_stats(spark, sf):
+    d = _t(spark, sf)["documents"]
+    return dedup.pair_quality_stats(
+        dedup.ngram_jaccard_pairs(d, "doc_id", "text")
+    )
+
+
 def q_bigram_logprob(spark, sf):
     d = _t(spark, sf)["documents"]
     return text_ops.bigram_logprob(d, "doc_id", "text")
@@ -1681,6 +1697,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_centroid_confusion": q_centroid_confusion,
         "customer_balance_ltv_corr": q_balance_ltv_corr,
         "text_bigram_logprob": q_bigram_logprob,
+        "embedding_block_profile": q_block_size_profile,
+        "events_dow_hour_heatmap": q_dow_hour_heatmap,
+        "dedup_pair_quality": q_pair_quality_stats,
         # rows-only: iterative PageRank (no SQL oracle, numpy-pinned
         # in tests/test_graph.py)
         "part_pagerank": q_part_pagerank,
@@ -4080,6 +4099,71 @@ def oracle_sql() -> dict[str, str]:
         SELECT bucket_lo, bucket_lo + 50 AS bucket_hi, n_docs,
                round(CAST(n_docs AS DOUBLE) / t.total, 6) AS share
         FROM h CROSS JOIN t ORDER BY bucket_lo
+    """
+
+    sign_terms16 = " + ".join(
+        f"(CASE WHEN embedding[{b + 1}] > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(16)
+    )
+    sqls["embedding_block_profile"] = f"""
+        WITH sk AS (SELECT CAST({sign_terms16} AS BIGINT) AS b
+                    FROM embeddings),
+        blocks AS (SELECT b, count(*) AS block_size FROM sk GROUP BY 1),
+        h AS (SELECT block_size, count(*) AS n_blocks
+              FROM blocks GROUP BY 1),
+        t AS (SELECT CAST(sum(block_size * n_blocks) AS DOUBLE) AS total
+              FROM h)
+        SELECT block_size, n_blocks,
+               CAST(block_size * n_blocks AS BIGINT) AS n_vectors,
+               round(CAST(block_size * n_blocks AS DOUBLE) / t.total, 6)
+                 AS share_of_corpus
+        FROM h CROSS JOIN t ORDER BY block_size
+    """
+
+    sqls["events_dow_hour_heatmap"] = """
+        WITH g AS (SELECT dayofweek(ts) + 1 AS dow, hour(ts) AS hour,
+                          count(*) AS n
+                   FROM events GROUP BY 1, 2),
+        t AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM g)
+        SELECT dow, hour, n,
+               round(CAST(n AS DOUBLE) / t.total, 6) AS share
+        FROM g CROSS JOIN t ORDER BY dow, hour
+    """
+
+    sqls["dedup_pair_quality"] = f"""
+        WITH {_minhash_bands_sql()},
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b
+            ON a.band_id = b.band_id AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id
+        ),
+        shd AS (SELECT doc_id, {_shingles_sql('text')} AS s
+                FROM documents),
+        p AS (
+          SELECT round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                  / greatest(len(sa.s) + len(sb.s)
+                             - len(list_intersect(sa.s, sb.s)), 1),
+                  6) AS jaccard
+          FROM cand
+          JOIN shd sa ON sa.doc_id = id_a
+          JOIN shd sb ON sb.doc_id = id_b
+        ),
+        agg AS (
+          SELECT count(*) AS n_pairs,
+                 CAST(sum(CAST(jaccard AS DECIMAL(27,6))) * 1000000
+                      AS BIGINT) AS num,
+                 CAST(sum(CASE WHEN jaccard >= 0.5 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_ge_05,
+                 CAST(sum(CASE WHEN jaccard >= 0.8 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_ge_08
+          FROM p
+        )
+        SELECT n_pairs,
+               CAST((2 * abs(num) + n_pairs) // (2 * n_pairs)
+                    AS BIGINT) / 1e6 AS avg_jaccard,
+               n_ge_05, n_ge_08
+        FROM agg
     """
 
     sqls["text_bigram_logprob"] = f"""

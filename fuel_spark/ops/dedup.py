@@ -896,3 +896,36 @@ def hamming_near_dup(
         .where(F.col("hamming") <= radius)
         .distinct()
     )
+
+
+def pair_quality_stats(pairs: DataFrame) -> DataFrame:
+    """Dedup-tuning rollup over verified near-dup pairs (the
+    :func:`ngram_jaccard_pairs` output): pair count, exact mean
+    Jaccard, and the share clearing the 0.5 / 0.8 thresholds — the
+    one-row readout that says whether the LSH band settings are
+    surfacing real duplicates or noise.
+
+    The mean uses the exact integer rounded-division form (the
+    jaccards are 6-dp decimals, so the scaled sum is an exact BIGINT)
+    — engines disagree on double-rounding exact halves.
+    """
+    j6 = F.col("jaccard").cast("decimal(27,6)")
+    agg = pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(j6).alias("_sj"),
+        F.sum(F.when(F.col("jaccard") >= 0.5, 1).otherwise(0)).alias(
+            "n_ge_05"
+        ),
+        F.sum(F.when(F.col("jaccard") >= 0.8, 1).otherwise(0)).alias(
+            "n_ge_08"
+        ),
+    )
+    return agg.select(
+        "n_pairs",
+        F.expr(
+            "CAST((2 * abs(CAST(_sj * 1000000 AS BIGINT)) + n_pairs)"
+            " DIV (2 * n_pairs) AS BIGINT) / 1e6"
+        ).alias("avg_jaccard"),
+        "n_ge_05",
+        "n_ge_08",
+    )

@@ -1109,3 +1109,37 @@ def centroid_confusion(
         )
         .orderBy("label_a", "label_b")
     )
+
+
+def block_size_profile(
+    df: DataFrame, vec_col: str = "embedding", bits: int = 16
+) -> DataFrame:
+    """Blocking-health profile for the sign-sketch family: histogram
+    of block sizes (how many vectors share each sketch) — the
+    dashboard that says whether SemDeDup / sign-block ANN will see
+    balanced blocks or needs `max_block` to kick in.
+
+    Two map-side-combinable rollups over at most 2^bits groups; zero
+    joins.
+    Output: block_size, n_blocks, n_vectors, share_of_corpus.
+    """
+    from pyspark.sql import Window as W
+
+    blocks = sign_sketch(df.select(vec_col), vec_col, bits).groupBy(
+        "sign_bucket"
+    ).agg(F.count(F.lit(1)).alias("block_size"))
+    h = blocks.groupBy("block_size").agg(F.count(F.lit(1)).alias("n_blocks"))
+    total = F.sum(F.col("block_size") * F.col("n_blocks")).over(W.partitionBy())
+    return (
+        h.select(
+            "block_size",
+            "n_blocks",
+            (F.col("block_size") * F.col("n_blocks")).alias("n_vectors"),
+            F.round(
+                (F.col("block_size") * F.col("n_blocks")).cast("double")
+                / total,
+                6,
+            ).alias("share_of_corpus"),
+        )
+        .orderBy("block_size")
+    )

@@ -2318,3 +2318,26 @@ def column_correlation(
             "pearson_r"
         ),
     )
+
+
+def events_dow_hour_heatmap(t: dict[str, DataFrame]) -> DataFrame:
+    """Weekly seasonality heatmap: event counts by (day-of-week,
+    hour-of-day) with global shares — the 7×24 load grid behind
+    staffing/capacity curves (the hourly profile collapsed across the
+    week misses weekday-vs-weekend structure).
+
+    Single rollup to ≤168 rows; shares divide exact BIGINTs.
+    """
+    from pyspark.sql import Window as W
+
+    e = t["events"]
+    g = e.groupBy(
+        F.dayofweek("ts").alias("dow"), F.hour("ts").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    total = F.sum("n").over(W.partitionBy())
+    return g.select(
+        "dow",
+        "hour",
+        "n",
+        F.round(F.col("n").cast("double") / total, 6).alias("share"),
+    ).orderBy("dow", "hour")

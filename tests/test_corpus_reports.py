@@ -620,3 +620,34 @@ def test_centroid_confusion_detects_close_pair(spark):
            for r in similarity.centroid_confusion(df, "label", "embedding").collect()}
     assert out[(0, 1)] > 0.99
     assert out[(0, 2)] < -0.99 and out[(1, 2)] < -0.99
+
+
+def test_block_profile_partitions_corpus(t):
+    rows = similarity.block_size_profile(
+        t["embeddings"], "embedding", bits=16
+    ).collect()
+    assert sum(r.n_vectors for r in rows) == t["embeddings"].count()
+    assert abs(sum(r.share_of_corpus for r in rows) - 1.0) < 1e-5
+    for r in rows:
+        assert r.n_vectors == r.block_size * r.n_blocks
+
+
+def test_dow_hour_heatmap_grid(t):
+    rows = analytics.events_dow_hour_heatmap(t).collect()
+    assert sum(r.n for r in rows) == t["events"].count()
+    for r in rows:
+        assert 1 <= r.dow <= 7 and 0 <= r.hour <= 23
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-5
+
+
+def test_pair_quality_stats_consistent_with_pairs(t):
+    from fuel_spark.ops import dedup
+
+    pairs = dedup.ngram_jaccard_pairs(t["documents"], "doc_id", "text")
+    collected = pairs.collect()
+    row = dedup.pair_quality_stats(pairs).collect()[0]
+    assert row.n_pairs == len(collected)
+    assert row.n_ge_08 <= row.n_ge_05 <= row.n_pairs
+    if collected:
+        mean = sum(r.jaccard for r in collected) / len(collected)
+        assert abs(row.avg_jaccard - mean) < 1e-5
