@@ -1407,6 +1407,20 @@ def q_priority_mix(spark, sf):
     return analytics.priority_mix_by_segment(_t(spark, sf))
 
 
+def q_prefix_dups(spark, sf):
+    d = _t(spark, sf)["documents"]
+    return dedup.prefix_dup_groups(d, "doc_id", "text", prefix_len=64)
+
+
+def q_shard_assignment(spark, sf):
+    c = _t(spark, sf)["customer"]
+    return schemes.shard_assignment(c, "c_custkey", 8, seed=5)
+
+
+def q_returns_by_month(spark, sf):
+    return analytics.returns_by_month(_t(spark, sf))
+
+
 def q_block_size_profile(spark, sf):
     e = _t(spark, sf)["embeddings"]
     return similarity.block_size_profile(e, "embedding", bits=16)
@@ -1700,6 +1714,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_block_profile": q_block_size_profile,
         "events_dow_hour_heatmap": q_dow_hour_heatmap,
         "dedup_pair_quality": q_pair_quality_stats,
+        "dedup_prefix_groups": q_prefix_dups,
+        "scheme_shards": q_shard_assignment,
+        "returns_by_month": q_returns_by_month,
         # rows-only: iterative PageRank (no SQL oracle, numpy-pinned
         # in tests/test_graph.py)
         "part_pagerank": q_part_pagerank,
@@ -4099,6 +4116,43 @@ def oracle_sql() -> dict[str, str]:
         SELECT bucket_lo, bucket_lo + 50 AS bucket_hi, n_docs,
                round(CAST(n_docs AS DOUBLE) / t.total, 6) AS share
         FROM h CROSS JOIN t ORDER BY bucket_lo
+    """
+
+    sqls["dedup_prefix_groups"] = f"""
+        SELECT md5(substring({_norm_sql('text')}, 1, 64)) AS prefix_hash,
+               count(*) AS n_docs,
+               min(doc_id) AS keep_id
+        FROM documents GROUP BY 1 HAVING count(*) > 1
+        ORDER BY prefix_hash
+    """
+
+    sqls["scheme_shards"] = """
+        WITH s AS (
+          SELECT c_custkey,
+                 CAST(CAST(CAST(concat('0x', substring(
+                        md5(concat('5', '-', CAST(c_custkey AS VARCHAR))),
+                        1, 6)) AS UBIGINT) % 8 AS BIGINT) AS INT)
+                   AS shard_id
+          FROM customer
+        )
+        SELECT shard_id, count(*) AS n_rows,
+               min(c_custkey) AS min_key, max(c_custkey) AS max_key
+        FROM s GROUP BY 1 ORDER BY 1
+    """
+
+    sqls["returns_by_month"] = """
+        SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+               count(*) AS n_items,
+               round(CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1
+                                   ELSE 0 END) AS DOUBLE) / count(*), 6)
+                 AS return_rate,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(27,6))) AS DOUBLE) AS revenue,
+               CAST(sum(CAST(CASE WHEN l_returnflag = 'R'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0.0 END AS DECIMAL(27,6)))
+                    AS DOUBLE) AS returned_revenue
+        FROM lineitem GROUP BY 1 ORDER BY 1
     """
 
     sign_terms16 = " + ".join(

@@ -929,3 +929,35 @@ def pair_quality_stats(pairs: DataFrame) -> DataFrame:
         "n_ge_05",
         "n_ge_08",
     )
+
+
+def prefix_dup_groups(
+    df: DataFrame, id_col: str, text_col: str, prefix_len: int = 64
+) -> DataFrame:
+    """Shared-prefix duplicate groups: documents whose normalized
+    first ``prefix_len`` characters coincide — the cheap detector for
+    truncation artifacts and templated page heads that full-document
+    hashing misses (the tails differ) and shingle Jaccard dilutes on
+    long docs.
+
+    One md5(prefix) rollup (16 B keys on the wire, same scale shape
+    as exact_dedup); emits only groups with >1 member.
+    Output: prefix_hash, n_docs, keep_id (min id in the group).
+    """
+    from fuel_spark.functions import norm_text
+
+    h = df.select(
+        F.col(id_col),
+        F.md5(F.substring(norm_text(F.col(text_col)), 1, prefix_len)).alias(
+            "prefix_hash"
+        ),
+    )
+    return (
+        h.groupBy("prefix_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("keep_id"),
+        )
+        .where(F.col("n_docs") > 1)
+        .orderBy("prefix_hash")
+    )

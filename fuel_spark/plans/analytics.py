@@ -2341,3 +2341,29 @@ def events_dow_hour_heatmap(t: dict[str, DataFrame]) -> DataFrame:
         "n",
         F.round(F.col("n").cast("double") / total, 6).alias("share"),
     ).orderBy("dow", "hour")
+
+
+def returns_by_month(t: dict[str, DataFrame]) -> DataFrame:
+    """Return-rate trend: per ship month, the share of line items (and
+    of revenue) flagged returned — the quality-drift curve behind the
+    Q10 customer-level view.
+
+    Single scan, |months| groups, exact decimal revenue.
+    """
+    l = t["lineitem"]
+    ret = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(ret).cast("double") / F.count(F.lit(1)), 6
+            ).alias("return_rate"),
+            _dsum(rev).alias("revenue"),
+            _dsum(F.when(F.col("l_returnflag") == "R", rev).otherwise(0.0)).alias(
+                "returned_revenue"
+            ),
+        )
+        .orderBy("ship_month")
+    )

@@ -309,3 +309,30 @@ def epoch_batches(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def shard_assignment(
+    df: DataFrame, key: str, n_shards: int, seed: int = 5
+) -> DataFrame:
+    """Stable shard plan for N parallel consumers: every row maps to
+    md5(seed, key) mod n_shards — reproducible on any cluster size,
+    stable under appends (a new row never moves old rows), the
+    data-parallel serving twin of the hash splits.
+
+    Returns the per-shard summary (row count, key range) — the
+    assignment itself is a pure projection callers inline.
+    """
+    shard = (
+        F.conv(F.substring(det_key(seed, F.col(key)), 1, 6), 16, 10)
+        .cast("bigint") % n_shards
+    ).cast("int")
+    return (
+        df.select(F.col(key), shard.alias("shard_id"))
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min(key).alias("min_key"),
+            F.max(key).alias("max_key"),
+        )
+        .orderBy("shard_id")
+    )

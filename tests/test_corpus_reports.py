@@ -651,3 +651,42 @@ def test_pair_quality_stats_consistent_with_pairs(t):
     if collected:
         mean = sum(r.jaccard for r in collected) / len(collected)
         assert abs(row.avg_jaccard - mean) < 1e-5
+
+
+def test_prefix_dup_groups_catches_shared_heads(spark):
+    from fuel_spark.ops import dedup
+    from fuel_spark.sources import from_rows
+
+    head = "this is the exact same very long templated page header text"
+    docs = from_rows(
+        spark,
+        [(1, head + " tail one"), (2, head + " another different tail"),
+         (3, "a completely different document body")],
+        "doc_id bigint, text string",
+    )
+    rows = dedup.prefix_dup_groups(docs, "doc_id", "text", prefix_len=40).collect()
+    assert len(rows) == 1
+    assert rows[0].n_docs == 2 and rows[0].keep_id == 1
+
+
+def test_shard_assignment_stable_under_append(t):
+    from fuel_spark import schemes
+
+    c = t["customer"]
+    full = {r.shard_id: r.n_rows
+            for r in schemes.shard_assignment(c, "c_custkey", 8).collect()}
+    assert sum(full.values()) == c.count()
+    # assignment is per-key: a subset's shard rows are a subset of the
+    # full run's (appends never move existing keys)
+    half = c.where(F.col("c_custkey") % 2 == 0)
+    sub = {r.shard_id: r.n_rows
+           for r in schemes.shard_assignment(half, "c_custkey", 8).collect()}
+    assert all(sub[k] <= full.get(k, 0) for k in sub)
+
+
+def test_returns_by_month_bounds(t):
+    rows = analytics.returns_by_month(t).collect()
+    assert sum(r.n_items for r in rows) == t["lineitem"].count()
+    for r in rows:
+        assert 0.0 <= r.return_rate <= 1.0
+        assert 0.0 <= r.returned_revenue <= r.revenue + 1e-6
