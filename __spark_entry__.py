@@ -1407,6 +1407,17 @@ def q_priority_mix(spark, sf):
     return analytics.priority_mix_by_segment(_t(spark, sf))
 
 
+def q_knn_purity(spark, sf):
+    e = _t(spark, sf)["embeddings"]
+    q = e.where(F.col("vec_id") < 20)
+    return similarity.knn_label_purity(e, q, "label", "vec_id", "embedding", k=5)
+
+
+def q_dedup_summary(spark, sf):
+    d = _t(spark, sf)["documents"]
+    return dedup.dedup_summary(d, "doc_id", "text", threshold=0.5)
+
+
 def q_prefix_dups(spark, sf):
     d = _t(spark, sf)["documents"]
     return dedup.prefix_dup_groups(d, "doc_id", "text", prefix_len=64)
@@ -1717,6 +1728,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_prefix_groups": q_prefix_dups,
         "scheme_shards": q_shard_assignment,
         "returns_by_month": q_returns_by_month,
+        "embedding_knn_purity": q_knn_purity,
+        "dedup_summary": q_dedup_summary,
         # rows-only: iterative PageRank (no SQL oracle, numpy-pinned
         # in tests/test_graph.py)
         "part_pagerank": q_part_pagerank,
@@ -4116,6 +4129,70 @@ def oracle_sql() -> dict[str, str]:
         SELECT bucket_lo, bucket_lo + 50 AS bucket_hi, n_docs,
                round(CAST(n_docs AS DOUBLE) / t.total, 6) AS share
         FROM h CROSS JOIN t ORDER BY bucket_lo
+    """
+
+    _kp_cos = _cos_sql("qe", "ce")
+    sqls["embedding_knn_purity"] = f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qe,
+                          label AS query_label
+                   FROM embeddings WHERE vec_id < 20),
+        c AS (SELECT vec_id AS neighbor_id, embedding AS ce,
+                     label AS nlabel
+              FROM embeddings),
+        scored AS (
+          SELECT query_id, query_label, neighbor_id, nlabel,
+                 round({_kp_cos}, 6) AS cosine
+          FROM q, c WHERE query_id <> neighbor_id
+        ),
+        ranked AS (
+          SELECT query_id, query_label, nlabel,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, neighbor_id)
+                   AS rank
+          FROM scored
+        )
+        SELECT query_id, query_label, count(*) AS n_neighbors,
+               CAST(sum(CASE WHEN nlabel = query_label THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_same_label,
+               round(CAST(sum(CASE WHEN nlabel = query_label
+                                   THEN 1 ELSE 0 END) AS DOUBLE)
+                     / count(*), 6) AS purity
+        FROM ranked WHERE rank <= 5
+        GROUP BY 1, 2 ORDER BY 1
+    """
+
+    sqls["dedup_summary"] = f"""
+        WITH g AS (SELECT md5(text) AS h, count(*) AS dup_count
+                   FROM documents GROUP BY 1),
+        ex AS (SELECT CAST(sum(dup_count - 1) AS BIGINT)
+                        AS n_exact_dup_docs,
+                      count(*) AS n_unique_texts
+               FROM g),
+        {_minhash_bands_sql()},
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b
+            ON a.band_id = b.band_id AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id
+        ),
+        shd AS (SELECT doc_id, {_shingles_sql('text')} AS s
+                FROM documents),
+        nearp AS (
+          SELECT count(*) AS n_near_dup_pairs
+          FROM cand
+          JOIN shd sa ON sa.doc_id = id_a
+          JOIN shd sb ON sb.doc_id = id_b
+          WHERE round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                  / greatest(len(sa.s) + len(sb.s)
+                             - len(list_intersect(sa.s, sb.s)), 1), 6)
+                >= 0.5
+        ),
+        tot AS (SELECT count(*) AS n_docs FROM documents)
+        SELECT tot.n_docs, ex.n_unique_texts, ex.n_exact_dup_docs,
+               nearp.n_near_dup_pairs,
+               round(CAST(ex.n_exact_dup_docs AS DOUBLE) / tot.n_docs, 6)
+                 AS exact_dup_frac
+        FROM tot CROSS JOIN ex CROSS JOIN nearp
     """
 
     sqls["dedup_prefix_groups"] = f"""

@@ -961,3 +961,39 @@ def prefix_dup_groups(
         .where(F.col("n_docs") > 1)
         .orderBy("prefix_hash")
     )
+
+
+def dedup_summary(
+    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.5
+) -> DataFrame:
+    """Corpus dedup executive summary, one row: document count, exact
+    duplicates (docs beyond each group's keeper), verified near-dup
+    pairs at the threshold, and the exact-dup fraction — the
+    before/after headline for a curation run.
+
+    Composes :func:`exact_dedup` (16 B digest rollup) and the banded
+    near-dup pipeline; both reductions are aggregate-sized.
+    """
+    groups = exact_dedup(df, id_col, text_col)
+    exact = groups.agg(
+        F.sum(F.col("dup_count") - 1).alias("n_exact_dup_docs"),
+        F.count(F.lit(1)).alias("n_unique_texts"),
+    )
+    pairs = ngram_jaccard_pairs(df, id_col, text_col).where(
+        F.col("jaccard") >= threshold
+    )
+    near = pairs.agg(F.count(F.lit(1)).alias("n_near_dup_pairs"))
+    total = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        total.crossJoin(F.broadcast(exact))
+        .crossJoin(F.broadcast(near))
+        .select(
+            "n_docs",
+            "n_unique_texts",
+            F.col("n_exact_dup_docs").cast("bigint").alias("n_exact_dup_docs"),
+            "n_near_dup_pairs",
+            F.round(
+                F.col("n_exact_dup_docs").cast("double") / F.col("n_docs"), 6
+            ).alias("exact_dup_frac"),
+        )
+    )

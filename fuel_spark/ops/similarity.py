@@ -1143,3 +1143,49 @@ def block_size_profile(
         )
         .orderBy("block_size")
     )
+
+
+def knn_label_purity(
+    corpus: DataFrame,
+    queries: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """kNN label purity: for each query, the share of its exact top-k
+    cosine neighbors carrying the query's own label — the
+    training-free classification-accuracy proxy for an embedding
+    space (purity ≈ 1/|labels| means the space carries no label
+    signal).
+
+    Reuses :func:`cosine_topk`'s broadcast-query scan; the two label
+    lookups join the (tiny) query set and the top-k rows only.
+    Output: query_id, query_label, n_neighbors, n_same_label, purity.
+    """
+    top = cosine_topk(corpus, queries, id_col=id_col, vec_col=vec_col, k=k)
+    qlab = queries.select(
+        F.col(id_col).alias("query_id"), F.col(label_col).alias("query_label")
+    )
+    nlab = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("_nlabel"),
+    )
+    return (
+        top.join(broadcast(qlab), "query_id")
+        .join(nlab, "neighbor_id")
+        .groupBy("query_id", "query_label")
+        .agg(
+            F.count(F.lit(1)).alias("n_neighbors"),
+            F.sum(
+                F.when(F.col("_nlabel") == F.col("query_label"), 1).otherwise(0)
+            ).alias("n_same_label"),
+        )
+        .withColumn(
+            "purity",
+            F.round(
+                F.col("n_same_label").cast("double") / F.col("n_neighbors"), 6
+            ),
+        )
+        .orderBy("query_id")
+    )

@@ -690,3 +690,33 @@ def test_returns_by_month_bounds(t):
     for r in rows:
         assert 0.0 <= r.return_rate <= 1.0
         assert 0.0 <= r.returned_revenue <= r.revenue + 1e-6
+
+
+def test_knn_purity_on_separable_labels(spark):
+    from fuel_spark.sources import from_rows
+
+    rows = []
+    for i in range(12):
+        rows.append((i, [1.0, 0.001 * i, 0.0], 0))
+        rows.append((100 + i, [-1.0, 0.0, 0.001 * i], 1))
+    df = from_rows(
+        spark, rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    q = df.where(F.col("vec_id").isin(0, 100))
+    out = {r.query_id: r for r in
+           similarity.knn_label_purity(df, q, "label", "vec_id",
+                                       "embedding", k=5).collect()}
+    # perfectly separated clusters: every neighbor shares the label
+    assert out[0].purity == 1.0 and out[100].purity == 1.0
+    assert out[0].n_neighbors == 5
+
+
+def test_dedup_summary_consistent(t):
+    from fuel_spark.ops import dedup
+
+    d = t["documents"]
+    row = dedup.dedup_summary(d, "doc_id", "text").collect()[0]
+    assert row.n_docs == d.count()
+    assert row.n_unique_texts + row.n_exact_dup_docs == row.n_docs
+    assert row.n_near_dup_pairs >= 0
+    assert 0.0 <= row.exact_dup_frac < 1.0
