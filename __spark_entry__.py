@@ -1407,6 +1407,10 @@ def q_priority_mix(spark, sf):
     return analytics.priority_mix_by_segment(_t(spark, sf))
 
 
+def q_gap_histogram(spark, sf):
+    return analytics.events_gap_histogram(_t(spark, sf))
+
+
 def q_knn_purity(spark, sf):
     e = _t(spark, sf)["embeddings"]
     q = e.where(F.col("vec_id") < 20)
@@ -1730,6 +1734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "returns_by_month": q_returns_by_month,
         "embedding_knn_purity": q_knn_purity,
         "dedup_summary": q_dedup_summary,
+        "events_gap_histogram": q_gap_histogram,
         # rows-only: iterative PageRank (no SQL oracle, numpy-pinned
         # in tests/test_graph.py)
         "part_pagerank": q_part_pagerank,
@@ -4129,6 +4134,26 @@ def oracle_sql() -> dict[str, str]:
         SELECT bucket_lo, bucket_lo + 50 AS bucket_hi, n_docs,
                round(CAST(n_docs AS DOUBLE) / t.total, 6) AS share
         FROM h CROSS JOIN t ORDER BY bucket_lo
+    """
+
+    sqls["events_gap_histogram"] = """
+        WITH g AS (
+          SELECT epoch_us(ts) / 1000000 -
+                 lag(epoch_us(ts) / 1000000) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+          FROM events
+        ),
+        h AS (
+          SELECT CAST(floor(log2(gap_s + 1.0)) AS BIGINT) AS log2_bucket,
+                 count(*) AS n_gaps
+          FROM g WHERE gap_s IS NOT NULL GROUP BY 1
+        ),
+        t AS (SELECT CAST(sum(n_gaps) AS DOUBLE) AS total FROM h)
+        SELECT log2_bucket,
+               pow(2.0, log2_bucket) - 1 AS gap_s_lo,
+               n_gaps,
+               round(CAST(n_gaps AS DOUBLE) / t.total, 6) AS share
+        FROM h CROSS JOIN t ORDER BY log2_bucket
     """
 
     _kp_cos = _cos_sql("qe", "ce")

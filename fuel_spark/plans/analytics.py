@@ -2367,3 +2367,34 @@ def returns_by_month(t: dict[str, DataFrame]) -> DataFrame:
         )
         .orderBy("ship_month")
     )
+
+
+def events_gap_histogram(t: dict[str, DataFrame]) -> DataFrame:
+    """Inter-event gap distribution in log₂-second buckets — the
+    shape behind the interarrival summary stats (bot traffic spikes
+    the sub-second buckets, human sessions the minutes band).
+
+    Same partitioned lag as events_interarrival; the bucket edge is
+    floor(log₂(gap_s + 1)), exact at every power-of-two boundary, so
+    both engines bucket identically.  Output ≤ ~40 rows.
+    """
+    from pyspark.sql import Window as W
+
+    e = t["events"]
+    sec = F.unix_micros(F.col("ts")) / F.lit(1_000_000)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        e.select((sec - F.lag(sec).over(w)).alias("gap_s"))
+        .where(F.col("gap_s").isNotNull())
+    )
+    bucket = F.floor(F.log2(F.col("gap_s").cast("double") + F.lit(1.0)))
+    h = gaps.groupBy(bucket.cast("bigint").alias("log2_bucket")).agg(
+        F.count(F.lit(1)).alias("n_gaps")
+    )
+    total = F.sum("n_gaps").over(W.partitionBy())
+    return h.select(
+        "log2_bucket",
+        (F.pow(F.lit(2.0), F.col("log2_bucket")) - 1).alias("gap_s_lo"),
+        "n_gaps",
+        F.round(F.col("n_gaps").cast("double") / total, 6).alias("share"),
+    ).orderBy("log2_bucket")

@@ -720,3 +720,14 @@ def test_dedup_summary_consistent(t):
     assert row.n_unique_texts + row.n_exact_dup_docs == row.n_docs
     assert row.n_near_dup_pairs >= 0
     assert 0.0 <= row.exact_dup_frac < 1.0
+
+
+def test_gap_histogram_accounts_all_gaps(t):
+    rows = analytics.events_gap_histogram(t).collect()
+    n_events = t["events"].count()
+    n_users = t["events"].select("user_id").distinct().count()
+    # one gap per event beyond each user's first
+    assert sum(r.n_gaps for r in rows) == n_events - n_users
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-5
+    for r in rows:
+        assert r.gap_s_lo == 2.0 ** r.log2_bucket - 1

@@ -111,6 +111,11 @@ def main() -> int:
             "events_retention_curve", "lineitem_qty_price_corr",
             "text_vocab_coverage", "embedding_centroid_confusion",
             "customer_balance_ltv_corr", "text_bigram_logprob",
+            "embedding_block_profile", "events_dow_hour_heatmap",
+            "dedup_pair_quality", "dedup_prefix_groups",
+            "scheme_shards", "returns_by_month",
+            "embedding_knn_purity", "dedup_summary",
+            "events_gap_histogram",
         ]
         timings = {}
         for name in names:
