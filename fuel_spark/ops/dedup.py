@@ -964,7 +964,8 @@ def prefix_dup_groups(
 
 
 def dedup_summary(
-    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.5
+    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.5,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Corpus dedup executive summary, one row: document count, exact
     duplicates (docs beyond each group's keeper), verified near-dup
@@ -979,9 +980,12 @@ def dedup_summary(
         F.sum(F.col("dup_count") - 1).alias("n_exact_dup_docs"),
         F.count(F.lit(1)).alias("n_unique_texts"),
     )
-    pairs = ngram_jaccard_pairs(df, id_col, text_col).where(
-        F.col("jaccard") >= threshold
-    )
+    # max_bucket bounds the pair stage on boilerplate-heavy corpora
+    # (the 10x smoke's 10-copies-per-doc corpus emits 12.6M quadratic
+    # pairs by construction — pass a cap in production)
+    pairs = ngram_jaccard_pairs(
+        df, id_col, text_col, max_bucket=max_bucket
+    ).where(F.col("jaccard") >= threshold)
     near = pairs.agg(F.count(F.lit(1)).alias("n_near_dup_pairs"))
     total = df.agg(F.count(F.lit(1)).alias("n_docs"))
     return (
