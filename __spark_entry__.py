@@ -1407,6 +1407,28 @@ def q_priority_mix(spark, sf):
     return analytics.priority_mix_by_segment(_t(spark, sf))
 
 
+def q_rfm_segments(spark, sf):
+    return analytics.events_rfm_segments(_t(spark, sf))
+
+
+def q_supplier_concentration(spark, sf):
+    return analytics.supplier_revenue_concentration(_t(spark, sf))
+
+
+def q_exact_vector_dedup(spark, sf):
+    """Exact duplicate-vector screen over a corpus with PLANTED dups
+    (vec_id >= n gets vec_id % 32's embedding re-emitted by a union,
+    like redact_pii injects its PII) — random embeddings contain no
+    natural exact dups to check against."""
+    e = _t(spark, sf)["embeddings"]
+    planted = (
+        e.where(F.col("vec_id") < 32)
+        .select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
+    )
+    corpus = e.select("vec_id", "embedding").unionByName(planted)
+    return dedup.exact_vector_dedup(corpus, "vec_id", "embedding")
+
+
 def q_gap_histogram(spark, sf):
     return analytics.events_gap_histogram(_t(spark, sf))
 
@@ -1735,6 +1757,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_knn_purity": q_knn_purity,
         "dedup_summary": q_dedup_summary,
         "events_gap_histogram": q_gap_histogram,
+        "events_rfm_segments": q_rfm_segments,
+        "supplier_revenue_concentration": q_supplier_concentration,
+        "dedup_exact_vectors": q_exact_vector_dedup,
         # rows-only: iterative PageRank (no SQL oracle, numpy-pinned
         # in tests/test_graph.py)
         "part_pagerank": q_part_pagerank,
@@ -4134,6 +4159,66 @@ def oracle_sql() -> dict[str, str]:
         SELECT bucket_lo, bucket_lo + 50 AS bucket_hi, n_docs,
                round(CAST(n_docs AS DOUBLE) / t.total, 6) AS share
         FROM h CROSS JOIN t ORDER BY bucket_lo
+    """
+
+    sqls["events_rfm_segments"] = """
+        WITH cm AS (SELECT max(ts) AS mx FROM events),
+        pu AS (SELECT user_id, max(ts) AS lst, count(*) AS freq,
+                      CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE)
+                        AS monetary
+               FROM events GROUP BY 1),
+        f AS (SELECT date_diff('day', CAST(lst AS DATE),
+                               CAST(cm.mx AS DATE)) AS recency_days,
+                     freq, monetary
+              FROM pu CROSS JOIN cm),
+        s AS (SELECT CASE
+                WHEN recency_days < 7 AND freq >= 50 THEN 'champion'
+                WHEN recency_days >= 7 AND freq >= 50 THEN 'loyal'
+                WHEN recency_days < 7 THEN 'fresh'
+                ELSE 'at_risk' END AS segment,
+                     freq, monetary
+              FROM f)
+        SELECT segment, count(*) AS n_users,
+               round(CAST(sum(CAST(monetary AS DECIMAL(27,6)))
+                          AS DOUBLE), 6) AS total_monetary,
+               round(CAST(sum(CAST(freq AS DECIMAL(27,6))) AS DOUBLE)
+                     / count(*), 6) AS avg_frequency
+        FROM s GROUP BY 1 ORDER BY 1
+    """
+
+    sqls["supplier_revenue_concentration"] = """
+        WITH ps AS (SELECT l_suppkey,
+                           sum(CAST(l_extendedprice * (1 - l_discount)
+                                    AS DECIMAL(27,6))) AS srev
+                    FROM lineitem GROUP BY 1),
+        r AS (SELECT srev,
+                     row_number() OVER (ORDER BY srev ASC, l_suppkey) AS i
+              FROM ps)
+        SELECT count(*) AS n_suppliers,
+               round(CAST(sum(srev) AS DOUBLE), 6) AS total_revenue,
+               round(2.0 * CAST(sum(srev * i) AS DOUBLE)
+                     / (count(*) * CAST(sum(srev) AS DOUBLE))
+                     - (count(*) + 1.0) / count(*), 6) AS gini
+        FROM r
+    """
+
+    sqls["dedup_exact_vectors"] = """
+        WITH corpus AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL
+          SELECT vec_id + 1000000 AS vec_id, embedding
+          FROM embeddings WHERE vec_id < 32
+        ),
+        h AS (
+          SELECT vec_id,
+                 md5(COALESCE(array_to_string(list_transform(embedding,
+                     x -> CAST(CAST(round(CAST(x AS DOUBLE), 6)
+                               AS DECIMAL(18,6)) AS VARCHAR)), ','), ''))
+                   AS vec_hash
+          FROM corpus
+        )
+        SELECT vec_hash, count(*) AS n_vecs, min(vec_id) AS keep_id
+        FROM h GROUP BY 1 HAVING count(*) > 1 ORDER BY 1
     """
 
     sqls["events_gap_histogram"] = """

@@ -1001,3 +1001,41 @@ def dedup_summary(
             ).alias("exact_dup_frac"),
         )
     )
+
+
+def exact_vector_dedup(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Exact duplicate-vector groups: md5 over the 6-dp component
+    string — repeated encodes of the same content collapse here
+    before any cosine machinery runs (and a surprising group count is
+    itself an encoder-pipeline bug signal).
+
+    Same 16 B-digest rollup shape as :func:`exact_dedup`; rounding to
+    6 dp makes the digest portable across float32 storage and the SQL
+    oracle.  Emits only groups with >1 member.
+    """
+    # fixed-scale DECIMAL(18,6) string form on both engines (same
+    # contract as the oracle's _arrstr_sql): raw double→string repr
+    # rules differ between JVM and DuckDB
+    digest = F.md5(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.col(vec_col),
+                lambda x: F.round(x.cast("double"), 6)
+                .cast("decimal(18,6)")
+                .cast("string"),
+            ),
+        )
+    )
+    return (
+        df.select(F.col(id_col), digest.alias("vec_hash"))
+        .groupBy("vec_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.min(id_col).alias("keep_id"),
+        )
+        .where(F.col("n_vecs") > 1)
+        .orderBy("vec_hash")
+    )

@@ -2398,3 +2398,78 @@ def events_gap_histogram(t: dict[str, DataFrame]) -> DataFrame:
         "n_gaps",
         F.round(F.col("n_gaps").cast("double") / total, 6).alias("share"),
     ).orderBy("log2_bucket")
+
+
+def events_rfm_segments(
+    t: dict[str, DataFrame],
+    recent_days: int = 7,
+    frequent_n: int = 50,
+) -> DataFrame:
+    """RFM lifecycle segmentation: users bucketed into the classic
+    quadrants (champion = recent & frequent, loyal = stale but
+    frequent, fresh = recent but light, at_risk = neither), with
+    counts and exact-decimal monetary totals per segment — the
+    productized rollup over :func:`events_user_rfm`'s feature block.
+
+    Same single user-keyed shuffle as the feature query; the segment
+    is a per-row CASE, the rollup is 4 rows.
+    """
+    rfm = events_user_rfm(t)
+    recent = F.col("recency_days") < recent_days
+    frequent = F.col("frequency") >= frequent_n
+    seg = (
+        F.when(recent & frequent, "champion")
+        .when(~recent & frequent, "loyal")
+        .when(recent & ~frequent, "fresh")
+        .otherwise("at_risk")
+    )
+    return (
+        rfm.groupBy(seg.alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(
+                F.sum(F.col("monetary").cast(DEC)).cast("double"), 6
+            ).alias("total_monetary"),
+            F.round(
+                F.sum(F.col("frequency").cast(DEC)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_frequency"),
+        )
+        .orderBy("segment")
+    )
+
+
+def supplier_revenue_concentration(t: dict[str, DataFrame]) -> DataFrame:
+    """Supply-side concentration: Gini of supplier revenue (from the
+    fact table) plus the top-decile share — procurement-risk readout,
+    the supplier twin of customer revenue_concentration.
+
+    One suppkey rollup off the scan, ranks from the parallel
+    partition-offset positions (unbounded supplier aggregate never
+    sorts in one task), exact decimal sums.
+    """
+    from fuel_spark.ops.core import with_positions
+
+    l = t["lineitem"]
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_supp = l.groupBy("l_suppkey").agg(
+        F.sum(rev.cast(DEC)).alias("srev")
+    )
+    ranked = with_positions(
+        per_supp, [F.col("srev"), F.col("l_suppkey")], pos_col="i", base=1
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum("srev").alias("_tot"),
+        F.sum(F.col("srev") * F.col("i")).alias("_wsum"),
+    ).select(
+        "n_suppliers",
+        F.round(F.col("_tot").cast("double"), 6).alias("total_revenue"),
+        F.round(
+            F.lit(2.0) * F.col("_wsum").cast("double")
+            / (F.col("n_suppliers") * F.col("_tot").cast("double"))
+            - (F.col("n_suppliers") + F.lit(1.0)) / F.col("n_suppliers"),
+            6,
+        ).alias("gini"),
+    )

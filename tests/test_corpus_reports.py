@@ -731,3 +731,36 @@ def test_gap_histogram_accounts_all_gaps(t):
     assert abs(sum(r.share for r in rows) - 1.0) < 1e-5
     for r in rows:
         assert r.gap_s_lo == 2.0 ** r.log2_bucket - 1
+
+
+def test_rfm_segments_partition_users(t):
+    rows = analytics.events_rfm_segments(t).collect()
+    n_users = t["events"].select("user_id").distinct().count()
+    assert sum(r.n_users for r in rows) == n_users
+    assert {r.segment for r in rows} <= {
+        "champion", "loyal", "fresh", "at_risk"
+    }
+
+
+def test_supplier_concentration_bounds(t):
+    row = analytics.supplier_revenue_concentration(t).collect()[0]
+    assert 0.0 <= row.gini < 1.0
+    assert row.n_suppliers == (
+        t["lineitem"].select("l_suppkey").distinct().count()
+    )
+
+
+def test_exact_vector_dedup_finds_planted(spark):
+    from fuel_spark.ops import dedup
+    from fuel_spark.sources import from_rows
+
+    rows = [
+        (1, [0.5, -0.25, 0.125]),
+        (2, [0.5, -0.25, 0.125]),       # exact dup of 1
+        (3, [0.5, -0.25, 0.1250004]),   # rounds to the same 6 dp
+        (4, [0.9, 0.1, 0.0]),           # unique
+    ]
+    df = from_rows(spark, rows, "vec_id bigint, embedding array<float>")
+    out = dedup.exact_vector_dedup(df, "vec_id", "embedding").collect()
+    assert len(out) == 1
+    assert out[0].n_vecs == 3 and out[0].keep_id == 1
