@@ -1407,6 +1407,15 @@ def q_priority_mix(spark, sf):
     return analytics.priority_mix_by_segment(_t(spark, sf))
 
 
+def q_entry_points(spark, sf):
+    return analytics.events_entry_points(_t(spark, sf))
+
+
+def q_norm_by_label(spark, sf):
+    e = _t(spark, sf)["embeddings"]
+    return similarity.norm_by_label(e, "label", "embedding")
+
+
 def q_rfm_segments(spark, sf):
     return analytics.events_rfm_segments(_t(spark, sf))
 
@@ -1760,6 +1769,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rfm_segments": q_rfm_segments,
         "supplier_revenue_concentration": q_supplier_concentration,
         "dedup_exact_vectors": q_exact_vector_dedup,
+        "events_entry_points": q_entry_points,
+        "embedding_norm_by_label": q_norm_by_label,
         # rows-only: iterative PageRank (no SQL oracle, numpy-pinned
         # in tests/test_graph.py)
         "part_pagerank": q_part_pagerank,
@@ -4159,6 +4170,36 @@ def oracle_sql() -> dict[str, str]:
         SELECT bucket_lo, bucket_lo + 50 AS bucket_hi, n_docs,
                round(CAST(n_docs AS DOUBLE) / t.total, 6) AS share
         FROM h CROSS JOIN t ORDER BY bucket_lo
+    """
+
+    sqls["events_entry_points"] = """
+        WITH f AS (
+          SELECT user_id,
+                 min(struct_pack(ts := ts, event_id := event_id,
+                                 event_type := event_type)) AS fe
+          FROM events GROUP BY 1
+        ),
+        m AS (SELECT fe.event_type AS first_event_type,
+                     count(*) AS n_users
+              FROM f GROUP BY 1),
+        t AS (SELECT CAST(sum(n_users) AS DOUBLE) AS total FROM m)
+        SELECT first_event_type, n_users,
+               round(CAST(n_users AS DOUBLE) / t.total, 6) AS share
+        FROM m CROSS JOIN t ORDER BY first_event_type
+    """
+
+    sqls["embedding_norm_by_label"] = f"""
+        WITH n AS (
+          SELECT label,
+                 CAST(round({_norm2_sql('embedding')}, 6)
+                      AS DECIMAL(27,6)) AS v
+          FROM embeddings
+        )
+        SELECT label, count(*) AS n_vecs,
+               round(CAST(min(v) AS DOUBLE), 6) AS min_norm,
+               round(CAST(max(v) AS DOUBLE), 6) AS max_norm,
+               round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS mean_norm
+        FROM n GROUP BY 1 ORDER BY 1
     """
 
     sqls["events_rfm_segments"] = """

@@ -1189,3 +1189,35 @@ def knn_label_purity(
         )
         .orderBy("query_id")
     )
+
+
+def norm_by_label(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label L2-norm profile (count, min/max, exact-decimal mean)
+    — scale skew BETWEEN classes distorts cosine-free distance
+    metrics and flags per-class encoder drift that the global
+    dim_stats view averages away.
+
+    One per-row norm projection + a |labels|-row rollup.
+    """
+    from fuel_spark.functions import norm2_expr
+
+    norms = ensure_parallelism(df.select(label_col, vec_col)).select(
+        F.col(label_col),
+        F.round(norm2_expr(vec_col), 6).cast("decimal(27,6)").alias("v"),
+    )
+    return (
+        norms.groupBy(label_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.min("v").cast("double"), 6).alias("min_norm"),
+            F.round(F.max("v").cast("double"), 6).alias("max_norm"),
+            F.round(
+                F.sum("v").cast("double") / F.count(F.lit(1)), 6
+            ).alias("mean_norm"),
+        )
+        .orderBy(label_col)
+    )

@@ -2473,3 +2473,29 @@ def supplier_revenue_concentration(t: dict[str, DataFrame]) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+def events_entry_points(t: dict[str, DataFrame]) -> DataFrame:
+    """Entry-point mix: the distribution of each user's FIRST event
+    type — where journeys start (the acquisition-side complement of
+    the funnel's conversion view).
+
+    Per-user argmin via min(struct(ts, event_id, type)) — one
+    map-side-combinable shuffle, no window — then a |types|-row
+    rollup with shares.
+    """
+    from pyspark.sql import Window as W
+
+    e = t["events"]
+    first = e.groupBy("user_id").agg(
+        F.min(F.struct("ts", "event_id", "event_type")).alias("_f")
+    )
+    m = first.groupBy(F.col("_f.event_type").alias("first_event_type")).agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    total = F.sum("n_users").over(W.partitionBy())
+    return m.select(
+        "first_event_type",
+        "n_users",
+        F.round(F.col("n_users").cast("double") / total, 6).alias("share"),
+    ).orderBy("first_event_type")

@@ -764,3 +764,17 @@ def test_exact_vector_dedup_finds_planted(spark):
     out = dedup.exact_vector_dedup(df, "vec_id", "embedding").collect()
     assert len(out) == 1
     assert out[0].n_vecs == 3 and out[0].keep_id == 1
+
+
+def test_entry_points_partition_users(t):
+    rows = analytics.events_entry_points(t).collect()
+    n_users = t["events"].select("user_id").distinct().count()
+    assert sum(r.n_users for r in rows) == n_users
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-5
+
+
+def test_norm_by_label_bounds(t):
+    rows = similarity.norm_by_label(t["embeddings"], "label", "embedding").collect()
+    assert sum(r.n_vecs for r in rows) == t["embeddings"].count()
+    for r in rows:
+        assert r.min_norm <= r.mean_norm <= r.max_norm

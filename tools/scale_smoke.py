@@ -115,7 +115,9 @@ def main() -> int:
             "dedup_pair_quality", "dedup_prefix_groups",
             "scheme_shards", "returns_by_month",
             "embedding_knn_purity", "dedup_summary",
-            "events_gap_histogram",
+            "events_gap_histogram", "events_rfm_segments",
+            "supplier_revenue_concentration", "dedup_exact_vectors",
+            "events_entry_points", "embedding_norm_by_label",
         ]
         timings = {}
         for name in names:
