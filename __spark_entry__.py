@@ -1407,6 +1407,11 @@ def q_priority_mix(spark, sf):
     return analytics.priority_mix_by_segment(_t(spark, sf))
 
 
+def q_minhash_calibration(spark, sf):
+    d = _t(spark, sf)["documents"]
+    return dedup.minhash_calibration(d, "doc_id", "text")
+
+
 def q_entry_points(spark, sf):
     return analytics.events_entry_points(_t(spark, sf))
 
@@ -1771,6 +1776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_vectors": q_exact_vector_dedup,
         "events_entry_points": q_entry_points,
         "embedding_norm_by_label": q_norm_by_label,
+        "dedup_minhash_calibration": q_minhash_calibration,
         # rows-only: iterative PageRank (no SQL oracle, numpy-pinned
         # in tests/test_graph.py)
         "part_pagerank": q_part_pagerank,
@@ -4170,6 +4176,55 @@ def oracle_sql() -> dict[str, str]:
         SELECT bucket_lo, bucket_lo + 50 AS bucket_hi, n_docs,
                round(CAST(n_docs AS DOUBLE) / t.total, 6) AS share
         FROM h CROSS JOIN t ORDER BY bucket_lo
+    """
+
+    from fuel_spark.functions import minhash_sql as _mh_sql
+    from fuel_spark.functions import shingle_hashes_sql as _shh_sql
+
+    _mh_cols = ", ".join(f"{_mh_sql('h', j)} AS m{j}" for j in range(9))
+    _agree = " + ".join(
+        f"(CASE WHEN a.m{j} = b.m{j} THEN 1 ELSE 0 END)" for j in range(9)
+    )
+    sqls["dedup_minhash_calibration"] = f"""
+        WITH shd AS (SELECT doc_id, {_shingles_sql('text')} AS s
+                     FROM documents),
+        hsd AS (SELECT doc_id, s, {_shh_sql('s')} AS h FROM shd),
+        sk AS (SELECT doc_id, s, {_mh_cols} FROM hsd),
+        {_minhash_bands_sql()},
+        cand AS (
+          SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+          FROM bands x JOIN bands y
+            ON x.band_id = y.band_id AND x.band_key = y.band_key
+           AND x.doc_id < y.doc_id
+        ),
+        sc AS (
+          SELECT CAST(round(({_agree}) / 9.0, 6) AS DECIMAL(27,6)) AS est,
+                 CAST(round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                   / greatest(len(a.s) + len(b.s)
+                              - len(list_intersect(a.s, b.s)), 1), 6)
+                      AS DECIMAL(27,6)) AS exact
+          FROM cand JOIN sk a ON a.doc_id = id_a
+                    JOIN sk b ON b.doc_id = id_b
+        ),
+        sd AS (SELECT est, exact,
+                      CASE WHEN est >= exact THEN est - exact
+                           ELSE exact - est END AS abs_err
+               FROM sc),
+        agg AS (SELECT count(*) AS n,
+                       CAST(sum(est) * 1000000 AS BIGINT) AS se,
+                       CAST(sum(exact) * 1000000 AS BIGINT) AS sx,
+                       CAST(sum(abs_err) * 1000000 AS BIGINT) AS sd
+                FROM sd)
+        SELECT n AS n_pairs,
+               CAST((2 * abs(se) + n) // (2 * n) AS BIGINT)
+                 * (CASE WHEN se < 0 THEN -1 ELSE 1 END) / 1e6
+                 AS mean_est_jaccard,
+               CAST((2 * abs(sx) + n) // (2 * n) AS BIGINT)
+                 * (CASE WHEN sx < 0 THEN -1 ELSE 1 END) / 1e6
+                 AS mean_exact_jaccard,
+               CAST((2 * abs(sd) + n) // (2 * n) AS BIGINT) / 1e6
+                 AS mean_abs_err
+        FROM agg
     """
 
     sqls["events_entry_points"] = """

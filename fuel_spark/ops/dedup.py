@@ -1039,3 +1039,102 @@ def exact_vector_dedup(
         .where(F.col("n_vecs") > 1)
         .orderBy("vec_hash")
     )
+
+
+def minhash_calibration(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 9,
+    bands: int = 3,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """MinHash calibration certificate, one row: over the LSH
+    candidate pairs, the mean estimated Jaccard (share of agreeing
+    minhashes), the mean exact shingle Jaccard, and the mean absolute
+    error between them — the in-engine answer to "is the sketch
+    faithful on THIS corpus", complementing tools/eval_recall.py's
+    recall sweep.
+
+    One sketch pass carries the per-doc minhash vector; candidates
+    come from the banded pipeline; the exact side reuses the verify
+    join.  All three means are exact-integer rounded divisions of
+    6-dp decimal sums (engines disagree on double-rounding exact
+    halves).
+    """
+    from fuel_spark.functions import norm_text
+
+    out = ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
+    out = out.select(F.col(id_col), norm_text(F.col(text_col)).alias("_norm"))
+    out = out.select(
+        F.col(id_col), shingles_over_norm("_norm", shingle_k).alias("_sh")
+    )
+    hashed = out.select(
+        F.col(id_col),
+        F.col("_sh"),
+        shingle_hashes_expr("_sh").alias("_hs"),
+    )
+    mh = [minhash_expr("_hs", j).alias(f"_m{j}") for j in range(num_hashes)]
+    sk = hashed.select(id_col, "_sh", *mh)
+
+    cands = minhash_candidate_pairs(
+        df, id_col, text_col, num_hashes, bands, shingle_k
+    )
+    a = sk.select(
+        F.col(id_col).alias("id_a"),
+        F.col("_sh").alias("_sa"),
+        *[F.col(f"_m{j}").alias(f"_ma{j}") for j in range(num_hashes)],
+    )
+    b = sk.select(
+        F.col(id_col).alias("id_b"),
+        F.col("_sh").alias("_sb"),
+        *[F.col(f"_m{j}").alias(f"_mb{j}") for j in range(num_hashes)],
+    )
+    agree = sum(
+        F.when(F.col(f"_ma{j}") == F.col(f"_mb{j}"), 1).otherwise(0)
+        for j in range(num_hashes)
+    )
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    union = F.size("_sa") + F.size("_sb") - inter
+    scored = (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            F.round(agree / F.lit(float(num_hashes)), 6)
+            .cast("decimal(27,6)")
+            .alias("est"),
+            F.round(
+                inter.cast("double") / F.greatest(union, F.lit(1)), 6
+            ).cast("decimal(27,6)").alias("exact"),
+        )
+        .withColumn(
+            "abs_err",
+            F.when(F.col("est") >= F.col("exact"),
+                   F.col("est") - F.col("exact"))
+            .otherwise(F.col("exact") - F.col("est")),
+        )
+    )
+
+    agg = scored.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("est").alias("_se"),
+        F.sum("exact").alias("_sx"),
+        F.sum("abs_err").alias("_sd"),
+    )
+    return agg.select(
+        F.col("n").alias("n_pairs"),
+        F.expr(
+            "CAST((2 * abs(CAST(_se * 1000000 AS BIGINT)) + n)"
+            " DIV (2 * n) AS BIGINT)"
+            " * (CASE WHEN _se < 0 THEN -1 ELSE 1 END) / 1e6"
+        ).alias("mean_est_jaccard"),
+        F.expr(
+            "CAST((2 * abs(CAST(_sx * 1000000 AS BIGINT)) + n)"
+            " DIV (2 * n) AS BIGINT)"
+            " * (CASE WHEN _sx < 0 THEN -1 ELSE 1 END) / 1e6"
+        ).alias("mean_exact_jaccard"),
+        F.expr(
+            "CAST((2 * abs(CAST(_sd * 1000000 AS BIGINT)) + n)"
+            " DIV (2 * n) AS BIGINT) / 1e6"
+        ).alias("mean_abs_err"),
+    )

@@ -929,3 +929,20 @@ def test_bigram_logprob_half_boundary_deterministic(spark):
     b = sorted(map(tuple, bigram_logprob(
         d.repartition(7), "doc_id", "text").collect()))
     assert a == b
+
+
+def test_minhash_calibration_sane(spark):
+    """On a corpus with exact copies the estimate and exact Jaccard
+    both read 1.0 for those pairs; MAE bounded by construction."""
+    from fuel_spark.ops.dedup import minhash_calibration
+    from fuel_spark.sources import from_rows
+
+    docs = [(i, f"totally unique document number {i} with extra words here")
+            for i in range(20)]
+    docs += [(100 + i, docs[i][1]) for i in range(5)]  # 5 exact copies
+    df = from_rows(spark, docs, "doc_id bigint, text string")
+    row = minhash_calibration(df, "doc_id", "text").collect()[0]
+    assert row.n_pairs >= 5
+    assert 0.0 <= row.mean_abs_err <= 0.5
+    # est and exact must broadly agree on this mostly-exact-copy set
+    assert abs(row.mean_est_jaccard - row.mean_exact_jaccard) <= row.mean_abs_err + 1e-9

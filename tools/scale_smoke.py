@@ -118,6 +118,7 @@ def main() -> int:
             "events_gap_histogram", "events_rfm_segments",
             "supplier_revenue_concentration", "dedup_exact_vectors",
             "events_entry_points", "embedding_norm_by_label",
+            "dedup_minhash_calibration",
         ]
         timings = {}
         for name in names:
