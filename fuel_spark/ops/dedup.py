@@ -12,6 +12,14 @@ Design: everything is hash-based and *pair-bounded* —
 
 No Python UDFs; md5-based hashing keeps Spark and the DuckDB oracle
 bit-identical.
+
+Every pair-emitting operator takes a skew guard (``max_bucket`` /
+``max_block``) that degrades oversized buckets from all-pairs to star
+pairs (or skips them, for the cross-corpus join).  The guard defaults
+to :data:`DEFAULT_MAX_BUCKET` — bounded BY DEFAULT, because at 100 TB
+a single boilerplate bucket of 10^6 docs is 10^12 pairs and an opt-in
+guard is the knob someone forgets; pass ``None`` to opt out when the
+corpus is known clean.
 """
 
 from __future__ import annotations
@@ -25,6 +33,13 @@ from fuel_spark.functions import (
     shingle_hashes_expr,
     shingles_over_norm,
 )
+
+# Default skew-guard cap for every pair-emitting operator in this
+# module.  512² = 262k pairs per bucket worst-case — safely parallel —
+# while sitting far above any honest near-dup bucket (the sf0.1
+# corpus's largest band bucket is 123; a bucket past 512 members is
+# boilerplate, not duplication).
+DEFAULT_MAX_BUCKET: int | None = 512
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -121,7 +136,7 @@ def minhash_candidate_pairs(
     num_hashes: int = 9,
     bands: int = 3,
     shingle_k: int = 5,
-    max_bucket: int | None = None,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
     distinct_pairs: bool = True,
 ) -> DataFrame:
     """LSH candidate pairs (a < b) sharing any band bucket.
@@ -180,7 +195,7 @@ def ngram_jaccard_pairs(
     bands: int = 3,
     shingle_k: int = 5,
     distinct_pairs: bool = True,
-    max_bucket: int | None = None,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Verified near-dup pairs: jaccard over distinct char-shingle sets
     computed on LSH candidates only (sketch → candidates → verify, the
@@ -224,7 +239,7 @@ def apply_dedup(
     num_hashes: int = 9,
     bands: int = 3,
     shingle_k: int = 5,
-    max_bucket: int | None = None,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """The full near-dup pipeline, applied: sketch → LSH candidates →
     jaccard verify → greedy keep-smallest-id.
@@ -570,7 +585,7 @@ def containment_pairs(
     num_hashes: int = 9,
     bands: int = 3,
     shingle_k: int = 5,
-    max_bucket: int | None = None,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Asymmetric containment over LSH candidates: |A∩B| / |A| and
     |A∩B| / |B| per pair.  Catches subset duplication — a short doc
@@ -722,7 +737,7 @@ def fuzzy_join(
     num_hashes: int = 9,
     bands: int = 3,
     shingle_k: int = 5,
-    max_bucket: int | None = None,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Fuzzy record linkage ACROSS two corpora: candidate pairs from
     shared MinHash band buckets, verified by exact shingle Jaccard —
@@ -802,7 +817,7 @@ def hamming_near_dup(
     hash_col: str,
     bits: int = 16,
     radius: int = 3,
-    max_bucket: int | None = 512,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Near-dup pairs from a bit fingerprint (simhash / perceptual
     hash) within a Hamming radius — the step that turns a fingerprint
@@ -965,7 +980,7 @@ def prefix_dup_groups(
 
 def dedup_summary(
     df: DataFrame, id_col: str, text_col: str, threshold: float = 0.5,
-    max_bucket: int | None = None,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Corpus dedup executive summary, one row: document count, exact
     duplicates (docs beyond each group's keeper), verified near-dup

@@ -15,6 +15,12 @@ from pyspark.sql.functions import broadcast
 
 from fuel_spark.functions import cosine_expr, ensure_parallelism
 
+# Default skew-guard cap for the pair-emitting block joins here,
+# mirroring ``ops.dedup.DEFAULT_MAX_BUCKET``: bounded BY DEFAULT so a
+# dominant block at 100 TB degrades to star pairs instead of going
+# quadratic on one reducer; pass ``None`` to opt out.
+DEFAULT_MAX_BLOCK: int | None = 512
+
 
 def cosine_topk(
     corpus: DataFrame,
@@ -58,7 +64,7 @@ def cosine_pairs_within(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    max_block: int | None = None,
+    max_block: int | None = DEFAULT_MAX_BLOCK,
 ) -> DataFrame:
     """Embedding near-duplicate pairs within a blocking group
     (e.g. label, or a :func:`sign_sketch` / :func:`lsh_bucket`
@@ -105,7 +111,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     threshold: float = 0.97,
     bits: int = 16,
-    max_block: int | None = None,
+    max_block: int | None = DEFAULT_MAX_BLOCK,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): drop documents whose *embeddings* are
