@@ -10,10 +10,21 @@ once; from then on every fuel_spark operator applies.
 h5py is not installed in this build container, so the reader is
 gated behind an import-try (the conversion logic itself is plain
 chunked iteration and is exercised by a skip-marked test wherever
-h5py exists).  Conversion is driver-side by design: HDF5 is not a
-splittable format Spark executors can scan, so the one-time bridge
-streams bounded row-chunks through ``createDataFrame`` and appends
-them to a parquet dataset that *is* distributed from then on.
+h5py exists).  Two tiers:
+
+- :func:`hdf5_to_parquet` — driver-side chunk loop.  Simple, zero
+  assumptions about where the file lives; right for one-off
+  workstation migrations.
+- :func:`hdf5_to_parquet_distributed` — executor-side parallel
+  reads.  HDF5 is not a format Spark's scanner can split, but h5py
+  slicing IS random-access by row range, so the bridge builds a
+  chunk-range manifest on the driver (one tiny metadata open) and
+  each Spark task opens the file itself and reads only its
+  ``[start:stop)`` slice via Arrow-batched ``mapInPandas`` —
+  TB-scale estates convert at cluster width instead of
+  single-threaded.  Requires the .hdf5 path to be readable from
+  executors (shared FS / NFS / fuse mount — the standard layout for
+  an HDF5 estate worth converting in parallel).
 """
 
 from __future__ import annotations
@@ -81,40 +92,139 @@ def hdf5_to_parquet(
             spark.createDataFrame(pdf).write.mode(mode).parquet(out_path)
             total += stop - start
 
-        split_attr = f.attrs.get("split")
-        if split_attr is not None:
-            rows = []
-            for entry in split_attr:
-                # create_split_array (reference fuel/datasets/hdf5.py:235)
-                # writes 7 fields; two change the meaning of (start, stop):
-                # available=False marks a placeholder (no data for this
-                # split/source pair) and a non-null `indices` reference
-                # means the subset is an explicit index list, NOT a range.
-                # Writing either as a plain (start, stop) row would
-                # silently corrupt the migrated split.
-                fields = getattr(getattr(entry, "dtype", None), "names", None) or ()
-                if "available" in fields and not bool(entry["available"]):
-                    continue
-                idx_list = None
-                if "indices" in fields:
-                    ref = entry["indices"]
-                    if ref:  # null h5py.Reference is falsy
-                        idx_list = [int(i) for i in f[ref][()]]
-                rows.append(
-                    (
-                        _to_str(entry["split"]),
-                        _to_str(entry["source"]),
-                        int(entry["start"]),
-                        int(entry["stop"]),
-                        idx_list,
-                    )
-                )
-            spark.createDataFrame(
-                rows,
-                "split string, source string, start bigint, stop bigint, "
-                "indices array<bigint>",
-            ).write.mode("overwrite").parquet(out_path + "_splits.parquet")
+        _write_splits_metadata(spark, f, out_path)
     return total
+
+
+def _spark_type_for(np_dtype, ndim: int) -> str:
+    """DDL type string for one HDF5 node: numpy dtype + rank →
+    (possibly nested) Spark type.  Examples are row-major, so rank r
+    maps to r-1 levels of array nesting per example."""
+    kind = np_dtype.kind
+    if kind in ("i", "u"):
+        base = "bigint"
+    elif kind == "f":
+        base = "double"
+    elif kind == "b":
+        base = "boolean"
+    elif kind in ("S", "O", "U"):
+        base = "string"
+    else:
+        raise ValueError(f"unsupported HDF5 dtype {np_dtype!r}")
+    for _ in range(ndim - 1):
+        base = f"array<{base}>"
+    return base
+
+
+def hdf5_to_parquet_distributed(
+    spark: SparkSession,
+    h5_path: str,
+    out_path: str,
+    sources: list[str] | None = None,
+    chunk_rows: int = 65536,
+) -> int:
+    """Executor-parallel HDF5 → parquet conversion.
+
+    The driver opens the file ONCE for metadata (row count, dtypes,
+    the split attribute — bytes, not data), emits a (start, stop)
+    chunk manifest as a DataFrame repartitioned to one chunk per
+    task, and ``mapInPandas`` tasks each open ``h5_path`` themselves
+    and slice their own row range — the lazy-slicing capability of
+    the reference's H5PYDataset (fuel/datasets/hdf5.py:95), turned
+    into cluster-wide parallel ingest.  Peak memory per task is one
+    chunk; total wall-clock divides by executor count instead of
+    running single-threaded on the driver.
+
+    Requires ``h5_path`` readable from executors (shared FS).  Use
+    :func:`hdf5_to_parquet` when the file only exists on the driver.
+    Splits metadata is written exactly as the driver-side tier does.
+    Returns the number of rows written.
+    """
+    h5py = _require_h5py()
+
+    with h5py.File(h5_path, "r") as f:
+        names = sources or [k for k in f.keys() if hasattr(f[k], "shape")]
+        if not names:
+            raise ValueError(f"no datasets found in {h5_path}")
+        n = f[names[0]].shape[0]
+        ddl_parts = []
+        for name in names:
+            node = f[name]
+            if node.shape[0] != n:
+                raise ValueError(
+                    f"source {name!r} has {node.shape[0]} rows, expected {n}"
+                )
+            ddl_parts.append(
+                f"`{name}` {_spark_type_for(node.dtype, len(node.shape))}"
+            )
+        schema = ", ".join(ddl_parts)
+        _write_splits_metadata(spark, f, out_path)
+
+    ranges = [
+        (start, min(start + chunk_rows, n)) for start in range(0, n, chunk_rows)
+    ]
+    manifest = spark.createDataFrame(
+        ranges, "start bigint, stop bigint"
+    ).repartition(len(ranges))
+
+    def read_chunks(batches):
+        import pandas as pd
+
+        import h5py as _h5  # executor-side import, gated like PIL
+
+        with _h5.File(h5_path, "r") as fh:
+            for pdf in batches:
+                for start, stop in zip(pdf["start"], pdf["stop"]):
+                    cols = {}
+                    for name in names:
+                        block = fh[name][int(start):int(stop)]
+                        if getattr(block, "ndim", 1) > 1:
+                            cols[name] = [row.tolist() for row in block]
+                        elif block.dtype.kind in ("S", "O"):
+                            cols[name] = [_to_str(v) for v in block]
+                        else:
+                            cols[name] = block.tolist()
+                    yield pd.DataFrame(cols)
+
+    manifest.mapInPandas(read_chunks, schema).write.mode("overwrite").parquet(
+        out_path
+    )
+    return n
+
+
+def _write_splits_metadata(spark: SparkSession, f, out_path: str) -> None:
+    """Write H5PYDataset's ``split`` attribute (if present) to
+    ``<out_path>_splits.parquet`` — shared by both conversion tiers.
+    See create_split_array (reference fuel/datasets/hdf5.py:235):
+    available=False rows are placeholders and a non-null ``indices``
+    reference means an explicit index list, not a range."""
+    split_attr = f.attrs.get("split")
+    if split_attr is None:
+        return
+    rows = []
+    for entry in split_attr:
+        fields = getattr(getattr(entry, "dtype", None), "names", None) or ()
+        if "available" in fields and not bool(entry["available"]):
+            continue
+        idx_list = None
+        if "indices" in fields:
+            ref = entry["indices"]
+            if ref:  # null h5py.Reference is falsy
+                idx_list = [int(i) for i in f[ref][()]]
+        rows.append(
+            (
+                _to_str(entry["split"]),
+                _to_str(entry["source"]),
+                int(entry["start"]),
+                int(entry["stop"]),
+                idx_list,
+            )
+        )
+    spark.createDataFrame(
+        rows,
+        "split string, source string, start bigint, stop bigint, "
+        "indices array<bigint>",
+    ).write.mode("overwrite").parquet(out_path + "_splits.parquet")
 
 
 def _to_str(v) -> str:

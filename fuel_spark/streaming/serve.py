@@ -128,10 +128,17 @@ class SocketBatchServer:
     Each micro-batch is pushed to every connected client as
     newline-delimited JSON rows; the Spark-native consumer is the
     built-in ``format("socket")`` source + ``from_json`` (see
-    :func:`client_stream`).  Like fuel's server this is a single
-    egress point — the horizontal-scale variant of the same facade is
-    ``foreachBatch`` writing to a partitioned bus (kafka-shaped sink)
-    with executor-side writes; the micro-batch contract is identical.
+    :func:`client_stream`).
+
+    THROUGHPUT BOUND (by design): ``sink`` collects each micro-batch
+    to the driver and sends it over one socket — exactly fuel's own
+    single-node server shape (reference fuel/server.py:32 pushes
+    numpy batches from one process), so the ceiling is driver memory
+    for one micro-batch and one NIC's egress.  Right for demo /
+    single-consumer serving; for production egress use
+    :func:`partition_push_sink`, where every executor task streams
+    its own partition over its own connection and the driver never
+    materializes a batch.
     """
 
     def __init__(self, host: str = "127.0.0.1", port: int = 0):
@@ -214,6 +221,42 @@ def serve_over_socket(
     elif trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def partition_push_sink(host: str, port: int, flush_rows: int = 1000):
+    """Executor-parallel JSON-lines push: a ``foreachBatch`` callback
+    where each partition's task opens its OWN TCP connection to
+    ``(host, port)`` and streams its rows directly.
+
+    This is the horizontal-scale tier of :class:`SocketBatchServer`:
+    the driver never materializes a batch, per-task memory is bounded
+    by ``flush_rows`` JSON lines, and egress bandwidth scales with
+    executor count (N tasks → N concurrent connections into the
+    collector — the shape of any partitioned-bus producer).  The
+    receiver must accept concurrent connections; row order across
+    partitions is unspecified, as on any parallel bus.
+    """
+
+    def sink(df: DataFrame, batch_id: int) -> None:
+        def push(lines):
+            import socket
+
+            conn = socket.create_connection((host, port))
+            try:
+                buf = []
+                for line in lines:
+                    buf.append(line)
+                    if len(buf) >= flush_rows:
+                        conn.sendall(("\n".join(buf) + "\n").encode())
+                        buf.clear()
+                if buf:
+                    conn.sendall(("\n".join(buf) + "\n").encode())
+            finally:
+                conn.close()
+
+        df.toJSON().foreachPartition(push)
+
+    return sink
 
 
 def client_stream(spark: SparkSession, host: str, port: int, schema: str) -> DataFrame:

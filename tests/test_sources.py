@@ -104,6 +104,53 @@ def test_hdf5_bridge_gated_without_h5py(spark, tmp_path):
     assert ds.get_split("test").count() == 2
 
 
+def test_hdf5_distributed_bridge(spark, tmp_path):
+    """Executor-parallel tier: gated without h5py; where h5py exists,
+    the manifest → mapInPandas path must roundtrip identically to the
+    driver-side tier (same rows, same splits metadata)."""
+    from fuel_spark.sources import hdf5 as h5mod
+
+    try:
+        import h5py
+    except ImportError:
+        import pytest as _pytest
+
+        with _pytest.raises(ImportError, match="h5py"):
+            h5mod.hdf5_to_parquet_distributed(
+                spark, "/nonexistent.h5", str(tmp_path / "o")
+            )
+        return
+    import numpy as np
+
+    p = str(tmp_path / "ds.h5")
+    with h5py.File(p, "w") as f:
+        f["features"] = np.arange(20, dtype="float64").reshape(10, 2)
+        f["targets"] = np.arange(10, dtype="int64")
+    out = str(tmp_path / "out_dist")
+    n = h5mod.hdf5_to_parquet_distributed(spark, p, out, chunk_rows=3)
+    assert n == 10
+    df = spark.read.parquet(out)
+    assert df.count() == 10 and set(df.columns) == {"features", "targets"}
+    assert sorted(r.targets for r in df.collect()) == list(range(10))
+
+
+def test_hdf5_spark_type_mapping():
+    """Pure dtype → DDL mapping, testable without h5py."""
+    import numpy as np
+
+    from fuel_spark.sources.hdf5 import _spark_type_for
+
+    assert _spark_type_for(np.dtype("int32"), 1) == "bigint"
+    assert _spark_type_for(np.dtype("float32"), 2) == "array<double>"
+    assert _spark_type_for(np.dtype("uint8"), 3) == "array<array<bigint>>"
+    assert _spark_type_for(np.dtype("bool"), 1) == "boolean"
+    assert _spark_type_for(np.dtype("S8"), 1) == "string"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unsupported"):
+        _spark_type_for(np.dtype("complex64"), 1)
+
+
 def test_split_rehydrate_honors_indices_rows(spark):
     """Splits-table rows carrying an ``indices`` list (H5PYDataset's
     indices-reference form, reference fuel/datasets/hdf5.py:235) must

@@ -164,6 +164,75 @@ def test_socket_serve_rate_source_round_trip(spark, workdir):
         server.close()
 
 
+def test_partition_push_sink_parallel_egress(spark, workdir):
+    """Executor-parallel push: every partition opens its own
+    connection to the collector and all rows arrive exactly once —
+    the driver-collect-free tier of the serve facade."""
+    import json
+    import socket as socketlib
+    import threading
+
+    received = []
+    done = threading.Event()
+    srv = socketlib.socket(socketlib.AF_INET, socketlib.SOCK_STREAM)
+    srv.setsockopt(socketlib.SOL_SOCKET, socketlib.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(16)
+    host, port = srv.getsockname()
+    conns = 0
+    lock = threading.Lock()
+
+    def serve_one(conn):
+        buf = b""
+        while True:
+            chunk = conn.recv(65536)
+            if not chunk:
+                break
+            buf += chunk
+        with lock:
+            received.extend(l for l in buf.decode().split("\n") if l)
+        conn.close()
+
+    def accept_loop():
+        nonlocal conns
+        srv.settimeout(30)
+        while not done.is_set():
+            try:
+                conn, _ = srv.accept()
+            except (OSError, TimeoutError):
+                return
+            with lock:
+                conns += 1
+            threading.Thread(target=serve_one, args=(conn,), daemon=True).start()
+
+    threading.Thread(target=accept_loop, daemon=True).start()
+    try:
+        df = (
+            spark.range(100)
+            .repartition(4)
+            .select(F.col("id"), (F.col("id") * 3).alias("tripled"))
+        )
+        sink = serve.partition_push_sink(host, port, flush_rows=10)
+        sink(df, 0)
+        import time
+
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            with lock:
+                if len(received) == 100:
+                    break
+            time.sleep(0.1)
+        with lock:
+            rows = [json.loads(l) for l in received]
+        assert len(rows) == 100
+        assert {r["id"] for r in rows} == set(range(100))
+        assert all(r["tripled"] == r["id"] * 3 for r in rows)
+        assert conns == 4, f"expected one connection per partition, got {conns}"
+    finally:
+        done.set()
+        srv.close()
+
+
 def test_dedup_stream_drops_replays(spark, workdir):
     src = os.path.join(workdir, "src")
     ckpt = os.path.join(workdir, "ckpt")
