@@ -1612,6 +1612,69 @@ def q_part_pagerank(spark, sf):
     return ranks.orderBy(F.desc("rank"), F.asc("vertex")).limit(20)
 
 
+def q_attribution_linear(spark, sf):
+    """Linear multi-touch attribution: every in-window touch shares
+    the purchase's credit equally (r4 addition)."""
+    return analytics.events_attribution_linear(_t(spark, sf))
+
+
+def q_stickiness(spark, sf):
+    """Per-day DAU/WAU stickiness via the contribute-forward explode
+    (no user-day x 7-day self-join; r4 addition)."""
+    return analytics.events_stickiness(_t(spark, sf))
+
+
+def q_apply_segment_dedup(spark, sf):
+    """Apply tier of segment dedup: drop duplicate segments, rebuild
+    each document from the survivors in order (r4 addition)."""
+    d = _t(spark, sf)["documents"]
+    out = dedup.apply_segment_dedup(d, segment_words=8)
+    return out.select("doc_id", "text", "n_kept", "n_dropped")
+
+
+def q_feature_hashing(spark, sf):
+    """Hashing-trick bag-of-words in exploded long form (r4)."""
+    d = _t(spark, sf)["documents"]
+    return text_ops.feature_hashing(d, "doc_id", "text", n_features=64)
+
+
+def q_degree_distribution(spark, sf):
+    """Degree histogram of the part co-purchase graph — the same edge
+    derivation as part_pagerank, reduced to the skew diagnostic."""
+    from fuel_spark.ops import graph
+
+    l = _t(spark, sf)["lineitem"].select("l_orderkey", "l_partkey").distinct()
+    a = l.alias("a")
+    b = l.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    return graph.degree_distribution(edges)
+
+
+def q_embedding_matryoshka(spark, sf):
+    """Matryoshka prefix truncation + renormalize (r4)."""
+    e = _t(spark, sf)["embeddings"]
+    out = similarity.matryoshka_truncate(e, dims=16)
+    return out.select(
+        "vec_id", _arr_str(F.col("mrl"), "double").alias("mrl")
+    )
+
+
+def q_ann_matryoshka(spark, sf):
+    """Two-stage matryoshka cascade: coarse prefix cosine shortlist,
+    exact full-dim rerank (r4)."""
+    e = _t(spark, sf)["embeddings"]
+    q = e.where(F.col("vec_id") < 5)
+    return similarity.matryoshka_ann(e, q, dims=16, shortlist=25, k=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry.  ORDERING IS DELIBERATE: the driver's
     correctness gate checks the FIRST 50 keys, so each round leads
@@ -1718,6 +1781,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_entry_points": q_entry_points,
         "embedding_norm_by_label": q_norm_by_label,
         "dedup_minhash_calibration": q_minhash_calibration,
+        # ---- new in r4 (oracle-checked; queue behind the staged r5
+        # window — they become round-6 rotation candidates) -----------
+        "events_attribution_linear": q_attribution_linear,
+        "events_stickiness": q_stickiness,
+        "dedup_apply_segments": q_apply_segment_dedup,
+        "text_feature_hashing": q_feature_hashing,
+        "graph_degree_distribution": q_degree_distribution,
+        "embedding_matryoshka": q_embedding_matryoshka,
+        "ann_matryoshka": q_ann_matryoshka,
         # ---- rows-only keys (no SQL oracle by design; driver records
         # a weaker rows-only row; full evidence lives in tests/) ------
         "text_bpe_merges": q_bpe_merges,
@@ -5181,6 +5253,157 @@ def oracle_sql() -> dict[str, str]:
                                ELSE vec_norm END, vec_id) AS INT) AS rank,
                vec_id, vec_norm
         FROM u
+    """
+
+    # ---- new in r4 ----------------------------------------------------
+
+    sqls["events_attribution_linear"] = """
+        WITH iv AS (
+          SELECT user_id, event_id AS purchase_id,
+                 ts - INTERVAL 1800 SECOND AS s, ts AS e, value
+          FROM events WHERE event_type = 'purchase'
+        ),
+        p AS (
+          SELECT user_id, ts AS touch_ts, event_type AS channel
+          FROM events WHERE event_type IN ('click', 'view')
+        ),
+        j AS (
+          SELECT iv.purchase_id, iv.value, p.touch_ts, p.channel,
+                 count(p.touch_ts) OVER (PARTITION BY iv.purchase_id) AS n
+          FROM iv LEFT JOIN p
+            ON p.user_id = iv.user_id
+           AND p.touch_ts >= iv.s AND p.touch_ts <= iv.e
+        )
+        SELECT COALESCE(channel, 'none') AS channel,
+               CAST(sum(CAST(CASE WHEN n > 0
+                                  THEN round(CAST(1.0 AS DOUBLE) / n, 6)
+                                  ELSE CAST(1.0 AS DOUBLE) END
+                             AS DECIMAL(27,6))) AS DOUBLE)
+                 AS credited_purchases,
+               CAST(sum(CAST(CASE WHEN n > 0 THEN round(value / n, 6)
+                                  ELSE value END
+                             AS DECIMAL(27,6))) AS DOUBLE)
+                 AS credited_value
+        FROM j GROUP BY 1
+    """
+
+    sqls["events_stickiness"] = """
+        WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+                    FROM events),
+        dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY 1),
+        contrib AS (
+          SELECT DISTINCT CAST(g.g AS DATE) AS wday, user_id
+          FROM ud, UNNEST(generate_series(CAST(day AS TIMESTAMP),
+                                          CAST(day AS TIMESTAMP)
+                                            + INTERVAL 6 DAY,
+                                          INTERVAL 1 DAY)) AS g(g)
+        ),
+        wau AS (SELECT wday, count(*) AS wau FROM contrib GROUP BY 1)
+        SELECT strftime(dau.day, '%Y-%m-%d') AS day,
+               CAST(dau.dau AS BIGINT) AS dau,
+               CAST(wau.wau AS BIGINT) AS wau,
+               round(CAST(dau.dau AS DOUBLE) / wau.wau, 6) AS stickiness
+        FROM dau JOIN wau ON dau.day = wau.wday
+    """
+
+    sqls["dedup_apply_segments"] = f"""
+        WITH w AS (
+          SELECT doc_id, {_words_sql('text')} AS ws, {_norm_sql('text')} AS nrm
+          FROM documents
+        ),
+        s AS (
+          SELECT doc_id, ws,
+                 CAST(unnest(CASE WHEN length(nrm) = 0
+                                  THEN CAST([] AS BIGINT[])
+                                  ELSE generate_series(0, len(ws) - 1, 8)
+                             END) AS INT) AS start
+          FROM w
+        ),
+        c AS (
+          SELECT doc_id, CAST(start // 8 AS INT) AS chunk_id,
+                 array_to_string(ws[start + 1 : start + 8], ' ') AS chunk_text
+          FROM s
+        ),
+        f AS (
+          SELECT doc_id, chunk_id, chunk_text,
+                 (row_number() OVER (PARTITION BY md5(chunk_text)
+                                     ORDER BY doc_id, chunk_id) > 1) AS is_dup
+          FROM c
+        )
+        SELECT doc_id,
+               COALESCE(string_agg(CASE WHEN NOT is_dup THEN chunk_text END,
+                                   ' ' ORDER BY chunk_id), '') AS text,
+               CAST(count(*) FILTER (WHERE NOT is_dup) AS BIGINT) AS n_kept,
+               CAST(count(*) FILTER (WHERE is_dup) AS BIGINT) AS n_dropped
+        FROM f GROUP BY doc_id
+    """
+
+    sqls["text_feature_hashing"] = f"""
+        WITH w AS (
+          SELECT doc_id, unnest({_words_sql('text')}) AS word FROM documents
+        )
+        SELECT doc_id,
+               CAST('0x' || substring(md5(word), 1, 8) AS BIGINT) % 64 AS slot,
+               CAST(count(*) AS BIGINT) AS count
+        FROM w WHERE word <> '' GROUP BY 1, 2
+    """
+
+    sqls["graph_degree_distribution"] = """
+        WITH l AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        e AS (
+          SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+          FROM l a JOIN l b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ),
+        ends AS (SELECT src AS vertex FROM e
+                 UNION ALL SELECT dst AS vertex FROM e),
+        deg AS (SELECT vertex, count(*) AS degree FROM ends GROUP BY 1)
+        SELECT CAST(degree AS BIGINT) AS degree,
+               CAST(count(*) AS BIGINT) AS n_vertices
+        FROM deg GROUP BY 1
+    """
+
+    _mrl_unit = (
+        "list_transform(embedding[1:16],"
+        f" x -> CAST(x AS DOUBLE) / {_norm2_sql('embedding[1:16]')})"
+    )
+    sqls["embedding_matryoshka"] = f"""
+        SELECT vec_id, {_arrstr_sql(_mrl_unit, 'double')} AS mrl
+        FROM embeddings
+    """
+
+    sqls["ann_matryoshka"] = f"""
+        WITH q AS (SELECT vec_id AS query_id,
+                          {_mrl_unit} AS qp, embedding AS qfull
+                   FROM embeddings WHERE vec_id < 5),
+        c AS (SELECT vec_id AS neighbor_id,
+                     {_mrl_unit} AS cp, embedding AS cfull
+              FROM embeddings),
+        coarse AS (
+          SELECT query_id, neighbor_id, qfull, cfull,
+                 round({_cos_sql('qp', 'cp')}, 6) AS coarse
+          FROM q, c WHERE query_id <> neighbor_id
+        ),
+        short AS (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY coarse DESC, neighbor_id)
+                      AS cr
+          FROM coarse
+        ),
+        rer AS (
+          SELECT query_id, neighbor_id,
+                 round({_cos_sql('qfull', 'cfull')}, 6) AS cosine
+          FROM short WHERE cr <= 25
+        ),
+        ranked AS (
+          SELECT query_id, neighbor_id, cosine,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, neighbor_id)
+                   AS rank
+          FROM rer
+        )
+        SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= 5
     """
 
     return sqls

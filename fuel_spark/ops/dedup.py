@@ -692,6 +692,64 @@ def segment_dedup(
     )
 
 
+def apply_segment_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    segment_words: int = 32,
+) -> DataFrame:
+    """The APPLY tier of :func:`segment_dedup`: drop every duplicate
+    segment occurrence (every repeat beyond the corpus-wide keeper)
+    and reassemble each document's surviving segments, in order, into
+    a cleaned text column — the C4/RefinedWeb "remove repeated
+    boilerplate spans, keep the document" pass, where doc-level dedup
+    would throw away the whole page.
+
+    Same two seg_hash shuffles as the flag tier, plus one doc-keyed
+    rollup for reassembly (sort_array over (chunk_id, words) structs —
+    per-doc arrays, bounded by document length).  Documents whose
+    every segment is a repeat come back with empty text — kept, so
+    the caller decides the drop policy.
+
+    Output: id, clean text (normalized-token join of surviving
+    segments), n_kept, n_dropped.
+    """
+    flags = segment_dedup(df, id_col, text_col, segment_words)
+    from fuel_spark.ops.text import chunk_documents
+
+    segs = chunk_documents(
+        df, text_col, id_col, chunk_size=segment_words, stride=segment_words
+    )
+    joined = segs.join(flags, [id_col, "chunk_id"]).select(
+        id_col, "chunk_id", "chunk_text", "is_dup"
+    )
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                ~F.col("is_dup"),
+                                F.struct("chunk_id", "chunk_text"),
+                            )
+                        )
+                    ),
+                    lambda s: s["chunk_text"],
+                ),
+                " ",
+            ).alias(text_col),
+            F.sum(F.when(~F.col("is_dup"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dropped"),
+        )
+    )
+
+
 def merge_into_index(
     index: DataFrame,
     accepted_docs: DataFrame,

@@ -136,3 +136,32 @@ def pagerank(
     finally:
         e.unpersist()
         base.unpersist()
+
+
+def degree_distribution(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    directed: bool = False,
+) -> DataFrame:
+    """Degree histogram of an edge list: (degree, n_vertices) — the
+    first diagnostic to run on any graph before iterating on it
+    (a heavy-tailed co-purchase or link graph is exactly where
+    PageRank/CC need their skew guards, and this is the query that
+    shows the tail).
+
+    Undirected mode counts each endpoint once per incident edge
+    (src and dst rows union before the rollup); directed mode counts
+    out-degree only.  Two map-side-combinable aggs on narrow
+    bigint columns — degree-histogramming a 10^11-edge graph moves
+    only vertex ids and counts through the shuffles.
+    """
+    ends = edges.select(F.col(src_col).alias("vertex"))
+    if not directed:
+        ends = ends.unionAll(edges.select(F.col(dst_col).alias("vertex")))
+    deg = ends.groupBy("vertex").agg(F.count(F.lit(1)).alias("degree"))
+    return (
+        deg.groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_vertices"))
+        .select(F.col("degree").cast("bigint"), F.col("n_vertices").cast("bigint"))
+    )

@@ -159,6 +159,96 @@ def l2_normalize(
     )
 
 
+def matryoshka_truncate(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dims: int = 16,
+    out_col: str = "mrl",
+) -> DataFrame:
+    """Matryoshka truncation (Kusupati et al. 2022, arXiv:2205.13147):
+    keep the first ``dims`` components and L2-renormalize.
+    MRL-trained embeddings front-load coarse information, so the
+    prefix is a valid low-dimensional embedding on its own — the
+    cheap representation for the coarse stage of a retrieval cascade
+    (dims/D of the compute and wire per comparison).
+
+    Pure projection: slice + one materialized norm + an element-wise
+    divide, no shuffle.  The norm materializes into its own column
+    first — dividing against the inlined norm expression would
+    recompute the reduction once per element.
+    """
+    from fuel_spark.functions import norm2_expr
+
+    out = df.withColumn("_sl", F.slice(F.col(vec_col), 1, dims))
+    out = out.withColumn("_n2", norm2_expr("_sl"))
+    unit = F.transform(F.col("_sl"), lambda x: x.cast("double") / F.col("_n2"))
+    return out.withColumn(out_col, unit).drop("_sl", "_n2")
+
+
+def matryoshka_ann(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 16,
+    shortlist: int = 50,
+    k: int = 5,
+) -> DataFrame:
+    """Two-stage retrieval cascade on matryoshka prefixes: coarse
+    top-``shortlist`` by truncated-prefix cosine, then an exact
+    full-dimension rerank of the shortlist down to top-k — the
+    adaptive-retrieval pattern from the MRL paper, where the cascade
+    does dims/D of the work for almost all of the recall (certify
+    with ``tools/eval_recall.py`` like the other ANN tiers).
+
+    Plan shape mirrors :func:`cosine_topk`: broadcast query set, one
+    scoring pass over the corpus on the SHORT prefix, per-query
+    bounded window for the shortlist, and only shortlist×queries rows
+    (not the corpus) carry full vectors into the rerank.  Both ranks
+    round to 6 dp first so ties break on neighbor_id identically in
+    any engine.
+    """
+    from fuel_spark.functions import cosine_expr
+
+    tq = matryoshka_truncate(queries, vec_col, dims, "_mq")
+    tc = matryoshka_truncate(corpus, vec_col, dims, "_mc")
+    q = broadcast(
+        tq.select(
+            F.col(id_col).alias("query_id"),
+            F.col("_mq").alias("qv"),
+            F.col(vec_col).alias("qfull"),
+        )
+    )
+    c = ensure_parallelism(
+        tc.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col("_mc").alias("cv"),
+            F.col(vec_col).alias("cfull"),
+        )
+    )
+    scored = (
+        q.crossJoin(c)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("_coarse", F.round(cosine_expr("qv", "cv"), 6))
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("_coarse").desc(), F.col("neighbor_id")
+    )
+    short = (
+        scored.withColumn("_cr", F.row_number().over(wc))
+        .where(F.col("_cr") <= shortlist)
+        .withColumn("cosine", F.round(cosine_expr("qfull", "cfull"), 6))
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        short.withColumn("rank", F.row_number().over(wf).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def sign_sketch(
     df: DataFrame, vec_col: str = "embedding", bits: int = 16,
     out_col: str = "sign_bucket",

@@ -129,6 +129,41 @@ def token_counts(df: DataFrame, text_col: str) -> DataFrame:
     )
 
 
+def feature_hashing(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_features: int = 1024,
+) -> DataFrame:
+    """Hashing-trick bag-of-words (Weinberger et al. 2009): each word
+    hashes into one of ``n_features`` slots, per-document slot counts
+    form a fixed-width sparse feature vector with NO vocabulary fit —
+    the standard way to featurize an unbounded vocabulary at corpus
+    scale (no global dictionary, no second pass, no OOV).
+
+    Emitted in exploded long form (id, slot, count) rather than a
+    dense array: sparse rows stay sparse on the wire, downstream
+    aggregation/joins key on slot directly, and the shape is
+    SQL-portable.  Slot = first-8-md5-hex-digits mod n_features —
+    the engine-agnostic hash used by the whole dedup family, so the
+    oracle reproduces it bit-for-bit.  One explode + one
+    map-side-combinable rollup; no shuffle carries raw text.
+    """
+    out = ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
+    out = out.select(F.col(id_col), words(F.col(text_col)).alias("_ws"))
+    out = out.select(
+        F.col(id_col), F.explode("_ws").alias("_w")
+    ).where(F.col("_w") != "")
+    slot = F.expr(
+        f"CAST(conv(substring(md5(_w), 1, 8), 16, 10) AS BIGINT) % {n_features}"
+    )
+    return (
+        out.select(F.col(id_col), slot.alias("slot"))
+        .groupBy(id_col, "slot")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
 def tf_idf_top_terms(
     df: DataFrame, id_col: str, text_col: str, top_n: int = 3
 ) -> DataFrame:

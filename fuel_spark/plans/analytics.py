@@ -1311,6 +1311,71 @@ def events_attribution_first(
     )
 
 
+def events_attribution_linear(
+    t: dict[str, DataFrame], window_seconds: int = 1800
+) -> DataFrame:
+    """Linear multi-touch attribution: every click/view touch inside a
+    purchase's lookback window shares the credit equally (1/n of the
+    purchase, value/n of its revenue); purchases with no in-window
+    touch credit 'none' in full.  The position-free multi-touch model
+    that generalizes first/last touch — both pick ONE row out of the
+    same in-window pair set this query averages over.
+
+    Same pair plan as :func:`events_attribution_first` (bucketed
+    :func:`fuel_spark.ops.core.range_join`, user-scoped grid so the
+    join stays narrow), then one purchase-keyed window count to size
+    each purchase's touch set and a channel rollup.  Per-row credits
+    round to 6 dp before the exact DECIMAL sum, so the aggregate is
+    deterministic at any parallelism.
+    """
+    from pyspark.sql import Window as W
+
+    from fuel_spark.ops.core import range_join
+
+    e = t["events"]
+    iv = e.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        (F.col("ts") - F.expr(f"INTERVAL {window_seconds} SECONDS")).alias(
+            "win_start"
+        ),
+        F.col("ts").alias("win_end"),
+        "value",
+    )
+    p = e.where(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        F.col("ts").alias("touch_ts"),
+        F.col("event_type").alias("channel"),
+    )
+    pairs = range_join(
+        p,
+        iv,
+        "touch_ts",
+        "win_start",
+        "win_end",
+        bucket_width=window_seconds,
+        equi_keys=["user_id"],
+        how="left",
+        interval_id=["purchase_id"],
+    )
+    sized = pairs.withColumn(
+        "_n", F.count("touch_ts").over(W.partitionBy("purchase_id"))
+    )
+    credited = sized.select(
+        F.coalesce("channel", F.lit("none")).alias("channel"),
+        F.when(F.col("_n") > 0, F.round(F.lit(1.0) / F.col("_n"), 6))
+        .otherwise(F.lit(1.0))
+        .alias("credit"),
+        F.when(F.col("_n") > 0, F.round(F.col("value") / F.col("_n"), 6))
+        .otherwise(F.col("value"))
+        .alias("credit_value"),
+    )
+    return credited.groupBy("channel").agg(
+        _dsum(F.col("credit")).alias("credited_purchases"),
+        _dsum(F.col("credit_value")).alias("credited_value"),
+    )
+
+
 def events_funnel_windowed(
     t: dict[str, DataFrame],
     steps: tuple[str, str, str] = ("view", "click", "purchase"),
@@ -1506,6 +1571,41 @@ def events_hourly_profile(t: dict[str, DataFrame]) -> DataFrame:
             ),
         )
         .orderBy("hour", "event_type")
+    )
+
+
+def events_stickiness(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-day DAU/WAU stickiness: distinct daily actives over
+    distinct trailing-7-day actives — the engagement-health ratio
+    every consumer dashboard tracks (1.0 = everyone weekly is on
+    daily; low = drive-by usage).
+
+    Scale shape: one distinct over (day, user) pairs, then each pair
+    *fans out* to the ≤7 window-days it contributes to (explode of a
+    7-element sequence — linear, shuffle-free) and a second distinct
+    sizes each trailing window.  No self-join of the user-day matrix
+    against a 7-day range (that plan shuffles the fact twice and
+    explodes skewed days); both rollups are map-side-combinable and
+    the final day-level join is aggregate-sized.  ``day`` is emitted
+    as a yyyy-MM-dd string (temporal round-trip rule, see
+    :func:`events_daily_anomalies`).
+    """
+    e = t["events"]
+    ud = e.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    contrib = ud.select(
+        F.explode(F.expr("sequence(day, date_add(day, 6))")).alias("wday"),
+        "user_id",
+    ).distinct()
+    wau = contrib.groupBy("wday").agg(F.count(F.lit(1)).alias("wau"))
+    return (
+        dau.join(wau, dau.day == wau.wday)
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("dau").cast("bigint").alias("dau"),
+            F.col("wau").cast("bigint").alias("wau"),
+            F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
+        )
     )
 
 

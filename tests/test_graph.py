@@ -84,3 +84,25 @@ def test_pagerank_directed_dangling_mass(spark):
     assert abs(sum(out.values()) - 1.0) < 1e-6
     # downstream of the chain accumulates rank
     assert out[2] > out[1] > out[0]
+
+
+def test_degree_distribution_hand_graph(spark, star_plus_chain):
+    df, edges, n = star_plus_chain
+    # undirected: degrees 0:4, 4:2, 5:2, 1/2/3/6:1
+    out = {r.degree: r.n_vertices for r in graph.degree_distribution(df).collect()}
+    assert out == {4: 1, 2: 2, 1: 4}
+    # directed: out-degree only (src side)
+    out_d = {
+        r.degree: r.n_vertices
+        for r in graph.degree_distribution(df, directed=True).collect()
+    }
+    assert out_d == {4: 1, 1: 2}  # 0 has 4 out-edges; 4 and 5 have 1
+
+
+def test_degree_distribution_counts_vertices_once(spark):
+    df = from_rows(
+        spark, [(1, 2), (1, 3), (2, 3)], "src bigint, dst bigint"
+    )
+    out = {r.degree: r.n_vertices for r in graph.degree_distribution(df).collect()}
+    # triangle: every vertex has degree 2
+    assert out == {2: 3}

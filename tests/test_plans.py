@@ -606,6 +606,78 @@ def test_attribution_hand_computed(spark):
     }
 
 
+def test_attribution_linear_hand_computed(spark):
+    """Every in-window touch shares the credit equally; conservation:
+    per-channel credits sum back to the purchase count and value."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(eid, mins, typ, uid, value=10.0):
+        return {
+            "event_id": eid,
+            "ts": base + dt.timedelta(minutes=mins),
+            "user_id": uid,
+            "event_type": typ,
+            "value": value,
+            "props": "{}",
+        }
+
+    rows = [
+        ev(1, 0, "click", 1),
+        ev(2, 5, "view", 1),
+        ev(3, 10, "purchase", 1),   # 2 touches -> 0.5 each, 5.0 each
+        ev(4, 0, "click", 2),
+        ev(5, 10, "purchase", 2),   # 1 touch -> click full credit
+        ev(6, 0, "purchase", 3),    # no touch -> none full credit
+    ]
+    out = {
+        r.channel: (r.credited_purchases, r.credited_value)
+        for r in analytics.events_attribution_linear(
+            {"events": from_rows(spark, rows)}
+        ).collect()
+    }
+    assert out == {
+        "click": (1.5, 15.0),
+        "view": (0.5, 5.0),
+        "none": (1.0, 10.0),
+    }
+    # conservation across channels
+    assert sum(v[0] for v in out.values()) == 3.0
+    assert sum(v[1] for v in out.values()) == 30.0
+
+
+def test_stickiness_hand_computed(spark):
+    """DAU/WAU over a hand-built 3-day trace: WAU(d) counts the
+    distinct users of the trailing 7 days including d."""
+    import datetime as dt
+
+    def ev(eid, day, uid):
+        return {
+            "event_id": eid,
+            "ts": dt.datetime(2024, 1, day, 9, 0, 0),
+            "user_id": uid,
+            "event_type": "view",
+            "value": 1.0,
+            "props": "{}",
+        }
+
+    rows = [
+        ev(1, 1, 1), ev(2, 1, 2),          # day 1: users {1,2}
+        ev(3, 2, 1),                        # day 2: {1}
+        ev(4, 8, 3),                        # day 8: {3}; window [2..8] has {1,3}
+    ]
+    out = {
+        r.day: (r.dau, r.wau, r.stickiness)
+        for r in analytics.events_stickiness(
+            {"events": from_rows(spark, rows)}
+        ).collect()
+    }
+    assert out["2024-01-01"] == (2, 2, 1.0)
+    assert out["2024-01-02"] == (1, 2, 0.5)      # window [dec27..jan2] = {1,2}
+    assert out["2024-01-08"] == (1, 2, 0.5)      # window [jan2..8] = {1,3}
+
+
 def test_segment_dedup_shares_seg_hash_partitioning(spark):
     """One hash shuffle on seg_hash for the agg; the flag-join either
     broadcasts the stats (small input, AQE) or reuses the same

@@ -30,6 +30,27 @@ def test_profile_columns_hand_counts(spark):
     assert out["s"].n_null == 1
 
 
+def test_profile_approx_distinct_tier(spark):
+    """The 100 TB tier: approx_count_distinct instead of the exact
+    distinct expand.  Same schema, same counts on a small frame (HLL
+    is exact at these cardinalities), still one aggregation pass."""
+    out = {
+        r.column: r
+        for r in profile.profile_columns(
+            _frame(spark), exact_distinct=False
+        ).collect()
+    }
+    assert set(out) == {"k", "v", "s"}
+    assert out["k"].n_rows == 4 and out["k"].n_distinct == 3
+    assert out["v"].n_distinct == 3 and out["s"].n_distinct == 2
+    plan = (
+        profile.profile_columns(_frame(spark), exact_distinct=False)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    # the exact tier needs a distinct Expand; the approx tier must not
+    assert "expand" not in plan.lower()
+
+
 def test_profile_single_pass(spark):
     # the whole profile must compile to ONE aggregate over the input —
     # no per-column jobs

@@ -555,6 +555,54 @@ def test_segment_dedup_flags_repeats_keeps_first(spark):
     assert rows[(3, 0)] == (1, False)
 
 
+def test_apply_segment_dedup_rebuilds_survivors_in_order(spark):
+    """The apply tier drops flagged repeats and reassembles surviving
+    segments in chunk order; fully-duplicate docs come back empty but
+    present."""
+    boiler = "alpha beta gamma delta"
+    docs = from_rows(
+        spark,
+        [
+            {"doc_id": 1, "text": boiler + " one two three four"},
+            {"doc_id": 2, "text": boiler + " five six seven eight"},
+            {"doc_id": 3, "text": "x y z w " + boiler},
+            {"doc_id": 4, "text": boiler},  # nothing survives
+        ],
+    )
+    out = {
+        r.doc_id: (r.text, r.n_kept, r.n_dropped)
+        for r in dedup.apply_segment_dedup(docs, segment_words=4).collect()
+    }
+    assert out[1] == (boiler + " one two three four", 2, 0)  # keeper doc
+    assert out[2] == ("five six seven eight", 1, 1)
+    assert out[3] == ("x y z w", 1, 1)
+    assert out[4] == ("", 0, 1)
+
+
+def test_feature_hashing_counts_and_slots(spark):
+    """Slot counts sum to the word total; identical words land in the
+    same slot; slots stay inside [0, n_features)."""
+    from fuel_spark.ops.text import feature_hashing
+
+    docs = from_rows(
+        spark,
+        [
+            {"doc_id": 1, "text": "cat cat dog"},
+            {"doc_id": 2, "text": "cat"},
+        ],
+    )
+    rows = feature_hashing(docs, "doc_id", "text", n_features=8).collect()
+    by_doc = {}
+    for r in rows:
+        assert 0 <= r.slot < 8
+        by_doc.setdefault(r.doc_id, {})[r.slot] = r["count"]
+    assert sum(by_doc[1].values()) == 3
+    assert sum(by_doc[2].values()) == 1
+    # 'cat' hashes identically in both docs
+    (slot2,) = by_doc[2].keys()
+    assert by_doc[1][slot2] == 2
+
+
 def test_dsir_weights_rank_target_like_docs_higher(spark):
     """Docs made of target-slice vocabulary must score higher than
     docs of off-target vocabulary; token counts are exact."""
