@@ -1675,6 +1675,54 @@ def q_ann_matryoshka(spark, sf):
     return similarity.matryoshka_ann(e, q, dims=16, shortlist=25, k=5)
 
 
+def q_dedup_apply_keep_longest(spark, sf):
+    """Quality-aware survivor policy: the shorter side of each
+    verified near-dup pair loses (r4)."""
+    d = _t(spark, sf)["documents"]
+    out = dedup.apply_dedup(d, "doc_id", "text", threshold=0.5, keep="longest")
+    return out.select("doc_id", "n_chars")
+
+
+def q_corpus_diff(spark, sf):
+    """Snapshot diff: the 'new crawl' drops doc_id < 10, rewrites
+    every 7th doc, and adds 5 fresh ids — statuses must label all
+    four classes (r4)."""
+    d = _t(spark, sf)["documents"]
+    fresh = d.where(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.lit("fresh "), F.col("text")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    new = (
+        d.where(F.col("doc_id") >= 10)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+            ).otherwise(F.col("text")),
+        )
+        .unionByName(fresh)
+    )
+    return dedup.corpus_diff(d, new)
+
+
+def q_weighted_sample(spark, sf):
+    """Efraimidis–Spirakis deterministic weighted sample: 50 docs
+    drawn proportional to length (r4)."""
+    d = _t(spark, sf)["documents"]
+    return schemes.weighted_sample(d, "doc_id", "n_chars", n=50).select(
+        "doc_id", "n_chars", "es_key"
+    )
+
+
+def q_clean_text(spark, sf):
+    """Control-char strip + whitespace collapse with per-row removal
+    count (r4)."""
+    d = _t(spark, sf)["documents"]
+    out = text_ops.clean_text(d, "text")
+    return out.select("doc_id", "clean_text", "n_chars_removed")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry.  ORDERING IS DELIBERATE: the driver's
     correctness gate checks the FIRST 50 keys, so each round leads
@@ -1790,6 +1838,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_degree_distribution": q_degree_distribution,
         "embedding_matryoshka": q_embedding_matryoshka,
         "ann_matryoshka": q_ann_matryoshka,
+        "dedup_apply_keep_longest": q_dedup_apply_keep_longest,
+        "dedup_corpus_diff": q_corpus_diff,
+        "sample_weighted": q_weighted_sample,
+        "text_clean": q_clean_text,
         # ---- rows-only keys (no SQL oracle by design; driver records
         # a weaker rows-only row; full evidence lives in tests/) ------
         "text_bpe_merges": q_bpe_merges,
@@ -5361,6 +5413,85 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(degree AS BIGINT) AS degree,
                CAST(count(*) AS BIGINT) AS n_vertices
         FROM deg GROUP BY 1
+    """
+
+    sqls["dedup_apply_keep_longest"] = f"""
+        WITH {_minhash_bands_sql()},
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b
+            ON a.band_id = b.band_id AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id
+        ),
+        shd AS (SELECT doc_id, {_shingles_sql('text', 5)} AS s FROM documents),
+        ln AS (SELECT doc_id, length({_norm_sql('text')}) AS l FROM documents),
+        ver AS (
+          SELECT id_a, id_b FROM cand
+          JOIN shd sa ON sa.doc_id = id_a
+          JOIN shd sb ON sb.doc_id = id_b
+          WHERE round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                / greatest(len(sa.s) + len(sb.s)
+                           - len(list_intersect(sa.s, sb.s)), 1),
+                6) >= 0.5
+        ),
+        losers AS (
+          SELECT DISTINCT CASE WHEN la.l < lb.l THEN id_a ELSE id_b END
+                   AS loser
+          FROM ver
+          JOIN ln la ON la.doc_id = id_a
+          JOIN ln lb ON lb.doc_id = id_b
+        )
+        SELECT doc_id, n_chars FROM documents
+        WHERE doc_id NOT IN (SELECT loser FROM losers)
+    """
+
+    sqls["dedup_corpus_diff"] = """
+        WITH o AS (SELECT doc_id, md5(text) AS ho FROM documents),
+        n AS (
+          SELECT doc_id,
+                 md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+                          ELSE text END) AS hn
+          FROM documents WHERE doc_id >= 10
+          UNION ALL
+          SELECT doc_id + 1000000 AS doc_id, md5('fresh ' || text) AS hn
+          FROM documents WHERE doc_id < 5
+        )
+        SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+               CASE WHEN o.ho IS NULL THEN 'added'
+                    WHEN n.hn IS NULL THEN 'removed'
+                    WHEN o.ho <> n.hn THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+    """
+
+    sqls["sample_weighted"] = f"""
+        WITH k AS (
+          SELECT doc_id, n_chars,
+                 round(ln((CAST('0x' || substring(
+                              md5(concat('42', '-',
+                                         CAST(doc_id AS VARCHAR))), 1, 13)
+                            AS BIGINT) + 1) / 4503599627370496.0)
+                       / n_chars, 6) AS es_key
+          FROM documents
+        )
+        SELECT doc_id, n_chars, es_key FROM k
+        ORDER BY es_key DESC, doc_id ASC LIMIT 50
+    """
+
+    sqls["text_clean"] = r"""
+        WITH c AS (
+          SELECT doc_id,
+                 trim(regexp_replace(
+                   regexp_replace(text,
+                     '[\x00-\x08\x0b-\x1f\x7f]', ' ', 'g'),
+                   '\s+', ' ', 'g')) AS clean_text,
+                 text
+          FROM documents
+        )
+        SELECT doc_id, clean_text,
+               CAST(length(text) - length(clean_text) AS BIGINT)
+                 AS n_chars_removed
+        FROM c
     """
 
     _mrl_unit = (

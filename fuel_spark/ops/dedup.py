@@ -240,24 +240,53 @@ def apply_dedup(
     bands: int = 3,
     shingle_k: int = 5,
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    keep: str = "min_id",
 ) -> DataFrame:
     """The full near-dup pipeline, applied: sketch → LSH candidates →
-    jaccard verify → greedy keep-smallest-id.
+    jaccard verify → greedy survivor pick.
 
-    A document survives iff no verified near-duplicate with a smaller
-    id exists (covers exact dups too — identical texts share every
-    band).  The kill set is tiny relative to the corpus, so the final
-    step is a broadcast-able left_anti join: corpus-sized data crosses
-    the wire exactly once.  Candidate pairs stay non-distinct
-    (``distinct_pairs=False``): keep-min only needs the SET of loser
-    ids, and the losers projection dedups one id column — strictly
-    cheaper than a distinct over full pairs.
+    ``keep="min_id"`` (default): a document survives iff no verified
+    near-duplicate with a smaller id exists (covers exact dups too —
+    identical texts share every band).  ``keep="longest"``: per
+    verified pair the shorter normalized text loses — the
+    quality-aware policy that keeps the fuller page instead of an
+    arbitrary id.  The kill set is tiny relative to the corpus, so
+    the final step is a broadcast-able left_anti join: corpus-sized
+    data crosses the wire exactly once.  Candidate pairs stay
+    non-distinct (``distinct_pairs=False``): the survivor pick only
+    needs the SET of loser ids, and the losers projection dedups one
+    id column — strictly cheaper than a distinct over full pairs.
     """
     pairs = ngram_jaccard_pairs(
         df, id_col, text_col, threshold, num_hashes, bands, shingle_k,
         distinct_pairs=False, max_bucket=max_bucket,
     )
-    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    if keep == "min_id":
+        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    elif keep == "longest":
+        # quality-aware survivor policy: per verified pair the SHORTER
+        # normalized text loses (the standard keep-the-fuller-page
+        # choice); equal lengths fall back to keep-min (id_a < id_b by
+        # construction, so id_b loses).  Two joins of the small pair
+        # set against a narrow (id, len) projection — the corpus-sized
+        # side still crosses the wire exactly once, in the left_anti.
+        lens = df.select(
+            F.col(id_col).alias("_lid"),
+            F.length(norm_text(F.col(text_col))).alias("_len"),
+        )
+        sized = (
+            pairs.join(lens.withColumnRenamed("_lid", "id_a")
+                       .withColumnRenamed("_len", "_len_a"), "id_a")
+            .join(lens.withColumnRenamed("_lid", "id_b")
+                  .withColumnRenamed("_len", "_len_b"), "id_b")
+        )
+        losers = sized.select(
+            F.when(F.col("_len_a") < F.col("_len_b"), F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias(id_col)
+        ).distinct()
+    else:
+        raise ValueError(f"unknown keep policy {keep!r}")
     return df.join(losers, id_col, "left_anti")
 
 
@@ -689,6 +718,36 @@ def segment_dedup(
             "n_copies",
             (~keep).alias("is_dup"),
         )
+    )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Snapshot diff between two corpus versions: per-doc status
+    ``added`` / ``removed`` / ``changed`` / ``unchanged`` — the
+    ingest-ops primitive for incremental corpus maintenance (what
+    moved between crawls; feed `changed`+`added` into the incremental
+    index path, `removed` into retention tooling).
+
+    One full-outer join of md5 digests keyed on the id: only 16-byte
+    digests and ids shuffle, never text — at 100 TB the diff costs
+    two narrow scans and one id-keyed exchange.
+    """
+    o = old.select(F.col(id_col), F.md5(F.col(text_col)).alias("_ho"))
+    n = new.select(F.col(id_col), F.md5(F.col(text_col)).alias("_hn"))
+    status = (
+        F.when(F.col("_ho").isNull(), F.lit("added"))
+        .when(F.col("_hn").isNull(), F.lit("removed"))
+        .when(F.col("_ho") != F.col("_hn"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        o.join(n, id_col, "full_outer")
+        .select(F.col(id_col), status.alias("status"))
     )
 
 

@@ -129,6 +129,34 @@ def token_counts(df: DataFrame, text_col: str) -> DataFrame:
     )
 
 
+def clean_text(
+    df: DataFrame, text_col: str, out_col: str = "clean_text"
+) -> DataFrame:
+    """Ingest-tier text cleanup: C0/C1 control characters become
+    spaces, whitespace runs collapse to single spaces, ends trim —
+    the first stage of every crawl pipeline (raw HTML extraction
+    leaves NULs, form feeds, and ragged whitespace that break
+    downstream tokenizers and shingles).
+
+    Pure projection, zero shuffle; ``n_chars_removed`` quantifies the
+    cleanup per row so a quality dashboard can flag sources whose
+    extraction is misbehaving.
+    """
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.col(text_col), "[\\x00-\\x08\\x0b-\\x1f\\x7f]", " "
+            ),
+            "\\s+",
+            " ",
+        )
+    )
+    return df.withColumn(out_col, cleaned).withColumn(
+        "n_chars_removed",
+        (F.length(F.col(text_col)) - F.length(F.col(out_col))).cast("bigint"),
+    )
+
+
 def feature_hashing(
     df: DataFrame,
     id_col: str,

@@ -155,6 +155,37 @@ def deterministic_sample(
     return df.where(bucket < int(fraction * 16777216))
 
 
+def weighted_sample(
+    df: DataFrame, key: str, weight_col: str, n: int, seed: int = 42
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis
+    & Spirakis 2006): each row draws u = hash-uniform(seed, key) in
+    (0, 1] and scores ln(u)/w — the log form of the paper's u^(1/w)
+    key, monotone-equivalent and numerically safer — and the global
+    top-``n`` scores win.  Inclusion probability is proportional to
+    weight, and like :func:`deterministic_sample` the draw depends
+    only on (seed, key): same winners on any cluster, partitioning,
+    or engine.
+
+    Distributed shape: pure projection + global top-n — Spark plans
+    ``orderBy().limit(n)`` as TakeOrdered (per-partition heaps, no
+    full sort, no single-task stage).  Weights must be positive.
+    Output adds ``es_key`` (rounded; ties broken by key) for
+    auditability.
+    """
+    frac = (
+        F.conv(F.substring(det_key(seed, F.col(key)), 1, 13), 16, 10)
+        .cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(1 << 52))
+    es = F.log(frac) / F.col(weight_col).cast("double")
+    return (
+        df.withColumn("es_key", F.round(es, 6))
+        .orderBy(F.col("es_key").desc(), F.col(key).asc())
+        .limit(n)
+    )
+
+
 def partition_local_batches(
     df: DataFrame, batch_size: int, batch_col: str = "batch_id"
 ) -> DataFrame:

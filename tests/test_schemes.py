@@ -116,3 +116,18 @@ def test_apply_mixture_sample_keeps_all_of_smallest(spark):
             out.groupBy("g").agg(F.count(F.lit(1)).alias("cnt")).collect()}
     assert by_g["small"] == 20  # rate 1.0 → everything kept
     assert 0 < by_g["big"] < 180
+
+
+def test_weighted_sample_deterministic_and_weighted(spark):
+    """Efraimidis–Spirakis: same (seed, key) → same winners on any
+    run; a dominant weight wins its place; n rows come back."""
+    from fuel_spark.schemes import weighted_sample
+
+    rows = [(i, 1.0 if i != 7 else 1e9) for i in range(100)]
+    df = from_rows(spark, rows, schema="k bigint, w double")
+    s1 = [r.k for r in weighted_sample(df, "k", "w", n=10).collect()]
+    s2 = [r.k for r in weighted_sample(df, "k", "w", n=10).collect()]
+    assert s1 == s2 and len(s1) == 10
+    assert 7 in s1  # weight 1e9 ⇒ es_key ≈ 0, the global max
+    s3 = [r.k for r in weighted_sample(df, "k", "w", n=10, seed=7).collect()]
+    assert s3 != s1  # a different seed redraws

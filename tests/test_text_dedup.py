@@ -994,3 +994,63 @@ def test_minhash_calibration_sane(spark):
     assert 0.0 <= row.mean_abs_err <= 0.5
     # est and exact must broadly agree on this mostly-exact-copy set
     assert abs(row.mean_est_jaccard - row.mean_exact_jaccard) <= row.mean_abs_err + 1e-9
+
+
+def test_apply_dedup_keep_longest_policy(spark):
+    """keep='longest': the fuller page survives a verified pair even
+    when it has the larger id; keep='min_id' would kill it."""
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = from_rows(
+        spark,
+        [
+            {"doc_id": 1, "text": base},
+            # near-dup (jaccard 0.84), LONGER, larger id
+            {"doc_id": 2, "text": base + " tail words"},
+            {"doc_id": 3, "text": "completely different words here"},
+        ],
+    )
+    kept_min = {
+        r.doc_id
+        for r in dedup.apply_dedup(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    kept_long = {
+        r.doc_id
+        for r in dedup.apply_dedup(
+            docs, "doc_id", "text", threshold=0.5, keep="longest"
+        ).collect()
+    }
+    assert kept_min == {1, 3}
+    assert kept_long == {2, 3}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="keep"):
+        dedup.apply_dedup(docs, "doc_id", "text", keep="weird")
+
+
+def test_corpus_diff_statuses(spark):
+    old = from_rows(
+        spark,
+        [(1, "a"), (2, "b"), (3, "c")],
+        schema="doc_id bigint, text string",
+    )
+    new = from_rows(
+        spark,
+        [(2, "b"), (3, "c CHANGED"), (4, "d")],
+        schema="doc_id bigint, text string",
+    )
+    out = {r.doc_id: r.status for r in dedup.corpus_diff(old, new).collect()}
+    assert out == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+
+
+def test_clean_text_strips_controls_and_collapses(spark):
+    from fuel_spark.ops.text import clean_text
+
+    docs = from_rows(
+        spark,
+        [(1, "a\x00b\x01  c\t d \x7f"), (2, "clean already")],
+        schema="doc_id bigint, text string",
+    )
+    out = {r.doc_id: (r.clean_text, r.n_chars_removed) for r in
+           clean_text(docs, "text").collect()}
+    assert out[1] == ("a b c d", 5)
+    assert out[2] == ("clean already", 0)
