@@ -1723,6 +1723,24 @@ def q_clean_text(spark, sf):
     return out.select("doc_id", "clean_text", "n_chars_removed")
 
 
+def q_events_daily_ewma(spark, sf):
+    """Half-life-weighted trailing EWMA of daily purchase revenue via
+    the bounded day-grid join (r4)."""
+    return analytics.events_daily_ewma(_t(spark, sf))
+
+
+def q_orders_backlog(spark, sf):
+    """Monthly open-order backlog: cumulative placed minus cumulative
+    fully-shipped (r4)."""
+    return analytics.orders_backlog(_t(spark, sf))
+
+
+def q_source_divergence(spark, sf):
+    """Per-source unigram KL divergence to the corpus blend (r4)."""
+    d = _t(spark, sf)["documents"]
+    return text_ops.source_divergence(d, "source", "text")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry.  ORDERING IS DELIBERATE: the driver's
     correctness gate checks the FIRST 50 keys, so each round leads
@@ -1842,6 +1860,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_corpus_diff": q_corpus_diff,
         "sample_weighted": q_weighted_sample,
         "text_clean": q_clean_text,
+        "events_daily_ewma": q_events_daily_ewma,
+        "orders_backlog": q_orders_backlog,
+        "corpus_source_divergence": q_source_divergence,
         # ---- rows-only keys (no SQL oracle by design; driver records
         # a weaker rows-only row; full evidence lives in tests/) ------
         "text_bpe_merges": q_bpe_merges,
@@ -5492,6 +5513,92 @@ def oracle_sql() -> dict[str, str]:
                CAST(length(text) - length(clean_text) AS BIGINT)
                  AS n_chars_removed
         FROM c
+    """
+
+    _decay = repr(0.5 ** (1.0 / 7))
+    sqls["events_daily_ewma"] = f"""
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) AS d,
+                 CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE)
+                   AS day_value
+          FROM events WHERE event_type = 'purchase' GROUP BY 1
+        ),
+        pair AS (
+          SELECT a.d AS d_to, a.day_value AS v_to,
+                 round(pow({_decay},
+                           date_diff('day', b.d, a.d)), 9) AS w,
+                 b.day_value AS v_from
+          FROM daily a JOIN daily b
+            ON b.d <= a.d AND b.d > a.d - INTERVAL 14 DAY
+        )
+        SELECT strftime(d_to, '%Y-%m-%d') AS day,
+               round(v_to, 6) AS day_value,
+               round(CAST(sum(CAST(round(w * v_from, 6)
+                                   AS DECIMAL(27,9))) AS DOUBLE)
+                     / CAST(sum(CAST(w AS DECIMAL(27,9))) AS DOUBLE),
+                     6) AS ewma
+        FROM pair GROUP BY d_to, v_to
+    """
+
+    sqls["orders_backlog"] = """
+        WITH o AS (
+          SELECT o_orderkey, strftime(o_orderdate, '%Y-%m') AS placed_m
+          FROM orders
+        ),
+        ls AS (
+          SELECT l_orderkey, strftime(max(l_shipdate), '%Y-%m') AS shipped_m
+          FROM lineitem GROUP BY 1
+        ),
+        placed AS (SELECT placed_m, count(*) AS placed FROM o GROUP BY 1),
+        shipped AS (
+          SELECT shipped_m, count(*) AS shipped
+          FROM o JOIN ls ON o.o_orderkey = ls.l_orderkey
+          GROUP BY 1
+        ),
+        months AS (
+          SELECT placed_m AS month FROM placed
+          UNION SELECT shipped_m FROM shipped
+        ),
+        j AS (
+          SELECT m.month,
+                 COALESCE(p.placed, 0) AS placed,
+                 COALESCE(s.shipped, 0) AS shipped
+          FROM months m
+          LEFT JOIN placed p ON m.month = p.placed_m
+          LEFT JOIN shipped s ON m.month = s.shipped_m
+        )
+        SELECT month, CAST(placed AS BIGINT) AS placed,
+               CAST(shipped AS BIGINT) AS shipped,
+               CAST(sum(placed) OVER w - sum(shipped) OVER w AS BIGINT)
+                 AS open_backlog
+        FROM j
+        WINDOW w AS (ORDER BY month
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """
+
+    sqls["corpus_source_divergence"] = f"""
+        WITH wx AS (
+          SELECT source AS g, unnest({_words_sql('text')}) AS w
+          FROM documents
+        ),
+        ww AS (SELECT g, w FROM wx WHERE w <> ''),
+        gw AS (SELECT g, w, count(*) AS n_gw FROM ww GROUP BY 1, 2),
+        cw AS (SELECT w, count(*) AS n_w FROM ww GROUP BY 1),
+        gt AS (SELECT g, count(*) AS n_g FROM ww GROUP BY 1),
+        ct AS (SELECT count(*) AS n_c FROM ww),
+        term AS (
+          SELECT gw.g, gt.n_g,
+                 round((CAST(n_gw AS DOUBLE) / n_g)
+                       * ln((CAST(n_gw AS DOUBLE) / n_g)
+                            / (CAST(n_w AS DOUBLE) / n_c)), 9) AS t
+          FROM gw JOIN cw ON gw.w = cw.w
+          JOIN gt ON gw.g = gt.g
+          CROSS JOIN ct
+        )
+        SELECT g AS source, CAST(n_g AS BIGINT) AS n_words,
+               round(CAST(sum(CAST(t AS DECIMAL(27,9))) AS DOUBLE), 6)
+                 AS kl_divergence
+        FROM term GROUP BY g, n_g
     """
 
     _mrl_unit = (

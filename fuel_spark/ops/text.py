@@ -129,6 +129,62 @@ def token_counts(df: DataFrame, text_col: str) -> DataFrame:
     )
 
 
+def source_divergence(
+    df: DataFrame, group_col: str, text_col: str
+) -> DataFrame:
+    """Per-group unigram KL divergence to the corpus-wide distribution
+    — the domain-shift diagnostic for mixture design (a source whose
+    language diverges hard from the blend deserves its own mixture
+    weight; near-zero divergence means it adds volume, not diversity).
+    KL(p_group ‖ p_corpus) = Σ_w p_g(w) · ln(p_g(w)/p_c(w)); finite
+    by construction since every group word is a corpus word.
+
+    One tokenize/explode pass feeds all four tallies ((group, word),
+    word, group, corpus totals); the only large join is (group, word)
+    × word on the word key — vocabulary-sized, not corpus-sized.
+    Per-word terms round at 9 dp before the exact DECIMAL sum, so the
+    aggregate is deterministic at any parallelism.
+    """
+    out = ensure_parallelism(df.select(F.col(group_col).alias("g"), F.col(text_col)))
+    w = out.select("g", F.explode(words(F.col(text_col))).alias("w")).where(
+        F.col("w") != ""
+    )
+    gw = w.groupBy("g", "w").agg(F.count(F.lit(1)).alias("n_gw"))
+    cw = w.groupBy("w").agg(F.count(F.lit(1)).alias("n_w"))
+    gt = w.groupBy("g").agg(F.count(F.lit(1)).alias("n_g"))
+    ct = w.agg(F.count(F.lit(1)).alias("n_c"))
+    term = (
+        gw.join(cw, "w")
+        .join(gt, "g")
+        .crossJoin(F.broadcast(ct))
+        .select(
+            "g",
+            "n_g",
+            F.round(
+                (F.col("n_gw") / F.col("n_g"))
+                * F.log(
+                    (F.col("n_gw") / F.col("n_g"))
+                    / (F.col("n_w") / F.col("n_c"))
+                ),
+                9,
+            ).alias("t"),
+        )
+    )
+    return (
+        term.groupBy("g", "n_g")
+        .agg(
+            F.round(
+                F.sum(F.col("t").cast("decimal(27,9)")).cast("double"), 6
+            ).alias("kl_divergence")
+        )
+        .select(
+            F.col("g").alias(group_col),
+            F.col("n_g").cast("bigint").alias("n_words"),
+            "kl_divergence",
+        )
+    )
+
+
 def clean_text(
     df: DataFrame, text_col: str, out_col: str = "clean_text"
 ) -> DataFrame:

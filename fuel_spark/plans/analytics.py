@@ -1609,6 +1609,112 @@ def events_stickiness(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def events_daily_ewma(
+    t: dict[str, DataFrame], half_life_days: int = 7, window_days: int = 14
+) -> DataFrame:
+    """Exponentially-weighted moving average of daily revenue — the
+    smoothing/forecasting primitive behind every trend dashboard
+    (recent days dominate, weight halves every ``half_life_days``).
+
+    Engine-portable formulation: instead of the sequential recurrence
+    (whose float accumulation order no engine contract pins down),
+    the EWMA is a *bounded* weighted window — each day joins its
+    trailing ``window_days`` of the DAILY rollup (aggregate-sized:
+    365 rows/year, so the self-join is metadata-cheap even at 100 TB
+    of raw events), weights round per row, and both numerator and
+    denominator exact-DECIMAL-sum before one final divide.
+    Deterministic at any parallelism, bit-identical to the oracle.
+    """
+    e = t["events"]
+    decay = 0.5 ** (1.0 / half_life_days)
+    daily = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(_dsum(F.col("value")).alias("day_value"))
+    )
+    a = daily.select(F.col("d").alias("d_to"), F.col("day_value").alias("v_to"))
+    b = daily.select(F.col("d").alias("d_from"), F.col("day_value").alias("v_from"))
+    pair = a.join(
+        b,
+        (F.col("d_from") <= F.col("d_to"))
+        & (F.col("d_from") > F.date_sub(F.col("d_to"), window_days)),
+    )
+    weighted = pair.select(
+        "d_to",
+        "v_to",
+        F.round(
+            F.pow(F.lit(decay), F.datediff(F.col("d_to"), F.col("d_from"))), 9
+        ).alias("w"),
+        "v_from",
+    )
+    DECW = "decimal(27,9)"
+    # both operands exact-DECIMAL-sum, then cast to double BEFORE the
+    # divide: decimal-division scale derivation is engine-specific,
+    # double division of identical doubles is not
+    return (
+        weighted.groupBy("d_to", "v_to")
+        .agg(
+            (
+                F.sum(F.round(F.col("w") * F.col("v_from"), 6).cast(DECW))
+                .cast("double")
+                / F.sum(F.col("w").cast(DECW)).cast("double")
+            ).alias("_ewma_raw")
+        )
+        .select(
+            F.date_format("d_to", "yyyy-MM-dd").alias("day"),
+            F.round(F.col("v_to"), 6).alias("day_value"),
+            F.round(F.col("_ewma_raw"), 6).alias("ewma"),
+        )
+    )
+
+
+def orders_backlog(t: dict[str, DataFrame]) -> DataFrame:
+    """Open-order backlog by month: cumulative orders placed minus
+    cumulative orders fully shipped (every lineitem shipped) — the
+    fulfilment-health curve operations teams watch.
+
+    One orderkey SMJ to find each order's last ship date, two
+    map-side-combinable monthly rollups, then window cumsums over the
+    aggregate-sized month table (a global window over ~84 month rows,
+    not over facts).  Integer counts end-to-end — deterministic.
+    """
+    o = t["orders"].select("o_orderkey", F.date_format("o_orderdate", "yyyy-MM").alias("placed_m"))
+    l = t["lineitem"].groupBy("l_orderkey").agg(F.max("l_shipdate").alias("_last_ship"))
+    shipped = (
+        o.join(l, o.o_orderkey == l.l_orderkey, "left")
+        .select(F.date_format("_last_ship", "yyyy-MM").alias("shipped_m"))
+        .where(F.col("shipped_m").isNotNull())
+        .groupBy("shipped_m")
+        .agg(F.count(F.lit(1)).alias("shipped"))
+    )
+    placed = o.groupBy("placed_m").agg(F.count(F.lit(1)).alias("placed"))
+    months = (
+        placed.select(F.col("placed_m").alias("month"))
+        .unionAll(shipped.select(F.col("shipped_m").alias("month")))
+        .distinct()
+    )
+    joined = (
+        months.join(placed, months.month == placed.placed_m, "left")
+        .join(shipped, months.month == shipped.shipped_m, "left")
+        .select(
+            "month",
+            F.coalesce("placed", F.lit(0)).cast("bigint").alias("placed"),
+            F.coalesce("shipped", F.lit(0)).cast("bigint").alias("shipped"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, 0)
+    return joined.select(
+        "month",
+        "placed",
+        "shipped",
+        (F.sum("placed").over(w) - F.sum("shipped").over(w))
+        .cast("bigint")
+        .alias("open_backlog"),
+    )
+
+
 def events_new_vs_returning(t: dict[str, DataFrame]) -> DataFrame:
     """Daily new-vs-returning user split: for each activity day, how
     many distinct users saw their first-ever event that day vs came

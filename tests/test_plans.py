@@ -915,3 +915,84 @@ def test_plan_report_counts_known_plan(spark):
     rep2 = plan_report(analytics.regional_revenue(t))
     assert rep2["broadcast_joins"] >= 2  # dim chain broadcasts
     assert rep2["cartesian_products"] == 0
+
+
+def test_daily_ewma_hand_computed(spark):
+    """Two purchase days: the EWMA of the later day blends both at
+    the half-life decay; the first day's EWMA is itself."""
+    import datetime as dt
+
+    def ev(eid, day, value):
+        return {
+            "event_id": eid,
+            "ts": dt.datetime(2024, 1, day, 12, 0, 0),
+            "user_id": 1,
+            "event_type": "purchase",
+            "value": value,
+            "props": "{}",
+        }
+
+    out = {
+        r.day: (r.day_value, r.ewma)
+        for r in analytics.events_daily_ewma(
+            {"events": from_rows(spark, [ev(1, 1, 10.0), ev(2, 2, 20.0)])}
+        ).collect()
+    }
+    assert out["2024-01-01"] == (10.0, 10.0)
+    d = round(0.5 ** (1.0 / 7), 9)
+    expected = round((round(1.0 * 20.0, 6) + round(d * 10.0, 6)) / (1.0 + d), 6)
+    assert out["2024-01-02"] == (20.0, expected)
+
+
+def test_orders_backlog_hand_computed(spark):
+    """Order placed in Jan ships in Feb: backlog rises then clears;
+    an unshipped order stays open forever."""
+    import datetime as dt
+
+    orders = from_rows(
+        spark,
+        [
+            (1, dt.date(2024, 1, 5)),
+            (2, dt.date(2024, 1, 20)),
+            (3, dt.date(2024, 2, 1)),
+        ],
+        schema="o_orderkey bigint, o_orderdate date",
+    )
+    lineitem = from_rows(
+        spark,
+        [
+            (1, 1, dt.date(2024, 1, 10)),   # order 1 fully ships in Jan
+            (2, 1, dt.date(2024, 1, 25)),
+            (2, 2, dt.date(2024, 2, 3)),    # order 2's LAST item ships Feb
+            # order 3 never ships
+        ],
+        schema="l_orderkey bigint, l_linenumber bigint, l_shipdate date",
+    )
+    out = {
+        r.month: (r.placed, r.shipped, r.open_backlog)
+        for r in analytics.orders_backlog(
+            {"orders": orders, "lineitem": lineitem}
+        ).collect()
+    }
+    assert out["2024-01"] == (2, 1, 1)
+    assert out["2024-02"] == (1, 1, 1)  # order 3 still open
+
+
+def test_source_divergence_zero_for_identical(spark):
+    """A group with the corpus-wide word distribution scores ~0 KL;
+    a skewed group scores strictly higher; KL is never negative."""
+    from fuel_spark.ops.text import source_divergence
+
+    docs = from_rows(
+        spark,
+        [
+            ("a", "cat dog cat dog"),
+            ("b", "cat dog cat dog"),
+            ("c", "zebra zebra zebra zebra"),
+        ],
+        schema="source string, text string",
+    )
+    out = {r.source: r.kl_divergence for r in
+           source_divergence(docs, "source", "text").collect()}
+    assert out["a"] == out["b"]
+    assert out["c"] > out["a"] >= 0.0

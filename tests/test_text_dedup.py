@@ -1054,3 +1054,17 @@ def test_clean_text_strips_controls_and_collapses(spark):
            clean_text(docs, "text").collect()}
     assert out[1] == ("a b c d", 5)
     assert out[2] == ("clean already", 0)
+
+
+def test_jaccard_carry_exprs_ride_verify_join(spark):
+    """carry_exprs payloads come out as <name>_a/<name>_b on every
+    verified pair without extra joins."""
+    pairs = dedup.ngram_jaccard_pairs(
+        _docs(spark), "doc_id", "text",
+        carry_exprs={"len": F.length("text")},
+    ).collect()
+    assert pairs, "expected verified pairs"
+    texts = {r.doc_id: r.text for r in _docs(spark).collect()}
+    for r in pairs:
+        assert r.len_a == len(texts[r.id_a])
+        assert r.len_b == len(texts[r.id_b])

@@ -119,7 +119,17 @@ def main() -> int:
             "supplier_revenue_concentration", "dedup_exact_vectors",
             "events_entry_points", "embedding_norm_by_label",
             "dedup_minhash_calibration",
+            # r4 additions
+            "events_attribution_linear", "events_stickiness",
+            "dedup_apply_segments", "text_feature_hashing",
+            "graph_degree_distribution", "embedding_matryoshka",
+            "ann_matryoshka", "dedup_apply_keep_longest",
+            "dedup_corpus_diff", "sample_weighted", "text_clean",
         ]
+        if len(sys.argv) > 3:
+            # explicit subset: smoke only these names (fast re-checks
+            # of a new op without the full 90-query sweep)
+            names = sys.argv[3].split(",")
         timings = {}
         for name in names:
             # inter-query quiesce (same as bench.py): ~80 queries at 10x
