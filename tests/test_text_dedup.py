@@ -1068,3 +1068,29 @@ def test_jaccard_carry_exprs_ride_verify_join(spark):
     for r in pairs:
         assert r.len_a == len(texts[r.id_a])
         assert r.len_b == len(texts[r.id_b])
+
+
+def test_apply_dedup_prepass_identical_survivors(spark):
+    """The exact pre-pass must not change the survivor set (no
+    max_bucket pressure here): same output with it on or off, for
+    both survivor policies."""
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = from_rows(
+        spark,
+        [(1, base), (2, base), (3, base), (4, base + " tail words"),
+         (5, "completely different words here")],
+        schema="doc_id bigint, text string",
+    )
+    for keep in ("min_id", "longest"):
+        with_pre = sorted(
+            r.doc_id for r in dedup.apply_dedup(
+                docs, "doc_id", "text", threshold=0.5, keep=keep
+            ).collect()
+        )
+        without = sorted(
+            r.doc_id for r in dedup.apply_dedup(
+                docs, "doc_id", "text", threshold=0.5, keep=keep,
+                prededup_exact=False,
+            ).collect()
+        )
+        assert with_pre == without, keep
