@@ -1741,6 +1741,14 @@ def q_source_divergence(spark, sf):
     return text_ops.source_divergence(d, "source", "text")
 
 
+def q_tfidf_similar_docs(spark, sf):
+    """Sparse TF-IDF more-like-this: top-3 related docs through
+    shared sub-max_df terms (r4).  max_df=300 suits the synthetic
+    corpus's 31-term vocabulary; real corpora use a lower cap."""
+    d = _t(spark, sf)["documents"]
+    return text_ops.tfidf_similar_docs(d, "doc_id", "text", k=3, max_df=300)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry.  ORDERING IS DELIBERATE: the driver's
     correctness gate checks the FIRST 50 keys, so each round leads
@@ -1863,6 +1871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_daily_ewma": q_events_daily_ewma,
         "orders_backlog": q_orders_backlog,
         "corpus_source_divergence": q_source_divergence,
+        "text_similar_docs": q_tfidf_similar_docs,
         # ---- rows-only keys (no SQL oracle by design; driver records
         # a weaker rows-only row; full evidence lives in tests/) ------
         "text_bpe_merges": q_bpe_merges,
@@ -5599,6 +5608,50 @@ def oracle_sql() -> dict[str, str]:
                round(CAST(sum(CAST(t AS DECIMAL(27,9))) AS DOUBLE), 6)
                  AS kl_divergence
         FROM term GROUP BY g, n_g
+    """
+
+    sqls["text_similar_docs"] = f"""
+        WITH tx AS (
+          SELECT doc_id, unnest({_words_sql('text')}) AS term FROM documents
+        ),
+        tt AS (SELECT doc_id, term FROM tx WHERE term <> ''),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM tt GROUP BY 1, 2),
+        dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        nd AS (SELECT count(*) AS n_docs FROM documents),
+        wts AS (
+          SELECT tf.doc_id, tf.term,
+                 tf.tf * ln(CAST(n_docs AS DOUBLE) / df) AS w
+          FROM tf JOIN dfq ON tf.term = dfq.term CROSS JOIN nd
+          WHERE df <= 300
+        ),
+        nrm AS (
+          SELECT doc_id,
+                 sqrt(CAST(sum(CAST(round(w * w, 9) AS DECIMAL(27,9)))
+                           AS DOUBLE)) AS nrm
+          FROM wts GROUP BY 1
+        ),
+        u AS (
+          SELECT wts.doc_id, term, w / nrm AS u
+          FROM wts JOIN nrm ON wts.doc_id = nrm.doc_id WHERE nrm > 0
+        ),
+        pair AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 round(CAST(sum(CAST(round(a.u * b.u, 9)
+                                     AS DECIMAL(27,9))) AS DOUBLE), 6)
+                   AS cosine
+          FROM u a JOIN u b
+            ON a.term = b.term AND a.doc_id <> b.doc_id
+          GROUP BY 1, 2
+        ),
+        r AS (
+          SELECT id_a, id_b, cosine,
+                 row_number() OVER (PARTITION BY id_a
+                                    ORDER BY cosine DESC, id_b) AS rank
+          FROM pair
+        )
+        SELECT id_a AS doc_id, id_b AS neighbor_id, cosine,
+               CAST(rank AS BIGINT) AS rank
+        FROM r WHERE rank <= 3
     """
 
     _mrl_unit = (

@@ -129,6 +129,91 @@ def token_counts(df: DataFrame, text_col: str) -> DataFrame:
     )
 
 
+def tfidf_similar_docs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    max_df: int = 256,
+) -> DataFrame:
+    """Top-k related documents by sparse TF-IDF cosine — the classic
+    more-like-this query (related articles, discovery feeds), as a
+    term-keyed sparse join instead of any all-pairs scan.
+
+    Two docs score only through shared terms, so join work is
+    Σ_term df² — never corpus².  ``max_df`` drops terms present in
+    more than that many documents (mirroring the dedup family's skew
+    guards): a high-df term is stopword-like, carries ~zero IDF
+    weight, and is exactly the term whose posting list would go
+    quadratic.  Per-term partial products and per-doc norms round at
+    9 dp before exact DECIMAL sums, so every cosine is deterministic
+    at any parallelism; ranks break ties on the neighbor id.
+
+    Output: one row per (doc_id, rank ≤ k): neighbor_id, cosine.
+    """
+    out = ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
+    terms = out.select(
+        F.col(id_col), F.explode(words(F.col(text_col))).alias("term")
+    ).where(F.col("term") != "")
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    DEC9 = "decimal(27,9)"
+    weighted = (
+        tf.join(dfreq.where(F.col("df") <= max_df), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "w", F.col("tf") * F.log(F.col("n_docs") / F.col("df"))
+        )
+    )
+    norms = weighted.groupBy(id_col).agg(
+        F.sqrt(
+            F.sum(F.round(F.col("w") * F.col("w"), 9).cast(DEC9)).cast(
+                "double"
+            )
+        ).alias("_nrm")
+    )
+    unit = (
+        weighted.join(norms, id_col)
+        .where(F.col("_nrm") > 0)
+        .select(
+            F.col(id_col), "term", (F.col("w") / F.col("_nrm")).alias("u")
+        )
+    )
+    a = unit.select(
+        F.col(id_col).alias("id_a"), "term", F.col("u").alias("ua")
+    )
+    b = unit.select(
+        F.col(id_col).alias("id_b"), "term", F.col("u").alias("ub")
+    )
+    pair = (
+        a.join(b, "term")
+        .where(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.round(
+                F.sum(
+                    F.round(F.col("ua") * F.col("ub"), 9).cast(DEC9)
+                ).cast("double"),
+                6,
+            ).alias("cosine")
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("id_a").orderBy(F.col("cosine").desc(), F.col("id_b"))
+    return (
+        pair.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("id_a").alias(id_col),
+            F.col("id_b").alias("neighbor_id"),
+            "cosine",
+            "rank",
+        )
+    )
+
+
 def source_divergence(
     df: DataFrame, group_col: str, text_col: str
 ) -> DataFrame:

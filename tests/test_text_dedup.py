@@ -1094,3 +1094,29 @@ def test_apply_dedup_prepass_identical_survivors(spark):
             ).collect()
         )
         assert with_pre == without, keep
+
+
+def test_tfidf_similar_docs_ranks_shared_rare_terms(spark):
+    """Docs sharing a RARE term rank each other first; a doc sharing
+    only ubiquitous (max_df-capped) terms matches nothing."""
+    from fuel_spark.ops.text import tfidf_similar_docs
+
+    docs = from_rows(
+        spark,
+        [
+            (1, "common words plus zebra stripes"),
+            (2, "common words plus zebra patterns"),
+            (3, "common words plus ocean waves"),
+            (4, "common words plus ocean tides"),
+        ],
+        schema="doc_id bigint, text string",
+    )
+    # 'common'/'words'/'plus' are in all 4 docs -> dropped by max_df=3
+    out = {
+        (r.doc_id, r.rank): r.neighbor_id
+        for r in tfidf_similar_docs(docs, "doc_id", "text", k=2, max_df=3).collect()
+    }
+    assert out[(1, 1)] == 2 and out[(2, 1)] == 1   # zebra pair
+    assert out[(3, 1)] == 4 and out[(4, 1)] == 3   # ocean pair
+    # cross-cluster pairs share no surviving term: no rank-2 rows
+    assert (1, 2) not in out and (3, 2) not in out
