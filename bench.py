@@ -55,6 +55,12 @@ HEADLINERS = (
     # late-r3: parallel-ntile decile ranking + the basket self-join
     "events_pareto_share",
     "basket_part_pairs",
+    # round-4 additions: sparse TF-IDF similarity join, segment-dedup
+    # apply tier, matryoshka cascade, attribution via window count
+    "text_similar_docs",
+    "dedup_apply_segments",
+    "ann_matryoshka",
+    "events_attribution_linear",
     # one real Structured Streaming run (availableNow), special-cased
     "streaming_screen_availablenow",
 )

@@ -536,3 +536,36 @@ def quality_screen_stream(
     from fuel_spark.ops.text import c4_filters
 
     return c4_filters(docs, id_col, text_col)
+
+
+def anomaly_screen_stream(
+    events: DataFrame,
+    baseline: DataFrame,
+    type_col: str = "event_type",
+    value_col: str = "value",
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Streaming volume/value anomaly screen: each incoming event
+    z-scores against a STATIC per-type baseline (mean/std moments
+    from a batch profile of history — e.g. the daily rollup behind
+    ``plans.analytics.events_daily_anomalies``) and rows beyond the
+    threshold flag ``is_anomaly``.
+
+    Stream-static broadcast join against the aggregate-sized moment
+    table + a row-local score: ZERO streaming state, so the screen
+    runs at source rate with no watermark or checkpoint growth — the
+    production shape for online outlier triage (retrain the baseline
+    batch-side, swap it under the stream).
+
+    ``baseline`` columns: ``<type_col>``, ``mean``, ``std``.
+    """
+    from pyspark.sql.functions import broadcast
+
+    scored = events.join(broadcast(baseline), type_col, "left")
+    z = (F.col(value_col) - F.col("mean")) / F.col("std")
+    return scored.withColumn(
+        "z_score", F.when(F.col("std") > 0, F.round(z, 6))
+    ).withColumn(
+        "is_anomaly",
+        F.coalesce(F.abs(F.col("z_score")) > z_threshold, F.lit(False)),
+    ).drop("mean", "std")

@@ -488,3 +488,43 @@ def test_quality_screen_stream_matches_batch(spark, workdir):
     assert len(out) == 3
     for r in out:
         assert r == batch[r.doc_id]
+
+
+def test_anomaly_screen_stream_flags_outliers(spark, workdir):
+    """Stream-static anomaly screen: rows z-scored against a static
+    per-type baseline; zero streaming state (availableNow run)."""
+    import datetime as dt
+
+    src = os.path.join(workdir, "an_src")
+    ckpt = os.path.join(workdir, "an_ckpt")
+    rows = [
+        (1, dt.datetime(2024, 1, 1), "buy", 10.0),
+        (2, dt.datetime(2024, 1, 1), "buy", 11.0),
+        (3, dt.datetime(2024, 1, 1), "buy", 500.0),   # outlier
+        (4, dt.datetime(2024, 1, 1), "view", 1.0),    # no baseline row
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    events.write.mode("overwrite").parquet(src)
+    baseline = spark.createDataFrame(
+        [("buy", 10.0, 2.0)], "event_type string, mean double, std double"
+    )
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, event_type string, value double"
+    ).parquet(src)
+    out = []
+    q = (
+        serve.anomaly_screen_stream(stream, baseline, z_threshold=3.0)
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda d, _i: out.extend(d.collect()))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.event_id: (r.z_score, r.is_anomaly) for r in out}
+    assert got[1] == (0.0, False)
+    assert got[2] == (0.5, False)
+    assert got[3] == (245.0, True)
+    assert got[4] == (None, False)  # unknown type: passes, never flags
