@@ -1741,6 +1741,25 @@ def q_source_divergence(spark, sf):
     return text_ops.source_divergence(d, "source", "text")
 
 
+def q_curriculum_batches(spark, sf):
+    """Easy→hard curriculum plan over documents by length, seeded
+    tie-shuffle inside equal difficulties (r4)."""
+    d = _t(spark, sf)["documents"]
+    out = schemes.curriculum_batches(d, "doc_id", "n_chars", 32, seed=11)
+    return out.select("doc_id", "n_chars", "pos", "batch_id")
+
+
+def q_ann_mmr(spark, sf):
+    """MMR-diversified retrieval: exact top-20 shortlist re-ranked
+    for diversity (rows-only: greedy sequential pick)."""
+    e = _t(spark, sf)["embeddings"]
+    q = e.where(F.col("vec_id") < 5)
+    short = similarity.cosine_topk(e, q, k=20)
+    return similarity.mmr_diversify(short, e, k=5).orderBy(
+        "query_id", "rank"
+    )
+
+
 def q_tfidf_similar_docs(spark, sf):
     """Sparse TF-IDF more-like-this: top-3 related docs through
     shared sub-max_df terms (r4).  max_df=300 suits the synthetic
@@ -1872,12 +1891,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_backlog": q_orders_backlog,
         "corpus_source_divergence": q_source_divergence,
         "text_similar_docs": q_tfidf_similar_docs,
+        "scheme_curriculum": q_curriculum_batches,
         # ---- rows-only keys (no SQL oracle by design; driver records
         # a weaker rows-only row; full evidence lives in tests/) ------
         "text_bpe_merges": q_bpe_merges,
         "part_pagerank": q_part_pagerank,
         "text_quality_model": q_quality_model,
         "multimodal_decode": q_multimodal,
+        "ann_mmr": q_ann_mmr,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "pack_token_budget_local": q_pack_token_budget_local,
@@ -5652,6 +5673,19 @@ def oracle_sql() -> dict[str, str]:
         SELECT id_a AS doc_id, id_b AS neighbor_id, cosine,
                CAST(rank AS BIGINT) AS rank
         FROM r WHERE rank <= 3
+    """
+
+    sqls["scheme_curriculum"] = """
+        SELECT doc_id, n_chars,
+               CAST(row_number() OVER (
+                 ORDER BY n_chars,
+                          md5(concat('11', '-', CAST(doc_id AS VARCHAR))),
+                          doc_id) - 1 AS BIGINT) AS pos,
+               CAST((row_number() OVER (
+                 ORDER BY n_chars,
+                          md5(concat('11', '-', CAST(doc_id AS VARCHAR))),
+                          doc_id) - 1) // 32 AS BIGINT) AS batch_id
+        FROM documents
     """
 
     _mrl_unit = (

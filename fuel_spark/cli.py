@@ -108,6 +108,30 @@ def cmd_zorder(args) -> int:
     return 0
 
 
+def cmd_dedup(args) -> int:
+    """End-to-end near-dup dedup of a parquet corpus: exact pre-pass
+    → MinHash LSH → jaccard verify → survivor policy → write.  The
+    one-command version of the apply_dedup pipeline."""
+    from fuel_spark.ops.dedup import apply_dedup
+    from fuel_spark.sources.sink import write_dataset
+
+    spark = get_spark("fuel_spark-dedup")
+    spark.sparkContext.setLogLevel("ERROR")
+    df = spark.read.parquet(args.input)
+    before = df.count()
+    out = apply_dedup(
+        df, args.id_col, args.text_col, threshold=args.threshold,
+        keep=args.keep, max_bucket=args.max_bucket,
+    )
+    write_dataset(out, args.output)
+    after = spark.read.parquet(args.output).count()
+    print(
+        f"wrote {args.output} ({after} rows; dropped {before - after} "
+        f"near-duplicates at jaccard>={args.threshold}, keep={args.keep})"
+    )
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="fuel_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -144,6 +168,16 @@ def main(argv: list[str] | None = None) -> int:
     p_z.add_argument("--by", nargs="+", required=True)
     p_z.add_argument("--files", type=int, default=None)
     p_z.set_defaults(fn=cmd_zorder)
+
+    p_d = sub.add_parser("dedup", help="near-dup dedup a parquet corpus")
+    p_d.add_argument("--input", required=True)
+    p_d.add_argument("--output", required=True)
+    p_d.add_argument("--id-col", default="doc_id")
+    p_d.add_argument("--text-col", default="text")
+    p_d.add_argument("--threshold", type=float, default=0.8)
+    p_d.add_argument("--keep", default="min_id", choices=["min_id", "longest"])
+    p_d.add_argument("--max-bucket", type=int, default=512)
+    p_d.set_defaults(fn=cmd_dedup)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -249,6 +249,76 @@ def matryoshka_ann(
     )
 
 
+def mmr_diversify(
+    shortlist: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998) of an ANN shortlist: greedily pick the candidate maximizing
+    λ·relevance − (1−λ)·max-similarity-to-already-picked — the
+    standard diversification pass that stops a retrieval feed from
+    returning five near-copies of the same document.
+
+    ``shortlist`` is any (query_id, neighbor_id, cosine) frame from
+    :func:`cosine_topk` / :func:`matryoshka_ann` / the ANN tiers.
+    The greedy argmax is inherently sequential per query, so this is
+    the sanctioned Arrow tier: one ``applyInPandas`` over query
+    groups, each group a ≤shortlist-size pandas frame with a BLAS
+    dot for the pairwise sims — per-task work is O(shortlist²·dim)
+    on tens of rows, never corpus-sized.  Selection is deterministic:
+    candidates pre-sort by (relevance desc, id), ties resolve to the
+    first occurrence.
+    """
+    import pandas as pd
+
+    vecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v")
+    )
+    joined = shortlist.select("query_id", "neighbor_id", "cosine").join(
+        vecs, "neighbor_id"
+    )
+
+    def pick(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        pdf = pdf.sort_values(
+            ["cosine", "neighbor_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        V = np.array([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
+        norms = np.linalg.norm(V, axis=1)
+        norms[norms == 0] = 1.0
+        U = V / norms[:, None]
+        rel = pdf["cosine"].to_numpy(dtype=np.float64)
+        chosen: list[int] = []
+        cand = list(range(len(pdf)))
+        while cand and len(chosen) < k:
+            if not chosen:
+                best = cand[0]
+            else:
+                sim = U[cand] @ U[chosen].T
+                score = lam * rel[cand] - (1.0 - lam) * sim.max(axis=1)
+                best = cand[int(np.argmax(score))]
+            chosen.append(best)
+            cand.remove(best)
+        out = pdf.iloc[chosen]
+        return pd.DataFrame(
+            {
+                "query_id": out["query_id"].to_numpy(),
+                "neighbor_id": out["neighbor_id"].to_numpy(),
+                "relevance": out["cosine"].to_numpy(),
+                "rank": np.arange(1, len(chosen) + 1, dtype=np.int64),
+            }
+        )
+
+    return joined.groupBy("query_id").applyInPandas(
+        pick, "query_id bigint, neighbor_id bigint, relevance double, rank bigint"
+    )
+
+
 def sign_sketch(
     df: DataFrame, vec_col: str = "embedding", bits: int = 16,
     out_col: str = "sign_bucket",

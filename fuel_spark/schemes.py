@@ -68,6 +68,35 @@ def shuffled_batches(
     return out.withColumn(batch_col, F.floor(F.col("pos") / batch_size))
 
 
+def curriculum_batches(
+    df: DataFrame,
+    key: str,
+    difficulty_col: str,
+    batch_size: int,
+    seed: int = 42,
+    batch_col: str = "batch_id",
+) -> DataFrame:
+    """Curriculum schedule (Bengio et al. 2009): batches run easy →
+    hard by ``difficulty_col`` (ascending), with a seeded
+    deterministic shuffle BETWEEN equal difficulties so ties don't
+    replay in storage order every epoch.
+
+    Same positional machinery as the other schemes — the
+    (difficulty, det_key) sort goes through the partition-offset
+    positions (range-partitioned parallel sort, no
+    ``Exchange SinglePartition``), so the curriculum plan stays fully
+    parallel at any corpus size.  Vary ``seed`` per epoch for fresh
+    tie-breaks while the difficulty ramp stays fixed.
+    """
+    from fuel_spark.ops.core import with_positions as _core_positions
+
+    d = df.withColumn("_ord", det_key(seed, F.col(key)))
+    out = _core_positions(
+        d, [difficulty_col, "_ord", key], pos_col="pos", base=0
+    ).drop("_ord")
+    return out.withColumn(batch_col, F.floor(F.col("pos") / batch_size))
+
+
 def concatenated_batches(
     dfs: list[DataFrame], keys: list[str], batch_size: int,
     batch_col: str = "batch_id",

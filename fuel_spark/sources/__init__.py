@@ -9,7 +9,12 @@ storage so scans prune and push down.
 from fuel_spark.sources.tables import TABLE_NAMES, load_table, load_tables
 from fuel_spark.sources.memory import from_rows
 from fuel_spark.sources.splits import SplitDataset
-from fuel_spark.sources.jsonl import corrupt_split, read_jsonl_corpus, write_jsonl
+from fuel_spark.sources.jsonl import (
+    corrupt_split,
+    read_csv_corpus,
+    read_jsonl_corpus,
+    write_jsonl,
+)
 from fuel_spark.sources.text import (
     build_dictionary,
     dictionary_encode,
@@ -24,6 +29,7 @@ __all__ = [
     "load_tables",
     "from_rows",
     "read_jsonl_corpus",
+    "read_csv_corpus",
     "corrupt_split",
     "write_jsonl",
     "SplitDataset",

@@ -70,3 +70,35 @@ def write_jsonl(df: DataFrame, path: str, partitions: int | None = None) -> None
     repartition; at scale prefer maxRecordsPerFile on the writer)."""
     out = df.repartition(partitions) if partitions else df
     out.write.mode("overwrite").json(path)
+
+
+def read_csv_corpus(
+    spark: SparkSession,
+    path: str,
+    schema: str = DOCUMENTS_SCHEMA,
+    keep_corrupt: bool = False,
+    delimiter: str = ",",
+    header: bool = True,
+) -> DataFrame:
+    """Distributed CSV/TSV read with a pinned schema and the same
+    quarantine contract as :func:`read_jsonl_corpus` — crawl dumps
+    and vendor feeds arrive as delimited text as often as JSONL, and
+    the malformed-row story must be identical (PERMISSIVE parse,
+    corrupt rows into a side column, ``corrupt_split`` to fork them).
+
+    ``multiLine`` stays off: single-line records keep the file
+    splittable, so a 1 TB CSV scans at cluster width instead of one
+    task per file.
+    """
+    full_schema = f"{schema}, {CORRUPT_COL} string"
+    df = (
+        spark.read.schema(full_schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .option("header", str(header).lower())
+        .option("delimiter", delimiter)
+        .csv(path)
+    )
+    if keep_corrupt:
+        return df
+    return df.where(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)

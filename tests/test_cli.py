@@ -65,3 +65,24 @@ def test_cli_compact_and_zorder(spark, outdir, capsys):
                  "--by", "u", "v", "--files", "4"]) == 0
     assert "zorder by u, v" in capsys.readouterr().out
     assert spark.read.parquet(zout).count() == 2000
+
+
+def test_cli_dedup_command(spark, tmp_path):
+    """End-to-end: dedup a small parquet corpus through the CLI."""
+    from fuel_spark.cli import main
+    from fuel_spark.sources import from_rows
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    from_rows(
+        spark,
+        [(1, base), (2, base), (3, "entirely different content here")],
+        schema="doc_id bigint, text string",
+    ).write.mode("overwrite").parquet(src)
+    rc = main([
+        "dedup", "--input", src, "--output", out, "--threshold", "0.5",
+    ])
+    assert rc == 0
+    kept = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert kept == [1, 3]

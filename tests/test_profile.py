@@ -132,3 +132,20 @@ def test_key_skew_hand_computed_and_takeordered_plan(spark):
     # 100 rows, 21 distinct keys; hot key holds 80 rows
     assert got[1] == ("1", 80, round(80 * 21 / 100.0, 6))
     assert got[2][1] == 1
+
+
+def test_read_csv_corpus_quarantine(spark, tmp_path):
+    from fuel_spark.sources import corrupt_split, read_csv_corpus
+
+    p = str(tmp_path / "c.csv")
+    with open(p, "w") as f:
+        f.write("doc_id,text,lang,source,n_chars\n")
+        f.write('1,hello world,en,web,11\n')
+        f.write('2,ok text,en,web,7\n')
+        f.write('bad row with no commas that fit schema\n')
+    df = read_csv_corpus(spark, p, keep_corrupt=True)
+    good, bad = corrupt_split(df)
+    assert sorted(r.doc_id for r in good.collect()) == [1, 2]
+    assert bad.count() == 1
+    clean = read_csv_corpus(spark, p)
+    assert clean.count() == 2

@@ -131,3 +131,20 @@ def test_weighted_sample_deterministic_and_weighted(spark):
     assert 7 in s1  # weight 1e9 ⇒ es_key ≈ 0, the global max
     s3 = [r.k for r in weighted_sample(df, "k", "w", n=10, seed=7).collect()]
     assert s3 != s1  # a different seed redraws
+
+
+def test_curriculum_batches_easy_to_hard(spark):
+    from fuel_spark.schemes import curriculum_batches
+
+    rows = [(i, float((i * 37) % 100)) for i in range(60)]
+    df = from_rows(spark, rows, schema="k bigint, difficulty double")
+    out = curriculum_batches(df, "k", "difficulty", batch_size=10).collect()
+    by_pos = sorted(out, key=lambda r: r.pos)
+    diffs = [r.difficulty for r in by_pos]
+    assert diffs == sorted(diffs)                    # monotone ramp
+    assert [r.pos for r in by_pos] == list(range(60))
+    assert {r.batch_id for r in by_pos} == set(range(6))
+    # deterministic under re-run
+    again = sorted(curriculum_batches(df, "k", "difficulty", 10).collect(),
+                   key=lambda r: r.pos)
+    assert [r.k for r in again] == [r.k for r in by_pos]

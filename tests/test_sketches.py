@@ -186,3 +186,32 @@ def test_matryoshka_ann_cascade_recall(spark):
         ).collect()
     }
     assert len(casc & exact) / len(exact) >= 0.6
+
+
+def test_mmr_diversify_picks_diverse_over_redundant(spark):
+    """Query q: candidates a1,a2 nearly identical (high relevance),
+    b orthogonal-ish (lower relevance).  Plain top-2 = {a1, a2}; MMR
+    at λ=0.3 (diversity-heavy) must swap the redundant twin for b:
+    the twin's ~0.999 similarity penalty outweighs b's relevance
+    deficit at this λ, and hand-arithmetic confirms the margin."""
+    rows = [
+        (0, [1.0, 0.0]),          # query
+        (1, [0.99, 0.14]),        # a1
+        (2, [0.995, 0.1]),        # a2 ≈ a1
+        (3, [0.6, 0.8]),          # b: diverse, lower relevance
+    ]
+    df = from_rows(spark, rows, schema="vec_id bigint, embedding array<float>")
+    q = df.where(F.col("vec_id") == 0)
+    short = similarity.cosine_topk(df, q, k=3)
+    plain = [r.neighbor_id for r in sorted(
+        short.collect(), key=lambda r: r.rank)][:2]
+    mmr = [r.neighbor_id for r in sorted(
+        similarity.mmr_diversify(short, df, k=2, lam=0.3).collect(),
+        key=lambda r: r.rank)]
+    assert set(plain) == {1, 2}
+    assert mmr[0] in (1, 2) and mmr[1] == 3
+    # deterministic
+    again = [r.neighbor_id for r in sorted(
+        similarity.mmr_diversify(short, df, k=2, lam=0.3).collect(),
+        key=lambda r: r.rank)]
+    assert again == mmr
