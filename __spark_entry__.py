@@ -1741,6 +1741,21 @@ def q_source_divergence(spark, sf):
     return text_ops.source_divergence(d, "source", "text")
 
 
+def q_check_referential(spark, sf):
+    """Cross-table referential-integrity suite over the star schema
+    (r4); the events→customer rule is allowed to fail — the point is
+    the orphan count."""
+    from fuel_spark.ops.profile import check_referential
+
+    t = _t(spark, sf)
+    return check_referential([
+        ("lineitem_orders", t["lineitem"], "l_orderkey", t["orders"], "o_orderkey"),
+        ("orders_customer", t["orders"], "o_custkey", t["customer"], "c_custkey"),
+        ("lineitem_part", t["lineitem"], "l_partkey", t["part"], "p_partkey"),
+        ("events_customer", t["events"], "user_id", t["customer"], "c_custkey"),
+    ])
+
+
 def q_curriculum_batches(spark, sf):
     """Easy→hard curriculum plan over documents by length, seeded
     tie-shuffle inside equal difficulties (r4)."""
@@ -1892,6 +1907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_source_divergence": q_source_divergence,
         "text_similar_docs": q_tfidf_similar_docs,
         "scheme_curriculum": q_curriculum_batches,
+        "check_referential": q_check_referential,
         # ---- rows-only keys (no SQL oracle by design; driver records
         # a weaker rows-only row; full evidence lives in tests/) ------
         "text_bpe_merges": q_bpe_merges,
@@ -5686,6 +5702,36 @@ def oracle_sql() -> dict[str, str]:
                           md5(concat('11', '-', CAST(doc_id AS VARCHAR))),
                           doc_id) - 1) // 32 AS BIGINT) AS batch_id
         FROM documents
+    """
+
+    sqls["check_referential"] = """
+        WITH r1 AS (
+          SELECT 'lineitem_orders' AS rule, count(*) AS n
+          FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+            ON l.l_orderkey = o.o_orderkey
+          WHERE o.o_orderkey IS NULL
+        ),
+        r2 AS (
+          SELECT 'orders_customer' AS rule, count(*) AS n
+          FROM orders d LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+            ON d.o_custkey = c.c_custkey
+          WHERE c.c_custkey IS NULL
+        ),
+        r3 AS (
+          SELECT 'lineitem_part' AS rule, count(*) AS n
+          FROM lineitem l LEFT JOIN (SELECT DISTINCT p_partkey FROM part) p
+            ON l.l_partkey = p.p_partkey
+          WHERE p.p_partkey IS NULL
+        ),
+        r4 AS (
+          SELECT 'events_customer' AS rule, count(*) AS n
+          FROM events e LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+            ON e.user_id = c.c_custkey
+          WHERE c.c_custkey IS NULL
+        ),
+        u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2
+              UNION ALL SELECT * FROM r3 UNION ALL SELECT * FROM r4)
+        SELECT rule, CAST(n AS BIGINT) AS n_orphans, n = 0 AS passed FROM u
     """
 
     _mrl_unit = (

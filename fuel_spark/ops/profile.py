@@ -263,3 +263,60 @@ def standardize(df, value_col: str, group_col: str | None = None):
         )
         .drop("_n", "_s1", "_s2")
     )
+
+
+def check_referential(
+    rules: list[tuple],
+) -> "DataFrame":
+    """Referential-integrity suite: each rule asserts that a child
+    table's key column only holds values present in a parent table —
+    the cross-table complement of :func:`check_expectations` (orphan
+    lineitems, events for deleted users, dangling snapshot ids).
+
+    Rules: ``(name, child_df, child_col, parent_df, parent_col)``.
+    Each rule is one left_anti join counting orphans — the child
+    shuffles on its key once, the parent side ships only its distinct
+    key column.  Output: one row per rule (rule, n_orphans, passed).
+    """
+    parts = []
+    for name, child, child_col, parent, parent_col in rules:
+        orphans = child.select(F.col(child_col).alias("_k")).join(
+            parent.select(F.col(parent_col).alias("_k")).distinct(),
+            "_k",
+            "left_anti",
+        )
+        parts.append(
+            orphans.agg(
+                F.lit(name).alias("rule"),
+                F.count(F.lit(1)).cast("bigint").alias("n_orphans"),
+            ).withColumn("passed", F.col("n_orphans") == 0)
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def schema_diff(old: "DataFrame", new: "DataFrame") -> list[tuple]:
+    """Schema drift between two snapshots: (column, status, old_type,
+    new_type) for every added / removed / retyped column — the check
+    an ingest pipeline runs before appending a new crawl to an
+    existing dataset (silent type drift corrupts partitions).
+
+    Pure metadata (no job runs); returns a plain list so callers can
+    gate an append on ``not any(status != 'same' ...)`` without a
+    Spark action.
+    """
+    o = dict(old.dtypes)
+    n = dict(new.dtypes)
+    out = []
+    for c in sorted(set(o) | set(n)):
+        if c not in n:
+            out.append((c, "removed", o[c], None))
+        elif c not in o:
+            out.append((c, "added", None, n[c]))
+        elif o[c] != n[c]:
+            out.append((c, "retyped", o[c], n[c]))
+        else:
+            out.append((c, "same", o[c], n[c]))
+    return out

@@ -149,3 +149,30 @@ def test_read_csv_corpus_quarantine(spark, tmp_path):
     assert bad.count() == 1
     clean = read_csv_corpus(spark, p)
     assert clean.count() == 2
+
+
+def test_check_referential_orphans(spark):
+    from fuel_spark.ops.profile import check_referential
+
+    parent = from_rows(spark, [(1,), (2,)], schema="pk bigint")
+    child = from_rows(spark, [(1,), (1,), (3,), (4,)], schema="fk bigint")
+    out = {r.rule: (r.n_orphans, r.passed) for r in check_referential([
+        ("ok", parent, "pk", parent, "pk"),
+        ("orphans", child, "fk", parent, "pk"),
+    ]).collect()}
+    assert out["ok"] == (0, True)
+    assert out["orphans"] == (2, False)  # rows 3 and 4
+
+
+def test_schema_diff_statuses(spark):
+    from fuel_spark.ops.profile import schema_diff
+
+    old = from_rows(spark, [(1, "a", 1.0)], schema="k bigint, s string, v double")
+    new = from_rows(spark, [(1, "a", 2, "x")], schema="k bigint, s string, v int, extra string")
+    got = {c: (st, o, n) for c, st, o, n in schema_diff(old, new)}
+    assert got["k"] == ("same", "bigint", "bigint")
+    assert got["v"] == ("retyped", "double", "int")
+    assert got["extra"] == ("added", None, "string")
+    old2 = from_rows(spark, [(1, 1)], schema="k bigint, gone bigint")
+    got2 = {c: st for c, st, _, _ in schema_diff(old2, new)}
+    assert got2["gone"] == "removed"
