@@ -23,6 +23,7 @@ def test_oracle_keys_subset_of_queries():
     # rows-only set is exactly the documented non-SQL-expressible ops
     assert q - o == {
         "multimodal_decode",
+        "ann_mmr",
         "ann_lsh",
         "ann_ivf",
         "pack_batches_local",

@@ -125,6 +125,9 @@ def main() -> int:
             "graph_degree_distribution", "embedding_matryoshka",
             "ann_matryoshka", "dedup_apply_keep_longest",
             "dedup_corpus_diff", "sample_weighted", "text_clean",
+            "events_daily_ewma", "orders_backlog",
+            "corpus_source_divergence", "text_similar_docs",
+            "scheme_curriculum", "check_referential", "ann_mmr",
         ]
         if len(sys.argv) > 3:
             # explicit subset: smoke only these names (fast re-checks
