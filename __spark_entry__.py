@@ -1756,6 +1756,36 @@ def q_check_referential(spark, sf):
     ])
 
 
+def q_winsorize(spark, sf):
+    """Per-type exact-percentile winsorization of event values (r4)."""
+    from fuel_spark.ops.profile import winsorize
+
+    e = _t(spark, sf)["events"]
+    out = winsorize(e, "value", 0.01, 0.99, group_col="event_type")
+    return out.select(
+        "event_id", "event_type", "value", "value_winsorized", "was_clipped"
+    )
+
+
+def q_trend_by_type(spark, sf):
+    """Closed-form OLS value-vs-day trend per event type (r4)."""
+    from fuel_spark.ops.profile import trend_by_group
+
+    e = _t(spark, sf)["events"]
+    # center x near the data (days since 2024-01-01, not the unix
+    # epoch): the oracle casts the DECIMAL moment sums to DOUBLE, and
+    # that cast is only exact while sum * 10^6 < 2^53 — epoch-day
+    # squares at ~2e4 put sxx past it, corpus-relative days do not
+    pts = e.select(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("double")
+        .alias("x"),
+        F.col("value").alias("y"),
+    )
+    return trend_by_group(pts, "x", "y", group_col="event_type")
+
+
 def q_curriculum_batches(spark, sf):
     """Easy→hard curriculum plan over documents by length, seeded
     tie-shuffle inside equal difficulties (r4)."""
@@ -1908,6 +1938,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_similar_docs": q_tfidf_similar_docs,
         "scheme_curriculum": q_curriculum_batches,
         "check_referential": q_check_referential,
+        "feature_winsorize": q_winsorize,
+        "events_trend_by_type": q_trend_by_type,
         # ---- rows-only keys (no SQL oracle by design; driver records
         # a weaker rows-only row; full evidence lives in tests/) ------
         "text_bpe_merges": q_bpe_merges,
@@ -5732,6 +5764,56 @@ def oracle_sql() -> dict[str, str]:
         u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2
               UNION ALL SELECT * FROM r3 UNION ALL SELECT * FROM r4)
         SELECT rule, CAST(n AS BIGINT) AS n_orphans, n = 0 AS passed FROM u
+    """
+
+    sqls["feature_winsorize"] = """
+        WITH c AS (
+          SELECT event_type,
+                 quantile_cont(value, 0.01) AS lo,
+                 quantile_cont(value, 0.99) AS hi
+          FROM events GROUP BY 1
+        )
+        SELECT event_id, e.event_type, value,
+               round(greatest(least(value, hi), lo), 6)
+                 AS value_winsorized,
+               (value < lo OR value > hi) AS was_clipped
+        FROM events e JOIN c ON e.event_type = c.event_type
+    """
+
+    sqls["events_trend_by_type"] = """
+        WITH pts AS (
+          SELECT event_type,
+                 CAST(date_diff('day', DATE '2024-01-01',
+                                CAST(ts AS DATE)) AS DOUBLE) AS x,
+                 value AS y
+          FROM events
+        ),
+        m AS (
+          SELECT event_type, count(*) AS n,
+                 CAST(sum(CAST(x AS DECIMAL(27,6))) AS DOUBLE) AS sx,
+                 CAST(sum(CAST(y AS DECIMAL(27,6))) AS DOUBLE) AS sy,
+                 CAST(sum(CAST(x * y AS DECIMAL(27,6))) AS DOUBLE) AS sxy,
+                 CAST(sum(CAST(x * x AS DECIMAL(27,6))) AS DOUBLE) AS sxx,
+                 CAST(sum(CAST(y * y AS DECIMAL(27,6))) AS DOUBLE) AS syy
+          FROM pts GROUP BY 1
+        ),
+        d AS (
+          SELECT event_type, n,
+                 sxx - sx * sx / n AS ssx,
+                 syy - sy * sy / n AS ssy,
+                 sxy - sx * sy / n AS cxy,
+                 sx, sy
+          FROM m
+        )
+        SELECT event_type, CAST(n AS BIGINT) AS n,
+               round(CASE WHEN n >= 2 AND ssx > 0 THEN cxy / ssx END, 6)
+                 AS slope,
+               round((sy - (CASE WHEN n >= 2 AND ssx > 0
+                                 THEN cxy / ssx END) * sx) / n, 6)
+                 AS intercept,
+               round(CASE WHEN n >= 2 AND ssx > 0 AND ssy > 0
+                          THEN (cxy * cxy) / (ssx * ssy) END, 6) AS r2
+        FROM d
     """
 
     _mrl_unit = (

@@ -320,3 +320,91 @@ def schema_diff(old: "DataFrame", new: "DataFrame") -> list[tuple]:
         else:
             out.append((c, "same", o[c], n[c]))
     return out
+
+
+def winsorize(
+    df: "DataFrame",
+    value_col: str,
+    lower_q: float = 0.01,
+    upper_q: float = 0.99,
+    group_col: str | None = None,
+    out_col: str | None = None,
+) -> "DataFrame":
+    """Winsorization: clip ``value_col`` to its [lower_q, upper_q]
+    exact percentiles (optionally per group) and flag clipped rows —
+    the standard outlier treatment before fitting anything
+    moment-based (a single fat-finger order otherwise owns the mean).
+
+    One percentile agg (aggregate-sized; grouped or global) broadcast
+    back onto the rows, then a row-local clamp: the data never
+    shuffles.  Exact ``percentile`` is a sort-based agg — at the
+    100 TB tier swap in approx_percentile, identical shape.
+    """
+    out_col = out_col or f"{value_col}_winsorized"
+    keys = [group_col] if group_col else []
+    grouped = df.groupBy(*keys) if keys else df.groupBy()
+    cuts = grouped.agg(
+        F.percentile(value_col, lower_q).alias("_lo"),
+        F.percentile(value_col, upper_q).alias("_hi"),
+    )
+    joined = (
+        df.join(F.broadcast(cuts), keys)
+        if keys
+        else df.crossJoin(F.broadcast(cuts))
+    )
+    clipped = F.round(
+        F.greatest(F.least(F.col(value_col), F.col("_hi")), F.col("_lo")), 6
+    )
+    return (
+        joined.withColumn(out_col, clipped)
+        .withColumn(
+            "was_clipped",
+            (F.col(value_col) < F.col("_lo")) | (F.col(value_col) > F.col("_hi")),
+        )
+        .drop("_lo", "_hi")
+    )
+
+
+def trend_by_group(
+    df: "DataFrame",
+    x_col: str,
+    y_col: str,
+    group_col: str | None = None,
+) -> "DataFrame":
+    """Per-group ordinary-least-squares line: slope, intercept, and r²
+    of ``y ~ x`` from closed-form moments — the is-this-metric-
+    growing primitive (revenue over time per segment, value per day
+    per type) without any iterative fit.
+
+    All five moments (Σx Σy Σxy Σx² Σy²) accumulate in one
+    map-side-combinable agg with exact DECIMAL sums, so slope and r²
+    are deterministic at any parallelism; degenerate groups (n < 2 or
+    zero x-variance) yield NULL slope rather than ±inf.
+    """
+    DEC = "decimal(27,6)"
+    keys = [group_col] if group_col else []
+    grouped = df.groupBy(*keys) if keys else df.groupBy()
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    m = grouped.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x.cast(DEC)).cast("double").alias("_sx"),
+        F.sum(y.cast(DEC)).cast("double").alias("_sy"),
+        F.sum((x * y).cast(DEC)).cast("double").alias("_sxy"),
+        F.sum((x * x).cast(DEC)).cast("double").alias("_sxx"),
+        F.sum((y * y).cast(DEC)).cast("double").alias("_syy"),
+    )
+    n = F.col("n")
+    ssx = F.col("_sxx") - F.col("_sx") * F.col("_sx") / n
+    ssy = F.col("_syy") - F.col("_sy") * F.col("_sy") / n
+    sxy = F.col("_sxy") - F.col("_sx") * F.col("_sy") / n
+    slope = F.when((n >= 2) & (ssx > 0), sxy / ssx)
+    intercept = (F.col("_sy") - slope * F.col("_sx")) / n
+    r2 = F.when((n >= 2) & (ssx > 0) & (ssy > 0), (sxy * sxy) / (ssx * ssy))
+    return m.select(
+        *keys,
+        n.cast("bigint").alias("n"),
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
+    )

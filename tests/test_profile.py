@@ -176,3 +176,31 @@ def test_schema_diff_statuses(spark):
     old2 = from_rows(spark, [(1, 1)], schema="k bigint, gone bigint")
     got2 = {c: st for c, st, _, _ in schema_diff(old2, new)}
     assert got2["gone"] == "removed"
+
+
+def test_winsorize_clips_and_flags(spark):
+    from fuel_spark.ops.profile import winsorize
+
+    rows = [(i, float(i)) for i in range(1, 100)] + [(100, 10000.0)]
+    df = from_rows(spark, rows, schema="k bigint, v double")
+    out = {r.k: (r.v_winsorized, r.was_clipped) for r in
+           winsorize(df, "v", 0.01, 0.99, out_col="v_winsorized").collect()}
+    assert out[100][1] is True            # the fat finger clips
+    assert out[100][0] < 10000.0
+    assert out[50] == (50.0, False)       # interior untouched
+    n_clipped = sum(1 for v, c in out.values() if c)
+    assert 1 <= n_clipped <= 4            # ~1% each tail
+
+
+def test_trend_by_group_exact_line(spark):
+    """Points exactly on y = 3x + 7 recover slope/intercept/r2=1;
+    a constant-x group degenerates to NULL slope."""
+    from fuel_spark.ops.profile import trend_by_group
+
+    rows = [("line", float(x), 3.0 * x + 7.0) for x in range(10)]
+    rows += [("flat", 5.0, float(y)) for y in range(5)]
+    df = from_rows(spark, rows, schema="g string, x double, y double")
+    out = {r.g: (r.slope, r.intercept, r.r2) for r in
+           trend_by_group(df, "x", "y", group_col="g").collect()}
+    assert out["line"] == (3.0, 7.0, 1.0)
+    assert out["flat"] == (None, None, None)
