@@ -1756,6 +1756,16 @@ def q_check_referential(spark, sf):
     ])
 
 
+def q_chi_square(spark, sf):
+    """Chi-square independence of event type × day-of-week (r4)."""
+    return analytics.events_chi_square(_t(spark, sf))
+
+
+def q_seasonal_forecast(spark, sf):
+    """Leave-one-out seasonal-naive daily revenue backtest (r4)."""
+    return analytics.events_seasonal_forecast(_t(spark, sf))
+
+
 def q_winsorize(spark, sf):
     """Per-type exact-percentile winsorization of event values (r4)."""
     from fuel_spark.ops.profile import winsorize
@@ -1939,6 +1949,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scheme_curriculum": q_curriculum_batches,
         "check_referential": q_check_referential,
         "feature_winsorize": q_winsorize,
+        "events_chi_square": q_chi_square,
+        "events_seasonal_forecast": q_seasonal_forecast,
         "events_trend_by_type": q_trend_by_type,
         # ---- rows-only keys (no SQL oracle by design; driver records
         # a weaker rows-only row; full evidence lives in tests/) ------
@@ -5814,6 +5826,58 @@ def oracle_sql() -> dict[str, str]:
                round(CASE WHEN n >= 2 AND ssx > 0 AND ssy > 0
                           THEN (cxy * cxy) / (ssx * ssy) END, 6) AS r2
         FROM d
+    """
+
+    sqls["events_chi_square"] = """
+        WITH cells AS (
+          SELECT event_type, dayofweek(ts) + 1 AS dow, count(*) AS o
+          FROM events GROUP BY 1, 2
+        ),
+        sized AS (
+          SELECT event_type, dow, o,
+                 sum(o) OVER (PARTITION BY event_type) AS row_n,
+                 sum(o) OVER (PARTITION BY dow) AS col_n,
+                 sum(o) OVER () AS n
+          FROM cells
+        ),
+        term AS (
+          SELECT event_type, dow,
+                 round(pow(o - CAST(row_n AS DOUBLE) * col_n / n, 2)
+                       / (CAST(row_n AS DOUBLE) * col_n / n), 9) AS t
+          FROM sized
+        )
+        SELECT round(CAST(sum(CAST(t AS DECIMAL(27,9))) AS DOUBLE), 6)
+                 AS chi_square,
+               CAST((count(DISTINCT event_type) - 1)
+                    * (count(DISTINCT dow) - 1) AS BIGINT) AS dof,
+               CAST(count(*) AS BIGINT) AS n_cells
+        FROM term
+    """
+
+    sqls["events_seasonal_forecast"] = """
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) AS d,
+                 CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE)
+                   AS day_value
+          FROM events WHERE event_type = 'purchase' GROUP BY 1
+        ),
+        wk AS (
+          SELECT dayofweek(d) + 1 AS dow,
+                 CAST(sum(CAST(day_value AS DECIMAL(27,6))) AS DOUBLE)
+                   AS wsum,
+                 count(*) AS wn
+          FROM daily GROUP BY 1
+        )
+        SELECT strftime(d, '%Y-%m-%d') AS day,
+               CAST(wk.dow AS BIGINT) AS dow,
+               round(day_value, 6) AS day_value,
+               round(CASE WHEN wn > 1
+                          THEN (wsum - day_value) / (wn - 1) END, 6)
+                 AS forecast,
+               round(abs(day_value - CASE WHEN wn > 1
+                          THEN (wsum - day_value) / (wn - 1) END)
+                     / greatest(day_value, 1e-9), 6) AS ape
+        FROM daily JOIN wk ON dayofweek(daily.d) + 1 = wk.dow
     """
 
     _mrl_unit = (

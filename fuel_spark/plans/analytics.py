@@ -1715,6 +1715,104 @@ def orders_backlog(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def events_chi_square(
+    t: dict[str, DataFrame],
+) -> DataFrame:
+    """Chi-square test of independence between event type and
+    day-of-week: Σ (observed − expected)² / expected over the
+    contingency table — the statistical-rigor upgrade over eyeballing
+    the dow×type heatmap (is the weekday mix actually different per
+    type, or noise?).
+
+    One map-side-combinable count rollup builds the contingency
+    table; margins derive from window sums over the aggregate-sized
+    table (≤ 7·|types| rows — never a window over facts).  Per-cell
+    terms round before the exact DECIMAL total, deterministic at any
+    parallelism.  Output: one row — the statistic and the table's
+    degrees of freedom ((r−1)(c−1)); the caller compares against the
+    χ² quantile for their α.
+    """
+    from pyspark.sql import Window as W
+
+    e = t["events"]
+    cells = e.groupBy(
+        F.col("event_type"), F.dayofweek("ts").alias("dow")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    wt = W.partitionBy("event_type")
+    wd = W.partitionBy("dow")
+    wall = W.partitionBy()
+    sized = (
+        cells.withColumn("row_n", F.sum("o").over(wt))
+        .withColumn("col_n", F.sum("o").over(wd))
+        .withColumn("n", F.sum("o").over(wall))
+    )
+    term = sized.select(
+        F.round(
+            F.pow(F.col("o") - F.col("row_n") * F.col("col_n") / F.col("n"), 2)
+            / (F.col("row_n") * F.col("col_n") / F.col("n")),
+            9,
+        ).alias("t"),
+        "event_type",
+        "dow",
+    )
+    return term.agg(
+        F.round(
+            F.sum(F.col("t").cast("decimal(27,9)")).cast("double"), 6
+        ).alias("chi_square"),
+        (
+            (F.count_distinct("event_type") - 1)
+            * (F.count_distinct("dow") - 1)
+        )
+        .cast("bigint")
+        .alias("dof"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+    )
+
+
+def events_seasonal_forecast(
+    t: dict[str, DataFrame],
+) -> DataFrame:
+    """Seasonal-naive daily revenue forecast: each day's prediction is
+    the mean of its weekday's OTHER days (leave-one-out, so the
+    residual is an honest backtest), with the absolute percentage
+    error per day — the baseline every fancier forecaster must beat,
+    and the one that needs no fitted state.
+
+    Daily rollup (map-side-combinable), then weekday means via one
+    aggregate-sized join; leave-one-out derives from (sum − self) /
+    (count − 1), so no second pass.  Exact-DECIMAL day values; the
+    final prediction/error are per-row arithmetic rounded at 6 dp.
+    """
+    e = t["events"]
+    daily = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(_dsum(F.col("value")).alias("day_value"))
+    )
+    wk = daily.groupBy(F.dayofweek("d").alias("dow")).agg(
+        F.sum(F.col("day_value").cast(DEC)).cast("double").alias("_wsum"),
+        F.count(F.lit(1)).alias("_wn"),
+    )
+    joined = daily.withColumn("dow", F.dayofweek("d")).join(
+        F.broadcast(wk), "dow"
+    )
+    pred = F.when(
+        F.col("_wn") > 1,
+        (F.col("_wsum") - F.col("day_value")) / (F.col("_wn") - 1),
+    )
+    return joined.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("dow").cast("bigint").alias("dow"),
+        F.round(F.col("day_value"), 6).alias("day_value"),
+        F.round(pred, 6).alias("forecast"),
+        F.round(
+            F.abs(F.col("day_value") - pred)
+            / F.greatest(F.col("day_value"), F.lit(1e-9)),
+            6,
+        ).alias("ape"),
+    )
+
+
 def events_new_vs_returning(t: dict[str, DataFrame]) -> DataFrame:
     """Daily new-vs-returning user split: for each activity day, how
     many distinct users saw their first-ever event that day vs came

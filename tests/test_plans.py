@@ -996,3 +996,46 @@ def test_source_divergence_zero_for_identical(spark):
            source_divergence(docs, "source", "text").collect()}
     assert out["a"] == out["b"]
     assert out["c"] > out["a"] >= 0.0
+
+
+def test_chi_square_zero_for_independent(spark):
+    """A perfectly balanced type×dow table has chi_square exactly 0;
+    dof = (types-1)(dows-1)."""
+    import datetime as dt
+
+    rows = []
+    eid = 0
+    # 2 types × 3 weekdays × equal count 4 -> perfectly independent
+    for day in (1, 2, 3):          # Mon Tue Wed of 2024-01
+        for typ in ("a", "b"):
+            for _ in range(4):
+                eid += 1
+                rows.append({
+                    "event_id": eid,
+                    "ts": dt.datetime(2024, 1, day, 12, 0, 0),
+                    "user_id": 1, "event_type": typ, "value": 1.0,
+                    "props": "{}",
+                })
+    r = analytics.events_chi_square({"events": from_rows(spark, rows)}).first()
+    assert r.chi_square == 0.0
+    assert r.dof == 2 and r.n_cells == 6
+
+
+def test_seasonal_forecast_leave_one_out(spark):
+    """Two Mondays at 10 and 20: each forecasts the OTHER (20, 10);
+    a lone Tuesday has no peers -> NULL forecast."""
+    import datetime as dt
+
+    def ev(eid, day, value):
+        return {"event_id": eid, "ts": dt.datetime(2024, 1, day, 9, 0, 0),
+                "user_id": 1, "event_type": "purchase", "value": value,
+                "props": "{}"}
+
+    # 2024-01-01 and 01-08 are Mondays; 01-02 a Tuesday
+    rows = [ev(1, 1, 10.0), ev(2, 8, 20.0), ev(3, 2, 7.0)]
+    out = {r.day: (r.day_value, r.forecast) for r in
+           analytics.events_seasonal_forecast(
+               {"events": from_rows(spark, rows)}).collect()}
+    assert out["2024-01-01"] == (10.0, 20.0)
+    assert out["2024-01-08"] == (20.0, 10.0)
+    assert out["2024-01-02"] == (7.0, None)
