@@ -1756,6 +1756,45 @@ def q_check_referential(spark, sf):
     ])
 
 
+def q_segment_migration(spark, sf):
+    """Half-over-half activity-segment transition matrix (r4).
+    Thresholds 36/30 straddle the corpus's per-half activity
+    quartiles (median 32, p75 37) so all three segments populate."""
+    return analytics.events_segment_migration(
+        _t(spark, sf), heavy_n=36, regular_n=30
+    )
+
+
+def q_cohort_ltv(spark, sf):
+    """First-order-month cohort LTV triangle over orders (r4)."""
+    return analytics.customer_cohort_ltv(_t(spark, sf))
+
+
+def q_ann_recall_certificate(spark, sf):
+    """Self-certifying recall: matryoshka-cascade hits against the
+    exact top-5 per query, recall as a compared column (r4).  Both
+    tiers are SQL-expressible, so the certificate itself is
+    oracle-checked."""
+    e = _t(spark, sf)["embeddings"]
+    q = e.where(F.col("vec_id") < 5)
+    exact = similarity.cosine_topk(e, q, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    casc = similarity.matryoshka_ann(e, q, dims=16, shortlist=25, k=5).select(
+        F.col("query_id").alias("cq"), F.col("neighbor_id").alias("cn")
+    )
+    hits = exact.join(
+        casc,
+        (F.col("query_id") == F.col("cq"))
+        & (F.col("neighbor_id") == F.col("cn")),
+        "left",
+    )
+    return hits.groupBy("query_id").agg(
+        F.count(F.col("cn")).cast("bigint").alias("hits"),
+        F.round(F.count(F.col("cn")) / F.lit(5.0), 6).alias("recall_at_5"),
+    )
+
+
 def q_chi_square(spark, sf):
     """Chi-square independence of event type × day-of-week (r4)."""
     return analytics.events_chi_square(_t(spark, sf))
@@ -1950,6 +1989,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "check_referential": q_check_referential,
         "feature_winsorize": q_winsorize,
         "events_chi_square": q_chi_square,
+        "events_segment_migration": q_segment_migration,
+        "customer_cohort_ltv": q_cohort_ltv,
+        "ann_recall_matryoshka": q_ann_recall_certificate,
         "events_seasonal_forecast": q_seasonal_forecast,
         "events_trend_by_type": q_trend_by_type,
         # ---- rows-only keys (no SQL oracle by design; driver records
@@ -5880,6 +5922,60 @@ def oracle_sql() -> dict[str, str]:
         FROM daily JOIN wk ON dayofweek(daily.d) + 1 = wk.dow
     """
 
+    sqls["events_segment_migration"] = """
+        WITH b AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+                   FROM events),
+        lab AS (
+          SELECT user_id,
+                 CASE WHEN epoch_us(ts) <= (lo + hi) // 2
+                      THEN 1 ELSE 2 END AS half
+          FROM events CROSS JOIN b
+        ),
+        cnt AS (SELECT user_id, half, count(*) AS n FROM lab GROUP BY 1, 2),
+        sg AS (
+          SELECT user_id, half,
+                 CASE WHEN n >= 36 THEN 'heavy'
+                      WHEN n >= 30 THEN 'regular'
+                      ELSE 'light' END AS seg
+          FROM cnt
+        ),
+        h1 AS (SELECT user_id, seg AS fs FROM sg WHERE half = 1),
+        h2 AS (SELECT user_id, seg AS tseg FROM sg WHERE half = 2),
+        m AS (
+          SELECT COALESCE(h1.fs, 'inactive') AS from_segment,
+                 COALESCE(h2.tseg, 'inactive') AS to_segment
+          FROM h1 FULL OUTER JOIN h2 ON h1.user_id = h2.user_id
+        )
+        SELECT from_segment, to_segment,
+               CAST(count(*) AS BIGINT) AS n_users
+        FROM m GROUP BY 1, 2
+    """
+
+    sqls["customer_cohort_ltv"] = """
+        WITH f AS (
+          SELECT o_custkey,
+                 min(year(o_orderdate) * 12 + month(o_orderdate)) AS cym
+          FROM orders GROUP BY 1
+        ),
+        cells AS (
+          SELECT cym,
+                 (year(o_orderdate) * 12 + month(o_orderdate)) - cym
+                   AS month_offset,
+                 count(DISTINCT o.o_custkey) AS n_customers,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
+                   AS revenue
+          FROM orders o JOIN f ON o.o_custkey = f.o_custkey
+          GROUP BY 1, 2
+        )
+        SELECT concat(CAST((cym - 1) // 12 AS VARCHAR), '-',
+                      lpad(CAST((cym - 1) % 12 + 1 AS VARCHAR), 2, '0'))
+                 AS cohort_month,
+               CAST(month_offset AS BIGINT) AS month_offset,
+               CAST(n_customers AS BIGINT) AS n_customers,
+               revenue
+        FROM cells
+    """
+
     _mrl_unit = (
         "list_transform(embedding[1:16],"
         f" x -> CAST(x AS DOUBLE) / {_norm2_sql('embedding[1:16]')})"
@@ -5921,6 +6017,17 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
         FROM ranked WHERE rank <= 5
+    """
+
+    sqls["ann_recall_matryoshka"] = f"""
+        SELECT e.query_id,
+               CAST(count(c.neighbor_id) AS BIGINT) AS hits,
+               round(CAST(count(c.neighbor_id) AS DOUBLE) / 5, 6)
+                 AS recall_at_5
+        FROM ({sqls['ann_topk_cosine']}) e
+        LEFT JOIN ({sqls['ann_matryoshka']}) c
+          ON e.query_id = c.query_id AND e.neighbor_id = c.neighbor_id
+        GROUP BY 1
     """
 
     return sqls

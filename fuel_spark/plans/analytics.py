@@ -2744,6 +2744,97 @@ def events_rfm_segments(
     )
 
 
+def events_segment_migration(
+    t: dict[str, DataFrame], heavy_n: int = 20, regular_n: int = 5
+) -> DataFrame:
+    """Activity-segment transition matrix between the first and second
+    half of the event window: how many users moved heavy→light,
+    appeared (inactive→…), or churned out — the lifecycle-flow view
+    behind every retention initiative, where the per-period RFM
+    rollup only shows the stocks.
+
+    The window midpoint derives in-plan (1-row min/max bounds agg,
+    broadcast back; integer-microsecond DIV so both engines split on
+    the same tick).  One user-half rollup, a user-keyed full-outer
+    self-join of the two halves (absent side → 'inactive'), and an
+    aggregate-sized matrix rollup.  Fixed thresholds keep the segment
+    rule a row-local CASE — deterministic everywhere.
+    """
+    e = t["events"]
+    us = F.unix_micros(F.col("ts"))
+    bounds = e.agg(F.min(us).alias("_lo"), F.max(us).alias("_hi"))
+    labeled = e.crossJoin(broadcast(bounds)).withColumn(
+        "half",
+        F.when(
+            us <= F.expr("(_lo + _hi) DIV 2"), F.lit(1)
+        ).otherwise(F.lit(2)),
+    )
+    counts = labeled.groupBy("user_id", "half").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    seg = (
+        F.when(F.col("n") >= heavy_n, "heavy")
+        .when(F.col("n") >= regular_n, "regular")
+        .otherwise("light")
+    )
+    segs = counts.select("user_id", "half", seg.alias("seg"))
+    h1 = segs.where(F.col("half") == 1).select(
+        "user_id", F.col("seg").alias("from_segment")
+    )
+    h2 = segs.where(F.col("half") == 2).select(
+        "user_id", F.col("seg").alias("to_segment")
+    )
+    moved = h1.join(h2, "user_id", "full_outer").select(
+        F.coalesce("from_segment", F.lit("inactive")).alias("from_segment"),
+        F.coalesce("to_segment", F.lit("inactive")).alias("to_segment"),
+    )
+    return moved.groupBy("from_segment", "to_segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+
+
+def customer_cohort_ltv(t: dict[str, DataFrame]) -> DataFrame:
+    """Cohort LTV triangle over orders: customers grouped by
+    first-order month, revenue accumulated per month offset — the
+    payback-curve view (does the 2024-03 cohort monetize faster than
+    2024-01?), the revenue twin of the retention triangle.
+
+    Month arithmetic is integer (year·12+month), so offsets are
+    engine-exact; one customer-keyed min for the cohort, one
+    broadcast-joinable cohort map, exact-DECIMAL revenue cells.
+    """
+    o = t["orders"]
+    ym = F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    first = o.groupBy("o_custkey").agg(F.min(ym).alias("_cohort_ym"))
+    cells = (
+        o.join(first, "o_custkey")
+        .select(
+            F.col("_cohort_ym"),
+            (ym - F.col("_cohort_ym")).alias("month_offset"),
+            "o_totalprice",
+            "o_custkey",
+        )
+        .groupBy("_cohort_ym", "month_offset")
+        .agg(
+            F.count_distinct("o_custkey").cast("bigint").alias("n_customers"),
+            _dsum(F.col("o_totalprice")).alias("revenue"),
+        )
+    )
+    cohort_str = F.concat_ws(
+        "-",
+        F.floor((F.col("_cohort_ym") - 1) / 12).cast("int"),
+        F.lpad(
+            ((F.col("_cohort_ym") - 1) % 12 + 1).cast("string"), 2, "0"
+        ),
+    )
+    return cells.select(
+        cohort_str.alias("cohort_month"),
+        F.col("month_offset").cast("bigint").alias("month_offset"),
+        "n_customers",
+        "revenue",
+    )
+
+
 def supplier_revenue_concentration(t: dict[str, DataFrame]) -> DataFrame:
     """Supply-side concentration: Gini of supplier revenue (from the
     fact table) plus the top-decile share — procurement-risk readout,

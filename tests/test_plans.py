@@ -1039,3 +1039,59 @@ def test_seasonal_forecast_leave_one_out(spark):
     assert out["2024-01-01"] == (10.0, 20.0)
     assert out["2024-01-08"] == (20.0, 10.0)
     assert out["2024-01-02"] == (7.0, None)
+
+
+def test_segment_migration_hand_computed(spark):
+    """User 1 heavy->light, user 2 appears in half 2 only
+    (inactive->light), user 3 stays regular."""
+    import datetime as dt
+
+    rows = []
+    eid = 0
+
+    def add(uid, day, n):
+        nonlocal eid
+        for i in range(n):
+            eid += 1
+            rows.append({
+                "event_id": eid,
+                "ts": dt.datetime(2024, 1, day, 6 + (i % 12), i % 60, 0),
+                "user_id": uid, "event_type": "view", "value": 1.0,
+                "props": "{}",
+            })
+
+    # window spans Jan 1..20 -> midpoint ~Jan 10
+    add(1, 1, 25)    # half 1: heavy
+    add(1, 20, 1)    # half 2: light
+    add(2, 20, 2)    # half 2 only
+    add(3, 1, 6)     # regular both halves
+    add(3, 19, 6)
+    out = {(r.from_segment, r.to_segment): r.n_users for r in
+           analytics.events_segment_migration(
+               {"events": from_rows(spark, rows)},
+               heavy_n=20, regular_n=5).collect()}
+    assert out[("heavy", "light")] == 1
+    assert out[("inactive", "light")] == 1
+    assert out[("regular", "regular")] == 1
+    assert sum(out.values()) == 3
+
+
+def test_cohort_ltv_offsets_and_revenue(spark):
+    import datetime as dt
+
+    orders = from_rows(
+        spark,
+        [
+            (1, 10, dt.date(2024, 1, 5), 100.0),
+            (2, 10, dt.date(2024, 3, 5), 50.0),   # offset 2
+            (3, 20, dt.date(2024, 3, 1), 70.0),   # its own cohort
+        ],
+        schema="o_orderkey bigint, o_custkey bigint, "
+               "o_orderdate date, o_totalprice double",
+    )
+    out = {(r.cohort_month, r.month_offset): (r.n_customers, r.revenue)
+           for r in analytics.customer_cohort_ltv(
+               {"orders": orders}).collect()}
+    assert out[("2024-01", 0)] == (1, 100.0)
+    assert out[("2024-01", 2)] == (1, 50.0)
+    assert out[("2024-03", 0)] == (1, 70.0)
