@@ -1756,6 +1756,12 @@ def q_check_referential(spark, sf):
     ])
 
 
+def q_diff_in_diff(spark, sf):
+    """2x2 DiD readout with a deterministic arm hash and in-plan
+    window midpoint (r4)."""
+    return analytics.events_diff_in_diff(_t(spark, sf))
+
+
 def q_segment_migration(spark, sf):
     """Half-over-half activity-segment transition matrix (r4).
     Thresholds 36/30 straddle the corpus's per-half activity
@@ -1990,6 +1996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_winsorize": q_winsorize,
         "events_chi_square": q_chi_square,
         "events_segment_migration": q_segment_migration,
+        "events_diff_in_diff": q_diff_in_diff,
         "customer_cohort_ltv": q_cohort_ltv,
         "ann_recall_matryoshka": q_ann_recall_certificate,
         "events_seasonal_forecast": q_seasonal_forecast,
@@ -5974,6 +5981,45 @@ def oracle_sql() -> dict[str, str]:
                CAST(n_customers AS BIGINT) AS n_customers,
                revenue
         FROM cells
+    """
+
+    sqls["events_diff_in_diff"] = """
+        WITH b AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+                   FROM events),
+        cells AS (
+          SELECT CASE WHEN CAST('0x' || substring(
+                        md5(concat('exp1', '-', CAST(user_id AS VARCHAR))),
+                        1, 6) AS BIGINT) % 2 = 0
+                      THEN 'treat' ELSE 'ctrl' END AS arm,
+                 CASE WHEN epoch_us(ts) <= (lo + hi) // 2
+                      THEN 'pre' ELSE 'post' END AS period,
+                 value
+          FROM events CROSS JOIN b
+        ),
+        m AS (
+          SELECT arm, period,
+                 CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE)
+                   / count(*) AS mean_value
+          FROM cells GROUP BY 1, 2
+        )
+        SELECT round(max(CASE WHEN arm = 'treat' AND period = 'pre'
+                              THEN mean_value END), 6) AS treat_pre,
+               round(max(CASE WHEN arm = 'treat' AND period = 'post'
+                              THEN mean_value END), 6) AS treat_post,
+               round(max(CASE WHEN arm = 'ctrl' AND period = 'pre'
+                              THEN mean_value END), 6) AS ctrl_pre,
+               round(max(CASE WHEN arm = 'ctrl' AND period = 'post'
+                              THEN mean_value END), 6) AS ctrl_post,
+               round((max(CASE WHEN arm = 'treat' AND period = 'post'
+                               THEN mean_value END)
+                      - max(CASE WHEN arm = 'treat' AND period = 'pre'
+                                 THEN mean_value END))
+                     - (max(CASE WHEN arm = 'ctrl' AND period = 'post'
+                                 THEN mean_value END)
+                        - max(CASE WHEN arm = 'ctrl' AND period = 'pre'
+                                   THEN mean_value END)), 6)
+                 AS did_estimate
+        FROM m
     """
 
     _mrl_unit = (

@@ -2744,6 +2744,65 @@ def events_rfm_segments(
     )
 
 
+def events_diff_in_diff(
+    t: dict[str, DataFrame], salt: str = "exp1"
+) -> DataFrame:
+    """Difference-in-differences readout: per-user mean event value
+    in the pre vs post half of the window, for a hash-assigned
+    treatment arm vs control — the observational-analytics workhorse
+    when a clean A/B wasn't run (the interaction term strips out both
+    the arm's level difference and the secular time trend).
+
+    Reuses the deterministic md5 arm assignment and the in-plan
+    window midpoint (broadcast 1-row bounds + integer DIV).  Output
+    is the 2×2 of exact-decimal means plus the DiD estimate
+    ((treat_post − treat_pre) − (ctrl_post − ctrl_pre)) — one row.
+    """
+    e = t["events"]
+    us = F.unix_micros(F.col("ts"))
+    bounds = e.agg(F.min(us).alias("_lo"), F.max(us).alias("_hi"))
+    arm = F.when(
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("-", F.lit(salt), F.col("user_id").cast("string"))),
+                1, 6,
+            ),
+            16, 10,
+        ).cast("bigint") % 2 == 0,
+        "treat",
+    ).otherwise("ctrl")
+    period = F.when(us <= F.expr("(_lo + _hi) DIV 2"), "pre").otherwise("post")
+    cells = (
+        e.crossJoin(broadcast(bounds))
+        .select(arm.alias("arm"), period.alias("period"), "value")
+        .groupBy("arm", "period")
+        .agg(
+            (
+                F.sum(F.col("value").cast(DEC)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_value")
+        )
+    )
+    # pivot both dims at once via a concat key (a plain pivot keeps
+    # only one dimension)
+    keyed = cells.select(
+        F.concat_ws("_", "arm", "period").alias("k"), "mean_value"
+    )
+    w = keyed.groupBy().pivot(
+        "k", ["treat_pre", "treat_post", "ctrl_pre", "ctrl_post"]
+    ).agg(F.first("mean_value"))
+    did = (F.col("treat_post") - F.col("treat_pre")) - (
+        F.col("ctrl_post") - F.col("ctrl_pre")
+    )
+    return w.select(
+        F.round("treat_pre", 6).alias("treat_pre"),
+        F.round("treat_post", 6).alias("treat_post"),
+        F.round("ctrl_pre", 6).alias("ctrl_pre"),
+        F.round("ctrl_post", 6).alias("ctrl_post"),
+        F.round(did, 6).alias("did_estimate"),
+    )
+
+
 def events_segment_migration(
     t: dict[str, DataFrame], heavy_n: int = 20, regular_n: int = 5
 ) -> DataFrame:

@@ -1095,3 +1095,37 @@ def test_cohort_ltv_offsets_and_revenue(spark):
     assert out[("2024-01", 0)] == (1, 100.0)
     assert out[("2024-01", 2)] == (1, 50.0)
     assert out[("2024-03", 0)] == (1, 70.0)
+
+
+def test_diff_in_diff_hand_computed(spark):
+    """Hand 2x2: treat arm value rises 5 -> 9, ctrl rises 1 -> 2
+    (secular trend +1): DiD = (9-5) - (2-1) = 3."""
+    import datetime as dt
+
+    # find user ids that hash into each arm under salt exp1
+    import hashlib
+
+    def arm_of(uid):
+        h = hashlib.md5(f"exp1-{uid}".encode()).hexdigest()[:6]
+        return "treat" if int(h, 16) % 2 == 0 else "ctrl"
+
+    treat = next(u for u in range(100) if arm_of(u) == "treat")
+    ctrl = next(u for u in range(100) if arm_of(u) == "ctrl")
+    rows = [
+        # window Jan 1..10 -> midpoint Jan 5-ish
+        {"event_id": 1, "ts": dt.datetime(2024, 1, 1), "user_id": treat,
+         "event_type": "view", "value": 5.0, "props": "{}"},
+        {"event_id": 2, "ts": dt.datetime(2024, 1, 10), "user_id": treat,
+         "event_type": "view", "value": 9.0, "props": "{}"},
+        {"event_id": 3, "ts": dt.datetime(2024, 1, 1), "user_id": ctrl,
+         "event_type": "view", "value": 1.0, "props": "{}"},
+        {"event_id": 4, "ts": dt.datetime(2024, 1, 10), "user_id": ctrl,
+         "event_type": "view", "value": 2.0, "props": "{}"},
+    ]
+    r = analytics.events_diff_in_diff(
+        {"events": from_rows(spark, rows)}
+    ).first()
+    assert (r.treat_pre, r.treat_post, r.ctrl_pre, r.ctrl_post) == (
+        5.0, 9.0, 1.0, 2.0
+    )
+    assert r.did_estimate == 3.0

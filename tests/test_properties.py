@@ -308,3 +308,42 @@ def test_parallel_ntile_bucket_sizes_property(spark):
         vals = [sizes[b] for b in sorted(sizes)]
         assert max(vals) - min(vals) <= 1
         assert vals == sorted(vals, reverse=True)
+
+
+@given(n_parts=st.integers(min_value=1, max_value=6))
+@settings(max_examples=4, deadline=None)
+def test_weighted_sample_partition_invariant(spark, n_parts):
+    """The Efraimidis–Spirakis winners depend only on (seed, key,
+    weight) — repartitioning must not change them."""
+    from fuel_spark.schemes import weighted_sample
+
+    rows = [(i, float(1 + i % 7)) for i in range(80)]
+    df = from_rows(spark, rows, schema="k bigint, w double")
+    base = sorted(r.k for r in weighted_sample(df, "k", "w", n=12).collect())
+    got = sorted(
+        r.k
+        for r in weighted_sample(
+            df.repartition(n_parts), "k", "w", n=12
+        ).collect()
+    )
+    assert got == base
+
+
+@given(n_parts=st.integers(min_value=2, max_value=5))
+@settings(max_examples=4, deadline=None)
+def test_curriculum_positions_are_permutation(spark, n_parts):
+    """Curriculum positions are a 0..n-1 permutation under any
+    partitioning, with difficulty monotone along positions."""
+    from fuel_spark.schemes import curriculum_batches
+
+    rows = [(i, float((i * 13) % 11)) for i in range(70)]
+    df = from_rows(spark, rows, schema="k bigint, d double").repartition(
+        n_parts
+    )
+    out = sorted(
+        curriculum_batches(df, "k", "d", batch_size=16).collect(),
+        key=lambda r: r.pos,
+    )
+    assert [r.pos for r in out] == list(range(70))
+    diffs = [r.d for r in out]
+    assert diffs == sorted(diffs)

@@ -128,6 +128,10 @@ def main() -> int:
             "events_daily_ewma", "orders_backlog",
             "corpus_source_divergence", "text_similar_docs",
             "scheme_curriculum", "check_referential", "ann_mmr",
+            "feature_winsorize", "events_trend_by_type",
+            "events_chi_square", "events_seasonal_forecast",
+            "events_segment_migration", "customer_cohort_ltv",
+            "ann_recall_matryoshka",
         ]
         if len(sys.argv) > 3:
             # explicit subset: smoke only these names (fast re-checks
