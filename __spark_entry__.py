@@ -1756,6 +1756,37 @@ def q_check_referential(spark, sf):
     ])
 
 
+def q_strip_html(spark, sf):
+    """Raw-crawl tier of clean_text: tag spans removed, core entities
+    unescaped (r4).  HTML synthesized in-query around real docs so
+    the path exercises actual corpus text."""
+    d = _t(spark, sf)["documents"]
+    raw = d.withColumn(
+        "text",
+        F.concat(
+            F.lit("<html><p class=\"x\">"), F.col("text"),
+            F.lit("</p> &amp; <br/> &lt;end&gt;</html>"),
+        ),
+    )
+    out = text_ops.clean_text(raw, "text", strip_html=True)
+    return out.select("doc_id", "clean_text", "n_chars_removed")
+
+
+def q_ann_filtered(spark, sf):
+    """Metadata-filtered vector search: exact top-5 within the
+    label=0 shard only — filter pushes down BEFORE scoring, the
+    vector-database predicate pattern (r4)."""
+    e = _t(spark, sf)["embeddings"]
+    q = e.where(F.col("vec_id") < 5)
+    return similarity.cosine_topk(e.where(F.col("label") == 0), q, k=5)
+
+
+def q_events_decompose(spark, sf):
+    """STL-lite trend/seasonal/residual decomposition of daily
+    revenue (r4)."""
+    return analytics.events_decompose(_t(spark, sf))
+
+
 def q_diff_in_diff(spark, sf):
     """2x2 DiD readout with a deterministic arm hash and in-plan
     window midpoint (r4)."""
@@ -1997,6 +2028,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_chi_square": q_chi_square,
         "events_segment_migration": q_segment_migration,
         "events_diff_in_diff": q_diff_in_diff,
+        "text_strip_html": q_strip_html,
+        "ann_filtered": q_ann_filtered,
+        "events_decompose": q_events_decompose,
         "customer_cohort_ltv": q_cohort_ltv,
         "ann_recall_matryoshka": q_ann_recall_certificate,
         "events_seasonal_forecast": q_seasonal_forecast,
@@ -6020,6 +6054,73 @@ def oracle_sql() -> dict[str, str]:
                                    THEN mean_value END)), 6)
                  AS did_estimate
         FROM m
+    """
+
+    sqls["text_strip_html"] = r"""
+        WITH raw AS (
+          SELECT doc_id,
+                 concat('<html><p class="x">', text,
+                        '</p> &amp; <br/> &lt;end&gt;</html>') AS text
+          FROM documents
+        ),
+        un AS (
+          SELECT doc_id, text,
+                 replace(replace(replace(replace(replace(
+                   regexp_replace(text, '<[^>]*>', ' ', 'g'),
+                   '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                   '&#39;', chr(39)), '&amp;', '&') AS t2
+          FROM raw
+        ),
+        c AS (
+          SELECT doc_id, text,
+                 trim(regexp_replace(
+                   regexp_replace(t2, '[\x00-\x08\x0b-\x1f\x7f]', ' ', 'g'),
+                   '\s+', ' ', 'g')) AS clean_text
+          FROM un
+        )
+        SELECT doc_id, clean_text,
+               CAST(length(text) - length(clean_text) AS BIGINT)
+                 AS n_chars_removed
+        FROM c
+    """
+
+    sqls["ann_filtered"] = sqls["ann_topk_cosine"].replace(
+        "c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings)",
+        "c AS (SELECT vec_id AS neighbor_id, embedding AS ce"
+        " FROM embeddings WHERE label = 0)",
+    )
+
+    sqls["events_decompose"] = """
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) AS d,
+                 CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE)
+                   AS day_value
+          FROM events WHERE event_type = 'purchase' GROUP BY 1
+        ),
+        tr AS (
+          SELECT a.d AS d_c, a.day_value AS v_c,
+                 round(CAST(sum(CAST(b.day_value AS DECIMAL(27,6)))
+                            AS DOUBLE) / count(*), 6) AS trend
+          FROM daily a JOIN daily b
+            ON b.d >= a.d - INTERVAL 3 DAY AND b.d <= a.d + INTERVAL 3 DAY
+          GROUP BY 1, 2
+        ),
+        de AS (
+          SELECT d_c, v_c, trend,
+                 round(v_c - trend, 6) AS detr,
+                 dayofweek(d_c) + 1 AS dow
+          FROM tr
+        ),
+        se AS (
+          SELECT dow,
+                 round(CAST(sum(CAST(detr AS DECIMAL(27,6))) AS DOUBLE)
+                       / count(*), 6) AS seasonal
+          FROM de GROUP BY 1
+        )
+        SELECT strftime(d_c, '%Y-%m-%d') AS day,
+               round(v_c, 6) AS day_value, trend, seasonal,
+               round(v_c - trend - seasonal, 6) AS residual
+        FROM de JOIN se ON de.dow = se.dow
     """
 
     _mrl_unit = (

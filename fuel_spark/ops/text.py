@@ -271,23 +271,35 @@ def source_divergence(
 
 
 def clean_text(
-    df: DataFrame, text_col: str, out_col: str = "clean_text"
+    df: DataFrame,
+    text_col: str,
+    out_col: str = "clean_text",
+    strip_html: bool = False,
 ) -> DataFrame:
     """Ingest-tier text cleanup: C0/C1 control characters become
     spaces, whitespace runs collapse to single spaces, ends trim —
     the first stage of every crawl pipeline (raw HTML extraction
     leaves NULs, form feeds, and ragged whitespace that break
-    downstream tokenizers and shingles).
+    downstream tokenizers and shingles).  ``strip_html=True``
+    additionally removes ``<...>`` tag spans and unescapes the five
+    core entities (&amp; &lt; &gt; &quot; &#39;) first — the
+    raw-crawl tier, for corpora that skipped a real extractor.
 
     Pure projection, zero shuffle; ``n_chars_removed`` quantifies the
     cleanup per row so a quality dashboard can flag sources whose
     extraction is misbehaving.
     """
+    src = F.col(text_col)
+    if strip_html:
+        src = F.regexp_replace(src, "<[^>]*>", " ")
+        for ent, ch in (
+            ("&lt;", "<"), ("&gt;", ">"), ("&quot;", "\""),
+            ("&#39;", "'"), ("&amp;", "&"),
+        ):
+            src = F.replace(src, F.lit(ent), F.lit(ch))
     cleaned = F.trim(
         F.regexp_replace(
-            F.regexp_replace(
-                F.col(text_col), "[\\x00-\\x08\\x0b-\\x1f\\x7f]", " "
-            ),
+            F.regexp_replace(src, "[\\x00-\\x08\\x0b-\\x1f\\x7f]", " "),
             "\\s+",
             " ",
         )

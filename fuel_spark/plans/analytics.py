@@ -1813,6 +1813,74 @@ def events_seasonal_forecast(
     )
 
 
+def events_decompose(
+    t: dict[str, DataFrame], trend_window: int = 7
+) -> DataFrame:
+    """Classical seasonal decomposition of daily revenue (STL-lite):
+    trend = centered ``trend_window``-day moving average, seasonal =
+    per-weekday mean of the detrended series, residual = the rest —
+    the series-health view (is growth trend or weekday mix?) and the
+    input anomaly detectors should score on (a residual spike is a
+    real anomaly; a seasonal dip is Tuesday).
+
+    Same engine-portable shape as :func:`events_daily_ewma`: every
+    stage is a BOUNDED day-grid join or weekday rollup over the
+    aggregate-sized daily table, exact-DECIMAL sums, per-row rounds —
+    never a windowed float recurrence.  Edge days average whatever
+    neighbors exist (documented; a strict STL would drop them).
+    """
+    e = t["events"]
+    half = trend_window // 2
+    daily = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(_dsum(F.col("value")).alias("day_value"))
+    )
+    a = daily.select(F.col("d").alias("d_c"), F.col("day_value").alias("v_c"))
+    b = daily.select(F.col("d").alias("d_n"), F.col("day_value").alias("v_n"))
+    neigh = a.join(
+        b,
+        (F.col("d_n") >= F.date_sub(F.col("d_c"), half))
+        & (F.col("d_n") <= F.date_add(F.col("d_c"), half)),
+    )
+    trended = (
+        neigh.groupBy("d_c", "v_c")
+        .agg(
+            (
+                F.sum(F.col("v_n").cast(DEC)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("_trend")
+        )
+        .select(
+            "d_c",
+            "v_c",
+            F.round("_trend", 6).alias("trend"),
+        )
+    )
+    detr = trended.withColumn(
+        "_detr", F.round(F.col("v_c") - F.col("trend"), 6)
+    ).withColumn("dow", F.dayofweek("d_c"))
+    seas = detr.groupBy("dow").agg(
+        F.round(
+            F.sum(F.col("_detr").cast(DEC)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("seasonal")
+    )
+    return (
+        detr.join(F.broadcast(seas), "dow")
+        .select(
+            F.date_format("d_c", "yyyy-MM-dd").alias("day"),
+            F.round("v_c", 6).alias("day_value"),
+            "trend",
+            "seasonal",
+            F.round(
+                F.col("v_c") - F.col("trend") - F.col("seasonal"), 6
+            ).alias("residual"),
+        )
+    )
+
+
 def events_new_vs_returning(t: dict[str, DataFrame]) -> DataFrame:
     """Daily new-vs-returning user split: for each activity day, how
     many distinct users saw their first-ever event that day vs came

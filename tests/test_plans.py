@@ -1129,3 +1129,24 @@ def test_diff_in_diff_hand_computed(spark):
         5.0, 9.0, 1.0, 2.0
     )
     assert r.did_estimate == 3.0
+
+
+def test_events_decompose_identity_and_flat_series(spark):
+    """value = trend + seasonal + residual exactly (rounded pieces);
+    a constant series decomposes to trend=const, seasonal=0,
+    residual=0."""
+    import datetime as dt
+
+    def ev(eid, day):
+        return {"event_id": eid, "ts": dt.datetime(2024, 1, day, 9, 0, 0),
+                "user_id": 1, "event_type": "purchase", "value": 10.0,
+                "props": "{}"}
+
+    rows = [ev(i, i) for i in range(1, 15)]
+    out = analytics.events_decompose(
+        {"events": from_rows(spark, rows)}
+    ).collect()
+    assert len(out) == 14
+    for r in out:
+        assert r.trend == 10.0 and r.seasonal == 0.0 and r.residual == 0.0
+        assert abs(r.day_value - (r.trend + r.seasonal + r.residual)) < 1e-9

@@ -1120,3 +1120,23 @@ def test_tfidf_similar_docs_ranks_shared_rare_terms(spark):
     assert out[(3, 1)] == 4 and out[(4, 1)] == 3   # ocean pair
     # cross-cluster pairs share no surviving term: no rank-2 rows
     assert (1, 2) not in out and (3, 2) not in out
+
+
+def test_clean_text_strip_html_tier(spark):
+    from fuel_spark.ops.text import clean_text
+
+    docs = from_rows(
+        spark,
+        [(1, '<div id="a">Hello &amp; <b>world</b></div>'),
+         (2, '&lt;tag&gt; is literal text')],
+        schema="doc_id bigint, text string",
+    )
+    out = {r.doc_id: r.clean_text for r in
+           clean_text(docs, "text", strip_html=True).collect()}
+    assert out[1] == "Hello & world"
+    assert out[2] == "<tag> is literal text"
+    # entity unescape order: &amp;lt; must become &lt;, not <
+    tricky = from_rows(spark, [(3, "a &amp;lt; b")],
+                       schema="doc_id bigint, text string")
+    r = clean_text(tricky, "text", strip_html=True).first()
+    assert r.clean_text == "a &lt; b"
