@@ -218,6 +218,15 @@ def ngram_jaccard_pairs(
         df, id_col, text_col, num_hashes, bands, shingle_k,
         max_bucket=max_bucket, distinct_pairs=distinct_pairs,
     )
+    # pin the verify width: candidate-pair rows are BYTES-tiny (two
+    # ids), so AQE's size-based coalescing folds them into one
+    # partition and the shingle-set intersections — the CPU-heavy
+    # part — run single-threaded (measured 15.6s vs 1.9s on the same
+    # 125k pairs).  An explicit-count round-robin exchange is exempt
+    # from AQE coalescing; cost is one shuffle of narrow rows.
+    cands = cands.repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    )
     carry = dict(carry_exprs or {})
     sh = ensure_parallelism(
         df.select(
@@ -321,6 +330,18 @@ def apply_dedup(
             .select(id_col)
         )
         near_input = df.join(exact_losers, id_col, "left_anti")
+        # the sketch/verify machinery references its input THREE times
+        # (bands + both sides of the shingle join) and Spark replays
+        # the whole digest-rollup + anti-join chain under each one
+        # (no ReusedExchange across the anti join — measured 12 scans,
+        # 19s for a 5k-doc verify at the 20× smoke).  A LAZY
+        # localCheckpoint of the narrow (id, text) canon frame
+        # materializes that chain once; same lineage trade as
+        # pagerank/connected_components' loop hygiene, and the
+        # checkpoint holds the post-exact-dedup corpus only.
+        near_input = near_input.select(
+            F.col(id_col), F.col(text_col)
+        ).localCheckpoint(eager=False)
     if keep == "min_id":
         pairs = ngram_jaccard_pairs(
             near_input, id_col, text_col, threshold, num_hashes, bands,
@@ -700,6 +721,12 @@ def containment_pairs(
     cands = minhash_candidate_pairs(
         df, id_col, text_col, num_hashes, bands, shingle_k,
         max_bucket=max_bucket, distinct_pairs=False,
+    )
+    # same AQE-coalesce guard as the jaccard verify (see
+    # ngram_jaccard_pairs): tiny pair bytes must not single-thread
+    # the set intersections
+    cands = cands.repartition(
+        df.sparkSession.sparkContext.defaultParallelism
     )
     sh = ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
     sh = sh.select(F.col(id_col), norm_text(F.col(text_col)).alias("_norm"))
