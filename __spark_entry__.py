@@ -1756,6 +1756,38 @@ def q_check_referential(spark, sf):
     ])
 
 
+def q_attribution_decay(spark, sf):
+    """Time-decay multi-touch attribution — completes the standard
+    four-model family (r4).  12h window / 2h half-life: at sf0.01
+    149 purchases carry >= 2 in-window touches, so the decay weights
+    genuinely discriminate (a 30-min window has zero multi-touch
+    purchases and every model degenerates to the same rollup)."""
+    return analytics.events_attribution_time_decay(
+        _t(spark, sf), window_seconds=43200, half_life_seconds=7200
+    )
+
+
+def q_char_entropy(spark, sf):
+    """Per-doc character Shannon entropy (gibberish signal, r4)."""
+    d = _t(spark, sf)["documents"]
+    return text_ops.char_entropy(d, "doc_id", "text")
+
+
+def q_interleave(spark, sf):
+    """Smooth weighted round-robin interleave of three sources —
+    the training-ORDER twin of the mixture sampler (r4)."""
+    d = _t(spark, sf)["documents"]
+    out = schemes.interleave_sources(
+        d, "doc_id", "source", {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    )
+    return out.select(
+        "doc_id", "source",
+        F.col("src_pos").cast("bigint").alias("src_pos"),
+        "vt",
+        F.col("global_pos").cast("bigint").alias("global_pos"),
+    )
+
+
 def q_strip_html(spark, sf):
     """Raw-crawl tier of clean_text: tag spans removed, core entities
     unescaped (r4).  HTML synthesized in-query around real docs so
@@ -2029,6 +2061,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_segment_migration": q_segment_migration,
         "events_diff_in_diff": q_diff_in_diff,
         "text_strip_html": q_strip_html,
+        "events_attribution_decay": q_attribution_decay,
+        "text_char_entropy": q_char_entropy,
+        "scheme_interleave": q_interleave,
         "ann_filtered": q_ann_filtered,
         "events_decompose": q_events_decompose,
         "customer_cohort_ltv": q_cohort_ltv,
@@ -6121,6 +6156,102 @@ def oracle_sql() -> dict[str, str]:
                round(v_c, 6) AS day_value, trend, seasonal,
                round(v_c - trend - seasonal, 6) AS residual
         FROM de JOIN se ON de.dow = se.dow
+    """
+
+    sqls["events_attribution_decay"] = """
+        WITH iv AS (
+          SELECT user_id, event_id AS purchase_id,
+                 ts - INTERVAL 43200 SECOND AS s, ts AS e, value
+          FROM events WHERE event_type = 'purchase'
+        ),
+        p AS (
+          SELECT user_id, ts AS touch_ts, event_type AS channel
+          FROM events WHERE event_type IN ('click', 'view')
+        ),
+        j AS (
+          SELECT iv.purchase_id, iv.value, iv.e AS pe,
+                 p.touch_ts, p.channel
+          FROM iv LEFT JOIN p
+            ON p.user_id = iv.user_id
+           AND p.touch_ts >= iv.s AND p.touch_ts <= iv.e
+        ),
+        wtd AS (
+          SELECT purchase_id, value, channel,
+                 CASE WHEN touch_ts IS NOT NULL
+                      THEN round(pow(0.5,
+                             (epoch_us(pe) - epoch_us(touch_ts))
+                             / 1000000.0 / 7200.0), 9) END AS w
+          FROM j
+        ),
+        nm AS (
+          SELECT *, CAST(sum(CAST(w AS DECIMAL(27,9)))
+                         OVER (PARTITION BY purchase_id) AS DOUBLE)
+                      AS wsum
+          FROM wtd
+        )
+        SELECT COALESCE(channel, 'none') AS channel,
+               CAST(sum(CAST(CASE WHEN w IS NOT NULL
+                                  THEN round(w / wsum, 6)
+                                  ELSE CAST(1.0 AS DOUBLE) END
+                             AS DECIMAL(27,6))) AS DOUBLE)
+                 AS credited_purchases,
+               CAST(sum(CAST(CASE WHEN w IS NOT NULL
+                                  THEN round(value * w / wsum, 6)
+                                  ELSE value END
+                             AS DECIMAL(27,6))) AS DOUBLE)
+                 AS credited_value
+        FROM nm GROUP BY 1
+    """
+
+    sqls["text_char_entropy"] = f"""
+        WITH n AS (SELECT doc_id, {_norm_sql('text')} AS nrm FROM documents),
+        ch AS (
+          SELECT doc_id,
+                 unnest(list_transform(
+                   generate_series(1, greatest(length(nrm), 1)),
+                   i -> substring(nrm, i, 1))) AS c
+          FROM n
+        ),
+        cc AS (SELECT doc_id, c, count(*) AS k FROM ch
+               WHERE c <> '' GROUP BY 1, 2),
+        tot AS (SELECT doc_id, sum(k) AS nn FROM cc GROUP BY 1),
+        term AS (
+          SELECT cc.doc_id, nn,
+                 round(-(CAST(k AS DOUBLE) / nn)
+                       * ln(CAST(k AS DOUBLE) / nn), 9) AS t
+          FROM cc JOIN tot ON cc.doc_id = tot.doc_id
+        )
+        SELECT doc_id, CAST(nn AS BIGINT) AS n_chars_normed,
+               round(CAST(sum(CAST(t AS DECIMAL(27,9))) AS DOUBLE), 6)
+                 AS char_entropy
+        FROM term GROUP BY 1, 2
+    """
+
+    sqls["scheme_interleave"] = """
+        WITH d AS (
+          SELECT doc_id, source,
+                 md5(concat('42', '-', CAST(doc_id AS VARCHAR))) AS ord
+          FROM documents WHERE source IN ('src0', 'src1', 'src2')
+        ),
+        sp AS (
+          SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY ord, doc_id) - 1 AS src_pos
+          FROM d
+        ),
+        v AS (
+          SELECT doc_id, source, src_pos,
+                 round((src_pos + 1)
+                       / CAST(CASE source WHEN 'src0' THEN 0.5
+                                          WHEN 'src1' THEN 0.3
+                                          ELSE 0.2 END AS DOUBLE), 9)
+                   AS vt
+          FROM sp
+        )
+        SELECT doc_id, source, CAST(src_pos AS BIGINT) AS src_pos, vt,
+               CAST(row_number() OVER (ORDER BY vt, source, doc_id) - 1
+                    AS BIGINT) AS global_pos
+        FROM v
     """
 
     _mrl_unit = (

@@ -129,6 +129,53 @@ def token_counts(df: DataFrame, text_col: str) -> DataFrame:
     )
 
 
+def char_entropy(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Per-document character-level Shannon entropy (nats) over the
+    normalized text — the cheapest gibberish/compression-artifact
+    signal: natural language sits in a tight entropy band, base64
+    blobs and keyboard mash fall far outside it, repeated padding
+    collapses toward zero.
+
+    One char explode (same order of work as shingling) → per-(doc,
+    char) counts → per-row −p·ln p terms rounded at 9 dp → exact
+    DECIMAL per-doc sum.  Docs whose normalized text is empty have no
+    characters to score and are absent from the output.
+    """
+    out = ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
+    out = out.select(F.col(id_col), norm_text(F.col(text_col)).alias("_n"))
+    chars = out.select(
+        F.col(id_col),
+        F.explode(
+            F.expr("transform(sequence(1, greatest(length(_n), 1)),"
+                   " i -> substring(_n, i, 1))")
+        ).alias("ch"),
+    ).where(F.col("ch") != "")
+    cc = chars.groupBy(id_col, "ch").agg(F.count(F.lit(1)).alias("k"))
+    tot = cc.groupBy(id_col).agg(F.sum("k").alias("n"))
+    term = cc.join(tot, id_col).select(
+        F.col(id_col),
+        F.col("n"),
+        F.round(
+            -(F.col("k") / F.col("n")) * F.log(F.col("k") / F.col("n")), 9
+        ).alias("t"),
+    )
+    return (
+        term.groupBy(id_col, "n")
+        .agg(
+            F.round(
+                F.sum(F.col("t").cast("decimal(27,9)")).cast("double"), 6
+            ).alias("char_entropy")
+        )
+        .select(
+            F.col(id_col),
+            F.col("n").cast("bigint").alias("n_chars_normed"),
+            "char_entropy",
+        )
+    )
+
+
 def tfidf_similar_docs(
     df: DataFrame,
     id_col: str,

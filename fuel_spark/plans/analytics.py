@@ -1376,6 +1376,83 @@ def events_attribution_linear(
     )
 
 
+def events_attribution_time_decay(
+    t: dict[str, DataFrame],
+    window_seconds: int = 1800,
+    half_life_seconds: int = 600,
+) -> DataFrame:
+    """Time-decay multi-touch attribution — the fourth of the
+    standard models (last / first / linear / time-decay): each
+    in-window touch earns weight 0.5^(gap/half_life) and credits are
+    weight-normalized per purchase, so recent touches dominate
+    smoothly instead of winner-takes-all.
+
+    Same bucketed range_join pair set as the linear model; weights
+    are per-row arithmetic rounded at 9 dp, the per-purchase
+    normalizer is one purchase-keyed window sum of those rounded
+    weights (decimal), and the channel rollup is exact-DECIMAL.
+    Purchases with no in-window touch credit 'none' in full.
+    """
+    from pyspark.sql import Window as W
+
+    from fuel_spark.ops.core import range_join
+
+    e = t["events"]
+    iv = e.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        (F.col("ts") - F.expr(f"INTERVAL {window_seconds} SECONDS")).alias(
+            "win_start"
+        ),
+        F.col("ts").alias("win_end"),
+        "value",
+    )
+    p = e.where(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        F.col("ts").alias("touch_ts"),
+        F.col("event_type").alias("channel"),
+    )
+    pairs = range_join(
+        p, iv, "touch_ts", "win_start", "win_end",
+        bucket_width=window_seconds, equi_keys=["user_id"],
+        how="left", interval_id=["purchase_id"],
+    )
+    gap = (
+        F.unix_micros(F.col("win_end").cast("timestamp"))
+        - F.unix_micros(F.col("touch_ts").cast("timestamp"))
+    ) / 1_000_000.0
+    w_raw = F.round(
+        F.pow(F.lit(0.5), gap / F.lit(float(half_life_seconds))), 9
+    )
+    weighted = pairs.withColumn(
+        "w", F.when(F.col("touch_ts").isNotNull(), w_raw)
+    ).withColumn(
+        "_wsum",
+        F.sum(F.col("w").cast("decimal(27,9)")).over(
+            W.partitionBy("purchase_id")
+        ).cast("double"),
+    )
+    credited = weighted.select(
+        F.coalesce("channel", F.lit("none")).alias("channel"),
+        F.when(
+            F.col("w").isNotNull(),
+            F.round(F.col("w") / F.col("_wsum"), 6),
+        )
+        .otherwise(F.lit(1.0))
+        .alias("credit"),
+        F.when(
+            F.col("w").isNotNull(),
+            F.round(F.col("value") * F.col("w") / F.col("_wsum"), 6),
+        )
+        .otherwise(F.col("value"))
+        .alias("credit_value"),
+    )
+    return credited.groupBy("channel").agg(
+        _dsum(F.col("credit")).alias("credited_purchases"),
+        _dsum(F.col("credit_value")).alias("credited_value"),
+    )
+
+
 def events_funnel_windowed(
     t: dict[str, DataFrame],
     steps: tuple[str, str, str] = ("view", "click", "purchase"),

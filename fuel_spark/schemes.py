@@ -97,6 +97,60 @@ def curriculum_batches(
     return out.withColumn(batch_col, F.floor(F.col("pos") / batch_size))
 
 
+def interleave_sources(
+    df: DataFrame,
+    key: str,
+    source_col: str,
+    weights: dict[str, float],
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic proportional interleave of a multi-source corpus
+    — smooth weighted round-robin: each source's i-th example gets
+    virtual time (i+1)/weight and the global training order sorts by
+    it, so a weight-0.7 source appears ~7 of every 10 consecutive
+    examples WITHOUT the clumping a sampled mixture produces.  This
+    is the ORDER twin of ``temperature_weights``/``mixture_sample``
+    (which decide how much; this decides when).
+
+    Per-source positions derive from global partition-offset
+    positions minus broadcast per-source offsets (the
+    ``concatenated_batches`` trick), and the vt order goes through
+    the same parallel machinery — no per-source single-task window
+    anywhere.  Rows of sources missing from ``weights`` are dropped
+    (explicitly: an unweighted source has no place in the schedule).
+    """
+    from fuel_spark.ops.core import with_positions as _core_positions
+
+    d = df.where(F.col(source_col).isin(list(weights))).withColumn(
+        "_ord", det_key(seed, F.col(key))
+    )
+    pos = _core_positions(
+        d, [source_col, "_ord", key], pos_col="_gpos", base=0
+    )
+    counts = pos.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n"))
+    ow = Window.orderBy(source_col).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        source_col,
+        F.coalesce(F.sum("_n").over(ow), F.lit(0)).alias("_off"),
+    )
+    wexpr = F.lit(None).cast("double")
+    for s, w in sorted(weights.items()):
+        wexpr = F.when(F.col(source_col) == s, F.lit(float(w))).otherwise(
+            wexpr
+        )
+    vt = pos.join(F.broadcast(offsets), source_col).select(
+        *df.columns,
+        (F.col("_gpos") - F.col("_off")).alias("src_pos"),
+        F.round((F.col("_gpos") - F.col("_off") + 1) / wexpr, 9).alias("vt"),
+    )
+    out = _core_positions(
+        vt, ["vt", source_col, key], pos_col="global_pos", base=0
+    )
+    return out.drop("_ord")
+
+
 def concatenated_batches(
     dfs: list[DataFrame], keys: list[str], batch_size: int,
     batch_col: str = "batch_id",

@@ -1150,3 +1150,25 @@ def test_events_decompose_identity_and_flat_series(spark):
     for r in out:
         assert r.trend == 10.0 and r.seasonal == 0.0 and r.residual == 0.0
         assert abs(r.day_value - (r.trend + r.seasonal + r.residual)) < 1e-9
+
+
+def test_attribution_time_decay_weights(spark):
+    """Two touches 0s and 600s before the purchase, half-life 600:
+    weights 1 and 0.5 -> credits 2/3 and 1/3."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        {"event_id": 1, "ts": base - dt.timedelta(seconds=600),
+         "user_id": 1, "event_type": "click", "value": 0.0, "props": "{}"},
+        {"event_id": 2, "ts": base, "user_id": 1, "event_type": "view",
+         "value": 0.0, "props": "{}"},
+        {"event_id": 3, "ts": base, "user_id": 1, "event_type": "purchase",
+         "value": 9.0, "props": "{}"},
+    ]
+    out = {r.channel: (r.credited_purchases, r.credited_value) for r in
+           analytics.events_attribution_time_decay(
+               {"events": from_rows(spark, rows)},
+               window_seconds=1800, half_life_seconds=600).collect()}
+    assert out["view"] == (round(1 / 1.5, 6), 6.0)     # weight 1
+    assert out["click"] == (round(0.5 / 1.5, 6), 3.0)  # weight 0.5

@@ -148,3 +148,31 @@ def test_curriculum_batches_easy_to_hard(spark):
     again = sorted(curriculum_batches(df, "k", "difficulty", 10).collect(),
                    key=lambda r: r.pos)
     assert [r.k for r in again] == [r.k for r in by_pos]
+
+
+def test_interleave_sources_smooth_ratio(spark):
+    """70/30 interleave: within any prefix of the global order the
+    source mix tracks the weights (no clumping), and per-source
+    relative order is preserved."""
+    from fuel_spark.schemes import interleave_sources
+
+    rows = [(i, "a") for i in range(70)] + [(100 + i, "b") for i in range(30)]
+    df = from_rows(spark, rows, schema="k bigint, src string")
+    out = sorted(
+        interleave_sources(df, "k", "src", {"a": 0.7, "b": 0.3}).collect(),
+        key=lambda r: r.global_pos,
+    )
+    assert len(out) == 100
+    assert [r.global_pos for r in out] == list(range(100))
+    # prefix mix stays near 70/30 at every decile
+    for cut in range(10, 101, 10):
+        n_a = sum(1 for r in out[:cut] if r.src == "a")
+        assert abs(n_a / cut - 0.7) <= 0.15, (cut, n_a)
+    # per-source src_pos increases along the global order
+    for s in ("a", "b"):
+        poss = [r.src_pos for r in out if r.src == s]
+        assert poss == sorted(poss)
+    # unweighted sources are dropped
+    extra = from_rows(spark, rows + [(999, "c")], schema="k bigint, src string")
+    out2 = interleave_sources(extra, "k", "src", {"a": 0.7, "b": 0.3})
+    assert out2.where("src = 'c'").count() == 0

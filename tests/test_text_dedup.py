@@ -1140,3 +1140,20 @@ def test_clean_text_strip_html_tier(spark):
                        schema="doc_id bigint, text string")
     r = clean_text(tricky, "text", strip_html=True).first()
     assert r.clean_text == "a &lt; b"
+
+
+def test_char_entropy_hand_values(spark):
+    import math as m
+
+    from fuel_spark.ops.text import char_entropy
+
+    docs = from_rows(
+        spark,
+        [(1, "abab"), (2, "aaaa"), (3, "abcd")],
+        schema="doc_id bigint, text string",
+    )
+    out = {r.doc_id: (r.n_chars_normed, r.char_entropy) for r in
+           char_entropy(docs, "doc_id", "text").collect()}
+    assert out[1] == (4, round(m.log(2), 6))
+    assert out[2] == (4, 0.0)
+    assert out[3] == (4, round(m.log(4), 6))
