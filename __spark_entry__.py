@@ -1756,6 +1756,28 @@ def q_check_referential(spark, sf):
     ])
 
 
+def q_asof_join_nearest(spark, sf):
+    """Nearest-direction as-of between two INTERLEAVED streams: each
+    view event aligns to the same user's closest purchase, past or
+    future; backward wins ties (r4).  (Events-vs-orders would
+    degenerate — every order predates every event, so nearest would
+    equal backward row-for-row.)"""
+    e = _t(spark, sf)["events"]
+    views = e.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("pts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    out = core.asof_join(
+        views, purchases, "user_id", "ts", "pts", ["purchase_id"],
+        direction="nearest",
+    )
+    return out.select("event_id", "user_id", "purchase_id")
+
+
 def q_attribution_decay(spark, sf):
     """Time-decay multi-touch attribution — completes the standard
     four-model family (r4).  12h window / 2h half-life: at sf0.01
@@ -2062,6 +2084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_diff_in_diff": q_diff_in_diff,
         "text_strip_html": q_strip_html,
         "events_attribution_decay": q_attribution_decay,
+        "asof_join_nearest": q_asof_join_nearest,
         "text_char_entropy": q_char_entropy,
         "scheme_interleave": q_interleave,
         "ann_filtered": q_ann_filtered,
@@ -6252,6 +6275,24 @@ def oracle_sql() -> dict[str, str]:
                CAST(row_number() OVER (ORDER BY vt, source, doc_id) - 1
                     AS BIGINT) AS global_pos
         FROM v
+    """
+
+    sqls["asof_join_nearest"] = """
+        WITH v AS (SELECT event_id, user_id, epoch_us(ts) AS t
+                   FROM events WHERE event_type = 'view'),
+        p AS (SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS pt
+              FROM events WHERE event_type = 'purchase'),
+        j AS (
+          SELECT v.event_id, v.user_id, p.purchase_id,
+                 row_number() OVER (
+                   PARTITION BY v.event_id
+                   ORDER BY abs(p.pt - v.t) ASC,
+                            CASE WHEN p.pt <= v.t THEN 0 ELSE 1 END ASC,
+                            CASE WHEN p.pt <= v.t THEN -p.purchase_id
+                                 ELSE p.purchase_id END ASC) AS rn
+          FROM v LEFT JOIN p ON v.user_id = p.user_id
+        )
+        SELECT event_id, user_id, purchase_id FROM j WHERE rn = 1
     """
 
     _mrl_unit = (

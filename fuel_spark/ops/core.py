@@ -426,35 +426,44 @@ def asof_join(
     direction: str = "backward",
 ) -> DataFrame:
     """As-of join: for each left row, the most recent right row with
-    ``right_ts <= left_ts`` (``direction='backward'``, the default) or
-    the next right row with ``right_ts >= left_ts`` (``'forward'``).
+    ``right_ts <= left_ts`` (``direction='backward'``, the default),
+    the next right row with ``right_ts >= left_ts`` (``'forward'``),
+    or whichever of the two is closer in time (``'nearest'`` — sensor
+    fusion / nearest-snapshot alignment; backward wins distance ties).
 
     Spark has no native ASOF; the naive inequality-join is O(n·m) per
     key.  This is the scalable formulation: union both streams tagged,
     one window sort per key, and a frame-bounded
     ``last/first(..., ignorenulls)`` carries the matching right payload
-    — O((n+m) log(n+m)) with a single shuffle on the key.
+    — O((n+m) log(n+m)) with a single shuffle on the key.  ``nearest``
+    evaluates BOTH frames over the same sorted window (still one
+    shuffle) and picks per row by absolute gap.
 
     Tie rules (deterministic): at equal timestamps the right row wins
     (inclusive match) in both directions; among right ties the
     greatest payload-order row wins backward, the smallest wins
-    forward (the frame edge nearest the left row).
+    forward (the frame edge nearest the left row).  ``nearest`` uses
+    the backward layout, so an equal-timestamp right matches at gap 0
+    through the backward frame and wins.
 
     Timestamps compare at microsecond precision (Spark's native
     timestamp resolution) — whole-second truncation would let a right
     row up to ~0.999s away still match, leaking future data for
     sub-second inputs.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError("direction must be 'backward' or 'forward'")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            "direction must be 'backward', 'forward', or 'nearest'"
+        )
 
     def _epoch_us(c: str):  # NTZ needs an intermediate cast (UTC session)
         return F.unix_micros(F.col(c).cast("timestamp"))
 
     # the left-tag value orders left rows AFTER rights at equal ts for
     # backward (rights enter the trailing frame) and BEFORE for
-    # forward (rights stay inside the leading frame)
-    left_tag = 1 if direction == "backward" else 0
+    # forward (rights stay inside the leading frame); nearest uses the
+    # backward layout (equal-ts rights match at gap 0 via that frame)
+    left_tag = 0 if direction == "forward" else 1
     lcols = left.columns
     l = left.select(
         F.col(key).alias("_k"),
@@ -462,6 +471,7 @@ def asof_join(
         F.lit(left_tag).alias("_is_left"),
         *[F.col(c) for c in lcols],
         *[F.lit(None).cast(dict(right.dtypes)[p]).alias(f"_r_{p}") for p in right_payload],
+        F.lit(None).cast("bigint").alias("_rt"),
     )
     r = right.select(
         F.col(key).alias("_k"),
@@ -469,21 +479,35 @@ def asof_join(
         F.lit(1 - left_tag).alias("_is_left"),
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in lcols],
         *[F.col(p).alias(f"_r_{p}") for p in right_payload],
+        _epoch_us(right_ts).alias("_rt"),
     )
     u = l.unionByName(r)
     w = Window.partitionBy("_k").orderBy(
         "_t", "_is_left", *[f"_r_{p}" for p in right_payload]
     )
+    wb = w.rowsBetween(Window.unboundedPreceding, 0)
+    wf = w.rowsBetween(0, Window.unboundedFollowing)
     if direction == "backward":
-        w = w.rowsBetween(Window.unboundedPreceding, 0)
         carried = [
-            F.last(f"_r_{p}", ignorenulls=True).over(w).alias(p)
+            F.last(f"_r_{p}", ignorenulls=True).over(wb).alias(p)
             for p in right_payload
         ]
-    else:
-        w = w.rowsBetween(0, Window.unboundedFollowing)
+    elif direction == "forward":
         carried = [
-            F.first(f"_r_{p}", ignorenulls=True).over(w).alias(p)
+            F.first(f"_r_{p}", ignorenulls=True).over(wf).alias(p)
+            for p in right_payload
+        ]
+    else:  # nearest: both frames over the SAME sorted window
+        bwd_t = F.last("_rt", ignorenulls=True).over(wb)
+        fwd_t = F.first("_rt", ignorenulls=True).over(wf)
+        use_b = fwd_t.isNull() | (
+            bwd_t.isNotNull()
+            & ((F.col("_t") - bwd_t) <= (fwd_t - F.col("_t")))
+        )
+        carried = [
+            F.when(use_b, F.last(f"_r_{p}", ignorenulls=True).over(wb))
+            .otherwise(F.first(f"_r_{p}", ignorenulls=True).over(wf))
+            .alias(p)
             for p in right_payload
         ]
     return (

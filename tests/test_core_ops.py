@@ -231,3 +231,39 @@ def test_asof_join_forward_hand_computed(spark):
         left, right, "k", "lt", "rt", ["payload"], direction="forward"
     ).collect()}
     assert out == {1: 99, 2: 200, 3: None}
+
+
+def test_asof_join_nearest_direction(spark):
+    """nearest picks whichever side is closer; exact ties go
+    backward; a key with only future rights still matches."""
+    import datetime as dt
+
+    from fuel_spark.ops.core import asof_join
+
+    base = dt.datetime(2024, 1, 1)
+
+    def t(sec):
+        return base + dt.timedelta(seconds=sec)
+
+    L = from_rows(
+        spark,
+        [(1, 1, t(10)), (2, 1, t(100)), (3, 2, t(5)), (4, 3, t(50))],
+        schema="lid bigint, k bigint, lts timestamp",
+    )
+    R = from_rows(
+        spark,
+        [
+            (100, 1, t(8)),    # 2s before lid 1
+            (200, 1, t(11)),   # 1s after lid 1  -> nearest
+            (300, 1, t(98)),   # 2s before lid 2
+            (400, 1, t(102)),  # 2s after lid 2  -> tie, backward wins
+            (500, 2, t(9)),    # only future for lid 3
+        ],
+        schema="rid bigint, k bigint, rts timestamp",
+    )
+    out = {r.lid: r.rid for r in asof_join(
+        L, R, "k", "lts", "rts", ["rid"], direction="nearest").collect()}
+    assert out[1] == 200
+    assert out[2] == 300   # equal gap: backward wins
+    assert out[3] == 500   # forward-only key still matches
+    assert out[4] is None  # key 3 has no rights at all
