@@ -735,6 +735,75 @@ def test_registry_wide_no_cartesian_product(spark):
         assert "CartesianProduct" not in p, name
 
 
+# Queries whose plans legitimately contain Exchange SinglePartition —
+# audited individually: every occurrence funnels AGGREGATE-SIZED data
+# (per-partition offset cumsums in the scheme/batch machinery — 32
+# rows; 1-row global finals like chi_square/diff_in_diff/corr; month/
+# day/dow-grid windows; broadcast weight tables; the fit loops).  A
+# query OUTSIDE this set growing a SinglePartition means a fact-sized
+# global sort snuck in — the single-task bottleneck at scale.
+SINGLE_PARTITION_ALLOWLIST = {
+    # scheme/batch positional machinery: offsets cumsum over
+    # per-partition counts (≤ #partitions rows)
+    "scheme_sequential", "scheme_shuffled", "scheme_concat",
+    "scheme_epoch_batches", "scheme_curriculum", "scheme_interleave",
+    "cross_validation", "pack_batches", "pack_token_budget",
+    "pad_sequences", "sort_within_batches", "unpack_batches",
+    "merge_streams", "merge_streams_local", "cache_stream_rebatch",
+    "split_select",
+    # 1-row / few-row global finals (counts, corr, chi-square, DiD,
+    # expectation & referential suites, calibration/summary reports)
+    "check_expectations", "check_referential", "events_chi_square",
+    "events_diff_in_diff", "lineitem_qty_price_corr",
+    "customer_balance_ltv_corr", "dedup_summary", "dedup_pair_quality",
+    "dedup_minhash_calibration", "embedding_quantization_error",
+    "embedding_label_separation", "profile_lineitem",
+    "revenue_forecast", "promo_revenue", "small_quantity_revenue",
+    "bracket_revenue", "waiting_customers", "important_parts",
+    "top_supplier", "events_funnel", "events_funnel_windowed",
+    # bounded-grid windows (days / months / dows / deciles / bins /
+    # histogram buckets / retention offsets — aggregate-sized by
+    # construction)
+    "orders_backlog", "orders_monthly_growth", "orders_size_histogram",
+    "events_dow_hour_heatmap", "events_retention_curve",
+    "events_conversion_lag", "events_gap_histogram", "events_churn",
+    "events_entry_points", "events_session_stats",
+    "events_user_anomalies", "events_user_rfm", "events_rfm_segments",
+    "events_segment_migration", "events_pareto_share",
+    "events_key_skew", "customer_ltv_deciles", "customer_order_freq",
+    "revenue_concentration", "supplier_revenue_concentration",
+    "documents_length_histogram", "text_word_length_hist",
+    "feature_quantile_bins", "embedding_block_profile",
+    "embedding_sample_negatives", "corpus_source_divergence",
+    "corpus_domains", "mixture_weights", "mixture_sample",
+    # vocabulary-sized LM/IDF tables broadcast back
+    "text_unigram_logprob", "text_bigram_logprob", "text_bm25",
+    "text_tfidf_top_terms", "text_doc_frequency", "text_vocab_coverage",
+    "text_dsir_weights", "text_similar_docs",
+    # iterative fits (driver-documented constant-cost loops)
+    "part_pagerank",
+}
+
+
+def test_registry_single_partition_regression(spark):
+    """Regression pin for the single-partition audit: every query
+    whose executed plan contains ``Exchange SinglePartition`` must be
+    in the audited allowlist above.  New queries that accidentally
+    plan a fact-sized global sort fail here instead of shipping."""
+    import __spark_entry__ as E
+
+    offenders = []
+    for name, fn in E.queries().items():
+        p = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        if "Exchange SinglePartition" in p and name not in SINGLE_PARTITION_ALLOWLIST:
+            offenders.append(name)
+    assert not offenders, (
+        f"unaudited Exchange SinglePartition in: {offenders} — verify the "
+        "funneled data is aggregate-sized, then add to the allowlist "
+        "with its family"
+    )
+
+
 def test_attribution_first_vs_last_touch(spark):
     """Two touches inside the window: last-touch credits the later
     (click), first-touch credits the earlier (view)."""
