@@ -136,3 +136,64 @@ def compact_dataset(
     n = max(1, int(total // (target_mb * 1024 * 1024)) + (1 if total % (target_mb * 1024 * 1024) else 0))
     spark.read.parquet(path_in).repartition(n).write.mode(mode).parquet(path_out)
     return n
+
+
+def upsert_dataset(
+    spark,
+    new_rows: DataFrame,
+    path: str,
+    key_cols: list[str],
+    partition_by: list[str] | None = None,
+) -> None:
+    """Key-based upsert into an existing parquet dataset: rows whose
+    keys match are REPLACED by the new version, unmatched old rows
+    survive, unmatched new rows append — the maintenance write behind
+    ``corpus_diff``'s changed+added feed (without a table format,
+    parquet upsert is a rewrite; with Delta/Iceberg in the
+    environment, swap this for MERGE INTO — the call-site contract is
+    identical).
+
+    The rewrite stages to ``<path>__staging`` first and swaps only
+    after a successful write, so a mid-job failure leaves the
+    original dataset intact (filesystem-move atomicity, the classic
+    non-transactional-lake pattern).  Cost: one left_anti of old
+    against the (typically small, broadcastable) new key set + one
+    full rewrite of surviving rows — at 100 TB prefer hive
+    partitioning on ``partition_by`` and upsert partition-aligned
+    batches so only touched partitions rewrite.
+    """
+    import os
+    import shutil
+
+    staging = path + "__staging"
+    if os.path.exists(path):
+        old = spark.read.parquet(path)
+        keys = new_rows.select(*key_cols).distinct()
+        survivors = old.join(keys, key_cols, "left_anti")
+        merged = survivors.unionByName(new_rows)
+    else:
+        merged = new_rows
+    write_dataset(merged, staging, partition_by=partition_by)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.rename(staging, path)
+
+
+def dataset_fingerprint(df: DataFrame) -> DataFrame:
+    """Order-insensitive content fingerprint of a DataFrame: one row
+    with the row count and the xor of per-row xxhash64 over every
+    column — a content-addressable dataset identity for
+    reproducibility certification (same fingerprint ⟺ same multiset
+    of rows, for cache keys, cross-cluster regression checks, or
+    post-migration verification).
+
+    One map-side-combinable agg; xor is commutative/associative, so
+    the fingerprint is independent of partitioning and row order —
+    the same identity on any cluster.
+    """
+    from pyspark.sql import functions as F
+
+    return df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.bit_xor(F.xxhash64(*df.columns)).cast("bigint").alias("fingerprint"),
+    )

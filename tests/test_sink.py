@@ -119,3 +119,39 @@ def test_compact_dataset_reduces_file_count(spark, outdir):
     back = spark.read.parquet(dst)
     assert back.count() == 5000
     assert back.agg(F.sum("k")).collect()[0][0] == sum(range(5000))
+
+
+def test_upsert_dataset_replace_keep_append(spark, tmp_path):
+    from fuel_spark.sources.sink import upsert_dataset
+
+    path = str(tmp_path / "ds")
+    base = from_rows(
+        spark,
+        [(1, "old-1"), (2, "old-2"), (3, "old-3")],
+        schema="k bigint, v string",
+    )
+    upsert_dataset(spark, base, path, ["k"])  # initial create
+    delta = from_rows(
+        spark,
+        [(2, "new-2"), (9, "new-9")],
+        schema="k bigint, v string",
+    )
+    upsert_dataset(spark, delta, path, ["k"])
+    got = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    assert got == {1: "old-1", 2: "new-2", 3: "old-3", 9: "new-9"}
+    import os
+
+    assert not os.path.exists(path + "__staging")
+
+
+def test_dataset_fingerprint_order_invariant_and_sensitive(spark):
+    from fuel_spark.sources.sink import dataset_fingerprint
+
+    a = from_rows(spark, [(1, "x"), (2, "y"), (3, "z")], schema="k bigint, v string")
+    b = from_rows(spark, [(3, "z"), (1, "x"), (2, "y")], schema="k bigint, v string").repartition(3)
+    fa = dataset_fingerprint(a).first()
+    fb = dataset_fingerprint(b).first()
+    assert (fa.n_rows, fa.fingerprint) == (fb.n_rows, fb.fingerprint)
+    c = from_rows(spark, [(1, "x"), (2, "y"), (3, "Z")], schema="k bigint, v string")
+    fc = dataset_fingerprint(c).first()
+    assert fc.fingerprint != fa.fingerprint
