@@ -944,6 +944,7 @@ def fuzzy_join(
     bands: int = 3,
     shingle_k: int = 5,
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    prededup_exact: bool = False,
 ) -> DataFrame:
     """Fuzzy record linkage ACROSS two corpora: candidate pairs from
     shared MinHash band buckets, verified by exact shingle Jaccard —
@@ -959,8 +960,33 @@ def fuzzy_join(
     the documented recall trade at the 100 TB tier.  Only candidate
     pairs fetch shingle sets for the verify join.
 
+    ``prededup_exact=True`` collapses exact-duplicate texts on EACH
+    side to their min-id representative before sketching — opt-in
+    because it CHANGES the output contract (pairs name only the
+    representatives; map back through :func:`exact_dedup` if every
+    copy matters).  On dup-heavy corpora this is the difference
+    between a representative-sized candidate set and a quadratic one
+    (the 20× smoke's 20-copies sides emit 11M candidate pairs raw).
+
     Output: id_l, id_r, inter, uni, jaccard (>= threshold).
     """
+    if prededup_exact:
+        def _canon(df, idc, txt):
+            h = df.select(F.col(idc), F.md5(F.col(txt)).alias("_h"))
+            keep = h.groupBy("_h").agg(F.min(idc).alias("_keep"))
+            losers = (
+                h.join(keep, "_h")
+                .where(F.col(idc) != F.col("_keep"))
+                .select(idc)
+            )
+            return (
+                df.join(losers, idc, "left_anti")
+                .select(F.col(idc), F.col(txt))
+                .localCheckpoint(eager=False)
+            )
+
+        left = _canon(left, left_id, left_text)
+        right = _canon(right, right_id, right_text)
     lb = with_minhash_bands(
         left.select(left_id, left_text), left_id, left_text,
         num_hashes, bands, shingle_k,
@@ -995,6 +1021,11 @@ def fuzzy_join(
 
     a = _sh(left, left_id, left_text, "id_l", "_sh_l")
     b = _sh(right, right_id, right_text, "id_r", "_sh_r")
+    # pin the verify width (see ngram_jaccard_pairs): tiny pair bytes
+    # must not let AQE single-thread the set intersections
+    cand = cand.repartition(
+        left.sparkSession.sparkContext.defaultParallelism
+    )
     return (
         cand.join(a, "id_l")
         .join(b, "id_r")
@@ -1052,22 +1083,25 @@ def hamming_near_dup(
     bands = radius + 1
     width = (bits + bands - 1) // bands
     mask = (1 << width) - 1
+    # materialize the narrow (id, hash) projection once: the callers
+    # pass a LAZY fingerprint chain (simhash = words explode + bit
+    # votes), and the band union + the size-guard join reference this
+    # subtree up to 2·bands times — the 20× smoke measured the sketch
+    # recomputing ~8× (29s).  The checkpoint holds two bigints/row.
     tagged = df.select(
         F.col(id_col).alias("_id"), F.col(hash_col).cast("bigint").alias("_h")
-    )
-    parts = []
-    for b in range(bands):
-        parts.append(
-            tagged.select(
-                "_id",
-                "_h",
-                F.lit(b).alias("_band"),
-                F.expr(f"shiftright(_h, {b * width}) & {mask}").alias("_key"),
-            )
+    ).localCheckpoint(eager=False)
+    # one explode instead of `bands` unions: a single pass over tagged
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("_band"),
+            F.expr(f"shiftright(_h, {b * width}) & {mask}").alias("_key"),
         )
-    all_bands = parts[0]
-    for p in parts[1:]:
-        all_bands = all_bands.unionByName(p)
+        for b in range(bands)
+    ]
+    all_bands = tagged.select(
+        "_id", "_h", F.explode(F.array(*band_structs)).alias("_bk")
+    ).select("_id", "_h", F.col("_bk._band").alias("_band"), F.col("_bk._key").alias("_key"))
 
     all_pairs = (
         "flatten(transform(sequence(1, size(ms) - 1),"

@@ -1157,3 +1157,19 @@ def test_char_entropy_hand_values(spark):
     assert out[1] == (4, round(m.log(2), 6))
     assert out[2] == (4, 0.0)
     assert out[3] == (4, round(m.log(4), 6))
+
+
+def test_fuzzy_join_prededup_representatives(spark):
+    """prededup_exact=True pairs only min-id representatives of each
+    side's exact-duplicate groups; raw mode pairs every copy."""
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    L = from_rows(spark, [(0, base), (2, base)],            # exact dups
+                  schema="doc_id bigint, text string")
+    R = from_rows(spark, [(1, base + " tail"), (3, base + " tail")],
+                  schema="doc_id bigint, text string")
+    raw = {(r.id_l, r.id_r) for r in dedup.fuzzy_join(
+        L, R, threshold=0.4).collect()}
+    rep = {(r.id_l, r.id_r) for r in dedup.fuzzy_join(
+        L, R, threshold=0.4, prededup_exact=True).collect()}
+    assert raw == {(0, 1), (0, 3), (2, 1), (2, 3)}
+    assert rep == {(0, 1)}  # min-id representative of each side
