@@ -698,6 +698,7 @@ def containment_pairs(
     bands: int = 3,
     shingle_k: int = 5,
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    prededup_exact: bool = False,
 ) -> DataFrame:
     """Asymmetric containment over LSH candidates: |A∩B| / |A| and
     |A∩B| / |B| per pair.  Catches subset duplication — a short doc
@@ -718,6 +719,24 @@ def containment_pairs(
     slower); the output is deduped after the threshold filter, where
     the surviving set is tiny.
     """
+    if prededup_exact:
+        # opt-in representative mode, same contract note as
+        # fuzzy_join: pairs name only each exact-text group's min-id
+        # representative (the 20× smoke's copy-heavy corpus emits
+        # 1.14M raw verified pairs; representatives collapse it to
+        # the distinct-text pair set)
+        h = df.select(F.col(id_col), F.md5(F.col(text_col)).alias("_h"))
+        keep = h.groupBy("_h").agg(F.min(id_col).alias("_keep"))
+        losers = (
+            h.join(keep, "_h")
+            .where(F.col(id_col) != F.col("_keep"))
+            .select(id_col)
+        )
+        df = (
+            df.join(losers, id_col, "left_anti")
+            .select(F.col(id_col), F.col(text_col))
+            .localCheckpoint(eager=False)
+        )
     cands = minhash_candidate_pairs(
         df, id_col, text_col, num_hashes, bands, shingle_k,
         max_bucket=max_bucket, distinct_pairs=False,

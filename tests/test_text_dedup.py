@@ -1173,3 +1173,19 @@ def test_fuzzy_join_prededup_representatives(spark):
         L, R, threshold=0.4, prededup_exact=True).collect()}
     assert raw == {(0, 1), (0, 3), (2, 1), (2, 3)}
     assert rep == {(0, 1)}  # min-id representative of each side
+
+
+def test_containment_prededup_representatives(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = from_rows(
+        spark,
+        [(0, base), (2, base), (1, base + " tail words here")],
+        schema="doc_id bigint, text string",
+    )
+    raw = {(r.id_a, r.id_b) for r in dedup.containment_pairs(
+        docs, "doc_id", "text", threshold=0.4).collect()}
+    rep = {(r.id_a, r.id_b) for r in dedup.containment_pairs(
+        docs, "doc_id", "text", threshold=0.4, prededup_exact=True
+    ).collect()}
+    assert (0, 2) in raw and (0, 1) in raw and (1, 2) in raw
+    assert rep == {(0, 1)}
