@@ -176,3 +176,16 @@ def test_interleave_sources_smooth_ratio(spark):
     extra = from_rows(spark, rows + [(999, "c")], schema="k bigint, src string")
     out2 = interleave_sources(extra, "k", "src", {"a": 0.7, "b": 0.3})
     assert out2.where("src = 'c'").count() == 0
+
+
+def test_weighted_sample_plans_takeordered(spark):
+    """Global top-n must plan as TakeOrdered (per-partition heaps) —
+    never a single-partition global sort."""
+    from fuel_spark.schemes import weighted_sample
+
+    df = from_rows(spark, [(i, float(i % 7 + 1)) for i in range(100)],
+                   schema="k bigint, w double")
+    p = weighted_sample(df, "k", "w", n=10)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "TakeOrdered" in p
+    assert "Exchange SinglePartition" not in p
