@@ -1756,6 +1756,29 @@ def q_check_referential(spark, sf):
     ])
 
 
+def q_concat_packed(spark, sf):
+    """Last-mile LM prep: pack docs to a 500-token budget, then
+    flatten each pack into one EOS-separated training sequence —
+    the materialized concatenate-and-chunk output (r4)."""
+    from fuel_spark.functions import words
+
+    d = _t(spark, sf)["documents"].select("doc_id", "text")
+    toks = d.select(
+        "doc_id",
+        F.filter(words(F.col("text")), lambda w: w != "").alias("tokens"),
+    ).withColumn("n", F.size("tokens").cast("bigint"))
+    packed = core.pack_token_budget(toks, "doc_id", "n", budget=500)
+    out = core.concat_packed_sequences(
+        packed, "pack_id", "doc_id", "tokens", eos="<eos>"
+    )
+    return out.select(
+        "pack_id",
+        _arr_str(F.col("input_ids"), "string").alias("input_ids"),
+        "n_tokens",
+        "n_docs",
+    )
+
+
 def q_asof_join_nearest(spark, sf):
     """Nearest-direction as-of between two INTERLEAVED streams: each
     view event aligns to the same user's closest purchase, past or
@@ -2085,6 +2108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_strip_html": q_strip_html,
         "events_attribution_decay": q_attribution_decay,
         "asof_join_nearest": q_asof_join_nearest,
+        "pack_concat_sequences": q_concat_packed,
         "text_char_entropy": q_char_entropy,
         "scheme_interleave": q_interleave,
         "ann_filtered": q_ann_filtered,
@@ -6293,6 +6317,36 @@ def oracle_sql() -> dict[str, str]:
           FROM v LEFT JOIN p ON v.user_id = p.user_id
         )
         SELECT event_id, user_id, purchase_id FROM j WHERE rn = 1
+    """
+
+    sqls["pack_concat_sequences"] = f"""
+        WITH tok AS (
+          SELECT doc_id,
+                 list_filter({_words_sql('text')}, w -> w <> '') AS toks
+          FROM documents
+        ),
+        sized AS (
+          SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM tok
+        ),
+        packed AS (
+          SELECT doc_id, toks,
+                 CAST(COALESCE(sum(n) OVER (
+                        ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) // 500 AS BIGINT) AS pack_id
+          FROM sized
+        ),
+        agg AS (
+          SELECT pack_id,
+                 flatten(list(list_append(toks, '<eos>')
+                              ORDER BY doc_id)) AS input_ids,
+                 count(*) AS n_docs
+          FROM packed GROUP BY 1
+        )
+        SELECT pack_id, {_arrstr_sql('input_ids', 'string')} AS input_ids,
+               CAST(len(input_ids) AS BIGINT) AS n_tokens,
+               CAST(n_docs AS BIGINT) AS n_docs
+        FROM agg
     """
 
     _mrl_unit = (

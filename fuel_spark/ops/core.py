@@ -668,6 +668,46 @@ def pack_token_budget(
     )
 
 
+def concat_packed_sequences(
+    df: DataFrame,
+    pack_col: str,
+    id_col: str,
+    tokens_col: str,
+    eos: int | str | None = None,
+) -> DataFrame:
+    """The last-mile LM-prep step: flatten each pack's documents (in
+    ``id_col`` order) into ONE training token sequence, optionally
+    inserting an ``eos`` separator after every document — the
+    materialization of :func:`pack_token_budget`'s assignment into
+    the concatenate-and-chunk sequences GPT-style pre-training
+    actually consumes.
+
+    One pack-keyed groupBy; each pack's combined tokens are bounded
+    by the budget (plus one document tail), so the per-row collect /
+    sort / flatten stays row-local and memory-safe at any corpus
+    size.  Output: pack, input_ids, n_tokens, n_docs.
+    """
+    doc = F.struct(F.col(id_col).alias("i"), F.col(tokens_col).alias("t"))
+    grouped = df.groupBy(pack_col).agg(
+        F.array_sort(F.collect_list(doc)).alias("_docs")
+    )
+    if eos is None:
+        seq = F.flatten(F.transform(F.col("_docs"), lambda d: d["t"]))
+    else:
+        seq = F.flatten(
+            F.transform(
+                F.col("_docs"),
+                lambda d: F.concat(d["t"], F.array(F.lit(eos))),
+            )
+        )
+    return grouped.select(
+        F.col(pack_col),
+        seq.alias("input_ids"),
+        F.size(seq).cast("bigint").alias("n_tokens"),
+        F.size(F.col("_docs")).cast("bigint").alias("n_docs"),
+    )
+
+
 def pack_token_budget_local(
     df: DataFrame,
     id_col: str,

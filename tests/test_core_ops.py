@@ -267,3 +267,27 @@ def test_asof_join_nearest_direction(spark):
     assert out[2] == 300   # equal gap: backward wins
     assert out[3] == 500   # forward-only key still matches
     assert out[4] is None  # key 3 has no rights at all
+
+
+def test_concat_packed_sequences_order_and_eos(spark):
+    """Docs flatten in id order per pack, EOS after every doc; total
+    tokens = sum(doc tokens) + n_docs."""
+    from fuel_spark.ops.core import concat_packed_sequences
+
+    rows = [
+        (0, 2, ["a", "b"]),
+        (0, 1, ["c"]),          # same pack, smaller id -> comes first
+        (1, 9, ["x", "y", "z"]),
+    ]
+    df = from_rows(
+        spark, rows,
+        schema="pack_id bigint, doc_id bigint, tokens array<string>",
+    )
+    out = {r.pack_id: r for r in concat_packed_sequences(
+        df, "pack_id", "doc_id", "tokens", eos="<eos>").collect()}
+    assert out[0].input_ids == ["c", "<eos>", "a", "b", "<eos>"]
+    assert (out[0].n_tokens, out[0].n_docs) == (5, 2)
+    assert out[1].input_ids == ["x", "y", "z", "<eos>"]
+    # no separator when eos omitted
+    plain = concat_packed_sequences(df, "pack_id", "doc_id", "tokens").collect()
+    assert {tuple(r.input_ids) for r in plain} == {("c", "a", "b"), ("x", "y", "z")}
