@@ -74,63 +74,47 @@ def main() -> int:
             "events_funnel", "customer_rolling_revenue", "mixture_sample",
             "dedup_decontaminate", "dedup_semantic", "profile_lineitem",
             "check_expectations", "sample_n_per_group", "pack_token_budget",
-            "pack_token_budget_local", "text_corpus_stats",
-            "sole_blame_suppliers", "min_cost_supplier",
-            "text_chunk_documents", "dedup_containment", "ann_pq",
-            "events_range_join", "events_attribution", "dedup_segments",
-            "text_dsir_weights", "feature_quantile_bins", "text_winnowing",
-            "embedding_pca", "events_key_skew", "dedup_fuzzy_join",
-            "text_oov_rate", "events_engagement", "embedding_hard_negatives",
-            "embedding_sample_negatives", "events_transitions",
-            "events_funnel_windowed", "feature_standardize",
-            "dedup_simhash_pairs", "asof_join_forward",
-            "events_attribution_first",
-            # late-r3 corpus & analytics reports
-            "text_c4_filters", "text_quality_classifier",
-            "text_lexical_diversity", "documents_length_histogram",
-            "embedding_norm_extremes", "events_pareto_share",
-            "events_interarrival", "events_hourly_profile",
-            "events_new_vs_returning", "events_type_cooccurrence",
-            "customer_ltv_deciles", "shipping_delay_stats",
-            "events_session_stats", "events_value_histogram",
-            "events_churn", "basket_part_pairs", "revenue_concentration",
-            "dedup_url", "corpus_quality_by_source", "text_doc_frequency",
-            "embedding_dim_stats", "events_ab_test",
-            "orders_monthly_growth", "events_user_path_topk",
-            "customer_order_gaps", "part_price_stats",
-            "dedup_rate_by_source", "text_shingle_uniqueness",
-            "embedding_adjacent_cosine", "text_lang_confusion",
-            "scheme_epoch_batches", "supplier_balance_tiers",
-            "priority_mix_by_segment",
-            "events_user_anomalies", "orders_size_histogram",
-            "text_word_length_hist", "embedding_quantization_error",
-            "part_pagerank", "text_quality_model",
-            "events_conversion_lag", "customer_order_freq",
-            "events_monthly_type_mix", "discount_revenue_curve",
-            "embedding_label_separation",
-            "events_retention_curve", "lineitem_qty_price_corr",
-            "text_vocab_coverage", "embedding_centroid_confusion",
-            "customer_balance_ltv_corr", "text_bigram_logprob",
-            "embedding_block_profile", "events_dow_hour_heatmap",
-            "dedup_pair_quality", "dedup_prefix_groups",
-            "scheme_shards", "returns_by_month",
-            "embedding_knn_purity", "dedup_summary",
-            "events_gap_histogram", "events_rfm_segments",
-            "supplier_revenue_concentration", "dedup_exact_vectors",
-            "events_entry_points", "embedding_norm_by_label",
-            "dedup_minhash_calibration",
-            # r4 additions
-            "events_attribution_linear", "events_stickiness",
-            "dedup_apply_segments", "text_feature_hashing",
-            "graph_degree_distribution", "embedding_matryoshka",
-            "ann_matryoshka", "dedup_apply_keep_longest",
+            "pack_token_budget_local", "text_corpus_stats", "sole_blame_suppliers",
+            "min_cost_supplier", "text_chunk_documents", "dedup_containment",
+            "ann_pq", "events_range_join", "events_attribution",
+            "dedup_segments", "text_dsir_weights", "feature_quantile_bins",
+            "text_winnowing", "embedding_pca", "events_key_skew",
+            "dedup_fuzzy_join", "text_oov_rate", "events_engagement",
+            "embedding_hard_negatives", "embedding_sample_negatives", "events_transitions",
+            "events_funnel_windowed", "feature_standardize", "dedup_simhash_pairs",
+            "asof_join_forward", "events_attribution_first", "text_c4_filters",
+            "text_quality_classifier", "text_lexical_diversity", "documents_length_histogram",
+            "embedding_norm_extremes", "events_pareto_share", "events_interarrival",
+            "events_hourly_profile", "events_new_vs_returning", "events_type_cooccurrence",
+            "customer_ltv_deciles", "shipping_delay_stats", "events_session_stats",
+            "events_value_histogram", "events_churn", "basket_part_pairs",
+            "revenue_concentration", "dedup_url", "corpus_quality_by_source",
+            "text_doc_frequency", "embedding_dim_stats", "events_ab_test",
+            "orders_monthly_growth", "events_user_path_topk", "customer_order_gaps",
+            "part_price_stats", "dedup_rate_by_source", "text_shingle_uniqueness",
+            "embedding_adjacent_cosine", "text_lang_confusion", "scheme_epoch_batches",
+            "supplier_balance_tiers", "priority_mix_by_segment", "events_user_anomalies",
+            "orders_size_histogram", "text_word_length_hist", "embedding_quantization_error",
+            "part_pagerank", "text_quality_model", "events_conversion_lag",
+            "customer_order_freq", "events_monthly_type_mix", "discount_revenue_curve",
+            "embedding_label_separation", "events_retention_curve", "lineitem_qty_price_corr",
+            "text_vocab_coverage", "embedding_centroid_confusion", "customer_balance_ltv_corr",
+            "text_bigram_logprob", "embedding_block_profile", "events_dow_hour_heatmap",
+            "dedup_pair_quality", "dedup_prefix_groups", "scheme_shards",
+            "returns_by_month", "embedding_knn_purity", "dedup_summary",
+            "events_gap_histogram", "events_rfm_segments", "supplier_revenue_concentration",
+            "dedup_exact_vectors", "events_entry_points", "embedding_norm_by_label",
+            "dedup_minhash_calibration", "events_attribution_linear", "events_stickiness",
+            "dedup_apply_segments", "text_feature_hashing", "graph_degree_distribution",
+            "embedding_matryoshka", "ann_matryoshka", "dedup_apply_keep_longest",
             "dedup_corpus_diff", "sample_weighted", "text_clean",
-            "events_daily_ewma", "orders_backlog",
-            "corpus_source_divergence", "text_similar_docs",
-            "scheme_curriculum", "check_referential", "ann_mmr",
-            "feature_winsorize", "events_trend_by_type",
-            "events_chi_square", "events_seasonal_forecast",
-            "events_segment_migration", "customer_cohort_ltv",
+            "events_daily_ewma", "orders_backlog", "corpus_source_divergence",
+            "text_similar_docs", "scheme_curriculum", "check_referential",
+            "ann_mmr", "events_attribution_decay", "text_char_entropy",
+            "scheme_interleave", "asof_join_nearest", "text_strip_html",
+            "events_decompose", "ann_filtered", "pack_concat_sequences",
+            "events_chi_square", "events_seasonal_forecast", "feature_winsorize",
+            "events_trend_by_type", "events_segment_migration", "customer_cohort_ltv",
             "ann_recall_matryoshka",
         ]
         if len(sys.argv) > 3:
