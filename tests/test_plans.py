@@ -750,7 +750,7 @@ SINGLE_PARTITION_ALLOWLIST = {
     "cross_validation", "pack_batches", "pack_token_budget",
     "pad_sequences", "sort_within_batches", "unpack_batches",
     "merge_streams", "merge_streams_local", "cache_stream_rebatch",
-    "split_select",
+    "split_select", "pack_concat_sequences",
     # 1-row / few-row global finals (counts, corr, chi-square, DiD,
     # expectation & referential suites, calibration/summary reports)
     "check_expectations", "check_referential", "events_chi_square",
