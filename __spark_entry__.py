@@ -1756,6 +1756,13 @@ def q_check_referential(spark, sf):
     ])
 
 
+def q_threshold_sweep(spark, sf):
+    """One-pass dedup tuning curve: pairs and kill counts at four
+    candidate jaccard thresholds (r4)."""
+    d = _t(spark, sf)["documents"]
+    return dedup.dedup_threshold_sweep(d, "doc_id", "text")
+
+
 def q_concat_packed(spark, sf):
     """Last-mile LM prep: pack docs to a 500-token budget, then
     flatten each pack into one EOS-separated training sequence —
@@ -2109,6 +2116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_attribution_decay": q_attribution_decay,
         "asof_join_nearest": q_asof_join_nearest,
         "pack_concat_sequences": q_concat_packed,
+        "dedup_threshold_sweep": q_threshold_sweep,
         "text_char_entropy": q_char_entropy,
         "scheme_interleave": q_interleave,
         "ann_filtered": q_ann_filtered,
@@ -6349,6 +6357,21 @@ def oracle_sql() -> dict[str, str]:
         FROM agg
     """
 
+    sqls["dedup_threshold_sweep"] = f"""
+        WITH p AS ({{jaccard}}),
+        t(threshold) AS (VALUES (0.5), (0.7), (0.8), (0.9)),
+        m AS (
+          SELECT CAST(t.threshold AS DOUBLE) AS threshold,
+                 count(p.id_a) AS n_pairs,
+                 count(DISTINCT p.id_b) AS n_docs_killed
+          FROM t LEFT JOIN p ON p.jaccard >= t.threshold
+          GROUP BY 1
+        )
+        SELECT threshold, CAST(n_pairs AS BIGINT) AS n_pairs,
+               CAST(n_docs_killed AS BIGINT) AS n_docs_killed
+        FROM m
+    """
+
     _mrl_unit = (
         "list_transform(embedding[1:16],"
         f" x -> CAST(x AS DOUBLE) / {_norm2_sql('embedding[1:16]')})"
@@ -6402,5 +6425,9 @@ def oracle_sql() -> dict[str, str]:
           ON e.query_id = c.query_id AND e.neighbor_id = c.neighbor_id
         GROUP BY 1
     """
+
+    sqls["dedup_threshold_sweep"] = sqls["dedup_threshold_sweep"].replace(
+        "{jaccard}", sqls["dedup_jaccard"]
+    )
 
     return sqls

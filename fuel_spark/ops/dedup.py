@@ -1412,3 +1412,52 @@ def minhash_calibration(
             " DIV (2 * n) AS BIGINT) / 1e6"
         ).alias("mean_abs_err"),
     )
+
+
+def dedup_threshold_sweep(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    thresholds: tuple = (0.5, 0.7, 0.8, 0.9),
+    num_hashes: int = 9,
+    bands: int = 3,
+    shingle_k: int = 5,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Dedup tuning curve in ONE pass: for each candidate threshold,
+    how many verified pairs clear it and how many documents the
+    keep-min policy would kill — the what-if sweep that picks a
+    jaccard cutoff WITHOUT re-running the pipeline per setting (the
+    pair set is computed once; thresholds are a 4-row explode over
+    it).
+
+    Thresholds with zero qualifying pairs still report (0, 0) rows —
+    a sweep that silently drops empty settings reads as "no data"
+    instead of "nothing dies here".  Counts are exact; the distinct
+    kill-count aggregates over the (small) pair set, never the
+    corpus.
+    """
+    pairs = ngram_jaccard_pairs(
+        df, id_col, text_col, threshold=0.0, num_hashes=num_hashes,
+        bands=bands, shingle_k=shingle_k, max_bucket=max_bucket,
+        distinct_pairs=True,
+    ).select("id_a", "id_b", "jaccard")
+    tvals = [float(t) for t in thresholds]
+    texp = F.explode(F.array(*[F.lit(t) for t in tvals])).alias("threshold")
+    counted = (
+        pairs.select("*", texp)
+        .where(F.col("jaccard") >= F.col("threshold"))
+        .groupBy("threshold")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.count_distinct("id_b").cast("bigint").alias("n_docs_killed"),
+        )
+    )
+    base = df.sparkSession.range(1).select(
+        F.explode(F.array(*[F.lit(t) for t in tvals])).alias("threshold")
+    )
+    return base.join(counted, "threshold", "left").select(
+        "threshold",
+        F.coalesce("n_pairs", F.lit(0)).cast("bigint").alias("n_pairs"),
+        F.coalesce("n_docs_killed", F.lit(0)).cast("bigint").alias("n_docs_killed"),
+    )

@@ -1189,3 +1189,26 @@ def test_containment_prededup_representatives(spark):
     ).collect()}
     assert (0, 2) in raw and (0, 1) in raw and (1, 2) in raw
     assert rep == {(0, 1)}
+
+
+def test_threshold_sweep_monotone_and_complete(spark):
+    """Counts are monotone non-increasing in the threshold, and every
+    requested threshold reports even when nothing qualifies."""
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = from_rows(
+        spark,
+        [(1, base), (2, base), (3, base + " tail words"),
+         (4, "completely different words here")],
+        schema="doc_id bigint, text string",
+    )
+    out = {r.threshold: (r.n_pairs, r.n_docs_killed) for r in
+           dedup.dedup_threshold_sweep(
+               docs, "doc_id", "text",
+               thresholds=(0.5, 0.9, 0.999999)).collect()}
+    assert set(out) == {0.5, 0.9, 0.999999}
+    pairs = [out[t][0] for t in (0.5, 0.9, 0.999999)]
+    kills = [out[t][1] for t in (0.5, 0.9, 0.999999)]
+    assert pairs == sorted(pairs, reverse=True)
+    assert kills == sorted(kills, reverse=True)
+    assert out[0.5][0] >= 2          # exact pair + near pair qualify
+    assert out[0.999999] == (1, 1)   # only the exact dup survives 1.0-ish
