@@ -1987,25 +1987,113 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry.  ORDERING IS DELIBERATE: the driver's
     correctness gate checks the FIRST 50 keys, so each round leads
     with the keys that do not yet have a driver-green CORRECTNESS row.
-    ROUND-4 window (applied): the first 50 keys are oracle-checked
-    queries with no driver row in CORRECTNESS_r01-r03, starting at
-    ``events_attribution`` — attribution/quantile-bins/winnowing plus
-    the late-r3 corpus & analytics reports (C4 filters, quality
-    classifier, URL dedup, Pareto/LTV/Gini, A/B, paths, confusion
-    matrix, epoch plan, anomaly/histogram reports, …).  All 50 are
-    local-pass under ``tools/check_correctness.py``.  ROUND-5 window
-    staged immediately after: the remaining 29 never-driver-checked
-    oracle keys (``orders_size_histogram`` … ``dedup_minhash_
-    calibration``) — once r5 greens those, every oracle-checked query
-    in the registry has a cumulative driver-green row.  Rows-only
-    keys sit past them (a driver rows-only row is weaker than their
-    pytest evidence).  Keys past that all have driver-green rows from
-    r1/r2/r3 and stay covered by ``tools/check_correctness.py``
-    locally every session.
+    ROUND-5 window (applied): the first 50 keys are oracle-checked
+    queries with no driver row in CORRECTNESS_r01-r04 — the 29 keys
+    staged in r4 (``orders_size_histogram`` …
+    ``dedup_minhash_calibration``) followed by the first 21 r4-new
+    oracle keys (``events_attribution_linear`` …
+    ``events_diff_in_diff``).  All 50 are local-pass under
+    ``tools/check_correctness.py``.  The remaining 13 r4-new oracle
+    keys are staged immediately after as the ROUND-6 window — once r6
+    greens those, every oracle-checked query in the registry has a
+    cumulative driver-green row.  Rows-only keys sit past them (a
+    driver rows-only row is weaker than their pytest evidence).  Keys
+    past that all have driver-green rows from r1-r4 and stay covered
+    by ``tools/check_correctness.py`` locally every session.
     """
     return {
-        # ---- ROUND-4 driver window (first 50): oracle-checked keys
-        # with no driver row in CORRECTNESS_r01-r03 (all local-pass) ----
+        # ---- ROUND-5 driver window (first 50): oracle-checked keys
+        # with no driver row in CORRECTNESS_r01-r04 (all local-pass).
+        # Part 1: the 29 keys staged in round 4. ----------------------
+        "orders_size_histogram": q_order_size_hist,
+        "text_word_length_hist": q_word_len_hist,
+        "embedding_quantization_error": q_quantization_error,
+        "events_conversion_lag": q_conversion_lag,
+        "customer_order_freq": q_customer_order_freq,
+        "events_monthly_type_mix": q_monthly_type_mix,
+        "discount_revenue_curve": q_discount_curve,
+        "embedding_label_separation": q_label_separation,
+        "events_retention_curve": q_retention_curve,
+        "lineitem_qty_price_corr": q_qty_price_corr,
+        "text_vocab_coverage": q_vocab_coverage,
+        "embedding_centroid_confusion": q_centroid_confusion,
+        "customer_balance_ltv_corr": q_balance_ltv_corr,
+        "text_bigram_logprob": q_bigram_logprob,
+        "embedding_block_profile": q_block_size_profile,
+        "events_dow_hour_heatmap": q_dow_hour_heatmap,
+        "dedup_pair_quality": q_pair_quality_stats,
+        "dedup_prefix_groups": q_prefix_dups,
+        "scheme_shards": q_shard_assignment,
+        "returns_by_month": q_returns_by_month,
+        "embedding_knn_purity": q_knn_purity,
+        "dedup_summary": q_dedup_summary,
+        "events_gap_histogram": q_gap_histogram,
+        "events_rfm_segments": q_rfm_segments,
+        "supplier_revenue_concentration": q_supplier_concentration,
+        "dedup_exact_vectors": q_exact_vector_dedup,
+        "events_entry_points": q_entry_points,
+        "embedding_norm_by_label": q_norm_by_label,
+        "dedup_minhash_calibration": q_minhash_calibration,
+        # Part 2: the first 21 r4-new oracle keys complete the 50. ----
+        "events_attribution_linear": q_attribution_linear,
+        "events_stickiness": q_stickiness,
+        "dedup_apply_segments": q_apply_segment_dedup,
+        "text_feature_hashing": q_feature_hashing,
+        "graph_degree_distribution": q_degree_distribution,
+        "embedding_matryoshka": q_embedding_matryoshka,
+        "ann_matryoshka": q_ann_matryoshka,
+        "dedup_apply_keep_longest": q_dedup_apply_keep_longest,
+        "dedup_corpus_diff": q_corpus_diff,
+        "sample_weighted": q_weighted_sample,
+        "text_clean": q_clean_text,
+        "events_daily_ewma": q_events_daily_ewma,
+        "orders_backlog": q_orders_backlog,
+        "corpus_source_divergence": q_source_divergence,
+        "text_similar_docs": q_tfidf_similar_docs,
+        "scheme_curriculum": q_curriculum_batches,
+        "check_referential": q_check_referential,
+        "feature_winsorize": q_winsorize,
+        "events_chi_square": q_chi_square,
+        "events_segment_migration": q_segment_migration,
+        "events_diff_in_diff": q_diff_in_diff,
+        # ---- end of round-5 window --------------------------------
+        # ROUND-6 window staged next: the remaining 13 never-driver-
+        # checked oracle keys (r4-new).  After r6 greens these, every
+        # oracle-checked query has a cumulative driver-green row.
+        "text_strip_html": q_strip_html,
+        "events_attribution_decay": q_attribution_decay,
+        "asof_join_nearest": q_asof_join_nearest,
+        "pack_concat_sequences": q_concat_packed,
+        "dedup_threshold_sweep": q_threshold_sweep,
+        "text_char_entropy": q_char_entropy,
+        "scheme_interleave": q_interleave,
+        "ann_filtered": q_ann_filtered,
+        "events_decompose": q_events_decompose,
+        "customer_cohort_ltv": q_cohort_ltv,
+        "ann_recall_matryoshka": q_ann_recall_certificate,
+        "events_seasonal_forecast": q_seasonal_forecast,
+        "events_trend_by_type": q_trend_by_type,
+        # ---- rows-only keys (no SQL oracle by design; driver records
+        # a weaker rows-only row; full evidence lives in tests/) ------
+        "text_bpe_merges": q_bpe_merges,
+        "part_pagerank": q_part_pagerank,
+        "text_quality_model": q_quality_model,
+        "multimodal_decode": q_multimodal,
+        "ann_mmr": q_ann_mmr,
+        "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
+        "pack_token_budget_local": q_pack_token_budget_local,
+        "merge_streams_local": q_merge_local,
+        "pack_batches_local": q_pack_batches_local,
+        "pad_sequences_local": q_pad_sequences_local,
+        "sort_batches_local": q_sort_batches_local,
+        "ann_pq": q_ann_pq,
+        "events_approx_distinct": q_events_approx_distinct,
+        "embedding_pca": q_embedding_pca,
+        "corpus_domains": q_corpus_domains,
+        # ---- driver-green in r1-r4 (covered cumulatively; still
+        # verified every session by tools/check_correctness.py) -------
+        # driver-green in r4 (CORRECTNESS_r04.json, 50/50):
         "events_attribution": q_events_attribution,
         "feature_quantile_bins": q_quantile_bins,
         "text_winnowing": q_winnowing,
@@ -2056,95 +2144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_balance_tiers": q_supplier_tiers,
         "priority_mix_by_segment": q_priority_mix,
         "events_user_anomalies": q_user_anomalies,
-        # ---- end of round-4 window --------------------------------
-        # ROUND-5 window staged next: the remaining 29 never-driver-
-        # checked oracle keys.  After r5 greens these, every oracle-
-        # checked query in the registry has a driver-green row.
-        "orders_size_histogram": q_order_size_hist,
-        "text_word_length_hist": q_word_len_hist,
-        "embedding_quantization_error": q_quantization_error,
-        "events_conversion_lag": q_conversion_lag,
-        "customer_order_freq": q_customer_order_freq,
-        "events_monthly_type_mix": q_monthly_type_mix,
-        "discount_revenue_curve": q_discount_curve,
-        "embedding_label_separation": q_label_separation,
-        "events_retention_curve": q_retention_curve,
-        "lineitem_qty_price_corr": q_qty_price_corr,
-        "text_vocab_coverage": q_vocab_coverage,
-        "embedding_centroid_confusion": q_centroid_confusion,
-        "customer_balance_ltv_corr": q_balance_ltv_corr,
-        "text_bigram_logprob": q_bigram_logprob,
-        "embedding_block_profile": q_block_size_profile,
-        "events_dow_hour_heatmap": q_dow_hour_heatmap,
-        "dedup_pair_quality": q_pair_quality_stats,
-        "dedup_prefix_groups": q_prefix_dups,
-        "scheme_shards": q_shard_assignment,
-        "returns_by_month": q_returns_by_month,
-        "embedding_knn_purity": q_knn_purity,
-        "dedup_summary": q_dedup_summary,
-        "events_gap_histogram": q_gap_histogram,
-        "events_rfm_segments": q_rfm_segments,
-        "supplier_revenue_concentration": q_supplier_concentration,
-        "dedup_exact_vectors": q_exact_vector_dedup,
-        "events_entry_points": q_entry_points,
-        "embedding_norm_by_label": q_norm_by_label,
-        "dedup_minhash_calibration": q_minhash_calibration,
-        # ---- new in r4 (oracle-checked; queue behind the staged r5
-        # window — they become round-6 rotation candidates) -----------
-        "events_attribution_linear": q_attribution_linear,
-        "events_stickiness": q_stickiness,
-        "dedup_apply_segments": q_apply_segment_dedup,
-        "text_feature_hashing": q_feature_hashing,
-        "graph_degree_distribution": q_degree_distribution,
-        "embedding_matryoshka": q_embedding_matryoshka,
-        "ann_matryoshka": q_ann_matryoshka,
-        "dedup_apply_keep_longest": q_dedup_apply_keep_longest,
-        "dedup_corpus_diff": q_corpus_diff,
-        "sample_weighted": q_weighted_sample,
-        "text_clean": q_clean_text,
-        "events_daily_ewma": q_events_daily_ewma,
-        "orders_backlog": q_orders_backlog,
-        "corpus_source_divergence": q_source_divergence,
-        "text_similar_docs": q_tfidf_similar_docs,
-        "scheme_curriculum": q_curriculum_batches,
-        "check_referential": q_check_referential,
-        "feature_winsorize": q_winsorize,
-        "events_chi_square": q_chi_square,
-        "events_segment_migration": q_segment_migration,
-        "events_diff_in_diff": q_diff_in_diff,
-        "text_strip_html": q_strip_html,
-        "events_attribution_decay": q_attribution_decay,
-        "asof_join_nearest": q_asof_join_nearest,
-        "pack_concat_sequences": q_concat_packed,
-        "dedup_threshold_sweep": q_threshold_sweep,
-        "text_char_entropy": q_char_entropy,
-        "scheme_interleave": q_interleave,
-        "ann_filtered": q_ann_filtered,
-        "events_decompose": q_events_decompose,
-        "customer_cohort_ltv": q_cohort_ltv,
-        "ann_recall_matryoshka": q_ann_recall_certificate,
-        "events_seasonal_forecast": q_seasonal_forecast,
-        "events_trend_by_type": q_trend_by_type,
-        # ---- rows-only keys (no SQL oracle by design; driver records
-        # a weaker rows-only row; full evidence lives in tests/) ------
-        "text_bpe_merges": q_bpe_merges,
-        "part_pagerank": q_part_pagerank,
-        "text_quality_model": q_quality_model,
-        "multimodal_decode": q_multimodal,
-        "ann_mmr": q_ann_mmr,
-        "ann_lsh": q_ann_lsh,
-        "ann_ivf": q_ann_ivf,
-        "pack_token_budget_local": q_pack_token_budget_local,
-        "merge_streams_local": q_merge_local,
-        "pack_batches_local": q_pack_batches_local,
-        "pad_sequences_local": q_pad_sequences_local,
-        "sort_batches_local": q_sort_batches_local,
-        "ann_pq": q_ann_pq,
-        "events_approx_distinct": q_events_approx_distinct,
-        "embedding_pca": q_embedding_pca,
-        "corpus_domains": q_corpus_domains,
-        # ---- driver-green in r1/r2/r3 (covered cumulatively; still
-        # verified every session by tools/check_correctness.py) -------
+        # driver-green in r1/r2/r3:
         "sliding_window": q_sliding_window,
         "text_dictionary_encode": q_dictionary_encode,
         "text_dictionary_encode_fixed": q_dictionary_encode_fixed,
@@ -6233,9 +6233,9 @@ def oracle_sql() -> dict[str, str]:
         wtd AS (
           SELECT purchase_id, value, channel,
                  CASE WHEN touch_ts IS NOT NULL
-                      THEN round(pow(0.5,
+                      THEN greatest(round(pow(0.5,
                              (epoch_us(pe) - epoch_us(touch_ts))
-                             / 1000000.0 / 7200.0), 9) END AS w
+                             / 1000000.0 / 7200.0), 9), 1e-9) END AS w
           FROM j
         ),
         nm AS (

@@ -39,6 +39,17 @@ from fuel_spark.functions import (
 # while sitting far above any honest near-dup bucket (the sf0.1
 # corpus's largest band bucket is 123; a bucket past 512 members is
 # boilerplate, not duplication).
+#
+# OUTPUT-ALTERING DEFAULT (changed from None in r4): on any corpus
+# with a band bucket >512 members the star-degrade emits hub pairs
+# instead of the full within-bucket expansion, so some verified pairs
+# (hence some duplicates) are intentionally not emitted.  Callers who
+# need exhaustive pair semantics must pass ``max_bucket=None``
+# explicitly.  The DuckDB oracle SQL for the registry queries carries
+# NO bucket guard — parity holds because no oracle-scale bucket
+# approaches the cap, and tests/test_text_dedup.py::
+# test_oracle_scale_buckets_under_default_cap pins that invariant so
+# corpus drift fails loudly instead of as a silent hash mismatch.
 DEFAULT_MAX_BUCKET: int | None = 512
 
 

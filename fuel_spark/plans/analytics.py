@@ -1392,6 +1392,14 @@ def events_attribution_time_decay(
     normalizer is one purchase-keyed window sum of those rounded
     weights (decimal), and the channel rollup is exact-DECIMAL.
     Purchases with no in-window touch credit 'none' in full.
+
+    Weights are clamped to ≥1e-9 (the 9-dp rounding quantum): with
+    user-supplied params where gap/half_life exceeds ~30, every raw
+    weight in a purchase can round to 0, making the normalizer 0 and
+    silently dropping the purchase from the rollup.  The clamp makes
+    the degenerate case degrade to uniform (linear-model) credit
+    instead, preserving Σ credited_purchases == purchase count for
+    every parameterization.
     """
     from pyspark.sql import Window as W
 
@@ -1421,8 +1429,9 @@ def events_attribution_time_decay(
         F.unix_micros(F.col("win_end").cast("timestamp"))
         - F.unix_micros(F.col("touch_ts").cast("timestamp"))
     ) / 1_000_000.0
-    w_raw = F.round(
-        F.pow(F.lit(0.5), gap / F.lit(float(half_life_seconds))), 9
+    w_raw = F.greatest(
+        F.round(F.pow(F.lit(0.5), gap / F.lit(float(half_life_seconds))), 9),
+        F.lit(1e-9),
     )
     weighted = pairs.withColumn(
         "w", F.when(F.col("touch_ts").isNotNull(), w_raw)

@@ -85,6 +85,14 @@ def hdf5_to_parquet(
                 block = f[name][start:stop]
                 if getattr(block, "ndim", 1) > 1:
                     cols[name] = [row.tolist() for row in block]
+                elif block.dtype.kind == "O":
+                    # vlen node: ndarray elements -> lists (numeric
+                    # vlen), bytes -> str — keeps this tier's parquet
+                    # identical to the distributed tier's
+                    cols[name] = [
+                        v.tolist() if hasattr(v, "tolist") else _to_str(v)
+                        for v in block
+                    ]
                 else:
                     cols[name] = block.tolist()
             pdf = pd.DataFrame(cols)
@@ -96,24 +104,58 @@ def hdf5_to_parquet(
     return total
 
 
-def _spark_type_for(np_dtype, ndim: int) -> str:
-    """DDL type string for one HDF5 node: numpy dtype + rank →
-    (possibly nested) Spark type.  Examples are row-major, so rank r
-    maps to r-1 levels of array nesting per example."""
+def _node_conversion(np_dtype, ndim: int) -> tuple[str, str]:
+    """(DDL type, conversion mode) for one HDF5 node: numpy dtype +
+    rank → (possibly nested) Spark type and how executors must
+    convert the slice.  Examples are row-major, so rank r maps to r-1
+    levels of array nesting per example.
+
+    h5py vlen dtypes surface as numpy object ('O') dtype, which a
+    naive kind dispatch would stringify — corrupting a vlen float
+    array into its numpy repr ('[1. 2. 3.]').  check_vlen_dtype
+    distinguishes them: vlen str stays string; vlen numeric becomes
+    array<base> with per-element .tolist(); anything else (vlen of
+    vlen, compound) raises rather than silently stringifying.
+    Modes: 'nested' (rank>1 .tolist per row), 'vlen' (per-element
+    .tolist), 'str' (decode bytes), 'plain' (.tolist of the block).
+    """
     kind = np_dtype.kind
-    if kind in ("i", "u"):
-        base = "bigint"
+    vlen_base = None
+    if kind == "O":
+        import h5py
+
+        if h5py.check_string_dtype(np_dtype) is not None:
+            vlen_base = None  # vlen str -> plain string column
+        else:
+            vlen_base = h5py.check_vlen_dtype(np_dtype)
+            if vlen_base is None:
+                raise ValueError(
+                    f"unsupported object-dtype HDF5 node {np_dtype!r} "
+                    f"(not a vlen string or vlen numeric)"
+                )
+            if vlen_base.kind not in ("i", "u", "f", "b"):
+                raise ValueError(
+                    f"unsupported vlen base dtype {vlen_base!r} "
+                    f"(nested vlen / compound not supported)"
+                )
+    if vlen_base is not None:
+        inner, _ = _node_conversion(vlen_base, 1)
+        base, mode = f"array<{inner}>", "vlen"
+    elif kind in ("i", "u"):
+        base, mode = "bigint", "plain"
     elif kind == "f":
-        base = "double"
+        base, mode = "double", "plain"
     elif kind == "b":
-        base = "boolean"
+        base, mode = "boolean", "plain"
     elif kind in ("S", "O", "U"):
-        base = "string"
+        base, mode = "string", "str"
     else:
         raise ValueError(f"unsupported HDF5 dtype {np_dtype!r}")
-    for _ in range(ndim - 1):
-        base = f"array<{base}>"
-    return base
+    if ndim > 1:
+        mode = "nested"
+        for _ in range(ndim - 1):
+            base = f"array<{base}>"
+    return base, mode
 
 
 def hdf5_to_parquet_distributed(
@@ -148,15 +190,15 @@ def hdf5_to_parquet_distributed(
             raise ValueError(f"no datasets found in {h5_path}")
         n = f[names[0]].shape[0]
         ddl_parts = []
+        modes = {}
         for name in names:
             node = f[name]
             if node.shape[0] != n:
                 raise ValueError(
                     f"source {name!r} has {node.shape[0]} rows, expected {n}"
                 )
-            ddl_parts.append(
-                f"`{name}` {_spark_type_for(node.dtype, len(node.shape))}"
-            )
+            ddl, modes[name] = _node_conversion(node.dtype, len(node.shape))
+            ddl_parts.append(f"`{name}` {ddl}")
         schema = ", ".join(ddl_parts)
         _write_splits_metadata(spark, f, out_path)
 
@@ -178,9 +220,12 @@ def hdf5_to_parquet_distributed(
                     cols = {}
                     for name in names:
                         block = fh[name][int(start):int(stop)]
-                        if getattr(block, "ndim", 1) > 1:
+                        mode = modes[name]
+                        if mode == "nested":
                             cols[name] = [row.tolist() for row in block]
-                        elif block.dtype.kind in ("S", "O"):
+                        elif mode == "vlen":
+                            cols[name] = [v.tolist() for v in block]
+                        elif mode == "str":
                             cols[name] = [_to_str(v) for v in block]
                         else:
                             cols[name] = block.tolist()

@@ -154,18 +154,37 @@ def upsert_dataset(
     identical).
 
     The rewrite stages to ``<path>__staging`` first and swaps only
-    after a successful write, so a mid-job failure leaves the
-    original dataset intact (filesystem-move atomicity, the classic
-    non-transactional-lake pattern).  Cost: one left_anti of old
-    against the (typically small, broadcastable) new key set + one
-    full rewrite of surviving rows — at 100 TB prefer hive
+    after a successful write: the old dataset is renamed aside to
+    ``<path>__old``, the staging dir renamed into place, and only
+    then is the old copy deleted — so a crash at ANY step leaves a
+    complete dataset on disk (at ``path`` or, in the one-rename crash
+    window, at ``path__old``; never neither, which a naive
+    rmtree-then-rename swap cannot guarantee).  Cost: one left_anti
+    of old against the (typically small, broadcastable) new key set +
+    one full rewrite of surviving rows — at 100 TB prefer hive
     partitioning on ``partition_by`` and upsert partition-aligned
     batches so only touched partitions rewrite.
+
+    LOCAL PATHS ONLY: the swap uses os.rename/shutil, so ``path``
+    must be a local filesystem path.  Object-store URIs (s3://,
+    hdfs://) are rejected up front — on those, use a table format
+    (Delta/Iceberg MERGE INTO) whose commit protocol provides the
+    same atomicity.
     """
     import os
     import shutil
 
+    if "://" in path and not path.startswith("file://"):
+        raise ValueError(
+            f"upsert_dataset swaps via os.rename and supports only local "
+            f"paths; got {path!r} — use a table format (MERGE INTO) on "
+            f"object stores"
+        )
+    path = path.removeprefix("file://")
     staging = path + "__staging"
+    old_aside = path + "__old"
+    if os.path.exists(old_aside):  # leftover from a crashed swap
+        shutil.rmtree(old_aside)
     if os.path.exists(path):
         old = spark.read.parquet(path)
         keys = new_rows.select(*key_cols).distinct()
@@ -175,25 +194,41 @@ def upsert_dataset(
         merged = new_rows
     write_dataset(merged, staging, partition_by=partition_by)
     if os.path.exists(path):
-        shutil.rmtree(path)
+        os.rename(path, old_aside)
     os.rename(staging, path)
+    if os.path.exists(old_aside):
+        shutil.rmtree(old_aside)
 
 
 def dataset_fingerprint(df: DataFrame) -> DataFrame:
     """Order-insensitive content fingerprint of a DataFrame: one row
-    with the row count and the xor of per-row xxhash64 over every
-    column — a content-addressable dataset identity for
-    reproducibility certification (same fingerprint ⟺ same multiset
-    of rows, for cache keys, cross-cluster regression checks, or
-    post-migration verification).
+    with the row count and the SUM (mod 2^64) of per-row xxhash64
+    over every column — a content-addressable dataset identity for
+    cache keys, cross-cluster regression checks, or post-migration
+    verification.
 
-    One map-side-combinable agg; xor is commutative/associative, so
-    the fingerprint is independent of partitioning and row order —
-    the same identity on any cluster.
+    Guarantee direction: equal multiset of rows ⇒ equal fingerprint
+    (the converse is only probabilistic — 64-bit collisions exist, so
+    a match certifies identity with error ≈ 2^-64, it does not prove
+    it).  Sum, not xor: a plain xor of row hashes cancels any
+    even-multiplicity row, so e.g. {A,A,B} and {C,C,B} would collide
+    deterministically; modular sum keeps every multiplicity
+    contribution distinct.
+
+    One map-side-combinable agg; + is commutative/associative, so the
+    fingerprint is independent of partitioning and row order — the
+    same identity on any cluster.  The per-row hash is accumulated in
+    DECIMAL(38,0) (exact up to ~10^38, i.e. ≥10^18 rows before any
+    precision question) and reduced mod 2^64 at the end; fingerprint
+    is returned as DECIMAL(20,0) in [0, 2^64).
     """
     from pyspark.sql import functions as F
 
+    # 2^64 exceeds py4j's long, so spell it as a SQL DECIMAL literal
+    two64 = F.expr("CAST(18446744073709551616 AS DECIMAL(38,0))")
     return df.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-        F.bit_xor(F.xxhash64(*df.columns)).cast("bigint").alias("fingerprint"),
+        F.pmod(
+            F.sum(F.xxhash64(*df.columns).cast("decimal(38,0)")), two64
+        ).cast("decimal(20,0)").alias("fingerprint"),
     )

@@ -1241,3 +1241,32 @@ def test_attribution_time_decay_weights(spark):
                window_seconds=1800, half_life_seconds=600).collect()}
     assert out["view"] == (round(1 / 1.5, 6), 6.0)     # weight 1
     assert out["click"] == (round(0.5 / 1.5, 6), 3.0)  # weight 0.5
+
+
+def test_attribution_time_decay_underflow_guard(spark):
+    """gap/half_life ≈ 1700: every raw weight rounds to 0 at 9 dp.
+    The ≥1e-9 clamp must degrade to uniform credit instead of
+    silently dropping the purchase (pre-fix, w/_wsum went NULL and
+    neither a channel nor 'none' got the credit)."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        {"event_id": 1, "ts": base - dt.timedelta(seconds=1700),
+         "user_id": 1, "event_type": "click", "value": 0.0, "props": "{}"},
+        {"event_id": 2, "ts": base - dt.timedelta(seconds=1702),
+         "user_id": 1, "event_type": "view", "value": 0.0, "props": "{}"},
+        {"event_id": 3, "ts": base, "user_id": 1, "event_type": "purchase",
+         "value": 8.0, "props": "{}"},
+    ]
+    out = {r.channel: (r.credited_purchases, r.credited_value) for r in
+           analytics.events_attribution_time_decay(
+               {"events": from_rows(spark, rows)},
+               window_seconds=1800, half_life_seconds=1).collect()}
+    total_purchases = sum(v[0] for v in out.values())
+    total_value = sum(v[1] for v in out.values())
+    assert abs(total_purchases - 1.0) < 1e-5      # purchase not dropped
+    assert abs(total_value - 8.0) < 1e-5
+    # both weights clamp to 1e-9 -> uniform split
+    assert abs(out["click"][0] - 0.5) < 1e-5
+    assert abs(out["view"][0] - 0.5) < 1e-5

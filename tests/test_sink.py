@@ -142,6 +142,36 @@ def test_upsert_dataset_replace_keep_append(spark, tmp_path):
     import os
 
     assert not os.path.exists(path + "__staging")
+    assert not os.path.exists(path + "__old")
+
+
+def test_upsert_dataset_rejects_object_store_uris(spark):
+    import pytest
+
+    from fuel_spark.sources.sink import upsert_dataset
+
+    df = from_rows(spark, [(1, "x")], schema="k bigint, v string")
+    with pytest.raises(ValueError, match="local"):
+        upsert_dataset(spark, df, "s3://bucket/ds", ["k"])
+
+
+def test_upsert_dataset_recovers_from_crashed_swap(spark, tmp_path):
+    """A crash between rename-aside and rename-into-place leaves the
+    dataset at path__old; the next upsert must clear the leftover and
+    still land the merge correctly."""
+    import os
+
+    from fuel_spark.sources.sink import upsert_dataset
+
+    path = str(tmp_path / "ds")
+    base = from_rows(spark, [(1, "a")], schema="k bigint, v string")
+    upsert_dataset(spark, base, path, ["k"])
+    os.makedirs(path + "__old")  # simulate debris from a crashed swap
+    delta = from_rows(spark, [(2, "b")], schema="k bigint, v string")
+    upsert_dataset(spark, delta, path, ["k"])
+    got = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    assert got == {1: "a", 2: "b"}
+    assert not os.path.exists(path + "__old")
 
 
 def test_dataset_fingerprint_order_invariant_and_sensitive(spark):
@@ -155,3 +185,23 @@ def test_dataset_fingerprint_order_invariant_and_sensitive(spark):
     c = from_rows(spark, [(1, "x"), (2, "y"), (3, "Z")], schema="k bigint, v string")
     fc = dataset_fingerprint(c).first()
     assert fc.fingerprint != fa.fingerprint
+
+
+def test_dataset_fingerprint_even_multiplicity_not_cancelled(spark):
+    """A xor-based fingerprint deterministically collides on any
+    even-multiplicity row swap ({A,A,B} vs {C,C,B} both reduce to
+    hash(B)); the modular-sum fingerprint must distinguish them, and
+    must still see multiplicity ({A,B} vs {A,A,B})."""
+    from fuel_spark.sources.sink import dataset_fingerprint
+
+    aab = from_rows(spark, [(1, "A"), (1, "A"), (2, "B")], schema="k bigint, v string")
+    ccb = from_rows(spark, [(3, "C"), (3, "C"), (2, "B")], schema="k bigint, v string")
+    ab = from_rows(spark, [(1, "A"), (2, "B")], schema="k bigint, v string")
+    f_aab = dataset_fingerprint(aab).first()
+    f_ccb = dataset_fingerprint(ccb).first()
+    f_ab = dataset_fingerprint(ab).first()
+    assert f_aab.n_rows == f_ccb.n_rows
+    assert f_aab.fingerprint != f_ccb.fingerprint
+    assert f_aab.fingerprint != f_ab.fingerprint
+    # in range [0, 2^64)
+    assert 0 <= int(f_aab.fingerprint) < 2 ** 64

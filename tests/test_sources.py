@@ -1,5 +1,7 @@
 """Sources: splits, toys, text corpus ingestion."""
 
+import pytest
+
 from fuel_spark.sources import SplitDataset, from_rows, spiral, swiss_roll
 
 
@@ -135,20 +137,43 @@ def test_hdf5_distributed_bridge(spark, tmp_path):
 
 
 def test_hdf5_spark_type_mapping():
-    """Pure dtype → DDL mapping, testable without h5py."""
+    """Pure dtype → (DDL, conversion-mode) mapping, testable without
+    h5py for all non-object dtypes."""
     import numpy as np
 
-    from fuel_spark.sources.hdf5 import _spark_type_for
+    from fuel_spark.sources.hdf5 import _node_conversion
 
-    assert _spark_type_for(np.dtype("int32"), 1) == "bigint"
-    assert _spark_type_for(np.dtype("float32"), 2) == "array<double>"
-    assert _spark_type_for(np.dtype("uint8"), 3) == "array<array<bigint>>"
-    assert _spark_type_for(np.dtype("bool"), 1) == "boolean"
-    assert _spark_type_for(np.dtype("S8"), 1) == "string"
+    assert _node_conversion(np.dtype("int32"), 1) == ("bigint", "plain")
+    assert _node_conversion(np.dtype("float32"), 2) == ("array<double>", "nested")
+    assert _node_conversion(np.dtype("uint8"), 3) == (
+        "array<array<bigint>>", "nested"
+    )
+    assert _node_conversion(np.dtype("bool"), 1) == ("boolean", "plain")
+    assert _node_conversion(np.dtype("S8"), 1) == ("string", "str")
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="unsupported"):
-        _spark_type_for(np.dtype("complex64"), 1)
+        _node_conversion(np.dtype("complex64"), 1)
+
+
+def test_hdf5_vlen_dtype_mapping():
+    """h5py vlen dtypes (numpy object dtype underneath) must map to
+    array<base> with per-element conversion, NOT stringify to numpy
+    reprs; vlen str stays a string column.  h5py-gated."""
+    h5py = pytest.importorskip("h5py")
+    import numpy as np
+
+    from fuel_spark.sources.hdf5 import _node_conversion
+
+    assert _node_conversion(h5py.vlen_dtype(np.dtype("float64")), 1) == (
+        "array<double>", "vlen"
+    )
+    assert _node_conversion(h5py.vlen_dtype(np.dtype("int32")), 1) == (
+        "array<bigint>", "vlen"
+    )
+    assert _node_conversion(h5py.string_dtype(), 1) == ("string", "str")
+    with pytest.raises(ValueError, match="unsupported"):
+        _node_conversion(np.dtype("O"), 1)  # plain object: not vlen
 
 
 def test_split_rehydrate_honors_indices_rows(spark):

@@ -1212,3 +1212,50 @@ def test_threshold_sweep_monotone_and_complete(spark):
     assert kills == sorted(kills, reverse=True)
     assert out[0.5][0] >= 2          # exact pair + near pair qualify
     assert out[0.999999] == (1, 1)   # only the exact dup survives 1.0-ish
+
+
+def test_oracle_scale_buckets_under_default_cap(spark):
+    """Oracle-parity invariant for DEFAULT_MAX_BUCKET: the DuckDB
+    oracle SQL for the pair-family registry queries has no bucket
+    guard, so hash parity at the driver's gate scale (sf0.01) relies
+    on no LSH bucket reaching the 512 cap (guards never fire → guarded
+    and unguarded plans emit identical pairs).  Pin that for both
+    bucketed sketch families with the registry parameters; if testdata
+    drift ever pushes a bucket past the cap this fails loudly instead
+    of surfacing as an inscrutable value-hash mismatch."""
+    from fuel_spark.ops.dedup import (
+        DEFAULT_MAX_BUCKET,
+        simhash,
+        with_minhash_bands,
+    )
+    from fuel_spark.sources import load_tables
+
+    d = load_tables(spark, "/root/testdata/sf0.01")["documents"]
+    mh_max = (
+        with_minhash_bands(d, "doc_id", "text")  # registry: 9/3/5
+        .groupBy("band_id", "band_key")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    assert mh_max <= DEFAULT_MAX_BUCKET, f"minhash bucket {mh_max} > cap"
+    # simhash pigeonhole buckets: 16 bits / radius 3 -> 4 bands of 4
+    # bits, the exact banding hamming_near_dup uses
+    fp = simhash(d, "doc_id", "text", bits=16)
+    bands, width, mask = 4, 4, 0xF
+    sh = fp.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.expr(f"shiftright(cast(simhash as bigint), {b * width}) & {mask}").alias("key"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bk"),
+    )
+    sh_max = (
+        sh.groupBy("bk.band", "bk.key").count().agg(F.max("count")).first()[0]
+    )
+    assert sh_max <= DEFAULT_MAX_BUCKET, f"simhash bucket {sh_max} > cap"
