@@ -997,10 +997,14 @@ def q_ann_int8(spark, sf):
     return similarity.quantized_ann(e, q, k=5, bits=8)
 
 
-def q_curation_pipeline(spark, sf):
+def q_curation_pipeline(spark, sf, prededup_exact: bool = True):
     # THE canonical corpus job, end-to-end: quality filter -> near-dup
     # apply -> benchmark decontamination -> deterministic sample.  One
     # lazy plan; every stage is an existing first-class operator.
+    # ``prededup_exact=False`` is the bench's reference variant: it
+    # restores the r3 plan (no exact pre-pass) so round-over-round
+    # trend tables can separate the documented ~1s fixed pre-pass cost
+    # at sf0.1 from machine noise.
     from fuel_spark import schemes
 
     d = _t(spark, sf)["documents"]
@@ -1011,7 +1015,9 @@ def q_curation_pipeline(spark, sf):
         .where(F.col("quality") >= 0.9)
         .select("doc_id", "text", "lang")
     )
-    deduped = dedup.apply_dedup(kept, "doc_id", "text", threshold=0.5)
+    deduped = dedup.apply_dedup(
+        kept, "doc_id", "text", threshold=0.5, prededup_exact=prededup_exact
+    )
     flags = dedup.decontaminate(deduped, "doc_id", "text", bench, "text", n=3)
     clean = deduped.join(
         flags.where(~F.col("contaminated")).select("doc_id"), "doc_id"

@@ -11,7 +11,11 @@ columns that don't affect cardinality, so projection-only queries
 would time the scan, not the expression work.)  A warmup pass primes
 the JVM/codegen caches; reported numbers are the best of ``--reps``
 timed runs per query (steady-state throughput, the number that
-scales).
+scales), with every rep recorded in ``spreads`` so a noisy shared VM
+is distinguishable from a plan regression.  ``shared16_subtotal`` is
+the round-over-round regression-gate number (the 16 headliners every
+round since r2 has run) written as one field so the gate reads it
+directly instead of re-summing.
 """
 
 from __future__ import annotations
@@ -63,6 +67,21 @@ HEADLINERS = (
     "events_attribution_linear",
     # one real Structured Streaming run (availableNow), special-cased
     "streaming_screen_availablenow",
+    # r5: the r3-plan curation reference (prededup_exact=False),
+    # special-cased — NOT a registry query; exists so the trend table
+    # separates the documented pre-pass cost from noise
+    "curation_pipeline_noprepass",
+)
+
+# The regression-gate set: the 16 headliners benched every round since
+# r2 (SURVEY §6.1 trend table).  Gate: subtotal must not regress r3's
+# 12.32s beyond shared-VM noise.
+SHARED16 = (
+    "pricing_summary", "revenue_forecast", "top_revenue_orders",
+    "regional_revenue", "market_share", "events_tumbling_window",
+    "events_sessionize", "dedup_exact", "dedup_minhash_pairs",
+    "text_quality", "text_token_counts", "ann_topk_cosine", "asof_join",
+    "dedup_ngram_spans", "text_unigram_logprob", "events_funnel",
 )
 
 
@@ -101,6 +120,7 @@ def bench_streaming_screen(spark, sf_dir: str) -> float:
             .start()
         )
         q.awaitTermination(600)
+        q.stop()  # fully quiesce the streaming engine (no task races)
         return time.perf_counter() - t0
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -110,7 +130,7 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
-    ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--queries", nargs="*", default=None)
     args = ap.parse_args()
 
@@ -121,10 +141,10 @@ def main() -> int:
                       extra_conf={"spark.ui.showConsoleProgress": "false"})
     spark.sparkContext.setLogLevel("ERROR")
 
+    SPECIAL = ("streaming_screen_availablenow", "curation_pipeline_noprepass")
     qs = entry_mod.queries()
     names = args.queries or [
-        n for n in HEADLINERS
-        if n in qs or n == "streaming_screen_availablenow"
+        n for n in HEADLINERS if n in qs or n in SPECIAL
     ]
 
     from pyspark.sql import functions as F
@@ -142,29 +162,48 @@ def main() -> int:
         spark.sparkContext._jvm.System.gc()
 
     timings: dict[str, float] = {}
+    spreads: dict[str, list[float]] = {}
     for name in names:
         if name == "streaming_screen_availablenow":
             quiesce()
             timings[name] = round(bench_streaming_screen(spark, args.sf_dir), 3)
             continue
-        fn = qs[name]
+        if name == "curation_pipeline_noprepass":
+            fn = lambda s, d: entry_mod.q_curation_pipeline(
+                s, d, prededup_exact=False)
+        else:
+            fn = qs[name]
         force(fn(spark, args.sf_dir))  # warmup (codegen, scan caches)
-        best = float("inf")
+        reps = []
         for _ in range(args.reps):
             quiesce()
             t0 = time.perf_counter()
             force(fn(spark, args.sf_dir))
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            reps.append(round(time.perf_counter() - t0, 3))
+        timings[name] = min(reps)
+        spreads[name] = reps
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    line = json.dumps({
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "shared16_subtotal": round(
+            sum(timings[n] for n in SHARED16 if n in timings), 3),
+        "spreads": spreads,
         "sf": os.path.basename(args.sf_dir.rstrip("/")),
-    }))
+    })
+    # Shut the session down BEFORE printing: a task completing during
+    # the clearCache+gc quiesce can race accumulator cleanup and land
+    # a benign 'attempted to access non-existent accumulator' trace on
+    # stderr AFTER the result (the BENCH_r04 tail).  Stopping first
+    # guarantees the JSON line is the artifact's last output.
+    try:
+        spark.stop()
+    except Exception:
+        pass
+    print(line)
     return 0
 
 
