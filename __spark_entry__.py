@@ -128,6 +128,17 @@ def _cos_sql(a: str, b: str) -> str:
     return f"({_dot_sql(a, b)} / ({_norm2_sql(a)} * {_norm2_sql(b)}))"
 
 
+def _l2sq_sql(a: str, b: str) -> str:
+    """DuckDB twin of fuel_spark.functions.l2sq_expr (same element
+    order, same left-to-right fold)."""
+    sq = (
+        f"list_transform(generate_series(1, len({a})),"
+        f" i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+        f" * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)))"
+    )
+    return f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {sq}), (acc, v) -> acc + v)"
+
+
 def _langid_sql() -> str:
     w = _words_sql("text")
     scores = {}
@@ -1922,6 +1933,71 @@ def q_ann_recall_certificate(spark, sf):
     )
 
 
+def q_ann_ivf_pivot(spark, sf):
+    """Deterministic pivot-IVF search (r5): the coarse quantizer is
+    the 8 lowest-id corpus vectors, so the full IVF search mechanics
+    (assignment, nprobe probing, in-list exact rerank) run under the
+    exact-hash oracle gate — the fitted k-means tier (``ann_ivf``)
+    stays rows-only because its fit is not SQL-expressible."""
+    e = _t(spark, sf)["embeddings"]
+    q = e.where(F.col("vec_id") < 5)
+    return similarity.pivot_ivf_ann(e, q, k=5, n_pivots=8, nprobe=4)
+
+
+def q_ann_pq_pivot(spark, sf):
+    """Deterministic pivot-PQ search (r5): subspace codebooks are the
+    sub-slices of the 8 lowest-id corpus vectors (m=4 subspaces over
+    64 dims), so encode, ADC scoring and the exact rerank all run
+    under the exact-hash oracle gate — the fitted tier (``ann_pq``)
+    stays rows-only."""
+    e = _t(spark, sf)["embeddings"]
+    q = e.where(F.col("vec_id") < 5)
+    return similarity.pivot_pq_ann(
+        e, q, dim=64, k=5, m=4, n_codes=8, shortlist=20
+    )
+
+
+def _recall_certificate(exact: DataFrame, approx: DataFrame, k: int) -> DataFrame:
+    """hits/recall@k of an approximate ANN result against the exact
+    top-k, per query — the ann_recall_matryoshka pattern."""
+    casc = approx.select(
+        F.col("query_id").alias("cq"), F.col("neighbor_id").alias("cn")
+    )
+    hits = exact.select("query_id", "neighbor_id").join(
+        casc,
+        (F.col("query_id") == F.col("cq"))
+        & (F.col("neighbor_id") == F.col("cn")),
+        "left",
+    )
+    return hits.groupBy("query_id").agg(
+        F.count(F.col("cn")).cast("bigint").alias("hits"),
+        F.round(F.count(F.col("cn")) / F.lit(float(k)), 6).alias(f"recall_at_{k}"),
+    )
+
+
+def q_ann_recall_ivf(spark, sf):
+    """Oracle-checked recall certificate for the pivot-IVF tier:
+    its hits joined against the exact top-5, recall as a compared
+    column (VERDICT r4 ask #6)."""
+    e = _t(spark, sf)["embeddings"]
+    q = e.where(F.col("vec_id") < 5)
+    exact = similarity.cosine_topk(e, q, k=5)
+    approx = similarity.pivot_ivf_ann(e, q, k=5, n_pivots=8, nprobe=4)
+    return _recall_certificate(exact, approx, 5)
+
+
+def q_ann_recall_pq(spark, sf):
+    """Oracle-checked recall certificate for the pivot-PQ tier
+    (VERDICT r4 ask #6)."""
+    e = _t(spark, sf)["embeddings"]
+    q = e.where(F.col("vec_id") < 5)
+    exact = similarity.cosine_topk(e, q, k=5)
+    approx = similarity.pivot_pq_ann(
+        e, q, dim=64, k=5, m=4, n_codes=8, shortlist=20
+    )
+    return _recall_certificate(exact, approx, 5)
+
+
 def q_chi_square(spark, sf):
     """Chi-square independence of event type × day-of-week (r4)."""
     return analytics.events_chi_square(_t(spark, sf))
@@ -2000,9 +2076,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracle keys (``events_attribution_linear`` …
     ``events_diff_in_diff``).  All 50 are local-pass under
     ``tools/check_correctness.py``.  The remaining 13 r4-new oracle
-    keys are staged immediately after as the ROUND-6 window — once r6
-    greens those, every oracle-checked query in the registry has a
-    cumulative driver-green row.  Rows-only keys sit past them (a
+    keys plus the r5-new additions are staged immediately after as the
+    ROUND-6 window — once r6 greens those, every oracle-checked query
+    in the registry has a cumulative driver-green row.  Rows-only keys sit past them (a
     driver rows-only row is weaker than their pytest evidence).  Keys
     past that all have driver-green rows from r1-r4 and stay covered
     by ``tools/check_correctness.py`` locally every session.
@@ -2079,6 +2155,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_matryoshka": q_ann_recall_certificate,
         "events_seasonal_forecast": q_seasonal_forecast,
         "events_trend_by_type": q_trend_by_type,
+        # r5-new oracle keys (also part of the round-6 window):
+        "ann_ivf_pivot": q_ann_ivf_pivot,
+        "ann_pq_pivot": q_ann_pq_pivot,
+        "ann_recall_ivf": q_ann_recall_ivf,
+        "ann_recall_pq": q_ann_recall_pq,
         # ---- rows-only keys (no SQL oracle by design; driver records
         # a weaker rows-only row; full evidence lives in tests/) ------
         "text_bpe_merges": q_bpe_merges,
@@ -6428,6 +6509,136 @@ def oracle_sql() -> dict[str, str]:
                  AS recall_at_5
         FROM ({sqls['ann_topk_cosine']}) e
         LEFT JOIN ({sqls['ann_matryoshka']}) c
+          ON e.query_id = c.query_id AND e.neighbor_id = c.neighbor_id
+        GROUP BY 1
+    """
+
+    # --- r5: deterministic pivot-IVF / pivot-PQ tiers + recall
+    # certificates (VERDICT r4 ask #6).  The coarse structures are the
+    # 8 lowest-id corpus vectors, so the whole search is
+    # SQL-expressible; Spark's groupBy-argmin tie-breaks (min struct)
+    # are mirrored by row_number(... ORDER BY metric, pivot_id) = 1.
+    acos = _cos_sql("c.embedding", "p.pvec")
+    pcos = _cos_sql("q.embedding", "p.pvec")
+    xcos = _cos_sql("qvec", "cvec")
+    sqls["ann_ivf_pivot"] = f"""
+        WITH piv AS (
+          SELECT vec_id AS pivot_id, embedding AS pvec
+          FROM embeddings ORDER BY vec_id LIMIT 8
+        ),
+        assigned AS (
+          SELECT neighbor_id, cvec, pivot_id AS bucket FROM (
+            SELECT c.vec_id AS neighbor_id, c.embedding AS cvec,
+                   p.pivot_id,
+                   row_number() OVER (
+                     PARTITION BY c.vec_id
+                     ORDER BY round({acos}, 6) DESC, p.pivot_id) AS rn
+            FROM embeddings c, piv p
+          ) WHERE rn = 1
+        ),
+        probes AS (
+          SELECT query_id, qvec, pivot_id AS bucket FROM (
+            SELECT q.vec_id AS query_id, q.embedding AS qvec,
+                   p.pivot_id,
+                   row_number() OVER (
+                     PARTITION BY q.vec_id
+                     ORDER BY round({pcos}, 6) DESC, p.pivot_id) AS pr
+            FROM (SELECT * FROM embeddings WHERE vec_id < 5) q, piv p
+          ) WHERE pr <= 4
+        ),
+        cand AS (
+          SELECT query_id, neighbor_id, round({xcos}, 6) AS cosine
+          FROM probes JOIN assigned USING (bucket)
+          WHERE query_id <> neighbor_id
+        ),
+        ranked AS (
+          SELECT query_id, neighbor_id, cosine,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, neighbor_id)
+                   AS rank
+          FROM cand
+        )
+        SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= 5
+    """
+
+    encd = _l2sq_sql(
+        "list_slice(c.embedding, b.j * 16 + 1, b.j * 16 + 16)", "b.sub_vec"
+    )
+    adot = _dot_sql("qs.qsub", "b.sub_vec")
+    rcos = _cos_sql("qq.embedding", "cc.embedding")
+    sqls["ann_pq_pivot"] = f"""
+        WITH piv AS (
+          SELECT vec_id AS pivot_id, embedding AS pvec
+          FROM embeddings ORDER BY vec_id LIMIT 8
+        ),
+        js AS (SELECT j FROM generate_series(0, 3) AS t(j)),
+        books AS (
+          SELECT pivot_id, j,
+                 list_slice(pvec, j * 16 + 1, j * 16 + 16) AS sub_vec
+          FROM piv, js
+        ),
+        enc AS (
+          SELECT neighbor_id, j, code FROM (
+            SELECT c.vec_id AS neighbor_id, b.j, b.pivot_id AS code,
+                   row_number() OVER (
+                     PARTITION BY c.vec_id, b.j
+                     ORDER BY round({encd}, 6), b.pivot_id) AS rn
+            FROM embeddings c, books b
+          ) WHERE rn = 1
+        ),
+        qsubs AS (
+          SELECT q.vec_id AS query_id, js.j,
+                 list_slice(q.embedding, js.j * 16 + 1, js.j * 16 + 16)
+                   AS qsub
+          FROM (SELECT * FROM embeddings WHERE vec_id < 5) q, js
+        ),
+        coarse AS (
+          SELECT qs.query_id, enc.neighbor_id,
+                 CAST(sum(CAST(round({adot}, 6) AS {DEC})) AS DOUBLE)
+                   AS coarse
+          FROM enc
+          JOIN books b ON b.pivot_id = enc.code AND b.j = enc.j
+          JOIN qsubs qs ON qs.j = enc.j
+          GROUP BY 1, 2
+        ),
+        short AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY coarse DESC, neighbor_id)
+                     AS sr
+            FROM coarse WHERE query_id <> neighbor_id
+          ) WHERE sr <= 20
+        ),
+        cand AS (
+          SELECT s.query_id, s.neighbor_id, round({rcos}, 6) AS cosine
+          FROM short s
+          JOIN embeddings cc ON cc.vec_id = s.neighbor_id
+          JOIN embeddings qq ON qq.vec_id = s.query_id
+        ),
+        ranked AS (
+          SELECT query_id, neighbor_id, cosine,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, neighbor_id)
+                   AS rank
+          FROM cand
+        )
+        SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= 5
+    """
+
+    for cert, base in (
+        ("ann_recall_ivf", "ann_ivf_pivot"),
+        ("ann_recall_pq", "ann_pq_pivot"),
+    ):
+        sqls[cert] = f"""
+        SELECT e.query_id,
+               CAST(count(c.neighbor_id) AS BIGINT) AS hits,
+               round(CAST(count(c.neighbor_id) AS DOUBLE) / 5, 6)
+                 AS recall_at_5
+        FROM ({sqls['ann_topk_cosine']}) e
+        LEFT JOIN ({sqls[base]}) c
           ON e.query_id = c.query_id AND e.neighbor_id = c.neighbor_id
         GROUP BY 1
     """

@@ -270,6 +270,29 @@ def cosine_sql(a: str, b: str) -> str:
     return f"({dot_sql(a, b)} / ({norm2_sql(a)} * {norm2_sql(b)}))"
 
 
+def l2sq_expr(a: str, b: str) -> Column:
+    """Squared L2 distance with strict left-to-right double
+    accumulation (the monotone stand-in for L2 — no sqrt, so codeword
+    argmins rank identically and the DuckDB twin stays exact)."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b},"
+        f" (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+        f" * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),"
+        f" CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def l2sq_sql(a: str, b: str) -> str:
+    """DuckDB twin of :func:`l2sq_expr`: same element order, same
+    left-to-right fold."""
+    sq = (
+        f"list_transform(generate_series(1, len({a})),"
+        f" i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+        f" * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)))"
+    )
+    return f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {sq}), (acc, v) -> acc + v)"
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,

@@ -144,3 +144,86 @@ def test_trained_quality_model_separates_prose_from_garbage(spark):
     # scoring keeps the input columns (narrow transform contract)
     row = ml.score_quality_model(model, docs, "text").columns
     assert row == ["doc_id", "text", "label", "quality_prob"]
+
+
+def test_pivot_ivf_full_probe_recovers_exact(spark):
+    """With nprobe == n_pivots every inverted list is scanned, so the
+    deterministic pivot-IVF must reproduce the exact top-k verbatim —
+    the strongest structural invariant of the probe-limited search."""
+    e = load_tables(spark, SF)["embeddings"]
+    q = e.where(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in similarity.cosine_topk(e, q, k=5).collect()
+    }
+    full = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in similarity.pivot_ivf_ann(
+            e, q, k=5, n_pivots=8, nprobe=8
+        ).collect()
+    }
+    assert full == exact
+
+
+def test_pivot_ivf_probe_limited_recall(spark):
+    e = load_tables(spark, SF)["embeddings"]
+    q = e.where(F.col("vec_id") < 5)
+    exact = similarity.cosine_topk(e, q, k=5)
+    approx = similarity.pivot_ivf_ann(e, q, k=5, n_pivots=8, nprobe=4)
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, f"pivot-IVF recall too low: {recall}"
+    for r in approx.collect():
+        assert 1 <= r.rank <= 5 and -1.0 <= r.cosine <= 1.0
+
+
+def test_pivot_pq_all_pivots_recovers_exact(spark):
+    """When every corpus vector is its own codeword (n_codes = N) the
+    PQ reconstruction is exact, and with an unbounded shortlist the
+    ADC ordering cannot drop a true neighbor — the search must equal
+    the exact top-k."""
+    import math
+
+    rows = [
+        (
+            i,
+            [
+                float(math.cos(0.7 * i + 0.3 * d)) for d in range(8)
+            ],
+        )
+        for i in range(12)
+    ]
+    e = from_rows(spark, rows, schema="vec_id bigint, embedding array<float>")
+    q = e.where(F.col("vec_id") < 3)
+    exact = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in similarity.cosine_topk(e, q, k=4).collect()
+    }
+    full = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in similarity.pivot_pq_ann(
+            e, q, dim=8, k=4, m=2, n_codes=12, shortlist=12
+        ).collect()
+    }
+    assert full == exact
+
+
+def test_pivot_pq_compressed_contract(spark):
+    """Registry parameterization: m=4 sub-codebooks over 64 dims, 8
+    codewords each — lossy by construction, but ranks stay 1..k and a
+    meaningful share of the true top-5 must survive the ADC
+    shortlist."""
+    e = load_tables(spark, SF)["embeddings"]
+    q = e.where(F.col("vec_id") < 5)
+    exact = similarity.cosine_topk(e, q, k=5)
+    approx = similarity.pivot_pq_ann(
+        e, q, dim=64, k=5, m=4, n_codes=8, shortlist=20
+    )
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    assert len(approx_set) == len(exact_set)
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.3, f"pivot-PQ recall collapsed: {recall}"
+    for r in approx.collect():
+        assert 1 <= r.rank <= 5 and -1.0 <= r.cosine <= 1.0
