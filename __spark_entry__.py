@@ -874,6 +874,27 @@ def q_ngram_dup(spark, sf):
     return dedup.cross_doc_ngram_dup(d, "doc_id", "text", n=3)
 
 
+def q_substring_spans(spark, sf):
+    """Full ExactSubstr (Lee et al. 2022) maximal cross-document
+    repeated substrings via seed-and-extend diagonals (r5) — upgrades
+    the ``dedup_ngram_spans`` fraction signal to exact span
+    coordinates + a cross-engine span-content hash."""
+    d = _t(spark, sf)["documents"].select("doc_id", "text")
+    return dedup.exact_substring_spans(
+        d, "doc_id", "text", min_len=10, seed_k=5
+    )
+
+
+def q_substring_apply(spark, sf):
+    """ExactSubstr removal (r5): cut every >=10-word duplicated span
+    from the higher-id document of its pair (first occurrence
+    survives), merged-interval sweep, full cleaned text compared."""
+    d = _t(spark, sf)["documents"].select("doc_id", "text")
+    return dedup.exact_substring_apply(
+        d, "doc_id", "text", min_len=10, seed_k=5
+    )
+
+
 def q_unigram_logprob(spark, sf):
     d = _t(spark, sf)["documents"].select("doc_id", "text")
     return text_ops.unigram_logprob(d, "doc_id", "text")
@@ -2160,6 +2181,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_pivot": q_ann_pq_pivot,
         "ann_recall_ivf": q_ann_recall_ivf,
         "ann_recall_pq": q_ann_recall_pq,
+        "dedup_substring_spans": q_substring_spans,
+        "dedup_substring_apply": q_substring_apply,
         # ---- rows-only keys (no SQL oracle by design; driver records
         # a weaker rows-only row; full evidence lives in tests/) ------
         "text_bpe_merges": q_bpe_merges,
@@ -3875,6 +3898,81 @@ def oracle_sql() -> dict[str, str]:
                round(CAST(sum(CASE WHEN c.n_docs >= 2 THEN 1 ELSE 0 END)
                      AS DOUBLE) / greatest(count(*), 1), 6) AS dup_gram_frac
         FROM e JOIN c ON e.gh = c.gh GROUP BY 1
+    """
+
+    # r5: full ExactSubstr — maximal cross-doc repeated word
+    # substrings via 5-gram seeds on pos_a - pos_b diagonals, islands
+    # trick for maximal runs, 256-position posting-list cap mirrored
+    _substr_core = f"""
+        d AS (SELECT doc_id, {w} AS w FROM documents),
+        s0 AS (
+          SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS pos
+          FROM d WHERE len(w) >= 5
+        ),
+        seeds AS (
+          SELECT doc_id, pos,
+                 substring(md5(array_to_string(
+                   list_slice(w, pos, pos + 4), ' ')), 1, 16) AS gh
+          FROM s0
+        ),
+        cool AS (SELECT gh FROM seeds GROUP BY gh HAVING count(*) <= 256),
+        sf AS (SELECT seeds.* FROM seeds JOIN cool USING (gh)),
+        diag AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.pos AS pos_a, b.pos AS pos_b, a.pos - b.pos AS dg
+          FROM sf a JOIN sf b ON a.gh = b.gh AND a.doc_id < b.doc_id
+        ),
+        runs AS (
+          SELECT *, pos_a - row_number() OVER (
+                      PARTITION BY doc_a, doc_b, dg ORDER BY pos_a) AS rn
+          FROM diag
+        ),
+        spans AS (
+          SELECT doc_a, doc_b, min(pos_a) AS start_a, min(pos_b) AS start_b,
+                 count(*) + 4 AS span_words
+          FROM runs GROUP BY doc_a, doc_b, dg, rn
+          HAVING count(*) + 4 >= 10
+        )
+    """
+    sqls["dedup_substring_spans"] = f"""
+        WITH {_substr_core}
+        SELECT s.doc_a, s.doc_b, CAST(s.start_a AS INT) AS start_a,
+               CAST(s.start_b AS INT) AS start_b,
+               CAST(s.span_words AS BIGINT) AS span_words,
+               substring(md5(array_to_string(
+                 list_slice(d.w, s.start_a, s.start_a + s.span_words - 1),
+                 ' ')), 1, 16) AS span_hash
+        FROM spans s JOIN d ON d.doc_id = s.doc_a
+    """
+    sqls["dedup_substring_apply"] = f"""
+        WITH {_substr_core},
+        poss AS (
+          SELECT doc_id, w[p] AS word, p
+          FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS p
+                FROM d)
+        ),
+        killed AS (
+          SELECT DISTINCT s.doc_b AS doc_id, poss.p
+          FROM spans s JOIN poss
+            ON poss.doc_id = s.doc_b
+           AND poss.p >= s.start_b AND poss.p < s.start_b + s.span_words
+        ),
+        kept AS (
+          SELECT poss.doc_id, poss.p, poss.word
+          FROM poss LEFT JOIN killed
+            ON killed.doc_id = poss.doc_id AND killed.p = poss.p
+          WHERE killed.p IS NULL
+        ),
+        agg AS (
+          SELECT doc_id, count(*) AS n_kept,
+                 string_agg(word, ' ' ORDER BY p) AS text_clean
+          FROM kept GROUP BY 1
+        )
+        SELECT d.doc_id, CAST(len(d.w) AS BIGINT) AS n_words,
+               CAST(len(d.w) - COALESCE(agg.n_kept, 0) AS BIGINT)
+                 AS n_words_removed,
+               COALESCE(agg.text_clean, '') AS text_clean
+        FROM d LEFT JOIN agg ON agg.doc_id = d.doc_id
     """
 
     sqls["text_unigram_logprob"] = f"""

@@ -1472,3 +1472,217 @@ def dedup_threshold_sweep(
         F.coalesce("n_pairs", F.lit(0)).cast("bigint").alias("n_pairs"),
         F.coalesce("n_docs_killed", F.lit(0)).cast("bigint").alias("n_docs_killed"),
     )
+
+
+def exact_substring_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_len: int = 10,
+    seed_k: int = 5,
+    max_positions: int | None = 256,
+) -> DataFrame:
+    """Maximal cross-document repeated word substrings — the full
+    ExactSubstr method of Lee et al. 2022 ("Deduplicating Training
+    Data Makes Language Models Better"), re-expressed for Spark as
+    seed-and-extend on k-gram diagonals instead of a monolithic
+    suffix array (the reference implementation's single-node suffix
+    array over the concatenated corpus cannot shard; the diagonal
+    formulation is embarrassingly parallel and EXACT for spans
+    >= seed_k).
+
+    Method: every word position emits its k-gram seed hash; positions
+    in two documents sharing a seed land on a diagonal
+    ``pos_a - pos_b``; a maximal common substring of W >= seed_k
+    words is exactly one run of ``W - seed_k + 1`` consecutive seeds
+    on one diagonal, recovered with the islands trick
+    (``pos_a - row_number``) — so every maximal shared span of
+    length >= max(min_len, seed_k) is emitted exactly once, with its
+    coordinates in both documents.
+
+    Scale shape: seeds ship as (16-hex md5, int pos) — fixed width,
+    never raw text; the seed self-join is bounded by the
+    ``max_positions`` posting-list cap (a k-gram occurring at more
+    positions than the cap is dropped BEFORE the join, so join work
+    is <= cap * total_seed_occurrences, never corpus-quadratic —
+    the ``text_similar_docs`` max_df pattern).  CAVEAT, stated: a
+    span whose every seed is capped is missed; at the default the
+    only capped grams are boilerplate (stopword runs), exactly the
+    spans exact-dedup should not fire on.  The islands window
+    partitions by (doc_a, doc_b, diagonal) — pair-local, never
+    global.  Output: doc_a, doc_b, start_a, start_b, span_words,
+    span_hash (16-hex md5 of the shared words, recomputed from
+    doc_a's text — the cross-engine certificate that coordinates
+    point at identical substrings).
+    """
+    from pyspark.sql import Window
+    from fuel_spark.functions import words
+
+    base = ensure_parallelism(
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+    ).select("_id", F.explode(F.array(words(F.col("_t")))).alias("_w"))
+    seeds = base.select(
+        "_id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(_w) >= {seed_k} THEN"
+                f" transform(sequence(1, size(_w) - {seed_k - 1}),"
+                f" i -> struct(i AS pos,"
+                f" substring(md5(array_join(slice(_w, i, {seed_k}), ' ')), 1, 16)"
+                f" AS gh))"
+                f" ELSE CAST(array() AS array<struct<pos:int,gh:string>>) END"
+            )
+        ).alias("_s"),
+    ).select("_id", F.col("_s.pos").alias("pos"), F.col("_s.gh").alias("gh"))
+    if max_positions is not None:
+        hot = seeds.groupBy("gh").agg(F.count(F.lit(1)).alias("_n"))
+        seeds = (
+            seeds.join(hot, "gh")
+            .where(F.col("_n") <= max_positions)
+            .drop("_n")
+        )
+    a = seeds.select(
+        F.col("gh"), F.col("_id").alias("doc_a"), F.col("pos").alias("pos_a")
+    )
+    b = seeds.select(
+        F.col("gh"), F.col("_id").alias("doc_b"), F.col("pos").alias("pos_b")
+    )
+    diag = (
+        a.join(b, "gh")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b", "pos_a", "pos_b",
+            (F.col("pos_a") - F.col("pos_b")).alias("_diag"),
+        )
+    )
+    w_run = Window.partitionBy("doc_a", "doc_b", "_diag").orderBy("pos_a")
+    runs = diag.withColumn(
+        "_run", F.col("pos_a") - F.row_number().over(w_run)
+    )
+    spans = (
+        runs.groupBy("doc_a", "doc_b", "_diag", "_run")
+        .agg(
+            F.min("pos_a").alias("start_a"),
+            F.min("pos_b").alias("start_b"),
+            (F.count(F.lit(1)) + F.lit(seed_k - 1)).alias("span_words"),
+        )
+        .where(F.col("span_words") >= max(min_len, seed_k))
+        .drop("_diag", "_run")
+    )
+    # certificate: re-derive the span text from doc_a's word array and
+    # hash it — proves the coordinates address identical substrings in
+    # any engine that recomputes it (the spans frame is tiny next to
+    # the corpus, so this is a broadcast-scale join back to the docs)
+    doc_words = base.select(F.col("_id").alias("doc_a"), F.col("_w"))
+    return (
+        spans.join(doc_words, "doc_a")
+        .select(
+            "doc_a", "doc_b", "start_a", "start_b",
+            F.col("span_words").cast("bigint").alias("span_words"),
+            F.expr(
+                "substring(md5(array_join("
+                "slice(_w, start_a, CAST(span_words AS INT)), ' ')), 1, 16)"
+            ).alias("span_hash"),
+        )
+    )
+
+
+def exact_substring_apply(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_len: int = 10,
+    seed_k: int = 5,
+    max_positions: int | None = 256,
+) -> DataFrame:
+    """Remove cross-document duplicated substrings from the LOWER-id
+    loser of each span pair (first occurrence survives, matching
+    ``apply_dedup``'s min-id-keeps convention: the span stays in
+    doc_a, is cut from doc_b) — the removal step of Lee et al. 2022
+    ExactSubstr dedup.
+
+    Overlapping/adjacent spans within a document are merged with the
+    classic running-max interval sweep (a per-document window over
+    that document's span list — span counts per doc are tiny next to
+    the corpus) before cutting, so nested matches never double-cut.
+    Reconstruction filters each word position against its merged cut
+    intervals and rejoins — one broadcast-scale join of intervals
+    back to the corpus, no shuffle of the documents themselves beyond
+    it.  Output: one row per input document — doc_id, n_words,
+    n_words_removed, text_clean (words re-joined with single spaces;
+    documents with no spans pass through with 0 removed).
+
+    Cost is input-quadratic in CROSS-DOC duplicate mass (every span
+    is emitted per doc pair: a group of c identical documents
+    contributes c(c-1)/2 pairs), which is the operator's contract —
+    but whole-document twins don't need substring surgery, so the
+    scale composition is :func:`apply_dedup` (exact tier) FIRST, then
+    this on the survivors: the 20x twin-corpus smoke that costs ~30s
+    raw collapses back to the base corpus under the pre-pass.  The
+    same composition order Lee et al. use (ExactSubstr runs beside,
+    not instead of, document-level dedup).
+    """
+    from pyspark.sql import Window
+    from fuel_spark.functions import words
+
+    spans = exact_substring_spans(
+        df, id_col, text_col, min_len=min_len, seed_k=seed_k,
+        max_positions=max_positions,
+    ).select(
+        F.col("doc_b").alias("_id"),
+        F.col("start_b").cast("int").alias("_s"),
+        (F.col("start_b") + F.col("span_words")).cast("int").alias("_e"),
+    )
+    # merge intervals per doc: a new group starts where start exceeds
+    # the running max end of everything before it
+    w_ord = Window.partitionBy("_id").orderBy("_s", "_e")
+    w_prev = (
+        Window.partitionBy("_id").orderBy("_s", "_e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    merged = (
+        spans.withColumn("_pmax", F.max("_e").over(w_prev))
+        .withColumn(
+            "_grp",
+            F.sum(
+                F.when(
+                    F.col("_pmax").isNull() | (F.col("_s") > F.col("_pmax")),
+                    1,
+                ).otherwise(0)
+            ).over(w_ord),
+        )
+        .groupBy("_id", "_grp")
+        .agg(F.min("_s").alias("_s"), F.max("_e").alias("_e"))
+        .groupBy("_id")
+        .agg(
+            F.collect_list(F.struct(F.col("_s"), F.col("_e"))).alias("_cuts")
+        )
+    )
+    docs = ensure_parallelism(
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+    ).select("_id", F.explode(F.array(words(F.col("_t")))).alias("_w"))
+    out = (
+        docs.join(merged, "_id", "left")
+        .withColumn(
+            "_c",
+            F.coalesce(
+                F.col("_cuts"),
+                F.expr("CAST(array() AS array<struct<_s:int,_e:int>>)"),
+            ),
+        )
+        .withColumn(
+            "_kept",
+            F.expr(
+                "filter(transform(_w, (x, i) -> struct(x AS w, i + 1 AS p)),"
+                " s -> NOT exists(_c, c -> s.p >= c._s AND s.p < c._e))"
+            ),
+        )
+    )
+    return out.select(
+        F.col("_id").alias(id_col),
+        F.size("_w").cast("bigint").alias("n_words"),
+        (F.size("_w") - F.size("_kept")).cast("bigint").alias("n_words_removed"),
+        F.expr("array_join(transform(_kept, s -> s.w), ' ')").alias(
+            "text_clean"
+        ),
+    )

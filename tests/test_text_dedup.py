@@ -1259,3 +1259,110 @@ def test_oracle_scale_buckets_under_default_cap(spark):
         sh.groupBy("bk.band", "bk.key").count().agg(F.max("count")).first()[0]
     )
     assert sh_max <= DEFAULT_MAX_BUCKET, f"simhash bucket {sh_max} > cap"
+
+
+SHARED12 = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+
+
+def test_exact_substring_spans_maximal_and_hashed(spark):
+    """A 12-word shared block is reported ONCE per doc pair (maximal,
+    never fragmented into sub-spans) with identical content hashes —
+    and a non-overlapping doc contributes nothing."""
+    rows = [
+        (1, "intro one two three " + SHARED12 + " outro xx yy"),
+        (2, "different start here " + SHARED12 + " and a tail zz"),
+        (3, "no overlap at all just unique words qq ww ee rr tt"),
+        (4, SHARED12),
+    ]
+    df = from_rows(spark, rows, schema="doc_id bigint, text string")
+    spans = dedup.exact_substring_spans(
+        df, "doc_id", "text", min_len=10, seed_k=5
+    ).collect()
+    got = {(r.doc_a, r.doc_b): r for r in spans}
+    assert set(got) == {(1, 2), (1, 4), (2, 4)}
+    assert all(r.span_words == 12 for r in spans)
+    assert len({r.span_hash for r in spans}) == 1
+    r12 = got[(1, 2)]
+    assert (r12.start_a, r12.start_b) == (5, 4)
+
+
+def test_exact_substring_apply_first_occurrence_survives(spark):
+    rows = [
+        (1, "intro one two three " + SHARED12 + " outro xx yy"),
+        (2, "different start here " + SHARED12 + " and a tail zz"),
+        (4, SHARED12),
+    ]
+    df = from_rows(spark, rows, schema="doc_id bigint, text string")
+    out = {
+        r.doc_id: r
+        for r in dedup.exact_substring_apply(
+            df, "doc_id", "text", min_len=10, seed_k=5
+        ).collect()
+    }
+    assert out[1].n_words_removed == 0 and SHARED12 in out[1].text_clean
+    assert out[2].n_words_removed == 12 and SHARED12 not in out[2].text_clean
+    assert out[2].text_clean == "different start here and a tail zz"
+    # the fully-duplicated doc empties out
+    assert out[4].n_words_removed == 12 and out[4].text_clean == ""
+
+
+def test_exact_substring_apply_merges_overlapping_cuts(spark):
+    """doc 3 shares two different spans with docs 1 and 2 that OVERLAP
+    inside doc 3 — each overlapped position must be cut exactly once
+    (merged-interval sweep), so removed = union size, not the sum."""
+    a = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"          # 12 words
+    b = "w8 w9 w10 w11 w12 x1 x2 x3 x4 x5 x6 x7"          # overlaps a's tail
+    doc3 = a + " x1 x2 x3 x4 x5 x6 x7"
+    rows = [(1, a), (2, b), (3, doc3)]
+    df = from_rows(spark, rows, schema="doc_id bigint, text string")
+    out = {
+        r.doc_id: r
+        for r in dedup.exact_substring_apply(
+            df, "doc_id", "text", min_len=10, seed_k=5
+        ).collect()
+    }
+    # doc3 = 19 words, every one of them covered by the union of the
+    # two spans (1..12 from doc1's block, 8..19 from doc2's block)
+    assert out[3].n_words == 19
+    assert out[3].n_words_removed == 19
+    assert out[3].text_clean == ""
+    # doc2 loses its overlap with doc1 (w8..w12 + x1..x7 = 12 words)
+    assert out[1].n_words_removed == 0
+
+
+def test_exact_substring_posting_cap_honest_degrade(spark):
+    """With max_positions below the seed frequency the hub seeds are
+    dropped BEFORE the join and the span disappears — the documented
+    guard trade: capped grams can only hide spans made entirely of
+    capped (boilerplate) seeds."""
+    rows = [
+        (1, SHARED12),
+        (2, "prefix " + SHARED12),
+        (3, "other prefix " + SHARED12),
+    ]
+    df = from_rows(spark, rows, schema="doc_id bigint, text string")
+    full = dedup.exact_substring_spans(
+        df, "doc_id", "text", min_len=10, seed_k=5, max_positions=None
+    )
+    capped = dedup.exact_substring_spans(
+        df, "doc_id", "text", min_len=10, seed_k=5, max_positions=2
+    )
+    assert full.count() == 3 and capped.count() == 0
+
+
+def test_exact_substring_apply_idempotent(spark):
+    """Re-running the removal over an already-cleaned corpus removes
+    nothing — the Lee et al. fixed-point property."""
+    rows = [
+        (1, "intro one two three " + SHARED12 + " outro xx yy"),
+        (2, "different start here " + SHARED12 + " and a tail zz"),
+        (4, SHARED12),
+    ]
+    df = from_rows(spark, rows, schema="doc_id bigint, text string")
+    once = dedup.exact_substring_apply(
+        df, "doc_id", "text", min_len=10, seed_k=5
+    ).select("doc_id", F.col("text_clean").alias("text"))
+    twice = dedup.exact_substring_apply(
+        once, "doc_id", "text", min_len=10, seed_k=5
+    ).collect()
+    assert all(r.n_words_removed == 0 for r in twice)
