@@ -1319,6 +1319,13 @@ def q_c4_filters(spark, sf):
     return text_ops.c4_filters(d, "doc_id", "text")
 
 
+def q_policy_filters(spark, sf):
+    """Robots/license/policy-boilerplate compliance flags (r5 —
+    VERDICT r4 ask #8's c4_filters extension)."""
+    d = _t(spark, sf)["documents"]
+    return text_ops.policy_filters(d, "doc_id", "text")
+
+
 def q_quality_classifier(spark, sf):
     d = _t(spark, sf)["documents"]
     return text_ops.quality_classifier(d, "doc_id", "text")
@@ -2183,6 +2190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_pq": q_ann_recall_pq,
         "dedup_substring_spans": q_substring_spans,
         "dedup_substring_apply": q_substring_apply,
+        "text_policy_filters": q_policy_filters,
         # ---- rows-only keys (no SQL oracle by design; driver records
         # a weaker rows-only row; full evidence lives in tests/) ------
         "text_bpe_merges": q_bpe_merges,
@@ -4709,6 +4717,28 @@ def oracle_sql() -> dict[str, str]:
                (ar < 0.6) AS low_alpha,
                NOT ((n_words < 10) OR NOT (mwl >= 3.0 AND mwl <= 10.0)
                     OR has_brace OR has_lorem OR (ar < 0.6)) AS keep
+        FROM f
+    """
+
+    sqls["text_policy_filters"] = """
+        WITH f AS (
+          SELECT doc_id,
+            contains(lower(text), 'noindex') AS has_noindex,
+            contains(lower(text), 'all rights reserved') AS rights_reserved,
+            (contains(lower(text), 'terms of service')
+             OR contains(lower(text), 'terms of use')
+             OR contains(lower(text), 'privacy policy')
+             OR contains(lower(text), 'cookie policy')
+             OR contains(lower(text), 'uses cookies')) AS policy_page,
+            (contains(lower(text), 'copyright')
+             OR contains(text, '©')) AS has_copyright,
+            (contains(lower(text), 'creative commons')
+             OR contains(lower(text), 'cc-by')) AS cc_licensed
+          FROM documents
+        )
+        SELECT doc_id, has_noindex, rights_reserved, policy_page,
+               has_copyright, cc_licensed,
+               NOT (has_noindex OR rights_reserved OR policy_page) AS keep
         FROM f
     """
 

@@ -1278,6 +1278,58 @@ def c4_filters(
     return out.withColumn("keep", keep)
 
 
+def policy_filters(
+    df: DataFrame, id_col: str, text_col: str, keep_cols: tuple = ()
+) -> DataFrame:
+    """Robots/license/policy-boilerplate flags — the compliance
+    companion to :func:`c4_filters` (r5): C4's policy-page removal
+    (Raffel et al. 2020 §2.2 drops pages whose text is terms-of-
+    service / privacy / cookie boilerplate), robots ``noindex``
+    honoring, and license-string detection in the The-Stack/StarCoder
+    style (Kocetkov et al. 2022 filter by license signal; here the
+    in-text markers).
+
+    Flags: ``has_noindex`` (robots opt-out), ``rights_reserved``
+    ("all rights reserved"), ``policy_page`` (ToS/privacy/cookie
+    boilerplate), ``has_copyright`` (copyright line or ©) and
+    ``cc_licensed`` (Creative-Commons marker).  ``keep`` excludes
+    only noindex/rights-reserved/policy pages; copyright and CC are
+    ATTRIBUTION signals, not drop rules — a pipeline that wants to
+    train only on permissive text filters on ``cc_licensed``
+    explicitly.  Pure projection over one lowercase pass — zero
+    shuffles, whole-stage codegen at any scale.
+    """
+    t = F.col(text_col)
+    low = F.lower(t)
+    policy_markers = (
+        "terms of service", "terms of use", "privacy policy",
+        "cookie policy", "uses cookies",
+    )
+    policy = None
+    for m in policy_markers:
+        c = low.contains(m)
+        policy = c if policy is None else (policy | c)
+    flags = {
+        "has_noindex": low.contains("noindex"),
+        "rights_reserved": low.contains("all rights reserved"),
+        "policy_page": policy,
+        "has_copyright": low.contains("copyright") | t.contains("©"),
+        "cc_licensed": low.contains("creative commons")
+        | low.contains("cc-by"),
+    }
+    out = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        *[c.alias(name) for name, c in flags.items()],
+    )
+    keep = ~(
+        F.col("has_noindex")
+        | F.col("rights_reserved")
+        | F.col("policy_page")
+    )
+    return out.withColumn("keep", keep)
+
+
 def quality_classifier(
     df: DataFrame,
     id_col: str,

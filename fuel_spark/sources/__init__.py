@@ -21,6 +21,11 @@ from fuel_spark.sources.text import (
     dictionary_from_mapping,
     read_text_lines,
 )
+from fuel_spark.sources.formats import (
+    quarantine_split,
+    read_tar_corpus,
+    read_text_corpus,
+)
 from fuel_spark.sources.toy import spiral, swiss_roll
 
 __all__ = [
@@ -37,6 +42,9 @@ __all__ = [
     "dictionary_encode",
     "dictionary_from_mapping",
     "read_text_lines",
+    "read_text_corpus",
+    "read_tar_corpus",
+    "quarantine_split",
     "spiral",
     "swiss_roll",
 ]

@@ -193,3 +193,83 @@ def test_split_rehydrate_honors_indices_rows(spark):
     ds = h5mod.split_dataset_from_hdf5_splits(df, splits, "k")
     assert ds.get_split("train").count() == 8
     assert sorted(r.k for r in ds.get_split("picked").collect()) == [2, 5, 9]
+
+
+def test_read_text_corpus_gzip_transparent(spark, tmp_path):
+    """Plain and gzipped shards read through ONE distributed scan
+    (fuel/utils/formats.py:10 open_ parity: .gz is transparent)."""
+    import gzip
+
+    (tmp_path / "a.txt").write_text("alpha\nbravo\n")
+    with gzip.open(tmp_path / "b.txt.gz", "wt") as f:
+        f.write("charlie\ndelta\necho\n")
+    from fuel_spark.sources import read_text_corpus
+
+    df = read_text_corpus(spark, str(tmp_path))
+    rows = df.collect()
+    assert {r.value for r in rows} == {
+        "alpha", "bravo", "charlie", "delta", "echo"
+    }
+    by_file = {}
+    for r in rows:
+        by_file.setdefault(r.source_file.rsplit("/", 1)[-1], set()).add(r.value)
+    assert by_file["b.txt.gz"] == {"charlie", "delta", "echo"}
+
+    with_ids = read_text_corpus(spark, str(tmp_path), line_ids=True).collect()
+    gz = sorted(
+        (r.line_id, r.value)
+        for r in with_ids
+        if r.source_file.endswith("b.txt.gz")
+    )
+    assert gz == [(0, "charlie"), (1, "delta"), (2, "echo")]
+
+
+def test_read_text_corpus_wholetext(spark, tmp_path):
+    import gzip
+
+    with gzip.open(tmp_path / "doc.txt.gz", "wt") as f:
+        f.write("line one\nline two\n")
+    from fuel_spark.sources import read_text_corpus
+
+    rows = read_text_corpus(spark, str(tmp_path), wholetext=True).collect()
+    assert len(rows) == 1 and rows[0].value == "line one\nline two\n"
+
+
+def test_read_tar_corpus_members_and_quarantine(spark, tmp_path):
+    """tar + tar.gz archives unpack on executors; a binary member
+    quarantines instead of failing the scan (PERMISSIVE semantics,
+    fuel/utils/formats.py:31 tar_open parity)."""
+    import tarfile
+
+    def add(tf, name, data: bytes):
+        import io as _io
+
+        info = tarfile.TarInfo(name)
+        info.size = len(data)
+        tf.addfile(info, _io.BytesIO(data))
+
+    with tarfile.open(tmp_path / "one.tar", "w") as tf:
+        add(tf, "docs/a.txt", b"hello tar")
+        add(tf, "docs/bad.bin", b"\xff\xfe\x00binary")
+    with tarfile.open(tmp_path / "two.tar.gz", "w:gz") as tf:
+        add(tf, "b.txt", b"hello targz")
+
+    from fuel_spark.sources import quarantine_split, read_tar_corpus
+
+    df = read_tar_corpus(spark, str(tmp_path / "*.tar*"))
+    good, bad = quarantine_split(df)
+    got = {(r.member, r.text) for r in good.collect()}
+    assert got == {("docs/a.txt", "hello tar"), ("b.txt", "hello targz")}
+    quarantined = bad.collect()
+    assert len(quarantined) == 1
+    assert quarantined[0].member == "docs/bad.bin"
+    assert "bad text" in quarantined[0].error
+
+
+def test_read_tar_corpus_corrupt_archive_quarantines(spark, tmp_path):
+    (tmp_path / "broken.tar").write_bytes(b"this is not a tar archive")
+    from fuel_spark.sources import read_tar_corpus
+
+    rows = read_tar_corpus(spark, str(tmp_path / "broken.tar")).collect()
+    assert len(rows) == 1
+    assert rows[0].member is None and "bad archive" in rows[0].error

@@ -1366,3 +1366,27 @@ def test_exact_substring_apply_idempotent(spark):
         once, "doc_id", "text", min_len=10, seed_k=5
     ).collect()
     assert all(r.n_words_removed == 0 for r in twice)
+
+
+def test_policy_filters_flags_and_keep(spark):
+    rows = [
+        (1, "A perfectly normal prose document about gardens and weather."),
+        (2, "This page uses cookies. Read our privacy policy for details."),
+        (3, "Content copyright 2020 Example Corp. All rights reserved."),
+        (4, "Shared under a Creative Commons CC-BY 4.0 license."),
+        (5, "meta robots noindex nofollow"),
+    ]
+    df = from_rows(spark, rows, schema="doc_id bigint, text string")
+    out = {
+        r.doc_id: r
+        for r in text_ops.policy_filters(df, "doc_id", "text").collect()
+    }
+    assert out[1].keep and not any(
+        [out[1].has_noindex, out[1].rights_reserved, out[1].policy_page,
+         out[1].has_copyright, out[1].cc_licensed]
+    )
+    assert out[2].policy_page and not out[2].keep
+    assert out[3].has_copyright and out[3].rights_reserved and not out[3].keep
+    # CC licensing is an attribution signal, not a drop rule
+    assert out[4].cc_licensed and out[4].keep
+    assert out[5].has_noindex and not out[5].keep
