@@ -1319,6 +1319,34 @@ def q_c4_filters(spark, sf):
     return text_ops.c4_filters(d, "doc_id", "text")
 
 
+# Fixed sf-independent merge table for the oracle-checked BPE encode
+# query: realistic English pairs, applied in order (training order is
+# what bpe_encode contracts on, and a FIXED table is what makes the
+# encode SQL-expressible — the trained tier stays rows-only).
+BPE_FIXED_MERGES = (
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"),
+    ("e", "r"), ("o", "n"), ("r", "e"), ("the", "</w>"),
+)
+
+
+def q_bpe_encode(spark, sf):
+    """BPE tokenizer APPLY (r5): the fixed merge table applied to the
+    corpus with the same left-to-right fold the trained tier uses —
+    per-word symbol arrays, flattened per doc, serialized for the
+    driver hash.  The DuckDB twin replays each merge as a fixpoint of
+    single-first-occurrence replaces, which is provably the same
+    left-to-right greedy pass."""
+    d = _t(spark, sf)["documents"]
+    enc = text_ops.bpe_encode(
+        d, "doc_id", "text", list(BPE_FIXED_MERGES), vocab_dedup=True
+    )
+    return enc.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.concat_ws(" ", "tokens").alias("tokens_str"),
+    )
+
+
 def q_policy_filters(spark, sf):
     """Robots/license/policy-boilerplate compliance flags (r5 —
     VERDICT r4 ask #8's c4_filters extension)."""
@@ -2191,6 +2219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substring_spans": q_substring_spans,
         "dedup_substring_apply": q_substring_apply,
         "text_policy_filters": q_policy_filters,
+        "text_bpe_encode": q_bpe_encode,
         # ---- rows-only keys (no SQL oracle by design; driver records
         # a weaker rows-only row; full evidence lives in tests/) ------
         "text_bpe_merges": q_bpe_merges,
@@ -4740,6 +4769,63 @@ def oracle_sql() -> dict[str, str]:
                has_copyright, cc_licensed,
                NOT (has_noindex OR rights_reserved OR policy_page) AS keep
         FROM f
+    """
+
+    # r5: BPE encode with the fixed merge table.  Each merge is a
+    # fixpoint of single-FIRST-occurrence replaces over the
+    # space-delimited symbol string (DuckDB regexp_replace without 'g'
+    # replaces one match) — equivalent to bpe_encode's left-to-right
+    # fold: a replacement's trailing space re-opens the boundary for
+    # the next adjacency, and merged symbols can never equal their own
+    # left part, so no in-pass cascade differs.  Words dedupe through
+    # a vocab before the recursion (encode once per distinct word).
+    _bpe_cases = " ".join(
+        f"WHEN {i} THEN regexp_replace(seq, ' {a} {b} ', ' {a}{b} ')"
+        for i, (a, b) in enumerate(BPE_FIXED_MERGES)
+    )
+    _bpe_n = len(BPE_FIXED_MERGES)
+    sqls["text_bpe_encode"] = f"""
+        WITH RECURSIVE
+        d AS (SELECT doc_id, {w} AS ws FROM documents),
+        wpos AS (
+          SELECT doc_id, p, ws[p] AS word
+          FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS p
+                FROM d)
+          WHERE ws[p] <> ''
+        ),
+        vocab AS (SELECT DISTINCT word FROM wpos),
+        init AS (
+          SELECT word,
+                 ' ' || array_to_string(list_transform(
+                     generate_series(1, length(word)),
+                     i -> substring(word, i, 1)), ' ') || ' </w> ' AS seq,
+                 0 AS mi
+          FROM vocab
+        ),
+        step AS (
+          SELECT word, seq, mi FROM init
+          UNION ALL
+          SELECT word,
+                 CASE WHEN nseq <> seq THEN nseq ELSE seq END AS seq,
+                 CASE WHEN nseq <> seq THEN mi ELSE mi + 1 END AS mi
+          FROM (
+            SELECT word, seq, mi, CASE mi {_bpe_cases} END AS nseq
+            FROM step WHERE mi < {_bpe_n}
+          )
+        ),
+        fin AS (SELECT word, trim(seq) AS toks FROM step WHERE mi = {_bpe_n}),
+        agg AS (
+          SELECT wpos.doc_id,
+                 string_agg(fin.toks, ' ' ORDER BY wpos.p) AS tokens_str
+          FROM wpos JOIN fin ON fin.word = wpos.word
+          GROUP BY 1
+        )
+        SELECT d.doc_id,
+               CAST(CASE WHEN a.tokens_str IS NULL THEN 0
+                    ELSE len(string_split(a.tokens_str, ' ')) END AS BIGINT)
+                 AS n_tokens,
+               COALESCE(a.tokens_str, '') AS tokens_str
+        FROM d LEFT JOIN agg a USING (doc_id)
     """
 
     sqls["text_quality_classifier"] = f"""

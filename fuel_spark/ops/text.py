@@ -1171,6 +1171,7 @@ def bpe_encode(
     text_col: str,
     merges: list[tuple[str, str, int]] | list[tuple[str, str]],
     end_of_word: str = "</w>",
+    vocab_dedup: bool = False,
 ) -> DataFrame:
     """Apply trained BPE merges (:func:`train_bpe`) to a corpus: each
     word starts as chars + end-of-word marker and every merge applies
@@ -1182,7 +1183,20 @@ def bpe_encode(
     expression (the projection-collapse trap this engine already pins
     for regex pipelines).  Output: id, tokens (the per-doc BPE symbol
     sequence, words flattened in order), n_tokens.
+
+    ``vocab_dedup=True`` is the scale tier: the fold runs once per
+    DISTINCT word (natural-language vocabularies are ~1e4-1e6 rows
+    while word occurrences are the corpus), the encoded vocab joins
+    back as a BROADCAST (so hub words like "the" never become a
+    shuffle hot key), and per-doc order is restored with one
+    groupBy(doc) sort of (pos, tokens) structs — the single corpus
+    shuffle in the plan.  Same output, bit for bit (tested); the 20x
+    smoke measured 46.8s inline vs 5.5s deduped on 100k docs under an
+    honest all-column force (a bare count() reads 1.5s because
+    Catalyst elides the unique-keyed spine join — don't trust it).
     """
+    if vocab_dedup:
+        return _bpe_encode_vocab(df, id_col, text_col, merges, end_of_word)
     d = ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
     d = with_materialized(d, "_ws", words(F.col(text_col)))
     d = d.select(
@@ -1221,6 +1235,79 @@ def bpe_encode(
         F.col(id_col),
         F.flatten("_sw").alias("tokens"),
         F.size(F.flatten("_sw")).alias("n_tokens"),
+    )
+
+
+def _bpe_encode_vocab(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges,
+    end_of_word: str,
+) -> DataFrame:
+    """Vocab-deduped tier of :func:`bpe_encode` (see its docstring)."""
+    from pyspark.sql.functions import broadcast
+
+    base = ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
+    base = with_materialized(base, "_ws", words(F.col(text_col)))
+    wpos = base.select(
+        F.col(id_col),
+        F.posexplode(F.expr("filter(_ws, w -> w <> '')")).alias(
+            "pos", "word"
+        ),
+    )
+    vocab = wpos.select("word").distinct()
+    # the same fold chain as the inline tier, over one word per row
+    v = vocab.select(
+        "word",
+        F.expr(
+            f"""array(concat(transform(sequence(1, length(word)),
+                                       i -> substring(word, i, 1)),
+                             array('{end_of_word}')))"""
+        ).alias("_sw"),
+    )
+    for i, m in enumerate(merges):
+        a, b = m[0], m[1]
+        qa, qb = a.replace("'", "\\'"), b.replace("'", "\\'")
+        fold = (
+            f"""transform(_sw, syms -> aggregate(syms,
+                CAST(array() AS ARRAY<STRING>),
+                (acc, x) -> CASE WHEN size(acc) > 0
+                                  AND element_at(acc, -1) = '{qa}'
+                                  AND x = '{qb}'
+                            THEN concat(slice(acc, 1, size(acc) - 1),
+                                        array('{qa}{qb}'))
+                            ELSE concat(acc, array(x)) END))"""
+        )
+        if (i + 1) % 4 == 0:
+            v = with_materialized(
+                v.select("word", F.expr(fold).alias("_pre")), "_sw",
+                F.col("_pre"),
+            ).drop("_pre")
+        else:
+            v = v.select("word", F.expr(fold).alias("_sw"))
+    enc_vocab = v.select("word", F.col("_sw")[0].alias("_toks"))
+    joined = wpos.join(broadcast(enc_vocab), "word")
+    per_doc = joined.groupBy(id_col).agg(
+        F.flatten(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, _toks))),"
+                " s -> s._toks)"
+            )
+        ).alias("tokens")
+    )
+    # id spine: documents whose every word normalizes away still get a
+    # row (empty tokens), matching the inline tier
+    spine = base.select(F.col(id_col))
+    return (
+        spine.join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(
+                "tokens", F.expr("CAST(array() AS ARRAY<STRING>)")
+            ).alias("tokens"),
+        )
+        .withColumn("n_tokens", F.size("tokens"))
     )
 
 

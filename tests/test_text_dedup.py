@@ -1390,3 +1390,51 @@ def test_policy_filters_flags_and_keep(spark):
     # CC licensing is an attribution signal, not a drop rule
     assert out[4].cc_licensed and out[4].keep
     assert out[5].has_noindex and not out[5].keep
+
+
+def test_bpe_encode_fixed_merges_fold_semantics(spark):
+    """Left-to-right greedy pass pinned on the tricky shapes: equal-
+    symbol runs merge at odd positions only, and later merges chain
+    on earlier merges' outputs (training order)."""
+    docs = from_rows(
+        spark,
+        [(1, "aaa aaaa the there"), (2, "inner banana")],
+        schema="doc_id bigint, text string",
+    )
+    merges = [("a", "a"), ("t", "h"), ("th", "e"), ("the", "</w>")]
+    enc = {
+        r.doc_id: r.tokens
+        for r in text_ops.bpe_encode(docs, "doc_id", "text", merges).collect()
+    }
+    # aaa -> [aa, a]; aaaa -> [aa, aa]; the -> the</w>; there -> the,r,e
+    assert enc[1] == [
+        "aa", "a", "</w>", "aa", "aa", "</w>",
+        "the</w>",
+        "the", "r", "e", "</w>",
+    ]
+    # in-word occurrences chain too: inner -> i,n,n,e,r; banana stays chars
+    assert enc[2][:6] == ["i", "n", "n", "e", "r", "</w>"]
+
+
+def test_bpe_encode_vocab_tier_bit_identical(spark):
+    """The vocab-deduped scale tier must reproduce the inline fold
+    bit for bit, including empty-normalization docs via the spine."""
+    docs = from_rows(
+        spark,
+        [(1, "the thin thing in the inn"), (2, "!!!"), (3, "another other")],
+        schema="doc_id bigint, text string",
+    )
+    merges = [("t", "h"), ("th", "e"), ("i", "n"), ("the", "</w>")]
+    inline = {
+        r.doc_id: (r.tokens, r.n_tokens)
+        for r in text_ops.bpe_encode(docs, "doc_id", "text", merges).collect()
+    }
+    vocab = {
+        r.doc_id: (r.tokens, r.n_tokens)
+        for r in text_ops.bpe_encode(
+            docs, "doc_id", "text", merges, vocab_dedup=True
+        ).collect()
+    }
+    assert inline == vocab
+    # "!!!" normalizes to nothing: empty token list, not a missing row
+    assert vocab[2] == ([], 0)
