@@ -116,6 +116,9 @@ def main() -> int:
             "events_chi_square", "events_seasonal_forecast", "feature_winsorize",
             "events_trend_by_type", "events_segment_migration", "customer_cohort_ltv",
             "ann_recall_matryoshka",
+            # r5 additions
+            "ann_ivf_pivot", "ann_pq_pivot", "dedup_substring_spans",
+            "dedup_substring_apply", "text_policy_filters", "text_bpe_encode",
         ]
         if len(sys.argv) > 3:
             # explicit subset: smoke only these names (fast re-checks
@@ -130,9 +133,25 @@ def main() -> int:
             spark.sparkContext._jvm.System.gc()
             fn = qs[name]
             print(f"smoke: {name} ...", file=sys.stderr, flush=True)
-            fn(spark, out_dir).count()  # warm
+
+            # honest force, same as bench.py: checksum every output
+            # column so nothing can be pruned — a bare count() lets
+            # Catalyst ELIDE unique-keyed joins (left join to an
+            # aggregate spine) and under-measures such queries by an
+            # order of magnitude (bpe_encode read 1.5s by count vs
+            # 5.5s honestly at 20x).  count rides along for the row
+            # report.
+            def run():
+                df = fn(spark, out_dir)
+                row = df.select(
+                    F.count(F.lit(1)).alias("n"),
+                    F.bit_xor(F.xxhash64(*df.columns)).alias("chk"),
+                ).collect()[0]
+                return int(row["n"])
+
+            run()  # warm
             t0 = time.perf_counter()
-            cnt = fn(spark, out_dir).count()
+            cnt = run()
             timings[name] = {"sec": round(time.perf_counter() - t0, 2), "rows": cnt}
             print(
                 f"smoke: {name} {timings[name]['sec']}s {cnt} rows",
