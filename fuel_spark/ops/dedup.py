@@ -1474,6 +1474,40 @@ def dedup_threshold_sweep(
     )
 
 
+def substring_seeds(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    seed_k: int = 5,
+) -> DataFrame:
+    """Per-position word ``seed_k``-gram seed hashes — the shared
+    front end of :func:`exact_substring_spans` and the streaming
+    substring screen: one row per word position, columns
+    (id_col, pos, gh) with ``gh`` the 16-hex md5 of the k words
+    starting at 1-based ``pos``.  Stateless projection + explode
+    (works identically on batch and streaming frames); text never
+    leaves the scan, only fixed-width hashes and int positions.
+    """
+    from fuel_spark.functions import words
+
+    base = ensure_parallelism(
+        df.select(F.col(id_col), F.col(text_col).alias("_t"))
+    ).select(id_col, F.explode(F.array(words(F.col("_t")))).alias("_w"))
+    return base.select(
+        id_col,
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(_w) >= {seed_k} THEN"
+                f" transform(sequence(1, size(_w) - {seed_k - 1}),"
+                f" i -> struct(i AS pos,"
+                f" substring(md5(array_join(slice(_w, i, {seed_k}), ' ')), 1, 16)"
+                f" AS gh))"
+                f" ELSE CAST(array() AS array<struct<pos:int,gh:string>>) END"
+            )
+        ).alias("_s"),
+    ).select(id_col, F.col("_s.pos").alias("pos"), F.col("_s.gh").alias("gh"))
+
+
 def exact_substring_spans(
     df: DataFrame,
     id_col: str,
@@ -1521,19 +1555,9 @@ def exact_substring_spans(
     base = ensure_parallelism(
         df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
     ).select("_id", F.explode(F.array(words(F.col("_t")))).alias("_w"))
-    seeds = base.select(
-        "_id",
-        F.explode(
-            F.expr(
-                f"CASE WHEN size(_w) >= {seed_k} THEN"
-                f" transform(sequence(1, size(_w) - {seed_k - 1}),"
-                f" i -> struct(i AS pos,"
-                f" substring(md5(array_join(slice(_w, i, {seed_k}), ' ')), 1, 16)"
-                f" AS gh))"
-                f" ELSE CAST(array() AS array<struct<pos:int,gh:string>>) END"
-            )
-        ).alias("_s"),
-    ).select("_id", F.col("_s.pos").alias("pos"), F.col("_s.gh").alias("gh"))
+    seeds = substring_seeds(df, id_col, text_col, seed_k).select(
+        F.col(id_col).alias("_id"), "pos", "gh"
+    )
     if max_positions is not None:
         hot = seeds.groupBy("gh").agg(F.count(F.lit(1)).alias("_n"))
         seeds = (

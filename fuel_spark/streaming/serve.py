@@ -499,6 +499,42 @@ def segment_screen_stream(
     return segs.join(idx, "seg_hash", "left_semi")
 
 
+def substring_screen_stream(
+    docs: DataFrame,
+    seed_index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed_k: int = 5,
+) -> DataFrame:
+    """Streaming twin of ``ops.dedup.exact_substring_spans`` against a
+    STATIC reference seed index: each incoming document's word k-gram
+    seed hashes (``ops.dedup.substring_seeds`` — the exact front end
+    the batch operator uses) are checked against the reference
+    corpus's seed postings, so new crawl data is screened for
+    verbatim overlap with an already-processed 100 TB corpus without
+    recomputing anything on the reference side.
+
+    Stream-compatible by construction: seeding is a stateless per-row
+    explode and the overlap check is one stream-static INNER join —
+    zero streaming state, append mode.  Emits SEED-level matches
+    (id, pos, gh, ref_doc, ref_pos); maximal spans aggregate
+    downstream with the batch islands trick on
+    (id, ref_doc, pos - ref_pos) where a watermark is available —
+    keeping the emission seed-level is what keeps the operator
+    stateless, the ``segment_screen_stream`` contract.  ``seed_index``
+    is ``substring_seeds`` over the reference corpus with columns
+    renamed (ref_doc, ref_pos, gh) — materialize to parquet and
+    reload in production.
+    """
+    from fuel_spark.ops.dedup import substring_seeds
+
+    seeds = substring_seeds(docs, id_col, text_col, seed_k)
+    idx = seed_index.select("gh", "ref_doc", "ref_pos")
+    return seeds.join(idx, "gh").select(
+        id_col, "pos", "gh", "ref_doc", "ref_pos"
+    )
+
+
 def url_dedup_stream(
     pages: DataFrame,
     url_col: str = "url",

@@ -528,3 +528,53 @@ def test_anomaly_screen_stream_flags_outliers(spark, workdir):
     assert got[2] == (0.5, False)
     assert got[3] == (245.0, True)
     assert got[4] == (None, False)  # unknown type: passes, never flags
+
+
+def test_substring_screen_stream_matches_batch_seeds(spark, workdir):
+    """Streaming substring screen: an incoming doc quoting a 6-word
+    reference run emits exactly the seed matches the batch diagonal
+    method would consume (2 seeds for a 6-word run at k=5), with the
+    right positions on both sides; fresh docs emit nothing.
+    Stateless — one stream-static inner join, availableNow run."""
+    from pyspark.sql import functions as F
+
+    from fuel_spark.ops.dedup import substring_seeds
+
+    shared = "alpha bravo charlie delta echo foxtrot"
+    ref = spark.createDataFrame(
+        [(1, "lead in words " + shared + " trailing bits")],
+        "doc_id long, text string",
+    )
+    idx = substring_seeds(ref, "doc_id", "text", seed_k=5).select(
+        F.col("doc_id").alias("ref_doc"),
+        F.col("pos").alias("ref_pos"),
+        "gh",
+    )
+
+    src = os.path.join(workdir, "sub_docs")
+    sink = os.path.join(workdir, "sub_flagged")
+    ckpt = os.path.join(workdir, "sub_ck")
+    spark.createDataFrame(
+        [(10, "prefix " + shared + " suffix"),
+         (11, "completely novel words without any overlap whatsoever")],
+        "doc_id long, text string",
+    ).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    flagged = serve.substring_screen_stream(stream, idx, seed_k=5)
+    assert flagged.isStreaming
+    q = (
+        flagged.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = sorted(
+        (r.doc_id, r.pos, r.ref_doc, r.ref_pos)
+        for r in spark.read.parquet(sink).collect()
+    )
+    # shared run starts at word 2 in doc 10 and word 4 in the
+    # reference; a 6-word run has two 5-gram seeds
+    assert rows == [(10, 2, 1, 4), (10, 3, 1, 5)]
