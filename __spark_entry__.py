@@ -1663,6 +1663,34 @@ def q_quality_model(spark, sf):
     ).limit(20)
 
 
+def q_pagerank_fixed(spark, sf):
+    """Oracle-checked PageRank (r5): 3 unrolled power iterations over
+    the part co-purchase graph at the cross-engine-safe scales
+    (contributions round-9 + exact DECIMAL sums, ranks round-6) —
+    the iterative tier (``part_pagerank``) stays rows-only at full
+    precision, this pins the power-method MECHANICS under the
+    exact-hash gate, the pivot-ANN certificate pattern applied to
+    graph analytics."""
+    from fuel_spark.ops import graph
+
+    l = _t(spark, sf)["lineitem"].select("l_orderkey", "l_partkey").distinct()
+    a = l.alias("a")
+    b = l.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    ranks = graph.pagerank(
+        edges, iterations=3, contrib_scale=9, out_scale=6
+    )
+    return ranks.orderBy(F.desc("rank"), F.asc("vertex")).limit(20)
+
+
 def q_part_pagerank(spark, sf):
     """PageRank over the part co-purchase graph (edges = parts ordered
     together): the link-analysis ranking of catalog centrality.
@@ -2220,6 +2248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substring_apply": q_substring_apply,
         "text_policy_filters": q_policy_filters,
         "text_bpe_encode": q_bpe_encode,
+        "graph_pagerank_fixed": q_pagerank_fixed,
         # ---- rows-only keys (no SQL oracle by design; driver records
         # a weaker rows-only row; full evidence lives in tests/) ------
         "text_bpe_merges": q_bpe_merges,
@@ -5998,6 +6027,50 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(degree AS BIGINT) AS degree,
                CAST(count(*) AS BIGINT) AS n_vertices
         FROM deg GROUP BY 1
+    """
+
+    # r5: 3 unrolled PageRank power iterations, mirroring
+    # ops.graph.pagerank at contrib_scale=9 / out_scale=6 — per-message
+    # contributions round-9 then sum as exact DECIMAL(27,18) (order-
+    # independent), rank update in DOUBLE with every literal cast (the
+    # DuckDB decimal-literal trap).
+    _pr_iters = []
+    _prev = "r0"
+    for _i in (1, 2, 3):
+        _pr_iters.append(f"""
+        c{_i} AS (
+          SELECT e.dst AS vertex,
+                 CAST(round(r.rank / d.deg, 9) AS DECIMAL(27,18)) AS c
+          FROM e JOIN {_prev} r ON e.src = r.vertex
+                 JOIN deg d ON d.vertex = e.src
+        ),
+        s{_i} AS (SELECT vertex, CAST(sum(c) AS DOUBLE) AS _in
+                  FROM c{_i} GROUP BY 1),
+        r{_i} AS (
+          SELECT v.vertex,
+                 (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / n.n
+                 + CAST(0.85 AS DOUBLE)
+                   * (COALESCE(s._in, CAST(0.0 AS DOUBLE))
+                      + CAST(0.0 AS DOUBLE) / n.n) AS rank
+          FROM verts v CROSS JOIN n LEFT JOIN s{_i} s ON s.vertex = v.vertex
+        )""")
+        _prev = f"r{_i}"
+    sqls["graph_pagerank_fixed"] = f"""
+        WITH l AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        e0 AS (
+          SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+          FROM l a JOIN l b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ),
+        e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        verts AS (SELECT src AS vertex FROM e UNION SELECT dst FROM e),
+        deg AS (SELECT src AS vertex, count(*) AS deg FROM e GROUP BY 1),
+        n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),
+        r0 AS (SELECT vertex, CAST(1.0 AS DOUBLE) / n.n AS rank
+               FROM verts, n),
+        {",".join(_pr_iters)}
+        SELECT vertex, round(rank, 6) AS rank
+        FROM r3 ORDER BY rank DESC, vertex LIMIT 20
     """
 
     sqls["dedup_apply_keep_longest"] = f"""

@@ -24,6 +24,8 @@ def pagerank(
     iterations: int = 10,
     checkpoint_interval: int = 3,
     undirected: bool = True,
+    contrib_scale: int = 15,
+    out_scale: int = 12,
 ) -> DataFrame:
     """PageRank by power iteration over an edge DataFrame.
 
@@ -42,6 +44,13 @@ def pagerank(
     — with ``undirected=True`` (each edge mirrored) none exist and the
     ranks sum to 1 exactly up to rounding.
     Output: vertex, rank.
+
+    ``contrib_scale``/``out_scale`` control the per-message and final
+    rounding.  The defaults (15/12) keep maximum precision for the
+    iterative fit; the ORACLE-CHECKED fixed-iteration tier
+    (``graph_pagerank_fixed``, r5) runs at 9/6 — the scales this
+    repo's cross-engine float contract has pinned against DuckDB —
+    so a small unrolled iteration count is exact-hash comparable.
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     if undirected:
@@ -84,7 +93,7 @@ def pagerank(
                 e.join(ranks, e.src == ranks.vertex)
                 .select(
                     F.col("dst").alias("vertex"),
-                    F.round(F.col("rank") / F.col("src_deg"), 15)
+                    F.round(F.col("rank") / F.col("src_deg"), contrib_scale)
                     .cast(DEC)
                     .alias("c"),
                 )
@@ -131,7 +140,7 @@ def pagerank(
             ranks.unpersist()
             ranks = new_ranks
         return ranks.select(
-            "vertex", F.round(F.col("rank"), 12).alias("rank")
+            "vertex", F.round(F.col("rank"), out_scale).alias("rank")
         )
     finally:
         e.unpersist()

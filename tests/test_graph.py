@@ -106,3 +106,22 @@ def test_degree_distribution_counts_vertices_once(spark):
     out = {r.degree: r.n_vertices for r in graph.degree_distribution(df).collect()}
     # triangle: every vertex has degree 2
     assert out == {2: 3}
+
+
+def test_pagerank_fixed_scales_match_numpy(spark, star_plus_chain):
+    """The oracle-checked tier's scales (contrib round-9, out round-6,
+    3 iterations) still track the numpy reference within rounding and
+    conserve mass — coarser rounding changes precision, not the
+    power-method mechanics."""
+    df, edges, n = star_plus_chain
+    out = {
+        r.vertex: r.rank
+        for r in graph.pagerank(
+            df, iterations=3, contrib_scale=9, out_scale=6
+        ).collect()
+    }
+    ref = _numpy_pagerank(edges, n, iterations=3)
+    assert set(out) == set(range(n))
+    for v in range(n):
+        assert abs(out[v] - ref[v]) < 1e-5, (v, out[v], ref[v])
+    assert abs(sum(out.values()) - 1.0) < 1e-4
