@@ -885,6 +885,18 @@ def q_substring_spans(spark, sf):
     )
 
 
+def q_substring_self(spark, sf):
+    """Within-doc repeated substrings (r5): the diagonal method
+    restricted to one document — exact-coordinate self-repetition.
+    seed_k=3 is the Gopher duplicate-3-gram formulation (Rae et al.
+    2021 §A.1.1) upgraded from an aggregate fraction to maximal
+    spans."""
+    d = _t(spark, sf)["documents"].select("doc_id", "text")
+    return dedup.self_repetition_spans(
+        d, "doc_id", "text", min_len=3, seed_k=3
+    )
+
+
 def q_substring_apply(spark, sf):
     """ExactSubstr removal (r5): cut every >=10-word duplicated span
     from the higher-id document of its pair (first occurrence
@@ -2249,6 +2261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_policy_filters": q_policy_filters,
         "text_bpe_encode": q_bpe_encode,
         "graph_pagerank_fixed": q_pagerank_fixed,
+        "dedup_substring_self": q_substring_self,
         # ---- rows-only keys (no SQL oracle by design; driver records
         # a weaker rows-only row; full evidence lives in tests/) ------
         "text_bpe_merges": q_bpe_merges,
@@ -4010,6 +4023,37 @@ def oracle_sql() -> dict[str, str]:
                  ' ')), 1, 16) AS span_hash
         FROM spans s JOIN d ON d.doc_id = s.doc_a
     """
+    sqls["dedup_substring_self"] = f"""
+        WITH d AS (SELECT doc_id, {w} AS w FROM documents),
+        s0 AS (
+          SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS pos
+          FROM d WHERE len(w) >= 3
+        ),
+        seeds AS (
+          SELECT doc_id, pos,
+                 substring(md5(array_to_string(
+                   list_slice(w, pos, pos + 2), ' ')), 1, 16) AS gh
+          FROM s0
+        ),
+        cool AS (SELECT gh FROM seeds GROUP BY gh HAVING count(*) <= 256),
+        sf AS (SELECT seeds.* FROM seeds JOIN cool USING (gh)),
+        diag AS (
+          SELECT a.doc_id, a.pos AS pos_a, b.pos AS pos_b,
+                 a.pos - b.pos AS dg
+          FROM sf a JOIN sf b
+            ON a.gh = b.gh AND a.doc_id = b.doc_id AND a.pos < b.pos
+        ),
+        runs AS (
+          SELECT *, pos_a - row_number() OVER (
+                      PARTITION BY doc_id, dg ORDER BY pos_a) AS rn
+          FROM diag
+        )
+        SELECT doc_id, min(pos_a) AS start_a, min(pos_b) AS start_b,
+               CAST(count(*) + 2 AS BIGINT) AS span_words
+        FROM runs GROUP BY doc_id, dg, rn
+        HAVING count(*) + 2 >= 3
+    """
+
     sqls["dedup_substring_apply"] = f"""
         WITH {_substr_core},
         poss AS (

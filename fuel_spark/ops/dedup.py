@@ -1611,6 +1611,70 @@ def exact_substring_spans(
     )
 
 
+def self_repetition_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_len: int = 10,
+    seed_k: int = 5,
+    max_positions: int | None = 256,
+) -> DataFrame:
+    """WITHIN-document repeated substrings — the diagonal-islands
+    method of :func:`exact_substring_spans` restricted to one
+    document: maximal pairs of identical word runs inside the same
+    text (templated/spammy self-repetition, the signal behind
+    Gopher's repetition filters (Rae et al. 2021 §A.1.1) but with
+    exact span coordinates instead of aggregate fractions).
+
+    Seeds self-join per document on the seed hash with ``pos_a <
+    pos_b`` (each repeated pair reported once, earliest-first);
+    islands on the ``pos_a - pos_b`` diagonal recover maximal runs
+    exactly as in the cross-doc operator.  The join is keyed on
+    (id, gh), so work is per-document and bounded by the same
+    ``max_positions`` posting-list cap — a pathological single doc
+    (the same line 10k times) degrades at the cap instead of going
+    quadratic on one task.  Output: doc id, start_a, start_b
+    (start_a < start_b), span_words — one row per maximal repeated
+    run pair of length >= max(min_len, seed_k).
+    """
+    from pyspark.sql import Window
+
+    seeds = substring_seeds(df, id_col, text_col, seed_k)
+    if max_positions is not None:
+        hot = seeds.groupBy("gh").agg(F.count(F.lit(1)).alias("_n"))
+        seeds = (
+            seeds.join(hot, "gh")
+            .where(F.col("_n") <= max_positions)
+            .drop("_n")
+        )
+    a = seeds.select(id_col, F.col("gh"), F.col("pos").alias("pos_a"))
+    b = seeds.select(id_col, F.col("gh"), F.col("pos").alias("pos_b"))
+    diag = (
+        a.join(b, [id_col, "gh"])
+        .where(F.col("pos_a") < F.col("pos_b"))
+        .select(
+            id_col, "pos_a", "pos_b",
+            (F.col("pos_a") - F.col("pos_b")).alias("_diag"),
+        )
+    )
+    w_run = Window.partitionBy(id_col, "_diag").orderBy("pos_a")
+    runs = diag.withColumn(
+        "_run", F.col("pos_a") - F.row_number().over(w_run)
+    )
+    return (
+        runs.groupBy(id_col, "_diag", "_run")
+        .agg(
+            F.min("pos_a").alias("start_a"),
+            F.min("pos_b").alias("start_b"),
+            (F.count(F.lit(1)) + F.lit(seed_k - 1))
+            .cast("bigint")
+            .alias("span_words"),
+        )
+        .where(F.col("span_words") >= max(min_len, seed_k))
+        .drop("_diag", "_run")
+    )
+
+
 def exact_substring_apply(
     df: DataFrame,
     id_col: str,

@@ -1438,3 +1438,31 @@ def test_bpe_encode_vocab_tier_bit_identical(spark):
     assert inline == vocab
     # "!!!" normalizes to nothing: empty token list, not a missing row
     assert vocab[2] == ([], 0)
+
+
+def test_self_repetition_spans_periodic_and_block(spark):
+    """Within-doc diagonal islands: a doc made of a repeated 6-word
+    block reports exactly that block pair; a period-2 doc reports one
+    long overlapping match (suffix-array semantics); prose reports
+    nothing."""
+    block = "p q r s t u"
+    rows = [
+        (1, block + " " + block),                # 12 words, unit repeated
+        (2, "x y x y x y x y x y"),              # 10 words, period 2
+        (3, "all these words appear exactly once in this document"),
+    ]
+    df = from_rows(spark, rows, schema="doc_id bigint, text string")
+    spans = dedup.self_repetition_spans(
+        df, "doc_id", "text", min_len=6, seed_k=5
+    ).collect()
+    got = {}
+    for r in spans:
+        got.setdefault(r.doc_id, set()).add(
+            (r.start_a, r.start_b, r.span_words)
+        )
+    assert got[1] == {(1, 7, 6)}
+    # period-2: every shift that is a multiple of the period aligns —
+    # shift 2 gives words 1..8 == 3..10, shift 4 gives 1..6 == 5..10
+    # (suffix-array semantics: each maximal pair alignment reported)
+    assert got[2] == {(1, 3, 8), (1, 5, 6)}
+    assert 3 not in got
