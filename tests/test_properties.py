@@ -347,3 +347,43 @@ def test_curriculum_positions_are_permutation(spark, n_parts):
     assert [r.pos for r in out] == list(range(70))
     diffs = [r.d for r in out]
     assert diffs == sorted(diffs)
+
+
+@given(
+    lead_a=st.integers(0, 6),
+    lead_b=st.integers(0, 6),
+    span_len=st.integers(10, 16),
+    seed=st.integers(0, 10_000),
+)
+@SET
+def test_exact_substring_spans_matches_planted_duplicate(
+    spark, lead_a, lead_b, span_len, seed
+):
+    """Plant one shared span of known length at known offsets inside
+    two documents of otherwise-unique words: the operator must report
+    exactly that span, at exactly those coordinates, and nothing for
+    an unrelated third document."""
+    import random
+
+    from fuel_spark.ops import dedup
+
+    rng = random.Random(seed)
+    # unique word pools: wN tokens never collide across docs/sections
+    uid = iter(f"u{rng.randrange(10**9)}x{i}" for i in range(200))
+    shared = [f"s{seed}w{i}" for i in range(span_len)]
+    doc_a = [next(uid) for _ in range(lead_a)] + shared + [next(uid) for _ in range(3)]
+    doc_b = [next(uid) for _ in range(lead_b)] + shared + [next(uid) for _ in range(2)]
+    doc_c = [next(uid) for _ in range(12)]
+    df = from_rows(
+        spark,
+        [(1, " ".join(doc_a)), (2, " ".join(doc_b)), (3, " ".join(doc_c))],
+        schema="doc_id bigint, text string",
+    )
+    spans = dedup.exact_substring_spans(
+        df, "doc_id", "text", min_len=10, seed_k=5
+    ).collect()
+    assert len(spans) == 1
+    r = spans[0]
+    assert (r.doc_a, r.doc_b) == (1, 2)
+    assert (r.start_a, r.start_b) == (lead_a + 1, lead_b + 1)
+    assert r.span_words == span_len
