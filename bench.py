@@ -71,6 +71,9 @@ HEADLINERS = (
     # special-cased — NOT a registry query; exists so the trend table
     # separates the documented pre-pass cost from noise
     "curation_pipeline_noprepass",
+    # r5 headliners: the round's flagship ops
+    "dedup_substring_spans",
+    "text_bpe_encode",
 )
 
 # The regression-gate set: the 16 headliners benched every round since
