@@ -1359,6 +1359,16 @@ def q_bpe_encode(spark, sf):
     )
 
 
+def q_span_corruption(spark, sf):
+    """T5 span-corruption pairs (r5): deterministic md5-derived
+    masking, so a stochastic-looking training-data op is exact-hash
+    oracle-checkable."""
+    d = _t(spark, sf)["documents"]
+    return text_ops.span_corruption(
+        d, "doc_id", "text", rate=0.15, mean_span=3, seed=7
+    )
+
+
 def q_policy_filters(spark, sf):
     """Robots/license/policy-boilerplate compliance flags (r5 —
     VERDICT r4 ask #8's c4_filters extension)."""
@@ -2262,6 +2272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_encode": q_bpe_encode,
         "graph_pagerank_fixed": q_pagerank_fixed,
         "dedup_substring_self": q_substring_self,
+        "text_span_corruption": q_span_corruption,
         # ---- rows-only keys (no SQL oracle by design; driver records
         # a weaker rows-only row; full evidence lives in tests/) ------
         "text_bpe_merges": q_bpe_merges,
@@ -4820,6 +4831,79 @@ def oracle_sql() -> dict[str, str]:
                NOT ((n_words < 10) OR NOT (mwl >= 3.0 AND mwl <= 10.0)
                     OR has_brace OR has_lorem OR (ar < 0.6)) AS keep
         FROM f
+    """
+
+    # r5: T5 span corruption — the per-position randomness is the
+    # md5->bigint parity trick, so the masking replays exactly.
+    sqls["text_span_corruption"] = f"""
+        WITH d AS (
+          SELECT doc_id, list_filter({w}, x -> x <> '') AS fw
+          FROM documents
+        ),
+        pos AS (
+          SELECT doc_id, len(fw) AS n, p, fw[p] AS word,
+                 CAST('0x' || substring(md5(
+                   concat('sc1:', 7, ':', doc_id, ':', p)), 1, 8)
+                   AS BIGINT) AS u1,
+                 CAST('0x' || substring(md5(
+                   concat('sc2:', 7, ':', doc_id, ':', p)), 1, 8)
+                   AS BIGINT) AS u2
+          FROM (SELECT doc_id, fw, unnest(generate_series(1, len(fw))) AS p
+                FROM d)
+        ),
+        starts AS (
+          SELECT doc_id, p, n, 1 + (u2 % 5) AS l
+          FROM pos WHERE u1 % 1000000 < 50000
+        ),
+        covered AS (
+          SELECT DISTINCT doc_id, cp AS p FROM (
+            SELECT doc_id,
+                   unnest(generate_series(p, least(p + l - 1, n))) AS cp
+            FROM starts
+          )
+        ),
+        runs AS (
+          SELECT doc_id, p, dense_rank() OVER (
+                   PARTITION BY doc_id ORDER BY isl) AS run_id,
+                 (row_number() OVER (
+                   PARTITION BY doc_id, isl ORDER BY p) = 1) AS run_first
+          FROM (
+            SELECT doc_id, p,
+                   p - row_number() OVER (
+                     PARTITION BY doc_id ORDER BY p) AS isl
+            FROM covered
+          )
+        ),
+        toks AS (
+          SELECT pos.doc_id, pos.p, pos.word, r.run_id, r.run_first,
+                 CASE WHEN r.run_id IS NULL THEN pos.word
+                      WHEN r.run_first THEN
+                        concat('<extra_id_', r.run_id - 1, '>')
+                      ELSE NULL END AS in_tok,
+                 CASE WHEN r.run_first THEN
+                        concat('<extra_id_', r.run_id - 1, '> ', pos.word)
+                      WHEN r.run_id IS NOT NULL THEN pos.word
+                      ELSE NULL END AS tg_tok
+          FROM pos LEFT JOIN runs r
+            ON r.doc_id = pos.doc_id AND r.p = pos.p
+        ),
+        agg AS (
+          SELECT doc_id,
+                 string_agg(in_tok, ' ' ORDER BY p)
+                   FILTER (in_tok IS NOT NULL) AS input_text,
+                 string_agg(tg_tok, ' ' ORDER BY p)
+                   FILTER (tg_tok IS NOT NULL) AS target_text,
+                 count(run_id) AS n_masked,
+                 count(DISTINCT CASE WHEN run_first THEN run_id END)
+                   AS n_spans
+          FROM toks GROUP BY 1
+        )
+        SELECT d.doc_id, CAST(len(d.fw) AS BIGINT) AS n_words,
+               CAST(COALESCE(a.n_masked, 0) AS BIGINT) AS n_masked,
+               CAST(COALESCE(a.n_spans, 0) AS BIGINT) AS n_spans,
+               COALESCE(a.input_text, '') AS input_text,
+               COALESCE(a.target_text, '') AS target_text
+        FROM d LEFT JOIN agg a ON a.doc_id = d.doc_id
     """
 
     sqls["text_policy_filters"] = """

@@ -1311,6 +1311,142 @@ def _bpe_encode_vocab(
     )
 
 
+def span_corruption(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    rate: float = 0.15,
+    mean_span: int = 3,
+    seed: int = 7,
+) -> DataFrame:
+    """T5 span-corruption training pairs (Raffel et al. 2020 §3.1.4):
+    mask ~``rate`` of each document's tokens in spans of mean length
+    ``mean_span``, emitting the denoising (input, target) pair —
+    masked runs collapse to numbered ``<extra_id_k>`` sentinels in the
+    input, the target lists each sentinel followed by the words it
+    hides.  (T5 additionally appends a terminal sentinel to the
+    target; omitted here, documented.)
+
+    DETERMINISTIC by construction: the per-position randomness is an
+    md5-derived integer over (salt, seed, doc id, position) — the
+    repo's minhash parity trick — so the masking is reproducible
+    across runs, partitionings, AND engines (the DuckDB oracle
+    replays it exactly; this is what makes a stochastic-looking
+    training-data op exact-hash checkable).  A position starts a span
+    with probability rate/mean_span; span length is
+    1 + (u2 mod (2*mean_span - 1)), mean = mean_span; overlapping
+    spans merge into one masked run (numbered by first position).
+
+    Scale shape: one explode to (doc, pos) rows, start positions
+    expand via a bounded ``sequence`` explode (span length <=
+    2*mean_span - 1), run numbering and the final (input, target)
+    assembly are windows/aggregations partitioned BY DOCUMENT —
+    never global — and the corpus shuffles once on doc id.  Output:
+    id, n_words, n_masked, n_spans, input_text, target_text.
+    """
+    from pyspark.sql import Window
+
+    start_ppm = int(round(rate / mean_span * 1_000_000))
+    span_mod = 2 * mean_span - 1
+    d = ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
+    d = with_materialized(d, "_ws", words(F.col(text_col)))
+    base = d.select(id_col, F.expr("filter(_ws, w -> w <> '')").alias("_fw"))
+    spine = base.select(
+        F.col(id_col), F.size("_fw").cast("bigint").alias("n_words")
+    )
+    pos = base.select(
+        id_col, F.size("_fw").alias("_n"),
+        F.posexplode("_fw").alias("_p0", "word"),
+    ).select(
+        id_col, "_n", (F.col("_p0") + 1).alias("p"), "word",
+        F.expr(
+            f"CAST(conv(substring(md5(concat('sc1:', {seed}, ':', {id_col},"
+            f" ':', _p0 + 1)), 1, 8), 16, 10) AS BIGINT)"
+        ).alias("_u1"),
+        F.expr(
+            f"CAST(conv(substring(md5(concat('sc2:', {seed}, ':', {id_col},"
+            f" ':', _p0 + 1)), 1, 8), 16, 10) AS BIGINT)"
+        ).alias("_u2"),
+    )
+    starts = pos.where(F.col("_u1") % 1_000_000 < start_ppm).select(
+        id_col, "p", "_n",
+        (F.lit(1) + F.col("_u2") % span_mod).alias("_len"),
+    )
+    covered = (
+        starts.select(
+            id_col,
+            F.explode(
+                F.expr("sequence(p, least(p + _len - 1, _n))")
+            ).alias("p"),
+        )
+        .distinct()
+    )
+    w_ord = Window.partitionBy(id_col).orderBy("p")
+    runs = (
+        covered.withColumn("_isl", F.col("p") - F.row_number().over(w_ord))
+        .withColumn(
+            "run_id",
+            F.dense_rank().over(Window.partitionBy(id_col).orderBy("_isl")),
+        )
+        .withColumn(
+            "run_first",
+            F.row_number().over(
+                Window.partitionBy(id_col, "_isl").orderBy("p")
+            ) == 1,
+        )
+        .select(id_col, "p", "run_id", "run_first")
+    )
+    toks = pos.join(runs, [id_col, "p"], "left").select(
+        id_col, "p", "word", "run_id", "run_first",
+        F.when(F.col("run_id").isNull(), F.col("word"))
+        .when(
+            F.col("run_first"),
+            F.concat(F.lit("<extra_id_"), F.col("run_id") - 1, F.lit(">")),
+        )
+        .otherwise(F.lit(None))
+        .alias("_in_tok"),
+        F.when(
+            F.col("run_first"),
+            F.concat(
+                F.lit("<extra_id_"), F.col("run_id") - 1, F.lit("> "),
+                F.col("word"),
+            ),
+        )
+        .when(F.col("run_id").isNotNull(), F.col("word"))
+        .otherwise(F.lit(None))
+        .alias("_tg_tok"),
+    )
+    agg = toks.groupBy(id_col).agg(
+        F.expr(
+            "concat_ws(' ', transform(filter(array_sort(collect_list("
+            "struct(p, _in_tok))), s -> s._in_tok IS NOT NULL),"
+            " s -> s._in_tok))"
+        ).alias("input_text"),
+        F.expr(
+            "concat_ws(' ', transform(filter(array_sort(collect_list("
+            "struct(p, _tg_tok))), s -> s._tg_tok IS NOT NULL),"
+            " s -> s._tg_tok))"
+        ).alias("target_text"),
+        F.sum(
+            F.when(F.col("run_id").isNotNull(), 1).otherwise(0)
+        ).cast("bigint").alias("n_masked"),
+        F.count_distinct(
+            F.when(F.col("run_first"), F.col("run_id"))
+        ).cast("bigint").alias("n_spans"),
+    )
+    return (
+        spine.join(agg, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_words",
+            F.coalesce("n_masked", F.lit(0)).cast("bigint").alias("n_masked"),
+            F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
+            F.coalesce("input_text", F.lit("")).alias("input_text"),
+            F.coalesce("target_text", F.lit("")).alias("target_text"),
+        )
+    )
+
+
 def c4_filters(
     df: DataFrame, id_col: str, text_col: str, keep_cols: tuple = ()
 ) -> DataFrame:

@@ -1466,3 +1466,54 @@ def test_self_repetition_spans_periodic_and_block(spark):
     # (suffix-array semantics: each maximal pair alignment reported)
     assert got[2] == {(1, 3, 8), (1, 5, 6)}
     assert 3 not in got
+
+
+def test_span_corruption_structure_and_determinism(spark):
+    """T5 denoising pairs: sentinels are numbered in order, input +
+    target words reconstruct the document exactly, empty docs pass
+    through, and the masking is deterministic across runs."""
+    import re
+
+    n = 40
+    docs = from_rows(
+        spark,
+        [(1, " ".join(f"w{i}" for i in range(n))), (2, "!!!")],
+        schema="doc_id bigint, text string",
+    )
+    run1 = {
+        r.doc_id: r
+        for r in text_ops.span_corruption(
+            docs, "doc_id", "text", rate=0.3, mean_span=3, seed=7
+        ).collect()
+    }
+    run2 = {
+        r.doc_id: r
+        for r in text_ops.span_corruption(
+            docs, "doc_id", "text", rate=0.3, mean_span=3, seed=7
+        ).collect()
+    }
+    assert {k: tuple(v) for k, v in run1.items()} == {
+        k: tuple(v) for k, v in run2.items()
+    }
+    r = run1[1]
+    assert r.n_words == n and 0 < r.n_masked < n
+    sentinels_in = re.findall(r"<extra_id_(\d+)>", r.input_text)
+    sentinels_tg = re.findall(r"<extra_id_(\d+)>", r.target_text)
+    assert sentinels_in == sentinels_tg == [str(i) for i in range(r.n_spans)]
+    # splice targets back into the input -> the original document
+    spans = {}
+    cur = None
+    for tok in r.target_text.split(" "):
+        m = re.fullmatch(r"<extra_id_(\d+)>", tok)
+        if m:
+            cur = int(m.group(1))
+            spans[cur] = []
+        else:
+            spans[cur].append(tok)
+    rebuilt = []
+    for tok in r.input_text.split(" "):
+        m = re.fullmatch(r"<extra_id_(\d+)>", tok)
+        rebuilt.extend(spans[int(m.group(1))] if m else [tok])
+    assert rebuilt == [f"w{i}" for i in range(n)]
+    assert sum(len(v) for v in spans.values()) == r.n_masked
+    assert tuple(run1[2]) == (2, 0, 0, 0, "", "")
