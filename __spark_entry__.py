@@ -1388,8 +1388,8 @@ def q_pretrain_pipeline(spark, sf):
     (exact_substring_apply docstring): whole-document twins are
     dropped by a 16-byte-digest shuffle, not cut word by word —
     measured on the 20x twin-corpus smoke: 53.3s without the exact
-    stage vs 15.5s with it, output collapsing from 100k rows to the
-    4,992 true survivors.  On corpora without exact twins the stage
+    stage vs 8.3s with it (plus the replay checkpoint below), output
+    collapsing from 100k rows to the 4,992 true survivors.  On corpora without exact twins the stage
     is a no-op (gate hashes identical with and without)."""
     d = _t(spark, sf)["documents"]
     c4_keep = (
@@ -1408,7 +1408,12 @@ def q_pretrain_pipeline(spark, sf):
     survivors = dedup.exact_dedup(kept, "doc_id", "text").select(
         F.col("keep_id").alias("doc_id")
     )
-    deduped = kept.join(survivors, "doc_id")
+    # lazy localCheckpoint: the substring stage references its input
+    # three times (seed pass, span-hash word arrays, rebuild pass) and
+    # Spark replays multi-referenced subtrees — without this the
+    # filter+dedup chain upstream runs ~5x (measured 9.7s -> 6.8s at
+    # sf0.1, rows/hashes unchanged)
+    deduped = kept.join(survivors, "doc_id").localCheckpoint(eager=False)
     cleaned = dedup.exact_substring_apply(
         deduped, "doc_id", "text", min_len=10, seed_k=5
     ).select("doc_id", F.col("text_clean").alias("text"))

@@ -74,6 +74,7 @@ HEADLINERS = (
     # r5 headliners: the round's flagship ops
     "dedup_substring_spans",
     "text_bpe_encode",
+    "pretrain_pipeline",
 )
 
 # The regression-gate set: the 16 headliners benched every round since
