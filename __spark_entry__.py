@@ -956,6 +956,20 @@ def q_decontaminate(spark, sf):
     return dedup.decontaminate(corpus, "doc_id", "text", bench, "text", n=3)
 
 
+def q_decontaminate_spans(spark, sf):
+    """Surgical span-level decontamination (r5): cut benchmark-
+    overlapping word runs out of corpus documents instead of flagging
+    whole docs — the ExactSubstr machinery pointed across corpora.
+    Same bench/corpus split as ``dedup_decontaminate``."""
+    d = _t(spark, sf)["documents"].select("doc_id", "text")
+    bench = d.where(F.col("doc_id") < 20)
+    corpus = d.where(F.col("doc_id") >= 20)
+    return dedup.decontaminate_spans(
+        corpus, "doc_id", "text", bench, "doc_id", "text",
+        min_len=10, seed_k=5,
+    )
+
+
 def q_semantic_dedup(spark, sf):
     e = _t(spark, sf)["embeddings"]
     out = similarity.semantic_dedup(e, threshold=0.3, bits=8)
@@ -2320,6 +2334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substring_self": q_substring_self,
         "text_span_corruption": q_span_corruption,
         "pretrain_pipeline": q_pretrain_pipeline,
+        "dedup_decontaminate_spans": q_decontaminate_spans,
         # ---- rows-only keys (no SQL oracle by design; driver records
         # a weaker rows-only row; full evidence lives in tests/) ------
         "text_bpe_merges": q_bpe_merges,
@@ -4111,6 +4126,82 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) + 2 AS BIGINT) AS span_words
         FROM runs GROUP BY doc_id, dg, rn
         HAVING count(*) + 2 >= 3
+    """
+
+    sqls["dedup_decontaminate_spans"] = f"""
+        WITH corpus AS (SELECT doc_id, text FROM documents
+                        WHERE doc_id >= 20),
+        bench AS (SELECT doc_id, text FROM documents WHERE doc_id < 20),
+        d AS (SELECT doc_id, {w} AS w FROM corpus),
+        cs0 AS (
+          SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS pos
+          FROM d WHERE len(w) >= 5
+        ),
+        cseeds AS (
+          SELECT doc_id, pos,
+                 substring(md5(array_to_string(
+                   list_slice(w, pos, pos + 4), ' ')), 1, 16) AS gh
+          FROM cs0
+        ),
+        ccool AS (SELECT gh FROM cseeds GROUP BY gh
+                  HAVING count(*) <= 256),
+        cf AS (SELECT cseeds.* FROM cseeds JOIN ccool USING (gh)),
+        bd AS (SELECT doc_id AS bid, {w} AS w FROM bench),
+        bs0 AS (
+          SELECT bid, w, unnest(generate_series(1, len(w) - 4)) AS bpos
+          FROM bd WHERE len(w) >= 5
+        ),
+        bseeds AS (
+          SELECT bid, bpos,
+                 substring(md5(array_to_string(
+                   list_slice(w, bpos, bpos + 4), ' ')), 1, 16) AS gh
+          FROM bs0
+        ),
+        bcool AS (SELECT gh FROM bseeds GROUP BY gh
+                  HAVING count(*) <= 256),
+        bf AS (SELECT bseeds.* FROM bseeds JOIN bcool USING (gh)),
+        diag AS (
+          SELECT cf.doc_id, bf.bid, cf.pos, bf.bpos,
+                 cf.pos - bf.bpos AS dg
+          FROM cf JOIN bf USING (gh)
+        ),
+        runs AS (
+          SELECT *, pos - row_number() OVER (
+                      PARTITION BY doc_id, bid, dg ORDER BY pos) AS rn
+          FROM diag
+        ),
+        cuts AS (
+          SELECT doc_id, min(pos) AS s, min(pos) + count(*) + 4 AS e
+          FROM runs GROUP BY doc_id, bid, dg, rn
+          HAVING count(*) + 4 >= 10
+        ),
+        poss AS (
+          SELECT doc_id, w[p] AS word, p
+          FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS p
+                FROM d)
+        ),
+        killed AS (
+          SELECT DISTINCT poss.doc_id, poss.p
+          FROM poss JOIN cuts
+            ON cuts.doc_id = poss.doc_id
+           AND poss.p >= cuts.s AND poss.p < cuts.e
+        ),
+        keptw AS (
+          SELECT poss.doc_id, poss.p, poss.word
+          FROM poss LEFT JOIN killed
+            ON killed.doc_id = poss.doc_id AND killed.p = poss.p
+          WHERE killed.p IS NULL
+        ),
+        agg AS (
+          SELECT doc_id, count(*) AS n_kept,
+                 string_agg(word, ' ' ORDER BY p) AS text_clean
+          FROM keptw GROUP BY 1
+        )
+        SELECT d.doc_id, CAST(len(d.w) AS BIGINT) AS n_words,
+               CAST(len(d.w) - COALESCE(agg.n_kept, 0) AS BIGINT)
+                 AS n_words_removed,
+               COALESCE(agg.text_clean, '') AS text_clean
+        FROM d LEFT JOIN agg ON agg.doc_id = d.doc_id
     """
 
     def _substr_apply_sql(src: str = "documents") -> str:

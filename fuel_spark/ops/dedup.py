@@ -1710,9 +1710,6 @@ def exact_substring_apply(
     same composition order Lee et al. use (ExactSubstr runs beside,
     not instead of, document-level dedup).
     """
-    from pyspark.sql import Window
-    from fuel_spark.functions import words
-
     spans = exact_substring_spans(
         df, id_col, text_col, min_len=min_len, seed_k=seed_k,
         max_positions=max_positions,
@@ -1721,6 +1718,24 @@ def exact_substring_apply(
         F.col("start_b").cast("int").alias("_s"),
         (F.col("start_b") + F.col("span_words")).cast("int").alias("_e"),
     )
+    return _apply_cuts(df, spans, id_col, text_col)
+
+
+def _apply_cuts(
+    df: DataFrame, cuts: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Shared removal back end of :func:`exact_substring_apply` and
+    :func:`decontaminate_spans`: merge each document's cut intervals
+    (classic running-max sweep — a per-document window over that
+    document's tiny span list) so nested/overlapping matches never
+    double-cut, then rebuild text by filtering word positions against
+    the merged intervals.  ``cuts`` columns: _id, _s, _e (1-based,
+    end-exclusive, word positions).  Output: id, n_words,
+    n_words_removed, text_clean.
+    """
+    from pyspark.sql import Window
+    from fuel_spark.functions import words
+
     # merge intervals per doc: a new group starts where start exceeds
     # the running max end of everything before it
     w_ord = Window.partitionBy("_id").orderBy("_s", "_e")
@@ -1729,7 +1744,7 @@ def exact_substring_apply(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     merged = (
-        spans.withColumn("_pmax", F.max("_e").over(w_prev))
+        cuts.withColumn("_pmax", F.max("_e").over(w_prev))
         .withColumn(
             "_grp",
             F.sum(
@@ -1774,3 +1789,79 @@ def exact_substring_apply(
             "text_clean"
         ),
     )
+
+
+def decontaminate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    benchmark: DataFrame,
+    bench_id_col: str,
+    bench_text_col: str,
+    min_len: int = 10,
+    seed_k: int = 5,
+    max_positions: int | None = 256,
+) -> DataFrame:
+    """SURGICAL benchmark decontamination: cut from each corpus
+    document every maximal word run of length >= ``min_len`` that
+    also appears verbatim in the benchmark/eval set — the span-level
+    upgrade of :func:`decontaminate` (which only FLAGS documents by
+    n-gram overlap).  Flag-and-drop loses a whole document to one
+    quoted test item; this removes exactly the leaked words and keeps
+    the rest, the ExactSubstr machinery pointed across corpora.
+
+    Corpus seeds join BENCHMARK seeds on the gram hash (the benchmark
+    side is eval-set-sized — tiny next to the corpus — so this is
+    effectively a broadcast-scale semi-structure, never
+    corpus x corpus); diagonal islands per (doc, bench doc) recover
+    maximal shared runs exactly as in :func:`exact_substring_spans`;
+    the cut back end is shared (`_apply_cuts` — merged intervals,
+    single rebuild).  ``max_positions`` caps hub grams on EACH side.
+    Output: id, n_words, n_words_removed, text_clean — one row per
+    corpus document, benchmark rows never emitted.
+    """
+    from pyspark.sql import Window
+
+    seeds = substring_seeds(df, id_col, text_col, seed_k).select(
+        F.col(id_col).alias("_id"), "pos", "gh"
+    )
+    bseeds = substring_seeds(
+        benchmark, bench_id_col, bench_text_col, seed_k
+    ).select(
+        F.col(bench_id_col).alias("_bid"),
+        F.col("pos").alias("bpos"),
+        "gh",
+    )
+    if max_positions is not None:
+        hot = seeds.groupBy("gh").agg(F.count(F.lit(1)).alias("_n"))
+        seeds = (
+            seeds.join(hot, "gh").where(F.col("_n") <= max_positions).drop("_n")
+        )
+        bhot = bseeds.groupBy("gh").agg(F.count(F.lit(1)).alias("_n"))
+        bseeds = (
+            bseeds.join(bhot, "gh")
+            .where(F.col("_n") <= max_positions)
+            .drop("_n")
+        )
+    diag = seeds.join(bseeds, "gh").select(
+        "_id", "_bid", "pos", "bpos",
+        (F.col("pos") - F.col("bpos")).alias("_diag"),
+    )
+    w_run = Window.partitionBy("_id", "_bid", "_diag").orderBy("pos")
+    runs = diag.withColumn(
+        "_run", F.col("pos") - F.row_number().over(w_run)
+    )
+    spans = (
+        runs.groupBy("_id", "_bid", "_diag", "_run")
+        .agg(
+            F.min("pos").alias("_s0"),
+            (F.count(F.lit(1)) + F.lit(seed_k - 1)).alias("_len"),
+        )
+        .where(F.col("_len") >= max(min_len, seed_k))
+        .select(
+            "_id",
+            F.col("_s0").cast("int").alias("_s"),
+            (F.col("_s0") + F.col("_len")).cast("int").alias("_e"),
+        )
+    )
+    return _apply_cuts(df, spans, id_col, text_col)

@@ -1517,3 +1517,29 @@ def test_span_corruption_structure_and_determinism(spark):
     assert rebuilt == [f"w{i}" for i in range(n)]
     assert sum(len(v) for v in spans.values()) == r.n_masked
     assert tuple(run1[2]) == (2, 0, 0, 0, "", "")
+
+
+def test_decontaminate_spans_cuts_only_the_leak(spark):
+    """A corpus doc quoting a 12-word benchmark passage loses exactly
+    those words; its other words and clean docs are untouched — and
+    unlike flag-level decontaminate, the document survives."""
+    bench_text = "question alpha bravo charlie delta echo foxtrot golf hotel india juliet answer"
+    bench = from_rows(
+        spark, [(900, bench_text)], schema="doc_id bigint, text string"
+    )
+    rows = [
+        (1, "intro words here " + bench_text + " closing remark"),
+        (2, "a perfectly clean document with no overlap at all"),
+    ]
+    corpus = from_rows(spark, rows, schema="doc_id bigint, text string")
+    out = {
+        r.doc_id: r
+        for r in dedup.decontaminate_spans(
+            corpus, "doc_id", "text", bench, "doc_id", "text",
+            min_len=10, seed_k=5,
+        ).collect()
+    }
+    assert set(out) == {1, 2}  # benchmark rows never emitted
+    assert out[1].n_words_removed == 12
+    assert out[1].text_clean == "intro words here closing remark"
+    assert out[2].n_words_removed == 0
