@@ -1383,6 +1383,18 @@ def q_span_corruption(spark, sf):
     )
 
 
+def q_mlm_masking(spark, sf):
+    """BERT MLM pairs (r5): deterministic md5-derived 15% selection
+    with the exact 80/10/10 mask/random/keep split; replacement words
+    drawn deterministically from the frequency-ranked corpus vocab —
+    oracle-checked despite looking stochastic (the span-corruption
+    pattern)."""
+    d = _t(spark, sf)["documents"]
+    return text_ops.mlm_masking(
+        d, "doc_id", "text", rate=0.15, vocab_size=4096, seed=7
+    )
+
+
 def q_policy_filters(spark, sf):
     """Robots/license/policy-boilerplate compliance flags (r5 —
     VERDICT r4 ask #8's c4_filters extension)."""
@@ -2335,6 +2347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_span_corruption": q_span_corruption,
         "pretrain_pipeline": q_pretrain_pipeline,
         "dedup_decontaminate_spans": q_decontaminate_spans,
+        "text_mlm_masking": q_mlm_masking,
         # ---- rows-only keys (no SQL oracle by design; driver records
         # a weaker rows-only row; full evidence lives in tests/) ------
         "text_bpe_merges": q_bpe_merges,
@@ -5055,6 +5068,80 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sqls["text_span_corruption"] = f"WITH {_span_corr_sql()}"
+
+    # r5: BERT MLM masking — same md5 determinism; replacement vocab
+    # is build_dictionary's frequency-ranked table (ties lexicographic,
+    # word_id = row_number + 2), pick = u3 mod V + 3.
+    sqls["text_mlm_masking"] = f"""
+        WITH d AS (
+          SELECT doc_id, list_filter({w}, x -> x <> '') AS fw
+          FROM documents
+        ),
+        pos AS (
+          SELECT doc_id, p, fw[p] AS word,
+                 CAST('0x' || substring(md5(
+                   concat('mlm1:', 7, ':', doc_id, ':', p)), 1, 8)
+                   AS BIGINT) AS u1,
+                 CAST('0x' || substring(md5(
+                   concat('mlm2:', 7, ':', doc_id, ':', p)), 1, 8)
+                   AS BIGINT) AS u2,
+                 CAST('0x' || substring(md5(
+                   concat('mlm3:', 7, ':', doc_id, ':', p)), 1, 8)
+                   AS BIGINT) AS u3
+          FROM (SELECT doc_id, fw, unnest(generate_series(1, len(fw))) AS p
+                FROM d)
+        ),
+        cnt AS (
+          SELECT word, count(*) AS cnt FROM pos GROUP BY word
+        ),
+        dict AS (
+          SELECT word, row_number() OVER (ORDER BY cnt DESC, word) + 2
+                   AS word_id
+          FROM cnt QUALIFY word_id < 4099
+        ),
+        vs AS (SELECT count(*) AS v FROM dict),
+        sel AS (
+          SELECT pos.doc_id, pos.p, pos.u2 % 10 AS act,
+                 pos.u3 % greatest(vs.v, 1) + 3 AS pick
+          FROM pos CROSS JOIN vs
+          WHERE pos.u1 % 1000000 < 150000
+        ),
+        selr AS (
+          SELECT sel.doc_id, sel.p, sel.act, dict.word AS rw
+          FROM sel LEFT JOIN dict ON dict.word_id = sel.pick
+        ),
+        toks AS (
+          SELECT pos.doc_id, pos.p, s.act,
+                 CASE WHEN s.act IS NULL THEN pos.word
+                      WHEN s.act <= 7 THEN '[MASK]'
+                      WHEN s.act = 8 THEN COALESCE(s.rw, pos.word)
+                      ELSE pos.word END AS in_tok,
+                 CASE WHEN s.act IS NOT NULL THEN
+                        concat(pos.p, ':', pos.word)
+                      ELSE NULL END AS lab_tok
+          FROM pos LEFT JOIN selr s
+            ON s.doc_id = pos.doc_id AND s.p = pos.p
+        ),
+        agg AS (
+          SELECT doc_id,
+                 string_agg(in_tok, ' ' ORDER BY p) AS input_text,
+                 string_agg(lab_tok, ' ' ORDER BY p)
+                   FILTER (lab_tok IS NOT NULL) AS labels_text,
+                 count(act) AS n_selected,
+                 sum(CASE WHEN act <= 7 THEN 1 ELSE 0 END) AS n_masked,
+                 sum(CASE WHEN act = 8 THEN 1 ELSE 0 END) AS n_random,
+                 sum(CASE WHEN act = 9 THEN 1 ELSE 0 END) AS n_kept
+          FROM toks GROUP BY 1
+        )
+        SELECT d.doc_id, CAST(len(d.fw) AS BIGINT) AS n_words,
+               CAST(COALESCE(a.n_selected, 0) AS BIGINT) AS n_selected,
+               CAST(COALESCE(a.n_masked, 0) AS BIGINT) AS n_masked,
+               CAST(COALESCE(a.n_random, 0) AS BIGINT) AS n_random,
+               CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+               COALESCE(a.input_text, '') AS input_text,
+               COALESCE(a.labels_text, '') AS labels_text
+        FROM d LEFT JOIN agg a ON a.doc_id = d.doc_id
+    """
 
     # r5: the end-to-end pretraining pipeline — quality gates (C4 +
     # policy keep predicates inlined) -> ExactSubstr removal (nested,

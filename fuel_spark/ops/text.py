@@ -1447,6 +1447,128 @@ def span_corruption(
     )
 
 
+def mlm_masking(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    rate: float = 0.15,
+    vocab_size: int = 4096,
+    seed: int = 7,
+    mask_token: str = "[MASK]",
+) -> DataFrame:
+    """BERT masked-LM training pairs (Devlin et al. 2019 §3.1): select
+    ~``rate`` of each document's tokens; of the selected, 80% become
+    ``mask_token``, 10% are replaced by a corpus-vocabulary word and
+    10% stay unchanged — emitting the corrupted input plus position-
+    tagged labels (``p:word``) so the original is recoverable.
+
+    DETERMINISTIC like :func:`span_corruption`: all three decisions
+    (select / action / replacement pick) are md5-derived integers
+    over (salt, seed, doc, pos), and the replacement vocabulary is
+    :func:`fuel_spark.sources.build_dictionary`'s frequency-ranked
+    top-``vocab_size`` table (ties lexicographic), so the whole
+    transform replays bit-exactly across runs, partitionings and
+    engines — oracle-checkable despite looking stochastic.  The
+    action split is exact 80/10/10 by residue (u2 mod 10: 0-7 mask,
+    8 random, 9 keep).
+
+    Scale shape: the vocab is TakeOrdered + a vocab-sized window
+    (the ``build_dictionary`` pattern) and broadcasts to the
+    replacement join; everything else is one explode to (doc, pos),
+    per-document aggregation, one doc-keyed shuffle.  Output: id,
+    n_words, n_selected, n_masked, n_random, n_kept, input_text,
+    labels_text.
+    """
+    from pyspark.sql.functions import broadcast
+
+    from fuel_spark.sources.text import FIRST_WORD_ID, build_dictionary
+
+    sel_ppm = int(round(rate * 1_000_000))
+    d = ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
+    d = with_materialized(d, "_ws", words(F.col(text_col)))
+    base = d.select(id_col, F.expr("filter(_ws, w -> w <> '')").alias("_fw"))
+    spine = base.select(
+        F.col(id_col), F.size("_fw").cast("bigint").alias("n_words")
+    )
+    pos = base.select(
+        id_col, F.posexplode("_fw").alias("_p0", "word")
+    ).select(
+        id_col, (F.col("_p0") + 1).alias("p"), "word",
+        *[
+            F.expr(
+                f"CAST(conv(substring(md5(concat('mlm{i}:', {seed}, ':',"
+                f" {id_col}, ':', _p0 + 1)), 1, 8), 16, 10) AS BIGINT)"
+            ).alias(f"_u{i}")
+            for i in (1, 2, 3)
+        ],
+    )
+    vocab = build_dictionary(df, text_col, vocab_size)
+    vsize = vocab.groupBy().agg(F.count(F.lit(1)).alias("_v"))
+    sel = (
+        pos.where(F.col("_u1") % 1_000_000 < sel_ppm)
+        .crossJoin(broadcast(vsize))
+        .select(
+            id_col, "p",
+            (F.col("_u2") % 10).alias("_act"),
+            (
+                F.col("_u3") % F.greatest(F.col("_v"), F.lit(1))
+                + F.lit(FIRST_WORD_ID)
+            ).alias("_pick"),
+        )
+        .join(
+            broadcast(
+                vocab.select(
+                    F.col("word_id").alias("_pick"),
+                    F.col("word").alias("_rw"),
+                )
+            ),
+            "_pick",
+            "left",
+        )
+        .select(id_col, "p", "_act", "_rw")
+    )
+    toks = pos.join(sel, [id_col, "p"], "left").select(
+        id_col, "p", "_act",
+        F.when(F.col("_act").isNull(), F.col("word"))
+        .when(F.col("_act") <= 7, F.lit(mask_token))
+        .when(F.col("_act") == 8, F.coalesce("_rw", F.col("word")))
+        .otherwise(F.col("word"))
+        .alias("_in_tok"),
+        F.when(
+            F.col("_act").isNotNull(),
+            F.concat(F.col("p"), F.lit(":"), F.col("word")),
+        ).alias("_lab_tok"),
+    )
+    agg = toks.groupBy(id_col).agg(
+        F.expr(
+            "concat_ws(' ', transform(array_sort(collect_list("
+            "struct(p, _in_tok))), s -> s._in_tok))"
+        ).alias("input_text"),
+        F.expr(
+            "concat_ws(' ', transform(filter(array_sort(collect_list("
+            "struct(p, _lab_tok))), s -> s._lab_tok IS NOT NULL),"
+            " s -> s._lab_tok))"
+        ).alias("labels_text"),
+        F.sum(F.when(F.col("_act").isNotNull(), 1).otherwise(0))
+        .cast("bigint").alias("n_selected"),
+        F.sum(F.when(F.col("_act") <= 7, 1).otherwise(0))
+        .cast("bigint").alias("n_masked"),
+        F.sum(F.when(F.col("_act") == 8, 1).otherwise(0))
+        .cast("bigint").alias("n_random"),
+        F.sum(F.when(F.col("_act") == 9, 1).otherwise(0))
+        .cast("bigint").alias("n_kept"),
+    )
+    return spine.join(agg, id_col, "left").select(
+        F.col(id_col), "n_words",
+        F.coalesce("n_selected", F.lit(0)).cast("bigint").alias("n_selected"),
+        F.coalesce("n_masked", F.lit(0)).cast("bigint").alias("n_masked"),
+        F.coalesce("n_random", F.lit(0)).cast("bigint").alias("n_random"),
+        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        F.coalesce("input_text", F.lit("")).alias("input_text"),
+        F.coalesce("labels_text", F.lit("")).alias("labels_text"),
+    )
+
+
 def c4_filters(
     df: DataFrame, id_col: str, text_col: str, keep_cols: tuple = ()
 ) -> DataFrame:

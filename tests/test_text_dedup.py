@@ -1543,3 +1543,40 @@ def test_decontaminate_spans_cuts_only_the_leak(spark):
     assert out[1].n_words_removed == 12
     assert out[1].text_clean == "intro words here closing remark"
     assert out[2].n_words_removed == 0
+
+
+def test_mlm_masking_structure_and_reconstruction(spark):
+    """MLM pairs: position-tagged labels restore the original document
+    exactly; untouched positions pass through verbatim; the action
+    counters partition the selection; deterministic across runs."""
+    n = 60
+    docs = from_rows(
+        spark,
+        [(1, " ".join(f"w{i}" for i in range(n)))],
+        schema="doc_id bigint, text string",
+    )
+    r1 = text_ops.mlm_masking(
+        docs, "doc_id", "text", rate=0.3, seed=7
+    ).collect()[0]
+    r2 = text_ops.mlm_masking(
+        docs, "doc_id", "text", rate=0.3, seed=7
+    ).collect()[0]
+    assert tuple(r1) == tuple(r2)
+    assert r1.n_selected == r1.n_masked + r1.n_random + r1.n_kept > 0
+    toks = r1.input_text.split(" ")
+    assert len(toks) == n
+    labels = dict(
+        t.split(":", 1) for t in r1.labels_text.split(" ")
+    )
+    assert len(labels) == r1.n_selected
+    rebuilt = [
+        labels.get(str(p + 1), tok) for p, tok in enumerate(toks)
+    ]
+    assert rebuilt == [f"w{i}" for i in range(n)]
+    # unselected positions are verbatim
+    for p, tok in enumerate(toks):
+        if str(p + 1) not in labels:
+            assert tok == f"w{p}"
+    # mask token count matches the counter (random/keep may alias
+    # real words, but [MASK] is not in the vocabulary)
+    assert toks.count("[MASK]") == r1.n_masked
