@@ -132,6 +132,43 @@ def cmd_dedup(args) -> int:
     return 0
 
 
+def cmd_substrdedup(args) -> int:
+    """One-command ExactSubstr dedup (Lee et al. 2022): cut every
+    >= min-len-word substring duplicated across documents from the
+    higher-id doc of its pair, write the cleaned corpus.  The
+    substring-granular companion to ``dedup``; run ``dedup`` (exact
+    tier) first on twin-heavy corpora (the documented composition)."""
+    from fuel_spark.ops.dedup import exact_substring_apply
+    from fuel_spark.sources.sink import write_dataset
+
+    spark = get_spark("fuel_spark-substrdedup")
+    spark.sparkContext.setLogLevel("ERROR")
+    df = spark.read.parquet(args.input)
+    out = exact_substring_apply(
+        df, args.id_col, args.text_col,
+        min_len=args.min_len, seed_k=args.seed_k,
+    )
+    write_dataset(out, args.output)
+    from pyspark.sql import functions as F
+
+    stats = (
+        spark.read.parquet(args.output)
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_words_removed").alias("cut"),
+            F.sum(F.when(F.col("n_words_removed") > 0, 1).otherwise(0))
+            .alias("touched"),
+        )
+        .collect()[0]
+    )
+    print(
+        f"wrote {args.output} ({stats['docs']} docs; cut "
+        f"{stats['cut']} duplicated words from {stats['touched']} docs "
+        f"at span>={args.min_len})"
+    )
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="fuel_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -178,6 +215,18 @@ def main(argv: list[str] | None = None) -> int:
     p_d.add_argument("--keep", default="min_id", choices=["min_id", "longest"])
     p_d.add_argument("--max-bucket", type=int, default=512)
     p_d.set_defaults(fn=cmd_dedup)
+
+    p_s = sub.add_parser(
+        "substrdedup",
+        help="cut cross-document duplicated substrings (ExactSubstr)",
+    )
+    p_s.add_argument("--input", required=True)
+    p_s.add_argument("--output", required=True)
+    p_s.add_argument("--id-col", default="doc_id")
+    p_s.add_argument("--text-col", default="text")
+    p_s.add_argument("--min-len", type=int, default=10)
+    p_s.add_argument("--seed-k", type=int, default=5)
+    p_s.set_defaults(fn=cmd_substrdedup)
 
     args = ap.parse_args(argv)
     return args.fn(args)

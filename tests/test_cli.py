@@ -86,3 +86,30 @@ def test_cli_dedup_command(spark, tmp_path):
     assert rc == 0
     kept = sorted(r.doc_id for r in spark.read.parquet(out).collect())
     assert kept == [1, 3]
+
+
+def test_cli_substrdedup_command(spark, tmp_path, capsys):
+    """End-to-end: ExactSubstr-clean a parquet corpus through the CLI."""
+    from fuel_spark.cli import main
+    from fuel_spark.sources import from_rows
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    src = str(tmp_path / "sin")
+    out = str(tmp_path / "sout")
+    from_rows(
+        spark,
+        [
+            (1, "intro " + shared + " tail"),
+            (2, "other start " + shared + " other end"),
+            (3, "totally unique words in this one only here"),
+        ],
+        schema="doc_id bigint, text string",
+    ).write.mode("overwrite").parquet(src)
+    rc = main(["substrdedup", "--input", src, "--output", out])
+    assert rc == 0
+    assert "cut 10 duplicated words from 1 docs" in capsys.readouterr().out
+    rows = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+    assert rows[1].n_words_removed == 0          # first occurrence kept
+    assert rows[2].n_words_removed == 10
+    assert shared not in rows[2].text_clean
+    assert rows[3].n_words_removed == 0
