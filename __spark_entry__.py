@@ -907,6 +907,16 @@ def q_substring_apply(spark, sf):
     )
 
 
+def q_edit_distance_pairs(spark, sf):
+    """PassJoin edit-distance similarity self-join (r5, Li et al.
+    VLDB 2012): all pairs within 5 Levenshtein edits of each other on
+    normalized text, with the exact distance — pigeonhole segment
+    blocking Spark-side, plain length-banded levenshtein in the
+    oracle (completeness of the blocking is what's being compared)."""
+    d = _t(spark, sf)["documents"].select("doc_id", "text")
+    return dedup.edit_distance_pairs(d, "doc_id", "text", max_dist=5)
+
+
 def q_unigram_logprob(spark, sf):
     d = _t(spark, sf)["documents"].select("doc_id", "text")
     return text_ops.unigram_logprob(d, "doc_id", "text")
@@ -2348,6 +2358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pretrain_pipeline": q_pretrain_pipeline,
         "dedup_decontaminate_spans": q_decontaminate_spans,
         "text_mlm_masking": q_mlm_masking,
+        "dedup_edit_distance": q_edit_distance_pairs,
         # ---- rows-only keys (no SQL oracle by design; driver records
         # a weaker rows-only row; full evidence lives in tests/) ------
         "text_bpe_merges": q_bpe_merges,
@@ -4110,6 +4121,24 @@ def oracle_sql() -> dict[str, str]:
                  ' ')), 1, 16) AS span_hash
         FROM spans s JOIN d ON d.doc_id = s.doc_a
     """
+    # r5: PassJoin edit-distance join.  The oracle needs no blocking —
+    # a length-banded quadratic pass is exact at gate scale; the Spark
+    # side's pigeonhole candidate generation must be COMPLETE for the
+    # hashes to match, which is the property under test.
+    sqls["dedup_edit_distance"] = """
+        WITH d AS (
+          SELECT doc_id,
+                 trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
+          FROM documents
+        ),
+        dd AS (SELECT doc_id, t, length(t) AS L FROM d WHERE length(t) >= 1)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(levenshtein(a.t, b.t) AS BIGINT) AS dist
+        FROM dd a JOIN dd b
+          ON a.doc_id < b.doc_id AND abs(a.L - b.L) <= 5
+        WHERE levenshtein(a.t, b.t) <= 5
+    """
+
     sqls["dedup_substring_self"] = f"""
         WITH d AS (SELECT doc_id, {w} AS w FROM documents),
         s0 AS (

@@ -1580,3 +1580,88 @@ def test_mlm_masking_structure_and_reconstruction(spark):
     # mask token count matches the counter (random/keep may alias
     # real words, but [MASK] is not in the vocabulary)
     assert toks.count("[MASK]") == r1.n_masked
+
+
+def test_edit_distance_pairs_planted_edits_complete(spark):
+    """PassJoin blocking completeness: every planted pair within the
+    threshold is found with its EXACT distance (verified against a
+    reference Levenshtein), and nothing beyond the threshold leaks."""
+    from fuel_spark.ops.dedup import edit_distance_pairs
+
+    def lev(a, b):
+        m, n = len(a), len(b)
+        prev = list(range(n + 1))
+        for i in range(1, m + 1):
+            cur = [i] + [0] * n
+            for j in range(1, n + 1):
+                cur[j] = min(
+                    prev[j] + 1,
+                    cur[j - 1] + 1,
+                    prev[j - 1] + (a[i - 1] != b[j - 1]),
+                )
+            prev = cur
+        return prev[n]
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = [
+        (0, base),
+        (1, base[:-1] + "x"),                      # 1 substitution (tail)
+        (2, "a" + base[1:]),                       # 1 substitution (head)
+        (3, base[:21] + base[25:]),                # 4-char deletion ("umps")
+        (4, base[:30] + "zzzzz" + base[30:]),      # 5-char insertion
+        (5, base[:10] + "q" + base[11:40] + "v" + base[41:]),  # 2 subs
+        (6, "completely unrelated text about spark and parquet files"),
+        (7, base[::-1]),                           # reversal: far away
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        (r.id_a, r.id_b): r.dist
+        for r in edit_distance_pairs(df, "doc_id", "text", max_dist=5).collect()
+    }
+    import re
+
+    def norm(s):
+        return re.sub(r"[^a-z0-9]+", " ", s.lower()).strip()
+
+    want = {}
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            d = lev(norm(docs[i][1]), norm(docs[j][1]))
+            if d <= 5:
+                want[(docs[i][0], docs[j][0])] = d
+    assert got == want
+    assert got[(0, 1)] == 1 and got[(0, 3)] == 4 and got[(0, 4)] == 5
+
+
+def test_edit_distance_pairs_short_docs(spark):
+    """Texts shorter than max_dist+1 chars take the length-keyed
+    short bucket and still pair exactly."""
+    from fuel_spark.ops.dedup import edit_distance_pairs
+
+    df = spark.createDataFrame(
+        [(0, "ab"), (1, "ac"), (2, "abcd"), (3, "xyz"), (4, "!!!")],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r.id_a, r.id_b): r.dist
+        for r in edit_distance_pairs(df, "doc_id", "text", max_dist=2).collect()
+    }
+    # doc 4 normalizes to empty and is dropped; remaining distances:
+    # ab-ac 1, ab-abcd 2, ac-abcd 3 (excluded), ab-xyz 3 (excluded)...
+    assert got[(0, 1)] == 1
+    assert got[(0, 2)] == 2
+    assert all(v <= 2 for v in got.values())
+    assert not any(4 in p for p in got)
+
+
+def test_edit_distance_pairs_max_bucket_degrade(spark):
+    """A boilerplate segment bucket past the cap is skipped (the
+    documented fuzzy_join-style recall trade), not exploded."""
+    from fuel_spark.ops.dedup import edit_distance_pairs
+
+    docs = [(i, "identical boilerplate line") for i in range(12)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    full = edit_distance_pairs(df, "doc_id", "text", max_dist=2, max_bucket=None)
+    assert full.count() == 12 * 11 // 2
+    capped = edit_distance_pairs(df, "doc_id", "text", max_dist=2, max_bucket=5)
+    assert capped.count() == 0
