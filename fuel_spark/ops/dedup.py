@@ -1873,6 +1873,7 @@ def edit_distance_pairs(
     text_col: str,
     max_dist: int = 5,
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    prededup_exact: bool = True,
 ) -> DataFrame:
     """Edit-distance similarity self-join: every pair of documents
     whose normalized texts are within ``max_dist`` Levenshtein edits,
@@ -1889,24 +1890,40 @@ def edit_distance_pairs(
     `a` appears VERBATIM in `b`, shifted by at most max_dist
     positions (each edit moves downstream text by <= 1).  Index side
     emits each doc's tau+1 segments keyed (own_length, seg_idx,
-    content); probe side emits, for every partner length l within
-    +-tau and every segment index, the substrings of itself at the
-    allowed shifted positions of THAT partner's segmentation — an
-    equality join on (l, seg_idx, content) is then COMPLETE: no
-    qualifying pair can be missed (property-tested against planted
-    edits).  Candidate fan-out per doc is (2*tau+1) lengths x (tau+1)
-    segments x (2*tau+1) shifts — constant in corpus size, linear
-    overall (PassJoin's multi-match-aware position tightening would
-    shave the constant; not needed for completeness).  Texts shorter
+    content); probe side emits, for every partner length l in
+    [L - tau, L] (probing DOWNWARD only — the longer doc of a pair
+    finds the shorter, halving fan-out) and every segment index, its
+    substrings at the allowed shifted positions of THAT partner's
+    segmentation.  An equality bucket join on the key is then
+    COMPLETE: no qualifying pair can be missed (property-tested
+    against planted edits).  Keys travel as xxhash64(l, seg_idx,
+    content) — 8 bytes instead of a segment string; a hash collision
+    only adds a candidate, which the verify discards.  Candidate
+    fan-out per doc is (tau+1) lengths x (tau+1) segments x (2tau+1)
+    shifts — constant in corpus size, linear overall.  Texts shorter
     than tau+1 characters cannot host tau+1 non-empty segments and
     take a length-keyed short-doc bucket instead.
+
+    ``prededup_exact`` (default True — unlike :func:`fuzzy_join`, the
+    output contract is UNCHANGED): exact-duplicate texts collapse to
+    their min-id representative before blocking, and the full pair
+    set is restored afterward — within-group pairs at dist 0, and
+    every representative near-pair expanded to all member cross
+    pairs, which share the distance by definition.  Without this, g
+    copies of a text put g members in every one of its buckets and
+    the bucket join goes copy-quadratic: the 10x adversarial smoke
+    (10 identical copies per doc) DID NOT COMPLETE in 20 minutes raw,
+    vs ~2 min with the pre-pass — while gate hashes are identical by
+    construction.  The restored output is itself quadratic in
+    duplicate-group size, but that is the true answer's size, not
+    plan waste.
 
     Scale story: candidate generation is one narrow projection per
     side of the bucket join (no self-join of the corpus); per-bucket
     work is |index_bucket| x |probe_bucket|, and ``max_bucket`` skips
     buckets above the cap on either side (boilerplate segments — the
     same documented recall trade as :func:`fuzzy_join`).  Only
-    candidate pairs reach the levenshtein verify, which uses Spark's
+    candidate pairs reach the levenshtein verify, which uses Spark\'s
     banded ``levenshtein(l, r, threshold)`` (early-exit above the
     threshold; O(len * tau), not O(len^2)).  Empty normalized texts
     are dropped (an all-punctuation doc has no edit identity).
@@ -1920,11 +1937,29 @@ def edit_distance_pairs(
         .where(F.length("_t") >= 1)
         .withColumn("_L", F.length("_t"))
     )
-    # referenced four times (index, probe, verify x2): checkpoint
-    # lazily so the normalize subtree computes once, not per branch.
-    base = ensure_parallelism(base).localCheckpoint(eager=False)
+    base = ensure_parallelism(base)
 
-    # -- index: own segmentation, keyed (own length, seg idx, content)
+    if prededup_exact:
+        # one group row per distinct text: representative id, the
+        # text, and the sorted member-id array for restoration.
+        groups = (
+            base.groupBy(F.md5("_t").alias("_h"))
+            .agg(
+                F.min("_id").alias("_id"),
+                F.first("_t").alias("_t"),
+                F.first("_L").alias("_L"),
+                F.array_sort(F.collect_list("_id")).alias("_ids"),
+            )
+            .drop("_h")
+        )
+    else:
+        groups = base.withColumn("_ids", F.array("_id"))
+    # consumed by index, probe, verify x2, and restoration:
+    # checkpoint lazily so the subtree computes once.
+    groups = groups.localCheckpoint(eager=False)
+
+    # -- index: own segmentation, keyed xxhash64(own length, seg idx,
+    # content)
     def _seg(i: int, l_expr: str) -> tuple[str, str]:
         """(start, len) SQL for segment i of a length-`l_expr` text:
         first (nseg - l % nseg) segments get floor(l/nseg) chars, the
@@ -1936,41 +1971,40 @@ def edit_distance_pairs(
         st = f"({i} * {blen} + GREATEST(0, {i} - {nshort}))"
         return st, ln
 
-    idx_structs = []
+    idx_cols = []
     for i in range(nseg):
         st, ln = _seg(i, "_L")
-        idx_structs.append(
-            f"struct(_L AS l, {i} AS si, substring(_t, {st} + 1, {ln}) AS seg)"
-        )
-    idx_long = base.where(F.col("_L") >= nseg).select(
-        "_id", F.explode(F.expr(f"array({', '.join(idx_structs)})")).alias("_k")
+        idx_cols.append(f"xxhash64(_L, {i}, substring(_t, {st} + 1, {ln}))")
+    idx_long = groups.where(F.col("_L") >= nseg).select(
+        "_id", F.explode(F.expr(f"array({', '.join(idx_cols)})")).alias("_k")
     )
-    idx_short = base.where(F.col("_L") < nseg).select(
-        "_id", F.expr("struct(_L AS l, -1 AS si, '' AS seg)").alias("_k")
+    idx_short = groups.where(F.col("_L") < nseg).select(
+        "_id", F.expr("xxhash64(_L, -1, '')").alias("_k")
     )
 
-    # -- probe: for each partner length l in [L-tau, L+tau] and each
-    # segment of THAT length's segmentation, my substrings at shifts
-    # within +-tau.  sequence(lo, greatest(lo, hi)) + filter keeps the
-    # empty-range case an empty TYPED array (sequence alone would
-    # descend when hi < lo).
+    # -- probe: for each partner length l in [L-tau, L] (downward
+    # only) and each segment of THAT length\'s segmentation, my
+    # substrings at shifts within +-tau.  sequence(lo, greatest(lo,
+    # hi)) + filter keeps the empty-range case an empty TYPED array
+    # (sequence alone would descend when hi < lo).
     probe_parts = []
     for i in range(nseg):
         st, ln = _seg(i, "l")
         lo = f"GREATEST(0, {st} - {tau})"
         hi = f"LEAST(_L - {ln}, {st} + {tau})"
         probe_parts.append(
-            f"flatten(transform(sequence(GREATEST(_L - {tau}, {nseg}), _L + {tau}), l -> "
-            f"transform(filter(sequence({lo}, GREATEST({lo}, {hi})), s -> s <= {hi}), "
-            f"s -> struct(l AS l, {i} AS si, substring(_t, s + 1, {ln}) AS seg))))"
+            f"flatten(transform("
+            f"filter(sequence(GREATEST(_L - {tau}, {nseg}), GREATEST(_L, {nseg})), l -> l <= _L), "
+            f"l -> transform(filter(sequence({lo}, GREATEST({lo}, {hi})), s -> s <= {hi}), "
+            f"s -> xxhash64(l, {i}, substring(_t, s + 1, {ln})))))"
         )
     short_lo = f"GREATEST(1, _L - {tau})"
-    short_hi = f"LEAST({tau}, _L + {tau})"
+    short_hi = f"LEAST({tau}, _L)"
     probe_parts.append(
         f"transform(filter(sequence({short_lo}, GREATEST({short_lo}, {short_hi})), "
-        f"l -> l <= {short_hi}), l -> struct(l AS l, -1 AS si, '' AS seg))"
+        f"l -> l <= {short_hi}), l -> xxhash64(l, -1, ''))"
     )
-    probes = base.select(
+    probes = groups.select(
         "_id",
         F.explode(
             F.expr(f"array_distinct(concat({', '.join(probe_parts)}))")
@@ -1992,22 +2026,56 @@ def edit_distance_pairs(
         .select("_x", F.explode("_ap").alias("_y"))
         .where(F.col("_x") != F.col("_y"))
         .select(
-            F.least("_x", "_y").alias("id_a"),
-            F.greatest("_x", "_y").alias("id_b"),
+            F.least("_x", "_y").alias("ra"),
+            F.greatest("_x", "_y").alias("rb"),
         )
         .distinct()
     )
     # pin the verify width: pair rows are bytes-tiny, AQE would
     # coalesce them to one partition and single-thread the
     # CPU-heavy levenshtein (same defect class fixed in
-    # minhash_candidate_pairs' verify — measured 15.6s -> 1.9s there).
+    # minhash_candidate_pairs\' verify — measured 15.6s -> 1.9s there).
     pairs = pairs.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    ta = base.select(F.col("_id").alias("id_a"), F.col("_t").alias("_ta"))
-    tb = base.select(F.col("_id").alias("id_b"), F.col("_t").alias("_tb"))
-    return (
-        pairs.join(ta, "id_a")
-        .join(tb, "id_b")
+    ta = groups.select(F.col("_id").alias("ra"), F.col("_t").alias("_ta"))
+    tb = groups.select(F.col("_id").alias("rb"), F.col("_t").alias("_tb"))
+    rep_pairs = (
+        pairs.join(ta, "ra")
+        .join(tb, "rb")
         .withColumn("dist", F.levenshtein("_ta", "_tb", tau))
         .where(F.col("dist") >= 0)
-        .select("id_a", "id_b", F.col("dist").cast("long").alias("dist"))
+        .select("ra", "rb", F.col("dist").cast("long").alias("dist"))
     )
+
+    if not prededup_exact:
+        return rep_pairs.select(
+            F.col("ra").alias("id_a"), F.col("rb").alias("id_b"), "dist"
+        )
+
+    # restore the full pair set: every member cross pair of a
+    # representative near-pair shares its distance; within-group
+    # pairs are exact duplicates (dist 0).  Output size is the true
+    # answer\'s size — quadratic in duplicate mass by contract.
+    ga = groups.select(F.col("_id").alias("ra"), F.col("_ids").alias("_as"))
+    gb = groups.select(F.col("_id").alias("rb"), F.col("_ids").alias("_bs"))
+    expanded = (
+        rep_pairs.join(ga, "ra")
+        .join(gb, "rb")
+        .select(F.explode("_as").alias("_a"), "_bs", "dist")
+        .select("_a", F.explode("_bs").alias("_b"), "dist")
+        .select(
+            F.least("_a", "_b").alias("id_a"),
+            F.greatest("_a", "_b").alias("id_b"),
+            "dist",
+        )
+    )
+    all_pairs = (
+        "flatten(transform(sequence(1, size(_ids) - 1),"
+        " i -> transform(slice(_ids, i + 1, size(_ids) - i),"
+        " x -> struct(element_at(_ids, i) AS id_a, x AS id_b))))"
+    )
+    dist0 = (
+        groups.where(F.size("_ids") > 1)
+        .select(F.explode(F.expr(all_pairs)).alias("_p"))
+        .select("_p.id_a", "_p.id_b", F.lit(0).cast("long").alias("dist"))
+    )
+    return expanded.unionByName(dist0)

@@ -2128,3 +2128,81 @@ def bigram_logprob(
         )
         .drop("_slp", "_num")
     )
+
+
+def pmi_cooccurrence(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 2,
+    min_count: int = 5,
+) -> DataFrame:
+    """Pointwise mutual information over skip-gram co-occurrence
+    (Church & Hanks 1990): for every unordered word pair observed
+    within ``window`` positions of each other, how much more often
+    the pair co-occurs than independence predicts —
+    ``pmi = ln(P(a,b) / (P(a)·P(b)))``.  The collocation/phrase-mining
+    primitive (and the statistic under PPMI embedding matrices and
+    word2vec's implicit factorization, Levy & Goldberg 2014).
+
+    Pair generation is a per-doc array transform — for each position
+    i, pairs (w_i, w_j) for j in (i, i+window] — NO self-join of the
+    token table: zero shuffles until the counting aggregates.  Three
+    map-side-combinable groupBys (pair counts, unigram counts, 1-row
+    totals); the totals and unigram frames are aggregate-sized, so
+    both joins onto the pair frame broadcast.  Work is
+    tokens x window, linear in corpus size; output is bounded by
+    vocab² and in practice by ``min_count``.
+
+    Cross-engine determinism: pairs canonicalize by binary string
+    order (normalized text is [a-z0-9 ] so collation is moot); PMI is
+    one double expression with identical parenthesization in the
+    DuckDB oracle, rounded to 6 dp.
+
+    Output: w_a <= w_b, pair_count, pmi — pairs with
+    ``pair_count >= min_count``.
+    """
+    base = (
+        df.select(norm_text(F.col(text_col)).alias("_t"))
+        .where(F.length("_t") >= 1)
+        .select(F.split("_t", " ").alias("_w"))
+    )
+    # one narrow source, two aggregate consumers (pairs, unigrams):
+    # checkpoint lazily so tokenization computes once.
+    base = ensure_parallelism(base).localCheckpoint(eager=False)
+    pair_expr = (
+        # filter-over-greatest keeps the 1-token doc an empty TYPED
+        # array (sequence(1, 0) would descend, not stay empty)
+        f"flatten(transform("
+        f"filter(sequence(1, greatest(size(_w) - 1, 1)), i -> i <= size(_w) - 1), "
+        f"i -> transform(sequence(i + 1, least(i + {int(window)}, size(_w))), "
+        f"j -> struct(least(element_at(_w, i), element_at(_w, j)) AS w_a, "
+        f"greatest(element_at(_w, i), element_at(_w, j)) AS w_b))))"
+    )
+    pairs = base.select(F.explode(F.expr(pair_expr)).alias("_p")).select(
+        "_p.w_a", "_p.w_b"
+    )
+    pairs = pairs.localCheckpoint(eager=False)  # counted twice (P, pc)
+    pc = pairs.groupBy("w_a", "w_b").agg(F.count(F.lit(1)).alias("pair_count"))
+    uc = (
+        base.select(F.explode("_w").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .localCheckpoint(eager=False)  # consumed 3x (both joins + T)
+    )
+    tot = pc.agg(F.sum("pair_count").alias("P")).crossJoin(
+        uc.agg(F.sum("_c").alias("T"))
+    )
+    out = (
+        pc.where(F.col("pair_count") >= int(min_count))
+        .join(F.broadcast(uc.withColumnRenamed("w", "w_a").withColumnRenamed("_c", "_ca")), "w_a")
+        .join(F.broadcast(uc.withColumnRenamed("w", "w_b").withColumnRenamed("_c", "_cb")), "w_b")
+        .crossJoin(F.broadcast(tot))
+    )
+    pmi = F.log(
+        (F.col("pair_count").cast("double") * F.col("T") * F.col("T"))
+        / (F.col("P").cast("double") * F.col("_ca") * F.col("_cb"))
+    )
+    return out.select(
+        "w_a", "w_b", "pair_count", F.round(pmi, 6).alias("pmi")
+    )

@@ -1656,12 +1656,47 @@ def test_edit_distance_pairs_short_docs(spark):
 
 def test_edit_distance_pairs_max_bucket_degrade(spark):
     """A boilerplate segment bucket past the cap is skipped (the
-    documented fuzzy_join-style recall trade), not exploded."""
+    documented fuzzy_join-style recall trade), not exploded.  The
+    texts must be DISTINCT to exercise the cap: identical copies are
+    collapsed by the exact pre-pass and restored via the dist-0 path,
+    which no cap touches (next test)."""
     from fuel_spark.ops.dedup import edit_distance_pairs
 
-    docs = [(i, "identical boilerplate line") for i in range(12)]
+    # 12 distinct docs, pairwise distance 1-2: only the last char
+    # varies, so every segment except the last is a 12-member
+    # boilerplate bucket.
+    docs = [(i, "shared boilerplate prefix text " + c) for i, c in enumerate("abcdefghijkl")]
     df = spark.createDataFrame(docs, ["doc_id", "text"])
     full = edit_distance_pairs(df, "doc_id", "text", max_dist=2, max_bucket=None)
     assert full.count() == 12 * 11 // 2
     capped = edit_distance_pairs(df, "doc_id", "text", max_dist=2, max_bucket=5)
     assert capped.count() == 0
+
+
+def test_edit_distance_pairs_prededup_restores_all_copies(spark):
+    """The exact pre-pass collapses duplicate texts before blocking
+    but the OUTPUT contract is unchanged: within-group dist-0 pairs
+    and every member cross pair of a representative near-pair."""
+    from fuel_spark.ops.dedup import edit_distance_pairs
+
+    a = "the quick brown fox jumps over the lazy dog"
+    b = a[:-1] + "t"  # distance 1 from a
+    docs = [(0, a), (1, a), (2, a), (10, b), (11, b), (20, "utterly different content here")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        (r.id_a, r.id_b): r.dist
+        for r in edit_distance_pairs(df, "doc_id", "text", max_dist=2).collect()
+    }
+    want = {(0, 1): 0, (0, 2): 0, (1, 2): 0, (10, 11): 0}
+    for x in (0, 1, 2):
+        for y in (10, 11):
+            want[(x, y)] = 1
+    assert got == want
+    # raw mode agrees on the same corpus
+    raw = {
+        (r.id_a, r.id_b): r.dist
+        for r in edit_distance_pairs(
+            df, "doc_id", "text", max_dist=2, prededup_exact=False
+        ).collect()
+    }
+    assert raw == want
