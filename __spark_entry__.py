@@ -917,6 +917,16 @@ def q_edit_distance_pairs(spark, sf):
     return dedup.edit_distance_pairs(d, "doc_id", "text", max_dist=5)
 
 
+def q_pmi_cooccurrence(spark, sf):
+    """Skip-gram PMI collocations (r5, Church & Hanks 1990): unordered
+    word pairs within a 2-position window, with ln-PMI vs the
+    independence baseline — the phrase-mining / PPMI-matrix
+    primitive.  Pair generation is a per-doc array transform (zero
+    joins); counting is three map-side-combinable aggregates."""
+    d = _t(spark, sf)["documents"].select("doc_id", "text")
+    return text_ops.pmi_cooccurrence(d, "doc_id", "text", window=2, min_count=5)
+
+
 def q_unigram_logprob(spark, sf):
     d = _t(spark, sf)["documents"].select("doc_id", "text")
     return text_ops.unigram_logprob(d, "doc_id", "text")
@@ -2359,6 +2369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_decontaminate_spans": q_decontaminate_spans,
         "text_mlm_masking": q_mlm_masking,
         "dedup_edit_distance": q_edit_distance_pairs,
+        "text_pmi_cooccurrence": q_pmi_cooccurrence,
         # ---- rows-only keys (no SQL oracle by design; driver records
         # a weaker rows-only row; full evidence lives in tests/) ------
         "text_bpe_merges": q_bpe_merges,
@@ -4121,6 +4132,39 @@ def oracle_sql() -> dict[str, str]:
                  ' ')), 1, 16) AS span_hash
         FROM spans s JOIN d ON d.doc_id = s.doc_a
     """
+    # r5: skip-gram PMI.  Pairs canonicalize by binary string order on
+    # normalized [a-z0-9] words (collation-proof); the PMI expression
+    # has identical parenthesization to the Spark side so the doubles
+    # match bit-for-bit before the 6-dp round.
+    sqls["text_pmi_cooccurrence"] = f"""
+        WITH d AS (
+          SELECT doc_id, {w} AS ws FROM documents
+          WHERE length({_norm_sql('text')}) >= 1
+        ),
+        tok AS (
+          SELECT doc_id, p, ws[p] AS w
+          FROM (SELECT doc_id, ws,
+                       unnest(generate_series(1, len(ws))) AS p
+                FROM d)
+        ),
+        pr AS (
+          SELECT least(a.w, b.w) AS w_a, greatest(a.w, b.w) AS w_b
+          FROM tok a JOIN tok b
+            ON a.doc_id = b.doc_id AND b.p - a.p BETWEEN 1 AND 2
+        ),
+        pc AS (SELECT w_a, w_b, count(*) AS pair_count FROM pr GROUP BY 1, 2),
+        uc AS (SELECT w, count(*) AS c FROM tok GROUP BY 1),
+        tot AS (SELECT (SELECT count(*) FROM pr) AS P,
+                       (SELECT count(*) FROM tok) AS T)
+        SELECT pc.w_a, pc.w_b, pc.pair_count,
+               round(ln((CAST(pc.pair_count AS DOUBLE) * tot.T * tot.T)
+                        / (CAST(tot.P AS DOUBLE) * ua.c * ub.c)), 6) AS pmi
+        FROM pc, tot
+        JOIN uc ua ON ua.w = pc.w_a
+        JOIN uc ub ON ub.w = pc.w_b
+        WHERE pc.pair_count >= 5
+    """
+
     # r5: PassJoin edit-distance join.  The oracle needs no blocking —
     # a length-banded quadratic pass is exact at gate scale; the Spark
     # side's pigeonhole candidate generation must be COMPLETE for the

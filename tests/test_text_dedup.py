@@ -1700,3 +1700,29 @@ def test_edit_distance_pairs_prededup_restores_all_copies(spark):
         ).collect()
     }
     assert raw == want
+
+
+def test_pmi_cooccurrence_hand_computed(spark):
+    """Pair counts and PMI match a hand enumeration of window-2
+    skip-grams on a tiny corpus."""
+    import math
+
+    from fuel_spark.ops.text import pmi_cooccurrence
+
+    docs = [(0, "a b a b"), (1, "a b c")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        (r.w_a, r.w_b): (r.pair_count, r.pmi)
+        for r in pmi_cooccurrence(df, "doc_id", "text", window=2, min_count=1).collect()
+    }
+    # doc0 pairs (i<j<=i+2): (a,b),(a,a),(b,a),(b,b),(a,b) ->
+    #   {a,b}x3, {a,a}x1, {b,b}x1 ; doc1: (a,b),(a,c),(b,c)
+    # totals: P=8 pairs, T=7 tokens; unigrams a=3, b=3, c=1
+    T, P = 7, 8
+    u = {"a": 3, "b": 3, "c": 1}
+    want_counts = {("a", "b"): 4, ("a", "a"): 1, ("b", "b"): 1,
+                   ("a", "c"): 1, ("b", "c"): 1}
+    assert {k: v[0] for k, v in got.items()} == want_counts
+    for (wa, wb), (c, pmi) in got.items():
+        expect = round(math.log((c * T * T) / (P * u[wa] * u[wb])), 6)
+        assert abs(pmi - expect) < 1e-9, (wa, wb, pmi, expect)
