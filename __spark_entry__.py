@@ -917,6 +917,16 @@ def q_edit_distance_pairs(spark, sf):
     return dedup.edit_distance_pairs(d, "doc_id", "text", max_dist=5)
 
 
+def q_textrank_keywords(spark, sf):
+    """TextRank keywords (r5, Mihalcea & Tarau 2004): word
+    co-occurrence graph (window 2) + 3 unrolled PageRank iterations
+    at the cross-engine-safe scales — the keyword-extraction
+    composition of the PMI pair generator and the oracle-checked
+    power-method mechanics."""
+    d = _t(spark, sf)["documents"].select("doc_id", "text")
+    return text_ops.textrank_keywords(d, "doc_id", "text", window=2)
+
+
 def q_pmi_cooccurrence(spark, sf):
     """Skip-gram PMI collocations (r5, Church & Hanks 1990): unordered
     word pairs within a 2-position window, with ln-PMI vs the
@@ -2370,6 +2380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_mlm_masking": q_mlm_masking,
         "dedup_edit_distance": q_edit_distance_pairs,
         "text_pmi_cooccurrence": q_pmi_cooccurrence,
+        "text_textrank_keywords": q_textrank_keywords,
         # ---- rows-only keys (no SQL oracle by design; driver records
         # a weaker rows-only row; full evidence lives in tests/) ------
         "text_bpe_merges": q_bpe_merges,
@@ -6549,6 +6560,37 @@ def oracle_sql() -> dict[str, str]:
                FROM verts, n),
         {",".join(_pr_iters)}
         SELECT vertex, round(rank, 6) AS rank
+        FROM r3 ORDER BY rank DESC, vertex LIMIT 20
+    """
+
+    # r5: TextRank — the SAME unrolled power-method CTEs (_pr_iters
+    # reference e/deg/verts/n/r0 by name) over the word co-occurrence
+    # graph instead of the part co-purchase graph.
+    sqls["text_textrank_keywords"] = f"""
+        WITH d AS (
+          SELECT doc_id, {w} AS ws FROM documents
+          WHERE length({_norm_sql('text')}) >= 1
+        ),
+        tok AS (
+          SELECT doc_id, p, ws[p] AS w
+          FROM (SELECT doc_id, ws,
+                       unnest(generate_series(1, len(ws))) AS p
+                FROM d)
+        ),
+        e0 AS (
+          SELECT DISTINCT least(a.w, b.w) AS src, greatest(a.w, b.w) AS dst
+          FROM tok a JOIN tok b
+            ON a.doc_id = b.doc_id AND b.p - a.p BETWEEN 1 AND 2
+          WHERE a.w <> b.w
+        ),
+        e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        verts AS (SELECT src AS vertex FROM e UNION SELECT dst FROM e),
+        deg AS (SELECT src AS vertex, count(*) AS deg FROM e GROUP BY 1),
+        n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),
+        r0 AS (SELECT vertex, CAST(1.0 AS DOUBLE) / n.n AS rank
+               FROM verts, n),
+        {",".join(_pr_iters)}
+        SELECT vertex AS word, round(rank, 6) AS rank
         FROM r3 ORDER BY rank DESC, vertex LIMIT 20
     """
 

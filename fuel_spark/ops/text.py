@@ -2206,3 +2206,67 @@ def pmi_cooccurrence(
     return out.select(
         "w_a", "w_b", "pair_count", F.round(pmi, 6).alias("pmi")
     )
+
+
+def textrank_keywords(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 2,
+    iterations: int = 3,
+    top_k: int = 20,
+    contrib_scale: int = 9,
+    out_scale: int = 6,
+) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): build the
+    word co-occurrence graph (an undirected edge between every word
+    pair observed within ``window`` positions) and rank vertices by
+    fixed-iteration PageRank — the classic unsupervised keyword /
+    keyphrase scorer.
+
+    Composition of two already-pinned primitives: PMI-style per-doc
+    array pair generation (zero joins; see :func:`pmi_cooccurrence`)
+    collapsed to a DISTINCT vocab²-bounded edge list, then
+    :func:`fuel_spark.ops.graph.pagerank` at the cross-engine-safe
+    scales (contributions rounded to ``contrib_scale`` then summed as
+    exact DECIMAL — bit-deterministic at any parallelism, and
+    exact-hash comparable against the DuckDB unrolled-CTE oracle).
+    The graph is vocab-sized, so every per-iteration frame is
+    aggregate-sized regardless of corpus scale; the corpus-sized work
+    is the single edge-extraction pass.
+
+    Output: word, rank — top ``top_k`` by (rank DESC, word).
+    """
+    from fuel_spark.ops.graph import pagerank
+
+    base = (
+        df.select(norm_text(F.col(text_col)).alias("_t"))
+        .where(F.length("_t") >= 1)
+        .select(F.split("_t", " ").alias("_w"))
+    )
+    pair_expr = (
+        f"flatten(transform("
+        f"filter(sequence(1, greatest(size(_w) - 1, 1)), i -> i <= size(_w) - 1), "
+        f"i -> transform(sequence(i + 1, least(i + {int(window)}, size(_w))), "
+        f"j -> struct(least(element_at(_w, i), element_at(_w, j)) AS w_a, "
+        f"greatest(element_at(_w, i), element_at(_w, j)) AS w_b))))"
+    )
+    edges = (
+        base.select(F.explode(F.expr(pair_expr)).alias("_p"))
+        .select("_p.w_a", "_p.w_b")
+        .where(F.col("w_a") != F.col("w_b"))
+        .distinct()
+    )
+    ranks = pagerank(
+        edges,
+        src="w_a",
+        dst="w_b",
+        iterations=iterations,
+        contrib_scale=contrib_scale,
+        out_scale=out_scale,
+    )
+    return (
+        ranks.select(F.col("vertex").alias("word"), "rank")
+        .orderBy(F.desc("rank"), F.asc("word"))
+        .limit(top_k)
+    )

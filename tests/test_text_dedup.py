@@ -1726,3 +1726,16 @@ def test_pmi_cooccurrence_hand_computed(spark):
     for (wa, wb), (c, pmi) in got.items():
         expect = round(math.log((c * T * T) / (P * u[wa] * u[wb])), 6)
         assert abs(pmi - expect) < 1e-9, (wa, wb, pmi, expect)
+
+
+def test_textrank_keywords_hub_ranks_first(spark):
+    """A word co-occurring with every other word (the hub) gets the
+    top TextRank score; output is bounded by top_k."""
+    from fuel_spark.ops.text import textrank_keywords
+
+    docs = [(i, f"hub word{i} filler{i}") for i in range(8)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    rows = textrank_keywords(df, "doc_id", "text", window=2, top_k=5).collect()
+    assert len(rows) == 5
+    assert rows[0].word == "hub"
+    assert rows[0].rank == max(r.rank for r in rows)
