@@ -917,6 +917,33 @@ def q_edit_distance_pairs(spark, sf):
     return dedup.edit_distance_pairs(d, "doc_id", "text", max_dist=5)
 
 
+def q_zipf_slope(spark, sf):
+    """Zipf rank-frequency OLS fit (r5): corpus-health slope/intercept
+    from DECIMAL-exact moments of 6-dp ln values — vocab-sized after
+    one token count."""
+    d = _t(spark, sf)["documents"]
+    return text_ops.zipf_slope(d, "text", min_count=2)
+
+
+def q_term_burstiness(spark, sf):
+    """Term burstiness (r5, Church & Gale 1995): cf/df + observed df
+    vs the Poisson prediction, per term."""
+    d = _t(spark, sf)["documents"]
+    return text_ops.term_burstiness(d, "doc_id", "text", min_cf=10)
+
+
+def q_events_benford(spark, sf):
+    """Benford leading-digit audit (r5): float-format-free digit
+    extraction via exact floor + BIGINT rendering."""
+    return analytics.events_benford(_t(spark, sf))
+
+
+def q_markov_stationary(spark, sf):
+    """Markov stationary profile (r5): 3 power steps of v<-vP over the
+    user event-type chain at the pinned decimal scales."""
+    return analytics.events_markov_stationary(_t(spark, sf), iterations=3)
+
+
 def q_textrank_keywords(spark, sf):
     """TextRank keywords (r5, Mihalcea & Tarau 2004): word
     co-occurrence graph (window 2) + 3 unrolled PageRank iterations
@@ -2381,6 +2408,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_edit_distance": q_edit_distance_pairs,
         "text_pmi_cooccurrence": q_pmi_cooccurrence,
         "text_textrank_keywords": q_textrank_keywords,
+        "text_zipf_slope": q_zipf_slope,
+        "text_term_burstiness": q_term_burstiness,
+        "events_benford": q_events_benford,
+        "events_markov_stationary": q_markov_stationary,
         # ---- rows-only keys (no SQL oracle by design; driver records
         # a weaker rows-only row; full evidence lives in tests/) ------
         "text_bpe_merges": q_bpe_merges,
@@ -4143,6 +4174,124 @@ def oracle_sql() -> dict[str, str]:
                  ' ')), 1, 16) AS span_hash
         FROM spans s JOIN d ON d.doc_id = s.doc_a
     """
+    # r5: Zipf OLS fit.  Slope must stay UNROUNDED inside the
+    # intercept expression (the Spark side rounds only the outputs).
+    sqls["text_zipf_slope"] = f"""
+        WITH tok AS (
+          SELECT unnest({w}) AS w FROM documents
+          WHERE length({_norm_sql('text')}) >= 1
+        ),
+        f AS (SELECT w, count(*) AS freq FROM tok GROUP BY 1
+              HAVING count(*) >= 2),
+        r AS (SELECT w, freq,
+                     row_number() OVER (ORDER BY freq DESC, w) AS rank
+              FROM f),
+        xy AS (SELECT round(ln(CAST(rank AS DOUBLE)), 6) AS x,
+                      round(ln(CAST(freq AS DOUBLE)), 6) AS y
+               FROM r),
+        m AS (
+          SELECT count(*) AS n_types,
+            CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+            CAST(sum(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+            CAST(sum(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+            CAST(sum(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx
+          FROM xy
+        ),
+        s AS (
+          SELECT n_types,
+            (CAST(n_types AS DOUBLE) * sxy - sx * sy)
+              / (CAST(n_types AS DOUBLE) * sxx - sx * sx) AS slope_raw,
+            sx, sy
+          FROM m
+        )
+        SELECT n_types, round(slope_raw, 6) AS slope,
+               round((sy - slope_raw * sx) / CAST(n_types AS DOUBLE), 6)
+                 AS intercept
+        FROM s
+    """
+
+    # r5: term burstiness (Church & Gale 1995).
+    sqls["text_term_burstiness"] = f"""
+        WITH d AS (
+          SELECT doc_id, {w} AS ws FROM documents
+          WHERE length({_norm_sql('text')}) >= 1
+        ),
+        tok AS (SELECT doc_id, unnest(ws) AS w FROM d),
+        s AS (
+          SELECT w, count(*) AS cf, count(DISTINCT doc_id) AS df
+          FROM tok GROUP BY 1 HAVING count(*) >= 10
+        ),
+        nd AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM d)
+        SELECT w, cf, df,
+          round(CAST(cf AS DOUBLE) / CAST(df AS DOUBLE), 6) AS burstiness,
+          round(CAST(df AS DOUBLE)
+                / (nd.nd * (CAST(1.0 AS DOUBLE)
+                            - exp((-CAST(cf AS DOUBLE)) / nd.nd))), 6)
+            AS df_vs_poisson
+        FROM s, nd
+    """
+
+    # r5: Benford digit audit.  floor(value*100) is IEEE-exact and the
+    # BIGINT->string render is engine-identical — no float formatting
+    # or rounding-mode hazard in the digit bucketing.
+    sqls["events_benford"] = """
+        WITH b AS (
+          SELECT substring(CAST(CAST(floor(value * CAST(100.0 AS DOUBLE))
+                                AS BIGINT) AS VARCHAR), 1, 1) AS digit
+          FROM events WHERE value >= CAST(0.01 AS DOUBLE)
+        ),
+        g AS (SELECT digit, count(*) AS n FROM b GROUP BY 1),
+        t AS (SELECT CAST(sum(n) AS DOUBLE) AS tot FROM g)
+        SELECT digit, n,
+          round(CAST(n AS DOUBLE) / t.tot, 6) AS share,
+          round(log10(CAST(1.0 AS DOUBLE)
+                      + CAST(1.0 AS DOUBLE) / CAST(digit AS DOUBLE)), 6)
+            AS expected,
+          round(CAST(n AS DOUBLE) / t.tot
+                - log10(CAST(1.0 AS DOUBLE)
+                        + CAST(1.0 AS DOUBLE) / CAST(digit AS DOUBLE)), 6)
+            AS deviation
+        FROM g, t ORDER BY digit
+    """
+
+    # r5: Markov stationary distribution — the pagerank unrolled-CTE
+    # pattern over the events_transitions chain (same tie-break).
+    _mk_iters = []
+    _mprev = "v0"
+    for _i in (1, 2, 3):
+        _mk_iters.append(f"""
+        s{_i} AS (
+          SELECT P.to_type AS state,
+                 CAST(sum(CAST(round(v.prob * P.p, 9) AS DECIMAL(27,18)))
+                      AS DOUBLE) AS _in
+          FROM P JOIN {_mprev} v ON P.from_type = v.state GROUP BY 1
+        ),
+        v{_i} AS (
+          SELECT st.state, COALESCE(s{_i}._in, CAST(0.0 AS DOUBLE)) AS prob
+          FROM states st LEFT JOIN s{_i} ON s{_i}.state = st.state
+        )""")
+        _mprev = f"v{_i}"
+    sqls["events_markov_stationary"] = f"""
+        WITH seq AS (
+          SELECT event_type AS to_type,
+                 lag(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS from_type
+          FROM events
+        ),
+        c AS (SELECT from_type, to_type, count(*) AS n
+              FROM seq WHERE from_type IS NOT NULL GROUP BY 1, 2),
+        tot AS (SELECT from_type, sum(n) AS rt FROM c GROUP BY 1),
+        P AS (SELECT c.from_type, c.to_type,
+                     round(CAST(n AS DOUBLE) / rt, 9) AS p
+              FROM c JOIN tot USING (from_type)),
+        states AS (SELECT DISTINCT event_type AS state FROM events),
+        k AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM states),
+        v0 AS (SELECT state, CAST(1.0 AS DOUBLE) / k.k AS prob
+               FROM states, k),
+        {",".join(_mk_iters)}
+        SELECT state, round(prob, 6) AS prob FROM v3 ORDER BY state
+    """
+
     # r5: skip-gram PMI.  Pairs canonicalize by binary string order on
     # normalized [a-z0-9] words (collation-proof); the PMI expression
     # has identical parenthesization to the Spark side so the doubles

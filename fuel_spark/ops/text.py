@@ -2270,3 +2270,102 @@ def textrank_keywords(
         .orderBy(F.desc("rank"), F.asc("word"))
         .limit(top_k)
     )
+
+
+def zipf_slope(df: DataFrame, text_col: str, min_count: int = 2) -> DataFrame:
+    """Zipf rank-frequency fit: OLS slope/intercept of ln(freq) on
+    ln(rank) over the corpus vocabulary — the corpus-health
+    diagnostic (natural language sits near slope -1; template or
+    synthetic text drifts far off, so the slope is a cheap
+    generation/boilerplate detector at ingest time).
+
+    One corpus-scale token count, then everything is vocab-sized:
+    ranks come from a window over the frequency table (aggregate
+    frame — the allowlisted global-sort case), and the OLS moments
+    are DECIMAL-exact sums of 6-dp-rounded ln values, so the fit is
+    bit-deterministic at any partitioning and exact-hash comparable.
+
+    Output: one row — n_types, slope, intercept (round 6).
+    """
+    from pyspark.sql import Window as W
+
+    DEC = "decimal(38,12)"
+    tok = (
+        df.select(norm_text(F.col(text_col)).alias("_t"))
+        .where(F.length("_t") >= 1)
+        .select(F.explode(F.split("_t", " ")).alias("w"))
+    )
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("freq")).where(
+        F.col("freq") >= int(min_count)
+    )
+    ranked = freq.withColumn(
+        "rank", F.row_number().over(W.orderBy(F.desc("freq"), F.asc("w")))
+    )
+    x = F.round(F.log(F.col("rank").cast("double")), 6)
+    y = F.round(F.log(F.col("freq").cast("double")), 6)
+    m = ranked.agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(x.cast(DEC)).cast("double").alias("_sx"),
+        F.sum(y.cast(DEC)).cast("double").alias("_sy"),
+        F.sum((x * y).cast(DEC)).cast("double").alias("_sxy"),
+        F.sum((x * x).cast(DEC)).cast("double").alias("_sxx"),
+    )
+    n = F.col("n_types").cast("double")
+    slope = (n * F.col("_sxy") - F.col("_sx") * F.col("_sy")) / (
+        n * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    )
+    intercept = (F.col("_sy") - slope * F.col("_sx")) / n
+    return m.select(
+        "n_types",
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+    )
+
+
+def term_burstiness(
+    df: DataFrame, id_col: str, text_col: str, min_cf: int = 10
+) -> DataFrame:
+    """Term burstiness (Church & Gale 1995): collection frequency vs
+    document frequency per term — cf/df (mean in-doc repetitions of
+    a term given it appears) and the ratio of observed df to the
+    Poisson-expected df at that cf.  Content words are bursty
+    (cf/df >> 1, df below Poisson); function words are not — the
+    signal behind stopword induction, keyword weighting, and
+    template detection (a boilerplate phrase's terms have df at
+    exactly the Poisson prediction).
+
+    One tokenize pass, one (term)-keyed count + distinct-doc count,
+    a broadcast 1-row doc total; output is vocab-sized, filtered to
+    ``cf >= min_cf``.
+
+    Output: w, cf, df, burstiness, df_vs_poisson (round 6).
+    """
+    tok = (
+        df.select(F.col(id_col).alias("_id"), norm_text(F.col(text_col)).alias("_t"))
+        .where(F.length("_t") >= 1)
+        .select("_id", F.explode(F.split("_t", " ")).alias("w"))
+    )
+    stats = tok.groupBy("w").agg(
+        F.count(F.lit(1)).alias("cf"),
+        F.countDistinct("_id").alias("df"),
+    ).where(F.col("cf") >= int(min_cf))
+    n_docs = (
+        df.select(norm_text(F.col(text_col)).alias("_t"))
+        .where(F.length("_t") >= 1)
+        .agg(F.count(F.lit(1)).cast("double").alias("_nd"))
+    )
+    out = stats.crossJoin(F.broadcast(n_docs))
+    poisson_df = F.col("_nd") * (
+        F.lit(1.0) - F.exp(-F.col("cf").cast("double") / F.col("_nd"))
+    )
+    return out.select(
+        "w",
+        "cf",
+        "df",
+        F.round(F.col("cf").cast("double") / F.col("df").cast("double"), 6).alias(
+            "burstiness"
+        ),
+        F.round(F.col("df").cast("double") / poisson_df, 6).alias(
+            "df_vs_poisson"
+        ),
+    )

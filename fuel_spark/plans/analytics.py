@@ -3107,3 +3107,108 @@ def events_entry_points(t: dict[str, DataFrame]) -> DataFrame:
         "n_users",
         F.round(F.col("n_users").cast("double") / total, 6).alias("share"),
     ).orderBy("first_event_type")
+
+
+def events_benford(t: dict[str, DataFrame]) -> DataFrame:
+    """Benford's-law digit audit over event values: observed share of
+    each leading significant digit vs the log10(1 + 1/d) prediction —
+    the classic fabricated-data / instrumentation-bug screen (organic
+    multiplicative quantities follow Benford; injected or clamped
+    values do not).
+
+    The leading digit is extracted without float formatting or
+    rounding-mode hazards: floor(value·100) is IEEE-exact, and a
+    BIGINT→string cast renders identically on every engine, so the
+    digit bucketing is bit-portable.  One scan, one 9-row rollup.
+
+    Output: digit, n, share, expected, deviation (round 6).
+    """
+    from pyspark.sql import Window as W
+
+    e = t["events"]
+    v = F.col("value").cast("double")
+    digit = F.substring(
+        F.floor(v * F.lit(100.0)).cast("long").cast("string"), 1, 1
+    )
+    g = (
+        e.where(v >= 0.01)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = F.sum("n").over(W.partitionBy())
+    d = F.col("digit").cast("double")
+    expected = F.log10(F.lit(1.0) + F.lit(1.0) / d)
+    share = F.col("n").cast("double") / total
+    return g.select(
+        "digit",
+        "n",
+        F.round(share, 6).alias("share"),
+        F.round(expected, 6).alias("expected"),
+        F.round(share - expected, 6).alias("deviation"),
+    ).orderBy("digit")
+
+
+def events_markov_stationary(
+    t: dict[str, DataFrame], iterations: int = 3
+) -> DataFrame:
+    """Stationary behavior profile of the per-user event-type Markov
+    chain: start uniform over observed types and apply ``iterations``
+    power steps of v←vP, where P is the row-normalized transition
+    matrix of :func:`events_transitions` — "where does a user's
+    session settle", the long-run occupancy behind engagement-mix
+    forecasts.
+
+    The chain extraction is the only corpus-scale work (one user-keyed
+    lag window + a |types|²-sized count rollup, ties broken by
+    event_id exactly as in events_transitions); every iteration frame
+    is |types|-sized.  Per-step products round to 9 dp and sum as
+    exact DECIMAL (the pagerank/fixed-iteration float contract), so
+    the result is bit-deterministic and exact-hash comparable against
+    the unrolled-CTE oracle.  Types with no outgoing transitions
+    absorb-and-drop their mass (documented; none exist in corpora
+    where every user emits ≥2 events of every terminal type's
+    successor set).
+
+    Output: state, prob (round 6), ordered by state.
+    """
+    from pyspark.sql import Window as W
+
+    e = t["events"]
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("to_type"),
+        F.lag("event_type").over(w).alias("from_type"),
+    ).where(F.col("from_type").isNotNull())
+    c = seq.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    tot = c.groupBy("from_type").agg(F.sum("n").alias("_rt"))
+    P = (
+        c.join(F.broadcast(tot), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            F.round(F.col("n").cast("double") / F.col("_rt"), 9).alias("p"),
+        )
+        .localCheckpoint(eager=False)  # consumed once per iteration
+    )
+    states = e.select(F.col("event_type").alias("state")).distinct()
+    ns = states.agg(F.count(F.lit(1)).cast("double").alias("_k"))
+    v = states.crossJoin(F.broadcast(ns)).select(
+        "state", (F.lit(1.0) / F.col("_k")).alias("prob")
+    )
+    for _ in range(int(iterations)):
+        stepped = (
+            P.join(v, P.from_type == v.state)
+            .select(
+                F.col("to_type").alias("state"),
+                F.round(F.col("prob") * F.col("p"), 9)
+                .cast("decimal(27,18)")
+                .alias("_c"),
+            )
+            .groupBy("state")
+            .agg(F.sum("_c").cast("double").alias("_in"))
+        )
+        v = states.join(stepped, "state", "left").select(
+            "state", F.coalesce("_in", F.lit(0.0)).alias("prob")
+        )
+    return v.select("state", F.round("prob", 6).alias("prob")).orderBy("state")

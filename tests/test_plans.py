@@ -782,6 +782,12 @@ SINGLE_PARTITION_ALLOWLIST = {
     "text_dsir_weights", "text_similar_docs",
     # iterative fits (driver-documented constant-cost loops)
     "part_pagerank",
+    # r5: vocab-sized or grid-sized finals — PMI totals (1 row),
+    # Zipf rank window + OLS moments (vocab, then 1 row), burstiness
+    # doc total (1 row), Benford digit grid (9 rows), Markov
+    # stationary (|types| rows per iteration)
+    "text_pmi_cooccurrence", "text_zipf_slope", "text_term_burstiness",
+    "events_benford", "events_markov_stationary",
 }
 
 
@@ -1270,3 +1276,48 @@ def test_attribution_time_decay_underflow_guard(spark):
     # both weights clamp to 1e-9 -> uniform split
     assert abs(out["click"][0] - 0.5) < 1e-5
     assert abs(out["view"][0] - 0.5) < 1e-5
+
+
+def test_benford_digits_and_expected(spark):
+    import datetime as dt
+
+    rows = [{"event_id": i, "ts": dt.datetime(2024, 1, 1), "user_id": 1,
+             "event_type": "a", "value": v, "props": "{}"}
+            for i, v in enumerate([1.0, 12.0, 0.23, 900.0, 5.0, 0.005, -3.0])]
+    out = {r.digit: (r.n, r.share, r.expected)
+           for r in analytics.events_benford(
+               {"events": from_rows(spark, rows)}).collect()}
+    # 0.005 (< 0.01) and -3.0 are excluded; digits: 1,1,2,9,5
+    import math
+    assert {d: v[0] for d, v in out.items()} == {"1": 2, "2": 1, "9": 1, "5": 1}
+    assert abs(sum(v[1] for v in out.values()) - 1.0) < 1e-5
+    for d, (_, _, exp) in out.items():
+        assert abs(exp - round(math.log10(1 + 1 / int(d)), 6)) < 1e-9
+
+
+def test_markov_stationary_hand_computed(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+
+    def ev(eid, mins, typ, uid):
+        return {"event_id": eid, "ts": base + dt.timedelta(minutes=mins),
+                "user_id": uid, "event_type": typ, "value": 1.0,
+                "props": "{}"}
+
+    # deterministic 2-cycle a->b->a->b: P(a->b)=P(b->a)=1, uniform
+    # start is stationary -> (0.5, 0.5) after any number of steps
+    rows = [ev(i, i, "ab"[i % 2], 1) for i in range(8)]
+    out = {r.state: r.prob
+           for r in analytics.events_markov_stationary(
+               {"events": from_rows(spark, rows)}, iterations=3).collect()}
+    assert out == {"a": 0.5, "b": 0.5}
+
+    # absorbing self-loop: a->a...a->b ends the chain; all mass that
+    # reaches b drains (b has no outgoing row) — documented contract
+    rows2 = [ev(1, 0, "a", 1), ev(2, 1, "a", 1), ev(3, 2, "b", 1)]
+    out2 = {r.state: r.prob
+            for r in analytics.events_markov_stationary(
+                {"events": from_rows(spark, rows2)}, iterations=1).collect()}
+    # P(a->a)=0.5, P(a->b)=0.5; v0=(.5,.5) -> v1=(0.25, 0.25)
+    assert out2 == {"a": 0.25, "b": 0.25}

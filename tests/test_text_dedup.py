@@ -1739,3 +1739,40 @@ def test_textrank_keywords_hub_ranks_first(spark):
     assert len(rows) == 5
     assert rows[0].word == "hub"
     assert rows[0].rank == max(r.rank for r in rows)
+
+
+def test_zipf_slope_two_point_exact(spark):
+    """With exactly two ranked types the OLS line passes through both
+    points: freqs 8 and 4 at ranks 1 and 2 give slope -1 in log space
+    (base e: (ln4 - ln8) / (ln2 - ln1) = -1)."""
+    from fuel_spark.ops.text import zipf_slope
+
+    text = " ".join(["aa"] * 8 + ["bb"] * 4 + ["once"])
+    df = spark.createDataFrame([(0, text)], ["doc_id", "text"])
+    r = zipf_slope(df, "text", min_count=2).collect()[0]
+    assert r.n_types == 2
+    assert abs(r.slope - (-1.0)) < 1e-4
+    import math
+    assert abs(r.intercept - math.log(8)) < 1e-4
+
+
+def test_term_burstiness_known_values(spark):
+    """A term concentrated in one doc is maximally bursty; a term
+    spread one-per-doc has burstiness 1 and df at ~the Poisson
+    prediction's scale."""
+    from fuel_spark.ops.text import term_burstiness
+
+    docs = [(0, "rare rare rare rare rare the"), (1, "the x"), (2, "the y"),
+            (3, "the z"), (4, "the w")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {r.w: r for r in
+           term_burstiness(df, "doc_id", "text", min_cf=5).collect()}
+    assert set(out) == {"rare", "the"}
+    assert out["rare"].cf == 5 and out["rare"].df == 1
+    assert out["rare"].burstiness == 5.0
+    assert out["the"].cf == 5 and out["the"].df == 5
+    assert out["the"].burstiness == 1.0
+    # poisson-expected df at cf=5, n=5: 5*(1-exp(-1)) = 3.1606
+    import math
+    want = round(5 / (5 * (1 - math.exp(-1))), 6)
+    assert abs(out["the"].df_vs_poisson - want) < 1e-6
