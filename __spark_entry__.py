@@ -917,6 +917,30 @@ def q_edit_distance_pairs(spark, sf):
     return dedup.edit_distance_pairs(d, "doc_id", "text", max_dist=5)
 
 
+def q_hits_supplier_part(spark, sf):
+    """HITS hubs/authorities (r5, Kleinberg 1999) over the
+    supplier→part sourcing graph: 3 mutual power steps with L1
+    normalization at the pinned decimal scales — top-10 'diverse
+    sourcer' suppliers and 'widely sourced' parts."""
+    from fuel_spark.ops import graph
+
+    l = _t(spark, sf)["lineitem"].select(
+        F.col("l_suppkey").alias("src"), F.col("l_partkey").alias("dst")
+    )
+    scores = graph.hits_fixed(l, iterations=3)
+    top_a = (
+        scores.where(F.col("side") == "authority")
+        .orderBy(F.desc("score"), F.asc("vertex"))
+        .limit(10)
+    )
+    top_h = (
+        scores.where(F.col("side") == "hub")
+        .orderBy(F.desc("score"), F.asc("vertex"))
+        .limit(10)
+    )
+    return top_a.unionByName(top_h)
+
+
 def q_zipf_slope(spark, sf):
     """Zipf rank-frequency OLS fit (r5): corpus-health slope/intercept
     from DECIMAL-exact moments of 6-dp ln values — vocab-sized after
@@ -2412,6 +2436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_term_burstiness": q_term_burstiness,
         "events_benford": q_events_benford,
         "events_markov_stationary": q_markov_stationary,
+        "graph_hits_fixed": q_hits_supplier_part,
         # ---- rows-only keys (no SQL oracle by design; driver records
         # a weaker rows-only row; full evidence lives in tests/) ------
         "text_bpe_merges": q_bpe_merges,
@@ -4174,6 +4199,41 @@ def oracle_sql() -> dict[str, str]:
                  ' ')), 1, 16) AS span_hash
         FROM spans s JOIN d ON d.doc_id = s.doc_a
     """
+    # r5: HITS — mutual power steps, each half-step a round-9 DECIMAL
+    # contribution sum followed by L1 normalization by a 1-row
+    # DECIMAL-exact total (no sqrt, so the float contract holds).
+    _hits_ctes = []
+    _hprev = "h0"
+    for _i in (1, 2, 3):
+        for _tag, _kin, _kout in (("a", "src", "dst"), ("h", "dst", "src")):
+            _cur = f"{_tag}{_i}"
+            _hits_ctes.append(f"""
+        {_cur}r AS (
+          SELECT e.{_kout} AS vertex,
+                 CAST(sum(CAST(round(s.score, 9) AS DECIMAL(27,18)))
+                      AS DOUBLE) AS raw
+          FROM e JOIN {_hprev} s ON e.{_kin} = s.vertex GROUP BY 1
+        ),
+        {_cur}t AS (SELECT CAST(sum(CAST(raw AS DECIMAL(27,18)))
+                                AS DOUBLE) AS t FROM {_cur}r),
+        {_cur} AS (SELECT vertex, raw / {_cur}t.t AS score
+                   FROM {_cur}r, {_cur}t)""")
+            _hprev = _cur
+    sqls["graph_hits_fixed"] = f"""
+        WITH e AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst
+                   FROM lineitem),
+        srcs AS (SELECT DISTINCT src AS vertex FROM e),
+        ns AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM srcs),
+        h0 AS (SELECT vertex, CAST(1.0 AS DOUBLE) / ns.n AS score
+               FROM srcs, ns),
+        {",".join(_hits_ctes)}
+        (SELECT 'authority' AS side, vertex, round(score, 6) AS score
+         FROM a3 ORDER BY score DESC, vertex LIMIT 10)
+        UNION ALL
+        (SELECT 'hub' AS side, vertex, round(score, 6) AS score
+         FROM h3 ORDER BY score DESC, vertex LIMIT 10)
+    """
+
     # r5: Zipf OLS fit.  Slope must stay UNROUNDED inside the
     # intercept expression (the Spark side rounds only the outputs).
     sqls["text_zipf_slope"] = f"""

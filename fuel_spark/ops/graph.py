@@ -174,3 +174,96 @@ def degree_distribution(
         .agg(F.count(F.lit(1)).alias("n_vertices"))
         .select(F.col("degree").cast("bigint"), F.col("n_vertices").cast("bigint"))
     )
+
+
+def hits_fixed(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    contrib_scale: int = 9,
+    out_scale: int = 6,
+    broadcast_scores: bool = True,
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) by fixed-count
+    mutual power iteration over a DIRECTED edge list: an authority is
+    pointed at by good hubs, a hub points at good authorities — the
+    second classic link-analysis ranking, and on bipartite graphs
+    (supplier→part, user→domain) the natural "diverse sourcer" /
+    "widely sourced" pair of scores that a single PageRank conflates.
+
+    Each half-step is one edge⋈score join plus one
+    map-side-combinable sum — the pagerank loop shape; nothing denser
+    than the edge list ever exists, and every score frame is
+    vertex-sized.  With ``broadcast_scores`` (default) the
+    vertex-sized score frame broadcasts into each join, so the edge
+    list is NEVER shuffled — each half-step becomes one broadcast
+    hash join plus one map-side-combinable sum (measured 17.8s → 12.8s
+    at the 20× 8M-edge smoke — the remaining floor is the 6 edge-list
+    scans the mutual recursion requires; pass False for web-scale
+    vertex sets that exceed executor memory, falling back to the
+    shuffle join).
+    L1 normalization after each half-step divides by a
+    broadcast 1-row DECIMAL-exact total (no sqrt, so the whole
+    computation stays inside the repo's cross-engine float contract:
+    contributions round to ``contrib_scale`` then sum as exact
+    DECIMAL — bit-deterministic at any parallelism and exact-hash
+    comparable against an unrolled-CTE oracle).
+
+    Hub scores start uniform over source vertices.  Output one frame:
+    side ('authority' | 'hub'), vertex, score (round ``out_scale``).
+
+    Reference pattern: fuel has no graph analytics; this extends the
+    fixed-iteration family (``pagerank`` above) the same way
+    ``graph_pagerank_fixed`` did.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    e = e.localCheckpoint(eager=False)  # consumed 2x per iteration
+
+    srcs = e.select(F.col("src").alias("vertex")).distinct()
+    dsts = e.select(F.col("dst").alias("vertex")).distinct()
+    n_src = srcs.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    hubs = srcs.crossJoin(F.broadcast(n_src)).select(
+        "vertex", (F.lit(1.0) / F.col("_n")).alias("score")
+    )
+
+    def _half(scores, key_in, key_out):
+        """One half-step: push scores across edges from key_in to
+        key_out, DECIMAL-sum, then L1-normalize."""
+        s = F.broadcast(scores) if broadcast_scores else scores
+        raw = (
+            e.join(s, e[key_in] == s.vertex)
+            .select(
+                F.col(key_out).alias("vertex"),
+                F.round(F.col("score"), contrib_scale).cast(DEC).alias("_c"),
+            )
+            .groupBy("vertex")
+            .agg(F.sum("_c").cast("double").alias("_raw"))
+            # consumed twice (L1 total + normalize) and feeds the next
+            # half-step: without this, each of the 6 half-steps replays
+            # its predecessors' joins (~2x per step compounding —
+            # measured 41.8s vs 6.2s at the 20x smoke)
+            .localCheckpoint(eager=False)
+        )
+        tot = raw.agg(
+            F.sum(F.col("_raw").cast(DEC)).cast("double").alias("_t")
+        )
+        return raw.crossJoin(F.broadcast(tot)).select(
+            "vertex", (F.col("_raw") / F.col("_t")).alias("score")
+        )
+
+    auths = None
+    for _ in range(int(iterations)):
+        auths = _half(hubs, "src", "dst")
+        hubs = _half(auths, "dst", "src")
+    out_a = auths.select(
+        F.lit("authority").alias("side"),
+        "vertex",
+        F.round("score", out_scale).alias("score"),
+    )
+    out_h = hubs.select(
+        F.lit("hub").alias("side"),
+        "vertex",
+        F.round("score", out_scale).alias("score"),
+    )
+    return out_a.unionByName(out_h)

@@ -125,3 +125,45 @@ def test_pagerank_fixed_scales_match_numpy(spark, star_plus_chain):
     for v in range(n):
         assert abs(out[v] - ref[v]) < 1e-5, (v, out[v], ref[v])
     assert abs(sum(out.values()) - 1.0) < 1e-4
+
+
+def _numpy_hits(edges, iterations):
+    import numpy as np
+
+    srcs = sorted({s for s, _ in edges})
+    dsts = sorted({d for _, d in edges})
+    si = {v: i for i, v in enumerate(srcs)}
+    di = {v: i for i, v in enumerate(dsts)}
+    h = np.full(len(srcs), 1.0 / len(srcs))
+    a = None
+    for _ in range(iterations):
+        a = np.zeros(len(dsts))
+        for s, d in edges:
+            a[di[d]] += round(h[si[s]], 9)
+        a = a / a.sum()
+        h = np.zeros(len(srcs))
+        for s, d in edges:
+            h[si[s]] += round(a[di[d]], 9)
+        h = h / h.sum()
+    return ({v: a[di[v]] for v in dsts}, {v: h[si[v]] for v in srcs})
+
+
+def test_hits_fixed_matches_numpy(spark):
+    # bipartite: supplier 0 feeds parts 100,101,102; supplier 1 feeds
+    # 100; supplier 2 feeds 101,103
+    edges = [(0, 100), (0, 101), (0, 102), (1, 100), (2, 101), (2, 103)]
+    df = from_rows(spark, edges, "src bigint, dst bigint")
+    out = graph.hits_fixed(df, iterations=3)
+    got_a = {r.vertex: r.score for r in out.collect() if r.side == "authority"}
+    got_h = {r.vertex: r.score for r in out.collect() if r.side == "hub"}
+    ref_a, ref_h = _numpy_hits(edges, 3)
+    for v, s in ref_a.items():
+        assert abs(got_a[v] - s) < 1e-6, (v, got_a[v], s)
+    for v, s in ref_h.items():
+        assert abs(got_h[v] - s) < 1e-6, (v, got_h[v], s)
+    # the 3-part supplier is the best hub; parts fed by it + another
+    # supplier are the best authorities
+    assert got_h[0] == max(got_h.values())
+    # L1 mass is 1 up to the 6-dp output rounding (half an ulp per row)
+    assert abs(sum(got_a.values()) - 1.0) < 5e-6
+    assert abs(sum(got_h.values()) - 1.0) < 5e-6
