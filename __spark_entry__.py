@@ -917,6 +917,16 @@ def q_edit_distance_pairs(spark, sf):
     return dedup.edit_distance_pairs(d, "doc_id", "text", max_dist=5)
 
 
+def q_kmeans_fixed(spark, sf):
+    """Oracle-checked spherical k-means (r5): deterministic pivot
+    init + 2 unrolled Lloyd iterations at the pinned decimal scales —
+    the clustering analogue of the pivot-IVF certificate tier."""
+    from fuel_spark import ml
+
+    e = _t(spark, sf)["embeddings"]
+    return ml.kmeans_fixed(e, "vec_id", "embedding", k=8, iterations=2)
+
+
 def q_hits_supplier_part(spark, sf):
     """HITS hubs/authorities (r5, Kleinberg 1999) over the
     supplier→part sourcing graph: 3 mutual power steps with L1
@@ -2437,6 +2447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_benford": q_events_benford,
         "events_markov_stationary": q_markov_stationary,
         "graph_hits_fixed": q_hits_supplier_part,
+        "embedding_kmeans_fixed": q_kmeans_fixed,
         # ---- rows-only keys (no SQL oracle by design; driver records
         # a weaker rows-only row; full evidence lives in tests/) ------
         "text_bpe_merges": q_bpe_merges,
@@ -4199,6 +4210,56 @@ def oracle_sql() -> dict[str, str]:
                  ' ')), 1, 16) AS span_hash
         FROM spans s JOIN d ON d.doc_id = s.doc_a
     """
+    # r5: spherical k-means — pivot init, 2 unrolled Lloyd steps.
+    # Assignment ties to the lowest cluster id; centroid components
+    # are round-9 DECIMAL-exact means, so both engines iterate on
+    # bit-identical centroids.
+    _km_prev = "c0"
+    _km_ctes = []
+    for _i in (1, 2):
+        _km_acos = _cos_sql("e.embedding", "p.cvec")
+        _km_ctes.append(f"""
+        a{_i} AS (
+          SELECT vec_id, vec, cluster FROM (
+            SELECT e.vec_id, e.embedding AS vec, p.cluster,
+                   row_number() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY round({_km_acos}, 6) DESC, p.cluster) AS rn
+            FROM embeddings e, {_km_prev} p
+          ) WHERE rn = 1
+        ),
+        u{_i} AS (
+          SELECT cluster, dim,
+                 round(CAST(sum(CAST(round(CAST(vec[dim] AS DOUBLE), 9)
+                                     AS DECIMAL(27,18))) AS DOUBLE)
+                       / count(*), 9) AS m
+          FROM (SELECT cluster, vec,
+                       unnest(generate_series(1, len(vec))) AS dim
+                FROM a{_i})
+          GROUP BY 1, 2
+        ),
+        c{_i} AS (SELECT cluster, list(m ORDER BY dim) AS cvec
+                  FROM u{_i} GROUP BY 1)""")
+        _km_prev = f"c{_i}"
+    _km_fcos = _cos_sql("e.embedding", "p.cvec")
+    _km_ocos = _cos_sql("af.vec", "cf.cvec")
+    sqls["embedding_kmeans_fixed"] = f"""
+        WITH c0 AS (SELECT vec_id AS cluster, embedding AS cvec
+                    FROM embeddings ORDER BY vec_id LIMIT 8),
+        {",".join(_km_ctes)},
+        af AS (
+          SELECT vec_id, vec, cluster FROM (
+            SELECT e.vec_id, e.embedding AS vec, p.cluster,
+                   row_number() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY round({_km_fcos}, 6) DESC, p.cluster) AS rn
+            FROM embeddings e, c2 p
+          ) WHERE rn = 1
+        )
+        SELECT af.vec_id, af.cluster, round({_km_ocos}, 6) AS cosine
+        FROM af JOIN c2 cf USING (cluster)
+    """
+
     # r5: HITS — mutual power steps, each half-step a round-9 DECIMAL
     # contribution sum followed by L1 normalization by a 1-row
     # DECIMAL-exact total (no sqrt, so the float contract holds).

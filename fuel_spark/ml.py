@@ -345,3 +345,96 @@ def score_quality_model(
     prob = vector_to_array(F.col("probability"))[1]
     keep_cols = [c for c in docs.columns]
     return scored.select(*keep_cols, F.round(prob, 6).alias(out_col))
+
+
+def kmeans_fixed(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iterations: int = 2,
+) -> DataFrame:
+    """Spherical k-means (Dhillon & Modha 2001) with a DETERMINISTIC
+    pivot init and a fixed Lloyd-iteration count, oracle-checkable
+    end to end — the clustering analogue of the pivot-IVF tier: the
+    MLlib ``KMeans`` path (:func:`fit_ivf_index`) stays the quality
+    fit, this pins the Lloyd MECHANICS (argmax-cosine assignment,
+    per-dimension mean update) under the exact-hash gate.
+
+    Determinism contract: centroids initialize to the ``k`` lowest-id
+    vectors (cluster label = that pivot's id); assignment is
+    argmax of round-6 cosine with ties to the lowest cluster id
+    (``min(struct(-cos, cluster))`` — map-side partial, no fact-wide
+    window); centroid updates are per-(cluster, dim) means of round-9
+    doubles summed as exact DECIMAL, so every centroid component is
+    bit-identical across engines and partitionings.  Cosine is
+    scale-invariant, so the spherical-k-means centroid normalization
+    is skipped (it cannot change any assignment).  A cluster that
+    captures no vectors drops out of later iterations (documented;
+    requires an adversarial init on real data).
+
+    Scale shape: centroids are a k-row broadcast at every step —
+    assignment never shuffles the corpus (one broadcast nested-loop
+    + argmin combine); the update is a posexplode to (cluster, dim)
+    keys — N×dims narrow rows reduced by map-side combine to
+    k×dims×partitions before the one tiny shuffle.  Per iteration:
+    two corpus scans, zero corpus-wide shuffles.
+
+    Output: vec_id, cluster (the winning pivot's id), cosine to its
+    final centroid (round 6).
+    """
+    DECC = "decimal(27,18)"
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
+    ).localCheckpoint(eager=False)  # scanned 2x per iteration + final
+    cent = broadcast(
+        corpus.select(
+            F.col(id_col).alias("cluster"), F.col(vec_col).alias("cvec")
+        )
+        .orderBy("cluster")
+        .limit(int(k))
+    )
+
+    def _assign(centroids):
+        return (
+            c.crossJoin(centroids)
+            .withColumn("_negcos", -F.round(cosine_expr("vec", "cvec"), 6))
+            .groupBy("vec_id")
+            .agg(
+                F.min(F.struct(F.col("_negcos"), F.col("cluster"))).alias("_m"),
+                F.any_value("vec").alias("vec"),
+            )
+            .select("vec_id", "vec", F.col("_m.cluster").alias("cluster"))
+        )
+
+    for _ in range(int(iterations)):
+        assigned = _assign(cent)
+        upd = (
+            assigned.select("cluster", F.posexplode("vec").alias("dim", "val"))
+            .groupBy("cluster", "dim")
+            .agg(
+                F.round(
+                    F.sum(
+                        F.round(F.col("val").cast("double"), 9).cast(DECC)
+                    ).cast("double")
+                    / F.count(F.lit(1)),
+                    9,
+                ).alias("m")
+            )
+            .groupBy("cluster")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(dim, m))),"
+                    " s -> s.m)"
+                ).alias("cvec")
+            )
+        )
+        cent = broadcast(upd)
+
+    final = _assign(cent)
+    cvecs = cent.select("cluster", F.col("cvec").alias("_fc"))
+    return (
+        final.join(broadcast(cvecs), "cluster")
+        .withColumn("cosine", F.round(cosine_expr("vec", "_fc"), 6))
+        .select("vec_id", "cluster", "cosine")
+    )

@@ -227,3 +227,26 @@ def test_pivot_pq_compressed_contract(spark):
     assert recall >= 0.3, f"pivot-PQ recall collapsed: {recall}"
     for r in approx.collect():
         assert 1 <= r.rank <= 5 and -1.0 <= r.cosine <= 1.0
+
+
+def test_kmeans_fixed_recovers_separated_clusters(spark):
+    """Two well-separated direction bundles: every vector lands with
+    the pivot from its own bundle, twice-run output is bit-identical,
+    and cosines to the final centroid are ~1."""
+    from fuel_spark.ml import kmeans_fixed
+
+    rows = []
+    # interleave ids so the two pivot ids (0, 1) land one per bundle:
+    # even ids around +x, odd ids around +z
+    for i in range(10):
+        rows.append((2 * i, [10.0, float(i % 3) * 0.1, 0.0, 0.0]))
+        rows.append((2 * i + 1, [0.0, float(i % 3) * 0.1, 10.0, 0.0]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out1 = {r.vec_id: (r.cluster, r.cosine)
+            for r in kmeans_fixed(df, k=2, iterations=2).collect()}
+    out2 = {r.vec_id: (r.cluster, r.cosine)
+            for r in kmeans_fixed(df, k=2, iterations=2).collect()}
+    assert out1 == out2  # deterministic
+    assert {out1[v][0] for v in range(0, 20, 2)} == {0}
+    assert {out1[v][0] for v in range(1, 20, 2)} == {1}
+    assert all(c > 0.99 for _, c in out1.values())
