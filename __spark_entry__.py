@@ -917,6 +917,29 @@ def q_edit_distance_pairs(spark, sf):
     return dedup.edit_distance_pairs(d, "doc_id", "text", max_dist=5)
 
 
+def q_kaplan_meier(spark, sf):
+    """Kaplan–Meier user-lifetime survival curve (r5, Kaplan & Meier
+    1958) with right-censoring at 7 days before observation end; the
+    survival product runs as exp of a DECIMAL cumsum of round-9 ln
+    terms with a sticky zero flag."""
+    return analytics.events_kaplan_meier(_t(spark, sf), censor_days=7)
+
+
+def q_heaps_fit(spark, sf):
+    """Heaps'-law vocabulary-growth fit (r5): V(n) ~ K n^beta by OLS
+    over a fixed 24-bucket growth grid (first-occurrence rollup — no
+    corpus-sized running distinct)."""
+    d = _t(spark, sf)["documents"]
+    return text_ops.heaps_fit(d, "doc_id", "text", grid=24)
+
+
+def q_good_turing(spark, sf):
+    """Good–Turing count-of-counts + Turing-adjusted r* (r5, Gale &
+    Sampson 1995)."""
+    d = _t(spark, sf)["documents"]
+    return text_ops.good_turing_counts(d, "text", max_r=10000)
+
+
 def q_kmeans_fixed(spark, sf):
     """Oracle-checked spherical k-means (r5): deterministic pivot
     init + 2 unrolled Lloyd iterations at the pinned decimal scales —
@@ -2448,6 +2471,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_markov_stationary": q_markov_stationary,
         "graph_hits_fixed": q_hits_supplier_part,
         "embedding_kmeans_fixed": q_kmeans_fixed,
+        "events_kaplan_meier": q_kaplan_meier,
+        "text_heaps_fit": q_heaps_fit,
+        "text_good_turing": q_good_turing,
         # ---- rows-only keys (no SQL oracle by design; driver records
         # a weaker rows-only row; full evidence lives in tests/) ------
         "text_bpe_merges": q_bpe_merges,
@@ -4210,6 +4236,123 @@ def oracle_sql() -> dict[str, str]:
                  ' ')), 1, 16) AS span_hash
         FROM spans s JOIN d ON d.doc_id = s.doc_a
     """
+    # r5: Kaplan–Meier — survival product as exp of a DECIMAL cumsum
+    # of round-9 ln terms; a sticky cummax flag replaces ln(0) when a
+    # duration kills every at-risk user.  Summed counts CAST BIGINT
+    # (DuckDB sums are HUGEINT -> float64 in pandas otherwise).
+    sqls["events_kaplan_meier"] = """
+        WITH pu AS (SELECT user_id, min(ts) AS f, max(ts) AS l
+                    FROM events GROUP BY 1),
+        oe AS (SELECT max(ts) AS e FROM events),
+        u AS (
+          SELECT date_diff('day', CAST(f AS DATE), CAST(l AS DATE))
+                   AS duration_days,
+                 CASE WHEN date_diff('day', CAST(l AS DATE),
+                                     CAST(e AS DATE)) >= 7
+                      THEN 1 ELSE 0 END AS died
+          FROM pu, oe
+        ),
+        g AS (SELECT duration_days,
+                     CAST(sum(died) AS BIGINT) AS deaths,
+                     CAST(sum(1 - died) AS BIGINT) AS censored
+              FROM u GROUP BY 1),
+        g2 AS (SELECT *,
+                 CAST(sum(deaths + censored) OVER (
+                   ORDER BY duration_days
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                 AS BIGINT) AS n_risk
+               FROM g),
+        g3 AS (SELECT *,
+                 max(CASE WHEN deaths = n_risk THEN 1 ELSE 0 END) OVER (
+                   ORDER BY duration_days ROWS UNBOUNDED PRECEDING)
+                   AS dead_all,
+                 sum(CASE WHEN deaths < n_risk THEN
+                       CAST(round(ln(CAST(1.0 AS DOUBLE)
+                                     - CAST(deaths AS DOUBLE)
+                                       / CAST(n_risk AS DOUBLE)), 9)
+                            AS DECIMAL(27,18))
+                     ELSE CAST(0 AS DECIMAL(27,18)) END) OVER (
+                   ORDER BY duration_days ROWS UNBOUNDED PRECEDING)
+                   AS lnsum
+               FROM g2)
+        SELECT duration_days, n_risk, deaths, censored,
+               round(CASE WHEN dead_all = 1 THEN CAST(0.0 AS DOUBLE)
+                          ELSE exp(CAST(lnsum AS DOUBLE)) END, 6)
+                 AS survival
+        FROM g3 ORDER BY duration_days
+    """
+
+    # r5: Heaps'-law growth fit over a fixed doc-id-domain grid.
+    sqls["text_heaps_fit"] = f"""
+        WITH d AS (
+          SELECT doc_id, {w} AS ws FROM documents
+          WHERE length({_norm_sql('text')}) >= 1
+        ),
+        bnd AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM d),
+        wb AS (
+          SELECT least(CAST(floor(CAST(doc_id - lo AS DOUBLE)
+                   / greatest(CAST(hi - lo + 1 AS DOUBLE),
+                              CAST(1.0 AS DOUBLE)) * 24) AS BIGINT),
+                   23) AS bk, ws
+          FROM d, bnd
+        ),
+        tok AS (SELECT bk, unnest(ws) AS w FROM wb),
+        fb AS (SELECT w, min(bk) AS fb FROM tok GROUP BY 1),
+        nw AS (SELECT fb AS bk, count(*) AS nw FROM fb GROUP BY 1),
+        nt AS (SELECT bk, count(*) AS nt FROM tok GROUP BY 1),
+        curve AS (
+          SELECT nt.bk,
+                 sum(nt.nt) OVER (ORDER BY nt.bk
+                                  ROWS UNBOUNDED PRECEDING) AS n_tokens,
+                 sum(COALESCE(nw.nw, 0)) OVER (ORDER BY nt.bk
+                                  ROWS UNBOUNDED PRECEDING) AS vocab
+          FROM nt LEFT JOIN nw ON nw.bk = nt.bk
+        ),
+        xy AS (
+          SELECT round(ln(CAST(n_tokens AS DOUBLE)), 6) AS x,
+                 round(ln(CAST(vocab AS DOUBLE)), 6) AS y
+          FROM curve WHERE n_tokens > 0 AND vocab > 0
+        ),
+        m AS (
+          SELECT count(*) AS n_points,
+            CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+            CAST(sum(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+            CAST(sum(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+            CAST(sum(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx
+          FROM xy
+        ),
+        s AS (
+          SELECT n_points,
+            (CAST(n_points AS DOUBLE) * sxy - sx * sy)
+              / (CAST(n_points AS DOUBLE) * sxx - sx * sx) AS beta_raw,
+            sx, sy
+          FROM m
+        )
+        SELECT n_points,
+               round(beta_raw, 6) + CAST(0.0 AS DOUBLE) AS beta,
+               round(exp((sy - beta_raw * sx)
+                         / CAST(n_points AS DOUBLE)), 6) AS k
+        FROM s
+    """
+
+    # r5: Good–Turing count-of-counts; r* undefined (NULL) when
+    # N_{{r+1}} is unobserved, both engines alike.
+    sqls["text_good_turing"] = f"""
+        WITH tok AS (
+          SELECT unnest({w}) AS w FROM documents
+          WHERE length({_norm_sql('text')}) >= 1
+        ),
+        f AS (SELECT w, count(*) AS r FROM tok GROUP BY 1),
+        nr AS (SELECT r, count(*) AS n_r FROM f GROUP BY 1
+               HAVING r <= 10000),
+        sh AS (SELECT r - 1 AS r, n_r AS nn FROM nr)
+        SELECT nr.r, nr.n_r,
+               round(CAST(nr.r + 1 AS DOUBLE) * sh.nn / nr.n_r, 6)
+                 AS r_star
+        FROM nr LEFT JOIN sh ON sh.r = nr.r
+        ORDER BY nr.r
+    """
+
     # r5: spherical k-means — pivot init, 2 unrolled Lloyd steps.
     # Assignment ties to the lowest cluster id; centroid components
     # are round-9 DECIMAL-exact means, so both engines iterate on

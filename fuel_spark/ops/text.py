@@ -2369,3 +2369,137 @@ def term_burstiness(
             "df_vs_poisson"
         ),
     )
+
+
+def heaps_fit(
+    df: DataFrame, id_col: str, text_col: str, grid: int = 24
+) -> DataFrame:
+    """Heaps'-law fit: vocabulary growth V(n) ≈ K·n^β estimated by
+    OLS of ln V on ln n over a growth curve — the companion
+    diagnostic to :func:`zipf_slope` (β ≈ 0.4–0.6 for natural
+    language; template text saturates early, id-heavy logs never
+    saturate) and the principled way to forecast vocab size at 100 TB
+    from a sample.
+
+    100 TB shape: the growth curve is NOT a per-document running
+    distinct (a corpus-sized global window) — the doc-id domain
+    splits into a fixed ``grid`` of buckets from a broadcast 1-row
+    min/max, each word contributes one row at the bucket of its
+    FIRST-occurrence doc (one groupBy min per word), token counts
+    roll up per bucket, and two cumulative sums over the grid-sized
+    frame produce (n_tokens, vocab) checkpoints.  OLS moments are
+    DECIMAL-exact sums of 6-dp ln values (the zipf_slope contract).
+
+    Output: one row — n_points, beta (round 6), k (round 6, the
+    ln-intercept exponentiated).
+    """
+    from pyspark.sql import Window as W
+
+    base = (
+        df.select(F.col(id_col).alias("_id"), norm_text(F.col(text_col)).alias("_t"))
+        .where(F.length("_t") >= 1)
+        .select("_id", F.split("_t", " ").alias("_w"))
+    )
+    base = ensure_parallelism(base).localCheckpoint(eager=False)
+    bounds = base.agg(
+        F.min("_id").alias("_lo"), F.max("_id").alias("_hi")
+    )
+    g = F.lit(int(grid))
+    # bucket = 0..grid-1 by position of _id in [lo, hi]
+    bucket = F.least(
+        F.floor(
+            (F.col("_id") - F.col("_lo")).cast("double")
+            / F.greatest((F.col("_hi") - F.col("_lo") + 1).cast("double"), F.lit(1.0))
+            * g
+        ).cast("long"),
+        g.cast("long") - 1,
+    )
+    wb = base.crossJoin(F.broadcast(bounds)).select(
+        bucket.alias("_b"), "_w"
+    )
+    toks = wb.select("_b", F.explode("_w").alias("w"))
+    first_b = toks.groupBy("w").agg(F.min("_b").alias("_fb"))
+    new_words = first_b.groupBy("_fb").agg(F.count(F.lit(1)).alias("_nw"))
+    tok_counts = toks.groupBy("_b").agg(F.count(F.lit(1)).alias("_nt"))
+    w = W.orderBy("_b")
+    curve = (
+        tok_counts.join(
+            new_words.withColumnRenamed("_fb", "_b"), "_b", "left"
+        )
+        .select("_b", "_nt", F.coalesce("_nw", F.lit(0)).alias("_nw"))
+        .withColumn("n_tokens", F.sum("_nt").over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow)))
+        .withColumn("vocab", F.sum("_nw").over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow)))
+        .where((F.col("n_tokens") > 0) & (F.col("vocab") > 0))
+    )
+    DECH = "decimal(38,12)"
+    x = F.round(F.log(F.col("n_tokens").cast("double")), 6)
+    y = F.round(F.log(F.col("vocab").cast("double")), 6)
+    m = curve.agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum(x.cast(DECH)).cast("double").alias("_sx"),
+        F.sum(y.cast(DECH)).cast("double").alias("_sy"),
+        F.sum((x * y).cast(DECH)).cast("double").alias("_sxy"),
+        F.sum((x * x).cast(DECH)).cast("double").alias("_sxx"),
+    )
+    n = F.col("n_points").cast("double")
+    beta = (n * F.col("_sxy") - F.col("_sx") * F.col("_sy")) / (
+        n * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    )
+    k = F.exp((F.col("_sy") - beta * F.col("_sx")) / n)
+    # + 0.0 normalizes IEEE negative zero (a saturated-vocab corpus
+    # fits slope -0.0 on one engine and +0.0 on the other)
+    return m.select(
+        "n_points",
+        (F.round(beta, 6) + F.lit(0.0)).alias("beta"),
+        F.round(k, 6).alias("k"),
+    )
+
+
+def good_turing_counts(
+    df: DataFrame, text_col: str, max_r: int = 50
+) -> DataFrame:
+    """Good–Turing count-of-counts table (Gale & Sampson 1995): for
+    each observed frequency r, how many word types occur exactly r
+    times (N_r) and the Turing-smoothed adjusted count
+    r* = (r+1)·N_{r+1}/N_r — the foundation of held-out probability
+    mass estimation (P(unseen) = N_1/N) and classical LM smoothing.
+
+    One token count, then everything is count-of-counts-sized
+    (≤ max_r rows): the frequency table rolls up by frequency, and
+    r* is a self-join against the shifted table.  Rows with no
+    N_{r+1} get NULL r* (the estimator is undefined there — Gale &
+    Sampson's smoothing of the N_r sequence itself is out of scope,
+    stated).
+
+    Output: r, n_r, r_star (round 6) for r <= max_r, ordered by r.
+    The unseen-mass estimate P(unseen) = N_1/N is the r=1 row's n_r
+    over the corpus token total (available from corpus_stats).
+    """
+    tok = (
+        df.select(norm_text(F.col(text_col)).alias("_t"))
+        .where(F.length("_t") >= 1)
+        .select(F.explode(F.split("_t", " ")).alias("w"))
+    )
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("r"))
+    nr = freq.groupBy("r").agg(F.count(F.lit(1)).alias("n_r")).where(
+        F.col("r") <= int(max_r)
+    )
+    shifted = nr.select(
+        (F.col("r") - 1).alias("r"), F.col("n_r").alias("_n_next")
+    )
+    return (
+        nr.join(shifted, "r", "left")
+        .select(
+            "r",
+            "n_r",
+            F.round(
+                (F.col("r") + 1).cast("double")
+                * F.col("_n_next")
+                / F.col("n_r"),
+                6,
+            ).alias("r_star"),
+        )
+        .orderBy("r")
+    )

@@ -3212,3 +3212,79 @@ def events_markov_stationary(
             "state", F.coalesce("_in", F.lit(0.0)).alias("prob")
         )
     return v.select("state", F.round("prob", 6).alias("prob")).orderBy("state")
+
+
+def events_kaplan_meier(
+    t: dict[str, DataFrame], censor_days: int = 7
+) -> DataFrame:
+    """Kaplan–Meier survival curve of user lifetime (first event →
+    last event), right-censoring users whose last activity falls
+    within ``censor_days`` of the observation end — the standard
+    churn/retention estimator (Kaplan & Meier 1958), which the naive
+    "share still active after t days" curve biases by counting
+    not-yet-churned users as churned.
+
+    One user rollup (first/last ts), then EVERYTHING is
+    duration-grid-sized: deaths/censorings per duration day, at-risk
+    counts from a reverse cumulative sum, and the survival product as
+    exp of a cumulative sum of round-9 ln terms summed as exact
+    DECIMAL — the repo's float contract, so the curve exact-hash
+    compares.  A duration where every at-risk user dies sends the
+    product to 0; the ln-sum tier handles it with a sticky
+    cummax-zero flag instead of ln(0).
+
+    Output: duration_days, n_risk, deaths, censored, survival
+    (round 6), ordered by duration.
+    """
+    from pyspark.sql import Window as W
+
+    e = t["events"]
+    per_user = e.groupBy("user_id").agg(
+        F.min("ts").alias("_first"), F.max("ts").alias("_last")
+    )
+    obs_end = e.agg(F.max("ts").alias("_end"))
+    u = per_user.crossJoin(F.broadcast(obs_end)).select(
+        F.datediff(F.col("_last"), F.col("_first")).alias("duration_days"),
+        (
+            F.datediff(F.col("_end"), F.col("_last")) >= F.lit(int(censor_days))
+        ).cast("int").alias("died"),
+    )
+    grid = u.groupBy("duration_days").agg(
+        F.sum("died").alias("deaths"),
+        F.sum(F.lit(1) - F.col("died")).alias("censored"),
+    )
+    w = W.orderBy("duration_days")
+    # at risk at t: everyone with duration >= t  (reverse cumsum over
+    # the duration grid — aggregate-sized by construction)
+    grid = grid.withColumn(
+        "n_risk",
+        F.sum(F.col("deaths") + F.col("censored")).over(
+            w.rowsBetween(W.currentRow, W.unboundedFollowing)
+        ),
+    )
+    term = F.lit(1.0) - F.col("deaths").cast("double") / F.col(
+        "n_risk"
+    ).cast("double")
+    grid = grid.withColumn(
+        "_dead_all", F.max((F.col("deaths") == F.col("n_risk")).cast("int")).over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+    ).withColumn(
+        "_lnsum",
+        F.sum(
+            F.when(
+                F.col("deaths") < F.col("n_risk"),
+                F.round(F.log(term), 9).cast("decimal(27,18)"),
+            ).otherwise(F.lit(0).cast("decimal(27,18)"))
+        ).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    surv = F.when(F.col("_dead_all") == 1, F.lit(0.0)).otherwise(
+        F.exp(F.col("_lnsum").cast("double"))
+    )
+    return grid.select(
+        "duration_days",
+        "n_risk",
+        "deaths",
+        "censored",
+        F.round(surv, 6).alias("survival"),
+    ).orderBy("duration_days")

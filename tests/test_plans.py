@@ -1321,3 +1321,27 @@ def test_markov_stationary_hand_computed(spark):
                 {"events": from_rows(spark, rows2)}, iterations=1).collect()}
     # P(a->a)=0.5, P(a->b)=0.5; v0=(.5,.5) -> v1=(0.25, 0.25)
     assert out2 == {"a": 0.25, "b": 0.25}
+
+
+def test_kaplan_meier_hand_computed(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+
+    def ev(eid, day, uid):
+        return {"event_id": eid, "ts": base + dt.timedelta(days=day),
+                "user_id": uid, "event_type": "a", "value": 1.0,
+                "props": "{}"}
+
+    # observation end = day 10.  u1: 0..10 (dur 10, censored);
+    # u2: 0..2 (dur 2, gap 8 -> died); u3: day 0 only (dur 0, died);
+    # u4: 3..10 (dur 7, censored)
+    rows = [ev(1, 0, 1), ev(2, 10, 1), ev(3, 0, 2), ev(4, 2, 2),
+            ev(5, 0, 3), ev(6, 3, 4), ev(7, 10, 4)]
+    out = {r.duration_days: (r.n_risk, r.deaths, r.censored, r.survival)
+           for r in analytics.events_kaplan_meier(
+               {"events": from_rows(spark, rows)}, censor_days=7).collect()}
+    assert out[0] == (4, 1, 0, 0.75)
+    assert out[2] == (3, 1, 0, 0.5)
+    assert out[7] == (2, 0, 1, 0.5)
+    assert out[10] == (1, 0, 1, 0.5)

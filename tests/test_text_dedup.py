@@ -1776,3 +1776,35 @@ def test_term_burstiness_known_values(spark):
     import math
     want = round(5 / (5 * (1 - math.exp(-1))), 6)
     assert abs(out["the"].df_vs_poisson - want) < 1e-6
+
+
+def test_heaps_fit_growth_and_saturation(spark):
+    """A corpus that keeps introducing words fits beta > 0; a
+    saturated corpus fits beta == +0.0 (negative-zero normalized)."""
+    from fuel_spark.ops.text import heaps_fit
+
+    growing = [(i, " ".join(f"w{j}" for j in range(max(1, i - 3), i + 1)))
+               for i in range(1, 49)]
+    r = heaps_fit(spark.createDataFrame(growing, ["doc_id", "text"]),
+                  "doc_id", "text", grid=8).collect()[0]
+    assert r.n_points == 8
+    assert 0.0 < r.beta <= 1.2
+
+    flat = [(i, "same words every single time") for i in range(48)]
+    r2 = heaps_fit(spark.createDataFrame(flat, ["doc_id", "text"]),
+                   "doc_id", "text", grid=8).collect()[0]
+    assert r2.beta == 0.0 and str(r2.beta) == "0.0"
+
+
+def test_good_turing_hand_computed(spark):
+    """N_1=2, N_2=1, N_3=1 -> r*(1) = 2*N_2/N_1 = 1.0,
+    r*(2) = 3*N_3/N_2 = 3.0, r*(3) undefined (no N_4)."""
+    from fuel_spark.ops.text import good_turing_counts
+
+    text = "x y z z q q q"  # x,y once; z twice; q thrice
+    df = spark.createDataFrame([(0, text)], ["doc_id", "text"])
+    out = {r.r: (r.n_r, r.r_star)
+           for r in good_turing_counts(df, "text", max_r=50).collect()}
+    assert out[1] == (2, 1.0)
+    assert out[2] == (1, 3.0)
+    assert out[3][0] == 1 and out[3][1] is None
