@@ -917,6 +917,19 @@ def q_edit_distance_pairs(spark, sf):
     return dedup.edit_distance_pairs(d, "doc_id", "text", max_dist=5)
 
 
+def q_events_cusum(spark, sf):
+    """CUSUM changepoint scan (r5, Page 1954) over daily event
+    counts, peak |CUSUM| day flagged."""
+    return analytics.events_cusum(_t(spark, sf))
+
+
+def q_pricing_model_ols(spark, sf):
+    """Two-regressor OLS by exact normal equations (r5):
+    extendedprice ~ quantity + discount, Cramer-solved from
+    DECIMAL-exact moments."""
+    return analytics.pricing_model_ols(_t(spark, sf))
+
+
 def q_kaplan_meier(spark, sf):
     """Kaplan–Meier user-lifetime survival curve (r5, Kaplan & Meier
     1958) with right-censoring at 7 days before observation end; the
@@ -2474,6 +2487,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_kaplan_meier": q_kaplan_meier,
         "text_heaps_fit": q_heaps_fit,
         "text_good_turing": q_good_turing,
+        "events_cusum": q_events_cusum,
+        "pricing_model_ols": q_pricing_model_ols,
         # ---- rows-only keys (no SQL oracle by design; driver records
         # a weaker rows-only row; full evidence lives in tests/) ------
         "text_bpe_merges": q_bpe_merges,
@@ -4236,6 +4251,70 @@ def oracle_sql() -> dict[str, str]:
                  ' ')), 1, 16) AS span_hash
         FROM spans s JOIN d ON d.doc_id = s.doc_a
     """
+    # r5: CUSUM — DECIMAL cumsum of round-6 deviations from the mean.
+    sqls["events_cusum"] = """
+        WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n
+                       FROM events GROUP BY 1),
+        mu AS (SELECT CAST(sum(n) AS DOUBLE) / count(*) AS mu FROM daily),
+        c AS (
+          SELECT day, n,
+            CAST(sum(CAST(round(CAST(n AS DOUBLE) - mu, 6)
+                          AS DECIMAL(27,6))) OVER (
+                   ORDER BY day ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+              AS cusum
+          FROM daily, mu
+        ),
+        p AS (SELECT *, max(abs(cusum)) OVER () AS pk FROM c)
+        SELECT strftime(day, '%Y-%m-%d') AS day, n,
+               round(cusum, 6) AS cusum,
+               abs(cusum) = pk AS is_peak
+        FROM p ORDER BY day
+    """
+
+    # r5: 2-regressor OLS — nine decimal-exact moments, Cramer in
+    # identically-parenthesized double arithmetic.
+    sqls["pricing_model_ols"] = f"""
+        WITH m AS (
+          SELECT count(*) AS n,
+            {_dsum_sql('l_quantity')} AS s1,
+            {_dsum_sql('l_discount')} AS s2,
+            {_dsum_sql('l_extendedprice')} AS sy,
+            {_dsum_sql('l_quantity * l_quantity')} AS s11,
+            {_dsum_sql('l_discount * l_discount')} AS s22,
+            {_dsum_sql('l_quantity * l_discount')} AS s12,
+            {_dsum_sql('l_quantity * l_extendedprice')} AS s1y,
+            {_dsum_sql('l_discount * l_extendedprice')} AS s2y,
+            {_dsum_sql('l_extendedprice * l_extendedprice')} AS syy
+          FROM lineitem
+        ),
+        d AS (
+          SELECT n,
+            s1 / CAST(n AS DOUBLE) AS m1, s2 / CAST(n AS DOUBLE) AS m2,
+            sy / CAST(n AS DOUBLE) AS my,
+            s11 / CAST(n AS DOUBLE) AS e11, s22 / CAST(n AS DOUBLE) AS e22,
+            s12 / CAST(n AS DOUBLE) AS e12, s1y / CAST(n AS DOUBLE) AS e1y,
+            s2y / CAST(n AS DOUBLE) AS e2y, syy / CAST(n AS DOUBLE) AS eyy
+          FROM m
+        ),
+        cv AS (
+          SELECT n, m1, m2, my,
+            e11 - m1 * m1 AS s11, e22 - m2 * m2 AS s22,
+            e12 - m1 * m2 AS s12, e1y - m1 * my AS c1,
+            e2y - m2 * my AS c2, eyy - my * my AS vy
+          FROM d
+        ),
+        b AS (
+          SELECT n, m1, m2, my, c1, c2, vy,
+            (s22 * c1 - s12 * c2) / (s11 * s22 - s12 * s12) AS b1,
+            (s11 * c2 - s12 * c1) / (s11 * s22 - s12 * s12) AS b2
+          FROM cv
+        )
+        SELECT n, round(my - b1 * m1 - b2 * m2, 6) AS b0,
+               round(b1, 6) AS b1_quantity, round(b2, 6) AS b2_discount,
+               round((b1 * c1 + b2 * c2) / vy, 6) AS r2
+        FROM b
+    """
+
     # r5: Kaplan–Meier — survival product as exp of a DECIMAL cumsum
     # of round-9 ln terms; a sticky cummax flag replaces ln(0) when a
     # duration kills every at-risk user.  Summed counts CAST BIGINT

@@ -75,6 +75,12 @@ HEADLINERS = (
     "dedup_substring_spans",
     "text_bpe_encode",
     "pretrain_pipeline",
+    # late-r5 headliners: PassJoin edit-distance join, HITS, spherical
+    # k-means, TextRank — the session's fixed-iteration/blocking ops
+    "dedup_edit_distance",
+    "graph_hits_fixed",
+    "embedding_kmeans_fixed",
+    "text_textrank_keywords",
 )
 
 # The regression-gate set: the 16 headliners benched every round since

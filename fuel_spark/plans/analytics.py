@@ -3288,3 +3288,107 @@ def events_kaplan_meier(
         "censored",
         F.round(surv, 6).alias("survival"),
     ).orderBy("duration_days")
+
+
+def events_cusum(t: dict[str, DataFrame]) -> DataFrame:
+    """CUSUM changepoint scan (Page 1954) over the daily event-count
+    series: cumulative sum of deviations from the series mean, with
+    the peak |CUSUM| day flagged — the standard "when did the level
+    shift" monitoring statistic (a flat series wanders near 0; a mean
+    shift at day d makes |CUSUM| peak at d).
+
+    One scan to a day-grid rollup; the mean joins back as a broadcast
+    1-row aggregate and the cumulative sum runs over the grid-sized
+    frame as exact DECIMAL of round-6 deviations (float contract).
+
+    Output: day, n, cusum (round 6), is_peak — ordered by day.
+    """
+    from pyspark.sql import Window as W
+
+    e = t["events"]
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    mean = daily.agg(
+        (F.sum("n").cast("double") / F.count(F.lit(1))).alias("_mu")
+    )
+    w = W.orderBy("day")
+    out = (
+        daily.crossJoin(F.broadcast(mean))
+        .withColumn(
+            "_dev", F.round(F.col("n").cast("double") - F.col("_mu"), 6)
+        )
+        .withColumn(
+            "cusum",
+            F.sum(F.col("_dev").cast("decimal(27,6)"))
+            .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+            .cast("double"),
+        )
+        .withColumn(
+            "_peak",
+            F.max(F.abs("cusum")).over(
+                w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+            ),
+        )
+    )
+    # day as a STRING: pandas date-vs-datetime64 dtype skew between
+    # engines would break the gate's canonicalization (the r2 lesson)
+    return out.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n",
+        F.round("cusum", 6).alias("cusum"),
+        (F.abs("cusum") == F.col("_peak")).alias("is_peak"),
+    ).orderBy("day")
+
+
+def pricing_model_ols(t: dict[str, DataFrame]) -> DataFrame:
+    """Two-regressor OLS by exact normal equations: extendedprice ~
+    quantity + discount over lineitem, solved in closed form from
+    DECIMAL-exact moments (the multivariate extension of
+    :func:`column_correlation` / the trend ops) — coefficient
+    attribution ("how much does a unit of quantity buy?") without any
+    iterative fit.
+
+    Single scan, one 1-row aggregate of nine rounded-product moments;
+    the 2×2 covariance system solves by Cramer's rule in one fixed
+    double-arithmetic expression chain, so the coefficients are
+    bit-portable.  Output: n, b0, b1_quantity, b2_discount, r2
+    (round 6).
+    """
+    l = t["lineitem"]
+    x1 = F.col("l_quantity").cast("double")
+    x2 = F.col("l_discount").cast("double")
+    y = F.col("l_extendedprice").cast("double")
+    m = l.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(expr.cast(DEC)).cast("double").alias(name)
+            for name, expr in [
+                ("_s1", x1), ("_s2", x2), ("_sy", y),
+                ("_s11", x1 * x1), ("_s22", x2 * x2), ("_s12", x1 * x2),
+                ("_s1y", x1 * y), ("_s2y", x2 * y), ("_syy", y * y),
+            ]
+        ],
+    )
+    n = F.col("n").cast("double")
+    m1 = F.col("_s1") / n
+    m2 = F.col("_s2") / n
+    my = F.col("_sy") / n
+    s11 = F.col("_s11") / n - m1 * m1
+    s22 = F.col("_s22") / n - m2 * m2
+    s12 = F.col("_s12") / n - m1 * m2
+    c1 = F.col("_s1y") / n - m1 * my
+    c2 = F.col("_s2y") / n - m2 * my
+    vy = F.col("_syy") / n - my * my
+    det = s11 * s22 - s12 * s12
+    b1 = (s22 * c1 - s12 * c2) / det
+    b2 = (s11 * c2 - s12 * c1) / det
+    b0 = my - b1 * m1 - b2 * m2
+    r2 = (b1 * c1 + b2 * c2) / vy
+    return m.select(
+        "n",
+        F.round(b0, 6).alias("b0"),
+        F.round(b1, 6).alias("b1_quantity"),
+        F.round(b2, 6).alias("b2_discount"),
+        F.round(r2, 6).alias("r2"),
+    )

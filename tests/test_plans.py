@@ -788,6 +788,13 @@ SINGLE_PARTITION_ALLOWLIST = {
     # stationary (|types| rows per iteration)
     "text_pmi_cooccurrence", "text_zipf_slope", "text_term_burstiness",
     "events_benford", "events_markov_stationary",
+    # r5 continued: day-grid CUSUM (cumsum + global peak over ≤days
+    # rows), 1-row OLS moments, duration-grid Kaplan–Meier, 24-row
+    # Heaps growth grid, count-of-counts Good–Turing
+    "events_cusum", "pricing_model_ols", "events_kaplan_meier",
+    "text_heaps_fit", "text_good_turing",
+    # HITS: the per-half-step L1 total is a 1-row aggregate
+    "graph_hits_fixed",
 }
 
 
@@ -1345,3 +1352,45 @@ def test_kaplan_meier_hand_computed(spark):
     assert out[2] == (3, 1, 0, 0.5)
     assert out[7] == (2, 0, 1, 0.5)
     assert out[10] == (1, 0, 1, 0.5)
+
+
+def test_cusum_peak_at_level_shift(spark):
+    import datetime as dt
+
+    # 5 quiet days (10/day) then 5 loud days (30/day): mean 20,
+    # CUSUM walks to -50 by day 5 then returns to 0 — peak at day 5
+    rows = []
+    eid = 0
+    for day in range(10):
+        n = 10 if day < 5 else 30
+        for j in range(n):
+            rows.append({"event_id": eid, "user_id": j,
+                         "ts": dt.datetime(2024, 1, day + 1, 8),
+                         "event_type": "a", "value": 1.0, "props": "{}"})
+            eid += 1
+    out = {r.day: (r.n, r.cusum, r.is_peak)
+           for r in analytics.events_cusum(
+               {"events": from_rows(spark, rows)}).collect()}
+    assert out["2024-01-05"] == (10, -50.0, True)
+    assert out["2024-01-10"][1] == 0.0
+    assert sum(1 for v in out.values() if v[2]) == 1
+
+
+def test_pricing_model_ols_matches_numpy(spark):
+    import numpy as np
+
+    rows = [{"l_quantity": float(q), "l_discount": d,
+             "l_extendedprice": 5.0 + 2.0 * q - 100.0 * d + (q * d)}
+            for q in range(1, 20) for d in (0.0, 0.05, 0.1)]
+    df = from_rows(
+        spark, [tuple(r.values()) for r in rows],
+        schema="l_quantity double, l_discount double, l_extendedprice double",
+    )
+    r = analytics.pricing_model_ols({"lineitem": df}).collect()[0]
+    X = np.array([[1.0, row["l_quantity"], row["l_discount"]] for row in rows])
+    y = np.array([row["l_extendedprice"] for row in rows])
+    b = np.linalg.lstsq(X, y, rcond=None)[0]
+    assert abs(r.b0 - b[0]) < 1e-3
+    assert abs(r.b1_quantity - b[1]) < 1e-3
+    assert abs(r.b2_discount - b[2]) < 1e-3
+    assert 0.9 < r.r2 <= 1.0
