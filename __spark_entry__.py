@@ -917,6 +917,47 @@ def q_edit_distance_pairs(spark, sf):
     return dedup.edit_distance_pairs(d, "doc_id", "text", max_dist=5)
 
 
+def q_quality_auc(spark, sf):
+    """Histogram ROC AUC (r5): does stopword_ratio separate English
+    from non-English docs?  Rank-free Mann–Whitney over a bounded
+    score grid — the classifier-evaluation primitive."""
+    from fuel_spark.ops import profile
+
+    d = _t(spark, sf)["documents"]
+    scored = text_ops.quality_score(d, "text")
+    return profile.binary_auc(
+        scored, "stopword_ratio", F.col("lang") == "en", quantize=4
+    )
+
+
+def q_langid_kappa(spark, sf):
+    """Cohen's kappa (r5) of the stopword lang-id heuristic against
+    the true lang column — chance-corrected agreement."""
+    from fuel_spark.ops import profile
+
+    d = _t(spark, sf)["documents"]
+    return profile.cohen_kappa(
+        text_ops.lang_id(d, "text").select("lang", "pred_lang"),
+        "lang",
+        "pred_lang",
+    )
+
+
+def q_type_hour_mi(spark, sf):
+    """Mutual information (r5) between event type and hour of day —
+    how much scheduling structure the event mix carries."""
+    from fuel_spark.ops import profile
+
+    e = _t(spark, sf)["events"]
+    return profile.mutual_information(e, "event_type", F.hour("ts"))
+
+
+def q_markov_entropy(spark, sf):
+    """Markov-chain entropy rate (r5): composition of the stationary
+    profile and the transition matrix at their pinned contracts."""
+    return analytics.events_markov_entropy(_t(spark, sf), iterations=3)
+
+
 def q_events_cusum(spark, sf):
     """CUSUM changepoint scan (r5, Page 1954) over daily event
     counts, peak |CUSUM| day flagged."""
@@ -2489,6 +2530,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_good_turing": q_good_turing,
         "events_cusum": q_events_cusum,
         "pricing_model_ols": q_pricing_model_ols,
+        "quality_auc": q_quality_auc,
+        "text_langid_kappa": q_langid_kappa,
+        "events_type_hour_mi": q_type_hour_mi,
+        "events_markov_entropy": q_markov_entropy,
         # ---- rows-only keys (no SQL oracle by design; driver records
         # a weaker rows-only row; full evidence lives in tests/) ------
         "text_bpe_merges": q_bpe_merges,
@@ -4251,6 +4296,88 @@ def oracle_sql() -> dict[str, str]:
                  ' ')), 1, 16) AS span_hash
         FROM spans s JOIN d ON d.doc_id = s.doc_a
     """
+    # r5: histogram AUC — doubled Mann–Whitney U over a 4-dp score
+    # grid, DECIMAL(38,0)-exact pair counts.
+    _en_sw = "[" + ",".join(f"'{x}'" for x in STOPWORDS["en"]) + "]"
+    sqls["quality_auc"] = f"""
+        WITH d AS (SELECT lang, {w} AS w FROM documents),
+        sc AS (
+          SELECT round(round(CAST(len(list_filter(w,
+                     x -> list_contains({_en_sw}, x))) AS DOUBLE)
+                   / greatest(len(w), 1), 6), 4) AS s,
+                 CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+          FROM d
+        ),
+        g AS (SELECT s, sum(y) AS pos, count(*) - sum(y) AS neg
+              FROM sc GROUP BY 1),
+        g2 AS (SELECT *,
+                 COALESCE(sum(neg) OVER (
+                   ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING), 0) AS cneg
+               FROM g),
+        t AS (SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+                     CAST(sum(neg) AS BIGINT) AS n_neg,
+                     sum(CAST(pos AS DECIMAL(38,0))
+                         * (2 * cneg + neg)) AS u2
+              FROM g2)
+        SELECT n_pos, n_neg,
+               round(CAST(u2 AS DOUBLE)
+                     / (CAST(2.0 AS DOUBLE) * CAST(n_pos AS DOUBLE)
+                        * CAST(n_neg AS DOUBLE)), 6) AS auc
+        FROM t
+    """
+
+    # r5: Cohen's kappa of the lang-id heuristic vs truth; raw
+    # po/pe feed kappa unrounded, rounding only at the output.
+    sqls["text_langid_kappa"] = f"""
+        WITH base AS ({_langid_sql()}),
+        c AS (SELECT lang AS a, pred_lang AS b, count(*) AS n
+              FROM base GROUP BY 1, 2),
+        t AS (SELECT CAST(sum(n) AS DOUBLE) AS N FROM c),
+        po AS (SELECT COALESCE(sum(n), 0) AS agree FROM c WHERE a = b),
+        ra AS (SELECT a, sum(n) AS ra FROM c GROUP BY 1),
+        cb AS (SELECT b, sum(n) AS cb FROM c GROUP BY 1),
+        pe AS (SELECT CAST(sum(CAST(round(
+                 (CAST(ra AS DOUBLE) / t.N) * (CAST(cb AS DOUBLE) / t.N),
+                 9) AS DECIMAL(27,18))) AS DOUBLE) AS pe
+               FROM ra JOIN cb ON ra.a = cb.b, t)
+        SELECT CAST(t.N AS BIGINT) AS n,
+               round(CAST(agree AS DOUBLE) / t.N, 6) AS po,
+               round(pe.pe, 6) AS pe,
+               round((CAST(agree AS DOUBLE) / t.N - pe.pe)
+                     / (CAST(1.0 AS DOUBLE) - pe.pe), 6) AS kappa
+        FROM t, po, pe
+    """
+
+    # r5: categorical mutual information (event type × hour).
+    sqls["events_type_hour_mi"] = """
+        WITH j AS (SELECT event_type AS x, hour(ts) AS y, count(*) AS n
+                   FROM events GROUP BY 1, 2),
+        t AS (SELECT CAST(sum(n) AS DOUBLE) AS tn FROM j),
+        mx AS (SELECT x, sum(n) AS nx FROM j GROUP BY 1),
+        my AS (SELECT y, sum(n) AS ny FROM j GROUP BY 1),
+        hx AS (SELECT CAST(sum(CAST(round(
+                 -(CAST(nx AS DOUBLE) / t.tn)
+                 * ln(CAST(nx AS DOUBLE) / t.tn), 9)
+                 AS DECIMAL(27,18))) AS DOUBLE) AS h FROM mx, t),
+        hy AS (SELECT CAST(sum(CAST(round(
+                 -(CAST(ny AS DOUBLE) / t.tn)
+                 * ln(CAST(ny AS DOUBLE) / t.tn), 9)
+                 AS DECIMAL(27,18))) AS DOUBLE) AS h FROM my, t),
+        mi AS (SELECT CAST(sum(CAST(round(
+                 (CAST(n AS DOUBLE) / t.tn)
+                 * ln((CAST(n AS DOUBLE) * t.tn)
+                      / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE))), 9)
+                 AS DECIMAL(27,18))) AS DOUBLE) AS mi
+               FROM j JOIN mx USING (x) JOIN my USING (y), t)
+        SELECT CAST(t.tn AS BIGINT) AS n, round(mi.mi, 6) AS mi,
+               round(hx.h, 6) AS h_x, round(hy.h, 6) AS h_y,
+               round(CASE WHEN least(hx.h, hy.h) > 0
+                          THEN mi.mi / least(hx.h, hy.h)
+                          ELSE CAST(0.0 AS DOUBLE) END, 6) AS nmi
+        FROM t, mi, hx, hy
+    """
+
     # r5: CUSUM — DECIMAL cumsum of round-6 deviations from the mean.
     sqls["events_cusum"] = """
         WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n
@@ -4633,6 +4760,41 @@ def oracle_sql() -> dict[str, str]:
                FROM states, k),
         {",".join(_mk_iters)}
         SELECT state, round(prob, 6) AS prob FROM v3 ORDER BY state
+    """
+
+    # r5: entropy rate — composition of the stationary π (round-6
+    # output contract) and events_transitions' round-6 P.
+    sqls["events_markov_entropy"] = f"""
+        WITH seq AS (
+          SELECT event_type AS to_type,
+                 lag(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS from_type
+          FROM events
+        ),
+        c AS (SELECT from_type, to_type, count(*) AS n
+              FROM seq WHERE from_type IS NOT NULL GROUP BY 1, 2),
+        tot AS (SELECT from_type, sum(n) AS rt FROM c GROUP BY 1),
+        P AS (SELECT c.from_type, c.to_type,
+                     round(CAST(n AS DOUBLE) / rt, 9) AS p
+              FROM c JOIN tot USING (from_type)),
+        states AS (SELECT DISTINCT event_type AS state FROM events),
+        k AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM states),
+        v0 AS (SELECT state, CAST(1.0 AS DOUBLE) / k.k AS prob
+               FROM states, k),
+        {",".join(_mk_iters)},
+        vf AS (SELECT state, round(prob, 6) AS prob FROM v3),
+        P6 AS (SELECT c.from_type, c.to_type,
+                      round(CAST(n AS DOUBLE) / rt, 6) AS p
+               FROM c JOIN tot USING (from_type)),
+        terms AS (
+          SELECT CAST(round(vf.prob * P6.p * ln(P6.p), 9)
+                      AS DECIMAL(27,18)) AS t
+          FROM P6 JOIN vf ON P6.from_type = vf.state
+        )
+        SELECT (SELECT count(*) FROM vf) AS n_states,
+               round(-CAST(sum(t) AS DOUBLE), 6)
+                 + CAST(0.0 AS DOUBLE) AS entropy_rate
+        FROM terms
     """
 
     # r5: skip-gram PMI.  Pairs canonicalize by binary string order on

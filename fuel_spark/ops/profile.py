@@ -408,3 +408,204 @@ def trend_by_group(
         F.round(intercept, 6).alias("intercept"),
         F.round(r2, 6).alias("r2"),
     )
+
+
+def binary_auc(
+    df: DataFrame, score_col: str, label_col, quantize: int = 4
+) -> DataFrame:
+    """ROC AUC of a score against a binary label by the rank-free
+    histogram method: AUC = P(score_pos > score_neg) + ½P(tie),
+    computed from per-score (pos, neg) counts and a cumulative
+    negative count — the Mann–Whitney U statistic without a
+    corpus-sized rank window.  The classifier-evaluation primitive
+    the quality/lang-id heuristics need to be judged by.
+
+    ``quantize`` rounds scores to that many decimals first, bounding
+    the grid at 10^quantize+1 rows regardless of corpus size (stated
+    tie-coarsening bias, standard for histogram AUC at scale); the
+    cumulative window runs over that bounded grid.  Pair counts
+    accumulate as exact DECIMAL(38,1) (pos·neg products at 100 TB
+    overflow double's 2^53 integer range).
+
+    ``label_col`` may be a column name or a boolean Column
+    expression.  Output: one row — n_pos, n_neg, auc (round 6).
+    """
+    from pyspark.sql import Window as W
+
+    y = (F.col(label_col) if isinstance(label_col, str) else label_col).cast(
+        "int"
+    )
+    b = df.select(
+        F.round(F.col(score_col).cast("double"), int(quantize)).alias("s"),
+        y.alias("y"),
+    )
+    g = b.groupBy("s").agg(
+        F.sum("y").alias("pos"),
+        (F.count(F.lit(1)) - F.sum("y")).alias("neg"),
+    )
+    w = W.orderBy("s")
+    g = g.withColumn(
+        "_cneg",
+        F.coalesce(
+            F.sum("neg").over(w.rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    )
+    # doubled-U keeps everything integral (the ½-tie term would force
+    # a fractional decimal scale): 2U = Σ pos·(2·neg_below + neg_here)
+    contrib = F.col("pos").cast("decimal(38,0)") * (
+        F.lit(2) * F.col("_cneg") + F.col("neg")
+    )
+    tot = g.agg(
+        F.sum("pos").alias("n_pos"),
+        F.sum("neg").alias("n_neg"),
+        F.sum(contrib).alias("_u2"),
+    )
+    return tot.select(
+        F.col("n_pos").cast("bigint").alias("n_pos"),
+        F.col("n_neg").cast("bigint").alias("n_neg"),
+        F.round(
+            F.col("_u2").cast("double")
+            / (
+                F.lit(2.0)
+                * F.col("n_pos").cast("double")
+                * F.col("n_neg").cast("double")
+            ),
+            6,
+        ).alias("auc"),
+    )
+
+
+def cohen_kappa(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Cohen's kappa agreement between two categorical columns
+    (Cohen 1960): observed agreement corrected for the agreement two
+    independent raters with the same marginals would reach by chance —
+    the standard heuristic-vs-ground-truth or annotator-agreement
+    score (plain accuracy flatters degenerate raters).
+
+    One K²-sized confusion rollup; marginals re-aggregate from it, so
+    the corpus is scanned once.  Chance agreement sums round-9
+    products as exact DECIMAL.  Output: one row — n, po, pe, kappa
+    (round 6).
+    """
+    c = df.groupBy(
+        F.col(col_a).alias("a"), F.col(col_b).alias("b")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    c = c.localCheckpoint(eager=False)  # consumed 4x (N, trace, margins)
+    tot = c.agg(F.sum("n").cast("double").alias("_N"))
+    po = (
+        c.where(F.col("a") == F.col("b"))
+        .agg(F.sum("n").alias("_agree"))
+        .select(F.coalesce("_agree", F.lit(0)).alias("_agree"))
+    )
+    ra = c.groupBy("a").agg(F.sum("n").alias("_ra"))
+    cb = c.groupBy("b").agg(F.sum("n").alias("_cb"))
+    pe = (
+        ra.join(cb, ra.a == cb.b)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.round(
+                (F.col("_ra").cast("double") / F.col("_N"))
+                * (F.col("_cb").cast("double") / F.col("_N")),
+                9,
+            )
+            .cast("decimal(27,18)")
+            .alias("_t")
+        )
+        .agg(F.sum("_t").cast("double").alias("_pe"))
+    )
+    out = (
+        tot.crossJoin(F.broadcast(po)).crossJoin(F.broadcast(pe))
+        .select(
+            F.col("_N").cast("bigint").alias("n"),
+            (F.col("_agree").cast("double") / F.col("_N")).alias("_po"),
+            "_pe",
+        )
+    )
+    return out.select(
+        "n",
+        F.round("_po", 6).alias("po"),
+        F.round("_pe", 6).alias("pe"),
+        F.round(
+            (F.col("_po") - F.col("_pe")) / (F.lit(1.0) - F.col("_pe")), 6
+        ).alias("kappa"),
+    )
+
+
+def mutual_information(df: DataFrame, col_x, col_y) -> DataFrame:
+    """Mutual information (nats) between two categorical columns,
+    with both marginal entropies and the min-normalized NMI — the
+    dependence strength behind feature selection and leakage checks
+    (chi-square answers "is there dependence", MI answers "how many
+    bits does one column reveal about the other").
+
+    ``col_x`` / ``col_y`` accept names or Column expressions.  One
+    joint rollup (grid-sized), marginals re-aggregate from it;
+    per-cell terms round to 9 dp and sum as exact DECIMAL, so the
+    result is partition-order-free.  Output: one row — n, mi, h_x,
+    h_y, nmi (round 6).
+    """
+    DECM = "decimal(27,18)"
+    cx = F.col(col_x) if isinstance(col_x, str) else col_x
+    cy = F.col(col_y) if isinstance(col_y, str) else col_y
+    j = df.groupBy(cx.alias("x"), cy.alias("y")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    j = j.localCheckpoint(eager=False)
+    tot = j.agg(F.sum("n").cast("double").alias("_N"))
+    mx = j.groupBy("x").agg(F.sum("n").alias("_nx"))
+    my = j.groupBy("y").agg(F.sum("n").alias("_ny"))
+
+    def _entropy(m, cnt):
+        return (
+            m.crossJoin(F.broadcast(tot))
+            .select(
+                F.round(
+                    -(F.col(cnt).cast("double") / F.col("_N"))
+                    * F.log(F.col(cnt).cast("double") / F.col("_N")),
+                    9,
+                )
+                .cast(DECM)
+                .alias("_t")
+            )
+            .agg(F.sum("_t").cast("double").alias("_h"))
+        )
+
+    hx = _entropy(mx, "_nx")
+    hy = _entropy(my, "_ny")
+    mi = (
+        j.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.round(
+                (F.col("n").cast("double") / F.col("_N"))
+                * F.log(
+                    (F.col("n").cast("double") * F.col("_N"))
+                    / (F.col("_nx").cast("double") * F.col("_ny").cast("double"))
+                ),
+                9,
+            )
+            .cast(DECM)
+            .alias("_t")
+        )
+        .agg(F.sum("_t").cast("double").alias("_mi"))
+    )
+    out = (
+        tot.crossJoin(F.broadcast(mi))
+        .crossJoin(F.broadcast(hx.select(F.col("_h").alias("_hx"))))
+        .crossJoin(F.broadcast(hy.select(F.col("_h").alias("_hy"))))
+    )
+    return out.select(
+        F.col("_N").cast("bigint").alias("n"),
+        F.round("_mi", 6).alias("mi"),
+        F.round("_hx", 6).alias("h_x"),
+        F.round("_hy", 6).alias("h_y"),
+        F.round(
+            F.when(
+                F.least("_hx", "_hy") > 0,
+                F.col("_mi") / F.least("_hx", "_hy"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("nmi"),
+    )

@@ -3392,3 +3392,40 @@ def pricing_model_ols(t: dict[str, DataFrame]) -> DataFrame:
         F.round(b2, 6).alias("b2_discount"),
         F.round(r2, 6).alias("r2"),
     )
+
+
+def events_markov_entropy(
+    t: dict[str, DataFrame], iterations: int = 3
+) -> DataFrame:
+    """Entropy rate of the user event-type Markov chain:
+    H = −Σ_i π_i Σ_j P_ij ln P_ij nats per step — how predictable the
+    next action is given the current one (0 = deterministic journeys,
+    ln|types| = uniform wandering); the single-number summary of the
+    transition structure.
+
+    Pure composition of two pinned ops: π from
+    :func:`events_markov_stationary` (3 power steps) and P from
+    :func:`events_transitions`, both at their round-6 contracts;
+    per-cell terms round to 9 dp and sum as exact DECIMAL.  Both
+    inputs are |types|-sized, so everything after the two chain
+    extractions is trivial.  Output: one row — n_states,
+    entropy_rate (round 6).
+    """
+    pi = events_markov_stationary(t, iterations=iterations)
+    P = events_transitions(t).select("from_type", "to_type", "p")
+    terms = (
+        P.join(F.broadcast(pi), P.from_type == pi.state)
+        .select(
+            F.round(
+                F.col("prob") * F.col("p") * F.log(F.col("p")), 9
+            )
+            .cast("decimal(27,18)")
+            .alias("_t")
+        )
+    )
+    ns = pi.agg(F.count(F.lit(1)).alias("n_states"))
+    h = terms.agg((-F.sum("_t").cast("double")).alias("_h"))
+    return ns.crossJoin(F.broadcast(h)).select(
+        "n_states",
+        (F.round("_h", 6) + F.lit(0.0)).alias("entropy_rate"),
+    )

@@ -795,6 +795,10 @@ SINGLE_PARTITION_ALLOWLIST = {
     "text_heaps_fit", "text_good_turing",
     # HITS: the per-half-step L1 total is a 1-row aggregate
     "graph_hits_fixed",
+    # r5 continued: bounded-grid AUC cumsum + 1-row agreement/MI/
+    # entropy finals
+    "quality_auc", "text_langid_kappa", "events_type_hour_mi",
+    "events_markov_entropy",
 }
 
 
@@ -1394,3 +1398,16 @@ def test_pricing_model_ols_matches_numpy(spark):
     assert abs(r.b1_quantity - b[1]) < 1e-3
     assert abs(r.b2_discount - b[2]) < 1e-3
     assert 0.9 < r.r2 <= 1.0
+
+
+def test_markov_entropy_deterministic_chain_is_zero(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [{"event_id": i, "ts": base + dt.timedelta(minutes=i),
+             "user_id": 1, "event_type": "ab"[i % 2], "value": 1.0,
+             "props": "{}"} for i in range(10)]
+    r = analytics.events_markov_entropy(
+        {"events": from_rows(spark, rows)}).collect()[0]
+    # a->b->a deterministic: every P is 1, ln 1 = 0
+    assert r.n_states == 2 and r.entropy_rate == 0.0

@@ -204,3 +204,55 @@ def test_trend_by_group_exact_line(spark):
            trend_by_group(df, "x", "y", group_col="g").collect()}
     assert out["line"] == (3.0, 7.0, 1.0)
     assert out["flat"] == (None, None, None)
+
+
+def test_binary_auc_known_values(spark):
+    from pyspark.sql import functions as F
+
+    from fuel_spark.ops.profile import binary_auc
+
+    # perfect separation
+    rows = [(0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0)]
+    df = spark.createDataFrame(rows, ["score", "y"])
+    r = binary_auc(df, "score", F.col("y") == 1).collect()[0]
+    assert (r.n_pos, r.n_neg, r.auc) == (2, 2, 1.0)
+    # one inversion among 2x2 pairs -> AUC = 3/4; plus a tie -> 0.5 credit
+    rows2 = [(0.9, 1), (0.3, 1), (0.5, 0), (0.1, 0)]
+    r2 = binary_auc(spark.createDataFrame(rows2, ["score", "y"]),
+                    "score", F.col("y") == 1).collect()[0]
+    assert r2.auc == 0.75
+    rows3 = [(0.5, 1), (0.5, 0)]  # pure tie
+    r3 = binary_auc(spark.createDataFrame(rows3, ["score", "y"]),
+                    "score", F.col("y") == 1).collect()[0]
+    assert r3.auc == 0.5
+
+
+def test_cohen_kappa_extremes(spark):
+    from fuel_spark.ops.profile import cohen_kappa
+
+    perfect = spark.createDataFrame(
+        [("a", "a")] * 5 + [("b", "b")] * 5, ["x", "y"])
+    r = cohen_kappa(perfect, "x", "y").collect()[0]
+    assert r.po == 1.0 and r.kappa == 1.0
+    # independent with uniform marginals: po = 0.5 = pe -> kappa 0
+    indep = spark.createDataFrame(
+        [("a", "a"), ("a", "b"), ("b", "a"), ("b", "b")] * 3, ["x", "y"])
+    r2 = cohen_kappa(indep, "x", "y").collect()[0]
+    assert abs(r2.kappa) < 1e-6
+
+
+def test_mutual_information_extremes(spark):
+    from fuel_spark.ops.profile import mutual_information
+
+    # identical columns: MI == H(X), NMI == 1
+    import math
+    same = spark.createDataFrame(
+        [("a", "a")] * 6 + [("b", "b")] * 2, ["x", "y"])
+    r = mutual_information(same, "x", "y").collect()[0]
+    h = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
+    assert abs(r.mi - h) < 1e-5 and abs(r.nmi - 1.0) < 1e-5
+    # independent: MI ~ 0
+    indep = spark.createDataFrame(
+        [("a", "a"), ("a", "b"), ("b", "a"), ("b", "b")] * 4, ["x", "y"])
+    r2 = mutual_information(indep, "x", "y").collect()[0]
+    assert abs(r2.mi) < 1e-6
