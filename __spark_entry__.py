@@ -917,6 +917,37 @@ def q_edit_distance_pairs(spark, sf):
     return dedup.edit_distance_pairs(d, "doc_id", "text", max_dist=5)
 
 
+def q_lineitem_spearman(spark, sf):
+    """Spearman rank correlation via histogram midranks (r5) — no
+    corpus-sized rank window."""
+    return analytics.lineitem_spearman(_t(spark, sf))
+
+
+def q_weekday_js(spark, sf):
+    """Jensen–Shannon divergence (r5, Lin 1991) between weekday and
+    weekend event-type mixes."""
+    return analytics.events_weekday_js(_t(spark, sf))
+
+
+def q_daily_acf(spark, sf):
+    """Daily-count autocorrelation at calendar lags 1..7 (r5, the
+    Box–Jenkins seasonality diagnostic)."""
+    return analytics.events_daily_acf(_t(spark, sf), max_lag=7)
+
+
+def q_runs_test(spark, sf):
+    """Wald–Wolfowitz runs test (r5) on daily counts, above-mean
+    dichotomy."""
+    return analytics.events_runs_test(_t(spark, sf))
+
+
+def q_daily_gapfill(spark, sf):
+    """Calendar gap-fill with linear interpolation (r5); neighbor
+    lookup via window extremes + grid self-joins (IGNORE NULLS-free,
+    oracle-portable)."""
+    return analytics.events_daily_gapfill(_t(spark, sf))
+
+
 def q_quality_auc(spark, sf):
     """Histogram ROC AUC (r5): does stopword_ratio separate English
     from non-English docs?  Rank-free Mann–Whitney over a bounded
@@ -2534,6 +2565,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid_kappa": q_langid_kappa,
         "events_type_hour_mi": q_type_hour_mi,
         "events_markov_entropy": q_markov_entropy,
+        "lineitem_spearman": q_lineitem_spearman,
+        "events_weekday_js": q_weekday_js,
+        "events_daily_acf": q_daily_acf,
+        "events_runs_test": q_runs_test,
+        "events_daily_gapfill": q_daily_gapfill,
         # ---- rows-only keys (no SQL oracle by design; driver records
         # a weaker rows-only row; full evidence lives in tests/) ------
         "text_bpe_merges": q_bpe_merges,
@@ -4296,6 +4332,191 @@ def oracle_sql() -> dict[str, str]:
                  ' ')), 1, 16) AS span_hash
         FROM spans s JOIN d ON d.doc_id = s.doc_a
     """
+    # r5: Spearman via histogram midranks (grid windows, no corpus
+    # rank window); midranks are exact at 4 dp.
+    sqls["lineitem_spearman"] = """
+        WITH gx AS (SELECT l_quantity AS v, count(*) AS c
+                    FROM lineitem GROUP BY 1),
+        rx AS (SELECT v,
+                 CAST(COALESCE(sum(c) OVER (ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS DOUBLE)
+                 + (CAST(c AS DOUBLE) + CAST(1.0 AS DOUBLE))
+                   / CAST(2.0 AS DOUBLE) AS r
+               FROM gx),
+        gy AS (SELECT l_discount AS v, count(*) AS c
+               FROM lineitem GROUP BY 1),
+        ry AS (SELECT v,
+                 CAST(COALESCE(sum(c) OVER (ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS DOUBLE)
+                 + (CAST(c AS DOUBLE) + CAST(1.0 AS DOUBLE))
+                   / CAST(2.0 AS DOUBLE) AS r
+               FROM gy),
+        j AS (SELECT rx.r AS x, ry.r AS y
+              FROM lineitem l
+              JOIN rx ON rx.v = l.l_quantity
+              JOIN ry ON ry.v = l.l_discount),
+        m AS (SELECT count(*) AS n,
+            CAST(sum(CAST(x AS DECIMAL(38,4))) AS DOUBLE) AS sx,
+            CAST(sum(CAST(y AS DECIMAL(38,4))) AS DOUBLE) AS sy,
+            CAST(sum(CAST(round(x * y, 4) AS DECIMAL(38,4)))
+                 AS DOUBLE) AS sxy,
+            CAST(sum(CAST(round(x * x, 4) AS DECIMAL(38,4)))
+                 AS DOUBLE) AS sxx,
+            CAST(sum(CAST(round(y * y, 4) AS DECIMAL(38,4)))
+                 AS DOUBLE) AS syy
+          FROM j)
+        SELECT n,
+          round((sxy / CAST(n AS DOUBLE)
+                 - (sx / CAST(n AS DOUBLE)) * (sy / CAST(n AS DOUBLE)))
+                / sqrt(greatest(
+                    (sxx / CAST(n AS DOUBLE)
+                     - (sx / CAST(n AS DOUBLE)) * (sx / CAST(n AS DOUBLE)))
+                    * (syy / CAST(n AS DOUBLE)
+                       - (sy / CAST(n AS DOUBLE)) * (sy / CAST(n AS DOUBLE))),
+                    CAST(1e-300 AS DOUBLE))), 6)
+            + CAST(0.0 AS DOUBLE) AS spearman_rho
+        FROM m
+    """
+
+    # r5: Jensen–Shannon weekday-vs-weekend; dayofweek(ts)+1 matches
+    # Spark's Sun=1 convention.
+    sqls["events_weekday_js"] = """
+        WITH g AS (
+          SELECT event_type AS typ,
+                 CASE WHEN (dayofweek(ts) + 1) IN (1, 7)
+                      THEN 1 ELSE 0 END AS we,
+                 count(*) AS n
+          FROM events GROUP BY 1, 2
+        ),
+        p AS (SELECT typ,
+                sum(CASE WHEN we = 0 THEN n ELSE 0 END) AS wd,
+                sum(CASE WHEN we = 1 THEN n ELSE 0 END) AS wee
+              FROM g GROUP BY 1),
+        t AS (SELECT CAST(sum(wd) AS DOUBLE) AS twd,
+                     CAST(sum(wee) AS DOUBLE) AS twe FROM p),
+        j AS (SELECT CAST(wd AS DOUBLE) / t.twd AS p,
+                     CAST(wee AS DOUBLE) / t.twe AS q,
+                     t.twd, t.twe
+              FROM p, t),
+        s AS (SELECT twd, twe,
+                CAST(sum(CAST(round(
+                  (CASE WHEN p > 0 THEN
+                     p * ln(p / ((p + q) / CAST(2.0 AS DOUBLE)))
+                   ELSE CAST(0.0 AS DOUBLE) END
+                   + CASE WHEN q > 0 THEN
+                       q * ln(q / ((p + q) / CAST(2.0 AS DOUBLE)))
+                     ELSE CAST(0.0 AS DOUBLE) END)
+                  / CAST(2.0 AS DOUBLE), 9) AS DECIMAL(27,18)))
+                AS DOUBLE) AS js
+              FROM j GROUP BY 1, 2)
+        SELECT CAST(twd AS BIGINT) AS n_weekday,
+               CAST(twe AS BIGINT) AS n_weekend,
+               round(js, 6) AS js_nats,
+               round(js / ln(CAST(2.0 AS DOUBLE)), 6) AS js_normalized
+        FROM s
+    """
+
+    # r5: daily-count ACF at calendar lags.
+    sqls["events_daily_acf"] = """
+        WITH daily AS (SELECT CAST(ts AS DATE) AS d, count(*) AS n
+                       FROM events GROUP BY 1),
+        st AS (SELECT CAST(sum(n) AS DOUBLE) / count(*) AS mu FROM daily),
+        d0 AS (SELECT d, CAST(n AS DOUBLE) - st.mu AS dev
+               FROM daily, st),
+        den AS (SELECT CAST(sum(CAST(round(dev * dev, 6)
+                                     AS DECIMAL(27,6))) AS DOUBLE) AS v
+                FROM d0),
+        lags AS (SELECT CAST(unnest(generate_series(1, 7)) AS INTEGER)
+                   AS lag),
+        pr AS (SELECT x.lag, x.pdev, b.dev AS bdev
+               FROM (SELECT l.lag AS lag, a.d + l.lag AS d2,
+                            a.dev AS pdev
+                     FROM d0 a CROSS JOIN lags l) x
+               JOIN d0 b ON b.d = x.d2),
+        num AS (SELECT lag, count(*) AS n_pairs,
+                  CAST(sum(CAST(round(pdev * bdev, 6)
+                                AS DECIMAL(27,6))) AS DOUBLE) AS nm
+                FROM pr GROUP BY 1)
+        SELECT lag, n_pairs,
+               round(nm / den.v, 6) + CAST(0.0 AS DOUBLE) AS acf
+        FROM num, den ORDER BY lag
+    """
+
+    # r5: Wald–Wolfowitz runs test, above-mean dichotomy.
+    sqls["events_runs_test"] = """
+        WITH daily AS (SELECT CAST(ts AS DATE) AS d, count(*) AS n
+                       FROM events GROUP BY 1),
+        mu AS (SELECT CAST(sum(n) AS DOUBLE) / count(*) AS mu FROM daily),
+        sg AS (SELECT d, CASE WHEN CAST(n AS DOUBLE) > mu.mu
+                              THEN 1 ELSE 0 END AS s
+               FROM daily, mu),
+        r AS (SELECT count(*) AS n_days,
+                CAST(sum(s) AS BIGINT) AS n_above,
+                CAST(count(*) - sum(s) AS BIGINT) AS n_below,
+                CAST(sum(CASE WHEN prev IS NULL OR s <> prev
+                              THEN 1 ELSE 0 END) AS BIGINT) AS runs
+              FROM (SELECT s, lag(s) OVER (ORDER BY d) AS prev FROM sg))
+        SELECT n_days, n_above, n_below, runs,
+          round((CAST(runs AS DOUBLE)
+                 - (CAST(2.0 AS DOUBLE) * CAST(n_above AS DOUBLE)
+                    * CAST(n_below AS DOUBLE)
+                    / (CAST(n_above AS DOUBLE) + CAST(n_below AS DOUBLE))
+                    + CAST(1.0 AS DOUBLE)))
+                / sqrt(greatest(
+                    (CAST(2.0 AS DOUBLE) * CAST(n_above AS DOUBLE)
+                     * CAST(n_below AS DOUBLE)
+                     * (CAST(2.0 AS DOUBLE) * CAST(n_above AS DOUBLE)
+                        * CAST(n_below AS DOUBLE)
+                        - CAST(n_above AS DOUBLE) - CAST(n_below AS DOUBLE)))
+                    / ((CAST(n_above AS DOUBLE) + CAST(n_below AS DOUBLE))
+                       * (CAST(n_above AS DOUBLE) + CAST(n_below AS DOUBLE))
+                       * (CAST(n_above AS DOUBLE) + CAST(n_below AS DOUBLE)
+                          - CAST(1.0 AS DOUBLE))),
+                    CAST(1e-300 AS DOUBLE))), 6)
+            + CAST(0.0 AS DOUBLE) AS z
+        FROM r
+    """
+
+    # r5: calendar gap-fill; neighbor lookup via window extremes over
+    # day numbers + grid self-joins (portable, no IGNORE NULLS).
+    sqls["events_daily_gapfill"] = """
+        WITH daily AS (SELECT CAST(ts AS DATE) AS d, count(*) AS n
+                       FROM events GROUP BY 1),
+        b AS (SELECT min(d) AS lo, max(d) AS hi FROM daily),
+        grid AS (SELECT CAST(unnest(generate_series(
+                   CAST(lo AS TIMESTAMP), CAST(hi AS TIMESTAMP),
+                   INTERVAL 1 DAY)) AS DATE) AS d FROM b),
+        g AS (SELECT date_diff('day', b.lo, grid.d) AS dn, grid.d,
+                     daily.n
+              FROM grid CROSS JOIN b
+              LEFT JOIN daily ON daily.d = grid.d),
+        g2 AS (SELECT *,
+                 max(CASE WHEN n IS NOT NULL THEN dn END) OVER (
+                   ORDER BY dn ROWS UNBOUNDED PRECEDING) AS pd,
+                 min(CASE WHEN n IS NOT NULL THEN dn END) OVER (
+                   ORDER BY dn ROWS BETWEEN CURRENT ROW
+                   AND UNBOUNDED FOLLOWING) AS nd2
+               FROM g),
+        vals AS (SELECT dn AS vd, n AS vn FROM g WHERE n IS NOT NULL),
+        g3 AS (SELECT g2.*, pv.vn AS pv, nv.vn AS nv
+               FROM g2
+               LEFT JOIN vals pv ON pv.vd = g2.pd
+               LEFT JOIN vals nv ON nv.vd = g2.nd2)
+        SELECT strftime(d, '%Y-%m-%d') AS day, n,
+          round(CASE WHEN n IS NOT NULL THEN CAST(n AS DOUBLE)
+                     WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                       CAST(pv AS DOUBLE)
+                       + (CAST(nv AS DOUBLE) - CAST(pv AS DOUBLE))
+                         * CAST(dn - pd AS DOUBLE)
+                         / CAST(nd2 - pd AS DOUBLE)
+                     WHEN pv IS NOT NULL THEN CAST(pv AS DOUBLE)
+                     ELSE CAST(nv AS DOUBLE) END, 6) AS filled,
+          n IS NOT NULL AS is_observed
+        FROM g3 ORDER BY day
+    """
+
     # r5: histogram AUC — doubled Mann–Whitney U over a 4-dp score
     # grid, DECIMAL(38,0)-exact pair counts.
     _en_sw = "[" + ",".join(f"'{x}'" for x in STOPWORDS["en"]) + "]"

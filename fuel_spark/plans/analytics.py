@@ -3429,3 +3429,313 @@ def events_markov_entropy(
         "n_states",
         (F.round("_h", 6) + F.lit(0.0)).alias("entropy_rate"),
     )
+
+
+def lineitem_spearman(
+    t: dict[str, DataFrame],
+    x_col: str = "l_quantity",
+    y_col: str = "l_discount",
+) -> DataFrame:
+    """Spearman rank correlation via HISTOGRAM MIDRANKS: both columns
+    take few distinct values, so average ranks come from per-value
+    counts and a cumulative window over the value grid — never the
+    corpus-sized global rank window the textbook formulation plans
+    (the same scale move as the histogram AUC).  Monotone-dependence
+    detection where Pearson under-reads curvature.
+
+    Two grid-sized midrank maps broadcast back onto one corpus scan;
+    Pearson of the midranks from DECIMAL-exact moments.  Midranks can
+    reach corpus scale, so moment products round to 4 dp before the
+    DECIMAL cast (scale headroom: rank² at 10^12 rows needs 24 integer
+    digits; DECIMAL(38,4) holds 34).  Output: n, spearman_rho
+    (round 6).
+    """
+    from pyspark.sql import Window as W
+
+    l = t["lineitem"]
+
+    def _midranks(col):
+        g = l.groupBy(F.col(col).alias("v")).agg(
+            F.count(F.lit(1)).alias("_n")
+        )
+        w = W.orderBy("v")
+        return g.select(
+            "v",
+            (
+                F.coalesce(
+                    F.sum("_n").over(w.rowsBetween(W.unboundedPreceding, -1)),
+                    F.lit(0),
+                ).cast("double")
+                + (F.col("_n").cast("double") + F.lit(1.0)) / F.lit(2.0)
+            ).alias("_r"),
+        )
+    rx = _midranks(x_col).withColumnRenamed("v", "_vx").withColumnRenamed("_r", "_rx")
+    ry = _midranks(y_col).withColumnRenamed("v", "_vy").withColumnRenamed("_r", "_ry")
+    ranked = (
+        l.select(F.col(x_col).alias("_vx"), F.col(y_col).alias("_vy"))
+        .join(F.broadcast(rx), "_vx")
+        .join(F.broadcast(ry), "_vy")
+    )
+    DECR = "decimal(38,4)"
+    x = F.col("_rx")
+    y = F.col("_ry")
+    m = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x.cast(DECR)).cast("double").alias("_sx"),
+        F.sum(y.cast(DECR)).cast("double").alias("_sy"),
+        F.sum(F.round(x * y, 4).cast(DECR)).cast("double").alias("_sxy"),
+        F.sum(F.round(x * x, 4).cast(DECR)).cast("double").alias("_sxx"),
+        F.sum(F.round(y * y, 4).cast(DECR)).cast("double").alias("_syy"),
+    )
+    n = F.col("n").cast("double")
+    cov = F.col("_sxy") / n - (F.col("_sx") / n) * (F.col("_sy") / n)
+    vx = F.col("_sxx") / n - (F.col("_sx") / n) * (F.col("_sx") / n)
+    vy = F.col("_syy") / n - (F.col("_sy") / n) * (F.col("_sy") / n)
+    return m.select(
+        "n",
+        (
+            F.round(cov / F.sqrt(F.greatest(vx * vy, F.lit(1e-300))), 6)
+            + F.lit(0.0)
+        ).alias("spearman_rho"),
+    )
+
+
+def events_weekday_js(t: dict[str, DataFrame]) -> DataFrame:
+    """Jensen–Shannon divergence between the weekday and weekend
+    event-type mixes (Lin 1991): the symmetric, bounded (≤ ln 2)
+    answer to "does weekend behavior differ", robust where one-sided
+    KL blows up on missing types.
+
+    One scan to a 2×|types| grid; JS terms (zero-count sides
+    contribute 0 by the 0·ln 0 convention) round to 9 dp and sum as
+    exact DECIMAL.  Output: one row — n_weekday, n_weekend, js_nats,
+    js_normalized (js/ln 2, round 6).
+    """
+    e = t["events"]
+    wk = F.dayofweek("ts").isin(1, 7)  # Sun=1, Sat=7
+    g = e.groupBy(
+        F.col("event_type").alias("typ"), wk.alias("_is_we")
+    ).agg(F.count(F.lit(1)).alias("_n"))
+    pivot = g.groupBy("typ").agg(
+        F.sum(F.when(~F.col("_is_we"), F.col("_n")).otherwise(0)).alias("_wd"),
+        F.sum(F.when(F.col("_is_we"), F.col("_n")).otherwise(0)).alias("_we"),
+    )
+    tot = pivot.agg(
+        F.sum("_wd").cast("double").alias("_twd"),
+        F.sum("_we").cast("double").alias("_twe"),
+    )
+    j = pivot.crossJoin(F.broadcast(tot)).select(
+        (F.col("_wd").cast("double") / F.col("_twd")).alias("p"),
+        (F.col("_we").cast("double") / F.col("_twe")).alias("q"),
+        "_twd",
+        "_twe",
+    )
+    mm = (F.col("p") + F.col("q")) / F.lit(2.0)
+    term = (
+        F.when(F.col("p") > 0, F.col("p") * F.log(F.col("p") / mm)).otherwise(F.lit(0.0))
+        + F.when(F.col("q") > 0, F.col("q") * F.log(F.col("q") / mm)).otherwise(F.lit(0.0))
+    ) / F.lit(2.0)
+    out = j.select(
+        F.col("_twd"),
+        F.col("_twe"),
+        F.round(term, 9).cast("decimal(27,18)").alias("_t"),
+    ).groupBy("_twd", "_twe").agg(F.sum("_t").cast("double").alias("_js"))
+    import math
+
+    return out.select(
+        F.col("_twd").cast("bigint").alias("n_weekday"),
+        F.col("_twe").cast("bigint").alias("n_weekend"),
+        F.round("_js", 6).alias("js_nats"),
+        F.round(F.col("_js") / F.lit(math.log(2.0)), 6).alias("js_normalized"),
+    )
+
+
+def events_daily_acf(
+    t: dict[str, DataFrame], max_lag: int = 7
+) -> DataFrame:
+    """Autocorrelation function of the daily event-count series at
+    calendar lags 1..``max_lag`` (Box & Jenkins): the weekly-rhythm /
+    trend diagnostic that decides differencing and seasonality terms
+    before any forecast.
+
+    One scan to the day grid; each lag is a broadcast self-join of
+    the grid on day−k (CALENDAR lag — a missing day yields no pair,
+    stated, rather than silently pairing non-adjacent rows); products
+    round to 6 dp and sum as exact DECIMAL, normalized by the
+    full-series variance (the standard ACF denominator).
+
+    Output: lag, n_pairs, acf (round 6), ordered by lag.
+    """
+    e = t["events"]
+    daily = e.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    stats = daily.agg(
+        (F.sum("n").cast("double") / F.count(F.lit(1))).alias("_mu"),
+        F.count(F.lit(1)).alias("_nd"),
+    )
+    d0 = daily.crossJoin(F.broadcast(stats)).select(
+        "d", (F.col("n").cast("double") - F.col("_mu")).alias("_dev"), "_nd"
+    ).localCheckpoint(eager=False)
+    denom = d0.select(
+        F.round(F.col("_dev") * F.col("_dev"), 6)
+        .cast("decimal(27,6)")
+        .alias("_t")
+    ).agg(F.sum("_t").cast("double").alias("_var"))
+    lags = d0.sparkSession.range(1, int(max_lag) + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    pairs = (
+        d0.crossJoin(F.broadcast(lags))
+        .select("lag", F.date_add("d", F.col("lag")).alias("d"), F.col("_dev").alias("_prev"))
+        .join(d0.select("d", "_dev"), "d")
+    )
+    num = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(
+            F.round(F.col("_prev") * F.col("_dev"), 6).cast("decimal(27,6)")
+        ).cast("double").alias("_num"),
+    )
+    return (
+        num.crossJoin(F.broadcast(denom))
+        .select(
+            "lag",
+            "n_pairs",
+            (F.round(F.col("_num") / F.col("_var"), 6) + F.lit(0.0)).alias("acf"),
+        )
+        .orderBy("lag")
+    )
+
+
+def events_runs_test(t: dict[str, DataFrame]) -> DataFrame:
+    """Wald–Wolfowitz runs test on the daily event-count series,
+    dichotomized ABOVE-MEAN vs NOT (the equals-dropped classic
+    variant needs an exact median; above/below the mean is the
+    engine-portable dichotomy, stated): too few runs = trending /
+    regime-driven, too many = oscillating, z ≈ 0 = serially random.
+
+    Day-grid-sized throughout: one lag window counts sign changes;
+    the z-statistic uses the exact integer run/count moments (sqrt is
+    IEEE-correctly-rounded, so it stays in the float contract).
+
+    Output: one row — n_days, n_above, n_below, runs, z (round 6).
+    """
+    from pyspark.sql import Window as W
+
+    e = t["events"]
+    daily = e.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    mu = daily.agg(
+        (F.sum("n").cast("double") / F.count(F.lit(1))).alias("_mu")
+    )
+    s = daily.crossJoin(F.broadcast(mu)).select(
+        "d", (F.col("n").cast("double") > F.col("_mu")).cast("int").alias("_s")
+    )
+    w = W.orderBy("d")
+    runs = s.withColumn("_prev", F.lag("_s").over(w)).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("_s").alias("n_above"),
+        (F.count(F.lit(1)) - F.sum("_s")).alias("n_below"),
+        (
+            F.sum(
+                F.when(
+                    F.col("_prev").isNull() | (F.col("_s") != F.col("_prev")),
+                    1,
+                ).otherwise(0)
+            )
+        ).alias("runs"),
+    )
+    n1 = F.col("n_above").cast("double")
+    n2 = F.col("n_below").cast("double")
+    nn = n1 + n2
+    mu_r = F.lit(2.0) * n1 * n2 / nn + F.lit(1.0)
+    var_r = (
+        F.lit(2.0) * n1 * n2 * (F.lit(2.0) * n1 * n2 - n1 - n2)
+    ) / (nn * nn * (nn - F.lit(1.0)))
+    z = (F.col("runs").cast("double") - mu_r) / F.sqrt(
+        F.greatest(var_r, F.lit(1e-300))
+    )
+    return runs.select(
+        "n_days", "n_above", "n_below", "runs",
+        (F.round(z, 6) + F.lit(0.0)).alias("z"),
+    )
+
+
+def events_daily_gapfill(t: dict[str, DataFrame]) -> DataFrame:
+    """Calendar gap-filling with linear interpolation: materialize
+    every day between the series' min and max, and fill absent days
+    by interpolating between the nearest observed neighbors (edges
+    clamp to the nearest observation) — the prerequisite for any
+    lag/rolling computation that assumes a dense time axis.
+
+    Day-grid-sized throughout; neighbor lookup avoids IGNORE NULLS
+    (not portable to the oracle dialect) via two window extremes over
+    observed day NUMBERS plus grid self-joins to fetch their values.
+
+    Output: day (string), n (observed or NULL), filled (round 6),
+    is_observed — ordered by day.
+    """
+    from pyspark.sql import Window as W
+
+    e = t["events"]
+    daily = e.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    bounds = daily.agg(F.min("d").alias("_lo"), F.max("d").alias("_hi"))
+    grid = bounds.select(
+        F.explode(F.expr("sequence(_lo, _hi, interval 1 day)")).alias("d")
+    )
+    g = (
+        grid.join(daily, "d", "left")
+        .crossJoin(F.broadcast(bounds))
+        .select(F.datediff("d", "_lo").alias("_dn"), "d", "n")
+    )
+    w = W.orderBy("_dn")
+    g = (
+        g.withColumn(
+            "_pd",
+            F.max(F.when(F.col("n").isNotNull(), F.col("_dn"))).over(
+                w.rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+        )
+        .withColumn(
+            "_nd",
+            F.min(F.when(F.col("n").isNotNull(), F.col("_dn"))).over(
+                w.rowsBetween(W.currentRow, W.unboundedFollowing)
+            ),
+        )
+    )
+    vals = g.where(F.col("n").isNotNull()).select(
+        F.col("_dn").alias("_vd"), F.col("n").alias("_vn")
+    )
+    g = (
+        g.join(
+            F.broadcast(vals.withColumnRenamed("_vd", "_pd").withColumnRenamed("_vn", "_pv")),
+            "_pd",
+            "left",
+        )
+        .join(
+            F.broadcast(vals.withColumnRenamed("_vd", "_nd").withColumnRenamed("_vn", "_nv")),
+            "_nd",
+            "left",
+        )
+    )
+    filled = (
+        F.when(F.col("n").isNotNull(), F.col("n").cast("double"))
+        .when(
+            F.col("_pv").isNotNull() & F.col("_nv").isNotNull(),
+            F.col("_pv").cast("double")
+            + (F.col("_nv").cast("double") - F.col("_pv").cast("double"))
+            * (F.col("_dn") - F.col("_pd")).cast("double")
+            / (F.col("_nd") - F.col("_pd")).cast("double"),
+        )
+        .when(F.col("_pv").isNotNull(), F.col("_pv").cast("double"))
+        .otherwise(F.col("_nv").cast("double"))
+    )
+    return g.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "n",
+        F.round(filled, 6).alias("filled"),
+        F.col("n").isNotNull().alias("is_observed"),
+    ).orderBy("day")

@@ -799,6 +799,10 @@ SINGLE_PARTITION_ALLOWLIST = {
     # entropy finals
     "quality_auc", "text_langid_kappa", "events_type_hour_mi",
     "events_markov_entropy",
+    # r5 continued: value-grid midrank windows + 1-row moments
+    # (spearman), 2×|types| JS rollup, day-grid ACF/runs/gap-fill
+    "lineitem_spearman", "events_weekday_js", "events_daily_acf",
+    "events_runs_test", "events_daily_gapfill",
 }
 
 
@@ -1411,3 +1415,92 @@ def test_markov_entropy_deterministic_chain_is_zero(spark):
         {"events": from_rows(spark, rows)}).collect()[0]
     # a->b->a deterministic: every P is 1, ln 1 = 0
     assert r.n_states == 2 and r.entropy_rate == 0.0
+
+
+def _evd(day, uid=1, n=1, typ="a"):
+    import datetime as dt
+
+    return [{"event_id": day * 1000 + j + uid * 100000,
+             "ts": dt.datetime(2024, 1, day, 8),
+             "user_id": uid, "event_type": typ, "value": 1.0,
+             "props": "{}"} for j in range(n)]
+
+
+def test_spearman_monotone_and_ties(spark):
+    # y = x^3 (monotone, nonlinear): Spearman must be exactly 1
+    rows = [(float(x), float(x ** 3), 1.0) for x in range(1, 11)]
+    df = from_rows(
+        spark, rows,
+        schema="l_quantity double, l_discount double, l_extendedprice double",
+    )
+    r = analytics.lineitem_spearman({"lineitem": df}).collect()[0]
+    assert r.spearman_rho == 1.0
+    rows2 = [(float(x), float(-x), 1.0) for x in range(1, 11)]
+    df2 = from_rows(
+        spark, rows2,
+        schema="l_quantity double, l_discount double, l_extendedprice double",
+    )
+    assert analytics.lineitem_spearman(
+        {"lineitem": df2}).collect()[0].spearman_rho == -1.0
+
+
+def test_weekday_js_extremes(spark):
+    # identical mixes on both sides -> JS 0
+    rows = []
+    for day in (1, 6):  # Mon Jan 1 2024, Sat Jan 6
+        for typ in ("a", "b"):
+            rows += [dict(r, event_type=typ) for r in _evd(day, n=5)]
+    out = analytics.events_weekday_js(
+        {"events": from_rows(spark, rows)}).collect()[0]
+    assert out.js_nats == 0.0
+    # disjoint mixes -> ln 2 (normalized 1)
+    rows2 = [dict(r, event_type="wk") for r in _evd(1, n=10)] + [
+        dict(r, event_type="we") for r in _evd(6, n=10)]
+    out2 = analytics.events_weekday_js(
+        {"events": from_rows(spark, rows2)}).collect()[0]
+    assert abs(out2.js_normalized - 1.0) < 1e-5
+
+
+def test_daily_acf_period_two(spark):
+    # alternating 2, 10, 2, 10 ... -> acf(1) ~ -1, acf(2) ~ +1
+    rows = []
+    for day in range(1, 13):
+        rows += _evd(day, n=(2 if day % 2 else 10))
+    out = {r.lag: r.acf for r in analytics.events_daily_acf(
+        {"events": from_rows(spark, rows)}, max_lag=3).collect()}
+    # full-variance denominator: |acf(k)| <= (N-k)/N, so the exact
+    # values are -11/12 and +10/12
+    assert abs(out[1] - (-11 / 12)) < 1e-4
+    assert abs(out[2] - (10 / 12)) < 1e-4
+
+
+def test_runs_test_extremes(spark):
+    # alternating above/below -> maximal runs -> z > 0
+    rows = []
+    for day in range(1, 13):
+        rows += _evd(day, n=(2 if day % 2 else 10))
+    r = analytics.events_runs_test(
+        {"events": from_rows(spark, rows)}).collect()[0]
+    assert r.runs == 12 and r.z > 2.0
+    # block structure: all lows then all highs -> 2 runs -> z < 0
+    rows2 = []
+    for day in range(1, 13):
+        rows2 += _evd(day, n=(2 if day <= 6 else 10))
+    r2 = analytics.events_runs_test(
+        {"events": from_rows(spark, rows2)}).collect()[0]
+    assert r2.runs == 2 and r2.z < -2.0
+
+
+def test_daily_gapfill_interpolation(spark):
+    # days 1 (n=10), 4 (n=4), 6 (n=8): gaps at 2,3 interpolate
+    # 10->4 (8, 6); day 5 interpolates 4->8 (6)
+    rows = _evd(1, n=10) + _evd(4, n=4) + _evd(6, n=8)
+    out = {r.day: (r.n, r.filled, r.is_observed)
+           for r in analytics.events_daily_gapfill(
+               {"events": from_rows(spark, rows)}).collect()}
+    assert len(out) == 6
+    assert out["2024-01-01"] == (10, 10.0, True)
+    assert out["2024-01-02"][1] == 8.0 and not out["2024-01-02"][2]
+    assert out["2024-01-03"][1] == 6.0
+    assert out["2024-01-05"][1] == 6.0
+    assert out["2024-01-06"] == (8, 8.0, True)
