@@ -917,6 +917,27 @@ def q_edit_distance_pairs(spark, sf):
     return dedup.edit_distance_pairs(d, "doc_id", "text", max_dist=5)
 
 
+def q_bigram_llr(spark, sf):
+    """Dunning log-likelihood collocations (r5): G² over each
+    adjacent bigram's 2×2 table — calibrated where PMI over-rewards
+    rare pairs."""
+    d = _t(spark, sf)["documents"]
+    return text_ops.bigram_llr(d, "text", min_count=5)
+
+
+def q_diversity_profile(spark, sf):
+    """Hill-number diversity profile per source (r5): richness,
+    exp-Shannon, inverse-Simpson."""
+    d = _t(spark, sf)["documents"]
+    return text_ops.diversity_profile(d, "source", "text")
+
+
+def q_mann_kendall(spark, sf):
+    """Mann–Kendall nonparametric trend test (r5) on daily counts,
+    tie-corrected variance, continuity-corrected z."""
+    return analytics.events_mann_kendall(_t(spark, sf))
+
+
 def q_lineitem_spearman(spark, sf):
     """Spearman rank correlation via histogram midranks (r5) — no
     corpus-sized rank window."""
@@ -2452,10 +2473,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``dedup_minhash_calibration``) followed by the first 21 r4-new
     oracle keys (``events_attribution_linear`` …
     ``events_diff_in_diff``).  All 50 are local-pass under
-    ``tools/check_correctness.py``.  The remaining 13 r4-new oracle
-    keys plus the r5-new additions are staged immediately after as the
-    ROUND-6 window — once r6 greens those, every oracle-checked query
-    in the registry has a cumulative driver-green row.  Rows-only keys sit past them (a
+    ``tools/check_correctness.py``.  The ROUND-6 staging block sits
+    immediately after: 53 never-driver-checked oracle keys (verified
+    against CORRECTNESS_r01–r04) — the 13 remaining r4-new keys + the
+    40 r5-new additions, ``text_strip_html`` …
+    ``events_mann_kendall``.  Round 6 moves the first 50 of them to
+    the front (pure move-to-front); the 3 newest seed the r7 window.
+    Rows-only keys sit past them (a
     driver rows-only row is weaker than their pytest evidence).  Keys
     past that all have driver-green rows from r1-r4 and stay covered
     by ``tools/check_correctness.py`` locally every session.
@@ -2567,6 +2591,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_markov_entropy": q_markov_entropy,
         "lineitem_spearman": q_lineitem_spearman,
         "events_weekday_js": q_weekday_js,
+        "text_bigram_llr": q_bigram_llr,
+        "corpus_diversity_profile": q_diversity_profile,
+        "events_mann_kendall": q_mann_kendall,
         "events_daily_acf": q_daily_acf,
         "events_runs_test": q_runs_test,
         "events_daily_gapfill": q_daily_gapfill,
@@ -4332,6 +4359,114 @@ def oracle_sql() -> dict[str, str]:
                  ' ')), 1, 16) AS span_hash
         FROM spans s JOIN d ON d.doc_id = s.doc_a
     """
+    # r5: Dunning G² collocations — ordered adjacent bigrams, margins
+    # from the bigram table, row-wise G² in one double chain.
+    sqls["text_bigram_llr"] = f"""
+        WITH d AS (SELECT {w} AS ws FROM documents
+                   WHERE length({_norm_sql('text')}) >= 1),
+        bi AS (
+          SELECT ws[p] AS w1, ws[p + 1] AS w2, count(*) AS n11
+          FROM (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS p
+                FROM d)
+          GROUP BY 1, 2
+        ),
+        m1 AS (SELECT w1, sum(n11) AS c1 FROM bi GROUP BY 1),
+        m2 AS (SELECT w2, sum(n11) AS c2 FROM bi GROUP BY 1),
+        t AS (SELECT CAST(sum(n11) AS DOUBLE) AS bn FROM bi),
+        j AS (SELECT bi.w1, bi.w2, bi.n11,
+                     CAST(c1 AS DOUBLE) AS c1, CAST(c2 AS DOUBLE) AS c2,
+                     t.bn
+              FROM bi JOIN m1 USING (w1) JOIN m2 USING (w2), t
+              WHERE bi.n11 >= 5),
+        k AS (SELECT w1, w2, n11, c1, c2, bn,
+                     CAST(n11 AS DOUBLE) AS k11,
+                     c1 - CAST(n11 AS DOUBLE) AS k12,
+                     c2 - CAST(n11 AS DOUBLE) AS k21,
+                     bn - CAST(n11 AS DOUBLE)
+                        - (c1 - CAST(n11 AS DOUBLE))
+                        - (c2 - CAST(n11 AS DOUBLE)) AS k22,
+                     bn - c1 AS r2c, bn - c2 AS q2c
+              FROM j)
+        SELECT w1, w2, n11,
+          round(CAST(2.0 AS DOUBLE) * (
+            (CASE WHEN k11 > 0 THEN k11 * ln(k11 / (c1 * c2 / bn))
+                  ELSE CAST(0.0 AS DOUBLE) END)
+            + (CASE WHEN k12 > 0 THEN k12 * ln(k12 / (c1 * q2c / bn))
+                    ELSE CAST(0.0 AS DOUBLE) END)
+            + (CASE WHEN k21 > 0 THEN k21 * ln(k21 / (r2c * c2 / bn))
+                    ELSE CAST(0.0 AS DOUBLE) END)
+            + (CASE WHEN k22 > 0 THEN k22 * ln(k22 / (r2c * q2c / bn))
+                    ELSE CAST(0.0 AS DOUBLE) END)), 6)
+            + CAST(0.0 AS DOUBLE) AS llr
+        FROM k
+    """
+
+    # r5: Hill-number diversity per source.
+    sqls["corpus_diversity_profile"] = f"""
+        WITH tok AS (
+          SELECT source AS g, unnest({w}) AS w FROM documents
+          WHERE length({_norm_sql('text')}) >= 1
+        ),
+        wc AS (SELECT g, w, count(*) AS c FROM tok GROUP BY 1, 2),
+        gt AS (SELECT g, CAST(sum(c) AS DOUBLE) AS tt FROM wc GROUP BY 1),
+        terms AS (
+          SELECT wc.g, gt.tt,
+            CAST(round(-(CAST(c AS DOUBLE) / gt.tt)
+                       * ln(CAST(c AS DOUBLE) / gt.tt), 9)
+                 AS DECIMAL(27,18)) AS h,
+            CAST(round((CAST(c AS DOUBLE) / gt.tt)
+                       * (CAST(c AS DOUBLE) / gt.tt), 9)
+                 AS DECIMAL(27,18)) AS s2
+          FROM wc JOIN gt USING (g)
+        ),
+        o AS (SELECT g, tt, count(*) AS hill0,
+                     CAST(sum(h) AS DOUBLE) AS hh,
+                     CAST(sum(s2) AS DOUBLE) AS ss
+              FROM terms GROUP BY 1, 2)
+        SELECT g AS source, CAST(tt AS BIGINT) AS n_tokens, hill0,
+               round(exp(hh), 6) AS hill1,
+               round(CAST(1.0 AS DOUBLE) / ss, 6) AS hill2
+        FROM o ORDER BY source
+    """
+
+    # r5: Mann–Kendall — exact integer S and tie moments, IEEE sqrt z.
+    sqls["events_mann_kendall"] = """
+        WITH daily AS (SELECT CAST(ts AS DATE) AS d, count(*) AS n
+                       FROM events GROUP BY 1),
+        s AS (SELECT CAST(sum(CASE WHEN b.n > a.n THEN 1
+                                   WHEN b.n < a.n THEN -1
+                                   ELSE 0 END) AS BIGINT) AS s_stat
+              FROM daily a JOIN daily b ON a.d < b.d),
+        nd AS (SELECT count(*) AS n_days FROM daily),
+        ties AS (SELECT CAST(COALESCE(sum(t * (t - 1) * (2 * t + 5)), 0)
+                             AS BIGINT) AS tie_sum
+                 FROM (SELECT count(*) AS t FROM daily GROUP BY n)
+                 WHERE t > 1)
+        SELECT n_days, s_stat,
+          round(CASE
+            WHEN s_stat > 0 THEN
+              (CAST(s_stat AS DOUBLE) - CAST(1.0 AS DOUBLE))
+              / sqrt(greatest(
+                  (CAST(n_days AS DOUBLE)
+                   * (CAST(n_days AS DOUBLE) - CAST(1.0 AS DOUBLE))
+                   * (CAST(2.0 AS DOUBLE) * CAST(n_days AS DOUBLE)
+                      + CAST(5.0 AS DOUBLE))
+                   - CAST(tie_sum AS DOUBLE)) / CAST(18.0 AS DOUBLE),
+                  CAST(1e-300 AS DOUBLE)))
+            WHEN s_stat < 0 THEN
+              (CAST(s_stat AS DOUBLE) + CAST(1.0 AS DOUBLE))
+              / sqrt(greatest(
+                  (CAST(n_days AS DOUBLE)
+                   * (CAST(n_days AS DOUBLE) - CAST(1.0 AS DOUBLE))
+                   * (CAST(2.0 AS DOUBLE) * CAST(n_days AS DOUBLE)
+                      + CAST(5.0 AS DOUBLE))
+                   - CAST(tie_sum AS DOUBLE)) / CAST(18.0 AS DOUBLE),
+                  CAST(1e-300 AS DOUBLE)))
+            ELSE CAST(0.0 AS DOUBLE) END, 6)
+            + CAST(0.0 AS DOUBLE) AS z
+        FROM nd, s, ties
+    """
+
     # r5: Spearman via histogram midranks (grid windows, no corpus
     # rank window); midranks are exact at 4 dp.
     sqls["lineitem_spearman"] = """

@@ -2503,3 +2503,120 @@ def good_turing_counts(
         )
         .orderBy("r")
     )
+
+
+def bigram_llr(
+    df: DataFrame, text_col: str, min_count: int = 5
+) -> DataFrame:
+    """Collocation significance by log-likelihood ratio (Dunning
+    1993): G² = 2·Σ O·ln(O/E) over each adjacent bigram's 2×2
+    contingency table — the collocation test that stays calibrated on
+    sparse counts where PMI over-rewards rare pairs (the reason
+    Dunning wrote the paper).
+
+    ORDERED adjacent bigrams (w1 followed by w2), one per-doc array
+    transform (no token self-join); margins re-aggregate from the
+    bigram table, so everything after the one corpus pass is
+    vocab-bounded.  The G² expression evaluates row-wise in one
+    identically-parenthesized double chain (0·ln 0 terms guarded to
+    0), rounded to 6 dp.
+
+    Output: w1, w2, n11 (bigram count ≥ min_count), llr.
+    """
+    base = (
+        df.select(norm_text(F.col(text_col)).alias("_t"))
+        .where(F.length("_t") >= 1)
+        .select(F.split("_t", " ").alias("_w"))
+    )
+    pair_expr = (
+        "transform(filter(sequence(1, greatest(size(_w) - 1, 1)),"
+        " i -> i <= size(_w) - 1),"
+        " i -> struct(element_at(_w, i) AS w1,"
+        " element_at(_w, i + 1) AS w2))"
+    )
+    bi = (
+        base.select(F.explode(F.expr(pair_expr)).alias("_p"))
+        .select("_p.w1", "_p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n11"))
+    )
+    bi = bi.localCheckpoint(eager=False)  # margins + totals + output
+    m1 = bi.groupBy("w1").agg(F.sum("n11").alias("_c1"))
+    m2 = bi.groupBy("w2").agg(F.sum("n11").alias("_c2"))
+    tot = bi.agg(F.sum("n11").cast("double").alias("_N"))
+    j = (
+        bi.where(F.col("n11") >= int(min_count))
+        .join(F.broadcast(m1), "w1")
+        .join(F.broadcast(m2), "w2")
+        .crossJoin(F.broadcast(tot))
+    )
+    k11 = F.col("n11").cast("double")
+    k12 = F.col("_c1").cast("double") - k11
+    k21 = F.col("_c2").cast("double") - k11
+    k22 = F.col("_N") - k11 - k12 - k21
+    c1 = F.col("_c1").cast("double")
+    c2 = F.col("_c2").cast("double")
+    r2c = F.col("_N") - c1
+    q2c = F.col("_N") - c2
+
+    def _term(o, e):
+        return F.when(o > 0, o * F.log(o / e)).otherwise(F.lit(0.0))
+
+    nn = F.col("_N")
+    llr = F.lit(2.0) * (
+        _term(k11, c1 * c2 / nn)
+        + _term(k12, c1 * q2c / nn)
+        + _term(k21, r2c * c2 / nn)
+        + _term(k22, r2c * q2c / nn)
+    )
+    return j.select("w1", "w2", "n11", (F.round(llr, 6) + F.lit(0.0)).alias("llr"))
+
+
+def diversity_profile(
+    df: DataFrame, group_col: str, text_col: str
+) -> DataFrame:
+    """Hill-number diversity profile per group (Hill 1973): effective
+    vocabulary sizes at q=0 (richness), q=1 (exp Shannon) and q=2
+    (inverse Simpson) — the ecology-standard triple that separates
+    "many rare types" from "evenly used types", here the per-source
+    lexical-diversity dashboard (a source whose hill2 ≪ hill0 is
+    template-dominated).
+
+    One (group, word) rollup; entropy/Simpson terms round to 9 dp and
+    sum as exact DECIMAL per group.  Output: one row per group —
+    n_tokens, hill0, hill1 (round 6), hill2 (round 6).
+    """
+    DECD = "decimal(27,18)"
+    tok = (
+        df.select(F.col(group_col).alias("g"), norm_text(F.col(text_col)).alias("_t"))
+        .where(F.length("_t") >= 1)
+        .select("g", F.explode(F.split("_t", " ")).alias("w"))
+    )
+    wc = tok.groupBy("g", "w").agg(F.count(F.lit(1)).alias("_c"))
+    gt = wc.groupBy("g").agg(F.sum("_c").cast("double").alias("_T"))
+    terms = wc.join(F.broadcast(gt), "g").select(
+        "g",
+        "_T",
+        F.round(
+            -(F.col("_c").cast("double") / F.col("_T"))
+            * F.log(F.col("_c").cast("double") / F.col("_T")),
+            9,
+        ).cast(DECD).alias("_h"),
+        F.round(
+            (F.col("_c").cast("double") / F.col("_T"))
+            * (F.col("_c").cast("double") / F.col("_T")),
+            9,
+        ).cast(DECD).alias("_s"),
+    )
+    out = terms.groupBy("g", "_T").agg(
+        F.count(F.lit(1)).alias("hill0"),
+        F.sum("_h").cast("double").alias("_H"),
+        F.sum("_s").cast("double").alias("_S"),
+    )
+    return out.select(
+        F.col("g").alias(group_col),
+        F.col("_T").cast("bigint").alias("n_tokens"),
+        "hill0",
+        F.round(F.exp("_H"), 6).alias("hill1"),
+        F.round(F.lit(1.0) / F.col("_S"), 6).alias("hill2"),
+    ).orderBy(group_col)

@@ -3739,3 +3739,70 @@ def events_daily_gapfill(t: dict[str, DataFrame]) -> DataFrame:
         F.round(filled, 6).alias("filled"),
         F.col("n").isNotNull().alias("is_observed"),
     ).orderBy("day")
+
+
+def events_mann_kendall(t: dict[str, DataFrame]) -> DataFrame:
+    """Mann–Kendall trend test (Mann 1945; Kendall's S) on the daily
+    event-count series: S = Σ_{i<j} sign(x_j − x_i) with the
+    tie-corrected variance and continuity-corrected z — the standard
+    nonparametric monotone-trend detector (no linearity or
+    distribution assumption, unlike the OLS trend ops).
+
+    Day-grid-sized throughout: the pair sum is a self-join of the
+    ≤|days|² grid (bounded by the calendar, not the corpus), tie
+    groups roll up by value, and every moment is exact integer
+    arithmetic until the final z (IEEE sqrt).
+
+    Output: one row — n_days, s_stat, z (round 6).
+    """
+    e = t["events"]
+    daily = e.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    daily = daily.localCheckpoint(eager=False)  # self-join + ties + count
+    a = daily.select(F.col("d").alias("_da"), F.col("n").alias("_na"))
+    b = daily.select(F.col("d").alias("_db"), F.col("n").alias("_nb"))
+    s = (
+        a.join(F.broadcast(b), F.col("_da") < F.col("_db"))
+        .agg(
+            F.sum(
+                F.when(F.col("_nb") > F.col("_na"), 1)
+                .when(F.col("_nb") < F.col("_na"), -1)
+                .otherwise(0)
+            ).alias("s_stat")
+        )
+    )
+    nd = daily.agg(F.count(F.lit(1)).alias("n_days"))
+    ties = (
+        daily.groupBy("n")
+        .agg(F.count(F.lit(1)).alias("_t"))
+        .where(F.col("_t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("_t")
+                    * (F.col("_t") - 1)
+                    * (F.lit(2) * F.col("_t") + 5)
+                ),
+                F.lit(0),
+            ).alias("_tie_sum")
+        )
+    )
+    out = nd.crossJoin(F.broadcast(s)).crossJoin(F.broadcast(ties))
+    n = F.col("n_days").cast("double")
+    var = (
+        n * (n - F.lit(1.0)) * (F.lit(2.0) * n + F.lit(5.0))
+        - F.col("_tie_sum").cast("double")
+    ) / F.lit(18.0)
+    sd = F.sqrt(F.greatest(var, F.lit(1e-300)))
+    sc = F.col("s_stat").cast("double")
+    z = (
+        F.when(sc > 0, (sc - F.lit(1.0)) / sd)
+        .when(sc < 0, (sc + F.lit(1.0)) / sd)
+        .otherwise(F.lit(0.0))
+    )
+    return out.select(
+        "n_days",
+        F.col("s_stat").cast("bigint").alias("s_stat"),
+        (F.round(z, 6) + F.lit(0.0)).alias("z"),
+    )

@@ -803,6 +803,8 @@ SINGLE_PARTITION_ALLOWLIST = {
     # (spearman), 2×|types| JS rollup, day-grid ACF/runs/gap-fill
     "lineitem_spearman", "events_weekday_js", "events_daily_acf",
     "events_runs_test", "events_daily_gapfill",
+    # bigram-table 1-row total (LLR); day-grid S + 1-row moments (MK)
+    "text_bigram_llr", "events_mann_kendall",
 }
 
 
@@ -1504,3 +1506,20 @@ def test_daily_gapfill_interpolation(spark):
     assert out["2024-01-03"][1] == 6.0
     assert out["2024-01-05"][1] == 6.0
     assert out["2024-01-06"] == (8, 8.0, True)
+
+
+def test_mann_kendall_trend_and_constant(spark):
+    # strictly increasing: S = C(12,2) = 66, z strongly positive
+    rows = []
+    for day in range(1, 13):
+        rows += _evd(day, n=day)
+    r = analytics.events_mann_kendall(
+        {"events": from_rows(spark, rows)}).collect()[0]
+    assert r.s_stat == 66 and r.z > 3.0
+    # constant: every pair ties -> S = 0, z = 0 by the sign branch
+    rows2 = []
+    for day in range(1, 13):
+        rows2 += _evd(day, n=5)
+    r2 = analytics.events_mann_kendall(
+        {"events": from_rows(spark, rows2)}).collect()[0]
+    assert r2.s_stat == 0 and r2.z == 0.0

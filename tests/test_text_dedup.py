@@ -1612,6 +1612,10 @@ def test_edit_distance_pairs_planted_edits_complete(spark):
         (5, base[:10] + "q" + base[11:40] + "v" + base[41:]),  # 2 subs
         (6, "completely unrelated text about spark and parquet files"),
         (7, base[::-1]),                           # reversal: far away
+        # same length, 2 deleted at head + 2 appended: every segment
+        # shifts NEGATIVE (delta=0, del-before=2) — exercises the
+        # multi-match-aware lower bound -(tau-delta)/2
+        (8, base[2:] + "zq"),
     ]
     df = spark.createDataFrame(docs, ["doc_id", "text"])
     got = {
@@ -1808,3 +1812,43 @@ def test_good_turing_hand_computed(spark):
     assert out[1] == (2, 1.0)
     assert out[2] == (1, 3.0)
     assert out[3][0] == 1 and out[3][1] is None
+
+
+def test_bigram_llr_hand_computed(spark):
+    """G² for the dominant bigram matches the 2×2 hand computation
+    (Dunning 1993)."""
+    import math
+
+    from fuel_spark.ops.text import bigram_llr
+
+    df = spark.createDataFrame([(0, "a b a b a b c d")], ["doc_id", "text"])
+    got = {(r.w1, r.w2): (r.n11, r.llr)
+           for r in bigram_llr(df, "text", min_count=1).collect()}
+    # bigrams: (a,b)x3 (b,a)x2 (b,c)x1 (c,d)x1; N=7
+    k11, c1, c2, N = 3.0, 3.0, 3.0, 7.0
+    k12, k21 = c1 - k11, c2 - k11
+    k22 = N - k11 - k12 - k21
+    r2c, q2c = N - c1, N - c2
+
+    def term(o, e):
+        return o * math.log(o / e) if o > 0 else 0.0
+
+    want = 2.0 * (term(k11, c1 * c2 / N) + term(k12, c1 * q2c / N)
+                  + term(k21, r2c * c2 / N) + term(k22, r2c * q2c / N))
+    assert got[("a", "b")][0] == 3
+    assert abs(got[("a", "b")][1] - want) < 1e-4
+
+
+def test_diversity_profile_uniform_and_skewed(spark):
+    from fuel_spark.ops.text import diversity_profile
+
+    docs = [(0, "a b c d", "uni"), (1, "a a a a a a a b", "skew")]
+    df = spark.createDataFrame(docs, ["doc_id", "text", "source"])
+    out = {r.source: r for r in
+           diversity_profile(df, "source", "text").collect()}
+    u = out["uni"]
+    assert (u.hill0, u.hill1, u.hill2) == (4, 4.0, 4.0)
+    s = out["skew"]
+    # p = (7/8, 1/8): hill2 = 1/(49/64 + 1/64) = 64/50 = 1.28
+    assert s.hill0 == 2 and abs(s.hill2 - 1.28) < 1e-5
+    assert s.hill1 < 2.0
