@@ -917,6 +917,30 @@ def q_edit_distance_pairs(spark, sf):
     return dedup.edit_distance_pairs(d, "doc_id", "text", max_dist=5)
 
 
+def q_ks_test(spark, sf):
+    """Two-sample Kolmogorov–Smirnov (r5): purchase vs click value
+    distributions over a bounded 4-dp grid, 3-term asymptotic p."""
+    return analytics.events_ks_test(_t(spark, sf))
+
+
+def q_theil_index(spark, sf):
+    """Theil T inequality of customer LTV (r5, Theil 1967)."""
+    return analytics.customer_theil_index(_t(spark, sf))
+
+
+def q_chao1(spark, sf):
+    """Chao1 unseen-vocabulary richness bound (r5, Chao 1984)."""
+    d = _t(spark, sf)["documents"]
+    return text_ops.chao1_richness(d, "text")
+
+
+def q_burrows_delta(spark, sf):
+    """Burrows' Delta stylometric source-distance matrix (r5,
+    Burrows 2002): top-30 word panel, across-source z-scores."""
+    d = _t(spark, sf)["documents"]
+    return text_ops.burrows_delta(d, "source", "text", top_k=30)
+
+
 def q_bigram_llr(spark, sf):
     """Dunning log-likelihood collocations (r5): G² over each
     adjacent bigram's 2×2 table — calibrated where PMI over-rewards
@@ -2594,6 +2618,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bigram_llr": q_bigram_llr,
         "corpus_diversity_profile": q_diversity_profile,
         "events_mann_kendall": q_mann_kendall,
+        "events_ks_test": q_ks_test,
+        "customer_theil_index": q_theil_index,
+        "corpus_chao1": q_chao1,
+        "corpus_burrows_delta": q_burrows_delta,
         "events_daily_acf": q_daily_acf,
         "events_runs_test": q_runs_test,
         "events_daily_gapfill": q_daily_gapfill,
@@ -4359,6 +4387,123 @@ def oracle_sql() -> dict[str, str]:
                  ' ')), 1, 16) AS span_hash
         FROM spans s JOIN d ON d.doc_id = s.doc_a
     """
+    # r5: two-sample KS over the bounded 4-dp value grid; lambda
+    # defined once in a CTE, three-term Kolmogorov series.
+    sqls["events_ks_test"] = """
+        WITH g AS (
+          SELECT round(CAST(value AS DOUBLE), 4) AS v,
+            sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS na,
+            sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS nb
+          FROM events WHERE event_type IN ('purchase', 'click')
+          GROUP BY 1
+        ),
+        t AS (SELECT CAST(sum(na) AS DOUBLE) AS ta,
+                     CAST(sum(nb) AS DOUBLE) AS tb FROM g),
+        c AS (SELECT
+                CAST(sum(na) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                     AS DOUBLE) / t.ta AS fa,
+                CAST(sum(nb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                     AS DOUBLE) / t.tb AS fb,
+                t.ta, t.tb
+              FROM g, t),
+        d AS (SELECT ta, tb, max(abs(fa - fb)) AS dd
+              FROM c GROUP BY 1, 2),
+        l AS (SELECT ta, tb, dd,
+                     dd * sqrt(ta * tb / (ta + tb)) AS lam FROM d)
+        SELECT CAST(ta AS BIGINT) AS n_a, CAST(tb AS BIGINT) AS n_b,
+               round(dd, 6) AS d_stat,
+               round(least(greatest(
+                 CAST(2.0 AS DOUBLE) * (
+                   exp(CAST(-2.0 AS DOUBLE) * lam * lam)
+                   - exp(CAST(-8.0 AS DOUBLE) * lam * lam)
+                   + exp(CAST(-18.0 AS DOUBLE) * lam * lam)),
+                 CAST(0.0 AS DOUBLE)), CAST(1.0 AS DOUBLE)), 6)
+                 AS p_approx
+        FROM l
+    """
+
+    # r5: Theil T inequality of customer LTV.
+    sqls["customer_theil_index"] = f"""
+        WITH ltv AS (SELECT o_custkey,
+                            {_dsum_sql('o_totalprice')} AS x
+                     FROM orders GROUP BY 1),
+        m AS (SELECT CAST(sum(CAST(x AS DECIMAL(27,6))) AS DOUBLE)
+                       / count(*) AS mu,
+                     count(*) AS n FROM ltv),
+        terms AS (SELECT m.n, m.mu,
+                    CASE WHEN x > 0 THEN
+                      CAST(round((x / m.mu) * ln(x / m.mu), 9)
+                           AS DECIMAL(27,18))
+                    ELSE CAST(0.0 AS DECIMAL(27,18)) END AS tt
+                  FROM ltv, m)
+        SELECT n, round(mu, 6) AS mean_ltv,
+               round(CAST(sum(tt) AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                 AS theil
+        FROM terms GROUP BY n, mu
+    """
+
+    # r5: Chao1 richness bound.
+    sqls["corpus_chao1"] = f"""
+        WITH tok AS (SELECT unnest({w}) AS w FROM documents
+                     WHERE length({_norm_sql('text')}) >= 1),
+        f AS (SELECT w, count(*) AS r FROM tok GROUP BY 1),
+        m AS (SELECT count(*) AS s_obs,
+                CAST(sum(CASE WHEN r = 1 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n1,
+                CAST(sum(CASE WHEN r = 2 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n2
+              FROM f)
+        SELECT s_obs, n1, n2,
+          round(CAST(s_obs AS DOUBLE)
+                + (CAST(n1 AS DOUBLE)
+                   * (CAST(n1 AS DOUBLE) - CAST(1.0 AS DOUBLE)))
+                  / (CAST(2.0 AS DOUBLE)
+                     * (CAST(n2 AS DOUBLE) + CAST(1.0 AS DOUBLE))), 6)
+            AS chao1
+        FROM m
+    """
+
+    # r5: Burrows' Delta — top-30 panel, across-source z-scores,
+    # pairwise mean |Δz|.
+    sqls["corpus_burrows_delta"] = f"""
+        WITH tok AS (SELECT source AS g, unnest({w}) AS w
+                     FROM documents
+                     WHERE length({_norm_sql('text')}) >= 1),
+        panel AS (SELECT w FROM (SELECT w, count(*) AS cf FROM tok
+                                 GROUP BY 1 ORDER BY cf DESC, w
+                                 LIMIT 30)),
+        gtot AS (SELECT g, count(*) AS tt FROM tok GROUP BY 1),
+        gw AS (SELECT g, w, count(*) AS c
+               FROM tok JOIN panel USING (w) GROUP BY 1, 2),
+        grid AS (SELECT gtot.g, panel.w,
+                   round(CAST(COALESCE(gw.c, 0) AS DOUBLE)
+                         / CAST(gtot.tt AS DOUBLE), 9) AS f
+                 FROM gtot CROSS JOIN panel
+                 LEFT JOIN gw ON gw.g = gtot.g AND gw.w = panel.w),
+        ng AS (SELECT CAST(count(*) AS DOUBLE) AS ng FROM gtot),
+        mom AS (SELECT w, sf / ng.ng AS mu,
+                       sqrt(greatest(sff / ng.ng
+                                     - (sf / ng.ng) * (sf / ng.ng),
+                                     CAST(1e-18 AS DOUBLE))) AS sd
+                FROM (SELECT w,
+                        CAST(sum(CAST(f AS DECIMAL(27,18)))
+                             AS DOUBLE) AS sf,
+                        CAST(sum(CAST(round(f * f, 9)
+                                      AS DECIMAL(27,18)))
+                             AS DOUBLE) AS sff
+                      FROM grid GROUP BY 1) x, ng),
+        z AS (SELECT g, w, round((f - mu) / sd, 9) AS z
+              FROM grid JOIN mom USING (w)),
+        p AS (SELECT a.g AS source_a, b.g AS source_b,
+                     a.z AS za, b.z AS zb
+              FROM z a JOIN z b ON a.w = b.w AND a.g < b.g)
+        SELECT source_a, source_b,
+          round(CAST(sum(CAST(round(abs(za - zb), 9)
+                              AS DECIMAL(27,18))) AS DOUBLE)
+                / CAST(30.0 AS DOUBLE), 6) AS delta
+        FROM p GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
     # r5: Dunning G² collocations — ordered adjacent bigrams, margins
     # from the bigram table, row-wise G² in one double chain.
     sqls["text_bigram_llr"] = f"""

@@ -2620,3 +2620,130 @@ def diversity_profile(
         F.round(F.exp("_H"), 6).alias("hill1"),
         F.round(F.lit(1.0) / F.col("_S"), 6).alias("hill2"),
     ).orderBy(group_col)
+
+
+def chao1_richness(df: DataFrame, text_col: str) -> DataFrame:
+    """Chao1 lower-bound richness estimator (Chao 1984): how many
+    word types the corpus PLUS its unseen tail holds, from the
+    singleton/doubleton counts — the "how much vocabulary haven't we
+    crawled yet" companion to :func:`good_turing_counts` (which
+    estimates unseen MASS) and :func:`heaps_fit` (which extrapolates
+    by curve).  Bias-corrected form S + N₁(N₁−1)/(2(N₂+1)) is exact
+    integer arithmetic until one final division.
+
+    Output: one row — s_obs, n1, n2, chao1 (round 6).
+    """
+    tok = (
+        df.select(norm_text(F.col(text_col)).alias("_t"))
+        .where(F.length("_t") >= 1)
+        .select(F.explode(F.split("_t", " ")).alias("w"))
+    )
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("_r"))
+    m = freq.agg(
+        F.count(F.lit(1)).alias("s_obs"),
+        F.sum((F.col("_r") == 1).cast("long")).alias("n1"),
+        F.sum((F.col("_r") == 2).cast("long")).alias("n2"),
+    )
+    chao = F.col("s_obs").cast("double") + (
+        F.col("n1").cast("double") * (F.col("n1").cast("double") - F.lit(1.0))
+    ) / (F.lit(2.0) * (F.col("n2").cast("double") + F.lit(1.0)))
+    return m.select("s_obs", "n1", "n2", F.round(chao, 6).alias("chao1"))
+
+
+def burrows_delta(
+    df: DataFrame, group_col: str, text_col: str, top_k: int = 30
+) -> DataFrame:
+    """Burrows' Delta stylometric distance (Burrows 2002): z-score
+    each group's relative frequency of the corpus's ``top_k`` most
+    frequent words (across-group mean/std per word), then
+    Delta(a, b) = mean_w |z_aw − z_bw| — the standard
+    authorship/style distance, here a source-similarity matrix
+    (crawl pipelines use it to spot mirrored or templated sources
+    that exact dedup misses).
+
+    The word panel is a TakeOrdered constant; per-(group, word)
+    relative frequencies, per-word across-group moments, and the
+    pairwise rollup are all (groups × top_k)-sized — corpus-scale
+    work is the single token count.  Sums at every stage are round-9
+    DECIMAL (float contract); the final mean divides by the FIXED
+    panel size.  Output: source_a < source_b, delta (round 6).
+    """
+    DECB = "decimal(27,18)"
+    tok = (
+        df.select(F.col(group_col).alias("g"), norm_text(F.col(text_col)).alias("_t"))
+        .where(F.length("_t") >= 1)
+        .select("g", F.explode(F.split("_t", " ")).alias("w"))
+    )
+    tok = tok.localCheckpoint(eager=False)  # panel + group counts
+    panel = F.broadcast(
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("_cf"))
+        .orderBy(F.desc("_cf"), F.asc("w"))
+        .limit(int(top_k))
+        .select("w")
+    )
+    gtot = tok.groupBy("g").agg(F.count(F.lit(1)).alias("_T"))
+    gw = (
+        tok.join(panel, "w")
+        .groupBy("g", "w")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    # dense (group × panel) grid: absent words get frequency 0
+    grid = (
+        gtot.crossJoin(panel)
+        .join(gw, ["g", "w"], "left")
+        .select(
+            "g",
+            "w",
+            F.round(
+                F.coalesce("_c", F.lit(0)).cast("double")
+                / F.col("_T").cast("double"),
+                9,
+            ).alias("_f"),
+        )
+    )
+    ng = gtot.agg(F.count(F.lit(1)).cast("double").alias("_ng"))
+    mom = (
+        grid.groupBy("w")
+        .agg(
+            F.sum(F.col("_f").cast(DECB)).cast("double").alias("_sf"),
+            F.sum(F.round(F.col("_f") * F.col("_f"), 9).cast(DECB))
+            .cast("double")
+            .alias("_sff"),
+        )
+        .crossJoin(F.broadcast(ng))
+        .select(
+            "w",
+            (F.col("_sf") / F.col("_ng")).alias("_mu"),
+            F.sqrt(
+                F.greatest(
+                    F.col("_sff") / F.col("_ng")
+                    - (F.col("_sf") / F.col("_ng"))
+                    * (F.col("_sf") / F.col("_ng")),
+                    F.lit(1e-18),
+                )
+            ).alias("_sd"),
+        )
+    )
+    z = grid.join(F.broadcast(mom), "w").select(
+        "g",
+        "w",
+        F.round((F.col("_f") - F.col("_mu")) / F.col("_sd"), 9).alias("_z"),
+    )
+    za = z.select(F.col("g").alias("source_a"), "w", F.col("_z").alias("_za"))
+    zb = z.select(F.col("g").alias("source_b"), "w", F.col("_z").alias("_zb"))
+    pairs = za.join(zb, "w").where(F.col("source_a") < F.col("source_b"))
+    return (
+        pairs.groupBy("source_a", "source_b")
+        .agg(
+            F.sum(F.round(F.abs(F.col("_za") - F.col("_zb")), 9).cast(DECB))
+            .cast("double")
+            .alias("_s")
+        )
+        .select(
+            "source_a",
+            "source_b",
+            F.round(F.col("_s") / F.lit(float(top_k)), 6).alias("delta"),
+        )
+        .orderBy("source_a", "source_b")
+    )

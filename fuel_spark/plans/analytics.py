@@ -3806,3 +3806,115 @@ def events_mann_kendall(t: dict[str, DataFrame]) -> DataFrame:
         F.col("s_stat").cast("bigint").alias("s_stat"),
         (F.round(z, 6) + F.lit(0.0)).alias("z"),
     )
+
+
+def events_ks_test(
+    t: dict[str, DataFrame],
+    type_a: str = "purchase",
+    type_b: str = "click",
+    quantize: int = 4,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov test between the value
+    distributions of two event types: D = max |F_a − F_b| with the
+    asymptotic Kolmogorov p-value — "do purchases and clicks draw
+    from the same value distribution", the distribution-free
+    two-sample screen.
+
+    Values quantize to ``quantize`` decimals first, so the ECDF
+    comparison runs over a BOUNDED grid (the AUC scale move; the
+    quantization coarsens D by at most the mass of a collapsed bin —
+    stated); both cumulative distributions come from one window over
+    the merged grid.  The p-value uses the first three terms of the
+    Kolmogorov series 2·Σ (−1)^{k−1} exp(−2k²λ²) (standard
+    asymptotic approximation, stated), clamped to [0, 1].
+
+    Output: one row — n_a, n_b, d_stat, p_approx (round 6).
+    """
+    from pyspark.sql import Window as W
+
+    e = t["events"]
+    g = (
+        e.where(F.col("event_type").isin(type_a, type_b))
+        .select(
+            F.round(F.col("value").cast("double"), int(quantize)).alias("v"),
+            (F.col("event_type") == type_a).cast("int").alias("_a"),
+        )
+        .groupBy("v")
+        .agg(
+            F.sum("_a").alias("_na"),
+            (F.count(F.lit(1)) - F.sum("_a")).alias("_nb"),
+        )
+    )
+    tot = g.agg(
+        F.sum("_na").cast("double").alias("_ta"),
+        F.sum("_nb").cast("double").alias("_tb"),
+    )
+    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = g.crossJoin(F.broadcast(tot)).select(
+        (F.sum("_na").over(w).cast("double") / F.col("_ta")).alias("_fa"),
+        (F.sum("_nb").over(w).cast("double") / F.col("_tb")).alias("_fb"),
+        "_ta",
+        "_tb",
+    )
+    d = cum.groupBy("_ta", "_tb").agg(
+        F.max(F.abs(F.col("_fa") - F.col("_fb"))).alias("_d")
+    )
+    lam = F.col("_d") * F.sqrt(
+        F.col("_ta") * F.col("_tb") / (F.col("_ta") + F.col("_tb"))
+    )
+    p = F.lit(2.0) * (
+        F.exp(F.lit(-2.0) * lam * lam)
+        - F.exp(F.lit(-8.0) * lam * lam)
+        + F.exp(F.lit(-18.0) * lam * lam)
+    )
+    return d.select(
+        F.col("_ta").cast("bigint").alias("n_a"),
+        F.col("_tb").cast("bigint").alias("n_b"),
+        F.round("_d", 6).alias("d_stat"),
+        F.round(F.least(F.greatest(p, F.lit(0.0)), F.lit(1.0)), 6).alias(
+            "p_approx"
+        ),
+    )
+
+
+def customer_theil_index(t: dict[str, DataFrame]) -> DataFrame:
+    """Theil T inequality index (Theil 1967) of customer lifetime
+    value: T = (1/n)·Σ (x/μ)·ln(x/μ) — 0 = perfectly equal, ln n =
+    one customer holds everything; the decomposable complement to the
+    Gini/Pareto views already in the suite.
+
+    One LTV rollup, a broadcast 1-row mean, round-9 DECIMAL term
+    sums.  Zero-LTV customers contribute 0 (lim x→0 of x ln x,
+    stated).  Output: one row — n, mean_ltv, theil (round 6).
+    """
+    o = t["orders"]
+    ltv = o.groupBy("o_custkey").agg(
+        _dsum(F.col("o_totalprice")).alias("_x")
+    )
+    mu = ltv.agg(
+        (F.sum(F.col("_x").cast(DEC)).cast("double") / F.count(F.lit(1))).alias("_mu"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    terms = ltv.crossJoin(F.broadcast(mu)).select(
+        "n",
+        F.when(
+            F.col("_x") > 0,
+            F.round(
+                (F.col("_x") / F.col("_mu"))
+                * F.log(F.col("_x") / F.col("_mu")),
+                9,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .cast("decimal(27,18)")
+        .alias("_t"),
+        F.col("_mu"),
+    )
+    out = terms.groupBy("n", "_mu").agg(
+        F.sum("_t").cast("double").alias("_s")
+    )
+    return out.select(
+        "n",
+        F.round("_mu", 6).alias("mean_ltv"),
+        F.round(F.col("_s") / F.col("n").cast("double"), 6).alias("theil"),
+    )

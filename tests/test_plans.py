@@ -805,6 +805,10 @@ SINGLE_PARTITION_ALLOWLIST = {
     "events_runs_test", "events_daily_gapfill",
     # bigram-table 1-row total (LLR); day-grid S + 1-row moments (MK)
     "text_bigram_llr", "events_mann_kendall",
+    # bounded-grid KS ECDF window + 1-row finals (KS/Theil/Chao1);
+    # (groups × 30-word-panel) Burrows frames
+    "events_ks_test", "customer_theil_index", "corpus_chao1",
+    "corpus_burrows_delta",
 }
 
 
@@ -1523,3 +1527,38 @@ def test_mann_kendall_trend_and_constant(spark):
     r2 = analytics.events_mann_kendall(
         {"events": from_rows(spark, rows2)}).collect()[0]
     assert r2.s_stat == 0 and r2.z == 0.0
+
+
+def test_ks_test_same_and_disjoint(spark):
+    import datetime as dt
+
+    def ev(eid, typ, v):
+        return {"event_id": eid, "ts": dt.datetime(2024, 1, 1),
+                "user_id": 1, "event_type": typ, "value": v,
+                "props": "{}"}
+
+    # identical value sets -> D = 0, p clamps to 1
+    rows = [ev(i, "purchase", float(i % 5)) for i in range(50)] + [
+        ev(100 + i, "click", float(i % 5)) for i in range(50)]
+    r = analytics.events_ks_test({"events": from_rows(spark, rows)}).collect()[0]
+    assert r.d_stat == 0.0 and r.p_approx == 1.0
+    # disjoint supports -> D = 1, p ~ 0
+    rows2 = [ev(i, "purchase", 1.0 + (i % 3)) for i in range(30)] + [
+        ev(100 + i, "click", 100.0 + (i % 3)) for i in range(30)]
+    r2 = analytics.events_ks_test({"events": from_rows(spark, rows2)}).collect()[0]
+    assert r2.d_stat == 1.0 and r2.p_approx < 1e-4
+
+
+def test_theil_index_equal_and_concentrated(spark):
+    eq = from_rows(
+        spark, [(i, 100.0) for i in range(10)],
+        schema="o_custkey bigint, o_totalprice double")
+    r = analytics.customer_theil_index({"orders": eq}).collect()[0]
+    assert r.theil == 0.0 and r.mean_ltv == 100.0
+    # one customer holds ~everything: T approaches ln(n)
+    import math
+    conc = from_rows(
+        spark, [(0, 1000.0)] + [(i, 0.001) for i in range(1, 10)],
+        schema="o_custkey bigint, o_totalprice double")
+    r2 = analytics.customer_theil_index({"orders": conc}).collect()[0]
+    assert r2.theil > 0.9 * math.log(10)

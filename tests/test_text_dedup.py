@@ -1852,3 +1852,32 @@ def test_diversity_profile_uniform_and_skewed(spark):
     # p = (7/8, 1/8): hill2 = 1/(49/64 + 1/64) = 64/50 = 1.28
     assert s.hill0 == 2 and abs(s.hill2 - 1.28) < 1e-5
     assert s.hill1 < 2.0
+
+
+def test_chao1_hand_computed(spark):
+    from fuel_spark.ops.text import chao1_richness
+
+    # singletons: a; doubletons: b, c; triple: d -> S=4, N1=1, N2=2
+    df = spark.createDataFrame([(0, "a b b c c d d d")], ["doc_id", "text"])
+    r = chao1_richness(df, "text").collect()[0]
+    assert (r.s_obs, r.n1, r.n2) == (4, 1, 2)
+    assert r.chao1 == 4.0  # N1*(N1-1) = 0
+    # N2 = 0 with two singletons: 3 + 2*1/2 = 4
+    df2 = spark.createDataFrame([(0, "a b c c c")], ["doc_id", "text"])
+    r2 = chao1_richness(df2, "text").collect()[0]
+    assert (r2.s_obs, r2.n1, r2.n2, r2.chao1) == (3, 2, 0, 4.0)
+
+
+def test_burrows_delta_similar_sources_closer(spark):
+    from fuel_spark.ops.text import burrows_delta
+
+    same = "the cat sat on the mat and the dog ran"
+    diff = "zebra quark flux nova lumen vortex prism echo"
+    docs = ([(i, same, "s1") for i in range(5)]
+            + [(100 + i, same, "s2") for i in range(5)]
+            + [(200 + i, diff, "s3") for i in range(5)])
+    df = spark.createDataFrame(docs, ["doc_id", "text", "source"])
+    out = {(r.source_a, r.source_b): r.delta
+           for r in burrows_delta(df, "source", "text", top_k=10).collect()}
+    assert out[("s1", "s2")] == 0.0  # identical word usage
+    assert out[("s1", "s3")] > 0.5 and out[("s2", "s3")] > 0.5
