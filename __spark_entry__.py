@@ -917,6 +917,37 @@ def q_edit_distance_pairs(spark, sf):
     return dedup.edit_distance_pairs(d, "doc_id", "text", max_dist=5)
 
 
+def _copurchase_edges(spark, sf):
+    l = _t(spark, sf)["lineitem"].select("l_orderkey", "l_partkey").distinct()
+    a = l.alias("a")
+    b = l.alias("b")
+    return (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+
+
+def q_triangle_stats(spark, sf):
+    """Triangle census + global clustering coefficient (r5) of the
+    part co-purchase graph, degree-ordered-orientation algorithm."""
+    from fuel_spark.ops import graph
+
+    return graph.triangle_stats(_copurchase_edges(spark, sf))
+
+
+def q_assortativity(spark, sf):
+    """Degree assortativity (r5, Newman 2002) of the co-purchase
+    graph — do popular parts co-sell with popular parts?"""
+    from fuel_spark.ops import graph
+
+    return graph.degree_assortativity(_copurchase_edges(spark, sf))
+
+
 def q_ks_test(spark, sf):
     """Two-sample Kolmogorov–Smirnov (r5): purchase vs click value
     distributions over a bounded 4-dp grid, 3-term asymptotic p."""
@@ -2622,6 +2653,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_theil_index": q_theil_index,
         "corpus_chao1": q_chao1,
         "corpus_burrows_delta": q_burrows_delta,
+        "graph_triangle_stats": q_triangle_stats,
+        "graph_assortativity": q_assortativity,
         "events_daily_acf": q_daily_acf,
         "events_runs_test": q_runs_test,
         "events_daily_gapfill": q_daily_gapfill,
@@ -4387,6 +4420,78 @@ def oracle_sql() -> dict[str, str]:
                  ' ')), 1, 16) AS span_hash
         FROM spans s JOIN d ON d.doc_id = s.doc_a
     """
+    # r5: triangle census via degree-ordered orientation; wedge count
+    # from UNORIENTED degrees (Σ C(deg,2) — even product, exact
+    # integer division both engines).
+    _graph_edges_sql = """
+        l AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        e0 AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+               FROM l a JOIN l b
+                 ON a.l_orderkey = b.l_orderkey
+                AND a.l_partkey < b.l_partkey),
+        deg AS (SELECT v, count(*) AS deg
+                FROM (SELECT a AS v FROM e0
+                      UNION ALL SELECT b FROM e0) GROUP BY 1)
+    """
+    sqls["graph_triangle_stats"] = f"""
+        WITH {_graph_edges_sql},
+        ed AS (SELECT
+                 CASE WHEN da.deg < db.deg
+                        OR (da.deg = db.deg AND e0.a < e0.b)
+                      THEN e0.a ELSE e0.b END AS u,
+                 CASE WHEN da.deg < db.deg
+                        OR (da.deg = db.deg AND e0.a < e0.b)
+                      THEN e0.b ELSE e0.a END AS w2
+               FROM e0 JOIN deg da ON da.v = e0.a
+                       JOIN deg db ON db.v = e0.b),
+        wed AS (SELECT least(x.w2, y.w2) AS a, greatest(x.w2, y.w2) AS b
+                FROM ed x JOIN ed y ON x.u = y.u AND x.w2 < y.w2),
+        tri AS (SELECT count(*) AS n_triangles
+                FROM wed JOIN e0 ON e0.a = wed.a AND e0.b = wed.b),
+        nv AS (SELECT count(*) AS n_vertices FROM deg),
+        ne AS (SELECT count(*) AS n_edges FROM e0),
+        nw AS (SELECT CAST(sum(deg * (deg - 1) / 2) AS BIGINT)
+                 AS n_wedges FROM deg)
+        SELECT n_vertices, n_edges, n_wedges, n_triangles,
+          round(CAST(3.0 AS DOUBLE) * CAST(n_triangles AS DOUBLE)
+                / greatest(CAST(n_wedges AS DOUBLE),
+                           CAST(1.0 AS DOUBLE)), 6) AS clustering_coeff
+        FROM nv, ne, nw, tri
+    """
+
+    # r5: degree assortativity — symmetric (both-orientation) moments.
+    sqls["graph_assortativity"] = f"""
+        WITH {_graph_edges_sql},
+        ej AS (SELECT da.deg AS x, db.deg AS y
+               FROM e0 JOIN deg da ON da.v = e0.a
+                       JOIN deg db ON db.v = e0.b),
+        bt AS (SELECT x, y FROM ej
+                 UNION ALL SELECT y AS x, x AS y FROM ej),
+        m AS (SELECT count(*) AS n,
+            CAST(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(38,4)))
+                 AS DOUBLE) AS sx,
+            CAST(sum(CAST(CAST(y AS DOUBLE) AS DECIMAL(38,4)))
+                 AS DOUBLE) AS sy,
+            CAST(sum(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)
+                          AS DECIMAL(38,4))) AS DOUBLE) AS sxy,
+            CAST(sum(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                          AS DECIMAL(38,4))) AS DOUBLE) AS sxx,
+            CAST(sum(CAST(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)
+                          AS DECIMAL(38,4))) AS DOUBLE) AS syy
+          FROM bt)
+        SELECT CAST(n / 2 AS BIGINT) AS n_edges,
+          round((sxy / CAST(n AS DOUBLE)
+                 - (sx / CAST(n AS DOUBLE)) * (sy / CAST(n AS DOUBLE)))
+                / sqrt(greatest(
+                    (sxx / CAST(n AS DOUBLE)
+                     - (sx / CAST(n AS DOUBLE)) * (sx / CAST(n AS DOUBLE)))
+                    * (syy / CAST(n AS DOUBLE)
+                       - (sy / CAST(n AS DOUBLE)) * (sy / CAST(n AS DOUBLE))),
+                    CAST(1e-300 AS DOUBLE))), 6)
+            + CAST(0.0 AS DOUBLE) AS assortativity
+        FROM m
+    """
+
     # r5: two-sample KS over the bounded 4-dp value grid; lambda
     # defined once in a CTE, three-term Kolmogorov series.
     sqls["events_ks_test"] = """

@@ -267,3 +267,165 @@ def hits_fixed(
         F.round("score", out_scale).alias("score"),
     )
     return out_a.unionByName(out_h)
+
+
+def triangle_stats(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Global triangle census of an undirected graph: edge, wedge and
+    triangle counts plus the global clustering coefficient 3T/W —
+    the cohesion diagnostic separating clique-y co-purchase/community
+    structure from star-like hub structure (which PageRank/degree
+    views can't distinguish).
+
+    Scale shape is the DEGREE-ORDERED ORIENTATION algorithm (the
+    standard distributed formulation, e.g. Suri & Vassilvitskii's
+    MapReduce triangle counting): orient every edge from its lower
+    (degree, id) endpoint to the higher, so each vertex's out-degree
+    is O(√m) on any graph — wedge generation from the oriented list
+    is Σ out-deg², bounded by m^1.5 worst-case instead of the
+    unoriented Σ deg² which a single hub makes quadratic.  One
+    self-join builds wedges, one join against the oriented edge list
+    closes them; everything is narrow (id, id) rows.
+
+    Output: one row — n_vertices, n_edges, n_wedges (unordered open
+    + closed, from the UNORIENTED degrees), n_triangles,
+    clustering_coeff = 3T/W (round 6).
+    """
+    e0 = edges.select(
+        F.least(F.col(src), F.col(dst)).alias("a"),
+        F.greatest(F.col(src), F.col(dst)).alias("b"),
+    ).where(F.col("a") != F.col("b")).distinct()
+    e0 = e0.localCheckpoint(eager=False)  # degrees + orientation + close
+    deg = (
+        e0.select(F.col("a").alias("v"))
+        .unionAll(e0.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    deg = deg.localCheckpoint(eager=False)
+    da = deg.select(F.col("v").alias("a"), F.col("deg").alias("_dega"))
+    db = deg.select(F.col("v").alias("b"), F.col("deg").alias("_degb"))
+    ed = (
+        e0.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(
+                (F.col("_dega") < F.col("_degb"))
+                | ((F.col("_dega") == F.col("_degb")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("u"), F.col("b").alias("w")),
+            )
+            .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("w")))
+            .alias("_e")
+        )
+        .select("_e.u", "_e.w")
+    )
+    ed = ed.localCheckpoint(eager=False)  # wedge join + closing join
+    # width pin: oriented-edge rows are bytes-tiny (two ids), the
+    # repo-wide AQE-coalesce defect class — the explicit-count
+    # repartition keeps the wedge expansion parallel on SPARSE graphs
+    # where the frame is kilobytes.  On the dense co-purchase graph
+    # it measures neutral (34-41s at 10x either way): there the cost
+    # IS the wedge volume — 148M unoriented wedges at sf0.1, 10x data
+    # -> 10x wedges -> 10x wall-clock, linear in the answer size the
+    # orientation already bounds at sum C(outdeg,2) <= m^1.5
+    ed = ed.repartition(
+        edges.sparkSession.sparkContext.defaultParallelism, "u"
+    )
+    w1 = ed.select(F.col("u"), F.col("w").alias("x"))
+    w2 = ed.select(F.col("u"), F.col("w").alias("y"))
+    wedges = (
+        w1.join(w2, "u")
+        .where(F.col("x") < F.col("y"))
+        .select(
+            F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
+        )
+    )
+    tri = wedges.join(e0, ["a", "b"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    nv = deg.agg(F.count(F.lit(1)).alias("n_vertices"))
+    ne = e0.agg(F.count(F.lit(1)).alias("n_edges"))
+    # unordered wedge count from UNORIENTED degrees: Σ C(deg, 2)
+    nw = deg.agg(
+        F.sum(
+            F.col("deg").cast("long") * (F.col("deg").cast("long") - 1) / 2
+        ).cast("long").alias("n_wedges")
+    )
+    out = (
+        nv.crossJoin(F.broadcast(ne))
+        .crossJoin(F.broadcast(nw))
+        .crossJoin(F.broadcast(tri))
+    )
+    cc = (
+        F.lit(3.0)
+        * F.col("n_triangles").cast("double")
+        / F.greatest(F.col("n_wedges").cast("double"), F.lit(1.0))
+    )
+    return out.select(
+        "n_vertices",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        F.round(cc, 6).alias("clustering_coeff"),
+    )
+
+
+def degree_assortativity(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Degree assortativity (Newman 2002): Pearson correlation of the
+    endpoint degrees across undirected edges — positive = hubs link
+    hubs (social-style), negative = hubs link leaves
+    (infrastructure/star-style); with the clustering coefficient,
+    the second one-number topology summary.
+
+    Each undirected edge contributes BOTH orientations to the moment
+    sums (the standard symmetric formulation).  Degrees join onto the
+    edge list (two narrow joins), moments are round-4 DECIMAL-exact
+    (degree products are integers; scale headroom for 10^12-edge
+    graphs), correlation in one fixed double chain.
+
+    Output: one row — n_edges, assortativity (round 6).
+    """
+    e0 = edges.select(
+        F.least(F.col(src), F.col(dst)).alias("a"),
+        F.greatest(F.col(src), F.col(dst)).alias("b"),
+    ).where(F.col("a") != F.col("b")).distinct()
+    e0 = e0.localCheckpoint(eager=False)
+    deg = (
+        e0.select(F.col("a").alias("v"))
+        .unionAll(e0.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("deg").alias("_dx"))
+    db = deg.select(F.col("v").alias("b"), F.col("deg").alias("_dy"))
+    both = (
+        e0.join(da, "a")
+        .join(db, "b")
+        .select(F.col("_dx").alias("x"), F.col("_dy").alias("y"))
+    )
+    both = both.unionAll(both.select(F.col("y").alias("x"), F.col("x").alias("y")))
+    DECA = "decimal(38,4)"
+    x = F.col("x").cast("double")
+    y = F.col("y").cast("double")
+    m = both.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(x.cast(DECA)).cast("double").alias("_sx"),
+        F.sum(y.cast(DECA)).cast("double").alias("_sy"),
+        F.sum((x * y).cast(DECA)).cast("double").alias("_sxy"),
+        F.sum((x * x).cast(DECA)).cast("double").alias("_sxx"),
+        F.sum((y * y).cast(DECA)).cast("double").alias("_syy"),
+    )
+    n = F.col("_n").cast("double")
+    cov = F.col("_sxy") / n - (F.col("_sx") / n) * (F.col("_sy") / n)
+    vx = F.col("_sxx") / n - (F.col("_sx") / n) * (F.col("_sx") / n)
+    vy = F.col("_syy") / n - (F.col("_sy") / n) * (F.col("_sy") / n)
+    return m.select(
+        (F.col("_n") / 2).cast("bigint").alias("n_edges"),
+        (
+            F.round(cov / F.sqrt(F.greatest(vx * vy, F.lit(1e-300))), 6)
+            + F.lit(0.0)
+        ).alias("assortativity"),
+    )

@@ -130,3 +130,29 @@ def quarantine_split(df: DataFrame) -> tuple[DataFrame, DataFrame]:
         df.where(F.col("error").isNull()).drop("error"),
         df.where(F.col("error").isNotNull()),
     )
+
+
+def write_orc_dataset(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+    compression: str = "zstd",
+) -> None:
+    """Write an ORC dataset — the columnar alternative for Hive/Trino
+    estates standardized on ORC rather than parquet (same hive
+    partition-pruning layout contract as
+    :func:`fuel_spark.sources.sink.write_dataset`).  ORC support is
+    built into Spark's JVM; no extra package.
+    """
+    writer = df.write.mode(mode).option("compression", compression)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
+def read_orc_dataset(spark, path: str) -> DataFrame:
+    """Read an ORC dataset with the same predicate-pushdown/column-
+    pruning behavior as the parquet path (Spark's OrcScan supports
+    PushedFilters and ReadSchema pruning identically)."""
+    return spark.read.orc(path)

@@ -167,3 +167,33 @@ def test_hits_fixed_matches_numpy(spark):
     # L1 mass is 1 up to the 6-dp output rounding (half an ulp per row)
     assert abs(sum(got_a.values()) - 1.0) < 5e-6
     assert abs(sum(got_h.values()) - 1.0) < 5e-6
+
+
+def test_triangle_stats_hand_graph(spark):
+    # K4 on {0,1,2,3} plus a pendant 3-4: C(4,3)=4 triangles,
+    # wedges = sum C(deg,2) = 3*C(3,2) + C(4,2) + C(1,2) = 9+6+0 = 15
+    edges = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3), (3, 4)]
+    df = from_rows(spark, edges, "src bigint, dst bigint")
+    r = graph.triangle_stats(df).collect()[0]
+    assert (r.n_vertices, r.n_edges, r.n_wedges, r.n_triangles) == (5, 7, 15, 4)
+    assert abs(r.clustering_coeff - 12 / 15) < 1e-9
+    # duplicate/reversed input edges collapse before counting
+    df2 = from_rows(spark, edges + [(1, 0), (2, 0)], "src bigint, dst bigint")
+    assert graph.triangle_stats(df2).collect()[0].n_triangles == 4
+
+
+def test_assortativity_star_is_negative(spark):
+    # star: hub degree 5 linked to five degree-1 leaves -> r = -1 is
+    # undefined (zero variance on one side after symmetrization gives
+    # negative correlation); classic result: star graphs are maximally
+    # disassortative
+    star = [(0, i) for i in range(1, 6)]
+    df = from_rows(spark, star, "src bigint, dst bigint")
+    r = graph.degree_assortativity(df).collect()[0]
+    assert r.n_edges == 5 and r.assortativity < -0.99
+    # complete graph: all degrees equal -> zero variance, guarded
+    # denominator keeps it finite; correlation is ~0
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    r2 = graph.degree_assortativity(
+        from_rows(spark, k4, "src bigint, dst bigint")).collect()[0]
+    assert abs(r2.assortativity) < 1e-6

@@ -809,6 +809,8 @@ SINGLE_PARTITION_ALLOWLIST = {
     # (groups × 30-word-panel) Burrows frames
     "events_ks_test", "customer_theil_index", "corpus_chao1",
     "corpus_burrows_delta",
+    # 1-row census/moment finals over the co-purchase graph
+    "graph_triangle_stats", "graph_assortativity",
 }
 
 

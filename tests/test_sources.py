@@ -273,3 +273,23 @@ def test_read_tar_corpus_corrupt_archive_quarantines(spark, tmp_path):
     rows = read_tar_corpus(spark, str(tmp_path / "broken.tar")).collect()
     assert len(rows) == 1
     assert rows[0].member is None and "bad archive" in rows[0].error
+
+
+def test_orc_roundtrip_partition_pruning_and_schema(spark, tmp_path):
+    """ORC tier: hive-partitioned roundtrip preserves rows; the scan
+    prunes partitions AND the read schema exactly like the parquet
+    path (the 100 TB layout contract is format-independent)."""
+    from fuel_spark.sources.formats import read_orc_dataset, write_orc_dataset
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "docs_orc")
+    write_orc_dataset(d, path, partition_by=["lang"])
+    back = read_orc_dataset(spark, path)
+    assert back.count() == d.count()
+    assert set(back.columns) == set(d.columns)
+    ex = back.where(back.lang == "en").select("doc_id")._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PartitionFilters" in ex
+    read_schema = ex.split("ReadSchema:")[1].split("\n")[0]
+    assert "text" not in read_schema  # column pruning reaches the scan
