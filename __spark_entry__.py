@@ -917,6 +917,19 @@ def q_edit_distance_pairs(spark, sf):
     return dedup.edit_distance_pairs(d, "doc_id", "text", max_dist=5)
 
 
+def q_price_elasticity(spark, sf):
+    """Grouped closed-form OLS (r5): one quantity-on-discount
+    regression PER PART from a single moment aggregation — top-50
+    steepest slopes."""
+    return analytics.part_price_elasticity(_t(spark, sf))
+
+
+def q_jarque_bera(spark, sf):
+    """Jarque–Bera normality screen (r5): skew/kurtosis/JB from four
+    decimal-exact raw moments in one pass."""
+    return analytics.events_jarque_bera(_t(spark, sf))
+
+
 def _copurchase_edges(spark, sf):
     l = _t(spark, sf)["lineitem"].select("l_orderkey", "l_partkey").distinct()
     a = l.alias("a")
@@ -2655,6 +2668,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_burrows_delta": q_burrows_delta,
         "graph_triangle_stats": q_triangle_stats,
         "graph_assortativity": q_assortativity,
+        "part_price_elasticity": q_price_elasticity,
+        "events_jarque_bera": q_jarque_bera,
         "events_daily_acf": q_daily_acf,
         "events_runs_test": q_runs_test,
         "events_daily_gapfill": q_daily_gapfill,
@@ -4420,6 +4435,73 @@ def oracle_sql() -> dict[str, str]:
                  ' ')), 1, 16) AS span_hash
         FROM spans s JOIN d ON d.doc_id = s.doc_a
     """
+    # r5: grouped per-part OLS from one moment aggregation.
+    sqls["part_price_elasticity"] = f"""
+        WITH m AS (
+          SELECT l_partkey, count(*) AS n_lines,
+            {_dsum_sql('l_discount')} AS sx,
+            {_dsum_sql('l_quantity')} AS sy,
+            {_dsum_sql('l_discount * l_quantity')} AS sxy,
+            {_dsum_sql('l_discount * l_discount')} AS sxx
+          FROM lineitem GROUP BY 1
+        ),
+        f AS (SELECT * FROM m WHERE n_lines >= 20),
+        s AS (SELECT l_partkey, n_lines,
+                (CAST(n_lines AS DOUBLE) * sxy - sx * sy)
+                  / (CAST(n_lines AS DOUBLE) * sxx - sx * sx) AS slope,
+                sx, sy
+              FROM f
+              WHERE CAST(n_lines AS DOUBLE) * sxx - sx * sx <> 0)
+        SELECT l_partkey, n_lines, round(slope, 6) AS slope,
+               round((sy - slope * sx) / CAST(n_lines AS DOUBLE), 6)
+                 AS intercept
+        FROM s ORDER BY round(slope, 6) ASC, l_partkey ASC LIMIT 50
+    """
+
+    # r5: Jarque–Bera from four decimal-exact raw moments.
+    sqls["events_jarque_bera"] = """
+        WITH m AS (
+          SELECT count(*) AS n,
+            CAST(sum(CAST(CAST(value AS DOUBLE) AS DECIMAL(38,4)))
+                 AS DOUBLE) AS s1,
+            CAST(sum(CAST(CAST(value AS DOUBLE) * CAST(value AS DOUBLE)
+                          AS DECIMAL(38,4))) AS DOUBLE) AS s2,
+            CAST(sum(CAST(CAST(value AS DOUBLE) * CAST(value AS DOUBLE)
+                          * CAST(value AS DOUBLE)
+                          AS DECIMAL(38,4))) AS DOUBLE) AS s3,
+            CAST(sum(CAST(CAST(value AS DOUBLE) * CAST(value AS DOUBLE)
+                          * CAST(value AS DOUBLE) * CAST(value AS DOUBLE)
+                          AS DECIMAL(38,4))) AS DOUBLE) AS s4
+          FROM events
+        ),
+        c AS (SELECT n,
+                s1 / CAST(n AS DOUBLE) AS mu,
+                s2 / CAST(n AS DOUBLE) AS e2,
+                s3 / CAST(n AS DOUBLE) AS e3,
+                s4 / CAST(n AS DOUBLE) AS e4
+              FROM m),
+        k AS (SELECT n, mu,
+                e2 - mu * mu AS m2,
+                e3 - CAST(3.0 AS DOUBLE) * mu * e2
+                   + CAST(2.0 AS DOUBLE) * mu * mu * mu AS m3,
+                e4 - CAST(4.0 AS DOUBLE) * mu * e3
+                   + CAST(6.0 AS DOUBLE) * mu * mu * e2
+                   - CAST(3.0 AS DOUBLE) * mu * mu * mu * mu AS m4
+              FROM c),
+        st AS (SELECT n, mu,
+                 m3 / sqrt(greatest(m2 * m2 * m2,
+                                    CAST(1e-300 AS DOUBLE))) AS sk,
+                 m4 / greatest(m2 * m2, CAST(1e-300 AS DOUBLE))
+                   - CAST(3.0 AS DOUBLE) AS ek
+               FROM k)
+        SELECT n, round(mu, 6) AS mean, round(sk, 6) AS skewness,
+               round(ek, 6) AS excess_kurtosis,
+               round(CAST(n AS DOUBLE) / CAST(6.0 AS DOUBLE)
+                     * (sk * sk + ek * ek / CAST(4.0 AS DOUBLE)), 6)
+                 AS jb_stat
+        FROM st
+    """
+
     # r5: triangle census via degree-ordered orientation; wedge count
     # from UNORIENTED degrees (Σ C(deg,2) — even product, exact
     # integer division both engines).

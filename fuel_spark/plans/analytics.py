@@ -3918,3 +3918,90 @@ def customer_theil_index(t: dict[str, DataFrame]) -> DataFrame:
         F.round("_mu", 6).alias("mean_ltv"),
         F.round(F.col("_s") / F.col("n").cast("double"), 6).alias("theil"),
     )
+
+
+def part_price_elasticity(
+    t: dict[str, DataFrame], min_lines: int = 20, top_k: int = 50
+) -> DataFrame:
+    """GROUPED closed-form regression — one OLS per part, all in a
+    single aggregation pass: slope of quantity on discount per part
+    ("does discounting move volume for THIS part"), the per-entity
+    elasticity screen.  The pattern matters as much as the statistic:
+    a million tiny regressions as ONE groupBy of decimal-exact
+    moments — never a per-group fit loop, never a corpus-sized
+    window.
+
+    Parts with fewer than ``min_lines`` lines are dropped (an OLS on
+    a handful of points is noise, stated); output is the ``top_k``
+    most negative slopes (steepest elasticity) with deterministic
+    (slope, part) tie-break.
+
+    Output: l_partkey, n_lines, slope, intercept (round 6).
+    """
+    l = t["lineitem"]
+    x = F.col("l_discount").cast("double")
+    y = F.col("l_quantity").cast("double")
+    m = l.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(x.cast(DEC)).cast("double").alias("_sx"),
+        F.sum(y.cast(DEC)).cast("double").alias("_sy"),
+        F.sum((x * y).cast(DEC)).cast("double").alias("_sxy"),
+        F.sum((x * x).cast(DEC)).cast("double").alias("_sxx"),
+    )
+    m = m.where(F.col("n_lines") >= int(min_lines))
+    n = F.col("n_lines").cast("double")
+    denom = n * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    slope = (n * F.col("_sxy") - F.col("_sx") * F.col("_sy")) / denom
+    intercept = (F.col("_sy") - slope * F.col("_sx")) / n
+    out = m.where(denom != 0).select(
+        "l_partkey",
+        "n_lines",
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+    )
+    return out.orderBy(F.asc("slope"), F.asc("l_partkey")).limit(int(top_k))
+
+
+def events_jarque_bera(t: dict[str, DataFrame]) -> DataFrame:
+    """Skewness, excess kurtosis and the Jarque–Bera normality
+    statistic of event values: JB = n/6·(S² + K²/4) — the
+    moment-based "is this metric even roughly Gaussian" screen that
+    decides whether z-score anomaly rules are usable at all.
+
+    One pass of four decimal-exact raw moments (value⁴ at DECIMAL
+    scale 4 — headroom documented in the expression), centered
+    moments and the statistic in one fixed double chain.
+
+    Output: one row — n, mean, skewness, excess_kurtosis, jb_stat
+    (round 6).
+    """
+    e = t["events"]
+    DECJ = "decimal(38,4)"
+    v = F.col("value").cast("double")
+    m = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v.cast(DECJ)).cast("double").alias("_s1"),
+        F.sum((v * v).cast(DECJ)).cast("double").alias("_s2"),
+        F.sum((v * v * v).cast(DECJ)).cast("double").alias("_s3"),
+        F.sum((v * v * v * v).cast(DECJ)).cast("double").alias("_s4"),
+    )
+    n = F.col("n").cast("double")
+    mu = F.col("_s1") / n
+    m2 = F.col("_s2") / n - mu * mu
+    m3 = F.col("_s3") / n - F.lit(3.0) * mu * (F.col("_s2") / n) + F.lit(2.0) * mu * mu * mu
+    m4 = (
+        F.col("_s4") / n
+        - F.lit(4.0) * mu * (F.col("_s3") / n)
+        + F.lit(6.0) * mu * mu * (F.col("_s2") / n)
+        - F.lit(3.0) * mu * mu * mu * mu
+    )
+    sk = m3 / F.sqrt(F.greatest(m2 * m2 * m2, F.lit(1e-300)))
+    ek = m4 / F.greatest(m2 * m2, F.lit(1e-300)) - F.lit(3.0)
+    jb = n / F.lit(6.0) * (sk * sk + ek * ek / F.lit(4.0))
+    return m.select(
+        "n",
+        F.round(mu, 6).alias("mean"),
+        F.round(sk, 6).alias("skewness"),
+        F.round(ek, 6).alias("excess_kurtosis"),
+        F.round(jb, 6).alias("jb_stat"),
+    )

@@ -811,6 +811,8 @@ SINGLE_PARTITION_ALLOWLIST = {
     "corpus_burrows_delta",
     # 1-row census/moment finals over the co-purchase graph
     "graph_triangle_stats", "graph_assortativity",
+    # 1-row four-moment final
+    "events_jarque_bera",
 }
 
 
@@ -1564,3 +1566,50 @@ def test_theil_index_equal_and_concentrated(spark):
         schema="o_custkey bigint, o_totalprice double")
     r2 = analytics.customer_theil_index({"orders": conc}).collect()[0]
     assert r2.theil > 0.9 * math.log(10)
+
+
+def test_price_elasticity_grouped_ols(spark):
+    import numpy as np
+
+    # part 1: perfect slope -100 (q = 30 - 100*d); part 2: flat;
+    # part 3: too few lines (dropped)
+    rows = []
+    for i in range(24):
+        d = (i % 4) * 0.02
+        rows.append((1, d, 30.0 - 100.0 * d))
+        rows.append((2, d, 15.0))
+    rows += [(3, 0.05, 10.0)] * 5
+    df = from_rows(
+        spark, rows,
+        schema="l_partkey bigint, l_discount double, l_quantity double")
+    out = {r.l_partkey: r for r in analytics.part_price_elasticity(
+        {"lineitem": df}, min_lines=20, top_k=10).collect()}
+    assert set(out) == {1, 2}
+    assert abs(out[1].slope - (-100.0)) < 1e-6
+    assert abs(out[1].intercept - 30.0) < 1e-6
+    assert out[2].slope == 0.0
+    # ordering: steepest slope first
+    assert list(out) and min(out, key=lambda k: out[k].slope) == 1
+
+
+def test_jarque_bera_symmetric_vs_skewed(spark):
+    import datetime as dt
+
+    def ev(eid, v):
+        return {"event_id": eid, "ts": dt.datetime(2024, 1, 1),
+                "user_id": 1, "event_type": "a", "value": v,
+                "props": "{}"}
+
+    # symmetric two-point mass: skewness 0, excess kurtosis -2,
+    # JB = n/6 * (0 + 4/4) = n/6
+    rows = [ev(i, 1.0 if i % 2 else -1.0) for i in range(60)]
+    r = analytics.events_jarque_bera(
+        {"events": from_rows(spark, rows)}).collect()[0]
+    assert r.skewness == 0.0 and r.excess_kurtosis == -2.0
+    assert abs(r.jb_stat - 10.0) < 1e-6
+    # heavy right tail: positive skewness
+    rows2 = [ev(i, 1.0) for i in range(50)] + [ev(100 + i, 500.0)
+                                               for i in range(2)]
+    r2 = analytics.events_jarque_bera(
+        {"events": from_rows(spark, rows2)}).collect()[0]
+    assert r2.skewness > 2.0 and r2.jb_stat > 50.0
