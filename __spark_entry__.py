@@ -2542,12 +2542,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracle keys (``events_attribution_linear`` …
     ``events_diff_in_diff``).  All 50 are local-pass under
     ``tools/check_correctness.py``.  The ROUND-6 staging block sits
-    immediately after: 53 never-driver-checked oracle keys (verified
+    immediately after: 61 never-driver-checked oracle keys (verified
     against CORRECTNESS_r01–r04) — the 13 remaining r4-new keys + the
-    40 r5-new additions, ``text_strip_html`` …
-    ``events_mann_kendall``.  Round 6 moves the first 50 of them to
-    the front (pure move-to-front); the 3 newest seed the r7 window.
-    Rows-only keys sit past them (a
+    48 r5-new additions, ``text_strip_html`` …
+    ``events_daily_gapfill``.  Round 6 moves the first 50 of them to
+    the front (pure move-to-front); the remaining 11 seed the r7
+    window.  Rows-only keys sit past them (a
     driver rows-only row is weaker than their pytest evidence).  Keys
     past that all have driver-green rows from r1-r4 and stay covered
     by ``tools/check_correctness.py`` locally every session.
