@@ -1037,6 +1037,29 @@ def q_daily_gapfill(spark, sf):
     return analytics.events_daily_gapfill(_t(spark, sf))
 
 
+def q_psi_weekly(spark, sf):
+    """Week-over-week Population Stability Index of event values
+    (r5): the model-monitoring drift score, epsilon-floored
+    10-bin histograms, consecutive-week pairs."""
+    return analytics.events_psi_weekly(_t(spark, sf))
+
+
+def q_bray_curtis(spark, sf):
+    """Bray–Curtis word-mass dissimilarity between source pairs
+    (r5): abundance-weighted corpus-mix monitor, word-keyed shared
+    mass, dense sources² grid off broadcast totals."""
+    d = _t(spark, sf)["documents"]
+    return text_ops.bray_curtis_sources(d, "source", "text")
+
+
+def q_vocab_novelty(spark, sf):
+    """Vocabulary novelty curve over 10 id-ordered corpus slices
+    (r5): per-slice distinct types and never-seen-before fraction —
+    the incremental-crawl freshness monitor."""
+    d = _t(spark, sf)["documents"]
+    return text_ops.vocab_novelty_slices(d, "doc_id", "text", n_slices=10)
+
+
 def q_quality_auc(spark, sf):
     """Histogram ROC AUC (r5): does stopword_ratio separate English
     from non-English docs?  Rank-free Mann–Whitney over a bounded
@@ -2673,6 +2696,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_daily_acf": q_daily_acf,
         "events_runs_test": q_runs_test,
         "events_daily_gapfill": q_daily_gapfill,
+        "events_psi_weekly": q_psi_weekly,
+        "corpus_bray_curtis": q_bray_curtis,
+        "corpus_vocab_novelty": q_vocab_novelty,
         # ---- rows-only keys (no SQL oracle by design; driver records
         # a weaker rows-only row; full evidence lives in tests/) ------
         "text_bpe_merges": q_bpe_merges,
@@ -8796,5 +8822,94 @@ def oracle_sql() -> dict[str, str]:
     sqls["dedup_threshold_sweep"] = sqls["dedup_threshold_sweep"].replace(
         "{jaccard}", sqls["dedup_jaccard"]
     )
+
+    # r5: week-over-week PSI — epoch week index, 10 value bins,
+    # epsilon-floored proportions, round-9 decimal term sum.
+    sqls["events_psi_weekly"] = """
+        WITH h AS (
+          SELECT CAST(floor(date_diff('day', DATE '1970-01-01',
+                                      CAST(ts AS DATE))
+                            / CAST(7.0 AS DOUBLE)) AS BIGINT) AS week,
+                 least(CAST(9 AS BIGINT),
+                       greatest(CAST(0 AS BIGINT),
+                                CAST(floor(value / CAST(50.0 AS DOUBLE))
+                                     AS BIGINT))) AS bin,
+                 count(*) AS c
+          FROM events GROUP BY 1, 2),
+        t AS (SELECT week, CAST(sum(c) AS BIGINT) AS n
+              FROM h GROUP BY 1),
+        grid AS (SELECT t.week, t.n, CAST(gs.b AS BIGINT) AS bin
+                 FROM t, generate_series(0, 9) AS gs(b)),
+        dense AS (
+          SELECT g.week, g.bin, g.n,
+                 greatest(CAST(COALESCE(h.c, 0) AS DOUBLE)
+                            / CAST(g.n AS DOUBLE),
+                          CAST(1e-6 AS DOUBLE)) AS p
+          FROM grid g
+          LEFT JOIN h ON h.week = g.week AND h.bin = g.bin),
+        pairs AS (
+          SELECT cur.week, prv.n AS n_prev, cur.n AS n_cur,
+                 CAST(round((cur.p - prv.p) * ln(cur.p / prv.p), 9)
+                      AS DECIMAL(27,18)) AS term
+          FROM dense cur
+          JOIN dense prv
+            ON prv.week = cur.week - 1 AND prv.bin = cur.bin)
+        SELECT week, n_prev, n_cur,
+               round(CAST(sum(term) AS DOUBLE), 6) AS psi
+        FROM pairs GROUP BY 1, 2, 3
+    """
+
+    # r5: Bray–Curtis word-mass dissimilarity between source pairs.
+    _bc_w = _words_sql("text")
+    _bc_n = _norm_sql("text")
+    sqls["corpus_bray_curtis"] = f"""
+        WITH tok AS (SELECT source AS g, unnest({_bc_w}) AS w
+                     FROM documents WHERE length({_bc_n}) >= 1),
+        cnt AS (SELECT g, w, count(*) AS c FROM tok GROUP BY 1, 2),
+        tot AS (SELECT g, CAST(sum(c) AS BIGINT) AS n
+                FROM cnt GROUP BY 1),
+        shared AS (
+          SELECT a.g AS source_a, b.g AS source_b,
+                 CAST(sum(least(a.c, b.c)) AS BIGINT) AS shared_mass
+          FROM cnt a JOIN cnt b ON a.w = b.w AND a.g < b.g
+          GROUP BY 1, 2),
+        pairs AS (SELECT ta.g AS source_a, tb.g AS source_b,
+                         ta.n AS n_a, tb.n AS n_b
+                  FROM tot ta, tot tb WHERE ta.g < tb.g)
+        SELECT p.source_a, p.source_b,
+               CAST(COALESCE(s.shared_mass, 0) AS BIGINT) AS shared_mass,
+               p.n_a, p.n_b,
+               round(CAST(1.0 AS DOUBLE)
+                     - CAST(2.0 AS DOUBLE)
+                       * CAST(COALESCE(s.shared_mass, 0) AS DOUBLE)
+                       / (CAST(p.n_a AS DOUBLE)
+                          + CAST(p.n_b AS DOUBLE)), 6) AS bray_curtis
+        FROM pairs p
+        LEFT JOIN shared s
+          ON s.source_a = p.source_a AND s.source_b = p.source_b
+    """
+
+    # r5: vocabulary novelty per id-ordered corpus slice.
+    sqls["corpus_vocab_novelty"] = f"""
+        WITH mx AS (SELECT CAST(max(doc_id) AS BIGINT) AS mx
+                    FROM documents),
+        sl AS (SELECT CAST(floor(CAST(doc_id * 10 AS DOUBLE)
+                                 / CAST(mx + 1 AS DOUBLE)) AS BIGINT)
+                 AS slc,
+                      {_bc_w} AS ws
+               FROM documents, mx WHERE length({_bc_n}) >= 1),
+        tok AS (SELECT DISTINCT slc, w
+                FROM (SELECT slc, unnest(ws) AS w FROM sl)),
+        per AS (SELECT slc, CAST(count(*) AS BIGINT) AS types
+                FROM tok GROUP BY 1),
+        fs AS (SELECT min(slc) AS slc FROM tok GROUP BY w),
+        nw AS (SELECT slc, CAST(count(*) AS BIGINT) AS new_types
+               FROM fs GROUP BY 1)
+        SELECT per.slc AS slice, per.types,
+               CAST(COALESCE(nw.new_types, 0) AS BIGINT) AS new_types,
+               round(CAST(COALESCE(nw.new_types, 0) AS DOUBLE)
+                     / CAST(per.types AS DOUBLE), 6) AS novelty_rate
+        FROM per LEFT JOIN nw ON nw.slc = per.slc
+    """
 
     return sqls

@@ -2747,3 +2747,125 @@ def burrows_delta(
         )
         .orderBy("source_a", "source_b")
     )
+
+
+def bray_curtis_sources(
+    df: DataFrame, group_col: str, text_col: str
+) -> DataFrame:
+    """Bray–Curtis dissimilarity between every pair of sources' word
+    profiles: BC(a,b) = 1 − 2·Σ_w min(c_aw, c_bw) / (N_a + N_b) —
+    the abundance-weighted ecology distance, here a corpus-mix
+    monitor (BC → 0 means two crawls/sources deliver near-identical
+    word mixes, i.e. redundant acquisition; BC → 1 means disjoint
+    vocabulary mass).  Complements [[corpus_burrows_delta]]
+    (style z-scores on a fixed panel) with a full-vocabulary
+    mass-overlap measure.
+
+    Scale story: one corpus-scale token count per (source, word);
+    the pair stage inner-joins the two copies ON THE WORD KEY — work
+    is Σ_w (#sources sharing w)², never |corpus|², and sources are
+    few by construction.  Denominators come from an aggregate-sized
+    totals frame; the dense pair grid is sources², built by
+    crossJoin of two broadcast aggregate frames so zero-overlap
+    pairs still emit BC = 1.  All counts integer until one final
+    double division.
+
+    Output: source_a < source_b, shared_mass, n_a, n_b,
+    bray_curtis (round 6).
+    """
+    tok = (
+        df.select(
+            F.col(group_col).alias("g"), norm_text(F.col(text_col)).alias("_t")
+        )
+        .where(F.length("_t") >= 1)
+        .select("g", F.explode(F.split("_t", " ")).alias("w"))
+    )
+    cnt = tok.groupBy("g", "w").agg(F.count(F.lit(1)).alias("_c"))
+    cnt = cnt.localCheckpoint(eager=False)  # feeds totals + both join sides
+    tot = cnt.groupBy("g").agg(F.sum("_c").cast("bigint").alias("_n"))
+    a = cnt.select(F.col("g").alias("source_a"), "w", F.col("_c").alias("_ca"))
+    b = cnt.select(F.col("g").alias("source_b"), "w", F.col("_c").alias("_cb"))
+    shared = (
+        a.join(b, "w")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.sum(F.least("_ca", "_cb")).cast("bigint").alias("shared_mass"))
+    )
+    ta = tot.select(F.col("g").alias("source_a"), F.col("_n").alias("n_a"))
+    tb = tot.select(F.col("g").alias("source_b"), F.col("_n").alias("n_b"))
+    pairs = (
+        F.broadcast(ta)
+        .crossJoin(F.broadcast(tb))
+        .where(F.col("source_a") < F.col("source_b"))
+    )
+    return pairs.join(shared, ["source_a", "source_b"], "left").select(
+        "source_a",
+        "source_b",
+        F.coalesce("shared_mass", F.lit(0)).cast("bigint").alias("shared_mass"),
+        "n_a",
+        "n_b",
+        F.round(
+            F.lit(1.0)
+            - F.lit(2.0)
+            * F.coalesce("shared_mass", F.lit(0)).cast("double")
+            / (F.col("n_a").cast("double") + F.col("n_b").cast("double")),
+            6,
+        ).alias("bray_curtis"),
+    )
+
+
+def vocab_novelty_slices(
+    df: DataFrame, id_col: str, text_col: str, n_slices: int = 10
+) -> DataFrame:
+    """Vocabulary novelty curve: split the corpus into ``n_slices``
+    deterministic id-ordered slices and report, per slice, how many
+    distinct word types appear and what fraction of them were never
+    seen in any earlier slice — the incremental-crawl freshness
+    monitor ("is batch k still contributing new vocabulary, or are
+    we re-crawling the same material?").  The cumulative twin of
+    [[text_heaps_fit]]: Heaps extrapolates total growth, this
+    localizes WHERE growth stops.
+
+    Slice = floor(id·n / (max_id+1)) — pure integer arithmetic off a
+    broadcast 1-row max, deterministic at any engine/partitioning.
+    Work: one distinct (slice, word) projection of the token stream;
+    first-appearance is a vocabulary-sized min-groupBy; the rollup
+    is n_slices rows.  No windows, no sort.
+
+    Output: slice, types, new_types, novelty_rate (round 6).
+    """
+    mx = df.agg(F.max(F.col(id_col)).cast("bigint").alias("_mx"))
+    sliced = df.crossJoin(F.broadcast(mx)).select(
+        F.floor(
+            (F.col(id_col).cast("bigint") * F.lit(int(n_slices)))
+            / (F.col("_mx") + F.lit(1))
+        )
+        .cast("bigint")
+        .alias("slice"),
+        norm_text(F.col(text_col)).alias("_t"),
+    )
+    tok = (
+        sliced.where(F.length("_t") >= 1)
+        .select("slice", F.explode(F.split("_t", " ")).alias("w"))
+        .distinct()
+    )
+    tok = tok.localCheckpoint(eager=False)  # feeds per-slice + first-seen
+    per_slice = tok.groupBy("slice").agg(
+        F.count(F.lit(1)).cast("bigint").alias("types")
+    )
+    first = (
+        tok.groupBy("w")
+        .agg(F.min("slice").alias("slice"))
+        .groupBy("slice")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("new_types"))
+    )
+    return per_slice.join(first, "slice", "left").select(
+        "slice",
+        "types",
+        F.coalesce("new_types", F.lit(0)).cast("bigint").alias("new_types"),
+        F.round(
+            F.coalesce("new_types", F.lit(0)).cast("double")
+            / F.col("types").cast("double"),
+            6,
+        ).alias("novelty_rate"),
+    )

@@ -4005,3 +4005,83 @@ def events_jarque_bera(t: dict[str, DataFrame]) -> DataFrame:
         F.round(ek, 6).alias("excess_kurtosis"),
         F.round(jb, 6).alias("jb_stat"),
     )
+
+
+def events_psi_weekly(
+    t: dict[str, DataFrame],
+    bin_width: float = 50.0,
+    n_bins: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index of the event-value distribution,
+    week over week: PSI = Σ_bins (p−q)·ln(p/q) with epsilon-floored
+    proportions — the standard model-monitoring drift score (PSI <
+    0.1 stable, 0.1–0.25 shifting, > 0.25 drifted), here the "did
+    this week's traffic change shape" screen that gates retraining
+    and flags ingestion regressions.
+
+    Weeks index from a fixed epoch (floor(days-since-1970 / 7)), so
+    the bucketing is deterministic at any data range — no min(ts)
+    scan, no cross-engine week-truncation ambiguity.  One fact pass
+    builds the (week × bin) histogram; everything after (dense grid
+    via sequence-explode, consecutive-week self-join, 1-row-per-pair
+    rollup) is aggregate-sized, ≤ weeks × n_bins rows.  Counts stay
+    integer until one final double chain.  Mirrors the scale story of
+    the reference's streamed statistics (fuel/transformers
+    per-example running stats): histogram first, score second.
+
+    Output: week, n_prev, n_cur, psi (round 6) — one row per
+    consecutive-week pair.
+    """
+    e = t["events"]
+    week = F.floor(
+        F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01")))
+        / F.lit(7.0)
+    ).cast("bigint")
+    vbin = F.least(
+        F.lit(int(n_bins - 1)),
+        F.greatest(
+            F.lit(0),
+            F.floor(F.col("value") / F.lit(float(bin_width))).cast("bigint"),
+        ).cast("bigint"),
+    ).cast("bigint")
+    hist = (
+        e.select(week.alias("week"), vbin.alias("bin"))
+        .groupBy("week", "bin")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    tot = hist.groupBy("week").agg(F.sum("_c").cast("bigint").alias("_n"))
+    grid = tot.select(
+        "week",
+        "_n",
+        F.explode(F.sequence(F.lit(0), F.lit(int(n_bins - 1)))).alias("bin"),
+    ).select("week", "_n", F.col("bin").cast("bigint").alias("bin"))
+    dense = grid.join(hist, ["week", "bin"], "left").select(
+        "week",
+        "bin",
+        "_n",
+        F.greatest(
+            F.coalesce(F.col("_c"), F.lit(0)).cast("double")
+            / F.col("_n").cast("double"),
+            F.lit(float(eps)),
+        ).alias("p"),
+    )
+    prev = dense.select(
+        (F.col("week") + F.lit(1)).alias("week"),
+        "bin",
+        F.col("_n").alias("n_prev"),
+        F.col("p").alias("q"),
+    )
+    terms = dense.join(prev, ["week", "bin"]).select(
+        "week",
+        F.col("_n").alias("n_cur"),
+        "n_prev",
+        F.round(
+            (F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q")), 9
+        )
+        .cast("decimal(27,18)")
+        .alias("_term"),
+    )
+    return terms.groupBy("week", "n_prev", "n_cur").agg(
+        F.round(F.sum("_term").cast("double"), 6).alias("psi")
+    )

@@ -1613,3 +1613,29 @@ def test_jarque_bera_symmetric_vs_skewed(spark):
     r2 = analytics.events_jarque_bera(
         {"events": from_rows(spark, rows2)}).collect()[0]
     assert r2.skewness > 2.0 and r2.jb_stat > 50.0
+
+
+def test_psi_weekly_stable_and_drifted(spark):
+    import datetime as dt
+
+    def ev(eid, day, v):
+        return {"event_id": eid, "ts": dt.datetime(2024, 1, day, 12),
+                "user_id": 1, "event_type": "view", "value": v,
+                "props": "{}"}
+
+    # epoch weeks start on Thursday: 2024-01-04..10 and 11..17 are
+    # consecutive complete epoch weeks
+    # identical shape both weeks -> every p == q -> PSI exactly 0
+    rows = [ev(i, 4 + (i % 7), float(10 * (i % 5))) for i in range(70)]
+    rows += [ev(1000 + i, 11 + (i % 7), float(10 * (i % 5)))
+             for i in range(70)]
+    r = analytics.events_psi_weekly({"events": from_rows(spark, rows)})
+    got = r.collect()
+    assert len(got) == 1 and got[0].psi == 0.0
+    assert got[0].n_prev == 70 and got[0].n_cur == 70
+    # second week shifted into entirely different bins -> large PSI
+    rows2 = [ev(i, 4 + (i % 7), 10.0) for i in range(70)] + [
+        ev(1000 + i, 11 + (i % 7), 400.0) for i in range(70)]
+    r2 = analytics.events_psi_weekly(
+        {"events": from_rows(spark, rows2)}).collect()
+    assert len(r2) == 1 and r2[0].psi > 5.0

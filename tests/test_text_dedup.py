@@ -1881,3 +1881,38 @@ def test_burrows_delta_similar_sources_closer(spark):
            for r in burrows_delta(df, "source", "text", top_k=10).collect()}
     assert out[("s1", "s2")] == 0.0  # identical word usage
     assert out[("s1", "s3")] > 0.5 and out[("s2", "s3")] > 0.5
+
+
+def test_bray_curtis_hand_computed(spark):
+    from fuel_spark.ops.text import bray_curtis_sources
+
+    df = spark.createDataFrame(
+        [(0, "a a b", "s1"), (1, "a b c", "s2"), (2, "x y z", "s3")],
+        ["doc_id", "text", "source"],
+    )
+    out = {(r.source_a, r.source_b): r
+           for r in bray_curtis_sources(df, "source", "text").collect()}
+    # s1={a:2,b:1}, s2={a:1,b:1,c:1}: shared min-mass 2, BC=1-4/6
+    r12 = out[("s1", "s2")]
+    assert r12.shared_mass == 2 and r12.n_a == 3 and r12.n_b == 3
+    assert r12.bray_curtis == round(1 - 4 / 6, 6)
+    # disjoint vocabularies -> BC = 1 (and the pair still emits)
+    assert out[("s1", "s3")].bray_curtis == 1.0
+    assert out[("s2", "s3")].shared_mass == 0
+
+
+def test_vocab_novelty_slices(spark):
+    from fuel_spark.ops.text import vocab_novelty_slices
+
+    # ids 0-4 -> slice 0, ids 5-9 -> slice 1 (n_slices=2, max_id=9)
+    rows = [(i, "alpha beta") for i in range(5)]
+    rows += [(5 + i, "alpha beta") for i in range(4)]  # nothing new
+    rows += [(9, "alpha gamma")]  # one new type in slice 1
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.slice: r
+           for r in vocab_novelty_slices(df, "doc_id", "text",
+                                         n_slices=2).collect()}
+    assert out[0].types == 2 and out[0].new_types == 2
+    assert out[0].novelty_rate == 1.0
+    assert out[1].types == 3 and out[1].new_types == 1
+    assert out[1].novelty_rate == round(1 / 3, 6)
