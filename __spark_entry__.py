@@ -1060,6 +1060,33 @@ def q_vocab_novelty(spark, sf):
     return text_ops.vocab_novelty_slices(d, "doc_id", "text", n_slices=10)
 
 
+def q_abc_classification(spark, sf):
+    """ABC part classification (r5): cumulative revenue share via the
+    parallel partition-offset running sum (parallel_cumsum), A/B/C
+    Pareto classes — no single-partition window anywhere."""
+    return analytics.part_abc_classification(_t(spark, sf))
+
+
+def q_supplier_hhi(spark, sf):
+    """Per-nation Herfindahl–Hirschman supplier concentration (r5):
+    round-9 DECIMAL share² sums off one supplier-grain rollup."""
+    return analytics.supplier_herfindahl(_t(spark, sf))
+
+
+def q_gini_by_nation(spark, sf):
+    """Grouped Gini of customer LTV per nation (r5): rank identity
+    with ranks from ONE global parallel position pass minus broadcast
+    per-nation offsets; zero-order customers count at 0."""
+    return analytics.customer_gini_by_nation(_t(spark, sf))
+
+
+def q_association_rules(spark, sf):
+    """Market-basket association rules (r5): support / directional
+    confidence / lift on the top co-purchase pairs — bounded per-order
+    pair stream, part-grain supports, top-k join-back."""
+    return analytics.basket_association_rules(_t(spark, sf))
+
+
 def q_quality_auc(spark, sf):
     """Histogram ROC AUC (r5): does stopword_ratio separate English
     from non-English docs?  Rank-free Mann–Whitney over a bounded
@@ -2699,6 +2726,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_psi_weekly": q_psi_weekly,
         "corpus_bray_curtis": q_bray_curtis,
         "corpus_vocab_novelty": q_vocab_novelty,
+        "part_abc_classification": q_abc_classification,
+        "supplier_hhi": q_supplier_hhi,
+        "customer_gini_by_nation": q_gini_by_nation,
+        "basket_association_rules": q_association_rules,
         # ---- rows-only keys (no SQL oracle by design; driver records
         # a weaker rows-only row; full evidence lives in tests/) ------
         "text_bpe_merges": q_bpe_merges,
@@ -8910,6 +8941,125 @@ def oracle_sql() -> dict[str, str]:
                round(CAST(COALESCE(nw.new_types, 0) AS DOUBLE)
                      / CAST(per.types AS DOUBLE), 6) AS novelty_rate
         FROM per LEFT JOIN nw ON nw.slc = per.slc
+    """
+
+    # r5: ABC classification — cumulative revenue share over the
+    # part-dim aggregate (plain SQL window here; Spark side uses the
+    # parallel partition-offset cumsum, bit-identical).
+    sqls["part_abc_classification"] = """
+        WITH rev AS (SELECT l_partkey,
+                       sum(CAST(l_extendedprice * (1 - l_discount)
+                                AS DECIMAL(27,6))) AS r
+                     FROM lineitem GROUP BY 1),
+        tot AS (SELECT CAST(sum(r) AS DOUBLE) AS tr FROM rev),
+        c AS (SELECT r, sum(r) OVER (ORDER BY r DESC, l_partkey
+                                     ROWS UNBOUNDED PRECEDING) AS cum
+              FROM rev),
+        cls AS (SELECT r, tot.tr,
+                  CASE WHEN CAST(cum AS DOUBLE) / tot.tr
+                            <= CAST(0.80 AS DOUBLE) THEN 'A'
+                       WHEN CAST(cum AS DOUBLE) / tot.tr
+                            <= CAST(0.95 AS DOUBLE) THEN 'B'
+                       ELSE 'C' END AS part_class
+                FROM c, tot)
+        SELECT part_class, CAST(count(*) AS BIGINT) AS n_parts,
+               round(CAST(sum(r) AS DOUBLE), 6) AS revenue,
+               round(CAST(sum(r) AS DOUBLE) / max(tr), 6)
+                 AS revenue_share
+        FROM cls GROUP BY 1 ORDER BY 1
+    """
+
+    # r5: per-nation supplier HHI — round-9 decimal share² terms.
+    sqls["supplier_hhi"] = """
+        WITH rev AS (SELECT l_suppkey,
+                       sum(CAST(l_extendedprice * (1 - l_discount)
+                                AS DECIMAL(27,6))) AS r
+                     FROM lineitem GROUP BY 1),
+        j AS (SELECT s_nationkey, r FROM rev
+              JOIN supplier ON s_suppkey = l_suppkey),
+        nt AS (SELECT s_nationkey,
+                      CAST(count(*) AS BIGINT) AS n_suppliers,
+                      sum(r) AS tr
+               FROM j GROUP BY 1),
+        terms AS (SELECT j.s_nationkey, nt.n_suppliers, nt.tr,
+                    CAST(round((CAST(j.r AS DOUBLE) / CAST(nt.tr AS DOUBLE))
+                               * (CAST(j.r AS DOUBLE)
+                                  / CAST(nt.tr AS DOUBLE)), 9)
+                         AS DECIMAL(27,18)) AS t2
+                  FROM j JOIN nt ON nt.s_nationkey = j.s_nationkey),
+        h AS (SELECT s_nationkey, n_suppliers, tr,
+                     CAST(sum(t2) AS DOUBLE) AS hh
+              FROM terms GROUP BY 1, 2, 3)
+        SELECT n_name, n_suppliers,
+               round(CAST(tr AS DOUBLE), 6) AS revenue,
+               round(CAST(10000.0 AS DOUBLE) * hh, 6) AS hhi
+        FROM h JOIN nation ON n_nationkey = s_nationkey
+        ORDER BY n_name
+    """
+
+    # r5: grouped Gini by nation — rank identity, zero-order
+    # customers at LTV 0, decimal-exact rank·x sums.
+    sqls["customer_gini_by_nation"] = """
+        WITH ltv AS (SELECT o_custkey,
+                       sum(CAST(o_totalprice AS DECIMAL(27,6))) AS x
+                     FROM orders GROUP BY 1),
+        base AS (SELECT c_nationkey, c_custkey,
+                        COALESCE(x, CAST(0 AS DECIMAL(27,6))) AS x
+                 FROM customer LEFT JOIN ltv ON o_custkey = c_custkey),
+        r AS (SELECT c_nationkey, x,
+                     row_number() OVER (PARTITION BY c_nationkey
+                                        ORDER BY x, c_custkey) AS i
+              FROM base),
+        a AS (SELECT c_nationkey,
+                     CAST(count(*) AS BIGINT) AS n_customers,
+                     sum(x) AS sx, sum(x * i) AS s1
+              FROM r GROUP BY 1)
+        SELECT n_name, n_customers,
+               round(CAST(sx AS DOUBLE), 6) AS total_ltv,
+               CASE WHEN sx = 0 THEN CAST(0.0 AS DOUBLE)
+                    ELSE round(CAST(2.0 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                               / (CAST(n_customers AS DOUBLE)
+                                  * CAST(sx AS DOUBLE))
+                               - (CAST(n_customers AS DOUBLE)
+                                  + CAST(1.0 AS DOUBLE))
+                                 / CAST(n_customers AS DOUBLE), 6)
+                         + CAST(0.0 AS DOUBLE)
+               END AS gini
+        FROM a JOIN nation ON n_nationkey = c_nationkey
+        ORDER BY n_name
+    """
+
+    # r5: association rules on the top co-purchase pairs.
+    sqls["basket_association_rules"] = """
+        WITH l AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS no
+              FROM l),
+        item AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS ci
+                 FROM l GROUP BY 1),
+        pairs AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                         CAST(count(*) AS BIGINT) AS pair_orders
+                  FROM l a JOIN l b
+                    ON a.l_orderkey = b.l_orderkey
+                   AND a.l_partkey < b.l_partkey
+                  GROUP BY 1, 2),
+        topk AS (SELECT * FROM pairs
+                 ORDER BY pair_orders DESC, part_a, part_b LIMIT 20)
+        SELECT part_a, part_b, pair_orders,
+               ia.ci AS orders_a, ib.ci AS orders_b,
+               round(CAST(pair_orders AS DOUBLE) / CAST(n.no AS DOUBLE), 6)
+                 AS support,
+               round(CAST(pair_orders AS DOUBLE) / CAST(ia.ci AS DOUBLE), 6)
+                 AS conf_a_to_b,
+               round(CAST(pair_orders AS DOUBLE) / CAST(ib.ci AS DOUBLE), 6)
+                 AS conf_b_to_a,
+               round(CAST(pair_orders AS DOUBLE) * CAST(n.no AS DOUBLE)
+                     / (CAST(ia.ci AS DOUBLE) * CAST(ib.ci AS DOUBLE)), 6)
+                 AS lift
+        FROM topk
+        JOIN item ia ON ia.l_partkey = part_a
+        JOIN item ib ON ib.l_partkey = part_b
+        CROSS JOIN n
+        ORDER BY pair_orders DESC, part_a, part_b
     """
 
     return sqls

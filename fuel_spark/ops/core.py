@@ -380,6 +380,49 @@ def with_positions_local(df: DataFrame, pos_col: str = "_pos") -> DataFrame:
     return _offset_positions(df, pos_col, 1)
 
 
+def parallel_cumsum(
+    df: DataFrame,
+    order_cols,
+    value_col: str,
+    out_col: str = "_cum",
+) -> DataFrame:
+    """Global running sum of ``value_col`` in ``order_cols`` order
+    WITHOUT the ``Window.orderBy`` single-partition collapse — the
+    cumulative twin of :func:`with_positions`.
+
+    Same two-level partition-offset scheme: (1) range-partition +
+    local sort on the order columns (a *parallel* sort — every
+    partition sorts its own key range); (2) per-partition value sums
+    (num_partitions rows, metadata-sized) window into cumulative
+    offsets and broadcast back; (3) an intra-partition running sum
+    over the pid-partitioned window (parallel — every partition scans
+    only its own rows) plus the broadcast offset reproduces the
+    global ``sum() OVER (ORDER BY ...)`` exactly.  Pass a DECIMAL
+    ``value_col`` for bit-deterministic output at any parallelism;
+    oracles keep using the plain SQL window.
+    """
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    d = df.repartitionByRange(*cols).sortWithinPartitions(*cols)
+    d = d.withColumn("_mid", F.monotonically_increasing_id()).withColumn(
+        "_wpid", F.shiftrightunsigned("_mid", _MID_PARTITION_SHIFT)
+    )
+    psums = d.groupBy("_wpid").agg(F.sum(value_col).alias("_ps"))
+    ow = Window.orderBy("_wpid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = psums.select(
+        "_wpid", F.coalesce(F.sum("_ps").over(ow), F.lit(0)).alias("_poff")
+    )
+    iw = (
+        Window.partitionBy("_wpid")
+        .orderBy("_mid")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        d.join(F.broadcast(offsets), "_wpid")
+        .withColumn(out_col, F.col("_poff") + F.sum(value_col).over(iw))
+        .drop("_mid", "_wpid", "_poff")
+    )
+
+
 def merge_streams(
     left: DataFrame,
     right: DataFrame,

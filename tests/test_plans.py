@@ -751,6 +751,12 @@ SINGLE_PARTITION_ALLOWLIST = {
     "pad_sequences", "sort_within_batches", "unpack_batches",
     "merge_streams", "merge_streams_local", "cache_stream_rebatch",
     "split_select", "pack_concat_sequences",
+    # same offsets-cumsum machinery: parallel_cumsum (ABC) and
+    # with_positions (grouped Gini) window per-partition SUMS/COUNTS
+    # (≤ #partitions rows); the data plane never funnels
+    "part_abc_classification", "customer_gini_by_nation",
+    # k-row final: top-20 rule table ordered for output
+    "basket_association_rules",
     # 1-row / few-row global finals (counts, corr, chi-square, DiD,
     # expectation & referential suites, calibration/summary reports)
     "check_expectations", "check_referential", "events_chi_square",
@@ -1639,3 +1645,86 @@ def test_psi_weekly_stable_and_drifted(spark):
     r2 = analytics.events_psi_weekly(
         {"events": from_rows(spark, rows2)}).collect()
     assert len(r2) == 1 and r2[0].psi > 5.0
+
+
+def test_parallel_cumsum_matches_window(spark):
+    from pyspark.sql import Window as W
+    from fuel_spark.ops.core import parallel_cumsum
+
+    rows = [(i, float((i * 37) % 11) + 0.25) for i in range(500)]
+    df = spark.createDataFrame(rows, ["k", "v"]).select(
+        "k", F.col("v").cast("decimal(27,6)").alias("v")
+    ).repartition(8)
+    got = {
+        r.k: r._cum
+        for r in parallel_cumsum(df, [F.col("v"), F.col("k")], "v").collect()
+    }
+    w = W.orderBy("v", "k").rowsBetween(W.unboundedPreceding, 0)
+    want = {r.k: r._c for r in df.select(
+        "k", F.sum("v").over(w).alias("_c")).collect()}
+    assert got == want  # bit-identical to the single-partition window
+
+
+def test_abc_classification_hand_computed(spark):
+    # revenues 80 / 15 / 5 -> cum shares 0.80, 0.95, 1.00 -> A, B, C
+    rows = [(1, 80.0, 0.0), (2, 15.0, 0.0), (3, 5.0, 0.0)]
+    l = spark.createDataFrame(
+        rows, ["l_partkey", "l_extendedprice", "l_discount"]
+    )
+    out = {r.part_class: r
+           for r in analytics.part_abc_classification({"lineitem": l}).collect()}
+    assert out["A"].n_parts == 1 and out["A"].revenue == 80.0
+    assert out["A"].revenue_share == 0.8
+    assert out["B"].n_parts == 1 and out["C"].n_parts == 1
+
+
+def test_supplier_hhi_monopoly_and_duopoly(spark):
+    l = spark.createDataFrame(
+        [(1, 100.0, 0.0), (2, 50.0, 0.0), (3, 50.0, 0.0)],
+        ["l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    s = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 20)], ["s_suppkey", "s_nationkey"]
+    )
+    n = spark.createDataFrame(
+        [(10, "MONO"), (20, "DUO")], ["n_nationkey", "n_name"]
+    )
+    out = {r.n_name: r for r in analytics.supplier_herfindahl(
+        {"lineitem": l, "supplier": s, "nation": n}).collect()}
+    assert out["MONO"].hhi == 10000.0 and out["MONO"].n_suppliers == 1
+    assert out["DUO"].hhi == 5000.0 and out["DUO"].n_suppliers == 2
+
+
+def test_gini_by_nation_equal_and_concentrated(spark):
+    # nation 1: four equal customers -> gini 0
+    # nation 2: one of four holds everything -> gini (n-1)/n = 0.75
+    o = spark.createDataFrame(
+        [(i, 100.0) for i in range(1, 5)] + [(8, 400.0)],
+        ["o_custkey", "o_totalprice"],
+    )
+    c = spark.createDataFrame(
+        [(i, 1) for i in range(1, 5)] + [(i, 2) for i in range(5, 9)],
+        ["c_custkey", "c_nationkey"],
+    )
+    n = spark.createDataFrame(
+        [(1, "EQUAL"), (2, "CONC")], ["n_nationkey", "n_name"]
+    )
+    out = {r.n_name: r for r in analytics.customer_gini_by_nation(
+        {"orders": o, "customer": c, "nation": n}).collect()}
+    assert out["EQUAL"].gini == 0.0 and out["EQUAL"].n_customers == 4
+    assert out["CONC"].gini == 0.75 and out["CONC"].total_ltv == 400.0
+
+
+def test_association_rules_hand_computed(spark):
+    # orders: {1,2} {1,2} {1,3} {2} -> pair(1,2)=2, N=4, c1=3, c2=3
+    rows = [(10, 1), (10, 2), (11, 1), (11, 2), (12, 1), (12, 3), (13, 2)]
+    l = spark.createDataFrame(rows, ["l_orderkey", "l_partkey"])
+    out = {(r.part_a, r.part_b): r
+           for r in analytics.basket_association_rules(
+               {"lineitem": l}).collect()}
+    r12 = out[(1, 2)]
+    assert r12.pair_orders == 2 and r12.orders_a == 3 and r12.orders_b == 3
+    assert r12.support == 0.5
+    assert r12.conf_a_to_b == round(2 / 3, 6)
+    assert r12.lift == round(2 * 4 / 9, 6)
+    assert out[(1, 3)].pair_orders == 1 and out[(1, 3)].conf_b_to_a == 1.0
