@@ -1087,6 +1087,24 @@ def q_association_rules(spark, sf):
     return analytics.basket_association_rules(_t(spark, sf))
 
 
+def q_crosscorr(spark, sf):
+    """Lead–lag cross-correlation of view vs purchase daily counts
+    (r5): calendar lags −3..3, full-series normalization."""
+    return analytics.events_crosscorr(_t(spark, sf))
+
+
+def q_pettitt(spark, sf):
+    """Pettitt changepoint test (r5): rank-collapsed U statistic as
+    an exact-integer running sum over the day grid."""
+    return analytics.events_pettitt(_t(spark, sf))
+
+
+def q_hurst(spark, sf):
+    """Hurst exponent by R/S analysis (r5): block-partitioned
+    cumulative windows, 3-point log-log OLS."""
+    return analytics.events_hurst(_t(spark, sf))
+
+
 def q_quality_auc(spark, sf):
     """Histogram ROC AUC (r5): does stopword_ratio separate English
     from non-English docs?  Rank-free Mann–Whitney over a bounded
@@ -2730,6 +2748,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_hhi": q_supplier_hhi,
         "customer_gini_by_nation": q_gini_by_nation,
         "basket_association_rules": q_association_rules,
+        "events_crosscorr": q_crosscorr,
+        "events_pettitt": q_pettitt,
+        "events_hurst": q_hurst,
         # ---- rows-only keys (no SQL oracle by design; driver records
         # a weaker rows-only row; full evidence lives in tests/) ------
         "text_bpe_merges": q_bpe_merges,
@@ -9060,6 +9081,126 @@ def oracle_sql() -> dict[str, str]:
         JOIN item ib ON ib.l_partkey = part_b
         CROSS JOIN n
         ORDER BY pair_orders DESC, part_a, part_b
+    """
+
+    # r5: lead–lag cross-correlation, view → purchase daily counts.
+    sqls["events_crosscorr"] = """
+        WITH daily AS (SELECT CAST(ts AS DATE) AS d, event_type,
+                              count(*) AS n
+                       FROM events
+                       WHERE event_type IN ('view', 'purchase')
+                       GROUP BY 1, 2),
+        dx AS (SELECT d, n FROM daily WHERE event_type = 'view'),
+        dy AS (SELECT d, n FROM daily WHERE event_type = 'purchase'),
+        sx AS (SELECT CAST(sum(n) AS DOUBLE) / count(*) AS mx FROM dx),
+        sy AS (SELECT CAST(sum(n) AS DOUBLE) / count(*) AS my FROM dy),
+        cx AS (SELECT d, CAST(n AS DOUBLE) - sx.mx AS dxv FROM dx, sx),
+        cy AS (SELECT d, CAST(n AS DOUBLE) - sy.my AS dyv FROM dy, sy),
+        vx AS (SELECT CAST(sum(CAST(round(dxv * dxv, 6)
+                                    AS DECIMAL(27,6))) AS DOUBLE) AS v
+               FROM cx),
+        vy AS (SELECT CAST(sum(CAST(round(dyv * dyv, 6)
+                                    AS DECIMAL(27,6))) AS DOUBLE) AS v
+               FROM cy),
+        lags AS (SELECT CAST(unnest(generate_series(-3, 3)) AS INTEGER)
+                   AS lag),
+        pr AS (SELECT x.lag, x.dxv, cy.dyv
+               FROM (SELECT l.lag, cx.d + l.lag AS d2, cx.dxv
+                     FROM cx CROSS JOIN lags l) x
+               JOIN cy ON cy.d = x.d2),
+        num AS (SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+                  CAST(sum(CAST(round(dxv * dyv, 6)
+                                AS DECIMAL(27,6))) AS DOUBLE) AS nm
+                FROM pr GROUP BY 1)
+        SELECT lag, n_pairs,
+               round(nm / sqrt(vx.v * vy.v), 6) + CAST(0.0 AS DOUBLE)
+                 AS ccf
+        FROM num, vx, vy ORDER BY lag
+    """
+
+    # r5: Pettitt changepoint — midrank collapse, exact-integer U_t.
+    sqls["events_pettitt"] = """
+        WITH daily AS (SELECT CAST(ts AS DATE) AS d, count(*) AS n
+                       FROM events GROUP BY 1),
+        r AS (SELECT d,
+                CAST(2 * rank() OVER (ORDER BY n)
+                     + count(*) OVER (PARTITION BY n) - 1
+                     AS BIGINT) AS m2
+              FROM daily),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
+        u AS (SELECT d, nn.n,
+                CAST(sum(m2) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+                     - row_number() OVER (ORDER BY d) * (nn.n + 1)
+                     AS BIGINT) AS uu,
+                row_number() OVER (ORDER BY d) AS tt
+              FROM r, nn),
+        b AS (SELECT * FROM u WHERE tt < n
+              ORDER BY abs(uu) DESC, d LIMIT 1)
+        SELECT n AS n_days, CAST(abs(uu) AS BIGINT) AS k_stat,
+               CAST(d AS VARCHAR) AS change_day,
+               round(least(CAST(1.0 AS DOUBLE),
+                 CAST(2.0 AS DOUBLE)
+                 * exp(CAST(-6.0 AS DOUBLE)
+                       * CAST(uu AS DOUBLE) * CAST(uu AS DOUBLE)
+                       / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                            * CAST(n AS DOUBLE)
+                          + CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))),
+                 6) AS p_approx
+        FROM b
+    """
+
+    # r5: Hurst exponent — R/S per complete block, log-log OLS.
+    sqls["events_hurst"] = """
+        WITH daily AS (SELECT CAST(ts AS DATE) AS d, count(*) AS n
+                       FROM events GROUP BY 1),
+        idx AS (SELECT row_number() OVER (ORDER BY d) - 1 AS i,
+                       CAST(n AS DOUBLE) AS x
+                FROM daily),
+        ws AS (SELECT unnest([5, 10, 15]) AS w),
+        bl0 AS (SELECT ws.w, idx.i, idx.x,
+                  CAST(floor(CAST(idx.i AS DOUBLE)
+                             / CAST(ws.w AS DOUBLE)) AS BIGINT) AS b
+                FROM idx CROSS JOIN ws),
+        bl AS (SELECT * FROM (
+                 SELECT *, count(*) OVER (PARTITION BY w, b) AS nb
+                 FROM bl0) WHERE nb = w),
+        mu AS (SELECT w, b,
+                 CAST(sum(CAST(x AS DECIMAL(27,6))) AS DOUBLE)
+                   / CAST(w AS DOUBLE) AS mu
+               FROM bl GROUP BY 1, 2),
+        dev AS (SELECT bl.w, bl.b, bl.i, bl.x - mu.mu AS dv
+                FROM bl JOIN mu ON mu.w = bl.w AND mu.b = bl.b),
+        cum AS (SELECT w, b, dv,
+                  sum(dv) OVER (PARTITION BY w, b ORDER BY i
+                                ROWS UNBOUNDED PRECEDING) AS c
+                FROM dev),
+        rs AS (SELECT w, b, max(c) - min(c) AS r,
+                 sqrt(CAST(sum(CAST(round(dv * dv, 9)
+                                    AS DECIMAL(27,18))) AS DOUBLE)
+                      / CAST(w AS DOUBLE)) AS s
+               FROM cum GROUP BY 1, 2),
+        pw AS (SELECT w, CAST(count(*) AS BIGINT) AS n_blocks,
+                 CAST(sum(CAST(round(r / s, 9) AS DECIMAL(27,18)))
+                      AS DOUBLE) / count(*) AS ars
+               FROM rs WHERE s > 0 GROUP BY 1),
+        pts AS (SELECT w, n_blocks, ars,
+                       ln(CAST(w AS DOUBLE)) AS lx, ln(ars) AS ly
+                FROM pw),
+        fit AS (SELECT CAST(count(*) AS DOUBLE) AS k,
+                  CAST(sum(CAST(round(lx, 9) AS DECIMAL(27,18)))
+                       AS DOUBLE) AS sx,
+                  CAST(sum(CAST(round(ly, 9) AS DECIMAL(27,18)))
+                       AS DOUBLE) AS sy,
+                  CAST(sum(CAST(round(lx * ly, 9) AS DECIMAL(27,18)))
+                       AS DOUBLE) AS sxy,
+                  CAST(sum(CAST(round(lx * lx, 9) AS DECIMAL(27,18)))
+                       AS DOUBLE) AS sxx
+                FROM pts)
+        SELECT w, n_blocks, round(ars, 6) AS avg_rs,
+               round((fit.k * fit.sxy - fit.sx * fit.sy)
+                     / (fit.k * fit.sxx - fit.sx * fit.sx), 6)
+                 + CAST(0.0 AS DOUBLE) AS hurst
+        FROM pts, fit ORDER BY w
     """
 
     return sqls

@@ -4368,3 +4368,273 @@ def basket_association_rules(
         )
         .orderBy(F.desc("pair_orders"), "part_a", "part_b")
     )
+
+
+def events_crosscorr(
+    t: dict[str, DataFrame],
+    lead_type: str = "view",
+    lag_type: str = "purchase",
+    max_lag: int = 3,
+) -> DataFrame:
+    """Lead–lag cross-correlation between two event types' daily
+    counts at calendar lags −``max_lag``..+``max_lag``: does today's
+    ``lead_type`` volume predict ``lag_type`` volume k days later
+    (positive lags), or the reverse?  The funnel-latency diagnostic
+    that picks attribution windows and forecast features; the
+    two-series sibling of :func:`events_daily_acf`.
+
+    One fact pass to a (day × type) grid; each series mean-centers
+    against a broadcast 1-row stats frame; every lag is a broadcast
+    self-join of the day-grid on d+k (calendar lag — missing days
+    yield no pair, stated).  CCF normalizes by the full-series
+    √(Σdx²·Σdy²) (the standard estimator, so |ccf| can exceed 1 only
+    on degenerate short overlaps).  Products round-6 then sum as
+    exact DECIMAL.
+
+    Output: lag, n_pairs, ccf (round 6), ordered by lag.
+    """
+    e = t["events"]
+    daily = (
+        e.where(F.col("event_type").isin(lead_type, lag_type))
+        .groupBy(F.to_date("ts").alias("d"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    dx = daily.where(F.col("event_type") == lead_type).select(
+        "d", F.col("n").alias("_nx")
+    )
+    dy = daily.where(F.col("event_type") == lag_type).select(
+        "d", F.col("n").alias("_ny")
+    )
+    sx = dx.agg(
+        (F.sum("_nx").cast("double") / F.count(F.lit(1))).alias("_mx")
+    )
+    sy = dy.agg(
+        (F.sum("_ny").cast("double") / F.count(F.lit(1))).alias("_my")
+    )
+    cx = dx.crossJoin(F.broadcast(sx)).select(
+        "d", (F.col("_nx").cast("double") - F.col("_mx")).alias("_dx")
+    ).localCheckpoint(eager=False)
+    cy = dy.crossJoin(F.broadcast(sy)).select(
+        "d", (F.col("_ny").cast("double") - F.col("_my")).alias("_dy")
+    ).localCheckpoint(eager=False)
+    vx = cx.select(
+        F.round(F.col("_dx") * F.col("_dx"), 6).cast("decimal(27,6)").alias("_t")
+    ).agg(F.sum("_t").cast("double").alias("_vx"))
+    vy = cy.select(
+        F.round(F.col("_dy") * F.col("_dy"), 6).cast("decimal(27,6)").alias("_t")
+    ).agg(F.sum("_t").cast("double").alias("_vy"))
+    lags = cx.sparkSession.range(-int(max_lag), int(max_lag) + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    pairs = (
+        cx.crossJoin(F.broadcast(lags))
+        .select("lag", F.date_add("d", F.col("lag")).alias("d"), "_dx")
+        .join(cy, "d")
+    )
+    num = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(
+            F.round(F.col("_dx") * F.col("_dy"), 6).cast("decimal(27,6)")
+        ).cast("double").alias("_num"),
+    )
+    return (
+        num.crossJoin(F.broadcast(vx))
+        .crossJoin(F.broadcast(vy))
+        .select(
+            "lag",
+            "n_pairs",
+            (
+                F.round(
+                    F.col("_num") / F.sqrt(F.col("_vx") * F.col("_vy")), 6
+                )
+                + F.lit(0.0)
+            ).alias("ccf"),
+        )
+        .orderBy("lag")
+    )
+
+
+def events_pettitt(t: dict[str, DataFrame]) -> DataFrame:
+    """Pettitt changepoint test (Pettitt 1979) on the daily
+    event-count series: the rank-based, distribution-free "did the
+    level shift, and when" test — U_t = Σ_{i≤t} Σ_{j>t} sgn(x_i−x_j),
+    K = max|U_t|, with the classic approximation
+    p ≈ 2·exp(−6K²/(n³+n²)) (stated approximation).  The
+    single-changepoint complement to the CUSUM scan.
+
+    The quadratic double sum collapses to ranks: with midranks R_i
+    (ties averaged), U_t = Σ_{i≤t}(2R_i − 1 − n) — and 2R_i is the
+    INTEGER 2·rank + ties − 1, so U_t is an exact-integer running
+    sum over the day grid.  Everything is day-grid-sized (two
+    windows: one over value for midranks, one over day for the
+    cumsum); the argmax tie-breaks to the earliest day (stated).
+
+    Output: one row — n_days, k_stat, change_day (STRING, the last
+    day of the pre-change segment), p_approx (round 6).
+    """
+    from pyspark.sql import Window as W
+
+    e = t["events"]
+    daily = e.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    vw = W.orderBy("n")
+    tw = W.partitionBy("n")
+    m2 = (
+        F.lit(2) * F.rank().over(vw)
+        + F.count(F.lit(1)).over(tw)
+        - F.lit(1)
+    ).cast("bigint")
+    ranked = daily.select("d", m2.alias("_m2"))
+    nrel = ranked.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    dw = W.orderBy("d").rowsBetween(W.unboundedPreceding, 0)
+    u = (
+        ranked.crossJoin(F.broadcast(nrel))
+        .select(
+            "d",
+            "_n",
+            (
+                F.sum("_m2").over(dw)
+                - F.row_number().over(W.orderBy("d")).cast("bigint")
+                * (F.col("_n") + 1)
+            ).alias("_u"),
+            F.row_number().over(W.orderBy("d")).alias("_t"),
+        )
+        .where(F.col("_t") < F.col("_n"))  # U_n == 0 by construction
+    )
+    best = u.orderBy(F.abs("_u").desc(), F.asc("d")).limit(1)
+    nn = F.col("_n").cast("double")
+    return best.select(
+        F.col("_n").alias("n_days"),
+        F.abs("_u").alias("k_stat"),
+        F.col("d").cast("string").alias("change_day"),
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(2.0)
+                * F.exp(
+                    F.lit(-6.0)
+                    * F.col("_u").cast("double")
+                    * F.col("_u").cast("double")
+                    / (nn * nn * nn + nn * nn)
+                ),
+            ),
+            6,
+        ).alias("p_approx"),
+    )
+
+
+def events_hurst(
+    t: dict[str, DataFrame], windows: tuple[int, ...] = (5, 10, 15)
+) -> DataFrame:
+    """Hurst exponent by rescaled-range (R/S) analysis of the daily
+    event-count series (Hurst 1951; Mandelbrot & Wallis 1969): slope
+    of log(avg R/S) on log(window) — H ≈ 0.5 memoryless, H > 0.5
+    persistent/trending, H < 0.5 mean-reverting.  The long-range-
+    dependence screen that says whether daily volume is forecastable
+    beyond short ACF lags.
+
+    Day-grid-sized throughout: day index from one day-ordered
+    window, each window size w explodes its floor(n/w) COMPLETE
+    blocks (remainder days dropped, stated), per-block mean/R/S from
+    a (w,block)-PARTITIONED cumulative window (sequential order ⇒
+    engine-identical doubles), round-9 DECIMAL sums for the
+    unordered aggregates, and the 3-point log-log OLS in exact
+    closed form.  Zero-variance blocks drop (R/S undefined, stated).
+
+    Output: one row per window — w, n_blocks, avg_rs, hurst
+    (round 6; hurst repeated on each row), ordered by w.
+    """
+    from pyspark.sql import Window as W
+
+    e = t["events"]
+    daily = e.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    idx = daily.select(
+        (F.row_number().over(W.orderBy("d")) - 1).alias("_i"),
+        F.col("n").cast("double").alias("_x"),
+    )
+    ws = idx.sparkSession.createDataFrame(
+        [(int(w),) for w in windows], ["w"]
+    )
+    blocks = (
+        idx.crossJoin(F.broadcast(ws))
+        .withColumn("_b", F.floor(F.col("_i") / F.col("w")).cast("bigint"))
+        .withColumn("_nb", F.count(F.lit(1)).over(W.partitionBy("w", "_b")))
+        .where(F.col("_nb") == F.col("w"))  # complete blocks only
+    )
+    mu = blocks.groupBy("w", "_b").agg(
+        (
+            F.sum(F.col("_x").cast("decimal(27,6)")).cast("double")
+            / F.col("w").cast("double")
+        ).alias("_mu"),
+    )
+    dev = blocks.join(F.broadcast(mu), ["w", "_b"]).select(
+        "w", "_b", "_i", (F.col("_x") - F.col("_mu")).alias("_dev")
+    )
+    cw = (
+        W.partitionBy("w", "_b")
+        .orderBy("_i")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    cum = dev.select(
+        "w", "_b", "_dev", F.sum("_dev").over(cw).alias("_c")
+    )
+    rs = cum.groupBy("w", "_b").agg(
+        (F.max("_c") - F.min("_c")).alias("_r"),
+        F.sqrt(
+            F.sum(
+                F.round(F.col("_dev") * F.col("_dev"), 9).cast(
+                    "decimal(27,18)"
+                )
+            ).cast("double")
+            / F.first("w").cast("double")
+        ).alias("_s"),
+    )
+    per_w = (
+        rs.where(F.col("_s") > 0)
+        .select(
+            "w",
+            F.round(F.col("_r") / F.col("_s"), 9)
+            .cast("decimal(27,18)")
+            .alias("_rs"),
+        )
+        .groupBy("w")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+            (F.sum("_rs").cast("double") / F.count(F.lit(1))).alias("_ars"),
+        )
+    )
+    pts = per_w.select(
+        "w",
+        "n_blocks",
+        "_ars",
+        F.log(F.col("w").cast("double")).alias("_lx"),
+        F.log("_ars").alias("_ly"),
+    ).localCheckpoint(eager=False)
+    fit = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("_k"),
+        F.sum(F.round("_lx", 9).cast("decimal(27,18)")).cast("double").alias("_sx"),
+        F.sum(F.round("_ly", 9).cast("decimal(27,18)")).cast("double").alias("_sy"),
+        F.sum(
+            F.round(F.col("_lx") * F.col("_ly"), 9).cast("decimal(27,18)")
+        ).cast("double").alias("_sxy"),
+        F.sum(
+            F.round(F.col("_lx") * F.col("_lx"), 9).cast("decimal(27,18)")
+        ).cast("double").alias("_sxx"),
+    )
+    hurst = (
+        (F.col("_k") * F.col("_sxy") - F.col("_sx") * F.col("_sy"))
+        / (F.col("_k") * F.col("_sxx") - F.col("_sx") * F.col("_sx"))
+    )
+    return (
+        pts.crossJoin(F.broadcast(fit))
+        .select(
+            "w",
+            "n_blocks",
+            F.round("_ars", 6).alias("avg_rs"),
+            (F.round(hurst, 6) + F.lit(0.0)).alias("hurst"),
+        )
+        .orderBy("w")
+    )

@@ -809,6 +809,9 @@ SINGLE_PARTITION_ALLOWLIST = {
     # (spearman), 2×|types| JS rollup, day-grid ACF/runs/gap-fill
     "lineitem_spearman", "events_weekday_js", "events_daily_acf",
     "events_runs_test", "events_daily_gapfill",
+    # day-grid windows (≤ days rows): Pettitt midrank/cumsum + 1-row
+    # argmax; Hurst day-index window + 3-point fit; CCF 1-row norms
+    "events_pettitt", "events_hurst", "events_crosscorr",
     # bigram-table 1-row total (LLR); day-grid S + 1-row moments (MK)
     "text_bigram_llr", "events_mann_kendall",
     # bounded-grid KS ECDF window + 1-row finals (KS/Theil/Chao1);
@@ -1728,3 +1731,54 @@ def test_association_rules_hand_computed(spark):
     assert r12.conf_a_to_b == round(2 / 3, 6)
     assert r12.lift == round(2 * 4 / 9, 6)
     assert out[(1, 3)].pair_orders == 1 and out[(1, 3)].conf_b_to_a == 1.0
+
+
+def _mk_ev(eid, day, etype="view", month=1):
+    import datetime as dt
+    return {"event_id": eid, "ts": dt.datetime(2024, month, day, 12),
+            "user_id": 1, "event_type": etype, "value": 1.0, "props": "{}"}
+
+
+def test_crosscorr_peaks_at_shift(spark):
+    # purchase daily counts = view counts shifted +2 days -> ccf(2)=1
+    counts = [5, 9, 2, 7, 4, 8, 1, 6, 3, 10]
+    rows, eid = [], 0
+    for i, c in enumerate(counts):
+        for _ in range(c):
+            rows.append(_mk_ev(eid, 3 + i, "view")); eid += 1
+        for _ in range(c):
+            rows.append(_mk_ev(eid, 5 + i, "purchase")); eid += 1
+    out = {r.lag: r for r in analytics.events_crosscorr(
+        {"events": from_rows(spark, rows)}).collect()}
+    assert out[2].ccf > 0.97  # matched pairs, full overlap of 8 days
+    assert all(out[2].ccf >= out[k].ccf for k in out)
+
+
+def test_pettitt_detects_level_shift(spark):
+    # days 1..10 at 3/day, days 11..20 at 30/day -> break after day 10
+    rows, eid = [], 0
+    for d in range(1, 11):
+        for _ in range(3):
+            rows.append(_mk_ev(eid, d)); eid += 1
+    for d in range(11, 21):
+        for _ in range(30):
+            rows.append(_mk_ev(eid, d)); eid += 1
+    r = analytics.events_pettitt({"events": from_rows(spark, rows)}).collect()[0]
+    assert r.change_day == "2024-01-10" and r.n_days == 20
+    assert r.k_stat == 100 and r.p_approx < 0.01  # max U = 10*10 pairs
+
+
+def test_hurst_trending_vs_alternating(spark):
+    # strictly trending counts -> persistent (high H);
+    # strict alternation -> anti-persistent (low H)
+    trend, alt, eid = [], [], 0
+    for d in range(1, 31):
+        for _ in range(d):
+            trend.append(_mk_ev(eid, d)); eid += 1
+        for _ in range(2 if d % 2 else 20):
+            alt.append(_mk_ev(eid, d)); eid += 1
+    ht = analytics.events_hurst({"events": from_rows(spark, trend)}).collect()
+    ha = analytics.events_hurst({"events": from_rows(spark, alt)}).collect()
+    assert len(ht) == 3 and all(r.hurst == ht[0].hurst for r in ht)
+    assert ht[0].hurst > 0.85
+    assert ha[0].hurst < ht[0].hurst and ha[0].hurst < 0.35
