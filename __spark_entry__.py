@@ -1105,6 +1105,27 @@ def q_hurst(spark, sf):
     return analytics.events_hurst(_t(spark, sf))
 
 
+def q_silhouette(spark, sf):
+    """Centroid silhouette per label (r5): a/b margins against the
+    broadcast k-row centroid table, one conditional aggregate."""
+    e = _t(spark, sf)["embeddings"]
+    return similarity.silhouette_by_label(e, "label", "embedding")
+
+
+def q_davies_bouldin(spark, sf):
+    """Davies–Bouldin index (r5): per-label scatters via own-centroid
+    equi-join, k² ratio matrix off broadcast aggregates."""
+    e = _t(spark, sf)["embeddings"]
+    return similarity.davies_bouldin_by_label(e, "label", "embedding")
+
+
+def q_calinski_harabasz(spark, sf):
+    """Calinski–Harabasz variance-ratio criterion (r5): between/within
+    scatter decomposition against label + global centroids."""
+    e = _t(spark, sf)["embeddings"]
+    return similarity.calinski_harabasz(e, "label", "embedding")
+
+
 def q_quality_auc(spark, sf):
     """Histogram ROC AUC (r5): does stopword_ratio separate English
     from non-English docs?  Rank-free Mann–Whitney over a bounded
@@ -2751,6 +2772,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_crosscorr": q_crosscorr,
         "events_pettitt": q_pettitt,
         "events_hurst": q_hurst,
+        "embedding_silhouette": q_silhouette,
+        "embedding_davies_bouldin": q_davies_bouldin,
+        "embedding_calinski_harabasz": q_calinski_harabasz,
         # ---- rows-only keys (no SQL oracle by design; driver records
         # a weaker rows-only row; full evidence lives in tests/) ------
         "text_bpe_merges": q_bpe_merges,
@@ -9201,6 +9225,104 @@ def oracle_sql() -> dict[str, str]:
                      / (fit.k * fit.sxx - fit.sx * fit.sx), 6)
                  + CAST(0.0 AS DOUBLE) AS hurst
         FROM pts, fit ORDER BY w
+    """
+
+    # r5: cluster-validity trio.  Shared centroid CTE (round-6
+    # components, position-ordered — the label_centroids twin).
+    _cent_cte = """
+        ex AS (SELECT label, i AS pos,
+                 CAST(round(CAST(embedding[i] AS DOUBLE), 6)
+                      AS DECIMAL(27,6)) AS v
+               FROM embeddings,
+                    LATERAL (SELECT unnest(generate_series(1,
+                               len(embedding))) AS i) u),
+        mm AS (SELECT label, pos,
+                 round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS m
+               FROM ex GROUP BY 1, 2),
+        c AS (SELECT label AS cl, list(m ORDER BY pos) AS cv
+              FROM mm GROUP BY 1)
+    """
+    _d_vc = _l2sq_sql("e.embedding", "c.cv")
+    sqls["embedding_silhouette"] = f"""
+        WITH {_cent_cte},
+        d AS (SELECT e.vec_id, e.label, c.cl, sqrt({_d_vc}) AS d
+              FROM embeddings e CROSS JOIN c),
+        ab AS (SELECT vec_id, label,
+                 max(CASE WHEN cl = label THEN d END) AS a,
+                 min(CASE WHEN cl <> label THEN d END) AS b
+               FROM d GROUP BY 1, 2),
+        tt AS (SELECT label,
+                 CAST(round(a, 9) AS DECIMAL(27,18)) AS ta,
+                 CAST(round(b, 9) AS DECIMAL(27,18)) AS tb,
+                 CAST(round(CASE WHEN greatest(a, b) <= 0
+                                 THEN CAST(0.0 AS DOUBLE)
+                                 ELSE (b - a) / greatest(a, b) END, 9)
+                      AS DECIMAL(27,18)) AS ts
+               FROM ab)
+        SELECT label, CAST(count(*) AS BIGINT) AS n,
+               round(CAST(sum(ta) AS DOUBLE) / count(*), 6) AS mean_a,
+               round(CAST(sum(tb) AS DOUBLE) / count(*), 6) AS mean_b,
+               round(CAST(sum(ts) AS DOUBLE) / count(*), 6) AS silhouette
+        FROM tt GROUP BY 1 ORDER BY 1
+    """
+
+    sqls["embedding_davies_bouldin"] = f"""
+        WITH {_cent_cte},
+        scat AS (SELECT e.label AS cl, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(round(sqrt({_d_vc}), 9)
+                                 AS DECIMAL(27,18))) AS DOUBLE)
+                     / count(*) AS s
+                 FROM embeddings e JOIN c ON c.cl = e.label
+                 GROUP BY 1),
+        pm AS (SELECT a.cl AS li, b.cl AS lj,
+                 greatest(sqrt({_l2sq_sql('a.cv', 'b.cv')}),
+                          CAST(1e-300 AS DOUBLE)) AS m
+               FROM c a CROSS JOIN c b WHERE a.cl <> b.cl),
+        r AS (SELECT pm.li,
+                max((si.s + sj.s) / pm.m) AS maxr
+              FROM pm
+              JOIN scat si ON si.cl = pm.li
+              JOIN scat sj ON sj.cl = pm.lj
+              GROUP BY 1),
+        db AS (SELECT round(CAST(sum(CAST(round(maxr, 9)
+                                          AS DECIMAL(27,18)))
+                                 AS DOUBLE) / count(*), 6) AS db
+               FROM r)
+        SELECT scat.cl AS label, scat.n, round(scat.s, 6) AS scatter,
+               round(r.maxr, 6) AS max_ratio, db.db AS db_index
+        FROM scat JOIN r ON r.li = scat.cl CROSS JOIN db
+        ORDER BY label
+    """
+
+    sqls["embedding_calinski_harabasz"] = f"""
+        WITH {_cent_cte},
+        gx AS (SELECT i AS pos,
+                 CAST(round(CAST(embedding[i] AS DOUBLE), 6)
+                      AS DECIMAL(27,6)) AS v
+               FROM embeddings,
+                    LATERAL (SELECT unnest(generate_series(1,
+                               len(embedding))) AS i) u),
+        gm AS (SELECT pos, round(CAST(sum(v) AS DOUBLE) / count(*), 6)
+                 AS m
+               FROM gx GROUP BY 1),
+        g AS (SELECT list(m ORDER BY pos) AS gv FROM gm),
+        sizes AS (SELECT label AS cl, CAST(count(*) AS BIGINT) AS ni
+                  FROM embeddings GROUP BY 1),
+        w AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CAST(round({_d_vc}, 9) AS DECIMAL(27,18)))
+                     AS DOUBLE) AS w
+              FROM embeddings e JOIN c ON c.cl = e.label),
+        b AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                CAST(sum(CAST(round(CAST(sizes.ni AS DOUBLE)
+                                    * {_l2sq_sql('c.cv', 'g.gv')}, 9)
+                              AS DECIMAL(27,18))) AS DOUBLE) AS b
+              FROM c JOIN sizes ON sizes.cl = c.cl CROSS JOIN g)
+        SELECT n, k, round(b.b, 6) AS between_ss,
+               round(w.w, 6) AS within_ss,
+               round((b.b / (CAST(k AS DOUBLE) - CAST(1.0 AS DOUBLE)))
+                     / (w.w / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))),
+                     6) AS ch
+        FROM w CROSS JOIN b
     """
 
     return sqls

@@ -1602,3 +1602,222 @@ def pivot_pq_ann(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def silhouette_by_label(
+    df: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Centroid silhouette per label (the medoid-free variant of
+    Rousseeuw 1987): for each vector a = L2 distance to its own label
+    centroid, b = min distance to any OTHER centroid, s = (b−a) /
+    max(a,b) — the cluster-cohesion score that says whether labels are
+    embedding-tight (s → 1), boundary-blurred (s ≈ 0) or misassigned
+    (s < 0).  The full pairwise silhouette is n²; the centroid variant
+    is the standard linear-time stand-in at corpus scale (stated).
+
+    One corpus pass: the k-row centroid table (ops.similarity.
+    label_centroids — deterministic round-6 components) broadcast-
+    crossjoins the vectors (k× expansion, k bounded by the label
+    dimension), a/b fall out of one conditional aggregate, per-label
+    means sum round-9 DECIMAL.  Degenerate max(a,b)=0 → s=0 (stated).
+
+    Output: label, n, mean_a, mean_b, silhouette (round 6), by label.
+    """
+    from fuel_spark.functions import l2sq_expr
+
+    cents = label_centroids(df, label_col, vec_col).select(
+        F.col(label_col).alias("_cl"), F.col("centroid").alias("_c")
+    )
+    x = df.select(
+        "vec_id", F.col(label_col).alias("label"), F.col(vec_col).alias("_v")
+    )
+    d = x.crossJoin(broadcast(cents)).select(
+        "vec_id",
+        "label",
+        "_cl",
+        F.sqrt(l2sq_expr("_v", "_c")).alias("_d"),
+    )
+    ab = d.groupBy("vec_id", "label").agg(
+        F.max(F.when(F.col("_cl") == F.col("label"), F.col("_d"))).alias("_a"),
+        F.min(F.when(F.col("_cl") != F.col("label"), F.col("_d"))).alias("_b"),
+    )
+    s = F.when(F.greatest("_a", "_b") <= 0, F.lit(0.0)).otherwise(
+        (F.col("_b") - F.col("_a")) / F.greatest("_a", "_b")
+    )
+    terms = ab.select(
+        "label",
+        F.round("_a", 9).cast("decimal(27,18)").alias("_ta"),
+        F.round("_b", 9).cast("decimal(27,18)").alias("_tb"),
+        F.round(s, 9).cast("decimal(27,18)").alias("_ts"),
+    )
+    return (
+        terms.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.sum("_ta").cast("double") / F.count(F.lit(1)), 6).alias(
+                "mean_a"
+            ),
+            F.round(F.sum("_tb").cast("double") / F.count(F.lit(1)), 6).alias(
+                "mean_b"
+            ),
+            F.round(F.sum("_ts").cast("double") / F.count(F.lit(1)), 6).alias(
+                "silhouette"
+            ),
+        )
+        .orderBy("label")
+    )
+
+
+def davies_bouldin_by_label(
+    df: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Davies–Bouldin cluster-validity index over the label partition
+    (Davies & Bouldin 1979): per-label scatter S_i = mean member→own-
+    centroid distance, similarity R_ij = (S_i+S_j)/‖c_i−c_j‖, the
+    per-label worst-pair ratio max_j R_ij, and the index DB = mean of
+    those maxima — lower = tighter/better-separated labels; the
+    embedding-space QA twin of :func:`silhouette_by_label` that
+    weights by cluster spread instead of per-point margins.
+
+    One corpus pass for scatters (each vector joins ONLY its own
+    centroid — a broadcast k-row equi-join, no k× expansion); the
+    R matrix is k², built from two broadcast aggregate frames.
+    Coincident centroids guard to 1e−300 (R explodes by design —
+    stated, the index is undefined there).  Round-9 DECIMAL sums.
+
+    Output: label, n, scatter, max_ratio, db_index (round 6; the
+    index repeated per row), by label.
+    """
+    from fuel_spark.functions import l2sq_expr
+
+    cents = label_centroids(df, label_col, vec_col).select(
+        F.col(label_col).alias("_cl"), F.col("centroid").alias("_c")
+    )
+    cents = cents.localCheckpoint(eager=False)  # scatters + both pair sides
+    x = df.select(F.col(label_col).alias("_cl"), F.col(vec_col).alias("_v"))
+    scat = (
+        x.join(broadcast(cents), "_cl")
+        .select(
+            "_cl",
+            F.round(F.sqrt(l2sq_expr("_v", "_c")), 9)
+            .cast("decimal(27,18)")
+            .alias("_t"),
+        )
+        .groupBy("_cl")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            (F.sum("_t").cast("double") / F.count(F.lit(1))).alias("_s"),
+        )
+    )
+    ci = cents.select(F.col("_cl").alias("_li"), F.col("_c").alias("_ci"))
+    cj = cents.select(F.col("_cl").alias("_lj"), F.col("_c").alias("_cj"))
+    pair = (
+        ci.crossJoin(broadcast(cj))
+        .where(F.col("_li") != F.col("_lj"))
+        .select(
+            "_li",
+            "_lj",
+            F.greatest(
+                F.sqrt(l2sq_expr("_ci", "_cj")), F.lit(1e-300)
+            ).alias("_m"),
+        )
+    )
+    si = scat.select(F.col("_cl").alias("_li"), F.col("_s").alias("_si"))
+    sj = scat.select(F.col("_cl").alias("_lj"), F.col("_s").alias("_sj"))
+    r = (
+        pair.join(F.broadcast(si), "_li")
+        .join(F.broadcast(sj), "_lj")
+        .groupBy("_li")
+        .agg(
+            F.max(
+                (F.col("_si") + F.col("_sj")) / F.col("_m")
+            ).alias("_maxr")
+        )
+    )
+    db = r.agg(
+        F.round(
+            F.sum(F.round("_maxr", 9).cast("decimal(27,18)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("_db")
+    )
+    return (
+        scat.join(F.broadcast(r), scat._cl == r._li)
+        .crossJoin(F.broadcast(db))
+        .select(
+            F.col("_cl").alias("label"),
+            "n",
+            F.round("_s", 6).alias("scatter"),
+            F.round("_maxr", 6).alias("max_ratio"),
+            F.col("_db").alias("db_index"),
+        )
+        .orderBy("label")
+    )
+
+
+def calinski_harabasz(
+    df: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Calinski–Harabasz variance-ratio criterion (1974): CH =
+    [B/(k−1)] / [W/(n−k)] with B = Σ n_i·‖c_i−c‖² (between-cluster
+    scatter, label centroids vs the global centroid) and W = Σ
+    ‖x−c_own‖² (within-cluster scatter) — the one-number "are these
+    labels real structure" score; higher = better separated.
+
+    Two corpus passes (one inside each centroid build, one for W —
+    each vector meets only its OWN centroid via broadcast equi-join);
+    B is a k-row aggregate against the broadcast 1-row global
+    centroid.  Round-9 DECIMAL scatter sums.  Output: one row — n,
+    k, between_ss, within_ss, ch (round 6).
+    """
+    from fuel_spark.functions import l2sq_expr
+
+    cents = label_centroids(df, label_col, vec_col).select(
+        F.col(label_col).alias("_cl"), F.col("centroid").alias("_c")
+    )
+    gc = label_centroids(
+        df.withColumn("_g", F.lit(0)), "_g", vec_col
+    ).select(F.col("centroid").alias("_gc"))
+    x = df.select(F.col(label_col).alias("_cl"), F.col(vec_col).alias("_v"))
+    sizes = x.groupBy("_cl").agg(F.count(F.lit(1)).cast("bigint").alias("_ni"))
+    w = (
+        x.join(broadcast(cents), "_cl")
+        .select(
+            F.round(l2sq_expr("_v", "_c"), 9)
+            .cast("decimal(27,18)")
+            .alias("_t")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("_t").cast("double").alias("_w"),
+        )
+    )
+    b = (
+        cents.join(F.broadcast(sizes), "_cl")
+        .crossJoin(F.broadcast(gc))
+        .select(
+            F.round(
+                F.col("_ni").cast("double") * l2sq_expr("_c", "_gc"), 9
+            )
+            .cast("decimal(27,18)")
+            .alias("_t")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("k"),
+            F.sum("_t").cast("double").alias("_b"),
+        )
+    )
+    return w.crossJoin(F.broadcast(b)).select(
+        "n",
+        "k",
+        F.round("_b", 6).alias("between_ss"),
+        F.round("_w", 6).alias("within_ss"),
+        F.round(
+            (F.col("_b") / (F.col("k").cast("double") - F.lit(1.0)))
+            / (
+                F.col("_w")
+                / (F.col("n").cast("double") - F.col("k").cast("double"))
+            ),
+            6,
+        ).alias("ch"),
+    )

@@ -778,3 +778,43 @@ def test_norm_by_label_bounds(t):
     assert sum(r.n_vecs for r in rows) == t["embeddings"].count()
     for r in rows:
         assert r.min_norm <= r.mean_norm <= r.max_norm
+
+
+def _sep_clusters(spark, sep=10.0):
+    from fuel_spark.sources import from_rows
+
+    rows = []
+    for i in range(8):
+        rows.append((i, [0.0 + 0.1 * (i % 2), 0.0], 0))
+        rows.append((100 + i, [sep + 0.1 * (i % 2), 0.0], 1))
+        rows.append((200 + i, [0.0, sep + 0.1 * (i % 2)], 2))
+    return from_rows(
+        spark, rows, "vec_id bigint, embedding array<float>, label int"
+    )
+
+
+def test_silhouette_separated_vs_merged(spark):
+    tight = similarity.silhouette_by_label(_sep_clusters(spark, 10.0))
+    loose = similarity.silhouette_by_label(_sep_clusters(spark, 0.2))
+    st = {r.label: r for r in tight.collect()}
+    sl = {r.label: r for r in loose.collect()}
+    assert all(st[k].silhouette > 0.95 for k in st)  # a≈0.05, b≈10
+    assert all(sl[k].silhouette < st[k].silhouette for k in sl)
+    assert st[0].n == 8 and st[0].mean_a < st[0].mean_b
+
+
+def test_davies_bouldin_orders_separation(spark):
+    dbt = similarity.davies_bouldin_by_label(_sep_clusters(spark, 10.0))
+    dbl = similarity.davies_bouldin_by_label(_sep_clusters(spark, 0.5))
+    rt, rl = dbt.collect(), dbl.collect()
+    assert all(r.db_index == rt[0].db_index for r in rt)  # repeated index
+    assert rt[0].db_index < rl[0].db_index  # tighter -> lower DB
+    assert all(r.scatter >= 0 and r.max_ratio > 0 for r in rt)
+
+
+def test_calinski_harabasz_orders_separation(spark):
+    cht = similarity.calinski_harabasz(_sep_clusters(spark, 10.0)).collect()[0]
+    chl = similarity.calinski_harabasz(_sep_clusters(spark, 0.5)).collect()[0]
+    assert cht.n == 24 and cht.k == 3
+    assert cht.ch > chl.ch > 0
+    assert cht.between_ss > cht.within_ss  # separation dominates

@@ -812,6 +812,8 @@ SINGLE_PARTITION_ALLOWLIST = {
     # day-grid windows (≤ days rows): Pettitt midrank/cumsum + 1-row
     # argmax; Hurst day-index window + 3-point fit; CCF 1-row norms
     "events_pettitt", "events_hurst", "events_crosscorr",
+    # k-labels-row finals: DB index mean over k maxima; CH 1-row W/B
+    "embedding_davies_bouldin", "embedding_calinski_harabasz",
     # bigram-table 1-row total (LLR); day-grid S + 1-row moments (MK)
     "text_bigram_llr", "events_mann_kendall",
     # bounded-grid KS ECDF window + 1-row finals (KS/Theil/Chao1);
