@@ -1105,6 +1105,34 @@ def q_hurst(spark, sf):
     return analytics.events_hurst(_t(spark, sf))
 
 
+def q_link_prediction(spark, sf):
+    """Adamic–Adar / Jaccard link prediction on the co-purchase graph
+    (r5): unoriented wedge expansion with the mirrored hub cap,
+    non-edge top-k by decimal-exact Adamic–Adar."""
+    from fuel_spark.ops import graph
+
+    return graph.link_prediction(_copurchase_edges(spark, sf))
+
+
+def q_flesch(spark, sf):
+    """Flesch Reading Ease per source (r5): vowel-group syllable
+    heuristic + raw-text sentence runs, per-doc regexp_count."""
+    d = _t(spark, sf)["documents"]
+    return text_ops.flesch_reading_ease(d, "source", "text")
+
+
+def q_theil_decomposition(spark, sf):
+    """Theil T decomposed between/within nations (r5): exact group
+    shares, round-9 decimal term sums at every level."""
+    return analytics.customer_theil_decomposition(_t(spark, sf))
+
+
+def q_mann_whitney(spark, sf):
+    """Mann–Whitney U with full tie correction (r5): grid-quantized
+    midranks in exact ×2 integers, decimal rank/tie sums."""
+    return analytics.events_mann_whitney(_t(spark, sf))
+
+
 def q_silhouette(spark, sf):
     """Centroid silhouette per label (r5): a/b margins against the
     broadcast k-row centroid table, one conditional aggregate."""
@@ -2775,6 +2803,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_silhouette": q_silhouette,
         "embedding_davies_bouldin": q_davies_bouldin,
         "embedding_calinski_harabasz": q_calinski_harabasz,
+        "graph_link_prediction": q_link_prediction,
+        "corpus_flesch": q_flesch,
+        "customer_theil_decomposition": q_theil_decomposition,
+        "events_mann_whitney": q_mann_whitney,
         # ---- rows-only keys (no SQL oracle by design; driver records
         # a weaker rows-only row; full evidence lives in tests/) ------
         "text_bpe_merges": q_bpe_merges,
@@ -9323,6 +9355,170 @@ def oracle_sql() -> dict[str, str]:
                      / (w.w / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))),
                      6) AS ch
         FROM w CROSS JOIN b
+    """
+
+    # r5: Adamic–Adar / Jaccard link prediction — unoriented wedges,
+    # the hub cap MIRRORED from the Spark guard (deg <= 512).
+    sqls["graph_link_prediction"] = f"""
+        WITH {_graph_edges_sql},
+        adj AS (SELECT a AS w, b AS x FROM e0
+                UNION ALL SELECT b, a FROM e0),
+        adjc AS (SELECT adj.w, adj.x, deg.deg AS dw
+                 FROM adj JOIN deg ON deg.v = adj.w
+                 WHERE deg.deg <= 512),
+        wed AS (SELECT x.x AS pa, y.x AS pb,
+                  CAST(round(CAST(1.0 AS DOUBLE)
+                             / ln(CAST(x.dw AS DOUBLE)), 9)
+                       AS DECIMAL(27,18)) AS aat
+                FROM adjc x JOIN adjc y
+                  ON x.w = y.w AND x.x < y.x),
+        sc AS (SELECT pa, pb, CAST(count(*) AS BIGINT) AS cn,
+                      sum(aat) AS aa
+               FROM wed GROUP BY 1, 2),
+        ne AS (SELECT sc.* FROM sc
+               LEFT JOIN e0 ON e0.a = sc.pa AND e0.b = sc.pb
+               WHERE e0.a IS NULL),
+        top AS (SELECT * FROM ne ORDER BY aa DESC, pa, pb LIMIT 20)
+        SELECT pa AS part_a, pb AS part_b, cn AS common_neighbors,
+               CAST(da.deg AS BIGINT) AS deg_a,
+               CAST(db.deg AS BIGINT) AS deg_b,
+               round(CAST(cn AS DOUBLE)
+                     / (CAST(da.deg AS DOUBLE) + CAST(db.deg AS DOUBLE)
+                        - CAST(cn AS DOUBLE)), 6) AS jaccard,
+               round(CAST(aa AS DOUBLE), 6) AS adamic_adar
+        FROM top
+        JOIN deg da ON da.v = pa
+        JOIN deg db ON db.v = pb
+        ORDER BY adamic_adar DESC, part_a, part_b
+    """
+
+    # r5: Flesch Reading Ease — vowel-group syllables (doc-level word
+    # floor), raw-text sentence runs, round-9 decimal means.
+    _fn = _norm_sql("text")
+    sqls["corpus_flesch"] = f"""
+        WITH d AS (SELECT source, text AS raw, {_fn} AS n
+                   FROM documents WHERE length({_fn}) >= 1),
+        pd AS (SELECT source,
+                 CAST(len(string_split(n, ' ')) AS DOUBLE) AS wc,
+                 CAST(greatest(len(regexp_extract_all(raw, '[.!?]+')), 1)
+                      AS DOUBLE) AS sc,
+                 greatest(CAST(len(regexp_extract_all(n, '[aeiouy]+'))
+                               AS DOUBLE),
+                          CAST(len(string_split(n, ' ')) AS DOUBLE))
+                   AS syl
+               FROM d),
+        tt AS (SELECT source,
+                 CAST(round(wc / sc, 9) AS DECIMAL(27,18)) AS ws,
+                 CAST(round(syl / wc, 9) AS DECIMAL(27,18)) AS sw,
+                 CAST(round(CAST(206.835 AS DOUBLE)
+                            - CAST(1.015 AS DOUBLE) * (wc / sc)
+                            - CAST(84.6 AS DOUBLE) * (syl / wc), 9)
+                      AS DECIMAL(27,18)) AS fl
+               FROM pd)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               round(CAST(sum(ws) AS DOUBLE) / count(*), 6)
+                 AS words_per_sentence,
+               round(CAST(sum(sw) AS DOUBLE) / count(*), 6)
+                 AS syllables_per_word,
+               round(CAST(sum(fl) AS DOUBLE) / count(*), 6) AS flesch
+        FROM tt GROUP BY 1 ORDER BY 1
+    """
+
+    # r5: Theil between/within decomposition by nation.
+    sqls["customer_theil_decomposition"] = """
+        WITH ltv AS (SELECT o_custkey,
+                       sum(CAST(o_totalprice AS DECIMAL(27,6))) AS x
+                     FROM orders GROUP BY 1),
+        base AS (SELECT c_nationkey, x FROM ltv
+                 JOIN customer ON c_custkey = o_custkey),
+        grp AS (SELECT c_nationkey, CAST(count(*) AS BIGINT) AS ng,
+                       sum(x) AS sg
+                FROM base GROUP BY 1),
+        gl AS (SELECT CAST(sum(ng) AS BIGINT) AS n, sum(sg) AS s
+               FROM grp),
+        gm AS (SELECT c_nationkey, ng, gl.n,
+                 CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE) AS mug,
+                 CAST(gl.s AS DOUBLE) / CAST(gl.n AS DOUBLE) AS mu,
+                 CAST(sg AS DOUBLE) / CAST(gl.s AS DOUBLE) AS shg
+               FROM grp, gl),
+        btw AS (SELECT max(n) AS n_customers,
+                  CAST(count(*) AS BIGINT) AS n_groups,
+                  CAST(sum(CAST(round(shg * ln(mug / mu), 9)
+                                AS DECIMAL(27,18))) AS DOUBLE) AS tb
+                FROM gm),
+        wg AS (SELECT b.c_nationkey, gm.ng, gm.shg,
+                 CAST(sum(CASE WHEN b.x > 0 THEN
+                   CAST(round((CAST(b.x AS DOUBLE) / gm.mug)
+                              * ln(CAST(b.x AS DOUBLE) / gm.mug), 9)
+                        AS DECIMAL(27,18))
+                 ELSE CAST(0.0 AS DECIMAL(27,18)) END) AS DOUBLE) AS tg
+               FROM base b JOIN gm ON gm.c_nationkey = b.c_nationkey
+               GROUP BY 1, 2, 3),
+        wth AS (SELECT CAST(sum(CAST(round(shg * (tg / CAST(ng AS DOUBLE)),
+                                           9) AS DECIMAL(27,18)))
+                            AS DOUBLE) AS tw
+                FROM wg),
+        tot AS (SELECT CAST(sum(CASE WHEN b.x > 0 THEN
+                    CAST(round((CAST(b.x AS DOUBLE) / gm0.mu)
+                               * ln(CAST(b.x AS DOUBLE) / gm0.mu), 9)
+                         AS DECIMAL(27,18))
+                  ELSE CAST(0.0 AS DECIMAL(27,18)) END) AS DOUBLE)
+                    / count(*) AS tt
+                FROM base b,
+                     (SELECT CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mu
+                      FROM gl) gm0)
+        SELECT n_customers, n_groups,
+               round(tot.tt, 6) AS theil_total,
+               round(btw.tb, 6) + CAST(0.0 AS DOUBLE) AS theil_between,
+               round(wth.tw, 6) AS theil_within
+        FROM btw, wth, tot
+    """
+
+    # r5: Mann–Whitney U — grid midranks in ×2 integers, decimal
+    # rank/tie sums, full tie-corrected normal z.
+    sqls["events_mann_whitney"] = """
+        WITH g AS (SELECT round(CAST(value AS DOUBLE), 4) AS v,
+                     CAST(sum(CASE WHEN event_type = 'purchase'
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS na,
+                     CAST(sum(CASE WHEN event_type = 'purchase'
+                                   THEN 0 ELSE 1 END) AS BIGINT) AS nb
+                   FROM events
+                   WHERE event_type IN ('purchase', 'click')
+                   GROUP BY 1),
+        m AS (SELECT na, nb, na + nb AS t,
+                CAST(2 * COALESCE(sum(na + nb) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0)
+                     + (na + nb) + 1 AS BIGINT) AS m2
+              FROM g),
+        a AS (SELECT CAST(sum(na) AS BIGINT) AS n_a,
+                     CAST(sum(nb) AS BIGINT) AS n_b,
+                     sum(CAST(na * m2 AS DECIMAL(38,0))) AS r2a,
+                     sum(CAST(t * t * t - t AS DECIMAL(38,0))) AS ties
+              FROM m)
+        SELECT n_a, n_b,
+          round(CAST(r2a AS DOUBLE) / CAST(2.0 AS DOUBLE)
+                - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE)
+                                         + CAST(1.0 AS DOUBLE))
+                  / CAST(2.0 AS DOUBLE), 6) AS u_stat,
+          round(((CAST(r2a AS DOUBLE) / CAST(2.0 AS DOUBLE)
+                  - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE)
+                                           + CAST(1.0 AS DOUBLE))
+                    / CAST(2.0 AS DOUBLE))
+                 - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                   / CAST(2.0 AS DOUBLE))
+                / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                       / CAST(12.0 AS DOUBLE)
+                       * (((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                           + CAST(1.0 AS DOUBLE))
+                          - CAST(ties AS DOUBLE)
+                            / ((CAST(n_a AS DOUBLE)
+                                + CAST(n_b AS DOUBLE))
+                               * ((CAST(n_a AS DOUBLE)
+                                   + CAST(n_b AS DOUBLE))
+                                  - CAST(1.0 AS DOUBLE))))), 6)
+            + CAST(0.0 AS DOUBLE) AS z
+        FROM a
     """
 
     return sqls

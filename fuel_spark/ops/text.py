@@ -2869,3 +2869,66 @@ def vocab_novelty_slices(
             6,
         ).alias("novelty_rate"),
     )
+
+
+def flesch_reading_ease(
+    df: DataFrame, group_col: str, text_col: str
+) -> DataFrame:
+    """Flesch Reading Ease per source (Flesch 1948): RE = 206.835 −
+    1.015·(words/sentences) − 84.6·(syllables/words) — the classic
+    readability score (90+ ≈ grade school, <30 ≈ academic), here the
+    per-source curation signal ("is this crawl conversational text or
+    legal boilerplate") complementing the stopword/length heuristics
+    of the quality-scoring family.
+
+    Syllables use the standard vowel-group heuristic — runs of
+    [aeiouy] in the normalized text, floored at the word count so no
+    word counts zero (doc-level floor, stated; exact syllabification
+    needs a dictionary).  Sentences are [.!?]+ runs in the RAW text
+    (normalization strips punctuation), floored at 1.  One scan, all
+    counts per-doc regexp_count (JVM codegen, no explode), per-source
+    means as round-9 DECIMAL term sums.
+
+    Output: source, n_docs, words_per_sentence, syllables_per_word,
+    flesch (round 6, corpus-mean of per-doc scores), by source.
+    """
+    norm = norm_text(F.col(text_col))
+    d = df.select(
+        F.col(group_col).alias("source"),
+        F.col(text_col).alias("_raw"),
+        norm.alias("_n"),
+    ).where(F.length("_n") >= 1)
+    wc = F.size(F.split("_n", " ")).cast("double")
+    sc = F.greatest(
+        F.regexp_count("_raw", F.lit(r"[.!?]+")), F.lit(1)
+    ).cast("double")
+    syl = F.greatest(
+        F.regexp_count("_n", F.lit("[aeiouy]+")).cast("double"), wc
+    )
+    fl = (
+        F.lit(206.835)
+        - F.lit(1.015) * (wc / sc)
+        - F.lit(84.6) * (syl / wc)
+    )
+    terms = d.select(
+        "source",
+        F.round(wc / sc, 9).cast("decimal(27,18)").alias("_ws"),
+        F.round(syl / wc, 9).cast("decimal(27,18)").alias("_sw"),
+        F.round(fl, 9).cast("decimal(27,18)").alias("_fl"),
+    )
+    return (
+        terms.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(F.sum("_ws").cast("double") / F.count(F.lit(1)), 6).alias(
+                "words_per_sentence"
+            ),
+            F.round(F.sum("_sw").cast("double") / F.count(F.lit(1)), 6).alias(
+                "syllables_per_word"
+            ),
+            F.round(F.sum("_fl").cast("double") / F.count(F.lit(1)), 6).alias(
+                "flesch"
+            ),
+        )
+        .orderBy("source")
+    )

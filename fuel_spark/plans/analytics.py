@@ -4638,3 +4638,206 @@ def events_hurst(
         )
         .orderBy("w")
     )
+
+
+def customer_theil_decomposition(t: dict[str, DataFrame]) -> DataFrame:
+    """Theil T decomposition of customer-LTV inequality by nation:
+    T_total = T_between + T_within, with T_between = Σ_g s_g·ln(μ_g/μ)
+    (s_g = group income share) and T_within = Σ_g s_g·T_g — the
+    property Gini lacks and the reason Theil is the market-analysis
+    tool: it answers "is revenue inequality a cross-market story or
+    an in-market story" in one exact split.  Completes the
+    inequality suite ([[customer_theil_index]] global T,
+    [[customer_gini_by_nation]] per-market Gini).
+
+    One LTV rollup (customers with ≥1 order, same base as the global
+    index, stated), one broadcast slim-dim join for the nation key,
+    nation moments are aggregate-sized and broadcast back for the
+    within terms; every unordered sum is round-9 DECIMAL; x=0
+    contributes 0 (limit convention).  between + within ≈ total only
+    up to the stated 6-dp rounding (each computed independently).
+
+    Output: one row — n_customers, n_groups, theil_total,
+    theil_between, theil_within (round 6).
+    """
+    o, c = t["orders"], t["customer"]
+    ltv = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).alias("_x")
+    )
+    base = ltv.join(
+        broadcast(c.select("c_custkey", "c_nationkey")),
+        ltv.o_custkey == F.col("c_custkey"),
+    ).select("c_nationkey", "_x")
+    grp = base.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_ng"),
+        F.sum("_x").alias("_sg"),
+    )
+    glob = grp.agg(
+        F.sum("_ng").cast("bigint").alias("_n"),
+        F.sum("_sg").alias("_s"),
+    )
+    gm = grp.crossJoin(F.broadcast(glob)).select(
+        "c_nationkey",
+        "_ng",
+        "_n",
+        (F.col("_sg").cast("double") / F.col("_ng").cast("double")).alias(
+            "_mug"
+        ),
+        (F.col("_s").cast("double") / F.col("_n").cast("double")).alias(
+            "_mu"
+        ),
+        (F.col("_sg").cast("double") / F.col("_s").cast("double")).alias(
+            "_shg"
+        ),
+    )
+    gm = gm.localCheckpoint(eager=False)  # between terms + within join
+    between = gm.agg(
+        F.max("_n").alias("n_customers"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum(
+            F.round(F.col("_shg") * F.log(F.col("_mug") / F.col("_mu")), 9)
+            .cast("decimal(27,18)")
+        ).cast("double").alias("_tb"),
+    )
+    wt = base.join(
+        F.broadcast(gm.select("c_nationkey", "_ng", "_mug", "_shg")),
+        "c_nationkey",
+    ).select(
+        "c_nationkey",
+        "_ng",
+        "_shg",
+        F.when(
+            F.col("_x") > 0,
+            F.round(
+                (F.col("_x").cast("double") / F.col("_mug"))
+                * F.log(F.col("_x").cast("double") / F.col("_mug")),
+                9,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .cast("decimal(27,18)")
+        .alias("_t"),
+    )
+    within = (
+        wt.groupBy("c_nationkey", "_ng", "_shg")
+        .agg(F.sum("_t").cast("double").alias("_tg"))
+        .select(
+            F.round(
+                F.col("_shg") * (F.col("_tg") / F.col("_ng").cast("double")),
+                9,
+            )
+            .cast("decimal(27,18)")
+            .alias("_w")
+        )
+        .agg(F.sum("_w").cast("double").alias("_tw"))
+    )
+    total = base.crossJoin(
+        F.broadcast(glob.select((F.col("_s").cast("double") / F.col("_n").cast("double")).alias("_mu")))
+    ).select(
+        F.when(
+            F.col("_x") > 0,
+            F.round(
+                (F.col("_x").cast("double") / F.col("_mu"))
+                * F.log(F.col("_x").cast("double") / F.col("_mu")),
+                9,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .cast("decimal(27,18)")
+        .alias("_t"),
+    ).agg(
+        (F.sum("_t").cast("double") / F.count(F.lit(1))).alias("_tt")
+    )
+    return (
+        between.crossJoin(F.broadcast(within))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "n_customers",
+            "n_groups",
+            F.round("_tt", 6).alias("theil_total"),
+            (F.round("_tb", 6) + F.lit(0.0)).alias("theil_between"),
+            F.round("_tw", 6).alias("theil_within"),
+        )
+    )
+
+
+def events_mann_whitney(
+    t: dict[str, DataFrame],
+    type_a: str = "purchase",
+    type_b: str = "click",
+    quantize: int = 4,
+) -> DataFrame:
+    """Two-sample Mann–Whitney U (Wilcoxon rank-sum) test between two
+    event types' value distributions — the median-shift complement to
+    [[events_ks_test]] (KS sees any shape difference; MW targets
+    stochastic dominance, the "are purchases systematically larger"
+    question).  Normal approximation with the FULL tie correction —
+    mandatory here because quantization creates ties by design.
+
+    Values quantize to ``quantize`` decimals (bounded grid, stated —
+    the suite's standard rank-free scale move): per-value group
+    counts, midranks from a grid-sized cumulative window in exact ×2
+    integers (M2 = 2·cum_before + t + 1), the rank sum as an exact
+    DECIMAL Σ n_a(v)·M2(v), and the tie term Σ(t³−t) likewise
+    DECIMAL — every double is a final arithmetic chain.  No p-value
+    column: z is the deliverable (the erf-free engines would need a
+    stated approximation poorer than the z itself).
+
+    Output: one row — n_a, n_b, u_stat, z (round 6; z > 0 ⇒ type_a
+    stochastically larger).
+    """
+    from pyspark.sql import Window as W
+
+    e = t["events"]
+    g = (
+        e.where(F.col("event_type").isin(type_a, type_b))
+        .select(
+            F.round(F.col("value").cast("double"), int(quantize)).alias("v"),
+            (F.col("event_type") == type_a).cast("int").alias("_a"),
+        )
+        .groupBy("v")
+        .agg(
+            F.sum("_a").cast("bigint").alias("_na"),
+            (F.count(F.lit(1)) - F.sum("_a")).cast("bigint").alias("_nb"),
+        )
+    )
+    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, -1)
+    m = g.select(
+        "_na",
+        "_nb",
+        (F.col("_na") + F.col("_nb")).alias("_t"),
+        (
+            F.lit(2) * F.coalesce(
+                F.sum(F.col("_na") + F.col("_nb")).over(w), F.lit(0)
+            )
+            + (F.col("_na") + F.col("_nb"))
+            + F.lit(1)
+        ).cast("bigint").alias("_m2"),
+    )
+    agg = m.agg(
+        F.sum("_na").cast("bigint").alias("n_a"),
+        F.sum("_nb").cast("bigint").alias("n_b"),
+        F.sum(
+            (F.col("_na") * F.col("_m2")).cast("decimal(38,0)")
+        ).alias("_r2a"),
+        F.sum(
+            (
+                F.col("_t") * F.col("_t") * F.col("_t") - F.col("_t")
+            ).cast("decimal(38,0)")
+        ).alias("_ties"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    n = na + nb
+    u = F.col("_r2a").cast("double") / F.lit(2.0) - na * (na + 1) / 2
+    var = (
+        na * nb / F.lit(12.0)
+        * ((n + 1) - F.col("_ties").cast("double") / (n * (n - 1)))
+    )
+    z = (u - na * nb / 2) / F.sqrt(var)
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.round(u, 6).alias("u_stat"),
+        (F.round(z, 6) + F.lit(0.0)).alias("z"),
+    )

@@ -197,3 +197,29 @@ def test_assortativity_star_is_negative(spark):
     r2 = graph.degree_assortativity(
         from_rows(spark, k4, "src bigint, dst bigint")).collect()[0]
     assert abs(r2.assortativity) < 1e-6
+
+
+def test_link_prediction_hand_computed(spark):
+    import math
+
+    # path 1-2-3 plus star hub 10 over {4,5,6}
+    edges = [(1, 2), (2, 3), (10, 4), (10, 5), (10, 6)]
+    out = {(r.part_a, r.part_b): r for r in graph.link_prediction(
+        from_rows(spark, edges, "src bigint, dst bigint")).collect()}
+    r13 = out[(1, 3)]  # common neighbor 2 (deg 2)
+    assert r13.common_neighbors == 1 and r13.jaccard == 1.0
+    assert r13.adamic_adar == round(round(1 / math.log(2), 9), 6)
+    assert out[(4, 5)].adamic_adar == round(round(1 / math.log(3), 9), 6)
+    assert len(out) == 4  # (1,3) + the 3 star pairs
+
+
+def test_link_prediction_excludes_edges_and_caps(spark):
+    # triangle: every wedge pair is already an edge -> no predictions
+    tri = [(1, 2), (2, 3), (1, 3)]
+    assert graph.link_prediction(
+        from_rows(spark, tri, "src bigint, dst bigint")).count() == 0
+    # hub cap drops the only center -> empty (guard semantics)
+    star = [(10, 1), (10, 2), (10, 3)]
+    assert graph.link_prediction(
+        from_rows(spark, star, "src bigint, dst bigint"),
+        max_center_degree=2).count() == 0

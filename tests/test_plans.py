@@ -814,6 +814,9 @@ SINGLE_PARTITION_ALLOWLIST = {
     "events_pettitt", "events_hurst", "events_crosscorr",
     # k-labels-row finals: DB index mean over k maxima; CH 1-row W/B
     "embedding_davies_bouldin", "embedding_calinski_harabasz",
+    # nations-row between/within rollup + 1-row final; MW midrank
+    # window over the bounded 4-dp value grid (the KS/AUC family)
+    "customer_theil_decomposition", "events_mann_whitney",
     # bigram-table 1-row total (LLR); day-grid S + 1-row moments (MK)
     "text_bigram_llr", "events_mann_kendall",
     # bounded-grid KS ECDF window + 1-row finals (KS/Theil/Chao1);
@@ -1784,3 +1787,57 @@ def test_hurst_trending_vs_alternating(spark):
     assert len(ht) == 3 and all(r.hurst == ht[0].hurst for r in ht)
     assert ht[0].hurst > 0.85
     assert ha[0].hurst < ht[0].hurst and ha[0].hurst < 0.35
+
+
+def test_theil_decomposition_identity_and_cases(spark):
+    # two nations, equal within -> all inequality is between
+    o = spark.createDataFrame(
+        [(1, 10.0), (2, 10.0), (3, 1000.0), (4, 1000.0)],
+        ["o_custkey", "o_totalprice"],
+    )
+    c = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 2), (4, 2)], ["c_custkey", "c_nationkey"]
+    )
+    r = analytics.customer_theil_decomposition(
+        {"orders": o, "customer": c}).collect()[0]
+    assert r.n_customers == 4 and r.n_groups == 2
+    assert r.theil_within == 0.0
+    assert abs(r.theil_between - r.theil_total) < 1e-5
+    assert r.theil_total > 0.5
+    # identical means across nations -> between ~ 0, within carries it
+    o2 = spark.createDataFrame(
+        [(1, 1.0), (2, 99.0), (3, 1.0), (4, 99.0)],
+        ["o_custkey", "o_totalprice"],
+    )
+    r2 = analytics.customer_theil_decomposition(
+        {"orders": o2, "customer": c}).collect()[0]
+    assert r2.theil_between == 0.0
+    assert abs(r2.theil_within - r2.theil_total) < 1e-5 and r2.theil_within > 0.3
+
+
+def test_mann_whitney_shift_and_null(spark):
+    # identical distributions -> U = n_a*n_b/2, z = 0
+    rows = []
+    for i in range(40):
+        rows.append({"event_id": i, "ts": __import__("datetime").datetime(2024, 1, 1, 12), "user_id": 1,
+                     "event_type": "purchase", "value": float(i % 5),
+                     "props": "{}"})
+        rows.append({"event_id": 100 + i, "ts": __import__("datetime").datetime(2024, 1, 1, 12), "user_id": 1,
+                     "event_type": "click", "value": float(i % 5),
+                     "props": "{}"})
+    r = analytics.events_mann_whitney(
+        {"events": from_rows(spark, rows)}).collect()[0]
+    assert r.n_a == 40 and r.n_b == 40
+    assert r.u_stat == 800.0 and r.z == 0.0
+    # purchases uniformly larger -> U = n_a*n_b, large positive z
+    rows2 = []
+    for i in range(30):
+        rows2.append({"event_id": i, "ts": __import__("datetime").datetime(2024, 1, 1, 12), "user_id": 1,
+                      "event_type": "purchase", "value": 100.0 + i,
+                      "props": "{}"})
+        rows2.append({"event_id": 100 + i, "ts": __import__("datetime").datetime(2024, 1, 1, 12), "user_id": 1,
+                      "event_type": "click", "value": float(i),
+                      "props": "{}"})
+    r2 = analytics.events_mann_whitney(
+        {"events": from_rows(spark, rows2)}).collect()[0]
+    assert r2.u_stat == 900.0 and r2.z > 6.0

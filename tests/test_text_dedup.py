@@ -1916,3 +1916,24 @@ def test_vocab_novelty_slices(spark):
     assert out[0].novelty_rate == 1.0
     assert out[1].types == 3 and out[1].new_types == 1
     assert out[1].novelty_rate == round(1 / 3, 6)
+
+
+def test_flesch_simple_vs_complex(spark):
+    from fuel_spark.ops.text import flesch_reading_ease
+
+    rows = [
+        # short words, many sentences -> high RE
+        (0, "the cat sat. the dog ran. it is fun.", "simple"),
+        (1, "we go up. he is ok. so it goes.", "simple"),
+        # long polysyllabic words, one sentence -> low RE
+        (2, "organizational responsibilities necessitate comprehensive "
+            "documentation methodologies", "complex"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {r.source: r for r in
+           flesch_reading_ease(df, "source", "text").collect()}
+    assert out["simple"].n_docs == 2
+    assert out["simple"].flesch > 80 and out["complex"].flesch < 30
+    assert out["complex"].syllables_per_word > 3
+    # hand-check doc 0: 9 words, 3 sentences, 9 syllable groups
+    assert out["simple"].words_per_sentence == 3.0
