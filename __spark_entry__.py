@@ -1127,6 +1127,19 @@ def q_theil_decomposition(spark, sf):
     return analytics.customer_theil_decomposition(_t(spark, sf))
 
 
+def q_logistic_fixed(spark, sf):
+    """Oracle-checked 3-step batch-GD logistic regression (r5):
+    round-9 decimal gradient sums, weights re-rounded per step —
+    the recall-certificate pattern on a supervised model."""
+    return analytics.events_logistic_fixed(_t(spark, sf))
+
+
+def q_wilson_reliability(spark, sf):
+    """Wilson lower-bound supplier reliability ranking (r5): exact
+    integer counts, one double chain, TakeOrdered top-50."""
+    return analytics.supplier_wilson_reliability(_t(spark, sf))
+
+
 def q_mann_whitney(spark, sf):
     """Mann–Whitney U with full tie correction (r5): grid-quantized
     midranks in exact ×2 integers, decimal rank/tie sums."""
@@ -2807,6 +2820,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_flesch": q_flesch,
         "customer_theil_decomposition": q_theil_decomposition,
         "events_mann_whitney": q_mann_whitney,
+        "events_logistic_fixed": q_logistic_fixed,
+        "supplier_wilson": q_wilson_reliability,
         # ---- rows-only keys (no SQL oracle by design; driver records
         # a weaker rows-only row; full evidence lives in tests/) ------
         "text_bpe_merges": q_bpe_merges,
@@ -9519,6 +9534,108 @@ def oracle_sql() -> dict[str, str]:
                                   - CAST(1.0 AS DOUBLE))))), 6)
             + CAST(0.0 AS DOUBLE) AS z
         FROM a
+    """
+
+    # r5: fixed-iteration logistic regression — 3 unrolled GD steps,
+    # round-9 decimal gradient sums, weights re-rounded per step.
+    _sig = (
+        "CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE)"
+        " + exp(-({w0} + {w1} * x1 + {w2} * x2)))"
+    )
+    _gstep = """
+        g{k} AS (SELECT count(*) AS n,
+            CAST(sum(CAST(round(p - y, 9) AS DECIMAL(27,18)))
+                 AS DOUBLE) AS s0,
+            CAST(sum(CAST(round((p - y) * x1, 9) AS DECIMAL(27,18)))
+                 AS DOUBLE) AS s1,
+            CAST(sum(CAST(round((p - y) * x2, 9) AS DECIMAL(27,18)))
+                 AS DOUBLE) AS s2
+          FROM (SELECT y, x1, x2, {sig} AS p FROM lab, w{j})),
+        w{k} AS (SELECT
+            round(w{j}.w0 - CAST(1.0 AS DOUBLE) * g{k}.s0
+                  / CAST(g{k}.n AS DOUBLE), 9) AS w0,
+            round(w{j}.w1 - CAST(1.0 AS DOUBLE) * g{k}.s1
+                  / CAST(g{k}.n AS DOUBLE), 9) AS w1,
+            round(w{j}.w2 - CAST(1.0 AS DOUBLE) * g{k}.s2
+                  / CAST(g{k}.n AS DOUBLE), 9) AS w2
+          FROM g{k}, w{j})
+    """
+    _steps = ",".join(
+        _gstep.format(
+            k=k,
+            j=k - 1,
+            sig=_sig.format(
+                w0=f"w{k-1}.w0", w1=f"w{k-1}.w1", w2=f"w{k-1}.w2"
+            ),
+        )
+        for k in (1, 2, 3)
+    )
+    _sig_final = _sig.format(w0="w3.w0", w1="w3.w1", w2="w3.w2")
+    sqls["events_logistic_fixed"] = f"""
+        WITH lab AS (SELECT
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+               CAST(value AS DOUBLE) / CAST(100.0 AS DOUBLE) AS x1,
+               CAST(hour(ts) AS DOUBLE) / CAST(23.0 AS DOUBLE) AS x2
+             FROM events
+             WHERE event_type IN ('purchase', 'view')),
+        w0 AS (SELECT CAST(0.0 AS DOUBLE) AS w0,
+                      CAST(0.0 AS DOUBLE) AS w1,
+                      CAST(0.0 AS DOUBLE) AS w2),
+        {_steps},
+        fin AS (SELECT y,
+                  least(greatest({_sig_final}, CAST(1e-12 AS DOUBLE)),
+                        CAST(1.0 AS DOUBLE) - CAST(1e-12 AS DOUBLE))
+                    AS pc
+                FROM lab, w3)
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               round(max(w3.w0), 6) AS w0,
+               round(max(w3.w1), 6) AS w1,
+               round(max(w3.w2), 6) AS w2,
+               round(CAST(sum(CAST(round(
+                 -(CAST(y AS DOUBLE) * ln(pc)
+                   + (CAST(1.0 AS DOUBLE) - CAST(y AS DOUBLE))
+                     * ln(CAST(1.0 AS DOUBLE) - pc)), 9)
+                 AS DECIMAL(27,18))) AS DOUBLE) / count(*), 6)
+                 AS logloss
+        FROM fin, w3 GROUP BY w3.w0, w3.w1, w3.w2
+    """
+
+    # r5: Wilson lower-bound supplier reliability.
+    sqls["supplier_wilson"] = """
+        WITH j AS (SELECT l_suppkey,
+                     CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                                         CAST(l_shipdate AS DATE)) <= 30
+                          THEN 1 ELSE 0 END AS ot
+                   FROM lineitem JOIN orders ON o_orderkey = l_orderkey),
+        per AS (SELECT l_suppkey,
+                  CAST(count(*) AS BIGINT) AS n_shipments,
+                  CAST(sum(ot) AS BIGINT) AS on_time
+                FROM j GROUP BY 1),
+        sc AS (SELECT l_suppkey AS s_suppkey, n_shipments, on_time,
+                 round(CAST(on_time AS DOUBLE)
+                       / CAST(n_shipments AS DOUBLE), 6) AS rate,
+                 round(((CAST(on_time AS DOUBLE)
+                         / CAST(n_shipments AS DOUBLE))
+                        + CAST(3.841458881296 AS DOUBLE)
+                          / (CAST(2.0 AS DOUBLE)
+                             * CAST(n_shipments AS DOUBLE))
+                        - CAST(1.959964 AS DOUBLE)
+                          * sqrt((CAST(on_time AS DOUBLE)
+                                  / CAST(n_shipments AS DOUBLE))
+                                 * (CAST(1.0 AS DOUBLE)
+                                    - CAST(on_time AS DOUBLE)
+                                      / CAST(n_shipments AS DOUBLE))
+                                 / CAST(n_shipments AS DOUBLE)
+                                 + CAST(3.841458881296 AS DOUBLE)
+                                   / (CAST(4.0 AS DOUBLE)
+                                      * CAST(n_shipments AS DOUBLE)
+                                      * CAST(n_shipments AS DOUBLE))))
+                       / (CAST(1.0 AS DOUBLE)
+                          + CAST(3.841458881296 AS DOUBLE)
+                            / CAST(n_shipments AS DOUBLE)), 6)
+                   AS wilson_low
+               FROM per)
+        SELECT * FROM sc ORDER BY wilson_low DESC, s_suppkey LIMIT 50
     """
 
     return sqls

@@ -4841,3 +4841,160 @@ def events_mann_whitney(
         F.round(u, 6).alias("u_stat"),
         (F.round(z, 6) + F.lit(0.0)).alias("z"),
     )
+
+
+def events_logistic_fixed(
+    t: dict[str, DataFrame],
+    iterations: int = 3,
+    lr: float = 1.0,
+) -> DataFrame:
+    """Oracle-checked FIXED-ITERATION logistic regression: P(purchase
+    | value, hour) by ``iterations`` unrolled batch-gradient-descent
+    steps from w = 0 — the recall-certificate pattern
+    ([[graph_pagerank_fixed]], [[embedding_kmeans_fixed]]) applied to
+    a supervised model: the cross-engine-exact twin that pins the
+    GD mechanics while MLlib fits (ml.py) keep full convergence.
+
+    Features are FIXED deterministic scalings (value/100, hour/23 —
+    no data-dependent standardization, so no extra moment passes).
+    Each step is one corpus pass: sigmoid margins against the
+    broadcast 1-row weight frame, per-row gradient terms round-9 →
+    DECIMAL sums, weights round-9 after each update so iteration
+    k+1's inputs are bit-identical on any engine/parallelism.  The
+    labeled frame localCheckpoints once (multi-referenced by every
+    pass — the HITS replay lesson).  Final pass scores train
+    log-loss (ε-clamped, stated).
+
+    Output: one row — n, w0, w1, w2, logloss (round 6).
+    """
+    e = t["events"]
+    lab = e.where(F.col("event_type").isin("purchase", "view")).select(
+        (F.col("event_type") == "purchase").cast("int").alias("_y"),
+        (F.col("value").cast("double") / F.lit(100.0)).alias("_x1"),
+        (F.hour("ts").cast("double") / F.lit(23.0)).alias("_x2"),
+    )
+    lab = lab.localCheckpoint(eager=False)  # one pass per iteration
+    spark = e.sparkSession
+    w = spark.createDataFrame([(0.0, 0.0, 0.0)], ["_w0", "_w1", "_w2"])
+    for _ in range(int(iterations)):
+        z = F.col("_w0") + F.col("_w1") * F.col("_x1") + F.col("_w2") * F.col("_x2")
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        terms = lab.crossJoin(F.broadcast(w)).select(
+            "_w0",
+            "_w1",
+            "_w2",
+            F.round((p - F.col("_y")), 9).cast("decimal(27,18)").alias("_g0"),
+            F.round((p - F.col("_y")) * F.col("_x1"), 9)
+            .cast("decimal(27,18)")
+            .alias("_g1"),
+            F.round((p - F.col("_y")) * F.col("_x2"), 9)
+            .cast("decimal(27,18)")
+            .alias("_g2"),
+        )
+        g = terms.groupBy("_w0", "_w1", "_w2").agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum("_g0").cast("double").alias("_s0"),
+            F.sum("_g1").cast("double").alias("_s1"),
+            F.sum("_g2").cast("double").alias("_s2"),
+        )
+        w = g.select(
+            F.round(
+                F.col("_w0") - F.lit(float(lr)) * F.col("_s0") / F.col("_n"),
+                9,
+            ).alias("_w0"),
+            F.round(
+                F.col("_w1") - F.lit(float(lr)) * F.col("_s1") / F.col("_n"),
+                9,
+            ).alias("_w1"),
+            F.round(
+                F.col("_w2") - F.lit(float(lr)) * F.col("_s2") / F.col("_n"),
+                9,
+            ).alias("_w2"),
+        )
+    zf = F.col("_w0") + F.col("_w1") * F.col("_x1") + F.col("_w2") * F.col("_x2")
+    pf = F.lit(1.0) / (F.lit(1.0) + F.exp(-zf))
+    pc = F.least(F.greatest(pf, F.lit(1e-12)), F.lit(1.0) - F.lit(1e-12))
+    ll = lab.crossJoin(F.broadcast(w)).select(
+        "_w0",
+        "_w1",
+        "_w2",
+        F.round(
+            -(
+                F.col("_y").cast("double") * F.log(pc)
+                + (F.lit(1.0) - F.col("_y").cast("double"))
+                * F.log(F.lit(1.0) - pc)
+            ),
+            9,
+        )
+        .cast("decimal(27,18)")
+        .alias("_l"),
+    )
+    return ll.groupBy("_w0", "_w1", "_w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.sum("_l").cast("double") / F.count(F.lit(1)), 6).alias(
+            "logloss"
+        ),
+    ).select(
+        "n",
+        F.round("_w0", 6).alias("w0"),
+        F.round("_w1", 6).alias("w1"),
+        F.round("_w2", 6).alias("w2"),
+        "logloss",
+    )
+
+
+def supplier_wilson_reliability(
+    t: dict[str, DataFrame],
+    on_time_days: int = 30,
+    z: float = 1.959964,
+    top: int = 50,
+) -> DataFrame:
+    """Supplier reliability ranked by the Wilson score lower bound of
+    the on-time-shipment rate (shipped within ``on_time_days`` of the
+    order date): the ranking-under-uncertainty fix for naive rate
+    sorting, where a 3/3 supplier outranks a 9700/10000 one — the
+    same statistic behind "sort by rating" done right.
+
+    One fact⋈fact join on orderkey (the suite's standard shipping
+    join), one supplier-grain rollup of exact integer counts; the
+    Wilson bound is a single double chain per supplier row, top-k by
+    (bound desc, suppkey) via TakeOrdered.  No receipt/commit dates
+    in this schema, so on-time is order→ship latency (stated).
+
+    Output: top-k rows — s_suppkey, n_shipments, on_time, rate,
+    wilson_low (round 6).
+    """
+    l, o = t["lineitem"], t["orders"]
+    j = l.select("l_orderkey", "l_suppkey", "l_shipdate").join(
+        o.select("o_orderkey", "o_orderdate"),
+        l.l_orderkey == F.col("o_orderkey"),
+    )
+    per = j.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shipments"),
+        F.sum(
+            (
+                F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+                <= F.lit(int(on_time_days))
+            ).cast("int")
+        ).cast("bigint").alias("on_time"),
+    )
+    nn = F.col("n_shipments").cast("double")
+    ph = F.col("on_time").cast("double") / nn
+    z2 = F.lit(float(z) * float(z))
+    low = (
+        ph
+        + z2 / (F.lit(2.0) * nn)
+        - F.lit(float(z))
+        * F.sqrt(
+            ph * (F.lit(1.0) - ph) / nn
+            + z2 / (F.lit(4.0) * nn * nn)
+        )
+    ) / (F.lit(1.0) + z2 / nn)
+    scored = per.select(
+        F.col("l_suppkey").alias("s_suppkey"),
+        "n_shipments",
+        "on_time",
+        F.round(ph, 6).alias("rate"),
+        F.round(low, 6).alias("wilson_low"),
+    )
+    return scored.orderBy(F.desc("wilson_low"), "s_suppkey").limit(int(top))

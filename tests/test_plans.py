@@ -1841,3 +1841,63 @@ def test_mann_whitney_shift_and_null(spark):
     r2 = analytics.events_mann_whitney(
         {"events": from_rows(spark, rows2)}).collect()[0]
     assert r2.u_stat == 900.0 and r2.z > 6.0
+
+
+def test_logistic_fixed_tracks_numpy(spark):
+    import datetime as dt
+    import numpy as np
+
+    rows = []
+    for i in range(60):
+        purchase = i % 2 == 0
+        rows.append({"event_id": i,
+                     "ts": dt.datetime(2024, 1, 1, i % 24),
+                     "user_id": 1,
+                     "event_type": "purchase" if purchase else "view",
+                     "value": 200.0 if purchase else 10.0,
+                     "props": "{}"})
+    r = analytics.events_logistic_fixed(
+        {"events": from_rows(spark, rows)}).collect()[0]
+    # numpy twin with the same round-9 discipline
+    y = np.array([1.0 if i % 2 == 0 else 0.0 for i in range(60)])
+    x1 = np.array([2.0 if i % 2 == 0 else 0.1 for i in range(60)])
+    x2 = np.array([(i % 24) / 23.0 for i in range(60)])
+    w = np.zeros(3)
+    for _ in range(3):
+        p = 1.0 / (1.0 + np.exp(-(w[0] + w[1] * x1 + w[2] * x2)))
+        g = np.array([
+            np.sum(np.round(p - y, 9)),
+            np.sum(np.round((p - y) * x1, 9)),
+            np.sum(np.round((p - y) * x2, 9)),
+        ])
+        w = np.round(w - g / 60.0, 9)
+    assert (r.w0, r.w1, r.w2) == tuple(np.round(w, 6))
+    assert r.w1 > 0.5  # value separates the classes
+    assert r.n == 60 and 0 < r.logloss < 0.693148
+
+
+def test_wilson_small_sample_demotion(spark):
+    import datetime as dt
+
+    # supplier 1: 3/3 on time; supplier 2: 97/100 on time
+    lrows, orows = [], []
+    ok = 0
+    for i in range(3):
+        lrows.append((ok, 1, dt.datetime(2024, 1, 10))); ok += 1
+    for i in range(100):
+        late = i < 3
+        lrows.append((ok, 2,
+                      dt.datetime(2024, 3, 1) if late
+                      else dt.datetime(2024, 1, 10))); ok += 1
+    orows = [(k, dt.datetime(2024, 1, 1)) for k in range(ok)]
+    l = spark.createDataFrame(
+        [(k, s, d) for (k, s, d) in lrows],
+        ["l_orderkey", "l_suppkey", "l_shipdate"],
+    )
+    o = spark.createDataFrame(orows, ["o_orderkey", "o_orderdate"])
+    out = {r.s_suppkey: r for r in analytics.supplier_wilson_reliability(
+        {"lineitem": l, "orders": o}).collect()}
+    assert out[1].rate == 1.0 and out[2].rate == 0.97
+    # uncertainty flips the ranking: 97/100 beats 3/3
+    assert out[2].wilson_low > out[1].wilson_low
+    assert out[1].wilson_low < 0.5
