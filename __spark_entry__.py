@@ -1127,6 +1127,26 @@ def q_theil_decomposition(spark, sf):
     return analytics.customer_theil_decomposition(_t(spark, sf))
 
 
+def q_price_index(spark, sf):
+    """Laspeyres/Paasche/Fisher monthly price index (r5): matched
+    basket vs the base month, decimal-exact cross terms."""
+    return analytics.part_price_index(_t(spark, sf))
+
+
+def q_ab_fdr(spark, sf):
+    """Per-type A/B z-tests with Benjamini–Hochberg FDR (r5): md5 arm
+    split, DECIMAL moments, stated logistic Φ approximation."""
+    return analytics.events_ab_fdr(_t(spark, sf))
+
+
+def q_ann_range(spark, sf):
+    """Cosine range search (r5): broadcast queries, threshold on the
+    rounded cosine — the radius twin of ann_topk."""
+    e = _t(spark, sf)["embeddings"]
+    q = e.where(F.col("vec_id") < 5)
+    return similarity.cosine_range_search(e, q, threshold=0.25)
+
+
 def q_logistic_fixed(spark, sf):
     """Oracle-checked 3-step batch-GD logistic regression (r5):
     round-9 decimal gradient sums, weights re-rounded per step —
@@ -2822,6 +2842,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_mann_whitney": q_mann_whitney,
         "events_logistic_fixed": q_logistic_fixed,
         "supplier_wilson": q_wilson_reliability,
+        "part_price_index": q_price_index,
+        "events_ab_fdr": q_ab_fdr,
+        "ann_range_search": q_ann_range,
         # ---- rows-only keys (no SQL oracle by design; driver records
         # a weaker rows-only row; full evidence lives in tests/) ------
         "text_bpe_merges": q_bpe_merges,
@@ -9636,6 +9659,102 @@ def oracle_sql() -> dict[str, str]:
                    AS wilson_low
                FROM per)
         SELECT * FROM sc ORDER BY wilson_low DESC, s_suppkey LIMIT 50
+    """
+
+    # r5: monthly Laspeyres/Paasche/Fisher — matched basket vs the
+    # base month, round-9 decimal cross terms.
+    sqls["part_price_index"] = """
+        WITH pm AS (SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m')
+                      AS month, l_partkey,
+                      sum(CAST(l_quantity AS DECIMAL(27,6))) AS q,
+                      sum(CAST(l_extendedprice AS DECIMAL(27,6))) AS v
+                    FROM lineitem GROUP BY 1, 2),
+        bm AS (SELECT min(month) AS bm FROM pm),
+        base AS (SELECT l_partkey, q AS q0,
+                        CAST(v AS DOUBLE) / CAST(q AS DOUBLE) AS p0
+                 FROM pm, bm WHERE month = bm.bm),
+        j AS (SELECT pm.month,
+                CAST(pm.v AS DOUBLE) / CAST(pm.q AS DOUBLE) AS pt,
+                CAST(pm.q AS DOUBLE) AS qt,
+                CAST(base.q0 AS DOUBLE) AS q0, base.p0
+              FROM pm JOIN base USING (l_partkey)),
+        agg AS (SELECT month, CAST(count(*) AS BIGINT) AS n_parts,
+                  CAST(sum(CAST(round(pt * q0, 9) AS DECIMAL(38,9)))
+                       AS DOUBLE) AS l_num,
+                  CAST(sum(CAST(round(p0 * q0, 9) AS DECIMAL(38,9)))
+                       AS DOUBLE) AS l_den,
+                  CAST(sum(CAST(round(pt * qt, 9) AS DECIMAL(38,9)))
+                       AS DOUBLE) AS p_num,
+                  CAST(sum(CAST(round(p0 * qt, 9) AS DECIMAL(38,9)))
+                       AS DOUBLE) AS p_den
+                FROM j GROUP BY 1)
+        SELECT month, n_parts,
+               round(l_num / l_den, 6) AS laspeyres,
+               round(p_num / p_den, 6) AS paasche,
+               round(sqrt((l_num / l_den) * (p_num / p_den)), 6)
+                 AS fisher
+        FROM agg ORDER BY month
+    """
+
+    # r5: per-type A/B z + Benjamini–Hochberg step-up; logistic Φ
+    # approximation stated in the docstring.
+    sqls["events_ab_fdr"] = """
+        WITH m AS (SELECT event_type,
+            CASE WHEN CAST(CAST(concat('0x', substring(
+                   md5(concat('exp1', '-', CAST(user_id AS VARCHAR))), 1, 6))
+                 AS UBIGINT) AS BIGINT) % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+            CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(CAST(round(CAST(value AS DOUBLE), 4)
+                          AS DECIMAL(38,4))) AS DOUBLE) AS s,
+            CAST(sum(CAST(round(CAST(value AS DOUBLE)
+                                * CAST(value AS DOUBLE), 4)
+                          AS DECIMAL(38,4))) AS DOUBLE) AS ss
+          FROM events GROUP BY 1, 2),
+        a AS (SELECT event_type, n AS n_a, s / n AS ma,
+                     (ss / n) - (s / n) * (s / n) AS va
+              FROM m WHERE arm = 'A'),
+        b AS (SELECT event_type, n AS n_b, s / n AS mb,
+                     (ss / n) - (s / n) * (s / n) AS vb
+              FROM m WHERE arm = 'B'),
+        zc AS (SELECT a.event_type, n_a, n_b, ma - mb AS diff,
+                 (ma - mb) / sqrt(greatest(
+                     va / CAST(n_a AS DOUBLE) + vb / CAST(n_b AS DOUBLE),
+                     CAST(1e-18 AS DOUBLE))) AS z
+               FROM a JOIN b ON b.event_type = a.event_type),
+        pc AS (SELECT *, CAST(2.0 AS DOUBLE)
+                 * (CAST(1.0 AS DOUBLE) - CAST(1.0 AS DOUBLE)
+                    / (CAST(1.0 AS DOUBLE)
+                       + exp(CAST(-1.702 AS DOUBLE) * abs(z)))) AS p
+               FROM zc),
+        mm AS (SELECT CAST(count(*) AS DOUBLE) AS mt FROM pc),
+        r AS (SELECT pc.*, mm.mt,
+                CAST(row_number() OVER (ORDER BY p, event_type)
+                     AS DOUBLE) AS rk
+              FROM pc, mm),
+        adj AS (SELECT *, least(CAST(1.0 AS DOUBLE),
+                  min(p * mt / rk) OVER (ORDER BY p, event_type
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+                  AS padj
+                FROM r)
+        SELECT event_type, n_a, n_b,
+               round(diff, 6) AS mean_diff,
+               round(z, 6) + CAST(0.0 AS DOUBLE) AS z,
+               round(p, 6) AS p_approx,
+               round(padj, 6) AS p_adj
+        FROM adj ORDER BY event_type
+    """
+
+    # r5: cosine range search — threshold on the rounded cosine.
+    _rq_cos = _cos_sql("q.qv", "e.embedding")
+    sqls["ann_range_search"] = f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                   FROM embeddings WHERE vec_id < 5)
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               round({_rq_cos}, 6) AS cosine
+        FROM q CROSS JOIN embeddings e
+        WHERE q.query_id <> e.vec_id
+          AND round({_rq_cos}, 6) >= CAST(0.25 AS DOUBLE)
+        ORDER BY query_id, cosine DESC, neighbor_id
     """
 
     return sqls

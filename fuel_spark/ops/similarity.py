@@ -1821,3 +1821,47 @@ def calinski_harabasz(
             6,
         ).alias("ch"),
     )
+
+
+def cosine_range_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact cosine RANGE search: every corpus vector within
+    ``threshold`` of each query — the radius twin of
+    :func:`cosine_topk` for "give me everything this similar"
+    retrieval (dedup sweeps, recall-set construction), where top-k's
+    fixed k either truncates dense neighborhoods or pads sparse ones.
+
+    Same scale shape as top-k: broadcast queries × one parallel
+    corpus scan, no shuffle at all (the filter replaces the per-query
+    rank window — strictly cheaper).  The threshold compares the
+    ROUNDED cosine, so the cut is engine-exact.  Output: query_id,
+    neighbor_id, cosine (round 6), a row per in-range pair.
+    """
+    from fuel_spark.functions import cosine_expr, ensure_parallelism
+
+    q = broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        )
+    )
+    c = ensure_parallelism(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+        )
+    )
+    return (
+        q.crossJoin(c)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_expr("qvec", "cvec"), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= F.lit(float(threshold)))
+        .orderBy("query_id", F.desc("cosine"), "neighbor_id")
+    )

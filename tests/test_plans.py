@@ -817,6 +817,8 @@ SINGLE_PARTITION_ALLOWLIST = {
     # nations-row between/within rollup + 1-row final; MW midrank
     # window over the bounded 4-dp value grid (the KS/AUC family)
     "customer_theil_decomposition", "events_mann_whitney",
+    # 1-row base-month min; BH rank/step-up windows over ≤|types| rows
+    "part_price_index", "events_ab_fdr",
     # bigram-table 1-row total (LLR); day-grid S + 1-row moments (MK)
     "text_bigram_llr", "events_mann_kendall",
     # bounded-grid KS ECDF window + 1-row finals (KS/Theil/Chao1);
@@ -1901,3 +1903,75 @@ def test_wilson_small_sample_demotion(spark):
     # uncertainty flips the ranking: 97/100 beats 3/3
     assert out[2].wilson_low > out[1].wilson_low
     assert out[1].wilson_low < 0.5
+
+
+def test_price_index_hand_computed(spark):
+    import datetime as dt
+
+    rows = [
+        # base month: part1 unit 10 (qty 10), part2 unit 5 (qty 20)
+        (dt.datetime(2024, 1, 5), 1, 10.0, 100.0),
+        (dt.datetime(2024, 1, 6), 2, 20.0, 100.0),
+        # month 2: part1 doubles to unit 20 (qty 5), part2 flat
+        (dt.datetime(2024, 2, 5), 1, 5.0, 100.0),
+        (dt.datetime(2024, 2, 6), 2, 20.0, 100.0),
+    ]
+    l = spark.createDataFrame(
+        rows, ["l_shipdate", "l_partkey", "l_quantity", "l_extendedprice"]
+    )
+    out = {r.month: r for r in analytics.part_price_index(
+        {"lineitem": l}).collect()}
+    assert out["2024-01"].laspeyres == 1.0 == out["2024-01"].fisher
+    m2 = out["2024-02"]
+    assert m2.n_parts == 2
+    assert m2.laspeyres == 1.5  # (20*10+5*20)/(10*10+5*20)
+    assert m2.paasche == round(200 / 150, 6)
+    assert m2.fisher == round((1.5 * 200 / 150) ** 0.5, 6)
+
+
+def test_ab_fdr_planted_effect(spark):
+    import datetime as dt
+    import hashlib
+
+    def arm(uid):
+        h = hashlib.md5(f"exp1-{uid}".encode()).hexdigest()[:6]
+        return "A" if int(h, 16) % 2 == 0 else "B"
+
+    rows, eid = [], 0
+    for uid in range(1, 201):
+        big = 1000.0 if arm(uid) == "A" else 1.0
+        for _ in range(3):
+            rows.append({"event_id": eid, "ts": dt.datetime(2024, 1, 1),
+                         "user_id": uid, "event_type": "big",
+                         "value": big, "props": "{}"}); eid += 1
+            rows.append({"event_id": eid, "ts": dt.datetime(2024, 1, 1),
+                         "user_id": uid, "event_type": "same",
+                         "value": 5.0, "props": "{}"}); eid += 1
+    out = {r.event_type: r for r in analytics.events_ab_fdr(
+        {"events": from_rows(spark, rows)}).collect()}
+    assert out["big"].z > 50 and out["big"].p_adj < 0.01
+    assert out["same"].z == 0.0 and out["same"].p_adj == 1.0
+    for r in out.values():
+        assert r.p_adj >= r.p_approx - 1e-9 and r.p_adj <= 1.0
+
+
+def test_range_search_radius_cut(spark):
+    from fuel_spark.ops.similarity import cosine_range_search
+    from fuel_spark.sources import from_rows
+
+    rows = [
+        (0, [1.0, 0.0]),          # query
+        (1, [1.0, 0.01]),         # cosine ~ 0.99995 -> in
+        (2, [1.0, 1.0]),          # cosine ~ 0.7071 -> in at 0.7
+        (3, [0.0, 1.0]),          # cosine 0 -> out
+        (4, [-1.0, 0.0]),         # cosine -1 -> out
+    ]
+    df = from_rows(spark, rows, "vec_id bigint, embedding array<float>")
+    q = df.where(F.col("vec_id") == 0)
+    got = {r.neighbor_id: r.cosine
+           for r in cosine_range_search(df, q, threshold=0.7).collect()}
+    assert set(got) == {1, 2}
+    assert got[2] == round(2 ** -0.5, 6)
+    # tighter radius drops the diagonal vector
+    assert {r.neighbor_id for r in cosine_range_search(
+        df, q, threshold=0.8).collect()} == {1}
