@@ -1127,6 +1127,15 @@ def q_theil_decomposition(spark, sf):
     return analytics.customer_theil_decomposition(_t(spark, sf))
 
 
+def q_kcore(spark, sf):
+    """Fixed-3-round k-core peel of the co-purchase graph (r5), k=90
+    (tuned to the graph's ~90-115 median degree so the trajectory
+    actually peels at every tested SF)."""
+    from fuel_spark.ops import graph
+
+    return graph.kcore_fixed(_copurchase_edges(spark, sf), k=90, rounds=3)
+
+
 def q_price_index(spark, sf):
     """Laspeyres/Paasche/Fisher monthly price index (r5): matched
     basket vs the base month, decimal-exact cross terms."""
@@ -2845,6 +2854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_price_index": q_price_index,
         "events_ab_fdr": q_ab_fdr,
         "ann_range_search": q_ann_range,
+        "graph_kcore_fixed": q_kcore,
         # ---- rows-only keys (no SQL oracle by design; driver records
         # a weaker rows-only row; full evidence lives in tests/) ------
         "text_bpe_merges": q_bpe_merges,
@@ -9755,6 +9765,30 @@ def oracle_sql() -> dict[str, str]:
         WHERE q.query_id <> e.vec_id
           AND round({_rq_cos}, 6) >= CAST(0.25 AS DOUBLE)
         ORDER BY query_id, cosine DESC, neighbor_id
+    """
+
+    # r5: fixed-3-round k-core peel, k=90, unrolled like the other
+    # fixed-iteration twins.
+    _kc_round = """
+        d{r} AS (SELECT v, count(*) AS d
+                 FROM (SELECT a AS v FROM e{p}
+                       UNION ALL SELECT b FROM e{p}) GROUP BY 1),
+        k{r} AS (SELECT v FROM d{r} WHERE d >= 90),
+        e{r} AS (SELECT e{p}.a, e{p}.b FROM e{p}
+                 JOIN k{r} ka ON ka.v = e{p}.a
+                 JOIN k{r} kb ON kb.v = e{p}.b),
+        c{r} AS (SELECT CAST({r} AS INTEGER) AS round,
+                        (SELECT CAST(count(*) AS BIGINT) FROM k{r})
+                          AS n_vertices,
+                        (SELECT CAST(count(*) AS BIGINT) FROM e{r})
+                          AS n_edges)
+    """
+    _kc = ",".join(_kc_round.format(r=r, p=r - 1) for r in (1, 2, 3))
+    sqls["graph_kcore_fixed"] = f"""
+        WITH {_graph_edges_sql},
+        {_kc}
+        SELECT * FROM c1 UNION ALL SELECT * FROM c2
+        UNION ALL SELECT * FROM c3 ORDER BY round
     """
 
     return sqls

@@ -544,3 +544,76 @@ def link_prediction(
         )
         .orderBy(F.desc("adamic_adar"), "part_a", "part_b")
     )
+
+
+def kcore_fixed(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    k: int = 10,
+    rounds: int = 3,
+) -> DataFrame:
+    """Fixed-iteration k-core peeling of an undirected graph: each
+    round drops every vertex with degree < ``k`` and restricts the
+    edge set to survivors; after enough rounds the fixed point is the
+    k-core — the standard "dense cohesive backbone" extraction
+    (community cores, spam/bot subgraph isolation, curriculum
+    ordering by coreness).  Like [[graph_pagerank_fixed]] /
+    [[graph_hits_fixed]], the round count is FIXED so the plan
+    unrolls and the DuckDB twin replays it exactly; convergence is
+    not claimed at ``rounds`` (stated) — the trajectory itself is the
+    deliverable (how fast the periphery peels).
+
+    Scale shape: each round is one endpoint-union degree rollup
+    (map-side combinable, vertex-sized output) + two BROADCAST
+    semi-joins restricting the narrow (id, id) edge list — the keep
+    set is vertex-sized by construction, and without the explicit
+    broadcast Spark picked SortMergeJoin off the checkpointed frame's
+    size estimate, shuffling the full edge list twice per round
+    (scale-found at 20×: 66-76s → 23s after broadcasting keep and
+    dropping a duplicated per-round checkpoint; the surviving-edge
+    checkpoint itself stays — it is multi-referenced by the next
+    round's rollup, both semi-joins and the census, the HITS replay
+    lesson).  Work is O(m) per round, no pair expansion anywhere.
+    Output: one row per round — round, n_vertices, n_edges
+    (survivors AFTER that round's peel), ordered by round.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    census = []
+    e = e.localCheckpoint(eager=False)
+    for r in range(1, int(rounds) + 1):
+        deg = (
+            e.select(F.col("a").alias("v"))
+            .unionAll(e.select(F.col("b").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("_d"))
+        )
+        keep = deg.where(F.col("_d") >= int(k)).select("v")
+        keep = keep.localCheckpoint(eager=False)  # both semi-joins + count
+        e = e.join(
+            F.broadcast(keep.select(F.col("v").alias("a"))), "a", "left_semi"
+        ).join(
+            F.broadcast(keep.select(F.col("v").alias("b"))), "b", "left_semi"
+        )
+        e = e.localCheckpoint(eager=False)
+        census.append(
+            keep.agg(
+                F.lit(r).cast("int").alias("round"),
+                F.count(F.lit(1)).cast("bigint").alias("n_vertices"),
+            ).crossJoin(
+                F.broadcast(
+                    e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+                )
+            )
+        )
+    out = census[0]
+    for c in census[1:]:
+        out = out.unionByName(c)
+    return out.orderBy("round")

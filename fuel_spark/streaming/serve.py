@@ -605,3 +605,70 @@ def anomaly_screen_stream(
         "is_anomaly",
         F.coalesce(F.abs(F.col("z_score")) > z_threshold, F.lit(False)),
     ).drop("mean", "std")
+
+
+def drift_screen_stream(
+    events: DataFrame,
+    baseline: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+    bin_width: float = 50.0,
+    n_bins: int = 10,
+    eps: float = 1e-6,
+    psi_alert: float = 0.25,
+) -> DataFrame:
+    """Streaming PSI drift screen: per event-time window, the
+    Population Stability Index of the value distribution against a
+    STATIC baseline histogram — the online twin of
+    ``plans.analytics.events_psi_weekly`` (retrain/rollback tripwire:
+    PSI > 0.25 = the incoming traffic no longer looks like what the
+    model was fit on).
+
+    Structured Streaming forbids chained aggregations, and PSI is
+    naturally two (bin counts, then the sum over bins) — so the bins
+    FOLD INTO ONE windowed aggregate as ``n_bins`` conditional sums
+    (n_bins is a fixed small constant), and the PSI is a row-local
+    expression over those columns.  The baseline histogram is
+    collected ONCE at plan-build time: it is an n_bins-number CONFIG
+    (the output of a batch profile), not data-plane input — the
+    stream itself never collects.  Zero state beyond the windowed
+    agg; the watermark bounds it.
+
+    ``baseline`` columns: bin (int), p (double, the baseline
+    proportions; missing bins floor to ``eps``).  Output per closed
+    window: window_start, window_end, n, psi (round 6), drifted.
+    """
+    base = {int(r["bin"]): float(r["p"]) for r in baseline.collect()}
+    vbin = F.least(
+        F.lit(int(n_bins - 1)),
+        F.greatest(
+            F.lit(0),
+            F.floor(F.col(value_col) / F.lit(float(bin_width))).cast("int"),
+        ),
+    )
+    agg_exprs = [
+        F.sum((vbin == i).cast("long")).alias(f"_b{i}")
+        for i in range(int(n_bins))
+    ]
+    w = (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window_duration).alias("_w"))
+        .agg(F.count(F.lit(1)).alias("n"), *agg_exprs)
+    )
+    psi = None
+    for i in range(int(n_bins)):
+        q = max(base.get(i, 0.0), float(eps))
+        p = F.greatest(
+            F.col(f"_b{i}").cast("double") / F.col("n"), F.lit(float(eps))
+        )
+        term = (p - F.lit(q)) * F.log(p / F.lit(q))
+        psi = term if psi is None else psi + term
+    return w.select(
+        F.col("_w.start").alias("window_start"),
+        F.col("_w.end").alias("window_end"),
+        F.col("n").cast("bigint").alias("n"),
+        F.round(psi, 6).alias("psi"),
+        (F.round(psi, 6) > F.lit(float(psi_alert))).alias("drifted"),
+    )

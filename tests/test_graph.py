@@ -223,3 +223,21 @@ def test_link_prediction_excludes_edges_and_caps(spark):
     assert graph.link_prediction(
         from_rows(spark, star, "src bigint, dst bigint"),
         max_center_degree=2).count() == 0
+
+
+def test_kcore_fixed_peels_periphery(spark):
+    # K5 core (every deg 4) + pendant chain: k=3 peels the chain in
+    # one round, then the core is stable
+    edges = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    edges += [(4, 10), (10, 11)]  # pendant path off the clique
+    out = {r.round: r for r in graph.kcore_fixed(
+        from_rows(spark, edges, "src bigint, dst bigint"),
+        k=3, rounds=3).collect()}
+    # round 1: only vertex 4 gains degree from the pendant; 10,11 drop
+    assert out[1].n_vertices == 5 and out[1].n_edges == 10
+    assert out[2].n_vertices == 5 and out[3].n_edges == 10
+    # k above the max degree empties the graph immediately
+    empty = graph.kcore_fixed(
+        from_rows(spark, edges, "src bigint, dst bigint"),
+        k=100, rounds=2).collect()
+    assert all(r.n_vertices == 0 and r.n_edges == 0 for r in empty)

@@ -819,6 +819,8 @@ SINGLE_PARTITION_ALLOWLIST = {
     "customer_theil_decomposition", "events_mann_whitney",
     # 1-row base-month min; BH rank/step-up windows over ≤|types| rows
     "part_price_index", "events_ab_fdr",
+    # 3× 1-row per-round census (vertex/edge counts + crossJoin)
+    "graph_kcore_fixed",
     # bigram-table 1-row total (LLR); day-grid S + 1-row moments (MK)
     "text_bigram_llr", "events_mann_kendall",
     # bounded-grid KS ECDF window + 1-row finals (KS/Theil/Chao1);

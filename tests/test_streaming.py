@@ -578,3 +578,50 @@ def test_substring_screen_stream_matches_batch_seeds(spark, workdir):
     # shared run starts at word 2 in doc 10 and word 4 in the
     # reference; a 6-word run has two 5-gram seeds
     assert rows == [(10, 2, 1, 4), (10, 3, 1, 5)]
+
+
+def test_drift_screen_stream_stable_vs_shifted(spark, workdir):
+    """Windowed PSI against a static baseline: a window matching the
+    baseline shape reads ~0, a window shifted into other bins trips
+    the 0.25 alert.  One streaming aggregate (bins folded into
+    conditional sums — chained aggs are illegal in streaming);
+    availableNow run."""
+    import datetime as dt
+
+    src = os.path.join(workdir, "dr_src")
+    ckpt = os.path.join(workdir, "dr_ckpt")
+    rows = []
+    eid = 0
+    # window 1 (hour 0): half in bin 0, half in bin 1 - matches baseline
+    for i in range(40):
+        rows.append((eid, dt.datetime(2024, 1, 1, 0, i % 50),
+                     float(10 if i % 2 else 60))); eid += 1
+    # window 2 (hour 2): everything lands in bin 9 - full drift
+    for i in range(40):
+        rows.append((eid, dt.datetime(2024, 1, 1, 2, i % 50), 480.0)); eid += 1
+    # watermark sentinel: append mode only emits CLOSED windows, so a
+    # far-future event pushes the watermark past both test windows
+    rows.append((eid, dt.datetime(2024, 1, 2, 12, 0), 0.0))
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, value double"
+    ).write.mode("overwrite").parquet(src)
+    baseline = spark.createDataFrame(
+        [(0, 0.5), (1, 0.5)], "bin int, p double"
+    )
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, value double"
+    ).parquet(src)
+    out = []
+    q = (
+        serve.drift_screen_stream(stream, baseline)
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda d, _i: out.extend(d.collect()))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.window_start.hour: r for r in out}
+    assert got[0].psi < 0.001 and not got[0].drifted
+    assert got[2].psi > 5.0 and got[2].drifted
+    assert got[0].n == 40 and got[2].n == 40
