@@ -1127,6 +1127,20 @@ def q_theil_decomposition(spark, sf):
     return analytics.customer_theil_decomposition(_t(spark, sf))
 
 
+def q_tfidf(spark, sf):
+    """TF-IDF characteristic terms per source (r5): smooth add-1 IDF
+    over sources, per-source top-10 on the rounded score."""
+    d = _t(spark, sf)["documents"]
+    return text_ops.tfidf_top_terms(d, "source", "text", top_k=10)
+
+
+def q_fightin_words(spark, sf):
+    """Monroe log-odds source-contrast terms (r5): Dirichlet prior
+    proportional to corpus frequencies, variance-normalized z."""
+    d = _t(spark, sf)["documents"]
+    return text_ops.fightin_words(d, "source", "text", top_k=10)
+
+
 def q_kcore(spark, sf):
     """Fixed-3-round k-core peel of the co-purchase graph (r5), k=90
     (tuned to the graph's ~90-115 median degree so the trajectory
@@ -2855,6 +2869,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ab_fdr": q_ab_fdr,
         "ann_range_search": q_ann_range,
         "graph_kcore_fixed": q_kcore,
+        "corpus_tfidf_terms": q_tfidf,
+        "corpus_fightin_words": q_fightin_words,
         # ---- rows-only keys (no SQL oracle by design; driver records
         # a weaker rows-only row; full evidence lives in tests/) ------
         "text_bpe_merges": q_bpe_merges,
@@ -9789,6 +9805,88 @@ def oracle_sql() -> dict[str, str]:
         {_kc}
         SELECT * FROM c1 UNION ALL SELECT * FROM c2
         UNION ALL SELECT * FROM c3 ORDER BY round
+    """
+
+    # r5: TF-IDF characteristic terms per source — smooth add-1 IDF,
+    # per-source top-10 on the rounded score with term tie-break.
+    _tw = _words_sql("text")
+    _tn = _norm_sql("text")
+    sqls["corpus_tfidf_terms"] = f"""
+        WITH tok AS (SELECT source, unnest({_tw}) AS term
+                     FROM documents WHERE length({_tn}) >= 1),
+        cnt AS (SELECT source, term,
+                       CAST(count(*) AS BIGINT) AS term_count
+                FROM tok GROUP BY 1, 2),
+        dfw AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+                FROM cnt GROUP BY 1),
+        ns AS (SELECT CAST(count(DISTINCT source) AS BIGINT) AS n
+               FROM cnt),
+        sc AS (SELECT source, cnt.term, term_count, dfw.df,
+                 round(CAST(term_count AS DOUBLE)
+                       * (ln((CAST(ns.n AS DOUBLE) + CAST(1.0 AS DOUBLE))
+                             / (CAST(dfw.df AS DOUBLE)
+                                + CAST(1.0 AS DOUBLE)))
+                          + CAST(1.0 AS DOUBLE)), 6) AS tfidf
+               FROM cnt JOIN dfw ON dfw.term = cnt.term CROSS JOIN ns),
+        rk AS (SELECT *, CAST(row_number() OVER (
+                 PARTITION BY source ORDER BY tfidf DESC, term)
+                 AS INTEGER) AS rank
+               FROM sc)
+        SELECT source, term, term_count, df, tfidf, rank
+        FROM rk WHERE rank <= 10 ORDER BY source, rank
+    """
+
+    # r5: Fightin' Words — Dirichlet-prior log-odds z per source.
+    sqls["corpus_fightin_words"] = f"""
+        WITH tok AS (SELECT source, unnest({_tw}) AS term
+                     FROM documents WHERE length({_tn}) >= 1),
+        cnt AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c
+                FROM tok GROUP BY 1, 2),
+        wt AS (SELECT term, CAST(sum(c) AS BIGINT) AS cw
+               FROM cnt GROUP BY 1),
+        st AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns
+               FROM cnt GROUP BY 1),
+        gt AS (SELECT CAST(sum(cw) AS BIGINT) AS n FROM wt),
+        sc AS (SELECT cnt.source, cnt.term, cnt.c AS term_count,
+                 CAST(wt.cw - cnt.c AS BIGINT) AS rest_count,
+                 round(
+                   (ln((CAST(cnt.c AS DOUBLE)
+                        + CAST(500.0 AS DOUBLE) * CAST(wt.cw AS DOUBLE)
+                          / CAST(gt.n AS DOUBLE))
+                       / (CAST(st.ns AS DOUBLE) + CAST(500.0 AS DOUBLE)
+                          - CAST(cnt.c AS DOUBLE)
+                          - CAST(500.0 AS DOUBLE) * CAST(wt.cw AS DOUBLE)
+                            / CAST(gt.n AS DOUBLE)))
+                    - ln((CAST(wt.cw - cnt.c AS DOUBLE)
+                          + CAST(500.0 AS DOUBLE) * CAST(wt.cw AS DOUBLE)
+                            / CAST(gt.n AS DOUBLE))
+                         / (CAST(gt.n - st.ns AS DOUBLE)
+                            + CAST(500.0 AS DOUBLE)
+                            - CAST(wt.cw - cnt.c AS DOUBLE)
+                            - CAST(500.0 AS DOUBLE)
+                              * CAST(wt.cw AS DOUBLE)
+                              / CAST(gt.n AS DOUBLE))))
+                   / sqrt(CAST(1.0 AS DOUBLE)
+                          / (CAST(cnt.c AS DOUBLE)
+                             + CAST(500.0 AS DOUBLE)
+                               * CAST(wt.cw AS DOUBLE)
+                               / CAST(gt.n AS DOUBLE))
+                          + CAST(1.0 AS DOUBLE)
+                            / (CAST(wt.cw - cnt.c AS DOUBLE)
+                               + CAST(500.0 AS DOUBLE)
+                                 * CAST(wt.cw AS DOUBLE)
+                                 / CAST(gt.n AS DOUBLE))), 6)
+                 + CAST(0.0 AS DOUBLE) AS z_score
+               FROM cnt
+               JOIN wt ON wt.term = cnt.term
+               JOIN st ON st.source = cnt.source
+               CROSS JOIN gt),
+        rk AS (SELECT *, CAST(row_number() OVER (
+                 PARTITION BY source ORDER BY z_score DESC, term)
+                 AS INTEGER) AS rank
+               FROM sc)
+        SELECT source, term, term_count, rest_count, z_score, rank
+        FROM rk WHERE rank <= 10 ORDER BY source, rank
     """
 
     return sqls

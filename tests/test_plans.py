@@ -821,6 +821,8 @@ SINGLE_PARTITION_ALLOWLIST = {
     "part_price_index", "events_ab_fdr",
     # 3× 1-row per-round census (vertex/edge counts + crossJoin)
     "graph_kcore_fixed",
+    # 1-row corpus totals (N sources / N tokens) broadcast back
+    "corpus_tfidf_terms", "corpus_fightin_words",
     # bigram-table 1-row total (LLR); day-grid S + 1-row moments (MK)
     "text_bigram_llr", "events_mann_kendall",
     # bounded-grid KS ECDF window + 1-row finals (KS/Theil/Chao1);

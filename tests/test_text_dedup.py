@@ -1937,3 +1937,47 @@ def test_flesch_simple_vs_complex(spark):
     assert out["complex"].syllables_per_word > 3
     # hand-check doc 0: 9 words, 3 sentences, 9 syllable groups
     assert out["simple"].words_per_sentence == 3.0
+
+
+def test_tfidf_top_terms_contrast(spark):
+    from fuel_spark.ops.text import tfidf_top_terms
+
+    rows = [
+        (0, "common zebra zebra zebra", "s1"),
+        (1, "common common yak", "s2"),
+        (2, "common llama llama", "s3"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = tfidf_top_terms(df, "source", "text", top_k=2).collect()
+    top = {(r.source, r.rank): r for r in out}
+    # s1: exclusive 'zebra' x3 (idf ln(4/2)+1) beats 'common' x1 (idf 1)
+    assert top[("s1", 1)].term == "zebra" and top[("s1", 1)].term_count == 3
+    # s2: 'common' x2 (tfidf 2.0) beats exclusive 'yak' x1 (1.693..)
+    assert top[("s2", 1)].term == "common" and top[("s2", 1)].tfidf == 2.0
+    assert top[("s2", 2)].term == "yak" and top[("s2", 2)].df == 1
+    assert top[("s3", 1)].term == "llama"
+    import math
+    assert top[("s2", 2)].tfidf == round(1 * (math.log(4 / 2) + 1), 6)
+
+
+def test_fightin_words_flags_overrepresented(spark):
+    from fuel_spark.ops.text import fightin_words
+
+    # 'insulin' dominates s1; 'football' dominates s2; 'the' is even
+    rows = []
+    for i in range(20):
+        rows.append((i, "the insulin dose", "s1"))
+        rows.append((100 + i, "the football match", "s2"))
+    rows.append((300, "the insulin", "s2"))  # tiny leak the prior absorbs
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = fightin_words(df, "source", "text", top_k=3).collect()
+    top = {(r.source, r.rank): r for r in out}
+    # the purest source-exclusive terms lead ('dose' 20/0 edges out
+    # 'insulin' 20/1 - the leak costs it, correctly)
+    assert top[("s1", 1)].term in ("dose", "insulin")
+    assert top[("s2", 1)].term in ("football", "match")
+    # the balanced word never tops either list
+    assert all(r.term != "the" or r.rank > 1 for r in out)
+    ins = {r.term: r for r in out if r.source == "s1"}["insulin"]
+    assert ins.term_count == 20 and ins.rest_count == 1
+    assert ins.z_score > 1.0 and ins.rank <= 3
