@@ -1134,6 +1134,12 @@ def q_tfidf(spark, sf):
     return text_ops.tfidf_top_terms(d, "source", "text", top_k=10)
 
 
+def q_seasonality_strength(spark, sf):
+    """Hyndman seasonality/trend strength (r5): one-row variance
+    decomposition off the events_decompose components."""
+    return analytics.events_seasonality_strength(_t(spark, sf))
+
+
 def q_fightin_words(spark, sf):
     """Monroe log-odds source-contrast terms (r5): Dirichlet prior
     proportional to corpus frequencies, variance-normalized z."""
@@ -2871,6 +2877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_kcore_fixed": q_kcore,
         "corpus_tfidf_terms": q_tfidf,
         "corpus_fightin_words": q_fightin_words,
+        "events_seasonality_strength": q_seasonality_strength,
         # ---- rows-only keys (no SQL oracle by design; driver records
         # a weaker rows-only row; full evidence lives in tests/) ------
         "text_bpe_merges": q_bpe_merges,
@@ -9887,6 +9894,71 @@ def oracle_sql() -> dict[str, str]:
                FROM sc)
         SELECT source, term, term_count, rest_count, z_score, rank
         FROM rk WHERE rank <= 10 ORDER BY source, rank
+    """
+
+    # r5: Hyndman seasonality/trend strength off the decompose twin.
+    sqls["events_seasonality_strength"] = """
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) AS d,
+                 CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE)
+                   AS day_value
+          FROM events WHERE event_type = 'purchase' GROUP BY 1
+        ),
+        tr AS (
+          SELECT a.d AS d_c, a.day_value AS v_c,
+                 round(CAST(sum(CAST(b.day_value AS DECIMAL(27,6)))
+                            AS DOUBLE) / count(*), 6) AS trend
+          FROM daily a JOIN daily b
+            ON b.d >= a.d - INTERVAL 3 DAY AND b.d <= a.d + INTERVAL 3 DAY
+          GROUP BY 1, 2
+        ),
+        de AS (
+          SELECT d_c, v_c, trend,
+                 round(v_c - trend, 6) AS detr,
+                 dayofweek(d_c) + 1 AS dow
+          FROM tr
+        ),
+        se AS (
+          SELECT dow,
+                 round(CAST(sum(CAST(detr AS DECIMAL(27,6))) AS DOUBLE)
+                       / count(*), 6) AS seasonal
+          FROM de GROUP BY 1
+        ),
+        comp AS (
+          SELECT de.trend, se.seasonal,
+                 round(v_c - trend - seasonal, 6) AS residual
+          FROM de JOIN se ON de.dow = se.dow
+        ),
+        v AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_days,
+            CAST(sum(CAST(round(residual * residual, 9)
+                          AS DECIMAL(38,9))) AS DOUBLE) AS ssr,
+            CAST(sum(CAST(round(residual, 9)
+                          AS DECIMAL(38,9))) AS DOUBLE) AS sr,
+            CAST(sum(CAST(round((seasonal + residual)
+                                * (seasonal + residual), 9)
+                          AS DECIMAL(38,9))) AS DOUBLE) AS sssr,
+            CAST(sum(CAST(round(seasonal + residual, 9)
+                          AS DECIMAL(38,9))) AS DOUBLE) AS ssr1,
+            CAST(sum(CAST(round((trend + residual)
+                                * (trend + residual), 9)
+                          AS DECIMAL(38,9))) AS DOUBLE) AS sstr,
+            CAST(sum(CAST(round(trend + residual, 9)
+                          AS DECIMAL(38,9))) AS DOUBLE) AS str1
+          FROM comp
+        )
+        SELECT n_days,
+          round((ssr / n_days) - (sr / n_days) * (sr / n_days), 6)
+            AS var_resid,
+          round(greatest(CAST(0.0 AS DOUBLE), CAST(1.0 AS DOUBLE)
+            - ((ssr / n_days) - (sr / n_days) * (sr / n_days))
+              / ((sssr / n_days) - (ssr1 / n_days) * (ssr1 / n_days))),
+            6) AS strength_seasonal,
+          round(greatest(CAST(0.0 AS DOUBLE), CAST(1.0 AS DOUBLE)
+            - ((ssr / n_days) - (sr / n_days) * (sr / n_days))
+              / ((sstr / n_days) - (str1 / n_days) * (str1 / n_days))),
+            6) AS strength_trend
+        FROM v
     """
 
     return sqls

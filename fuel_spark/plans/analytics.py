@@ -5205,3 +5205,48 @@ def events_ab_fdr(t: dict[str, DataFrame], salt: str = "exp1") -> DataFrame:
         F.round("_p", 6).alias("p_approx"),
         F.round("_padj", 6).alias("p_adj"),
     ).orderBy("event_type")
+
+
+def events_seasonality_strength(
+    t: dict[str, DataFrame], trend_window: int = 7
+) -> DataFrame:
+    """Hyndman's seasonality/trend STRENGTH measures over the daily
+    revenue decomposition: F_s = max(0, 1 − var(R)/var(S+R)) and
+    F_t = max(0, 1 − var(R)/var(T+R)) (Wang–Smith–Hyndman 2006) —
+    the one-row answer to "is this series weekday-driven, trending,
+    or noise", i.e. whether the forecast family needs seasonal terms
+    at all.  The scalar companion to [[events_decompose]], computed
+    FROM the same components so the two queries can never disagree.
+
+    One day-grid decomposition (bounded joins/rollups, see
+    events_decompose) then a single variance aggregate: round-9
+    DECIMAL sums of squares/sums, variances as exact-count divisions,
+    strengths clamped at 0 (stated — sampling noise can push the
+    ratio past 1).  Output: one row — n_days, var_resid,
+    strength_seasonal, strength_trend (round 6).
+    """
+    comp = events_decompose(t, trend_window=trend_window)
+
+    def _var(col):
+        s = F.sum(F.round(col, 9).cast("decimal(38,9)")).cast("double")
+        ss = F.sum(
+            F.round(col * col, 9).cast("decimal(38,9)")
+        ).cast("double")
+        n = F.count(F.lit(1)).cast("double")
+        return (ss / n) - (s / n) * (s / n)
+
+    r = F.col("residual")
+    agg = comp.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        _var(r).alias("_vr"),
+        _var(F.col("seasonal") + r).alias("_vsr"),
+        _var(F.col("trend") + r).alias("_vtr"),
+    )
+    fs = F.greatest(F.lit(0.0), F.lit(1.0) - F.col("_vr") / F.col("_vsr"))
+    ft = F.greatest(F.lit(0.0), F.lit(1.0) - F.col("_vr") / F.col("_vtr"))
+    return agg.select(
+        "n_days",
+        F.round("_vr", 6).alias("var_resid"),
+        F.round(fs, 6).alias("strength_seasonal"),
+        F.round(ft, 6).alias("strength_trend"),
+    )

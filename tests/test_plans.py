@@ -823,6 +823,8 @@ SINGLE_PARTITION_ALLOWLIST = {
     "graph_kcore_fixed",
     # 1-row corpus totals (N sources / N tokens) broadcast back
     "corpus_tfidf_terms", "corpus_fightin_words",
+    # day-grid decompose + 1-row variance final
+    "events_seasonality_strength",
     # bigram-table 1-row total (LLR); day-grid S + 1-row moments (MK)
     "text_bigram_llr", "events_mann_kendall",
     # bounded-grid KS ECDF window + 1-row finals (KS/Theil/Chao1);
@@ -1979,3 +1981,30 @@ def test_range_search_radius_cut(spark):
     # tighter radius drops the diagonal vector
     assert {r.neighbor_id for r in cosine_range_search(
         df, q, threshold=0.8).collect()} == {1}
+
+
+def test_seasonality_strength_weekday_pattern(spark):
+    import datetime as dt
+
+    # strong weekday pattern: weekends 10x weekdays, no trend
+    rows, eid = [], 0
+    for d in range(1, 29):
+        day = dt.datetime(2024, 1, d, 12)
+        big = day.weekday() >= 5
+        rows.append({"event_id": eid, "ts": day, "user_id": 1,
+                     "event_type": "purchase",
+                     "value": 1000.0 if big else 100.0,
+                     "props": "{}"}); eid += 1
+    r = analytics.events_seasonality_strength(
+        {"events": from_rows(spark, rows)}).collect()[0]
+    assert r.n_days == 28 and r.strength_seasonal > 0.8
+    # pure linear trend, same value every weekday -> trend dominates
+    rows2 = []
+    for d in range(1, 29):
+        rows2.append({"event_id": d, "ts": dt.datetime(2024, 1, d, 12),
+                      "user_id": 1, "event_type": "purchase",
+                      "value": float(100 * d), "props": "{}"})
+    r2 = analytics.events_seasonality_strength(
+        {"events": from_rows(spark, rows2)}).collect()[0]
+    assert r2.strength_trend > 0.95
+    assert r2.strength_trend > r2.strength_seasonal
