@@ -1134,6 +1134,12 @@ def q_tfidf(spark, sf):
     return text_ops.tfidf_top_terms(d, "source", "text", top_k=10)
 
 
+def q_pacf(spark, sf):
+    """PACF lags 1–3 (r5): Durbin–Levinson closed forms over the
+    calendar-lag ACF; the AR-order selector."""
+    return analytics.events_pacf(_t(spark, sf))
+
+
 def q_seasonality_strength(spark, sf):
     """Hyndman seasonality/trend strength (r5): one-row variance
     decomposition off the events_decompose components."""
@@ -2878,6 +2884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_tfidf_terms": q_tfidf,
         "corpus_fightin_words": q_fightin_words,
         "events_seasonality_strength": q_seasonality_strength,
+        "events_pacf": q_pacf,
         # ---- rows-only keys (no SQL oracle by design; driver records
         # a weaker rows-only row; full evidence lives in tests/) ------
         "text_bpe_merges": q_bpe_merges,
@@ -9959,6 +9966,56 @@ def oracle_sql() -> dict[str, str]:
               / ((sstr / n_days) - (str1 / n_days) * (str1 / n_days))),
             6) AS strength_trend
         FROM v
+    """
+
+    # r5: PACF lags 1-3 via Durbin–Levinson closed forms over the
+    # proven ACF machinery; sign-preserving 1e-18 denominator floor.
+    _sgnf = (
+        "CASE WHEN abs({x}) < CAST(1e-18 AS DOUBLE) THEN"
+        " (CASE WHEN {x} < CAST(0.0 AS DOUBLE)"
+        " THEN CAST(-1e-18 AS DOUBLE) ELSE CAST(1e-18 AS DOUBLE) END)"
+        " ELSE {x} END"
+    )
+    _d22 = _sgnf.format(x="(CAST(1.0 AS DOUBLE) - r1 * r1)")
+    _d33 = _sgnf.format(
+        x="(CAST(1.0 AS DOUBLE) - (r1 - p22 * r1) * r1 - p22 * r2)"
+    )
+    sqls["events_pacf"] = f"""
+        WITH daily AS (SELECT CAST(ts AS DATE) AS d, count(*) AS n
+                       FROM events GROUP BY 1),
+        st AS (SELECT CAST(sum(n) AS DOUBLE) / count(*) AS mu FROM daily),
+        d0 AS (SELECT d, CAST(n AS DOUBLE) - st.mu AS dev
+               FROM daily, st),
+        den AS (SELECT CAST(sum(CAST(round(dev * dev, 6)
+                                     AS DECIMAL(27,6))) AS DOUBLE) AS v
+                FROM d0),
+        lags AS (SELECT CAST(unnest(generate_series(1, 3)) AS INTEGER)
+                   AS lag),
+        pr AS (SELECT x.lag, x.pdev, b.dev AS bdev
+               FROM (SELECT l.lag AS lag, a.d + l.lag AS d2,
+                            a.dev AS pdev
+                     FROM d0 a CROSS JOIN lags l) x
+               JOIN d0 b ON b.d = x.d2),
+        num AS (SELECT lag,
+                  CAST(sum(CAST(round(pdev * bdev, 6)
+                                AS DECIMAL(27,6))) AS DOUBLE) AS nm
+                FROM pr GROUP BY 1),
+        acf AS (SELECT lag,
+                  round(nm / den.v, 6) + CAST(0.0 AS DOUBLE) AS acf
+                FROM num, den),
+        piv AS (SELECT
+                  max(CASE WHEN lag = 1 THEN acf END) AS r1,
+                  max(CASE WHEN lag = 2 THEN acf END) AS r2,
+                  max(CASE WHEN lag = 3 THEN acf END) AS r3
+                FROM acf),
+        l2 AS (SELECT r1, r2, r3,
+                 (r2 - r1 * r1) / {_d22} AS p22
+               FROM piv)
+        SELECT r1, r2, r3, r1 AS pacf1,
+               round(p22, 6) + CAST(0.0 AS DOUBLE) AS pacf2,
+               round((r3 - (r1 - p22 * r1) * r2 - p22 * r1)
+                     / {_d33}, 6) + CAST(0.0 AS DOUBLE) AS pacf3
+        FROM l2
     """
 
     return sqls

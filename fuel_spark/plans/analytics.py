@@ -5250,3 +5250,48 @@ def events_seasonality_strength(
         F.round(fs, 6).alias("strength_seasonal"),
         F.round(ft, 6).alias("strength_trend"),
     )
+
+
+def events_pacf(t: dict[str, DataFrame]) -> DataFrame:
+    """Partial autocorrelation of the daily event-count series at
+    lags 1–3 via the Durbin–Levinson closed forms: φ11 = r1,
+    φ22 = (r2−r1²)/(1−r1²), φ33 from the level-2 recursion — the
+    AR-order selector that the raw ACF can't provide (an AR(1)
+    process has geometric ACF at every lag but PACF that CUTS OFF
+    after lag 1).  Completes the Box–Jenkins pair with
+    [[events_daily_acf]].
+
+    The ACF machinery is the proven calendar-lag shape (broadcast
+    date-shift self-joins, round-6 DECIMAL sums); the recursion is a
+    row-local double chain over the 3-row ACF frame pivoted to one
+    row by conditional aggregation.  Degenerate denominators floor
+    at 1e-18 (white-noise r1≈±1 can't occur; the guard is for
+    constant series, stated).  Output: one row — r1, r2, r3, pacf1,
+    pacf2, pacf3 (round 6).
+    """
+    acf = events_daily_acf(t, max_lag=3)
+    piv = acf.agg(
+        F.max(F.when(F.col("lag") == 1, F.col("acf"))).alias("_r1"),
+        F.max(F.when(F.col("lag") == 2, F.col("acf"))).alias("_r2"),
+        F.max(F.when(F.col("lag") == 3, F.col("acf"))).alias("_r3"),
+    )
+    r1, r2, r3 = F.col("_r1"), F.col("_r2"), F.col("_r3")
+    eps = F.lit(1e-18)
+    p22 = (r2 - r1 * r1) / _sgn_floor(F.lit(1.0) - r1 * r1, eps)
+    p21 = r1 - p22 * r1
+    p33 = (r3 - p21 * r2 - p22 * r1) / _sgn_floor(
+        F.lit(1.0) - p21 * r1 - p22 * r2, eps
+    )
+    return piv.select(
+        F.col("_r1").alias("r1"),
+        F.col("_r2").alias("r2"),
+        F.col("_r3").alias("r3"),
+        F.col("_r1").alias("pacf1"),
+        (F.round(p22, 6) + F.lit(0.0)).alias("pacf2"),
+        (F.round(p33, 6) + F.lit(0.0)).alias("pacf3"),
+    )
+
+
+def _sgn_floor(x, eps):
+    """|x| floored at eps, sign preserved (denominator guard)."""
+    return F.when(F.abs(x) < eps, F.when(x < 0, -eps).otherwise(eps)).otherwise(x)

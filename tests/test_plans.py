@@ -825,6 +825,8 @@ SINGLE_PARTITION_ALLOWLIST = {
     "corpus_tfidf_terms", "corpus_fightin_words",
     # day-grid decompose + 1-row variance final
     "events_seasonality_strength",
+    # ACF 3-row frame pivoted to one row (day-grid family)
+    "events_pacf",
     # bigram-table 1-row total (LLR); day-grid S + 1-row moments (MK)
     "text_bigram_llr", "events_mann_kendall",
     # bounded-grid KS ECDF window + 1-row finals (KS/Theil/Chao1);
@@ -2008,3 +2010,24 @@ def test_seasonality_strength_weekday_pattern(spark):
         {"events": from_rows(spark, rows2)}).collect()[0]
     assert r2.strength_trend > 0.95
     assert r2.strength_trend > r2.strength_seasonal
+
+
+def test_pacf_ar1_cutoff(spark):
+    import datetime as dt
+
+    # AR(1)-like alternating-decay counts: period-2 oscillation has
+    # r1 < 0; PACF(2) should be small relative to |pacf1| since the
+    # lag-2 correlation is explained by lag-1 twice
+    rows, eid = [], 0
+    counts = [40, 10] * 14  # strict period 2
+    for d, c in enumerate(counts, start=1):
+        for _ in range(c):
+            rows.append({"event_id": eid, "ts": dt.datetime(2024, 1, d, 12),
+                         "user_id": 1, "event_type": "view",
+                         "value": 1.0, "props": "{}"}); eid += 1
+    r = analytics.events_pacf({"events": from_rows(spark, rows)}).collect()[0]
+    assert r.pacf1 == r.r1 and r.r1 < -0.9  # strong alternation
+    assert r.r2 > 0.9                       # period 2: lag-2 in phase
+    # Durbin-Levinson identity check vs closed-form python
+    p22 = (r.r2 - r.r1 ** 2) / (1 - r.r1 ** 2)
+    assert abs(r.pacf2 - round(p22, 6)) < 2e-6
