@@ -1127,9 +1127,12 @@ def q_theil_decomposition(spark, sf):
     return analytics.customer_theil_decomposition(_t(spark, sf))
 
 
-def q_tfidf(spark, sf):
+def q_tfidf_sources(spark, sf):
     """TF-IDF characteristic terms per source (r5): smooth add-1 IDF
-    over sources, per-source top-10 on the rounded score."""
+    over sources, per-source top-10 on the rounded score.  (Named
+    q_tfidf_sources — a bare q_tfidf SHADOWED the per-doc
+    text_tfidf_top_terms wrapper and broke its schema, caught by the
+    closing full gate.)"""
     d = _t(spark, sf)["documents"]
     return text_ops.tfidf_top_terms(d, "source", "text", top_k=10)
 
@@ -2881,7 +2884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ab_fdr": q_ab_fdr,
         "ann_range_search": q_ann_range,
         "graph_kcore_fixed": q_kcore,
-        "corpus_tfidf_terms": q_tfidf,
+        "corpus_tfidf_terms": q_tfidf_sources,
         "corpus_fightin_words": q_fightin_words,
         "events_seasonality_strength": q_seasonality_strength,
         "events_pacf": q_pacf,
