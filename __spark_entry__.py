@@ -2723,27 +2723,121 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry.  ORDERING IS DELIBERATE: the driver's
     correctness gate checks the FIRST 50 keys, so each round leads
     with the keys that do not yet have a driver-green CORRECTNESS row.
-    ROUND-5 window (applied): the first 50 keys are oracle-checked
-    queries with no driver row in CORRECTNESS_r01-r04 — the 29 keys
-    staged in r4 (``orders_size_histogram`` …
-    ``dedup_minhash_calibration``) followed by the first 21 r4-new
-    oracle keys (``events_attribution_linear`` …
-    ``events_diff_in_diff``).  All 50 are local-pass under
-    ``tools/check_correctness.py``.  The ROUND-6 staging block sits
-    immediately after: 61 never-driver-checked oracle keys (verified
-    against CORRECTNESS_r01–r04) — the 13 remaining r4-new keys + the
-    48 r5-new additions, ``text_strip_html`` …
-    ``events_daily_gapfill``.  Round 6 moves the first 50 of them to
-    the front (pure move-to-front); the remaining 11 seed the r7
-    window.  Rows-only keys sit past them (a
-    driver rows-only row is weaker than their pytest evidence).  Keys
-    past that all have driver-green rows from r1-r4 and stay covered
-    by ``tools/check_correctness.py`` locally every session.
+    ROUND-6 window (applied): the first 50 keys are the block staged
+    at positions 51-100 in round 5 (``text_strip_html`` …
+    ``events_mann_kendall``), verified against CORRECTNESS_r01-r05 as
+    never driver-checked, moved to the front unchanged (pure
+    move-to-front).  All 50 are local-pass under
+    ``tools/check_correctness.py``.  The ROUND-7 staging block sits
+    immediately after: the 38 remaining never-driver-checked oracle
+    keys (``events_ks_test`` … ``events_pacf``, the round-5
+    session-2/3 statistics additions).  Round 7 moves them to the
+    front, which closes cumulative driver coverage of every
+    oracle-checked query.  Rows-only keys sit past them (a driver
+    rows-only row is weaker than their pytest evidence).  Keys past
+    that all have driver-green rows from r1-r5 and stay covered by
+    ``tools/check_correctness.py`` locally every session.
     """
     return {
-        # ---- ROUND-5 driver window (first 50): oracle-checked keys
-        # with no driver row in CORRECTNESS_r01-r04 (all local-pass).
-        # Part 1: the 29 keys staged in round 4. ----------------------
+        # ---- ROUND-6 driver window (first 50): the block staged at
+        # positions 51-100 in round 5, verified never-driver-checked
+        # against CORRECTNESS_r01-r05 (all local-pass).  Pure
+        # move-to-front; keys and wrappers unchanged. -----------------
+        "text_strip_html": q_strip_html,
+        "events_attribution_decay": q_attribution_decay,
+        "asof_join_nearest": q_asof_join_nearest,
+        "pack_concat_sequences": q_concat_packed,
+        "dedup_threshold_sweep": q_threshold_sweep,
+        "text_char_entropy": q_char_entropy,
+        "scheme_interleave": q_interleave,
+        "ann_filtered": q_ann_filtered,
+        "events_decompose": q_events_decompose,
+        "customer_cohort_ltv": q_cohort_ltv,
+        "ann_recall_matryoshka": q_ann_recall_certificate,
+        "events_seasonal_forecast": q_seasonal_forecast,
+        "events_trend_by_type": q_trend_by_type,
+        "ann_ivf_pivot": q_ann_ivf_pivot,
+        "ann_pq_pivot": q_ann_pq_pivot,
+        "ann_recall_ivf": q_ann_recall_ivf,
+        "ann_recall_pq": q_ann_recall_pq,
+        "dedup_substring_spans": q_substring_spans,
+        "dedup_substring_apply": q_substring_apply,
+        "text_policy_filters": q_policy_filters,
+        "text_bpe_encode": q_bpe_encode,
+        "graph_pagerank_fixed": q_pagerank_fixed,
+        "dedup_substring_self": q_substring_self,
+        "text_span_corruption": q_span_corruption,
+        "pretrain_pipeline": q_pretrain_pipeline,
+        "dedup_decontaminate_spans": q_decontaminate_spans,
+        "text_mlm_masking": q_mlm_masking,
+        "dedup_edit_distance": q_edit_distance_pairs,
+        "text_pmi_cooccurrence": q_pmi_cooccurrence,
+        "text_textrank_keywords": q_textrank_keywords,
+        "text_zipf_slope": q_zipf_slope,
+        "text_term_burstiness": q_term_burstiness,
+        "events_benford": q_events_benford,
+        "events_markov_stationary": q_markov_stationary,
+        "graph_hits_fixed": q_hits_supplier_part,
+        "embedding_kmeans_fixed": q_kmeans_fixed,
+        "events_kaplan_meier": q_kaplan_meier,
+        "text_heaps_fit": q_heaps_fit,
+        "text_good_turing": q_good_turing,
+        "events_cusum": q_events_cusum,
+        "pricing_model_ols": q_pricing_model_ols,
+        "quality_auc": q_quality_auc,
+        "text_langid_kappa": q_langid_kappa,
+        "events_type_hour_mi": q_type_hour_mi,
+        "events_markov_entropy": q_markov_entropy,
+        "lineitem_spearman": q_lineitem_spearman,
+        "events_weekday_js": q_weekday_js,
+        "text_bigram_llr": q_bigram_llr,
+        "corpus_diversity_profile": q_diversity_profile,
+        "events_mann_kendall": q_mann_kendall,
+        # ---- end of round-6 window ----------------------------------
+        # ROUND-7 staging block (positions 51-88): the 38 remaining
+        # never-driver-checked oracle keys (r5 session-2/3 additions).
+        # Round 7 moves them to the front; after that every
+        # oracle-checked query has a cumulative driver-green row. -----
+        "events_ks_test": q_ks_test,
+        "customer_theil_index": q_theil_index,
+        "corpus_chao1": q_chao1,
+        "corpus_burrows_delta": q_burrows_delta,
+        "graph_triangle_stats": q_triangle_stats,
+        "graph_assortativity": q_assortativity,
+        "part_price_elasticity": q_price_elasticity,
+        "events_jarque_bera": q_jarque_bera,
+        "events_daily_acf": q_daily_acf,
+        "events_runs_test": q_runs_test,
+        "events_daily_gapfill": q_daily_gapfill,
+        "events_psi_weekly": q_psi_weekly,
+        "corpus_bray_curtis": q_bray_curtis,
+        "corpus_vocab_novelty": q_vocab_novelty,
+        "part_abc_classification": q_abc_classification,
+        "supplier_hhi": q_supplier_hhi,
+        "customer_gini_by_nation": q_gini_by_nation,
+        "basket_association_rules": q_association_rules,
+        "events_crosscorr": q_crosscorr,
+        "events_pettitt": q_pettitt,
+        "events_hurst": q_hurst,
+        "embedding_silhouette": q_silhouette,
+        "embedding_davies_bouldin": q_davies_bouldin,
+        "embedding_calinski_harabasz": q_calinski_harabasz,
+        "graph_link_prediction": q_link_prediction,
+        "corpus_flesch": q_flesch,
+        "customer_theil_decomposition": q_theil_decomposition,
+        "events_mann_whitney": q_mann_whitney,
+        "events_logistic_fixed": q_logistic_fixed,
+        "supplier_wilson": q_wilson_reliability,
+        "part_price_index": q_price_index,
+        "events_ab_fdr": q_ab_fdr,
+        "ann_range_search": q_ann_range,
+        "graph_kcore_fixed": q_kcore,
+        "corpus_tfidf_terms": q_tfidf_sources,
+        "corpus_fightin_words": q_fightin_words,
+        "events_seasonality_strength": q_seasonality_strength,
+        "events_pacf": q_pacf,
+        # ---- driver-green in r5 (CORRECTNESS_r05.json, 50/50): the
+        # round-5 window, now cumulative coverage. --------------------
         "orders_size_histogram": q_order_size_hist,
         "text_word_length_hist": q_word_len_hist,
         "embedding_quantization_error": q_quantization_error,
@@ -2795,99 +2889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_chi_square": q_chi_square,
         "events_segment_migration": q_segment_migration,
         "events_diff_in_diff": q_diff_in_diff,
-        # ---- end of round-5 window --------------------------------
-        # ROUND-6 window staged next: the remaining 13 never-driver-
-        # checked oracle keys (r4-new).  After r6 greens these, every
-        # oracle-checked query has a cumulative driver-green row.
-        "text_strip_html": q_strip_html,
-        "events_attribution_decay": q_attribution_decay,
-        "asof_join_nearest": q_asof_join_nearest,
-        "pack_concat_sequences": q_concat_packed,
-        "dedup_threshold_sweep": q_threshold_sweep,
-        "text_char_entropy": q_char_entropy,
-        "scheme_interleave": q_interleave,
-        "ann_filtered": q_ann_filtered,
-        "events_decompose": q_events_decompose,
-        "customer_cohort_ltv": q_cohort_ltv,
-        "ann_recall_matryoshka": q_ann_recall_certificate,
-        "events_seasonal_forecast": q_seasonal_forecast,
-        "events_trend_by_type": q_trend_by_type,
-        # r5-new oracle keys (also part of the round-6 window):
-        "ann_ivf_pivot": q_ann_ivf_pivot,
-        "ann_pq_pivot": q_ann_pq_pivot,
-        "ann_recall_ivf": q_ann_recall_ivf,
-        "ann_recall_pq": q_ann_recall_pq,
-        "dedup_substring_spans": q_substring_spans,
-        "dedup_substring_apply": q_substring_apply,
-        "text_policy_filters": q_policy_filters,
-        "text_bpe_encode": q_bpe_encode,
-        "graph_pagerank_fixed": q_pagerank_fixed,
-        "dedup_substring_self": q_substring_self,
-        "text_span_corruption": q_span_corruption,
-        "pretrain_pipeline": q_pretrain_pipeline,
-        "dedup_decontaminate_spans": q_decontaminate_spans,
-        "text_mlm_masking": q_mlm_masking,
-        "dedup_edit_distance": q_edit_distance_pairs,
-        "text_pmi_cooccurrence": q_pmi_cooccurrence,
-        "text_textrank_keywords": q_textrank_keywords,
-        "text_zipf_slope": q_zipf_slope,
-        "text_term_burstiness": q_term_burstiness,
-        "events_benford": q_events_benford,
-        "events_markov_stationary": q_markov_stationary,
-        "graph_hits_fixed": q_hits_supplier_part,
-        "embedding_kmeans_fixed": q_kmeans_fixed,
-        "events_kaplan_meier": q_kaplan_meier,
-        "text_heaps_fit": q_heaps_fit,
-        "text_good_turing": q_good_turing,
-        "events_cusum": q_events_cusum,
-        "pricing_model_ols": q_pricing_model_ols,
-        "quality_auc": q_quality_auc,
-        "text_langid_kappa": q_langid_kappa,
-        "events_type_hour_mi": q_type_hour_mi,
-        "events_markov_entropy": q_markov_entropy,
-        "lineitem_spearman": q_lineitem_spearman,
-        "events_weekday_js": q_weekday_js,
-        "text_bigram_llr": q_bigram_llr,
-        "corpus_diversity_profile": q_diversity_profile,
-        "events_mann_kendall": q_mann_kendall,
-        "events_ks_test": q_ks_test,
-        "customer_theil_index": q_theil_index,
-        "corpus_chao1": q_chao1,
-        "corpus_burrows_delta": q_burrows_delta,
-        "graph_triangle_stats": q_triangle_stats,
-        "graph_assortativity": q_assortativity,
-        "part_price_elasticity": q_price_elasticity,
-        "events_jarque_bera": q_jarque_bera,
-        "events_daily_acf": q_daily_acf,
-        "events_runs_test": q_runs_test,
-        "events_daily_gapfill": q_daily_gapfill,
-        "events_psi_weekly": q_psi_weekly,
-        "corpus_bray_curtis": q_bray_curtis,
-        "corpus_vocab_novelty": q_vocab_novelty,
-        "part_abc_classification": q_abc_classification,
-        "supplier_hhi": q_supplier_hhi,
-        "customer_gini_by_nation": q_gini_by_nation,
-        "basket_association_rules": q_association_rules,
-        "events_crosscorr": q_crosscorr,
-        "events_pettitt": q_pettitt,
-        "events_hurst": q_hurst,
-        "embedding_silhouette": q_silhouette,
-        "embedding_davies_bouldin": q_davies_bouldin,
-        "embedding_calinski_harabasz": q_calinski_harabasz,
-        "graph_link_prediction": q_link_prediction,
-        "corpus_flesch": q_flesch,
-        "customer_theil_decomposition": q_theil_decomposition,
-        "events_mann_whitney": q_mann_whitney,
-        "events_logistic_fixed": q_logistic_fixed,
-        "supplier_wilson": q_wilson_reliability,
-        "part_price_index": q_price_index,
-        "events_ab_fdr": q_ab_fdr,
-        "ann_range_search": q_ann_range,
-        "graph_kcore_fixed": q_kcore,
-        "corpus_tfidf_terms": q_tfidf_sources,
-        "corpus_fightin_words": q_fightin_words,
-        "events_seasonality_strength": q_seasonality_strength,
-        "events_pacf": q_pacf,
+        # ---- end of round-5 block -----------------------------------
         # ---- rows-only keys (no SQL oracle by design; driver records
         # a weaker rows-only row; full evidence lives in tests/) ------
         "text_bpe_merges": q_bpe_merges,

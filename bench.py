@@ -11,11 +11,17 @@ columns that don't affect cardinality, so projection-only queries
 would time the scan, not the expression work.)  A warmup pass primes
 the JVM/codegen caches; reported numbers are the best of ``--reps``
 timed runs per query (steady-state throughput, the number that
-scales), with every rep recorded in ``spreads`` so a noisy shared VM
-is distinguishable from a plan regression.  ``shared16_subtotal`` is
-the round-over-round regression-gate number (the 16 headliners every
-round since r2 has run) written as one field so the gate reads it
-directly instead of re-summing.
+scales), with every rep recorded in a ``spreads`` map so a noisy
+shared VM is distinguishable from a plan regression.
+``shared16_subtotal`` is the round-over-round regression-gate number
+(the 16 headliners every round since r2 has run) written as one field
+so the gate reads it directly instead of re-summing.
+
+The stdout line is deliberately COMPACT (totals + per-query bests, no
+spreads): BENCH_r05.json came back ``parsed: null`` because the
+spreads map pushed the one-line artifact past the capture buffer.
+The FULL result including spreads is written to ``--out``
+(default ``bench_full.json``, committed alongside).
 """
 
 from __future__ import annotations
@@ -151,6 +157,11 @@ def main() -> int:
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--queries", nargs="*", default=None)
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_full.json"),
+        help="side file for the FULL result (incl. per-rep spreads); "
+        "the stdout line stays compact so artifact capture never "
+        "truncates the gate fields (BENCH_r05 lesson)")
     args = ap.parse_args()
 
     import __spark_entry__ as entry_mod
@@ -208,16 +219,28 @@ def main() -> int:
         spreads[name] = reps
 
     total = round(sum(timings.values()), 3)
-    line = json.dumps({
+    result = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "shared16_subtotal": round(
             sum(timings[n] for n in SHARED16 if n in timings), 3),
-        "spreads": spreads,
         "sf": os.path.basename(args.sf_dir.rstrip("/")),
-    })
+    }
+    # Full result (with the per-rep spreads map) goes to a side file;
+    # the stdout line stays compact.  BENCH_r05 lesson: the spreads map
+    # pushed the single stdout line past the artifact capture's tail
+    # buffer, truncating away shared16_subtotal — the exact field the
+    # regression gate reads.  Side file is committed alongside.
+    try:
+        with open(args.out, "w") as fh:
+            json.dump({**result, "spreads": spreads}, fh, indent=1,
+                      sort_keys=True)
+            fh.write("\n")
+    except OSError as exc:  # never let the side file kill the artifact
+        print(f"bench: could not write {args.out}: {exc}", file=sys.stderr)
+    line = json.dumps(result)
     # Shut the session down BEFORE printing: a task completing during
     # the clearCache+gc quiesce can race accumulator cleanup and land
     # a benign 'attempted to access non-existent accumulator' trace on

@@ -1683,7 +1683,7 @@ def exact_substring_apply(
     seed_k: int = 5,
     max_positions: int | None = 256,
 ) -> DataFrame:
-    """Remove cross-document duplicated substrings from the LOWER-id
+    """Remove cross-document duplicated substrings from the HIGHER-id
     loser of each span pair (first occurrence survives, matching
     ``apply_dedup``'s min-id-keeps convention: the span stays in
     doc_a, is cut from doc_b) — the removal step of Lee et al. 2022

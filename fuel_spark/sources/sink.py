@@ -159,7 +159,11 @@ def upsert_dataset(
     then is the old copy deleted — so a crash at ANY step leaves a
     complete dataset on disk (at ``path`` or, in the one-rename crash
     window, at ``path__old``; never neither, which a naive
-    rmtree-then-rename swap cannot guarantee).  Cost: one left_anti
+    rmtree-then-rename swap cannot guarantee).  On entry the swap
+    state is first repaired: if ``path__old`` exists WITHOUT ``path``
+    (crash inside the one-rename window), the aside copy is renamed
+    back into place before any read or delete — it is the only
+    surviving copy at that point.  Cost: one left_anti
     of old against the (typically small, broadcastable) new key set +
     one full rewrite of surviving rows — at 100 TB prefer hive
     partitioning on ``partition_by`` and upsert partition-aligned
@@ -183,8 +187,17 @@ def upsert_dataset(
     path = path.removeprefix("file://")
     staging = path + "__staging"
     old_aside = path + "__old"
-    if os.path.exists(old_aside):  # leftover from a crashed swap
-        shutil.rmtree(old_aside)
+    if os.path.exists(old_aside):
+        if not os.path.exists(path):
+            # Crash landed between rename(path, old_aside) and
+            # rename(staging, path): old_aside holds the ONLY complete
+            # copy.  Restore it before anything else — deleting it
+            # here (the pre-r6 behavior) would destroy the dataset and
+            # silently rewrite it as just new_rows.
+            os.rename(old_aside, path)
+        else:
+            # path is complete; old_aside is a superseded leftover
+            shutil.rmtree(old_aside)
     if os.path.exists(path):
         old = spark.read.parquet(path)
         keys = new_rows.select(*key_cols).distinct()

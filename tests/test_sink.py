@@ -174,6 +174,32 @@ def test_upsert_dataset_recovers_from_crashed_swap(spark, tmp_path):
     assert not os.path.exists(path + "__old")
 
 
+def test_upsert_dataset_restores_old_aside_when_path_missing(spark, tmp_path):
+    """The one-rename crash window: a crash BETWEEN rename(path, __old)
+    and rename(staging, path) leaves the only complete dataset at
+    __old and nothing at path.  The next upsert must restore __old as
+    the base (NOT delete it — pre-r6 that rmtree silently reduced the
+    dataset to just new_rows) and then merge normally."""
+    import os
+    import shutil
+
+    from fuel_spark.sources.sink import upsert_dataset
+
+    path = str(tmp_path / "ds")
+    base = from_rows(spark, [(1, "a"), (2, "b")], schema="k bigint, v string")
+    upsert_dataset(spark, base, path, ["k"])
+    # simulate the mid-swap crash: the real data sits ONLY at __old
+    os.rename(path, path + "__old")
+    assert not os.path.exists(path)
+    delta = from_rows(spark, [(2, "B"), (3, "c")], schema="k bigint, v string")
+    upsert_dataset(spark, delta, path, ["k"])
+    got = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    # old row 1 must SURVIVE (it lived only in __old), key 2 replaced
+    assert got == {1: "a", 2: "B", 3: "c"}
+    assert not os.path.exists(path + "__old")
+    shutil.rmtree(path, ignore_errors=True)
+
+
 def test_dataset_fingerprint_order_invariant_and_sensitive(spark):
     from fuel_spark.sources.sink import dataset_fingerprint
 
