@@ -2629,6 +2629,41 @@ def _recall_certificate(exact: DataFrame, approx: DataFrame, k: int) -> DataFram
     )
 
 
+def q_ann_lsh_pivot(spark, sf):
+    """Deterministic pivot-LSH search (r6): hash planes are the 6
+    lowest-id corpus vectors, so sign bucketing, radius-1 multi-probe
+    and the in-bucket exact rerank all run under the exact-hash
+    oracle gate — the seeded-xxhash tier (``ann_lsh``) stays
+    rows-only because xxhash64 has no DuckDB twin."""
+    e = _t(spark, sf)["embeddings"]
+    q = e.where(F.col("vec_id") < 5)
+    return similarity.pivot_lsh_ann(e, q, k=5, n_planes=6, probes=1)
+
+
+def q_ann_recall_lsh(spark, sf):
+    """Oracle-checked recall certificate for the pivot-LSH tier
+    (VERDICT r5 ask #5): its hits joined against the exact top-5,
+    recall as a compared column."""
+    e = _t(spark, sf)["embeddings"]
+    q = e.where(F.col("vec_id") < 5)
+    exact = similarity.cosine_topk(e, q, k=5)
+    approx = similarity.pivot_lsh_ann(e, q, k=5, n_planes=6, probes=1)
+    return _recall_certificate(exact, approx, 5)
+
+
+def q_ann_mmr_fixed(spark, sf):
+    """MMR diversification with the greedy loop unrolled as k=5
+    DataFrame argmax steps (r6): the pick sequence is oracle-checked
+    against an unrolled CTE — the pandas tier (``ann_mmr``) stays the
+    general-k path (VERDICT r5 ask #5)."""
+    e = _t(spark, sf)["embeddings"]
+    q = e.where(F.col("vec_id") < 5)
+    short = similarity.cosine_topk(e, q, k=20)
+    return similarity.mmr_diversify_fixed(short, e, k=5).orderBy(
+        "query_id", "rank"
+    )
+
+
 def q_ann_recall_ivf(spark, sf):
     """Oracle-checked recall certificate for the pivot-IVF tier:
     its hits joined against the exact top-5, recall as a compared
@@ -2836,6 +2871,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_fightin_words": q_fightin_words,
         "events_seasonality_strength": q_seasonality_strength,
         "events_pacf": q_pacf,
+        # r6-new oracle keys (join the r7 staging block):
+        "ann_lsh_pivot": q_ann_lsh_pivot,
+        "ann_recall_lsh": q_ann_recall_lsh,
+        "ann_mmr_fixed": q_ann_mmr_fixed,
         # ---- driver-green in r5 (CORRECTNESS_r05.json, 50/50): the
         # round-5 window, now cumulative coverage. --------------------
         "orders_size_histogram": q_order_size_hist,
@@ -8995,9 +9034,66 @@ def oracle_sql() -> dict[str, str]:
         FROM ranked WHERE rank <= 5
     """
 
+    # r6: pivot-LSH — planes are the 6 lowest-id corpus vectors; bit p
+    # of a bucket is the sign of the round-6 dot with plane p (dots
+    # fold left-to-right in both engines, so buckets are bit-identical
+    # cross-engine); radius-1 multi-probe explodes the query side.
+    lcdot = _dot_sql("c.embedding", "piv.pvec")
+    lqdot = _dot_sql("q.embedding", "piv.pvec")
+    lxcos = _cos_sql("qq.embedding", "cc.embedding")
+    sqls["ann_lsh_pivot"] = f"""
+        WITH piv AS (
+          SELECT plane_id, pvec,
+                 CAST(row_number() OVER (ORDER BY plane_id) - 1
+                      AS BIGINT) AS p
+          FROM (SELECT vec_id AS plane_id, embedding AS pvec
+                FROM embeddings ORDER BY vec_id LIMIT 6)
+        ),
+        cb AS (
+          SELECT c.vec_id AS neighbor_id,
+                 CAST(sum(CASE WHEN round({lcdot}, 6) > 0
+                               THEN (1 << piv.p) ELSE 0 END)
+                      AS BIGINT) AS bucket
+          FROM embeddings c, piv GROUP BY 1
+        ),
+        qb AS (
+          SELECT q.vec_id AS query_id,
+                 CAST(sum(CASE WHEN round({lqdot}, 6) > 0
+                               THEN (1 << piv.p) ELSE 0 END)
+                      AS BIGINT) AS bucket
+          FROM (SELECT * FROM embeddings WHERE vec_id < 5) q, piv
+          GROUP BY 1
+        ),
+        probed AS (
+          SELECT query_id, bucket FROM qb
+          UNION ALL
+          SELECT query_id, xor(bucket, CAST((1 << gs.p) AS BIGINT))
+          FROM qb, generate_series(0, 5) AS gs(p)
+        ),
+        cand AS (
+          SELECT pr.query_id, cb.neighbor_id,
+                 round({lxcos}, 6) AS cosine
+          FROM probed pr
+          JOIN cb USING (bucket)
+          JOIN embeddings qq ON qq.vec_id = pr.query_id
+          JOIN embeddings cc ON cc.vec_id = cb.neighbor_id
+          WHERE pr.query_id <> cb.neighbor_id
+        ),
+        ranked AS (
+          SELECT query_id, neighbor_id, cosine,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, neighbor_id)
+                   AS rank
+          FROM cand
+        )
+        SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= 5
+    """
+
     for cert, base in (
         ("ann_recall_ivf", "ann_ivf_pivot"),
         ("ann_recall_pq", "ann_pq_pivot"),
+        ("ann_recall_lsh", "ann_lsh_pivot"),
     ):
         sqls[cert] = f"""
         SELECT e.query_id,
@@ -9013,6 +9109,78 @@ def oracle_sql() -> dict[str, str]:
     sqls["dedup_threshold_sweep"] = sqls["dedup_threshold_sweep"].replace(
         "{jaccard}", sqls["dedup_jaccard"]
     )
+
+    # r6: MMR unrolled as k=5 greedy CTE stages (the graph_hits_fixed
+    # pattern).  λ and (1−λ) are pinned to the EXACT doubles the Spark
+    # side multiplies with (repr), scores/sims round-6 before every
+    # argmax, ties on neighbor_id — the pick sequence is therefore
+    # bit-identical cross-engine.
+    mlam, moneminus = repr(0.7), repr(1.0 - 0.7)
+    mscos = _cos_sql("qe", "ce")
+    mpcos = _cos_sql("sv.embedding", "cv.embedding")
+    mmr_ctes = f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                   FROM embeddings WHERE vec_id < 5),
+        c AS (SELECT vec_id AS neighbor_id, embedding AS ce
+              FROM embeddings),
+        scored0 AS (
+          SELECT query_id, neighbor_id, round({mscos}, 6) AS relevance
+          FROM q, c WHERE query_id <> neighbor_id
+        ),
+        short AS (
+          SELECT query_id, neighbor_id, relevance FROM (
+            SELECT query_id, neighbor_id, relevance,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY relevance DESC, neighbor_id)
+                     AS rn
+            FROM scored0) WHERE rn <= 20
+        ),
+        sel1 AS (
+          SELECT query_id, neighbor_id, CAST(1 AS BIGINT) AS rank FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY relevance DESC, neighbor_id)
+                     AS rn
+            FROM short) WHERE rn = 1
+        )"""
+    for t in range(2, 6):
+        mmr_ctes += f""",
+        mx{t} AS (
+          SELECT s2.query_id, s2.neighbor_id,
+                 max(round({mpcos}, 6)) AS maxsim
+          FROM short s2
+          JOIN sel{t - 1} ch ON ch.query_id = s2.query_id
+          JOIN embeddings cv ON cv.vec_id = ch.neighbor_id
+          JOIN embeddings sv ON sv.vec_id = s2.neighbor_id
+          WHERE NOT EXISTS (
+            SELECT 1 FROM sel{t - 1} x
+            WHERE x.query_id = s2.query_id
+              AND x.neighbor_id = s2.neighbor_id)
+          GROUP BY 1, 2
+        ),
+        pick{t} AS (
+          SELECT query_id, neighbor_id, CAST({t} AS BIGINT) AS rank FROM (
+            SELECT s.query_id, s.neighbor_id,
+                   row_number() OVER (
+                     PARTITION BY s.query_id
+                     ORDER BY round(CAST({mlam} AS DOUBLE) * s.relevance
+                                    - CAST({moneminus} AS DOUBLE)
+                                      * mx{t}.maxsim, 6) DESC,
+                              s.neighbor_id) AS rn
+            FROM short s
+            JOIN mx{t} ON mx{t}.query_id = s.query_id
+                      AND mx{t}.neighbor_id = s.neighbor_id
+          ) WHERE rn = 1
+        ),
+        sel{t} AS (
+          SELECT * FROM sel{t - 1} UNION ALL SELECT * FROM pick{t}
+        )"""
+    sqls["ann_mmr_fixed"] = mmr_ctes + """
+        SELECT s.query_id, s.neighbor_id, sh.relevance, s.rank
+        FROM sel5 s
+        JOIN short sh ON sh.query_id = s.query_id
+                     AND sh.neighbor_id = s.neighbor_id
+    """
 
     # r5: week-over-week PSI — epoch week index, 10 value bins,
     # epsilon-floored proportions, round-9 decimal term sum.

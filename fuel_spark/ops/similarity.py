@@ -326,6 +326,109 @@ def mmr_diversify(
     )
 
 
+def mmr_diversify_fixed(
+    shortlist: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Deterministic MMR re-ranking with the greedy loop UNROLLED as
+    ``k`` pure-DataFrame argmax steps — no Python in the data path, so
+    the whole selection is SQL-expressible and oracle-checked via an
+    unrolled CTE (the ``graph_hits_fixed`` pattern; VERDICT r5 ask #5
+    for ``ann_mmr``).  Semantics match :func:`mmr_diversify`
+    (Carbonell & Goldstein 1998): step 1 picks max relevance, step t
+    picks max ``λ·rel − (1−λ)·max-sim-to-picked``; every sim and
+    every score is round-6'd before comparison and ties break on
+    neighbor_id, which makes the discrete pick sequence bit-identical
+    cross-engine (left-to-right dot folds both sides).  The pandas
+    tier stays the general-``k`` path; this one is the fixed-``k``
+    certificate tier.
+
+    Scale shape: every frame is shortlist-sized (Q × ≤shortlist
+    rows — the CANDIDATE set, never the corpus), joins are
+    broadcast-hinted, and each unrolled step adds one
+    candidates×chosen pass, so cost is O(k · Q · shortlist · dim)
+    spread over k tiny stages.  The candidate frame is referenced by
+    all k steps, so it is lazily localCheckpointed once — without it
+    Spark replays the upstream shortlist scan (often a full-corpus
+    cosine_topk) k times (the HITS replay lesson).  Output: query_id,
+    neighbor_id, relevance, rank (rank = pick order, 1-based).
+    """
+    one_minus = 1.0 - lam  # pin the EXACT double; oracle uses repr()
+    vecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v")
+    )
+    cand = (
+        shortlist.select(
+            "query_id", "neighbor_id",
+            F.col("cosine").alias("relevance"),
+        )
+        .join(vecs, "neighbor_id")
+        .localCheckpoint(eager=False)
+    )
+
+    def argmax(scored: DataFrame, score_col: str, rank: int) -> DataFrame:
+        """Lexicographic argmax with neighbor_id tie-break via
+        min(struct(-score, id)) — map-side combinable, no window."""
+        return (
+            scored.groupBy("query_id")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col(score_col)).alias("_neg"),
+                        F.col("neighbor_id").alias("neighbor_id"),
+                    )
+                ).alias("_m")
+            )
+            .select(
+                "query_id",
+                F.col("_m.neighbor_id").alias("neighbor_id"),
+                F.lit(rank).cast("bigint").alias("rank"),
+            )
+        )
+
+    picked = argmax(cand, "relevance", 1)
+    for step in range(2, k + 1):
+        chosen_v = picked.select("query_id", "neighbor_id").join(
+            vecs, "neighbor_id"
+        ).select(
+            "query_id", F.col("_v").alias("_cv")
+        )
+        rem = cand.join(
+            picked.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_anti",
+        )
+        scored = (
+            rem.join(broadcast(chosen_v), "query_id")
+            .withColumn("_sim", F.round(cosine_expr("_v", "_cv"), 6))
+            .groupBy("query_id", "neighbor_id")
+            .agg(
+                F.max("_sim").alias("_maxsim"),
+                F.any_value("relevance").alias("relevance"),
+            )
+            .withColumn(
+                "_score",
+                F.round(
+                    F.lit(lam) * F.col("relevance")
+                    - F.lit(one_minus) * F.col("_maxsim"),
+                    6,
+                ),
+            )
+        )
+        picked = picked.unionByName(argmax(scored, "_score", step))
+    return (
+        picked.join(
+            cand.select("query_id", "neighbor_id", "relevance"),
+            ["query_id", "neighbor_id"],
+        )
+        .select("query_id", "neighbor_id", "relevance", "rank")
+    )
+
+
 def sign_sketch(
     df: DataFrame, vec_col: str = "embedding", bits: int = 16,
     out_col: str = "sign_bucket",
@@ -494,6 +597,108 @@ def lsh_ann(
         .withColumn("cosine", F.round(cosine_expr("qvec", "cvec"), 6))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def pivot_lsh_ann(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 6,
+    probes: int = 1,
+) -> DataFrame:
+    """Deterministic hyperplane-LSH top-k: the hash planes are the
+    ``n_planes`` LOWEST-ID corpus vectors themselves (data-dependent
+    pivots, no seeded randomness), so the ENTIRE search — sign
+    bucketing, radius-1 multi-probe, in-bucket exact rerank — is
+    SQL-expressible and runs under the exact-hash oracle gate,
+    recall certificate included.  The seeded-xxhash tier
+    (:func:`lsh_ann`) stays the production hash family (its planes
+    are corpus-independent, the right property for a long-lived
+    index); this tier exists to pin the LSH *search mechanics* the
+    same way ``pivot_ivf_ann`` / ``pivot_pq_ann`` pinned IVF/PQ
+    (VERDICT r5 ask #5).  Bit p of a vector's bucket is the sign of
+    its dot product with plane p (dots fold strictly left-to-right in
+    BOTH engines, so the sign — and hence the bucket — is
+    bit-identical cross-engine; dots are round-6'd first by the
+    repo-wide discipline).
+
+    Scale shape: planes are a TakeOrdered constant (broadcast; the
+    plane-index window runs over ≤ ``n_planes`` rows); bucketing is
+    one broadcast nested-loop pass (N × n_planes rows) reduced by a
+    map-side-combinable conditional SUM — no fact-wide window or
+    extra shuffle; multi-probe (Lv et al. 2007) explodes the TINY
+    query side only (×(1 + n_planes)), the corpus is bucketed once;
+    the only wide exchange is the per-query top-k window over
+    in-bucket candidates (~(1 + n_planes)/2^n_planes of the corpus
+    per query), the :func:`cosine_topk` shape.  Radius-1 probe
+    buckets are pairwise distinct, so a candidate pair meets at most
+    once — no dedup pass needed.  Output: query_id, neighbor_id,
+    cosine, rank.
+    """
+    from fuel_spark.functions import dot_expr
+
+    planes = broadcast(
+        corpus.select(
+            F.col(id_col).alias("plane_id"), F.col(vec_col).alias("pvec")
+        )
+        .orderBy("plane_id")
+        .limit(n_planes)
+        # dense bit position 0..n_planes-1 (window over ≤n_planes
+        # rows — allowlisted aggregate-sized SinglePartition)
+        .withColumn(
+            "p", F.row_number().over(Window.orderBy("plane_id")) - F.lit(1)
+        )
+    )
+
+    def bucketed(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
+        v = df.select(
+            F.col(id_col).alias(out_id), F.col(vec_col).alias(out_vec)
+        )
+        return (
+            v.crossJoin(planes)
+            .withColumn("_dot", F.round(dot_expr(out_vec, "pvec"), 6))
+            .groupBy(out_id)
+            .agg(
+                F.sum(
+                    F.when(
+                        F.col("_dot") > 0,
+                        # SQL shiftleft takes a column shift amount;
+                        # the pyspark wrapper would demand an int
+                        F.expr("shiftleft(1, p)").cast("long"),
+                    ).otherwise(F.lit(0).cast("long"))
+                ).alias("bucket"),
+                F.any_value(F.col(out_vec)).alias(out_vec),
+            )
+        )
+
+    # explicit-count repartition: the bucketed corpus is bytes-small
+    # after the agg and AQE would coalesce it, single-threading the
+    # CPU-heavy candidate cosines (the pivot-IVF lesson)
+    width = corpus.sparkSession.sparkContext.defaultParallelism
+    cb = bucketed(corpus, "neighbor_id", "cvec").repartition(
+        width, "neighbor_id"
+    )
+    qb = bucketed(queries, "query_id", "qvec")
+    if probes >= 1:
+        flips = ", ".join(f"bucket ^ {1 << p}L" for p in range(n_planes))
+        qb = qb.withColumn(
+            "bucket", F.expr(f"explode(array(bucket, {flips}))")
+        )
+    scored = (
+        cb.join(broadcast(qb), "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.round(cosine_expr("qvec", "cvec"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .where(F.col("rank") <= k)

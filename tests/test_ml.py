@@ -250,3 +250,44 @@ def test_kmeans_fixed_recovers_separated_clusters(spark):
     assert {out1[v][0] for v in range(0, 20, 2)} == {0}
     assert {out1[v][0] for v in range(1, 20, 2)} == {1}
     assert all(c > 0.99 for _, c in out1.values())
+
+
+def test_pivot_lsh_twin_shares_every_sign_and_ranks_first(spark):
+    """An exact duplicate of the query vector has identical dot signs
+    against EVERY plane, so it lands in the query's own bucket (probed
+    at radius 0) and must come back at rank 1 with cosine 1.0 — the
+    structural guarantee that makes sign-LSH a near-dup blocker."""
+    import math
+
+    rows = [
+        (i, [float(math.cos(0.9 * i + 0.4 * d)) for d in range(8)])
+        for i in range(12)
+    ]
+    rows.append((12, list(rows[2][1])))  # exact twin of vec 2
+    e = from_rows(spark, rows, schema="vec_id bigint, embedding array<float>")
+    q = e.where(F.col("vec_id") == 2)
+    got = sorted(
+        similarity.pivot_lsh_ann(e, q, k=3, n_planes=4, probes=1).collect(),
+        key=lambda r: r.rank,
+    )
+    assert got[0].neighbor_id == 12
+    assert got[0].cosine == 1.0
+    for r in got:
+        assert 1 <= r.rank <= 3 and -1.0 <= r.cosine <= 1.0
+
+
+def test_pivot_lsh_registry_contract(spark):
+    """Registry parameterization (6 planes, radius-1 probe) on the
+    testdata embeddings: ranks stay 1..k, cosines bounded, and every
+    (query, neighbor) pair is unique — multi-probe must not emit a
+    candidate twice even though a pair can meet in several probed
+    buckets' UNION (radius-1 buckets are pairwise distinct, so no
+    dedup pass exists to hide a violation)."""
+    e = load_tables(spark, SF)["embeddings"]
+    q = e.where(F.col("vec_id") < 5)
+    out = similarity.pivot_lsh_ann(e, q, k=5, n_planes=6, probes=1).collect()
+    pairs = [(r.query_id, r.neighbor_id) for r in out]
+    assert len(pairs) == len(set(pairs))
+    for r in out:
+        assert 1 <= r.rank <= 5 and -1.0 <= r.cosine <= 1.0
+        assert r.query_id != r.neighbor_id

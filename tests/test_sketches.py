@@ -215,3 +215,44 @@ def test_mmr_diversify_picks_diverse_over_redundant(spark):
         similarity.mmr_diversify(short, df, k=2, lam=0.3).collect(),
         key=lambda r: r.rank)]
     assert again == mmr
+
+
+def test_mmr_fixed_matches_pandas_tier(spark):
+    """The unrolled k=5 DataFrame MMR and the pandas greedy implement
+    the SAME selection rule, so on the registry shortlist their pick
+    sequences must agree exactly (query, neighbor, rank) — the parity
+    pin that lets the fixed tier certify the general tier."""
+    e = load_tables(spark, SF)["embeddings"]
+    q = e.where(F.col("vec_id") < 5)
+    short = similarity.cosine_topk(e, q, k=20)
+    fixed = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in similarity.mmr_diversify_fixed(short, e, k=5).collect()
+    }
+    pandas_tier = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in similarity.mmr_diversify(short, e, k=5).collect()
+    }
+    assert fixed == pandas_tier
+
+
+def test_mmr_fixed_first_pick_is_max_relevance_and_diversifies(spark):
+    """Step 1 is pure argmax relevance; at diversity-heavy λ the
+    redundant twin must be displaced — same scenario as the pandas
+    tier's test, run through the unrolled path."""
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.99, 0.14]),
+        (2, [0.995, 0.1]),
+        (3, [0.6, 0.8]),
+    ]
+    df = from_rows(spark, rows, schema="vec_id bigint, embedding array<float>")
+    q = df.where(F.col("vec_id") == 0)
+    short = similarity.cosine_topk(df, q, k=3)
+    got = sorted(
+        similarity.mmr_diversify_fixed(short, df, k=2, lam=0.3).collect(),
+        key=lambda r: r.rank,
+    )
+    top1 = max(short.collect(), key=lambda r: (r.cosine, -r.neighbor_id))
+    assert got[0].neighbor_id == top1.neighbor_id
+    assert got[1].neighbor_id == 3
