@@ -1143,6 +1143,61 @@ def q_pacf(spark, sf):
     return analytics.events_pacf(_t(spark, sf))
 
 
+def q_ljung_box(spark, sf):
+    """Ljung–Box portmanteau Q per lag h=1..7 (r6): cumulative
+    decimal sum over the calendar-lag ACF frame."""
+    return analytics.events_ljung_box(_t(spark, sf))
+
+
+def q_poisson_dispersion(spark, sf):
+    """Fisher dispersion index + chi-square of daily counts (r6)."""
+    return analytics.events_poisson_dispersion(_t(spark, sf))
+
+
+def q_value_anova(spark, sf):
+    """One-way ANOVA F of value across event types (r6): two-level
+    decimal-exact moment rollup."""
+    return analytics.events_value_anova(_t(spark, sf))
+
+
+def q_delay_capability(spark, sf):
+    """Cp/Cpk of the ship->receipt delay vs a 0-30 day spec (r6):
+    exact BIGINT day moments."""
+    return analytics.shipping_delay_capability(_t(spark, sf))
+
+
+def q_index_compaction(spark, sf):
+    """Band-index compaction (r6): a doubled (replayed-merge) index
+    with tombstoned docs compacts back to live, deduped, sub-cap
+    buckets; output is the per-band summary of the survivor rows.
+    Exercises all three decay paths of ops.dedup.compact_index."""
+    d = _t(spark, sf)["documents"]
+    idx = dedup.with_minhash_bands(d, "doc_id", "text")
+    stale = idx.unionByName(idx)  # at-least-once replay
+    live = d.where(F.col("doc_id") % 7 != 0).select("doc_id")
+    compacted = dedup.compact_index(
+        stale, live, id_col="doc_id", max_bucket=512
+    )
+    return (
+        compacted.groupBy("band_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.countDistinct("band_key").cast("bigint").alias("n_buckets"),
+        )
+        .orderBy("band_id")
+    )
+
+
+def q_gt_logprob(spark, sf):
+    """Good-Turing-smoothed unigram LM scoring of the corpus under
+    the src0 target domain's LM (r6): OOV tokens priced at the
+    held-out N1/N mass — the smoothed DSIR scoring tier."""
+    d = _t(spark, sf)["documents"]
+    ref = d.where(F.col("source") == "src0")
+    return text_ops.gt_logprob(d, "doc_id", "text", ref=ref)
+
+
 def q_seasonality_strength(spark, sf):
     """Hyndman seasonality/trend strength (r5): one-row variance
     decomposition off the events_decompose components."""
@@ -2875,6 +2930,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_pivot": q_ann_lsh_pivot,
         "ann_recall_lsh": q_ann_recall_lsh,
         "ann_mmr_fixed": q_ann_mmr_fixed,
+        "events_ljung_box": q_ljung_box,
+        "events_poisson_dispersion": q_poisson_dispersion,
+        "events_value_anova": q_value_anova,
+        "shipping_delay_capability": q_delay_capability,
+        "dedup_index_compaction": q_index_compaction,
+        "text_gt_logprob": q_gt_logprob,
         # ---- driver-green in r5 (CORRECTNESS_r05.json, 50/50): the
         # round-5 window, now cumulative coverage. --------------------
         "orders_size_histogram": q_order_size_hist,
@@ -9180,6 +9241,179 @@ def oracle_sql() -> dict[str, str]:
         FROM sel5 s
         JOIN short sh ON sh.query_id = s.query_id
                      AND sh.neighbor_id = s.neighbor_id
+    """
+
+    # r6: Ljung–Box Q wraps the ACF oracle verbatim; per-lag terms
+    # round to 9 dp and cumulate as exact DECIMAL over the lag window.
+    sqls["events_ljung_box"] = f"""
+        WITH a AS ({sqls['events_daily_acf']}),
+        nd AS (SELECT CAST(count(*) AS BIGINT) AS n_days
+               FROM (SELECT CAST(ts AS DATE) AS d FROM events GROUP BY 1)),
+        t AS (SELECT a.lag, nd.n_days,
+                CAST(round(a.acf * a.acf
+                           / (CAST(nd.n_days AS DOUBLE)
+                              - CAST(a.lag AS DOUBLE)), 9)
+                     AS DECIMAL(38,9)) AS term
+              FROM a, nd)
+        SELECT lag, n_days,
+               round(CAST(n_days AS DOUBLE)
+                     * (CAST(n_days AS DOUBLE) + CAST(2.0 AS DOUBLE))
+                     * CAST(sum(term) OVER (ORDER BY lag) AS DOUBLE), 6)
+                 + CAST(0.0 AS DOUBLE) AS q_stat
+        FROM t ORDER BY lag
+    """
+
+    sqls["events_poisson_dispersion"] = """
+        WITH daily AS (SELECT CAST(ts AS DATE) AS d, count(*) AS n
+                       FROM events GROUP BY 1),
+        st AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
+                      CAST(sum(n) AS BIGINT) AS total_events,
+                      CAST(sum(n) AS DOUBLE) / count(*) AS mu
+               FROM daily),
+        ss AS (SELECT CAST(sum(CAST(round(
+                        (CAST(n AS DOUBLE) - st.mu)
+                        * (CAST(n AS DOUBLE) - st.mu), 6)
+                      AS DECIMAL(27,6))) AS DOUBLE) AS ssq
+               FROM daily, st)
+        SELECT st.n_days, st.total_events,
+               round(st.mu, 6) + CAST(0.0 AS DOUBLE) AS mean_daily,
+               round(ss.ssq / (CAST(st.n_days AS DOUBLE)
+                               - CAST(1.0 AS DOUBLE)), 6)
+                 + CAST(0.0 AS DOUBLE) AS var_daily,
+               round(ss.ssq / (CAST(st.n_days AS DOUBLE)
+                               - CAST(1.0 AS DOUBLE)) / st.mu, 6)
+                 + CAST(0.0 AS DOUBLE) AS dispersion_index,
+               round(ss.ssq / st.mu, 6)
+                 + CAST(0.0 AS DOUBLE) AS chi_square
+        FROM st, ss
+    """
+
+    sqls["events_value_anova"] = """
+        WITH g AS (SELECT event_type,
+                     CAST(count(*) AS BIGINT) AS n,
+                     sum(CAST(round(value, 6) AS DECIMAL(27,6))) AS s,
+                     sum(CAST(round(value * value, 6)
+                              AS DECIMAL(27,6))) AS ss
+                   FROM events GROUP BY 1),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS k_groups,
+                       CAST(sum(n) AS BIGINT) AS n_total,
+                       CAST(sum(s) AS DOUBLE) / CAST(sum(n) AS DOUBLE)
+                         AS gmean
+                FROM g),
+        terms AS (SELECT tot.k_groups, tot.n_total,
+                    CAST(round(CAST(g.n AS DOUBLE)
+                          * (CAST(g.s AS DOUBLE) / CAST(g.n AS DOUBLE)
+                             - tot.gmean)
+                          * (CAST(g.s AS DOUBLE) / CAST(g.n AS DOUBLE)
+                             - tot.gmean), 6) AS DECIMAL(27,6)) AS ssb_t,
+                    CAST(round(CAST(g.ss AS DOUBLE)
+                          - CAST(g.n AS DOUBLE)
+                          * (CAST(g.s AS DOUBLE) / CAST(g.n AS DOUBLE))
+                          * (CAST(g.s AS DOUBLE) / CAST(g.n AS DOUBLE)),
+                          6) AS DECIMAL(27,6)) AS ssw_t
+                  FROM g, tot),
+        fin AS (SELECT max(k_groups) AS k_groups,
+                       max(n_total) AS n_total,
+                       CAST(sum(ssb_t) AS DOUBLE) AS ssb,
+                       CAST(sum(ssw_t) AS DOUBLE) AS ssw
+                FROM terms)
+        SELECT k_groups, n_total,
+               round(ssb, 6) + CAST(0.0 AS DOUBLE) AS ss_between,
+               round(ssw, 6) + CAST(0.0 AS DOUBLE) AS ss_within,
+               round((ssb / (CAST(k_groups AS DOUBLE)
+                             - CAST(1.0 AS DOUBLE)))
+                     / (ssw / (CAST(n_total AS DOUBLE)
+                               - CAST(k_groups AS DOUBLE))), 6)
+                 + CAST(0.0 AS DOUBLE) AS f_stat
+        FROM fin
+    """
+
+    sqls["shipping_delay_capability"] = """
+        WITH d AS (SELECT date_diff('day', o.o_orderdate, l.l_shipdate)
+                     AS dd
+                   FROM lineitem l
+                   JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        a AS (SELECT CAST(count(*) AS BIGINT) AS n_lines,
+                     CAST(sum(CAST(dd AS BIGINT)) AS BIGINT) AS sd,
+                     CAST(sum(CAST(dd AS BIGINT) * CAST(dd AS BIGINT))
+                          AS BIGINT) AS sdd
+              FROM d),
+        m AS (SELECT n_lines,
+                     CAST(sd AS DOUBLE) / CAST(n_lines AS DOUBLE) AS mu,
+                     sqrt(greatest(
+                       (CAST(sdd AS DOUBLE)
+                        - CAST(n_lines AS DOUBLE)
+                          * (CAST(sd AS DOUBLE) / CAST(n_lines AS DOUBLE))
+                          * (CAST(sd AS DOUBLE) / CAST(n_lines AS DOUBLE)))
+                       / (CAST(n_lines AS DOUBLE) - CAST(1.0 AS DOUBLE)),
+                       CAST(1e-18 AS DOUBLE))) AS sigma
+              FROM a)
+        SELECT n_lines,
+               round(mu, 6) + CAST(0.0 AS DOUBLE) AS mean_delay,
+               round(sigma, 6) + CAST(0.0 AS DOUBLE) AS std_delay,
+               round((CAST(90.0 AS DOUBLE) - CAST(0.0 AS DOUBLE))
+                     / (CAST(6.0 AS DOUBLE) * sigma), 6)
+                 + CAST(0.0 AS DOUBLE) AS cp,
+               round(least(CAST(90.0 AS DOUBLE) - mu,
+                           mu - CAST(0.0 AS DOUBLE))
+                     / (CAST(3.0 AS DOUBLE) * sigma), 6)
+                 + CAST(0.0 AS DOUBLE) AS cpk
+        FROM m
+    """
+
+    # r6: band-index compaction — replayed-merge duplicates, %7
+    # tombstones and >512 hot buckets all removed, per-band summary.
+    sqls["dedup_index_compaction"] = f"""
+        WITH {_minhash_bands_sql()},
+        stale AS (SELECT * FROM bands UNION ALL SELECT * FROM bands),
+        dd AS (SELECT DISTINCT doc_id, band_id, band_key FROM stale),
+        live AS (SELECT doc_id FROM documents WHERE doc_id % 7 <> 0),
+        alive AS (SELECT dd.doc_id, dd.band_id, dd.band_key
+                  FROM dd JOIN live USING (doc_id)),
+        sz AS (SELECT band_id, band_key, count(*) AS bn
+               FROM alive GROUP BY 1, 2),
+        kept AS (SELECT a.doc_id, a.band_id, a.band_key
+                 FROM alive a JOIN sz USING (band_id, band_key)
+                 WHERE sz.bn <= 512)
+        SELECT band_id,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT band_key) AS BIGINT) AS n_buckets
+        FROM kept GROUP BY 1 ORDER BY 1
+    """
+
+    # r6: Good–Turing-smoothed LM scoring under the src0 domain LM;
+    # OOV tokens priced at the held-out N1/N mass.
+    sqls["text_gt_logprob"] = f"""
+        WITH rt AS (SELECT unnest({w}) AS word FROM documents
+                    WHERE source = 'src0'),
+        rtt AS (SELECT word FROM rt WHERE word <> ''),
+        c AS (SELECT word, count(*) AS r FROM rtt GROUP BY 1),
+        nr AS (SELECT r, count(*) AS n_r FROM c GROUP BY 1),
+        adj AS (SELECT nr.r,
+                  COALESCE(round(CAST(nr.r + 1 AS DOUBLE) * nx.n_r
+                                 / nr.n_r, 6),
+                           CAST(nr.r AS DOUBLE)) AS rstar
+                FROM nr LEFT JOIN nr nx ON nx.r = nr.r + 1),
+        lm AS (SELECT c.word, adj.rstar FROM c JOIN adj ON adj.r = c.r),
+        tot AS (SELECT CAST(sum(r) AS DOUBLE) AS n,
+                       CAST(greatest(sum(CASE WHEN r = 1 THEN 1
+                                          ELSE 0 END), 1) AS DOUBLE) AS n1
+                FROM c),
+        t AS (SELECT doc_id, unnest({w}) AS word FROM documents),
+        tt AS (SELECT doc_id, word FROM t WHERE word <> ''),
+        tf AS (SELECT doc_id, word, count(*) AS tf FROM tt GROUP BY 1, 2),
+        s AS (SELECT tf.doc_id, tf.tf,
+                CASE WHEN lm.rstar IS NULL THEN tf.tf ELSE 0 END AS oov,
+                CAST(round(log10(COALESCE(lm.rstar, tot.n1) / tot.n), 6)
+                     AS DECIMAL(27,6)) * tf.tf AS wlp
+              FROM tf LEFT JOIN lm ON lm.word = tf.word CROSS JOIN tot)
+        SELECT doc_id,
+               CAST(sum(tf) AS BIGINT) AS n_tokens,
+               CAST(sum(oov) AS BIGINT) AS n_oov,
+               round(CAST(sum(wlp) AS DOUBLE)
+                     / CAST(sum(tf) AS BIGINT), 6) AS mean_logprob
+        FROM s GROUP BY 1
     """
 
     # r5: week-over-week PSI — epoch week index, 10 value bins,

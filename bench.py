@@ -96,6 +96,10 @@ HEADLINERS = (
     "part_abc_classification",
     "events_logistic_fixed",
     "events_psi_weekly",
+    # r6 headliners: the pivot-LSH search and the unrolled fixed-k MMR
+    # (both oracle-checked; the round's certificate additions)
+    "ann_lsh_pivot",
+    "ann_mmr_fixed",
 )
 
 # The regression-gate set: the 16 headliners benched every round since

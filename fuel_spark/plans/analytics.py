@@ -5295,3 +5295,231 @@ def events_pacf(t: dict[str, DataFrame]) -> DataFrame:
 def _sgn_floor(x, eps):
     """|x| floored at eps, sign preserved (denominator guard)."""
     return F.when(F.abs(x) < eps, F.when(x < 0, -eps).otherwise(eps)).otherwise(x)
+
+
+def events_ljung_box(
+    t: dict[str, DataFrame], max_lag: int = 7
+) -> DataFrame:
+    """Ljung–Box portmanteau test (Ljung & Box 1978) on the daily
+    event-count series: Q_h = n(n+2)·Σ_{k=1..h} ρ_k²/(n−k),
+    cumulative per lag h — the one-number "is there ANY
+    autocorrelation up to lag h" screen that complements the per-lag
+    ACF (events_daily_acf), whose ρ_k this reuses verbatim so the two
+    reports can never disagree.
+
+    Day-grid-sized end to end: the ACF frame is ≤max_lag rows and n
+    is a 1-row broadcast; per-lag terms round to 9 dp and cumulate as
+    exact DECIMAL over the lag-ordered window (integer arithmetic —
+    summation-order-independent, hence engine-portable), scaled by
+    n(n+2) only at the end.  ρ_k here is the calendar-lag ACF with
+    its n_pairs semantics (missing days pair with nobody, stated).
+
+    Output: lag, n_days, q_stat (round 6), ordered by lag.
+    """
+    from pyspark.sql import Window as W
+
+    e = t["events"]
+    nd = e.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("_n")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    acf = events_daily_acf(t, max_lag=max_lag)
+    terms = acf.crossJoin(F.broadcast(nd)).select(
+        "lag",
+        "n_days",
+        F.round(
+            F.col("acf") * F.col("acf")
+            / (F.col("n_days").cast("double") - F.col("lag").cast("double")),
+            9,
+        ).cast("decimal(38,9)").alias("_term"),
+    )
+    w = W.orderBy("lag").rowsBetween(W.unboundedPreceding, W.currentRow)
+    n = F.col("n_days").cast("double")
+    return (
+        terms.withColumn("_cum", F.sum("_term").over(w))
+        .select(
+            "lag",
+            "n_days",
+            (
+                F.round(
+                    n * (n + F.lit(2.0)) * F.col("_cum").cast("double"), 6
+                )
+                + F.lit(0.0)
+            ).alias("q_stat"),
+        )
+        .orderBy("lag")
+    )
+
+
+def events_poisson_dispersion(t: dict[str, DataFrame]) -> DataFrame:
+    """Poisson dispersion test of the daily event-count series: the
+    variance-to-mean ratio (Fisher's index of dispersion) and its
+    chi-square statistic Σ(nᵢ−n̄)²/n̄ — the standard screen for
+    whether arrivals are Poisson-like (≈1), overdispersed/bursty
+    (>1, the usual reality for user traffic) or underdispersed/
+    regularized (<1).
+
+    One scan to the day grid; squared deviations round to 6 dp and
+    sum as exact DECIMAL (the ACF-denominator idiom), so the 1-row
+    final is engine-portable.  Sample variance uses n−1.
+
+    Output: one row — n_days, total_events, mean_daily, var_daily,
+    dispersion_index, chi_square (floats round 6).
+    """
+    e = t["events"]
+    daily = e.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    stats = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("n").cast("bigint").alias("total_events"),
+    )
+    mu = F.col("total_events").cast("double") / F.col("n_days").cast("double")
+    d0 = daily.crossJoin(F.broadcast(stats.withColumn("_mu", mu)))
+    agg = d0.agg(
+        F.max("n_days").alias("n_days"),
+        F.max("total_events").alias("total_events"),
+        F.max("_mu").alias("_mu"),
+        F.sum(
+            F.round(
+                (F.col("n").cast("double") - F.col("_mu"))
+                * (F.col("n").cast("double") - F.col("_mu")),
+                6,
+            ).cast("decimal(27,6)")
+        ).cast("double").alias("_ssq"),
+    )
+    var = F.col("_ssq") / (F.col("n_days").cast("double") - F.lit(1.0))
+    return agg.select(
+        "n_days",
+        "total_events",
+        (F.round(F.col("_mu"), 6) + F.lit(0.0)).alias("mean_daily"),
+        (F.round(var, 6) + F.lit(0.0)).alias("var_daily"),
+        (F.round(var / F.col("_mu"), 6) + F.lit(0.0)).alias(
+            "dispersion_index"
+        ),
+        (F.round(F.col("_ssq") / F.col("_mu"), 6) + F.lit(0.0)).alias(
+            "chi_square"
+        ),
+    )
+
+
+def events_value_anova(t: dict[str, DataFrame]) -> DataFrame:
+    """One-way ANOVA of event value across event types: F =
+    (SSB/(k−1)) / (SSW/(N−k)) from per-group closed-form moments — the
+    "do the type populations differ in mean value at all" omnibus
+    complement to the pairwise Mann–Whitney / AB tests.
+
+    Two aggregation levels, both exact: per-type Σv and Σv² accumulate
+    as DECIMAL(27,6) over round-6 per-row terms (one map-side-combined
+    shuffle on event_type, |types| rows out); the |types|-row frame
+    then rolls to ONE row with the between/within sums again as
+    round-6 DECIMAL terms, so no double ever sums in a
+    parallelism-dependent order.  Σv² of round-6 squares is the
+    portable variance contract used repo-wide (stated: this is
+    variance of the 6-dp-quantized values, identical in both
+    engines).
+
+    Output: one row — k_groups, n_total, ss_between, ss_within,
+    f_stat (round 6).
+    """
+    e = t["events"]
+    g = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        F.sum(F.round(F.col("value"), 6).cast("decimal(27,6)")).alias("_s"),
+        F.sum(
+            F.round(F.col("value") * F.col("value"), 6).cast("decimal(27,6)")
+        ).alias("_ss"),
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k_groups"),
+        F.sum("_n").cast("bigint").alias("n_total"),
+        F.sum("_s").alias("_gs"),
+    )
+    gmean = F.col("_gs").cast("double") / F.col("n_total").cast("double")
+    j = g.crossJoin(F.broadcast(tot.withColumn("_gmean", gmean)))
+    mean_g = F.col("_s").cast("double") / F.col("_n").cast("double")
+    ssb_term = F.col("_n").cast("double") * (mean_g - F.col("_gmean")) * (
+        mean_g - F.col("_gmean")
+    )
+    ssw_term = F.col("_ss").cast("double") - F.col("_n").cast(
+        "double"
+    ) * mean_g * mean_g
+    final = j.agg(
+        F.max("k_groups").alias("k_groups"),
+        F.max("n_total").alias("n_total"),
+        F.sum(F.round(ssb_term, 6).cast("decimal(27,6)"))
+        .cast("double")
+        .alias("_ssb"),
+        F.sum(F.round(ssw_term, 6).cast("decimal(27,6)"))
+        .cast("double")
+        .alias("_ssw"),
+    )
+    fstat = (
+        F.col("_ssb") / (F.col("k_groups").cast("double") - F.lit(1.0))
+    ) / (
+        F.col("_ssw")
+        / (F.col("n_total").cast("double") - F.col("k_groups").cast("double"))
+    )
+    return final.select(
+        "k_groups",
+        "n_total",
+        (F.round(F.col("_ssb"), 6) + F.lit(0.0)).alias("ss_between"),
+        (F.round(F.col("_ssw"), 6) + F.lit(0.0)).alias("ss_within"),
+        (F.round(fstat, 6) + F.lit(0.0)).alias("f_stat"),
+    )
+
+
+def shipping_delay_capability(
+    t: dict[str, DataFrame], lsl_days: int = 0, usl_days: int = 90
+) -> DataFrame:
+    """Process-capability indices (Cp / Cpk, the SPC pair) of the
+    order→ship lead time against a [lsl, usl]-day service spec: Cp =
+    (USL−LSL)/6σ asks "is the process WIDTH capable", Cpk =
+    min(USL−μ, μ−LSL)/3σ asks "is it capable WHERE IT RUNS" — the
+    fulfillment-SLA summary a logistics dashboard wants as two
+    numbers instead of a histogram.  (The testdata schema carries
+    l_shipdate but no receipt date, so the measured process is
+    o_orderdate → l_shipdate; the default 90-day USL reflects the
+    TPC-H ~121-day max lead time.)
+
+    One orderkey-keyed join (the shipping_delay_stats shape — both
+    sides fact-sized, AQE plans it); delays are integer day counts,
+    so Σd and Σd² accumulate as exact BIGINTs (no decimal needed, no
+    float until the final 1-row algebra — bit-portable at any
+    parallelism, and Σd² ≈ n·10⁴ stays ~10^16 even at 100 TB row
+    counts, inside int64).  Sample variance (n−1).
+
+    Output: one row — n_lines, mean_delay, std_delay, cp, cpk
+    (floats round 6).
+    """
+    li = t["lineitem"]
+    o = t["orders"].select("o_orderkey", "o_orderdate")
+    d = li.select("l_orderkey", "l_shipdate").join(
+        o, F.col("l_orderkey") == F.col("o_orderkey")
+    ).select(
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias("_d")
+    )
+    agg = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum(F.col("_d").cast("bigint")).alias("_sd"),
+        F.sum((F.col("_d") * F.col("_d")).cast("bigint")).alias("_sdd"),
+    )
+    n = F.col("n_lines").cast("double")
+    mean = F.col("_sd").cast("double") / n
+    var = (F.col("_sdd").cast("double") - n * mean * mean) / (n - F.lit(1.0))
+    sigma = F.sqrt(F.greatest(var, F.lit(1e-18)))
+    cp = (F.lit(float(usl_days)) - F.lit(float(lsl_days))) / (
+        F.lit(6.0) * sigma
+    )
+    cpk = (
+        F.least(
+            F.lit(float(usl_days)) - mean, mean - F.lit(float(lsl_days))
+        )
+        / (F.lit(3.0) * sigma)
+    )
+    return agg.select(
+        "n_lines",
+        (F.round(mean, 6) + F.lit(0.0)).alias("mean_delay"),
+        (F.round(sigma, 6) + F.lit(0.0)).alias("std_delay"),
+        (F.round(cp, 6) + F.lit(0.0)).alias("cp"),
+        (F.round(cpk, 6) + F.lit(0.0)).alias("cpk"),
+    )

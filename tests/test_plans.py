@@ -837,6 +837,14 @@ SINGLE_PARTITION_ALLOWLIST = {
     "graph_triangle_stats", "graph_assortativity",
     # 1-row four-moment final
     "events_jarque_bera",
+    # r6: lag-grid (≤7 rows) decimal-cumsum window + 1-row n_days
+    # broadcast (Ljung–Box); day-grid + 1-row dispersion moments;
+    # |types|-row → 1-row ANOVA rollup; 1-row Cp/Cpk moments
+    "events_ljung_box", "events_poisson_dispersion",
+    "events_value_anova", "shipping_delay_capability",
+    # r6: count-of-counts (≤max-r rows) GT table + 1-row N/N1 totals
+    # broadcast back against the doc×word tf table
+    "text_gt_logprob",
 }
 
 
@@ -2031,3 +2039,95 @@ def test_pacf_ar1_cutoff(spark):
     # Durbin-Levinson identity check vs closed-form python
     p22 = (r.r2 - r.r1 ** 2) / (1 - r.r1 ** 2)
     assert abs(r.pacf2 - round(p22, 6)) < 2e-6
+
+
+def _mk_events(spark, daily_counts, start="2024-03-01"):
+    """events frame with exactly daily_counts[i] rows on day i."""
+    import datetime as dt
+
+    base = dt.datetime.fromisoformat(start + "T08:00:00")
+    rows = []
+    for day, cnt in enumerate(daily_counts):
+        for j in range(cnt):
+            rows.append({
+                "event_id": len(rows), "user_id": j, "event_type": "view",
+                "value": 1.0, "props": "{}",
+                "ts": base + dt.timedelta(days=day, minutes=j),
+            })
+    return from_rows(spark, rows)
+
+
+def test_ljung_box_monotone_and_flags_trend(spark):
+    """Q_h cumulates non-negative terms, so it must be monotone
+    non-decreasing in h; a strongly trending daily series must blow
+    past the chi-square(7) 99% critical value (18.48) while n_days
+    rides along correctly."""
+    t = {"events": _mk_events(spark, [2, 4, 6, 8, 10, 12, 14, 16, 18,
+                                      20, 22, 24, 26, 28])}
+    rows = sorted(
+        analytics.events_ljung_box(t).collect(), key=lambda r: r.lag
+    )
+    assert [r.lag for r in rows] == list(range(1, 8))
+    assert all(r.n_days == 14 for r in rows)
+    qs = [r.q_stat for r in rows]
+    assert all(b >= a for a, b in zip(qs, qs[1:]))
+    assert qs[-1] > 18.48
+
+
+def test_poisson_dispersion_hand_values(spark):
+    """[1,9,1,9] daily counts: mean 5, sample var 64/3, dispersion
+    64/15, chi-square 64/5 — exact hand arithmetic."""
+    t = {"events": _mk_events(spark, [1, 9, 1, 9])}
+    r = analytics.events_poisson_dispersion(t).first()
+    assert (r.n_days, r.total_events) == (4, 20)
+    assert r.mean_daily == 5.0
+    assert r.var_daily == round(64 / 3, 6)
+    assert r.dispersion_index == round(64 / 15, 6)
+    assert r.chi_square == 12.8
+
+
+def test_value_anova_hand_values(spark):
+    """Two types, A=[1,1,3,3] B=[5,5,7,7]: SSB=32, SSW=8, F=24."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 3, 1, 8, 0, 0)
+    rows = []
+    for i, (typ, v) in enumerate(
+        [("a", 1.0), ("a", 1.0), ("a", 3.0), ("a", 3.0),
+         ("b", 5.0), ("b", 5.0), ("b", 7.0), ("b", 7.0)]
+    ):
+        rows.append({
+            "event_id": i, "user_id": i, "event_type": typ,
+            "value": v, "props": "{}",
+            "ts": base + dt.timedelta(minutes=i),
+        })
+    r = analytics.events_value_anova({"events": from_rows(spark, rows)}).first()
+    assert (r.k_groups, r.n_total) == (2, 8)
+    assert (r.ss_between, r.ss_within, r.f_stat) == (32.0, 8.0, 24.0)
+
+
+def test_delay_capability_hand_values(spark):
+    """Two lines with order->ship delays 10 and 20 days: mean 15,
+    sigma sqrt(50), Cp 90/(6*sigma), Cpk 15/(3*sigma)."""
+    import datetime as dt
+    import math
+
+    orders = from_rows(
+        spark,
+        [{"o_orderkey": 1, "o_orderdate": dt.date(2024, 1, 1)},
+         {"o_orderkey": 2, "o_orderdate": dt.date(2024, 1, 1)}],
+    )
+    li = from_rows(
+        spark,
+        [{"l_orderkey": 1, "l_shipdate": dt.date(2024, 1, 11)},
+         {"l_orderkey": 2, "l_shipdate": dt.date(2024, 1, 21)}],
+    )
+    r = analytics.shipping_delay_capability(
+        {"lineitem": li, "orders": orders}
+    ).first()
+    sigma = math.sqrt(50.0)
+    assert r.n_lines == 2
+    assert r.mean_delay == 15.0
+    assert r.std_delay == round(sigma, 6)
+    assert r.cp == round(90.0 / (6.0 * sigma), 6)
+    assert r.cpk == round(15.0 / (3.0 * sigma), 6)

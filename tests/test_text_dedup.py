@@ -1981,3 +1981,75 @@ def test_fightin_words_flags_overrepresented(spark):
     ins = {r.term: r for r in out if r.source == "s1"}["insulin"]
     assert ins.term_count == 20 and ins.rest_count == 1
     assert ins.z_score > 1.0 and ins.rank <= 3
+
+
+def test_compact_index_drops_replays_tombstones_hot_buckets(spark):
+    """All three decay paths in one pass: replayed (duplicate) band
+    rows collapse, rows of docs absent from the live set vanish, and
+    any bucket wider than max_bucket is quarantined away — while
+    normal rows survive untouched."""
+    rows = [
+        # normal bucket (2 members)
+        (1, 0, "k1"), (2, 0, "k1"),
+        # replayed row (appears twice)
+        (1, 1, "k2"), (1, 1, "k2"),
+        # tombstoned doc 9 (not in live set)
+        (9, 0, "k3"),
+        # hot bucket: 3 members > max_bucket=2
+        (1, 2, "hot"), (2, 2, "hot"), (3, 2, "hot"),
+    ]
+    idx = from_rows(
+        spark, rows, schema="doc_id bigint, band_id int, band_key string"
+    )
+    live = from_rows(spark, [(1,), (2,), (3,)], schema="doc_id bigint")
+    got = {
+        (r.doc_id, r.band_id, r.band_key)
+        for r in dedup.compact_index(idx, live, max_bucket=2).collect()
+    }
+    assert got == {(1, 0, "k1"), (2, 0, "k1"), (1, 1, "k2")}
+
+
+def test_compact_index_no_live_set_keeps_all_ids(spark):
+    """live_ids=None skips tombstone cleanup (dedupe + hot-bucket
+    passes still run) — the weekly cadence where only the corpus
+    snapshot monthly job knows the live set."""
+    rows = [(9, 0, "k"), (9, 0, "k"), (8, 0, "k2")]
+    idx = from_rows(
+        spark, rows, schema="doc_id bigint, band_id int, band_key string"
+    )
+    got = {
+        (r.doc_id, r.band_id, r.band_key)
+        for r in dedup.compact_index(idx, None, max_bucket=10).collect()
+    }
+    assert got == {(9, 0, "k"), (8, 0, "k2")}
+
+
+def test_gt_logprob_hand_values_and_oov_mass(spark):
+    """Reference 'a a b': N=3, hapax mass N1/N = 1/3; r*(a)=2 (no N3
+    row, raw fallback), r*(b)=2·N2/N1=2.  Scoring 'a b c': a and b
+    both price at log10(2/3), OOV c at log10(1/3) — hand-checked mean
+    of the round-6 logs."""
+    ref = from_rows(
+        spark, [(0, "a a b")], schema="doc_id bigint, text string"
+    )
+    doc = from_rows(
+        spark, [(1, "a b c")], schema="doc_id bigint, text string"
+    )
+    import math
+
+    r = text_ops.gt_logprob(doc, "doc_id", "text", ref=ref).first()
+    lp_seen = round(math.log10(2.0 / 3.0), 6)
+    lp_oov = round(math.log10(1.0 / 3.0), 6)
+    assert (r.n_tokens, r.n_oov) == (3, 1)
+    assert r.mean_logprob == round((2 * lp_seen + lp_oov) / 3, 6)
+
+
+def test_gt_logprob_self_reference_has_no_oov(spark):
+    """Scoring the reference corpus under its own LM: zero OOV
+    everywhere, and smoothing keeps every logprob finite."""
+    from fuel_spark.sources import load_tables
+
+    docs = load_tables(spark, "/root/testdata/sf0.001")["documents"].limit(50)
+    out = text_ops.gt_logprob(docs, "doc_id", "text").collect()
+    assert out and all(r.n_oov == 0 for r in out)
+    assert all(r.mean_logprob is not None for r in out)
