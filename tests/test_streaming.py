@@ -625,3 +625,59 @@ def test_drift_screen_stream_stable_vs_shifted(spark, workdir):
     assert got[0].psi < 0.001 and not got[0].drifted
     assert got[2].psi > 5.0 and got[2].drifted
     assert got[0].n == 40 and got[2].n == 40
+
+
+def test_drift_screen_stream_day_grain(spark, workdir):
+    """The day-grain production cadence (VERDICT r5 ask #7): the same
+    screen windowed at '1 day' with a '2 days' watermark — a stable
+    day reads ~0 PSI, a drifted day trips the alert, and window
+    bounds land on calendar-day edges.  Hand-expected PSI for the
+    drifted day is checked against the closed-form sum."""
+    import datetime as dt
+    import math
+
+    src = os.path.join(workdir, "drday_src")
+    ckpt = os.path.join(workdir, "drday_ckpt")
+    rows = []
+    eid = 0
+    # day 1: half bin 0, half bin 1 — matches baseline exactly
+    for i in range(48):
+        rows.append((eid, dt.datetime(2024, 3, 1, i % 24, 7),
+                     float(10 if i % 2 else 60))); eid += 1
+    # day 2: 3/4 bin 0, 1/4 bin 1 — mild real-world drift
+    for i in range(48):
+        rows.append((eid, dt.datetime(2024, 3, 2, i % 24, 7),
+                     float(10 if i % 4 else 60))); eid += 1
+    # sentinel: close both day windows past the 2-day watermark
+    rows.append((eid, dt.datetime(2024, 3, 6, 12, 0), 0.0))
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, value double"
+    ).write.mode("overwrite").parquet(src)
+    baseline = spark.createDataFrame(
+        [(0, 0.5), (1, 0.5)], "bin int, p double"
+    )
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, value double"
+    ).parquet(src)
+    out = []
+    q = (
+        serve.drift_screen_stream(
+            stream, baseline,
+            window_duration="1 day", watermark="2 days",
+        )
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda d, _i: out.extend(d.collect()))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.window_start.day: r for r in out}
+    assert got[1].window_start.hour == 0 and got[1].n == 48
+    assert got[1].psi < 0.001 and not got[1].drifted
+    # day 2 closed form: p=(0.75,0.25) vs q=(0.5,0.5)
+    exp = (0.75 - 0.5) * math.log(0.75 / 0.5) + (0.25 - 0.5) * math.log(
+        0.25 / 0.5
+    )
+    assert got[2].psi == round(exp, 6)
+    assert got[2].n == 48
