@@ -1143,6 +1143,23 @@ def q_pacf(spark, sf):
     return analytics.events_pacf(_t(spark, sf))
 
 
+def q_welch_weekend(spark, sf):
+    """Welch's t of weekend vs weekday daily counts (r6): exact
+    BIGINT moments, Welch-Satterthwaite df."""
+    return analytics.events_welch_weekend(_t(spark, sf))
+
+
+def q_grubbs(spark, sf):
+    """Grubbs' one-outlier test on daily counts (r6)."""
+    return analytics.events_grubbs(_t(spark, sf))
+
+
+def q_priority_trend(spark, sf):
+    """Cochran-Armitage trend of the urgent-order share across
+    months (r6): exact BIGINT score sums."""
+    return analytics.orders_priority_trend(_t(spark, sf))
+
+
 def q_ljung_box(spark, sf):
     """Ljung–Box portmanteau Q per lag h=1..7 (r6): cumulative
     decimal sum over the calendar-lag ACF frame."""
@@ -2936,6 +2953,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shipping_delay_capability": q_delay_capability,
         "dedup_index_compaction": q_index_compaction,
         "text_gt_logprob": q_gt_logprob,
+        "events_welch_weekend": q_welch_weekend,
+        "events_grubbs": q_grubbs,
+        "orders_priority_trend": q_priority_trend,
         # ---- driver-green in r5 (CORRECTNESS_r05.json, 50/50): the
         # round-5 window, now cumulative coverage. --------------------
         "orders_size_histogram": q_order_size_hist,
@@ -9380,6 +9400,117 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
                CAST(count(DISTINCT band_key) AS BIGINT) AS n_buckets
         FROM kept GROUP BY 1 ORDER BY 1
+    """
+
+    # r6: Welch's t weekend-vs-weekday — exact BIGINT day moments,
+    # DuckDB dayofweek is 0-based (Sun=0, Sat=6) vs Spark's 1-based.
+    _n1d = "CAST(n_weekend AS DOUBLE)"
+    _n2d = "CAST(n_weekday AS DOUBLE)"
+    _m1 = f"(CAST(s1 AS DOUBLE) / {_n1d})"
+    _m2 = f"(CAST(s2 AS DOUBLE) / {_n2d})"
+    _v1 = (
+        f"((CAST(ss1 AS DOUBLE) - {_n1d} * {_m1} * {_m1})"
+        f" / ({_n1d} - CAST(1.0 AS DOUBLE)))"
+    )
+    _v2 = (
+        f"((CAST(ss2 AS DOUBLE) - {_n2d} * {_m2} * {_m2})"
+        f" / ({_n2d} - CAST(1.0 AS DOUBLE)))"
+    )
+    _a1 = f"({_v1} / {_n1d})"
+    _a2 = f"({_v2} / {_n2d})"
+    sqls["events_welch_weekend"] = f"""
+        WITH daily AS (SELECT CAST(ts AS DATE) AS d, count(*) AS n
+                       FROM events GROUP BY 1),
+        g AS (SELECT (dayofweek(d) IN (0, 6)) AS we,
+                     CAST(count(*) AS BIGINT) AS cnt,
+                     CAST(sum(CAST(n AS BIGINT)) AS BIGINT) AS s,
+                     CAST(sum(CAST(n AS BIGINT) * CAST(n AS BIGINT))
+                          AS BIGINT) AS ss
+              FROM daily GROUP BY 1),
+        p AS (SELECT
+                max(CASE WHEN we THEN cnt END) AS n_weekend,
+                max(CASE WHEN we THEN s END) AS s1,
+                max(CASE WHEN we THEN ss END) AS ss1,
+                max(CASE WHEN NOT we THEN cnt END) AS n_weekday,
+                max(CASE WHEN NOT we THEN s END) AS s2,
+                max(CASE WHEN NOT we THEN ss END) AS ss2
+              FROM g)
+        SELECT n_weekend, n_weekday,
+               round({_m1}, 6) + CAST(0.0 AS DOUBLE) AS mean_weekend,
+               round({_m2}, 6) + CAST(0.0 AS DOUBLE) AS mean_weekday,
+               round(({_m1} - {_m2})
+                     / sqrt(greatest({_a1} + {_a2},
+                                     CAST(1e-18 AS DOUBLE))), 6)
+                 + CAST(0.0 AS DOUBLE) AS t_stat,
+               round((({_a1} + {_a2}) * ({_a1} + {_a2}))
+                     / greatest({_a1} * {_a1}
+                                / ({_n1d} - CAST(1.0 AS DOUBLE))
+                                + {_a2} * {_a2}
+                                / ({_n2d} - CAST(1.0 AS DOUBLE)),
+                                CAST(1e-18 AS DOUBLE)), 6)
+                 + CAST(0.0 AS DOUBLE) AS df
+        FROM p
+    """
+
+    # r6: Grubbs' one-outlier test — exact BIGINT day moments.
+    _gnd = "CAST(n_days AS DOUBLE)"
+    _gmu = f"(CAST(s AS DOUBLE) / {_gnd})"
+    _gs = (
+        f"sqrt(greatest((CAST(ss AS DOUBLE) - {_gnd} * {_gmu} * {_gmu})"
+        f" / ({_gnd} - CAST(1.0 AS DOUBLE)), CAST(1e-18 AS DOUBLE)))"
+    )
+    sqls["events_grubbs"] = f"""
+        WITH daily AS (SELECT CAST(ts AS DATE) AS d,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM events GROUP BY 1),
+        a AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
+                     CAST(sum(n) AS BIGINT) AS s,
+                     CAST(sum(n * n) AS BIGINT) AS ss,
+                     max(n) AS max_daily,
+                     min(n) AS min_daily
+              FROM daily)
+        SELECT n_days,
+               round({_gmu}, 6) + CAST(0.0 AS DOUBLE) AS mean_daily,
+               round({_gs}, 6) + CAST(0.0 AS DOUBLE) AS std_daily,
+               max_daily, min_daily,
+               round((CAST(max_daily AS DOUBLE) - {_gmu}) / {_gs}, 6)
+                 + CAST(0.0 AS DOUBLE) AS g_max,
+               round(({_gmu} - CAST(min_daily AS DOUBLE)) / {_gs}, 6)
+                 + CAST(0.0 AS DOUBLE) AS g_min
+        FROM a
+    """
+
+    # r6: Cochran–Armitage trend of the urgent share across epoch
+    # months — every score sum an exact BIGINT.
+    _cnn = "CAST(n_orders AS DOUBLE)"
+    _cp = f"(CAST(n_high AS DOUBLE) / {_cnn})"
+    sqls["orders_priority_trend"] = f"""
+        WITH m AS (SELECT
+                     CAST((year(o_orderdate) - 1970) * 12
+                          + month(o_orderdate) - 1 AS BIGINT) AS s,
+                     CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                          THEN 1 ELSE 0 END AS hi
+                   FROM orders),
+        grid AS (SELECT s, CAST(count(*) AS BIGINT) AS n,
+                        CAST(sum(hi) AS BIGINT) AS r
+                 FROM m GROUP BY 1),
+        a AS (SELECT CAST(count(*) AS BIGINT) AS n_months,
+                     CAST(sum(n) AS BIGINT) AS n_orders,
+                     CAST(sum(r) AS BIGINT) AS n_high,
+                     CAST(sum(s * r) AS BIGINT) AS sr,
+                     CAST(sum(s * n) AS BIGINT) AS sn,
+                     CAST(sum(s * s * n) AS BIGINT) AS ssn
+              FROM grid)
+        SELECT n_months, n_orders, n_high,
+               round((CAST(sr AS DOUBLE) - {_cp} * CAST(sn AS DOUBLE))
+                     / sqrt(greatest(
+                         {_cp} * (CAST(1.0 AS DOUBLE) - {_cp})
+                         * (CAST(ssn AS DOUBLE)
+                            - CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE)
+                              / {_cnn}),
+                         CAST(1e-18 AS DOUBLE))), 6)
+                 + CAST(0.0 AS DOUBLE) AS z_stat
+        FROM a
     """
 
     # r6: Good–Turing-smoothed LM scoring under the src0 domain LM;

@@ -5523,3 +5523,166 @@ def shipping_delay_capability(
         (F.round(cp, 6) + F.lit(0.0)).alias("cp"),
         (F.round(cpk, 6) + F.lit(0.0)).alias("cpk"),
     )
+
+
+def events_welch_weekend(t: dict[str, DataFrame]) -> DataFrame:
+    """Welch's unequal-variance t-test (Welch 1947) of weekend vs
+    weekday daily event counts, with the Welch–Satterthwaite degrees
+    of freedom — "is weekend traffic a different population" without
+    the equal-variance assumption the classic two-sample t needs (and
+    daily traffic never satisfies).
+
+    Day-grid-sized: one scan to daily counts, one 2-group rollup.
+    Daily counts are integers, so per-group Σc and Σc² accumulate as
+    exact BIGINTs — no decimal, no float until the 1-row final
+    algebra, bit-portable at any parallelism.  Weekend = Saturday or
+    Sunday (Spark dayofweek 1=Sun, 7=Sat; the oracle's dayofweek is
+    0-based — the repo-wide +1 convention).
+
+    Output: one row — n_weekend, n_weekday, mean_weekend,
+    mean_weekday, t_stat, df (floats round 6).
+    """
+    e = t["events"]
+    daily = e.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    g = daily.select(
+        F.dayofweek("d").isin(1, 7).alias("_we"),
+        F.col("n").cast("bigint").alias("n"),
+    ).groupBy("_we").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_cnt"),
+        F.sum("n").alias("_s"),
+        F.sum(F.col("n") * F.col("n")).alias("_ss"),
+    )
+    piv = g.agg(
+        F.max(F.when(F.col("_we"), F.col("_cnt"))).alias("n_weekend"),
+        F.max(F.when(F.col("_we"), F.col("_s"))).alias("_s1"),
+        F.max(F.when(F.col("_we"), F.col("_ss"))).alias("_ss1"),
+        F.max(F.when(~F.col("_we"), F.col("_cnt"))).alias("n_weekday"),
+        F.max(F.when(~F.col("_we"), F.col("_s"))).alias("_s2"),
+        F.max(F.when(~F.col("_we"), F.col("_ss"))).alias("_ss2"),
+    )
+    n1 = F.col("n_weekend").cast("double")
+    n2 = F.col("n_weekday").cast("double")
+    m1 = F.col("_s1").cast("double") / n1
+    m2 = F.col("_s2").cast("double") / n2
+    v1 = (F.col("_ss1").cast("double") - n1 * m1 * m1) / (n1 - F.lit(1.0))
+    v2 = (F.col("_ss2").cast("double") - n2 * m2 * m2) / (n2 - F.lit(1.0))
+    a1 = v1 / n1
+    a2 = v2 / n2
+    tstat = (m1 - m2) / F.sqrt(F.greatest(a1 + a2, F.lit(1e-18)))
+    df = ((a1 + a2) * (a1 + a2)) / F.greatest(
+        a1 * a1 / (n1 - F.lit(1.0)) + a2 * a2 / (n2 - F.lit(1.0)),
+        F.lit(1e-18),
+    )
+    return piv.select(
+        "n_weekend",
+        "n_weekday",
+        (F.round(m1, 6) + F.lit(0.0)).alias("mean_weekend"),
+        (F.round(m2, 6) + F.lit(0.0)).alias("mean_weekday"),
+        (F.round(tstat, 6) + F.lit(0.0)).alias("t_stat"),
+        (F.round(df, 6) + F.lit(0.0)).alias("df"),
+    )
+
+
+def events_grubbs(t: dict[str, DataFrame]) -> DataFrame:
+    """Grubbs' outlier test (Grubbs 1950) on the daily event-count
+    series: G = max|nᵢ − n̄|/s on each side — "is the most extreme
+    day a statistical outlier", the formal one-outlier complement to
+    the rolling z-score anomaly feed (events_daily_anomalies).
+
+    Day-grid-sized; integer daily counts make Σc/Σc² exact BIGINTs
+    (no decimal, float only in the 1-row final).  Both one-sided
+    statistics are reported (max above, min below) — the two-sided G
+    is their greatest, computed by the caller or eyeballed.
+
+    Output: one row — n_days, mean_daily, std_daily, max_daily,
+    min_daily, g_max, g_min (floats round 6).
+    """
+    e = t["events"]
+    daily = e.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    agg = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("n").alias("_s"),
+        F.sum(F.col("n") * F.col("n")).alias("_ss"),
+        F.max("n").alias("max_daily"),
+        F.min("n").alias("min_daily"),
+    )
+    nd = F.col("n_days").cast("double")
+    mu = F.col("_s").cast("double") / nd
+    var = (F.col("_ss").cast("double") - nd * mu * mu) / (nd - F.lit(1.0))
+    s = F.sqrt(F.greatest(var, F.lit(1e-18)))
+    return agg.select(
+        "n_days",
+        (F.round(mu, 6) + F.lit(0.0)).alias("mean_daily"),
+        (F.round(s, 6) + F.lit(0.0)).alias("std_daily"),
+        "max_daily",
+        "min_daily",
+        (F.round((F.col("max_daily").cast("double") - mu) / s, 6)
+         + F.lit(0.0)).alias("g_max"),
+        (F.round((mu - F.col("min_daily").cast("double")) / s, 6)
+         + F.lit(0.0)).alias("g_min"),
+    )
+
+
+def orders_priority_trend(t: dict[str, DataFrame]) -> DataFrame:
+    """Cochran–Armitage trend test (Cochran 1954, Armitage 1955) of
+    the urgent-order share (1-URGENT / 2-HIGH) across calendar
+    months: T = Σ sᵢ(rᵢ − nᵢp̄), Var(T) = p̄(1−p̄)·(Σnᵢsᵢ² −
+    (Σnᵢsᵢ)²/N), z = T/√Var — "is the priority mix drifting over
+    time", the ordered-categories complement to the unordered
+    chi-square.
+
+    Month-grid-sized: one scan to (month, n, r); scores are the
+    epoch-month index, so every Σnᵢsᵢ, Σnᵢsᵢ², Σsᵢrᵢ is an exact
+    BIGINT (months ~10³ even over a century; nᵢsᵢ² stays far inside
+    int64 at 100 TB row counts).  Float enters only in the 1-row
+    final: p̄ and the z algebra (one identically-parenthesized
+    chain both engines).
+
+    Output: one row — n_months, n_orders, n_high, z_stat (round 6).
+    """
+    o = t["orders"]
+    m = o.select(
+        (
+            (F.year("o_orderdate") - F.lit(1970)) * F.lit(12)
+            + F.month("o_orderdate") - F.lit(1)
+        ).cast("bigint").alias("_s"),
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        .cast("bigint")
+        .alias("_hi"),
+    )
+    grid = m.groupBy("_s").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        F.sum("_hi").alias("_r"),
+    )
+    agg = grid.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_months"),
+        F.sum("_n").alias("n_orders"),
+        F.sum("_r").alias("n_high"),
+        F.sum(F.col("_s") * F.col("_r")).alias("_sr"),
+        F.sum(F.col("_s") * F.col("_n")).alias("_sn"),
+        F.sum(F.col("_s") * F.col("_s") * F.col("_n")).alias("_ssn"),
+    )
+    nn = F.col("n_orders").cast("double")
+    pbar = F.col("n_high").cast("double") / nn
+    tnum = F.col("_sr").cast("double") - pbar * F.col("_sn").cast("double")
+    vart = (
+        pbar
+        * (F.lit(1.0) - pbar)
+        * (
+            F.col("_ssn").cast("double")
+            - F.col("_sn").cast("double")
+            * F.col("_sn").cast("double")
+            / nn
+        )
+    )
+    z = tnum / F.sqrt(F.greatest(vart, F.lit(1e-18)))
+    return agg.select(
+        "n_months",
+        "n_orders",
+        "n_high",
+        (F.round(z, 6) + F.lit(0.0)).alias("z_stat"),
+    )

@@ -845,6 +845,9 @@ SINGLE_PARTITION_ALLOWLIST = {
     # r6: count-of-counts (≤max-r rows) GT table + 1-row N/N1 totals
     # broadcast back against the doc×word tf table
     "text_gt_logprob",
+    # r6: 2-row → 1-row Welch pivot; 1-row Grubbs moments; month-grid
+    # → 1-row Cochran–Armitage final
+    "events_welch_weekend", "events_grubbs", "orders_priority_trend",
 }
 
 
@@ -2131,3 +2134,62 @@ def test_delay_capability_hand_values(spark):
     assert r.std_delay == round(sigma, 6)
     assert r.cp == round(90.0 / (6.0 * sigma), 6)
     assert r.cpk == round(15.0 / (3.0 * sigma), 6)
+
+
+def test_welch_weekend_hand_values(spark):
+    """2024-03-01 is a Friday, so days 2-3 are the weekend.  Weekend
+    counts [10, 14] vs weekday [2, 4, 6] — hand Welch algebra."""
+    t = {"events": _mk_events(spark, [2, 10, 14, 4, 6])}
+    r = analytics.events_welch_weekend(t).first()
+    assert (r.n_weekend, r.n_weekday) == (2, 3)
+    assert (r.mean_weekend, r.mean_weekday) == (12.0, 4.0)
+    # v1 = 8, v2 = 4; a1 = 4, a2 = 4/3
+    a1, a2 = 4.0, 4.0 / 3.0
+    t_exp = 8.0 / (a1 + a2) ** 0.5
+    df_exp = (a1 + a2) ** 2 / (a1 * a1 / 1.0 + a2 * a2 / 2.0)
+    assert r.t_stat == round(t_exp, 6)
+    assert r.df == round(df_exp, 6)
+
+
+def test_grubbs_hand_values(spark):
+    """[2, 4, 12] daily counts: mean 6, s sqrt(28), G_max = 6/s,
+    G_min = 4/s."""
+    import math
+
+    t = {"events": _mk_events(spark, [2, 4, 12])}
+    r = analytics.events_grubbs(t).first()
+    s = math.sqrt(28.0)
+    assert (r.n_days, r.max_daily, r.min_daily) == (3, 12, 2)
+    assert r.mean_daily == 6.0
+    assert r.std_daily == round(s, 6)
+    assert r.g_max == round(6.0 / s, 6)
+    assert r.g_min == round(4.0 / s, 6)
+
+
+def test_priority_trend_hand_values(spark):
+    """Two months, urgent share rising 1/4 -> 3/4: hand Cochran-
+    Armitage z with scores = epoch-month indices."""
+    import datetime as dt
+
+    rows = []
+    for month, highs in ((1, 1), (2, 3)):
+        for i in range(4):
+            rows.append({
+                "o_orderkey": len(rows),
+                "o_custkey": 1,
+                "o_orderdate": dt.date(2024, month, 5 + i),
+                "o_orderpriority": "1-URGENT" if i < highs else "5-LOW",
+                "o_totalprice": 100.0,
+                "o_orderstatus": "O",
+            })
+    r = analytics.orders_priority_trend(
+        {"orders": from_rows(spark, rows)}
+    ).first()
+    assert (r.n_months, r.n_orders, r.n_high) == (2, 8, 4)
+    s1 = (2024 - 1970) * 12  # Jan 2024
+    s2 = s1 + 1
+    pbar = 0.5
+    tnum = (s1 * 1 + s2 * 3) - pbar * (s1 * 4 + s2 * 4)
+    var = pbar * 0.5 * ((s1 * s1 * 4 + s2 * s2 * 4)
+                        - (s1 * 4 + s2 * 4) ** 2 / 8)
+    assert r.z_stat == round(tnum / var ** 0.5, 6)
