@@ -1143,6 +1143,30 @@ def q_pacf(spark, sf):
     return analytics.events_pacf(_t(spark, sf))
 
 
+def q_kruskal_wallis(spark, sf):
+    """Kruskal-Wallis rank omnibus across all event types (r6):
+    midrank grid in exact x2 integers, full tie correction."""
+    return analytics.events_kruskal_wallis(_t(spark, sf))
+
+
+def q_levene(spark, sf):
+    """Levene variance-homogeneity W across event types (r6,
+    mean-centered variant): ANOVA on |v - mean_g|."""
+    return analytics.events_levene(_t(spark, sf))
+
+
+def q_cramers_v(spark, sf):
+    """Cramer's V effect size for type x day-of-week (r6): the
+    normalized companion of events_chi_square."""
+    return analytics.events_cramers_v(_t(spark, sf))
+
+
+def q_point_biserial(spark, sf):
+    """Point-biserial correlation of return flag vs line revenue
+    (r6): conditional decimal moments, one scan."""
+    return analytics.lineitem_point_biserial(_t(spark, sf))
+
+
 def q_welch_weekend(spark, sf):
     """Welch's t of weekend vs weekday daily counts (r6): exact
     BIGINT moments, Welch-Satterthwaite df."""
@@ -2956,6 +2980,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_welch_weekend": q_welch_weekend,
         "events_grubbs": q_grubbs,
         "orders_priority_trend": q_priority_trend,
+        # ---- end of the (exactly 50) round-7 staging block ----------
+        # r8 pool (positions 101+): late-r6 oracle keys, never
+        # driver-checked; they seed the r8 window after r7 closes the
+        # staging block above.
+        "events_kruskal_wallis": q_kruskal_wallis,
+        "events_levene": q_levene,
+        "events_cramers_v": q_cramers_v,
+        "lineitem_point_biserial": q_point_biserial,
         # ---- driver-green in r5 (CORRECTNESS_r05.json, 50/50): the
         # round-5 window, now cumulative coverage. --------------------
         "orders_size_histogram": q_order_size_hist,
@@ -9400,6 +9432,188 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
                CAST(count(DISTINCT band_key) AS BIGINT) AS n_buckets
         FROM kept GROUP BY 1 ORDER BY 1
+    """
+
+    # r6: Kruskal–Wallis — the MW midrank grid generalized to all
+    # types; per-type H terms round-6 into DECIMAL, full tie term.
+    sqls["events_kruskal_wallis"] = """
+        WITH g AS (SELECT round(CAST(value AS DOUBLE), 4) AS v,
+                          event_type,
+                          CAST(count(*) AS BIGINT) AS c
+                   FROM events GROUP BY 1, 2),
+        grid AS (SELECT v, CAST(sum(c) AS BIGINT) AS t FROM g GROUP BY 1),
+        m2 AS (SELECT v, t,
+                 CAST(2 * COALESCE(sum(t) OVER (ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0)
+                      + t + 1 AS BIGINT) AS m2
+               FROM grid),
+        pt AS (SELECT g.event_type,
+                      CAST(sum(g.c) AS BIGINT) AS n,
+                      sum(CAST(g.c * m2.m2 AS DECIMAL(38,0))) AS r2
+               FROM g JOIN m2 ON m2.v = g.v GROUP BY 1),
+        terms AS (SELECT n,
+                    CAST(round((CAST(r2 AS DOUBLE) / CAST(2.0 AS DOUBLE))
+                               * (CAST(r2 AS DOUBLE)
+                                  / CAST(2.0 AS DOUBLE))
+                               / CAST(n AS DOUBLE), 6)
+                         AS DECIMAL(27,6)) AS term
+                  FROM pt),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS k_groups,
+                       CAST(sum(n) AS BIGINT) AS n_total,
+                       CAST(sum(term) AS DOUBLE) AS s
+                FROM terms),
+        ties AS (SELECT CAST(sum(CAST(t * t * t - t AS DECIMAL(38,0)))
+                             AS DOUBLE) AS ties
+                 FROM grid)
+        SELECT k_groups, n_total,
+               round((CAST(12.0 AS DOUBLE)
+                      / (CAST(n_total AS DOUBLE)
+                         * (CAST(n_total AS DOUBLE)
+                            + CAST(1.0 AS DOUBLE)))) * s
+                     - CAST(3.0 AS DOUBLE)
+                       * (CAST(n_total AS DOUBLE)
+                          + CAST(1.0 AS DOUBLE)), 6)
+                 + CAST(0.0 AS DOUBLE) AS h_stat,
+               round(((CAST(12.0 AS DOUBLE)
+                       / (CAST(n_total AS DOUBLE)
+                          * (CAST(n_total AS DOUBLE)
+                             + CAST(1.0 AS DOUBLE)))) * s
+                      - CAST(3.0 AS DOUBLE)
+                        * (CAST(n_total AS DOUBLE)
+                           + CAST(1.0 AS DOUBLE)))
+                     / greatest(CAST(1.0 AS DOUBLE)
+                                - ties
+                                  / (CAST(n_total AS DOUBLE)
+                                     * CAST(n_total AS DOUBLE)
+                                     * CAST(n_total AS DOUBLE)
+                                     - CAST(n_total AS DOUBLE)),
+                                CAST(1e-18 AS DOUBLE)), 6)
+                 + CAST(0.0 AS DOUBLE) AS h_tie_corrected
+        FROM tot, ties
+    """
+
+    # r6: Levene W (mean-centered) — per-type means broadcast back,
+    # then the ANOVA moment pattern on |v − mean|.
+    sqls["events_levene"] = """
+        WITH mn AS (SELECT event_type,
+                      CAST(sum(CAST(round(value, 6) AS DECIMAL(27,6)))
+                           AS DOUBLE)
+                        / CAST(count(*) AS DOUBLE) AS m
+                    FROM events GROUP BY 1),
+        z AS (SELECT e.event_type,
+                     round(abs(round(e.value, 6) - mn.m), 6) AS z
+              FROM events e JOIN mn ON mn.event_type = e.event_type),
+        g AS (SELECT event_type,
+                     CAST(count(*) AS BIGINT) AS n,
+                     sum(CAST(z AS DECIMAL(27,6))) AS zs,
+                     sum(CAST(round(z * z, 6) AS DECIMAL(27,6))) AS zss
+              FROM z GROUP BY 1),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS k_groups,
+                       CAST(sum(n) AS BIGINT) AS n_total,
+                       CAST(sum(zs) AS DOUBLE) / CAST(sum(n) AS DOUBLE)
+                         AS gmean
+                FROM g),
+        terms AS (SELECT tot.k_groups, tot.n_total,
+                    CAST(round(CAST(g.n AS DOUBLE)
+                          * (CAST(g.zs AS DOUBLE) / CAST(g.n AS DOUBLE)
+                             - tot.gmean)
+                          * (CAST(g.zs AS DOUBLE) / CAST(g.n AS DOUBLE)
+                             - tot.gmean), 6) AS DECIMAL(27,6)) AS ssb_t,
+                    CAST(round(CAST(g.zss AS DOUBLE)
+                          - CAST(g.n AS DOUBLE)
+                          * (CAST(g.zs AS DOUBLE) / CAST(g.n AS DOUBLE))
+                          * (CAST(g.zs AS DOUBLE) / CAST(g.n AS DOUBLE)),
+                          6) AS DECIMAL(27,6)) AS ssw_t
+                  FROM g, tot),
+        fin AS (SELECT max(k_groups) AS k_groups,
+                       max(n_total) AS n_total,
+                       CAST(sum(ssb_t) AS DOUBLE) AS ssb,
+                       CAST(sum(ssw_t) AS DOUBLE) AS ssw
+                FROM terms)
+        SELECT k_groups, n_total,
+               round((ssb / (CAST(k_groups AS DOUBLE)
+                             - CAST(1.0 AS DOUBLE)))
+                     / greatest(ssw / (CAST(n_total AS DOUBLE)
+                                       - CAST(k_groups AS DOUBLE)),
+                                CAST(1e-18 AS DOUBLE)), 6)
+                 + CAST(0.0 AS DOUBLE) AS w_stat
+        FROM fin
+    """
+
+    # r6: Cramér's V — the chi-square oracle's contingency (observed
+    # cells, round-9 decimal total) plus the normalized final.
+    sqls["events_cramers_v"] = """
+        WITH cells AS (SELECT event_type, dayofweek(ts) + 1 AS dow,
+                              count(*) AS o
+                       FROM events GROUP BY 1, 2),
+        sized AS (SELECT event_type, dow, o,
+                    sum(o) OVER (PARTITION BY event_type) AS row_n,
+                    sum(o) OVER (PARTITION BY dow) AS col_n,
+                    sum(o) OVER () AS n
+                  FROM cells),
+        term AS (SELECT
+                   round(pow(o - CAST(row_n AS DOUBLE)
+                                 * CAST(col_n AS DOUBLE)
+                                 / CAST(n AS DOUBLE), 2)
+                         / (CAST(row_n AS DOUBLE)
+                            * CAST(col_n AS DOUBLE)
+                            / CAST(n AS DOUBLE)), 9) AS t,
+                   event_type, dow, n
+                 FROM sized),
+        a AS (SELECT round(CAST(sum(CAST(t AS DECIMAL(27,9)))
+                                AS DOUBLE), 6) AS chi_square,
+                     CAST(max(n) AS BIGINT) AS n_events,
+                     CAST(count(DISTINCT event_type) AS BIGINT)
+                       AS r_levels,
+                     CAST(count(DISTINCT dow) AS BIGINT) AS c_levels
+              FROM term)
+        SELECT chi_square, n_events, r_levels, c_levels,
+               round(sqrt(chi_square
+                          / greatest(CAST(n_events AS DOUBLE)
+                                     * CAST(least(r_levels - 1,
+                                                  c_levels - 1)
+                                            AS DOUBLE),
+                                     CAST(1e-18 AS DOUBLE))), 6)
+                 + CAST(0.0 AS DOUBLE) AS cramers_v
+        FROM a
+    """
+
+    # r6: point-biserial — conditional round-6 DECIMAL sums, shared
+    # Σx², population σ.
+    _pbn1 = "CAST(n_returned AS DOUBLE)"
+    _pbn0 = "CAST(n_kept AS DOUBLE)"
+    _pbn = f"({_pbn1} + {_pbn0})"
+    _pbm1 = f"(CAST(s1 AS DOUBLE) / {_pbn1})"
+    _pbm0 = f"(CAST(s0 AS DOUBLE) / {_pbn0})"
+    _pbmu = f"((CAST(s1 AS DOUBLE) + CAST(s0 AS DOUBLE)) / {_pbn})"
+    _pbsig = (
+        f"sqrt(greatest(CAST(ss AS DOUBLE) / {_pbn}"
+        f" - {_pbmu} * {_pbmu}, CAST(1e-18 AS DOUBLE)))"
+    )
+    sqls["lineitem_point_biserial"] = f"""
+        WITH b AS (SELECT
+                     round(l_extendedprice
+                           * (CAST(1.0 AS DOUBLE) - l_discount), 6) AS x,
+                     CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS f
+                   FROM lineitem),
+        a AS (SELECT CAST(sum(f) AS BIGINT) AS n_returned,
+                     CAST(count(*) - sum(f) AS BIGINT) AS n_kept,
+                     sum(CAST(CASE WHEN f = 1 THEN x
+                              ELSE CAST(0.0 AS DOUBLE) END
+                              AS DECIMAL(27,6))) AS s1,
+                     sum(CAST(CASE WHEN f = 0 THEN x
+                              ELSE CAST(0.0 AS DOUBLE) END
+                              AS DECIMAL(27,6))) AS s0,
+                     sum(CAST(round(x * x, 6) AS DECIMAL(27,6))) AS ss
+              FROM b)
+        SELECT n_returned, n_kept,
+               round({_pbm1}, 6) + CAST(0.0 AS DOUBLE) AS mean_returned,
+               round({_pbm0}, 6) + CAST(0.0 AS DOUBLE) AS mean_kept,
+               round(({_pbm1} - {_pbm0}) / {_pbsig}
+                     * sqrt({_pbn1} / {_pbn} * ({_pbn0} / {_pbn})), 6)
+                 + CAST(0.0 AS DOUBLE) AS r_pb
+        FROM a
     """
 
     # r6: Welch's t weekend-vs-weekday — exact BIGINT day moments,

@@ -5686,3 +5686,292 @@ def orders_priority_trend(t: dict[str, DataFrame]) -> DataFrame:
         "n_high",
         (F.round(z, 6) + F.lit(0.0)).alias("z_stat"),
     )
+
+
+def events_kruskal_wallis(
+    t: dict[str, DataFrame], quantize: int = 4
+) -> DataFrame:
+    """Kruskal–Wallis rank-based omnibus test (Kruskal & Wallis 1952)
+    of event value across ALL event types — the distribution-free
+    counterpart of [[events_value_anova]] (use this when values are
+    skewed/heavy-tailed and means mislead), with the full tie
+    correction, mandatory because quantization creates ties by
+    design.
+
+    Same rank-free scale machinery as events_mann_whitney: values
+    quantize to a bounded 4-dp grid; midranks come from a grid-sized
+    cumulative window in exact ×2 integers (M2 = 2·cum_before + t +
+    1); per-type ×2 rank sums accumulate as exact DECIMAL(38,0); the
+    per-type H terms (R_j²/n_j) round to 6 dp and sum as DECIMAL over
+    the |types|-row frame.  Floats appear only in final chains.  The
+    all-tied degenerate corpus floors the tie-correction divisor at
+    1e-18 (H is 0 there anyway, stated).
+
+    Output: one row — k_groups, n_total, h_stat, h_tie_corrected
+    (round 6).
+    """
+    from pyspark.sql import Window as W
+
+    e = t["events"]
+    g = (
+        e.select(
+            F.round(F.col("value").cast("double"), int(quantize)).alias("v"),
+            "event_type",
+        )
+        .groupBy("v", "event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+    )
+    grid = g.groupBy("v").agg(F.sum("_c").cast("bigint").alias("_t"))
+    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, -1)
+    m2 = grid.select(
+        "v",
+        "_t",
+        (
+            F.lit(2) * F.coalesce(F.sum("_t").over(w), F.lit(0))
+            + F.col("_t")
+            + F.lit(1)
+        ).cast("bigint").alias("_m2"),
+    )
+    per_type = (
+        g.join(m2.select("v", "_m2"), "v")
+        .groupBy("event_type")
+        .agg(
+            F.sum("_c").cast("bigint").alias("_n"),
+            F.sum((F.col("_c") * F.col("_m2")).cast("decimal(38,0)")).alias(
+                "_r2"
+            ),
+        )
+    )
+    # R_j = _r2/2; term_j = R_j² / n_j (double, round 6, DECIMAL sum)
+    rj = F.col("_r2").cast("double") / F.lit(2.0)
+    terms = per_type.select(
+        "_n",
+        F.round(rj * rj / F.col("_n").cast("double"), 6)
+        .cast("decimal(27,6)")
+        .alias("_term"),
+    )
+    tot = terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k_groups"),
+        F.sum("_n").cast("bigint").alias("n_total"),
+        F.sum("_term").cast("double").alias("_s"),
+    )
+    ties = grid.agg(
+        F.sum(
+            (
+                F.col("_t") * F.col("_t") * F.col("_t") - F.col("_t")
+            ).cast("decimal(38,0)")
+        ).cast("double").alias("_ties")
+    )
+    j = tot.crossJoin(F.broadcast(ties))
+    n = F.col("n_total").cast("double")
+    h = (F.lit(12.0) / (n * (n + F.lit(1.0)))) * F.col("_s") - F.lit(
+        3.0
+    ) * (n + F.lit(1.0))
+    corr = F.lit(1.0) - F.col("_ties") / (n * n * n - n)
+    return j.select(
+        "k_groups",
+        "n_total",
+        (F.round(h, 6) + F.lit(0.0)).alias("h_stat"),
+        (F.round(h / F.greatest(corr, F.lit(1e-18)), 6) + F.lit(0.0)).alias(
+            "h_tie_corrected"
+        ),
+    )
+
+
+def events_levene(t: dict[str, DataFrame]) -> DataFrame:
+    """Levene's test of variance homogeneity across event types
+    (Levene 1960, mean-centered variant — the median-centered
+    Brown–Forsythe needs an exact median, a different machine;
+    stated): W = one-way-ANOVA F computed on the absolute deviations
+    zᵢⱼ = |vᵢⱼ − v̄ⱼ| — the "are the spreads equal" pre-check that
+    decides whether plain ANOVA's pooled variance is even meaningful.
+
+    Two passes by necessity (means first, then deviations): pass 1 is
+    the per-type round-6 DECIMAL mean rollup (|types| rows, broadcast
+    back); pass 2 computes z row-wise (round 6) and reruns the exact
+    two-level ANOVA moment pattern of [[events_value_anova]] on z.
+    No fact-wide window, no extra shuffle beyond the two type-keyed
+    rollups.
+
+    Output: one row — k_groups, n_total, w_stat (round 6).
+    """
+    e = t["events"]
+    means = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        F.sum(F.round(F.col("value"), 6).cast("decimal(27,6)")).alias("_s"),
+    ).select(
+        "event_type",
+        (F.col("_s").cast("double") / F.col("_n").cast("double")).alias(
+            "_mean"
+        ),
+    )
+    z = e.join(F.broadcast(means), "event_type").select(
+        "event_type",
+        F.round(
+            F.abs(F.round(F.col("value"), 6) - F.col("_mean")), 6
+        ).alias("_z"),
+    )
+    g = z.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        F.sum(F.col("_z").cast("decimal(27,6)")).alias("_zs"),
+        F.sum(
+            F.round(F.col("_z") * F.col("_z"), 6).cast("decimal(27,6)")
+        ).alias("_zss"),
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k_groups"),
+        F.sum("_n").cast("bigint").alias("n_total"),
+        F.sum("_zs").alias("_gs"),
+    )
+    gmean = F.col("_gs").cast("double") / F.col("n_total").cast("double")
+    j = g.crossJoin(F.broadcast(tot.withColumn("_gmean", gmean)))
+    mean_g = F.col("_zs").cast("double") / F.col("_n").cast("double")
+    ssb_term = F.col("_n").cast("double") * (mean_g - F.col("_gmean")) * (
+        mean_g - F.col("_gmean")
+    )
+    ssw_term = F.col("_zss").cast("double") - F.col("_n").cast(
+        "double"
+    ) * mean_g * mean_g
+    final = j.agg(
+        F.max("k_groups").alias("k_groups"),
+        F.max("n_total").alias("n_total"),
+        F.sum(F.round(ssb_term, 6).cast("decimal(27,6)"))
+        .cast("double")
+        .alias("_ssb"),
+        F.sum(F.round(ssw_term, 6).cast("decimal(27,6)"))
+        .cast("double")
+        .alias("_ssw"),
+    )
+    wstat = (
+        F.col("_ssb") / (F.col("k_groups").cast("double") - F.lit(1.0))
+    ) / F.greatest(
+        F.col("_ssw")
+        / (F.col("n_total").cast("double") - F.col("k_groups").cast("double")),
+        F.lit(1e-18),
+    )
+    return final.select(
+        "k_groups",
+        "n_total",
+        (F.round(wstat, 6) + F.lit(0.0)).alias("w_stat"),
+    )
+
+
+def events_cramers_v(t: dict[str, DataFrame]) -> DataFrame:
+    """Cramér's V effect size for the type × day-of-week association:
+    V = √(χ²/(N·min(r−1, c−1))) — the [0,1]-normalized companion to
+    [[events_chi_square]] (χ² says "significant", V says "how
+    strong"; at 100 TB row counts everything is significant, so V is
+    the number that matters).  Same observed-cells contingency
+    semantics as the χ² twin, stated.
+
+    Identical shape to events_chi_square: one map-side-combinable
+    count rollup, margins from windows over the ≤7·|types|-row table,
+    per-cell terms round-9 into a DECIMAL total; V derives from the
+    ROUND-6 χ² (the deterministic published number) in the 1-row
+    final.
+
+    Output: one row — chi_square, n_events, r_levels, c_levels,
+    cramers_v (round 6).
+    """
+    from pyspark.sql import Window as W
+
+    e = t["events"]
+    cells = e.groupBy(
+        F.col("event_type"), F.dayofweek("ts").alias("dow")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    wt = W.partitionBy("event_type")
+    wd = W.partitionBy("dow")
+    wall = W.partitionBy()
+    sized = (
+        cells.withColumn("row_n", F.sum("o").over(wt))
+        .withColumn("col_n", F.sum("o").over(wd))
+        .withColumn("n", F.sum("o").over(wall))
+    )
+    term = sized.select(
+        F.round(
+            F.pow(F.col("o") - F.col("row_n") * F.col("col_n") / F.col("n"), 2)
+            / (F.col("row_n") * F.col("col_n") / F.col("n")),
+            9,
+        ).alias("t"),
+        "event_type",
+        "dow",
+        "n",
+    )
+    agg = term.agg(
+        F.round(
+            F.sum(F.col("t").cast("decimal(27,9)")).cast("double"), 6
+        ).alias("chi_square"),
+        F.max("n").cast("bigint").alias("n_events"),
+        F.count_distinct("event_type").cast("bigint").alias("r_levels"),
+        F.count_distinct("dow").cast("bigint").alias("c_levels"),
+    )
+    denom = F.col("n_events").cast("double") * F.least(
+        F.col("r_levels") - F.lit(1), F.col("c_levels") - F.lit(1)
+    ).cast("double")
+    return agg.select(
+        "chi_square",
+        "n_events",
+        "r_levels",
+        "c_levels",
+        (
+            F.round(
+                F.sqrt(F.col("chi_square") / F.greatest(denom, F.lit(1e-18))),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("cramers_v"),
+    )
+
+
+def lineitem_point_biserial(t: dict[str, DataFrame]) -> DataFrame:
+    """Point-biserial correlation between the return flag
+    (l_returnflag = 'R') and line revenue — "do returned lines skew
+    expensive", the binary-vs-continuous effect size: r_pb =
+    (M₁−M₀)/σₙ · √(p·q) with the population σ (the classic
+    definition).
+
+    One scan, one 1-row rollup: conditional round-6 DECIMAL sums for
+    each group's Σx, a shared DECIMAL Σx², exact counts — float only
+    in the final chain.
+
+    Output: one row — n_returned, n_kept, mean_returned, mean_kept,
+    r_pb (round 6).
+    """
+    li = t["lineitem"]
+    x = F.round(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 6
+    )
+    flag = (F.col("l_returnflag") == "R").cast("int")
+    agg = li.select(
+        x.alias("_x"), flag.alias("_f")
+    ).agg(
+        F.sum("_f").cast("bigint").alias("n_returned"),
+        (F.count(F.lit(1)) - F.sum("_f")).cast("bigint").alias("n_kept"),
+        F.sum(
+            F.when(F.col("_f") == 1, F.col("_x")).otherwise(F.lit(0.0))
+            .cast("decimal(27,6)")
+        ).alias("_s1"),
+        F.sum(
+            F.when(F.col("_f") == 0, F.col("_x")).otherwise(F.lit(0.0))
+            .cast("decimal(27,6)")
+        ).alias("_s0"),
+        F.sum(
+            F.round(F.col("_x") * F.col("_x"), 6).cast("decimal(27,6)")
+        ).alias("_ss"),
+    )
+    n1 = F.col("n_returned").cast("double")
+    n0 = F.col("n_kept").cast("double")
+    n = n1 + n0
+    m1 = F.col("_s1").cast("double") / n1
+    m0 = F.col("_s0").cast("double") / n0
+    mu = (F.col("_s1").cast("double") + F.col("_s0").cast("double")) / n
+    varp = F.col("_ss").cast("double") / n - mu * mu
+    sigma = F.sqrt(F.greatest(varp, F.lit(1e-18)))
+    rpb = (m1 - m0) / sigma * F.sqrt(n1 / n * (n0 / n))
+    return agg.select(
+        "n_returned",
+        "n_kept",
+        (F.round(m1, 6) + F.lit(0.0)).alias("mean_returned"),
+        (F.round(m0, 6) + F.lit(0.0)).alias("mean_kept"),
+        (F.round(rpb, 6) + F.lit(0.0)).alias("r_pb"),
+    )

@@ -848,6 +848,11 @@ SINGLE_PARTITION_ALLOWLIST = {
     # r6: 2-row → 1-row Welch pivot; 1-row Grubbs moments; month-grid
     # → 1-row Cochran–Armitage final
     "events_welch_weekend", "events_grubbs", "orders_priority_trend",
+    # r6 late: value-grid midrank window (KW, the MW family) + 1-row
+    # H/tie finals; |types|-row → 1-row Levene rollup; ≤7·|types|-row
+    # contingency windows + 1-row V final; 1-row point-biserial
+    "events_kruskal_wallis", "events_levene", "events_cramers_v",
+    "lineitem_point_biserial",
 }
 
 
@@ -2193,3 +2198,85 @@ def test_priority_trend_hand_values(spark):
     var = pbar * 0.5 * ((s1 * s1 * 4 + s2 * s2 * 4)
                         - (s1 * 4 + s2 * 4) ** 2 / 8)
     assert r.z_stat == round(tnum / var ** 0.5, 6)
+
+
+def _mk_typed_events(spark, typed_values, start="2024-03-04"):
+    """events frame from [(event_type, value), ...]; timestamps walk
+    minutes so day-grid ops see one day."""
+    import datetime as dt
+
+    base = dt.datetime.fromisoformat(start + "T08:00:00")
+    rows = []
+    for i, (typ, v) in enumerate(typed_values):
+        rows.append({
+            "event_id": i, "user_id": i, "event_type": typ,
+            "value": float(v), "props": "{}",
+            "ts": base + dt.timedelta(minutes=i),
+        })
+    return from_rows(spark, rows)
+
+
+def test_kruskal_wallis_hand_values(spark):
+    """Three tie-free groups [1,2],[3,4],[5,6]: rank sums 3/7/11,
+    H = 12/42*(4.5+24.5+60.5) - 21 = 4.571429; no ties so the
+    corrected statistic is identical."""
+    t = {"events": _mk_typed_events(
+        spark, [("a", 1), ("a", 2), ("b", 3), ("b", 4), ("c", 5), ("c", 6)]
+    )}
+    r = analytics.events_kruskal_wallis(t).first()
+    assert (r.k_groups, r.n_total) == (3, 6)
+    assert r.h_stat == round(12.0 / 42.0 * 89.5 - 21.0, 6)
+    assert r.h_tie_corrected == r.h_stat
+
+
+def test_levene_hand_values(spark):
+    """A=[0,6,2,4] (|dev| = 3,3,1,1), B=[3,3,3,3] (|dev| = 0):
+    z-ANOVA gives SSB=8, SSW=4, W=12."""
+    t = {"events": _mk_typed_events(
+        spark,
+        [("a", 0), ("a", 6), ("a", 2), ("a", 4),
+         ("b", 3), ("b", 3), ("b", 3), ("b", 3)],
+    )}
+    r = analytics.events_levene(t).first()
+    assert (r.k_groups, r.n_total) == (2, 8)
+    assert r.w_stat == 12.0
+
+
+def test_cramers_v_full_grid_hand_values(spark):
+    """2 types x 2 weekdays, every cell observed (3/1/1/3): chi2 = 2,
+    V = sqrt(2/(8*1)) = 0.5 — the textbook moderate association."""
+    import datetime as dt
+
+    rows = []
+    # Monday 2024-03-04 and Tuesday 2024-03-05
+    for day, typ, cnt in [(4, "a", 3), (5, "a", 1), (4, "b", 1), (5, "b", 3)]:
+        for i in range(cnt):
+            rows.append({
+                "event_id": len(rows), "user_id": i, "event_type": typ,
+                "value": 1.0, "props": "{}",
+                "ts": dt.datetime(2024, 3, day, 9, i),
+            })
+    r = analytics.events_cramers_v({"events": from_rows(spark, rows)}).first()
+    assert (r.n_events, r.r_levels, r.c_levels) == (8, 2, 2)
+    assert r.chi_square == 2.0
+    assert r.cramers_v == 0.5
+
+
+def test_point_biserial_hand_values(spark):
+    """Returned line at 10, kept at 2 and 4 (discount 0): hand
+    point-biserial with population sigma."""
+    import math
+
+    li = from_rows(
+        spark,
+        [{"l_extendedprice": 10.0, "l_discount": 0.0, "l_returnflag": "R"},
+         {"l_extendedprice": 2.0, "l_discount": 0.0, "l_returnflag": "N"},
+         {"l_extendedprice": 4.0, "l_discount": 0.0, "l_returnflag": "A"}],
+    )
+    r = analytics.lineitem_point_biserial({"lineitem": li}).first()
+    assert (r.n_returned, r.n_kept) == (1, 2)
+    assert (r.mean_returned, r.mean_kept) == (10.0, 3.0)
+    mu = 16.0 / 3.0
+    sigma = math.sqrt((100.0 + 4.0 + 16.0) / 3.0 - mu * mu)
+    exp = (10.0 - 3.0) / sigma * math.sqrt((1.0 / 3.0) * (2.0 / 3.0))
+    assert r.r_pb == round(exp, 6)

@@ -119,6 +119,15 @@ def main() -> int:
             # r5 additions
             "ann_ivf_pivot", "ann_pq_pivot", "dedup_substring_spans",
             "dedup_substring_apply", "text_policy_filters", "text_bpe_encode",
+            # r6 additions
+            "ann_lsh_pivot", "ann_recall_lsh", "ann_mmr_fixed",
+            "dedup_index_compaction", "text_gt_logprob",
+            "events_ljung_box", "events_poisson_dispersion",
+            "events_value_anova", "shipping_delay_capability",
+            "events_welch_weekend", "events_grubbs",
+            "orders_priority_trend",
+            "events_kruskal_wallis", "events_levene",
+            "events_cramers_v", "lineitem_point_biserial",
         ]
         if len(sys.argv) > 3:
             # explicit subset: smoke only these names (fast re-checks
