@@ -1143,6 +1143,22 @@ def q_pacf(spark, sf):
     return analytics.events_pacf(_t(spark, sf))
 
 
+def q_theil_sen(spark, sf):
+    """Theil-Sen robust daily-count trend (r6): median pairwise
+    slope over the calendar-bounded day grid + residual-median
+    intercept under the published slope."""
+    return analytics.events_theil_sen(_t(spark, sf))
+
+
+def q_lpa(spark, sf):
+    """Fixed-iteration label propagation communities (r6) on the
+    part co-purchase graph: 2 synchronous rounds, deterministic
+    min-label ties; output is the community census."""
+    from fuel_spark.ops import graph
+
+    return graph.lpa_fixed(_copurchase_edges(spark, sf), iters=2)
+
+
 def q_kruskal_wallis(spark, sf):
     """Kruskal-Wallis rank omnibus across all event types (r6):
     midrank grid in exact x2 integers, full tie correction."""
@@ -2988,6 +3004,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_levene": q_levene,
         "events_cramers_v": q_cramers_v,
         "lineitem_point_biserial": q_point_biserial,
+        "events_theil_sen": q_theil_sen,
+        "graph_lpa_fixed": q_lpa,
         # ---- driver-green in r5 (CORRECTNESS_r05.json, 50/50): the
         # round-5 window, now cumulative coverage. --------------------
         "orders_size_histogram": q_order_size_hist,
@@ -9432,6 +9450,73 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
                CAST(count(DISTINCT band_key) AS BIGINT) AS n_buckets
         FROM kept GROUP BY 1 ORDER BY 1
+    """
+
+    # r6: Theil–Sen — exact order-statistic median over the
+    # calendar²-bounded pairwise-slope set; intercept median reuses
+    # the round-6 published slope.
+    sqls["events_theil_sen"] = """
+        WITH daily AS (SELECT CAST(ts AS DATE) AS d,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM events GROUP BY 1),
+        dx0 AS (SELECT CAST(date_diff('day', DATE '1970-01-01', d)
+                            AS BIGINT) AS x0, n
+                FROM daily),
+        xm AS (SELECT min(x0) AS xmin FROM dx0),
+        dx AS (SELECT CAST(x0 - xm.xmin AS BIGINT) AS x, n
+               FROM dx0, xm),
+        pr AS (SELECT CAST(b.n - a.n AS DOUBLE)
+                      / CAST(b.x - a.x AS DOUBLE) AS sl
+               FROM dx a JOIN dx b ON b.x > a.x),
+        np AS (SELECT CAST(count(*) AS BIGINT) AS np FROM pr),
+        rk AS (SELECT sl, np.np,
+                      row_number() OVER (ORDER BY sl) AS rn
+               FROM pr, np),
+        s AS (SELECT CAST(max(np) AS BIGINT) AS n_pairs,
+                     round(sum(sl) / CAST(count(*) AS DOUBLE), 6)
+                       AS slope
+              FROM rk
+              WHERE rn >= (np + 1) // 2 AND rn <= np // 2 + 1),
+        nd AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM dx),
+        res AS (SELECT s.n_pairs, s.slope, nd.n_days,
+                       CAST(dx.n AS DOUBLE)
+                       - s.slope * CAST(dx.x AS DOUBLE) AS r
+                FROM dx, s, nd),
+        rr AS (SELECT n_pairs, slope, n_days, r,
+                      row_number() OVER (ORDER BY r) AS rn
+               FROM res)
+        SELECT CAST(max(n_days) AS BIGINT) AS n_days,
+               CAST(max(n_pairs) AS BIGINT) AS n_pairs,
+               max(slope) + CAST(0.0 AS DOUBLE) AS slope,
+               round(sum(r) / CAST(count(*) AS DOUBLE), 6)
+                 + CAST(0.0 AS DOUBLE) AS intercept
+        FROM rr
+        WHERE rn >= (n_days + 1) // 2 AND rn <= n_days // 2 + 1
+    """
+
+    # r6: fixed-iteration LPA on the co-purchase graph — 2 unrolled
+    # synchronous rounds, argmax = row_number (c DESC, lbl).
+    sqls["graph_lpa_fixed"] = f"""
+        WITH {_graph_edges_sql},
+        em AS (SELECT a AS s, b AS d FROM e0
+               UNION ALL SELECT b AS s, a AS d FROM e0),
+        c1 AS (SELECT s AS v, d AS lbl, count(*) AS c
+               FROM em GROUP BY 1, 2),
+        n1 AS (SELECT v, lbl FROM (
+                 SELECT v, lbl,
+                        row_number() OVER (PARTITION BY v
+                                           ORDER BY c DESC, lbl) AS rn
+                 FROM c1) WHERE rn = 1),
+        c2 AS (SELECT em.s AS v, n1.lbl AS lbl, count(*) AS c
+               FROM em JOIN n1 ON n1.v = em.d GROUP BY 1, 2),
+        n2 AS (SELECT v, lbl FROM (
+                 SELECT v, lbl,
+                        row_number() OVER (PARTITION BY v
+                                           ORDER BY c DESC, lbl) AS rn
+                 FROM c2) WHERE rn = 1)
+        SELECT lbl AS community,
+               CAST(count(*) AS BIGINT) AS n_members
+        FROM n2 GROUP BY 1
     """
 
     # r6: Kruskal–Wallis — the MW midrank grid generalized to all

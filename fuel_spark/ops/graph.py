@@ -617,3 +617,69 @@ def kcore_fixed(
     for c in census[1:]:
         out = out.unionByName(c)
     return out.orderBy("round")
+
+
+def lpa_fixed(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 2,
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan, Albert & Kumara 2007)
+    with a FIXED iteration count and a deterministic tie rule —
+    community detection as the repo's standard "pin the mechanics
+    under the exact-hash gate" tier (the HITS/PageRank/k-core
+    pattern): every node starts labeled with its own id; each round
+    it adopts the most frequent label among its neighbors, ties to
+    the SMALLEST label (round 1 therefore reduces to min-neighbor-id
+    — stated, the deterministic seed of the usual randomized LPA).
+
+    Shuffle story per iteration: one edge⋈labels join keyed on the
+    neighbor end, one map-side-combinable (node, label) count, one
+    per-node argmax via ``min(struct(-cnt, label))`` (no window over
+    facts); the labels frame is vertex-sized and lazily
+    localCheckpointed each round so round t does not replay round
+    t−1's join chain (the k-core/HITS replay lesson).  Edges are
+    mirrored once up front; the edge list itself never shuffles
+    after that.
+
+    Output: (community, n_members) — the community census, one row
+    per surviving label.
+    """
+    e0 = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).distinct()
+    em = e0.unionAll(e0.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    em = em.localCheckpoint(eager=False)
+    labels = em.select(F.col("s").alias("v")).distinct().select(
+        "v", F.col("v").alias("lbl")
+    )
+    for _ in range(int(iters)):
+        # EXPLICIT broadcast of the vertex-sized labels frame: Spark's
+        # size estimate of a checkpointed aggregate is poor enough to
+        # pick a SortMergeJoin that shuffles the full mirrored edge
+        # list EVERY round (the r5 k-core defect, same signature —
+        # measured 46s -> 12s at the 10x smoke).  Right while
+        # |vertices| << |edges| (a dim-sized co-purchase graph);
+        # billion-vertex graphs should drop the hint and let the
+        # shuffle join win.
+        nb = em.join(
+            F.broadcast(labels.select(F.col("v").alias("d"), "lbl")), "d"
+        ).select(F.col("s").alias("v"), "lbl")
+        counts = nb.groupBy("v", "lbl").agg(
+            F.count(F.lit(1)).cast("bigint").alias("_c")
+        )
+        labels = (
+            counts.groupBy("v")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("_c")).alias("_neg"),
+                        F.col("lbl").alias("lbl"),
+                    )
+                ).alias("_m")
+            )
+            .select("v", F.col("_m.lbl").alias("lbl"))
+            .localCheckpoint(eager=False)
+        )
+    return labels.groupBy(F.col("lbl").alias("community")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members")
+    )

@@ -5975,3 +5975,86 @@ def lineitem_point_biserial(t: dict[str, DataFrame]) -> DataFrame:
         (F.round(m0, 6) + F.lit(0.0)).alias("mean_kept"),
         (F.round(rpb, 6) + F.lit(0.0)).alias("r_pb"),
     )
+
+
+def events_theil_sen(t: dict[str, DataFrame]) -> DataFrame:
+    """Theil–Sen robust trend estimator (Theil 1950, Sen 1968) of the
+    daily event-count series: slope = MEDIAN of all pairwise slopes
+    (nⱼ−nᵢ)/(dⱼ−dᵢ), intercept = median of the residuals under the
+    published slope — the outlier-immune complement to the OLS trend
+    and the Mann–Kendall test (MK says "monotone?", Theil–Sen says
+    "how steep", and one corrupted day cannot move either).
+
+    Bounded-quadratic BY THE CALENDAR, not the data: the pair set is
+    days², independent of row count (a decade is ~6.6M pairs — tiny
+    at any corpus scale, stated), so the global median sort runs over
+    a calendar²-bounded frame, never facts.  Slopes are single double
+    divisions of exact integers — bit-identical cross-engine; the
+    median is the exact order statistic (mean of the two middles for
+    even counts; the two middles' SUM is a commutative two-double
+    add, safe).  The intercept median reuses the ROUND-6 published
+    slope so both engines subtract the same number.
+
+    Output: one row — n_days, n_pairs, slope, intercept (round 6;
+    the intercept is the trend LEVEL AT THE SERIES' FIRST DAY — x is
+    centered on min(day), both because "level on day one" is the
+    number a reader wants and because an epoch-day-0 intercept
+    multiplies the slope by ~2·10⁴ days of extrapolation, the
+    center-x-near-the-data rule from the DECIMAL-exactness notes).
+    """
+    from pyspark.sql import Window as W
+
+    e = t["events"]
+    raw = e.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    ).select(F.unix_date(F.col("d")).cast("bigint").alias("x0"), "n")
+    x_min = raw.agg(F.min("x0").alias("_xmin"))
+    daily = raw.crossJoin(F.broadcast(x_min)).select(
+        (F.col("x0") - F.col("_xmin")).alias("x"), "n"
+    )
+    daily = daily.localCheckpoint(eager=False)  # pairs + residuals
+    a = daily.select(F.col("x").alias("xa"), F.col("n").alias("na"))
+    b = daily.select(F.col("x").alias("xb"), F.col("n").alias("nb"))
+    pairs = a.join(b, F.col("xb") > F.col("xa")).select(
+        (
+            (F.col("nb") - F.col("na")).cast("double")
+            / (F.col("xb") - F.col("xa")).cast("double")
+        ).alias("_sl")
+    )
+    np_ = pairs.agg(F.count(F.lit(1)).cast("bigint").alias("_np"))
+    w = W.orderBy("_sl")
+    ranked = pairs.crossJoin(F.broadcast(np_)).withColumn(
+        "_rn", F.row_number().over(w).cast("bigint")
+    )
+    slope = ranked.where(
+        (F.col("_rn") >= F.expr("(_np + 1) div 2"))
+        & (F.col("_rn") <= F.expr("_np div 2 + 1"))
+    ).agg(
+        F.max("_np").alias("n_pairs"),
+        F.round(
+            F.sum("_sl") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("slope"),
+    )
+    res = daily.crossJoin(F.broadcast(slope)).select(
+        "n_pairs",
+        "slope",
+        (F.col("n").cast("double") - F.col("slope") * F.col("x").cast("double"))
+        .alias("_r"),
+    )
+    nd = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    wr = W.orderBy("_r")
+    rranked = res.crossJoin(F.broadcast(nd)).withColumn(
+        "_rn", F.row_number().over(wr).cast("bigint")
+    )
+    return rranked.where(
+        (F.col("_rn") >= F.expr("(n_days + 1) div 2"))
+        & (F.col("_rn") <= F.expr("n_days div 2 + 1"))
+    ).agg(
+        F.max("n_days").alias("n_days"),
+        F.max("n_pairs").alias("n_pairs"),
+        (F.max("slope") + F.lit(0.0)).alias("slope"),
+        (
+            F.round(F.sum("_r") / F.count(F.lit(1)).cast("double"), 6)
+            + F.lit(0.0)
+        ).alias("intercept"),
+    )

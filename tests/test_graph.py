@@ -241,3 +241,32 @@ def test_kcore_fixed_peels_periphery(spark):
         from_rows(spark, edges, "src bigint, dst bigint"),
         k=100, rounds=2).collect()
     assert all(r.n_vertices == 0 and r.n_edges == 0 for r in empty)
+
+
+def test_lpa_fixed_two_triangles(spark):
+    """Two disjoint triangles: round 1 is min-neighbor-id, round 2
+    converges each triangle onto its minimum id — census must read
+    exactly two 3-member communities labeled 1 and 10."""
+    edges = from_rows(
+        spark,
+        [(1, 2), (1, 3), (2, 3), (10, 11), (10, 12), (11, 12)],
+        schema="src bigint, dst bigint",
+    )
+    got = {
+        (r.community, r.n_members)
+        for r in graph.lpa_fixed(edges, iters=2).collect()
+    }
+    assert got == {(1, 3), (10, 3)}
+
+
+def test_lpa_fixed_deterministic_tie_break(spark):
+    """A path 1-2-3: node 2 sees labels {1, 3} tied at one vote each
+    in every round — the min-label rule must pick 1, both rounds."""
+    edges = from_rows(spark, [(1, 2), (2, 3)], schema="src bigint, dst bigint")
+    out = {r.community: r.n_members for r in
+           graph.lpa_fixed(edges, iters=2).collect()}
+    # r1: 1->2, 2->1, 3->2 ; r2: 1 adopts 2's label 1... final census
+    # is deterministic; re-run must agree exactly
+    again = {r.community: r.n_members for r in
+             graph.lpa_fixed(edges, iters=2).collect()}
+    assert out == again and sum(out.values()) == 3

@@ -853,6 +853,11 @@ SINGLE_PARTITION_ALLOWLIST = {
     # contingency windows + 1-row V final; 1-row point-biserial
     "events_kruskal_wallis", "events_levene", "events_cramers_v",
     "lineitem_point_biserial",
+    # r6 late: Theil–Sen exact median sorts run over the
+    # calendar²-bounded pairwise-slope frame and the day grid — both
+    # bounded by the CALENDAR span, never by row count (a decade is
+    # ~6.6M pairs), plus the 1-row Np/Nd broadcasts
+    "events_theil_sen",
 }
 
 
@@ -2280,3 +2285,30 @@ def test_point_biserial_hand_values(spark):
     sigma = math.sqrt((100.0 + 4.0 + 16.0) / 3.0 - mu * mu)
     exp = (10.0 - 3.0) / sigma * math.sqrt((1.0 / 3.0) * (2.0 / 3.0))
     assert r.r_pb == round(exp, 6)
+
+
+def test_theil_sen_hand_values(spark):
+    """Daily counts [2,4,9]: pairwise slopes {2, 3.5, 5} -> median
+    3.5; residuals under 3.5 are [2, 0.5, 2] -> intercept 2.0."""
+    t = {"events": _mk_events(spark, [2, 4, 9])}
+    r = analytics.events_theil_sen(t).first()
+    assert (r.n_days, r.n_pairs) == (3, 3)
+    assert r.slope == 3.5
+    assert r.intercept == 2.0
+
+
+def test_theil_sen_even_median(spark):
+    """Four days [2,4,9,9]: six slopes, even count -> mean of the two
+    middles, checked against the python computation."""
+    t = {"events": _mk_events(spark, [2, 4, 9, 9])}
+    r = analytics.events_theil_sen(t).first()
+    xs, ns = [0, 1, 2, 3], [2, 4, 9, 9]
+    slopes = sorted(
+        (ns[j] - ns[i]) / (xs[j] - xs[i])
+        for i in range(4) for j in range(i + 1, 4)
+    )
+    exp = round((slopes[2] + slopes[3]) / 2.0, 6)
+    assert (r.n_days, r.n_pairs) == (4, 6)
+    assert r.slope == exp
+    res = sorted(n - exp * x for x, n in zip(xs, ns))
+    assert r.intercept == round((res[1] + res[2]) / 2.0, 6)

@@ -128,6 +128,7 @@ def main() -> int:
             "orders_priority_trend",
             "events_kruskal_wallis", "events_levene",
             "events_cramers_v", "lineitem_point_biserial",
+            "events_theil_sen", "graph_lpa_fixed",
         ]
         if len(sys.argv) > 3:
             # explicit subset: smoke only these names (fast re-checks
