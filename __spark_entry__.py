@@ -1143,6 +1143,19 @@ def q_pacf(spark, sf):
     return analytics.events_pacf(_t(spark, sf))
 
 
+def q_periodogram(spark, sf):
+    """Schuster periodogram at periods 2-10 days (r6): exact-mod
+    angle reduction + pinned 2-pi + round-9 decimal term sums make
+    the transcendental sums bit-identical cross-engine."""
+    return analytics.events_periodogram(_t(spark, sf))
+
+
+def q_page_hinkley(spark, sf):
+    """Page-Hinkley one-sided drift pair over the day grid (r6,
+    retrospective two-pass form)."""
+    return analytics.events_page_hinkley(_t(spark, sf))
+
+
 def q_theil_sen(spark, sf):
     """Theil-Sen robust daily-count trend (r6): median pairwise
     slope over the calendar-bounded day grid + residual-median
@@ -3006,6 +3019,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_point_biserial": q_point_biserial,
         "events_theil_sen": q_theil_sen,
         "graph_lpa_fixed": q_lpa,
+        "events_periodogram": q_periodogram,
+        "events_page_hinkley": q_page_hinkley,
         # ---- driver-green in r5 (CORRECTNESS_r05.json, 50/50): the
         # round-5 window, now cumulative coverage. --------------------
         "orders_size_histogram": q_order_size_hist,
@@ -9450,6 +9465,78 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
                CAST(count(DISTINCT band_key) AS BIGINT) AS n_buckets
         FROM kept GROUP BY 1 ORDER BY 1
+    """
+
+    # r6: periodogram — exact integer mod reduces the angle BEFORE
+    # cos/sin (bit-identical small arguments both engines), 2π pinned,
+    # round-9 decimal term sums absorb last-ulp libm disagreement.
+    _pg_th = (
+        "CAST(6.283185307179586 AS DOUBLE)"
+        " * CAST(dev.t % pr.period AS DOUBLE)"
+        " / CAST(pr.period AS DOUBLE)"
+    )
+    sqls["events_periodogram"] = f"""
+        WITH daily AS (SELECT CAST(ts AS DATE) AS d, count(*) AS n
+                       FROM events GROUP BY 1),
+        st AS (SELECT CAST(sum(n) AS DOUBLE) / count(*) AS mu,
+                      CAST(count(*) AS BIGINT) AS nd,
+                      CAST(min(date_diff('day', DATE '1970-01-01', d))
+                           AS BIGINT) AS x0
+               FROM daily),
+        dev AS (SELECT CAST(date_diff('day', DATE '1970-01-01', d)
+                            AS BIGINT) - st.x0 AS t,
+                       CAST(n AS DOUBLE) - st.mu AS dev,
+                       st.nd
+                FROM daily, st),
+        pr AS (SELECT CAST(p AS BIGINT) AS period
+               FROM generate_series(2, 10) AS g(p)),
+        terms AS (SELECT pr.period, dev.nd,
+                    CAST(round(dev.dev * cos({_pg_th}), 9)
+                         AS DECIMAL(38,9)) AS a,
+                    CAST(round(dev.dev * sin({_pg_th}), 9)
+                         AS DECIMAL(38,9)) AS b
+                  FROM dev, pr),
+        ag AS (SELECT period, CAST(max(nd) AS BIGINT) AS nd,
+                      CAST(sum(a) AS DOUBLE) AS sa,
+                      CAST(sum(b) AS DOUBLE) AS sb
+               FROM terms GROUP BY 1)
+        SELECT period,
+               round((sa * sa + sb * sb) / CAST(nd AS DOUBLE), 6)
+                 + CAST(0.0 AS DOUBLE) AS power
+        FROM ag ORDER BY period
+    """
+
+    # r6: Page–Hinkley — decimal cumsum + running extrema over the
+    # day-ordered grid, exact until the 1-row final.
+    sqls["events_page_hinkley"] = """
+        WITH daily AS (SELECT CAST(ts AS DATE) AS d, count(*) AS n
+                       FROM events GROUP BY 1),
+        mu AS (SELECT CAST(sum(n) AS DOUBLE) / count(*) AS mu,
+                      CAST(count(*) AS BIGINT) AS n_days
+               FROM daily),
+        dev AS (SELECT d, mu.n_days,
+                       CAST(round(CAST(n AS DOUBLE) - mu.mu, 6)
+                            AS DECIMAL(27,6)) AS dv
+                FROM daily, mu),
+        ph AS (SELECT d, n_days,
+                      sum(dv) OVER (ORDER BY d
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS ph
+               FROM dev),
+        r AS (SELECT n_days, ph,
+                     min(ph) OVER (ORDER BY d
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS rmin,
+                     max(ph) OVER (ORDER BY d
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS rmax
+              FROM ph)
+        SELECT CAST(max(n_days) AS BIGINT) AS n_days,
+               round(max(CAST(ph - rmin AS DOUBLE)), 6)
+                 + CAST(0.0 AS DOUBLE) AS ph_up,
+               round(max(CAST(rmax - ph AS DOUBLE)), 6)
+                 + CAST(0.0 AS DOUBLE) AS ph_down
+        FROM r
     """
 
     # r6: Theil–Sen — exact order-statistic median over the

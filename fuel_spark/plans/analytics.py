@@ -6058,3 +6058,137 @@ def events_theil_sen(t: dict[str, DataFrame]) -> DataFrame:
             + F.lit(0.0)
         ).alias("intercept"),
     )
+
+
+#: 2π pinned to the exact double both engines parse (the z²-pinning
+#: convention from the DECIMAL-exactness notes).
+TWO_PI = 6.283185307179586
+
+
+def events_periodogram(
+    t: dict[str, DataFrame], min_period: int = 2, max_period: int = 10
+) -> DataFrame:
+    """Schuster periodogram of the daily event-count series at
+    integer candidate periods (min..max days): I(p) = (a_p² + b_p²)/N
+    with a_p = Σ devₜ·cos(2πt/p), b_p = Σ devₜ·sin(2πt/p) — the
+    spectral "which rhythm does traffic actually have" scan whose
+    7-day peak is the weekly cycle every retail series carries (the
+    frequency-domain complement to the lag-domain ACF).
+
+    Engine-portability of transcendentals, handled: the angle
+    argument is reduced EXACTLY first (t mod p — integer mod, so
+    both engines call cos/sin on bit-identical small arguments in
+    [0, 2π)), 2π is pinned to the exact double literal both engines
+    parse, and each cos/sin product rounds to 9 dp before the exact
+    DECIMAL sum — a last-ulp libm disagreement (~1e-16 relative) is
+    orders of magnitude below the 0.5e-9 rounding decision boundary
+    at any realistic count magnitude, so the sums are bit-identical.
+    Day-grid × |periods| rows end to end (the periods frame is a
+    9-row broadcast); one scan to the day grid.
+
+    Output: period, power (round 6), ordered by period.
+    """
+    e = t["events"]
+    daily = e.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    stats = daily.agg(
+        (F.sum("n").cast("double") / F.count(F.lit(1))).alias("_mu"),
+        F.count(F.lit(1)).cast("bigint").alias("_nd"),
+        F.min(F.unix_date(F.col("d")).cast("bigint")).alias("_x0"),
+    )
+    dev = daily.crossJoin(F.broadcast(stats)).select(
+        (F.unix_date(F.col("d")).cast("bigint") - F.col("_x0")).alias("t"),
+        (F.col("n").cast("double") - F.col("_mu")).alias("dev"),
+        "_nd",
+    )
+    periods = daily.sparkSession.range(
+        int(min_period), int(max_period) + 1
+    ).select(F.col("id").cast("bigint").alias("period"))
+    theta = (
+        F.lit(TWO_PI)
+        * F.pmod(F.col("t"), F.col("period")).cast("double")
+        / F.col("period").cast("double")
+    )
+    terms = dev.crossJoin(F.broadcast(periods)).select(
+        "period",
+        "_nd",
+        F.round(F.col("dev") * F.cos(theta), 9)
+        .cast("decimal(38,9)")
+        .alias("_a"),
+        F.round(F.col("dev") * F.sin(theta), 9)
+        .cast("decimal(38,9)")
+        .alias("_b"),
+    )
+    agg = terms.groupBy("period").agg(
+        F.max("_nd").alias("_nd"),
+        F.sum("_a").cast("double").alias("_sa"),
+        F.sum("_b").cast("double").alias("_sb"),
+    )
+    power = (
+        F.col("_sa") * F.col("_sa") + F.col("_sb") * F.col("_sb")
+    ) / F.col("_nd").cast("double")
+    return agg.select(
+        "period",
+        (F.round(power, 6) + F.lit(0.0)).alias("power"),
+    ).orderBy("period")
+
+
+def events_page_hinkley(t: dict[str, DataFrame]) -> DataFrame:
+    """Page–Hinkley drift statistics (Page 1954, Hinkley 1971) of the
+    daily event-count series, retrospective two-pass form (the
+    deviation baseline is the FULL-series mean, stated — the online
+    running-mean variant is a streaming concern): PHₜ = Σᵢ≤ₜ(xᵢ−x̄),
+    upward stat = maxₜ(PHₜ − minₛ≤ₜ PHₛ), downward its mirror — the
+    classic one-sided drift pair with running-extremum reset, sharper
+    than CUSUM's symmetric V-mask reading when only one direction
+    matters (traffic collapse vs traffic surge alarms).
+
+    Day-grid-sized: round-6 deviation terms cumulate as exact
+    DECIMAL over the day-ordered window; running min/max are windows
+    over the SAME ≤days-row frame; one 1-row final.
+
+    Output: one row — n_days, ph_up, ph_down (round 6).
+    """
+    from pyspark.sql import Window as W
+
+    e = t["events"]
+    daily = e.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    mu = daily.agg(
+        (F.sum("n").cast("double") / F.count(F.lit(1))).alias("_mu"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+    )
+    dev = daily.crossJoin(F.broadcast(mu)).select(
+        "d",
+        "n_days",
+        F.round(F.col("n").cast("double") - F.col("_mu"), 6)
+        .cast("decimal(27,6)")
+        .alias("_dev"),
+    )
+    wc = W.orderBy("d").rowsBetween(W.unboundedPreceding, W.currentRow)
+    ph = dev.select(
+        "d", "n_days", F.sum("_dev").over(wc).alias("_ph")
+    )
+    ph = ph.select(
+        "n_days",
+        "_ph",
+        F.min("_ph").over(wc).alias("_runmin"),
+        F.max("_ph").over(wc).alias("_runmax"),
+    )
+    return ph.agg(
+        F.max("n_days").alias("n_days"),
+        (
+            F.round(
+                F.max((F.col("_ph") - F.col("_runmin")).cast("double")), 6
+            )
+            + F.lit(0.0)
+        ).alias("ph_up"),
+        (
+            F.round(
+                F.max((F.col("_runmax") - F.col("_ph")).cast("double")), 6
+            )
+            + F.lit(0.0)
+        ).alias("ph_down"),
+    )

@@ -858,6 +858,9 @@ SINGLE_PARTITION_ALLOWLIST = {
     # bounded by the CALENDAR span, never by row count (a decade is
     # ~6.6M pairs), plus the 1-row Np/Nd broadcasts
     "events_theil_sen",
+    # r6 late: periodogram 1-row mean/N/x0 broadcast; Page–Hinkley
+    # day-grid cumsum + running-extrema windows + 1-row final
+    "events_periodogram", "events_page_hinkley",
 }
 
 
@@ -2312,3 +2315,26 @@ def test_theil_sen_even_median(spark):
     assert r.slope == exp
     res = sorted(n - exp * x for x, n in zip(xs, ns))
     assert r.intercept == round((res[1] + res[2]) / 2.0, 6)
+
+
+def test_periodogram_detects_period_two(spark):
+    """Alternating [2,8] daily counts for 14 days: devs are ±3, so at
+    period 2 the cosine sum is exactly -42 (sines vanish under the
+    round-9 guard) and power = 42²/14 = 126; every other candidate
+    period must read strictly lower."""
+    t = {"events": _mk_events(spark, [2, 8] * 7)}
+    got = {r.period: r.power for r in analytics.events_periodogram(t).collect()}
+    assert set(got) == set(range(2, 11))
+    assert got[2] == 126.0
+    assert all(got[p] < 126.0 for p in range(3, 11))
+
+
+def test_page_hinkley_hand_values(spark):
+    """[5,5,5,1,1,1]: mean 3, PH walk 2,4,6,4,2,0 — up stat 4 (peak
+    rise over the running min), down stat 6 (fall from the running
+    max)."""
+    t = {"events": _mk_events(spark, [5, 5, 5, 1, 1, 1])}
+    r = analytics.events_page_hinkley(t).first()
+    assert r.n_days == 6
+    assert r.ph_up == 4.0
+    assert r.ph_down == 6.0

@@ -129,6 +129,7 @@ def main() -> int:
             "events_kruskal_wallis", "events_levene",
             "events_cramers_v", "lineitem_point_biserial",
             "events_theil_sen", "graph_lpa_fixed",
+            "events_periodogram", "events_page_hinkley",
         ]
         if len(sys.argv) > 3:
             # explicit subset: smoke only these names (fast re-checks
