@@ -339,6 +339,83 @@ def sessionize_stateful(events: DataFrame, gap_sec: int = 1800) -> DataFrame:
     )
 
 
+HH_OUT_SCHEMA = "shard int, key long, count_min long"
+HH_STATE_SCHEMA = "keys array<long>, counts array<long>"
+
+
+def heavy_hitters_stream(
+    events: DataFrame,
+    key_col: str = "user_id",
+    k: int = 16,
+    num_shards: int = 8,
+) -> DataFrame:
+    """Streaming heavy hitters as a BOUNDED-STATE stateful operator:
+    the Misra–Gries summary (Misra & Gries 1982) in its mergeable
+    form (Agarwal et al. 2013) — per shard, at most ``k`` counters
+    survive any micro-batch, so state is O(k·num_shards) FOREVER
+    regardless of stream length or key cardinality (the property a
+    naive streaming groupBy-count lacks: its state grows with
+    distinct keys).  The "who is hammering the pipeline" screen for
+    a crawl frontier or event firehose.
+
+    Per batch and shard: fold the batch's key counts into the
+    carried counters, then prune to the k largest by subtracting the
+    (k+1)-th largest count (deterministic ties: larger count first,
+    then smaller key).  Standard MG guarantee, stated: emitted
+    counts are LOWER BOUNDS underestimating true per-shard counts by
+    at most N_shard/(k+1); every key with true count above that
+    bound is present.  Keys shard by ``pmod(hash, num_shards)`` so
+    the per-key guarantee holds within its shard and skew spreads
+    across tasks.
+
+    Update-mode semantics: each batch re-emits the shard's CURRENT
+    summary (superseding earlier emissions), like
+    :func:`sessionize_stateful`'s open-session rows.
+
+    Output: shard, key, count_min.
+    """
+    import pandas as pd
+
+    def fn(key, pdfs, state: GroupState):
+        (shard,) = key
+        ctr: dict[int, int] = {}
+        if state.exists:
+            keys_, counts_ = state.get
+            ctr = dict(zip(keys_, counts_))
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            vc = pd.concat(chunks)["_k"].value_counts()
+            for kk, c in vc.items():
+                ctr[int(kk)] = ctr.get(int(kk), 0) + int(c)
+        if len(ctr) > k:
+            items = sorted(ctr.items(), key=lambda x: (-x[1], x[0]))
+            cut = items[k][1]  # the (k+1)-th largest count
+            ctr = {a: b - cut for a, b in items[:k] if b - cut > 0}
+        items = sorted(ctr.items(), key=lambda x: (-x[1], x[0]))
+        state.update((
+            [a for a, _ in items],
+            [b for _, b in items],
+        ))
+        yield pd.DataFrame(
+            [(shard, a, b) for a, b in items],
+            columns=["shard", "key", "count_min"],
+        )
+
+    prepared = events.select(
+        F.pmod(F.xxhash64(F.col(key_col)), F.lit(int(num_shards)))
+        .cast("int")
+        .alias("_shard"),
+        F.col(key_col).cast("long").alias("_k"),
+    )
+    return prepared.groupBy("_shard").applyInPandasWithState(
+        fn,
+        outputStructType=HH_OUT_SCHEMA,
+        stateStructType=HH_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def near_dup_stream(
     docs: DataFrame,
     index: DataFrame,

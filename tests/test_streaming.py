@@ -681,3 +681,42 @@ def test_drift_screen_stream_day_grain(spark, workdir):
     )
     assert got[2].psi == round(exp, 6)
     assert got[2].n == 48
+
+
+def test_heavy_hitters_stream_bounded_state_and_mg_bound(spark, workdir):
+    """Two micro-batches (maxFilesPerTrigger=1), one shard, k=8: each
+    batch brings 100 hits on key 7 plus 20 one-off keys, so every
+    prune subtracts the (k+1)-th count of 1 — the final summary must
+    be exactly {7: 198} (true 200, underestimate 2, far inside the
+    N/(k+1)=26.7 MG bound) and never exceed k rows."""
+    import pandas as pd
+
+    src = os.path.join(workdir, "hh_src")
+    ckpt = os.path.join(workdir, "hh_ckpt")
+    os.makedirs(src)
+    for b, tail0 in ((0, 1000), (1, 2000)):
+        rows = [(7,)] * 100 + [(tail0 + i,) for i in range(20)]
+        pd.DataFrame(rows, columns=["user_id"]).to_parquet(
+            os.path.join(src, f"{b:03d}.parquet")
+        )
+    stream = (
+        spark.readStream.schema("user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    batches = []
+    q = (
+        serve.heavy_hitters_stream(stream, "user_id", k=8, num_shards=1)
+        .writeStream.outputMode("update")
+        .foreachBatch(lambda d, i: batches.append((i, d.collect())))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    emitted = [rows for _, rows in batches if rows]
+    assert len(emitted) >= 2  # state carried across micro-batches
+    for rows in emitted:
+        assert len(rows) <= 8  # bounded state, every batch
+    final = {r.key: r.count_min for r in emitted[-1]}
+    assert final == {7: 198}
