@@ -1231,7 +1231,7 @@ def q_value_anova(spark, sf):
 
 
 def q_delay_capability(spark, sf):
-    """Cp/Cpk of the ship->receipt delay vs a 0-30 day spec (r6):
+    """Cp/Cpk of the order->ship delay vs a 0-90 day spec (r6):
     exact BIGINT day moments."""
     return analytics.shipping_delay_capability(_t(spark, sf))
 
@@ -2883,26 +2883,94 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry.  ORDERING IS DELIBERATE: the driver's
     correctness gate checks the FIRST 50 keys, so each round leads
     with the keys that do not yet have a driver-green CORRECTNESS row.
-    ROUND-6 window (applied): the first 50 keys are the block staged
-    at positions 51-100 in round 5 (``text_strip_html`` …
-    ``events_mann_kendall``), verified against CORRECTNESS_r01-r05 as
-    never driver-checked, moved to the front unchanged (pure
+    ROUND-7 window (applied): the first 50 keys are the block staged
+    at positions 51-100 in round 6 (``events_ks_test`` …
+    ``orders_priority_trend``), verified against CORRECTNESS_r01-r06
+    as never driver-checked, moved to the front unchanged (pure
     move-to-front).  All 50 are local-pass under
-    ``tools/check_correctness.py``.  The ROUND-7 staging block sits
-    immediately after: the 38 remaining never-driver-checked oracle
-    keys (``events_ks_test`` … ``events_pacf``, the round-5
-    session-2/3 statistics additions).  Round 7 moves them to the
-    front, which closes cumulative driver coverage of every
-    oracle-checked query.  Rows-only keys sit past them (a driver
-    rows-only row is weaker than their pytest evidence).  Keys past
-    that all have driver-green rows from r1-r5 and stay covered by
-    ``tools/check_correctness.py`` locally every session.
+    ``tools/check_correctness.py``.  The ROUND-8 staging block sits
+    immediately after: the 8 remaining never-driver-checked oracle
+    keys from round 6 (``events_kruskal_wallis`` …
+    ``events_page_hinkley``) plus every round-7-new oracle query.
+    Round 8 moves them to the front, which closes cumulative driver
+    coverage of every oracle-checked query.  Rows-only keys sit past
+    them (a driver rows-only row is weaker than their pytest
+    evidence).  Keys past that all have driver-green rows from r1-r6
+    and stay covered by ``tools/check_correctness.py`` locally every
+    session.
     """
     return {
-        # ---- ROUND-6 driver window (first 50): the block staged at
-        # positions 51-100 in round 5, verified never-driver-checked
-        # against CORRECTNESS_r01-r05 (all local-pass).  Pure
+        # ---- ROUND-7 driver window (first 50): the block staged at
+        # positions 51-100 in round 6, verified never-driver-checked
+        # against CORRECTNESS_r01-r06 (all local-pass).  Pure
         # move-to-front; keys and wrappers unchanged. -----------------
+        "events_ks_test": q_ks_test,
+        "customer_theil_index": q_theil_index,
+        "corpus_chao1": q_chao1,
+        "corpus_burrows_delta": q_burrows_delta,
+        "graph_triangle_stats": q_triangle_stats,
+        "graph_assortativity": q_assortativity,
+        "part_price_elasticity": q_price_elasticity,
+        "events_jarque_bera": q_jarque_bera,
+        "events_daily_acf": q_daily_acf,
+        "events_runs_test": q_runs_test,
+        "events_daily_gapfill": q_daily_gapfill,
+        "events_psi_weekly": q_psi_weekly,
+        "corpus_bray_curtis": q_bray_curtis,
+        "corpus_vocab_novelty": q_vocab_novelty,
+        "part_abc_classification": q_abc_classification,
+        "supplier_hhi": q_supplier_hhi,
+        "customer_gini_by_nation": q_gini_by_nation,
+        "basket_association_rules": q_association_rules,
+        "events_crosscorr": q_crosscorr,
+        "events_pettitt": q_pettitt,
+        "events_hurst": q_hurst,
+        "embedding_silhouette": q_silhouette,
+        "embedding_davies_bouldin": q_davies_bouldin,
+        "embedding_calinski_harabasz": q_calinski_harabasz,
+        "graph_link_prediction": q_link_prediction,
+        "corpus_flesch": q_flesch,
+        "customer_theil_decomposition": q_theil_decomposition,
+        "events_mann_whitney": q_mann_whitney,
+        "events_logistic_fixed": q_logistic_fixed,
+        "supplier_wilson": q_wilson_reliability,
+        "part_price_index": q_price_index,
+        "events_ab_fdr": q_ab_fdr,
+        "ann_range_search": q_ann_range,
+        "graph_kcore_fixed": q_kcore,
+        "corpus_tfidf_terms": q_tfidf_sources,
+        "corpus_fightin_words": q_fightin_words,
+        "events_seasonality_strength": q_seasonality_strength,
+        "events_pacf": q_pacf,
+        "ann_lsh_pivot": q_ann_lsh_pivot,
+        "ann_recall_lsh": q_ann_recall_lsh,
+        "ann_mmr_fixed": q_ann_mmr_fixed,
+        "events_ljung_box": q_ljung_box,
+        "events_poisson_dispersion": q_poisson_dispersion,
+        "events_value_anova": q_value_anova,
+        "shipping_delay_capability": q_delay_capability,
+        "dedup_index_compaction": q_index_compaction,
+        "text_gt_logprob": q_gt_logprob,
+        "events_welch_weekend": q_welch_weekend,
+        "events_grubbs": q_grubbs,
+        "orders_priority_trend": q_priority_trend,
+        # ---- end of round-7 window ----------------------------------
+        # ROUND-8 staging block (positions 51+): the 8 remaining
+        # never-driver-checked oracle keys from round 6, topped up by
+        # every round-7-new oracle query registered below.  Round 8
+        # moves this block to the front. ------------------------------
+        "events_kruskal_wallis": q_kruskal_wallis,
+        "events_levene": q_levene,
+        "events_cramers_v": q_cramers_v,
+        "lineitem_point_biserial": q_point_biserial,
+        "events_theil_sen": q_theil_sen,
+        "graph_lpa_fixed": q_lpa,
+        "events_periodogram": q_periodogram,
+        "events_page_hinkley": q_page_hinkley,
+        # (round-7-new oracle keys are appended here as they land)
+        # ---- end of the round-8 staging block -----------------------
+        # ---- driver-green in r6 (CORRECTNESS_r06.json, 50/50): the
+        # round-6 window, now cumulative coverage. --------------------
         "text_strip_html": q_strip_html,
         "events_attribution_decay": q_attribution_decay,
         "asof_join_nearest": q_asof_join_nearest,
@@ -2954,73 +3022,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_diversity_profile": q_diversity_profile,
         "events_mann_kendall": q_mann_kendall,
         # ---- end of round-6 window ----------------------------------
-        # ROUND-7 staging block (positions 51-88): the 38 remaining
-        # never-driver-checked oracle keys (r5 session-2/3 additions).
-        # Round 7 moves them to the front; after that every
-        # oracle-checked query has a cumulative driver-green row. -----
-        "events_ks_test": q_ks_test,
-        "customer_theil_index": q_theil_index,
-        "corpus_chao1": q_chao1,
-        "corpus_burrows_delta": q_burrows_delta,
-        "graph_triangle_stats": q_triangle_stats,
-        "graph_assortativity": q_assortativity,
-        "part_price_elasticity": q_price_elasticity,
-        "events_jarque_bera": q_jarque_bera,
-        "events_daily_acf": q_daily_acf,
-        "events_runs_test": q_runs_test,
-        "events_daily_gapfill": q_daily_gapfill,
-        "events_psi_weekly": q_psi_weekly,
-        "corpus_bray_curtis": q_bray_curtis,
-        "corpus_vocab_novelty": q_vocab_novelty,
-        "part_abc_classification": q_abc_classification,
-        "supplier_hhi": q_supplier_hhi,
-        "customer_gini_by_nation": q_gini_by_nation,
-        "basket_association_rules": q_association_rules,
-        "events_crosscorr": q_crosscorr,
-        "events_pettitt": q_pettitt,
-        "events_hurst": q_hurst,
-        "embedding_silhouette": q_silhouette,
-        "embedding_davies_bouldin": q_davies_bouldin,
-        "embedding_calinski_harabasz": q_calinski_harabasz,
-        "graph_link_prediction": q_link_prediction,
-        "corpus_flesch": q_flesch,
-        "customer_theil_decomposition": q_theil_decomposition,
-        "events_mann_whitney": q_mann_whitney,
-        "events_logistic_fixed": q_logistic_fixed,
-        "supplier_wilson": q_wilson_reliability,
-        "part_price_index": q_price_index,
-        "events_ab_fdr": q_ab_fdr,
-        "ann_range_search": q_ann_range,
-        "graph_kcore_fixed": q_kcore,
-        "corpus_tfidf_terms": q_tfidf_sources,
-        "corpus_fightin_words": q_fightin_words,
-        "events_seasonality_strength": q_seasonality_strength,
-        "events_pacf": q_pacf,
-        # r6-new oracle keys (join the r7 staging block):
-        "ann_lsh_pivot": q_ann_lsh_pivot,
-        "ann_recall_lsh": q_ann_recall_lsh,
-        "ann_mmr_fixed": q_ann_mmr_fixed,
-        "events_ljung_box": q_ljung_box,
-        "events_poisson_dispersion": q_poisson_dispersion,
-        "events_value_anova": q_value_anova,
-        "shipping_delay_capability": q_delay_capability,
-        "dedup_index_compaction": q_index_compaction,
-        "text_gt_logprob": q_gt_logprob,
-        "events_welch_weekend": q_welch_weekend,
-        "events_grubbs": q_grubbs,
-        "orders_priority_trend": q_priority_trend,
-        # ---- end of the (exactly 50) round-7 staging block ----------
-        # r8 pool (positions 101+): late-r6 oracle keys, never
-        # driver-checked; they seed the r8 window after r7 closes the
-        # staging block above.
-        "events_kruskal_wallis": q_kruskal_wallis,
-        "events_levene": q_levene,
-        "events_cramers_v": q_cramers_v,
-        "lineitem_point_biserial": q_point_biserial,
-        "events_theil_sen": q_theil_sen,
-        "graph_lpa_fixed": q_lpa,
-        "events_periodogram": q_periodogram,
-        "events_page_hinkley": q_page_hinkley,
         # ---- driver-green in r5 (CORRECTNESS_r05.json, 50/50): the
         # round-5 window, now cumulative coverage. --------------------
         "orders_size_histogram": q_order_size_hist,

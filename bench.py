@@ -165,7 +165,11 @@ def main() -> int:
         os.path.dirname(os.path.abspath(__file__)), "bench_full.json"),
         help="side file for the FULL result (incl. per-rep spreads); "
         "the stdout line stays compact so artifact capture never "
-        "truncates the gate fields (BENCH_r05 lesson)")
+        "truncates the gate fields (BENCH_r05 lesson).  The default "
+        "path is gitignored scratch (the driver's per-round run lands "
+        "there without dirtying the tree — the r6 VERDICT ownership "
+        "fix); committed quiesced readings are explicit snapshots "
+        "named bench_full_r{N}.json")
     args = ap.parse_args()
 
     import __spark_entry__ as entry_mod
@@ -174,6 +178,23 @@ def main() -> int:
     spark = get_spark("fuel_spark-bench",
                       extra_conf={"spark.ui.showConsoleProgress": "false"})
     spark.sparkContext.setLogLevel("ERROR")
+    # The quiesce()'s System.gc() lets ContextCleaner reap accumulators
+    # of already-collected jobs while their straggler tasks (running
+    # past a collect's early exit) are still completing; each such
+    # completion logs a benign ERROR 'attempted to access non-existent
+    # accumulator' stack trace from DAGScheduler — thousands per run,
+    # and the last few land in the captured artifact tail ahead of the
+    # stdout JSON line (BENCH_r04/r06).  Every real failure we care
+    # about surfaces as a Python exception from collect(), not via this
+    # logger, so turn exactly this one logger off for the bench process.
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.scheduler.DAGScheduler",
+            jvm.org.apache.logging.log4j.Level.OFF,
+        )
+    except Exception:
+        pass  # log4j internals moved: cosmetic guard only, keep benching
 
     SPECIAL = ("streaming_screen_availablenow", "curation_pipeline_noprepass")
     qs = entry_mod.queries()
@@ -250,6 +271,15 @@ def main() -> int:
     # a benign 'attempted to access non-existent accumulator' trace on
     # stderr AFTER the result (the BENCH_r04 tail).  Stopping first
     # guarantees the JSON line is the artifact's last output.
+    # BENCH_r06 showed the race can also fire DURING stop() (a late
+    # task completing against the stopping context logs the trace
+    # ahead of our print) — every action has already returned and the
+    # trace is pure cleanup noise, so turn the JVM logger OFF for the
+    # stop window; nothing we want logged can happen after this point.
+    try:
+        spark.sparkContext.setLogLevel("OFF")
+    except Exception:
+        pass
     try:
         spark.stop()
     except Exception:

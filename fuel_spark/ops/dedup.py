@@ -967,6 +967,7 @@ def compact_index(
     live_ids: DataFrame | None = None,
     id_col: str = "doc_id",
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    index_id_col: str = "doc_id",
 ) -> DataFrame:
     """Periodic compaction of an append-only MinHash band index — the
     maintenance pass a year-long crawl needs after thousands of
@@ -997,9 +998,19 @@ def compact_index(
     a rebuild via :func:`with_minhash_bands` over the live corpus.
 
     Output: the compacted index, same (id, band_id, band_key) schema.
+
+    ``index_id_col`` names the index's id column explicitly (ADVICE
+    r6: positional ``cols[0]`` would silently dedupe/join on the
+    wrong column if a caller reordered the frame); ``id_col`` names
+    the id column of ``live_ids``.
     """
     cols = index.columns
-    idx_id = cols[0]
+    if index_id_col not in cols:
+        raise ValueError(
+            f"compact_index: index has no column {index_id_col!r} "
+            f"(columns: {cols}); pass index_id_col explicitly"
+        )
+    idx_id = index_id_col
     out = index.dropDuplicates(cols)
     if live_ids is not None:
         id_type = dict(index.dtypes)[idx_id]

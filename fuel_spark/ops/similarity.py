@@ -650,6 +650,16 @@ def pivot_lsh_ann(
     """
     from fuel_spark.functions import dot_expr
 
+    # Only probe radii 0 (exact bucket) and 1 (flip each bit once) are
+    # implemented; a larger radius would need the pairwise bit-flip
+    # expansion.  Reject loudly rather than silently behaving as
+    # radius-1 (ADVICE r6).
+    if probes not in (0, 1):
+        raise ValueError(
+            f"pivot_lsh_ann: probes={probes!r} unsupported — 0 (no "
+            "multi-probe) or 1 (radius-1, flip each plane bit) only"
+        )
+
     planes = broadcast(
         corpus.select(
             F.col(id_col).alias("plane_id"), F.col(vec_col).alias("pvec")

@@ -373,8 +373,28 @@ def heavy_hitters_stream(
     :func:`sessionize_stateful`'s open-session rows.
 
     Output: shard, key, count_min.
+
+    ``key_col`` must be an INTEGRAL column (the state tuple carries
+    long keys): a non-numeric column would silently cast to NULL and
+    collapse every such key into one counter, so it is rejected
+    loudly here — hash string keys to long first
+    (``F.xxhash64(col)``) if that lower-bound-on-hashed-keys view is
+    acceptable.
     """
     import pandas as pd
+    from pyspark.sql import types as T
+
+    key_type = events.schema[key_col].dataType
+    if not isinstance(
+        key_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        raise TypeError(
+            f"heavy_hitters_stream: key_col {key_col!r} has type "
+            f"{key_type.simpleString()}; an integral key is required "
+            "(a lossy cast would collapse non-numeric keys into one "
+            "NULL counter). Hash to long explicitly, e.g. "
+            "df.withColumn(k, F.xxhash64(col))."
+        )
 
     def fn(key, pdfs, state: GroupState):
         (shard,) = key
