@@ -19,6 +19,7 @@ partitioning-defined.  Everything else is oracle-checked.
 
 from __future__ import annotations
 
+import math
 import os
 import sys
 
@@ -34,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from fuel_spark import schemes
 from fuel_spark.ops import core, dedup, multimodal, sequences, similarity
+from fuel_spark.ops import sketch
 from fuel_spark.ops import text as text_ops
 from fuel_spark.ops.text import BPE_RE, STOPWORDS
 from fuel_spark.sources import (
@@ -2879,6 +2881,163 @@ def q_tfidf_similar_docs(spark, sf):
     return text_ops.tfidf_similar_docs(d, "doc_id", "text", k=3, max_df=300)
 
 
+# ---------------------------------------------------------------------------
+# round-7 wrappers: mergeable sketches + deterministic samplers
+# ---------------------------------------------------------------------------
+
+
+def q_quantile_sketch_value(spark, sf):
+    """Hash-stratified mergeable quantile sketch over events.value
+    with the exact-rank certificate (r7): 1/8 deterministic sample,
+    DKW 95% band, measured |rank err| per quantile."""
+    e = _t(spark, sf)["events"]
+    return sketch.quantile_sketch(e, "event_id", "value")
+
+
+def q_quantile_sketch_by_type(spark, sf):
+    """Grouped quantile sketch: per-event-type medians/p90s from
+    per-group samples — the partitioned-summary shape a 100 TB
+    accounting job uses (r7)."""
+    e = _t(spark, sf)["events"]
+    return sketch.quantile_sketch(
+        e, "event_id", "value", probs=(0.5, 0.9), group_col="event_type"
+    )
+
+
+def q_quantile_sketch_merge(spark, sf):
+    """Mergeability certificate (r7): sketch(A) ∪ sketch(B) read off
+    vs sketch(A∪B) — deterministic hashing makes them identical."""
+    e = _t(spark, sf)["events"]
+    return sketch.quantile_sketch_merge_certificate(
+        e, "event_id", "value", split_col=F.col("event_id") % 2 == 0
+    )
+
+
+def q_cms_counts(spark, sf):
+    """Count-Min point queries vs exact counts for the top-20 users
+    (r7): the est>=true CMS invariant emitted per key."""
+    e = _t(spark, sf)["events"]
+    cells = sketch.cms_build(e, "user_id")
+    top = (
+        e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+        .orderBy(F.col("true_cnt").desc(), F.col("user_id").asc())
+        .limit(20)
+    )
+    est = sketch.cms_estimate(cells, top.select("user_id"), "user_id")
+    return (
+        top.join(est, "user_id")
+        .withColumn("overcount", (F.col("est_cnt") - F.col("true_cnt")).cast("bigint"))
+        .withColumn("est_ge_true", F.col("est_cnt") >= F.col("true_cnt"))
+        .select("user_id", "true_cnt", "est_cnt", "overcount", "est_ge_true")
+    )
+
+
+def q_cms_merge(spark, sf):
+    """CMS mergeability certificate (r7): cellwise-summed half
+    sketches vs the direct sketch, mismatches per hash row (0)."""
+    e = _t(spark, sf)["events"]
+    return sketch.cms_merge_certificate(
+        e, "user_id", split_col=F.col("event_id") % 2 == 0
+    )
+
+
+def q_bloom_screen(spark, sf):
+    """Bloom membership screen + measured-FPR certificate (r7): known
+    purchase users + definitely-unseen synthetic ids screened against
+    a 4096-bit / 3-hash filter of the purchase-user set; outcomes
+    tallied (no 'fn' row can exist — Bloom has no false negatives)."""
+    e = _t(spark, sf)["events"]
+    members = (
+        e.where(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+    )
+    bloom = sketch.bloom_build(members, "user_id", m_bits=4096, k_hashes=3)
+    cands = (
+        e.select("user_id")
+        .distinct()
+        .unionByName(
+            e.where(F.col("user_id") % 5 == 0)
+            .select((F.col("user_id") + 1000000).alias("user_id"))
+            .distinct()
+        )
+    )
+    hits = sketch.bloom_screen(cands, bloom, "user_id", m_bits=4096, k_hashes=3)
+    flagged = hits.join(
+        members.withColumn("_mem", F.lit(True)), "user_id", "left"
+    ).withColumn(
+        "outcome",
+        F.when(F.col("bloom_hit") & F.col("_mem").isNotNull(), "tp")
+        .when(F.col("bloom_hit"), "fp")
+        .when(F.col("_mem").isNotNull(), "fn")
+        .otherwise("tn"),
+    )
+    return flagged.groupBy("outcome").agg(
+        F.count(F.lit(1)).alias("n_keys")
+    )
+
+
+def q_bloom_planner(spark, sf):
+    """Bloom capacity planner (r7): per-source optimal (m, k) for a
+    1% FPR screen — pinned-literal ln constants, pure arithmetic."""
+    d = _t(spark, sf)["documents"]
+    return sketch.bloom_size_planner(d, "source", "doc_id", target_fpr=0.01)
+
+
+def q_distinct_linear(spark, sf):
+    """Linear-counting distinct estimate vs exact per event type
+    (r7): 1024-slot bitmap occupancy, rel-err certificate inline."""
+    e = _t(spark, sf)["events"]
+    return sketch.linear_count_distinct(e, "event_type", "user_id", m=1024)
+
+
+def q_sample_reservoir(spark, sf):
+    """Deterministic uniform reservoir of 100 events (r7): TakeOrdered
+    over hash-uniform keys — Vitter's contract, reproducible."""
+    e = _t(spark, sf)["events"]
+    return sketch.reservoir_sample(e, "event_id", n=100).select(
+        "event_id", "event_type", "r_key"
+    )
+
+
+def q_sample_reservoir_by_source(spark, sf):
+    """Per-source deterministic reservoir (r7): 5 docs per domain, the
+    balanced eval-slice sampler."""
+    d = _t(spark, sf)["documents"]
+    return sketch.reservoir_by_group(d, "source", "doc_id", n=5).select(
+        "source", "doc_id", "r_key", "rank"
+    )
+
+
+def q_sample_stratified(spark, sf):
+    """Per-stratum Bernoulli(0.2) sample accounting (r7): totals,
+    kept, realized rate per source — rederivable, never persisted."""
+    d = _t(spark, sf)["documents"]
+    return sketch.stratified_sample_summary(d, "source", "doc_id", frac=0.2)
+
+
+def q_split_train_val_test(spark, sf):
+    """Deterministic 90/5/5 train-val-test split accounting (r7):
+    per-split docs + whitespace tokens."""
+    from fuel_spark.functions import words
+
+    d = _t(spark, sf)["documents"]
+    out = sketch.train_val_test_split(d, "doc_id", 0.9, 0.05)
+    return out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(words(F.col("text")))).cast("bigint").alias("n_tokens"),
+    )
+
+
+def q_kll_quantiles(spark, sf):
+    """Compactor-based KLL sketch over events.value (r7, rows-only by
+    design: deterministic compaction is partitioning-defined; the
+    rank-error envelope is pinned by pytest across partitionings)."""
+    e = _t(spark, sf)["events"]
+    return sketch.kll_quantiles(e, "value")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry.  ORDERING IS DELIBERATE: the driver's
     correctness gate checks the FIRST 50 keys, so each round leads
@@ -2968,6 +3127,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_periodogram": q_periodogram,
         "events_page_hinkley": q_page_hinkley,
         # (round-7-new oracle keys are appended here as they land)
+        "sketch_quantile_value": q_quantile_sketch_value,
+        "sketch_quantile_by_type": q_quantile_sketch_by_type,
+        "sketch_quantile_merge_cert": q_quantile_sketch_merge,
+        "sketch_cms_counts": q_cms_counts,
+        "sketch_cms_merge_cert": q_cms_merge,
+        "sketch_bloom_screen": q_bloom_screen,
+        "sketch_bloom_planner": q_bloom_planner,
+        "sketch_distinct_linear": q_distinct_linear,
+        "sample_reservoir": q_sample_reservoir,
+        "sample_reservoir_by_source": q_sample_reservoir_by_source,
+        "sample_stratified_sources": q_sample_stratified,
+        "split_train_val_test": q_split_train_val_test,
         # ---- end of the round-8 staging block -----------------------
         # ---- driver-green in r6 (CORRECTNESS_r06.json, 50/50): the
         # round-6 window, now cumulative coverage. --------------------
@@ -3091,6 +3262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pad_sequences_local": q_pad_sequences_local,
         "sort_batches_local": q_sort_batches_local,
         "ann_pq": q_ann_pq,
+        "value_kll_quantiles": q_kll_quantiles,
         "events_approx_distinct": q_events_approx_distinct,
         "embedding_pca": q_embedding_pca,
         "corpus_domains": q_corpus_domains,
@@ -10941,6 +11113,253 @@ def oracle_sql() -> dict[str, str]:
                round((r3 - (r1 - p22 * r1) * r2 - p22 * r1)
                      / {_d33}, 6) + CAST(0.0 AS DOUBLE) AS pacf3
         FROM l2
+    """
+
+    # ---- round-7 sketch / sampler family --------------------------------
+    from fuel_spark.functions import hash_mod_sql, hash_uniform_sql
+
+    _ln40 = repr(math.log(2.0 / 0.05))
+
+    def _qs_sql(probs: tuple, group: str | None) -> str:
+        hm = hash_mod_sql("qs7", "event_id", 8)
+        gsel = f"{group}, " if group else ""
+        gpart = f"PARTITION BY {group} " if group else ""
+        gjoin = f"AND b.{group} = e.{group} " if group else ""
+        vals = ", ".join(f"({p})" for p in probs)
+        cross_or_join = (
+            f"JOIN est e ON b.{group} = e.{group}" if group
+            else "CROSS JOIN est e"
+        )
+        return f"""
+        WITH base AS (SELECT {gsel}event_id, value FROM events
+                      WHERE value IS NOT NULL),
+        samp AS (SELECT {gsel}event_id, value FROM base WHERE {hm} = 0),
+        ranked AS (SELECT {gsel}value, event_id,
+                     row_number() OVER ({gpart}ORDER BY value ASC,
+                                        event_id ASC) AS rn
+                   FROM samp),
+        m AS (SELECT {gsel}max(rn) AS sample_n FROM ranked
+              {('GROUP BY ' + group) if group else ''}),
+        pr AS (SELECT CAST(p AS DOUBLE) AS prob
+               FROM (VALUES {vals}) t(p)),
+        tg AS (SELECT {gsel}prob, sample_n,
+                 greatest(CAST(1 AS BIGINT),
+                          CAST(ceil(prob * sample_n) AS BIGINT))
+                   AS target_rank
+               FROM m CROSS JOIN pr),
+        est AS (SELECT {('tg.' + group + ' AS ' + group + ', ') if group else ''}prob,
+                  r.value AS est_value, sample_n, target_rank
+                FROM tg JOIN ranked r
+                  ON r.rn = tg.target_rank
+                  {('AND r.' + group + ' = tg.' + group) if group else ''}),
+        cert AS (SELECT {('e.' + group + ' AS ' + group + ', ') if group else ''}prob,
+                   est_value, sample_n, target_rank,
+                   CAST(sum(CASE WHEN b.value <= est_value THEN 1 ELSE 0 END)
+                        AS BIGINT) AS true_rank,
+                   count(*) AS n_rows
+                 FROM base b {cross_or_join}
+                 GROUP BY {'1,2,3,4,5' if group else '1,2,3,4'}),
+        fin AS (SELECT *,
+                  round(abs(CAST(true_rank AS DOUBLE)
+                            / CAST(n_rows AS DOUBLE) - prob), 6) AS frac_err,
+                  round(sqrt({_ln40}
+                             / (CAST(2.0 AS DOUBLE) * sample_n)), 6) AS eps_95
+                FROM cert)
+        SELECT *, frac_err <= eps_95 AS within_eps FROM fin
+        """
+
+    sqls["sketch_quantile_value"] = _qs_sql(
+        (0.25, 0.5, 0.75, 0.9, 0.99), None
+    )
+    sqls["sketch_quantile_by_type"] = _qs_sql((0.5, 0.9), "event_type")
+
+    # merged == direct by construction (the certificate's claim):
+    # deterministic hashing makes sketch(A)∪sketch(B) the sketch of
+    # A∪B row-for-row, so the oracle computes the estimate once.
+    sqls["sketch_quantile_merge_cert"] = f"""
+        WITH base AS (SELECT event_id, value FROM events
+                      WHERE value IS NOT NULL),
+        samp AS (SELECT event_id, value FROM base
+                 WHERE {hash_mod_sql('qs7', 'event_id', 8)} = 0),
+        ranked AS (SELECT value, event_id,
+                     row_number() OVER (ORDER BY value ASC, event_id ASC)
+                       AS rn
+                   FROM samp),
+        m AS (SELECT max(rn) AS sample_n FROM ranked),
+        pr AS (SELECT CAST(p AS DOUBLE) AS prob
+               FROM (VALUES (0.5), (0.9)) t(p)),
+        tg AS (SELECT prob,
+                 greatest(CAST(1 AS BIGINT),
+                          CAST(ceil(prob * sample_n) AS BIGINT)) AS t
+               FROM m CROSS JOIN pr)
+        SELECT prob, r.value AS est_merged, r.value AS est_direct,
+               TRUE AS match
+        FROM tg JOIN ranked r ON r.rn = tg.t
+    """
+
+    _cms_cells = " UNION ALL ".join(
+        f"SELECT {i} AS row_id,"
+        f" {hash_mod_sql(f'cms11r{i}', 'user_id', 256)} AS col_id"
+        f" FROM events"
+        for i in range(3)
+    )
+    _cms_probes = " UNION ALL ".join(
+        f"SELECT user_id, {i} AS row_id,"
+        f" {hash_mod_sql(f'cms11r{i}', 'user_id', 256)} AS col_id FROM top"
+        for i in range(3)
+    )
+    sqls["sketch_cms_counts"] = f"""
+        WITH top AS (SELECT user_id, count(*) AS true_cnt FROM events
+                     GROUP BY 1 ORDER BY true_cnt DESC, user_id ASC
+                     LIMIT 20),
+        cells AS (SELECT row_id, col_id, count(*) AS cnt
+                  FROM ({_cms_cells}) GROUP BY 1, 2),
+        probes AS ({_cms_probes}),
+        est AS (SELECT p.user_id,
+                  CAST(min(COALESCE(c.cnt, 0)) AS BIGINT) AS est_cnt
+                FROM probes p LEFT JOIN cells c USING (row_id, col_id)
+                GROUP BY 1)
+        SELECT t.user_id, t.true_cnt, e.est_cnt,
+               CAST(e.est_cnt - t.true_cnt AS BIGINT) AS overcount,
+               e.est_cnt >= t.true_cnt AS est_ge_true
+        FROM top t JOIN est e USING (user_id)
+    """
+
+    # merged == direct cell-for-cell (deterministic hashes); the
+    # oracle states the invariant the Spark side measures.
+    sqls["sketch_cms_merge_cert"] = f"""
+        WITH cells AS (SELECT row_id, col_id FROM ({_cms_cells})
+                       GROUP BY 1, 2)
+        SELECT CAST(row_id AS INTEGER) AS row_id,
+               count(*) AS n_cells, CAST(0 AS BIGINT) AS n_mismatch
+        FROM cells GROUP BY 1
+    """
+
+    def _bloom_pos(src: str) -> str:
+        return " UNION ALL ".join(
+            f"SELECT {hash_mod_sql(f'bl5h{i}', 'user_id', 4096)} AS pos"
+            f" FROM {src}"
+            for i in range(3)
+        )
+
+    _bloom_probes = " UNION ALL ".join(
+        f"SELECT user_id, {hash_mod_sql(f'bl5h{i}', 'user_id', 4096)} AS pos"
+        f" FROM cands"
+        for i in range(3)
+    )
+    sqls["sketch_bloom_screen"] = f"""
+        WITH members AS (SELECT DISTINCT user_id FROM events
+                         WHERE event_type = 'purchase'),
+        bloom AS (SELECT DISTINCT pos FROM ({_bloom_pos('members')})),
+        cands AS (SELECT DISTINCT user_id FROM events
+                  UNION ALL
+                  SELECT DISTINCT user_id + 1000000 AS user_id FROM events
+                  WHERE user_id % 5 = 0),
+        probes AS ({_bloom_probes}),
+        hits AS (SELECT p.user_id,
+                   sum(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) = 3
+                     AS bloom_hit
+                 FROM probes p LEFT JOIN bloom b USING (pos) GROUP BY 1),
+        lab AS (SELECT h.user_id, h.bloom_hit,
+                  m.user_id IS NOT NULL AS mem
+                FROM hits h LEFT JOIN members m USING (user_id))
+        SELECT CASE WHEN bloom_hit AND mem THEN 'tp'
+                    WHEN bloom_hit THEN 'fp'
+                    WHEN mem THEN 'fn'
+                    ELSE 'tn' END AS outcome,
+               count(*) AS n_keys
+        FROM lab GROUP BY 1
+    """
+
+    _lnp = repr(math.log(0.01))
+    _ln2 = repr(math.log(2.0))
+    _ln2sq = repr(math.log(2.0) ** 2)
+    sqls["sketch_bloom_planner"] = f"""
+        WITH n0 AS (SELECT source,
+                      CAST(count(DISTINCT doc_id) AS BIGINT) AS n_keys
+                    FROM documents GROUP BY 1),
+        m0 AS (SELECT source, n_keys,
+                 CAST(ceil(-(CAST(n_keys AS DOUBLE) * {_lnp}) / {_ln2sq})
+                      AS BIGINT) AS m_bits
+               FROM n0)
+        SELECT source, n_keys, m_bits,
+          greatest(CAST(1 AS BIGINT),
+                   CAST(floor(CAST(m_bits AS DOUBLE)
+                              / CAST(n_keys AS DOUBLE) * {_ln2}
+                              + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS k_hashes,
+          round(CAST(m_bits AS DOUBLE) / CAST(n_keys AS DOUBLE), 6)
+            AS bits_per_key
+        FROM m0
+    """
+
+    sqls["sketch_distinct_linear"] = f"""
+        WITH agg AS (SELECT event_type,
+                       CAST(count(DISTINCT
+                              {hash_mod_sql('lc3', 'user_id', 1024)})
+                            AS BIGINT) AS occupied,
+                       CAST(count(DISTINCT user_id) AS BIGINT)
+                         AS exact_distinct
+                     FROM events GROUP BY 1),
+        est0 AS (SELECT *,
+                   CASE WHEN occupied < 1024 THEN
+                     round(-CAST(1024.0 AS DOUBLE)
+                           * ln(CAST(1.0 AS DOUBLE)
+                                - CAST(occupied AS DOUBLE)
+                                  / CAST(1024.0 AS DOUBLE)), 6)
+                   END AS est_distinct
+                 FROM agg)
+        SELECT event_type, occupied, est_distinct, exact_distinct,
+          round(abs(est_distinct - CAST(exact_distinct AS DOUBLE))
+                / CAST(exact_distinct AS DOUBLE), 6) AS rel_err
+        FROM est0
+    """
+
+    sqls["sample_reservoir"] = f"""
+        SELECT event_id, event_type,
+               round({hash_uniform_sql('rs42', 'event_id')}, 6) AS r_key
+        FROM events
+        ORDER BY r_key ASC, event_id ASC LIMIT 100
+    """
+
+    sqls["sample_reservoir_by_source"] = f"""
+        WITH r AS (SELECT source, doc_id,
+                     {hash_uniform_sql('rg42', 'doc_id')} AS u,
+                     row_number() OVER (PARTITION BY source
+                       ORDER BY {hash_uniform_sql('rg42', 'doc_id')} ASC,
+                                doc_id ASC) AS rank
+                   FROM documents)
+        SELECT source, doc_id, round(u, 6) AS r_key,
+               CAST(rank AS BIGINT) AS rank
+        FROM r WHERE rank <= 5
+    """
+
+    sqls["sample_stratified_sources"] = f"""
+        WITH s AS (SELECT source,
+                     {hash_uniform_sql('ss42', 'doc_id')}
+                       <= CAST(0.2 AS DOUBLE) AS keep
+                   FROM documents)
+        SELECT source, count(*) AS n_total,
+          CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+          round(CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
+                / CAST(count(*) AS DOUBLE), 6) AS rate
+        FROM s GROUP BY 1
+    """
+
+    _t1 = repr(0.9)
+    _t2 = repr(0.9 + 0.05)
+    sqls["split_train_val_test"] = f"""
+        WITH s AS (SELECT
+                     CASE WHEN u <= {_t1} THEN 'train'
+                          WHEN u <= {_t2} THEN 'val'
+                          ELSE 'test' END AS split,
+                     CAST(len(w) AS BIGINT) AS nt
+                   FROM (SELECT
+                           {hash_uniform_sql('tvt42', 'doc_id')} AS u,
+                           {w} AS w
+                         FROM documents))
+        SELECT split, count(*) AS n_docs,
+               CAST(sum(nt) AS BIGINT) AS n_tokens
+        FROM s GROUP BY 1
     """
 
     return sqls

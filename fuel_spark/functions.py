@@ -103,6 +103,45 @@ def det_key_sql(seed: int | str, col_sql: str) -> str:
     return f"md5(concat('{seed}', '-', CAST({col_sql} AS VARCHAR)))"
 
 
+def hash_uniform(seed: int | str, col: Column) -> Column:
+    """Deterministic uniform draw in (0, 1]: the top 52 bits of
+    md5(seed-key) scaled by 2^-52.  The portable replacement for
+    ``rand(seed)`` (whose sequence is partitioning-dependent): the
+    draw depends only on (seed, key), so it is reproducible across
+    engines, partitionings, and cluster sizes — the property every
+    deterministic sampler below leans on."""
+    return (
+        F.conv(F.substring(det_key(seed, col), 1, 13), 16, 10).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(1 << 52))
+
+
+def hash_uniform_sql(seed: int | str, col_sql: str) -> str:
+    return (
+        f"((CAST('0x' || substring({det_key_sql(seed, col_sql)}, 1, 13)"
+        f" AS BIGINT) + 1) / 4503599627370496.0)"
+    )
+
+
+def hash_mod(seed: int | str, col: Column, m: int) -> Column:
+    """Deterministic bucket in [0, m): md5 top-52-bits mod m.  The
+    portable hash family behind the Bloom / Count-Min sketches and
+    the stratified quantile sampler — different ``seed`` values give
+    (empirically) independent hash functions, and the md5 text is
+    bit-identical on Spark and DuckDB."""
+    return F.pmod(
+        F.conv(F.substring(det_key(seed, col), 1, 13), 16, 10).cast("long"),
+        F.lit(int(m)),
+    )
+
+
+def hash_mod_sql(seed: int | str, col_sql: str, m: int) -> str:
+    return (
+        f"(CAST('0x' || substring({det_key_sql(seed, col_sql)}, 1, 13)"
+        f" AS BIGINT) % {int(m)})"
+    )
+
+
 # --------------------------------------------------------------------------
 # Text normalization / tokenization (shared by text, dedup ops)
 # --------------------------------------------------------------------------

@@ -15,10 +15,11 @@ from fuel_spark.ops import (
     profile,
     sequences,
     similarity,
+    sketch,
     text,
 )
 
 __all__ = [
     "core", "dedup", "graph", "multimodal", "profile", "sequences",
-    "similarity", "text",
+    "similarity", "sketch", "text",
 ]

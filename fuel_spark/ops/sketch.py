@@ -1,0 +1,735 @@
+"""Mergeable sketches and deterministic samplers — the 100 TB
+accounting layer of a training-data pipeline.
+
+The reference engine (mila-iqia/fuel) has no sketch tier; these are
+the primitives a corpus too large to sort needs for quantiles, heavy
+keys, membership screens, distinct counts, and reproducible samples.
+Everything here is MERGEABLE (per-shard summaries union into the
+global summary — the property that lets 1000 executors each sketch
+their split and a final tiny reduce produce the answer) and
+DETERMINISTIC (every "random" draw is md5 over an explicit key via
+:func:`fuel_spark.functions.hash_uniform` / ``hash_mod``, so results
+are identical across engines, partitionings, and cluster sizes — and
+each sketch has an exact-hash DuckDB oracle twin).
+
+Certificates: like the ANN recall certificates, each estimator ships
+a query that joins its estimate back to the exact answer at test
+scale and emits the measured error — the sketch is graded, not
+trusted.
+
+No Python UDFs anywhere except :func:`kll_quantiles`, whose
+compactor logic is genuinely imperative (Arrow-batched mapInPandas,
+justified in its docstring).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from fuel_spark.functions import (
+    ensure_parallelism,
+    hash_mod,
+    hash_uniform,
+)
+
+
+def _union_all(frames: list[DataFrame]) -> DataFrame:
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Hash-stratified mergeable quantile sketch + certificate
+# ---------------------------------------------------------------------------
+
+
+def quantile_sketch(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
+    sample_mod: int = 8,
+    seed: int = 7,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Mergeable quantile estimator with a built-in exactness
+    certificate (VERDICT r6 ask #6 — the percentile analogue of the
+    ANN recall certificates).
+
+    The sketch is a deterministic 1/``sample_mod`` hash-sample of the
+    rows (keep iff md5(key) mod m == 0): unions of samples are
+    samples of unions, so per-shard sketches MERGE by concatenation —
+    the property KLL/t-digest buy with compactors, bought here with a
+    fixed-rate sample instead (rate is chosen so the sample fits one
+    reduce; the compactor-based :func:`kll_quantiles` below is the
+    constant-memory tier).  Quantile q is read off the sample as its
+    ceil(q·m)-th smallest value.
+
+    The CERTIFICATE joins each estimate back to the full data: its
+    exact rank, the rank error |true_rank/N − q|, and the DKW 95%
+    band eps = sqrt(ln(2/0.05)/(2m)) with a pass/fail flag — the
+    measured answer to "was the sample rate enough for this column".
+
+    Shuffle story: one filtered scan (the sample predicate is a
+    per-row hash, fully pushed into the scan stage), one rank window
+    over the SAMPLE ONLY (sample-rate-bounded: N/sample_mod rows —
+    the SinglePartition allowlist rationale when ``group_col`` is
+    None), and one broadcast join of the ≤|probs| estimate rows back
+    to the fact for exact ranks (map-side conditional sums, no
+    shuffle beyond the group agg).  The full data is never sorted.
+
+    Output: [group,] prob, est_value, sample_n, target_rank,
+    true_rank, n_rows, frac_err, eps_95, within_eps.
+    """
+    gcols = [group_col] if group_col else []
+    spark = df.sparkSession
+
+    base = df.select(*gcols, key_col, value_col).where(
+        F.col(value_col).isNotNull()
+    )
+    sample = base.where(hash_mod(f"qs{seed}", F.col(key_col), sample_mod) == 0)
+
+    w = Window.partitionBy(*gcols).orderBy(
+        F.col(value_col).asc(), F.col(key_col).asc()
+    )
+    ranked = sample.withColumn("_rn", F.row_number().over(w))
+    m = ranked.groupBy(*gcols).agg(F.max("_rn").alias("sample_n"))
+
+    pr = spark.createDataFrame([(float(p),) for p in probs], "prob double")
+    targets = m.join(F.broadcast(pr)).withColumn(
+        "target_rank",
+        F.greatest(
+            F.lit(1).cast("bigint"),
+            F.ceil(F.col("prob") * F.col("sample_n")).cast("bigint"),
+        ),
+    )
+    ranked_r = ranked.select(
+        *[F.col(g).alias(f"_g_{g}") for g in gcols],
+        F.col("_rn"),
+        F.col(value_col).alias("est_value"),
+    )
+    cond = F.col("target_rank") == F.col("_rn")
+    for g in gcols:
+        cond = cond & (F.col(g) == F.col(f"_g_{g}"))
+    est = targets.join(ranked_r, cond).select(
+        *gcols, "prob", "est_value", "sample_n", "target_rank"
+    )
+
+    # certificate: exact rank of every estimate over the FULL column.
+    # est is <= |probs| rows per group — broadcast; the fact side does
+    # map-side conditional counting only.
+    if gcols:
+        joined = base.join(F.broadcast(est), gcols)
+    else:
+        joined = base.crossJoin(F.broadcast(est))
+    eps = F.round(
+        F.sqrt(F.lit(math.log(2.0 / 0.05)) / (2.0 * F.col("sample_n"))), 6
+    )
+    return (
+        joined.groupBy(*gcols, "prob", "est_value", "sample_n", "target_rank")
+        .agg(
+            F.sum(
+                F.when(F.col(value_col) <= F.col("est_value"), 1).otherwise(0)
+            ).cast("bigint").alias("true_rank"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .withColumn(
+            "frac_err",
+            F.round(
+                F.abs(
+                    F.col("true_rank").cast("double")
+                    / F.col("n_rows").cast("double")
+                    - F.col("prob")
+                ),
+                6,
+            ),
+        )
+        .withColumn("eps_95", eps)
+        .withColumn("within_eps", F.col("frac_err") <= F.col("eps_95"))
+    )
+
+
+def quantile_sketch_merge_certificate(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    split_col: Column,
+    probs: tuple[float, ...] = (0.5, 0.9),
+    sample_mod: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """Mergeability certificate for :func:`quantile_sketch`: sketch
+    two disjoint halves of the data separately, merge by union (the
+    sketch IS its sample rows), and compare every estimate against
+    sketching the whole frame directly.  Deterministic hashing makes
+    the two runs produce IDENTICAL samples, so the certificate's
+    mismatch count is exactly 0 — the distributed-correctness twin of
+    the CMS merge certificate below.
+
+    Output: prob, est_merged, est_direct, match (one row per prob).
+    """
+    halves = df.withColumn("_half", split_col)
+    a = halves.where(F.col("_half")).drop("_half")
+    b = halves.where(~F.col("_half")).drop("_half")
+    merged_input = a.unionByName(b)
+    direct = quantile_sketch(
+        df, key_col, value_col, probs, sample_mod, seed
+    ).select("prob", F.col("est_value").alias("est_direct"))
+    merged = quantile_sketch(
+        merged_input, key_col, value_col, probs, sample_mod, seed
+    ).select("prob", F.col("est_value").alias("est_merged"))
+    return (
+        merged.join(direct, "prob")
+        .withColumn("match", F.col("est_merged") == F.col("est_direct"))
+        .select("prob", "est_merged", "est_direct", "match")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005)
+# ---------------------------------------------------------------------------
+
+
+def cms_build(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 3,
+    width: int = 256,
+    seed: int = 11,
+) -> DataFrame:
+    """Count-Min sketch build: ``depth`` independent md5 hash rows of
+    ``width`` counters each.  The sketch is the (row_id, col_id, cnt)
+    cell table — depth×width rows TOTAL regardless of input size, and
+    mergeable by cell-wise sum (see :func:`cms_merge`), so per-shard
+    sketches reduce with one tiny groupBy.
+
+    Shuffle story: the input scans once per hash row (a ``depth``-way
+    narrow union — no join, no per-row explosion beyond ×depth), then
+    one map-side-combinable count shuffle onto ≤ depth·width cells.
+    At 100 TB the combine collapses each task's contribution to at
+    most depth·width partial rows before anything moves.
+    """
+    parts = [
+        df.select(
+            F.lit(i).cast("int").alias("row_id"),
+            hash_mod(f"cms{seed}r{i}", F.col(key_col), width).alias("col_id"),
+        )
+        for i in range(depth)
+    ]
+    return (
+        _union_all(parts)
+        .groupBy("row_id", "col_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two Count-Min sketches built with the same (depth, width,
+    seed): cell-wise sum.  One groupBy over ≤ 2·depth·width rows."""
+    return (
+        a.unionByName(b)
+        .groupBy("row_id", "col_id")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    cells: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 3,
+    width: int = 256,
+    seed: int = 11,
+) -> DataFrame:
+    """Point-query the sketch for each key in ``keys``: the estimate
+    is min over the depth rows of the addressed cell — a guaranteed
+    OVERestimate (est >= true count, the CMS invariant the
+    certificate query pins).  The cell table is depth·width rows —
+    always broadcast; missing cells read 0.
+
+    Output: key, est_cnt.
+    """
+    probes = _union_all(
+        [
+            keys.select(
+                F.col(key_col),
+                F.lit(i).cast("int").alias("row_id"),
+                hash_mod(f"cms{seed}r{i}", F.col(key_col), width).alias(
+                    "col_id"
+                ),
+            )
+            for i in range(depth)
+        ]
+    )
+    return (
+        probes.join(F.broadcast(cells), ["row_id", "col_id"], "left")
+        .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0)))
+        .groupBy(key_col)
+        .agg(F.min("cnt").cast("bigint").alias("est_cnt"))
+    )
+
+
+def cms_merge_certificate(
+    df: DataFrame,
+    key_col: str,
+    split_col: Column,
+    depth: int = 3,
+    width: int = 256,
+    seed: int = 11,
+) -> DataFrame:
+    """Mergeability certificate: CMS(A) ⊕ CMS(B) must equal
+    CMS(A ∪ B) cell-for-cell when A, B partition the input —
+    the property that makes per-executor sketching sound.  Output is
+    one row per hash row: n_cells and n_mismatch (always 0; a nonzero
+    value means the hash family broke determinism).
+    """
+    halves = df.withColumn("_half", split_col)
+    a = cms_build(halves.where(F.col("_half")), key_col, depth, width, seed)
+    b = cms_build(halves.where(~F.col("_half")), key_col, depth, width, seed)
+    merged = cms_merge(a, b).withColumnRenamed("cnt", "cnt_m")
+    direct = cms_build(df, key_col, depth, width, seed).withColumnRenamed(
+        "cnt", "cnt_d"
+    )
+    return (
+        merged.join(direct, ["row_id", "col_id"], "full_outer")
+        .groupBy("row_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum(
+                F.when(
+                    F.coalesce(F.col("cnt_m"), F.lit(0))
+                    != F.coalesce(F.col("cnt_d"), F.lit(0)),
+                    1,
+                ).otherwise(0)
+            ).cast("bigint").alias("n_mismatch"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter screen (Bloom 1970) + capacity planner
+# ---------------------------------------------------------------------------
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    m_bits: int = 4096,
+    k_hashes: int = 3,
+    seed: int = 5,
+) -> DataFrame:
+    """Bloom filter build as a POSITION TABLE: the distinct bit
+    positions set by ``k_hashes`` md5 hash functions over the member
+    keys.  ≤ m_bits rows total — a representation that unions
+    (mergeable), broadcasts, and oracle-checks, where a packed bitmap
+    would need engine-specific bit twiddling.
+
+    Shuffle story: k narrow scans unioned, one distinct onto ≤ m_bits
+    rows (map-side combine collapses each task to ≤ m_bits partials).
+    """
+    parts = [
+        df.select(
+            hash_mod(f"bl{seed}h{i}", F.col(key_col), m_bits).alias("pos")
+        )
+        for i in range(k_hashes)
+    ]
+    return _union_all(parts).distinct()
+
+
+def bloom_screen(
+    candidates: DataFrame,
+    bloom: DataFrame,
+    key_col: str,
+    m_bits: int = 4096,
+    k_hashes: int = 3,
+    seed: int = 5,
+) -> DataFrame:
+    """Screen candidate keys against a built Bloom position table: a
+    key is flagged iff ALL ``k_hashes`` of its positions are set.
+    No false negatives by construction; false-positive rate is the
+    planner's (see :func:`bloom_size_planner`) and the screen query's
+    oracle measures it exactly.
+
+    The position table is ≤ m_bits rows — broadcast; the candidate
+    side explodes ×k_hashes and aggregates back per key (map-side
+    combinable), so the only wide exchange is the per-key groupBy.
+
+    Output: key, bloom_hit.
+    """
+    probes = _union_all(
+        [
+            candidates.select(
+                F.col(key_col),
+                hash_mod(f"bl{seed}h{i}", F.col(key_col), m_bits).alias(
+                    "pos"
+                ),
+            )
+            for i in range(k_hashes)
+        ]
+    )
+    marked = probes.join(
+        F.broadcast(bloom.withColumn("_set", F.lit(1))), "pos", "left"
+    )
+    return marked.groupBy(key_col).agg(
+        (
+            F.sum(F.coalesce(F.col("_set"), F.lit(0))) == F.lit(k_hashes)
+        ).alias("bloom_hit")
+    )
+
+
+def bloom_size_planner(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    target_fpr: float = 0.01,
+) -> DataFrame:
+    """Bloom capacity planning per group: for each group's distinct
+    key count n, the textbook optimal filter size
+    m = ceil(−n·ln(p) / ln(2)²) and hash count k = round(m/n·ln 2)
+    for the target false-positive rate — the table an ingest
+    coordinator reads before allocating per-domain screens.  The ln
+    constants are pinned Python double literals (repr-exact in both
+    engines), so the arithmetic is bit-identical; one distinct-count
+    aggregation, nothing else.
+
+    Output: group, n_keys, m_bits, k_hashes, bits_per_key.
+    """
+    ln_p = float(math.log(target_fpr))
+    ln2 = float(math.log(2.0))
+    ln2_sq = float(math.log(2.0) ** 2)
+    n = F.col("n_keys").cast("double")
+    m = F.ceil(-(n * F.lit(ln_p)) / F.lit(ln2_sq)).cast("bigint")
+    return (
+        df.groupBy(group_col)
+        .agg(F.count_distinct(F.col(key_col)).alias("n_keys"))
+        .withColumn("m_bits", m)
+        .withColumn(
+            "k_hashes",
+            F.greatest(
+                F.lit(1).cast("bigint"),
+                F.floor(
+                    F.col("m_bits").cast("double") / n * F.lit(ln2) + 0.5
+                ).cast("bigint"),
+            ),
+        )
+        .withColumn(
+            "bits_per_key",
+            F.round(F.col("m_bits").cast("double") / n, 6),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Linear counting (Whang, Vander-Zanden & Taylor 1990)
+# ---------------------------------------------------------------------------
+
+
+def linear_count_distinct(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    m: int = 1024,
+    seed: int = 3,
+) -> DataFrame:
+    """Distinct-count estimation by bitmap occupancy, with the exact
+    count alongside as the certificate: hash each key into an m-slot
+    bitmap, count occupied slots V, estimate n̂ = −m·ln(1 − V/m).
+    The mergeable cousin of HyperLogLog at cardinalities ≲ m — the
+    occupied-position SETS union across shards — chosen over HLL here
+    because its estimator is one ln() of an exact rational, which
+    both engines compute identically (round-6 guards the last ulp).
+
+    One groupBy(group, pos) distinct then a per-group count — two
+    map-side-combinable shuffles on small keys; the exact side is a
+    count_distinct in the same pass shape.
+
+    Output: group, occupied, est_distinct, exact_distinct, rel_err.
+    """
+    pos = df.select(
+        F.col(group_col),
+        F.col(key_col),
+        hash_mod(f"lc{seed}", F.col(key_col), m).alias("_pos"),
+    )
+    agg = pos.groupBy(group_col).agg(
+        F.count_distinct(F.col("_pos")).alias("occupied"),
+        F.count_distinct(F.col(key_col)).alias("exact_distinct"),
+    )
+    v = F.col("occupied").cast("double")
+    est = F.when(
+        F.col("occupied") < m,
+        F.round(-F.lit(float(m)) * F.log(1.0 - v / F.lit(float(m))), 6),
+    )
+    return (
+        agg.withColumn("est_distinct", est)
+        .withColumn(
+            "rel_err",
+            F.round(
+                F.abs(
+                    F.col("est_distinct")
+                    - F.col("exact_distinct").cast("double")
+                )
+                / F.col("exact_distinct").cast("double"),
+                6,
+            ),
+        )
+        .select(
+            group_col, "occupied", "est_distinct", "exact_distinct", "rel_err"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic reservoir / stratified / split sampling
+# ---------------------------------------------------------------------------
+
+
+def reservoir_sample(
+    df: DataFrame, key_col: str, n: int, seed: int = 42
+) -> DataFrame:
+    """Deterministic uniform reservoir of exactly ``n`` rows: every
+    row draws u = hash-uniform(seed, key) and the n SMALLEST u win —
+    the w=1 specialization of the Efraimidis–Spirakis key trick
+    (:func:`fuel_spark.schemes.weighted_sample` is the weighted
+    tier).  Mergeable the way a distributed reservoir must be: the
+    global top-n of a union is the top-n of per-shard top-n's, which
+    is exactly how Spark plans ``orderBy().limit(n)`` — TakeOrdered
+    per-partition heaps, no full sort, no single-task stage — so this
+    IS Vitter's reservoir contract (fixed n, one pass) with the
+    randomness made reproducible across engines and partitionings.
+
+    Output: the sampled rows + ``r_key`` (rounded draw, for audit).
+    """
+    u = hash_uniform(f"rs{seed}", F.col(key_col))
+    return (
+        df.withColumn("r_key", F.round(u, 6))
+        .orderBy(F.col("r_key").asc(), F.col(key_col).asc())
+        .limit(n)
+    )
+
+
+def reservoir_by_group(
+    df: DataFrame, group_col: str, key_col: str, n: int, seed: int = 42
+) -> DataFrame:
+    """Per-group deterministic reservoir: ``n`` rows per group by the
+    same hash-uniform draw — the "balanced per-domain eval slice"
+    sampler.  One partitioned rank window (grouped, never
+    SinglePartition); group skew is capped because each group emits
+    at most n rows.
+
+    Output: sampled rows + r_key + rank (1..n within group).
+    """
+    u = hash_uniform(f"rg{seed}", F.col(key_col))
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("_u").asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("_u", u)
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= n)
+        .withColumn("r_key", F.round(F.col("_u"), 6))
+        .drop("_u")
+    )
+
+
+def stratified_sample_summary(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    frac: float,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic per-stratum Bernoulli(frac) sample, reported as
+    the per-stratum accounting a pipeline audit wants: total rows,
+    kept rows, and the realized rate.  Keep iff
+    hash-uniform(seed, key) <= frac — the same row is kept on every
+    engine and every rerun, so downstream stages can re-derive the
+    sample instead of persisting it.  One aggregation; the keep
+    predicate is a per-row hash evaluated inside the scan stage.
+
+    Output: stratum, n_total, n_kept, rate.
+    """
+    u = hash_uniform(f"ss{seed}", F.col(key_col))
+    return (
+        df.withColumn("_keep", u <= F.lit(float(frac)))
+        .groupBy(F.col(strata_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(F.col("_keep"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+        .withColumn(
+            "rate",
+            F.round(
+                F.col("n_kept").cast("double")
+                / F.col("n_total").cast("double"),
+                6,
+            ),
+        )
+    )
+
+
+def train_val_test_split(
+    df: DataFrame,
+    key_col: str,
+    train_frac: float = 0.9,
+    val_frac: float = 0.05,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic train/val/test assignment by hash-uniform
+    thresholds on the document key — the split every pretraining run
+    needs to be REPRODUCIBLE and LEAK-FREE: a document's split
+    follows it across reshuffles, engine changes, and incremental
+    re-ingests (new docs land in splits at the same rates without
+    touching old assignments; contrast a rand() split, which
+    reassigns everything on every run).  Pure per-row projection, no
+    shuffle.  Note this is the iid split; the clustered-leakage-aware
+    tier is :func:`fuel_spark.ops.dedup.leakage_free_split`.
+
+    Output: input rows + ``split`` ('train' | 'val' | 'test').
+    """
+    u = hash_uniform(f"tvt{seed}", F.col(key_col))
+    split = (
+        F.when(u <= F.lit(float(train_frac)), F.lit("train"))
+        .when(u <= F.lit(float(train_frac + val_frac)), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return df.withColumn("split", split)
+
+
+# ---------------------------------------------------------------------------
+# KLL quantile compactor sketch (Karnin, Lang & Liberty 2016)
+# ---------------------------------------------------------------------------
+
+
+def kll_quantiles(
+    df: DataFrame,
+    value_col: str,
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
+    k: int = 128,
+) -> DataFrame:
+    """True compactor-based KLL quantile sketch: constant memory per
+    shard no matter how large the input — the tier above
+    :func:`quantile_sketch` (whose sample grows linearly at a fixed
+    rate).  Each partition folds its rows through a ladder of
+    capacity-k compactors (a full level sorts, keeps alternate items,
+    and promotes them with doubled weight); the per-partition ladders
+    are then merged level-wise and re-compacted in one final reduce,
+    and quantiles are read off the weighted survivors.
+
+    Determinized: compaction always keeps EVEN sorted positions
+    (classic KLL flips a coin).  That trades the randomized error
+    guarantee for reproducibility-given-the-partitioning; the result
+    still satisfies the KLL rank-error envelope in practice (pytest
+    pins it across several partitionings) but DEPENDS on partition
+    boundaries, so this op is rows-only by design — the
+    partitioning-defined-identity class, like the batch-local tier.
+
+    Python justification: the compactor fold is genuinely sequential
+    imperative state per partition — not expressible as DataFrame
+    ops — so it runs as Arrow-batched ``mapInPandas`` (never
+    row-at-a-time); the final merge handles partitions × k × levels
+    rows ≈ a few thousand, aggregate-sized by construction.
+
+    Output: prob, est_value, est_rank_weight, total_weight.
+    """
+    import pandas as pd
+
+    spark = df.sparkSession
+    vals = ensure_parallelism(df.select(F.col(value_col).alias("v")).where(
+        F.col(value_col).isNotNull()
+    ))
+
+    def _compact_ladder(levels: list[list[float]]) -> list[list[float]]:
+        # compact any over-capacity level: sort, promote the even
+        # positions of the even-length prefix (weight doubles, total
+        # weight exactly preserved); an odd straggler stays behind
+        i = 0
+        while i < len(levels):
+            if len(levels[i]) > k:
+                levels[i].sort()
+                items = levels[i]
+                if len(items) % 2:
+                    levels[i] = [items[-1]]
+                    items = items[:-1]
+                else:
+                    levels[i] = []
+                promoted = items[0::2]
+                if i + 1 == len(levels):
+                    levels.append([])
+                levels[i + 1].extend(promoted)
+            i += 1
+        return levels
+
+    def build(batches):
+        levels: list[list[float]] = [[]]
+        for pdf in batches:
+            arr = pdf["v"].to_numpy()
+            idx = 0
+            while idx < len(arr):
+                space = max(1, k + 1 - len(levels[0]))
+                chunk = arr[idx : idx + space]
+                levels[0].extend(chunk.tolist())
+                idx += len(chunk)
+                if len(levels[0]) > k:
+                    levels = _compact_ladder(levels)
+        rows = [
+            (lvl, v)
+            for lvl, items in enumerate(levels)
+            for v in items
+        ]
+        yield pd.DataFrame(rows, columns=["level", "v"]) if rows else (
+            pd.DataFrame({"level": pd.Series([], dtype="int64"),
+                          "v": pd.Series([], dtype="float64")})
+        )
+
+    sketch = vals.mapInPandas(build, "level long, v double")
+
+    def merge(key, pdf):
+        levels: list[list[float]] = [[]]
+        for lvl, v in zip(pdf["level"].to_numpy(), pdf["v"].to_numpy()):
+            lvl = int(lvl)
+            while len(levels) <= lvl:
+                levels.append([])
+            levels[lvl].append(float(v))
+        levels = _compact_ladder(levels)
+        items = sorted(
+            (v, 1 << lvl)
+            for lvl, vs in enumerate(levels)
+            for v in vs
+        )
+        total = sum(wt for _, wt in items)
+        if not items:
+            return pd.DataFrame(
+                columns=["prob", "est_value", "est_rank_weight",
+                         "total_weight"]
+            ).astype({"prob": "float64", "est_value": "float64",
+                      "est_rank_weight": "int64", "total_weight": "int64"})
+        out = []
+        for p in probs:
+            target = max(1, math.ceil(p * total))
+            cum = 0
+            est, est_cum = items[-1][0], total
+            for v, wt in items:
+                cum += wt
+                if cum >= target:
+                    est, est_cum = v, cum
+                    break
+            out.append((float(p), est, est_cum, total))
+        return pd.DataFrame(
+            out,
+            columns=["prob", "est_value", "est_rank_weight", "total_weight"],
+        )
+
+    return (
+        sketch.groupBy(F.lit(1).alias("_g"))
+        .applyInPandas(
+            merge,
+            "prob double, est_value double, est_rank_weight long, "
+            "total_weight long",
+        )
+    )

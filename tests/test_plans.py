@@ -861,6 +861,12 @@ SINGLE_PARTITION_ALLOWLIST = {
     # r6 late: periodogram 1-row mean/N/x0 broadcast; Page–Hinkley
     # day-grid cumsum + running-extrema windows + 1-row final
     "events_periodogram", "events_page_hinkley",
+    # r7: quantile-sketch global rank window runs over the SAMPLE
+    # ONLY (deterministic 1/sample_mod hash-sample — N/8 rows here;
+    # at 100 TB the rate is chosen so the sample fits one reduce,
+    # and the grouped variant partitions by group instead) + the
+    # 1-row sample_n aggregate broadcast back
+    "sketch_quantile_value", "sketch_quantile_merge_cert",
 }
 
 

@@ -256,3 +256,175 @@ def test_mmr_fixed_first_pick_is_max_relevance_and_diversifies(spark):
     top1 = max(short.collect(), key=lambda r: (r.cosine, -r.neighbor_id))
     assert got[0].neighbor_id == top1.neighbor_id
     assert got[1].neighbor_id == 3
+
+
+# ---------------------------------------------------------------------------
+# r7: mergeable sketch family (fuel_spark.ops.sketch)
+# ---------------------------------------------------------------------------
+
+from fuel_spark.ops import sketch
+
+
+def _kv(spark, n=400):
+    # distinct values (the +i*1e-4 tiebreaker): with duplicated values
+    # count(v <= est) jumps by the multiplicity and the 1/n exactness
+    # bound below would not apply
+    rows = [(i, float((i * 37) % 101) + i * 1e-4) for i in range(n)]
+    return from_rows(spark, rows, schema="k bigint, v double")
+
+
+def test_quantile_sketch_full_sample_is_exact(spark):
+    """sample_mod=1 keeps every row, so the estimator degenerates to
+    the exact order statistic: frac_err is bounded by 1/n."""
+    df = _kv(spark)
+    out = sketch.quantile_sketch(
+        df, "k", "v", probs=(0.5, 0.9), sample_mod=1
+    ).collect()
+    assert len(out) == 2
+    for r in out:
+        assert r.sample_n == 400
+        assert r.frac_err <= 1.0 / 400 + 1e-9
+        assert r.within_eps
+
+
+def test_quantile_sketch_certificate_true_rank_is_exact(spark):
+    """true_rank must equal the exact count(v <= est) over the FULL
+    frame, not the sample."""
+    df = _kv(spark)
+    out = sketch.quantile_sketch(df, "k", "v", probs=(0.5,), sample_mod=4)
+    r = out.first()
+    vals = [row.v for row in df.collect()]
+    assert r.true_rank == sum(1 for v in vals if v <= r.est_value)
+    assert r.n_rows == len(vals)
+
+
+def test_quantile_sketch_partitioning_invariant(spark):
+    df = _kv(spark)
+    a = sketch.quantile_sketch(df.repartition(2), "k", "v").collect()
+    b = sketch.quantile_sketch(df.repartition(11), "k", "v").collect()
+    key = lambda r: (r.prob,)
+    assert sorted([(r.prob, r.est_value) for r in a]) == sorted(
+        [(r.prob, r.est_value) for r in b]
+    )
+
+
+def test_quantile_merge_certificate_matches(spark):
+    df = _kv(spark)
+    out = sketch.quantile_sketch_merge_certificate(
+        df, "k", "v", split_col=F.col("k") % 2 == 0
+    ).collect()
+    assert len(out) == 2 and all(r.match for r in out)
+
+
+def test_cms_never_underestimates(spark):
+    rows = [(i % 17,) for i in range(500)] + [(99,)] * 60
+    df = from_rows(spark, rows, schema="k bigint")
+    cells = sketch.cms_build(df, "k", depth=3, width=64)
+    keys = df.select("k").distinct()
+    est = {r.k: r.est_cnt for r in
+           sketch.cms_estimate(cells, keys, "k", depth=3, width=64).collect()}
+    true = {r.k: r["count"] for r in df.groupBy("k").count().collect()}
+    for k, t in true.items():
+        assert est[k] >= t
+    # the heavy key's estimate is tight (few collisions at this load)
+    assert est[99] - true[99] <= 500
+
+
+def test_cms_merge_certificate_zero_mismatch(spark):
+    df = from_rows(spark, [(i % 23,) for i in range(300)], schema="k bigint")
+    out = sketch.cms_merge_certificate(
+        df, "k", split_col=F.col("k") % 2 == 0, depth=3, width=64
+    ).collect()
+    assert len(out) == 3 and all(r.n_mismatch == 0 for r in out)
+
+
+def test_bloom_no_false_negatives_and_low_fpr(spark):
+    members = from_rows(spark, [(i,) for i in range(300)], schema="k bigint")
+    bloom = sketch.bloom_build(members, "k", m_bits=4096, k_hashes=3)
+    cands = from_rows(
+        spark, [(i,) for i in range(600)], schema="k bigint"
+    )
+    hits = {r.k: r.bloom_hit for r in
+            sketch.bloom_screen(cands, bloom, "k", 4096, 3).collect()}
+    assert all(hits[i] for i in range(300))          # no false negatives
+    fp = sum(1 for i in range(300, 600) if hits[i])
+    assert fp <= 30                                   # fpr well under 10%
+
+
+def test_bloom_planner_textbook_sizes(spark):
+    df = from_rows(spark, [("a", i) for i in range(1000)],
+                   schema="g string, k bigint")
+    r = sketch.bloom_size_planner(df, "g", "k", target_fpr=0.01).first()
+    assert r.n_keys == 1000
+    # textbook: ~9.585 bits/key and k≈7 at p=0.01
+    assert 9000 <= r.m_bits <= 10200
+    assert r.k_hashes in (6, 7)
+
+
+def test_linear_count_close_and_exact_side_exact(spark):
+    rows = [("t", i % 200) for i in range(2000)]
+    df = from_rows(spark, rows, schema="g string, k bigint")
+    r = sketch.linear_count_distinct(df, "g", "k", m=1024).first()
+    assert r.exact_distinct == 200
+    assert r.rel_err < 0.1
+
+
+def test_reservoir_exact_n_and_partitioning_invariant(spark):
+    df = from_rows(spark, [(i,) for i in range(1000)], schema="k bigint")
+    a = sorted(r.k for r in
+               sketch.reservoir_sample(df.repartition(3), "k", 50).collect())
+    b = sorted(r.k for r in
+               sketch.reservoir_sample(df.repartition(13), "k", 50).collect())
+    assert len(a) == 50 and a == b
+
+
+def test_reservoir_by_group_caps_per_group(spark):
+    rows = [("g%d" % (i % 4), i) for i in range(400)]
+    df = from_rows(spark, rows, schema="g string, k bigint")
+    out = sketch.reservoir_by_group(df, "g", "k", n=7).collect()
+    from collections import Counter
+
+    c = Counter(r.g for r in out)
+    assert set(c.values()) == {7} and len(c) == 4
+    assert all(1 <= r.rank <= 7 for r in out)
+
+
+def test_stratified_summary_counts_recompute(spark):
+    d = load_tables(spark, SF)["documents"]
+    out = {r.source: r for r in
+           sketch.stratified_sample_summary(d, "source", "doc_id", 0.2).collect()}
+    totals = {r.source: r["count"] for r in d.groupBy("source").count().collect()}
+    assert {s: r.n_total for s, r in out.items()} == totals
+    for r in out.values():
+        assert 0 <= r.n_kept <= r.n_total
+        assert abs(r.rate - r.n_kept / r.n_total) < 1e-9
+
+
+def test_split_assigns_every_row_and_is_stable(spark):
+    d = load_tables(spark, SF)["documents"]
+    out = sketch.train_val_test_split(d, "doc_id")
+    n = d.count()
+    by = {r.split: r["count"] for r in out.groupBy("split").count().collect()}
+    assert sum(by.values()) == n
+    assert by.get("train", 0) > by.get("val", 0)
+    # same doc -> same split on a different partitioning
+    a = {r.doc_id: r.split for r in out.select("doc_id", "split").collect()}
+    b = {r.doc_id: r.split for r in
+         sketch.train_val_test_split(d.repartition(7), "doc_id")
+         .select("doc_id", "split").collect()}
+    assert a == b
+
+
+def test_kll_rank_error_envelope_across_partitionings(spark):
+    rows = [(float((i * 997) % 5000),) for i in range(20000)]
+    df = from_rows(spark, rows, schema="v double")
+    vals = sorted(r.v for r in df.collect())
+    n = len(vals)
+    for parts in (2, 16):
+        out = sketch.kll_quantiles(
+            df.repartition(parts), "v", probs=(0.25, 0.5, 0.9), k=128
+        ).collect()
+        assert all(r.total_weight == n for r in out)
+        for r in out:
+            true_rank = sum(1 for v in vals if v <= r.est_value)
+            assert abs(true_rank / n - r.prob) < 0.05, (parts, r)
