@@ -3030,6 +3030,96 @@ def q_split_train_val_test(spark, sf):
     )
 
 
+def q_mixture_weights(spark, sf):
+    """Tempered domain-mixture weights (r7): tokens^0.7 normalized
+    per source + epochs at a 1M-token budget."""
+    from fuel_spark.ops import curate
+
+    d = _t(spark, sf)["documents"]
+    return curate.domain_mixture_weights(
+        d, "source", "text", alpha=0.7, budget_tokens=1_000_000
+    )
+
+
+def q_packing_efficiency(spark, sf):
+    """Padding-waste report for seq_len=512 over 64-token length bins
+    (r7): all-integer ceil/floor arithmetic."""
+    from fuel_spark.ops import curate
+
+    d = _t(spark, sf)["documents"]
+    return curate.packing_efficiency(d, "text", seq_len=512, bin_size=64)
+
+
+def q_curriculum_phases(spark, sf):
+    """Exact-percentile curriculum phase table by n_chars terciles
+    (r7): integer rank targets, value-grid cumulative window."""
+    from fuel_spark.ops import curate
+
+    d = _t(spark, sf)["documents"]
+    return curate.curriculum_phases(d, "n_chars", "text", phases=3)
+
+
+def q_curation_funnel(spark, sf):
+    """Quality-screen funnel (r7): rows in/out of the 4-stage
+    C4/Gopher chain, one pass, constant-size output."""
+    from fuel_spark.ops import curate
+
+    d = _t(spark, sf)["documents"]
+    return curate.curation_funnel(d, "text")
+
+
+def q_top_ngrams_by_source(spark, sf):
+    """Top-5 trigrams per source (r7): the per-domain boilerplate
+    fingerprint; group-partitioned rank window."""
+    d = _t(spark, sf)["documents"]
+    return text_ops.top_ngrams_by_group(d, "source", "text", n=3, k=5)
+
+
+def q_index_bucket_profile(spark, sf):
+    """Band-index health report (r7): per-band bucket census with
+    the over-cap tax count that triggers compaction."""
+    d = _t(spark, sf)["documents"]
+    idx = dedup.with_minhash_bands(d, "doc_id", "text")
+    return dedup.index_bucket_profile(idx, max_bucket=32)
+
+
+def _snapshot_pair(spark, sf):
+    """The corpus_diff snapshot recipe (q_corpus_diff, r4): the 'new
+    crawl' drops doc_id < 10, rewrites every 7th doc, adds 5 fresh
+    ids — all four diff statuses populated."""
+    d = _t(spark, sf)["documents"].select("doc_id", "text")
+    fresh = d.where(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.lit("fresh "), F.col("text")).alias("text"),
+    )
+    new = (
+        d.where(F.col("doc_id") >= 10)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+            ).otherwise(F.col("text")),
+        )
+        .unionByName(fresh)
+    )
+    return d, new
+
+
+def q_incremental_dedup(spark, sf):
+    """The incremental-dedup lifecycle as ONE oracle-checked
+    composition (r7, VERDICT ask #6): diff -> band screen -> merge ->
+    compact, 9-row per-stage audit."""
+    old, new = _snapshot_pair(spark, sf)
+    return dedup.incremental_dedup_summary(old, new, max_bucket=32)
+
+
+def q_snapshot_tokens(spark, sf):
+    """Token-level snapshot accounting (r7): per-status doc counts
+    and old/new/net token movement."""
+    old, new = _snapshot_pair(spark, sf)
+    return dedup.snapshot_token_accounting(old, new)
+
+
 def q_kll_quantiles(spark, sf):
     """Compactor-based KLL sketch over events.value (r7, rows-only by
     design: deterministic compaction is partitioning-defined; the
@@ -3139,6 +3229,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_reservoir_by_source": q_sample_reservoir_by_source,
         "sample_stratified_sources": q_sample_stratified,
         "split_train_val_test": q_split_train_val_test,
+        "mixture_domain_weights": q_mixture_weights,
+        "packing_efficiency_report": q_packing_efficiency,
+        "curriculum_quality_phases": q_curriculum_phases,
+        "curation_funnel": q_curation_funnel,
+        "text_top_ngrams_by_source": q_top_ngrams_by_source,
+        "dedup_index_bucket_profile": q_index_bucket_profile,
+        "incremental_dedup_pipeline": q_incremental_dedup,
+        "snapshot_token_accounting": q_snapshot_tokens,
         # ---- end of the round-8 staging block -----------------------
         # ---- driver-green in r6 (CORRECTNESS_r06.json, 50/50): the
         # round-6 window, now cumulative coverage. --------------------
@@ -11343,6 +11441,199 @@ def oracle_sql() -> dict[str, str]:
           round(CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
                 / CAST(count(*) AS DOUBLE), 6) AS rate
         FROM s GROUP BY 1
+    """
+
+    sqls["mixture_domain_weights"] = f"""
+        WITH t AS (SELECT source,
+                     CAST(sum(CAST(len({w}) AS BIGINT)) AS BIGINT)
+                       AS n_tokens
+                   FROM documents GROUP BY 1),
+        p AS (SELECT source, n_tokens,
+                CAST(round(power(CAST(n_tokens AS DOUBLE), {repr(0.7)}), 9)
+                     AS DECIMAL(38,9)) AS w9
+              FROM t),
+        tot AS (SELECT sum(w9) AS tw FROM p),
+        wts AS (SELECT source, n_tokens,
+                  round(CAST(w9 AS DOUBLE) / CAST(tw AS DOUBLE), 6)
+                    AS weight
+                FROM p, tot)
+        SELECT source, n_tokens, weight,
+          round(CAST(1000000.0 AS DOUBLE) * weight
+                / CAST(n_tokens AS DOUBLE), 6) AS epochs_at_budget
+        FROM wts
+    """
+
+    sqls["packing_efficiency_report"] = f"""
+        WITH d AS (SELECT CAST(len({w}) AS BIGINT) AS n FROM documents),
+        b AS (SELECT n, (n + 511) // 512 * 512 AS p,
+                     n // 64 * 64 AS bin_lo FROM d)
+        SELECT bin_lo, count(*) AS n_docs,
+          CAST(sum(n) AS BIGINT) AS n_tokens,
+          CAST(sum(p) AS BIGINT) AS n_padded,
+          CAST(sum(p) - sum(n) AS BIGINT) AS n_waste,
+          round(CAST(sum(p) - sum(n) AS DOUBLE)
+                / CAST(sum(p) AS DOUBLE), 6) AS waste_rate
+        FROM b GROUP BY 1
+    """
+
+    sqls["curriculum_quality_phases"] = f"""
+        WITH grid AS (SELECT n_chars AS s, count(*) AS c
+                      FROM documents GROUP BY 1),
+        cum AS (SELECT s, sum(c) OVER (ORDER BY s) AS cumc FROM grid),
+        tot AS (SELECT count(*) AS n FROM documents),
+        thr AS (SELECT
+                  min(CASE WHEN cumc >= (1 * n + 2) // 3 THEN s END) AS t1,
+                  min(CASE WHEN cumc >= (2 * n + 2) // 3 THEN s END) AS t2
+                FROM cum, tot)
+        SELECT CAST(CASE WHEN n_chars <= t1 THEN 1
+                         WHEN n_chars <= t2 THEN 2
+                         ELSE 3 END AS BIGINT) AS phase,
+          count(*) AS n_docs,
+          min(n_chars) AS min_score, max(n_chars) AS max_score,
+          CAST(sum(CAST(len({w}) AS BIGINT)) AS BIGINT) AS n_tokens
+        FROM documents, thr GROUP BY 1
+    """
+
+    sqls["curation_funnel"] = f"""
+        WITH d AS (SELECT text, {w} AS w FROM documents),
+        f AS (SELECT
+                length(text) >= 200 AS p1,
+                len(w) >= 30 AS p2,
+                CAST(COALESCE(list_sum(list_transform(w, x -> length(x))), 0)
+                     AS DOUBLE) / CAST(greatest(len(w), 1) AS DOUBLE)
+                  BETWEEN {repr(3.0)} AND {repr(10.0)} AS p3,
+                CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                     AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE)
+                  >= {repr(0.6)} AS p4
+              FROM d),
+        agg AS (SELECT count(*) AS n0,
+                  CAST(sum(CASE WHEN p1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                  CAST(sum(CASE WHEN p1 AND p2 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n2,
+                  CAST(sum(CASE WHEN p1 AND p2 AND p3 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n3,
+                  CAST(sum(CASE WHEN p1 AND p2 AND p3 AND p4 THEN 1 ELSE 0
+                           END) AS BIGINT) AS n4
+                FROM f)
+        SELECT CAST(1 AS BIGINT) AS stage, 'min_chars_200' AS stage_name,
+               n0 AS rows_in, n1 AS rows_out FROM agg
+        UNION ALL SELECT 2, 'min_words_30', n1, n2 FROM agg
+        UNION ALL SELECT 3, 'mean_word_len_3_10', n2, n3 FROM agg
+        UNION ALL SELECT 4, 'alpha_ratio_60', n3, n4 FROM agg
+    """
+
+    sqls["text_top_ngrams_by_source"] = f"""
+        WITH d AS (SELECT source, {w} AS w FROM documents),
+        g AS (SELECT source,
+                unnest(CASE WHEN len(w) >= 3 THEN
+                  list_transform(generate_series(1, len(w) - 2),
+                    i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))
+                ELSE [] END) AS gram
+              FROM d),
+        c AS (SELECT source, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
+        r AS (SELECT *, row_number() OVER (PARTITION BY source
+                ORDER BY cnt DESC, gram ASC) AS rank FROM c)
+        SELECT source, gram, cnt, CAST(rank AS BIGINT) AS rank
+        FROM r WHERE rank <= 5
+    """
+
+    sqls["dedup_index_bucket_profile"] = f"""
+        WITH {_minhash_bands_sql()},
+        sizes AS (SELECT band_id, band_key, count(*) AS sz
+                  FROM bands GROUP BY 1, 2)
+        SELECT band_id,
+          CAST(sum(sz) AS BIGINT) AS n_rows,
+          count(*) AS n_buckets,
+          CAST(max(sz) AS BIGINT) AS max_bucket_sz,
+          round(CAST(sum(sz) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+            AS mean_bucket,
+          CAST(sum(CASE WHEN sz > 32 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_over_cap
+        FROM sizes GROUP BY 1
+    """
+
+    _snap_new = """
+        newdocs AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+                      ELSE text END AS text
+          FROM documents WHERE doc_id >= 10
+          UNION ALL
+          SELECT doc_id + 1000000 AS doc_id, 'fresh ' || text AS text
+          FROM documents WHERE doc_id < 5
+        )
+    """
+
+    sqls["incremental_dedup_pipeline"] = f"""
+        WITH {_snap_new},
+        odg AS (SELECT doc_id, md5(text) AS h FROM documents),
+        ndg AS (SELECT doc_id, md5(text) AS h FROM newdocs),
+        diff AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+                   CASE WHEN o.h IS NULL THEN 'added'
+                        WHEN n.h IS NULL THEN 'removed'
+                        WHEN o.h <> n.h THEN 'changed'
+                        ELSE 'unchanged' END AS status
+                 FROM odg o FULL OUTER JOIN ndg n ON o.doc_id = n.doc_id),
+        incoming AS (SELECT nd.doc_id, nd.text FROM newdocs nd
+                     JOIN diff ON nd.doc_id = diff.doc_id
+                     WHERE diff.status IN ('added', 'changed')),
+        {_minhash_bands_sql(src='documents', prefix='old_')},
+        {_minhash_bands_sql(src='incoming', prefix='inc_')},
+        flagged AS (SELECT DISTINCT ib.doc_id FROM inc_bands ib
+                    WHERE EXISTS (SELECT 1 FROM old_bands ob
+                                  WHERE ob.band_id = ib.band_id
+                                    AND ob.band_key = ib.band_key)),
+        survivors AS (SELECT i.doc_id, i.text FROM incoming i
+                      WHERE i.doc_id NOT IN (SELECT doc_id FROM flagged)),
+        {_minhash_bands_sql(src='survivors', prefix='sv_')},
+        merged AS (SELECT doc_id, band_id, band_key FROM old_bands
+                   UNION ALL
+                   SELECT doc_id, band_id, band_key FROM sv_bands),
+        dd AS (SELECT DISTINCT doc_id, band_id, band_key FROM merged),
+        live AS (SELECT DISTINCT doc_id FROM newdocs),
+        alive AS (SELECT d.* FROM dd d JOIN live USING (doc_id)),
+        sizes AS (SELECT band_id, band_key, count(*) AS bn
+                  FROM alive GROUP BY 1, 2),
+        compacted AS (SELECT a.* FROM alive a
+                      JOIN sizes s ON a.band_id = s.band_id
+                                  AND a.band_key = s.band_key
+                      WHERE s.bn <= 32)
+        SELECT CAST(1 AS BIGINT) AS stage, 'old_docs' AS stage_name,
+               (SELECT count(*) FROM documents) AS n
+        UNION ALL SELECT 2, 'new_docs', (SELECT count(*) FROM newdocs)
+        UNION ALL SELECT 3, 'diff_added',
+          (SELECT count(*) FROM diff WHERE status = 'added')
+        UNION ALL SELECT 4, 'diff_changed',
+          (SELECT count(*) FROM diff WHERE status = 'changed')
+        UNION ALL SELECT 5, 'diff_removed',
+          (SELECT count(*) FROM diff WHERE status = 'removed')
+        UNION ALL SELECT 6, 'screen_flagged', (SELECT count(*) FROM flagged)
+        UNION ALL SELECT 7, 'screen_survivors',
+          (SELECT count(*) FROM survivors)
+        UNION ALL SELECT 8, 'index_rows_merged',
+          (SELECT count(*) FROM merged)
+        UNION ALL SELECT 9, 'index_rows_compacted',
+          (SELECT count(*) FROM compacted)
+    """
+
+    sqls["snapshot_token_accounting"] = f"""
+        WITH {_snap_new},
+        o AS (SELECT doc_id, md5(text) AS h,
+                CAST(len({w}) AS BIGINT) AS t FROM documents),
+        n2 AS (SELECT doc_id, md5(text) AS h,
+                CAST(len({w}) AS BIGINT) AS t FROM newdocs),
+        j AS (SELECT
+                CASE WHEN o.h IS NULL THEN 'added'
+                     WHEN n2.h IS NULL THEN 'removed'
+                     WHEN o.h <> n2.h THEN 'changed'
+                     ELSE 'unchanged' END AS status,
+                COALESCE(o.t, 0) AS ot, COALESCE(n2.t, 0) AS nt
+              FROM o FULL OUTER JOIN n2 ON o.doc_id = n2.doc_id)
+        SELECT status, count(*) AS n_docs,
+          CAST(sum(ot) AS BIGINT) AS old_tokens,
+          CAST(sum(nt) AS BIGINT) AS new_tokens,
+          CAST(sum(nt) - sum(ot) AS BIGINT) AS net_tokens
+        FROM j GROUP BY 1
     """
 
     _t1 = repr(0.9)

@@ -9,6 +9,7 @@ generators.
 
 from fuel_spark.ops import (
     core,
+    curate,
     dedup,
     graph,
     multimodal,
@@ -20,6 +21,6 @@ from fuel_spark.ops import (
 )
 
 __all__ = [
-    "core", "dedup", "graph", "multimodal", "profile", "sequences",
+    "core", "curate", "dedup", "graph", "multimodal", "profile", "sequences",
     "similarity", "sketch", "text",
 ]

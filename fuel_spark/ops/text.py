@@ -514,6 +514,53 @@ def ngram_counts(
     return out
 
 
+def top_ngrams_by_group(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 5,
+) -> DataFrame:
+    """Top-``k`` word n-grams per group — the per-domain boilerplate
+    fingerprint (a domain whose top trigrams are navigation chrome is
+    a dedup/cleaning candidate; cf. :func:`ngram_counts`, the
+    corpus-global tier).
+
+    One explode + one (group, gram) count shuffle (map-side
+    combinable), then a rank window PARTITIONED BY GROUP (never
+    SinglePartition) with deterministic ties (count desc, gram asc).
+    Per-group output is capped at k rows, so result size is
+    groups × k regardless of corpus size.
+
+    Output: group, gram, cnt, rank.
+    """
+    from pyspark.sql import Window
+
+    w = words(F.col(text_col))
+    grams = F.expr(
+        f"CASE WHEN size(_w) >= {n} THEN"
+        f" transform(sequence(1, size(_w) - {n - 1}),"
+        f" i -> array_join(slice(_w, i, {n}), ' '))"
+        f" ELSE CAST(array() AS array<string>) END"
+    )
+    counted = (
+        df.withColumn("_w", w)
+        .select(F.col(group_col), F.explode(grams).alias("gram"))
+        .groupBy(group_col, "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    rank_w = Window.partitionBy(group_col).orderBy(
+        F.col("cnt").desc(), F.col("gram").asc()
+    )
+    return (
+        counted.withColumn(
+            "rank", F.row_number().over(rank_w).cast("bigint")
+        )
+        .where(F.col("rank") <= k)
+        .select(group_col, "gram", "cnt", "rank")
+    )
+
+
 def repetition_stats(df: DataFrame, text_col: str) -> DataFrame:
     """Gopher-style repetition signals per document (Rae et al. 2021,
     "Scaling Language Models", Table A1): duplicate-word fraction,

@@ -1,0 +1,156 @@
+"""Curation-planning ops (ops/curate.py) + the r7 dedup lifecycle
+additions (index_bucket_profile, incremental_dedup_summary,
+snapshot_token_accounting) — invariant tests on hand-built corpora."""
+
+from pyspark.sql import functions as F
+
+from fuel_spark.ops import curate, dedup
+from fuel_spark.sources import from_rows, load_tables
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return load_tables(spark, SF)["documents"]
+
+
+def test_mixture_weights_normalize_and_alpha1_proportional(spark):
+    d = _docs(spark)
+    out = curate.domain_mixture_weights(d, "source", "text").collect()
+    assert abs(sum(r.weight for r in out) - 1.0) < 1e-3
+    # alpha=1 degenerates to proportional-to-tokens weights
+    prop = curate.domain_mixture_weights(d, "source", "text", alpha=1.0)
+    total = sum(r.n_tokens for r in prop.collect())
+    for r in prop.collect():
+        assert abs(r.weight - r.n_tokens / total) < 1e-5
+        # epochs * tokens == budget * weight (rounded arithmetic)
+        assert abs(r.epochs_at_budget - 1_000_000 * r.weight / r.n_tokens) < 1e-5
+
+
+def test_packing_efficiency_identities(spark):
+    d = _docs(spark)
+    out = curate.packing_efficiency(d, "text", seq_len=512, bin_size=64)
+    rows = out.collect()
+    assert sum(r.n_docs for r in rows) == d.count()
+    for r in rows:
+        assert r.n_waste == r.n_padded - r.n_tokens
+        assert r.n_padded % 512 == 0
+        assert r.bin_lo % 64 == 0
+        assert 0 <= r.waste_rate < 1
+
+
+def test_curriculum_phases_partition_and_order(spark):
+    d = _docs(spark)
+    rows = {r.phase: r for r in
+            curate.curriculum_phases(d, "n_chars", "text", phases=3).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert sum(r.n_docs for r in rows.values()) == d.count()
+    # phases are ordered, non-overlapping score bands
+    assert rows[1].max_score <= rows[2].min_score
+    assert rows[2].max_score <= rows[3].min_score
+    # exact-percentile targets: phase 1 holds >= ceil(N/3) docs only
+    # when its cut value has no ties past the target; at minimum each
+    # phase is non-empty and phase 1 reaches the target
+    n = d.count()
+    assert rows[1].n_docs >= (n + 2) // 3 - 0  # cut is min value reaching target
+    assert rows[1].n_docs + rows[2].n_docs >= 2 * ((n + 2) // 3) - 2
+
+
+def test_curation_funnel_chained_counts(spark):
+    d = _docs(spark)
+    rows = sorted(curate.curation_funnel(d, "text").collect(),
+                  key=lambda r: r.stage)
+    assert [r.stage for r in rows] == [1, 2, 3, 4]
+    assert rows[0].rows_in == d.count()
+    for a, b in zip(rows, rows[1:]):
+        assert a.rows_out == b.rows_in       # funnel chains
+        assert b.rows_out <= b.rows_in       # monotone drop
+    # recompute stage 1 by hand
+    n1 = d.where(F.length("text") >= 200).count()
+    assert rows[0].rows_out == n1
+
+
+def test_top_ngrams_by_group_hand_corpus(spark):
+    rows = [
+        ("a", 1, "x y z x y z x y z"),
+        ("a", 2, "x y z q r s"),
+        ("b", 3, "p q r"),
+    ]
+    df = from_rows(spark, rows, schema="source string, doc_id bigint, text string")
+    out = text_rows = None
+    from fuel_spark.ops import text as text_ops
+
+    out = text_ops.top_ngrams_by_group(df, "source", "text", n=3, k=2).collect()
+    by = {(r.source, r.rank): (r.gram, r.cnt) for r in out}
+    assert by[("a", 1)] == ("x y z", 4)      # 3 in doc1 + 1 in doc2
+    assert by[("b", 1)] == ("p q r", 1)
+    for r in out:
+        assert r.rank <= 2
+
+
+def test_index_bucket_profile_hand_index(spark):
+    rows = [
+        (1, 0, "k1"), (2, 0, "k1"), (3, 0, "k1"),   # bucket of 3
+        (4, 0, "k2"),                                 # bucket of 1
+        (1, 1, "k3"), (2, 1, "k4"),                   # two singletons
+    ]
+    idx = from_rows(spark, rows,
+                    schema="doc_id bigint, band_id int, band_key string")
+    out = {r.band_id: r for r in
+           dedup.index_bucket_profile(idx, max_bucket=2).collect()}
+    assert out[0].n_rows == 4 and out[0].n_buckets == 2
+    assert out[0].max_bucket_sz == 3 and out[0].n_over_cap == 1
+    assert out[0].mean_bucket == 2.0
+    assert out[1].n_rows == 2 and out[1].n_over_cap == 0
+
+
+def test_incremental_dedup_summary_hand_corpora(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    old = from_rows(
+        spark,
+        [(1, base), (2, "completely different text body here for doc two"),
+         (3, "short doc three retired soon")],
+        schema="doc_id bigint, text string",
+    )
+    new = from_rows(
+        spark,
+        [(1, base),                                  # unchanged
+         (2, "completely different text body here for doc two v2"),  # changed
+         (4, base),                                  # added, near-dup of 1
+         (5, "a genuinely novel document with fresh words entirely")],  # added
+        schema="doc_id bigint, text string",
+    )
+    out = {r.stage_name: r.n for r in
+           dedup.incremental_dedup_summary(old, new).collect()}
+    assert out["old_docs"] == 3 and out["new_docs"] == 4
+    assert out["diff_added"] == 2 and out["diff_changed"] == 1
+    assert out["diff_removed"] == 1
+    # doc 4 is an exact copy of doc 1's text: every band collides
+    assert out["screen_flagged"] >= 1
+    assert out["screen_survivors"] + out["screen_flagged"] == 3  # added+changed
+    assert out["index_rows_merged"] > out["index_rows_compacted"] or (
+        out["index_rows_merged"] >= out["index_rows_compacted"]
+    )
+    # compaction drops the removed doc 3's rows: compacted index only
+    # holds live ids
+    assert out["index_rows_compacted"] <= out["index_rows_merged"]
+
+
+def test_snapshot_token_accounting_hand_corpora(spark):
+    old = from_rows(
+        spark,
+        [(1, "one two three"), (2, "four five"), (3, "six")],
+        schema="doc_id bigint, text string",
+    )
+    new = from_rows(
+        spark,
+        [(1, "one two three"), (2, "four five six seven"), (4, "eight nine")],
+        schema="doc_id bigint, text string",
+    )
+    out = {r.status: r for r in
+           dedup.snapshot_token_accounting(old, new).collect()}
+    assert out["unchanged"].n_docs == 1 and out["unchanged"].old_tokens == 3
+    assert out["changed"].old_tokens == 2 and out["changed"].new_tokens == 4
+    assert out["changed"].net_tokens == 2
+    assert out["removed"].old_tokens == 1 and out["removed"].new_tokens == 0
+    assert out["added"].new_tokens == 2 and out["added"].old_tokens == 0
