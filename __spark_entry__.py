@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from fuel_spark import schemes
 from fuel_spark.ops import core, dedup, multimodal, sequences, similarity
+from fuel_spark.ops import curate as curate_ops
 from fuel_spark.ops import sketch
 from fuel_spark.ops import text as text_ops
 from fuel_spark.ops.text import BPE_RE, STOPWORDS
@@ -3120,6 +3121,58 @@ def q_snapshot_tokens(spark, sf):
     return dedup.snapshot_token_accounting(old, new)
 
 
+def q_hll_distinct(spark, sf):
+    """Oracle-checkable HyperLogLog per event type (r7): integer
+    register sums (Σ2^(52−M) as BIGINT) make the harmonic mean
+    hash-exact; exact distinct rides along as the certificate."""
+    e = _t(spark, sf)["events"]
+    return sketch.hll_distinct(e, "event_type", "user_id", m=256)
+
+
+def q_cms_topk(spark, sf):
+    """Constant-memory heavy-key screen (r7): CMS shortlist at
+    est>=25, exact verify, superset property measured per key."""
+    e = _t(spark, sf)["events"]
+    return sketch.cms_topk_screen(e, "user_id", threshold=25)
+
+
+def q_dedup_rate_by_source(spark, sf):
+    """Per-source exact-duplicate accounting (r7): dup docs and
+    keep-min losers per domain."""
+    d = _t(spark, sf)["documents"]
+    return dedup.dedup_rate_by_group(d, "source")
+
+
+def q_candidate_budget(spark, sf):
+    """Verify-stage cost planner (r7): per band, candidate pairs in
+    budget vs skipped by the bucket cap."""
+    d = _t(spark, sf)["documents"]
+    idx = dedup.with_minhash_bands(d, "doc_id", "text")
+    return dedup.candidate_pair_budget(idx, max_bucket=32)
+
+
+def q_truncation_savings(spark, sf):
+    """Truncation planning at p90/p99 length percentiles (r7): exact
+    integer rank cutoffs, token savings per cutoff."""
+    d = _t(spark, sf)["documents"]
+    return curate_ops.truncation_savings(d, "text", probs=(0.9, 0.99))
+
+
+def q_mixture_schedule(spark, sf):
+    """Hamilton largest-remainder apportionment of a 1000-slot
+    interleave schedule across sources (r7): all-integer, sums
+    exactly to the slot budget."""
+    d = _t(spark, sf)["documents"]
+    return curate_ops.mixture_schedule_slots(d, "source", "text", slots=1000)
+
+
+def q_snapshot_psi(spark, sf):
+    """Token-length PSI between corpus snapshots (r7): per-bin
+    smoothed drift terms, the 'new crawl is all short spam' screen."""
+    old, new = _snapshot_pair(spark, sf)
+    return curate_ops.snapshot_length_psi(old, new, "text", bin_size=64)
+
+
 def q_kll_quantiles(spark, sf):
     """Compactor-based KLL sketch over events.value (r7, rows-only by
     design: deterministic compaction is partitioning-defined; the
@@ -3237,6 +3290,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_index_bucket_profile": q_index_bucket_profile,
         "incremental_dedup_pipeline": q_incremental_dedup,
         "snapshot_token_accounting": q_snapshot_tokens,
+        "sketch_hll_distinct": q_hll_distinct,
+        "sketch_cms_topk": q_cms_topk,
+        "dedup_cross_source_rate": q_dedup_rate_by_source,
+        "dedup_candidate_budget": q_candidate_budget,
+        "text_truncation_savings": q_truncation_savings,
+        "mixture_schedule_slots": q_mixture_schedule,
+        "snapshot_length_psi": q_snapshot_psi,
         # ---- end of the round-8 staging block -----------------------
         # ---- driver-green in r6 (CORRECTNESS_r06.json, 50/50): the
         # round-6 window, now cumulative coverage. --------------------
@@ -11634,6 +11694,174 @@ def oracle_sql() -> dict[str, str]:
           CAST(sum(nt) AS BIGINT) AS new_tokens,
           CAST(sum(nt) - sum(ot) AS BIGINT) AS net_tokens
         FROM j GROUP BY 1
+    """
+
+    def _hll_bitlen(col_sql: str) -> str:
+        whens = " ".join(
+            f"WHEN {col_sql} >= {1 << (b - 1)} THEN {b}"
+            for b in range(52, 0, -1)
+        )
+        return f"(CASE {whens} ELSE 0 END)"
+
+    _hll_alpha = repr((0.7213 / (1.0 + 1.079 / 256)) * 256 * 256)
+    _two52 = repr(float(1 << 52))
+    sqls["sketch_hll_distinct"] = f"""
+        WITH regs AS (SELECT event_type,
+                        {hash_mod_sql('hllb13', 'user_id', 256)} AS b,
+                        {hash_mod_sql('hllr13', 'user_id', 1 << 52)} AS h
+                      FROM events),
+        r2 AS (SELECT event_type, b,
+                 max(53 - {_hll_bitlen('h')}) AS m
+               FROM regs GROUP BY 1, 2),
+        agg AS (SELECT event_type, count(*) AS n_registers_set,
+                  CAST(sum(CAST(pow(CAST(2 AS DOUBLE), 52 - m) AS BIGINT))
+                       AS BIGINT) AS sum_set
+                FROM r2 GROUP BY 1),
+        ex AS (SELECT event_type,
+                 CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+               FROM events GROUP BY 1),
+        e0 AS (SELECT a.event_type, n_registers_set, exact_distinct,
+                 {_hll_alpha}
+                   / ((CAST(sum_set AS DOUBLE)
+                       + CAST((256 - n_registers_set) AS DOUBLE) * {_two52})
+                      / {_two52}) AS raw,
+                 256 - n_registers_set AS zeros
+               FROM agg a JOIN ex ON a.event_type = ex.event_type),
+        e1 AS (SELECT *,
+                 round(CASE WHEN raw <= {repr(2.5 * 256)} AND zeros > 0
+                            THEN (-{repr(256.0)})
+                                 * ln(CAST(zeros AS DOUBLE) / {repr(256.0)})
+                            ELSE raw END, 6) AS est_distinct
+               FROM e0)
+        SELECT event_type, n_registers_set, est_distinct, exact_distinct,
+          round(abs(est_distinct - CAST(exact_distinct AS DOUBLE))
+                / CAST(exact_distinct AS DOUBLE), 6) AS rel_err
+        FROM e1
+    """
+
+    _cms_probes_keys = " UNION ALL ".join(
+        f"SELECT user_id, {i} AS row_id,"
+        f" {hash_mod_sql(f'cms11r{i}', 'user_id', 256)} AS col_id FROM keys"
+        for i in range(3)
+    )
+    sqls["sketch_cms_topk"] = f"""
+        WITH cells AS (SELECT row_id, col_id, count(*) AS cnt
+                       FROM ({_cms_cells}) GROUP BY 1, 2),
+        keys AS (SELECT DISTINCT user_id FROM events),
+        probes AS ({_cms_probes_keys}),
+        est AS (SELECT p.user_id,
+                  CAST(min(COALESCE(c.cnt, 0)) AS BIGINT) AS est_cnt
+                FROM probes p LEFT JOIN cells c USING (row_id, col_id)
+                GROUP BY 1),
+        short AS (SELECT * FROM est WHERE est_cnt >= 25),
+        t AS (SELECT user_id, count(*) AS true_cnt FROM events GROUP BY 1)
+        SELECT s.user_id, s.est_cnt, t.true_cnt,
+               t.true_cnt >= 25 AS is_true_heavy
+        FROM short s JOIN t USING (user_id)
+    """
+
+    sqls["dedup_cross_source_rate"] = """
+        WITH dg AS (SELECT source, doc_id, md5(text) AS h FROM documents),
+        g AS (SELECT h, count(*) AS n, min(doc_id) AS keep
+              FROM dg GROUP BY 1)
+        SELECT source, count(*) AS n_docs,
+          CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_dup_docs,
+          CAST(sum(CASE WHEN doc_id <> keep THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_losers,
+          round(CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                / CAST(count(*) AS DOUBLE), 6) AS dup_rate
+        FROM dg JOIN g USING (h) GROUP BY 1
+    """
+
+    sqls["dedup_candidate_budget"] = f"""
+        WITH {_minhash_bands_sql()},
+        sizes AS (SELECT band_id, band_key, count(*) AS sz
+                  FROM bands GROUP BY 1, 2)
+        SELECT band_id,
+          CAST(sum(CASE WHEN sz <= 32 THEN sz * (sz - 1) // 2 ELSE 0 END)
+               AS BIGINT) AS n_pairs_budget,
+          CAST(sum(CASE WHEN sz > 32 THEN sz * (sz - 1) // 2 ELSE 0 END)
+               AS BIGINT) AS n_pairs_skipped,
+          CAST(sum(CASE WHEN sz > 32 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_buckets_skipped
+        FROM sizes GROUP BY 1
+    """
+
+    def _trunc_sel(prob: float, t: str) -> str:
+        return f"""
+        SELECT {repr(prob)} AS prob, max({t}) AS cutoff_len,
+          CAST(sum(CASE WHEN n > {t} THEN 1 ELSE 0 END) AS BIGINT)
+            AS docs_truncated,
+          CAST(sum(CASE WHEN n > {t} THEN n - {t} ELSE 0 END) AS BIGINT)
+            AS tokens_saved,
+          round(CAST(sum(CASE WHEN n > {t} THEN n - {t} ELSE 0 END)
+                     AS DOUBLE) / CAST(max(nt) AS DOUBLE), 6) AS frac_saved
+        FROM lens, thr, tot
+        """
+
+    sqls["text_truncation_savings"] = f"""
+        WITH lens AS (SELECT CAST(len({w}) AS BIGINT) AS n FROM documents),
+        grid AS (SELECT n, count(*) AS c FROM lens GROUP BY 1),
+        cum AS (SELECT n, sum(c) OVER (ORDER BY n) AS cumc FROM grid),
+        tot AS (SELECT count(*) AS nd, CAST(sum(n) AS BIGINT) AS nt
+                FROM lens),
+        thr AS (SELECT
+                  min(CASE WHEN cumc >= (900 * nd + 999) // 1000
+                           THEN n END) AS t0,
+                  min(CASE WHEN cumc >= (990 * nd + 999) // 1000
+                           THEN n END) AS t1
+                FROM cum, tot)
+        {_trunc_sel(0.9, 't0')}
+        UNION ALL
+        {_trunc_sel(0.99, 't1')}
+    """
+
+    sqls["mixture_schedule_slots"] = f"""
+        WITH t AS (SELECT source,
+                     CAST(sum(CAST(len({w}) AS BIGINT)) AS BIGINT)
+                       AS n_tokens
+                   FROM documents GROUP BY 1),
+        tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tt FROM t),
+        b AS (SELECT source, n_tokens,
+                n_tokens * 1000 // tt AS base,
+                n_tokens * 1000 - (n_tokens * 1000 // tt) * tt AS rem
+              FROM t, tot),
+        k AS (SELECT CAST(1000 - sum(base) AS BIGINT) AS kk FROM b),
+        r AS (SELECT *, row_number() OVER
+                (ORDER BY rem DESC, source ASC) AS rk FROM b)
+        SELECT source, n_tokens,
+          CAST(base + CASE WHEN rk <= kk THEN 1 ELSE 0 END AS BIGINT)
+            AS slots_alloc
+        FROM r, k
+    """
+
+    _psi_po = ("((CAST(n_old AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+               " / (CAST(toto AS DOUBLE)"
+               " + CAST(0.5 AS DOUBLE) * CAST(nb AS DOUBLE)))")
+    _psi_pn = ("((CAST(n_new AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+               " / (CAST(totn AS DOUBLE)"
+               " + CAST(0.5 AS DOUBLE) * CAST(nb AS DOUBLE)))")
+    sqls["snapshot_length_psi"] = f"""
+        WITH {_snap_new},
+        lo AS (SELECT CAST(len({w}) AS BIGINT) // 64 * 64 AS bin_lo,
+                 count(*) AS n_old
+               FROM documents GROUP BY 1),
+        ln2_ AS (SELECT CAST(len({w}) AS BIGINT) // 64 * 64 AS bin_lo,
+                   count(*) AS n_new
+                 FROM newdocs GROUP BY 1),
+        j AS (SELECT COALESCE(lo.bin_lo, ln2_.bin_lo) AS bin_lo,
+                CAST(COALESCE(n_old, 0) AS BIGINT) AS n_old,
+                CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new
+              FROM lo FULL OUTER JOIN ln2_ ON lo.bin_lo = ln2_.bin_lo),
+        tot AS (SELECT CAST(sum(n_old) AS BIGINT) AS toto,
+                  CAST(sum(n_new) AS BIGINT) AS totn,
+                  count(*) AS nb
+                FROM j)
+        SELECT bin_lo, n_old, n_new,
+          round(({_psi_pn} - {_psi_po}) * ln({_psi_pn} / {_psi_po}), 6)
+            AS psi_term
+        FROM j, tot
     """
 
     _t1 = repr(0.9)

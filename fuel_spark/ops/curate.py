@@ -240,3 +240,180 @@ def curation_funnel(
     return agg.select(F.explode(stages).alias("_s")).select(
         "_s.stage", "_s.stage_name", "_s.rows_in", "_s.rows_out"
     )
+
+
+def truncation_savings(
+    df: DataFrame,
+    text_col: str = "text",
+    probs: tuple[float, ...] = (0.9, 0.99),
+) -> DataFrame:
+    """Truncation planning: for each length percentile (exact integer
+    rank target, like :func:`curriculum_phases` — no float
+    interpolation), the cutoff token length and what truncating every
+    longer document to it would save — the "do the p99 outliers pay
+    for their sequence budget" table.
+
+    One groupBy onto the token-length VALUE GRID, one grid-sized
+    cumulative window (allowlisted), cutoffs collapse to one
+    broadcast row, savings are map-side conditional sums.
+
+    Output: prob, cutoff_len, docs_truncated, tokens_saved,
+    frac_saved.
+    """
+    n = F.size(words(F.col(text_col))).cast("bigint")
+    lens = df.select(n.alias("_n"))
+    grid = lens.groupBy("_n").agg(F.count(F.lit(1)).alias("_c"))
+    wcum = Window.orderBy("_n").rowsBetween(Window.unboundedPreceding, 0)
+    cum = grid.withColumn("_cum", F.sum("_c").over(wcum))
+    total = lens.agg(
+        F.count(F.lit(1)).alias("_nd"), F.sum("_n").alias("_nt")
+    )
+    cuts = cum.crossJoin(F.broadcast(total))
+    # integer ceil(p * nd) with p expressed as an exact rational
+    # (numerator/denominator in permille) so both engines agree
+    thr = cuts.agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("_cum")
+                    >= F.expr(
+                        f"({int(round(p * 1000))} * _nd + 999) DIV 1000"
+                    ),
+                    F.col("_n"),
+                )
+            ).alias(f"_t{i}")
+            for i, p in enumerate(probs)
+        ],
+        F.any_value("_nt").alias("_nt"),
+    )
+    out = None
+    for i, p in enumerate(probs):
+        part = (
+            lens.crossJoin(F.broadcast(thr))
+            .groupBy()
+            .agg(
+                F.lit(float(p)).alias("prob"),
+                F.any_value(F.col(f"_t{i}")).alias("cutoff_len"),
+                F.sum(
+                    F.when(F.col("_n") > F.col(f"_t{i}"), 1).otherwise(0)
+                ).cast("bigint").alias("docs_truncated"),
+                F.sum(
+                    F.when(
+                        F.col("_n") > F.col(f"_t{i}"),
+                        F.col("_n") - F.col(f"_t{i}"),
+                    ).otherwise(0)
+                ).cast("bigint").alias("tokens_saved"),
+                F.any_value(F.col("_nt")).alias("_tt"),
+            )
+            .withColumn(
+                "frac_saved",
+                F.round(
+                    F.col("tokens_saved").cast("double")
+                    / F.col("_tt").cast("double"),
+                    6,
+                ),
+            )
+            .drop("_tt")
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def mixture_schedule_slots(
+    df: DataFrame,
+    domain_col: str,
+    text_col: str = "text",
+    slots: int = 1000,
+) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of a fixed training
+    schedule: each domain gets floor(share·slots) slots plus one of
+    the leftovers in remainder order — the deterministic, exactly-
+    summing way to turn mixture shares into an interleave schedule
+    (naive rounding over- or under-fills the schedule).
+
+    ALL-integer: base = (tokens·slots) DIV total, remainder =
+    tokens·slots − base·total, leftovers ranked by (remainder desc,
+    domain asc) over the domain-sized frame.  Output: domain,
+    n_tokens, slots_alloc.
+    """
+    toks = (
+        df.select(F.col(domain_col), F.size(words(F.col(text_col))).alias("_n"))
+        .groupBy(domain_col)
+        .agg(F.sum("_n").cast("bigint").alias("n_tokens"))
+    )
+    total = toks.agg(F.sum("n_tokens").cast("bigint").alias("_t"))
+    based = toks.crossJoin(F.broadcast(total)).select(
+        domain_col,
+        "n_tokens",
+        F.expr(f"n_tokens * {int(slots)} DIV _t").alias("_base"),
+        F.expr(f"n_tokens * {int(slots)} - (n_tokens * {int(slots)} DIV _t) * _t")
+        .alias("_rem"),
+    )
+    leftover = based.agg(
+        (F.lit(int(slots)) - F.sum("_base")).cast("bigint").alias("_k")
+    )
+    wr = Window.orderBy(F.col("_rem").desc(), F.col(domain_col).asc())
+    return (
+        based.withColumn("_rk", F.row_number().over(wr))
+        .crossJoin(F.broadcast(leftover))
+        .select(
+            domain_col,
+            "n_tokens",
+            (
+                F.col("_base")
+                + F.when(F.col("_rk") <= F.col("_k"), 1).otherwise(0)
+            ).cast("bigint").alias("slots_alloc"),
+        )
+    )
+
+
+def snapshot_length_psi(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    bin_size: int = 64,
+) -> DataFrame:
+    """Population-stability index of the token-length distribution
+    between two corpus snapshots — the drift screen that catches "the
+    new crawl is all short spam" before it trains: per shared length
+    bin, old/new shares (add-0.5 smoothed against empty bins, stated)
+    and the PSI term (Δshare · ln ratio).  The corpus-snapshot twin
+    of the events-side ``events_psi_weekly``.
+
+    Two scans onto the length-bin grid, one full-outer bin join —
+    everything bin-grid-sized after the first rollup.  Output:
+    bin_lo, n_old, n_new, psi_term.
+    """
+    def bins(df: DataFrame, cname: str) -> DataFrame:
+        n = F.size(words(F.col(text_col))).cast("bigint")
+        return (
+            df.select(n.alias("_n"))
+            .withColumn("bin_lo", F.expr(f"_n DIV {bin_size} * {bin_size}"))
+            .groupBy("bin_lo")
+            .agg(F.count(F.lit(1)).alias(cname))
+        )
+    o = bins(old, "n_old")
+    n2 = bins(new, "n_new")
+    joined = o.join(n2, "bin_lo", "full_outer").select(
+        "bin_lo",
+        F.coalesce("n_old", F.lit(0)).cast("bigint").alias("n_old"),
+        F.coalesce("n_new", F.lit(0)).cast("bigint").alias("n_new"),
+    )
+    tot = joined.agg(
+        F.sum("n_old").cast("bigint").alias("_to"),
+        F.sum("n_new").cast("bigint").alias("_tn"),
+        F.count(F.lit(1)).alias("_nb"),
+    )
+    smoothed = joined.crossJoin(F.broadcast(tot))
+    po = (F.col("n_old").cast("double") + 0.5) / (
+        F.col("_to").cast("double") + 0.5 * F.col("_nb").cast("double")
+    )
+    pn = (F.col("n_new").cast("double") + 0.5) / (
+        F.col("_tn").cast("double") + 0.5 * F.col("_nb").cast("double")
+    )
+    return smoothed.select(
+        "bin_lo",
+        "n_old",
+        "n_new",
+        F.round((pn - po) * F.log(pn / po), 6).alias("psi_term"),
+    )

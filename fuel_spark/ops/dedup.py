@@ -1160,6 +1160,87 @@ def incremental_dedup_summary(
     return out
 
 
+def dedup_rate_by_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group exact-duplicate accounting — the "which domain ships
+    boilerplate" dashboard: for each group, total docs, docs whose
+    text digest appears more than once ANYWHERE in the corpus
+    (duplicate groups cross domains — mirror pages, syndication), and
+    the docs the keep-min policy would actually drop.
+
+    One digest-keyed count join (16-byte digests shuffle, never
+    text) + one group rollup.  Output: group, n_docs, n_dup_docs,
+    n_losers, dup_rate.
+    """
+    digests = df.select(
+        F.col(group_col), F.col(id_col), F.md5(F.col(text_col)).alias("_h")
+    )
+    groups = digests.groupBy("_h").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.min(id_col).alias("_keep"),
+    )
+    return (
+        digests.join(groups, "_h")
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("_n") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_docs"),
+            F.sum(
+                F.when(F.col(id_col) != F.col("_keep"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_losers"),
+        )
+        .withColumn(
+            "dup_rate",
+            F.round(
+                F.col("n_dup_docs").cast("double")
+                / F.col("n_docs").cast("double"),
+                6,
+            ),
+        )
+    )
+
+
+def candidate_pair_budget(
+    index: DataFrame,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Verify-stage cost planner for a band index: per band, the
+    candidate pairs the bucket join will emit (Σ C(sz, 2) over
+    in-cap buckets) and the pairs the over-cap skip forfeits — the
+    number that says whether the NEXT dedup run fits its budget
+    before anything expensive starts (companion to
+    :func:`index_bucket_profile`, which reports rows; this reports
+    PAIRS, the quantity that actually explodes).
+
+    All-integer arithmetic over the bucket-size table; two map-side
+    combinable rollups.  Output: band_id, n_pairs_budget,
+    n_pairs_skipped, n_buckets_skipped.
+    """
+    sizes = index.groupBy("band_id", "band_key").agg(
+        F.count(F.lit(1)).alias("_sz")
+    )
+    pairs = F.expr("_sz * (_sz - 1) DIV 2")
+    return sizes.groupBy("band_id").agg(
+        F.sum(F.when(F.col("_sz") <= int(max_bucket), pairs).otherwise(0))
+        .cast("bigint")
+        .alias("n_pairs_budget"),
+        F.sum(F.when(F.col("_sz") > int(max_bucket), pairs).otherwise(0))
+        .cast("bigint")
+        .alias("n_pairs_skipped"),
+        F.sum(F.when(F.col("_sz") > int(max_bucket), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_buckets_skipped"),
+    )
+
+
 def snapshot_token_accounting(
     old: DataFrame,
     new: DataFrame,

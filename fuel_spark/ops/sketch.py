@@ -482,6 +482,133 @@ def linear_count_distinct(
     )
 
 
+def _bitlen_case(col_sql: str, bits: int = 52) -> str:
+    """SQL CASE computing bit_length of a non-negative < 2^bits value
+    — identical text for Spark and DuckDB (neither has a shared
+    integer bit-length builtin), so the HLL register rank below is
+    bit-identical cross-engine."""
+    whens = " ".join(
+        f"WHEN {col_sql} >= {1 << (b - 1)} THEN {b}"
+        for b in range(bits, 0, -1)
+    )
+    return f"(CASE {whens} ELSE 0 END)"
+
+
+def hll_distinct(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    m: int = 256,
+    seed: int = 13,
+) -> DataFrame:
+    """Oracle-checkable HyperLogLog (Flajolet et al. 2007): per
+    group, ``m`` registers hold the max leading-zero rank of a second
+    md5 hash; the raw estimate is αm·m²/Σ2^(−M_j) with the standard
+    small-range linear-counting fallback.  Exact distinct count rides
+    alongside as the certificate.
+
+    The portability trick that makes this EXACT-HASH checkable where
+    library HLLs are not: Σ2^(−M) is computed as the INTEGER
+    Σ2^(52−M) (BIGINT-exact, summation-order-free — M ≤ 52 by
+    construction) divided once by 2^52; the bit-length behind the
+    rank is a generated CASE chain, identical text in both engines;
+    αm is a pinned repr() literal.  The register table is ≤ m rows
+    per group — two map-side-combinable shuffles, mergeable by
+    per-register MAX (union per-shard register tables, take max).
+
+    Output: group, n_registers_set, est_distinct, exact_distinct,
+    rel_err.
+    """
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    h = hash_mod(f"hllr{seed}", F.col(key_col), 1 << 52)
+    bucket = hash_mod(f"hllb{seed}", F.col(key_col), m)
+    # rank = leading zeros of the 52-bit value + 1 = 53 - bitlen(h);
+    # h == 0 (prob 2^-52) pins to the max rank 53
+    rank = F.expr(f"53 - {_bitlen_case('_h')}")
+    regs = (
+        df.select(
+            F.col(group_col), bucket.alias("_b"), h.alias("_h")
+        )
+        .withColumn("_r", rank)
+        .groupBy(group_col, "_b")
+        .agg(F.max("_r").alias("_m"))
+    )
+    agg = regs.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_registers_set"),
+        # empty registers contribute 2^(52-0); add them after the agg
+        F.sum(F.expr("CAST(pow(CAST(2 AS DOUBLE), 52 - _m) AS BIGINT)"))
+        .alias("_sum_set"),
+    )
+    exact = df.groupBy(group_col).agg(
+        F.count_distinct(F.col(key_col)).alias("exact_distinct")
+    )
+    two52 = float(1 << 52)
+    denom = (
+        F.col("_sum_set").cast("double")
+        + (F.lit(m) - F.col("n_registers_set")).cast("double")
+        * F.lit(two52)
+    ) / F.lit(two52)
+    raw = F.lit(alpha * m * m) / denom
+    zeros = F.lit(m) - F.col("n_registers_set")
+    lc = -F.lit(float(m)) * F.log(zeros.cast("double") / F.lit(float(m)))
+    est = F.round(
+        F.when((raw <= 2.5 * m) & (zeros > 0), lc).otherwise(raw), 6
+    )
+    return (
+        agg.join(exact, group_col)
+        .withColumn("est_distinct", est)
+        .withColumn(
+            "rel_err",
+            F.round(
+                F.abs(
+                    F.col("est_distinct")
+                    - F.col("exact_distinct").cast("double")
+                )
+                / F.col("exact_distinct").cast("double"),
+                6,
+            ),
+        )
+        .select(
+            group_col, "n_registers_set", "est_distinct",
+            "exact_distinct", "rel_err",
+        )
+    )
+
+
+def cms_topk_screen(
+    df: DataFrame,
+    key_col: str,
+    threshold: int,
+    depth: int = 3,
+    width: int = 256,
+    seed: int = 11,
+) -> DataFrame:
+    """Heavy-key screen through a Count-Min shortlist: every key the
+    SKETCH estimates at ≥ threshold is verified against its exact
+    count — the constant-memory way to find hot keys (crawl hosts,
+    hammering users) without a full groupBy-orderBy at 100 TB: the
+    shortlist is small (CMS overestimates, so it is a SUPERSET of
+    the true heavies — no false negatives, the certificate column
+    ``is_true_heavy`` measures the false-positive cost).
+
+    The sketch is depth·width cells (broadcast); candidate estimates
+    are one key-grouped min; only the shortlist joins back for exact
+    verification.  Output: key, est_cnt, true_cnt, is_true_heavy.
+    """
+    cells = cms_build(df, key_col, depth, width, seed)
+    keys = df.select(key_col).distinct()
+    est = cms_estimate(cells, keys, key_col, depth, width, seed)
+    short = est.where(F.col("est_cnt") >= int(threshold))
+    true = df.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("true_cnt")
+    )
+    return (
+        short.join(true, key_col)
+        .withColumn("is_true_heavy", F.col("true_cnt") >= int(threshold))
+        .select(key_col, "est_cnt", "true_cnt", "is_true_heavy")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Deterministic reservoir / stratified / split sampling
 # ---------------------------------------------------------------------------

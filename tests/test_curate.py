@@ -77,7 +77,6 @@ def test_top_ngrams_by_group_hand_corpus(spark):
         ("b", 3, "p q r"),
     ]
     df = from_rows(spark, rows, schema="source string, doc_id bigint, text string")
-    out = text_rows = None
     from fuel_spark.ops import text as text_ops
 
     out = text_ops.top_ngrams_by_group(df, "source", "text", n=3, k=2).collect()
@@ -154,3 +153,59 @@ def test_snapshot_token_accounting_hand_corpora(spark):
     assert out["changed"].net_tokens == 2
     assert out["removed"].old_tokens == 1 and out["removed"].new_tokens == 0
     assert out["added"].new_tokens == 2 and out["added"].old_tokens == 0
+
+
+def test_cross_source_dedup_rate_hand_corpus(spark):
+    rows = [
+        ("a", 1, "same text body"), ("b", 2, "same text body"),
+        ("a", 3, "unique one"), ("b", 4, "unique two"),
+    ]
+    df = from_rows(spark, rows,
+                   schema="source string, doc_id bigint, text string")
+    out = {r.source: r for r in
+           dedup.dedup_rate_by_group(df, "source").collect()}
+    # the dup group spans sources: both sides count their member
+    assert out["a"].n_dup_docs == 1 and out["b"].n_dup_docs == 1
+    # keep-min: doc 1 survives, doc 2 is the loser
+    assert out["a"].n_losers == 0 and out["b"].n_losers == 1
+    assert out["a"].dup_rate == 0.5
+
+
+def test_candidate_budget_hand_index(spark):
+    rows = [(i, 0, "k1") for i in range(5)] + [(9, 0, "k2"), (10, 0, "k2")]
+    idx = from_rows(spark, rows,
+                    schema="doc_id bigint, band_id int, band_key string")
+    r = dedup.candidate_pair_budget(idx, max_bucket=3).first()
+    assert r.n_pairs_budget == 1          # C(2,2 keys in k2) = 1
+    assert r.n_pairs_skipped == 10        # C(5,2) from the over-cap k1
+    assert r.n_buckets_skipped == 1
+
+
+def test_truncation_savings_hand_lens(spark):
+    # 10 docs of 2 tokens, 1 doc of 100 tokens: p90 cutoff is 2
+    rows = [(i, "a b") for i in range(10)] + [(99, " ".join(["w"] * 100))]
+    df = from_rows(spark, rows, schema="doc_id bigint, text string")
+    out = {r.prob: r for r in
+           curate.truncation_savings(df, "text", probs=(0.9,)).collect()}
+    r = out[0.9]
+    assert r.cutoff_len == 2
+    assert r.docs_truncated == 1 and r.tokens_saved == 98
+
+
+def test_mixture_schedule_sums_exactly(spark):
+    d = _docs(spark)
+    out = curate.mixture_schedule_slots(d, "source", "text", slots=1000)
+    rows = out.collect()
+    assert sum(r.slots_alloc for r in rows) == 1000
+    assert all(r.slots_alloc >= 0 for r in rows)
+
+
+def test_snapshot_psi_zero_on_identical(spark):
+    d = _docs(spark).select("doc_id", "text")
+    out = curate.snapshot_length_psi(d, d, "text").collect()
+    assert all(r.psi_term == 0.0 for r in out)
+    # a shifted snapshot produces positive total drift
+    longer = d.withColumn("text", F.concat_ws(" ", "text", "text"))
+    drift = sum(r.psi_term for r in
+                curate.snapshot_length_psi(d, longer, "text").collect())
+    assert drift > 0.1

@@ -867,6 +867,18 @@ SINGLE_PARTITION_ALLOWLIST = {
     # and the grouped variant partitions by group instead) + the
     # 1-row sample_n aggregate broadcast back
     "sketch_quantile_value", "sketch_quantile_merge_cert",
+    # r7 curation planners: 1-row totals broadcast back (mixture
+    # normalizer; funnel's single conditional-sum row; PSI's 3-count
+    # row) and value-grid cumulative windows (curriculum/truncation
+    # cut points run over DISTINCT score/length values — bounded by
+    # the score's domain, never corpus size); the Hamilton schedule's
+    # remainder rank window runs over the DOMAIN-sized frame
+    "mixture_domain_weights", "curriculum_quality_phases",
+    "curation_funnel", "text_truncation_savings",
+    "mixture_schedule_slots", "snapshot_length_psi",
+    # r7 lifecycle composition: each of the 9 audit stages is a 1-row
+    # count aggregate unioned into the constant-size summary
+    "incremental_dedup_pipeline",
 }
 
 

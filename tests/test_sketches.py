@@ -428,3 +428,24 @@ def test_kll_rank_error_envelope_across_partitionings(spark):
         for r in out:
             true_rank = sum(1 for v in vals if v <= r.est_value)
             assert abs(true_rank / n - r.prob) < 0.05, (parts, r)
+
+
+def test_hll_close_and_exact_side_exact(spark):
+    rows = [("g", (i * 7) % 1500) for i in range(6000)]
+    df = from_rows(spark, rows, schema="g string, k bigint")
+    r = sketch.hll_distinct(df, "g", "k", m=256).first()
+    assert r.exact_distinct == 1500
+    assert r.n_registers_set <= 256
+    assert r.rel_err < 0.15
+
+
+def test_cms_topk_screen_is_superset_of_true_heavies(spark):
+    rows = [(i % 40,) for i in range(800)] + [(777,)] * 100
+    df = from_rows(spark, rows, schema="k bigint")
+    out = sketch.cms_topk_screen(df, "k", threshold=50, width=64).collect()
+    short = {r.k for r in out}
+    # every true-heavy key is in the shortlist (CMS never underestimates)
+    assert 777 in short
+    for r in out:
+        assert r.est_cnt >= r.true_cnt
+        assert r.est_cnt >= 50
