@@ -3031,7 +3031,7 @@ def q_split_train_val_test(spark, sf):
     )
 
 
-def q_mixture_weights(spark, sf):
+def q_domain_mixture_weights(spark, sf):
     """Tempered domain-mixture weights (r7): tokens^0.7 normalized
     per source + epochs at a 1M-token budget."""
     from fuel_spark.ops import curate
@@ -3282,7 +3282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_reservoir_by_source": q_sample_reservoir_by_source,
         "sample_stratified_sources": q_sample_stratified,
         "split_train_val_test": q_split_train_val_test,
-        "mixture_domain_weights": q_mixture_weights,
+        "mixture_domain_weights": q_domain_mixture_weights,
         "packing_efficiency_report": q_packing_efficiency,
         "curriculum_quality_phases": q_curriculum_phases,
         "curation_funnel": q_curation_funnel,

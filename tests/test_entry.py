@@ -38,6 +38,8 @@ def test_oracle_keys_subset_of_queries():
         "text_bpe_merges",
         "part_pagerank",
         "text_quality_model",
+        # r7: compactor KLL — partitioning-defined identity by design
+        "value_kll_quantiles",
     }
 
 
