@@ -552,6 +552,7 @@ def kcore_fixed(
     dst: str = "dst",
     k: int = 10,
     rounds: int = 3,
+    broadcast_keep: bool = True,
 ) -> DataFrame:
     """Fixed-iteration k-core peeling of an undirected graph: each
     round drops every vertex with degree < ``k`` and restricts the
@@ -597,11 +598,14 @@ def kcore_fixed(
         )
         keep = deg.where(F.col("_d") >= int(k)).select("v")
         keep = keep.localCheckpoint(eager=False)  # both semi-joins + count
-        e = e.join(
-            F.broadcast(keep.select(F.col("v").alias("a"))), "a", "left_semi"
-        ).join(
-            F.broadcast(keep.select(F.col("v").alias("b"))), "b", "left_semi"
-        )
+        # broadcast_keep=False is the billion-vertex escape hatch, the
+        # lpa_fixed/HITS knob (50x pressure smoke: 23s at 20x -> 106s
+        # at 50x as broadcast volume x tasks grows)
+        ka = keep.select(F.col("v").alias("a"))
+        kb = keep.select(F.col("v").alias("b"))
+        if broadcast_keep:
+            ka, kb = F.broadcast(ka), F.broadcast(kb)
+        e = e.join(ka, "a", "left_semi").join(kb, "b", "left_semi")
         e = e.localCheckpoint(eager=False)
         census.append(
             keep.agg(
@@ -624,6 +628,7 @@ def lpa_fixed(
     src: str = "src",
     dst: str = "dst",
     iters: int = 2,
+    broadcast_labels: bool = True,
 ) -> DataFrame:
     """Synchronous label propagation (Raghavan, Albert & Kumara 2007)
     with a FIXED iteration count and a deterministic tie rule —
@@ -658,12 +663,16 @@ def lpa_fixed(
         # pick a SortMergeJoin that shuffles the full mirrored edge
         # list EVERY round (the r5 k-core defect, same signature —
         # measured 46s -> 12s at the 10x smoke).  Right while
-        # |vertices| << |edges| (a dim-sized co-purchase graph);
-        # billion-vertex graphs should drop the hint and let the
-        # shuffle join win.
-        nb = em.join(
-            F.broadcast(labels.select(F.col("v").alias("d"), "lbl")), "d"
-        ).select(F.col("s").alias("v"), "lbl")
+        # |vertices| << |edges| (a dim-sized co-purchase graph); the
+        # 50x pressure smoke (r7) quantified the crossover — wall
+        # grows with broadcast volume x task count (31.8s at 20x ->
+        # 109s at 50x, mildly super-linear), so billion-vertex graphs
+        # pass broadcast_labels=False and let the shuffle join win
+        # (the HITS broadcast_scores knob, same pattern).
+        lbl_frame = labels.select(F.col("v").alias("d"), "lbl")
+        if broadcast_labels:
+            lbl_frame = F.broadcast(lbl_frame)
+        nb = em.join(lbl_frame, "d").select(F.col("s").alias("v"), "lbl")
         counts = nb.groupBy("v", "lbl").agg(
             F.count(F.lit(1)).cast("bigint").alias("_c")
         )
