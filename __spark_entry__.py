@@ -31,7 +31,7 @@ if _REPO not in sys.path:
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from fuel_spark import schemes
 from fuel_spark.ops import core, dedup, multimodal, sequences, similarity
@@ -3173,6 +3173,215 @@ def q_snapshot_psi(spark, sf):
     return curate_ops.snapshot_length_psi(old, new, "text", bin_size=64)
 
 
+def q_hll_merge(spark, sf):
+    """HLL register-table mergeability certificate (r7): max-merged
+    half sketches vs direct, mismatches per event type (0)."""
+    e = _t(spark, sf)["events"]
+    return sketch.hll_merge_certificate(
+        e, "event_type", "user_id", split_col=F.col("event_id") % 2 == 0
+    )
+
+
+def q_quantile_rate_sweep(spark, sf):
+    """Sample-rate accuracy sweep for the quantile sketch (r7): the
+    median's measured rank error at 1/2, 1/8, 1/32 rates — the table
+    that picks the production rate."""
+    e = _t(spark, sf)["events"]
+    out = None
+    for mod in (2, 8, 32):
+        part = sketch.quantile_sketch(
+            e, "event_id", "value", probs=(0.5,), sample_mod=mod
+        ).select(
+            F.lit(mod).cast("bigint").alias("sample_mod"),
+            "est_value", "sample_n", "true_rank", "n_rows", "frac_err",
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def q_cms_width_sweep(spark, sf):
+    """CMS width sweep (r7): overcount of the top-10 users at widths
+    64/256/1024 — the memory-vs-error table that sizes the sketch."""
+    e = _t(spark, sf)["events"]
+    top = (
+        e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+        .orderBy(F.col("true_cnt").desc(), F.col("user_id").asc())
+        .limit(10)
+    )
+    out = None
+    for width in (64, 256, 1024):
+        cells = sketch.cms_build(e, "user_id", width=width)
+        est = sketch.cms_estimate(
+            cells, top.select("user_id"), "user_id", width=width
+        )
+        part = top.join(est, "user_id").select(
+            F.lit(width).cast("bigint").alias("width"),
+            "user_id", "true_cnt", "est_cnt",
+            (F.col("est_cnt") - F.col("true_cnt")).cast("bigint")
+            .alias("overcount"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def q_weighted_sample_by_source(spark, sf):
+    """Per-source ES weighted sample (r7): 5 length-weighted exemplar
+    docs per domain."""
+    d = _t(spark, sf)["documents"]
+    return sketch.weighted_sample_by_group(
+        d, "source", "doc_id", "n_chars", n=5
+    ).select("source", "doc_id", "n_chars", "es_key", "rank")
+
+
+def q_reservoir_merge_cert(spark, sf):
+    """Reservoir mergeability certificate (r7): top-n of the halves'
+    top-n unions equals the direct global top-n rank-for-rank."""
+    e = _t(spark, sf)["events"]
+    a = sketch.reservoir_sample(
+        e.where(F.col("event_id") % 2 == 0), "event_id", 50
+    )
+    b = sketch.reservoir_sample(
+        e.where(F.col("event_id") % 2 == 1), "event_id", 50
+    )
+    merged = sketch.reservoir_sample(
+        a.unionByName(b).drop("r_key"), "event_id", 50
+    ).select(
+        F.row_number()
+        .over(Window.orderBy(F.col("r_key").asc(), F.col("event_id").asc()))
+        .cast("bigint")
+        .alias("rank"),
+        F.col("event_id").alias("id_merged"),
+    )
+    direct = sketch.reservoir_sample(e, "event_id", 50).select(
+        F.row_number()
+        .over(Window.orderBy(F.col("r_key").asc(), F.col("event_id").asc()))
+        .cast("bigint")
+        .alias("rank"),
+        F.col("event_id").alias("id_direct"),
+    )
+    return (
+        merged.join(direct, "rank")
+        .withColumn("match", F.col("id_merged") == F.col("id_direct"))
+        .select("rank", "id_merged", "id_direct", "match")
+    )
+
+
+def q_split_leakage(spark, sf):
+    """Cross-split exact-dup leakage report (r7): pairs of splits
+    sharing a text digest — the train/test contamination the iid
+    split can't prevent when the corpus carries exact dups (fix is
+    dedup-then-split or leakage_free_split; this measures the need).
+    The screened corpus is documents plus an exact copy of every 9th
+    doc under a new id — the synthetic corpus has no exact dups at
+    sf0.01, and a 0-row report would certify nothing."""
+    d = _t(spark, sf)["documents"].select("doc_id", "text")
+    dup = d.where(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    s = sketch.train_val_test_split(d.unionByName(dup), "doc_id").select(
+        "split", F.md5(F.col("text")).alias("_h")
+    )
+    a = s.select(F.col("split").alias("split_a"), "_h").distinct()
+    b = s.select(F.col("split").alias("split_b"), "_h").distinct()
+    return (
+        a.join(b, "_h")
+        .where(F.col("split_a") < F.col("split_b"))
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_digests"))
+    )
+
+
+def q_split_label_balance(spark, sf):
+    """Label balance of the iid split over embeddings (r7): per split
+    x label counts + within-split shares."""
+    e = _t(spark, sf)["embeddings"]
+    s = sketch.train_val_test_split(e, "vec_id")
+    counts = s.groupBy("split", "label").agg(
+        F.count(F.lit(1)).alias("n_vecs")
+    )
+    totals = counts.groupBy("split").agg(
+        F.sum("n_vecs").cast("bigint").alias("_st")
+    )
+    return (
+        counts.join(F.broadcast(totals), "split")
+        .withColumn(
+            "frac_within_split",
+            F.round(
+                F.col("n_vecs").cast("double") / F.col("_st").cast("double"),
+                6,
+            ),
+        )
+        .select("split", "label", "n_vecs", "frac_within_split")
+    )
+
+
+def q_heavy_hitters_batch(spark, sf):
+    """Sharded batch heavy hitters (r7): exact per-shard top-8 users,
+    the oracle-checked contract twin of the streaming Misra-Gries."""
+    e = _t(spark, sf)["events"]
+    return sketch.heavy_hitters_batch(e, "user_id", k=8, num_shards=8)
+
+
+def q_token_gini(spark, sf):
+    """Corpus token-inequality Gini from grouped value-grid data
+    (r7): exact grouped identity, no corpus-sized sort."""
+    d = _t(spark, sf)["documents"]
+    return curate_ops.token_gini(d, "text")
+
+
+def q_vocab_overlap(spark, sf):
+    """Pairwise top-100-vocab Jaccard between sources (r7): the
+    domain-similarity matrix for mixture design."""
+    d = _t(spark, sf)["documents"]
+    return text_ops.source_vocab_overlap(d, "source", "text", top_k=100)
+
+
+def q_curriculum_source_mix(spark, sf):
+    """Curriculum phase x source interaction (r7): does the easy
+    phase over-sample a domain."""
+    d = _t(spark, sf)["documents"]
+    return curate_ops.curriculum_source_mix(d, "n_chars", "source", phases=3)
+
+
+def q_vocab_churn(spark, sf):
+    """Vocabulary churn between snapshots (r7): words gained / lost /
+    shared with occurrence mass."""
+    old, new = _snapshot_pair(spark, sf)
+    return text_ops.snapshot_vocab_churn(old, new, "text")
+
+
+def q_concat_vs_pad(spark, sf):
+    """Concat-packing vs pad-batching sequence counts per source
+    (r7): all-integer savings table."""
+    d = _t(spark, sf)["documents"]
+    return curate_ops.packing_concat_vs_pad(d, "source", "text", seq_len=512)
+
+
+def q_mixture_alpha_sweep(spark, sf):
+    """Mixture temperature sweep (r7): per-source weights at alpha
+    0.5 / 0.7 / 1.0 — the smoothing-choice table."""
+    d = _t(spark, sf)["documents"]
+    out = None
+    for alpha in (0.5, 0.7, 1.0):
+        part = curate_ops.domain_mixture_weights(
+            d, "source", "text", alpha=alpha
+        ).select(
+            F.lit(float(alpha)).alias("alpha"),
+            "source", "n_tokens", "weight",
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def q_hot_buckets(spark, sf):
+    """Hottest band buckets (r7): top-3 boilerplate magnets per band
+    of the minhash index."""
+    d = _t(spark, sf)["documents"]
+    idx = dedup.with_minhash_bands(d, "doc_id", "text")
+    return dedup.hot_buckets(idx, k=3)
+
+
 def q_kll_quantiles(spark, sf):
     """Compactor-based KLL sketch over events.value (r7, rows-only by
     design: deterministic compaction is partitioning-defined; the
@@ -3297,7 +3506,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_truncation_savings": q_truncation_savings,
         "mixture_schedule_slots": q_mixture_schedule,
         "snapshot_length_psi": q_snapshot_psi,
-        # ---- end of the round-8 staging block -----------------------
+        "sketch_hll_merge_cert": q_hll_merge,
+        "sketch_quantile_rate_sweep": q_quantile_rate_sweep,
+        "sketch_cms_width_sweep": q_cms_width_sweep,
+        "sample_weighted_by_source": q_weighted_sample_by_source,
+        "sample_reservoir_merge_cert": q_reservoir_merge_cert,
+        "split_leakage_report": q_split_leakage,
+        "split_label_balance": q_split_label_balance,
+        "events_heavy_hitters_batch": q_heavy_hitters_batch,
+        "corpus_token_gini": q_token_gini,
+        "source_vocab_overlap": q_vocab_overlap,
+        "curriculum_source_mix": q_curriculum_source_mix,
+        "snapshot_vocab_churn": q_vocab_churn,
+        "packing_concat_vs_pad": q_concat_vs_pad,
+        "mixture_alpha_sweep": q_mixture_alpha_sweep,
+        "dedup_hot_buckets": q_hot_buckets,
+        # ---- end of the round-8 staging block (exactly 50 keys) -----
         # ---- driver-green in r6 (CORRECTNESS_r06.json, 50/50): the
         # round-6 window, now cumulative coverage. --------------------
         "text_strip_html": q_strip_html,
@@ -11862,6 +12086,295 @@ def oracle_sql() -> dict[str, str]:
           round(({_psi_pn} - {_psi_po}) * ln({_psi_pn} / {_psi_po}), 6)
             AS psi_term
         FROM j, tot
+    """
+
+    # merged == direct register-for-register (deterministic hashes):
+    # the oracle states the identity the Spark side measures.
+    sqls["sketch_hll_merge_cert"] = f"""
+        WITH regs AS (SELECT event_type,
+                        {hash_mod_sql('hllb13', 'user_id', 256)} AS b
+                      FROM events),
+        r2 AS (SELECT event_type, b FROM regs GROUP BY 1, 2)
+        SELECT event_type, count(*) AS n_registers,
+               CAST(0 AS BIGINT) AS n_mismatch
+        FROM r2 GROUP BY 1
+    """
+
+    def _qs_rate_cte(mod: int, p: str) -> str:
+        hm = hash_mod_sql("qs7", "event_id", mod)
+        return f"""
+        {p}samp AS (SELECT event_id, value FROM qbase WHERE {hm} = 0),
+        {p}ranked AS (SELECT value, event_id,
+            row_number() OVER (ORDER BY value ASC, event_id ASC) AS rn
+          FROM {p}samp),
+        {p}m AS (SELECT max(rn) AS sample_n FROM {p}ranked),
+        {p}tg AS (SELECT sample_n,
+            greatest(CAST(1 AS BIGINT),
+                     CAST(ceil(CAST(0.5 AS DOUBLE) * sample_n) AS BIGINT))
+              AS t
+          FROM {p}m),
+        {p}est AS (SELECT r.value AS est_value, sample_n
+                   FROM {p}tg JOIN {p}ranked r ON r.rn = {p}tg.t),
+        {p}cert AS (SELECT CAST({mod} AS BIGINT) AS sample_mod,
+            est_value, sample_n,
+            CAST(sum(CASE WHEN b.value <= est_value THEN 1 ELSE 0 END)
+                 AS BIGINT) AS true_rank,
+            count(*) AS n_rows
+          FROM qbase b CROSS JOIN {p}est GROUP BY 1, 2, 3)
+        """
+
+    sqls["sketch_quantile_rate_sweep"] = f"""
+        WITH qbase AS (SELECT event_id, value FROM events
+                       WHERE value IS NOT NULL),
+        {_qs_rate_cte(2, "a_")},
+        {_qs_rate_cte(8, "b_")},
+        {_qs_rate_cte(32, "c_")},
+        u AS (SELECT * FROM a_cert UNION ALL SELECT * FROM b_cert
+              UNION ALL SELECT * FROM c_cert)
+        SELECT sample_mod, est_value, sample_n, true_rank, n_rows,
+          round(abs(CAST(true_rank AS DOUBLE) / CAST(n_rows AS DOUBLE)
+                    - CAST(0.5 AS DOUBLE)), 6) AS frac_err
+        FROM u
+    """
+
+    def _cms_w_cte(width: int, p: str) -> str:
+        cells = " UNION ALL ".join(
+            f"SELECT {i} AS row_id,"
+            f" {hash_mod_sql(f'cms11r{i}', 'user_id', width)} AS col_id"
+            f" FROM events"
+            for i in range(3)
+        )
+        probes = " UNION ALL ".join(
+            f"SELECT user_id, {i} AS row_id,"
+            f" {hash_mod_sql(f'cms11r{i}', 'user_id', width)} AS col_id"
+            f" FROM wtop"
+            for i in range(3)
+        )
+        return f"""
+        {p}cells AS (SELECT row_id, col_id, count(*) AS cnt
+                     FROM ({cells}) GROUP BY 1, 2),
+        {p}probes AS ({probes}),
+        {p}est AS (SELECT CAST({width} AS BIGINT) AS width, p.user_id,
+            CAST(min(COALESCE(c.cnt, 0)) AS BIGINT) AS est_cnt
+          FROM {p}probes p LEFT JOIN {p}cells c USING (row_id, col_id)
+          GROUP BY 1, 2)
+        """
+
+    sqls["sketch_cms_width_sweep"] = f"""
+        WITH wtop AS (SELECT user_id, count(*) AS true_cnt FROM events
+                      GROUP BY 1 ORDER BY true_cnt DESC, user_id ASC
+                      LIMIT 10),
+        {_cms_w_cte(64, "w64_")},
+        {_cms_w_cte(256, "w256_")},
+        {_cms_w_cte(1024, "w1024_")},
+        u AS (SELECT * FROM w64_est UNION ALL SELECT * FROM w256_est
+              UNION ALL SELECT * FROM w1024_est)
+        SELECT u.width, u.user_id, t.true_cnt, u.est_cnt,
+               CAST(u.est_cnt - t.true_cnt AS BIGINT) AS overcount
+        FROM u JOIN wtop t USING (user_id)
+    """
+
+    _wg_es = (f"(ln({hash_uniform_sql('wg42', 'doc_id')})"
+              f" / CAST(n_chars AS DOUBLE))")
+    sqls["sample_weighted_by_source"] = f"""
+        WITH r AS (SELECT source, doc_id, n_chars, {_wg_es} AS es,
+                     row_number() OVER (PARTITION BY source
+                       ORDER BY {_wg_es} DESC, doc_id ASC) AS rank
+                   FROM documents)
+        SELECT source, doc_id, n_chars, round(es, 6) AS es_key,
+               CAST(rank AS BIGINT) AS rank
+        FROM r WHERE rank <= 5
+    """
+
+    # merged == direct (the global top-n is contained in the union of
+    # the halves' top-n's): the oracle computes the direct reservoir.
+    sqls["sample_reservoir_merge_cert"] = f"""
+        WITH d AS (SELECT event_id,
+                     round({hash_uniform_sql('rs42', 'event_id')}, 6)
+                       AS r_key
+                   FROM events
+                   ORDER BY r_key ASC, event_id ASC LIMIT 50),
+        r AS (SELECT event_id, row_number() OVER
+                (ORDER BY r_key ASC, event_id ASC) AS rank FROM d)
+        SELECT CAST(rank AS BIGINT) AS rank, event_id AS id_merged,
+               event_id AS id_direct, TRUE AS match
+        FROM r
+    """
+
+    _split_case = (f"CASE WHEN u <= {repr(0.9)} THEN 'train'"
+                   f" WHEN u <= {repr(0.9 + 0.05)} THEN 'val'"
+                   f" ELSE 'test' END")
+    sqls["split_leakage_report"] = f"""
+        WITH corpus AS (SELECT doc_id, text FROM documents
+                        UNION ALL
+                        SELECT doc_id + 1000000 AS doc_id, text
+                        FROM documents WHERE doc_id % 9 = 0),
+        s AS (SELECT {_split_case} AS split, md5(text) AS h
+              FROM (SELECT {hash_uniform_sql('tvt42', 'doc_id')} AS u,
+                           text
+                    FROM corpus)),
+        a AS (SELECT DISTINCT split, h FROM s)
+        SELECT x.split AS split_a, y.split AS split_b,
+               count(*) AS n_shared_digests
+        FROM a x JOIN a y ON x.h = y.h AND x.split < y.split
+        GROUP BY 1, 2
+    """
+
+    sqls["split_label_balance"] = f"""
+        WITH s AS (SELECT label, {_split_case} AS split
+                   FROM (SELECT {hash_uniform_sql('tvt42', 'vec_id')} AS u,
+                                label
+                         FROM embeddings)),
+        c AS (SELECT split, label, count(*) AS n_vecs FROM s GROUP BY 1, 2),
+        t AS (SELECT split, CAST(sum(n_vecs) AS BIGINT) AS st
+              FROM c GROUP BY 1)
+        SELECT c.split, c.label, c.n_vecs,
+          round(CAST(n_vecs AS DOUBLE) / CAST(st AS DOUBLE), 6)
+            AS frac_within_split
+        FROM c JOIN t USING (split)
+    """
+
+    sqls["events_heavy_hitters_batch"] = f"""
+        WITH c AS (SELECT CAST({hash_mod_sql('hhb8', 'user_id', 8)}
+                          AS INTEGER) AS shard,
+                     user_id, count(*) AS cnt
+                   FROM events GROUP BY 1, 2),
+        r AS (SELECT *, row_number() OVER (PARTITION BY shard
+                ORDER BY cnt DESC, user_id ASC) AS rank FROM c)
+        SELECT shard, user_id, cnt, CAST(rank AS BIGINT) AS rank
+        FROM r WHERE rank <= 8
+    """
+
+    sqls["corpus_token_gini"] = f"""
+        WITH lens AS (SELECT CAST(len({w}) AS BIGINT) AS n FROM documents),
+        grid AS (SELECT n, count(*) AS c FROM lens GROUP BY 1),
+        cum AS (SELECT n, c, sum(n * c) OVER (ORDER BY n) AS sv FROM grid),
+        tot AS (SELECT CAST(sum(c) AS BIGINT) AS nd,
+                  CAST(sum(n * c) AS BIGINT) AS nt
+                FROM grid)
+        SELECT nd AS n_docs, nt AS total_tokens,
+          round(CAST(1.0 AS DOUBLE)
+                - CAST(sum(c * (2 * sv - n * c)) AS DOUBLE)
+                  / (CAST(nd AS DOUBLE) * CAST(nt AS DOUBLE)), 6) AS gini
+        FROM cum, tot GROUP BY nd, nt
+    """
+
+    sqls["source_vocab_overlap"] = f"""
+        WITH cnt AS (SELECT g, t, count(*) AS c
+                     FROM (SELECT source AS g, unnest({w}) AS t
+                           FROM documents)
+                     WHERE t <> '' GROUP BY 1, 2),
+        top AS (SELECT g, t FROM (
+                  SELECT g, t, row_number() OVER (PARTITION BY g
+                    ORDER BY c DESC, t ASC) AS r FROM cnt)
+                WHERE r <= 100),
+        sz AS (SELECT g, count(*) AS s FROM top GROUP BY 1),
+        i AS (SELECT a.g AS group_a, b.g AS group_b, count(*) AS inter
+              FROM top a JOIN top b ON a.t = b.t AND a.g < b.g
+              GROUP BY 1, 2),
+        pairs AS (SELECT x.g AS group_a, y.g AS group_b,
+                    x.s AS sa, y.s AS sb
+                  FROM sz x, sz y WHERE x.g < y.g)
+        SELECT p.group_a, p.group_b,
+          CAST(COALESCE(i.inter, 0) AS BIGINT) AS inter,
+          CAST(sa + sb - COALESCE(i.inter, 0) AS BIGINT) AS uni,
+          round(CAST(COALESCE(i.inter, 0) AS DOUBLE)
+                / CAST(sa + sb - COALESCE(i.inter, 0) AS DOUBLE), 6)
+            AS jaccard
+        FROM pairs p LEFT JOIN i USING (group_a, group_b)
+    """
+
+    sqls["curriculum_source_mix"] = f"""
+        WITH grid AS (SELECT n_chars AS s, count(*) AS c
+                      FROM documents GROUP BY 1),
+        cum AS (SELECT s, sum(c) OVER (ORDER BY s) AS cumc FROM grid),
+        tot AS (SELECT count(*) AS n FROM documents),
+        thr AS (SELECT
+                  min(CASE WHEN cumc >= (1 * n + 2) // 3 THEN s END) AS t1,
+                  min(CASE WHEN cumc >= (2 * n + 2) // 3 THEN s END) AS t2
+                FROM cum, tot),
+        a AS (SELECT CAST(CASE WHEN n_chars <= t1 THEN 1
+                               WHEN n_chars <= t2 THEN 2
+                               ELSE 3 END AS BIGINT) AS phase, source
+              FROM documents, thr),
+        c AS (SELECT phase, source, count(*) AS n_docs FROM a GROUP BY 1, 2),
+        pt AS (SELECT phase, CAST(sum(n_docs) AS BIGINT) AS p
+               FROM c GROUP BY 1)
+        SELECT c.phase, c.source, c.n_docs,
+          round(CAST(n_docs AS DOUBLE) / CAST(p AS DOUBLE), 6)
+            AS frac_of_phase
+        FROM c JOIN pt USING (phase)
+    """
+
+    sqls["snapshot_vocab_churn"] = f"""
+        WITH {_snap_new},
+        vo AS (SELECT t, count(*) AS co
+               FROM (SELECT unnest({w}) AS t FROM documents)
+               WHERE t <> '' GROUP BY 1),
+        vn AS (SELECT t, count(*) AS cn
+               FROM (SELECT unnest({w}) AS t FROM newdocs)
+               WHERE t <> '' GROUP BY 1),
+        j AS (SELECT CASE WHEN co IS NULL THEN 'gained'
+                          WHEN cn IS NULL THEN 'lost'
+                          ELSE 'shared' END AS status,
+                CASE WHEN cn IS NOT NULL THEN cn ELSE co END AS m
+              FROM vo FULL OUTER JOIN vn USING (t))
+        SELECT status, count(*) AS n_words,
+               CAST(sum(m) AS BIGINT) AS n_occurrences
+        FROM j GROUP BY 1
+    """
+
+    sqls["packing_concat_vs_pad"] = f"""
+        WITH per AS (SELECT source, CAST(len({w}) AS BIGINT) AS n
+                     FROM documents),
+        agg AS (SELECT source, count(*) AS n_docs,
+                  CAST(sum(n) AS BIGINT) AS n_tokens,
+                  CAST(sum((n + 511) // 512) AS BIGINT) AS pad_sequences
+                FROM per GROUP BY 1)
+        SELECT source, n_docs, n_tokens, pad_sequences,
+          CAST((n_tokens + 511) // 512 AS BIGINT) AS concat_sequences,
+          CAST(pad_sequences - (n_tokens + 511) // 512 AS BIGINT)
+            AS sequences_saved,
+          round(CAST(pad_sequences - (n_tokens + 511) // 512 AS DOUBLE)
+                / CAST(pad_sequences AS DOUBLE), 6) AS save_rate
+        FROM agg
+    """
+
+    def _mix_cte(alpha: float, p: str) -> str:
+        return f"""
+        {p}p AS (SELECT source, n_tokens,
+            CAST(round(power(CAST(n_tokens AS DOUBLE), {repr(alpha)}), 9)
+                 AS DECIMAL(38,9)) AS w9
+          FROM mixtok),
+        {p}tot AS (SELECT sum(w9) AS tw FROM {p}p),
+        {p}w AS (SELECT CAST({repr(alpha)} AS DOUBLE) AS alpha, source,
+            n_tokens,
+            round(CAST(w9 AS DOUBLE) / CAST(tw AS DOUBLE), 6) AS weight
+          FROM {p}p, {p}tot)
+        """
+
+    sqls["mixture_alpha_sweep"] = f"""
+        WITH mixtok AS (SELECT source,
+                          CAST(sum(CAST(len({w}) AS BIGINT)) AS BIGINT)
+                            AS n_tokens
+                        FROM documents GROUP BY 1),
+        {_mix_cte(0.5, "a_")},
+        {_mix_cte(0.7, "b_")},
+        {_mix_cte(1.0, "c_")}
+        SELECT * FROM a_w UNION ALL SELECT * FROM b_w
+        UNION ALL SELECT * FROM c_w
+    """
+
+    sqls["dedup_hot_buckets"] = f"""
+        WITH {_minhash_bands_sql()},
+        sizes AS (SELECT band_id, band_key,
+                    CAST(count(*) AS BIGINT) AS bucket_sz
+                  FROM bands GROUP BY 1, 2),
+        r AS (SELECT *, row_number() OVER (PARTITION BY band_id
+                ORDER BY bucket_sz DESC, band_key ASC) AS rank
+              FROM sizes)
+        SELECT band_id, band_key, bucket_sz, CAST(rank AS BIGINT) AS rank
+        FROM r WHERE rank <= 3
     """
 
     _t1 = repr(0.9)

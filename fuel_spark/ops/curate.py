@@ -136,31 +136,7 @@ def curriculum_phases(
 
     Output: phase, n_docs, min_score, max_score, n_tokens.
     """
-    grid = df.groupBy(F.col(score_col).alias("_s")).agg(
-        F.count(F.lit(1)).alias("_c")
-    )
-    wcum = Window.orderBy("_s").rowsBetween(Window.unboundedPreceding, 0)
-    cum = grid.withColumn("_cum", F.sum("_c").over(wcum))
-    total = df.agg(F.count(F.lit(1)).alias("_n"))
-    # threshold i (1..phases-1): min score with cum >= ceil(i*N/phases)
-    cuts = cum.crossJoin(F.broadcast(total))
-    thr = cuts.agg(
-        *[
-            F.min(
-                F.when(
-                    F.col("_cum")
-                    >= F.expr(f"({i} * _n + {phases - 1}) DIV {phases}"),
-                    F.col("_s"),
-                )
-            ).alias(f"_t{i}")
-            for i in range(1, phases)
-        ]
-    )
-    phase = F.lit(phases)
-    for i in range(phases - 1, 0, -1):
-        phase = F.when(F.col(score_col) <= F.col(f"_t{i}"), i).otherwise(
-            phase
-        )
+    thr, phase = _phase_thresholds(df, score_col, phases)
     return (
         df.crossJoin(F.broadcast(thr))
         .withColumn("phase", phase.cast("bigint"))
@@ -416,4 +392,176 @@ def snapshot_length_psi(
         "n_old",
         "n_new",
         F.round((pn - po) * F.log(pn / po), 6).alias("psi_term"),
+    )
+
+
+def _phase_thresholds(df: DataFrame, score_col: str, phases: int):
+    """Shared by curriculum_phases / curriculum_source_mix: the
+    1-row broadcast frame of phase cut points (exact integer rank
+    targets over the score value grid) and the CASE assigning a
+    phase.  See curriculum_phases for the method."""
+    grid = df.groupBy(F.col(score_col).alias("_s")).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    wcum = Window.orderBy("_s").rowsBetween(Window.unboundedPreceding, 0)
+    cum = grid.withColumn("_cum", F.sum("_c").over(wcum))
+    total = df.agg(F.count(F.lit(1)).alias("_n"))
+    cuts = cum.crossJoin(F.broadcast(total))
+    thr = cuts.agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("_cum")
+                    >= F.expr(f"({i} * _n + {phases - 1}) DIV {phases}"),
+                    F.col("_s"),
+                )
+            ).alias(f"_t{i}")
+            for i in range(1, phases)
+        ]
+    )
+    phase = F.lit(phases)
+    for i in range(phases - 1, 0, -1):
+        phase = F.when(F.col(score_col) <= F.col(f"_t{i}"), i).otherwise(
+            phase
+        )
+    return thr, phase
+
+
+def curriculum_source_mix(
+    df: DataFrame,
+    score_col: str = "n_chars",
+    domain_col: str = "source",
+    phases: int = 3,
+) -> DataFrame:
+    """Phase × domain interaction of the curriculum assignment — the
+    "does the easy phase over-sample one domain" check a curriculum
+    review runs before trusting phase ordering (difficulty often
+    correlates with domain, silently skewing early training).  Same
+    exact-rank thresholds as :func:`curriculum_phases`, then a
+    (phase, domain) rollup with each domain's share of its phase.
+
+    Output: phase, domain, n_docs, frac_of_phase.
+    """
+    thr, phase = _phase_thresholds(df, score_col, phases)
+    assigned = df.crossJoin(F.broadcast(thr)).withColumn(
+        "phase", phase.cast("bigint")
+    )
+    counts = assigned.groupBy("phase", F.col(domain_col)).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    totals = counts.groupBy("phase").agg(
+        F.sum("n_docs").cast("bigint").alias("_pt")
+    )
+    return (
+        counts.join(F.broadcast(totals), "phase")
+        .withColumn(
+            "frac_of_phase",
+            F.round(
+                F.col("n_docs").cast("double") / F.col("_pt").cast("double"),
+                6,
+            ),
+        )
+        .select("phase", domain_col, "n_docs", "frac_of_phase")
+    )
+
+
+def token_gini(
+    df: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Gini coefficient of tokens across documents — the "a few huge
+    docs hold most of the corpus" inequality diagnostic (drives
+    truncation and sampling decisions the way the customer-revenue
+    Gini drives account review).  Computed from GROUPED data on the
+    token-length value grid — G = 1 − Σ f_i·(S_{i−1} + S_i)/S_n over
+    ascending distinct lengths — so the only window runs over the
+    grid (length-domain-bounded), never over documents; the exact
+    grouped-data identity, not an approximation, because lengths
+    repeat.
+
+    Output (1 row): n_docs, total_tokens, gini.
+    """
+    n = F.size(words(F.col(text_col))).cast("bigint")
+    grid = (
+        df.select(n.alias("_n"))
+        .groupBy("_n")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    wcum = Window.orderBy("_n").rowsBetween(Window.unboundedPreceding, 0)
+    cum = grid.withColumn(
+        "_sv", F.sum(F.col("_n") * F.col("_c")).over(wcum)
+    )
+    tot = grid.agg(
+        F.sum("_c").cast("bigint").alias("_nd"),
+        F.sum(F.col("_n") * F.col("_c")).cast("bigint").alias("_nt"),
+    )
+    terms = cum.crossJoin(F.broadcast(tot)).select(
+        F.col("_c"),
+        F.col("_nd"),
+        F.col("_nt"),
+        # f_i * (S_{i-1} + S_i) with everything integer until one
+        # division: c * (2*S_i - n_i*c) / (nd * nt)
+        (
+            F.col("_c") * (2 * F.col("_sv") - F.col("_n") * F.col("_c"))
+        ).alias("_num"),
+    )
+    return terms.groupBy().agg(
+        F.any_value("_nd").alias("n_docs"),
+        F.any_value("_nt").alias("total_tokens"),
+        F.round(
+            1.0
+            - F.sum("_num").cast("double")
+            / (
+                F.any_value("_nd").cast("double")
+                * F.any_value("_nt").cast("double")
+            ),
+            6,
+        ).alias("gini"),
+    )
+
+
+def packing_concat_vs_pad(
+    df: DataFrame,
+    domain_col: str = "source",
+    text_col: str = "text",
+    seq_len: int = 512,
+) -> DataFrame:
+    """Concat-packing vs pad-batching cost per domain: sequences
+    needed padding each doc to seq_len (Σ ceil(n_i/L)) vs packing the
+    domain's token stream contiguously (ceil(Σn_i / L)) — the
+    ALL-integer savings table that justifies the packer in
+    ``ops.sequences`` domain by domain (the corpus-level rate is
+    :func:`packing_efficiency`'s).
+
+    Output: domain, n_docs, n_tokens, pad_sequences, concat_sequences,
+    sequences_saved, save_rate.
+    """
+    n = F.size(words(F.col(text_col))).cast("bigint")
+    per = df.select(F.col(domain_col), n.alias("_n")).withColumn(
+        "_pads", F.expr(f"(_n + {seq_len - 1}) DIV {seq_len}")
+    )
+    agg = per.groupBy(domain_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_n").cast("bigint").alias("n_tokens"),
+        F.sum("_pads").cast("bigint").alias("pad_sequences"),
+    )
+    return (
+        agg.withColumn(
+            "concat_sequences",
+            F.expr(f"(n_tokens + {seq_len - 1}) DIV {seq_len}"),
+        )
+        .withColumn(
+            "sequences_saved",
+            (F.col("pad_sequences") - F.col("concat_sequences")).cast(
+                "bigint"
+            ),
+        )
+        .withColumn(
+            "save_rate",
+            F.round(
+                F.col("sequences_saved").cast("double")
+                / F.col("pad_sequences").cast("double"),
+                6,
+            ),
+        )
     )

@@ -1208,6 +1208,34 @@ def dedup_rate_by_group(
     )
 
 
+def hot_buckets(
+    index: DataFrame,
+    k: int = 3,
+) -> DataFrame:
+    """The top-``k`` hottest buckets per band by member count — the
+    drill-down companion to :func:`index_bucket_profile`: WHICH band
+    keys are the boilerplate magnets (navigation chrome, licence
+    headers) that over-cap skipping silently drops.  One bucket-size
+    rollup + a band-partitioned rank window (deterministic ties:
+    size desc, key asc); output ≤ bands × k rows.
+
+    Output: band_id, band_key, bucket_sz, rank.
+    """
+    from pyspark.sql import Window
+
+    sizes = index.groupBy("band_id", "band_key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("bucket_sz")
+    )
+    w = Window.partitionBy("band_id").orderBy(
+        F.col("bucket_sz").desc(), F.col("band_key").asc()
+    )
+    return (
+        sizes.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select("band_id", "band_key", "bucket_sz", "rank")
+    )
+
+
 def candidate_pair_budget(
     index: DataFrame,
     max_bucket: int = DEFAULT_MAX_BUCKET,

@@ -494,6 +494,135 @@ def _bitlen_case(col_sql: str, bits: int = 52) -> str:
     return f"(CASE {whens} ELSE 0 END)"
 
 
+def _hll_registers(
+    df: DataFrame, group_col: str, key_col: str, m: int, seed: int
+) -> DataFrame:
+    """Per-group HLL register table: (group, _b bucket, _m max rank).
+    ≤ m rows per group; the mergeable representation (union register
+    tables, per-register MAX — see :func:`hll_merge_certificate`)."""
+    h = hash_mod(f"hllr{seed}", F.col(key_col), 1 << 52)
+    bucket = hash_mod(f"hllb{seed}", F.col(key_col), m)
+    rank = F.expr(f"53 - {_bitlen_case('_h')}")
+    return (
+        df.select(F.col(group_col), bucket.alias("_b"), h.alias("_h"))
+        .withColumn("_r", rank)
+        .groupBy(group_col, "_b")
+        .agg(F.max("_r").alias("_m"))
+    )
+
+
+def hll_merge_certificate(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    split_col,
+    m: int = 256,
+    seed: int = 13,
+) -> DataFrame:
+    """HLL mergeability certificate: registers(A) ⊕ registers(B)
+    (union + per-register MAX) must equal registers(A ∪ B)
+    register-for-register when A, B partition the input — the
+    property that lets every executor sketch its split and a tiny
+    reduce produce the corpus cardinality.  Output per group:
+    n_registers, n_mismatch (always 0).
+    """
+    halves = df.withColumn("_half", split_col)
+    a = _hll_registers(
+        halves.where(F.col("_half")), group_col, key_col, m, seed
+    )
+    b = _hll_registers(
+        halves.where(~F.col("_half")), group_col, key_col, m, seed
+    )
+    merged = (
+        a.unionByName(b)
+        .groupBy(group_col, "_b")
+        .agg(F.max("_m").alias("_mm"))
+    )
+    direct = _hll_registers(df, group_col, key_col, m, seed)
+    return (
+        merged.join(direct, [group_col, "_b"], "full_outer")
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_registers"),
+            F.sum(
+                F.when(
+                    F.coalesce(F.col("_mm"), F.lit(-1))
+                    != F.coalesce(F.col("_m"), F.lit(-1)),
+                    1,
+                ).otherwise(0)
+            ).cast("bigint").alias("n_mismatch"),
+        )
+    )
+
+
+def weighted_sample_by_group(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    weight_col: str,
+    n: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-group Efraimidis–Spirakis weighted sample: ``n`` winners
+    per group by the ln(u)/w key (the per-domain tier of
+    ``schemes.weighted_sample`` — e.g. "5 length-weighted exemplar
+    docs per source").  Group-partitioned rank window, never
+    SinglePartition; output capped at groups × n.
+
+    Output: input rows + es_key (rounded) + rank.
+    """
+    u = hash_uniform(f"wg{seed}", F.col(key_col))
+    es = F.log(u) / F.col(weight_col).cast("double")
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("_es").desc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("_es", es)
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= n)
+        .withColumn("es_key", F.round(F.col("_es"), 6))
+        .drop("_es")
+    )
+
+
+def heavy_hitters_batch(
+    df: DataFrame,
+    key_col: str,
+    k: int = 8,
+    num_shards: int = 8,
+) -> DataFrame:
+    """Batch twin of ``streaming.serve.heavy_hitters_stream``'s
+    OUTPUT CONTRACT, exact-count edition: keys shard by the same
+    deterministic hash, and each shard reports its top-``k`` keys by
+    exact count (deterministic ties: bigger count, then smaller key).
+    Pins the stream's sharding mechanics under the oracle gate the
+    way the pivot tiers pinned ANN search; counts here are exact
+    (the stream's are Misra–Gries lower bounds — stated difference).
+
+    One map-side-combinable (shard, key) count + a shard-partitioned
+    rank window; output ≤ k·num_shards rows.  The shard hash is the
+    portable md5 family, NOT the stream's xxhash64 (no DuckDB twin) —
+    the CONTRACT matches, the hash family is the oracle-checkable
+    stand-in, stated.
+
+    Output: shard, key, cnt, rank.
+    """
+    shard = hash_mod(f"hhb{num_shards}", F.col(key_col), num_shards)
+    counts = (
+        df.select(shard.cast("int").alias("shard"), F.col(key_col))
+        .groupBy("shard", key_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("shard").orderBy(
+        F.col("cnt").desc(), F.col(key_col).asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select("shard", key_col, "cnt", "rank")
+    )
+
+
 def hll_distinct(
     df: DataFrame,
     group_col: str,
@@ -520,19 +649,9 @@ def hll_distinct(
     rel_err.
     """
     alpha = 0.7213 / (1.0 + 1.079 / m)
-    h = hash_mod(f"hllr{seed}", F.col(key_col), 1 << 52)
-    bucket = hash_mod(f"hllb{seed}", F.col(key_col), m)
     # rank = leading zeros of the 52-bit value + 1 = 53 - bitlen(h);
     # h == 0 (prob 2^-52) pins to the max rank 53
-    rank = F.expr(f"53 - {_bitlen_case('_h')}")
-    regs = (
-        df.select(
-            F.col(group_col), bucket.alias("_b"), h.alias("_h")
-        )
-        .withColumn("_r", rank)
-        .groupBy(group_col, "_b")
-        .agg(F.max("_r").alias("_m"))
-    )
+    regs = _hll_registers(df, group_col, key_col, m, seed)
     agg = regs.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n_registers_set"),
         # empty registers contribute 2^(52-0); add them after the agg

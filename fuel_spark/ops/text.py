@@ -561,6 +561,122 @@ def top_ngrams_by_group(
     )
 
 
+def source_vocab_overlap(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    top_k: int = 100,
+) -> DataFrame:
+    """Pairwise Jaccard of the top-``k`` vocabularies between domains
+    — the domain-similarity matrix a mixture designer reads next to
+    the KL divergences (``source_divergence`` measures each domain vs
+    the blend; this measures domains against EACH OTHER).
+
+    One token-count pass, a group-partitioned top-k rank window, then
+    the pairwise join runs over the TOP-K SETS ONLY: work is
+    groups² × k, never corpus-sized (a 1000-domain corpus is 10⁶·k
+    — still tiny).  Set sizes join in exactly (a group can carry
+    fewer than k distinct words).
+
+    Output: group_a, group_b (a < b), inter, uni, jaccard.
+    """
+    from pyspark.sql import Window
+
+    counted = (
+        df.withColumn("_w", words(F.col(text_col)))
+        .select(F.col(group_col).alias("_g"), F.explode("_w").alias("_t"))
+        .where(F.col("_t") != "")
+        .groupBy("_g", "_t")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    w = Window.partitionBy("_g").orderBy(
+        F.col("_c").desc(), F.col("_t").asc()
+    )
+    top = counted.withColumn("_r", F.row_number().over(w)).where(
+        F.col("_r") <= top_k
+    )
+    sizes = top.groupBy("_g").agg(F.count(F.lit(1)).alias("_sz"))
+    a = top.select(F.col("_g").alias("group_a"), "_t")
+    b = top.select(F.col("_g").alias("group_b"), "_t")
+    inter = (
+        a.join(b, "_t")
+        .where(F.col("group_a") < F.col("group_b"))
+        .groupBy("group_a", "group_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    pairs = (
+        sizes.select(F.col("_g").alias("group_a"), F.col("_sz").alias("_sa"))
+        .crossJoin(
+            sizes.select(
+                F.col("_g").alias("group_b"), F.col("_sz").alias("_sb")
+            )
+        )
+        .where(F.col("group_a") < F.col("group_b"))
+    )
+    return (
+        pairs.join(inter, ["group_a", "group_b"], "left")
+        .withColumn("inter", F.coalesce("inter", F.lit(0)).cast("bigint"))
+        .withColumn(
+            "uni", (F.col("_sa") + F.col("_sb") - F.col("inter")).cast("bigint")
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter").cast("double") / F.col("uni").cast("double"),
+                6,
+            ),
+        )
+        .select("group_a", "group_b", "inter", "uni", "jaccard")
+    )
+
+
+def snapshot_vocab_churn(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Vocabulary churn between two corpus snapshots: distinct words
+    gained (new-only), lost (old-only), and shared — with occurrence
+    mass on the side that carries it (gained/shared count in the NEW
+    snapshot, lost in the OLD).  The vocabulary twin of the
+    length-PSI drift screen: topic drift shows up here before it
+    moves the length distribution.
+
+    Two token-count passes onto word-keyed tables, one full-outer
+    word join (vocab-sized), a 3-row rollup.
+
+    Output: status, n_words, n_occurrences.
+    """
+    def vocab(df: DataFrame, cname: str) -> DataFrame:
+        return (
+            df.withColumn("_w", words(F.col(text_col)))
+            .select(F.explode("_w").alias("_t"))
+            .where(F.col("_t") != "")
+            .groupBy("_t")
+            .agg(F.count(F.lit(1)).alias(cname))
+        )
+
+    o = vocab(old, "_co")
+    n = vocab(new, "_cn")
+    status = (
+        F.when(F.col("_co").isNull(), F.lit("gained"))
+        .when(F.col("_cn").isNull(), F.lit("lost"))
+        .otherwise(F.lit("shared"))
+    )
+    mass = F.when(F.col("_cn").isNotNull(), F.col("_cn")).otherwise(
+        F.col("_co")
+    )
+    return (
+        o.join(n, "_t", "full_outer")
+        .select(status.alias("status"), mass.alias("_m"))
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("_m").cast("bigint").alias("n_occurrences"),
+        )
+    )
+
+
 def repetition_stats(df: DataFrame, text_col: str) -> DataFrame:
     """Gopher-style repetition signals per document (Rae et al. 2021,
     "Scaling Language Models", Table A1): duplicate-word fraction,

@@ -209,3 +209,88 @@ def test_snapshot_psi_zero_on_identical(spark):
     drift = sum(r.psi_term for r in
                 curate.snapshot_length_psi(d, longer, "text").collect())
     assert drift > 0.1
+
+
+def test_token_gini_uniform_zero_and_skew_high(spark):
+    flat = from_rows(spark, [(i, "a b c d") for i in range(50)],
+                     schema="doc_id bigint, text string")
+    assert curate.token_gini(flat, "text").first().gini == 0.0
+    skew = from_rows(
+        spark,
+        [(i, "w") for i in range(40)] + [(99, " ".join(["w"] * 960))],
+        schema="doc_id bigint, text string",
+    )
+    r = curate.token_gini(skew, "text").first()
+    assert r.n_docs == 41 and r.total_tokens == 1000
+    assert r.gini > 0.85
+
+
+def test_vocab_overlap_identical_and_disjoint(spark):
+    from fuel_spark.ops import text as text_ops
+
+    rows = [("a", 1, "x y z"), ("b", 2, "x y z"), ("c", 3, "p q r")]
+    df = from_rows(spark, rows,
+                   schema="source string, doc_id bigint, text string")
+    out = {(r.group_a, r.group_b): r for r in
+           text_ops.source_vocab_overlap(df, "source", "text", 10).collect()}
+    assert out[("a", "b")].jaccard == 1.0
+    assert out[("a", "c")].jaccard == 0.0 and out[("a", "c")].uni == 6
+
+
+def test_curriculum_source_mix_fracs_sum(spark):
+    d = _docs(spark)
+    out = curate.curriculum_source_mix(d, "n_chars", "source", 3).collect()
+    from collections import defaultdict
+
+    per_phase = defaultdict(float)
+    docs = defaultdict(int)
+    for r in out:
+        per_phase[r.phase] += r.frac_of_phase
+        docs[r.phase] += r.n_docs
+    assert all(abs(v - 1.0) < 1e-3 for v in per_phase.values())
+    phases = {r.phase: r.n_docs for r in
+              curate.curriculum_phases(d, "n_chars", "text", 3).collect()}
+    assert docs == phases                    # same assignment, same totals
+
+
+def test_vocab_churn_hand_snapshots(spark):
+    from fuel_spark.ops import text as text_ops
+
+    old = from_rows(spark, [(1, "alpha beta beta"), (2, "gamma")],
+                    schema="doc_id bigint, text string")
+    new = from_rows(spark, [(1, "alpha alpha delta")],
+                    schema="doc_id bigint, text string")
+    out = {r.status: r for r in
+           text_ops.snapshot_vocab_churn(old, new, "text").collect()}
+    assert out["gained"].n_words == 1 and out["gained"].n_occurrences == 1
+    assert out["lost"].n_words == 2                       # beta, gamma
+    assert out["lost"].n_occurrences == 3                 # 2 beta + 1 gamma
+    assert out["shared"].n_words == 1                     # alpha
+    assert out["shared"].n_occurrences == 2               # NEW-side mass
+
+
+def test_concat_vs_pad_identities(spark):
+    d = _docs(spark)
+    for r in curate.packing_concat_vs_pad(d, "source", "text", 512).collect():
+        assert r.concat_sequences <= r.pad_sequences
+        assert r.sequences_saved == r.pad_sequences - r.concat_sequences
+        assert 0 <= r.save_rate < 1
+        assert r.concat_sequences == -(-r.n_tokens // 512)
+
+
+def test_hot_buckets_hand_index(spark):
+    rows = ([(i, 0, "big") for i in range(4)]
+            + [(9, 0, "mid"), (10, 0, "mid"), (11, 0, "tiny")])
+    idx = from_rows(spark, rows,
+                    schema="doc_id bigint, band_id int, band_key string")
+    out = dedup.hot_buckets(idx, k=2).collect()
+    assert [(r.band_key, r.bucket_sz, r.rank) for r in
+            sorted(out, key=lambda r: r.rank)] == [("big", 4, 1), ("mid", 2, 2)]
+
+
+def test_split_leakage_wrapper_nondegenerate(spark):
+    import __spark_entry__ as E
+
+    rows = E.q_split_leakage(spark, SF).collect()
+    # the injected exact copies guarantee cross-split shared digests
+    assert rows and all(r.n_shared_digests > 0 for r in rows)

@@ -879,6 +879,12 @@ SINGLE_PARTITION_ALLOWLIST = {
     # r7 lifecycle composition: each of the 9 audit stages is a 1-row
     # count aggregate unioned into the constant-size summary
     "incremental_dedup_pipeline",
+    # r7 late: rate-sweep = 3 sample-rate-bounded rank windows (the
+    # sketch_quantile_value family); token Gini = one value-grid
+    # cumulative window + a 1-row final; source-mix and alpha-sweep
+    # reuse the curriculum value-grid / 1-row mixture normalizers
+    "sketch_quantile_rate_sweep", "corpus_token_gini",
+    "curriculum_source_mix", "mixture_alpha_sweep",
 }
 
 

@@ -449,3 +449,43 @@ def test_cms_topk_screen_is_superset_of_true_heavies(spark):
     for r in out:
         assert r.est_cnt >= r.true_cnt
         assert r.est_cnt >= 50
+
+
+def test_hll_merge_certificate_zero_mismatch(spark):
+    rows = [("g%d" % (i % 3), i % 500) for i in range(3000)]
+    df = from_rows(spark, rows, schema="g string, k bigint")
+    out = sketch.hll_merge_certificate(
+        df, "g", "k", split_col=F.col("k") % 2 == 0
+    ).collect()
+    assert len(out) == 3 and all(r.n_mismatch == 0 for r in out)
+
+
+def test_weighted_sample_by_group_prefers_heavy(spark):
+    # one overwhelming weight per group must always be sampled
+    rows = [("a", 0, 1_000_000)] + [("a", i, 1) for i in range(1, 200)]
+    rows += [("b", 1000 + i, 10) for i in range(100)]
+    df = from_rows(spark, rows, schema="g string, k bigint, w bigint")
+    out = sketch.weighted_sample_by_group(df, "g", "k", "w", n=3).collect()
+    got_a = {r.k for r in out if r.g == "a"}
+    assert 0 in got_a                       # the heavy key wins a slot
+    from collections import Counter
+
+    c = Counter(r.g for r in out)
+    assert c == {"a": 3, "b": 3}
+    assert all(1 <= r.rank <= 3 for r in out)
+
+
+def test_heavy_hitters_batch_exact_and_capped(spark):
+    rows = [(i % 30,) for i in range(600)] + [(7,)] * 50
+    df = from_rows(spark, rows, schema="k bigint")
+    out = sketch.heavy_hitters_batch(df, "k", k=4, num_shards=4).collect()
+    from collections import Counter
+
+    per_shard = Counter(r.shard for r in out)
+    assert all(v <= 4 for v in per_shard.values())
+    true = Counter(k for (k,) in rows)
+    for r in out:
+        assert r.cnt == true[r.k]            # exact counts, not bounds
+    # key 7 (70 occurrences, the global heavy) tops its shard
+    top7 = [r for r in out if r.k == 7]
+    assert top7 and top7[0].rank == 1
