@@ -3400,15 +3400,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     as never driver-checked, moved to the front unchanged (pure
     move-to-front).  All 50 are local-pass under
     ``tools/check_correctness.py``.  The ROUND-8 staging block sits
-    immediately after: the 8 remaining never-driver-checked oracle
-    keys from round 6 (``events_kruskal_wallis`` …
-    ``events_page_hinkley``) plus every round-7-new oracle query.
-    Round 8 moves them to the front, which closes cumulative driver
-    coverage of every oracle-checked query.  Rows-only keys sit past
-    them (a driver rows-only row is weaker than their pytest
-    evidence).  Keys past that all have driver-green rows from r1-r6
-    and stay covered by ``tools/check_correctness.py`` locally every
-    session.
+    immediately after at positions 51-100: EXACTLY 50
+    never-driver-checked oracle keys — the 8 remaining from round 6
+    (``events_kruskal_wallis`` … ``events_page_hinkley``) plus the 42
+    round-7 additions.  Round 8 moves them to the front (pure
+    move-to-front), which closes cumulative driver coverage of every
+    oracle-checked query again.  Rows-only keys sit past them (a
+    driver rows-only row is weaker than their pytest evidence).  Keys
+    past that all have driver-green rows from r1-r6 and stay covered
+    by ``tools/check_correctness.py`` locally every session.
     """
     return {
         # ---- ROUND-7 driver window (first 50): the block staged at
