@@ -481,6 +481,118 @@ def near_dup_stream(
     return clean.select(*docs.columns)
 
 
+CMS_OUT_SCHEMA = "row_id int, counts array<long>, batch_total long"
+CMS_STATE_SCHEMA = "counts array<long>"
+
+
+def cms_stream(
+    events: DataFrame,
+    key_col: str,
+    depth: int = 3,
+    width: int = 256,
+    seed: int = 11,
+) -> DataFrame:
+    """Streaming Count-Min sketch as a BOUNDED-STATE stateful
+    operator: per hash row, the width-sized counter array folds each
+    micro-batch in, so state is O(depth·width) FOREVER regardless of
+    stream length or key cardinality — the same bounded-state
+    property as :func:`heavy_hitters_stream`, holding full
+    frequency-estimation structure instead of a top-k.  Point queries
+    run against the latest emission with ``ops.sketch.cms_estimate``
+    semantics (min over rows of the addressed cell).
+
+    The hash family is IDENTICAL to the batch
+    :func:`fuel_spark.ops.sketch.cms_build` (same md5 seeds), so the
+    streamed sketch equals the batch sketch of the same rows
+    cell-for-cell — pinned by test, the streaming twin of the CMS
+    merge certificate.  Each event pre-projects to ``depth``
+    (row_id, col_id) rows (a narrow union, no state); the stateful
+    group key is row_id, so parallelism is depth-wide — right for a
+    sketch whose whole point is being tiny; shard the KEY SPACE into
+    several sketches upstream if a single firehose saturates.
+
+    Update-mode semantics: each batch re-emits every row's CURRENT
+    counter array (superseding earlier emissions).  Output: row_id,
+    counts (width longs), batch_total.
+    """
+    import pandas as pd
+
+    from fuel_spark.functions import hash_mod
+
+    parts = [
+        events.select(
+            F.lit(i).cast("int").alias("_row"),
+            hash_mod(f"cms{seed}r{i}", F.col(key_col), width).alias("_col"),
+        )
+        for i in range(depth)
+    ]
+    prepared = parts[0]
+    for p in parts[1:]:
+        prepared = prepared.unionByName(p)
+
+    def fn(key, pdfs, state: GroupState):
+        (row_id,) = key
+        counts = list(state.get[0]) if state.exists else [0] * width
+        seen = 0
+        for pdf in pdfs:
+            for c in pdf["_col"].to_numpy():
+                counts[int(c)] += 1
+                seen += 1
+        state.update(([int(x) for x in counts],))
+        yield pd.DataFrame(
+            [(row_id, [int(x) for x in counts], seen)],
+            columns=["row_id", "counts", "batch_total"],
+        )
+
+    return prepared.groupBy("_row").applyInPandasWithState(
+        fn,
+        outputStructType=CMS_OUT_SCHEMA,
+        stateStructType=CMS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def bloom_screen_stream(
+    candidates: DataFrame,
+    bloom: DataFrame,
+    key_col: str,
+    m_bits: int = 4096,
+    k_hashes: int = 3,
+    seed: int = 5,
+) -> DataFrame:
+    """Streaming Bloom membership screen against a STATIC position
+    table (``ops.sketch.bloom_build`` output): each incoming key is
+    flagged iff ALL ``k_hashes`` of its bit positions are set — the
+    zero-streaming-state screen shape of :func:`near_dup_stream`
+    applied to exact membership (seen URLs, processed doc ids) at
+    O(1) state instead of a growing seen-set.
+
+    ``k_hashes`` chained stream-static LEFT joins (append-mode legal,
+    no state) + a row-local flag; the ≤ m_bits position table
+    broadcasts.  No false negatives by construction (Bloom 1970); the
+    false-positive rate is the planner's
+    (``ops.sketch.bloom_size_planner``).  Output: input columns +
+    bloom_hit.
+    """
+    from fuel_spark.functions import hash_mod
+
+    out = candidates
+    for i in range(k_hashes):
+        out = out.withColumn(
+            f"_pos{i}", hash_mod(f"bl{seed}h{i}", F.col(key_col), m_bits)
+        )
+        b_i = bloom.select(F.col("pos").alias(f"_bp{i}")).distinct()
+        out = out.join(b_i, out[f"_pos{i}"] == b_i[f"_bp{i}"], "left")
+    hit = None
+    for i in range(k_hashes):
+        c = F.col(f"_bp{i}").isNotNull()
+        hit = c if hit is None else (hit & c)
+    return out.withColumn("bloom_hit", hit).select(
+        *candidates.columns, "bloom_hit"
+    )
+
+
 PACK_STATE_SCHEMA = "next_pack long, cur_tok long, cur_ids array<long>"
 PACK_OUT_SCHEMA = (
     "shard bigint, pack_id bigint, doc_ids array<bigint>, "

@@ -720,3 +720,92 @@ def test_heavy_hitters_stream_bounded_state_and_mg_bound(spark, workdir):
         assert len(rows) <= 8  # bounded state, every batch
     final = {r.key: r.count_min for r in emitted[-1]}
     assert final == {7: 198}
+
+
+def test_cms_stream_equals_batch_sketch(spark, workdir):
+    """Two micro-batches; the streamed CMS's final counter arrays must
+    equal the batch cms_build over the union, cell for cell (same md5
+    family) — and every emission is exactly `depth` rows (bounded
+    state, every batch)."""
+    import pandas as pd
+
+    from fuel_spark.ops import sketch
+    from fuel_spark.sources import from_rows
+
+    src = os.path.join(workdir, "cms_src")
+    ckpt = os.path.join(workdir, "cms_ckpt")
+    os.makedirs(src)
+    all_rows = []
+    for b in range(2):
+        rows = [(b * 1000 + (i % 13),) for i in range(120)]
+        all_rows += rows
+        pd.DataFrame(rows, columns=["user_id"]).to_parquet(
+            os.path.join(src, f"{b:03d}.parquet")
+        )
+    stream = (
+        spark.readStream.schema("user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    batches = []
+    q = (
+        serve.cms_stream(stream, "user_id", depth=3, width=64)
+        .writeStream.outputMode("update")
+        .foreachBatch(lambda d, i: batches.append((i, d.collect())))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    emitted = [rows for _, rows in batches if rows]
+    assert len(emitted) >= 2
+    for rows in emitted:
+        assert len(rows) == 3                      # depth rows, every batch
+        assert all(len(r.counts) == 64 for r in rows)
+    final = {r.row_id: list(r.counts) for r in emitted[-1]}
+    static = from_rows(spark, all_rows, schema="user_id long")
+    cells = {(r.row_id, r.col_id): r.cnt for r in
+             sketch.cms_build(static, "user_id", depth=3, width=64).collect()}
+    for row_id, counts in final.items():
+        for col_id, cnt in enumerate(counts):
+            assert cnt == cells.get((row_id, col_id), 0), (row_id, col_id)
+
+
+def test_bloom_screen_stream_no_false_negatives(spark, workdir):
+    """Stream candidates 0..99 against a static bloom of members
+    0..49: every member must flag (no false negatives); append mode,
+    zero streaming state."""
+    import pandas as pd
+
+    from fuel_spark.ops import sketch
+    from fuel_spark.sources import from_rows
+
+    src = os.path.join(workdir, "bl_src")
+    ckpt = os.path.join(workdir, "bl_ckpt")
+    os.makedirs(src)
+    pd.DataFrame([(i,) for i in range(100)], columns=["k"]).to_parquet(
+        os.path.join(src, "000.parquet")
+    )
+    members = from_rows(spark, [(i,) for i in range(50)], schema="k bigint")
+    bloom = sketch.bloom_build(members, "k", m_bits=4096, k_hashes=3)
+    stream = spark.readStream.schema("k long").parquet(src)
+    got = []
+    q = (
+        serve.bloom_screen_stream(stream, bloom, "k", 4096, 3)
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda d, i: got.extend(d.collect()))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    hits = {r.k: r.bloom_hit for r in got}
+    assert len(hits) == 100
+    assert all(hits[i] for i in range(50))          # no false negatives
+    fp = sum(1 for i in range(50, 100) if hits[i])
+    assert fp <= 10
+    # batch twin agrees key-for-key
+    cands = from_rows(spark, [(i,) for i in range(100)], schema="k bigint")
+    batch = {r.k: r.bloom_hit for r in
+             sketch.bloom_screen(cands, bloom, "k", 4096, 3).collect()}
+    assert hits == batch
