@@ -100,6 +100,11 @@ HEADLINERS = (
     # (both oracle-checked; the round's certificate additions)
     "ann_lsh_pivot",
     "ann_mmr_fixed",
+    # r7 headliners: the incremental-dedup lifecycle composition (the
+    # round's flagship composite) and the quantile-sketch certificate
+    # (the mergeable-sketch family's representative)
+    "incremental_dedup_pipeline",
+    "sketch_quantile_value",
 )
 
 # The regression-gate set: the 16 headliners benched every round since
