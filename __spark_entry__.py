@@ -3382,6 +3382,98 @@ def q_hot_buckets(spark, sf):
     return dedup.hot_buckets(idx, k=3)
 
 
+def q_bloom_merge(spark, sf):
+    """Bloom position-table mergeability certificate (r7): union of
+    half filters vs the direct filter, mismatch 0."""
+    e = _t(spark, sf)["events"]
+    return sketch.bloom_merge_certificate(
+        e.select("user_id"), "user_id",
+        split_col=F.col("user_id") % 2 == 0,
+    )
+
+
+def q_split_source_balance(spark, sf):
+    """Domain balance of the iid split over documents (r7): per split
+    x source counts + within-split shares."""
+    d = _t(spark, sf)["documents"]
+    s = sketch.train_val_test_split(d, "doc_id")
+    counts = s.groupBy("split", "source").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    totals = counts.groupBy("split").agg(
+        F.sum("n_docs").cast("bigint").alias("_st")
+    )
+    return (
+        counts.join(F.broadcast(totals), "split")
+        .withColumn(
+            "frac_within_split",
+            F.round(
+                F.col("n_docs").cast("double") / F.col("_st").cast("double"),
+                6,
+            ),
+        )
+        .select("split", "source", "n_docs", "frac_within_split")
+    )
+
+
+def q_sample_rate_cert(spark, sf):
+    """Stratified-sample realized-rate certificate (r7): per-stratum
+    |rate − 0.2| against the DKW 95% band — was the stratum big
+    enough for its sample to be trusted."""
+    d = _t(spark, sf)["documents"]
+    out = sketch.stratified_sample_summary(d, "source", "doc_id", frac=0.2)
+    eps = F.round(
+        F.sqrt(F.lit(math.log(2.0 / 0.05)) / (2.0 * F.col("n_total"))), 6
+    )
+    return (
+        out.withColumn("eps_95", eps)
+        .withColumn(
+            "within_eps",
+            F.abs(F.col("rate") - F.lit(0.2)) <= F.col("eps_95"),
+        )
+    )
+
+
+def q_funnel_threshold_sweep(spark, sf):
+    """Quality-funnel min-words sweep (r7): full-chain survivors at
+    min_words 10/30/100 in one pass."""
+    d = _t(spark, sf)["documents"]
+    return curate_ops.funnel_threshold_sweep(
+        d, "text", word_thresholds=(10, 30, 100)
+    )
+
+
+def q_source_mix_shift(spark, sf):
+    """Domain-mix drift between snapshots (r7): per-source doc share
+    old vs new + delta."""
+    d = _t(spark, sf)["documents"].select("doc_id", "text", "source")
+    fresh = d.where(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.lit("fresh "), F.col("text")).alias("text"),
+        "source",
+    )
+    new = (
+        d.where(F.col("doc_id") >= 10)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+            ).otherwise(F.col("text")),
+        )
+        .unionByName(fresh)
+    )
+    return curate_ops.source_mix_shift(d, new, "source")
+
+
+def q_jaccard_histogram(spark, sf):
+    """Verified-pair similarity deciles (r7): the candidate-quality
+    distribution behind threshold choice."""
+    d = _t(spark, sf)["documents"]
+    return dedup.pair_jaccard_histogram(
+        dedup.ngram_jaccard_pairs(d, "doc_id", "text")
+    )
+
+
 def q_kll_quantiles(spark, sf):
     """Compactor-based KLL sketch over events.value (r7, rows-only by
     design: deterministic compaction is partitioning-defined; the
@@ -3522,6 +3614,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_alpha_sweep": q_mixture_alpha_sweep,
         "dedup_hot_buckets": q_hot_buckets,
         # ---- end of the round-8 staging block (exactly 50 keys) -----
+        # r9 seeds (positions 101+): late-r7 oracle keys, never
+        # driver-checked; they start the r9 pool after r8 rotates.
+        "sketch_bloom_merge_cert": q_bloom_merge,
+        "split_source_balance": q_split_source_balance,
+        "sample_rate_certificate": q_sample_rate_cert,
+        "curation_threshold_sweep": q_funnel_threshold_sweep,
+        "snapshot_source_mix_shift": q_source_mix_shift,
+        "dedup_jaccard_histogram": q_jaccard_histogram,
+        # ---- end of the r9 seed block --------------------------------
         # ---- driver-green in r6 (CORRECTNESS_r06.json, 50/50): the
         # round-6 window, now cumulative coverage. --------------------
         "text_strip_html": q_strip_html,
@@ -12363,6 +12464,116 @@ def oracle_sql() -> dict[str, str]:
         {_mix_cte(1.0, "c_")}
         SELECT * FROM a_w UNION ALL SELECT * FROM b_w
         UNION ALL SELECT * FROM c_w
+    """
+
+    # merged positions == direct positions (deterministic hashes):
+    # the oracle computes the direct count and states the identity.
+    _bloom_all = " UNION ALL ".join(
+        f"SELECT {hash_mod_sql(f'bl5h{i}', 'user_id', 4096)} AS pos"
+        f" FROM events"
+        for i in range(3)
+    )
+    sqls["sketch_bloom_merge_cert"] = f"""
+        SELECT count(DISTINCT pos) AS n_positions,
+               CAST(0 AS BIGINT) AS n_mismatch
+        FROM ({_bloom_all})
+    """
+
+    sqls["split_source_balance"] = f"""
+        WITH s AS (SELECT source, {_split_case} AS split
+                   FROM (SELECT {hash_uniform_sql('tvt42', 'doc_id')} AS u,
+                                source
+                         FROM documents)),
+        c AS (SELECT split, source, count(*) AS n_docs FROM s GROUP BY 1, 2),
+        t AS (SELECT split, CAST(sum(n_docs) AS BIGINT) AS st
+              FROM c GROUP BY 1)
+        SELECT c.split, c.source, c.n_docs,
+          round(CAST(n_docs AS DOUBLE) / CAST(st AS DOUBLE), 6)
+            AS frac_within_split
+        FROM c JOIN t USING (split)
+    """
+
+    sqls["sample_rate_certificate"] = f"""
+        WITH s AS (SELECT source,
+                     {hash_uniform_sql('ss42', 'doc_id')}
+                       <= CAST(0.2 AS DOUBLE) AS keep
+                   FROM documents),
+        agg AS (SELECT source, count(*) AS n_total,
+                  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_kept,
+                  round(CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END)
+                             AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+                    AS rate
+                FROM s GROUP BY 1),
+        e AS (SELECT *,
+                round(sqrt({_ln40}
+                           / (CAST(2.0 AS DOUBLE) * n_total)), 6) AS eps_95
+              FROM agg)
+        SELECT *, abs(rate - {repr(0.2)}) <= eps_95 AS within_eps FROM e
+    """
+
+    _fn_base = (
+        "length(text) >= 200"
+        " AND CAST(COALESCE(list_sum(list_transform(w, x -> length(x))), 0)"
+        "      AS DOUBLE) / CAST(greatest(len(w), 1) AS DOUBLE)"
+        f"      BETWEEN {repr(3.0)} AND {repr(10.0)}"
+        " AND CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))"
+        "      AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE)"
+        f"      >= {repr(0.6)}"
+    )
+    _fn_sums = ", ".join(
+        f"CAST(sum(CASE WHEN ({_fn_base}) AND len(w) >= {thr}"
+        f" THEN 1 ELSE 0 END) AS BIGINT) AS s{i}"
+        for i, thr in enumerate((10, 30, 100))
+    )
+    _fn_rows = " UNION ALL ".join(
+        f"SELECT CAST({thr} AS BIGINT) AS min_words, n0 AS rows_in,"
+        f" s{i} AS rows_out,"
+        f" round(CAST(n0 - s{i} AS DOUBLE) / CAST(n0 AS DOUBLE), 6)"
+        f" AS drop_rate FROM agg"
+        for i, thr in enumerate((10, 30, 100))
+    )
+    sqls["curation_threshold_sweep"] = f"""
+        WITH d AS (SELECT text, {w} AS w FROM documents),
+        agg AS (SELECT count(*) AS n0, {_fn_sums} FROM d)
+        {_fn_rows}
+    """
+
+    sqls["snapshot_source_mix_shift"] = f"""
+        WITH newdocs AS (
+          SELECT doc_id, source FROM documents WHERE doc_id >= 10
+          UNION ALL
+          SELECT doc_id + 1000000 AS doc_id, source
+          FROM documents WHERE doc_id < 5
+        ),
+        o AS (SELECT source, count(*) AS n_old FROM documents GROUP BY 1),
+        ot AS (SELECT CAST(sum(n_old) AS BIGINT) AS t FROM o),
+        os AS (SELECT source, n_old,
+                 round(CAST(n_old AS DOUBLE) / CAST(t AS DOUBLE), 6)
+                   AS share_old
+               FROM o, ot),
+        n_ AS (SELECT source, count(*) AS n_new FROM newdocs GROUP BY 1),
+        nt AS (SELECT CAST(sum(n_new) AS BIGINT) AS t FROM n_),
+        ns AS (SELECT source, n_new,
+                 round(CAST(n_new AS DOUBLE) / CAST(t AS DOUBLE), 6)
+                   AS share_new
+               FROM n_, nt)
+        SELECT COALESCE(os.source, ns.source) AS source,
+          CAST(COALESCE(n_old, 0) AS BIGINT) AS n_old,
+          CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new,
+          COALESCE(share_old, CAST(0.0 AS DOUBLE)) AS share_old,
+          COALESCE(share_new, CAST(0.0 AS DOUBLE)) AS share_new,
+          round(COALESCE(share_new, CAST(0.0 AS DOUBLE))
+                - COALESCE(share_old, CAST(0.0 AS DOUBLE)), 6)
+            AS share_delta
+        FROM os FULL OUTER JOIN ns ON os.source = ns.source
+    """
+
+    sqls["dedup_jaccard_histogram"] = f"""
+        WITH base AS ({sqls['dedup_jaccard']})
+        SELECT CAST(floor(jaccard * 10) AS BIGINT) AS bin_tenths,
+               count(*) AS n_pairs
+        FROM base GROUP BY 1
     """
 
     sqls["dedup_hot_buckets"] = f"""

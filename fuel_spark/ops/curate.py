@@ -565,3 +565,110 @@ def packing_concat_vs_pad(
             ),
         )
     )
+
+
+def funnel_threshold_sweep(
+    df: DataFrame,
+    text_col: str = "text",
+    word_thresholds: tuple[int, ...] = (10, 30, 100),
+) -> DataFrame:
+    """Threshold sweep for the quality funnel's word-count stage: the
+    full 4-stage chain (:func:`curation_funnel`) re-run at each
+    min-words setting, in ONE pass — the "how much does tightening
+    min_words actually cost" table that picks the threshold before a
+    run commits (the sweep pattern of ``dedup_threshold_sweep``).
+
+    All predicates per row in codegen, one 1-row conditional-sum
+    aggregate, unpivoted to |thresholds| constant rows.
+
+    Output: min_words, rows_in, rows_out, drop_rate.
+    """
+    t = F.col(text_col)
+    w = words(t)
+    n_chars = F.length(t)
+    n_words = F.size(w)
+    mwl = F.length(F.concat_ws("", w)).cast("double") / F.greatest(
+        n_words, F.lit(1)
+    ).cast("double")
+    alpha_ratio = F.length(
+        F.regexp_replace(F.lower(t), "[^a-z]", "")
+    ).cast("double") / F.greatest(n_chars, F.lit(1)).cast("double")
+    base = (
+        (n_chars >= 200)
+        & (mwl >= 3.0) & (mwl <= 10.0)
+        & (alpha_ratio >= 0.6)
+    )
+    aggs = [F.count(F.lit(1)).alias("_n0")]
+    for i, thr in enumerate(word_thresholds):
+        aggs.append(
+            F.sum(F.when(base & (n_words >= int(thr)), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"_s{i}")
+        )
+    agg = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(int(thr)).cast("bigint").alias("min_words"),
+                F.col("_n0").alias("rows_in"),
+                F.col(f"_s{i}").alias("rows_out"),
+            )
+            for i, thr in enumerate(word_thresholds)
+        ]
+    )
+    return (
+        agg.select(F.explode(rows).alias("_r"))
+        .select("_r.min_words", "_r.rows_in", "_r.rows_out")
+        .withColumn(
+            "drop_rate",
+            F.round(
+                (F.col("rows_in") - F.col("rows_out")).cast("double")
+                / F.col("rows_in").cast("double"),
+                6,
+            ),
+        )
+    )
+
+
+def source_mix_shift(
+    old: DataFrame,
+    new: DataFrame,
+    domain_col: str = "source",
+) -> DataFrame:
+    """Domain-mix drift between corpus snapshots: each domain's doc
+    share in the old vs new snapshot and the delta — the "did the new
+    crawl tilt the mixture" screen beside the length PSI (that one
+    catches size drift; this catches composition drift).
+
+    Two domain-sized rollups + one full-outer domain join; shares are
+    exact-integer divisions rounded 6.  Output: domain, n_old, n_new,
+    share_old, share_new, share_delta.
+    """
+    def shares(df: DataFrame, cname: str) -> DataFrame:
+        c = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias(cname))
+        t = c.agg(F.sum(cname).cast("bigint").alias("_t"))
+        return c.crossJoin(F.broadcast(t)).select(
+            domain_col,
+            F.col(cname),
+            F.round(
+                F.col(cname).cast("double") / F.col("_t").cast("double"), 6
+            ).alias(f"share_{cname[2:]}"),
+        )
+
+    o = shares(old, "n_old")
+    n2 = shares(new, "n_new")
+    return (
+        o.join(n2, domain_col, "full_outer")
+        .select(
+            domain_col,
+            F.coalesce("n_old", F.lit(0)).cast("bigint").alias("n_old"),
+            F.coalesce("n_new", F.lit(0)).cast("bigint").alias("n_new"),
+            F.coalesce("share_old", F.lit(0.0)).alias("share_old"),
+            F.coalesce("share_new", F.lit(0.0)).alias("share_new"),
+            F.round(
+                F.coalesce("share_new", F.lit(0.0))
+                - F.coalesce("share_old", F.lit(0.0)),
+                6,
+            ).alias("share_delta"),
+        )
+    )

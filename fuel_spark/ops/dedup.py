@@ -1540,6 +1540,24 @@ def hamming_near_dup(
     )
 
 
+
+def pair_jaccard_histogram(pairs: DataFrame) -> DataFrame:
+    """Decile histogram of verified near-dup pair similarities — the
+    candidate-quality distribution behind threshold choice (a mass at
+    0.0-0.2 means the bands are loose; a spike at 1.0 means exact
+    dups leaked past the exact pass).  Input is any verified pair
+    frame carrying a ``jaccard`` column (``ngram_jaccard_pairs``,
+    ``fuzzy_join``); one map-side-combinable rollup onto <= 10 bins.
+
+    Output: bin_tenths (floor(j*10)), n_pairs.
+    """
+    return (
+        pairs.groupBy(
+            F.floor(F.col("jaccard") * 10).cast("bigint").alias("bin_tenths")
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
 def pair_quality_stats(pairs: DataFrame) -> DataFrame:
     """Dedup-tuning rollup over verified near-dup pairs (the
     :func:`ngram_jaccard_pairs` output): pair count, exact mean

@@ -381,6 +381,43 @@ def bloom_screen(
     )
 
 
+def bloom_merge_certificate(
+    df: DataFrame,
+    key_col: str,
+    split_col,
+    m_bits: int = 4096,
+    k_hashes: int = 3,
+    seed: int = 5,
+) -> DataFrame:
+    """Bloom mergeability certificate: positions(A) ∪ positions(B)
+    must equal positions(A ∪ B) when A, B partition the members —
+    the set-union property that lets per-shard filters OR together.
+    Output (1 row): n_positions, n_mismatch (always 0).
+    """
+    halves = df.withColumn("_half", split_col)
+    a = bloom_build(
+        halves.where(F.col("_half")), key_col, m_bits, k_hashes, seed
+    )
+    b = bloom_build(
+        halves.where(~F.col("_half")), key_col, m_bits, k_hashes, seed
+    )
+    merged = a.unionByName(b).distinct().withColumn("_m", F.lit(1))
+    direct = bloom_build(df, key_col, m_bits, k_hashes, seed).withColumn(
+        "_d", F.lit(1)
+    )
+    return (
+        merged.join(direct, "pos", "full_outer")
+        .agg(
+            F.count(F.lit(1)).alias("n_positions"),
+            F.sum(
+                F.when(
+                    F.col("_m").isNull() | F.col("_d").isNull(), 1
+                ).otherwise(0)
+            ).cast("bigint").alias("n_mismatch"),
+        )
+    )
+
+
 def bloom_size_planner(
     df: DataFrame,
     group_col: str,

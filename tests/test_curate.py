@@ -294,3 +294,53 @@ def test_split_leakage_wrapper_nondegenerate(spark):
     rows = E.q_split_leakage(spark, SF).collect()
     # the injected exact copies guarantee cross-split shared digests
     assert rows and all(r.n_shared_digests > 0 for r in rows)
+
+
+def test_bloom_merge_certificate_zero_mismatch(spark):
+    from fuel_spark.ops import sketch
+
+    df = from_rows(spark, [(i % 300,) for i in range(900)],
+                   schema="k bigint")
+    r = sketch.bloom_merge_certificate(
+        df, "k", split_col=F.col("k") % 2 == 0
+    ).first()
+    assert r.n_mismatch == 0 and r.n_positions > 0
+
+
+def test_funnel_threshold_sweep_monotone_and_consistent(spark):
+    d = _docs(spark)
+    rows = {r.min_words: r for r in
+            curate.funnel_threshold_sweep(d, "text", (10, 30, 100)).collect()}
+    assert rows[10].rows_out >= rows[30].rows_out >= rows[100].rows_out
+    assert all(r.rows_in == d.count() for r in rows.values())
+    # the min_words=30 setting IS the standard funnel's full chain
+    funnel = sorted(curate.curation_funnel(d, "text").collect(),
+                    key=lambda r: r.stage)
+    assert rows[30].rows_out == funnel[-1].rows_out
+
+
+def test_source_mix_shift_identity_and_shares(spark):
+    d = _docs(spark).select("doc_id", "text", "source")
+    out = curate.source_mix_shift(d, d, "source").collect()
+    assert all(r.share_delta == 0.0 for r in out)
+    assert abs(sum(r.share_new for r in out) - 1.0) < 1e-3
+
+
+def test_pair_jaccard_histogram_hand_pairs(spark):
+    pairs = from_rows(
+        spark,
+        [(1, 2, 0.05), (3, 4, 0.55), (5, 6, 0.58), (7, 8, 1.0)],
+        schema="id_a bigint, id_b bigint, jaccard double",
+    )
+    out = {r.bin_tenths: r.n_pairs for r in
+           dedup.pair_jaccard_histogram(pairs).collect()}
+    assert out == {0: 1, 5: 2, 10: 1}
+
+
+def test_sample_rate_certificate_wrapper(spark):
+    import __spark_entry__ as E
+
+    rows = E.q_sample_rate_cert(spark, SF).collect()
+    for r in rows:
+        assert r.eps_95 > 0
+        assert r.within_eps == (abs(r.rate - 0.2) <= r.eps_95)

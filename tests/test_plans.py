@@ -885,6 +885,11 @@ SINGLE_PARTITION_ALLOWLIST = {
     # reuse the curriculum value-grid / 1-row mixture normalizers
     "sketch_quantile_rate_sweep", "corpus_token_gini",
     "curriculum_source_mix", "mixture_alpha_sweep",
+    # r7 seeds: 1-row certificate/sweep finals (bloom position census;
+    # the funnel sweep's single conditional-sum row) and the
+    # domain-sized share normalizers (mix shift's two 1-row totals)
+    "sketch_bloom_merge_cert", "curation_threshold_sweep",
+    "snapshot_source_mix_shift",
 }
 
 
