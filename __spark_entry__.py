@@ -3474,6 +3474,53 @@ def q_jaccard_histogram(spark, sf):
     )
 
 
+def q_hll_m_sweep(spark, sf):
+    """HLL register-count sweep (r7 seed): global distinct-user
+    rel-err at m 64/256/1024 — the memory-vs-error sizing table."""
+    e = _t(spark, sf)["events"].withColumn("_g", F.lit("all"))
+    out = None
+    for m in (64, 256, 1024):
+        part = sketch.hll_distinct(e, "_g", "user_id", m=m).select(
+            F.lit(m).cast("bigint").alias("m_registers"),
+            "n_registers_set", "est_distinct", "exact_distinct", "rel_err",
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def q_split_fraction_sweep(spark, sf):
+    """Train-fraction sweep (r7 seed): per-split doc counts at train
+    0.8 / 0.9 / 0.95 (val fixed at half the holdout)."""
+    d = _t(spark, sf)["documents"]
+    out = None
+    for tf in (0.8, 0.9, 0.95):
+        vf = (1.0 - tf) / 2.0
+        part = (
+            sketch.train_val_test_split(d, "doc_id", tf, vf)
+            .groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .select(
+                F.lit(float(tf)).alias("train_frac"), "split", "n_docs"
+            )
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def q_funnel_by_source(spark, sf):
+    """Per-domain quality-screen survival (r7 seed): which sources
+    die at the funnel."""
+    d = _t(spark, sf)["documents"]
+    return curate_ops.curation_funnel_by_group(d, "source", "text")
+
+
+def q_packing_seqlen_sweep(spark, sf):
+    """seq_len-choice table (r7 seed): corpus padding waste at
+    256/512/1024 in one pass."""
+    d = _t(spark, sf)["documents"]
+    return curate_ops.packing_seqlen_sweep(d, "text", (256, 512, 1024))
+
+
 def q_kll_quantiles(spark, sf):
     """Compactor-based KLL sketch over events.value (r7, rows-only by
     design: deterministic compaction is partitioning-defined; the
@@ -3622,6 +3669,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_threshold_sweep": q_funnel_threshold_sweep,
         "snapshot_source_mix_shift": q_source_mix_shift,
         "dedup_jaccard_histogram": q_jaccard_histogram,
+        "sketch_hll_m_sweep": q_hll_m_sweep,
+        "split_fraction_sweep": q_split_fraction_sweep,
+        "curation_funnel_by_source": q_funnel_by_source,
+        "packing_seqlen_sweep": q_packing_seqlen_sweep,
         # ---- end of the r9 seed block --------------------------------
         # ---- driver-green in r6 (CORRECTNESS_r06.json, 50/50): the
         # round-6 window, now cumulative coverage. --------------------
@@ -12574,6 +12625,95 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(floor(jaccard * 10) AS BIGINT) AS bin_tenths,
                count(*) AS n_pairs
         FROM base GROUP BY 1
+    """
+
+    def _hll_sweep_cte(m: int, p: str) -> str:
+        alpha_lit = repr((0.7213 / (1.0 + 1.079 / m)) * m * m)
+        return f"""
+        {p}regs AS (SELECT {hash_mod_sql('hllb13', 'user_id', m)} AS b,
+                      {hash_mod_sql('hllr13', 'user_id', 1 << 52)} AS h
+                    FROM events),
+        {p}r2 AS (SELECT b, max(53 - {_hll_bitlen('h')}) AS m
+                  FROM {p}regs GROUP BY 1),
+        {p}agg AS (SELECT count(*) AS n_registers_set,
+                     CAST(sum(CAST(pow(CAST(2 AS DOUBLE), 52 - m)
+                                   AS BIGINT)) AS BIGINT) AS sum_set
+                   FROM {p}r2),
+        {p}e0 AS (SELECT CAST({m} AS BIGINT) AS m_registers,
+                    n_registers_set,
+                    (SELECT CAST(count(DISTINCT user_id) AS BIGINT)
+                     FROM events) AS exact_distinct,
+                    {alpha_lit}
+                      / ((CAST(sum_set AS DOUBLE)
+                          + CAST(({m} - n_registers_set) AS DOUBLE)
+                            * {_two52}) / {_two52}) AS raw,
+                    {m} - n_registers_set AS zeros
+                  FROM {p}agg),
+        {p}e1 AS (SELECT m_registers, n_registers_set, exact_distinct,
+                    round(CASE WHEN raw <= {repr(2.5 * m)} AND zeros > 0
+                               THEN (-{repr(float(m))})
+                                    * ln(CAST(zeros AS DOUBLE)
+                                         / {repr(float(m))})
+                               ELSE raw END, 6) AS est_distinct
+                  FROM {p}e0)
+        """
+
+    _hll_sweep_sel = " UNION ALL ".join(
+        f"SELECT m_registers, n_registers_set, est_distinct,"
+        f" exact_distinct,"
+        f" round(abs(est_distinct - CAST(exact_distinct AS DOUBLE))"
+        f" / CAST(exact_distinct AS DOUBLE), 6) AS rel_err FROM {p}e1"
+        for p in ("hm64_", "hm256_", "hm1024_")
+    )
+    sqls["sketch_hll_m_sweep"] = f"""
+        WITH {_hll_sweep_cte(64, "hm64_")},
+        {_hll_sweep_cte(256, "hm256_")},
+        {_hll_sweep_cte(1024, "hm1024_")}
+        {_hll_sweep_sel}
+    """
+
+    _sf_sweep = []
+    for tf in (0.8, 0.9, 0.95):
+        vf = (1.0 - tf) / 2.0
+        case = (f"CASE WHEN u <= {repr(float(tf))} THEN 'train'"
+                f" WHEN u <= {repr(float(tf) + float(vf))} THEN 'val'"
+                f" ELSE 'test' END")
+        _sf_sweep.append(
+            f"SELECT {repr(float(tf))} AS train_frac, {case} AS split,"
+            f" count(*) AS n_docs"
+            f" FROM (SELECT {hash_uniform_sql('tvt42', 'doc_id')} AS u"
+            f" FROM documents) GROUP BY 1, 2"
+        )
+    sqls["split_fraction_sweep"] = " UNION ALL ".join(_sf_sweep)
+
+    sqls["curation_funnel_by_source"] = f"""
+        WITH d AS (SELECT source, text, {w} AS w FROM documents)
+        SELECT source, count(*) AS n_docs,
+          CAST(sum(CASE WHEN ({_fn_base}) AND len(w) >= 30
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors,
+          round(CAST(sum(CASE WHEN ({_fn_base}) AND len(w) >= 30
+                        THEN 1 ELSE 0 END) AS DOUBLE)
+                / CAST(count(*) AS DOUBLE), 6) AS survival_rate
+        FROM d GROUP BY 1
+    """
+
+    _ps_sums = ", ".join(
+        f"CAST(sum((n + {L - 1}) // {L} * {L}) AS BIGINT) AS p{i}"
+        for i, L in enumerate((256, 512, 1024))
+    )
+    _ps_rows = " UNION ALL ".join(
+        f"SELECT CAST({L} AS BIGINT) AS seq_len, nd AS n_docs,"
+        f" nt AS n_tokens, p{i} AS n_padded,"
+        f" round(CAST(p{i} - nt AS DOUBLE) / CAST(p{i} AS DOUBLE), 6)"
+        f" AS waste_rate FROM agg"
+        for i, L in enumerate((256, 512, 1024))
+    )
+    sqls["packing_seqlen_sweep"] = f"""
+        WITH per AS (SELECT CAST(len({w}) AS BIGINT) AS n FROM documents),
+        agg AS (SELECT count(*) AS nd, CAST(sum(n) AS BIGINT) AS nt,
+                  {_ps_sums}
+                FROM per)
+        {_ps_rows}
     """
 
     sqls["dedup_hot_buckets"] = f"""

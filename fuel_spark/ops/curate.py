@@ -672,3 +672,99 @@ def source_mix_shift(
             ).alias("share_delta"),
         )
     )
+
+
+def curation_funnel_by_group(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-domain survival of the full 4-stage quality chain
+    (:func:`curation_funnel`'s predicates) — WHICH domains die at the
+    screen, the review that catches a threshold silently deleting one
+    source.  One grouped conditional-sum pass.
+
+    Output: group, n_docs, n_survivors, survival_rate.
+    """
+    t = F.col(text_col)
+    w = words(t)
+    n_chars = F.length(t)
+    n_words = F.size(w)
+    mwl = F.length(F.concat_ws("", w)).cast("double") / F.greatest(
+        n_words, F.lit(1)
+    ).cast("double")
+    alpha_ratio = F.length(
+        F.regexp_replace(F.lower(t), "[^a-z]", "")
+    ).cast("double") / F.greatest(n_chars, F.lit(1)).cast("double")
+    keep = (
+        (n_chars >= 200) & (n_words >= 30)
+        & (mwl >= 3.0) & (mwl <= 10.0)
+        & (alpha_ratio >= 0.6)
+    )
+    return (
+        df.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(keep, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_survivors"),
+        )
+        .withColumn(
+            "survival_rate",
+            F.round(
+                F.col("n_survivors").cast("double")
+                / F.col("n_docs").cast("double"),
+                6,
+            ),
+        )
+    )
+
+
+def packing_seqlen_sweep(
+    df: DataFrame,
+    text_col: str = "text",
+    seq_lens: tuple[int, ...] = (256, 512, 1024),
+) -> DataFrame:
+    """Corpus padding waste at several sequence lengths in ONE pass —
+    the seq_len-choice table (:func:`packing_efficiency` drills into
+    one setting by length bin; this compares settings).  All-integer
+    DIV ceils, a single 1-row aggregate unpivoted to |seq_lens| rows.
+
+    Output: seq_len, n_docs, n_tokens, n_padded, waste_rate.
+    """
+    n = F.size(words(F.col(text_col))).cast("bigint")
+    per = df.select(n.alias("_n"))
+    aggs = [
+        F.count(F.lit(1)).alias("_nd"),
+        F.sum("_n").cast("bigint").alias("_nt"),
+    ]
+    for i, L in enumerate(seq_lens):
+        aggs.append(
+            F.sum(F.expr(f"(_n + {L - 1}) DIV {L} * {L}"))
+            .cast("bigint")
+            .alias(f"_p{i}")
+        )
+    agg = per.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(int(L)).cast("bigint").alias("seq_len"),
+                F.col("_nd").alias("n_docs"),
+                F.col("_nt").alias("n_tokens"),
+                F.col(f"_p{i}").alias("n_padded"),
+            )
+            for i, L in enumerate(seq_lens)
+        ]
+    )
+    return (
+        agg.select(F.explode(rows).alias("_r"))
+        .select("_r.seq_len", "_r.n_docs", "_r.n_tokens", "_r.n_padded")
+        .withColumn(
+            "waste_rate",
+            F.round(
+                (F.col("n_padded") - F.col("n_tokens")).cast("double")
+                / F.col("n_padded").cast("double"),
+                6,
+            ),
+        )
+    )

@@ -344,3 +344,53 @@ def test_sample_rate_certificate_wrapper(spark):
     for r in rows:
         assert r.eps_95 > 0
         assert r.within_eps == (abs(r.rate - 0.2) <= r.eps_95)
+
+
+def test_hll_m_sweep_wrapper_err_improves_with_m(spark):
+    import __spark_entry__ as E
+
+    rows = {r.m_registers: r for r in
+            E.q_hll_m_sweep(spark, "/root/testdata/sf0.01").collect()}
+    assert set(rows) == {64, 256, 1024}
+    assert all(r.exact_distinct == rows[64].exact_distinct
+               for r in rows.values())
+    # more registers -> generally tighter; certify the coarse end only
+    assert rows[1024].rel_err <= rows[64].rel_err + 0.02
+
+
+def test_split_fraction_sweep_wrapper_totals(spark):
+    import __spark_entry__ as E
+
+    rows = E.q_split_fraction_sweep(spark, SF).collect()
+    from collections import defaultdict
+
+    tot = defaultdict(int)
+    train = {}
+    for r in rows:
+        tot[r.train_frac] += r.n_docs
+        if r.split == "train":
+            train[r.train_frac] = r.n_docs
+    n = _docs(spark).count()
+    assert all(v == n for v in tot.values())
+    assert train[0.8] <= train[0.9] <= train[0.95]
+
+
+def test_funnel_by_group_matches_global(spark):
+    d = _docs(spark)
+    per = curate.curation_funnel_by_group(d, "source", "text").collect()
+    total_surv = sum(r.n_survivors for r in per)
+    funnel = sorted(curate.curation_funnel(d, "text").collect(),
+                    key=lambda r: r.stage)
+    assert total_surv == funnel[-1].rows_out
+    assert sum(r.n_docs for r in per) == d.count()
+
+
+def test_packing_seqlen_sweep_monotone_waste(spark):
+    d = _docs(spark)
+    rows = {r.seq_len: r for r in
+            curate.packing_seqlen_sweep(d, "text", (256, 512, 1024)).collect()}
+    assert rows[256].n_padded <= rows[512].n_padded <= rows[1024].n_padded
+    for r in rows.values():
+        assert r.n_padded >= r.n_tokens
+        assert r.n_padded % r.seq_len == 0  # a sum of seq_len multiples
+        assert 0 <= r.waste_rate < 1

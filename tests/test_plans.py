@@ -890,6 +890,8 @@ SINGLE_PARTITION_ALLOWLIST = {
     # domain-sized share normalizers (mix shift's two 1-row totals)
     "sketch_bloom_merge_cert", "curation_threshold_sweep",
     "snapshot_source_mix_shift",
+    # r7 seeds: the seq_len sweep's single conditional-sum row
+    "packing_seqlen_sweep",
 }
 
 
