@@ -34,7 +34,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from fuel_spark import schemes
-from fuel_spark.ops import core, dedup, multimodal, sequences, similarity
+from fuel_spark.ops import core, dedup, linkage, multimodal, sequences, similarity
 from fuel_spark.ops import curate as curate_ops
 from fuel_spark.ops import sketch
 from fuel_spark.ops import text as text_ops
@@ -3541,6 +3541,35 @@ def q_theta_set_ops(spark, sf):
     )
 
 
+def _linkage_candidate_pairs(spark, sf):
+    t = _t(spark, sf)
+    c = t["customer"].select(
+        F.col("c_custkey").alias("l_id"),
+        F.col("c_nationkey").alias("l_nation"),
+        F.col("c_acctbal").alias("l_bal"),
+    )
+    s = t["supplier"].select(
+        F.col("s_suppkey").alias("r_id"),
+        F.col("s_nationkey").alias("r_nation"),
+        F.col("s_acctbal").alias("r_bal"),
+    )
+    return linkage.fs_candidate_pairs(c, s)
+
+
+def q_linkage_fs_patterns(spark, sf):
+    """Fellegi-Sunter agreement-pattern histogram (r7 late): blocked
+    customer<->supplier candidate pairs rolled up to their <=8
+    agreement patterns with pair counts and FS match weights."""
+    return linkage.fs_pattern_summary(_linkage_candidate_pairs(spark, sf))
+
+
+def q_linkage_fs_matches(spark, sf):
+    """Fellegi-Sunter link set (r7 late): candidate pairs whose
+    pattern weight clears the 5.0 threshold — the cross-registry
+    entity-resolution output."""
+    return linkage.fs_matches(_linkage_candidate_pairs(spark, sf), threshold=5.0)
+
+
 def q_kll_quantiles(spark, sf):
     """Compactor-based KLL sketch over events.value (r7, rows-only by
     design: deterministic compaction is partitioning-defined; the
@@ -3695,6 +3724,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packing_seqlen_sweep": q_packing_seqlen_sweep,
         "sketch_kmv_distinct": q_kmv_distinct,
         "sketch_theta_set_ops": q_theta_set_ops,
+        "linkage_fs_patterns": q_linkage_fs_patterns,
+        "linkage_fs_matches": q_linkage_fs_matches,
         # ---- end of the r9 seed block --------------------------------
         # ---- driver-green in r6 (CORRECTNESS_r06.json, 50/50): the
         # round-6 window, now cumulative coverage. --------------------
@@ -12824,6 +12855,45 @@ def oracle_sql() -> dict[str, str]:
                   FROM kmvsk GROUP BY 1),
         {",".join(_theta_pair_ctes(a, b, p) for a, b, p in _theta_pairs)}
         {_theta_sel}
+    """
+
+    _fsw = linkage.fs_weight_literals()
+    _fs_weight = " + ".join(
+        f"CASE WHEN a_{f} THEN {repr(_fsw[f][0])}"
+        f" ELSE {repr(_fsw[f][1])} END"
+        for f in ("bal", "id", "sign")
+    )
+    _fs_pairs = """
+        fsl AS (SELECT c_custkey AS l_id, c_nationkey AS ln,
+                  c_acctbal AS lb FROM customer),
+        fsr AS (SELECT s_suppkey AS r_id, s_nationkey AS rn,
+                  s_acctbal AS rb FROM supplier),
+        fsp0 AS (SELECT l_id, r_id, lb, rb FROM fsl JOIN fsr
+                 ON ln = rn AND floor((lb + 1000.0) / 250.0)
+                              = floor((rb + 1000.0) / 250.0)),
+        fsp1 AS (SELECT l_id, r_id, lb, rb FROM fsl JOIN fsr
+                 ON ln = rn AND floor((lb + 1000.0 + 125.0) / 250.0)
+                              = floor((rb + 1000.0 + 125.0) / 250.0)),
+        fspu AS (SELECT DISTINCT l_id, r_id, lb, rb FROM
+                 (SELECT * FROM fsp0 UNION ALL SELECT * FROM fsp1)),
+        fspv AS (SELECT l_id, r_id,
+                   abs(lb - rb) <= 50.0 AS a_bal,
+                   (l_id % 10) = (r_id % 10) AS a_id,
+                   (lb < 0) = (rb < 0) AS a_sign
+                 FROM fspu)
+    """
+    sqls["linkage_fs_patterns"] = f"""
+        WITH {_fs_pairs}
+        SELECT a_bal, a_id, a_sign, count(*) AS n_pairs,
+          round({_fs_weight}, 6) AS weight
+        FROM fspv GROUP BY 1, 2, 3
+    """
+    sqls["linkage_fs_matches"] = f"""
+        WITH {_fs_pairs},
+        fsw AS (SELECT l_id, r_id, a_bal, a_id, a_sign,
+                  round({_fs_weight}, 6) AS weight
+                FROM fspv)
+        SELECT * FROM fsw WHERE weight >= 5.0
     """
 
     sqls["dedup_hot_buckets"] = f"""

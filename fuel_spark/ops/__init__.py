@@ -12,6 +12,7 @@ from fuel_spark.ops import (
     curate,
     dedup,
     graph,
+    linkage,
     multimodal,
     profile,
     sequences,
@@ -21,6 +22,6 @@ from fuel_spark.ops import (
 )
 
 __all__ = [
-    "core", "curate", "dedup", "graph", "multimodal", "profile", "sequences",
-    "similarity", "sketch", "text",
+    "core", "curate", "dedup", "graph", "linkage", "multimodal", "profile",
+    "sequences", "similarity", "sketch", "text",
 ]

@@ -1,0 +1,165 @@
+"""Probabilistic record linkage (Fellegi & Sunter 1969) — blocked
+candidate generation, agreement-pattern scoring, and match-weight
+classification, Spark-first.
+
+Entity resolution is the cross-SOURCE face of dedup: the same
+real-world entity arrives in two registries with no shared key, so
+linking is (1) BLOCKING — a cheap equality key that bounds the
+candidate-pair space (never all-pairs), (2) an agreement VECTOR per
+candidate pair over comparable fields, and (3) the Fellegi–Sunter
+log-likelihood weight sum(log2(m_i/u_i)) over agreeing fields and
+sum(log2((1-m_i)/(1-u_i))) over disagreeing ones, where m_i =
+P(agree | match) and u_i = P(agree | non-match).  Pairs above a
+weight threshold are links.
+
+The reference engine (mila-iqia/fuel) has no linkage tier; the
+method is public literature (Fellegi & Sunter 1969, JASA; the
+multi-pass blocking recall fix is standard practice — e.g.
+Hernandez & Stolfo 1995's sorted-neighborhood multi-pass).
+
+Scale shape: blocking is a shuffle hash join on the block key —
+pair volume is sum over blocks of |L_b|x|R_b|, bounded by the block
+key's granularity (the ``bal_band`` knob here; production adds more
+key digits as data grows, exactly like the LSH band caps in
+``ops.dedup``).  Everything downstream of the join is per-row
+arithmetic and one small groupBy over <= 2^fields agreement
+patterns.  All weights are Python-float literals repr()'d into both
+engines, so the oracle twin is exact-hash checkable.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, functions as F
+
+# Fixed, documented m/u priors per comparison field (the certificate
+# checks the MECHANICS — pattern counts and weight arithmetic — not
+# the priors themselves, which production would re-fit with EM /
+# method-of-moments on its own corpus):
+#   bal  — account balance within 50:   likely for a true entity
+#          re-registered in both books, rare for strangers
+#   id   — registry-number suffix congruence (mod 10): a stand-in
+#          for a shared tax-id fragment
+#   sign — balance sign agreement: weakly informative
+FS_PRIORS: dict[str, tuple[float, float]] = {
+    "bal": (0.90, 0.05),
+    "id": (0.95, 0.10),
+    "sign": (0.98, 0.55),
+}
+
+
+def fs_weight_literals() -> dict[str, tuple[float, float]]:
+    """(agree_weight, disagree_weight) per field, as Python floats —
+    the SAME literals are repr()'d into the Spark plan and the DuckDB
+    oracle, so weight arithmetic is bit-identical cross-engine."""
+    out = {}
+    for f, (m, u) in FS_PRIORS.items():
+        out[f] = (
+            round(math.log2(m / u), 6),
+            round(math.log2((1.0 - m) / (1.0 - u)), 6),
+        )
+    return out
+
+
+def fs_candidate_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    bal_band: float = 250.0,
+    max_block: int | None = None,
+) -> DataFrame:
+    """Blocked candidate pairs between two registries with agreement
+    vectors.  ``left`` needs (l_id, l_nation, l_bal); ``right`` needs
+    (r_id, r_nation, r_bal) — callers rename.
+
+    Two-pass blocking on (nation, balance band): pass 2 offsets the
+    band grid by band/2 so near-boundary true pairs a single grid
+    would split are still co-blocked (the multi-pass recall fix);
+    the union is de-duplicated on the pair key.  With ``max_block``
+    set, blocks whose left side exceeds it are dropped (the
+    LSH-style pathological-block cap — production tightens the band
+    instead of paying a quadratic block).
+
+    Output: l_id, r_id, a_bal, a_id, a_sign.
+    """
+    def banded(df: DataFrame, bal: str, offset: float, side: str) -> DataFrame:
+        return df.withColumn(
+            f"_blk_{side}",
+            F.floor((F.col(bal) + F.lit(1000.0) + F.lit(offset))
+                    / F.lit(float(bal_band))).cast("bigint"),
+        )
+
+    out = None
+    for offset in (0.0, bal_band / 2.0):
+        l = banded(left, "l_bal", offset, "l")
+        r = banded(right, "r_bal", offset, "r")
+        if max_block is not None:
+            sizes = l.groupBy("l_nation", "_blk_l").agg(
+                F.count(F.lit(1)).alias("_bn")
+            )
+            l = l.join(
+                sizes.filter(F.col("_bn") <= max_block).drop("_bn"),
+                ["l_nation", "_blk_l"],
+            )
+        pairs = l.join(
+            r,
+            (F.col("l_nation") == F.col("r_nation"))
+            & (F.col("_blk_l") == F.col("_blk_r")),
+        )
+        out = pairs if out is None else out.unionByName(pairs)
+    return (
+        out.dropDuplicates(["l_id", "r_id"])
+        .select(
+            "l_id", "r_id",
+            (F.abs(F.col("l_bal") - F.col("r_bal")) <= 50.0).alias("a_bal"),
+            (F.pmod(F.col("l_id"), F.lit(10))
+             == F.pmod(F.col("r_id"), F.lit(10))).alias("a_id"),
+            ((F.col("l_bal") < 0) == (F.col("r_bal") < 0)).alias("a_sign"),
+        )
+    )
+
+
+def fs_pattern_summary(pairs: DataFrame) -> DataFrame:
+    """Fellegi–Sunter agreement-pattern histogram: one row per
+    observed (a_bal, a_id, a_sign) pattern with its candidate-pair
+    count and the FS match weight (constant per pattern).  The <= 8
+    pattern rows ARE the linkage review surface: weight ranks the
+    patterns, n_pairs prices the threshold.
+
+    Output: a_bal, a_id, a_sign, n_pairs, weight.
+    """
+    w = fs_weight_literals()
+    weight = None
+    for f in ("bal", "id", "sign"):
+        term = (
+            F.when(F.col(f"a_{f}"), F.lit(w[f][0])).otherwise(F.lit(w[f][1]))
+        )
+        weight = term if weight is None else weight + term
+    return (
+        pairs.groupBy("a_bal", "a_id", "a_sign")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .withColumn("weight", F.round(weight, 6))
+        .select("a_bal", "a_id", "a_sign", "n_pairs", "weight")
+    )
+
+
+def fs_matches(pairs: DataFrame, threshold: float = 5.0) -> DataFrame:
+    """Candidate pairs whose FS weight clears ``threshold`` — the
+    link set.  Weight is the same per-pattern constant as
+    :func:`fs_pattern_summary`; volume is bounded by the rarity of
+    the high-weight patterns (a_id alone is a 1-in-10 coincidence; a_bal n a_id is ~1-in-50 within a block).
+
+    Output: l_id, r_id, a_bal, a_id, a_sign, weight.
+    """
+    w = fs_weight_literals()
+    weight = None
+    for f in ("bal", "id", "sign"):
+        term = (
+            F.when(F.col(f"a_{f}"), F.lit(w[f][0])).otherwise(F.lit(w[f][1]))
+        )
+        weight = term if weight is None else weight + term
+    return (
+        pairs.withColumn("weight", F.round(weight, 6))
+        .filter(F.col("weight") >= threshold)
+        .select("l_id", "r_id", "a_bal", "a_id", "a_sign", "weight")
+    )

@@ -1,0 +1,65 @@
+"""Fellegi–Sunter record linkage: blocking recall, cap behavior,
+weight arithmetic, threshold classification."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from fuel_spark.ops import linkage
+from fuel_spark.sources import from_rows
+
+L_SCHEMA = "l_id bigint, l_nation int, l_bal double"
+R_SCHEMA = "r_id bigint, r_nation int, r_bal double"
+
+
+def test_two_pass_blocking_catches_band_boundary_pairs(spark):
+    # bal 249.9 vs 250.1 straddle the 0-offset band edge (bands are
+    # [0,250) over bal+1000): a single-pass grid splits them, the
+    # offset pass co-blocks them
+    l = from_rows(spark, [(1, 5, 249.9)], schema=L_SCHEMA)
+    r = from_rows(spark, [(11, 5, 250.1)], schema=R_SCHEMA)
+    got = linkage.fs_candidate_pairs(l, r).collect()
+    assert len(got) == 1
+    row = got[0]
+    assert row.a_bal and row.a_id and row.a_sign  # 1%10 == 11%10
+
+
+def test_blocking_never_crosses_nations_and_dedups_passes(spark):
+    l = from_rows(spark, [(1, 5, 100.0), (2, 6, 100.0)], schema=L_SCHEMA)
+    r = from_rows(spark, [(11, 5, 100.0), (12, 6, 100.0)], schema=R_SCHEMA)
+    got = linkage.fs_candidate_pairs(l, r).collect()
+    # same (nation, band) in BOTH passes -> still exactly one pair row
+    assert sorted((g.l_id, g.r_id) for g in got) == [(1, 11), (2, 12)]
+
+
+def test_max_block_drops_pathological_blocks(spark):
+    rows = [(i, 5, 100.0) for i in range(100)]
+    l = from_rows(spark, rows, schema=L_SCHEMA)
+    r = from_rows(spark, [(7, 5, 100.0)], schema=R_SCHEMA)
+    capped = linkage.fs_candidate_pairs(l, r, max_block=50).collect()
+    assert capped == []
+    uncapped = linkage.fs_candidate_pairs(l, r).collect()
+    assert len(uncapped) == 100
+
+
+def test_fs_weights_match_closed_form_and_threshold(spark):
+    w = linkage.fs_weight_literals()
+    assert math.isclose(w["bal"][0], math.log2(0.90 / 0.05), abs_tol=1e-6)
+    assert math.isclose(w["id"][1], math.log2(0.05 / 0.90), abs_tol=1e-6)
+    # all-agree pair clears 5.0; bal+sign without id does not
+    l = from_rows(spark, [(10, 5, 100.0), (21, 5, 110.0)], schema=L_SCHEMA)
+    r = from_rows(spark, [(20, 5, 105.0)], schema=R_SCHEMA)
+    pairs = linkage.fs_candidate_pairs(l, r)
+    pats = {
+        (p.a_bal, p.a_id, p.a_sign): p.weight
+        for p in linkage.fs_pattern_summary(pairs).collect()
+    }
+    full = round(sum(w[f][0] for f in ("bal", "id", "sign")), 6)
+    assert pats[(True, True, True)] == full
+    matches = linkage.fs_matches(pairs, threshold=5.0).collect()
+    assert [(m.l_id, m.r_id) for m in matches] == [(10, 20)]
+    # pattern histogram counts cover every candidate pair
+    n_pat = sum(
+        p.n_pairs for p in linkage.fs_pattern_summary(pairs).collect()
+    )
+    assert n_pat == pairs.count()

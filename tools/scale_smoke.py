@@ -132,6 +132,7 @@ def main() -> int:
             "events_periodogram", "events_page_hinkley",
             # r7 late additions
             "sketch_kmv_distinct", "sketch_theta_set_ops",
+            "linkage_fs_patterns", "linkage_fs_matches",
         ]
         if len(sys.argv) > 3:
             # explicit subset: smoke only these names (fast re-checks
