@@ -3570,6 +3570,15 @@ def q_linkage_fs_matches(spark, sf):
     return linkage.fs_matches(_linkage_candidate_pairs(spark, sf), threshold=5.0)
 
 
+def q_rp_distortion(spark, sf):
+    """Johnson-Lindenstrauss projection distortion certificate (r7
+    late): 64-dim embeddings projected onto 16 deterministic +-1
+    planes; per adjacent-id pair, scaled projected distance vs true
+    distance."""
+    e = _t(spark, sf)["embeddings"]
+    return similarity.rp_distortion_certificate(e, dims=64, planes=16)
+
+
 def q_kll_quantiles(spark, sf):
     """Compactor-based KLL sketch over events.value (r7, rows-only by
     design: deterministic compaction is partitioning-defined; the
@@ -3726,6 +3735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_theta_set_ops": q_theta_set_ops,
         "linkage_fs_patterns": q_linkage_fs_patterns,
         "linkage_fs_matches": q_linkage_fs_matches,
+        "ann_rp_distortion": q_rp_distortion,
         # ---- end of the r9 seed block --------------------------------
         # ---- driver-green in r6 (CORRECTNESS_r06.json, 50/50): the
         # round-6 window, now cumulative coverage. --------------------
@@ -12855,6 +12865,37 @@ def oracle_sql() -> dict[str, str]:
                   FROM kmvsk GROUP BY 1),
         {",".join(_theta_pair_ctes(a, b, p) for a, b, p in _theta_pairs)}
         {_theta_sel}
+    """
+
+    _rp_signs = similarity.rp_sign_matrix(64, 16)
+
+    def _rp_proj_sql(col: str, row: list[int]) -> str:
+        arr = "[" + ",".join(f"CAST({v} AS DOUBLE)" for v in row) + "]"
+        return (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+            f" list_transform(generate_series(1, len({col})),"
+            f" i -> CAST({col}[i] AS DOUBLE) * {arr}[i])),"
+            f" (acc, v) -> acc + v)"
+        )
+
+    _rp_proj_list = "list_value(" + ", ".join(
+        _rp_proj_sql("embedding", row) for row in _rp_signs
+    ) + ")"
+    sqls["ann_rp_distortion"] = f"""
+        WITH rp AS (SELECT vec_id, embedding AS e,
+                      {_rp_proj_list} AS pj
+                    FROM embeddings),
+        rpa AS (SELECT vec_id AS pair_id, e AS ea, pj AS pja
+                FROM rp WHERE vec_id % 2 = 0),
+        rpb AS (SELECT vec_id - 1 AS pair_id, e AS eb, pj AS pjb
+                FROM rp WHERE vec_id % 2 = 1),
+        rpj AS (SELECT pair_id,
+                  {_l2sq_sql('ea', 'eb')} AS oo,
+                  {_l2sq_sql('pja', 'pjb')} / CAST(16.0 AS DOUBLE) AS pp
+                FROM rpa JOIN rpb USING (pair_id))
+        SELECT pair_id, round(oo, 6) AS orig_d2, round(pp, 6) AS proj_d2k,
+          CASE WHEN oo > 0 THEN round(pp / oo, 6) END AS distortion
+        FROM rpj WHERE round(oo, 6) > 0
     """
 
     _fsw = linkage.fs_weight_literals()

@@ -2086,3 +2086,101 @@ def cosine_range_search(
         .where(F.col("cosine") >= F.lit(float(threshold)))
         .orderBy("query_id", F.desc("cosine"), "neighbor_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Johnson–Lindenstrauss random projection + distortion certificate
+# ---------------------------------------------------------------------------
+
+
+def rp_sign_matrix(
+    dims: int, planes: int, seed: str = "rpsign"
+) -> list[list[int]]:
+    """Deterministic Rademacher (+-1) sign matrix, one row per
+    projection plane: sign(i, j) = parity of md5('{seed}-{j*1000+i}')
+    — the Achlioptas 2003 database-friendly JL projection (+-1
+    entries instead of Gaussians).  Computed in Python and inlined as
+    LITERALS into both the Spark plan and the DuckDB oracle, so the
+    projection is bit-identical cross-engine with no shared-hash
+    plumbing."""
+    import hashlib
+
+    out = []
+    for j in range(planes):
+        row = []
+        for i in range(dims):
+            h = hashlib.md5(f"{seed}-{j * 1000 + i}".encode()).hexdigest()
+            row.append(1 - 2 * (int(h[:13], 16) % 2))
+        out.append(row)
+    return out
+
+
+def rp_distortion_certificate(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+    planes: int = 16,
+    seed: str = "rpsign",
+) -> DataFrame:
+    """Johnson–Lindenstrauss distortion certificate: project every
+    embedding onto ``planes`` deterministic +-1 vectors and measure,
+    for each adjacent-id pair, how well scaled projected distance
+    preserves true distance — ||P(a-b)||^2/planes vs ||a-b||^2 (the
+    Rademacher projection is E-preserving under exactly this scaling;
+    Achlioptas 2003).  This is the certificate behind every
+    shrink-then-search tier (sign-block ANN, pivot LSH, matryoshka):
+    the measured answer to "how much geometry survives k dims".
+
+    Scale shape: projections are per-row strict left-to-right folds
+    over the embedding array (16 zip_with aggregates, JVM codegen, no
+    UDF, no shuffle); the only exchange is the even-id/odd-id
+    self-join on pair_id.  No driver collect, no pairwise blowup —
+    pairs are the adjacent-id sample, linear in rows.
+
+    Output: pair_id, orig_d2, proj_d2k, distortion (= proj/orig,
+    rounded 6 dp; pairs with orig_d2 = 0 are dropped — distortion of
+    a zero vector is undefined).
+    """
+    signs = rp_sign_matrix(dims, planes, seed)
+    proj_exprs = []
+    for j, row in enumerate(signs):
+        arr = "array(" + ",".join(f"CAST({v} AS DOUBLE)" for v in row) + ")"
+        proj_exprs.append(
+            F.expr(
+                f"aggregate(zip_with({vec_col}, {arr},"
+                f" (x, y) -> CAST(x AS DOUBLE) * y),"
+                f" CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+            ).alias(f"_p{j}")
+        )
+    p = (
+        ensure_parallelism(emb.select(id_col, vec_col))
+        .select(F.col(id_col), F.col(vec_col), *proj_exprs)
+        .withColumn(
+            "_proj", F.array(*[F.col(f"_p{j}") for j in range(planes)])
+        )
+    )
+    a = p.filter(F.col(id_col) % 2 == 0).select(
+        F.col(id_col).alias("pair_id"),
+        F.col(vec_col).alias("_va"),
+        F.col("_proj").alias("_pa"),
+    )
+    b = p.filter(F.col(id_col) % 2 == 1).select(
+        (F.col(id_col) - 1).alias("pair_id"),
+        F.col(vec_col).alias("_vb"),
+        F.col("_proj").alias("_pb"),
+    )
+    from fuel_spark.functions import l2sq_expr
+
+    orig = l2sq_expr("_va", "_vb")
+    proj = l2sq_expr("_pa", "_pb") / F.lit(float(planes))
+    return (
+        a.join(b, "pair_id")
+        .select(
+            "pair_id",
+            F.round(orig, 6).alias("orig_d2"),
+            F.round(proj, 6).alias("proj_d2k"),
+            F.when(orig > 0, F.round(proj / orig, 6)).alias("distortion"),
+        )
+        .filter(F.col("orig_d2") > 0)
+    )

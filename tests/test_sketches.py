@@ -539,3 +539,28 @@ def test_theta_set_ops_estimation_band_when_truncated(spark):
     for op, true in (("union", 4500), ("intersection", 1500), ("a_not_b", 1500)):
         assert got[op].exact == true
         assert abs(got[op].est - true) / true < 0.6   # k=64 envelope
+
+
+def test_rp_distortion_concentrates_near_one_and_is_deterministic(spark):
+    e = load_tables(spark, SF)["embeddings"]
+    out = similarity.rp_distortion_certificate(e, dims=64, planes=16)
+    rows = out.collect()
+    assert len(rows) == 250                    # 500 vectors, adjacent pairs
+    ds = [r.distortion for r in rows]
+    mean = sum(ds) / len(ds)
+    assert 0.7 < mean < 1.3                    # E[proj_d2/k] = orig_d2
+    assert all(r.orig_d2 > 0 for r in rows)
+    # deterministic literals: partitioning must not change a single row
+    again = {r.pair_id: r.distortion
+             for r in similarity.rp_distortion_certificate(
+                 e.repartition(7), dims=64, planes=16).collect()}
+    assert all(again[r.pair_id] == r.distortion for r in rows)
+
+
+def test_rp_sign_matrix_is_balanced_and_stable(spark):
+    m = similarity.rp_sign_matrix(64, 16)
+    assert len(m) == 16 and all(len(r) == 64 for r in m)
+    assert all(v in (-1, 1) for r in m for v in r)
+    flat = [v for r in m for v in r]
+    assert abs(sum(flat)) < len(flat) * 0.2    # roughly balanced signs
+    assert m == similarity.rp_sign_matrix(64, 16)
