@@ -3579,6 +3579,18 @@ def q_rp_distortion(spark, sf):
     return similarity.rp_distortion_certificate(e, dims=64, planes=16)
 
 
+def q_mixture_unimax(spark, sf):
+    """UniMax epoch-capped budget allocation (r7 late): uniform
+    token budget per source, capped at 4 epochs, capped surplus
+    waterfilled among uncapped sources (8 unrolled rounds; 100k
+    budget lands the share inside the cap range at both SFs, so the
+    output genuinely mixes capped and uncapped domains)."""
+    d = _t(spark, sf)["documents"]
+    return curate_ops.unimax_allocation(
+        d, "source", "text", budget_tokens=100_000, max_epochs=4, rounds=8
+    )
+
+
 def q_kll_quantiles(spark, sf):
     """Compactor-based KLL sketch over events.value (r7, rows-only by
     design: deterministic compaction is partitioning-defined; the
@@ -3736,6 +3748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linkage_fs_patterns": q_linkage_fs_patterns,
         "linkage_fs_matches": q_linkage_fs_matches,
         "ann_rp_distortion": q_rp_distortion,
+        "mixture_unimax": q_mixture_unimax,
         # ---- end of the r9 seed block --------------------------------
         # ---- driver-green in r6 (CORRECTNESS_r06.json, 50/50): the
         # round-6 window, now cumulative coverage. --------------------
@@ -12896,6 +12909,43 @@ def oracle_sql() -> dict[str, str]:
         SELECT pair_id, round(oo, 6) AS orig_d2, round(pp, 6) AS proj_d2k,
           CASE WHEN oo > 0 THEN round(pp / oo, 6) END AS distortion
         FROM rpj WHERE round(oo, 6) > 0
+    """
+
+    _um_parts = [
+        f"""umt AS (SELECT source,
+              CAST(sum(len(w)) AS BIGINT) AS n_tokens,
+              CAST(4 * sum(len(w)) AS BIGINT) AS cap_tokens
+            FROM (SELECT source, {w} AS w FROM documents) GROUP BY 1),
+        umr0 AS (SELECT source, n_tokens, cap_tokens, FALSE AS capped,
+                   CAST(NULL AS DOUBLE) AS share FROM umt)"""
+    ]
+    for _r in range(1, 9):
+        _um_parts.append(
+            f"""uma{_r} AS (SELECT
+              CAST(sum(CASE WHEN capped THEN cap_tokens ELSE 0 END)
+                   AS BIGINT) AS fixed,
+              CAST(sum(CASE WHEN capped THEN 0 ELSE 1 END)
+                   AS BIGINT) AS nunc
+            FROM umr{_r - 1}),
+        umr{_r} AS (SELECT source, n_tokens, cap_tokens,
+              capped OR COALESCE(CAST(cap_tokens AS DOUBLE) < share2,
+                                 FALSE) AS capped,
+              share2 AS share
+            FROM (SELECT p.*, CASE WHEN nunc > 0
+                     THEN CAST(100000 - fixed AS DOUBLE)
+                          / CAST(nunc AS DOUBLE) END AS share2
+                  FROM umr{_r - 1} p, uma{_r}))"""
+        )
+    _um_alloc = (
+        "CASE WHEN capped THEN CAST(cap_tokens AS DOUBLE)"
+        " ELSE round(share, 6) END"
+    )
+    sqls["mixture_unimax"] = f"""
+        WITH {",".join(_um_parts)}
+        SELECT source, n_tokens, cap_tokens, capped,
+          {_um_alloc} AS alloc_tokens,
+          round({_um_alloc} / CAST(n_tokens AS DOUBLE), 6) AS epochs
+        FROM umr8
     """
 
     _fsw = linkage.fs_weight_literals()

@@ -768,3 +768,96 @@ def packing_seqlen_sweep(
             ),
         )
     )
+
+
+def unimax_allocation(
+    df: DataFrame,
+    domain_col: str,
+    text_col: str,
+    budget_tokens: int = 100_000,
+    max_epochs: int = 4,
+    rounds: int = 8,
+) -> DataFrame:
+    """UniMax token-budget allocation (Chung et al. 2023, "UniMax:
+    Fairer and More Effective Language Sampling for Large-Scale
+    Multilingual Pretraining"; the epoch-cap discipline of
+    Muennighoff et al. 2023's data-constrained scaling): split the
+    budget UNIFORMLY across domains, but cap each domain at
+    ``max_epochs`` repeats of its corpus; capped surplus
+    redistributes uniformly among the still-uncapped domains — the
+    waterfilling fixed point, unrolled ``rounds`` times.
+
+    Each round caps EVERY domain whose cap sits below the current
+    share, so the unroll converges in at most the number of distinct
+    cap "steps" the rising share crosses (2–3 on real data);
+    ``rounds`` defaults to 8 and production sets it to #domains —
+    the iteration frame is domain-sized, so extra rounds are free.
+    All intermediates are exact integers (caps, fixed sums, uncapped
+    counts); the only division is the final share, computed from
+    identical integers in both engines.
+
+    Scale shape: one token-count aggregation over the corpus, then
+    ``rounds`` 1-row aggregates broadcast back onto the domain-sized
+    frame — the planning pass costs one scan regardless of budget.
+
+    Output: domain, n_tokens, cap_tokens, capped, alloc_tokens,
+    epochs.
+    """
+    toks = (
+        df.select(F.col(domain_col), F.size(words(F.col(text_col))).alias("_n"))
+        .groupBy(domain_col)
+        .agg(F.sum("_n").cast("bigint").alias("n_tokens"))
+        .withColumn(
+            "cap_tokens",
+            (F.lit(int(max_epochs)) * F.col("n_tokens")).cast("bigint"),
+        )
+        # domain-sized; every unrolled round references it (the agg AND
+        # the crossJoin side) — checkpointing keeps the corpus token
+        # scan single no matter how many rounds replay the frame
+        .localCheckpoint(eager=False)
+    )
+    frame = toks.withColumn("_capped", F.lit(False))
+    for _ in range(rounds):
+        agg = frame.agg(
+            F.sum(
+                F.when(F.col("_capped"), F.col("cap_tokens")).otherwise(0)
+            ).cast("bigint").alias("_fixed"),
+            F.sum(F.when(F.col("_capped"), 0).otherwise(1))
+            .cast("bigint").alias("_nunc"),
+        )
+        frame = (
+            frame.drop("_share")
+            .crossJoin(F.broadcast(agg))
+            .withColumn(
+                "_share",
+                F.when(
+                    F.col("_nunc") > 0,
+                    (F.lit(int(budget_tokens)) - F.col("_fixed"))
+                    .cast("double") / F.col("_nunc").cast("double"),
+                ),
+            )
+            .withColumn(
+                "_capped",
+                F.col("_capped")
+                | F.coalesce(
+                    F.col("cap_tokens").cast("double") < F.col("_share"),
+                    F.lit(False),
+                ),
+            )
+            .drop("_fixed", "_nunc")
+            # per-round lazy checkpoint: round k's 1-row aggregate
+            # otherwise replays every earlier round's subtree (the
+            # ~3^k MMR replay class; measured 4.8s -> 1.6s at 20x)
+            .localCheckpoint(eager=False)
+        )
+    alloc = F.when(
+        F.col("_capped"), F.col("cap_tokens").cast("double")
+    ).otherwise(F.round(F.col("_share"), 6))
+    return frame.select(
+        domain_col,
+        "n_tokens",
+        "cap_tokens",
+        F.col("_capped").alias("capped"),
+        alloc.alias("alloc_tokens"),
+        F.round(alloc / F.col("n_tokens").cast("double"), 6).alias("epochs"),
+    )

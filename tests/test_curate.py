@@ -394,3 +394,40 @@ def test_packing_seqlen_sweep_monotone_waste(spark):
         assert r.n_padded >= r.n_tokens
         assert r.n_padded % r.seq_len == 0  # a sum of seq_len multiples
         assert 0 <= r.waste_rate < 1
+
+
+def test_unimax_waterfills_capped_surplus(spark):
+    # three domains: tiny (caps early), mid (caps after redistribution),
+    # big (absorbs the surplus) — the staircase the unroll must walk
+    rows = (
+        [("tiny", "a b c")] * 2          # 6 tokens, cap 12
+        + [("mid", "a b c d e")] * 4     # 20 tokens, cap 40
+        + [("big", "a b c d e f g h")] * 50   # 400 tokens, cap 800
+    )
+    df = from_rows(spark, rows, schema="source string, text string")
+    out = {
+        r.source: r
+        for r in curate.unimax_allocation(
+            df, "source", "text", budget_tokens=300, max_epochs=2, rounds=4
+        ).collect()
+    }
+    # share0=100 caps tiny(12) and mid(40); big gets 300-52=248 < 800
+    assert out["tiny"].capped and out["tiny"].alloc_tokens == 12.0
+    assert out["mid"].capped and out["mid"].alloc_tokens == 40.0
+    assert not out["big"].capped and out["big"].alloc_tokens == 248.0
+    assert out["tiny"].epochs == 2.0 and out["mid"].epochs == 2.0
+    total = sum(r.alloc_tokens for r in out.values())
+    assert total == 300.0                      # budget exactly consumed
+    # invariant: nobody exceeds their cap
+    assert all(r.alloc_tokens <= r.cap_tokens for r in out.values())
+
+
+def test_unimax_all_capped_leaves_budget_unspent(spark):
+    df = from_rows(
+        spark, [("a", "x y"), ("b", "x y z")], schema="source string, text string"
+    )
+    out = curate.unimax_allocation(
+        df, "source", "text", budget_tokens=1000, max_epochs=2, rounds=4
+    ).collect()
+    assert all(r.capped for r in out)
+    assert sum(r.alloc_tokens for r in out) == 10.0   # 2*(2+3), not 1000
