@@ -3579,6 +3579,16 @@ def q_rp_distortion(spark, sf):
     return similarity.rp_distortion_certificate(e, dims=64, planes=16)
 
 
+def q_priority_sample(spark, sf):
+    """Priority-sampling subset-sum certificate (r7 late): per
+    event_type, estimate total value from the 32 highest-priority
+    rows (tau-threshold estimator) beside the exact decimal sum."""
+    e = _t(spark, sf)["events"]
+    return sketch.priority_sample_certificate(
+        e, "event_type", "event_id", "value", k=32
+    )
+
+
 def q_mixture_unimax(spark, sf):
     """UniMax epoch-capped budget allocation (r7 late): uniform
     token budget per source, capped at 4 epochs, capped surplus
@@ -3749,6 +3759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linkage_fs_matches": q_linkage_fs_matches,
         "ann_rp_distortion": q_rp_distortion,
         "mixture_unimax": q_mixture_unimax,
+        "sample_priority_certificate": q_priority_sample,
         # ---- end of the r9 seed block --------------------------------
         # ---- driver-green in r6 (CORRECTNESS_r06.json, 50/50): the
         # round-6 window, now cumulative coverage. --------------------
@@ -12909,6 +12920,34 @@ def oracle_sql() -> dict[str, str]:
         SELECT pair_id, round(oo, 6) AS orig_d2, round(pp, 6) AS proj_d2k,
           CASE WHEN oo > 0 THEN round(pp / oo, 6) END AS distortion
         FROM rpj WHERE round(oo, 6) > 0
+    """
+
+    sqls["sample_priority_certificate"] = f"""
+        WITH prb AS (SELECT event_type, event_id,
+                       CAST(value AS DOUBLE) AS w,
+                       CAST(value AS DOUBLE)
+                         / {hash_uniform_sql('pri11', 'event_id')} AS q
+                     FROM events),
+        prr AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                  ORDER BY q DESC, event_id ASC) AS r
+                FROM prb),
+        prt AS (SELECT event_type, q AS tau FROM prr WHERE r = 33),
+        pre AS (SELECT s.event_type,
+                  count(*) AS n_sample,
+                  round(max(COALESCE(tau, 0.0)), 6) AS tau,
+                  round(CAST(sum(CAST(round(greatest(w,
+                          COALESCE(tau, 0.0)), 6) AS DECIMAL(27,6)))
+                        AS DOUBLE), 6) AS est_total
+                FROM (SELECT * FROM prr WHERE r <= 32) s
+                LEFT JOIN prt ON s.event_type = prt.event_type
+                GROUP BY 1),
+        prx AS (SELECT event_type,
+                  round(CAST(sum(CAST(value AS DECIMAL(27,6)))
+                        AS DOUBLE), 6) AS exact_total
+                FROM events GROUP BY 1)
+        SELECT e.event_type, n_sample, tau, est_total, exact_total,
+          round(abs(est_total - exact_total) / exact_total, 6) AS rel_err
+        FROM pre e JOIN prx ON e.event_type = prx.event_type
     """
 
     _um_parts = [

@@ -1270,3 +1270,79 @@ def theta_set_ops_certificate(
             )
             out = row if out is None else out.unionByName(row)
     return out
+
+
+def priority_sample_certificate(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    weight_col: str,
+    k: int = 32,
+    seed: int | str = 11,
+) -> DataFrame:
+    """Priority sampling (Duffield, Lund & Thorup 2007, JACM): the
+    weighted-SUM analogue of the KMV distinct certificate.  Each item
+    draws priority q = w/u (u the deterministic md5 uniform); the k
+    highest-priority items per group are kept with threshold tau =
+    the (k+1)-th priority, and sum(max(w, tau)) over the sample
+    estimates the group's TOTAL weight — near-unbiased from k rows
+    alone, with variance optimal among k-sample subset-sum estimators
+    (Szegedy 2006).  Groups with <= k items take the exact path
+    (tau = 0, estimate = exact sum).
+
+    Mergeable the KMV way: union shard samples, re-rank, re-threshold.
+    Float discipline: per-item estimates round-6 into DECIMAL(27,6)
+    so the sum is order-independent; exact both while the SCALED sum
+    stays under 2^53 (sums < ~9e9 — the repo-wide decimal bound).
+
+    Output: group, n_sample, tau, est_total, exact_total, rel_err.
+    """
+    u = hash_uniform(f"pri{seed}", F.col(key_col))
+    base = df.select(
+        F.col(group_col),
+        F.col(key_col),
+        F.col(weight_col).cast("double").alias("_w"),
+    ).withColumn("_q", F.col("_w") / u)
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("_q").desc(), F.col(key_col).asc()
+    )
+    ranked = base.withColumn("_r", F.row_number().over(w)).filter(
+        F.col("_r") <= k + 1
+    )
+    taus = ranked.filter(F.col("_r") == k + 1).select(
+        F.col(group_col), F.col("_q").alias("_tau")
+    )
+    est = (
+        ranked.filter(F.col("_r") <= k)
+        .join(taus, group_col, "left")
+        .withColumn("_tau", F.coalesce(F.col("_tau"), F.lit(0.0)))
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_sample"),
+            F.round(F.max("_tau"), 6).alias("tau"),
+            F.round(
+                F.sum(
+                    F.round(F.greatest(F.col("_w"), F.col("_tau")), 6)
+                    .cast("decimal(27,6)")
+                ).cast("double"),
+                6,
+            ).alias("est_total"),
+        )
+    )
+    exact = df.groupBy(group_col).agg(
+        F.round(
+            F.sum(F.col(weight_col).cast("decimal(27,6)")).cast("double"), 6
+        ).alias("exact_total")
+    )
+    return est.join(exact, group_col).select(
+        group_col,
+        "n_sample",
+        "tau",
+        "est_total",
+        "exact_total",
+        F.round(
+            F.abs(F.col("est_total") - F.col("exact_total"))
+            / F.col("exact_total"),
+            6,
+        ).alias("rel_err"),
+    )

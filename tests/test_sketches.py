@@ -564,3 +564,33 @@ def test_rp_sign_matrix_is_balanced_and_stable(spark):
     flat = [v for r in m for v in r]
     assert abs(sum(flat)) < len(flat) * 0.2    # roughly balanced signs
     assert m == similarity.rp_sign_matrix(64, 16)
+
+
+def test_priority_sample_exact_path_and_estimation_band(spark):
+    rows = [("small", i, 10.0) for i in range(10)]
+    rows += [("big", i, float(1 + i % 100)) for i in range(3000)]
+    df = from_rows(spark, rows, schema="g string, k bigint, w double")
+    out = {r.g: r for r in sketch.priority_sample_certificate(
+        df, "g", "k", "w", k=32).collect()}
+    assert out["small"].tau == 0.0
+    assert out["small"].est_total == 100.0 == out["small"].exact_total
+    assert out["small"].rel_err == 0.0
+    big = out["big"]
+    assert big.n_sample == 32 and big.tau > 0.0
+    assert big.exact_total == 3000 * 50.5
+    assert big.rel_err < 0.5          # k=32 subset-sum envelope
+    # partitioning-invariant (md5 draws, not rand())
+    again = {r.g: r.est_total for r in sketch.priority_sample_certificate(
+        df.repartition(9), "g", "k", "w", k=32).collect()}
+    assert again == {g: r.est_total for g, r in out.items()}
+
+
+def test_priority_sample_heavy_item_always_sampled_exactly(spark):
+    # one item carries 99% of the weight: priority sampling MUST keep
+    # it (q = w/u >= w) and its estimate contribution is its true w
+    # (w > tau), the property uniform sampling lacks
+    rows = [("g", 0, 1_000_000.0)] + [("g", i, 1.0) for i in range(1, 500)]
+    df = from_rows(spark, rows, schema="g string, k bigint, w double")
+    r = sketch.priority_sample_certificate(df, "g", "k", "w", k=16).collect()[0]
+    assert r.rel_err < 0.2            # the heavy item anchors the estimate
+    assert r.est_total >= 1_000_000.0
