@@ -3579,6 +3579,14 @@ def q_rp_distortion(spark, sf):
     return similarity.rp_distortion_certificate(e, dims=64, planes=16)
 
 
+def q_linkage_entities(spark, sf):
+    """Entity clusters from the FS link set (r7 late): transitive
+    closure of matches into resolved entities (namespaced min-label
+    propagation), one row per entity with member counts."""
+    m = linkage.fs_matches(_linkage_candidate_pairs(spark, sf), threshold=5.0)
+    return linkage.fs_entity_clusters(m)
+
+
 def q_priority_sample(spark, sf):
     """Priority-sampling subset-sum certificate (r7 late): per
     event_type, estimate total value from the 32 highest-priority
@@ -3760,6 +3768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_rp_distortion": q_rp_distortion,
         "mixture_unimax": q_mixture_unimax,
         "sample_priority_certificate": q_priority_sample,
+        "linkage_entity_clusters": q_linkage_entities,
         # ---- end of the r9 seed block --------------------------------
         # ---- driver-green in r6 (CORRECTNESS_r06.json, 50/50): the
         # round-6 window, now cumulative coverage. --------------------
@@ -13024,6 +13033,28 @@ def oracle_sql() -> dict[str, str]:
                   round({_fs_weight}, 6) AS weight
                 FROM fspv)
         SELECT * FROM fsw WHERE weight >= 5.0
+    """
+
+    sqls["linkage_entity_clusters"] = f"""
+        WITH RECURSIVE {_fs_pairs},
+        fsm AS (SELECT l_id * 2 AS id_a, r_id * 2 + 1 AS id_b
+                FROM fspv WHERE round({_fs_weight}, 6) >= 5.0),
+        fse AS (SELECT id_a AS src, id_b AS dst FROM fsm
+                UNION SELECT id_b, id_a FROM fsm),
+        fsreach AS (
+          SELECT src AS v, dst AS u FROM fse
+          UNION
+          SELECT r.v, e.dst FROM fsreach r JOIN fse e ON r.u = e.src
+        ),
+        fscomp AS (SELECT v, least(v, min(u)) AS component
+                   FROM fsreach GROUP BY v)
+        SELECT component AS entity_id,
+          count(*) AS n_members,
+          CAST(sum(CASE WHEN v % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_left,
+          CAST(sum(CASE WHEN v % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_right
+        FROM fscomp GROUP BY 1
     """
 
     sqls["dedup_hot_buckets"] = f"""

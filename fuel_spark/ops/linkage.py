@@ -163,3 +163,39 @@ def fs_matches(pairs: DataFrame, threshold: float = 5.0) -> DataFrame:
         .filter(F.col("weight") >= threshold)
         .select("l_id", "r_id", "a_bal", "a_id", "a_sign", "weight")
     )
+
+
+def fs_entity_clusters(matches: DataFrame) -> DataFrame:
+    """Transitive closure of the link set into ENTITY clusters: a
+    chain l1-r1, l2-r1, l2-r2 is one real-world entity seen four
+    times, which pairwise links alone under-report — the same
+    transitivity argument as near-dup cluster dedup
+    (``ops.dedup.connected_components`` does the label propagation;
+    this op namespaces the two registries' overlapping key spaces
+    onto one vertex set first: customer k -> 2k, supplier k ->
+    2k+1).
+
+    Output: entity_id (min namespaced vertex = the cluster label),
+    n_members, n_left, n_right — one row per resolved entity.
+    """
+    from fuel_spark.ops.dedup import connected_components
+
+    pairs = matches.select(
+        (F.col("l_id") * 2).alias("id_a"),
+        (F.col("r_id") * 2 + 1).alias("id_b"),
+    )
+    comp = connected_components(pairs)
+    return (
+        comp.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum(F.when(F.col("v") % 2 == 0, 1).otherwise(0))
+            .cast("bigint").alias("n_left"),
+            F.sum(F.when(F.col("v") % 2 == 1, 1).otherwise(0))
+            .cast("bigint").alias("n_right"),
+        )
+        .select(
+            F.col("component").alias("entity_id"),
+            "n_members", "n_left", "n_right",
+        )
+    )

@@ -63,3 +63,28 @@ def test_fs_weights_match_closed_form_and_threshold(spark):
         p.n_pairs for p in linkage.fs_pattern_summary(pairs).collect()
     )
     assert n_pat == pairs.count()
+
+
+def test_entity_clusters_merge_transitive_links(spark):
+    # l2 links to BOTH r1 and r2; l1 links to r1 -> one entity of 4
+    # members; l9-r9 is a separate entity of 2
+    m = from_rows(
+        spark,
+        [(1, 1), (2, 1), (2, 2), (9, 9)],
+        schema="l_id bigint, r_id bigint",
+    )
+    out = {r.entity_id: r for r in linkage.fs_entity_clusters(m).collect()}
+    assert len(out) == 2
+    big = out[2]          # min namespaced vertex: l1 -> 2
+    assert big.n_members == 4 and big.n_left == 2 and big.n_right == 2
+    small = out[18]       # l9 -> 18
+    assert small.n_members == 2 and small.n_left == 1 and small.n_right == 1
+
+
+def test_entity_clusters_namespace_same_numeric_ids(spark):
+    # l_id 5 and r_id 5 are DIFFERENT entities' keys: the namespacing
+    # must keep a (5, 7) link from colliding with a (9, 5) link
+    m = from_rows(spark, [(5, 7), (9, 5)], schema="l_id bigint, r_id bigint")
+    out = linkage.fs_entity_clusters(m).collect()
+    assert len(out) == 2
+    assert sorted(r.n_members for r in out) == [2, 2]
