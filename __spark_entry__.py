@@ -3587,6 +3587,24 @@ def q_linkage_entities(spark, sf):
     return linkage.fs_entity_clusters(m)
 
 
+def q_linkage_pipeline(spark, sf):
+    """Linkage lifecycle composite (r7 late): block -> compare ->
+    weight -> classify -> resolve with an 8-stage row-count audit —
+    the entity-resolution twin of dedup_incremental_lifecycle."""
+    t = _t(spark, sf)
+    c = t["customer"].select(
+        F.col("c_custkey").alias("l_id"),
+        F.col("c_nationkey").alias("l_nation"),
+        F.col("c_acctbal").alias("l_bal"),
+    )
+    s = t["supplier"].select(
+        F.col("s_suppkey").alias("r_id"),
+        F.col("s_nationkey").alias("r_nation"),
+        F.col("s_acctbal").alias("r_bal"),
+    )
+    return linkage.fs_linkage_summary(c, s, threshold=5.0)
+
+
 def q_priority_sample(spark, sf):
     """Priority-sampling subset-sum certificate (r7 late): per
     event_type, estimate total value from the 32 highest-priority
@@ -3769,6 +3787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_unimax": q_mixture_unimax,
         "sample_priority_certificate": q_priority_sample,
         "linkage_entity_clusters": q_linkage_entities,
+        "linkage_pipeline": q_linkage_pipeline,
         # ---- end of the r9 seed block --------------------------------
         # ---- driver-green in r6 (CORRECTNESS_r06.json, 50/50): the
         # round-6 window, now cumulative coverage. --------------------
@@ -13033,6 +13052,36 @@ def oracle_sql() -> dict[str, str]:
                   round({_fs_weight}, 6) AS weight
                 FROM fspv)
         SELECT * FROM fsw WHERE weight >= 5.0
+    """
+
+    sqls["linkage_pipeline"] = f"""
+        WITH RECURSIVE {_fs_pairs},
+        lpm AS (SELECT l_id, r_id FROM fspv
+                WHERE round({_fs_weight}, 6) >= 5.0),
+        lpn AS (SELECT l_id * 2 AS id_a, r_id * 2 + 1 AS id_b FROM lpm),
+        lpe AS (SELECT id_a AS src, id_b AS dst FROM lpn
+                UNION SELECT id_b, id_a FROM lpn),
+        lpreach AS (
+          SELECT src AS v, dst AS u FROM lpe
+          UNION
+          SELECT r.v, e.dst FROM lpreach r JOIN lpe e ON r.u = e.src
+        ),
+        lpcomp AS (SELECT v, least(v, min(u)) AS component
+                   FROM lpreach GROUP BY v),
+        lpent AS (SELECT component, count(*) AS n_members
+                  FROM lpcomp GROUP BY 1)
+        SELECT CAST(1 AS BIGINT) AS stage, 'left_rows' AS stage_name,
+               count(*) AS n FROM customer
+        UNION ALL SELECT 2, 'right_rows', count(*) FROM supplier
+        UNION ALL SELECT 3, 'candidate_pairs', count(*) FROM fspv
+        UNION ALL SELECT 4, 'pairs_bal_agree', count(*) FROM fspv
+                  WHERE a_bal
+        UNION ALL SELECT 5, 'pairs_id_agree', count(*) FROM fspv
+                  WHERE a_id
+        UNION ALL SELECT 6, 'links', count(*) FROM lpm
+        UNION ALL SELECT 7, 'entities', count(*) FROM lpent
+        UNION ALL SELECT 8, 'multi_member_entities', count(*) FROM lpent
+                  WHERE n_members > 2
     """
 
     sqls["linkage_entity_clusters"] = f"""

@@ -199,3 +199,50 @@ def fs_entity_clusters(matches: DataFrame) -> DataFrame:
             "n_members", "n_left", "n_right",
         )
     )
+
+
+def fs_linkage_summary(
+    left: DataFrame,
+    right: DataFrame,
+    bal_band: float = 250.0,
+    threshold: float = 5.0,
+) -> DataFrame:
+    """The linkage LIFECYCLE as one operator: block → compare →
+    weight → classify → resolve, with a per-stage row-count audit as
+    the output — the composed twin of ``incremental_dedup_summary``
+    for entity resolution.  Each stage is an existing audited
+    operator; this pins their contract seams.
+
+    The candidate-pair frame is referenced by four stages, so it is
+    lazily localCheckpointed once (the multi-reference replay class).
+
+    Output: stage (ordinal), stage_name, n (8 constant rows).
+    """
+    pairs = fs_candidate_pairs(left, right, bal_band).localCheckpoint(
+        eager=False
+    )
+    links = fs_matches(pairs, threshold).localCheckpoint(eager=False)
+    entities = fs_entity_clusters(links)
+
+    def stage(i: int, name: str, frame: DataFrame) -> DataFrame:
+        return frame.agg(
+            F.lit(i).cast("bigint").alias("stage"),
+            F.lit(name).alias("stage_name"),
+            F.count(F.lit(1)).alias("n"),
+        )
+
+    parts = [
+        stage(1, "left_rows", left),
+        stage(2, "right_rows", right),
+        stage(3, "candidate_pairs", pairs),
+        stage(4, "pairs_bal_agree", pairs.where(F.col("a_bal"))),
+        stage(5, "pairs_id_agree", pairs.where(F.col("a_id"))),
+        stage(6, "links", links),
+        stage(7, "entities", entities),
+        stage(8, "multi_member_entities",
+              entities.where(F.col("n_members") > 2)),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

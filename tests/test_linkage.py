@@ -88,3 +88,25 @@ def test_entity_clusters_namespace_same_numeric_ids(spark):
     out = linkage.fs_entity_clusters(m).collect()
     assert len(out) == 2
     assert sorted(r.n_members for r in out) == [2, 2]
+
+
+def test_linkage_summary_stages_are_consistent(spark):
+    l = from_rows(
+        spark,
+        [(10, 5, 100.0), (21, 5, 110.0), (30, 6, -50.0)],
+        schema="l_id bigint, l_nation int, l_bal double",
+    )
+    r = from_rows(
+        spark,
+        [(20, 5, 105.0), (31, 6, -60.0)],
+        schema="r_id bigint, r_nation int, r_bal double",
+    )
+    got = {row.stage_name: row.n
+           for row in linkage.fs_linkage_summary(l, r).collect()}
+    assert got["left_rows"] == 3 and got["right_rows"] == 2
+    assert got["candidate_pairs"] >= got["pairs_bal_agree"]
+    assert got["candidate_pairs"] >= got["links"]
+    # every link lands in exactly one entity; entities never exceed links
+    assert got["entities"] <= got["links"] or got["links"] == 0
+    assert got["multi_member_entities"] <= got["entities"]
+    assert got["links"] >= 1            # (10, 20) all-agree pair
