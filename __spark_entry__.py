@@ -3587,6 +3587,13 @@ def q_linkage_entities(spark, sf):
     return linkage.fs_entity_clusters(m)
 
 
+def q_shard_skew_sweep(spark, sf):
+    """Shard-count choice table (r7 late): per-shard token-mass
+    straggler metrics at 8/32/128 shards in one pass."""
+    d = _t(spark, sf)["documents"]
+    return curate_ops.shard_skew_sweep(d, "doc_id", "text", (8, 32, 128))
+
+
 def q_linkage_pipeline(spark, sf):
     """Linkage lifecycle composite (r7 late): block -> compare ->
     weight -> classify -> resolve with an 8-stage row-count audit —
@@ -3788,6 +3795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_priority_certificate": q_priority_sample,
         "linkage_entity_clusters": q_linkage_entities,
         "linkage_pipeline": q_linkage_pipeline,
+        "shard_skew_sweep": q_shard_skew_sweep,
         # ---- end of the r9 seed block --------------------------------
         # ---- driver-green in r6 (CORRECTNESS_r06.json, 50/50): the
         # round-6 window, now cumulative coverage. --------------------
@@ -13052,6 +13060,27 @@ def oracle_sql() -> dict[str, str]:
                   round({_fs_weight}, 6) AS weight
                 FROM fspv)
         SELECT * FROM fsw WHERE weight >= 5.0
+    """
+
+    _shard_per = " UNION ALL ".join(
+        f"SELECT CAST({s} AS BIGINT) AS n_shards,"
+        f" {hash_mod_sql(f'shard{s}', 'doc_id', s)} AS shard,"
+        f" CAST(len({w}) AS BIGINT) AS t FROM documents"
+        for s in (8, 32, 128)
+    )
+    sqls["shard_skew_sweep"] = f"""
+        WITH shp AS ({_shard_per}),
+        shg AS (SELECT n_shards, shard, CAST(sum(t) AS BIGINT) AS st
+                FROM shp GROUP BY 1, 2),
+        shr AS (SELECT n_shards, CAST(sum(st) AS BIGINT) AS total_tokens,
+                  max(st) AS max_shard_tokens,
+                  min(st) AS min_shard_tokens
+                FROM shg GROUP BY 1)
+        SELECT n_shards, total_tokens, max_shard_tokens, min_shard_tokens,
+          round(CAST(max_shard_tokens AS DOUBLE)
+                / (CAST(total_tokens AS DOUBLE)
+                   / CAST(n_shards AS DOUBLE)), 6) AS skew
+        FROM shr
     """
 
     sqls["linkage_pipeline"] = f"""

@@ -861,3 +861,67 @@ def unimax_allocation(
         alloc.alias("alloc_tokens"),
         F.round(alloc / F.col("n_tokens").cast("double"), 6).alias("epochs"),
     )
+
+
+def shard_skew_sweep(
+    df: DataFrame,
+    key_col: str,
+    text_col: str,
+    shard_counts: tuple[int, ...] = (8, 32, 128),
+) -> DataFrame:
+    """Shard-count choice table: token mass per hash-assigned shard
+    at several shard counts, rolled up to the straggler metrics that
+    decide the setting — max/mean skew and the min shard.  The
+    100 TB relevance is direct: the slowest shard IS the stage time,
+    and doubling shards only helps while token mass hashes evenly
+    (many small docs) rather than lumping (few huge docs).
+
+    One pass: each row explodes to one (shard_count, shard) bucket
+    per setting, one groupBy over the union of bucket grids (sum of
+    shard_counts rows), then a per-setting rollup — all-integer until
+    the final skew ratio.
+
+    Output: n_shards, total_tokens, max_shard_tokens,
+    min_shard_tokens, skew (= max/(total/n), rounded 6).
+    """
+    from fuel_spark.functions import hash_mod
+
+    buckets = F.array(
+        *[
+            F.struct(
+                F.lit(int(s)).alias("n_shards"),
+                hash_mod(f"shard{s}", F.col(key_col), s).alias("shard"),
+            )
+            for s in shard_counts
+        ]
+    )
+    per = df.select(
+        F.size(words(F.col(text_col))).cast("bigint").alias("_t"),
+        F.explode(buckets).alias("_b"),
+    ).select("_t", "_b.n_shards", "_b.shard")
+    grid = per.groupBy("n_shards", "shard").agg(
+        F.sum("_t").cast("bigint").alias("_st")
+    )
+    return (
+        grid.groupBy("n_shards")
+        .agg(
+            F.sum("_st").cast("bigint").alias("total_tokens"),
+            F.max("_st").alias("max_shard_tokens"),
+            F.min("_st").alias("min_shard_tokens"),
+        )
+        .withColumn(
+            "skew",
+            F.round(
+                F.col("max_shard_tokens").cast("double")
+                / (
+                    F.col("total_tokens").cast("double")
+                    / F.col("n_shards").cast("double")
+                ),
+                6,
+            ),
+        )
+        .select(
+            F.col("n_shards").cast("bigint").alias("n_shards"),
+            "total_tokens", "max_shard_tokens", "min_shard_tokens", "skew",
+        )
+    )

@@ -431,3 +431,18 @@ def test_unimax_all_capped_leaves_budget_unspent(spark):
     ).collect()
     assert all(r.capped for r in out)
     assert sum(r.alloc_tokens for r in out) == 10.0   # 2*(2+3), not 1000
+
+
+def test_shard_skew_sweep_conserves_tokens_and_flags_lumping(spark):
+    # 63 tiny docs + 1 huge doc: high shard counts cannot dilute the
+    # straggler below the huge doc's mass
+    rows = [(i, "a b c") for i in range(63)] + [(63, "x " * 5000)]
+    df = from_rows(spark, rows, schema="doc_id bigint, text string")
+    out = {r.n_shards: r for r in curate.shard_skew_sweep(
+        df, "doc_id", "text", (4, 16)).collect()}
+    total = 63 * 3 + 5000
+    assert all(r.total_tokens == total for r in out.values())
+    assert all(r.max_shard_tokens >= 5000 for r in out.values())
+    # skew worsens (or holds) as shards grow around a lumped key
+    assert out[16].skew >= out[4].skew
+    assert all(r.min_shard_tokens >= 1 for r in out.values())

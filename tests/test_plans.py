@@ -892,6 +892,14 @@ SINGLE_PARTITION_ALLOWLIST = {
     "snapshot_source_mix_shift",
     # r7 seeds: the seq_len sweep's single conditional-sum row
     "packing_seqlen_sweep",
+    # r7 late: theta set-ops' per-pair 1-row estimate/exact finals —
+    # the sketch side is <= 2k rows by construction and the exact
+    # side funnels map-side partials only (flag agg over distinct
+    # keys is partial-aggregated before the single-partition final)
+    "sketch_theta_set_ops",
+    # r7 late: the linkage composite's 8 per-stage 1-row count
+    # aggregates (each a map-side-combined count funnel)
+    "linkage_pipeline",
 }
 
 
