@@ -881,3 +881,81 @@ def drift_screen_stream(
         F.round(psi, 6).alias("psi"),
         (F.round(psi, 6) > F.lit(float(psi_alert))).alias("drifted"),
     )
+
+
+KMV_OUT_SCHEMA = (
+    "group string, n_sketch long, theta double, est_distinct double"
+)
+KMV_STATE_SCHEMA = "hs array<double>, ks array<long>"
+
+
+def kmv_stream(
+    events: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int = 32,
+    seed: int | str = 7,
+) -> DataFrame:
+    """Streaming KMV distinct sketch as a BOUNDED-STATE stateful
+    operator: per group, the k smallest deterministic hash draws fold
+    each micro-batch in, so state is O(k) FOREVER regardless of
+    stream length or key cardinality — the distinct-count member of
+    the bounded-state family (CMS holds frequencies, Misra–Gries the
+    top-k, Bloom membership; this holds the distinct-cardinality
+    synopsis, and because it keeps arg-min KEYS the stored state
+    supports the theta set operations downstream).
+
+    The hash is IDENTICAL to the batch
+    :func:`fuel_spark.ops.sketch.kmv_sketch` (same md5 seed), so the
+    streamed sketch equals the batch sketch of the same rows — pinned
+    by test.  Estimator per emission: (k-1)/h_(k) when the sketch is
+    full, the exact held count below that (same exact-path rule as
+    the batch certificate).
+
+    Update-mode semantics: each batch re-emits the group's CURRENT
+    estimate.  Output: group, n_sketch, theta, est_distinct.
+    """
+    import pandas as pd
+
+    from fuel_spark.functions import hash_uniform
+
+    prepared = events.select(
+        F.col(group_col).cast("string").alias("_g"),
+        F.col(key_col).cast("long").alias("_k"),
+        hash_uniform(f"kmv{seed}", F.col(key_col)).alias("_h"),
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        (group,) = key
+        if state.exists:
+            hs, ks = state.get
+            held = dict(zip(list(ks), list(hs)))
+        else:
+            held = {}
+        for pdf in pdfs:
+            for kk, hh in zip(pdf["_k"].to_numpy(), pdf["_h"].to_numpy()):
+                held[int(kk)] = float(hh)
+        best = sorted(((h, kk) for kk, h in held.items()))[:k]
+        state.update((
+            [h for h, _ in best],
+            [kk for _, kk in best],
+        ))
+        n = len(best)
+        if n >= k:
+            theta = best[-1][0]
+            est = round((k - 1) / theta, 6)
+            theta = round(theta, 6)
+        else:
+            theta, est = 2.0, float(n)
+        yield pd.DataFrame(
+            [(group, n, theta, est)],
+            columns=["group", "n_sketch", "theta", "est_distinct"],
+        )
+
+    return prepared.groupBy("_g").applyInPandasWithState(
+        fn,
+        outputStructType=KMV_OUT_SCHEMA,
+        stateStructType=KMV_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

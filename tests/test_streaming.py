@@ -809,3 +809,52 @@ def test_bloom_screen_stream_no_false_negatives(spark, workdir):
     batch = {r.k: r.bloom_hit for r in
              sketch.bloom_screen(cands, bloom, "k", 4096, 3).collect()}
     assert hits == batch
+
+
+def test_kmv_stream_equals_batch_certificate(spark, workdir):
+    """Two micro-batches; the streamed KMV's final emission must equal
+    the batch kmv_distinct_certificate over the union (same md5 seed),
+    and every emission holds <= k sketch rows (bounded state)."""
+    import pandas as pd
+
+    from fuel_spark.ops import sketch
+    from fuel_spark.sources import from_rows
+
+    src = os.path.join(workdir, "kmv_src")
+    ckpt = os.path.join(workdir, "kmv_ckpt")
+    os.makedirs(src)
+    all_rows = []
+    for b in range(2):
+        rows = [("g", b * 500 + i) for i in range(200)]
+        all_rows += rows
+        pd.DataFrame(rows, columns=["g", "user_id"]).to_parquet(
+            os.path.join(src, f"{b:03d}.parquet")
+        )
+    stream = (
+        spark.readStream.schema("g string, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    batches = []
+    q = (
+        serve.kmv_stream(stream, "g", "user_id", k=16)
+        .writeStream.outputMode("update")
+        .foreachBatch(lambda d, i: batches.append((i, d.collect())))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    emitted = [rows for _, rows in batches if rows]
+    assert len(emitted) >= 2
+    for rows in emitted:
+        assert len(rows) == 1
+        assert rows[0].n_sketch <= 16            # bounded state, every batch
+    final = emitted[-1][0]
+    static = from_rows(spark, all_rows, schema="g string, user_id long")
+    cert = sketch.kmv_distinct_certificate(
+        static, "g", "user_id", k=16
+    ).collect()[0]
+    assert final.n_sketch == cert.n_sketch
+    assert final.theta == cert.theta
+    assert final.est_distinct == cert.est_distinct
