@@ -3587,6 +3587,16 @@ def q_linkage_entities(spark, sf):
     return linkage.fs_entity_clusters(m)
 
 
+def q_dedup_time_horizon(spark, sf):
+    """Time-horizon exact dedup (r7 late): per (user, type), replays
+    within 30 minutes of their predecessor dropped — the batch twin
+    of streaming dedup_stream's watermark semantics."""
+    e = _t(spark, sf)["events"]
+    return dedup.dedup_time_horizon(
+        e, ["user_id", "event_type"], "ts", horizon_sec=1800
+    )
+
+
 def q_shard_skew_sweep(spark, sf):
     """Shard-count choice table (r7 late): per-shard token-mass
     straggler metrics at 8/32/128 shards in one pass."""
@@ -3796,6 +3806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linkage_entity_clusters": q_linkage_entities,
         "linkage_pipeline": q_linkage_pipeline,
         "shard_skew_sweep": q_shard_skew_sweep,
+        "dedup_time_horizon": q_dedup_time_horizon,
         # ---- end of the r9 seed block --------------------------------
         # ---- driver-green in r6 (CORRECTNESS_r06.json, 50/50): the
         # round-6 window, now cumulative coverage. --------------------
@@ -13060,6 +13071,19 @@ def oracle_sql() -> dict[str, str]:
                   round({_fs_weight}, 6) AS weight
                 FROM fspv)
         SELECT * FROM fsw WHERE weight >= 5.0
+    """
+
+    sqls["dedup_time_horizon"] = """
+        WITH dth AS (SELECT user_id, event_type, ts,
+            CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (
+                   PARTITION BY user_id, event_type ORDER BY ts))
+                 < 1800 * 1000000 THEN 1 ELSE 0 END AS dup
+          FROM events)
+        SELECT user_id, event_type, count(*) AS n_rows,
+          CAST(sum(1 - dup) AS BIGINT) AS n_kept,
+          CAST(sum(dup) AS BIGINT) AS n_dropped,
+          min(ts) AS first_ts, max(ts) AS last_ts
+        FROM dth GROUP BY 1, 2
     """
 
     _shard_per = " UNION ALL ".join(

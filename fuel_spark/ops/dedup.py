@@ -24,7 +24,7 @@ corpus is known clean.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from fuel_spark.functions import (
     ensure_parallelism,
@@ -2461,3 +2461,42 @@ def edit_distance_pairs(
         .select("_p.id_a", "_p.id_b", F.lit(0).cast("long").alias("dist"))
     )
     return expanded.unionByName(dist0)
+
+
+def dedup_time_horizon(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    horizon_sec: int = 3600,
+) -> DataFrame:
+    """Time-horizon exact dedup, the BATCH twin of
+    ``streaming.serve.dedup_stream`` (dropDuplicatesWithinWatermark):
+    a row is a replay iff the previous row with the SAME key is
+    within ``horizon_sec`` — producer retries and at-least-once
+    replays land seconds apart, while a genuine recurrence of the key
+    (the same user clicking again tomorrow) survives.  Plain exact
+    dedup can't express this: uniqueness here is time-scoped, not
+    global.
+
+    One lag window per key partition (key-partitioned, never global),
+    then a per-key rollup.  Chained replays collapse correctly:
+    each replay is measured against its PREDECESSOR row, so a burst
+    x, x+1s, x+2s drops both followers — matching the streaming
+    state semantics where the sketch retains the id for the horizon.
+
+    Output: key cols, n_rows, n_kept, n_dropped, first_ts, last_ts.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(F.col(ts_col).asc())
+    prev = F.lag(F.col(ts_col)).over(w)
+    # microsecond integers, not float seconds: exact cross-engine gap
+    gap = F.unix_micros(F.col(ts_col)) - F.unix_micros(prev)
+    flagged = df.withColumn(
+        "_dup", F.when(gap < int(horizon_sec) * 1_000_000, 1).otherwise(0)
+    )
+    return flagged.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(1 - F.col("_dup")).cast("bigint").alias("n_kept"),
+        F.sum("_dup").cast("bigint").alias("n_dropped"),
+        F.min(ts_col).alias("first_ts"),
+        F.max(ts_col).alias("last_ts"),
+    )

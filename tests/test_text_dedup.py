@@ -2053,3 +2053,61 @@ def test_gt_logprob_self_reference_has_no_oov(spark):
     out = text_ops.gt_logprob(docs, "doc_id", "text").collect()
     assert out and all(r.n_oov == 0 for r in out)
     assert all(r.mean_logprob is not None for r in out)
+
+
+def test_dedup_time_horizon_drops_replays_keeps_recurrences(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # burst: original + two replays seconds apart -> 1 kept, 2 dropped
+        (1, "click", base),
+        (1, "click", base + dt.timedelta(seconds=5)),
+        (1, "click", base + dt.timedelta(seconds=10)),
+        # genuine recurrence past the horizon -> kept
+        (1, "click", base + dt.timedelta(hours=2)),
+        # different key entirely -> untouched
+        (2, "click", base + dt.timedelta(seconds=3)),
+    ]
+    df = from_rows(
+        spark, rows, schema="user_id bigint, event_type string, ts timestamp"
+    )
+    out = {(r.user_id, r.event_type): r for r in dedup.dedup_time_horizon(
+        df, ["user_id", "event_type"], "ts", horizon_sec=3600).collect()}
+    k1 = out[(1, "click")]
+    assert k1.n_rows == 4 and k1.n_kept == 2 and k1.n_dropped == 2
+    k2 = out[(2, "click")]
+    assert k2.n_rows == 1 and k2.n_kept == 1 and k2.n_dropped == 0
+
+
+def test_dedup_time_horizon_matches_streaming_dedup_counts(spark, tmp_path):
+    """Contract twin: kept counts equal what dedup_stream's
+    dropDuplicatesWithinWatermark keeps for in-horizon replays (ids
+    keyed, fresh timestamps still dropped)."""
+    import datetime as dt
+    import os
+
+    from fuel_spark.streaming import serve
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [(i % 7, base + dt.timedelta(seconds=i)) for i in range(50)]
+    src = os.path.join(str(tmp_path), "src")
+    # Spark-written parquet: pandas writes INT64 nanos the stream's
+    # explicit timestamp schema refuses
+    spark.createDataFrame(rows, "user_id long, ts timestamp").write.parquet(src)
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(src)
+    got = []
+    q = (
+        serve.dedup_stream(stream, ["user_id"], "ts", "1 hour")
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda d, i: got.extend(d.collect()))
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    batch = dedup.dedup_time_horizon(
+        from_rows(spark, rows, schema="user_id bigint, ts timestamp"),
+        ["user_id"], "ts", horizon_sec=3600,
+    ).collect()
+    assert sum(r.n_kept for r in batch) == len(got) == 7
