@@ -3587,6 +3587,17 @@ def q_linkage_entities(spark, sf):
     return linkage.fs_entity_clusters(m)
 
 
+def q_ann_rbo_lsh(spark, sf):
+    """Rank-biased overlap certificate for the pivot-LSH tier (r7
+    late): rank-aware agreement with the exact top-5 (recall says
+    WHETHER the ids appear; RBO scores the ORDER)."""
+    e = _t(spark, sf)["embeddings"]
+    q = e.where(F.col("vec_id") < 5)
+    exact = similarity.cosine_topk(e, q, k=5)
+    approx = similarity.pivot_lsh_ann(e, q, k=5, n_planes=6, probes=1)
+    return similarity.rbo_certificate(exact, approx, k=5, p=0.9)
+
+
 def q_dedup_time_horizon(spark, sf):
     """Time-horizon exact dedup (r7 late): per (user, type), replays
     within 30 minutes of their predecessor dropped — the batch twin
@@ -3807,6 +3818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linkage_pipeline": q_linkage_pipeline,
         "shard_skew_sweep": q_shard_skew_sweep,
         "dedup_time_horizon": q_dedup_time_horizon,
+        "ann_rbo_lsh": q_ann_rbo_lsh,
         # ---- end of the r9 seed block --------------------------------
         # ---- driver-green in r6 (CORRECTNESS_r06.json, 50/50): the
         # round-6 window, now cumulative coverage. --------------------
@@ -10091,6 +10103,29 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN ({sqls[base]}) c
           ON e.query_id = c.query_id AND e.neighbor_id = c.neighbor_id
         GROUP BY 1
+    """
+
+    _rbo_w = similarity.rbo_suffix_weights(5, 0.9)
+    _rbo_case = "CASE greatest(e.rank, a.rank) " + " ".join(
+        f"WHEN {m} THEN {repr(_rbo_w[m])}" for m in range(1, 6)
+    ) + " END"
+    sqls["ann_rbo_lsh"] = f"""
+        WITH rboe AS ({sqls['ann_topk_cosine']}),
+        rboa AS ({sqls['ann_lsh_pivot']}),
+        rbop AS (
+          SELECT e.query_id, count(*) AS n_common,
+            round(CAST(sum(CAST({_rbo_case} AS DECIMAL(27,12)))
+                  AS DOUBLE), 6) AS rbo
+          FROM rboe e JOIN rboa a
+            ON e.query_id = a.query_id
+           AND e.neighbor_id = a.neighbor_id
+          GROUP BY 1
+        ),
+        rboq AS (SELECT DISTINCT query_id FROM rboe)
+        SELECT q.query_id,
+          CAST(COALESCE(n_common, 0) AS BIGINT) AS n_common,
+          COALESCE(rbo, 0.0) AS rbo
+        FROM rboq q LEFT JOIN rbop USING (query_id)
     """
 
     sqls["dedup_threshold_sweep"] = sqls["dedup_threshold_sweep"].replace(

@@ -2184,3 +2184,73 @@ def rp_distortion_certificate(
         )
         .filter(F.col("orig_d2") > 0)
     )
+
+
+def rbo_suffix_weights(k: int = 5, p: float = 0.9) -> dict[int, float]:
+    """Suffix-summed RBO depth weights: weight a both-lists pair whose
+    worse rank is m contributes — sum of (1-p)p^(d-1)/d for d=m..k,
+    rounded 12 dp.  Shared by the Spark op and the DuckDB oracle so
+    both engines multiply the same literals."""
+    return {
+        m: round(
+            sum((1.0 - p) * p ** (d - 1) / d for d in range(m, k + 1)), 12
+        )
+        for m in range(1, k + 1)
+    }
+
+
+def rbo_certificate(
+    exact: DataFrame,
+    approx: DataFrame,
+    k: int = 5,
+    p: float = 0.9,
+) -> DataFrame:
+    """Rank-biased overlap (Webber, Moffat & Zobel 2010) between an
+    exact and an approximate top-k ranking — the rank-AWARE quality
+    certificate the recall certificates can't express: recall@k says
+    only whether the right ids appear; RBO weights agreement at depth
+    d by (1-p)·p^(d-1)/d, so an ANN tier that finds the right ids in
+    the wrong order scores below one that preserves order.
+
+    Closed form used: a pair present in both lists at ranks (re, ra)
+    contributes the SUFFIX sum of depth weights from max(re, ra) to k
+    (it is inside both depth-d prefixes exactly for d >= max).  The
+    suffix sums are Python-float literals rounded to 12 dp, summed as
+    DECIMAL so the per-query total is order-independent — identical
+    cross-engine.  Truncated (prefix) RBO: no extrapolation term, so
+    1.0 means the two rankings agree exactly through depth k.
+
+    Both inputs need (query_id, neighbor_id, rank).  Output:
+    query_id, n_common, rbo.
+    """
+    suffix = rbo_suffix_weights(k, p)
+    e = exact.select(
+        "query_id", "neighbor_id", F.col("rank").alias("_re")
+    )
+    a = approx.select(
+        "query_id", "neighbor_id", F.col("rank").alias("_ra")
+    )
+    m = F.greatest(F.col("_re"), F.col("_ra"))
+    contrib = None
+    for mm in range(1, k + 1):
+        case = F.when(m == mm, F.lit(suffix[mm]))
+        contrib = case if contrib is None else contrib.when(
+            m == mm, F.lit(suffix[mm])
+        )
+    per = (
+        e.join(a, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.round(
+                F.sum(contrib.cast("decimal(27,12)")).cast("double"), 6
+            ).alias("rbo"),
+        )
+    )
+    qs = exact.select("query_id").distinct()
+    return qs.join(per, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n_common"), F.lit(0)).cast("bigint")
+        .alias("n_common"),
+        F.coalesce(F.col("rbo"), F.lit(0.0)).alias("rbo"),
+    )

@@ -594,3 +594,34 @@ def test_priority_sample_heavy_item_always_sampled_exactly(spark):
     r = sketch.priority_sample_certificate(df, "g", "k", "w", k=16).collect()[0]
     assert r.rel_err < 0.2            # the heavy item anchors the estimate
     assert r.est_total >= 1_000_000.0
+
+
+def test_rbo_certificate_identity_order_and_misorder(spark):
+    # identical rankings -> rbo = sum of all suffix weights at m=rank
+    e = from_rows(
+        spark,
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+        schema="query_id bigint, neighbor_id bigint, rank bigint",
+    )
+    w = similarity.rbo_suffix_weights(3, 0.9)
+    ident = similarity.rbo_certificate(e, e, k=3, p=0.9).collect()[0]
+    assert ident.n_common == 3
+    assert ident.rbo == round(w[1] + w[2] + w[3], 6)
+    # same ids, reversed order: every pair's worse rank is >= its
+    # identity rank, so rbo must drop strictly below the identity score
+    rev = from_rows(
+        spark,
+        [(1, 12, 1), (1, 11, 2), (1, 10, 3)],
+        schema="query_id bigint, neighbor_id bigint, rank bigint",
+    )
+    swapped = similarity.rbo_certificate(e, rev, k=3, p=0.9).collect()[0]
+    assert swapped.n_common == 3
+    assert swapped.rbo < ident.rbo
+    # disjoint lists -> 0.0, query still present
+    other = from_rows(
+        spark,
+        [(1, 99, 1)],
+        schema="query_id bigint, neighbor_id bigint, rank bigint",
+    )
+    gone = similarity.rbo_certificate(e, other, k=3, p=0.9).collect()[0]
+    assert gone.n_common == 0 and gone.rbo == 0.0
