@@ -3587,6 +3587,16 @@ def q_linkage_entities(spark, sf):
     return linkage.fs_entity_clusters(m)
 
 
+def q_salted_rollup(spark, sf):
+    """Salted two-stage rollup certificate (r7 late): the hot-key
+    shuffle mitigation beside the direct aggregate, match pinned —
+    safe exactly because sums ride DECIMAL."""
+    e = _t(spark, sf)["events"]
+    return core.salted_rollup_certificate(
+        e, "event_type", "event_id", "value", salts=32
+    )
+
+
 def q_ann_rbo_lsh(spark, sf):
     """Rank-biased overlap certificate for the pivot-LSH tier (r7
     late): rank-aware agreement with the exact top-5 (recall says
@@ -3819,6 +3829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_skew_sweep": q_shard_skew_sweep,
         "dedup_time_horizon": q_dedup_time_horizon,
         "ann_rbo_lsh": q_ann_rbo_lsh,
+        "events_salted_rollup": q_salted_rollup,
         # ---- end of the r9 seed block --------------------------------
         # ---- driver-green in r6 (CORRECTNESS_r06.json, 50/50): the
         # round-6 window, now cumulative coverage. --------------------
@@ -13106,6 +13117,23 @@ def oracle_sql() -> dict[str, str]:
                   round({_fs_weight}, 6) AS weight
                 FROM fspv)
         SELECT * FROM fsw WHERE weight >= 5.0
+    """
+
+    sqls["events_salted_rollup"] = f"""
+        WITH srd AS (SELECT event_type, count(*) AS n_rows,
+                       round(CAST(sum(CAST(value AS DECIMAL(27,6)))
+                             AS DOUBLE), 6) AS direct_sum
+                     FROM events GROUP BY 1),
+        srp AS (SELECT event_type,
+                  {hash_mod_sql('salt13', 'event_id', 32)} AS salt,
+                  sum(CAST(value AS DECIMAL(27,6))) AS ps
+                FROM events GROUP BY 1, 2),
+        srs AS (SELECT event_type,
+                  round(CAST(sum(ps) AS DOUBLE), 6) AS salted_sum
+                FROM srp GROUP BY 1)
+        SELECT d.event_type, n_rows, direct_sum, salted_sum,
+          direct_sum = salted_sum AS match
+        FROM srd d JOIN srs s ON d.event_type = s.event_type
     """
 
     sqls["dedup_time_horizon"] = """

@@ -853,3 +853,50 @@ def parallel_ntile(
     )
     out = d.withColumn(out_col, bucket).drop("_n_total")
     return out if keep_pos else out.drop("_np")
+
+
+def salted_rollup_certificate(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    value_col: str,
+    salts: int = 32,
+) -> DataFrame:
+    """Two-stage salted aggregation with its correctness certificate:
+    the canonical hot-key mitigation — groupBy(group, salt) partials
+    then a per-group final — beside the direct one-stage rollup, with
+    an exact-match flag per group.  At 100 TB a single key holding
+    10% of the rows turns the direct shuffle's one reducer into the
+    stage; salting spreads that key across ``salts`` reducers and the
+    final combines ``salts`` partial rows.  The certificate exists
+    because the pattern is only safe for ALGEBRAIC aggregates over
+    exact types: sums ride DECIMAL(27,6) (order-independent), counts
+    are integers — match is provably TRUE, and the query pins it.
+
+    Salt is a deterministic md5 bucket of the row key, so the partial
+    assignment (and thus the plan shape) is reproducible.
+
+    Output: group, n_rows, direct_sum, salted_sum, match.
+    """
+    from fuel_spark.functions import hash_mod
+
+    dec = F.col(value_col).cast("decimal(27,6)")
+    direct = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum(dec).cast("double"), 6).alias("direct_sum"),
+    )
+    partial = (
+        df.withColumn("_salt", hash_mod("salt13", F.col(key_col), salts))
+        .groupBy(group_col, "_salt")
+        .agg(F.sum(dec).alias("_ps"))
+    )
+    salted = partial.groupBy(group_col).agg(
+        F.round(F.sum("_ps").cast("double"), 6).alias("salted_sum")
+    )
+    return direct.join(salted, group_col).select(
+        group_col,
+        "n_rows",
+        "direct_sum",
+        "salted_sum",
+        (F.col("direct_sum") == F.col("salted_sum")).alias("match"),
+    )

@@ -291,3 +291,25 @@ def test_concat_packed_sequences_order_and_eos(spark):
     # no separator when eos omitted
     plain = concat_packed_sequences(df, "pack_id", "doc_id", "tokens").collect()
     assert {tuple(r.input_ids) for r in plain} == {("c", "a", "b"), ("x", "y", "z")}
+
+
+def test_salted_rollup_matches_direct_on_hot_key(spark):
+    # one key holds 90% of rows — the case salting exists for
+    rows = [("hot", i, 1.25) for i in range(900)]
+    rows += [(f"g{i % 5}", 10000 + i, 2.5) for i in range(100)]
+    df = from_rows(spark, rows, schema="g string, k bigint, v double")
+    out = core.salted_rollup_certificate(df, "g", "k", "v", salts=8).collect()
+    assert all(r.match for r in out)
+    hot = next(r for r in out if r.g == "hot")
+    assert hot.n_rows == 900 and hot.direct_sum == 1125.0
+    # the salted plan genuinely spreads the hot group across partials
+    from fuel_spark.functions import hash_mod
+    from pyspark.sql import functions as F
+
+    n_salts = (
+        df.where(F.col("g") == "hot")
+        .select(hash_mod("salt13", F.col("k"), 8).alias("s"))
+        .distinct()
+        .count()
+    )
+    assert n_salts == 8
