@@ -3587,6 +3587,14 @@ def q_linkage_entities(spark, sf):
     return linkage.fs_entity_clusters(m)
 
 
+def q_lsh_scurve(spark, sf):
+    """LSH s-curve calibration (r7 late): measured band-capture rate
+    per exact-jaccard decile vs the 1-(1-s^r)^b design curve, over
+    the bounded doc_id<200 calibration sample."""
+    d = _t(spark, sf)["documents"]
+    return dedup.lsh_scurve_calibration(d, "doc_id", "text", max_id=200)
+
+
 def q_salted_rollup(spark, sf):
     """Salted two-stage rollup certificate (r7 late): the hot-key
     shuffle mitigation beside the direct aggregate, match pinned —
@@ -3830,6 +3838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_time_horizon": q_dedup_time_horizon,
         "ann_rbo_lsh": q_ann_rbo_lsh,
         "events_salted_rollup": q_salted_rollup,
+        "dedup_lsh_scurve": q_lsh_scurve,
         # ---- end of the r9 seed block --------------------------------
         # ---- driver-green in r6 (CORRECTNESS_r06.json, 50/50): the
         # round-6 window, now cumulative coverage. --------------------
@@ -13117,6 +13126,44 @@ def oracle_sql() -> dict[str, str]:
                   round({_fs_weight}, 6) AS weight
                 FROM fspv)
         SELECT * FROM fsw WHERE weight >= 5.0
+    """
+
+    _sc_theo = {
+        d: round(1.0 - (1.0 - ((d + 0.5) / 10.0) ** 3) ** 3, 6)
+        for d in range(10)
+    }
+    _sc_theo_case = "CASE decile " + " ".join(
+        f"WHEN {d} THEN {repr(_sc_theo[d])}" for d in range(10)
+    ) + " END"
+    _sc_jac = (
+        "round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)"
+        " / greatest(len(a.s) + len(b.s)"
+        " - len(list_intersect(a.s, b.s)), 1), 6)"
+    )
+    sqls["dedup_lsh_scurve"] = f"""
+        WITH scs AS (SELECT doc_id, text FROM documents
+                     WHERE doc_id < 200),
+        scsh AS (SELECT doc_id, {_shingles_sql('text')} AS s FROM scs),
+        scp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                  {_sc_jac} AS j
+                FROM scsh a JOIN scsh b ON a.doc_id < b.doc_id),
+        {_minhash_bands_sql(src="scs", prefix="scb_")},
+        sccap AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+                  FROM scb_bands x JOIN scb_bands y
+                    ON x.band_id = y.band_id
+                   AND x.band_key = y.band_key
+                   AND x.doc_id < y.doc_id),
+        scd AS (SELECT least(CAST(floor(j * 10) AS BIGINT), 9) AS decile,
+                  CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END AS cap
+                FROM scp p LEFT JOIN sccap c
+                  ON p.id_a = c.id_a AND p.id_b = c.id_b)
+        SELECT decile,
+          (CAST(decile AS DOUBLE) + 0.5) / CAST(10.0 AS DOUBLE) AS s_mid,
+          count(*) AS n_pairs, CAST(sum(cap) AS BIGINT) AS n_captured,
+          round(CAST(sum(cap) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+            AS measured_rate,
+          {_sc_theo_case} AS theoretical_rate
+        FROM scd GROUP BY 1
     """
 
     sqls["events_salted_rollup"] = f"""

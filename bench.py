@@ -105,6 +105,11 @@ HEADLINERS = (
     # (the mergeable-sketch family's representative)
     "incremental_dedup_pipeline",
     "sketch_quantile_value",
+    # late-r7 headliners: the linkage lifecycle composite (the
+    # session's flagship family) and the theta set-operation
+    # certificates (the KMV tier's representative)
+    "linkage_pipeline",
+    "sketch_theta_set_ops",
 )
 
 # The regression-gate set: the 16 headliners benched every round since

@@ -2500,3 +2500,118 @@ def dedup_time_horizon(
         F.min(ts_col).alias("first_ts"),
         F.max(ts_col).alias("last_ts"),
     )
+
+
+def lsh_scurve_calibration(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 9,
+    bands: int = 3,
+    shingle_k: int = 5,
+    max_id: int = 200,
+) -> DataFrame:
+    """Measured vs theoretical LSH s-curve: the capture probability a
+    (bands b, rows r) banding SHOULD give a pair at similarity s is
+    1-(1-s^r)^b (the MinHashLSH design curve — Leskovec, Rajaraman &
+    Ullman, MMDS ch. 3); this op measures what the bands actually
+    captured, per exact-jaccard decile, over a bounded calibration
+    sample — the empirical answer to "are 3x3 bands right for this
+    corpus", beside the formula the knob was chosen with.
+
+    The sample is an ABSOLUTE id scope (doc_id < ``max_id``), so the
+    all-pairs frame is constant-size no matter how the corpus grows —
+    a calibration is a measurement, not a corpus pass (the ANN
+    queries scope the same way).  All-pairs on the sample is a
+    broadcast nested-loop on <= max_id rows; theoretical values are
+    Python literals (pure multiplication, no cross-engine pow).
+
+    Output: decile, s_mid, n_pairs, n_captured, measured_rate,
+    theoretical_rate.
+    """
+    r = num_hashes // bands
+    theo = {
+        d: round(1.0 - (1.0 - ((d + 0.5) / 10.0) ** r) ** bands, 6)
+        for d in range(10)
+    }
+    scoped = df.filter(F.col(id_col) < max_id).select(id_col, text_col)
+    sh = scoped.select(
+        F.col(id_col), norm_text(F.col(text_col)).alias("_norm")
+    ).select(
+        F.col(id_col), shingles_over_norm("_norm", shingle_k).alias("sh")
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    pairs = (
+        F.broadcast(a)
+        .join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "_i", F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint")
+        )
+        .withColumn(
+            "_u",
+            (F.size("sh_a") + F.size("sh_b") - F.col("_i")).cast("bigint"),
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("_i").cast("double") / F.greatest(F.col("_u"), F.lit(1)),
+                6,
+            ),
+        )
+        .select("id_a", "id_b", "jaccard")
+    )
+    bnd = with_minhash_bands(
+        scoped, id_col, text_col, num_hashes, bands, shingle_k
+    )
+    cap = (
+        bnd.alias("x")
+        .join(
+            bnd.alias("y"),
+            (F.col("x.band_id") == F.col("y.band_id"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+        )
+        .select(
+            F.col(f"x.{id_col}").alias("id_a"),
+            F.col(f"y.{id_col}").alias("id_b"),
+        )
+        .distinct()
+        .withColumn("_cap", F.lit(1))
+    )
+    dec = F.least(F.floor(F.col("jaccard") * 10), F.lit(9)).cast("bigint")
+    theo_case = None
+    for d in range(10):
+        cond = F.col("decile") == d
+        theo_case = (
+            F.when(cond, F.lit(theo[d]))
+            if theo_case is None
+            else theo_case.when(cond, F.lit(theo[d]))
+        )
+    return (
+        pairs.join(cap, ["id_a", "id_b"], "left")
+        .withColumn("decile", dec)
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.coalesce(F.col("_cap"), F.lit(0)))
+            .cast("bigint").alias("n_captured"),
+        )
+        .withColumn(
+            "s_mid",
+            (F.col("decile").cast("double") + 0.5) / 10.0,
+        )
+        .withColumn(
+            "measured_rate",
+            F.round(
+                F.col("n_captured").cast("double")
+                / F.col("n_pairs").cast("double"),
+                6,
+            ),
+        )
+        .withColumn("theoretical_rate", theo_case)
+        .select(
+            "decile", "s_mid", "n_pairs", "n_captured",
+            "measured_rate", "theoretical_rate",
+        )
+    )

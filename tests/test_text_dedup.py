@@ -2111,3 +2111,23 @@ def test_dedup_time_horizon_matches_streaming_dedup_counts(spark, tmp_path):
         ["user_id"], "ts", horizon_sec=3600,
     ).collect()
     assert sum(r.n_kept for r in batch) == len(got) == 7
+
+
+def test_lsh_scurve_calibration_bounds_and_endpoints(spark):
+    # exact duplicates (j=1.0 decile 9) MUST be captured (identical
+    # minhashes share every band); near-zero-similarity pairs land in
+    # low deciles with capture at or near the design curve's floor
+    rows = [(0, "the quick brown fox jumps over the lazy dog " * 5),
+            (1, "the quick brown fox jumps over the lazy dog " * 5),
+            (2, "completely different content about spark engines etc"),
+            (3, "unrelated third text on record linkage and sketches")]
+    df = from_rows(spark, rows, schema="doc_id bigint, text string")
+    out = {r.decile: r for r in dedup.lsh_scurve_calibration(
+        df, "doc_id", "text", max_id=10).collect()}
+    assert out[9].n_captured == out[9].n_pairs    # exact dups captured
+    assert out[9].theoretical_rate > 0.99   # midpoint s=0.95 curve
+    total = sum(r.n_pairs for r in out.values())
+    assert total == 6                              # C(4,2) all pairs
+    for r in out.values():                        # rates are rates
+        assert 0.0 <= r.measured_rate <= 1.0
+        assert 0.0 <= r.theoretical_rate <= 1.0

@@ -134,7 +134,7 @@ def main() -> int:
             "sketch_kmv_distinct", "sketch_theta_set_ops",
             "linkage_fs_patterns", "linkage_fs_matches",
             "ann_rp_distortion", "mixture_unimax", "sample_priority_certificate",
-            "linkage_entity_clusters", "linkage_pipeline", "shard_skew_sweep", "dedup_time_horizon", "ann_rbo_lsh", "events_salted_rollup",
+            "linkage_entity_clusters", "linkage_pipeline", "shard_skew_sweep", "dedup_time_horizon", "ann_rbo_lsh", "events_salted_rollup", "dedup_lsh_scurve",
         ]
         if len(sys.argv) > 3:
             # explicit subset: smoke only these names (fast re-checks
