@@ -3681,6 +3681,32 @@ def q_kll_quantiles(spark, sf):
     return sketch.kll_quantiles(e, "value")
 
 
+def q_session_gap_sweep(spark, sf):
+    """Session-gap knob-choice table (r7 late): sessionization stats
+    at 15/30/60-minute timeouts from ONE scan + user shuffle — the
+    table that decides the sessionize gap setting."""
+    return analytics.events_session_gap_sweep(_t(spark, sf), (15, 30, 60))
+
+
+def q_join_broadcast_planner(spark, sf):
+    """Broadcast-vs-shuffle planner (r7 late): exact per-dim payload
+    estimate beside the broadcast decision at three threshold
+    candidates — the planning query behind every broadcast() hint."""
+    return analytics.join_broadcast_planner(
+        _t(spark, sf), (4096, 65536, 1048576)
+    )
+
+
+def q_file_layout_planner(spark, sf):
+    """Output-file layout planner (r7 late): per-source byte mass and
+    the file count each target file size implies — the
+    anti-small-files repartition table."""
+    d = _t(spark, sf)["documents"]
+    return curate_ops.file_layout_planner(
+        d, "source", "text", (65536, 262144, 1048576)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry.  ORDERING IS DELIBERATE: the driver's
     correctness gate checks the FIRST 50 keys, so each round leads
@@ -3839,6 +3865,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_rbo_lsh": q_ann_rbo_lsh,
         "events_salted_rollup": q_salted_rollup,
         "dedup_lsh_scurve": q_lsh_scurve,
+        "events_session_gap_sweep": q_session_gap_sweep,
+        "join_broadcast_planner": q_join_broadcast_planner,
+        "layout_file_planner": q_file_layout_planner,
         # ---- end of the r9 seed block --------------------------------
         # ---- driver-green in r6 (CORRECTNESS_r06.json, 50/50): the
         # round-6 window, now cumulative coverage. --------------------
@@ -13296,6 +13325,84 @@ def oracle_sql() -> dict[str, str]:
         SELECT split, count(*) AS n_docs,
                CAST(sum(nt) AS BIGINT) AS n_tokens
         FROM s GROUP BY 1
+    """
+
+    _sgs_structs = ", ".join(
+        f"{{'gap_minutes': CAST({g} AS BIGINT),"
+        f" 'seq': sum(CASE WHEN gsec IS NULL OR gsec > {g} * 60"
+        f" THEN 1 ELSE 0 END) OVER w}}"
+        for g in (15, 30, 60)
+    )
+    sqls["events_session_gap_sweep"] = f"""
+        WITH sge AS (SELECT user_id, event_id, epoch_us(ts) // 1000000 AS tsec
+                     FROM events),
+        sgg AS (SELECT user_id, event_id, tsec,
+                  tsec - lag(tsec) OVER (PARTITION BY user_id
+                                         ORDER BY tsec, event_id) AS gsec
+                FROM sge),
+        sgf0 AS (SELECT user_id, tsec,
+                   [{_sgs_structs}] AS bs
+                 FROM sgg
+                 WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id
+                              ROWS UNBOUNDED PRECEDING)),
+        sgf AS (SELECT user_id, tsec, b.gap_minutes, b.seq
+                FROM sgf0, unnest(bs) AS t(b)),
+        sgsess AS (SELECT gap_minutes, user_id, seq, count(*) AS n,
+                     max(tsec) - min(tsec) AS dur
+                   FROM sgf GROUP BY 1, 2, 3)
+        SELECT gap_minutes, CAST(count(*) AS BIGINT) AS n_sessions,
+          CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_singleton_sessions,
+          round(CAST(sum(n) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+            AS avg_events_per_session,
+          round(CAST(sum(dur) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+            AS avg_duration_sec,
+          CAST(max(dur) AS BIGINT) AS max_duration_sec
+        FROM sgsess GROUP BY 1
+    """
+
+    _jbp_specs = {
+        "region": (["r_name"], 1),
+        "nation": (["n_name"], 2),
+        "supplier": (["s_name"], 3),
+        "customer": (["c_name", "c_mktsegment"], 3),
+        "part": (["p_name", "p_brand", "p_type"], 3),
+    }
+    _jbp_rows = " UNION ALL ".join(
+        f"SELECT '{tn}' AS table_name, CAST(count(*) AS BIGINT) AS n_rows,"
+        f" CAST(sum({' + '.join(f'strlen({c})' for c in scols)}"
+        f" + {8 * nfix}) AS BIGINT) AS est_bytes FROM {tn}"
+        for tn, (scols, nfix) in _jbp_specs.items()
+    )
+    sqls["join_broadcast_planner"] = f"""
+        WITH jbt AS ({_jbp_rows}),
+        jbg AS (SELECT table_name, n_rows, est_bytes,
+                  CAST(b AS BIGINT) AS threshold_bytes
+                FROM jbt, unnest([4096, 65536, 1048576]) AS t(b))
+        SELECT table_name, n_rows, est_bytes, threshold_bytes,
+          CASE WHEN est_bytes <= threshold_bytes THEN 'broadcast'
+               ELSE 'shuffle' END AS strategy
+        FROM jbg
+    """
+
+    sqls["layout_file_planner"] = """
+        WITH flg AS (SELECT source AS "group",
+                       CAST(count(*) AS BIGINT) AS n_rows,
+                       CAST(sum(strlen(text)) AS BIGINT) AS total_bytes
+                     FROM documents GROUP BY 1),
+        flt AS (SELECT *, CAST(tb AS BIGINT) AS target_bytes
+                FROM flg, unnest([65536, 262144, 1048576]) AS t(tb)),
+        flf AS (SELECT *,
+                  greatest(CAST(ceil(CAST(total_bytes AS DOUBLE)
+                                     / CAST(target_bytes AS DOUBLE))
+                                AS BIGINT), 1) AS n_files
+                FROM flt)
+        SELECT target_bytes, "group", n_rows, total_bytes, n_files,
+          round(CAST(total_bytes AS DOUBLE) / CAST(n_files AS DOUBLE), 6)
+            AS avg_file_bytes,
+          round(CAST(n_rows AS DOUBLE) / CAST(n_files AS DOUBLE), 6)
+            AS rows_per_file
+        FROM flf
     """
 
     return sqls

@@ -925,3 +925,60 @@ def shard_skew_sweep(
             "total_tokens", "max_shard_tokens", "min_shard_tokens", "skew",
         )
     )
+
+
+def file_layout_planner(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    targets_bytes: tuple[int, ...] = (65536, 262144, 1048576),
+) -> DataFrame:
+    """Output-file layout planner: per-group payload bytes beside the
+    file count and per-file shape each candidate target file size
+    implies.  The 100 TB relevance is the small-files problem in
+    reverse: a writer that picks its `repartition(n)` per partition
+    key from THIS table emits files near the target size instead of
+    thousands of KB-sized shards (or a handful of 10 GB ones), and the
+    downstream scan's split planning stays even.
+
+    Payload model: octet_length of the text column summed per group —
+    the uncompressed byte mass the writer actually packs (compression
+    ratio is a per-codec constant that scales every group equally, so
+    the file-count decision is unchanged; stated).  One single-scan
+    rollup to group grain, then a literal target-grid explode over the
+    group-sized frame — no second corpus pass for additional targets.
+
+    Output: target_bytes, group, n_rows, total_bytes,
+    n_files (= ceil(bytes/target), min 1), avg_file_bytes (round 6),
+    rows_per_file (round 6).
+    """
+    g = df.groupBy(F.col(group_col).alias("group")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.octet_length(F.col(text_col)).cast("bigint"))
+        .cast("bigint")
+        .alias("total_bytes"),
+    )
+    grid = g.select(
+        "*",
+        F.explode(
+            F.array(*[F.lit(int(tb)).cast("bigint") for tb in targets_bytes])
+        ).alias("target_bytes"),
+    )
+    n_files = F.greatest(
+        F.ceil(F.col("total_bytes").cast("double") / F.col("target_bytes"))
+        .cast("bigint"),
+        F.lit(1).cast("bigint"),
+    )
+    return grid.select(
+        "target_bytes",
+        "group",
+        "n_rows",
+        "total_bytes",
+        n_files.alias("n_files"),
+        F.round(
+            F.col("total_bytes").cast("double") / n_files.cast("double"), 6
+        ).alias("avg_file_bytes"),
+        F.round(
+            F.col("n_rows").cast("double") / n_files.cast("double"), 6
+        ).alias("rows_per_file"),
+    )

@@ -6192,3 +6192,141 @@ def events_page_hinkley(t: dict[str, DataFrame]) -> DataFrame:
             + F.lit(0.0)
         ).alias("ph_down"),
     )
+
+
+def events_session_gap_sweep(
+    t: dict[str, DataFrame], gaps_minutes: tuple[int, ...] = (15, 30, 60)
+) -> DataFrame:
+    """Session-gap knob-choice table: the sessionization statistics
+    that decide the timeout setting, at several candidate gaps in one
+    query.  The reference's fixed-batch iteration never has to pick a
+    session timeout; every event pipeline does, and the choice is
+    usually made by eyeballing exactly this table (how fast does the
+    session count collapse / the mean duration inflate as the gap
+    grows).
+
+    One corpus pass computes the per-user inter-event gap (the same
+    lag + running-sum shape as :func:`events_sessionize`, one shuffle
+    on user_id, per-user-bounded frames); each candidate gap then
+    derives its own session ids from that shared gap column — the
+    expensive work (scan + user shuffle + sort within user) is paid
+    ONCE, and each setting adds only a map-side running sum plus a
+    session-grain rollup.  Session grain is strictly smaller than
+    event grain, so the per-setting aggregates are sublinear
+    follow-ups, not new scans.
+
+    Output (one row per candidate gap): gap_minutes, n_sessions,
+    n_singleton_sessions, avg_events_per_session (round 6),
+    avg_duration_sec (round 6), max_duration_sec.
+    """
+    from pyspark.sql import Window as W
+
+    e = t["events"]
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_sec = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    base = e.select("user_id", "event_id", "ts").withColumn("_gap", gap_sec)
+    wrun = w.rowsBetween(W.unboundedPreceding, 0)
+    for g in gaps_minutes:
+        new_s = F.when(
+            F.col("_gap").isNull() | (F.col("_gap") > int(g) * 60), F.lit(1)
+        ).otherwise(F.lit(0))
+        base = base.withColumn(f"_s{g}", F.sum(new_s).over(wrun))
+    # one explode fans each event into (gap, session_seq) rows so the
+    # scan + user-shuffle + in-user sort are paid exactly once for the
+    # whole sweep; everything downstream is session-grain or smaller
+    fan = base.select(
+        "user_id",
+        F.col("ts").cast("long").alias("_tsec"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(int(g)).cast("bigint").alias("gap_minutes"),
+                        F.col(f"_s{g}").cast("bigint").alias("seq"),
+                    )
+                    for g in gaps_minutes
+                ]
+            )
+        ).alias("_b"),
+    ).select("user_id", "_tsec", "_b.gap_minutes", "_b.seq")
+    sess = fan.groupBy("gap_minutes", "user_id", "seq").agg(
+        F.count(F.lit(1)).alias("_n"),
+        (F.max("_tsec") - F.min("_tsec")).alias("_dur"),
+    )
+    return (
+        sess.groupBy("gap_minutes")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.sum(F.when(F.col("_n") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_singleton_sessions"),
+            F.round(
+                F.sum("_n").cast("double") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("avg_events_per_session"),
+            F.round(
+                F.sum("_dur").cast("double") / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("avg_duration_sec"),
+            F.max("_dur").cast("bigint").alias("max_duration_sec"),
+        )
+        .orderBy("gap_minutes")
+    )
+
+
+def join_broadcast_planner(
+    t: dict[str, DataFrame],
+    thresholds_bytes: tuple[int, ...] = (4096, 65536, 1048576),
+) -> DataFrame:
+    """Broadcast-vs-shuffle join planner: an exact in-plan estimate of
+    each dimension table's payload bytes beside the broadcast decision
+    it implies at several autoBroadcastJoinThreshold candidates.  This
+    is the planning query behind every `broadcast()` hint in this
+    repo: at 100 TB the dims that fit under the threshold join
+    shuffle-free, and the ones that do not must be bucketed — knowing
+    which side of the line each table sits on IS the join plan.
+
+    Size model (portable, exact, engine-neutral): string columns
+    contribute their octet length, fixed-width numerics/dates 8 bytes
+    per row — a deliberate flat-rate proxy for in-memory row size
+    (stated; Tungsten's real layout adds null bitmaps and padding,
+    but the *ordering* of tables and their threshold crossings, which
+    is what the decision needs, is insensitive to the constant).
+    One single-scan aggregate per dimension table (5 metadata-sized
+    rows total), cross-joined with the literal threshold grid — no
+    fact-table scan anywhere.
+
+    Output: table_name, n_rows, est_bytes, threshold_bytes, strategy.
+    """
+    specs = {
+        "region": (["r_name"], 1),
+        "nation": (["n_name"], 2),
+        "supplier": (["s_name"], 3),
+        "customer": (["c_name", "c_mktsegment"], 3),
+        "part": (["p_name", "p_brand", "p_type"], 3),
+    }
+    out = None
+    for name, (str_cols, n_fixed) in specs.items():
+        df = t[name]
+        row_bytes = sum(
+            (F.octet_length(F.col(c)).cast("bigint") for c in str_cols),
+            F.lit(8 * n_fixed).cast("bigint"),
+        )
+        row = df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(row_bytes).cast("bigint").alias("est_bytes"),
+        ).select(F.lit(name).alias("table_name"), "*")
+        out = row if out is None else out.unionByName(row)
+    # explode a literal threshold array instead of unioning one branch
+    # per setting: each dim table is scanned exactly once regardless of
+    # how many thresholds the sweep carries
+    grid = out.select(
+        "*",
+        F.explode(
+            F.array(*[F.lit(int(th)).cast("bigint") for th in thresholds_bytes])
+        ).alias("threshold_bytes"),
+    )
+    return grid.withColumn(
+        "strategy",
+        F.when(F.col("est_bytes") <= F.col("threshold_bytes"), "broadcast")
+        .otherwise("shuffle"),
+    )

@@ -446,3 +446,21 @@ def test_shard_skew_sweep_conserves_tokens_and_flags_lumping(spark):
     # skew worsens (or holds) as shards grow around a lumped key
     assert out[16].skew >= out[4].skew
     assert all(r.min_shard_tokens >= 1 for r in out.values())
+
+
+def test_file_layout_planner_identities(spark):
+    # 3 docs of 100 bytes in src a, 1 doc of 10 bytes in src b
+    rows = [(1, "x" * 100, "a"), (2, "y" * 100, "a"), (3, "z" * 100, "a"),
+            (4, "w" * 10, "b")]
+    df = from_rows(spark, rows, schema="doc_id bigint, text string, source string")
+    out = {(r.target_bytes, r.group): r for r in curate.file_layout_planner(
+        df, "source", "text", (128, 1024)).collect()}
+    a128 = out[(128, "a")]
+    # 300 bytes at a 128-byte target -> 3 files
+    assert a128.n_files == 3 and a128.total_bytes == 300 and a128.n_rows == 3
+    assert a128.avg_file_bytes == 100.0 and a128.rows_per_file == 1.0
+    # a group smaller than the target still emits one file, never zero
+    b128 = out[(128, "b")]
+    assert b128.n_files == 1 and b128.total_bytes == 10
+    # a bigger target never yields more files
+    assert out[(1024, "a")].n_files <= a128.n_files

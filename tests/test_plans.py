@@ -900,6 +900,10 @@ SINGLE_PARTITION_ALLOWLIST = {
     # r7 late: the linkage composite's 8 per-stage 1-row count
     # aggregates (each a map-side-combined count funnel)
     "linkage_pipeline",
+    # r7 late: the broadcast planner's five per-dim 1-row size
+    # aggregates (dimension tables are metadata-sized by definition —
+    # that is the very property the query certifies)
+    "join_broadcast_planner",
 }
 
 
@@ -2377,3 +2381,60 @@ def test_page_hinkley_hand_values(spark):
     assert r.n_days == 6
     assert r.ph_up == 4.0
     assert r.ph_down == 6.0
+
+
+def test_session_gap_sweep_hand_values(spark):
+    """One user with events at minutes 0, 10, 50 and a second user
+    with a single event: at gap=15 the 40-minute jump splits user 1
+    into two sessions; at gap=60 it does not.  Session counts,
+    singleton counts, and durations are checked by hand."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 3, 1, 8, 0, 0)
+    rows = [
+        {"event_id": 1, "user_id": 1, "event_type": "view", "value": 1.0,
+         "props": "{}", "ts": base},
+        {"event_id": 2, "user_id": 1, "event_type": "view", "value": 1.0,
+         "props": "{}", "ts": base + dt.timedelta(minutes=10)},
+        {"event_id": 3, "user_id": 1, "event_type": "view", "value": 1.0,
+         "props": "{}", "ts": base + dt.timedelta(minutes=50)},
+        {"event_id": 4, "user_id": 2, "event_type": "view", "value": 1.0,
+         "props": "{}", "ts": base},
+    ]
+    t = {"events": from_rows(spark, rows)}
+    out = {r.gap_minutes: r for r in
+           analytics.events_session_gap_sweep(t, (15, 60)).collect()}
+    g15, g60 = out[15], out[60]
+    assert g15.n_sessions == 3 and g60.n_sessions == 2
+    # user 2 is always a singleton; at 15 the trailing event is too
+    assert g15.n_singleton_sessions == 2 and g60.n_singleton_sessions == 1
+    assert g15.max_duration_sec == 600 and g60.max_duration_sec == 3000
+    assert g15.avg_duration_sec == round(600 / 3.0, 6)
+    assert g60.avg_events_per_session == 2.0
+    # widening the gap can only merge sessions, never split them
+    assert g60.n_sessions <= g15.n_sessions
+
+
+def test_join_broadcast_planner_decision_boundary(spark):
+    """All five dims at sf0.001: est_bytes must reproduce the exact
+    octet-length sum, and the strategy column must flip exactly at
+    the threshold crossing (monotone in the threshold)."""
+    t = load_tables(spark, SF)
+    out = analytics.join_broadcast_planner(
+        t, (4096, 65536, 1048576)).collect()
+    assert len(out) == 15
+    # exact recompute for region: r_name bytes + 8 per row
+    reg = t["region"].select(
+        F.sum(F.octet_length("r_name") + F.lit(8)).alias("b"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    mine = [r for r in out if r.table_name == "region"][0]
+    assert mine.est_bytes == reg.b and mine.n_rows == reg.n
+    # monotone: once broadcast at a threshold, broadcast at all larger
+    for name in {r.table_name for r in out}:
+        seq = sorted(
+            [r for r in out if r.table_name == name],
+            key=lambda r: r.threshold_bytes,
+        )
+        flags = [r.strategy == "broadcast" for r in seq]
+        assert flags == sorted(flags)
