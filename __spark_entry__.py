@@ -3681,6 +3681,22 @@ def q_kll_quantiles(spark, sf):
     return sketch.kll_quantiles(e, "value")
 
 
+def q_lm_buckets(spark, sf):
+    """CCNet-style head/middle/tail perplexity buckets (r7 late):
+    per-source tercile cutoffs on the corpus-unigram LM score, the
+    quality-stratification step before mixture sampling."""
+    d = _t(spark, sf)["documents"]
+    return text_ops.lm_quality_buckets(d, "doc_id", "text", "source")
+
+
+def q_centroid_shift(spark, sf):
+    """Embedding-space drift certificate (r7 late): per-label cosine
+    between even-id and odd-id half-centroids — stable encoder reads
+    ~1, a rotated class region reads < 1."""
+    e = _t(spark, sf)["embeddings"]
+    return similarity.centroid_shift(e, "label", "vec_id", "embedding")
+
+
 def q_session_gap_sweep(spark, sf):
     """Session-gap knob-choice table (r7 late): sessionization stats
     at 15/30/60-minute timeouts from ONE scan + user shuffle — the
@@ -3865,6 +3881,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_rbo_lsh": q_ann_rbo_lsh,
         "events_salted_rollup": q_salted_rollup,
         "dedup_lsh_scurve": q_lsh_scurve,
+        "text_lm_buckets": q_lm_buckets,
+        "embedding_centroid_shift": q_centroid_shift,
         "events_session_gap_sweep": q_session_gap_sweep,
         "join_broadcast_planner": q_join_broadcast_planner,
         "layout_file_planner": q_file_layout_planner,
@@ -4171,6 +4189,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from fuel_spark.functions import round6_ratio_sql
+
     w = _words_sql("text")
     rev = "l_extendedprice * (1 - l_discount)"
     sqls: dict[str, str] = {}
@@ -6996,7 +7016,7 @@ def oracle_sql() -> dict[str, str]:
           FROM tt JOIN c ON tt.word = c.word CROSS JOIN tot
         )
         SELECT doc_id, count(*) AS n_tokens,
-               round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS mean_logprob
+               {round6_ratio_sql('sum(lp)', 'count(*)')} AS mean_logprob
         FROM s GROUP BY 1
     """
 
@@ -11868,7 +11888,9 @@ def oracle_sql() -> dict[str, str]:
     """
 
     # ---- round-7 sketch / sampler family --------------------------------
-    from fuel_spark.functions import hash_mod_sql, hash_uniform_sql
+    from fuel_spark.functions import (
+        hash_mod_sql, hash_uniform_sql, round6_ratio_sql,
+    )
 
     _ln40 = repr(math.log(2.0 / 0.05))
 
@@ -13325,6 +13347,89 @@ def oracle_sql() -> dict[str, str]:
         SELECT split, count(*) AS n_docs,
                CAST(sum(nt) AS BIGINT) AS n_tokens
         FROM s GROUP BY 1
+    """
+
+    sqls["text_lm_buckets"] = f"""
+        WITH t AS (SELECT doc_id, unnest({w}) AS word FROM documents),
+        tt AS (SELECT doc_id, word FROM t WHERE word <> ''),
+        c AS (SELECT word, count(*) AS cnt FROM tt GROUP BY 1),
+        tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM c),
+        s AS (
+          SELECT tt.doc_id,
+                 CAST(round(log10(CAST(c.cnt AS DOUBLE) / tot.total), 6)
+                      AS DECIMAL(27,6)) AS lp
+          FROM tt JOIN c ON tt.word = c.word CROSS JOIN tot
+        ),
+        lp AS (SELECT doc_id,
+                 {round6_ratio_sql('sum(lp)', 'count(*)')} AS mean_logprob
+               FROM s GROUP BY 1),
+        sc AS (SELECT l.doc_id, d.source AS "group", l.mean_logprob
+               FROM lp l JOIN documents d ON l.doc_id = d.doc_id),
+        hist AS (SELECT "group", mean_logprob, count(*) AS hc
+                 FROM sc GROUP BY 1, 2),
+        hcum AS (SELECT *, sum(hc) OVER (PARTITION BY "group"
+                   ORDER BY mean_logprob DESC
+                   ROWS UNBOUNDED PRECEDING) AS cum
+                 FROM hist),
+        tot2 AS (SELECT "group", sum(hc) AS n FROM hist GROUP BY 1),
+        cuts AS (SELECT h."group",
+                   max(CASE WHEN cum * 3 >= n THEN mean_logprob END)
+                     AS cut_head,
+                   max(CASE WHEN cum * 3 >= 2 * n THEN mean_logprob END)
+                     AS cut_mid,
+                   max(n) AS n
+                 FROM hcum h JOIN tot2 ON h."group" = tot2."group"
+                 GROUP BY 1),
+        asg AS (SELECT sc."group", sc.mean_logprob,
+                  CASE WHEN sc.mean_logprob >= cut_head THEN 'head'
+                       WHEN sc.mean_logprob >= cut_mid THEN 'middle'
+                       ELSE 'tail' END AS bucket,
+                  n
+                FROM sc JOIN cuts ON sc."group" = cuts."group")
+        SELECT "group", bucket, CAST(count(*) AS BIGINT) AS n_docs,
+          {round6_ratio_sql('CAST(count(*) AS DECIMAL(27,6))', 'max(n)')}
+            AS share,
+          {round6_ratio_sql('sum(CAST(mean_logprob AS DECIMAL(27,6)))',
+                            'count(*)')} AS mean_logprob,
+          min(mean_logprob) AS lp_min, max(mean_logprob) AS lp_max
+        FROM asg GROUP BY 1, 2
+    """
+
+    sqls["embedding_centroid_shift"] = """
+        WITH csx AS (
+          SELECT label AS g, (vec_id % 2 = 0) AS even, i - 1 AS pos,
+                 CAST(round(CAST(embedding[i] AS DOUBLE), 6)
+                      AS DECIMAL(27,6)) AS v
+          FROM embeddings,
+               LATERAL (SELECT unnest(generate_series(1, len(embedding)))
+                        AS i) u
+        ),
+        cspd AS (SELECT g, even, pos,
+                   round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS m,
+                   count(*) AS n
+                 FROM csx GROUP BY 1, 2, 3),
+        cspair AS (SELECT g, pos,
+                     max(CASE WHEN even THEN m END) AS a,
+                     max(CASE WHEN NOT even THEN m END) AS b,
+                     max(CASE WHEN even THEN n END) AS n_even,
+                     max(CASE WHEN NOT even THEN n END) AS n_odd
+                   FROM cspd GROUP BY 1, 2),
+        csred AS (SELECT g,
+                    CAST(max(n_even) AS BIGINT) AS n_even,
+                    CAST(max(n_odd) AS BIGINT) AS n_odd,
+                    CAST(sum(CAST(round(a * b, 9) AS DECIMAL(27,9)))
+                         AS DOUBLE) AS dot,
+                    CAST(sum(CAST(round(a * a, 9) AS DECIMAL(27,9)))
+                         AS DOUBLE) AS na,
+                    CAST(sum(CAST(round(b * b, 9) AS DECIMAL(27,9)))
+                         AS DOUBLE) AS nb,
+                    CAST(sum(CAST(round((a - b) * (a - b), 9)
+                                  AS DECIMAL(27,9))) AS DOUBLE) AS l2
+                  FROM cspair GROUP BY 1)
+        SELECT g AS label, n_even, n_odd,
+          round(dot / sqrt(na * nb), 6) AS cosine,
+          round(sqrt(l2), 6) AS l2_shift
+        FROM csred
     """
 
     _sgs_structs = ", ".join(

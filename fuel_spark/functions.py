@@ -142,6 +142,45 @@ def hash_mod_sql(seed: int | str, col_sql: str, m: int) -> str:
     )
 
 
+def round6_ratio(sum_dec6: Column, n: Column) -> Column:
+    """Exactly-rounded 6-dp mean of a DECIMAL(27,6) sum over an
+    integer count, computed in INTEGER arithmetic on both engines.
+
+    ``round(double_division, 6)`` is NOT portable at a half-way
+    boundary: when the true rational S/n ends exactly in ...5 at the
+    7th decimal, the double quotient lands a hair to either side and
+    Spark's exact-BigDecimal half-up and DuckDB's scaled-multiply
+    round can disagree by 1 ulp of the 6th decimal (observed:
+    -26.607591/18 = -1.4781995 exactly → -1.478199 vs -1.4782).
+    This helper rounds the RATIONAL, not the double: with the sum as
+    an exact micro-unit integer a = S·10⁶, half-away-from-zero is
+    sign(a) · (2|a| + n) ÷ (2n) in integers.  The fp division at the
+    end is exact (numerator is the quotient times 2n by
+    construction), so both engines see the identical result at every
+    boundary.  |a| must stay under ~2^52 — per-document and
+    per-group-mean sums are orders of magnitude below that.
+    """
+    a = (sum_dec6 * F.lit(1000000)).cast("long")
+    n2 = (n.cast("long") * F.lit(2))
+    num = F.lit(2) * F.abs(a) + n.cast("long")
+    q = (num - (num % n2)) / n2  # exact: num - mod is a multiple of n2
+    return (
+        F.when(a < 0, -q).otherwise(q) / F.lit(1000000.0)
+    ).cast("double")
+
+
+def round6_ratio_sql(sum_dec6_sql: str, n_sql: str) -> str:
+    """DuckDB twin of :func:`round6_ratio` (// is floor on positives)."""
+    return (
+        f"(CASE WHEN CAST(({sum_dec6_sql}) * 1000000 AS BIGINT) < 0"
+        f" THEN -1 ELSE 1 END"
+        f" * ((2 * abs(CAST(({sum_dec6_sql}) * 1000000 AS BIGINT))"
+        f" + CAST(({n_sql}) AS BIGINT))"
+        f" // (2 * CAST(({n_sql}) AS BIGINT)))"
+        f" / 1000000.0)"
+    )
+
+
 # --------------------------------------------------------------------------
 # Text normalization / tokenization (shared by text, dedup ops)
 # --------------------------------------------------------------------------

@@ -2254,3 +2254,77 @@ def rbo_certificate(
         .alias("n_common"),
         F.coalesce(F.col("rbo"), F.lit(0.0)).alias("rbo"),
     )
+
+
+def centroid_shift(
+    df: DataFrame,
+    group_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space drift certificate: per group, the cosine
+    between the centroids of two deterministic corpus halves (even
+    vs odd id).  The snapshot_* family watches TEXT drift between
+    corpus versions; this is its embedding-space twin — a re-embedded
+    or re-trained encoder that silently rotates a class's region
+    shows up as half-centroid cosine < 1 long before downstream
+    metrics move.  With a stable encoder the two halves sample the
+    same distribution, so cosine ≈ 1 is the healthy reading.
+
+    Scale shape: posexplode → groupBy(group, half, position)
+    exact-decimal component means (the :func:`label_centroids`
+    contract — round(6) before the DECIMAL sum, so both engines and
+    any partitioning accumulate identical values), then the
+    dot/norm reduction runs on the (groups × dims)-sized frame —
+    everything after the one corpus-scale explode is
+    aggregate-sized.
+
+    Output per group: n_even, n_odd, cosine (round 6),
+    l2_shift (round 6, the euclidean distance between half-centroids).
+    """
+    exploded = df.select(
+        F.col(group_col).alias("g"),
+        (F.col(id_col) % 2 == 0).alias("even"),
+        F.posexplode(F.col(vec_col)).alias("pos", "v"),
+    )
+    per_dim = exploded.groupBy("g", "even", "pos").agg(
+        F.round(
+            F.sum(F.round(F.col("v").cast("double"), 6).cast("decimal(27,6)"))
+            .cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("m"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    # pivot the two halves side by side on the (groups × dims) frame
+    pair = (
+        per_dim.groupBy("g", "pos")
+        .agg(
+            F.max(F.when(F.col("even"), F.col("m"))).alias("a"),
+            F.max(F.when(~F.col("even"), F.col("m"))).alias("b"),
+            F.max(F.when(F.col("even"), F.col("n"))).alias("n_even"),
+            F.max(F.when(~F.col("even"), F.col("n"))).alias("n_odd"),
+        )
+    )
+    # per-dim products round(9) into DECIMAL so the reductions are
+    # order-independent (the pagerank float contract)
+    d9 = lambda c: F.round(c, 9).cast("decimal(27,9)")
+    red = pair.groupBy("g").agg(
+        F.max("n_even").cast("bigint").alias("n_even"),
+        F.max("n_odd").cast("bigint").alias("n_odd"),
+        F.sum(d9(F.col("a") * F.col("b"))).cast("double").alias("_dot"),
+        F.sum(d9(F.col("a") * F.col("a"))).cast("double").alias("_na"),
+        F.sum(d9(F.col("b") * F.col("b"))).cast("double").alias("_nb"),
+        F.sum(d9((F.col("a") - F.col("b")) * (F.col("a") - F.col("b"))))
+        .cast("double")
+        .alias("_l2"),
+    )
+    return red.select(
+        F.col("g").alias(group_col),
+        "n_even",
+        "n_odd",
+        F.round(
+            F.col("_dot") / F.sqrt(F.col("_na") * F.col("_nb")), 6
+        ).alias("cosine"),
+        F.round(F.sqrt(F.col("_l2")), 6).alias("l2_shift"),
+    )

@@ -791,6 +791,8 @@ def unigram_logprob(
         .crossJoin(F.broadcast(total))
         .withColumn("_wlp", lp6 * F.col("tf"))
     )
+    from fuel_spark.functions import round6_ratio
+
     return (
         scored.groupBy(id_col)
         .agg(
@@ -798,10 +800,11 @@ def unigram_logprob(
             F.sum("_wlp").alias("_sum_lp"),
         )
         .withColumn(
+            # exact integer rounding of the RATIONAL sum/n — round of
+            # the double quotient flips at half-way boundaries
+            # between engines (see functions.round6_ratio)
             "mean_logprob",
-            F.round(
-                F.col("_sum_lp").cast("double") / F.col("n_tokens"), 6
-            ),
+            round6_ratio(F.col("_sum_lp"), F.col("n_tokens")),
         )
         .drop("_sum_lp")
     )
@@ -3341,4 +3344,92 @@ def fightin_words(
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .where(F.col("rank") <= int(top_k))
         .orderBy("source", "rank")
+    )
+
+
+def lm_quality_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+) -> DataFrame:
+    """CCNet-style perplexity buckets (Wenzek et al. 2020, CCNet:
+    head / middle / tail): score every document with the corpus
+    unigram LM (:func:`unigram_logprob` — the portable reduction of
+    CCNet's KenLM) and split each group at its own tercile CUTOFFS,
+    the way CCNet splits each language at the 33rd/67th perplexity
+    percentile before keeping mostly the head.
+
+    Scale shape: the corpus-scale work is exactly one
+    ``unigram_logprob`` pass; cutoff selection then runs over the
+    per-group DISTINCT-score histogram (value-grid frame, bounded by
+    the score's 6-dp domain, never corpus size) with an integer
+    3·cum ≥ k·n compare — no percentile function, whose tie semantics
+    differ across engines.  Threshold semantics on ties are explicit:
+    head is lp ≥ c_head where c_head is the highest score whose
+    from-the-top cumulative count reaches n/3 — ties at a cutoff land
+    in the better bucket together, so bucket sizes are n/3 ± tie mass
+    (stated; CCNet's behavior at equal perplexities is the same).
+    Cutoffs broadcast back; the assignment join is group-grain tiny.
+
+    Output per (group, bucket): n_docs, share (round 6),
+    mean_logprob (exact DECIMAL mean, round 6), lp_min, lp_max.
+    """
+    from pyspark.sql import Window as W
+
+    from fuel_spark.functions import round6_ratio
+
+    scored = unigram_logprob(df, id_col, text_col).join(
+        df.select(F.col(id_col), F.col(group_col).alias("group")), id_col
+    )
+    hist = scored.groupBy("group", "mean_logprob").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    wcum = (
+        W.partitionBy("group")
+        .orderBy(F.col("mean_logprob").desc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    h = hist.withColumn("_cum", F.sum("_c").over(wcum))
+    # the conditional max needs the group total alongside each
+    # histogram row — join it in (group-grain, broadcast)
+    totals = hist.groupBy("group").agg(F.sum("_c").alias("_n"))
+    hh = h.join(F.broadcast(totals), "group")
+    cuts = hh.groupBy("group").agg(
+        F.max(F.col("_n")).alias("_n"),
+        F.max(
+            F.when(F.col("_cum") * 3 >= F.col("_n"), F.col("mean_logprob"))
+        ).alias("_cut_head"),
+        F.max(
+            F.when(F.col("_cum") * 3 >= 2 * F.col("_n"), F.col("mean_logprob"))
+        ).alias("_cut_mid"),
+    )
+    assigned = scored.join(F.broadcast(cuts), "group").withColumn(
+        "bucket",
+        F.when(F.col("mean_logprob") >= F.col("_cut_head"), "head")
+        .when(F.col("mean_logprob") >= F.col("_cut_mid"), "middle")
+        .otherwise("tail"),
+    )
+    return (
+        assigned.groupBy("group", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.max("_n").alias("_n"),
+            F.sum(F.col("mean_logprob").cast("decimal(27,6)")).alias("_slp"),
+            F.min("mean_logprob").alias("lp_min"),
+            F.max("mean_logprob").alias("lp_max"),
+        )
+        .select(
+            "group",
+            "bucket",
+            "n_docs",
+            round6_ratio(
+                F.col("n_docs").cast("decimal(27,6)"), F.col("_n")
+            ).alias("share"),
+            round6_ratio(F.col("_slp"), F.col("n_docs")).alias(
+                "mean_logprob"
+            ),
+            "lp_min",
+            "lp_max",
+        )
     )

@@ -291,3 +291,32 @@ def test_pivot_lsh_registry_contract(spark):
     for r in out:
         assert 1 <= r.rank <= 5 and -1.0 <= r.cosine <= 1.0
         assert r.query_id != r.neighbor_id
+
+
+def test_centroid_shift_identical_halves_read_one(spark):
+    """Even and odd ids carrying the SAME two vectors per label give
+    identical half-centroids: cosine exactly 1, l2_shift exactly 0."""
+    rows = []
+    for vid, lab, vec in [
+        (0, "a", [1.0, 0.0]), (1, "a", [1.0, 0.0]),
+        (2, "a", [0.0, 2.0]), (3, "a", [0.0, 2.0]),
+        (4, "b", [3.0, 4.0]), (5, "b", [3.0, 4.0]),
+    ]:
+        rows.append((vid, vec, lab))
+    df = from_rows(spark, rows,
+                   schema="vec_id bigint, embedding array<double>, label string")
+    out = {r.label: r for r in similarity.centroid_shift(df).collect()}
+    assert out["a"].cosine == 1.0 and out["a"].l2_shift == 0.0
+    assert out["a"].n_even == 2 and out["a"].n_odd == 2
+    assert out["b"].cosine == 1.0
+
+
+def test_centroid_shift_detects_rotation(spark):
+    """Odd ids rotated 90 degrees from even ids: cosine 0."""
+    rows = [(0, [1.0, 0.0], "a"), (2, [1.0, 0.0], "a"),
+            (1, [0.0, 1.0], "a"), (3, [0.0, 1.0], "a")]
+    df = from_rows(spark, rows,
+                   schema="vec_id bigint, embedding array<double>, label string")
+    r = similarity.centroid_shift(df).first()
+    assert r.cosine == 0.0
+    assert abs(r.l2_shift - 2 ** 0.5) < 1e-6

@@ -904,6 +904,10 @@ SINGLE_PARTITION_ALLOWLIST = {
     # aggregates (dimension tables are metadata-sized by definition —
     # that is the very property the query certifies)
     "join_broadcast_planner",
+    # r7 late: inherits unigram_logprob's 1-row corpus-total
+    # broadcast (the vocabulary-sized LM family above); the tercile
+    # cutoffs run over the per-group DISTINCT-score histogram
+    "text_lm_buckets",
 }
 
 

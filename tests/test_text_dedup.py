@@ -2131,3 +2131,49 @@ def test_lsh_scurve_calibration_bounds_and_endpoints(spark):
     for r in out.values():                        # rates are rates
         assert 0.0 <= r.measured_rate <= 1.0
         assert 0.0 <= r.theoretical_rate <= 1.0
+
+
+def test_round6_ratio_exact_halfway_boundary(spark):
+    """The observed cross-engine defect case: -26.607591/18 is
+    EXACTLY -1.4781995, so half-away-from-zero must give -1.4782 —
+    round(double_division) lands on -1.478199 because the quotient
+    double is a hair above the true rational."""
+    from fuel_spark.functions import round6_ratio
+
+    df = from_rows(spark, [(1,)], schema="k bigint")
+    r = df.select(
+        round6_ratio(
+            F.lit("-26.607591").cast("decimal(27,6)"), F.lit(18)
+        ).alias("v"),
+        round6_ratio(
+            F.lit("26.607591").cast("decimal(27,6)"), F.lit(18)
+        ).alias("p"),
+        round6_ratio(
+            F.lit("10.000000").cast("decimal(27,6)"), F.lit(4)
+        ).alias("e"),
+    ).first()
+    assert r.v == -1.4782
+    assert r.p == 1.4782
+    assert r.e == 2.5
+
+
+def test_lm_buckets_tercile_semantics(spark):
+    """9 docs in one source with clearly separated LM scores must
+    split 3/3/3 with head strictly better than tail; a tie-heavy
+    source keeps ties in the same (better) bucket."""
+    # 3 fluent docs (common words), 3 mid, 3 of rare gibberish
+    common = "the cat sat on the mat with the dog"
+    mid = "cat dog mat sat quite unusual phrasing here today"
+    rare = "zxqv wpld njrk qwty plmz oxcv bnrt yulp zzap"
+    rows = [(i, common, "s1") for i in range(3)]
+    rows += [(i + 3, mid + f" extra{i}", "s1") for i in range(3)]
+    rows += [(i + 6, rare + f" tail{i}", "s1") for i in range(3)]
+    df = from_rows(spark, rows, schema="doc_id bigint, text string, source string")
+    out = {r.bucket: r for r in text_ops.lm_quality_buckets(
+        df, "doc_id", "text", "source").collect()}
+    assert set(out) == {"head", "middle", "tail"}
+    assert out["head"].n_docs == 3
+    assert out["head"].mean_logprob > out["tail"].mean_logprob
+    assert abs(sum(r.share for r in out.values()) - 1.0) < 1e-5
+    # identical docs (exact ties) all land in the same bucket
+    assert out["head"].lp_min == out["head"].lp_max
