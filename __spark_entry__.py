@@ -3681,6 +3681,27 @@ def q_kll_quantiles(spark, sf):
     return sketch.kll_quantiles(e, "value")
 
 
+def q_sample_kcenter(spark, sf):
+    """k-center greedy coreset (r7 late): the 6 most geometrically
+    diverse exemplars by deterministic farthest-point traversal, with
+    the non-increasing coverage-radius certificate."""
+    e = _t(spark, sf)["embeddings"]
+    return similarity.kcenter_coreset(e, "vec_id", "embedding", k=6)
+
+
+def q_quality_calibration(spark, sf):
+    """Reliability diagram + ECE (r7 late): is the stopword-ratio
+    quality score CALIBRATED against the English label, not just
+    rank-correct (quality_auc's question)?"""
+    from fuel_spark.ops import profile
+
+    d = _t(spark, sf)["documents"]
+    scored = text_ops.quality_score(d, "text")
+    return profile.calibration_bins(
+        scored, "stopword_ratio", F.col("lang") == "en", n_bins=10
+    )
+
+
 def q_lm_buckets(spark, sf):
     """CCNet-style head/middle/tail perplexity buckets (r7 late):
     per-source tercile cutoffs on the corpus-unigram LM score, the
@@ -3881,6 +3902,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_rbo_lsh": q_ann_rbo_lsh,
         "events_salted_rollup": q_salted_rollup,
         "dedup_lsh_scurve": q_lsh_scurve,
+        "sample_kcenter": q_sample_kcenter,
+        "quality_calibration": q_quality_calibration,
         "text_lm_buckets": q_lm_buckets,
         "embedding_centroid_shift": q_centroid_shift,
         "events_session_gap_sweep": q_session_gap_sweep,
@@ -13347,6 +13370,73 @@ def oracle_sql() -> dict[str, str]:
         SELECT split, count(*) AS n_docs,
                CAST(sum(nt) AS BIGINT) AS n_tokens
         FROM s GROUP BY 1
+    """
+
+    from fuel_spark.functions import l2sq_sql as _l2sq
+
+    _kc = [
+        "kcb AS (SELECT vec_id AS vid, embedding AS v FROM embeddings)",
+        "kc0 AS (SELECT min(vid) AS vid FROM kcb)",
+        f"kcd0 AS (SELECT b.vid, b.v, round({_l2sq('b.v', 'c.cv')}, 6)"
+        " AS dist FROM kcb b CROSS JOIN (SELECT b2.v AS cv FROM kcb b2"
+        " JOIN kc0 ON b2.vid = kc0.vid) c)",
+    ]
+    _kc_picked = ["kc0"]
+    for _i in range(1, 6):
+        _notin = " UNION ALL ".join(
+            f"SELECT vid FROM {p}" for p in _kc_picked
+        )
+        _kc.append(
+            f"kp{_i} AS (SELECT vid, dist FROM kcd{_i - 1}"
+            f" WHERE vid NOT IN ({_notin})"
+            " ORDER BY dist DESC, vid LIMIT 1)"
+        )
+        _kc_picked.append(f"kp{_i}")
+        if _i < 5:
+            _kc.append(
+                f"kcd{_i} AS (SELECT b.vid, b.v,"
+                f" least(b.dist, round({_l2sq('b.v', 'c.cv')}, 6)) AS dist"
+                f" FROM kcd{_i - 1} b CROSS JOIN (SELECT b2.v AS cv"
+                f" FROM kcb b2 JOIN kp{_i} ON b2.vid = kp{_i}.vid) c)"
+            )
+    sqls["sample_kcenter"] = (
+        "WITH " + ",\n".join(_kc) + "\n"
+        "SELECT CAST(0 AS BIGINT) AS rank, kc0.vid AS vec_id,"
+        " CAST(NULL AS DOUBLE) AS radius FROM kc0"
+        + "".join(
+            f" UNION ALL SELECT CAST({_i} AS BIGINT), kp{_i}.vid,"
+            f" kp{_i}.dist FROM kp{_i}"
+            for _i in range(1, 6)
+        )
+    )
+
+    _cal_ece_num = (
+        "CAST(sum(n * CAST(abs_gap AS DECIMAL(27,6))) AS DECIMAL(27,6))"
+    )
+    sqls["quality_calibration"] = f"""
+        WITH d AS (SELECT lang, {w} AS w FROM documents),
+        cb AS (
+          SELECT CAST(round(CAST(len(list_filter(w,
+                     x -> list_contains({_en_sw}, x))) AS DOUBLE)
+                   / greatest(len(w), 1), 6) AS DECIMAL(27,6)) AS s,
+                 CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+          FROM d
+        ),
+        cbb AS (SELECT least(CAST(floor(s * 10) AS BIGINT), 9) AS bin, s, y
+                FROM cb),
+        g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+                {round6_ratio_sql('sum(s)', 'count(*)')} AS mean_score,
+                {round6_ratio_sql('CAST(sum(y) AS DECIMAL(27,6))', 'count(*)')}
+                  AS pos_rate
+              FROM cbb GROUP BY 1),
+        g2 AS (SELECT *,
+                 CAST(abs(CAST(pos_rate AS DECIMAL(27,6))
+                          - CAST(mean_score AS DECIMAL(27,6))) AS DOUBLE)
+                   AS abs_gap
+               FROM g),
+        t AS (SELECT {round6_ratio_sql(_cal_ece_num, 'sum(n)')} AS ece
+              FROM g2)
+        SELECT bin, n, mean_score, pos_rate, abs_gap, ece FROM g2, t
     """
 
     sqls["text_lm_buckets"] = f"""

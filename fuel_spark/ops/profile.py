@@ -609,3 +609,69 @@ def mutual_information(df: DataFrame, col_x, col_y) -> DataFrame:
             6,
         ).alias("nmi"),
     )
+
+
+def calibration_bins(
+    df: DataFrame, score_col: str, label_col, n_bins: int = 10
+) -> DataFrame:
+    """Reliability diagram + expected calibration error (Guo et al.
+    2017's ECE over equal-WIDTH bins — the model-monitoring twin of
+    :func:`binary_auc`): a score can rank perfectly (AUC 1) yet be
+    badly calibrated; this table is what decides whether a quality
+    score's VALUE can gate thresholds or only its ORDER can.
+
+    One corpus pass funnels into an ≤n_bins-row frame; everything
+    after (per-bin means, the ECE reduction, the broadcast-back) is
+    bin-grain.  Means use the exact-rational
+    :func:`fuel_spark.functions.round6_ratio` contract: scores round
+    to 6 dp before the DECIMAL sum, so both engines agree at every
+    half-way boundary.  ECE rides on each row (1-row broadcast):
+    ECE = Σ n_b/N · |pos_rate_b − mean_score_b|, computed from the
+    already-rounded per-bin values so the certificate is exactly
+    reproducible from the table itself.
+
+    ``label_col`` may be a name or a boolean Column.  Output per bin:
+    bin, n, mean_score, pos_rate, abs_gap, ece.
+    """
+    from fuel_spark.functions import round6_ratio
+
+    y = (F.col(label_col) if isinstance(label_col, str) else label_col).cast(
+        "int"
+    )
+    # bin on the EXACT decimal (floor(decimal·k) is exact; floor of a
+    # double product flips at representation edges like 0.3·10)
+    sdec = F.round(F.col(score_col).cast("double"), 6).cast("decimal(27,6)")
+    b = df.select(
+        F.least(
+            F.floor(sdec * int(n_bins)).cast("bigint"),
+            F.lit(int(n_bins) - 1),
+        ).alias("bin"),
+        sdec.alias("s"),
+        y.alias("y"),
+    )
+    g = b.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        round6_ratio(F.sum("s"), F.count(F.lit(1))).alias("mean_score"),
+        round6_ratio(
+            F.sum("y").cast("decimal(27,6)"), F.count(F.lit(1))
+        ).alias("pos_rate"),
+    )
+    g = g.withColumn(
+        "abs_gap",
+        F.abs(
+            F.col("pos_rate").cast("decimal(27,6)")
+            - F.col("mean_score").cast("decimal(27,6)")
+        ).cast("double"),
+    )
+    tot = g.agg(
+        round6_ratio(
+            F.sum(
+                F.col("n")
+                * F.col("abs_gap").cast("decimal(27,6)")
+            ).cast("decimal(27,6)"),
+            F.sum("n"),
+        ).alias("ece")
+    )
+    return g.crossJoin(F.broadcast(tot)).select(
+        "bin", "n", "mean_score", "pos_rate", "abs_gap", "ece"
+    )

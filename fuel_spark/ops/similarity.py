@@ -2328,3 +2328,86 @@ def centroid_shift(
         ).alias("cosine"),
         F.round(F.sqrt(F.col("_l2")), 6).alias("l2_shift"),
     )
+
+
+def kcenter_coreset(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 6,
+) -> DataFrame:
+    """Deterministic k-center greedy coreset (Gonzalez 1985 farthest-
+    point traversal — the data-PRUNING selector: the k points that
+    2-approximate the minimal covering radius, i.e. the most
+    geometrically diverse exemplars; Sener & Savarese 2018 use
+    exactly this loop for coreset-based active learning).  The greedy
+    loop is UNROLLED as k pure-DataFrame steps (the
+    ``mmr_diversify_fixed`` pattern), so the whole selection is
+    SQL-expressible and oracle-checked.
+
+    Determinism contract: the seed is the MINIMUM id (no RNG); every
+    distance is the strict left-to-right ``l2sq`` fold rounded to
+    6 dp before any comparison; the argmax breaks ties on minimum id
+    via min(struct(-dist, id)) — map-side combinable, no window; and
+    already-picked ids are anti-joined out before each argmax (a
+    duplicate point at distance 0 could otherwise be re-picked on the
+    all-zeros tie).  The pick sequence is therefore bit-identical
+    across engines and partitionings.
+
+    Scale shape: k linear passes — each step broadcasts ONE new
+    center row against the corpus and min-updates the running
+    distance map-side; the only exchanges are the k 1-row argmax
+    reduces (partial-aggregated).  The running-distance frame is
+    lazily localCheckpointed per step: it is referenced by both the
+    next update and the next argmax, and k chained references would
+    otherwise replay the whole chain each step (the MMR ~3^k
+    lesson).  Radius column = distance to the previously-selected
+    set at pick time — non-increasing by construction (tested), and
+    radius_k is the standard 2-approximation coverage certificate.
+
+    Output: rank (0-based pick order), vec_id, radius (NULL for the
+    seed).
+    """
+    from fuel_spark.functions import l2sq_expr
+
+    base = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("_v"))
+    seed = base.agg(F.min("vid").alias("vid"))
+    seed_vec = base.join(F.broadcast(seed), "vid").select(
+        F.col("_v").alias("_cv")
+    )
+    state = base.crossJoin(F.broadcast(seed_vec)).select(
+        "vid",
+        "_v",
+        F.round(l2sq_expr("_v", "_cv"), 6).alias("dist"),
+    ).localCheckpoint(eager=False)
+    selected = seed.select(
+        F.lit(0).cast("bigint").alias("rank"),
+        "vid",
+        F.lit(None).cast("double").alias("radius"),
+    )
+    for step in range(1, int(k)):
+        rem = state.join(
+            F.broadcast(selected.select("vid")), "vid", "left_anti"
+        )
+        pick = rem.agg(
+            F.min(
+                F.struct((-F.col("dist")).alias("_neg"), F.col("vid"))
+            ).alias("_m")
+        ).select(
+            F.lit(step).cast("bigint").alias("rank"),
+            F.col("_m.vid").alias("vid"),
+            (-F.col("_m._neg")).alias("radius"),
+        )
+        selected = selected.unionByName(pick).localCheckpoint(eager=False)
+        if step < int(k) - 1:
+            new_vec = base.join(
+                F.broadcast(pick.select("vid")), "vid"
+            ).select(F.col("_v").alias("_cv"))
+            state = state.crossJoin(F.broadcast(new_vec)).select(
+                "vid",
+                "_v",
+                F.least(
+                    F.col("dist"), F.round(l2sq_expr("_v", "_cv"), 6)
+                ).alias("dist"),
+            ).localCheckpoint(eager=False)
+    return selected.select("rank", F.col("vid").alias(id_col), "radius")

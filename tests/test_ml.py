@@ -320,3 +320,33 @@ def test_centroid_shift_detects_rotation(spark):
     r = similarity.centroid_shift(df).first()
     assert r.cosine == 0.0
     assert abs(r.l2_shift - 2 ** 0.5) < 1e-6
+
+
+def test_kcenter_coreset_picks_extremes_and_radius_decreases(spark):
+    """A tight cluster at the origin plus three far-flung outliers:
+    the traversal must pick all three outliers before a second
+    cluster point, and the radius sequence must be non-increasing."""
+    rows = [
+        (0, [0.0, 0.0]), (1, [0.1, 0.0]), (2, [0.0, 0.1]), (3, [0.1, 0.1]),
+        (10, [100.0, 0.0]), (11, [0.0, 100.0]), (12, [-100.0, -100.0]),
+    ]
+    df = from_rows(spark, rows, schema="vec_id bigint, embedding array<double>")
+    out = sorted(similarity.kcenter_coreset(df, k=5).collect(),
+                 key=lambda r: r.rank)
+    assert out[0].vec_id == 0 and out[0].radius is None  # min-id seed
+    assert {r.vec_id for r in out[1:4]} == {10, 11, 12}
+    radii = [r.radius for r in out[1:]]
+    assert radii == sorted(radii, reverse=True)
+    # rank-4 pick is back inside the cluster: tiny radius
+    assert out[4].radius <= 0.02 + 1e-9
+
+
+def test_kcenter_coreset_never_repicks_duplicates(spark):
+    """With exact duplicate vectors everywhere, all picked ids must
+    still be distinct (the anti-join guard on the all-zeros tie)."""
+    rows = [(i, [1.0, 2.0]) for i in range(8)]
+    df = from_rows(spark, rows, schema="vec_id bigint, embedding array<double>")
+    out = similarity.kcenter_coreset(df, k=4).collect()
+    ids = [r.vec_id for r in out]
+    assert len(set(ids)) == 4
+    assert all(r.radius == 0.0 for r in out if r.rank > 0)

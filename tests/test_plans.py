@@ -908,6 +908,9 @@ SINGLE_PARTITION_ALLOWLIST = {
     # broadcast (the vocabulary-sized LM family above); the tercile
     # cutoffs run over the per-group DISTINCT-score histogram
     "text_lm_buckets",
+    # r7 late: the ECE 1-row reduction over the ≤n_bins-row
+    # reliability table, broadcast back (the binary_auc family)
+    "quality_calibration",
 }
 
 

@@ -256,3 +256,40 @@ def test_mutual_information_extremes(spark):
         [("a", "a"), ("a", "b"), ("b", "a"), ("b", "b")] * 4, ["x", "y"])
     r2 = mutual_information(indep, "x", "y").collect()[0]
     assert abs(r2.mi) < 1e-6
+
+
+def test_calibration_bins_perfect_and_miscalibrated(spark):
+    """A perfectly calibrated score (pos_rate == score in every bin)
+    reads ECE 0; a constant 0.9 score on all-negative labels reads
+    ECE 0.9 in the top bin."""
+    from pyspark.sql import functions as F
+
+    # bin 0.05: 1 of 20 positive; bin 0.55: 11 of 20 positive
+    rows = [(0.05, 1 if i < 1 else 0) for i in range(20)]
+    rows += [(0.55, 1 if i < 11 else 0) for i in range(20)]
+    df = from_rows(spark, rows, schema="score double, y int")
+    out = {r.bin: r for r in profile.calibration_bins(
+        df, "score", F.col("y") == 1, n_bins=10).collect()}
+    assert set(out) == {0, 5}
+    assert out[0].mean_score == 0.05 and out[0].pos_rate == 0.05
+    assert out[5].mean_score == 0.55 and out[5].pos_rate == 0.55
+    assert all(r.ece == 0.0 and r.abs_gap == 0.0 for r in out.values())
+
+    bad = from_rows(spark, [(0.9, 0)] * 10, schema="score double, y int")
+    r = profile.calibration_bins(bad, "score", F.col("y") == 1).first()
+    assert r.bin == 9 and r.pos_rate == 0.0 and r.ece == 0.9
+
+
+def test_calibration_bins_top_edge_and_ece_weighting(spark):
+    """score=1.0 lands in the last bin (no bin 10); ECE weights gaps
+    by bin mass: 30 rows gap 0 + 10 rows gap 0.5 -> ECE 0.125."""
+    from pyspark.sql import functions as F
+
+    rows = [(1.0, 1)] * 30 + [(0.5, 1)] * 10
+    df = from_rows(spark, rows, schema="score double, y int")
+    out = {r.bin: r for r in profile.calibration_bins(
+        df, "score", F.col("y") == 1).collect()}
+    assert set(out) == {5, 9}
+    assert out[9].abs_gap == 0.0
+    assert out[5].abs_gap == 0.5
+    assert out[5].ece == 0.125

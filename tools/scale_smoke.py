@@ -137,7 +137,8 @@ def main() -> int:
             "linkage_entity_clusters", "linkage_pipeline", "shard_skew_sweep", "dedup_time_horizon", "ann_rbo_lsh", "events_salted_rollup", "dedup_lsh_scurve",
             "events_session_gap_sweep", "join_broadcast_planner",
             "layout_file_planner", "text_lm_buckets",
-            "embedding_centroid_shift",
+            "embedding_centroid_shift", "quality_calibration",
+            "sample_kcenter",
         ]
         if len(sys.argv) > 3:
             # explicit subset: smoke only these names (fast re-checks
