@@ -889,6 +889,60 @@ def train_val_test_split(
 # ---------------------------------------------------------------------------
 
 
+def kll_compact_ladder(
+    levels: list[list[float]], k: int
+) -> list[list[float]]:
+    """Shared determinized-KLL compaction (batch :func:`kll_quantiles`
+    and the streaming twin fold through THIS function, so their
+    ladders are bit-identical given the same arrival order): compact
+    any over-capacity level — sort, promote the even positions of the
+    even-length prefix (weight doubles, total weight exactly
+    preserved); an odd straggler stays behind."""
+    i = 0
+    while i < len(levels):
+        if len(levels[i]) > k:
+            levels[i].sort()
+            items = levels[i]
+            if len(items) % 2:
+                levels[i] = [items[-1]]
+                items = items[:-1]
+            else:
+                levels[i] = []
+            promoted = items[0::2]
+            if i + 1 == len(levels):
+                levels.append([])
+            levels[i + 1].extend(promoted)
+        i += 1
+    return levels
+
+
+def kll_readout(
+    levels: list[list[float]], probs: tuple[float, ...]
+) -> list[tuple[float, float, int, int]]:
+    """Shared quantile readout from a KLL ladder: weighted survivors
+    sorted by value, estimate = first item whose cumulative weight
+    reaches ceil(p·total).  Returns (prob, est_value,
+    est_rank_weight, total_weight) rows; empty ladder -> []."""
+    items = sorted(
+        (v, 1 << lvl) for lvl, vs in enumerate(levels) for v in vs
+    )
+    total = sum(wt for _, wt in items)
+    if not items:
+        return []
+    out = []
+    for p in probs:
+        target = max(1, math.ceil(p * total))
+        cum = 0
+        est, est_cum = items[-1][0], total
+        for v, wt in items:
+            cum += wt
+            if cum >= target:
+                est, est_cum = v, cum
+                break
+        out.append((float(p), est, est_cum, total))
+    return out
+
+
 def kll_quantiles(
     df: DataFrame,
     value_col: str,
@@ -928,25 +982,7 @@ def kll_quantiles(
     ))
 
     def _compact_ladder(levels: list[list[float]]) -> list[list[float]]:
-        # compact any over-capacity level: sort, promote the even
-        # positions of the even-length prefix (weight doubles, total
-        # weight exactly preserved); an odd straggler stays behind
-        i = 0
-        while i < len(levels):
-            if len(levels[i]) > k:
-                levels[i].sort()
-                items = levels[i]
-                if len(items) % 2:
-                    levels[i] = [items[-1]]
-                    items = items[:-1]
-                else:
-                    levels[i] = []
-                promoted = items[0::2]
-                if i + 1 == len(levels):
-                    levels.append([])
-                levels[i + 1].extend(promoted)
-            i += 1
-        return levels
+        return kll_compact_ladder(levels, k)
 
     def build(batches):
         levels: list[list[float]] = [[]]
@@ -980,29 +1016,13 @@ def kll_quantiles(
                 levels.append([])
             levels[lvl].append(float(v))
         levels = _compact_ladder(levels)
-        items = sorted(
-            (v, 1 << lvl)
-            for lvl, vs in enumerate(levels)
-            for v in vs
-        )
-        total = sum(wt for _, wt in items)
-        if not items:
+        out = kll_readout(levels, probs)
+        if not out:
             return pd.DataFrame(
                 columns=["prob", "est_value", "est_rank_weight",
                          "total_weight"]
             ).astype({"prob": "float64", "est_value": "float64",
                       "est_rank_weight": "int64", "total_weight": "int64"})
-        out = []
-        for p in probs:
-            target = max(1, math.ceil(p * total))
-            cum = 0
-            est, est_cum = items[-1][0], total
-            for v, wt in items:
-                cum += wt
-                if cum >= target:
-                    est, est_cum = v, cum
-                    break
-            out.append((float(p), est, est_cum, total))
         return pd.DataFrame(
             out,
             columns=["prob", "est_value", "est_rank_weight", "total_weight"],

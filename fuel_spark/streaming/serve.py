@@ -959,3 +959,87 @@ def kmv_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+KLL_OUT_SCHEMA = (
+    "group string, prob double, est_value double, est_rank_weight long, "
+    "total_weight long"
+)
+KLL_STATE_SCHEMA = "lvls array<long>, vals array<double>"
+
+
+def kll_stream(
+    events: DataFrame,
+    group_col: str,
+    value_col: str,
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
+    k: int = 128,
+) -> DataFrame:
+    """Streaming KLL quantile sketch as a bounded-state stateful
+    operator — the QUANTILE member of the bounded-state family (CMS
+    frequencies, Misra–Gries top-k, Bloom membership, KMV distinct):
+    per group the compactor ladder folds each micro-batch in, so
+    state is O(k·log(N/k)) values — k per level, levels growing only
+    logarithmically with stream length — where a streaming
+    percentile_approx-over-groupBy would buffer unboundedly.
+
+    The fold and the readout are the SAME functions as the batch
+    :func:`fuel_spark.ops.sketch.kll_quantiles`
+    (``kll_compact_ladder`` / ``kll_readout``), so a single-batch
+    single-shard stream equals the single-partition batch sketch
+    item-for-item — pinned by test; across arbitrary batchings the
+    estimates keep the KLL rank-error envelope (also pinned), while
+    the exact ladder is arrival-order-defined, the same
+    partitioning-defined-identity contract the batch op documents.
+
+    Update-mode semantics: each batch re-emits the group's CURRENT
+    quantile table.  Output: group, prob, est_value,
+    est_rank_weight, total_weight.
+    """
+    import pandas as pd
+
+    from fuel_spark.ops.sketch import kll_compact_ladder, kll_readout
+
+    prepared = events.select(
+        F.col(group_col).cast("string").alias("_g"),
+        F.col(value_col).cast("double").alias("_v"),
+    ).where(F.col("_v").isNotNull())
+
+    def fn(key, pdfs, state: GroupState):
+        (group,) = key
+        levels: list[list[float]] = [[]]
+        if state.exists:
+            lvls, vals = state.get
+            for lvl, v in zip(list(lvls), list(vals)):
+                lvl = int(lvl)
+                while len(levels) <= lvl:
+                    levels.append([])
+                levels[lvl].append(float(v))
+        for pdf in pdfs:
+            arr = pdf["_v"].to_numpy()
+            idx = 0
+            while idx < len(arr):
+                space = max(1, k + 1 - len(levels[0]))
+                chunk = arr[idx : idx + space]
+                levels[0].extend(float(x) for x in chunk)
+                idx += len(chunk)
+                if len(levels[0]) > k:
+                    levels = kll_compact_ladder(levels, k)
+        state.update((
+            [lvl for lvl, vs in enumerate(levels) for _ in vs],
+            [v for vs in levels for v in vs],
+        ))
+        rows = kll_readout(levels, probs)
+        yield pd.DataFrame(
+            [(group, p, ev, erw, tw) for p, ev, erw, tw in rows],
+            columns=["group", "prob", "est_value", "est_rank_weight",
+                     "total_weight"],
+        )
+
+    return prepared.groupBy("_g").applyInPandasWithState(
+        fn,
+        outputStructType=KLL_OUT_SCHEMA,
+        stateStructType=KLL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -858,3 +858,99 @@ def test_kmv_stream_equals_batch_certificate(spark, workdir):
     assert final.n_sketch == cert.n_sketch
     assert final.theta == cert.theta
     assert final.est_distinct == cert.est_distinct
+
+
+def test_kll_stream_bounded_state_and_envelope(spark, workdir):
+    """Three micro-batches of 400 values: every emission's
+    total_weight must equal the rows seen so far (exact weight
+    conservation), the final estimates must sit inside a loose KLL
+    rank envelope vs the exact quantiles, and the stored ladder stays
+    bounded."""
+    import pandas as pd
+
+    src = os.path.join(workdir, "kll_src")
+    ckpt = os.path.join(workdir, "kll_ckpt")
+    os.makedirs(src)
+    all_vals = []
+    for b in range(3):
+        vals = [((i * 37 + b * 401) % 1200) / 1.0 for i in range(400)]
+        all_vals += vals
+        pd.DataFrame({"g": "g", "value": vals}).to_parquet(
+            os.path.join(src, f"{b:03d}.parquet")
+        )
+    stream = (
+        spark.readStream.schema("g string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    batches = []
+    q = (
+        serve.kll_stream(stream, "g", "value", k=64)
+        .writeStream.outputMode("update")
+        .foreachBatch(lambda d, i: batches.append((i, d.collect())))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    emitted = [rows for _, rows in batches if rows]
+    assert len(emitted) >= 3
+    weights = [rows[0].total_weight for rows in emitted]
+    assert weights == [400, 800, 1200]
+    final = {r.prob: r for r in emitted[-1]}
+    n = len(all_vals)
+    s = sorted(all_vals)
+    for p, r in final.items():
+        exact_rank = sum(1 for v in all_vals if v <= r.est_value)
+        # loose KLL envelope: within 10% of n for k=64
+        assert abs(exact_rank - p * n) <= 0.1 * n
+        assert r.est_value in s
+
+
+def test_kll_stream_single_batch_equals_batch_sketch(spark, workdir):
+    """One batch, one shard: the streamed ladder IS the canonical
+    fold — the quantile table must equal a pure-Python replay of the
+    SAME shared kll_compact_ladder/kll_readout over the same arrival
+    order (the batch op re-shards via ensure_parallelism, so the
+    reference here is the shared fold itself)."""
+    import pandas as pd
+
+    from fuel_spark.ops import sketch
+
+    src = os.path.join(workdir, "kll1_src")
+    ckpt = os.path.join(workdir, "kll1_ckpt")
+    os.makedirs(src)
+    vals = [((i * 193) % 1000) / 7.0 for i in range(900)]
+    pd.DataFrame({"g": "g", "value": vals}).to_parquet(
+        os.path.join(src, "000.parquet")
+    )
+    stream = (
+        spark.readStream.schema("g string, value double").parquet(src)
+    )
+    batches = []
+    q = (
+        serve.kll_stream(stream, "g", "value", k=32)
+        .writeStream.outputMode("update")
+        .foreachBatch(lambda d, i: batches.append(d.collect()))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {r.prob: r for rows in batches if rows for r in rows}
+    levels = [[]]
+    k = 32
+    idx = 0
+    while idx < len(vals):
+        space = max(1, k + 1 - len(levels[0]))
+        levels[0].extend(vals[idx : idx + space])
+        idx += space if space <= len(vals) - (idx) else len(vals) - idx
+        if len(levels[0]) > k:
+            levels = sketch.kll_compact_ladder(levels, k)
+    got = {p: (ev, erw, tw) for p, ev, erw, tw in sketch.kll_readout(
+        levels, (0.25, 0.5, 0.75, 0.9, 0.99))}
+    assert set(streamed) == set(got)
+    for p, (ev, erw, tw) in got.items():
+        assert streamed[p].est_value == ev
+        assert streamed[p].total_weight == tw == 900
+        assert streamed[p].est_rank_weight == erw
