@@ -3681,6 +3681,15 @@ def q_kll_quantiles(spark, sf):
     return sketch.kll_quantiles(e, "value")
 
 
+def q_zorder_certificate(spark, sf):
+    """Z-order data-skipping certificate (r7 late): files touched by
+    a 2-column range predicate under id / time-sorted / Morton
+    layouts from per-file min-max stats — the measured case for
+    write_zordered."""
+    e = _t(spark, sf)["events"]
+    return curate_ops.zorder_skipping_certificate(e)
+
+
 def q_sample_kcenter(spark, sf):
     """k-center greedy coreset (r7 late): the 6 most geometrically
     diverse exemplars by deterministic farthest-point traversal, with
@@ -3902,6 +3911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_rbo_lsh": q_ann_rbo_lsh,
         "events_salted_rollup": q_salted_rollup,
         "dedup_lsh_scurve": q_lsh_scurve,
+        "layout_zorder_certificate": q_zorder_certificate,
         "sample_kcenter": q_sample_kcenter,
         "quality_calibration": q_quality_calibration,
         "text_lm_buckets": q_lm_buckets,
@@ -13370,6 +13380,69 @@ def oracle_sql() -> dict[str, str]:
         SELECT split, count(*) AS n_docs,
                CAST(sum(nt) AS BIGINT) AS n_tokens
         FROM s GROUP BY 1
+    """
+
+    _z_bits = " + ".join(
+        f"(((d >> {j}) & 1) << {2 * j}) + (((v >> {j}) & 1) << {2 * j + 1})"
+        for j in range(5)
+    )
+    _z_layouts = " UNION ALL ".join(
+        f"SELECT d, value, hd, hv, '{name}' AS layout, {file_expr} AS file"
+        " FROM zz"
+        for name, file_expr in [
+            ("id_chunks", "event_id // 64"),
+            ("ts_daily", "d"),
+            ("lex_day_value", "d * 8 + (v >> 2)"),
+            ("zorder", "z >> 2"),
+        ]
+    )
+    _z_preds = " UNION ALL ".join(
+        f"SELECT layout, n_rows, '{p}' AS predicate, {t} AS touched,"
+        f" {h} AS n_hit FROM zs"
+        for p, t, h in [
+            ("both", "(td AND tv)", "h_both"),
+            ("day_only", "td", "h_day"),
+            ("value_only", "tv", "h_val"),
+        ]
+    )
+    sqls["layout_zorder_certificate"] = f"""
+        WITH zb0 AS (SELECT event_id, value,
+                       epoch_us(ts) // 1000000 // 86400 AS day
+                     FROM events),
+        zodg AS (SELECT min(day) AS d0 FROM zb0),
+        zb AS (SELECT event_id, value,
+                 least(day - d0, 31) AS d,
+                 least(greatest(CAST(floor(sqrt(greatest(value, 0.0)))
+                                     AS BIGINT), 0), 31) AS v
+               FROM zb0, zodg),
+        zz AS (SELECT *, {_z_bits} AS z,
+                 (d >= 2 AND d <= 8) AS hd,
+                 (value >= 10.0 AND value <= 40.0) AS hv
+               FROM zb),
+        zf AS ({_z_layouts}),
+        zs AS (SELECT layout, file, count(*) AS n_rows,
+                 (min(d) <= 8 AND max(d) >= 2) AS td,
+                 (min(value) <= 40.0 AND max(value) >= 10.0) AS tv,
+                 sum(CASE WHEN hd AND hv THEN 1 ELSE 0 END) AS h_both,
+                 sum(CASE WHEN hd THEN 1 ELSE 0 END) AS h_day,
+                 sum(CASE WHEN hv THEN 1 ELSE 0 END) AS h_val
+               FROM zf GROUP BY 1, 2),
+        zp AS ({_z_preds})
+        SELECT layout, predicate, CAST(count(*) AS BIGINT) AS n_files,
+          CAST(sum(CASE WHEN touched THEN 1 ELSE 0 END) AS BIGINT)
+            AS files_touched,
+          CAST(sum(n_rows) AS BIGINT) AS rows_total,
+          CAST(sum(n_hit) AS BIGINT) AS rows_matched,
+          CAST(sum(CASE WHEN touched THEN n_rows ELSE 0 END) AS BIGINT)
+            AS rows_in_touched,
+          round(1.0 - CAST(sum(CASE WHEN touched THEN 1 ELSE 0 END)
+                           AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+            AS prune_rate,
+          CASE WHEN sum(n_hit) > 0 THEN
+            round(CAST(sum(CASE WHEN touched THEN n_rows ELSE 0 END)
+                       AS DOUBLE) / CAST(sum(n_hit) AS DOUBLE), 6)
+          END AS read_amplification
+        FROM zp GROUP BY 1, 2
     """
 
     from fuel_spark.functions import l2sq_sql as _l2sq

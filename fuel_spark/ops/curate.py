@@ -982,3 +982,174 @@ def file_layout_planner(
             F.col("n_rows").cast("double") / n_files.cast("double"), 6
         ).alias("rows_per_file"),
     )
+
+
+def zorder_skipping_certificate(
+    events: DataFrame,
+    day_lo: int = 2,
+    day_hi: int = 8,
+    val_lo: float = 10.0,
+    val_hi: float = 40.0,
+) -> DataFrame:
+    """Data-layout skipping certificate: how many files must each of
+    three range predicates (two-column box, day-only, value-only)
+    touch under four layouts — natural id order, day-sorted,
+    lexicographic (day, value) sort, and Z-order (Morton) — given
+    per-file min/max stats, i.e. EXACTLY the pruning parquet
+    row-group stats give a 100 TB scan.  This is the measured
+    justification for `sources.sink.write_zordered`, and the
+    PREDICATE dimension is the point (Morton 1966; the Delta/Iceberg
+    OPTIMIZE ZORDER rationale): a linear sort prunes brilliantly on
+    its leading column and not at all past it, while the Z curve
+    stays narrow on EVERY interleaved column at once — visible here
+    as z-order being near-best in all three predicate rows where
+    each sort wins only its own.
+
+    Portability-by-construction: file boundaries are VALUE-defined
+    (id ranges, day cells, (day, value-lane) cells, Z-prefix
+    ranges), never count-defined — no global row_number sort, so the
+    certificate itself runs as one linear pass + a files-sized
+    rollup at any scale (the real writer pays its range shuffle; the
+    certificate does not have to).  Day lanes offset against a
+    broadcast 1-row min-day origin; value lanes are floor(sqrt(v)) —
+    IEEE sqrt is correctly rounded, hence engine-portable, and the
+    monotone transform keeps range predicates contiguous while
+    spreading the skewed low-value mass across lanes.  The Morton
+    value is a pure bit-arithmetic fold; granularities are sized so
+    all but the day-only layout emit comparable file counts.
+
+    Output per (layout, predicate): n_files, files_touched,
+    rows_total, rows_matched, rows_in_touched, prune_rate (round 6),
+    read_amplification (round 6).
+    """
+    day = F.floor(F.col("ts").cast("long") / 86400).cast("long")
+    base = events.select(
+        F.col("event_id"), day.alias("_day"), F.col("value")
+    )
+    origin = base.agg(F.min("_day").alias("_d0"))
+    b = base.crossJoin(F.broadcast(origin)).select(
+        "event_id",
+        "value",
+        F.least(F.col("_day") - F.col("_d0"), F.lit(31))
+        .cast("long")
+        .alias("d"),
+        F.least(
+            F.greatest(
+                F.floor(F.sqrt(F.greatest(F.col("value"), F.lit(0.0))))
+                .cast("long"),
+                F.lit(0),
+            ),
+            F.lit(31),
+        ).alias("v"),
+    )
+    z = F.lit(0).cast("long")
+    for j in range(5):
+        z = z + F.shiftleft(
+            F.shiftright(F.col("d"), j).bitwiseAND(F.lit(1)), 2 * j
+        ) + F.shiftleft(
+            F.shiftright(F.col("v"), j).bitwiseAND(F.lit(1)), 2 * j + 1
+        )
+    b = b.withColumn("z", z)
+    hit_day = (F.col("d") >= int(day_lo)) & (F.col("d") <= int(day_hi))
+    hit_val = (F.col("value") >= float(val_lo)) & (
+        F.col("value") <= float(val_hi)
+    )
+    fan = b.select(
+        "d",
+        "value",
+        hit_day.alias("_hd"),
+        hit_val.alias("_hv"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("id_chunks").alias("layout"),
+                    (F.col("event_id") / 64).cast("long").alias("file"),
+                ),
+                F.struct(
+                    F.lit("ts_daily").alias("layout"),
+                    F.col("d").cast("long").alias("file"),
+                ),
+                F.struct(
+                    F.lit("lex_day_value").alias("layout"),
+                    (F.col("d") * 8 + F.shiftright(F.col("v"), 2))
+                    .cast("long")
+                    .alias("file"),
+                ),
+                F.struct(
+                    F.lit("zorder").alias("layout"),
+                    F.shiftright(F.col("z"), 2).cast("long").alias("file"),
+                ),
+            )
+        ).alias("_f"),
+    ).select("d", "value", "_hd", "_hv", "_f.layout", "_f.file")
+    stats = fan.groupBy("layout", "file").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("d").alias("min_d"),
+        F.max("d").alias("max_d"),
+        F.min("value").alias("min_v"),
+        F.max("value").alias("max_v"),
+        F.sum((F.col("_hd") & F.col("_hv")).cast("long")).alias("h_both"),
+        F.sum(F.col("_hd").cast("long")).alias("h_day"),
+        F.sum(F.col("_hv").cast("long")).alias("h_val"),
+    )
+    t_day = (F.col("min_d") <= int(day_hi)) & (F.col("max_d") >= int(day_lo))
+    t_val = (F.col("min_v") <= float(val_hi)) & (
+        F.col("max_v") >= float(val_lo)
+    )
+    preds = stats.select(
+        "layout",
+        "n_rows",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("both").alias("predicate"),
+                    (t_day & t_val).alias("touched"),
+                    F.col("h_both").alias("n_hit"),
+                ),
+                F.struct(
+                    F.lit("day_only").alias("predicate"),
+                    t_day.alias("touched"),
+                    F.col("h_day").alias("n_hit"),
+                ),
+                F.struct(
+                    F.lit("value_only").alias("predicate"),
+                    t_val.alias("touched"),
+                    F.col("h_val").alias("n_hit"),
+                ),
+            )
+        ).alias("_p"),
+    ).select("layout", "n_rows", "_p.predicate", "_p.touched", "_p.n_hit")
+    return (
+        preds.groupBy("layout", "predicate")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_files"),
+            F.sum(F.col("touched").cast("long"))
+            .cast("bigint")
+            .alias("files_touched"),
+            F.sum("n_rows").cast("bigint").alias("rows_total"),
+            F.sum("n_hit").cast("bigint").alias("rows_matched"),
+            F.sum(F.when(F.col("touched"), F.col("n_rows")).otherwise(0))
+            .cast("bigint")
+            .alias("rows_in_touched"),
+        )
+        .withColumn(
+            "prune_rate",
+            F.round(
+                1.0
+                - F.col("files_touched").cast("double")
+                / F.col("n_files").cast("double"),
+                6,
+            ),
+        )
+        .withColumn(
+            "read_amplification",
+            F.when(
+                F.col("rows_matched") > 0,
+                F.round(
+                    F.col("rows_in_touched").cast("double")
+                    / F.col("rows_matched").cast("double"),
+                    6,
+                ),
+            ),
+        )
+    )

@@ -464,3 +464,32 @@ def test_file_layout_planner_identities(spark):
     assert b128.n_files == 1 and b128.total_bytes == 10
     # a bigger target never yields more files
     assert out[(1024, "a")].n_files <= a128.n_files
+
+
+def test_zorder_certificate_textbook_profile(spark):
+    """The layout × predicate matrix must show the textbook shape on
+    real data: every layout matches the same row counts per
+    predicate; the day-sorted layout's day_only pruning beats its
+    value_only pruning (which is zero); z-order prunes on BOTH
+    single-column predicates; and per-file min/max boxes make
+    rows_in_touched >= rows_matched everywhere."""
+    t = load_tables(spark, SF)
+    out = curate.zorder_skipping_certificate(t["events"]).collect()
+    assert len(out) == 12
+    by = {(r.layout, r.predicate): r for r in out}
+    for pred in ("both", "day_only", "value_only"):
+        matched = {r.rows_matched for r in out if r.predicate == pred}
+        assert len(matched) == 1  # same predicate, same rows everywhere
+        for r in out:
+            if r.predicate == pred:
+                assert r.rows_in_touched >= r.rows_matched
+                assert 0 <= r.files_touched <= r.n_files
+    ts = by[("ts_daily", "day_only")]
+    assert ts.prune_rate > 0.5
+    assert by[("ts_daily", "value_only")].prune_rate == 0.0
+    z_day = by[("zorder", "day_only")]
+    z_val = by[("zorder", "value_only")]
+    assert z_day.prune_rate > 0.0 and z_val.prune_rate > 0.0
+    # the box predicate: z-order must beat the natural-id layout
+    assert (by[("zorder", "both")].prune_rate
+            > by[("id_chunks", "both")].prune_rate)

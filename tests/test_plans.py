@@ -911,6 +911,10 @@ SINGLE_PARTITION_ALLOWLIST = {
     # r7 late: the ECE 1-row reduction over the ≤n_bins-row
     # reliability table, broadcast back (the binary_auc family)
     "quality_calibration",
+    # r7 late: the 1-row min-day origin broadcast (the layout lanes
+    # must share an absolute anchor); everything else is the
+    # files-sized stats rollup
+    "layout_zorder_certificate",
 }
 
 

@@ -138,7 +138,7 @@ def main() -> int:
             "events_session_gap_sweep", "join_broadcast_planner",
             "layout_file_planner", "text_lm_buckets",
             "embedding_centroid_shift", "quality_calibration",
-            "sample_kcenter",
+            "sample_kcenter", "layout_zorder_certificate",
         ]
         if len(sys.argv) > 3:
             # explicit subset: smoke only these names (fast re-checks
