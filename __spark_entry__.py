@@ -3681,6 +3681,16 @@ def q_kll_quantiles(spark, sf):
     return sketch.kll_quantiles(e, "value")
 
 
+def q_bpe_fertility(spark, sf):
+    """Tokenizer fertility by source (r7 late): BPE tokens/word and
+    chars/token under the fixed merge table — the tokenizer-choice
+    planner read before committing a pretrain run's tokenization."""
+    d = _t(spark, sf)["documents"]
+    return text_ops.bpe_fertility(
+        d, "doc_id", "text", "source", list(BPE_FIXED_MERGES)
+    )
+
+
 def q_zorder_certificate(spark, sf):
     """Z-order data-skipping certificate (r7 late): files touched by
     a 2-column range predicate under id / time-sorted / Morton
@@ -3911,6 +3921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_rbo_lsh": q_ann_rbo_lsh,
         "events_salted_rollup": q_salted_rollup,
         "dedup_lsh_scurve": q_lsh_scurve,
+        "text_bpe_fertility": q_bpe_fertility,
         "layout_zorder_certificate": q_zorder_certificate,
         "sample_kcenter": q_sample_kcenter,
         "quality_calibration": q_quality_calibration,
@@ -13380,6 +13391,33 @@ def oracle_sql() -> dict[str, str]:
         SELECT split, count(*) AS n_docs,
                CAST(sum(nt) AS BIGINT) AS n_tokens
         FROM s GROUP BY 1
+    """
+
+    # reuse the text_bpe_encode oracle VERBATIM as a subquery, so the
+    # fertility twin can never drift from the encode twin
+    sqls["text_bpe_fertility"] = f"""
+        WITH bfenc AS ({sqls['text_bpe_encode']}),
+        bfw AS (SELECT doc_id, source,
+                  list_filter({w}, x -> x <> '') AS fw
+                FROM documents),
+        bfm AS (SELECT doc_id, source,
+                  CAST(len(fw) AS BIGINT) AS nw,
+                  CAST(length(array_to_string(fw, '')) AS BIGINT) AS nc
+                FROM bfw),
+        bfj AS (SELECT m.source AS "group", m.nw, m.nc, e.n_tokens
+                FROM bfm m JOIN bfenc e ON m.doc_id = e.doc_id),
+        bfg AS (SELECT "group",
+                  CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(sum(nw) AS BIGINT) AS n_words,
+                  CAST(sum(nc) AS BIGINT) AS n_chars,
+                  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+                FROM bfj GROUP BY 1)
+        SELECT "group", n_docs, n_words, n_chars, n_tokens,
+          {round6_ratio_sql('CAST(n_tokens AS DECIMAL(27,6))',
+                            'greatest(n_words, 1)')} AS fertility,
+          {round6_ratio_sql('CAST(n_chars AS DECIMAL(27,6))',
+                            'greatest(n_tokens, 1)')} AS chars_per_token
+        FROM bfg
     """
 
     _z_bits = " + ".join(

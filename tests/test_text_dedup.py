@@ -2177,3 +2177,24 @@ def test_lm_buckets_tercile_semantics(spark):
     assert abs(sum(r.share for r in out.values()) - 1.0) < 1e-5
     # identical docs (exact ties) all land in the same bucket
     assert out["head"].lp_min == out["head"].lp_max
+
+
+def test_bpe_fertility_hand_values(spark):
+    """Two sources with a two-merge table: 'ab' fully merges to one
+    symbol + </w> (2 tokens/word), unmergeable 'xy' stays 3 chars +
+    </w>.  Counts and exact-rational ratios checked by hand."""
+    merges = [("a", "b"), ("ab", "</w>")]
+    rows = [(1, "ab ab", "s1"), (2, "ab", "s1"), (3, "xy", "s2")]
+    df = from_rows(spark, rows,
+                   schema="doc_id bigint, text string, source string")
+    out = {r.group: r for r in text_ops.bpe_fertility(
+        df, "doc_id", "text", "source", merges).collect()}
+    s1 = out["s1"]
+    # 'ab' -> ['ab</w>'] : 1 token per word
+    assert (s1.n_docs, s1.n_words, s1.n_chars, s1.n_tokens) == (2, 3, 6, 3)
+    assert s1.fertility == 1.0 and s1.chars_per_token == 2.0
+    s2 = out["s2"]
+    # 'xy' -> ['x','y','</w>'] : 3 tokens for one 2-char word
+    assert (s2.n_words, s2.n_tokens) == (1, 3)
+    assert s2.fertility == 3.0
+    assert s2.chars_per_token == round(2 / 3, 6)
