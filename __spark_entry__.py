@@ -3681,6 +3681,17 @@ def q_kll_quantiles(spark, sf):
     return sketch.kll_quantiles(e, "value")
 
 
+def q_salted_join(spark, sf):
+    """Salted replicated-dim join certificate (r7 late): the join-side
+    twin of the rollup certificate — hot probe key spread over 16
+    salts against a replicated dim, equality to the direct join
+    pinned."""
+    e = _t(spark, sf)["events"]
+    return core.salted_join_certificate(
+        e, "event_type", "event_id", "value", salts=16
+    )
+
+
 def q_bpe_fertility(spark, sf):
     """Tokenizer fertility by source (r7 late): BPE tokens/word and
     chars/token under the fixed merge table — the tokenizer-choice
@@ -3921,6 +3932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_rbo_lsh": q_ann_rbo_lsh,
         "events_salted_rollup": q_salted_rollup,
         "dedup_lsh_scurve": q_lsh_scurve,
+        "events_salted_join": q_salted_join,
         "text_bpe_fertility": q_bpe_fertility,
         "layout_zorder_certificate": q_zorder_certificate,
         "sample_kcenter": q_sample_kcenter,
@@ -13391,6 +13403,35 @@ def oracle_sql() -> dict[str, str]:
         SELECT split, count(*) AS n_docs,
                CAST(sum(nt) AS BIGINT) AS n_tokens
         FROM s GROUP BY 1
+    """
+
+    sqls["events_salted_join"] = f"""
+        WITH sjf AS (SELECT event_type, event_id,
+                       CAST(value AS DECIMAL(27,6)) AS v
+                     FROM events),
+        sjd AS (SELECT event_type, CAST(count(*) AS BIGINT) AS dim_n
+                FROM sjf GROUP BY 1),
+        sjdir AS (SELECT f.event_type,
+                    CAST(count(*) AS BIGINT) AS n_rows_direct,
+                    round(CAST(sum(f.v) AS DOUBLE), 6) AS sum_direct,
+                    max(d.dim_n) AS dim_attr
+                  FROM sjf f JOIN sjd d ON f.event_type = d.event_type
+                  GROUP BY 1),
+        sjrep AS (SELECT d.event_type, d.dim_n, s AS salt
+                  FROM sjd d, unnest(generate_series(0, 15)) AS t(s)),
+        sjsj AS (SELECT f.event_type, f.v
+                 FROM sjf f JOIN sjrep r
+                   ON f.event_type = r.event_type
+                  AND {hash_mod_sql('sj16', 'f.event_id', 16)} = r.salt),
+        sjsal AS (SELECT event_type,
+                    CAST(count(*) AS BIGINT) AS n_rows_salted,
+                    round(CAST(sum(v) AS DOUBLE), 6) AS sum_salted
+                  FROM sjsj GROUP BY 1)
+        SELECT a.event_type, n_rows_direct, n_rows_salted,
+          sum_direct, sum_salted, dim_attr,
+          (n_rows_direct = n_rows_salted AND sum_direct = sum_salted)
+            AS match
+        FROM sjdir a JOIN sjsal b ON a.event_type = b.event_type
     """
 
     # reuse the text_bpe_encode oracle VERBATIM as a subquery, so the

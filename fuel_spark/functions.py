@@ -376,6 +376,7 @@ def salted_join(
     right: DataFrame,
     key: str,
     salt_buckets: int = 16,
+    salt_key: str | None = None,
 ) -> DataFrame:
     """Skew-proof equi-join: replicate the RIGHT side ``salt_buckets``×
     and scatter the LEFT side's rows across the salted keys, so a
@@ -388,12 +389,21 @@ def salted_join(
     to replicate) with an extreme hot key still bottlenecks — explicit
     salting is the production answer there.  Left rows salt by a hash
     of their whole row id (round-robin-like but deterministic); right
-    rows replicate to every salt.  Output = the plain inner join's
-    rows exactly (the salt column never leaks).
+    rows replicate to every salt (pass ``salt_key`` to salt from a
+    stable row key instead — deterministic across partitionings).
+    Output = the plain inner join's rows exactly (the salt column
+    never leaks).
     """
-    salt = F.pmod(
-        F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets)
-    ).cast("int")
+    if salt_key is not None:
+        # deterministic tier: salt from a stable row key — the output
+        # is identical either way (salt never leaks), but this one is
+        # reproducible across partitionings, which the oracle-checked
+        # certificate query needs
+        salt = hash_mod(f"sj{salt_buckets}", F.col(salt_key), salt_buckets)
+    else:
+        salt = F.pmod(
+            F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets)
+        ).cast("int")
     l = left.withColumn("_salt", salt)
     r = right.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))

@@ -900,3 +900,65 @@ def salted_rollup_certificate(
         "salted_sum",
         (F.col("direct_sum") == F.col("salted_sum")).alias("match"),
     )
+
+
+def salted_join_certificate(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    value_col: str,
+    salts: int = 16,
+) -> DataFrame:
+    """Replicated-dimension salted JOIN with its correctness
+    certificate — the join-side twin of
+    :func:`salted_rollup_certificate`, completing the skew toolkit:
+    the aggregation certificate pins salted partials; THIS one pins
+    the replicate-the-build-side pattern for a hash join whose probe
+    key is a heavy hitter (too hot for one reducer) against a dim too
+    big to broadcast.  Each fact row salts deterministically by its
+    row key; the dim replicates to every salt; the join runs on
+    (key, salt) so the hot key spreads over ``salts`` reducers
+    (`functions.salted_join`'s deterministic tier).
+
+    The certificate: per group, the salted join's row count and exact
+    DECIMAL value sum beside the direct join's — match is provably
+    TRUE because replication×scatter partitions the pair space
+    exactly (every fact row meets its dim row in exactly one salt),
+    and the query pins it.  The dim here is the group-grain profile
+    of the fact itself (self-contained, any real dim works the same).
+
+    Output: group, n_rows_direct, n_rows_salted, sum_direct,
+    sum_salted, dim_attr, match.
+    """
+    from fuel_spark.functions import salted_join
+
+    dec = F.col(value_col).cast("decimal(27,6)")
+    dim = df.groupBy(F.col(group_col)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("dim_n")
+    )
+    fact = df.select(F.col(group_col), F.col(key_col), F.col(value_col))
+    direct = fact.join(dim, group_col).groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows_direct"),
+        F.round(F.sum(dec).cast("double"), 6).alias("sum_direct"),
+        F.max("dim_n").alias("dim_attr"),
+    )
+    salted = (
+        salted_join(fact, dim, group_col, salts, salt_key=key_col)
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows_salted"),
+            F.round(F.sum(dec).cast("double"), 6).alias("sum_salted"),
+        )
+    )
+    return direct.join(salted, group_col).select(
+        group_col,
+        "n_rows_direct",
+        "n_rows_salted",
+        "sum_direct",
+        "sum_salted",
+        "dim_attr",
+        (
+            (F.col("n_rows_direct") == F.col("n_rows_salted"))
+            & (F.col("sum_direct") == F.col("sum_salted"))
+        ).alias("match"),
+    )

@@ -313,3 +313,29 @@ def test_salted_rollup_matches_direct_on_hot_key(spark):
         .count()
     )
     assert n_salts == 8
+
+
+def test_salted_join_certificate_hot_key_spreads_and_matches(spark):
+    """A 90%-hot group must come back match=TRUE with identical
+    counts/sums on both paths, and the deterministic salt must
+    genuinely spread the hot group's fact rows across partials."""
+    from fuel_spark.functions import hash_mod
+    from fuel_spark.ops import core
+    from fuel_spark.sources import from_rows
+
+    rows = [(i, "hot" if i < 900 else "cold", float(i % 7)) for i in range(1000)]
+    df = from_rows(spark, rows, schema="event_id bigint, event_type string, value double")
+    out = {r.event_type: r for r in core.salted_join_certificate(
+        df, "event_type", "event_id", "value", salts=8).collect()}
+    for r in out.values():
+        assert r.match
+        assert r.n_rows_direct == r.n_rows_salted == r.dim_attr
+    assert out["hot"].n_rows_direct == 900
+    # the hot group's rows land in every salt bucket
+    n_salts = (
+        df.where(F.col("event_type") == "hot")
+        .select(hash_mod("sj8", F.col("event_id"), 8).alias("s"))
+        .distinct()
+        .count()
+    )
+    assert n_salts == 8

@@ -139,7 +139,7 @@ def main() -> int:
             "layout_file_planner", "text_lm_buckets",
             "embedding_centroid_shift", "quality_calibration",
             "sample_kcenter", "layout_zorder_certificate",
-            "text_bpe_fertility",
+            "text_bpe_fertility", "events_salted_join",
         ]
         if len(sys.argv) > 3:
             # explicit subset: smoke only these names (fast re-checks
