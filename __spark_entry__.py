@@ -3681,6 +3681,16 @@ def q_kll_quantiles(spark, sf):
     return sketch.kll_quantiles(e, "value")
 
 
+def q_ann_lsh_pivot_r2(spark, sf):
+    """Radius-2 multi-probe pivot-LSH (r7 late: Lv et al. 2007's next
+    perturbation ring — bit PAIRS flip too, query side explodes
+    1+n+C(n,2), corpus untouched; closes the probes>1 limitation the
+    r6 guard documented)."""
+    e = _t(spark, sf)["embeddings"]
+    q = e.where(F.col("vec_id") < 5)
+    return similarity.pivot_lsh_ann(e, q, k=5, n_planes=6, probes=2)
+
+
 def q_salted_join(spark, sf):
     """Salted replicated-dim join certificate (r7 late): the join-side
     twin of the rollup certificate — hot probe key spread over 16
@@ -3932,6 +3942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_rbo_lsh": q_ann_rbo_lsh,
         "events_salted_rollup": q_salted_rollup,
         "dedup_lsh_scurve": q_lsh_scurve,
+        "ann_lsh_pivot_r2": q_ann_lsh_pivot_r2,
         "events_salted_join": q_salted_join,
         "text_bpe_fertility": q_bpe_fertility,
         "layout_zorder_certificate": q_zorder_certificate,
@@ -10213,6 +10224,33 @@ def oracle_sql() -> dict[str, str]:
         SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
         FROM ranked WHERE rank <= 5
     """
+
+    # radius-2 twin: identical to ann_lsh_pivot except the probed CTE
+    # adds the bit-PAIR ring (Lv et al. 2007's next perturbation set)
+    _r1_probed = """
+        probed AS (
+          SELECT query_id, bucket FROM qb
+          UNION ALL
+          SELECT query_id, xor(bucket, CAST((1 << gs.p) AS BIGINT))
+          FROM qb, generate_series(0, 5) AS gs(p)
+        ),"""
+    _r2_probed = """
+        probed AS (
+          SELECT query_id, bucket FROM qb
+          UNION ALL
+          SELECT query_id, xor(bucket, CAST((1 << gs.p) AS BIGINT))
+          FROM qb, generate_series(0, 5) AS gs(p)
+          UNION ALL
+          SELECT query_id,
+                 xor(bucket, CAST(((1 << gp.p) | (1 << gq.q)) AS BIGINT))
+          FROM qb, generate_series(0, 5) AS gp(p),
+               generate_series(0, 5) AS gq(q)
+          WHERE gp.p < gq.q
+        ),"""
+    assert _r1_probed in sqls["ann_lsh_pivot"]
+    sqls["ann_lsh_pivot_r2"] = sqls["ann_lsh_pivot"].replace(
+        _r1_probed, _r2_probed
+    )
 
     for cert, base in (
         ("ann_recall_ivf", "ann_ivf_pivot"),

@@ -650,14 +650,15 @@ def pivot_lsh_ann(
     """
     from fuel_spark.functions import dot_expr
 
-    # Only probe radii 0 (exact bucket) and 1 (flip each bit once) are
-    # implemented; a larger radius would need the pairwise bit-flip
-    # expansion.  Reject loudly rather than silently behaving as
-    # radius-1 (ADVICE r6).
-    if probes not in (0, 1):
+    # Probe radii: 0 (exact bucket), 1 (flip each bit), 2 (also every
+    # bit PAIR — Lv et al. 2007's next perturbation ring; query-side
+    # explosion grows to 1 + n + C(n,2), the corpus side is
+    # untouched).  Reject anything else loudly rather than silently
+    # behaving as radius-1 (ADVICE r6).
+    if probes not in (0, 1, 2):
         raise ValueError(
-            f"pivot_lsh_ann: probes={probes!r} unsupported — 0 (no "
-            "multi-probe) or 1 (radius-1, flip each plane bit) only"
+            f"pivot_lsh_ann: probes={probes!r} unsupported — 0 (exact "
+            "bucket), 1 (radius-1), or 2 (radius-2, bit pairs) only"
         )
 
     planes = broadcast(
@@ -703,7 +704,16 @@ def pivot_lsh_ann(
     )
     qb = bucketed(queries, "query_id", "qvec")
     if probes >= 1:
-        flips = ", ".join(f"bucket ^ {1 << p}L" for p in range(n_planes))
+        masks = [1 << p for p in range(n_planes)]
+        if probes >= 2:
+            masks += [
+                (1 << p) | (1 << q)
+                for p in range(n_planes)
+                for q in range(p + 1, n_planes)
+            ]
+        # masks are pairwise-distinct nonzero XORs, so probe buckets
+        # never collide and a candidate pair still meets at most once
+        flips = ", ".join(f"bucket ^ {m}L" for m in masks)
         qb = qb.withColumn(
             "bucket", F.expr(f"explode(array(bucket, {flips}))")
         )

@@ -350,3 +350,27 @@ def test_kcenter_coreset_never_repicks_duplicates(spark):
     ids = [r.vec_id for r in out]
     assert len(set(ids)) == 4
     assert all(r.radius == 0.0 for r in out if r.rank > 0)
+
+
+def test_pivot_lsh_radius2_candidates_superset_and_recall(spark):
+    """Radius-2 probing explores a strict superset of radius-1's
+    buckets, so per-query recall vs brute force can only improve (or
+    hold); probes=3 still rejects loudly."""
+    import pytest
+
+    e = load_tables(spark, SF)["embeddings"]
+    q = e.where(F.col("vec_id") < 5)
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(e, q, k=5).collect()
+    }
+    def hits(probes):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in similarity.pivot_lsh_ann(
+                e, q, k=5, n_planes=6, probes=probes).collect()
+        }
+        return len(got & brute)
+    assert hits(2) >= hits(1) >= hits(0)
+    with pytest.raises(ValueError):
+        similarity.pivot_lsh_ann(e, q, probes=3)
