@@ -1043,3 +1043,50 @@ def kll_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def sessionize_native(
+    events: DataFrame,
+    gap_sec: int = 1800,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Gap-based sessions via Spark's NATIVE ``session_window``
+    aggregation — the zero-Python tier above
+    :func:`sessionize_stateful`: state lives entirely in the JVM's
+    streaming-aggregation store (merging session windows on the fly),
+    no Arrow hop, no Python worker, and the watermark closes windows
+    and evicts their state once event time passes window.end + delay
+    — the bounded-state contract comes from the ENGINE here rather
+    than from our operator code.
+
+    Trade-off vs the applyInPandasWithState tier (kept): the native
+    operator emits only on window CLOSE in append mode (late-arriving
+    results), while the custom tier re-emits the open session's
+    cumulative row each batch (live dashboards) — which is why both
+    tiers exist, exactly like groupBy-count vs Misra-Gries.
+
+    Batch twin: ``plans.analytics.events_sessionize`` (oracle-checked;
+    equality of the closed sessions pinned by test).
+
+    Output: user_id, session_start, session_end, n_events,
+    duration_sec.
+    """
+    w = F.session_window(F.col("ts"), f"{int(gap_sec)} seconds")
+    d = events
+    if events.isStreaming:
+        d = d.withWatermark("ts", watermark)
+    return (
+        d.groupBy(F.col("user_id"), w.alias("sw"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            (
+                F.col("sw.end").cast("long")
+                - F.col("sw.start").cast("long")
+                - F.lit(int(gap_sec))
+            ).cast("bigint").alias("duration_sec"),
+        )
+    )

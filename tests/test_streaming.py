@@ -954,3 +954,72 @@ def test_kll_stream_single_batch_equals_batch_sketch(spark, workdir):
         assert streamed[p].est_value == ev
         assert streamed[p].total_weight == tw == 900
         assert streamed[p].est_rank_weight == erw
+
+
+def test_sessionize_native_batch_twin_and_streaming_close(spark, workdir):
+    """Native session_window: on a batch frame it must reproduce
+    events_sessionize's sessions (count, sizes, durations); on a
+    stream, the watermark closes the early sessions once a later
+    batch advances event time past end + delay."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from fuel_spark.plans import analytics
+    from fuel_spark.sources import from_rows
+
+    base = dt.datetime(2024, 3, 1, 8, 0, 0)
+    rows = [
+        {"user_id": 1, "ts": base},
+        {"user_id": 1, "ts": base + dt.timedelta(minutes=10)},
+        {"user_id": 1, "ts": base + dt.timedelta(minutes=50)},  # gap>30m
+        {"user_id": 2, "ts": base},
+    ]
+    df = from_rows(spark, [
+        {"event_id": i, "user_id": r["user_id"], "event_type": "view",
+         "value": 1.0, "props": "{}", "ts": r["ts"]}
+        for i, r in enumerate(rows)
+    ])
+    nat = sorted(
+        (r.user_id, r.n_events, r.duration_sec)
+        for r in serve.sessionize_native(df, gap_sec=1800).collect()
+    )
+    twin = sorted(
+        (r.user_id, r.n_events, r.duration_sec)
+        for r in analytics.events_sessionize({"events": df}).collect()
+    )
+    assert nat == twin == [(1, 1, 0), (1, 2, 600), (2, 1, 0)]
+
+    # streaming: batch 2 sits 3h later, so its arrival closes batch 1's
+    # sessions past the 1h watermark
+    src = os.path.join(workdir, "sn_src")
+    ckpt = os.path.join(workdir, "sn_ckpt")
+    os.makedirs(src)
+    b1 = pd.DataFrame({
+        "user_id": [1, 1, 2],
+        "ts": [base, base + dt.timedelta(minutes=10), base],
+    })
+    b2 = pd.DataFrame({"user_id": [9], "ts": [base + dt.timedelta(hours=3)]})
+    # pandas defaults to TIMESTAMP(NANOS), which this session reads
+    # as long (the nanosAsLong gotcha) — coerce to microseconds
+    b1.to_parquet(os.path.join(src, "000.parquet"),
+                  coerce_timestamps="us", allow_truncated_timestamps=True)
+    b2.to_parquet(os.path.join(src, "001.parquet"),
+                  coerce_timestamps="us", allow_truncated_timestamps=True)
+    stream = (
+        spark.readStream.schema("user_id bigint, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    got = []
+    q = (
+        serve.sessionize_native(stream, gap_sec=1800)
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda d, i: got.extend(d.collect()))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    closed = sorted((r.user_id, r.n_events, r.duration_sec) for r in got)
+    assert closed == [(1, 2, 600), (2, 1, 0)]
