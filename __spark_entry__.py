@@ -3681,6 +3681,19 @@ def q_kll_quantiles(spark, sf):
     return sketch.kll_quantiles(e, "value")
 
 
+def q_dedup_keep_best(spark, sf):
+    """Cluster-canonical dedup with the quality keeper (r7 late): one
+    survivor per transitive near-dup cluster — the highest-quality
+    member, ties on min id (the RefinedWeb policy)."""
+    d = _t(spark, sf)["documents"]
+    scored = text_ops.quality_score(d, "text").select(
+        "doc_id", "text", "quality"
+    )
+    return dedup.dedup_keep_best(
+        scored, "doc_id", "text", "quality", threshold=0.5
+    )
+
+
 def q_ann_lsh_pivot_r2(spark, sf):
     """Radius-2 multi-probe pivot-LSH (r7 late: Lv et al. 2007's next
     perturbation ring — bit PAIRS flip too, query side explodes
@@ -3942,6 +3955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_rbo_lsh": q_ann_rbo_lsh,
         "events_salted_rollup": q_salted_rollup,
         "dedup_lsh_scurve": q_lsh_scurve,
+        "dedup_keep_best": q_dedup_keep_best,
         "ann_lsh_pivot_r2": q_ann_lsh_pivot_r2,
         "events_salted_join": q_salted_join,
         "text_bpe_fertility": q_bpe_fertility,
@@ -7131,6 +7145,43 @@ def oracle_sql() -> dict[str, str]:
           SELECT component, count(*) AS cluster_size FROM labeled GROUP BY 1
         )
         SELECT cluster_size, count(*) AS n_clusters FROM sizes GROUP BY 1
+    """
+
+    sqls["dedup_keep_best"] = _cc_core + f"""
+        , kbq AS (
+          SELECT doc_id,
+            round(
+              (CASE WHEN len(w) >= 10 AND len(w) <= 100000
+                    THEN 0.25 ELSE 0.0 END)
+              + (CASE WHEN round(CAST(COALESCE(list_sum(
+                           list_transform(w, x -> length(x))), 0) AS DOUBLE)
+                         / greatest(len(w), 1), 6) >= 3
+                   AND round(CAST(COALESCE(list_sum(
+                           list_transform(w, x -> length(x))), 0) AS DOUBLE)
+                         / greatest(len(w), 1), 6) <= 10
+                    THEN 0.25 ELSE 0.0 END)
+              + (CASE WHEN round(CAST(length(regexp_replace(lower(text),
+                           '[^a-z]', '', 'g')) AS DOUBLE)
+                         / greatest(length(text), 1), 6) >= 0.6
+                    THEN 0.25 ELSE 0.0 END)
+              + (CASE WHEN round(CAST(len(list_filter(w,
+                           x -> list_contains({en}, x))) AS DOUBLE)
+                         / greatest(len(w), 1), 6) >= 0.05
+                    THEN 0.25 ELSE 0.0 END), 2) AS q
+          FROM (SELECT doc_id, text, {w} AS w FROM documents)
+        ),
+        kbj AS (SELECT l.doc_id, l.component, kbq.q
+                FROM labeled l JOIN kbq ON kbq.doc_id = l.doc_id),
+        kbw AS (SELECT component,
+                  CAST(count(*) AS BIGINT) AS cluster_size,
+                  max(q) AS best_score
+                FROM kbj GROUP BY 1),
+        kbk AS (SELECT j.component, min(j.doc_id) AS keep_id
+                FROM kbj j JOIN kbw ww
+                  ON j.component = ww.component AND j.q = ww.best_score
+                GROUP BY 1)
+        SELECT k.component, k.keep_id, ww.cluster_size, ww.best_score
+        FROM kbk k JOIN kbw ww ON k.component = ww.component
     """
 
     sqls["events_user_rfm"] = """

@@ -575,9 +575,27 @@ def connected_components(
     per un-truncated iteration, so the default interval is 3 (27x
     growth per block); a checkpoint makes each block restart-cheap.
     """
+    # symmetrize with ONE pass over the pair frame: the union-of-two-
+    # selects shape references `pairs` twice, and Spark replays the
+    # whole upstream pipeline per reference (no ReusedExchange for an
+    # uncached frame) — with the MinHash verify upstream that was the
+    # entire cost of dedup_components at the 20× smoke (228s of a
+    # 356s run re-verifying 2.5M pairs a second time; the explode
+    # form re-measures at ~½ the total)
     edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+                    ),
+                    F.struct(
+                        F.col(id_b).alias("src"), F.col(id_a).alias("dst")
+                    ),
+                )
+            ).alias("_e")
+        )
+        .select("_e.src", "_e.dst")
         .distinct()
     )
     labels = (
@@ -2613,5 +2631,57 @@ def lsh_scurve_calibration(
         .select(
             "decile", "s_mid", "n_pairs", "n_captured",
             "measured_rate", "theoretical_rate",
+        )
+    )
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    score_col: str,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Cluster-canonical dedup with a QUALITY keeper — the production
+    survivor policy (Penedo et al. 2023 RefinedWeb keeps the
+    highest-quality member of each near-dup cluster; keep-min-id and
+    keep-longest are its cheaper cousins, both already queried): the
+    transitive near-dup cluster from :func:`dedup_components`, the
+    keeper the cluster member with the highest ``score_col``, ties
+    broken on minimum id so the pick is total-ordered and
+    exact-hash reproducible.
+
+    Unlike the pairwise keep-longest rule (each verified pair kills
+    its shorter side — a chain A~B~C can kill everything but one END
+    of the chain), the cluster rule always keeps exactly ONE doc per
+    component and it is the globally best one.  Scale shape: the pair
+    + CC machinery is the existing bucketed path; the keeper argmax
+    is min(struct(-score, id)) per component — map-side combinable,
+    no window.
+
+    Output (cluster grain): component, keep_id, cluster_size,
+    best_score.
+    """
+    comp = dedup_components(
+        df.select(F.col(id_col), F.col(text_col)), id_col, text_col,
+        threshold=threshold,
+    )
+    scored = df.select(F.col(id_col), F.col(score_col).alias("_q"))
+    return (
+        comp.join(scored, id_col)
+        .groupBy("component")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("_q")).alias("_neg"), F.col(id_col).alias("kid")
+                )
+            ).alias("_m"),
+            F.count(F.lit(1)).cast("bigint").alias("cluster_size"),
+        )
+        .select(
+            "component",
+            F.col("_m.kid").alias("keep_id"),
+            "cluster_size",
+            (-F.col("_m._neg")).alias("best_score"),
         )
     )

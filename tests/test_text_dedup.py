@@ -2198,3 +2198,28 @@ def test_bpe_fertility_hand_values(spark):
     assert (s2.n_words, s2.n_tokens) == (1, 3)
     assert s2.fertility == 3.0
     assert s2.chars_per_token == round(2 / 3, 6)
+
+
+def test_dedup_keep_best_cluster_policy_beats_pairwise_chain(spark):
+    """A 3-chain A~B~C where the middle doc has the best quality:
+    the cluster rule keeps exactly B; quality ties break on min id."""
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (0, base + " x", 0.5),
+        (1, base + " y", 1.0),   # best quality in the chain
+        (2, base + " z", 0.75),
+        (9, "completely different words about spark engines", 0.25),
+    ]
+    df = from_rows(spark, rows,
+                   schema="doc_id bigint, text string, q double")
+    out = {r.component: r for r in dedup.dedup_keep_best(
+        df, "doc_id", "text", "q", threshold=0.5).collect()}
+    chain = out[0]
+    assert chain.cluster_size == 3
+    assert chain.keep_id == 1 and chain.best_score == 1.0
+    assert out[9].cluster_size == 1 and out[9].keep_id == 9
+    # tie on quality -> min id wins
+    tied = from_rows(spark, [(5, base, 1.0), (6, base, 1.0)],
+                     schema="doc_id bigint, text string, q double")
+    r = dedup.dedup_keep_best(tied, "doc_id", "text", "q").first()
+    assert r.keep_id == 5 and r.cluster_size == 2

@@ -140,7 +140,7 @@ def main() -> int:
             "embedding_centroid_shift", "quality_calibration",
             "sample_kcenter", "layout_zorder_certificate",
             "text_bpe_fertility", "events_salted_join",
-            "ann_lsh_pivot_r2",
+            "ann_lsh_pivot_r2", "dedup_keep_best",
         ]
         if len(sys.argv) > 3:
             # explicit subset: smoke only these names (fast re-checks
