@@ -110,6 +110,11 @@ HEADLINERS = (
     # certificates (the KMV tier's representative)
     "linkage_pipeline",
     "sketch_theta_set_ops",
+    # second-session r7 headliners: the layout data-skipping
+    # certificate (the round's 100 TB-layout story) and the k-center
+    # coreset (the unrolled-selection family's representative)
+    "layout_zorder_certificate",
+    "sample_kcenter",
 )
 
 # The regression-gate set: the 16 headliners benched every round since
