@@ -3681,6 +3681,32 @@ def q_kll_quantiles(spark, sf):
     return sketch.kll_quantiles(e, "value")
 
 
+def q_ab_cuped(spark, sf):
+    """CUPED variance-reduced A/B readout (r7 late): pre-period value
+    as covariate, adjusted post metric, measured variance_reduction —
+    the experiment-sensitivity standard."""
+    return analytics.events_ab_cuped(_t(spark, sf), "exp1", split_day=15)
+
+
+def q_compressibility(spark, sf):
+    """Cross-doc redundancy forecast (r7 late): repeated word-trigram
+    mass per source — predicts dedup/compression wins BEFORE running
+    either."""
+    d = _t(spark, sf)["documents"]
+    return text_ops.corpus_compressibility(d, "doc_id", "text", "source", n=3)
+
+
+def q_range_planner(spark, sf):
+    """Range-boundary planner certificate (r7 late): sample-derived
+    repartitionByRange cuts for events.value with the measured
+    per-range fill ratio — skewed fill means the sample
+    under-resolved a dense region."""
+    e = _t(spark, sf)["events"]
+    return curate_ops.range_partition_planner(
+        e, "event_id", "value", n_ranges=8, sample_mod=8
+    )
+
+
 def q_dedup_keep_best(spark, sf):
     """Cluster-canonical dedup with the quality keeper (r7 late): one
     survivor per transitive near-dup cluster — the highest-quality
@@ -3955,6 +3981,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_rbo_lsh": q_ann_rbo_lsh,
         "events_salted_rollup": q_salted_rollup,
         "dedup_lsh_scurve": q_lsh_scurve,
+        "events_ab_cuped": q_ab_cuped,
+        "corpus_compressibility": q_compressibility,
+        "layout_range_planner": q_range_planner,
         "dedup_keep_best": q_dedup_keep_best,
         "ann_lsh_pivot_r2": q_ann_lsh_pivot_r2,
         "events_salted_join": q_salted_join,
@@ -13492,6 +13521,136 @@ def oracle_sql() -> dict[str, str]:
         SELECT split, count(*) AS n_docs,
                CAST(sum(nt) AS BIGINT) AS n_tokens
         FROM s GROUP BY 1
+    """
+
+    _cuped_arm = (
+        "CASE WHEN CAST(CAST(concat('0x', substring("
+        "md5(concat('exp1', '-', CAST(user_id AS VARCHAR))), 1, 6))"
+        " AS UBIGINT) AS BIGINT) % 2 = 0 THEN 'A' ELSE 'B' END"
+    )
+    _cu_var = lambda ss, s2: (
+        f"(CAST({ss} AS DOUBLE) / n_users"
+        f" - (CAST({s2} AS DOUBLE) / n_users)"
+        f" * (CAST({s2} AS DOUBLE) / n_users))"
+    )
+    sqls["events_ab_cuped"] = f"""
+        WITH cud0 AS (SELECT min(epoch_us(ts) // 1000000 // 86400) AS d0
+                      FROM events),
+        cupu AS (
+          SELECT {_cuped_arm} AS arm, user_id,
+            round(CAST(sum(CASE WHEN epoch_us(ts) // 1000000 // 86400
+                                     < d0 + 15
+                           THEN CAST(value AS DECIMAL(27,6))
+                           ELSE CAST(0 AS DECIMAL(27,6)) END)
+                       AS DOUBLE), 6) AS x,
+            round(CAST(sum(CASE WHEN epoch_us(ts) // 1000000 // 86400
+                                     >= d0 + 15
+                           THEN CAST(value AS DECIMAL(27,6))
+                           ELSE CAST(0 AS DECIMAL(27,6)) END)
+                       AS DOUBLE), 6) AS y
+          FROM events, cud0 GROUP BY 1, 2
+        ),
+        cup AS (SELECT count(*) AS n,
+                  sum(CAST(round(x, 6) AS DECIMAL(27,6))) AS sx,
+                  sum(CAST(round(y, 6) AS DECIMAL(27,6))) AS sy,
+                  sum(CAST(round(x * x, 6) AS DECIMAL(27,6))) AS sxx,
+                  sum(CAST(round(x * y, 6) AS DECIMAL(27,6))) AS sxy
+                FROM cupu),
+        cuadj AS (
+          SELECT arm, x, y,
+            (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+               / n)
+            / greatest(CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n,
+                       1e-12) AS theta,
+            CAST(sx AS DOUBLE) / n AS xbar
+          FROM cupu, cup
+        ),
+        cuyc AS (SELECT arm, x, y, theta,
+                   round(y - theta * (x - xbar), 6) AS yc
+                 FROM cuadj),
+        cug AS (SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+                  sum(CAST(round(y, 6) AS DECIMAL(27,6))) AS sy,
+                  sum(CAST(round(yc, 6) AS DECIMAL(27,6))) AS sc,
+                  sum(CAST(round(y * y, 6) AS DECIMAL(27,6))) AS syy,
+                  sum(CAST(round(yc * yc, 6) AS DECIMAL(27,6))) AS scc,
+                  any_value(theta) AS th
+                FROM cuyc GROUP BY 1)
+        SELECT arm, n_users,
+          {round6_ratio_sql('sy', 'n_users')} AS mean_y,
+          {round6_ratio_sql('sc', 'n_users')} AS mean_y_cuped,
+          round({_cu_var('syy', 'sy')}, 6) AS var_y,
+          round({_cu_var('scc', 'sc')}, 6) AS var_y_cuped,
+          round(th, 6) AS theta,
+          round(1.0 - {_cu_var('scc', 'sc')}
+                / greatest({_cu_var('syy', 'sy')}, 1e-12), 6)
+            AS variance_reduction
+        FROM cug ORDER BY arm
+    """
+
+    sqls["corpus_compressibility"] = f"""
+        WITH ccw AS (SELECT doc_id, source,
+                       list_filter({w}, x -> x <> '') AS fw
+                     FROM documents),
+        ccg AS (
+          SELECT source AS "group",
+                 array_to_string(fw[i : i + 2], ' ') AS gram
+          FROM ccw, unnest(generate_series(1, len(fw) - 2)) AS t(i)
+        ),
+        ccpg AS (SELECT "group", gram, count(*) AS cnt
+                 FROM ccg GROUP BY 1, 2),
+        ccc AS (SELECT "group",
+                  CAST(sum(cnt) AS BIGINT) AS grams_total,
+                  CAST(count(*) AS BIGINT) AS grams_distinct,
+                  CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS grams_singleton
+                FROM ccpg GROUP BY 1),
+        ccd AS (SELECT source AS "group",
+                  CAST(count(*) AS BIGINT) AS n_docs
+                FROM documents GROUP BY 1)
+        SELECT d."group", n_docs,
+          COALESCE(grams_total, 0) AS grams_total,
+          COALESCE(grams_distinct, 0) AS grams_distinct,
+          COALESCE(grams_singleton, 0) AS grams_singleton,
+          {round6_ratio_sql(
+              'CAST(COALESCE(grams_total, 0)'
+              ' - COALESCE(grams_distinct, 0) AS DECIMAL(27,6))',
+              'greatest(COALESCE(grams_total, 0), 1)')} AS redundancy,
+          {round6_ratio_sql(
+              'CAST(COALESCE(grams_singleton, 0) AS DECIMAL(27,6))',
+              'greatest(COALESCE(grams_total, 0), 1)')} AS singleton_frac
+        FROM ccd d LEFT JOIN ccc c ON d."group" = c."group"
+    """
+
+    sqls["layout_range_planner"] = f"""
+        WITH rpb AS (SELECT event_id AS k, value AS v FROM events
+                     WHERE value IS NOT NULL),
+        rps AS (SELECT * FROM rpb
+                WHERE {hash_mod_sql('rp7', 'k', 8)} = 0),
+        rpr AS (SELECT v, row_number() OVER (ORDER BY v, k) AS r
+                FROM rps),
+        rpm AS (SELECT count(*) AS m FROM rps),
+        rpt AS (SELECT ((i * m + 7) // 8) AS t
+                FROM rpm, unnest(generate_series(1, 7)) AS g(i)),
+        rpc AS (SELECT list_sort(list(v)) AS cuts
+                FROM rpr JOIN rpt ON rpr.r = rpt.t),
+        rpa AS (SELECT len(list_filter(cuts, c -> c < v)) AS range_id
+                FROM rpb, rpc),
+        rpp AS (SELECT range_id, CAST(count(*) AS BIGINT) AS n_rows
+                FROM rpa GROUP BY 1),
+        rpsp AS (SELECT CAST(i AS BIGINT) AS range_id
+                 FROM unnest(generate_series(0, 7)) AS g(i)),
+        rptot AS (SELECT sum(n_rows) AS n FROM rpp)
+        SELECT s.range_id,
+          CASE WHEN s.range_id > 0
+               THEN cuts[CAST(s.range_id AS INT)] END AS lo,
+          CASE WHEN s.range_id < len(cuts)
+               THEN cuts[CAST(s.range_id AS INT) + 1] END AS hi,
+          COALESCE(p.n_rows, 0) AS n_rows,
+          round(CAST(n AS DOUBLE) / 8.0, 6) AS ideal_rows,
+          round(COALESCE(p.n_rows, 0) * 8.0 / CAST(n AS DOUBLE), 6)
+            AS fill_ratio
+        FROM rpsp s LEFT JOIN rpp p ON s.range_id = p.range_id, rpc, rptot
     """
 
     sqls["events_salted_join"] = f"""

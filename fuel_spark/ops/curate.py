@@ -1153,3 +1153,106 @@ def zorder_skipping_certificate(
             ),
         )
     )
+
+
+def range_partition_planner(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    n_ranges: int = 8,
+    sample_mod: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """Range-boundary planner with a balance certificate — the table
+    behind every ``repartitionByRange`` / range-bucketed write: pick
+    n−1 cut values from a mergeable deterministic hash-sample (the
+    :func:`fuel_spark.ops.sketch.quantile_sketch` sampling contract —
+    Spark's own RangePartitioner does exactly this with a reservoir),
+    then measure how evenly the FULL data lands in the resulting
+    ranges.  The certificate column is the point: a fill_ratio far
+    from 1 on some range means the sample under-resolved a dense
+    region and the write will emit skewed files.
+
+    One filtered scan for the sample (hash predicate pushes to the
+    scan), a rank window over the SAMPLE ONLY for the cutpoints
+    (sample-rate-bounded; ties break on key so the cut choice is
+    total-ordered), ONE filter picks all n−1 cuts together (no
+    per-cut replay), the sorted cut array broadcasts back, and one
+    map-side rollup per range joined to a literal 0..n−1 spine so
+    EMPTY ranges surface with n_rows = 0 — at scale the full data is
+    never sorted, which is the planner's advantage over just running
+    the range shuffle to see.  The sample count is a driver-side
+    metadata action (sample-rate-bounded), the planner-CLI contract.
+
+    Output per range: range_id, lo (null for the first), hi (null for
+    the last), n_rows, ideal_rows, fill_ratio (round 6).
+    """
+    from pyspark.sql import Window as W
+
+    from fuel_spark.functions import hash_mod
+
+    spark = df.sparkSession
+    base = df.select(
+        F.col(key_col).alias("_k"), F.col(value_col).alias("_v")
+    ).where(F.col(value_col).isNotNull())
+    sample = base.where(hash_mod(f"rp{seed}", F.col("_k"), sample_mod) == 0)
+    ranked = sample.select(
+        "_v",
+        F.row_number().over(W.orderBy("_v", "_k")).alias("_r"),
+    )
+    m = sample.count()
+    targets = (
+        [-(-i * m // n_ranges) for i in range(1, n_ranges)]
+        if m >= n_ranges
+        else []
+    )
+    if targets:
+        carr = ranked.where(F.col("_r").isin(targets)).agg(
+            F.array_sort(F.collect_list("_v")).alias("_cuts")
+        )
+    else:
+        carr = spark.range(1).select(
+            F.expr("CAST(array() AS ARRAY<DOUBLE>)").alias("_cuts")
+        )
+    assigned = base.crossJoin(F.broadcast(carr)).select(
+        F.size(F.filter("_cuts", lambda c: c < F.col("_v")))
+        .cast("bigint")
+        .alias("range_id"),
+    )
+    per = assigned.groupBy("range_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    )
+    spine = spark.range(int(n_ranges)).select(
+        F.col("id").cast("bigint").alias("range_id")
+    )
+    tot = per.agg(F.sum("n_rows").alias("_n"))
+    return (
+        spine.join(per, "range_id", "left")
+        .withColumn("n_rows", F.coalesce("n_rows", F.lit(0)).cast("bigint"))
+        .crossJoin(F.broadcast(carr))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "range_id",
+            F.when(
+                F.col("range_id") > 0,
+                F.element_at(F.col("_cuts"), F.col("range_id").cast("int")),
+            ).alias("lo"),
+            F.when(
+                F.col("range_id") < F.size("_cuts"),
+                F.element_at(
+                    F.col("_cuts"), F.col("range_id").cast("int") + 1
+                ),
+            ).alias("hi"),
+            "n_rows",
+            F.round(
+                F.col("_n").cast("double") / F.lit(float(n_ranges)), 6
+            ).alias("ideal_rows"),
+            F.round(
+                F.col("n_rows").cast("double")
+                * F.lit(float(n_ranges))
+                / F.col("_n").cast("double"),
+                6,
+            ).alias("fill_ratio"),
+        )
+        .orderBy("range_id")
+    )

@@ -3522,3 +3522,83 @@ def bpe_fertility(
             ).alias("chars_per_token"),
         )
     )
+
+
+def corpus_compressibility(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Cross-document redundancy forecast per source: the fraction of
+    word n-gram OCCURRENCES that are repeats of an already-seen
+    n-gram — a direct, cheap predictor of what near-dup dedup and
+    dictionary compression will win on this source BEFORE running
+    either (the deduplicate-then-train literature's observation that
+    crawl sources differ enormously here; boilerplate-heavy domains
+    read 0.9+, fresh prose reads near the type-token floor).
+
+    One explode to (group, gram) occurrence counts — the classic
+    two-level aggregate: groupBy(group, gram) with map-side combine
+    collapses the corpus to the gram vocabulary, then a group-grain
+    rollup derives totals, distincts, and singleton mass.  No joins,
+    no windows; linear in corpus tokens.
+
+    Output per group: n_docs, grams_total, grams_distinct,
+    grams_singleton, redundancy (1 − distinct/total, round 6),
+    singleton_frac (round 6).
+    """
+    from fuel_spark.functions import round6_ratio
+
+    base = ensure_parallelism(
+        df.select(F.col(id_col), F.col(group_col).alias("group"),
+                  F.col(text_col))
+    )
+    w = F.filter(words(F.col(text_col)), lambda x: x != "")
+    # sequence(a, b) runs DESCENDING when b < a, so a short doc must
+    # produce an explicitly empty index array, not sequence(0, -1)
+    idx = F.when(
+        F.size(w) >= int(n), F.sequence(F.lit(0), F.size(w) - int(n))
+    ).otherwise(F.expr("CAST(array() AS ARRAY<INT>)"))
+    grams = base.select(
+        "group",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(" ", F.slice(w, i + 1, int(n))),
+            )
+        ).alias("gram"),
+    )
+    per_gram = grams.groupBy("group", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    counts = per_gram.groupBy("group").agg(
+        F.sum("cnt").cast("bigint").alias("grams_total"),
+        F.count(F.lit(1)).cast("bigint").alias("grams_distinct"),
+        F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("grams_singleton"),
+    )
+    docs = df.groupBy(F.col(group_col).alias("group")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    gt1 = F.greatest(F.col("grams_total"), F.lit(1))
+    return docs.join(counts, "group", "left").select(
+        "group",
+        "n_docs",
+        F.coalesce("grams_total", F.lit(0)).alias("grams_total"),
+        F.coalesce("grams_distinct", F.lit(0)).alias("grams_distinct"),
+        F.coalesce("grams_singleton", F.lit(0)).alias("grams_singleton"),
+        round6_ratio(
+            (
+                F.coalesce("grams_total", F.lit(0))
+                - F.coalesce("grams_distinct", F.lit(0))
+            ).cast("decimal(27,6)"),
+            gt1,
+        ).alias("redundancy"),
+        round6_ratio(
+            F.coalesce("grams_singleton", F.lit(0)).cast("decimal(27,6)"),
+            gt1,
+        ).alias("singleton_frac"),
+    )

@@ -493,3 +493,29 @@ def test_zorder_certificate_textbook_profile(spark):
     # the box predicate: z-order must beat the natural-id layout
     assert (by[("zorder", "both")].prune_rate
             > by[("id_chunks", "both")].prune_rate)
+
+
+def test_range_planner_balance_and_boundaries(spark):
+    """Uniform values must land near fill_ratio 1 in every range;
+    boundaries chain (hi of range i == lo of range i+1); a constant
+    column degenerates to one fat range with the rest empty."""
+    rows = [(i, float(i % 1000)) for i in range(4000)]
+    df = from_rows(spark, rows, schema="event_id bigint, value double")
+    out = sorted(curate.range_partition_planner(
+        df, "event_id", "value", n_ranges=4, sample_mod=4).collect(),
+        key=lambda r: r.range_id)
+    assert [r.range_id for r in out] == [0, 1, 2, 3]
+    assert sum(r.n_rows for r in out) == 4000
+    assert out[0].lo is None and out[-1].hi is None
+    for a, b in zip(out, out[1:]):
+        assert a.hi == b.lo
+    for r in out:
+        assert 0.8 <= r.fill_ratio <= 1.2  # uniform -> near-even
+
+    const = from_rows(spark, [(i, 5.0) for i in range(100)],
+                      schema="event_id bigint, value double")
+    cr = sorted(curate.range_partition_planner(
+        const, "event_id", "value", n_ranges=4, sample_mod=2).collect(),
+        key=lambda r: r.range_id)
+    # all cuts equal 5.0; c < v is false everywhere -> range 0 holds all
+    assert cr[0].n_rows == 100 and all(r.n_rows == 0 for r in cr[1:])

@@ -915,6 +915,14 @@ SINGLE_PARTITION_ALLOWLIST = {
     # must share an absolute anchor); everything else is the
     # files-sized stats rollup
     "layout_zorder_certificate",
+    # r7 late: the cut-selection rank window runs over the SAMPLE
+    # ONLY (the sketch_quantile_value family), plus the ≤n-1 cut
+    # array and 1-row total broadcasts
+    "layout_range_planner",
+    # r7 late: CUPED's 1-row pooled moments (and the 1-row min-day
+    # origin) broadcast back to the user-grain frame — the
+    # pricing_model_ols family
+    "events_ab_cuped",
 }
 
 
@@ -2449,3 +2457,37 @@ def test_join_broadcast_planner_decision_boundary(spark):
         )
         flags = [r.strategy == "broadcast" for r in seq]
         assert flags == sorted(flags)
+
+
+def test_ab_cuped_reduces_variance_on_correlated_data(spark):
+    """Users whose pre- and post-period spend are strongly correlated:
+    CUPED must cut the post variance substantially while preserving
+    each arm's adjusted mean up to theta*(arm_xbar - pooled_xbar)."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 3, 1, 8, 0, 0)
+    rows = []
+    eid = 0
+    for u in range(60):
+        spend = 10.0 + (u % 12) * 5.0   # persistent per-user level
+        for day in (1, 2):              # pre-period (split_day=15)
+            rows.append({"event_id": eid, "user_id": u, "event_type": "view",
+                         "value": spend, "props": "{}",
+                         "ts": base + dt.timedelta(days=day)})
+            eid += 1
+        for day in (20, 21):            # post-period, same level + tiny noise
+            rows.append({"event_id": eid, "user_id": u, "event_type": "view",
+                         "value": spend + (u % 3) * 0.5, "props": "{}",
+                         "ts": base + dt.timedelta(days=day)})
+            eid += 1
+    t = {"events": from_rows(spark, rows)}
+    out = {r.arm: r for r in analytics.events_ab_cuped(t, "exp1", 15).collect()}
+    assert set(out) == {"A", "B"}
+    for r in out.values():
+        assert r.variance_reduction > 0.9      # corr ~1 -> massive cut
+        assert r.var_y_cuped < r.var_y
+        # the adjustment re-centers on the POOLED xbar, so the arm
+        # mean moves by theta*(arm_xbar - pooled_xbar), a small shift
+        assert abs(r.mean_y_cuped - r.mean_y) < 10.0
+    # theta is pooled: both arms carry the identical value
+    assert out["A"].theta == out["B"].theta

@@ -2223,3 +2223,25 @@ def test_dedup_keep_best_cluster_policy_beats_pairwise_chain(spark):
                      schema="doc_id bigint, text string, q double")
     r = dedup.dedup_keep_best(tied, "doc_id", "text", "q").first()
     assert r.keep_id == 5 and r.cluster_size == 2
+
+
+def test_corpus_compressibility_extremes(spark):
+    """Identical docs read near-total redundancy; all-unique trigram
+    text reads 0; a doc shorter than n contributes no grams but still
+    counts as a doc."""
+    dup = "alpha beta gamma delta epsilon zeta"
+    rows = [(i, dup, "dupsrc") for i in range(5)]
+    rows += [(10, "one two three four five six seven eight nine", "fresh")]
+    rows += [(11, "hi", "tiny")]
+    df = from_rows(spark, rows,
+                   schema="doc_id bigint, text string, source string")
+    out = {r.group: r for r in text_ops.corpus_compressibility(
+        df, "doc_id", "text", "source", n=3).collect()}
+    d = out["dupsrc"]
+    # 4 distinct trigrams, each seen 5x -> redundancy 16/20
+    assert d.grams_total == 20 and d.grams_distinct == 4
+    assert d.redundancy == 0.8 and d.grams_singleton == 0
+    f = out["fresh"]
+    assert f.redundancy == 0.0 and f.singleton_frac == 1.0
+    t = out["tiny"]
+    assert t.n_docs == 1 and t.grams_total == 0 and t.redundancy == 0.0

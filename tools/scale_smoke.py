@@ -141,6 +141,8 @@ def main() -> int:
             "sample_kcenter", "layout_zorder_certificate",
             "text_bpe_fertility", "events_salted_join",
             "ann_lsh_pivot_r2", "dedup_keep_best",
+            "layout_range_planner", "corpus_compressibility",
+            "events_ab_cuped",
         ]
         if len(sys.argv) > 3:
             # explicit subset: smoke only these names (fast re-checks
