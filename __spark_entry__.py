@@ -3681,6 +3681,22 @@ def q_kll_quantiles(spark, sf):
     return sketch.kll_quantiles(e, "value")
 
 
+def q_funnel_window_sweep(spark, sf):
+    """Conversion-window knob table (r7 late): the windowed funnel at
+    1h/6h/24h from one shared per-step frame set — where does
+    conversion stop growing as the window widens."""
+    return analytics.events_funnel_window_sweep(
+        _t(spark, sf), ("view", "click", "purchase"), (3600, 21600, 86400)
+    )
+
+
+def q_ab_power(spark, sf):
+    """A/B power planner (r7 late): required users per arm at 1/2/5%
+    MDE from the measured per-user variance — the go/no-go table
+    completing the ab_test -> CUPED -> power trio."""
+    return analytics.events_ab_power_sweep(_t(spark, sf), (0.01, 0.02, 0.05))
+
+
 def q_ab_cuped(spark, sf):
     """CUPED variance-reduced A/B readout (r7 late): pre-period value
     as covariate, adjusted post metric, measured variance_reduction —
@@ -3981,6 +3997,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_rbo_lsh": q_ann_rbo_lsh,
         "events_salted_rollup": q_salted_rollup,
         "dedup_lsh_scurve": q_lsh_scurve,
+        "events_funnel_window_sweep": q_funnel_window_sweep,
+        "events_ab_power_sweep": q_ab_power,
         "events_ab_cuped": q_ab_cuped,
         "corpus_compressibility": q_compressibility,
         "layout_range_planner": q_range_planner,
@@ -13521,6 +13539,69 @@ def oracle_sql() -> dict[str, str]:
         SELECT split, count(*) AS n_docs,
                CAST(sum(nt) AS BIGINT) AS n_tokens
         FROM s GROUP BY 1
+    """
+
+    _fw_blocks = []
+    _fw_units = []
+    for _w in (3600, 21600, 86400):
+        _fw_blocks.append(f"""
+        fw{_w}s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+               JOIN fws1 ON e.user_id = fws1.user_id
+               WHERE e.event_type = 'click' AND e.ts > fws1.t1
+                 AND e.ts <= fws1.t1 + INTERVAL {_w} SECOND GROUP BY 1),
+        fw{_w}s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+               JOIN fw{_w}s2 s2 ON e.user_id = s2.user_id
+               WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+                 AND e.ts <= s2.t2 + INTERVAL {_w} SECOND GROUP BY 1)""")
+        _fw_units.append(
+            f"SELECT CAST({_w} AS BIGINT) AS window_seconds,"
+            f" CAST(1 AS BIGINT) AS stage, 'view' AS step,"
+            f" CAST(count(*) AS BIGINT) AS n_users FROM fws1"
+            f" UNION ALL SELECT {_w}, 2, 'click', count(*) FROM fw{_w}s2"
+            f" UNION ALL SELECT {_w}, 3, 'purchase', count(*)"
+            f" FROM fw{_w}s3"
+        )
+    sqls["events_funnel_window_sweep"] = f"""
+        WITH fws1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                      WHERE event_type = 'view' GROUP BY 1),
+        {','.join(_fw_blocks)},
+        fwu AS ({' UNION ALL '.join(_fw_units)})
+        SELECT window_seconds, stage, step, n_users,
+               round(CAST(n_users AS DOUBLE)
+                     / greatest(first_value(n_users) OVER (
+                         PARTITION BY window_seconds ORDER BY stage),
+                       1), 6) AS conversion
+        FROM fwu
+    """
+
+    sqls["events_ab_power_sweep"] = f"""
+        WITH appu AS (SELECT user_id,
+                        round(CAST(sum(CAST(value AS DECIMAL(27,6)))
+                                   AS DOUBLE), 6) AS x
+                      FROM events GROUP BY 1),
+        apm AS (SELECT CAST(count(*) AS BIGINT) AS n_users_available,
+                  sum(CAST(round(x, 6) AS DECIMAL(27,6))) AS sx,
+                  sum(CAST(round(x * x, 6) AS DECIMAL(27,6))) AS sxx
+                FROM appu),
+        apg AS (SELECT *, m AS mde_rel
+                FROM apm, unnest([0.01, 0.02, 0.05]) AS t(m)),
+        apc AS (SELECT mde_rel, n_users_available,
+                  CAST(sx AS DOUBLE) / n_users_available AS mean,
+                  CAST(sxx AS DOUBLE) / n_users_available
+                    - (CAST(sx AS DOUBLE) / n_users_available)
+                    * (CAST(sx AS DOUBLE) / n_users_available) AS var
+                FROM apg)
+        SELECT mde_rel, round(mean, 6) AS mean_per_user,
+          round(var, 6) AS var_per_user,
+          CAST(ceil(16.0 * var
+                    / greatest((mde_rel * mean) * (mde_rel * mean),
+                               1e-12)) AS BIGINT)
+            AS n_per_arm_required,
+          n_users_available,
+          n_users_available >= 2 * CAST(ceil(16.0 * var
+                    / greatest((mde_rel * mean) * (mde_rel * mean),
+                               1e-12)) AS BIGINT) AS powered
+        FROM apc
     """
 
     _cuped_arm = (

@@ -6489,3 +6489,145 @@ def events_ab_cuped(
         )
         .orderBy("arm")
     )
+
+
+def events_funnel_window_sweep(
+    t: dict[str, DataFrame],
+    steps: tuple[str, str, str] = ("view", "click", "purchase"),
+    windows_seconds: tuple[int, ...] = (3600, 21600, 86400),
+) -> DataFrame:
+    """Conversion-window knob-choice table: the windowed funnel at
+    several max-gap candidates in one query — the analytics twin of
+    `events_session_gap_sweep` (every funnel dashboard hard-codes a
+    window; this table is how it gets picked: where does conversion
+    stop growing as the window widens).
+
+    The per-step event subsets (first-view minima, the click and
+    purchase streams) are computed ONCE and lazily localCheckpointed
+    — they are referenced by every window candidate, and without the
+    pin Spark would replay the filtered scans per window (the HITS
+    replay lesson); each window then adds only its two bounded-gap
+    chained joins on the shared user_id key.  Stage-2/3 frames are
+    user-grain or smaller.
+
+    Output per (window_seconds, stage): stage name, n_users,
+    conversion vs stage 1 (round 6).  Monotone in the window by
+    construction (wider window ⊇ narrower matches) — tested.
+    """
+    e = t["events"]
+    s1 = (
+        e.where(F.col("event_type") == steps[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+        .localCheckpoint(eager=False)
+    )
+    clicks = (
+        e.where(F.col("event_type") == steps[1])
+        .select("user_id", "ts")
+        .localCheckpoint(eager=False)
+    )
+    purchases = (
+        e.where(F.col("event_type") == steps[2])
+        .select("user_id", "ts")
+        .localCheckpoint(eager=False)
+    )
+    out = None
+    for wsec in windows_seconds:
+        gap = F.expr(f"INTERVAL {int(wsec)} SECONDS")
+        s2 = (
+            clicks.join(s1, "user_id")
+            .where(
+                (F.col("ts") > F.col("t1"))
+                & (F.col("ts") <= F.col("t1") + gap)
+            )
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t2"))
+        )
+        s3 = (
+            purchases.join(s2, "user_id")
+            .where(
+                (F.col("ts") > F.col("t2"))
+                & (F.col("ts") <= F.col("t2") + gap)
+            )
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t3"))
+        )
+        counts = None
+        for i, (name, s) in enumerate(
+            [(steps[0], s1), (steps[1], s2), (steps[2], s3)], 1
+        ):
+            c = s.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(int(wsec)).cast("bigint").alias("window_seconds"),
+                F.lit(i).cast("bigint").alias("stage"),
+                F.lit(name).alias("step"),
+                "n_users",
+            )
+            counts = c if counts is None else counts.unionByName(c)
+        out = counts if out is None else out.unionByName(counts)
+    from pyspark.sql import Window as W
+
+    base = F.first("n_users").over(
+        W.partitionBy("window_seconds").orderBy("stage")
+    )
+    return out.withColumn(
+        "conversion",
+        F.round(
+            F.col("n_users").cast("double")
+            / F.greatest(base.cast("double"), F.lit(1.0)),
+            6,
+        ),
+    ).orderBy("window_seconds", "stage")
+
+
+def events_ab_power_sweep(
+    t: dict[str, DataFrame], mdes: tuple[float, ...] = (0.01, 0.02, 0.05)
+) -> DataFrame:
+    """A/B sample-size planner: required users per arm at several
+    minimum-detectable-effect candidates, from the measured per-user
+    metric variance — the 16·σ²/Δ² rule of thumb (Kohavi, Tang & Xu
+    2020, §17: two-sided α=0.05 at 80% power; the exact constant is
+    2(z_{α/2}+z_β)² ≈ 15.7, rounded up to 16 by convention, stated).
+    Completes the experimentation trio: `events_ab_test` reads the
+    experiment, `events_ab_cuped` sharpens it, THIS table says
+    whether the traffic can power it at all — the go/no-go every
+    experiment review starts with.
+
+    One user-grain rollup, a 1-row DECIMAL moment reduction, then a
+    literal MDE-grid explode over the 1-row frame.
+
+    Output per MDE: mde_rel, mean_per_user, var_per_user,
+    n_per_arm_required, n_users_available, powered.
+    """
+    e = t["events"]
+    per_user = e.groupBy("user_id").agg(
+        F.round(F.sum(F.col("value").cast(DEC)).cast("double"), 6).alias("x")
+    )
+    d6 = lambda c: F.round(c, 6).cast(DEC)
+    mom = per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users_available"),
+        F.sum(d6(F.col("x"))).alias("_sx"),
+        F.sum(d6(F.col("x") * F.col("x"))).alias("_sxx"),
+    )
+    grid = mom.select(
+        "*",
+        F.explode(
+            F.array(*[F.lit(float(m)) for m in mdes])
+        ).alias("mde_rel"),
+    )
+    mean = F.col("_sx").cast("double") / F.col("n_users_available")
+    var = (
+        F.col("_sxx").cast("double") / F.col("n_users_available")
+        - mean * mean
+    )
+    delta = F.col("mde_rel") * mean
+    n_req = F.ceil(
+        F.lit(16.0) * var / F.greatest(delta * delta, F.lit(1e-12))
+    ).cast("bigint")
+    return grid.select(
+        "mde_rel",
+        F.round(mean, 6).alias("mean_per_user"),
+        F.round(var, 6).alias("var_per_user"),
+        n_req.alias("n_per_arm_required"),
+        "n_users_available",
+        (F.col("n_users_available") >= F.lit(2) * n_req).alias("powered"),
+    ).orderBy("mde_rel")

@@ -923,6 +923,10 @@ SINGLE_PARTITION_ALLOWLIST = {
     # origin) broadcast back to the user-grain frame — the
     # pricing_model_ols family
     "events_ab_cuped",
+    # r7 late: the funnel family's per-stage 1-row count aggregates
+    # (events_funnel's own rationale) × the window grid; the power
+    # planner's 1-row moment reduction + literal MDE explode
+    "events_funnel_window_sweep", "events_ab_power_sweep",
 }
 
 
@@ -2491,3 +2495,56 @@ def test_ab_cuped_reduces_variance_on_correlated_data(spark):
         assert abs(r.mean_y_cuped - r.mean_y) < 10.0
     # theta is pooled: both arms carry the identical value
     assert out["A"].theta == out["B"].theta
+
+
+def test_funnel_window_sweep_monotone(spark):
+    """A click 2h after the view converts at the 6h/24h windows but
+    not at 1h; counts are monotone non-decreasing in the window."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(eid, mins, typ, uid):
+        return {"event_id": eid, "ts": base + dt.timedelta(minutes=mins),
+                "user_id": uid, "event_type": typ, "value": 1.0,
+                "props": "{}"}
+
+    rows = [ev(1, 0, "view", 1), ev(2, 120, "click", 1),
+            ev(3, 130, "purchase", 1), ev(4, 0, "view", 2),
+            ev(5, 10, "click", 2)]
+    t = {"events": from_rows(spark, rows)}
+    out = {(r.window_seconds, r.stage): r
+           for r in analytics.events_funnel_window_sweep(t).collect()}
+    assert out[(3600, 2)].n_users == 1      # only user 2 clicks in 1h
+    assert out[(21600, 2)].n_users == 2     # both inside 6h
+    assert out[(21600, 3)].n_users == 1
+    assert out[(3600, 3)].n_users == 0
+    for stage in (1, 2, 3):
+        ns = [out[(w, stage)].n_users for w in (3600, 21600, 86400)]
+        assert ns == sorted(ns)
+    assert out[(3600, 1)].conversion == 1.0
+
+
+def test_ab_power_sweep_scaling_laws(spark):
+    """Required n scales inversely with MDE² (exactly 4x from 2% to
+    1%), and a zero-variance metric needs ~nothing."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [{"event_id": i, "user_id": i % 50, "event_type": "view",
+             "value": 10.0 + (i % 50) % 7, "props": "{}",
+             "ts": base + dt.timedelta(minutes=i)} for i in range(200)]
+    t = {"events": from_rows(spark, rows)}
+    out = {r.mde_rel: r for r in
+           analytics.events_ab_power_sweep(t, (0.01, 0.02)).collect()}
+    r1, r2 = out[0.01], out[0.02]
+    assert r1.n_users_available == 50
+    # inverse-square law: allow ceil rounding slack
+    assert abs(r1.n_per_arm_required - 4 * r2.n_per_arm_required) <= 4
+    assert r1.var_per_user == r2.var_per_user > 0
+    const = {"events": from_rows(spark, [
+        {"event_id": i, "user_id": i, "event_type": "view", "value": 5.0,
+         "props": "{}", "ts": base} for i in range(10)])}
+    rc = analytics.events_ab_power_sweep(const, (0.01,)).first()
+    assert rc.var_per_user == 0.0 and rc.n_per_arm_required == 0
+    assert rc.powered

@@ -142,7 +142,8 @@ def main() -> int:
             "text_bpe_fertility", "events_salted_join",
             "ann_lsh_pivot_r2", "dedup_keep_best",
             "layout_range_planner", "corpus_compressibility",
-            "events_ab_cuped",
+            "events_ab_cuped", "events_funnel_window_sweep",
+            "events_ab_power_sweep",
         ]
         if len(sys.argv) > 3:
             # explicit subset: smoke only these names (fast re-checks
