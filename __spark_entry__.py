@@ -3681,6 +3681,14 @@ def q_kll_quantiles(spark, sf):
     return sketch.kll_quantiles(e, "value")
 
 
+def q_dedup_savings_calibration(spark, sf):
+    """Forecast-calibration table (r7 late): the cheap trigram
+    redundancy forecast vs the measured exact-dup rate per source,
+    with the cross-source correlation riding every row."""
+    d = _t(spark, sf)["documents"]
+    return dedup.dedup_savings_calibration(d, "source", "doc_id", "text", n=3)
+
+
 def q_funnel_window_sweep(spark, sf):
     """Conversion-window knob table (r7 late): the windowed funnel at
     1h/6h/24h from one shared per-step frame set — where does
@@ -3997,6 +4005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_rbo_lsh": q_ann_rbo_lsh,
         "events_salted_rollup": q_salted_rollup,
         "dedup_lsh_scurve": q_lsh_scurve,
+        "dedup_savings_calibration": q_dedup_savings_calibration,
         "events_funnel_window_sweep": q_funnel_window_sweep,
         "events_ab_power_sweep": q_ab_power,
         "events_ab_cuped": q_ab_cuped,
@@ -13701,6 +13710,38 @@ def oracle_sql() -> dict[str, str]:
               'CAST(COALESCE(grams_singleton, 0) AS DECIMAL(27,6))',
               'greatest(COALESCE(grams_total, 0), 1)')} AS singleton_frac
         FROM ccd d LEFT JOIN ccc c ON d."group" = c."group"
+    """
+
+    sqls["dedup_savings_calibration"] = f"""
+        WITH dscred AS ({sqls['corpus_compressibility']}),
+        dscrate AS (SELECT source AS "group",
+                      round(1.0 - CAST(count(DISTINCT md5(text)) AS DOUBLE)
+                            / count(*), 6) AS dup_rate
+                    FROM documents GROUP BY 1),
+        dscj AS (SELECT r."group", r.n_docs, r.redundancy, t.dup_rate
+                 FROM dscred r JOIN dscrate t ON r."group" = t."group"),
+        dscm AS (SELECT count(*) AS n,
+                   sum(CAST(round(redundancy, 6) AS DECIMAL(27,6))) AS sa,
+                   sum(CAST(round(dup_rate, 6) AS DECIMAL(27,6))) AS sb,
+                   sum(CAST(round(redundancy * redundancy, 6)
+                            AS DECIMAL(27,6))) AS saa,
+                   sum(CAST(round(dup_rate * dup_rate, 6)
+                            AS DECIMAL(27,6))) AS sbb,
+                   sum(CAST(round(redundancy * dup_rate, 6)
+                            AS DECIMAL(27,6))) AS sab
+                 FROM dscj),
+        dscc AS (SELECT
+            (CAST(sab AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)
+               / n) AS cov,
+            (CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)
+               / n) AS va,
+            (CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)
+               / n) AS vb
+          FROM dscm)
+        SELECT "group", n_docs, redundancy, dup_rate,
+          CASE WHEN va > 1e-12 AND vb > 1e-12
+               THEN round(cov / sqrt(va * vb), 6) END AS corr
+        FROM dscj, dscc
     """
 
     sqls["layout_range_planner"] = f"""

@@ -2685,3 +2685,80 @@ def dedup_keep_best(
             (-F.col("_m._neg")).alias("best_score"),
         )
     )
+
+
+def dedup_savings_calibration(
+    df: DataFrame,
+    group_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Forecast-calibration table: per source, the cheap redundancy
+    FORECAST (:func:`fuel_spark.ops.text.corpus_compressibility` —
+    repeated word n-gram mass, computable without any dedup run)
+    beside the MEASURED exact-duplicate rate (1 − distinct digests /
+    docs), with the cross-source Pearson correlation of the two
+    riding every row — the query that says whether the forecast can
+    be trusted to PRIORITIZE which sources to dedup first at 100 TB
+    (run the cheap scan everywhere, the expensive pair machinery only
+    where the forecast is hot).
+
+    Both inputs are existing single-scan rollups to source grain; the
+    correlation is a 1-row DECIMAL-moment reduction over the
+    source-grain frame (domains-sized), broadcast back.
+
+    Output per group: group, n_docs, redundancy, dup_rate,
+    corr (round 6, identical on every row).
+    """
+    from fuel_spark.ops.text import corpus_compressibility
+
+    red = corpus_compressibility(df, id_col, text_col, group_col, n=n).select(
+        "group", "n_docs", "redundancy"
+    )
+    rate = (
+        df.groupBy(F.col(group_col).alias("group"))
+        .agg(
+            F.count(F.lit(1)).alias("_nd"),
+            F.count_distinct(F.md5(F.col(text_col))).alias("_nu"),
+        )
+        .select(
+            "group",
+            F.round(
+                1.0 - F.col("_nu").cast("double") / F.col("_nd").cast("double"),
+                6,
+            ).alias("dup_rate"),
+        )
+    )
+    j = red.join(rate, "group")
+    d6 = lambda c: F.round(c, 6).cast("decimal(27,6)")
+    mom = j.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(d6(F.col("redundancy"))).alias("_sa"),
+        F.sum(d6(F.col("dup_rate"))).alias("_sb"),
+        F.sum(d6(F.col("redundancy") * F.col("redundancy"))).alias("_saa"),
+        F.sum(d6(F.col("dup_rate") * F.col("dup_rate"))).alias("_sbb"),
+        F.sum(d6(F.col("redundancy") * F.col("dup_rate"))).alias("_sab"),
+    )
+    cov = (
+        F.col("_sab").cast("double")
+        - F.col("_sa").cast("double") * F.col("_sb").cast("double") / F.col("_n")
+    )
+    va = (
+        F.col("_saa").cast("double")
+        - F.col("_sa").cast("double") * F.col("_sa").cast("double") / F.col("_n")
+    )
+    vb = (
+        F.col("_sbb").cast("double")
+        - F.col("_sb").cast("double") * F.col("_sb").cast("double") / F.col("_n")
+    )
+    return j.crossJoin(F.broadcast(mom)).select(
+        "group",
+        "n_docs",
+        "redundancy",
+        "dup_rate",
+        F.when(
+            (va > 1e-12) & (vb > 1e-12),
+            F.round(cov / F.sqrt(va * vb), 6),
+        ).alias("corr"),
+    )

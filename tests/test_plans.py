@@ -927,6 +927,9 @@ SINGLE_PARTITION_ALLOWLIST = {
     # (events_funnel's own rationale) × the window grid; the power
     # planner's 1-row moment reduction + literal MDE explode
     "events_funnel_window_sweep", "events_ab_power_sweep",
+    # r7 late: the 1-row cross-source correlation moments over the
+    # domains-sized joined frame, broadcast back
+    "dedup_savings_calibration",
 }
 
 

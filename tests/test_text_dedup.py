@@ -2245,3 +2245,25 @@ def test_corpus_compressibility_extremes(spark):
     assert f.redundancy == 0.0 and f.singleton_frac == 1.0
     t = out["tiny"]
     assert t.n_docs == 1 and t.grams_total == 0 and t.redundancy == 0.0
+
+
+def test_dedup_savings_calibration_perfectly_correlated_fixture(spark):
+    """Three sources engineered so redundancy ranks exactly with dup
+    rate: all-dup source (high, high), half-dup (mid, mid), fresh
+    (0, 0) -> strong positive corr, identical on every row."""
+    dup = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [(i, dup, "all_dup") for i in range(4)]
+    rows += [(10, dup, "half"), (11, dup, "half"),
+             (12, "one two three four five six seven", "half")]
+    rows += [(20, "unique words everywhere nothing repeats here today", "fresh"),
+             (21, "another totally different sentence with fresh words", "fresh")]
+    df = from_rows(spark, rows,
+                   schema="doc_id bigint, text string, source string")
+    out = {r.group: r for r in dedup.dedup_savings_calibration(
+        df, "source").collect()}
+    assert out["all_dup"].dup_rate == 0.75   # 4 docs, 1 distinct
+    assert out["fresh"].dup_rate == 0.0 and out["fresh"].redundancy == 0.0
+    assert out["all_dup"].redundancy > out["half"].redundancy > 0
+    corrs = {r.corr for r in out.values()}
+    assert len(corrs) == 1
+    assert corrs.pop() > 0.9

@@ -143,7 +143,7 @@ def main() -> int:
             "ann_lsh_pivot_r2", "dedup_keep_best",
             "layout_range_planner", "corpus_compressibility",
             "events_ab_cuped", "events_funnel_window_sweep",
-            "events_ab_power_sweep",
+            "events_ab_power_sweep", "dedup_savings_calibration",
         ]
         if len(sys.argv) > 3:
             # explicit subset: smoke only these names (fast re-checks
