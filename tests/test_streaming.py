@@ -1023,3 +1023,44 @@ def test_sessionize_native_batch_twin_and_streaming_close(spark, workdir):
     q.awaitTermination(120)
     closed = sorted((r.user_id, r.n_events, r.duration_sec) for r in got)
     assert closed == [(1, 2, 600), (2, 1, 0)]
+
+
+def test_sessionize_native_merges_across_batches(spark, workdir):
+    """The engine-side window MERGE: a user's events split across two
+    micro-batches 10 minutes apart (inside the 30-min gap) must close
+    as ONE session spanning both batches, not two."""
+    import datetime as dt
+
+    import pandas as pd
+
+    base = dt.datetime(2024, 3, 1, 8, 0, 0)
+    src = os.path.join(workdir, "snm_src")
+    ckpt = os.path.join(workdir, "snm_ckpt")
+    os.makedirs(src)
+    b1 = pd.DataFrame({"user_id": [1], "ts": [base]})
+    b2 = pd.DataFrame({
+        "user_id": [1, 9],
+        "ts": [base + dt.timedelta(minutes=10),
+               base + dt.timedelta(hours=4)],
+    })
+    for i, b in enumerate((b1, b2)):
+        b.to_parquet(os.path.join(src, f"{i:03d}.parquet"),
+                     coerce_timestamps="us", allow_truncated_timestamps=True)
+    stream = (
+        spark.readStream.schema("user_id bigint, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    got = []
+    q = (
+        serve.sessionize_native(stream, gap_sec=1800)
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda d, i: got.extend(d.collect()))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    closed = [(r.user_id, r.n_events, r.duration_sec) for r in got]
+    # exactly one closed session for user 1, spanning both batches
+    assert closed == [(1, 2, 600)]
