@@ -48,6 +48,8 @@ from fuel_spark.sources import (
     swiss_roll,
 )
 from fuel_spark.plans import analytics
+from fuel_spark.sources import sink as sink_ops  # noqa: F401 (submodule import)
+from fuel_spark.streaming import serve
 
 # ---------------------------------------------------------------------------
 # shared SQL fragments (the DuckDB twins of fuel_spark.functions)
@@ -3847,31 +3849,286 @@ def q_file_layout_planner(spark, sf):
     )
 
 
+# --- round 8: ANN index lifecycle + snapshot drift + stream resume ---
+
+
+def _ann_corpus_split(spark, sf):
+    """The standing ANN-lifecycle fixture: frozen corpus = vec_id >=
+    10 (so its 6 lowest ids, 10..15, are the frozen plane family);
+    ingest batch = vec_id < 10 plus five EXACT clones of indexed
+    vectors re-keyed to 1100..1104 (the near-dup rows the screen
+    stage must catch)."""
+    e = _t(spark, sf)["embeddings"]
+    old = e.where(F.col("vec_id") >= 10)
+    clones = e.where(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 105)
+    ).withColumn("vec_id", F.col("vec_id") + F.lit(1000))
+    new = e.where(F.col("vec_id") < 10).unionByName(clones)
+    return e, old, new
+
+
+def q_ann_index_merge_cert(spark, sf):
+    """Merged-vs-rebuilt ANN index drift certificate (r8): new
+    vectors merged under the FROZEN plane family vs a fresh rebuild
+    whose pivots re-derive from the grown corpus — n_moved /
+    moved_frac is the re-index pressure gauge (the ingest batch
+    inserts ids BELOW the pivots, so the fresh family shifts and
+    buckets genuinely move)."""
+    e, old, new = _ann_corpus_split(spark, sf)
+    planes = similarity.pivot_lsh_planes(old)
+    idx = similarity.pivot_lsh_index(old, planes)
+    merged = similarity.ann_merge_into_index(idx, new, planes)
+    corpus_all = old.unionByName(new)
+    return similarity.ann_index_merge_certificate(merged, corpus_all)
+
+
+def q_ann_index_compaction(spark, sf):
+    """ANN index compaction (r8) — the vector twin of
+    dedup_index_compaction: an index carrying replayed rows (every
+    vec_id % 3 == 0 appended twice), tombstones (live set drops
+    vec_id % 7 == 3) and hot buckets (cap 12) compacts to the clean
+    (vec_id, bucket) rows."""
+    e = _t(spark, sf)["embeddings"]
+    planes = similarity.pivot_lsh_planes(e)
+    idx = similarity.pivot_lsh_index(e, planes)
+    replayed = idx.unionByName(idx.where(F.col("vec_id") % 3 == 0))
+    live = e.where(F.col("vec_id") % 7 != 3)
+    return similarity.ann_compact_index(
+        replayed, live_ids=live, max_bucket=12
+    )
+
+
+def q_ann_index_bucket_profile(spark, sf):
+    """ANN index health report (r8): bucket-count stats plus
+    expected_candidates (size-biased mean bucket Σsz²/N — the
+    per-probe rerank cost a random query actually feels) over the
+    merged stale-plane index, cap 12."""
+    e, old, new = _ann_corpus_split(spark, sf)
+    planes = similarity.pivot_lsh_planes(old)
+    merged = similarity.ann_merge_into_index(
+        similarity.pivot_lsh_index(old, planes), new, planes
+    )
+    return similarity.ann_index_profile(merged, max_bucket=12)
+
+
+def q_ann_incremental_pipeline(spark, sf):
+    """The ANN ingest lifecycle as one audited composite (r8):
+    screen (in-bucket cosine >= 0.98 vs the frozen index — the five
+    exact clones must flag), merge survivors, compact (cap 12); one
+    row per stage."""
+    e, old, new = _ann_corpus_split(spark, sf)
+    return similarity.ann_incremental_summary(
+        old, new, sim_threshold=0.98, max_bucket=12
+    )
+
+
+def q_ann_recall_after_merge(spark, sf):
+    """Recall price of NOT re-indexing (r8): pivot-LSH search over
+    the grown corpus with the STALE plane family (planes_from = the
+    pre-merge corpus) against the exact top-5 — read together with
+    ann_index_merge_cert, which counts the same staleness in moved
+    buckets."""
+    e, old, _ = _ann_corpus_split(spark, sf)
+    q = e.where(F.col("vec_id") < 5)
+    exact = similarity.cosine_topk(e, q, k=5)
+    approx = similarity.pivot_lsh_ann(
+        e, q, k=5, n_planes=6, probes=1, planes_from=old
+    )
+    return _recall_certificate(exact, approx, 5)
+
+
+def _snapshot_b(e):
+    """Snapshot B for the drift/diff pair: drop vec_id % 10 == 7
+    (removals), bump label for vec_id % 10 == 3 (changes), add five
+    re-keyed clones of vec_id < 5 (additions)."""
+    kept = e.where(F.col("vec_id") % 10 != 7).withColumn(
+        "label",
+        F.when(
+            F.col("vec_id") % 10 == 3, F.col("label") + F.lit(1)
+        ).otherwise(F.col("label")),
+    )
+    added = e.where(F.col("vec_id") < 5).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(100000)
+    )
+    return kept.unionByName(added)
+
+
+def q_embedding_snapshot_diff(spark, sf):
+    """Row-level snapshot diff (r8): embeddings vs a second snapshot
+    with removals / label changes / additions — added, removed,
+    changed, unchanged id counts via one full-outer id join with
+    null-safe column comparison (arrays compared element-for-element,
+    no hashing)."""
+    e = _t(spark, sf)["embeddings"]
+    d = sink_ops.snapshot_diff(e, _snapshot_b(e), "vec_id")
+    return d.groupBy("status").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ids")
+    )
+
+
+def q_embedding_snapshot_drift(spark, sf):
+    """Cross-snapshot embedding-drift certificate (r8): per label,
+    both counts, centroid cosine, l2 shift, mean norms and the
+    drifted verdict (floor 0.9) — the bumped label exists only in
+    snapshot B, covering the one-sided-group path (n=0, drifted by
+    definition)."""
+    e = _t(spark, sf)["embeddings"]
+    return similarity.snapshot_drift_certificate(
+        e, _snapshot_b(e), "label", "embedding", cos_floor=0.9
+    )
+
+
+def q_stream_cms_resume(spark, sf):
+    """Streaming CMS checkpoint-RESUME certificate (r8): the input
+    split into two slices fed in two SEPARATE availableNow runs
+    against one checkpoint — run 2 restores its counter arrays from
+    the state store exactly as a production restart does — and the
+    final cells must equal the batch cms_build over the whole input
+    (CMS cells are order/batching-independent, so the oracle is the
+    plain batch sketch SQL).  First streaming key under the
+    exact-hash oracle gate."""
+    e = _t(spark, sf)["events"]
+    return serve.cms_resume_certificate(spark, e, "user_id", width=64)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry.  ORDERING IS DELIBERATE: the driver's
     correctness gate checks the FIRST 50 keys, so each round leads
     with the keys that do not yet have a driver-green CORRECTNESS row.
-    ROUND-7 window (applied): the first 50 keys are the block staged
-    at positions 51-100 in round 6 (``events_ks_test`` …
-    ``orders_priority_trend``), verified against CORRECTNESS_r01-r06
-    as never driver-checked, moved to the front unchanged (pure
+    ROUND-8 window (applied): the first 50 keys are the block staged
+    at positions 51-100 in round 7 (``events_kruskal_wallis`` …
+    ``dedup_hot_buckets`` — the 8 round-6 leftovers plus the 42
+    round-7 additions), verified against CORRECTNESS_r01-r07 as never
+    driver-checked, moved to the front unchanged (pure
     move-to-front).  All 50 are local-pass under
-    ``tools/check_correctness.py``.  The ROUND-8 staging block sits
+    ``tools/check_correctness.py``.  The ROUND-9 staging block sits
     immediately after at positions 51-100: EXACTLY 50
-    never-driver-checked oracle keys — the 8 remaining from round 6
-    (``events_kruskal_wallis`` … ``events_page_hinkley``) plus the 42
-    round-7 additions.  Round 8 moves them to the front (pure
-    move-to-front), which closes cumulative driver coverage of every
-    oracle-checked query again.  Rows-only keys sit past them (a
-    driver rows-only row is weaker than their pytest evidence).  Keys
-    past that all have driver-green rows from r1-r6 and stay covered
-    by ``tools/check_correctness.py`` locally every session.
+    never-driver-checked oracle keys — the 42 late-r7 seeds
+    (``sketch_bloom_merge_cert`` … ``layout_file_planner``) plus the
+    8 round-8 additions.  Round 9 moves them to the front, which
+    closes cumulative driver coverage of EVERY oracle-checked query.
+    Rows-only keys sit past them (a driver rows-only row is weaker
+    than their pytest evidence).  Keys past that all have
+    driver-green rows from r1-r7 and stay covered by
+    ``tools/check_correctness.py`` locally every session.
     """
     return {
-        # ---- ROUND-7 driver window (first 50): the block staged at
-        # positions 51-100 in round 6, verified never-driver-checked
-        # against CORRECTNESS_r01-r06 (all local-pass).  Pure
+        # ---- ROUND-8 driver window (first 50): the staging block
+        # verified at positions 51-100 last round (8 round-6
+        # leftovers + 42 round-7 additions), never driver-checked
+        # against CORRECTNESS_r01-r07, all local-pass.  Pure
         # move-to-front; keys and wrappers unchanged. -----------------
+        "events_kruskal_wallis": q_kruskal_wallis,
+        "events_levene": q_levene,
+        "events_cramers_v": q_cramers_v,
+        "lineitem_point_biserial": q_point_biserial,
+        "events_theil_sen": q_theil_sen,
+        "graph_lpa_fixed": q_lpa,
+        "events_periodogram": q_periodogram,
+        "events_page_hinkley": q_page_hinkley,
+        "sketch_quantile_value": q_quantile_sketch_value,
+        "sketch_quantile_by_type": q_quantile_sketch_by_type,
+        "sketch_quantile_merge_cert": q_quantile_sketch_merge,
+        "sketch_cms_counts": q_cms_counts,
+        "sketch_cms_merge_cert": q_cms_merge,
+        "sketch_bloom_screen": q_bloom_screen,
+        "sketch_bloom_planner": q_bloom_planner,
+        "sketch_distinct_linear": q_distinct_linear,
+        "sample_reservoir": q_sample_reservoir,
+        "sample_reservoir_by_source": q_sample_reservoir_by_source,
+        "sample_stratified_sources": q_sample_stratified,
+        "split_train_val_test": q_split_train_val_test,
+        "mixture_domain_weights": q_domain_mixture_weights,
+        "packing_efficiency_report": q_packing_efficiency,
+        "curriculum_quality_phases": q_curriculum_phases,
+        "curation_funnel": q_curation_funnel,
+        "text_top_ngrams_by_source": q_top_ngrams_by_source,
+        "dedup_index_bucket_profile": q_index_bucket_profile,
+        "incremental_dedup_pipeline": q_incremental_dedup,
+        "snapshot_token_accounting": q_snapshot_tokens,
+        "sketch_hll_distinct": q_hll_distinct,
+        "sketch_cms_topk": q_cms_topk,
+        "dedup_cross_source_rate": q_dedup_rate_by_source,
+        "dedup_candidate_budget": q_candidate_budget,
+        "text_truncation_savings": q_truncation_savings,
+        "mixture_schedule_slots": q_mixture_schedule,
+        "snapshot_length_psi": q_snapshot_psi,
+        "sketch_hll_merge_cert": q_hll_merge,
+        "sketch_quantile_rate_sweep": q_quantile_rate_sweep,
+        "sketch_cms_width_sweep": q_cms_width_sweep,
+        "sample_weighted_by_source": q_weighted_sample_by_source,
+        "sample_reservoir_merge_cert": q_reservoir_merge_cert,
+        "split_leakage_report": q_split_leakage,
+        "split_label_balance": q_split_label_balance,
+        "events_heavy_hitters_batch": q_heavy_hitters_batch,
+        "corpus_token_gini": q_token_gini,
+        "source_vocab_overlap": q_vocab_overlap,
+        "curriculum_source_mix": q_curriculum_source_mix,
+        "snapshot_vocab_churn": q_vocab_churn,
+        "packing_concat_vs_pad": q_concat_vs_pad,
+        "mixture_alpha_sweep": q_mixture_alpha_sweep,
+        "dedup_hot_buckets": q_hot_buckets,
+        # ---- end of round-8 window ----------------------------------
+        # ROUND-9 staging block (positions 51+): late-r7 oracle keys
+        # + round-8 additions, never driver-checked; round 9 moves
+        # this block to the front. ------------------------------------
+        "sketch_bloom_merge_cert": q_bloom_merge,
+        "split_source_balance": q_split_source_balance,
+        "sample_rate_certificate": q_sample_rate_cert,
+        "curation_threshold_sweep": q_funnel_threshold_sweep,
+        "snapshot_source_mix_shift": q_source_mix_shift,
+        "dedup_jaccard_histogram": q_jaccard_histogram,
+        "sketch_hll_m_sweep": q_hll_m_sweep,
+        "split_fraction_sweep": q_split_fraction_sweep,
+        "curation_funnel_by_source": q_funnel_by_source,
+        "packing_seqlen_sweep": q_packing_seqlen_sweep,
+        "sketch_kmv_distinct": q_kmv_distinct,
+        "sketch_theta_set_ops": q_theta_set_ops,
+        "linkage_fs_patterns": q_linkage_fs_patterns,
+        "linkage_fs_matches": q_linkage_fs_matches,
+        "ann_rp_distortion": q_rp_distortion,
+        "mixture_unimax": q_mixture_unimax,
+        "sample_priority_certificate": q_priority_sample,
+        "linkage_entity_clusters": q_linkage_entities,
+        "linkage_pipeline": q_linkage_pipeline,
+        "shard_skew_sweep": q_shard_skew_sweep,
+        "dedup_time_horizon": q_dedup_time_horizon,
+        "ann_rbo_lsh": q_ann_rbo_lsh,
+        "events_salted_rollup": q_salted_rollup,
+        "dedup_lsh_scurve": q_lsh_scurve,
+        "dedup_savings_calibration": q_dedup_savings_calibration,
+        "events_funnel_window_sweep": q_funnel_window_sweep,
+        "events_ab_power_sweep": q_ab_power,
+        "events_ab_cuped": q_ab_cuped,
+        "corpus_compressibility": q_compressibility,
+        "layout_range_planner": q_range_planner,
+        "dedup_keep_best": q_dedup_keep_best,
+        "ann_lsh_pivot_r2": q_ann_lsh_pivot_r2,
+        "events_salted_join": q_salted_join,
+        "text_bpe_fertility": q_bpe_fertility,
+        "layout_zorder_certificate": q_zorder_certificate,
+        "sample_kcenter": q_sample_kcenter,
+        "quality_calibration": q_quality_calibration,
+        "text_lm_buckets": q_lm_buckets,
+        "embedding_centroid_shift": q_centroid_shift,
+        "events_session_gap_sweep": q_session_gap_sweep,
+        "join_broadcast_planner": q_join_broadcast_planner,
+        "layout_file_planner": q_file_layout_planner,
+        # round-8 additions: ANN index lifecycle (merge/compact/
+        # profile/pipeline/recall-after-merge), snapshot diff+drift,
+        # and the first streaming key under the exact-hash oracle
+        # (CMS checkpoint-resume) — tops the block to EXACTLY 50.
+        "ann_index_merge_cert": q_ann_index_merge_cert,
+        "ann_index_compaction": q_ann_index_compaction,
+        "ann_index_bucket_profile": q_ann_index_bucket_profile,
+        "ann_incremental_pipeline": q_ann_incremental_pipeline,
+        "ann_recall_after_merge": q_ann_recall_after_merge,
+        "embedding_snapshot_diff": q_embedding_snapshot_diff,
+        "embedding_snapshot_drift": q_embedding_snapshot_drift,
+        "stream_cms_resume": q_stream_cms_resume,
+        # ---- end of the r9 seed block --------------------------------
+        # ---- driver-green in r7 (CORRECTNESS_r07.json, 50/50): the
+        # round-7 window, now cumulative coverage. --------------------
         "events_ks_test": q_ks_test,
         "customer_theil_index": q_theil_index,
         "corpus_chao1": q_chao1,
@@ -3923,107 +4180,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_grubbs": q_grubbs,
         "orders_priority_trend": q_priority_trend,
         # ---- end of round-7 window ----------------------------------
-        # ROUND-8 staging block (positions 51+): the 8 remaining
-        # never-driver-checked oracle keys from round 6, topped up by
-        # every round-7-new oracle query registered below.  Round 8
-        # moves this block to the front. ------------------------------
-        "events_kruskal_wallis": q_kruskal_wallis,
-        "events_levene": q_levene,
-        "events_cramers_v": q_cramers_v,
-        "lineitem_point_biserial": q_point_biserial,
-        "events_theil_sen": q_theil_sen,
-        "graph_lpa_fixed": q_lpa,
-        "events_periodogram": q_periodogram,
-        "events_page_hinkley": q_page_hinkley,
-        # (round-7-new oracle keys are appended here as they land)
-        "sketch_quantile_value": q_quantile_sketch_value,
-        "sketch_quantile_by_type": q_quantile_sketch_by_type,
-        "sketch_quantile_merge_cert": q_quantile_sketch_merge,
-        "sketch_cms_counts": q_cms_counts,
-        "sketch_cms_merge_cert": q_cms_merge,
-        "sketch_bloom_screen": q_bloom_screen,
-        "sketch_bloom_planner": q_bloom_planner,
-        "sketch_distinct_linear": q_distinct_linear,
-        "sample_reservoir": q_sample_reservoir,
-        "sample_reservoir_by_source": q_sample_reservoir_by_source,
-        "sample_stratified_sources": q_sample_stratified,
-        "split_train_val_test": q_split_train_val_test,
-        "mixture_domain_weights": q_domain_mixture_weights,
-        "packing_efficiency_report": q_packing_efficiency,
-        "curriculum_quality_phases": q_curriculum_phases,
-        "curation_funnel": q_curation_funnel,
-        "text_top_ngrams_by_source": q_top_ngrams_by_source,
-        "dedup_index_bucket_profile": q_index_bucket_profile,
-        "incremental_dedup_pipeline": q_incremental_dedup,
-        "snapshot_token_accounting": q_snapshot_tokens,
-        "sketch_hll_distinct": q_hll_distinct,
-        "sketch_cms_topk": q_cms_topk,
-        "dedup_cross_source_rate": q_dedup_rate_by_source,
-        "dedup_candidate_budget": q_candidate_budget,
-        "text_truncation_savings": q_truncation_savings,
-        "mixture_schedule_slots": q_mixture_schedule,
-        "snapshot_length_psi": q_snapshot_psi,
-        "sketch_hll_merge_cert": q_hll_merge,
-        "sketch_quantile_rate_sweep": q_quantile_rate_sweep,
-        "sketch_cms_width_sweep": q_cms_width_sweep,
-        "sample_weighted_by_source": q_weighted_sample_by_source,
-        "sample_reservoir_merge_cert": q_reservoir_merge_cert,
-        "split_leakage_report": q_split_leakage,
-        "split_label_balance": q_split_label_balance,
-        "events_heavy_hitters_batch": q_heavy_hitters_batch,
-        "corpus_token_gini": q_token_gini,
-        "source_vocab_overlap": q_vocab_overlap,
-        "curriculum_source_mix": q_curriculum_source_mix,
-        "snapshot_vocab_churn": q_vocab_churn,
-        "packing_concat_vs_pad": q_concat_vs_pad,
-        "mixture_alpha_sweep": q_mixture_alpha_sweep,
-        "dedup_hot_buckets": q_hot_buckets,
-        # ---- end of the round-8 staging block (exactly 50 keys) -----
-        # r9 seeds (positions 101+): late-r7 oracle keys, never
-        # driver-checked; they start the r9 pool after r8 rotates.
-        "sketch_bloom_merge_cert": q_bloom_merge,
-        "split_source_balance": q_split_source_balance,
-        "sample_rate_certificate": q_sample_rate_cert,
-        "curation_threshold_sweep": q_funnel_threshold_sweep,
-        "snapshot_source_mix_shift": q_source_mix_shift,
-        "dedup_jaccard_histogram": q_jaccard_histogram,
-        "sketch_hll_m_sweep": q_hll_m_sweep,
-        "split_fraction_sweep": q_split_fraction_sweep,
-        "curation_funnel_by_source": q_funnel_by_source,
-        "packing_seqlen_sweep": q_packing_seqlen_sweep,
-        "sketch_kmv_distinct": q_kmv_distinct,
-        "sketch_theta_set_ops": q_theta_set_ops,
-        "linkage_fs_patterns": q_linkage_fs_patterns,
-        "linkage_fs_matches": q_linkage_fs_matches,
-        "ann_rp_distortion": q_rp_distortion,
-        "mixture_unimax": q_mixture_unimax,
-        "sample_priority_certificate": q_priority_sample,
-        "linkage_entity_clusters": q_linkage_entities,
-        "linkage_pipeline": q_linkage_pipeline,
-        "shard_skew_sweep": q_shard_skew_sweep,
-        "dedup_time_horizon": q_dedup_time_horizon,
-        "ann_rbo_lsh": q_ann_rbo_lsh,
-        "events_salted_rollup": q_salted_rollup,
-        "dedup_lsh_scurve": q_lsh_scurve,
-        "dedup_savings_calibration": q_dedup_savings_calibration,
-        "events_funnel_window_sweep": q_funnel_window_sweep,
-        "events_ab_power_sweep": q_ab_power,
-        "events_ab_cuped": q_ab_cuped,
-        "corpus_compressibility": q_compressibility,
-        "layout_range_planner": q_range_planner,
-        "dedup_keep_best": q_dedup_keep_best,
-        "ann_lsh_pivot_r2": q_ann_lsh_pivot_r2,
-        "events_salted_join": q_salted_join,
-        "text_bpe_fertility": q_bpe_fertility,
-        "layout_zorder_certificate": q_zorder_certificate,
-        "sample_kcenter": q_sample_kcenter,
-        "quality_calibration": q_quality_calibration,
-        "text_lm_buckets": q_lm_buckets,
-        "embedding_centroid_shift": q_centroid_shift,
-        "events_session_gap_sweep": q_session_gap_sweep,
-        "join_broadcast_planner": q_join_broadcast_planner,
-        "layout_file_planner": q_file_layout_planner,
-        # ---- end of the r9 seed block --------------------------------
         # ---- driver-green in r6 (CORRECTNESS_r06.json, 50/50): the
         # round-6 window, now cumulative coverage. --------------------
         "text_strip_html": q_strip_html,
@@ -14120,6 +14276,274 @@ def oracle_sql() -> dict[str, str]:
           round(CAST(n_rows AS DOUBLE) / CAST(n_files AS DOUBLE), 6)
             AS rows_per_file
         FROM flf
+    """
+
+    # --- round 8: ANN index lifecycle / snapshot drift / stream resume ---
+
+    def _pividx(corpus_where: str, planes_where: str) -> str:
+        """CTE body producing the (vec_id, bucket) pivot-LSH index of
+        the ``corpus_where`` subset hashed under the plane family
+        derived from the ``planes_where`` subset — the DuckDB twin of
+        similarity.pivot_lsh_index(pivot_lsh_planes(...))."""
+        d = _dot_sql("c.embedding", "piv.pvec")
+        return f"""
+          SELECT c.vec_id,
+                 CAST(sum(CASE WHEN round({d}, 6) > 0
+                               THEN (1 << piv.p) ELSE 0 END)
+                      AS BIGINT) AS bucket
+          FROM (SELECT vec_id, embedding FROM snap_a
+                WHERE {corpus_where}) c,
+               (SELECT plane_id, pvec,
+                       CAST(row_number() OVER (ORDER BY plane_id) - 1
+                            AS BIGINT) AS p
+                FROM (SELECT vec_id AS plane_id, embedding AS pvec
+                      FROM snap_a WHERE {planes_where}
+                      ORDER BY vec_id LIMIT 6)) piv
+          GROUP BY 1
+        """
+
+    # snap_a = embeddings plus the ingest clones (vec_id 1100..1104
+    # re-keyed copies of 100..104) — the fixture _ann_corpus_split
+    # builds Spark-side.  old = vec_id >= 10 AND < 1000; the merged
+    # index buckets EVERYTHING under old's planes (union of old and
+    # new bucketed with the same frozen family).
+    _ann_snap = """
+        snap_a AS (
+          SELECT vec_id, embedding, label FROM embeddings
+          UNION ALL
+          SELECT vec_id + 1000 AS vec_id, embedding, label
+          FROM embeddings WHERE vec_id >= 100 AND vec_id < 105
+        )"""
+
+    sqls["ann_index_merge_cert"] = f"""
+        WITH {_ann_snap},
+        merged AS ({_pividx('TRUE', 'vec_id >= 10 AND vec_id < 1000')}),
+        fresh AS ({_pividx('TRUE', 'TRUE')}),
+        j AS (SELECT m.bucket AS mb, f.bucket AS fb
+              FROM merged m JOIN fresh f USING (vec_id))
+        SELECT CAST(count(*) AS BIGINT) AS n_index,
+               CAST(count(*) AS BIGINT) AS n_rebuilt,
+               CAST(sum(CASE WHEN mb = fb THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_same_bucket,
+               CAST(sum(CASE WHEN mb <> fb THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_moved,
+               round(CAST(sum(CASE WHEN mb <> fb THEN 1 ELSE 0 END)
+                          AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+                 AS moved_frac
+        FROM j
+    """
+
+    sqls["ann_index_compaction"] = f"""
+        WITH snap_a AS (SELECT vec_id, embedding FROM embeddings),
+        idx AS ({_pividx('TRUE', 'TRUE')}),
+        replayed AS (SELECT * FROM idx
+                     UNION ALL
+                     SELECT * FROM idx WHERE vec_id % 3 = 0),
+        deduped AS (SELECT DISTINCT vec_id, bucket FROM replayed),
+        live AS (SELECT d.* FROM deduped d
+                 WHERE d.vec_id % 7 <> 3),
+        sizes AS (SELECT bucket, count(*) AS n FROM live GROUP BY 1)
+        SELECT l.vec_id, l.bucket
+        FROM live l JOIN sizes s USING (bucket)
+        WHERE s.n <= 12
+    """
+
+    sqls["ann_index_bucket_profile"] = f"""
+        WITH {_ann_snap},
+        merged AS ({_pividx('TRUE', 'vec_id >= 10 AND vec_id < 1000')}),
+        sizes AS (SELECT bucket, count(*) AS sz FROM merged GROUP BY 1)
+        SELECT CAST(sum(sz) AS BIGINT) AS n_rows,
+               CAST(count(*) AS BIGINT) AS n_buckets,
+               CAST(max(sz) AS BIGINT) AS max_bucket_sz,
+               round(CAST(sum(sz) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+                 AS mean_bucket,
+               CAST(sum(CASE WHEN sz > 12 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_over_cap,
+               round(sum(CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE))
+                     / CAST(sum(sz) AS DOUBLE), 6)
+                 AS expected_candidates
+        FROM sizes
+    """
+
+    _nv_cos = _cos_sql("nv.embedding", "cv.embedding")
+    sqls["ann_incremental_pipeline"] = f"""
+        WITH {_ann_snap},
+        old_idx AS ({_pividx('vec_id >= 10 AND vec_id < 1000',
+                             'vec_id >= 10 AND vec_id < 1000')}),
+        new_idx AS ({_pividx('vec_id < 10 OR vec_id >= 1000',
+                             'vec_id >= 10 AND vec_id < 1000')}),
+        probed AS (
+          SELECT vec_id, bucket FROM new_idx
+          UNION ALL
+          SELECT vec_id, xor(bucket, CAST((1 << gs.p) AS BIGINT))
+          FROM new_idx, generate_series(0, 5) AS gs(p)
+        ),
+        dup_ids AS (
+          SELECT DISTINCT p.vec_id
+          FROM probed p
+          JOIN old_idx o USING (bucket)
+          JOIN snap_a nv ON nv.vec_id = p.vec_id
+          JOIN snap_a cv ON cv.vec_id = o.vec_id
+          WHERE round({_nv_cos}, 6) >= 0.98
+        ),
+        n_old AS (SELECT count(*) AS n FROM old_idx),
+        n_new AS (SELECT count(*) AS n FROM new_idx),
+        n_dup AS (SELECT count(*) AS n FROM dup_ids),
+        n_acc AS (SELECT n_new.n - n_dup.n AS n FROM n_new, n_dup),
+        merged AS (
+          SELECT * FROM old_idx
+          UNION ALL
+          SELECT * FROM new_idx
+          WHERE vec_id NOT IN (SELECT vec_id FROM dup_ids)
+        ),
+        dedup AS (SELECT DISTINCT vec_id, bucket FROM merged),
+        sizes AS (SELECT bucket, count(*) AS n FROM dedup GROUP BY 1),
+        n_merged AS (SELECT count(*) AS n FROM merged),
+        n_comp AS (SELECT count(*) AS n
+                   FROM dedup d JOIN sizes s USING (bucket)
+                   WHERE s.n <= 12)
+        SELECT 'index_before' AS stage, CAST(n AS BIGINT) AS n_rows
+        FROM n_old
+        UNION ALL SELECT 'new_batch', CAST(n AS BIGINT) FROM n_new
+        UNION ALL SELECT 'screened_dup', CAST(n AS BIGINT) FROM n_dup
+        UNION ALL SELECT 'accepted', CAST(n AS BIGINT) FROM n_acc
+        UNION ALL SELECT 'index_merged', CAST(n AS BIGINT) FROM n_merged
+        UNION ALL SELECT 'index_compacted', CAST(n AS BIGINT) FROM n_comp
+    """
+
+    # recall-after-merge: the ann_lsh_pivot SQL with the plane CTE
+    # re-derived from the STALE (pre-merge) subset, wrapped in the
+    # standing recall-certificate join (hits vs exact top-5).
+    _stale_piv = """FROM (SELECT vec_id AS plane_id, embedding AS pvec
+                FROM embeddings ORDER BY vec_id LIMIT 6)"""
+    _stale_piv_new = """FROM (SELECT vec_id AS plane_id, embedding AS pvec
+                FROM embeddings WHERE vec_id >= 10
+                ORDER BY vec_id LIMIT 6)"""
+    assert _stale_piv in sqls["ann_lsh_pivot"]
+    _stale_search = sqls["ann_lsh_pivot"].replace(_stale_piv, _stale_piv_new)
+    sqls["ann_recall_after_merge"] = f"""
+        SELECT e.query_id,
+               CAST(count(c.neighbor_id) AS BIGINT) AS hits,
+               round(CAST(count(c.neighbor_id) AS DOUBLE) / 5, 6)
+                 AS recall_at_5
+        FROM ({sqls['ann_topk_cosine']}) e
+        LEFT JOIN ({_stale_search}) c
+          ON e.query_id = c.query_id AND e.neighbor_id = c.neighbor_id
+        GROUP BY 1
+    """
+
+    # snapshot B: drop vec_id%10==7, bump label on vec_id%10==3, add
+    # clones of vec_id<5 re-keyed +100000 (_snapshot_b Spark-side)
+    _snap_b = """
+        snap_b AS (
+          SELECT vec_id, embedding,
+                 CASE WHEN vec_id % 10 = 3 THEN label + 1 ELSE label END
+                   AS label
+          FROM embeddings WHERE vec_id % 10 <> 7
+          UNION ALL
+          SELECT vec_id + 100000 AS vec_id, embedding, label
+          FROM embeddings WHERE vec_id < 5
+        )"""
+
+    sqls["embedding_snapshot_diff"] = f"""
+        WITH {_snap_b},
+        j AS (
+          SELECT a.vec_id AS ida, b.vec_id AS idb,
+                 CASE WHEN a.vec_id IS NULL THEN 'added'
+                      WHEN b.vec_id IS NULL THEN 'removed'
+                      WHEN a.embedding = b.embedding
+                           AND a.label = b.label THEN 'unchanged'
+                      ELSE 'changed' END AS status
+          FROM embeddings a FULL OUTER JOIN snap_b b USING (vec_id)
+        )
+        SELECT status, CAST(count(*) AS BIGINT) AS n_ids FROM j
+        GROUP BY 1
+    """
+
+    # drift certificate: per-dim exact-decimal centroid means per
+    # side, dot/l2 reductions round(9) into DECIMAL(27,9) — the
+    # centroid_shift numeric contract applied across snapshots.
+    sqls["embedding_snapshot_drift"] = f"""
+        WITH {_snap_b},
+        both_sides AS (
+          SELECT label AS g, 'a' AS side, vec_id, embedding
+          FROM embeddings
+          UNION ALL
+          SELECT label AS g, 'b' AS side, vec_id, embedding FROM snap_b
+        ),
+        exploded AS (
+          SELECT g, side, gs.pos,
+                 round(CAST(embedding[gs.pos] AS DOUBLE), 6) AS v
+          FROM both_sides, LATERAL (
+            SELECT unnest(generate_series(1, len(embedding))) AS pos
+          ) gs
+        ),
+        per_dim AS (
+          SELECT g, side, pos,
+                 round({_dsum_sql('v')} / count(*), 6) AS m,
+                 count(*) AS n
+          FROM exploded GROUP BY 1, 2, 3
+        ),
+        pair AS (
+          SELECT g, pos,
+                 max(CASE WHEN side = 'a' THEN m END) AS ca,
+                 max(CASE WHEN side = 'b' THEN m END) AS cb,
+                 max(CASE WHEN side = 'a' THEN n END) AS n_a,
+                 max(CASE WHEN side = 'b' THEN n END) AS n_b
+          FROM per_dim GROUP BY 1, 2
+        ),
+        red AS (
+          SELECT g,
+                 CAST(COALESCE(max(n_a), 0) AS BIGINT) AS n_a,
+                 CAST(COALESCE(max(n_b), 0) AS BIGINT) AS n_b,
+                 CAST(sum(CAST(round(ca * cb, 9) AS DECIMAL(27,9)))
+                      AS DOUBLE) AS dotp,
+                 CAST(sum(CAST(round(ca * ca, 9) AS DECIMAL(27,9)))
+                      AS DOUBLE) AS na,
+                 CAST(sum(CAST(round(cb * cb, 9) AS DECIMAL(27,9)))
+                      AS DOUBLE) AS nb,
+                 CAST(sum(CAST(round((ca - cb) * (ca - cb), 9)
+                               AS DECIMAL(27,9))) AS DOUBLE) AS l2
+          FROM pair GROUP BY 1
+        ),
+        norms AS (
+          SELECT g,
+                 round(CAST(sum(CASE WHEN side = 'a' THEN
+                         CAST(round({_norm2_sql('embedding')}, 6)
+                              AS DECIMAL(27,6)) END) AS DOUBLE)
+                       / CAST(sum(CASE WHEN side = 'a' THEN 1 ELSE 0 END)
+                              AS DOUBLE), 6) AS norm_a,
+                 round(CAST(sum(CASE WHEN side = 'b' THEN
+                         CAST(round({_norm2_sql('embedding')}, 6)
+                              AS DECIMAL(27,6)) END) AS DOUBLE)
+                       / CAST(sum(CASE WHEN side = 'b' THEN 1 ELSE 0 END)
+                              AS DOUBLE), 6) AS norm_b
+          FROM both_sides GROUP BY 1
+        )
+        SELECT r.g AS label, r.n_a, r.n_b,
+               round(r.dotp / sqrt(r.na * r.nb), 6) AS cosine,
+               round(sqrt(r.l2), 6) AS l2_shift,
+               n.norm_a, n.norm_b,
+               COALESCE(round(r.dotp / sqrt(r.na * r.nb), 6) < 0.9, TRUE)
+                 AS drifted
+        FROM red r JOIN norms n ON n.g = r.g
+    """
+
+    # the resume certificate's cells are order/batching-independent,
+    # so the oracle is the plain batch CMS over the whole input —
+    # equality IS the state-survives-restart claim.
+    _resume_cells = " UNION ALL ".join(
+        f"SELECT {i} AS row_id,"
+        f" {hash_mod_sql(f'cms11r{i}', 'k', 64)} AS col_id"
+        f" FROM (SELECT CAST(user_id AS BIGINT) AS k FROM events"
+        f"       WHERE user_id IS NOT NULL)"
+        for i in range(3)
+    )
+    sqls["stream_cms_resume"] = f"""
+        SELECT CAST(row_id AS INTEGER) AS row_id,
+               CAST(col_id AS INTEGER) AS col_id,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM ({_resume_cells}) GROUP BY 1, 2
     """
 
     return sqls

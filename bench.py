@@ -267,6 +267,13 @@ def main() -> int:
         "shared16_subtotal": round(
             sum(timings[n] for n in SHARED16 if n in timings), 3),
         "sf": os.path.basename(args.sf_dir.rstrip("/")),
+        # Machine-load context (VERDICT r7 ask #6): the r7 driver
+        # reading ran on a hot machine (+12% vs quiesced snapshots
+        # with zero plan changes).  Recording the 1/5/15-min load
+        # average lets the judge separate "code got slower" from
+        # "machine was busy" without re-running anything.
+        "load_avg": [round(x, 2) for x in os.getloadavg()],
+        "cpus": os.cpu_count(),
     }
     # Full result (with the per-rep spreads map) goes to a side file;
     # the stdout line stays compact.  BENCH_r05 lesson: the spreads map

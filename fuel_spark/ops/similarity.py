@@ -610,6 +610,37 @@ def lsh_ann(
     )
 
 
+def pivot_lsh_planes(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+) -> DataFrame:
+    """The pivot-LSH hash family as a frame: the ``n_planes``
+    LOWEST-ID vectors of ``df`` with a dense bit position ``p``
+    (0..n_planes-1, plane_id order).  Extracted from
+    :func:`pivot_lsh_ann` so the family can be FROZEN — built once
+    from the original corpus and reused to bucket later ingest
+    batches (:func:`ann_merge_into_index`), the property a long-lived
+    index needs: re-deriving planes from a grown corpus silently
+    re-hashes every bucket (measured by
+    :func:`ann_index_merge_certificate`).
+
+    TakeOrdered constant (broadcast); the bit-position window runs
+    over ≤ n_planes rows.
+    """
+    return broadcast(
+        df.select(
+            F.col(id_col).alias("plane_id"), F.col(vec_col).alias("pvec")
+        )
+        .orderBy("plane_id")
+        .limit(n_planes)
+        .withColumn(
+            "p", F.row_number().over(Window.orderBy("plane_id")) - F.lit(1)
+        )
+    )
+
+
 def pivot_lsh_ann(
     corpus: DataFrame,
     queries: DataFrame,
@@ -618,6 +649,7 @@ def pivot_lsh_ann(
     k: int = 5,
     n_planes: int = 6,
     probes: int = 1,
+    planes_from: DataFrame | None = None,
 ) -> DataFrame:
     """Deterministic hyperplane-LSH top-k: the hash planes are the
     ``n_planes`` LOWEST-ID corpus vectors themselves (data-dependent
@@ -661,17 +693,14 @@ def pivot_lsh_ann(
             "bucket), 1 (radius-1), or 2 (radius-2, bit pairs) only"
         )
 
-    planes = broadcast(
-        corpus.select(
-            F.col(id_col).alias("plane_id"), F.col(vec_col).alias("pvec")
-        )
-        .orderBy("plane_id")
-        .limit(n_planes)
-        # dense bit position 0..n_planes-1 (window over ≤n_planes
-        # rows — allowlisted aggregate-sized SinglePartition)
-        .withColumn(
-            "p", F.row_number().over(Window.orderBy("plane_id")) - F.lit(1)
-        )
+    # dense bit position 0..n_planes-1 (window over ≤n_planes rows —
+    # allowlisted aggregate-sized SinglePartition).  ``planes_from``
+    # freezes the family on a different frame (the pre-merge corpus)
+    # so a merged-but-not-reindexed index stays searchable — the
+    # stale-index recall path ann_recall_after_merge measures.
+    planes = pivot_lsh_planes(
+        planes_from if planes_from is not None else corpus,
+        id_col, vec_col, n_planes,
     )
 
     def bucketed(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
@@ -2421,3 +2450,433 @@ def kcenter_coreset(
                 ).alias("dist"),
             ).localCheckpoint(eager=False)
     return selected.select("rank", F.col("vid").alias(id_col), "radius")
+
+
+# ---------------------------------------------------------------------------
+# ANN index lifecycle (round 8) — build / merge / compact / certify, the
+# vector-index mirror of the MinHash band-index lifecycle in ops/dedup.py
+# (with_minhash_bands → merge_into_index → compact_index).  Reference
+# parity anchor: fuel's datasets are static snapshots (fuel/datasets/
+# base.py); a production vector store needs the maintenance passes the
+# reference never had.  All paths are plain DataFrame algebra over the
+# deterministic pivot-plane family, so every certificate is
+# oracle-checkable end-to-end.
+# ---------------------------------------------------------------------------
+
+
+def pivot_lsh_index(
+    df: DataFrame,
+    planes: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Bucket every vector of ``df`` under a FROZEN pivot-plane
+    family: bit p of the bucket is the sign of the dot product with
+    plane p (the :func:`pivot_lsh_ann` hash, dots folded
+    left-to-right and round(6)'d, so buckets are bit-identical
+    cross-engine).  Output (id, bucket) is the persisted index —
+    vector payloads stay in the vector table and joins come back by
+    id, so index rows are 16 bytes regardless of dimension.
+
+    Scale shape: one broadcast nested-loop pass (N × n_planes rows)
+    reduced by a map-side-combinable conditional SUM — no fact-wide
+    window, one shuffle onto the id.
+    """
+    from fuel_spark.functions import dot_expr
+
+    return (
+        df.select(F.col(id_col), F.col(vec_col).alias("_v"))
+        .crossJoin(planes)
+        .withColumn("_dot", F.round(dot_expr("_v", "pvec"), 6))
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("_dot") > 0,
+                    F.expr("shiftleft(1, p)").cast("long"),
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("bucket")
+        )
+    )
+
+
+def ann_merge_into_index(
+    index: DataFrame,
+    new_vectors: DataFrame,
+    planes: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    index_id_col: str = "vec_id",
+) -> DataFrame:
+    """Incremental vector-index maintenance — the ANN twin of
+    ``ops.dedup.merge_into_index`` (dedup.py): new vectors are
+    bucketed under the SAME frozen plane family and their (id,
+    bucket) rows appended, so the next search probes both the frozen
+    corpus and everything accepted since, with NO rebuild.
+
+    Pure union of narrow projections — no shuffle beyond the new
+    batch's own bucketing; in production append the new rows to the
+    index's parquet partition (write_dataset mode='append').  The id
+    is cast to the index's id dtype so unions stay schema-stable
+    across ingest sources.
+
+    What this does NOT do: re-derive the planes.  A family re-derived
+    from the grown corpus re-hashes EVERY existing bucket (full
+    rebuild); :func:`ann_index_merge_certificate` measures exactly
+    that drift, and :func:`ann_recall_after_merge` prices the recall
+    cost of staying stale.
+    """
+    new_rows = pivot_lsh_index(new_vectors, planes, id_col, vec_col)
+    id_type = dict(index.dtypes)[index_id_col]
+    return index.unionByName(
+        new_rows.select(
+            F.col(id_col).cast(id_type).alias(index_id_col), "bucket"
+        )
+    )
+
+
+def ann_compact_index(
+    index: DataFrame,
+    live_ids: DataFrame | None = None,
+    id_col: str = "vec_id",
+    max_bucket: int | None = None,
+    index_id_col: str = "vec_id",
+) -> DataFrame:
+    """Periodic compaction of an append-only vector index — the ANN
+    twin of ``ops.dedup.compact_index``, dropping the same three
+    decays: (1) REPLAYED rows from re-merged batches / at-least-once
+    ingest (dropDuplicates on the full row); (2) TOMBSTONES — vectors
+    later deleted from the corpus (takedowns, re-embeds that
+    superseded an id) whose index rows would surface dangling
+    neighbor ids (left_semi against ``live_ids``); (3) HOT BUCKETS —
+    degenerate hash cells larger than ``max_bucket`` whose members
+    dominate every probe's candidate list for near-zero selectivity
+    (the multi-probe search scans them on most queries: pure rerank
+    tax, see :func:`ann_index_profile`'s expected-candidates metric).
+
+    Shuffle story mirrors the dedup twin: one dropDuplicates shuffle
+    on the row, one bucket-sizing agg joined back (bucket-count-sized
+    frame), one optional left_semi on the id — linear in index rows,
+    nothing pairwise.
+
+    Re-hashing note: changing the plane family itself (n_planes, or
+    re-deriving pivots from the grown corpus) is NOT a compaction —
+    that is a rebuild via :func:`pivot_lsh_index` over the live
+    corpus.
+    """
+    cols = index.columns
+    if index_id_col not in cols:
+        raise ValueError(
+            f"ann_compact_index: index has no column {index_id_col!r} "
+            f"(columns: {cols}); pass index_id_col explicitly"
+        )
+    out = index.dropDuplicates(cols)
+    if live_ids is not None:
+        id_type = dict(index.dtypes)[index_id_col]
+        keep = live_ids.select(
+            F.col(id_col).cast(id_type).alias(index_id_col)
+        ).distinct()
+        out = out.join(keep, index_id_col, "left_semi")
+    if max_bucket is not None:
+        sizes = out.groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("_bucket_n")
+        )
+        out = (
+            out.join(sizes, "bucket")
+            .where(F.col("_bucket_n") <= int(max_bucket))
+            .drop("_bucket_n")
+        )
+    return out
+
+
+def ann_index_profile(
+    index: DataFrame,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Vector-index health report — the dashboard that tells an index
+    owner when to run :func:`ann_compact_index` (the ANN twin of
+    ``ops.dedup.index_bucket_profile``): one row with total rows,
+    bucket count, largest/mean bucket, buckets over the cap, and
+    ``expected_candidates`` — the size-biased mean bucket size
+    Σsz²/N, i.e. how many candidates a uniformly-random vector's OWN
+    bucket hands the exact rerank.  That last number is the search's
+    per-probe cost driver: a skewed index can keep a healthy mean
+    while expected_candidates (what queries actually feel) explodes.
+
+    One bucket-count shuffle then a single-row rollup — both
+    map-side combinable, no window.
+    """
+    sizes = index.groupBy("bucket").agg(F.count(F.lit(1)).alias("_sz"))
+    cap = int(max_bucket) if max_bucket is not None else None
+    return sizes.agg(
+        F.sum("_sz").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("_sz").cast("bigint").alias("max_bucket_sz"),
+        F.round(
+            F.sum("_sz").cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("mean_bucket"),
+        (
+            F.sum(F.when(F.col("_sz") > cap, 1).otherwise(0))
+            if cap is not None
+            else F.lit(0)
+        ).cast("bigint").alias("n_over_cap"),
+        F.round(
+            F.sum(F.col("_sz").cast("double") * F.col("_sz").cast("double"))
+            / F.sum("_sz").cast("double"),
+            6,
+        ).alias("expected_candidates"),
+    )
+
+
+def ann_index_merge_certificate(
+    merged_index: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+    index_id_col: str = "vec_id",
+) -> DataFrame:
+    """Merged-vs-rebuilt drift certificate: rebuild the index FRESH
+    over the full corpus (planes re-derived, the thing
+    :func:`ann_merge_into_index` deliberately does not do) and count
+    how many vectors the stale family files in a different bucket.
+    One row: n_index, n_rebuilt, n_same_bucket, n_moved, moved_frac.
+    moved_frac is the re-index pressure gauge — 0 while ingest ids
+    stay above the pivot ids (the family is untouched), jumping the
+    moment a batch inserts below them; read it together with
+    :func:`ann_recall_after_merge`, which prices the same staleness
+    in recall terms.
+
+    Scale shape: one fresh bucketing pass (broadcast nested loop +
+    conditional-sum agg) and one id-keyed equi-join of two
+    16-byte-row frames; the certificate row is a single rollup.
+    """
+    fresh = pivot_lsh_index(
+        corpus, pivot_lsh_planes(corpus, id_col, vec_col, n_planes),
+        id_col, vec_col,
+    ).select(F.col(id_col).alias("_fid"), F.col("bucket").alias("_fb"))
+    joined = merged_index.join(
+        fresh, merged_index[index_id_col] == fresh["_fid"], "full_outer"
+    )
+    return joined.agg(
+        F.count(merged_index[index_id_col]).cast("bigint").alias("n_index"),
+        F.count(F.col("_fid")).cast("bigint").alias("n_rebuilt"),
+        F.sum(
+            F.when(F.col("bucket") == F.col("_fb"), 1).otherwise(0)
+        ).cast("bigint").alias("n_same_bucket"),
+        F.sum(
+            F.when(
+                F.col("bucket").isNotNull()
+                & F.col("_fb").isNotNull()
+                & (F.col("bucket") != F.col("_fb")),
+                1,
+            ).otherwise(0)
+        ).cast("bigint").alias("n_moved"),
+    ).withColumn(
+        "moved_frac",
+        F.round(
+            F.col("n_moved").cast("double")
+            / F.greatest(F.col("n_index"), F.lit(1)).cast("double"),
+            6,
+        ),
+    )
+
+
+def ann_incremental_summary(
+    corpus_old: DataFrame,
+    new_batch: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+    sim_threshold: float = 0.98,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """The ANN ingest lifecycle as ONE audited composite — the
+    vector-space twin of ``ops.dedup.incremental_dedup_summary``:
+    SCREEN the new batch against the frozen-plane index (in-bucket
+    exact cosine ≥ ``sim_threshold`` ⇒ near-duplicate of an already-
+    indexed vector, dropped), MERGE the survivors' rows in, COMPACT
+    (replay dedupe + hot-bucket cap), and emit one row per stage so
+    an ingest run leaves an audit trail instead of four ad-hoc
+    counts.  Output: stage, n_rows — stages index_before, new_batch,
+    screened_dup, accepted, index_merged, index_compacted.
+
+    Screen shape: the new side buckets once and probes radius-1
+    (flip each bit) like the search path, the corpus side is joined
+    by bucket then by id back to its vectors — candidate volume is
+    bounded by bucket sizes exactly as in :func:`pivot_lsh_ann`,
+    never pairwise.  The merged index is localCheckpointed once
+    (lazy) against the merge/compact double-reference replay.
+    """
+    planes = pivot_lsh_planes(corpus_old, id_col, vec_col, n_planes)
+    index_before = pivot_lsh_index(corpus_old, planes, id_col, vec_col)
+    # multi-referenced below (screen join + merge + certificate
+    # callers): pin the narrow frame once
+    index_before = index_before.localCheckpoint(eager=False)
+
+    nb = pivot_lsh_index(new_batch, planes, id_col, vec_col)
+    if n_planes > 0:
+        flips = ", ".join(f"bucket ^ {1 << p}L" for p in range(n_planes))
+        nb = nb.withColumn(
+            "bucket", F.expr(f"explode(array(bucket, {flips}))")
+        )
+    cand = (
+        nb.withColumnRenamed(id_col, "_nid")
+        .join(index_before, "bucket")
+        .join(
+            new_batch.select(
+                F.col(id_col).alias("_nid"), F.col(vec_col).alias("_nv")
+            ),
+            "_nid",
+        )
+        .join(
+            corpus_old.select(
+                F.col(id_col), F.col(vec_col).alias("_cv")
+            ),
+            id_col,
+        )
+    )
+    dup_ids = (
+        cand.withColumn("_cos", F.round(cosine_expr("_nv", "_cv"), 6))
+        .where(F.col("_cos") >= float(sim_threshold))
+        .select(F.col("_nid").alias(id_col))
+        .distinct()
+    )
+    accepted = new_batch.join(dup_ids, id_col, "left_anti")
+    merged = ann_merge_into_index(
+        index_before, accepted, planes, id_col, vec_col, id_col
+    ).localCheckpoint(eager=False)
+    compacted = ann_compact_index(merged, max_bucket=max_bucket,
+                                  index_id_col=id_col)
+
+    def one(stage: str, frame: DataFrame) -> DataFrame:
+        return frame.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows")
+        ).select(F.lit(stage).alias("stage"), "n_rows")
+
+    stages = [
+        one("index_before", index_before),
+        one("new_batch", new_batch),
+        one("screened_dup", dup_ids),
+        one("accepted", accepted),
+        one("index_merged", merged),
+        one("index_compacted", compacted),
+    ]
+    out = stages[0]
+    for s in stages[1:]:
+        out = out.unionByName(s)
+    return out
+
+
+def snapshot_drift_certificate(
+    a: DataFrame,
+    b: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    cos_floor: float = 0.999,
+) -> DataFrame:
+    """Cross-SNAPSHOT embedding-drift certificate — the two-frame
+    generalization of :func:`centroid_shift` (which splits ONE corpus
+    into even/odd-id halves): given two snapshot frames (yesterday's
+    embeddings vs today's re-encode, or pre/post-encoder-upgrade),
+    per group it reports both counts, the cosine between the two
+    snapshot centroids, their euclidean distance, each side's mean
+    vector norm, and a ``drifted`` verdict (centroid cosine under
+    ``cos_floor``) — the one-table answer to "did the re-embed move
+    any class's region".  Pair it with
+    :func:`fuel_spark.sources.sink.snapshot_diff` (which ids changed)
+    and :func:`dataset_fingerprint` (whether anything changed at
+    all).
+
+    Numeric discipline is the :func:`centroid_shift` contract:
+    components round(6) into DECIMAL(27,6) before the mean, per-dim
+    products round(9) into DECIMAL(27,9) before the reduction, so
+    every aggregate is order/partitioning-independent and the whole
+    certificate runs under the exact-hash oracle gate.  Scale shape:
+    one posexplode per side feeding a (group, side, dim)-keyed
+    map-side-combinable agg; everything after is aggregate-sized.
+    """
+    from fuel_spark.functions import dot_expr
+
+    d6m = lambda c: F.round(
+        F.sum(F.round(c.cast("double"), 6).cast("decimal(27,6)"))
+        .cast("double") / F.count(F.lit(1)), 6)
+    sides = []
+    for tag, df in (("a", a), ("b", b)):
+        sides.append(
+            df.select(
+                F.col(group_col).alias("g"),
+                F.lit(tag).alias("side"),
+                F.posexplode(F.col(vec_col)).alias("pos", "v"),
+            )
+        )
+    exploded = sides[0].unionByName(sides[1])
+    per_dim = exploded.groupBy("g", "side", "pos").agg(
+        d6m(F.col("v")).alias("m"), F.count(F.lit(1)).alias("n")
+    )
+    pair = per_dim.groupBy("g", "pos").agg(
+        F.max(F.when(F.col("side") == "a", F.col("m"))).alias("ca"),
+        F.max(F.when(F.col("side") == "b", F.col("m"))).alias("cb"),
+        F.max(F.when(F.col("side") == "a", F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("side") == "b", F.col("n"))).alias("n_b"),
+    )
+    d9 = lambda c: F.round(c, 9).cast("decimal(27,9)")
+    red = pair.groupBy("g").agg(
+        # a group present in only one snapshot reads 0 on the other
+        # side (and drifted=true below), not NULL
+        F.coalesce(F.max("n_a"), F.lit(0)).cast("bigint").alias("n_a"),
+        F.coalesce(F.max("n_b"), F.lit(0)).cast("bigint").alias("n_b"),
+        F.sum(d9(F.col("ca") * F.col("cb"))).cast("double").alias("_dot"),
+        F.sum(d9(F.col("ca") * F.col("ca"))).cast("double").alias("_na"),
+        F.sum(d9(F.col("cb") * F.col("cb"))).cast("double").alias("_nb"),
+        F.sum(d9((F.col("ca") - F.col("cb")) * (F.col("ca") - F.col("cb"))))
+        .cast("double").alias("_l2"),
+    )
+    # per-side mean row norm: per-row norm rounds(6) first, then the
+    # exact-decimal mean — same order-independence story
+    norms = (
+        a.select(F.col(group_col).alias("g"), F.lit("a").alias("side"),
+                 F.col(vec_col).alias("_v"))
+        .unionByName(
+            b.select(F.col(group_col).alias("g"), F.lit("b").alias("side"),
+                     F.col(vec_col).alias("_v"))
+        )
+        .withColumn("_norm", F.round(F.sqrt(dot_expr("_v", "_v")), 6))
+        .groupBy("g")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("side") == "a",
+                             F.col("_norm").cast("decimal(27,6)")))
+                .cast("double")
+                / F.sum(F.when(F.col("side") == "a", 1).otherwise(0)), 6
+            ).alias("norm_a"),
+            F.round(
+                F.sum(F.when(F.col("side") == "b",
+                             F.col("_norm").cast("decimal(27,6)")))
+                .cast("double")
+                / F.sum(F.when(F.col("side") == "b", 1).otherwise(0)), 6
+            ).alias("norm_b"),
+        )
+    )
+    return (
+        red.join(norms, "g")
+        .select(
+            F.col("g").alias(group_col),
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("_dot") / F.sqrt(F.col("_na") * F.col("_nb")), 6
+            ).alias("cosine"),
+            F.round(F.sqrt(F.col("_l2")), 6).alias("l2_shift"),
+            "norm_a",
+            "norm_b",
+        )
+        .withColumn(
+            # NULL cosine means the group exists in one snapshot only
+            # — definitionally drifted
+            "drifted",
+            F.coalesce(
+                F.col("cosine") < F.lit(float(cos_floor)), F.lit(True)
+            ),
+        )
+    )

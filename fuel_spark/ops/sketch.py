@@ -97,7 +97,12 @@ def quantile_sketch(
         F.col(value_col).asc(), F.col(key_col).asc()
     )
     ranked = sample.withColumn("_rn", F.row_number().over(w))
-    m = ranked.groupBy(*gcols).agg(F.max("_rn").alias("sample_n"))
+    # bigint, not row_number's int32: keeps the output dtype identical
+    # to the DuckDB oracle's count (benign for the stringified hash,
+    # but three driver-window queries read this column — pin it)
+    m = ranked.groupBy(*gcols).agg(
+        F.max("_rn").cast("bigint").alias("sample_n")
+    )
 
     pr = spark.createDataFrame([(float(p),) for p in probs], "prob double")
     targets = m.join(F.broadcast(pr)).withColumn(

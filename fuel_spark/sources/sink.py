@@ -245,3 +245,51 @@ def dataset_fingerprint(df: DataFrame) -> DataFrame:
             F.sum(F.xxhash64(*df.columns).cast("decimal(38,0)")), two64
         ).cast("decimal(20,0)").alias("fingerprint"),
     )
+
+
+def snapshot_diff(
+    a: DataFrame,
+    b: DataFrame,
+    id_col: str,
+) -> DataFrame:
+    """Row-level diff of two dataset snapshots keyed on ``id_col``:
+    per id, status ``added`` (only in b), ``removed`` (only in a),
+    ``changed`` (both, any shared non-id column differs under
+    null-safe equality), ``unchanged``.  The companion to
+    :func:`dataset_fingerprint` — the fingerprint says WHETHER two
+    snapshots differ; this says WHERE, without hashing (column
+    comparison is exact, including array columns, so embedding
+    re-encodes are caught element-for-element).
+
+    One id-keyed full-outer shuffle join, then a per-row CASE — no
+    window, no collect; at 100 TB both sides bucket/partition by the
+    id and AQE picks the join.  Columns are compared by NAME over the
+    intersection of the two schemas (minus the id), so a snapshot
+    that gained a column diffs on the shared ones.
+
+    Output: id, status — feed to groupBy(status).count() for the
+    summary, or join back by id for the changed-row payloads.
+    """
+    from pyspark.sql import functions as F
+
+    shared = [c for c in a.columns if c in set(b.columns) and c != id_col]
+    la = a.select(
+        F.col(id_col).alias("_ida"),
+        *[F.col(c).alias(f"_a_{c}") for c in shared],
+    )
+    lb = b.select(
+        F.col(id_col).alias("_idb"),
+        *[F.col(c).alias(f"_b_{c}") for c in shared],
+    )
+    j = la.join(lb, la["_ida"] == lb["_idb"], "full_outer")
+    same = F.lit(True)
+    for c in shared:
+        same = same & F.col(f"_a_{c}").eqNullSafe(F.col(f"_b_{c}"))
+    return j.select(
+        F.coalesce(F.col("_ida"), F.col("_idb")).alias(id_col),
+        F.when(F.col("_ida").isNull(), F.lit("added"))
+        .when(F.col("_idb").isNull(), F.lit("removed"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+        .alias("status"),
+    )

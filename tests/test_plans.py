@@ -930,6 +930,13 @@ SINGLE_PARTITION_ALLOWLIST = {
     # r7 late: the 1-row cross-source correlation moments over the
     # domains-sized joined frame, broadcast back
     "dedup_savings_calibration",
+    # r8: ANN index lifecycle certificates — the merge cert's 1-row
+    # drift rollup and the profile's 1-row bucket-stats final both
+    # reduce the (≤2^n_planes)-bucket sizes frame; the pipeline's 6
+    # per-stage 1-row count aggregates are the incremental_dedup /
+    # linkage composite rationale (map-side-combined count funnels)
+    "ann_index_merge_cert", "ann_index_bucket_profile",
+    "ann_incremental_pipeline",
 }
 
 
