@@ -374,3 +374,166 @@ def test_pivot_lsh_radius2_candidates_superset_and_recall(spark):
     assert hits(2) >= hits(1) >= hits(0)
     with pytest.raises(ValueError):
         similarity.pivot_lsh_ann(e, q, probes=3)
+
+
+# --- round 8: ANN index lifecycle --------------------------------------
+
+
+def _tiny_corpus(spark, n=16, dims=8):
+    import math
+
+    rows = [
+        (i, [float(math.cos(0.7 * i + 0.3 * d)) for d in range(dims)])
+        for i in range(n)
+    ]
+    return from_rows(
+        spark, rows, schema="vec_id bigint, embedding array<float>"
+    )
+
+
+def test_ann_index_matches_search_bucketing(spark):
+    """pivot_lsh_index under pivot_lsh_planes files every vector in
+    [0, 2^n_planes) and agrees with the search path: a vector's
+    radius-0 self-probe must find itself in its own index bucket —
+    i.e. index buckets and pivot_lsh_ann's internal bucketing are the
+    SAME hash (consistency between the persisted index and the
+    searcher is the whole point of freezing the family)."""
+    e = _tiny_corpus(spark)
+    planes = similarity.pivot_lsh_planes(e, n_planes=4)
+    idx = {r.vec_id: r.bucket for r in
+           similarity.pivot_lsh_index(e, planes).collect()}
+    assert set(idx) == set(range(16))
+    assert all(0 <= b < 16 for b in idx.values())
+    # twin test: an exact duplicate re-keyed must land in the SAME
+    # bucket as its source (identical dot signs)
+    twin = e.where(F.col("vec_id") == 3).withColumn(
+        "vec_id", F.lit(99).cast("bigint")
+    )
+    tb = similarity.pivot_lsh_index(twin, planes).first().bucket
+    assert tb == idx[3]
+
+
+def test_ann_merge_keeps_old_rows_and_freezes_family(spark):
+    """Merging under the frozen family must leave every pre-existing
+    index row byte-identical and bucket the batch with the OLD
+    planes: merge cert reads n_moved == 0 when ingest ids stay above
+    the pivot ids (family unchanged), > 0 when a batch inserts below
+    them (the re-index pressure signal)."""
+    e = _tiny_corpus(spark, n=20)
+    old = e.where(F.col("vec_id") >= 4)
+    planes = similarity.pivot_lsh_planes(old, n_planes=4)
+    idx = similarity.pivot_lsh_index(old, planes)
+    before = {(r.vec_id, r.bucket) for r in idx.collect()}
+
+    # ids ABOVE every existing id: fresh rebuild derives the same
+    # pivots, nothing moves
+    high = e.where(F.col("vec_id") < 4).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(100)
+    )
+    merged_high = similarity.ann_merge_into_index(idx, high, planes)
+    assert before <= {(r.vec_id, r.bucket) for r in merged_high.collect()}
+    cert = similarity.ann_index_merge_certificate(
+        merged_high, old.unionByName(high), n_planes=4
+    ).first()
+    assert cert.n_index == cert.n_rebuilt == 20
+    assert cert.n_moved == 0 and cert.moved_frac == 0.0
+
+    # ids BELOW the pivots: the fresh family shifts, buckets move
+    low = e.where(F.col("vec_id") < 4)
+    merged_low = similarity.ann_merge_into_index(idx, low, planes)
+    cert2 = similarity.ann_index_merge_certificate(
+        merged_low, old.unionByName(low), n_planes=4
+    ).first()
+    assert cert2.n_moved > 0
+    assert cert2.n_same_bucket + cert2.n_moved == cert2.n_index
+
+
+def test_ann_compact_index_three_decays(spark):
+    """Compaction drops exactly the three decays: replayed rows
+    (dropDuplicates), tombstones (left_semi on live ids), hot buckets
+    (> max_bucket) — pinned on a hand-built index."""
+    idx = from_rows(
+        spark,
+        # bucket 7 holds ids 1..3 (hot at cap 2); bucket 9 holds 4..5;
+        # id 5 is a tombstone; (1, 7) is replayed twice
+        [(1, 7), (1, 7), (2, 7), (3, 7), (4, 9), (5, 9)],
+        schema="vec_id bigint, bucket bigint",
+    )
+    live = from_rows(
+        spark, [(i,) for i in (1, 2, 3, 4)], schema="vec_id bigint"
+    )
+    out = {
+        (r.vec_id, r.bucket)
+        for r in similarity.ann_compact_index(
+            idx, live_ids=live, max_bucket=2
+        ).collect()
+    }
+    # replay collapsed, id 5 gone; bucket 7 still has 3 members after
+    # dedupe+tombstone -> over cap 2 -> dropped entirely; bucket 9
+    # keeps its one survivor
+    assert out == {(4, 9)}
+
+
+def test_ann_index_profile_exact_stats(spark):
+    """Profile stats on a hand-built index: sizes {3, 1} give
+    expected_candidates = (9 + 1) / 4 = 2.5 (the size-biased mean a
+    random member's own bucket hands the rerank)."""
+    idx = from_rows(
+        spark,
+        [(1, 7), (2, 7), (3, 7), (4, 9)],
+        schema="vec_id bigint, bucket bigint",
+    )
+    p = similarity.ann_index_profile(idx, max_bucket=2).first()
+    assert p.n_rows == 4 and p.n_buckets == 2
+    assert p.max_bucket_sz == 3 and p.mean_bucket == 2.0
+    assert p.n_over_cap == 1
+    assert p.expected_candidates == 2.5
+
+
+def test_ann_incremental_summary_screens_exact_clones(spark):
+    """The composite's screen stage must catch an exact clone (cosine
+    1.0 in the source's own bucket) and the stage ledger must add up:
+    accepted = new - screened, merged = before + accepted."""
+    e = _tiny_corpus(spark, n=16)
+    old = e.where(F.col("vec_id") >= 4)
+    clones = old.where(F.col("vec_id").isin(5, 6)).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(100)
+    )
+    new = e.where(F.col("vec_id") < 4).unionByName(clones)
+    stages = {
+        r.stage: r.n_rows
+        for r in similarity.ann_incremental_summary(
+            old, new, n_planes=4, sim_threshold=0.999
+        ).collect()
+    }
+    assert stages["index_before"] == 12
+    assert stages["new_batch"] == 6
+    assert stages["screened_dup"] >= 2  # both clones, plus any true near-dups
+    assert stages["accepted"] == stages["new_batch"] - stages["screened_dup"]
+    assert stages["index_merged"] == stages["index_before"] + stages["accepted"]
+    assert stages["index_compacted"] == stages["index_merged"]  # no cap
+
+
+def test_snapshot_drift_identical_and_one_sided(spark):
+    """Identical snapshots read cosine 1.0 / l2 0 / not drifted; a
+    group present in only one snapshot reads count 0 on the other
+    side and drifted by definition."""
+    rows = [
+        (0, 0, [1.0, 0.0, 0.0, 0.0]),
+        (1, 0, [0.0, 1.0, 0.0, 0.0]),
+        (2, 1, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    a = from_rows(
+        spark, rows,
+        schema="vec_id bigint, label int, embedding array<float>",
+    )
+    same = {r.label: r for r in
+            similarity.snapshot_drift_certificate(a, a, "label").collect()}
+    assert same[0].cosine == 1.0 and same[0].l2_shift == 0.0
+    assert not same[0].drifted and same[0].n_a == same[0].n_b == 2
+
+    b = a.where(F.col("label") == 0)  # label 1 vanishes in snapshot B
+    got = {r.label: r for r in
+           similarity.snapshot_drift_certificate(a, b, "label").collect()}
+    assert got[1].n_b == 0 and got[1].drifted
+    assert got[1].cosine is None

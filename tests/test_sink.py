@@ -231,3 +231,51 @@ def test_dataset_fingerprint_even_multiplicity_not_cancelled(spark):
     assert f_aab.fingerprint != f_ab.fingerprint
     # in range [0, 2^64)
     assert 0 <= int(f_aab.fingerprint) < 2 ** 64
+
+
+def test_snapshot_diff_statuses_and_nullsafe(spark):
+    """Every status on one tiny pair of snapshots: added / removed /
+    changed (array element change AND scalar change) / unchanged —
+    and a NULL compared against NULL is unchanged (null-safe
+    equality, where a plain = would make it 'changed')."""
+    from fuel_spark.sources.sink import snapshot_diff
+
+    schema = "id bigint, v array<float>, tag string"
+    a = from_rows(
+        spark,
+        [
+            (1, [1.0, 2.0], "x"),
+            (2, [3.0, 4.0], None),
+            (3, [5.0, 6.0], "z"),
+            (4, [7.0, 8.0], "w"),
+        ],
+        schema=schema,
+    )
+    b = from_rows(
+        spark,
+        [
+            (1, [1.0, 2.5], "x"),   # array element changed
+            (2, [3.0, 4.0], None),  # unchanged (NULL == NULL null-safely)
+            (4, [7.0, 8.0], "W"),   # scalar changed
+            (5, [9.0, 0.0], "n"),   # added
+        ],                           # id 3 removed
+        schema=schema,
+    )
+    got = {r.id: r.status for r in snapshot_diff(a, b, "id").collect()}
+    assert got == {
+        1: "changed", 2: "unchanged", 3: "removed",
+        4: "changed", 5: "added",
+    }
+
+
+def test_snapshot_diff_compares_shared_columns_only(spark):
+    """A snapshot that gained a column diffs on the shared ones: same
+    shared values read unchanged even though B carries an extra
+    column."""
+    from fuel_spark.sources.sink import snapshot_diff
+
+    a = from_rows(spark, [(1, "t")], schema="id bigint, v string")
+    b = from_rows(
+        spark, [(1, "t", 9)], schema="id bigint, v string, extra int"
+    )
+    assert snapshot_diff(a, b, "id").first().status == "unchanged"

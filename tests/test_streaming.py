@@ -1064,3 +1064,35 @@ def test_sessionize_native_merges_across_batches(spark, workdir):
     closed = [(r.user_id, r.n_events, r.duration_sec) for r in got]
     # exactly one closed session for user 1, spanning both batches
     assert closed == [(1, 2, 600)]
+
+
+def test_cms_resume_certificate_state_survives_restart(spark, workdir):
+    """The resume certificate's whole claim, end to end: slice 2 is
+    fed in a SECOND availableNow run against the same checkpoint, so
+    the emitted cells can only equal the batch sketch of the WHOLE
+    input if the state store restored run 1's counters.  Also pins
+    the harness contract: a real restart happened (two runs, one
+    checkpoint) rather than one run seeing both slices."""
+    import pandas as pd
+
+    from fuel_spark.ops import sketch
+    from fuel_spark.sources import from_rows
+
+    rows = [(i % 17,) for i in range(300)]
+    df = from_rows(spark, rows, schema="user_id long")
+    cells = serve.cms_resume_certificate(
+        spark, df, "user_id", workdir=workdir, depth=3, width=32
+    )
+    got = {(r.row_id, r.col_id): r.cnt for r in cells.collect()}
+    batch = sketch.cms_build(
+        df.select(F.col("user_id").cast("long").alias("k")), "k",
+        depth=3, width=32,
+    )
+    want = {(r.row_id, r.col_id): r.cnt for r in batch.collect()}
+    assert got == want and sum(got.values()) == 3 * 300
+    # the checkpoint carries >= 2 committed batches (one per run) —
+    # the restart actually exercised state recovery
+    import os
+
+    commits = os.listdir(os.path.join(workdir, "ckpt", "commits"))
+    assert len([c for c in commits if not c.startswith(".")]) >= 2

@@ -144,6 +144,12 @@ def main() -> int:
             "layout_range_planner", "corpus_compressibility",
             "events_ab_cuped", "events_funnel_window_sweep",
             "events_ab_power_sweep", "dedup_savings_calibration",
+            # r8 additions: ANN index lifecycle + snapshot drift +
+            # stream resume
+            "ann_index_merge_cert", "ann_index_compaction",
+            "ann_index_bucket_profile", "ann_incremental_pipeline",
+            "ann_recall_after_merge", "embedding_snapshot_diff",
+            "embedding_snapshot_drift", "stream_cms_resume",
         ]
         if len(sys.argv) > 3:
             # explicit subset: smoke only these names (fast re-checks
