@@ -3978,6 +3978,67 @@ def q_embedding_snapshot_drift(spark, sf):
     )
 
 
+def q_ann_reindex_sweep(spark, sf):
+    """Re-index pressure sweep (r8 late): merge-cert drift rows at
+    three ingest shares (ids below 5 / 25 / 100 arriving after the
+    family froze on the rest) — the when-to-rebuild curve; the knob
+    sweep the single certificate can't answer."""
+    e = _t(spark, sf)["embeddings"]
+    return similarity.ann_reindex_pressure_sweep(
+        e,
+        [
+            ("ingest_005", F.col("vec_id") < 5),
+            ("ingest_025", F.col("vec_id") < 25),
+            ("ingest_100", F.col("vec_id") < 100),
+        ],
+    )
+
+
+def q_document_snapshot_diff(spark, sf):
+    """Snapshot diff on the TEXT table (r8 late): documents vs a
+    revision with drops (doc_id%13==5), text edits (%13==2), source
+    renames (%13==9) and five re-keyed additions — per-status id
+    counts; string/scalar columns compared null-safely, same operator
+    as the embedding twin."""
+    d = _t(spark, sf)["documents"]
+    kept = (
+        d.where(F.col("doc_id") % 13 != 5)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 13 == 2,
+                F.concat(F.col("text"), F.lit(" [rev2]")),
+            ).otherwise(F.col("text")),
+        )
+        .withColumn(
+            "source",
+            F.when(
+                F.col("doc_id") % 13 == 9,
+                F.concat(F.col("source"), F.lit("-v2")),
+            ).otherwise(F.col("source")),
+        )
+    )
+    added = d.where(F.col("doc_id") < 5).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1000000)
+    )
+    diff = sink_ops.snapshot_diff(d, kept.unionByName(added), "doc_id")
+    return diff.groupBy("status").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ids")
+    )
+
+
+def q_stream_kmv_resume(spark, sf):
+    """Streaming KMV checkpoint-RESUME certificate (r8 late): the
+    second resume-family member — CMS pins counter-array state, this
+    pins arg-min KEY state ((hashes, keys) arrays); bottom-k of
+    (restored bottom-k ∪ new) equals bottom-k of everything, so the
+    final per-type emission must equal the batch KMV estimate."""
+    e = _t(spark, sf)["events"]
+    return serve.kmv_resume_certificate(
+        spark, e, "event_type", "user_id", k=32, seed=7
+    )
+
+
 def q_stream_cms_resume(spark, sf):
     """Streaming CMS checkpoint-RESUME certificate (r8): the input
     split into two slices fed in two SEPARATE availableNow runs
@@ -4126,7 +4187,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_snapshot_diff": q_embedding_snapshot_diff,
         "embedding_snapshot_drift": q_embedding_snapshot_drift,
         "stream_cms_resume": q_stream_cms_resume,
-        # ---- end of the r9 seed block --------------------------------
+        # ---- end of the r9 seed block (exactly 50 keys) ---------------
+        # r10 seeds (positions 101+): r8-late oracle keys, never
+        # driver-checked; they start the r10 pool after r9 rotates.
+        "ann_reindex_sweep": q_ann_reindex_sweep,
+        "document_snapshot_diff": q_document_snapshot_diff,
+        "stream_kmv_resume": q_stream_kmv_resume,
+        # ---- end of the r10 seed block --------------------------------
         # ---- driver-green in r7 (CORRECTNESS_r07.json, 50/50): the
         # round-7 window, now cumulative coverage. --------------------
         "events_ks_test": q_ks_test,
@@ -14544,6 +14611,77 @@ def oracle_sql() -> dict[str, str]:
                CAST(col_id AS INTEGER) AS col_id,
                CAST(count(*) AS BIGINT) AS cnt
         FROM ({_resume_cells}) GROUP BY 1, 2
+    """
+
+    # re-index pressure sweep: per ingest cutoff, the merge-cert CTE
+    # pair (stale family from ids >= cutoff vs fresh family) labeled
+    # by split — generated from the same _pividx helper.
+    _sweep_rows = []
+    for lbl, cut in (("ingest_005", 5), ("ingest_025", 25),
+                     ("ingest_100", 100)):
+        _sweep_rows.append(f"""
+        SELECT '{lbl}' AS split,
+               CAST(count(*) AS BIGINT) AS n_index,
+               CAST(count(*) AS BIGINT) AS n_rebuilt,
+               CAST(sum(CASE WHEN m.bucket = f.bucket THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_same_bucket,
+               CAST(sum(CASE WHEN m.bucket <> f.bucket THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_moved,
+               round(CAST(sum(CASE WHEN m.bucket <> f.bucket
+                                   THEN 1 ELSE 0 END) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE), 6) AS moved_frac
+        FROM ({_pividx('TRUE', f'vec_id >= {cut}')}) m
+        JOIN ({_pividx('TRUE', 'TRUE')}) f USING (vec_id)
+        """)
+    sqls["ann_reindex_sweep"] = f"""
+        WITH snap_a AS (SELECT vec_id, embedding FROM embeddings)
+        {' UNION ALL '.join(_sweep_rows)}
+    """
+
+    sqls["document_snapshot_diff"] = """
+        WITH rev AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 13 = 2 THEN text || ' [rev2]'
+                      ELSE text END AS text,
+                 lang,
+                 CASE WHEN doc_id % 13 = 9 THEN source || '-v2'
+                      ELSE source END AS source,
+                 n_chars
+          FROM documents WHERE doc_id % 13 <> 5
+          UNION ALL
+          SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
+          FROM documents WHERE doc_id < 5
+        ),
+        j AS (
+          SELECT CASE WHEN a.doc_id IS NULL THEN 'added'
+                      WHEN b.doc_id IS NULL THEN 'removed'
+                      WHEN a.text = b.text AND a.lang = b.lang
+                           AND a.source = b.source
+                           AND a.n_chars = b.n_chars THEN 'unchanged'
+                      ELSE 'changed' END AS status
+          FROM documents a FULL OUTER JOIN rev b USING (doc_id)
+        )
+        SELECT status, CAST(count(*) AS BIGINT) AS n_ids FROM j
+        GROUP BY 1
+    """
+
+    # KMV resume: the stream's final state is order/batching-
+    # independent (bottom-k), so the oracle is the batch sketch's
+    # estimate columns over the whole input — the sketch_kmv_distinct
+    # SQL minus the exact/rel_err columns the resumed stream cannot
+    # know.
+    sqls["stream_kmv_resume"] = f"""
+        WITH {_kmv_sk},
+        agg AS (SELECT event_type, count(*) AS n_sketch,
+                  max(CASE WHEN rnk = 32 THEN h END) AS hk
+                FROM kmvsk GROUP BY 1)
+        SELECT event_type AS "group",
+               CAST(n_sketch AS BIGINT) AS n_sketch,
+               CASE WHEN n_sketch >= 32 THEN round(hk, 6)
+                    ELSE 2.0 END AS theta,
+               CASE WHEN n_sketch >= 32 THEN round(31.0 / hk, 6)
+                    ELSE CAST(n_sketch AS DOUBLE) END AS est_distinct
+        FROM agg
     """
 
     return sqls

@@ -2635,6 +2635,7 @@ def ann_index_merge_certificate(
     vec_col: str = "embedding",
     n_planes: int = 6,
     index_id_col: str = "vec_id",
+    _fresh_index: DataFrame | None = None,
 ) -> DataFrame:
     """Merged-vs-rebuilt drift certificate: rebuild the index FRESH
     over the full corpus (planes re-derived, the thing
@@ -2651,9 +2652,16 @@ def ann_index_merge_certificate(
     conditional-sum agg) and one id-keyed equi-join of two
     16-byte-row frames; the certificate row is a single rollup.
     """
-    fresh = pivot_lsh_index(
-        corpus, pivot_lsh_planes(corpus, id_col, vec_col, n_planes),
-        id_col, vec_col,
+    # _fresh_index: a sweep computing several certificates against
+    # the SAME corpus passes the rebuilt index once (lazily
+    # checkpointed) instead of re-bucketing per split
+    fresh = (
+        _fresh_index
+        if _fresh_index is not None
+        else pivot_lsh_index(
+            corpus, pivot_lsh_planes(corpus, id_col, vec_col, n_planes),
+            id_col, vec_col,
+        )
     ).select(F.col(id_col).alias("_fid"), F.col("bucket").alias("_fb"))
     joined = merged_index.join(
         fresh, merged_index[index_id_col] == fresh["_fid"], "full_outer"
@@ -2880,3 +2888,50 @@ def snapshot_drift_certificate(
             ),
         )
     )
+
+
+def ann_reindex_pressure_sweep(
+    corpus: DataFrame,
+    splits: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+) -> DataFrame:
+    """The when-to-REBUILD curve: for each (label, ingest_predicate)
+    in ``splits``, treat the matching rows as the batch that arrived
+    AFTER the index froze its plane family on the rest, and emit the
+    :func:`ann_index_merge_certificate` drift row labeled by split —
+    one table showing how re-index pressure (moved_frac) grows with
+    ingest share.  The sweep answers the operational question the
+    single certificate can't: at WHAT ingest fraction does staleness
+    cross the rebuild threshold — the knob-sweep pattern
+    (funnel_threshold_sweep / split_fraction_sweep) applied to index
+    maintenance.
+
+    Scale shape: per split, one frozen-family bucketing of the corpus
+    plus one fresh one and an id-keyed join of two 16 B-row frames —
+    the certificate's own shape, ×len(splits); splits is a
+    user-sized literal list, never data-derived.
+
+    Output per split: split, n_index, n_rebuilt, n_same_bucket,
+    n_moved, moved_frac.
+    """
+    # the fresh rebuild is split-independent: bucket once, pin once
+    fresh = pivot_lsh_index(
+        corpus, pivot_lsh_planes(corpus, id_col, vec_col, n_planes),
+        id_col, vec_col,
+    ).localCheckpoint(eager=False)
+    out = None
+    for label, pred in splits:
+        old = corpus.where(~pred)
+        planes = pivot_lsh_planes(old, id_col, vec_col, n_planes)
+        merged = ann_merge_into_index(
+            pivot_lsh_index(old, planes, id_col, vec_col),
+            corpus.where(pred), planes, id_col, vec_col, id_col,
+        )
+        row = ann_index_merge_certificate(
+            merged, corpus, id_col, vec_col, n_planes, id_col,
+            _fresh_index=fresh,
+        ).select(F.lit(str(label)).alias("split"), "*")
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -1092,6 +1092,60 @@ def sessionize_native(
     )
 
 
+def _sliced_restart_runs(
+    spark: SparkSession,
+    df: DataFrame,
+    slice_col: str,
+    schema_ddl: str,
+    workdir: str,
+    n_runs: int,
+    build_query,
+) -> list[list]:
+    """Shared restart harness for the resume certificates: split
+    ``df`` into ``n_runs`` deterministic slices (``slice_col`` mod
+    n_runs), stage slice i as a new source file, and run the stream
+    built by ``build_query`` with trigger availableNow against ONE
+    shared checkpoint — so every run after the first restores its
+    operator state from the state store, exactly a production
+    restart.  Returns the LAST run's collected foreachBatch rows
+    (update-mode: the current state of every group the final slice
+    touched).
+
+    Test apparatus by design — the production ops are the bounded-
+    state streams themselves; the driver-side read here is the final
+    emission only, sketch-sized by each stream's own contract.
+    """
+    import glob
+    import os
+    import shutil
+
+    src = os.path.join(workdir, "src")
+    ckpt = os.path.join(workdir, "ckpt")
+    os.makedirs(src, exist_ok=True)
+    final: list[list] = []
+    for run in range(int(n_runs)):
+        stage = os.path.join(workdir, f"stage{run}")
+        df.where(
+            F.pmod(F.col(slice_col), F.lit(int(n_runs))) == run
+        ).coalesce(1).write.mode("overwrite").parquet(stage)
+        for part in glob.glob(os.path.join(stage, "part-*.parquet")):
+            shutil.copy(part, os.path.join(src, f"{run:03d}.parquet"))
+        batches: list[list] = []
+        stream = spark.readStream.schema(schema_ddl).parquet(src)
+        q = (
+            build_query(stream)
+            .writeStream.outputMode("update")
+            .foreachBatch(lambda d, i: batches.append(d.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        if run == int(n_runs) - 1:
+            final = batches
+    return final
+
+
 def cms_resume_certificate(
     spark: SparkSession,
     df: DataFrame,
@@ -1102,61 +1156,34 @@ def cms_resume_certificate(
     seed: int = 11,
     n_runs: int = 2,
 ) -> DataFrame:
-    """Checkpoint-RESUME certificate for the streaming CMS: split the
-    input into ``n_runs`` deterministic slices (key mod n_runs), feed
-    slice i in a SEPARATE availableNow run against ONE shared
-    checkpoint — every run after the first restores its counter
-    arrays from the state store, exactly a production restart — and
-    return the final counter state as a (row_id, col_id, cnt) cell
-    table.  Because CMS cells are order- and batching-independent
-    (each is an exact count of hashed arrivals), the returned table
-    must equal ``ops.sketch.cms_build`` over the WHOLE input
-    cell-for-cell; checking that equality against the batch oracle
-    certifies that stateful-operator state SURVIVES restart (the
+    """Checkpoint-RESUME certificate for the streaming CMS: slices fed
+    in SEPARATE availableNow runs against one checkpoint (see
+    :func:`_sliced_restart_runs`), final counter state returned as a
+    (row_id, col_id, cnt) cell table.  Because CMS cells are order-
+    and batching-independent (each is an exact count of hashed
+    arrivals), the returned table must equal
+    ``ops.sketch.cms_build`` over the WHOLE input cell-for-cell;
+    checking that equality against the batch oracle certifies that
+    stateful-operator state SURVIVES restart (the
     ``sessionize_stateful`` two-run pattern applied to the sketch
     family, VERDICT r7 ask #4).
-
-    This is certificate apparatus, not a data-path operator: the
-    production op is :func:`cms_stream` (bounded O(depth·width) state
-    forever); the harness stages slice files and collects the final
-    emission — depth rows of width counters, a bounded driver-side
-    read by construction.
     """
-    import glob
-    import os
-    import shutil
     import tempfile
 
     workdir = workdir or tempfile.mkdtemp(prefix="fuel_spark_cms_resume_")
-    src = os.path.join(workdir, "src")
-    ckpt = os.path.join(workdir, "ckpt")
-    os.makedirs(src, exist_ok=True)
     keyed = df.select(F.col(key_col).cast("long").alias("k")).where(
         F.col("k").isNotNull()
     )
+    final_runs = _sliced_restart_runs(
+        spark, keyed, "k", "k long", workdir, n_runs,
+        lambda stream: cms_stream(
+            stream, "k", depth=depth, width=width, seed=seed
+        ),
+    )
     final: dict[int, list[int]] = {}
-    for run in range(int(n_runs)):
-        stage = os.path.join(workdir, f"stage{run}")
-        keyed.where(F.pmod(F.col("k"), F.lit(int(n_runs))) == run).coalesce(
-            1
-        ).write.mode("overwrite").parquet(stage)
-        for part in glob.glob(os.path.join(stage, "part-*.parquet")):
-            shutil.copy(part, os.path.join(src, f"{run:03d}.parquet"))
-        batches: list[list] = []
-        stream = spark.readStream.schema("k long").parquet(src)
-        q = (
-            cms_stream(stream, "k", depth=depth, width=width, seed=seed)
-            .writeStream.outputMode("update")
-            .foreachBatch(lambda d, i: batches.append(d.collect()))
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
-        if run == int(n_runs) - 1:
-            for rows in batches:
-                for r in rows:
-                    final[int(r.row_id)] = [int(x) for x in r.counts]
+    for rows in final_runs:
+        for r in rows:
+            final[int(r.row_id)] = [int(x) for x in r.counts]
     cells = [
         (row_id, col_id, cnt)
         for row_id, counts in sorted(final.items())
@@ -1165,4 +1192,55 @@ def cms_resume_certificate(
     ]
     return spark.createDataFrame(
         cells, "row_id int, col_id int, cnt bigint"
+    )
+
+
+def kmv_resume_certificate(
+    spark: SparkSession,
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    workdir: str | None = None,
+    k: int = 32,
+    seed: int | str = 7,
+    n_runs: int = 2,
+) -> DataFrame:
+    """Checkpoint-RESUME certificate for the streaming KMV sketch —
+    the second member of the resume family (CMS pins the counter
+    state class; this pins the ARG-MIN KEY state class).  Bottom-k of
+    (restored bottom-k ∪ new draws) equals bottom-k of everything —
+    KMV state is order- and batching-independent — so the final
+    emission per group must equal the batch
+    ``ops.sketch.kmv_distinct_certificate`` estimate columns over the
+    whole input, and equality certifies the (hashes, keys) state
+    arrays survived the restart.  The slice is keyed (key mod
+    n_runs), so every group with keys of every residue appears in the
+    final run's update and the output covers all groups.
+
+    Output: group, n_sketch, theta, est_distinct (the stream's
+    emission schema; the batch certificate's exact_distinct/rel_err
+    columns need the raw data, which a resumed stream no longer has —
+    by design).
+    """
+    import tempfile
+
+    workdir = workdir or tempfile.mkdtemp(prefix="fuel_spark_kmv_resume_")
+    keyed = df.select(
+        F.col(group_col).cast("string").alias("g"),
+        F.col(key_col).cast("long").alias("k"),
+    ).where(F.col("k").isNotNull() & F.col("g").isNotNull())
+    final_runs = _sliced_restart_runs(
+        spark, keyed, "k", "g string, k long", workdir, n_runs,
+        lambda stream: kmv_stream(stream, "g", "k", k=k, seed=seed),
+    )
+    latest: dict[str, tuple] = {}
+    for rows in final_runs:
+        for r in rows:
+            latest[r.group] = (
+                r.group, int(r.n_sketch), float(r.theta),
+                float(r.est_distinct),
+            )
+    return spark.createDataFrame(
+        sorted(latest.values()),
+        "group string, n_sketch bigint, theta double, est_distinct double",
     )

@@ -537,3 +537,28 @@ def test_snapshot_drift_identical_and_one_sided(spark):
            similarity.snapshot_drift_certificate(a, b, "label").collect()}
     assert got[1].n_b == 0 and got[1].drifted
     assert got[1].cosine is None
+
+
+def test_ann_reindex_sweep_labels_and_ledger(spark):
+    """The sweep emits one merge-cert row per split with consistent
+    ledgers (same + moved = total), and a split whose ingest ids sit
+    ABOVE the pivots reads zero pressure while one inserting below
+    reads > 0 — the curve the sweep exists to draw."""
+    e = _tiny_corpus(spark, n=24)
+    out = {
+        r.split: r
+        for r in similarity.ann_reindex_pressure_sweep(
+            e,
+            [
+                ("high", F.col("vec_id") >= 20),  # ingest above pivots
+                ("low", F.col("vec_id") < 4),     # ingest below pivots
+            ],
+            n_planes=4,
+        ).collect()
+    }
+    assert set(out) == {"high", "low"}
+    for r in out.values():
+        assert r.n_index == r.n_rebuilt == 24
+        assert r.n_same_bucket + r.n_moved == r.n_index
+    assert out["high"].n_moved == 0 and out["high"].moved_frac == 0.0
+    assert out["low"].n_moved > 0

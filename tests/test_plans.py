@@ -937,6 +937,9 @@ SINGLE_PARTITION_ALLOWLIST = {
     # linkage composite rationale (map-side-combined count funnels)
     "ann_index_merge_cert", "ann_index_bucket_profile",
     "ann_incremental_pipeline",
+    # r8 late: the sweep is three merge-cert 1-row rollups unioned
+    # (same rationale as the single certificate above)
+    "ann_reindex_sweep",
 }
 
 

@@ -1096,3 +1096,35 @@ def test_cms_resume_certificate_state_survives_restart(spark, workdir):
 
     commits = os.listdir(os.path.join(workdir, "ckpt", "commits"))
     assert len([c for c in commits if not c.startswith(".")]) >= 2
+
+
+def test_kmv_resume_certificate_matches_batch(spark, workdir):
+    """KMV resume: run 2 restores the (hashes, keys) arrays from the
+    checkpoint, so the final per-group emission equals the batch
+    kmv_distinct_certificate estimate columns over the whole input —
+    including a below-k group (exact path, theta 2.0)."""
+    from fuel_spark.ops import sketch
+    from fuel_spark.sources import from_rows
+
+    rows = [("big", i * 7 % 97) for i in range(400)]   # 97 distinct > k
+    rows += [("small", i) for i in range(9)]           # 9 distinct < k
+    df = from_rows(spark, rows, schema="g string, u long")
+    got = {
+        r.group: r
+        for r in serve.kmv_resume_certificate(
+            spark, df, "g", "u", workdir=workdir, k=16, seed=7
+        ).collect()
+    }
+    want = {
+        r.g: r
+        for r in sketch.kmv_distinct_certificate(
+            df, "g", "u", k=16, seed=7
+        ).collect()
+    }
+    assert set(got) == {"big", "small"}
+    for g in got:
+        assert got[g].n_sketch == want[g].n_sketch, g
+        assert got[g].theta == want[g].theta, g
+        assert got[g].est_distinct == want[g].est_distinct, g
+    assert got["small"].theta == 2.0
+    assert got["small"].est_distinct == 9.0
