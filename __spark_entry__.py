@@ -4027,6 +4027,39 @@ def q_document_snapshot_diff(spark, sf):
     )
 
 
+def q_linkage_incremental(spark, sf):
+    """Incremental entity resolution (r8 late): a new supplier batch
+    (every 4th key) blocked and FS-scored against the customer
+    registry only — matched records attach to known entities,
+    unmatched open new ones; 7-stage ingest audit (the linkage member
+    of the incremental-lifecycle triple)."""
+    t = _t(spark, sf)
+    c = t["customer"].select(
+        F.col("c_custkey").alias("l_id"),
+        F.col("c_nationkey").alias("l_nation"),
+        F.col("c_acctbal").alias("l_bal"),
+    )
+    s_new = (
+        t["supplier"]
+        .where(F.col("s_suppkey") % 4 == 0)
+        .select(
+            F.col("s_suppkey").alias("r_id"),
+            F.col("s_nationkey").alias("r_nation"),
+            F.col("s_acctbal").alias("r_bal"),
+        )
+    )
+    return linkage.fs_incremental_summary(c, s_new, threshold=5.0)
+
+
+def q_ann_planes_sweep(spark, sf):
+    """Rebuild-sizing table (r8 late): the index profile at 4/6/8
+    hash planes with cap 12 — how many planes the corpus needs before
+    bucket occupancy and the size-biased rerank cost drop under
+    budget (the planner the compaction contract points at)."""
+    e = _t(spark, sf)["embeddings"]
+    return similarity.ann_planes_sweep(e, (4, 6, 8), max_bucket=12)
+
+
 def q_stream_kmv_resume(spark, sf):
     """Streaming KMV checkpoint-RESUME certificate (r8 late): the
     second resume-family member — CMS pins counter-array state, this
@@ -4193,6 +4226,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_reindex_sweep": q_ann_reindex_sweep,
         "document_snapshot_diff": q_document_snapshot_diff,
         "stream_kmv_resume": q_stream_kmv_resume,
+        "linkage_incremental": q_linkage_incremental,
+        "ann_planes_sweep": q_ann_planes_sweep,
         # ---- end of the r10 seed block --------------------------------
         # ---- driver-green in r7 (CORRECTNESS_r07.json, 50/50): the
         # round-7 window, now cumulative coverage. --------------------
@@ -14347,7 +14382,8 @@ def oracle_sql() -> dict[str, str]:
 
     # --- round 8: ANN index lifecycle / snapshot drift / stream resume ---
 
-    def _pividx(corpus_where: str, planes_where: str) -> str:
+    def _pividx(corpus_where: str, planes_where: str,
+                n_planes: int = 6) -> str:
         """CTE body producing the (vec_id, bucket) pivot-LSH index of
         the ``corpus_where`` subset hashed under the plane family
         derived from the ``planes_where`` subset — the DuckDB twin of
@@ -14365,7 +14401,7 @@ def oracle_sql() -> dict[str, str]:
                             AS BIGINT) AS p
                 FROM (SELECT vec_id AS plane_id, embedding AS pvec
                       FROM snap_a WHERE {planes_where}
-                      ORDER BY vec_id LIMIT 6)) piv
+                      ORDER BY vec_id LIMIT {int(n_planes)})) piv
           GROUP BY 1
         """
 
@@ -14663,6 +14699,59 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT status, CAST(count(*) AS BIGINT) AS n_ids FROM j
         GROUP BY 1
+    """
+
+    # incremental linkage: the _fs_pairs fragment with the right side
+    # restricted to the ingest batch (every 4th supplier key), stage
+    # counts as scalar selects.
+    _fs_pairs_inc = _fs_pairs.replace(
+        "FROM supplier)", "FROM supplier WHERE s_suppkey % 4 = 0)"
+    )
+    assert _fs_pairs_inc != _fs_pairs
+    sqls["linkage_incremental"] = f"""
+        WITH {_fs_pairs_inc},
+        liw AS (SELECT l_id, r_id FROM fspv
+                WHERE round({_fs_weight}, 6) >= 5.0),
+        lim AS (SELECT DISTINCT r_id FROM liw),
+        lit_ AS (SELECT DISTINCT l_id FROM liw),
+        n1 AS (SELECT count(*) AS n FROM customer),
+        n2 AS (SELECT count(*) AS n FROM supplier WHERE s_suppkey % 4 = 0),
+        n3 AS (SELECT count(*) AS n FROM fspv),
+        n4 AS (SELECT count(*) AS n FROM liw),
+        n5 AS (SELECT count(*) AS n FROM lim),
+        n6 AS (SELECT n2.n - n5.n AS n FROM n2, n5),
+        n7 AS (SELECT count(*) AS n FROM lit_)
+        SELECT CAST(1 AS BIGINT) AS stage, 'registry_rows' AS stage_name,
+               CAST(n AS BIGINT) AS n FROM n1
+        UNION ALL SELECT 2, 'new_batch', CAST(n AS BIGINT) FROM n2
+        UNION ALL SELECT 3, 'candidate_pairs', CAST(n AS BIGINT) FROM n3
+        UNION ALL SELECT 4, 'links', CAST(n AS BIGINT) FROM n4
+        UNION ALL SELECT 5, 'matched_new', CAST(n AS BIGINT) FROM n5
+        UNION ALL SELECT 6, 'unmatched_new', CAST(n AS BIGINT) FROM n6
+        UNION ALL SELECT 7, 'entities_touched', CAST(n AS BIGINT) FROM n7
+    """
+
+    # planes sweep: the profile rollup at three plane counts, each
+    # over its own _pividx bucketing of the full corpus.
+    _pl_rows = []
+    for p in (4, 6, 8):
+        _pl_rows.append(f"""
+        SELECT CAST({p} AS BIGINT) AS n_planes,
+               CAST(sum(sz) AS BIGINT) AS n_rows,
+               CAST(count(*) AS BIGINT) AS n_buckets,
+               CAST(max(sz) AS BIGINT) AS max_bucket_sz,
+               round(CAST(sum(sz) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+                 AS mean_bucket,
+               CAST(sum(CASE WHEN sz > 12 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_over_cap,
+               round(sum(CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE))
+                     / CAST(sum(sz) AS DOUBLE), 6) AS expected_candidates
+        FROM (SELECT bucket, count(*) AS sz
+              FROM ({_pividx('TRUE', 'TRUE', p)}) GROUP BY 1)
+        """)
+    sqls["ann_planes_sweep"] = f"""
+        WITH snap_a AS (SELECT vec_id, embedding FROM embeddings)
+        {' UNION ALL '.join(_pl_rows)}
     """
 
     # KMV resume: the stream's final state is order/batching-

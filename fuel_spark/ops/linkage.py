@@ -246,3 +246,57 @@ def fs_linkage_summary(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def fs_incremental_summary(
+    registry: DataFrame,
+    new_batch: DataFrame,
+    bal_band: float = 250.0,
+    threshold: float = 5.0,
+) -> DataFrame:
+    """Incremental entity resolution — the linkage member of the
+    ingest-lifecycle triple (``ops.dedup.incremental_dedup_summary``
+    for near-dup text, ``ops.similarity.ann_incremental_summary`` for
+    vectors): a NEW batch of right-side records arrives, is blocked
+    and FS-scored against the EXISTING left registry only (never
+    against itself — dedup within the batch is the dedup family's
+    job), and partitions into records that attach to known entities
+    vs records that open new ones.  One row per stage so an ingest
+    run leaves an audit trail: registry_rows, new_batch,
+    candidate_pairs, links, matched_new (distinct new ids with a
+    clearing link), unmatched_new (open new entities),
+    entities_touched (distinct registry ids gaining a member).
+
+    Scale shape: the blocked pair join is
+    :func:`fs_candidate_pairs`'s own (pair volume bounded by band
+    granularity — and the NEW side is batch-sized, so blocks are
+    registry×batch, far below the registry×registry volume of a full
+    relink); the links frame is referenced by three stages so it
+    lazily localCheckpoints once.
+    """
+    pairs = fs_candidate_pairs(registry, new_batch, bal_band)
+    links = fs_matches(pairs, threshold).localCheckpoint(eager=False)
+    matched = links.select("r_id").distinct()
+    unmatched = new_batch.join(matched, "r_id", "left_anti")
+    touched = links.select("l_id").distinct()
+
+    def stage(i: int, name: str, frame: DataFrame) -> DataFrame:
+        return frame.agg(
+            F.lit(i).cast("bigint").alias("stage"),
+            F.lit(name).alias("stage_name"),
+            F.count(F.lit(1)).alias("n"),
+        )
+
+    parts = [
+        stage(1, "registry_rows", registry),
+        stage(2, "new_batch", new_batch),
+        stage(3, "candidate_pairs", pairs),
+        stage(4, "links", links),
+        stage(5, "matched_new", matched),
+        stage(6, "unmatched_new", unmatched),
+        stage(7, "entities_touched", touched),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

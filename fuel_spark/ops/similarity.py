@@ -2935,3 +2935,42 @@ def ann_reindex_pressure_sweep(
         ).select(F.lit(str(label)).alias("split"), "*")
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def ann_planes_sweep(
+    corpus: DataFrame,
+    plane_counts: tuple = (4, 6, 8),
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """The REBUILD-sizing table: :func:`ann_index_profile` re-run at
+    several plane counts in one labeled output — how many hash planes
+    does the grown corpus need before bucket occupancy (and the
+    size-biased expected_candidates the rerank actually pays) drops
+    back under budget.  This is the planner the compaction contract
+    points at: a fixed cap over a fixed 2^n_planes grid eventually
+    caps out EVERY bucket, and the remedy is more planes (a rebuild)
+    — this query prices the candidates.  Doubling planes halves
+    expected bucket occupancy per bit; the sweep shows the measured
+    curve rather than the idealized one (real corpora bucket
+    unevenly, which is exactly what expected_candidates captures).
+
+    Scale shape: one frozen-family bucketing + one bucket census per
+    plane count — linear passes over the corpus, ×len(plane_counts);
+    the output is len(plane_counts) rows.
+
+    Output per setting: n_planes, n_rows, n_buckets, max_bucket_sz,
+    mean_bucket, n_over_cap, expected_candidates.
+    """
+    out = None
+    for p in plane_counts:
+        prof = ann_index_profile(
+            pivot_lsh_index(
+                corpus, pivot_lsh_planes(corpus, id_col, vec_col, int(p)),
+                id_col, vec_col,
+            ),
+            max_bucket=max_bucket,
+        ).select(F.lit(int(p)).cast("bigint").alias("n_planes"), "*")
+        out = prof if out is None else out.unionByName(prof)
+    return out

@@ -110,3 +110,31 @@ def test_linkage_summary_stages_are_consistent(spark):
     assert got["entities"] <= got["links"] or got["links"] == 0
     assert got["multi_member_entities"] <= got["entities"]
     assert got["links"] >= 1            # (10, 20) all-agree pair
+
+
+def test_fs_incremental_summary_ledger(spark):
+    """The ingest audit adds up: matched + unmatched = new_batch, and
+    a batch with a guaranteed hit (a supplier row cloned from a
+    registry-adjacent profile) attaches while an out-of-band one
+    opens a new entity."""
+    reg = from_rows(
+        spark,
+        # nation 1, balances spread; l_id % 10 matters for a_id
+        [(10, 1, 100.0), (21, 1, 500.0), (32, 1, 900.0)],
+        schema="l_id bigint, l_nation int, l_bal double",
+    )
+    newb = from_rows(
+        spark,
+        [
+            (40, 1, 101.0),   # same block as l_id=10, |Δbal|<=50, 0==0 id
+            (55, 2, 100.0),   # nation 2: no block partner -> unmatched
+        ],
+        schema="r_id bigint, r_nation int, r_bal double",
+    )
+    got = {r.stage_name: r.n for r in
+           linkage.fs_incremental_summary(reg, newb, threshold=5.0)
+           .collect()}
+    assert got["registry_rows"] == 3 and got["new_batch"] == 2
+    assert got["matched_new"] + got["unmatched_new"] == got["new_batch"]
+    assert got["matched_new"] == 1 and got["unmatched_new"] == 1
+    assert got["entities_touched"] == 1

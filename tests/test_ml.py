@@ -562,3 +562,17 @@ def test_ann_reindex_sweep_labels_and_ledger(spark):
         assert r.n_same_bucket + r.n_moved == r.n_index
     assert out["high"].n_moved == 0 and out["high"].moved_frac == 0.0
     assert out["low"].n_moved > 0
+
+
+def test_ann_planes_sweep_monotone_buckets(spark):
+    """More planes can only split buckets: bucket count is
+    non-decreasing and expected_candidates non-increasing in
+    n_planes; totals conserve (n_rows constant)."""
+    e = _tiny_corpus(spark, n=32)
+    rows = {r.n_planes: r for r in
+            similarity.ann_planes_sweep(e, (2, 4, 6)).collect()}
+    assert [rows[p].n_rows for p in (2, 4, 6)] == [32, 32, 32]
+    assert rows[2].n_buckets <= rows[4].n_buckets <= rows[6].n_buckets
+    assert (rows[2].expected_candidates
+            >= rows[4].expected_candidates
+            >= rows[6].expected_candidates)

@@ -940,6 +940,10 @@ SINGLE_PARTITION_ALLOWLIST = {
     # r8 late: the sweep is three merge-cert 1-row rollups unioned
     # (same rationale as the single certificate above)
     "ann_reindex_sweep",
+    # r8 late: the ingest composite's 7 per-stage 1-row count
+    # aggregates (the linkage_pipeline rationale) and the planes
+    # sweep's three 1-row profile rollups over bucket-census frames
+    "linkage_incremental", "ann_planes_sweep",
 }
 
 

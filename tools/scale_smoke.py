@@ -151,7 +151,8 @@ def main() -> int:
             "ann_recall_after_merge", "embedding_snapshot_diff",
             "embedding_snapshot_drift", "stream_cms_resume",
             "ann_reindex_sweep", "document_snapshot_diff",
-            "stream_kmv_resume",
+            "stream_kmv_resume", "linkage_incremental",
+            "ann_planes_sweep",
         ]
         if len(sys.argv) > 3:
             # explicit subset: smoke only these names (fast re-checks
