@@ -4072,6 +4072,17 @@ def q_stream_kmv_resume(spark, sf):
     )
 
 
+def q_stream_hll_resume(spark, sf):
+    """Streaming HLL checkpoint-RESUME certificate (r8 late): the
+    third resume-family member — register MAXIMA state; the emitted
+    register table is ALL-INTEGER, so the oracle comparison carries
+    zero float discipline."""
+    e = _t(spark, sf)["events"]
+    return serve.hll_resume_certificate(
+        spark, e, "event_type", "user_id", m=64, seed=13
+    )
+
+
 def q_stream_cms_resume(spark, sf):
     """Streaming CMS checkpoint-RESUME certificate (r8): the input
     split into two slices fed in two SEPARATE availableNow runs
@@ -4228,6 +4239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_kmv_resume": q_stream_kmv_resume,
         "linkage_incremental": q_linkage_incremental,
         "ann_planes_sweep": q_ann_planes_sweep,
+        "stream_hll_resume": q_stream_hll_resume,
         # ---- end of the r10 seed block --------------------------------
         # ---- driver-green in r7 (CORRECTNESS_r07.json, 50/50): the
         # round-7 window, now cumulative coverage. --------------------
@@ -14752,6 +14764,22 @@ def oracle_sql() -> dict[str, str]:
     sqls["ann_planes_sweep"] = f"""
         WITH snap_a AS (SELECT vec_id, embedding FROM embeddings)
         {' UNION ALL '.join(_pl_rows)}
+    """
+
+    # HLL resume: register maxima are order/batching-independent, so
+    # the oracle is the batch register table — all-integer, the one
+    # resume certificate with zero float surface.
+    sqls["stream_hll_resume"] = f"""
+        WITH hrr AS (SELECT event_type,
+                       {hash_mod_sql('hllb13', 'user_id', 64)} AS b,
+                       {hash_mod_sql('hllr13', 'user_id', 1 << 52)} AS h
+                     FROM events
+                     WHERE user_id IS NOT NULL
+                       AND event_type IS NOT NULL)
+        SELECT event_type AS "group",
+               CAST(b AS INTEGER) AS b,
+               CAST(max(53 - {_hll_bitlen('h')}) AS INTEGER) AS max_rank
+        FROM hrr GROUP BY 1, 2
     """
 
     # KMV resume: the stream's final state is order/batching-

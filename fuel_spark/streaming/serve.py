@@ -1244,3 +1244,120 @@ def kmv_resume_certificate(
         sorted(latest.values()),
         "group string, n_sketch bigint, theta double, est_distinct double",
     )
+
+
+HLL_OUT_SCHEMA = "group string, regs array<int>, batch_n long"
+HLL_STATE_SCHEMA = "regs array<int>"
+
+
+def hll_stream(
+    events: DataFrame,
+    group_col: str,
+    key_col: str,
+    m: int = 256,
+    seed: int = 13,
+) -> DataFrame:
+    """Streaming HyperLogLog as a BOUNDED-STATE stateful operator:
+    per group, ``m`` registers hold the max leading-zero rank, so
+    state is O(m) FOREVER — the register member of the bounded-state
+    family (CMS counters, KMV arg-min keys, Misra–Gries top-k, KLL
+    ladder).  The bucket and rank are computed JVM-side BEFORE the
+    stateful op (the same md5 family and generated bit-length CASE as
+    the batch ``ops.sketch._hll_registers``), so the Python worker
+    only folds integer maxima — and the streamed register table
+    equals the batch one cell-for-cell, which
+    :func:`hll_resume_certificate` pins across a restart.
+
+    Update-mode semantics: each batch re-emits the group's CURRENT
+    register array.  Output: group, regs (m ints, 0 = empty),
+    batch_n.
+    """
+    import pandas as pd
+
+    from fuel_spark.functions import hash_mod
+    from fuel_spark.ops.sketch import _bitlen_case
+
+    prepared = (
+        events.select(
+            F.col(group_col).cast("string").alias("_g"),
+            hash_mod(f"hllb{seed}", F.col(key_col), m).alias("_b"),
+            hash_mod(f"hllr{seed}", F.col(key_col), 1 << 52).alias("_h"),
+        )
+        .withColumn("_r", F.expr(f"53 - {_bitlen_case('_h')}"))
+        .drop("_h")
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        (group,) = key
+        regs = list(state.get[0]) if state.exists else [0] * m
+        seen = 0
+        for pdf in pdfs:
+            seen += len(pdf)
+            # vectorized per-batch fold: collapse the batch to its
+            # per-bucket max FIRST (pandas groupby), then merge the
+            # <= m survivors — the Python loop never sees row grain
+            mx = pdf.groupby("_b")["_r"].max()
+            for b, r in mx.items():
+                if int(r) > regs[int(b)]:
+                    regs[int(b)] = int(r)
+        state.update(([int(x) for x in regs],))
+        yield pd.DataFrame(
+            [(group, [int(x) for x in regs], seen)],
+            columns=["group", "regs", "batch_n"],
+        )
+
+    return prepared.groupBy("_g").applyInPandasWithState(
+        fn,
+        outputStructType=HLL_OUT_SCHEMA,
+        stateStructType=HLL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def hll_resume_certificate(
+    spark: SparkSession,
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    workdir: str | None = None,
+    m: int = 256,
+    seed: int = 13,
+    n_runs: int = 2,
+) -> DataFrame:
+    """Checkpoint-RESUME certificate for the streaming HLL — the
+    third resume-family member (CMS: counter arrays; KMV: arg-min
+    keys; this: register MAXIMA).  Per-register max is order- and
+    batching-independent, so the final emission's register table must
+    equal the batch ``ops.sketch._hll_registers`` over the whole
+    input cell-for-cell — and unlike the estimate-level readouts the
+    register table is ALL-INTEGER, so the oracle comparison carries
+    no float discipline at all.
+
+    Output: group, b (register bucket), max_rank — set registers
+    only, ≤ m rows per group.
+    """
+    import tempfile
+
+    workdir = workdir or tempfile.mkdtemp(prefix="fuel_spark_hll_resume_")
+    keyed = df.select(
+        F.col(group_col).cast("string").alias("g"),
+        F.col(key_col).cast("long").alias("k"),
+    ).where(F.col("k").isNotNull() & F.col("g").isNotNull())
+    final_runs = _sliced_restart_runs(
+        spark, keyed, "k", "g string, k long", workdir, n_runs,
+        lambda stream: hll_stream(stream, "g", "k", m=m, seed=seed),
+    )
+    latest: dict[str, list[int]] = {}
+    for rows in final_runs:
+        for r in rows:
+            latest[r.group] = [int(x) for x in r.regs]
+    cells = [
+        (g, b, rank)
+        for g, regs in sorted(latest.items())
+        for b, rank in enumerate(regs)
+        if rank > 0
+    ]
+    return spark.createDataFrame(
+        cells, "group string, b int, max_rank int"
+    )

@@ -1128,3 +1128,29 @@ def test_kmv_resume_certificate_matches_batch(spark, workdir):
         assert got[g].est_distinct == want[g].est_distinct, g
     assert got["small"].theta == 2.0
     assert got["small"].est_distinct == 9.0
+
+
+def test_hll_resume_certificate_matches_batch_registers(spark, workdir):
+    """HLL resume: run 2 restores the register-maxima array, so the
+    final register table equals the batch _hll_registers over the
+    whole input cell-for-cell — the all-integer resume certificate
+    (no float surface at all)."""
+    from fuel_spark.ops.sketch import _hll_registers
+    from fuel_spark.sources import from_rows
+
+    rows = [("t%d" % (i % 3), i * 11 % 211) for i in range(500)]
+    df = from_rows(spark, rows, schema="g string, u long")
+    got = {
+        (r.group, r.b): r.max_rank
+        for r in serve.hll_resume_certificate(
+            spark, df, "g", "u", workdir=workdir, m=32, seed=13
+        ).collect()
+    }
+    want = {
+        (r.g, r["_b"]): r["_m"]
+        for r in _hll_registers(
+            df.select("g", F.col("u").cast("long").alias("k")),
+            "g", "k", 32, 13,
+        ).collect()
+    }
+    assert got == want and len(got) > 0

@@ -152,7 +152,7 @@ def main() -> int:
             "embedding_snapshot_drift", "stream_cms_resume",
             "ann_reindex_sweep", "document_snapshot_diff",
             "stream_kmv_resume", "linkage_incremental",
-            "ann_planes_sweep",
+            "ann_planes_sweep", "stream_hll_resume",
         ]
         if len(sys.argv) > 3:
             # explicit subset: smoke only these names (fast re-checks
