@@ -4072,6 +4072,32 @@ def q_stream_kmv_resume(spark, sf):
     )
 
 
+def q_mixture_after_dedup(spark, sf):
+    """Dedup-aware mixture retempering (r8 late): per source, token
+    mass and tempered weight before vs after within-domain exact
+    dedup on a corpus carrying planted clones (doc_id % 7 re-keyed)
+    — the weight-shift table a curation pass reads after dedup
+    invalidates the raw mixture."""
+    d = _t(spark, sf)["documents"]
+    clones = d.where(F.col("doc_id") % 7 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(500000)
+    )
+    return curate_ops.mixture_after_dedup(
+        d.unionByName(clones), "source", "text", alpha=0.7
+    )
+
+
+def q_stream_bloom_resume(spark, sf):
+    """Streaming Bloom-build checkpoint-RESUME certificate (r8 late):
+    the fourth resume-family member — set-BIT state; the final
+    per-type position set must equal the batch bloom_build position
+    table (all-integer, like the HLL twin)."""
+    e = _t(spark, sf)["events"]
+    return serve.bloom_resume_certificate(
+        spark, e, "event_type", "user_id", m_bits=512, k_hashes=3, seed=5
+    )
+
+
 def q_stream_hll_resume(spark, sf):
     """Streaming HLL checkpoint-RESUME certificate (r8 late): the
     third resume-family member — register MAXIMA state; the emitted
@@ -4240,6 +4266,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linkage_incremental": q_linkage_incremental,
         "ann_planes_sweep": q_ann_planes_sweep,
         "stream_hll_resume": q_stream_hll_resume,
+        "mixture_after_dedup": q_mixture_after_dedup,
+        "stream_bloom_resume": q_stream_bloom_resume,
         # ---- end of the r10 seed block --------------------------------
         # ---- driver-green in r7 (CORRECTNESS_r07.json, 50/50): the
         # round-7 window, now cumulative coverage. --------------------
@@ -14764,6 +14792,60 @@ def oracle_sql() -> dict[str, str]:
     sqls["ann_planes_sweep"] = f"""
         WITH snap_a AS (SELECT vec_id, embedding FROM embeddings)
         {' UNION ALL '.join(_pl_rows)}
+    """
+
+    # dedup-aware mixture retempering: before/after token masses on
+    # the clone-planted corpus, tempered weights with the standing
+    # round-9 DECIMAL normalizer discipline on both sides.
+    _w8 = _words_sql("text")
+    sqls["mixture_after_dedup"] = f"""
+        WITH corp AS (
+          SELECT doc_id, source, text FROM documents
+          UNION ALL
+          SELECT doc_id + 500000 AS doc_id, source, text FROM documents
+          WHERE doc_id % 7 = 0
+        ),
+        base AS (SELECT source, md5(text) AS dig,
+                   CAST(len({_w8}) AS BIGINT) AS n
+                 FROM corp),
+        bef AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(sum(n) AS BIGINT) AS n_tokens
+                FROM base GROUP BY 1),
+        dd AS (SELECT source, dig, max(n) AS n1 FROM base GROUP BY 1, 2),
+        aft AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs_after,
+                  CAST(sum(n1) AS BIGINT) AS n_tokens_after
+                FROM dd GROUP BY 1),
+        j AS (SELECT * FROM bef JOIN aft USING (source)),
+        p AS (SELECT *,
+                CAST(round(power(CAST(n_tokens AS DOUBLE), {repr(0.7)}), 9)
+                     AS DECIMAL(38,9)) AS wb,
+                CAST(round(power(CAST(n_tokens_after AS DOUBLE),
+                                 {repr(0.7)}), 9)
+                     AS DECIMAL(38,9)) AS wa
+              FROM j),
+        tot AS (SELECT sum(wb) AS twb, sum(wa) AS twa FROM p),
+        wts AS (SELECT source, n_docs, n_docs_after, n_tokens,
+                  n_tokens_after,
+                  round(CAST(wb AS DOUBLE) / CAST(twb AS DOUBLE), 6)
+                    AS weight_before,
+                  round(CAST(wa AS DOUBLE) / CAST(twa AS DOUBLE), 6)
+                    AS weight_after
+                FROM p, tot)
+        SELECT *, round(weight_after - weight_before, 6) AS weight_shift
+        FROM wts
+    """
+
+    # Bloom resume: set bits are order/batching-independent — the
+    # oracle is the batch position table (all-integer).
+    _brp = " UNION ALL ".join(
+        f"SELECT event_type, {hash_mod_sql(f'bl5h{i}', 'user_id', 512)}"
+        f" AS pos FROM events"
+        f" WHERE user_id IS NOT NULL AND event_type IS NOT NULL"
+        for i in range(3)
+    )
+    sqls["stream_bloom_resume"] = f"""
+        SELECT event_type AS "group", CAST(pos AS INTEGER) AS pos
+        FROM ({_brp}) GROUP BY 1, 2
     """
 
     # HLL resume: register maxima are order/batching-independent, so

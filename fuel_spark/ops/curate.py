@@ -1256,3 +1256,79 @@ def range_partition_planner(
         )
         .orderBy("range_id")
     )
+
+
+def mixture_after_dedup(
+    df: DataFrame,
+    domain_col: str,
+    text_col: str,
+    alpha: float = 0.7,
+) -> DataFrame:
+    """Dedup-aware mixture retempering — the composition a real
+    curation pass runs but the per-op queries only show separately:
+    exact dedup REMOVES mass unevenly across domains (boilerplate-
+    heavy sources lose more), so the tempered mixture computed on raw
+    token counts is stale the moment dedup runs.  Per domain: doc and
+    token mass BEFORE vs AFTER within-domain exact dedup
+    (md5(text)-keyed; identical copies carry identical token counts,
+    so the kept mass is deterministic regardless of which copy
+    survives), the tempered weight (:func:`domain_mixture_weights`
+    numeric contract — tempered powers round-9 into DECIMAL so the
+    normalizer is order-independent) on each side, and the shift.
+    Cross-DOMAIN duplicate accounting is a different question and
+    stays `dedup_cross_source_rate`'s surface (stated).
+
+    One (domain, digest) distinct-shuffle plus two domain-grain
+    rollups; the 1-row normalizing totals broadcast back.
+
+    Output: domain, n_docs, n_docs_after, n_tokens, n_tokens_after,
+    weight_before, weight_after, weight_shift.
+    """
+    base = df.select(
+        F.col(domain_col).alias("_d"),
+        F.md5(F.col(text_col)).alias("_dig"),
+        F.size(words(F.col(text_col))).cast("bigint").alias("_n"),
+    )
+    before = base.groupBy("_d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("_n").cast("bigint").alias("n_tokens"),
+    )
+    after = (
+        base.groupBy("_d", "_dig")
+        .agg(F.max("_n").alias("_n1"))
+        .groupBy("_d")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs_after"),
+            F.sum("_n1").cast("bigint").alias("n_tokens_after"),
+        )
+    )
+    j = before.join(after, "_d")
+
+    def tempered(col: str, out: str):
+        w9 = F.round(
+            F.pow(F.col(col).cast("double"), F.lit(float(alpha))), 9
+        ).cast("decimal(38,9)")
+        return w9.alias(out)
+
+    p = j.select("*", tempered("n_tokens", "_wb"),
+                 tempered("n_tokens_after", "_wa"))
+    totals = p.agg(
+        F.sum("_wb").alias("_twb"), F.sum("_wa").alias("_twa")
+    )
+    out = p.crossJoin(F.broadcast(totals)).select(
+        F.col("_d").alias(domain_col),
+        "n_docs",
+        "n_docs_after",
+        "n_tokens",
+        "n_tokens_after",
+        F.round(
+            F.col("_wb").cast("double") / F.col("_twb").cast("double"), 6
+        ).alias("weight_before"),
+        F.round(
+            F.col("_wa").cast("double") / F.col("_twa").cast("double"), 6
+        ).alias("weight_after"),
+    )
+    return out.withColumn(
+        "weight_shift",
+        F.round(F.col("weight_after") - F.col("weight_before"), 6),
+    )

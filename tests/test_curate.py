@@ -519,3 +519,26 @@ def test_range_planner_balance_and_boundaries(spark):
         key=lambda r: r.range_id)
     # all cuts equal 5.0; c < v is false everywhere -> range 0 holds all
     assert cr[0].n_rows == 100 and all(r.n_rows == 0 for r in cr[1:])
+
+
+def test_mixture_after_dedup_shifts_away_from_clone_heavy_domain(spark):
+    """A domain padded with exact clones loses its inflated mass on
+    dedup: its weight_after < weight_before, the clean domain gains,
+    both weight columns each sum to ~1, and a dup-free corpus shifts
+    zero."""
+    from fuel_spark.ops.curate import mixture_after_dedup
+    from fuel_spark.sources import from_rows
+
+    rows = [(i, "clean", f"unique text number {i} with words") for i in range(10)]
+    rows += [(100 + i, "dupey", "the same boilerplate text") for i in range(10)]
+    df = from_rows(spark, rows, schema="doc_id bigint, source string, text string")
+    got = {r.source: r for r in
+           mixture_after_dedup(df, "source", "text").collect()}
+    assert got["dupey"].n_docs == 10 and got["dupey"].n_docs_after == 1
+    assert got["dupey"].weight_shift < 0 < got["clean"].weight_shift
+    assert abs(got["clean"].weight_before + got["dupey"].weight_before - 1.0) < 1e-5
+    assert abs(got["clean"].weight_after + got["dupey"].weight_after - 1.0) < 1e-5
+
+    clean_only = df.where(F.col("source") == "clean")
+    for r in mixture_after_dedup(clean_only, "source", "text").collect():
+        assert r.weight_shift == 0.0 and r.n_docs == r.n_docs_after

@@ -944,6 +944,9 @@ SINGLE_PARTITION_ALLOWLIST = {
     # aggregates (the linkage_pipeline rationale) and the planes
     # sweep's three 1-row profile rollups over bucket-census frames
     "linkage_incremental", "ann_planes_sweep",
+    # r8 late: the retemper's 1-row two-column normalizing total
+    # broadcast back (the mixture_domain_weights rationale, twice)
+    "mixture_after_dedup",
 }
 
 

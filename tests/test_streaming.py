@@ -1154,3 +1154,29 @@ def test_hll_resume_certificate_matches_batch_registers(spark, workdir):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_bloom_resume_certificate_matches_batch_positions(spark, workdir):
+    """Bloom-build resume: run 2 ORs new bits into the restored set,
+    so the final position set equals the batch bloom_build position
+    table per group — the set-bits member of the resume family."""
+    from fuel_spark.ops.sketch import bloom_build
+    from fuel_spark.sources import from_rows
+
+    rows = [("g%d" % (i % 2), i * 13 % 301) for i in range(400)]
+    df = from_rows(spark, rows, schema="g string, u long")
+    got = {}
+    for r in serve.bloom_resume_certificate(
+        spark, df, "g", "u", workdir=workdir, m_bits=128, k_hashes=3,
+        seed=5,
+    ).collect():
+        got.setdefault(r.group, set()).add(r.pos)
+    want = {}
+    for g in ("g0", "g1"):
+        sub = df.where(F.col("g") == g).select(
+            F.col("u").cast("long").alias("k")
+        )
+        want[g] = {r.pos for r in
+                   bloom_build(sub, "k", m_bits=128, k_hashes=3,
+                               seed=5).collect()}
+    assert got == want and all(len(v) > 0 for v in want.values())

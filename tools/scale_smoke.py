@@ -153,6 +153,7 @@ def main() -> int:
             "ann_reindex_sweep", "document_snapshot_diff",
             "stream_kmv_resume", "linkage_incremental",
             "ann_planes_sweep", "stream_hll_resume",
+            "mixture_after_dedup", "stream_bloom_resume",
         ]
         if len(sys.argv) > 3:
             # explicit subset: smoke only these names (fast re-checks
