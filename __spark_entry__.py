@@ -4098,6 +4098,19 @@ def q_stream_bloom_resume(spark, sf):
     )
 
 
+def q_shard_manifest(spark, sf):
+    """Per-shard publication manifest (r8 late): events distributed
+    into 16 md5 shards on event_id, each with a row count and an
+    order-independent 31-bit content checksum over the integer/string
+    payload — the shard-grain dataset_fingerprint a distributed
+    writer publishes for downstream verification."""
+    e = _t(spark, sf)["events"]
+    return sink_ops.shard_manifest(
+        e, "event_id", 16, content_cols=["event_id", "user_id",
+                                         "event_type"]
+    )
+
+
 def q_stream_hll_resume(spark, sf):
     """Streaming HLL checkpoint-RESUME certificate (r8 late): the
     third resume-family member — register MAXIMA state; the emitted
@@ -4268,6 +4281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_hll_resume": q_stream_hll_resume,
         "mixture_after_dedup": q_mixture_after_dedup,
         "stream_bloom_resume": q_stream_bloom_resume,
+        "shard_manifest": q_shard_manifest,
         # ---- end of the r10 seed block --------------------------------
         # ---- driver-green in r7 (CORRECTNESS_r07.json, 50/50): the
         # round-7 window, now cumulative coverage. --------------------
@@ -14792,6 +14806,26 @@ def oracle_sql() -> dict[str, str]:
     sqls["ann_planes_sweep"] = f"""
         WITH snap_a AS (SELECT vec_id, embedding FROM embeddings)
         {' UNION ALL '.join(_pl_rows)}
+    """
+
+    # shard manifest: md5-mod shard of event_id, per-row md5 31-bit
+    # checksum summed exactly in DECIMAL(38,0), reduced mod 2^31 once
+    # (the dataset_fingerprint overflow discipline).
+    _man_payload = (
+        "concat_ws('|', CAST(event_id AS VARCHAR),"
+        " CAST(user_id AS VARCHAR), CAST(event_type AS VARCHAR))"
+    )
+    sqls["shard_manifest"] = f"""
+        WITH smr AS (SELECT
+                       {hash_mod_sql('man7', 'event_id', 16)} AS shard,
+                       {hash_mod_sql('man7c', _man_payload, 1 << 31)}
+                         AS chk
+                     FROM events)
+        SELECT shard, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(CAST(sum(CAST(chk AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                    % CAST(2147483648 AS DECIMAL(38,0)) AS BIGINT)
+                 AS checksum
+        FROM smr GROUP BY 1
     """
 
     # dedup-aware mixture retempering: before/after token masses on

@@ -279,3 +279,30 @@ def test_snapshot_diff_compares_shared_columns_only(spark):
         spark, [(1, "t", 9)], schema="id bigint, v string, extra int"
     )
     assert snapshot_diff(a, b, "id").first().status == "unchanged"
+
+
+def test_shard_manifest_order_invariant_and_sensitive(spark):
+    """The manifest is identical under any row order/partitioning and
+    changes when exactly one shard's content changes — only that
+    shard's row differs."""
+    from fuel_spark.sources.sink import shard_manifest
+
+    rows = [(i, f"v{i % 7}") for i in range(200)]
+    a = from_rows(spark, rows, schema="k bigint, v string")
+    b = from_rows(spark, list(reversed(rows)),
+                  schema="k bigint, v string").repartition(7)
+    ma = {r.shard: (r.n_rows, r.checksum)
+          for r in shard_manifest(a, "k", 8).collect()}
+    mb = {r.shard: (r.n_rows, r.checksum)
+          for r in shard_manifest(b, "k", 8).collect()}
+    assert ma == mb and len(ma) == 8
+
+    # mutate one row -> only its shard's checksum moves, counts hold
+    c = a.withColumn(
+        "v", F.when(F.col("k") == 5, F.lit("CHANGED")).otherwise(F.col("v"))
+    )
+    mc = {r.shard: (r.n_rows, r.checksum)
+          for r in shard_manifest(c, "k", 8).collect()}
+    diff = [s for s in ma if ma[s] != mc[s]]
+    assert len(diff) == 1
+    assert all(ma[s][0] == mc[s][0] for s in ma)
