@@ -4098,6 +4098,31 @@ def q_stream_bloom_resume(spark, sf):
     )
 
 
+def q_contamination_by_source(spark, sf):
+    """Benchmark-contamination rate table (r8 late): eval set =
+    doc_id % 11 == 3, corpus = the rest; per-source doc- and
+    gram-level contamination rates (the GPT-3 appendix-C number at
+    the grain a curation review reads)."""
+    d = _t(spark, sf)["documents"]
+    bench = d.where(F.col("doc_id") % 11 == 3)
+    corpus = d.where(F.col("doc_id") % 11 != 3)
+    return dedup.contamination_rate_by_source(
+        corpus, "doc_id", "text", "source", bench, "text", n=3
+    )
+
+
+def q_dsir_topk_by_source(spark, sf):
+    """DSIR per-source top-k selection accounting (r8 late): the
+    resampling half of text_dsir_weights — keep the 10 most
+    target-like docs per source, report kept-vs-all mean weight (the
+    tilt) and the cut weight; per-source capping is both the
+    anti-monopoly policy and the scale-correct rank-window shape."""
+    d = _t(spark, sf)["documents"]
+    return text_ops.dsir_topk_by_source(
+        d, "doc_id", "text", "source", F.col("source") == "src0", k=10
+    )
+
+
 def q_shard_manifest(spark, sf):
     """Per-shard publication manifest (r8 late): events distributed
     into 16 md5 shards on event_id, each with a row count and an
@@ -4282,6 +4307,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_after_dedup": q_mixture_after_dedup,
         "stream_bloom_resume": q_stream_bloom_resume,
         "shard_manifest": q_shard_manifest,
+        "contamination_by_source": q_contamination_by_source,
+        "dsir_topk_by_source": q_dsir_topk_by_source,
         # ---- end of the r10 seed block --------------------------------
         # ---- driver-green in r7 (CORRECTNESS_r07.json, 50/50): the
         # round-7 window, now cumulative coverage. --------------------
@@ -14808,6 +14835,81 @@ def oracle_sql() -> dict[str, str]:
         {' UNION ALL '.join(_pl_rows)}
     """
 
+    # contamination rate by source: the decontaminate gram machinery
+    # with the % 11 == 3 eval split, rolled to source grain.
+    _w8 = _words_sql("text")
+    sqls["contamination_by_source"] = f"""
+        WITH cgrams AS (
+          SELECT doc_id, gs FROM (
+            SELECT doc_id,
+                   CASE WHEN len(w) >= 3 THEN
+                     list_distinct(list_transform(generate_series(1, len(w) - 2),
+                       i -> substring(md5(concat(w[i], ' ', w[i+1], ' ', w[i+2])),
+                                      1, 16)))
+                   ELSE [] END AS gs
+            FROM (SELECT doc_id, {_w8} AS w FROM documents))
+        ),
+        cbench AS (
+          SELECT DISTINCT unnest(gs) AS gh FROM cgrams
+          WHERE doc_id % 11 = 3
+        ),
+        ccorp AS (
+          SELECT doc_id, unnest(gs) AS gh FROM cgrams
+          WHERE doc_id % 11 <> 3
+        ),
+        cper AS (SELECT doc_id, count(*) AS n_grams FROM ccorp GROUP BY 1),
+        chits AS (
+          SELECT doc_id, count(*) AS n_hit
+          FROM ccorp WHERE gh IN (SELECT gh FROM cbench) GROUP BY 1
+        ),
+        cdocs AS (
+          SELECT d.source, d.doc_id,
+                 COALESCE(p.n_grams, 0) AS n_grams,
+                 COALESCE(h.n_hit, 0) AS n_hit
+          FROM documents d
+          LEFT JOIN cper p ON d.doc_id = p.doc_id
+          LEFT JOIN chits h ON d.doc_id = h.doc_id
+          WHERE d.doc_id % 11 <> 3
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN n_hit > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_flagged,
+               round(CAST(sum(CASE WHEN n_hit > 0 THEN 1 ELSE 0 END)
+                          AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+                 AS doc_rate,
+               CAST(sum(n_grams) AS BIGINT) AS n_grams,
+               CAST(sum(n_hit) AS BIGINT) AS n_hit_grams,
+               round(CAST(sum(n_hit) AS DOUBLE)
+                     / CAST(greatest(sum(n_grams), 1) AS DOUBLE), 6)
+                 AS gram_rate
+        FROM cdocs GROUP BY 1
+    """
+
+    # DSIR per-source top-k: the weight SQL as a CTE + a per-source
+    # rank window + exact-decimal kept/all means.
+    sqls["dsir_topk_by_source"] = f"""
+        WITH dw AS ({sqls['text_dsir_weights']}),
+        ds AS (SELECT d.source, w.doc_id,
+                 round(w.log_weight, 6) AS lw
+               FROM dw w JOIN documents d USING (doc_id)),
+        dr AS (SELECT *, row_number() OVER (
+                 PARTITION BY source ORDER BY lw DESC, doc_id ASC) AS rk
+               FROM ds)
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN rk <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_kept,
+               round(CAST(sum(CAST(lw AS {DEC})) AS DOUBLE)
+                     / count(*), 6) AS mean_weight_all,
+               round(CAST(sum(CASE WHEN rk <= 10
+                                   THEN CAST(lw AS {DEC}) END) AS DOUBLE)
+                     / sum(CASE WHEN rk <= 10 THEN 1 ELSE 0 END), 6)
+                 AS mean_weight_kept,
+               max(CASE WHEN rk = 10 THEN lw END) AS cut_weight
+        FROM dr GROUP BY 1
+    """
+
     # shard manifest: md5-mod shard of event_id, per-row md5 31-bit
     # checksum summed exactly in DECIMAL(38,0), reduced mod 2^31 once
     # (the dataset_fingerprint overflow discipline).
@@ -14831,7 +14933,6 @@ def oracle_sql() -> dict[str, str]:
     # dedup-aware mixture retempering: before/after token masses on
     # the clone-planted corpus, tempered weights with the standing
     # round-9 DECIMAL normalizer discipline on both sides.
-    _w8 = _words_sql("text")
     sqls["mixture_after_dedup"] = f"""
         WITH corp AS (
           SELECT doc_id, source, text FROM documents

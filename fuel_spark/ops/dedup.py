@@ -2762,3 +2762,58 @@ def dedup_savings_calibration(
             F.round(cov / F.sqrt(va * vb), 6),
         ).alias("corr"),
     )
+
+
+def contamination_rate_by_source(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    source_col: str,
+    benchmark: DataFrame,
+    bench_text_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark-contamination RATE table — the per-source rollup of
+    :func:`decontaminate`'s per-doc signal (the GPT-3 appendix-C
+    number a curation review actually reads: which SOURCES leak eval
+    data, not which documents): per source, docs, flagged docs, gram
+    totals, and the doc- and gram-level contamination rates.  A
+    source with a high doc rate but low gram rate shares boilerplate
+    with the benchmark; high on both means the eval set itself leaked
+    into the crawl — different remediations, so both rates ship.
+
+    One source-grain rollup over the per-doc flags frame (the
+    decontaminate scan dominates; the rollup is map-side
+    combinable).  Output: source, n_docs, n_flagged, doc_rate,
+    n_grams, n_hit_grams, gram_rate.
+    """
+    flags = decontaminate(df, id_col, text_col, benchmark,
+                          bench_text_col, n)
+    joined = df.select(F.col(id_col), F.col(source_col)).join(
+        flags, id_col
+    )
+    return (
+        joined.groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("contaminated"), 1).otherwise(0))
+            .cast("bigint").alias("n_flagged"),
+            F.sum("n_grams").cast("bigint").alias("n_grams"),
+            F.sum("n_contaminated").cast("bigint").alias("n_hit_grams"),
+        )
+        .select(
+            source_col,
+            "n_docs",
+            "n_flagged",
+            F.round(
+                F.col("n_flagged").cast("double")
+                / F.col("n_docs").cast("double"), 6
+            ).alias("doc_rate"),
+            "n_grams",
+            "n_hit_grams",
+            F.round(
+                F.col("n_hit_grams").cast("double")
+                / F.greatest(F.col("n_grams"), F.lit(1)).cast("double"), 6
+            ).alias("gram_rate"),
+        )
+    )

@@ -3602,3 +3602,66 @@ def corpus_compressibility(
             gt1,
         ).alias("singleton_frac"),
     )
+
+
+def dsir_topk_by_source(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    source_col: str,
+    is_target,
+    k: int = 10,
+    buckets: int = 256,
+) -> DataFrame:
+    """DSIR selection with a per-SOURCE cap — the resampling half the
+    weight table (:func:`dsir_weights`) only scores: keep the ``k``
+    most target-like documents per source (rank by log_weight desc,
+    id asc — deterministic), and report the selection accounting a
+    mixture owner reads: docs kept, the kept slice's exact-decimal
+    mean weight beside the source's overall mean (the tilt — how much
+    more target-like the kept slice is), and the weight at the cut.
+    Capping per source instead of globally is the policy that stops
+    one on-target source from monopolizing the budget — and it is
+    also the scale-correct shape: the rank window partitions by
+    source (bounded per group) where a global top-frac would plan a
+    corpus-wide sort.
+
+    Output per source: source, n_docs, n_kept, mean_weight_all,
+    mean_weight_kept, cut_weight.
+    """
+    from pyspark.sql import Window
+
+    w = dsir_weights(df, id_col, text_col, is_target, buckets)
+    src = df.select(F.col(id_col), F.col(source_col).alias("_src"))
+    scored = w.join(src, id_col)
+    win = Window.partitionBy("_src").orderBy(
+        F.col("log_weight").desc(), F.col(id_col).asc()
+    )
+    ranked = scored.withColumn("_rk", F.row_number().over(win))
+    d6 = lambda c: F.round(
+        F.sum(F.round(c, 6).cast("decimal(27,6)")).cast("double")
+        / F.count(F.lit(1)), 6)
+    return (
+        ranked.groupBy("_src")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("_rk") <= k, 1).otherwise(0))
+            .cast("bigint").alias("n_kept"),
+            d6(F.col("log_weight")).alias("mean_weight_all"),
+            F.round(
+                F.sum(F.when(F.col("_rk") <= k,
+                             F.round(F.col("log_weight"), 6)
+                             .cast("decimal(27,6)")))
+                .cast("double")
+                / F.sum(F.when(F.col("_rk") <= k, 1).otherwise(0)), 6
+            ).alias("mean_weight_kept"),
+            F.max(
+                F.when(F.col("_rk") == k, F.round(F.col("log_weight"), 6))
+            ).alias("cut_weight"),
+        )
+        .select(
+            F.col("_src").alias(source_col),
+            "n_docs", "n_kept", "mean_weight_all", "mean_weight_kept",
+            "cut_weight",
+        )
+    )

@@ -947,6 +947,10 @@ SINGLE_PARTITION_ALLOWLIST = {
     # r8 late: the retemper's 1-row two-column normalizing total
     # broadcast back (the mixture_domain_weights rationale, twice)
     "mixture_after_dedup",
+    # r8 late: inherits dsir_weights' 1-row corpus-total broadcast
+    # (the text_dsir_weights rationale); the selection rank window
+    # itself partitions by source
+    "dsir_topk_by_source",
 }
 
 

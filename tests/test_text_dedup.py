@@ -2267,3 +2267,53 @@ def test_dedup_savings_calibration_perfectly_correlated_fixture(spark):
     corrs = {r.corr for r in out.values()}
     assert len(corrs) == 1
     assert corrs.pop() > 0.9
+
+
+def test_contamination_rate_by_source_planted_leak(spark):
+    """A source whose docs ARE the benchmark reads doc_rate 1.0; a
+    disjoint-vocabulary source reads 0.0; rates bounded in [0,1]."""
+    from fuel_spark.ops.dedup import contamination_rate_by_source
+    from fuel_spark.sources import from_rows
+
+    bench = from_rows(
+        spark,
+        [(100, "alpha beta gamma delta epsilon zeta")],
+        schema="doc_id bigint, text string",
+    )
+    corpus = from_rows(
+        spark,
+        [
+            (1, "leaky", "alpha beta gamma delta epsilon zeta"),
+            (2, "leaky", "alpha beta gamma repeated words here"),
+            (3, "clean", "one two three four five six seven"),
+        ],
+        schema="doc_id bigint, source string, text string",
+    )
+    got = {r.source: r for r in contamination_rate_by_source(
+        corpus, "doc_id", "text", "source", bench, "text", n=3
+    ).collect()}
+    assert got["leaky"].n_docs == 2 and got["leaky"].doc_rate == 1.0
+    assert got["clean"].n_flagged == 0 and got["clean"].gram_rate == 0.0
+    assert 0.0 < got["leaky"].gram_rate <= 1.0
+
+
+def test_dsir_topk_by_source_tilt_and_cap(spark):
+    """Per-source cap holds (n_kept = min(k, n_docs)) and the kept
+    slice's mean weight is >= the overall mean (top-k by weight can
+    never tilt down)."""
+    from fuel_spark.ops.text import dsir_topk_by_source
+    from fuel_spark.sources import from_rows
+
+    rows = []
+    for i in range(12):
+        rows.append((i, "a", "target words alpha beta " * (1 + i % 3)))
+    for i in range(12, 18):
+        rows.append((i, "b", "other vocabulary entirely different"))
+    df = from_rows(spark, rows, schema="doc_id bigint, source string, text string")
+    got = {r.source: r for r in dsir_topk_by_source(
+        df, "doc_id", "text", "source", F.col("source") == "a", k=5
+    ).collect()}
+    assert got["a"].n_kept == 5 and got["b"].n_kept == 5
+    for r in got.values():
+        assert r.mean_weight_kept >= r.mean_weight_all
+        assert r.cut_weight is not None

@@ -154,7 +154,8 @@ def main() -> int:
             "stream_kmv_resume", "linkage_incremental",
             "ann_planes_sweep", "stream_hll_resume",
             "mixture_after_dedup", "stream_bloom_resume",
-            "shard_manifest",
+            "shard_manifest", "contamination_by_source",
+            "dsir_topk_by_source",
         ]
         if len(sys.argv) > 3:
             # explicit subset: smoke only these names (fast re-checks
