@@ -3856,13 +3856,14 @@ def _ann_corpus_split(spark, sf):
     """The standing ANN-lifecycle fixture: frozen corpus = vec_id >=
     10 (so its 6 lowest ids, 10..15, are the frozen plane family);
     ingest batch = vec_id < 10 plus five EXACT clones of indexed
-    vectors re-keyed to 1100..1104 (the near-dup rows the screen
-    stage must catch)."""
+    vectors re-keyed far above any real id (+10,000,000, matching
+    scale_smoke's SHIFT, so the fixture holds at every SF — the
+    near-dup rows the screen stage must catch)."""
     e = _t(spark, sf)["embeddings"]
     old = e.where(F.col("vec_id") >= 10)
     clones = e.where(
         (F.col("vec_id") >= 100) & (F.col("vec_id") < 105)
-    ).withColumn("vec_id", F.col("vec_id") + F.lit(1000))
+    ).withColumn("vec_id", F.col("vec_id") + F.lit(10_000_000))
     new = e.where(F.col("vec_id") < 10).unionByName(clones)
     return e, old, new
 
@@ -3895,6 +3896,22 @@ def q_ann_index_compaction(spark, sf):
     live = e.where(F.col("vec_id") % 7 != 3)
     return similarity.ann_compact_index(
         replayed, live_ids=live, max_bucket=12
+    )
+
+
+def q_ann_compact_relative(spark, sf):
+    """Scale-relative compaction (r9, VERDICT #4 follow-up): the same
+    replayed/tombstoned index compacted under rel_max_bucket=2.0
+    (keep sz <= ceil(2 x mean bucket size)) instead of the absolute
+    cap — a grown corpus drops only genuinely hot cells instead of
+    emptying the index (the absolute cap's 20x cliff)."""
+    e = _t(spark, sf)["embeddings"]
+    planes = similarity.pivot_lsh_planes(e)
+    idx = similarity.pivot_lsh_index(e, planes)
+    replayed = idx.unionByName(idx.where(F.col("vec_id") % 3 == 0))
+    live = e.where(F.col("vec_id") % 7 != 3)
+    return similarity.ann_compact_index(
+        replayed, live_ids=live, rel_max_bucket=2.0
     )
 
 
@@ -4164,83 +4181,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry.  ORDERING IS DELIBERATE: the driver's
     correctness gate checks the FIRST 50 keys, so each round leads
     with the keys that do not yet have a driver-green CORRECTNESS row.
-    ROUND-8 window (applied): the first 50 keys are the block staged
-    at positions 51-100 in round 7 (``events_kruskal_wallis`` …
-    ``dedup_hot_buckets`` — the 8 round-6 leftovers plus the 42
-    round-7 additions), verified against CORRECTNESS_r01-r07 as never
+    ROUND-9 window (applied): the first 50 keys are the block staged
+    at positions 51-100 in round 8 (``sketch_bloom_merge_cert`` …
+    ``stream_cms_resume`` — the 42 late-r7 seeds plus the 8 round-8
+    additions), verified against CORRECTNESS_r01-r08 as never
     driver-checked, moved to the front unchanged (pure
     move-to-front).  All 50 are local-pass under
-    ``tools/check_correctness.py``.  The ROUND-9 staging block sits
-    immediately after at positions 51-100: EXACTLY 50
-    never-driver-checked oracle keys — the 42 late-r7 seeds
-    (``sketch_bloom_merge_cert`` … ``layout_file_planner``) plus the
-    8 round-8 additions.  Round 9 moves them to the front, which
-    closes cumulative driver coverage of EVERY oracle-checked query.
-    Rows-only keys sit past them (a driver rows-only row is weaker
-    than their pytest evidence).  Keys past that all have
-    driver-green rows from r1-r7 and stay covered by
-    ``tools/check_correctness.py`` locally every session.
+    ``tools/check_correctness.py``.  The ROUND-10 staging block sits
+    immediately after at positions 51-100: the 11 r8-late seeds
+    (``ann_reindex_sweep`` … ``dsir_topk_by_source``) topped up with
+    round-9's own additions to EXACTLY 50 never-driver-checked oracle
+    keys.  Round 10 moves them to the front, which closes cumulative
+    driver coverage of EVERY oracle-checked query.  Rows-only keys
+    sit past them (a driver rows-only row is weaker than their pytest
+    evidence).  Keys past that all have driver-green rows from r1-r8
+    and stay covered by ``tools/check_correctness.py`` locally every
+    session.
     """
     return {
-        # ---- ROUND-8 driver window (first 50): the staging block
-        # verified at positions 51-100 last round (8 round-6
-        # leftovers + 42 round-7 additions), never driver-checked
-        # against CORRECTNESS_r01-r07, all local-pass.  Pure
-        # move-to-front; keys and wrappers unchanged. -----------------
-        "events_kruskal_wallis": q_kruskal_wallis,
-        "events_levene": q_levene,
-        "events_cramers_v": q_cramers_v,
-        "lineitem_point_biserial": q_point_biserial,
-        "events_theil_sen": q_theil_sen,
-        "graph_lpa_fixed": q_lpa,
-        "events_periodogram": q_periodogram,
-        "events_page_hinkley": q_page_hinkley,
-        "sketch_quantile_value": q_quantile_sketch_value,
-        "sketch_quantile_by_type": q_quantile_sketch_by_type,
-        "sketch_quantile_merge_cert": q_quantile_sketch_merge,
-        "sketch_cms_counts": q_cms_counts,
-        "sketch_cms_merge_cert": q_cms_merge,
-        "sketch_bloom_screen": q_bloom_screen,
-        "sketch_bloom_planner": q_bloom_planner,
-        "sketch_distinct_linear": q_distinct_linear,
-        "sample_reservoir": q_sample_reservoir,
-        "sample_reservoir_by_source": q_sample_reservoir_by_source,
-        "sample_stratified_sources": q_sample_stratified,
-        "split_train_val_test": q_split_train_val_test,
-        "mixture_domain_weights": q_domain_mixture_weights,
-        "packing_efficiency_report": q_packing_efficiency,
-        "curriculum_quality_phases": q_curriculum_phases,
-        "curation_funnel": q_curation_funnel,
-        "text_top_ngrams_by_source": q_top_ngrams_by_source,
-        "dedup_index_bucket_profile": q_index_bucket_profile,
-        "incremental_dedup_pipeline": q_incremental_dedup,
-        "snapshot_token_accounting": q_snapshot_tokens,
-        "sketch_hll_distinct": q_hll_distinct,
-        "sketch_cms_topk": q_cms_topk,
-        "dedup_cross_source_rate": q_dedup_rate_by_source,
-        "dedup_candidate_budget": q_candidate_budget,
-        "text_truncation_savings": q_truncation_savings,
-        "mixture_schedule_slots": q_mixture_schedule,
-        "snapshot_length_psi": q_snapshot_psi,
-        "sketch_hll_merge_cert": q_hll_merge,
-        "sketch_quantile_rate_sweep": q_quantile_rate_sweep,
-        "sketch_cms_width_sweep": q_cms_width_sweep,
-        "sample_weighted_by_source": q_weighted_sample_by_source,
-        "sample_reservoir_merge_cert": q_reservoir_merge_cert,
-        "split_leakage_report": q_split_leakage,
-        "split_label_balance": q_split_label_balance,
-        "events_heavy_hitters_batch": q_heavy_hitters_batch,
-        "corpus_token_gini": q_token_gini,
-        "source_vocab_overlap": q_vocab_overlap,
-        "curriculum_source_mix": q_curriculum_source_mix,
-        "snapshot_vocab_churn": q_vocab_churn,
-        "packing_concat_vs_pad": q_concat_vs_pad,
-        "mixture_alpha_sweep": q_mixture_alpha_sweep,
-        "dedup_hot_buckets": q_hot_buckets,
-        # ---- end of round-8 window ----------------------------------
-        # ROUND-9 staging block (positions 51+): late-r7 oracle keys
-        # + round-8 additions, never driver-checked; round 9 moves
-        # this block to the front. ------------------------------------
+        # ---- ROUND-9 driver window (first 50): the staging block
+        # verified at positions 51-100 last round (42 late-r7 seeds +
+        # 8 round-8 additions), never driver-checked against
+        # CORRECTNESS_r01-r08, all local-pass.  Pure move-to-front;
+        # keys and wrappers unchanged. --------------------------------
         "sketch_bloom_merge_cert": q_bloom_merge,
         "split_source_balance": q_split_source_balance,
         "sample_rate_certificate": q_sample_rate_cert,
@@ -4295,7 +4258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_snapshot_diff": q_embedding_snapshot_diff,
         "embedding_snapshot_drift": q_embedding_snapshot_drift,
         "stream_cms_resume": q_stream_cms_resume,
-        # ---- end of the r9 seed block (exactly 50 keys) ---------------
+        # ---- end of round-9 window ----------------------------------
         # r10 seeds (positions 101+): r8-late oracle keys, never
         # driver-checked; they start the r10 pool after r9 rotates.
         "ann_reindex_sweep": q_ann_reindex_sweep,
@@ -4309,7 +4272,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_manifest": q_shard_manifest,
         "contamination_by_source": q_contamination_by_source,
         "dsir_topk_by_source": q_dsir_topk_by_source,
+        # round-9 additions (staging top-up toward exactly 50):
+        "ann_compact_relative": q_ann_compact_relative,
         # ---- end of the r10 seed block --------------------------------
+        # ---- driver-green in r8 (CORRECTNESS_r08.json, 50/50): the
+        # round-8 window, now cumulative coverage. --------------------
+        "events_kruskal_wallis": q_kruskal_wallis,
+        "events_levene": q_levene,
+        "events_cramers_v": q_cramers_v,
+        "lineitem_point_biserial": q_point_biserial,
+        "events_theil_sen": q_theil_sen,
+        "graph_lpa_fixed": q_lpa,
+        "events_periodogram": q_periodogram,
+        "events_page_hinkley": q_page_hinkley,
+        "sketch_quantile_value": q_quantile_sketch_value,
+        "sketch_quantile_by_type": q_quantile_sketch_by_type,
+        "sketch_quantile_merge_cert": q_quantile_sketch_merge,
+        "sketch_cms_counts": q_cms_counts,
+        "sketch_cms_merge_cert": q_cms_merge,
+        "sketch_bloom_screen": q_bloom_screen,
+        "sketch_bloom_planner": q_bloom_planner,
+        "sketch_distinct_linear": q_distinct_linear,
+        "sample_reservoir": q_sample_reservoir,
+        "sample_reservoir_by_source": q_sample_reservoir_by_source,
+        "sample_stratified_sources": q_sample_stratified,
+        "split_train_val_test": q_split_train_val_test,
+        "mixture_domain_weights": q_domain_mixture_weights,
+        "packing_efficiency_report": q_packing_efficiency,
+        "curriculum_quality_phases": q_curriculum_phases,
+        "curation_funnel": q_curation_funnel,
+        "text_top_ngrams_by_source": q_top_ngrams_by_source,
+        "dedup_index_bucket_profile": q_index_bucket_profile,
+        "incremental_dedup_pipeline": q_incremental_dedup,
+        "snapshot_token_accounting": q_snapshot_tokens,
+        "sketch_hll_distinct": q_hll_distinct,
+        "sketch_cms_topk": q_cms_topk,
+        "dedup_cross_source_rate": q_dedup_rate_by_source,
+        "dedup_candidate_budget": q_candidate_budget,
+        "text_truncation_savings": q_truncation_savings,
+        "mixture_schedule_slots": q_mixture_schedule,
+        "snapshot_length_psi": q_snapshot_psi,
+        "sketch_hll_merge_cert": q_hll_merge,
+        "sketch_quantile_rate_sweep": q_quantile_rate_sweep,
+        "sketch_cms_width_sweep": q_cms_width_sweep,
+        "sample_weighted_by_source": q_weighted_sample_by_source,
+        "sample_reservoir_merge_cert": q_reservoir_merge_cert,
+        "split_leakage_report": q_split_leakage,
+        "split_label_balance": q_split_label_balance,
+        "events_heavy_hitters_batch": q_heavy_hitters_batch,
+        "corpus_token_gini": q_token_gini,
+        "source_vocab_overlap": q_vocab_overlap,
+        "curriculum_source_mix": q_curriculum_source_mix,
+        "snapshot_vocab_churn": q_vocab_churn,
+        "packing_concat_vs_pad": q_concat_vs_pad,
+        "mixture_alpha_sweep": q_mixture_alpha_sweep,
+        "dedup_hot_buckets": q_hot_buckets,
         # ---- driver-green in r7 (CORRECTNESS_r07.json, 50/50): the
         # round-7 window, now cumulative coverage. --------------------
         "events_ks_test": q_ks_test,
@@ -14346,7 +14363,10 @@ def oracle_sql() -> dict[str, str]:
         FROM asg GROUP BY 1, 2
     """
 
-    sqls["embedding_centroid_shift"] = """
+    # half-centroid means via the exact-rational round6 (double
+    # quotients flip at half-way boundaries), products in exact
+    # DECIMAL(18,6)x(18,6) arithmetic — the drift-cert contract
+    sqls["embedding_centroid_shift"] = f"""
         WITH csx AS (
           SELECT label AS g, (vec_id % 2 = 0) AS even, i - 1 AS pos,
                  CAST(round(CAST(embedding[i] AS DOUBLE), 6)
@@ -14356,26 +14376,26 @@ def oracle_sql() -> dict[str, str]:
                         AS i) u
         ),
         cspd AS (SELECT g, even, pos,
-                   round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS m,
+                   {round6_ratio_sql('sum(v)', 'count(*)')} AS m,
                    count(*) AS n
                  FROM csx GROUP BY 1, 2, 3),
         cspair AS (SELECT g, pos,
-                     max(CASE WHEN even THEN m END) AS a,
-                     max(CASE WHEN NOT even THEN m END) AS b,
+                     CAST(max(CASE WHEN even THEN m END)
+                          AS DECIMAL(18,6)) AS a,
+                     CAST(max(CASE WHEN NOT even THEN m END)
+                          AS DECIMAL(18,6)) AS b,
                      max(CASE WHEN even THEN n END) AS n_even,
                      max(CASE WHEN NOT even THEN n END) AS n_odd
                    FROM cspd GROUP BY 1, 2),
         csred AS (SELECT g,
                     CAST(max(n_even) AS BIGINT) AS n_even,
                     CAST(max(n_odd) AS BIGINT) AS n_odd,
-                    CAST(sum(CAST(round(a * b, 9) AS DECIMAL(27,9)))
-                         AS DOUBLE) AS dot,
-                    CAST(sum(CAST(round(a * a, 9) AS DECIMAL(27,9)))
-                         AS DOUBLE) AS na,
-                    CAST(sum(CAST(round(b * b, 9) AS DECIMAL(27,9)))
-                         AS DOUBLE) AS nb,
-                    CAST(sum(CAST(round((a - b) * (a - b), 9)
-                                  AS DECIMAL(27,9))) AS DOUBLE) AS l2
+                    CAST(sum(a * b) AS DOUBLE) AS dot,
+                    CAST(sum(a * a) AS DOUBLE) AS na,
+                    CAST(sum(b * b) AS DOUBLE) AS nb,
+                    CAST(sum(CAST(a - b AS DECIMAL(18,6))
+                             * CAST(a - b AS DECIMAL(18,6)))
+                         AS DOUBLE) AS l2
                   FROM cspair GROUP BY 1)
         SELECT g AS label, n_even, n_odd,
           round(dot / sqrt(na * nb), 6) AS cosine,
@@ -14486,22 +14506,25 @@ def oracle_sql() -> dict[str, str]:
           GROUP BY 1
         """
 
-    # snap_a = embeddings plus the ingest clones (vec_id 1100..1104
-    # re-keyed copies of 100..104) — the fixture _ann_corpus_split
-    # builds Spark-side.  old = vec_id >= 10 AND < 1000; the merged
+    # snap_a = embeddings plus the ingest clones (copies of
+    # 100..104 re-keyed +10,000,000, above any real id at every SF)
+    # — the fixture _ann_corpus_split builds Spark-side.  The oracle
+    # old/new split derives from the SAME predicate as the fixture:
+    # old = base rows with vec_id >= 10 (clones sit at >= 10M, so
+    # "vec_id >= 10 AND vec_id < 10000000" is exactly it); the merged
     # index buckets EVERYTHING under old's planes (union of old and
     # new bucketed with the same frozen family).
     _ann_snap = """
         snap_a AS (
           SELECT vec_id, embedding, label FROM embeddings
           UNION ALL
-          SELECT vec_id + 1000 AS vec_id, embedding, label
+          SELECT vec_id + 10000000 AS vec_id, embedding, label
           FROM embeddings WHERE vec_id >= 100 AND vec_id < 105
         )"""
 
     sqls["ann_index_merge_cert"] = f"""
         WITH {_ann_snap},
-        merged AS ({_pividx('TRUE', 'vec_id >= 10 AND vec_id < 1000')}),
+        merged AS ({_pividx('TRUE', 'vec_id >= 10 AND vec_id < 10000000')}),
         fresh AS ({_pividx('TRUE', 'TRUE')}),
         j AS (SELECT m.bucket AS mb, f.bucket AS fb
               FROM merged m JOIN fresh f USING (vec_id))
@@ -14532,9 +14555,27 @@ def oracle_sql() -> dict[str, str]:
         WHERE s.n <= 12
     """
 
+    sqls["ann_compact_relative"] = f"""
+        WITH snap_a AS (SELECT vec_id, embedding FROM embeddings),
+        idx AS ({_pividx('TRUE', 'TRUE')}),
+        replayed AS (SELECT * FROM idx
+                     UNION ALL
+                     SELECT * FROM idx WHERE vec_id % 3 = 0),
+        deduped AS (SELECT DISTINCT vec_id, bucket FROM replayed),
+        live AS (SELECT d.* FROM deduped d
+                 WHERE d.vec_id % 7 <> 3),
+        sizes AS (SELECT bucket, count(*) AS n FROM live GROUP BY 1),
+        tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+                       CAST(count(*) AS BIGINT) AS n_buckets
+                FROM sizes)
+        SELECT l.vec_id, l.bucket
+        FROM live l JOIN sizes s USING (bucket), tot t
+        WHERE (s.n - 1) * 1000 * t.n_buckets < 2000 * t.n_rows
+    """
+
     sqls["ann_index_bucket_profile"] = f"""
         WITH {_ann_snap},
-        merged AS ({_pividx('TRUE', 'vec_id >= 10 AND vec_id < 1000')}),
+        merged AS ({_pividx('TRUE', 'vec_id >= 10 AND vec_id < 10000000')}),
         sizes AS (SELECT bucket, count(*) AS sz FROM merged GROUP BY 1)
         SELECT CAST(sum(sz) AS BIGINT) AS n_rows,
                CAST(count(*) AS BIGINT) AS n_buckets,
@@ -14552,10 +14593,10 @@ def oracle_sql() -> dict[str, str]:
     _nv_cos = _cos_sql("nv.embedding", "cv.embedding")
     sqls["ann_incremental_pipeline"] = f"""
         WITH {_ann_snap},
-        old_idx AS ({_pividx('vec_id >= 10 AND vec_id < 1000',
-                             'vec_id >= 10 AND vec_id < 1000')}),
-        new_idx AS ({_pividx('vec_id < 10 OR vec_id >= 1000',
-                             'vec_id >= 10 AND vec_id < 1000')}),
+        old_idx AS ({_pividx('vec_id >= 10 AND vec_id < 10000000',
+                             'vec_id >= 10 AND vec_id < 10000000')}),
+        new_idx AS ({_pividx('vec_id < 10 OR vec_id >= 10000000',
+                             'vec_id >= 10 AND vec_id < 10000000')}),
         probed AS (
           SELECT vec_id, bucket FROM new_idx
           UNION ALL
@@ -14645,7 +14686,8 @@ def oracle_sql() -> dict[str, str]:
     """
 
     # drift certificate: per-dim exact-decimal centroid means per
-    # side, dot/l2 reductions round(9) into DECIMAL(27,9) — the
+    # side, dot/l2 reductions as exact DECIMAL(18,6)×(18,6) products
+    # (round(double,9) flips half-way cases across engines) — the
     # centroid_shift numeric contract applied across snapshots.
     sqls["embedding_snapshot_drift"] = f"""
         WITH {_snap_b},
@@ -14664,7 +14706,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         per_dim AS (
           SELECT g, side, pos,
-                 round({_dsum_sql('v')} / count(*), 6) AS m,
+                 {round6_ratio_sql("sum(CAST(v AS DECIMAL(27,6)))",
+                                   "count(*)")} AS m,
                  count(*) AS n
           FROM exploded GROUP BY 1, 2, 3
         ),
@@ -14680,14 +14723,22 @@ def oracle_sql() -> dict[str, str]:
           SELECT g,
                  CAST(COALESCE(max(n_a), 0) AS BIGINT) AS n_a,
                  CAST(COALESCE(max(n_b), 0) AS BIGINT) AS n_b,
-                 CAST(sum(CAST(round(ca * cb, 9) AS DECIMAL(27,9)))
+                 CAST(sum(CAST(ca AS DECIMAL(18,6))
+                          * CAST(cb AS DECIMAL(18,6)))
                       AS DOUBLE) AS dotp,
-                 CAST(sum(CAST(round(ca * ca, 9) AS DECIMAL(27,9)))
+                 CAST(sum(CAST(ca AS DECIMAL(18,6))
+                          * CAST(ca AS DECIMAL(18,6)))
                       AS DOUBLE) AS na,
-                 CAST(sum(CAST(round(cb * cb, 9) AS DECIMAL(27,9)))
+                 CAST(sum(CAST(cb AS DECIMAL(18,6))
+                          * CAST(cb AS DECIMAL(18,6)))
                       AS DOUBLE) AS nb,
-                 CAST(sum(CAST(round((ca - cb) * (ca - cb), 9)
-                               AS DECIMAL(27,9))) AS DOUBLE) AS l2
+                 CAST(sum(CAST(CAST(ca AS DECIMAL(18,6))
+                               - CAST(cb AS DECIMAL(18,6))
+                               AS DECIMAL(18,6))
+                          * CAST(CAST(ca AS DECIMAL(18,6))
+                                 - CAST(cb AS DECIMAL(18,6))
+                                 AS DECIMAL(18,6)))
+                      AS DOUBLE) AS l2
           FROM pair GROUP BY 1
         ),
         norms AS (

@@ -212,6 +212,27 @@ def main() -> int:
         pass  # log4j internals moved: cosmetic guard only, keep benching
 
     SPECIAL = ("streaming_screen_availablenow", "curation_pipeline_noprepass")
+    # Load-aware start (VERDICT r8 ask #4): two rounds running, the
+    # driver's bench artifact ran on a hot shared VM (+12-16% vs the
+    # quiesced snapshots with zero plan changes).  If the machine is
+    # already busy BEFORE we spin up Spark work, sleep-and-retry so
+    # the committed artifact is usable without forensics.  The check
+    # runs only at start — once the bench itself is running, our own
+    # 32-thread load dominates getloadavg and a per-rep check would
+    # self-trigger.
+    load_waits = 0
+    while (
+        os.getloadavg()[0] / max(os.cpu_count() or 1, 1) > 0.25
+        and load_waits < 2
+    ):
+        load_waits += 1
+        print(
+            f"bench: load_avg {os.getloadavg()[0]:.1f} on "
+            f"{os.cpu_count()} cpus — hot machine, waiting 90s "
+            f"(retry {load_waits}/2)",
+            file=sys.stderr,
+        )
+        time.sleep(90)
     qs = entry_mod.queries()
     names = args.queries or [
         n for n in HEADLINERS if n in qs or n in SPECIAL
@@ -274,6 +295,9 @@ def main() -> int:
         # "machine was busy" without re-running anything.
         "load_avg": [round(x, 2) for x in os.getloadavg()],
         "cpus": os.cpu_count(),
+        # how many 90s hot-machine waits the load-aware start burned
+        # before benching (0 = machine was quiet at launch)
+        "load_waits": load_waits,
     }
     # Full result (with the per-rep spreads map) goes to a side file;
     # the stdout line stays compact.  BENCH_r05 lesson: the spreads map

@@ -2321,17 +2321,20 @@ def centroid_shift(
     Output per group: n_even, n_odd, cosine (round 6),
     l2_shift (round 6, the euclidean distance between half-centroids).
     """
+    from fuel_spark.functions import round6_ratio
+
     exploded = df.select(
         F.col(group_col).alias("g"),
         (F.col(id_col) % 2 == 0).alias("even"),
         F.posexplode(F.col(vec_col)).alias("pos", "v"),
     )
+    # exact-rational 6-dp mean (round(sum/n, 6) of a double quotient
+    # flips at half-way boundaries between engines)
     per_dim = exploded.groupBy("g", "even", "pos").agg(
-        F.round(
-            F.sum(F.round(F.col("v").cast("double"), 6).cast("decimal(27,6)"))
-            .cast("double")
-            / F.count(F.lit(1)),
-            6,
+        round6_ratio(
+            F.sum(F.round(F.col("v").cast("double"), 6)
+                  .cast("decimal(27,6)")),
+            F.count(F.lit(1)),
         ).alias("m"),
         F.count(F.lit(1)).alias("n"),
     )
@@ -2345,18 +2348,22 @@ def centroid_shift(
             F.max(F.when(~F.col("even"), F.col("n"))).alias("n_odd"),
         )
     )
-    # per-dim products round(9) into DECIMAL so the reductions are
-    # order-independent (the pagerank float contract)
-    d9 = lambda c: F.round(c, 9).cast("decimal(27,9)")
+    # per-dim products in exact decimal arithmetic — (18,6)×(18,6) is
+    # an exact 12-dp DECIMAL(37,12), so the reductions are
+    # order-independent AND engine-portable (round(double*double, 9)
+    # resolves half-way cases differently across engines)
+    d6c = lambda c: c.cast("decimal(18,6)")
+    diff = (d6c(F.col("a")) - d6c(F.col("b"))).cast("decimal(18,6)")
     red = pair.groupBy("g").agg(
         F.max("n_even").cast("bigint").alias("n_even"),
         F.max("n_odd").cast("bigint").alias("n_odd"),
-        F.sum(d9(F.col("a") * F.col("b"))).cast("double").alias("_dot"),
-        F.sum(d9(F.col("a") * F.col("a"))).cast("double").alias("_na"),
-        F.sum(d9(F.col("b") * F.col("b"))).cast("double").alias("_nb"),
-        F.sum(d9((F.col("a") - F.col("b")) * (F.col("a") - F.col("b"))))
-        .cast("double")
-        .alias("_l2"),
+        F.sum(d6c(F.col("a")) * d6c(F.col("b")))
+        .cast("double").alias("_dot"),
+        F.sum(d6c(F.col("a")) * d6c(F.col("a")))
+        .cast("double").alias("_na"),
+        F.sum(d6c(F.col("b")) * d6c(F.col("b")))
+        .cast("double").alias("_nb"),
+        F.sum(diff * diff).cast("double").alias("_l2"),
     )
     return red.select(
         F.col("g").alias(group_col),
@@ -2541,6 +2548,7 @@ def ann_compact_index(
     id_col: str = "vec_id",
     max_bucket: int | None = None,
     index_id_col: str = "vec_id",
+    rel_max_bucket: float | None = None,
 ) -> DataFrame:
     """Periodic compaction of an append-only vector index — the ANN
     twin of ``ops.dedup.compact_index``, dropping the same three
@@ -2563,6 +2571,17 @@ def ann_compact_index(
     re-deriving pivots from the grown corpus) is NOT a compaction —
     that is a rebuild via :func:`pivot_lsh_index` over the live
     corpus.
+
+    Cap semantics: ``max_bucket`` is the ABSOLUTE cap (rows); it
+    cliffs once the corpus outgrows cap·2^n_planes (every cell over
+    the cap → empty index — by design, the rebuild signal).
+    ``rel_max_bucket`` is the SCALE-RELATIVE cap (the dedup
+    convention): keep a bucket iff its size ≤ ceil(α · mean bucket
+    size), so a grown corpus degrades to dropping only genuinely hot
+    cells instead of emptying the index.  The comparison is pure
+    integer arithmetic — sz ≤ ceil(α·n/b) ⟺ (sz−1)·q·b < p·n with
+    α = p/q at 3-dp resolution — so it is exact on both engines at
+    every scale.  When both caps are given a bucket must pass BOTH.
     """
     cols = index.columns
     if index_id_col not in cols:
@@ -2577,15 +2596,27 @@ def ann_compact_index(
             F.col(id_col).cast(id_type).alias(index_id_col)
         ).distinct()
         out = out.join(keep, index_id_col, "left_semi")
-    if max_bucket is not None:
+    if max_bucket is not None or rel_max_bucket is not None:
         sizes = out.groupBy("bucket").agg(
             F.count(F.lit(1)).alias("_bucket_n")
         )
-        out = (
-            out.join(sizes, "bucket")
-            .where(F.col("_bucket_n") <= int(max_bucket))
-            .drop("_bucket_n")
-        )
+        out = out.join(sizes, "bucket")
+        if max_bucket is not None:
+            out = out.where(F.col("_bucket_n") <= int(max_bucket))
+        if rel_max_bucket is not None:
+            # α at 3-dp resolution; keep iff (sz-1)·q·b < p·n — the
+            # exact-integer form of sz ≤ ceil(α · n/b)
+            p = int(round(float(rel_max_bucket) * 1000))
+            totals = sizes.agg(
+                F.sum("_bucket_n").cast("long").alias("_n_rows"),
+                F.count(F.lit(1)).cast("long").alias("_n_buckets"),
+            )
+            out = out.crossJoin(F.broadcast(totals)).where(
+                (F.col("_bucket_n") - 1) * F.lit(1000)
+                * F.col("_n_buckets")
+                < F.lit(p) * F.col("_n_rows")
+            ).drop("_n_rows", "_n_buckets")
+        out = out.drop("_bucket_n")
     return out
 
 
@@ -2796,19 +2827,29 @@ def snapshot_drift_certificate(
     and :func:`dataset_fingerprint` (whether anything changed at
     all).
 
-    Numeric discipline is the :func:`centroid_shift` contract:
-    components round(6) into DECIMAL(27,6) before the mean, per-dim
-    products round(9) into DECIMAL(27,9) before the reduction, so
-    every aggregate is order/partitioning-independent and the whole
+    Numeric discipline is the :func:`centroid_shift` contract
+    hardened one step further: components round(6) into
+    DECIMAL(27,6) before an exact-rational :func:`round6_ratio` mean
+    (a plain round(sum/n, 6) double quotient flips at half-way
+    boundaries between engines), and the per-dim centroid products
+    are computed IN exact decimal arithmetic — the round-6 means cast
+    to DECIMAL(18,6) and multiplied (an exact 12-dp DECIMAL(37,12)
+    product) rather than rounding a double product, because
+    round(double*double, 9) resolves half-way cases differently
+    across engines (Spark BigDecimal HALF_UP vs DuckDB) — so every
+    aggregate is order/partitioning-independent and the whole
     certificate runs under the exact-hash oracle gate.  Scale shape:
     one posexplode per side feeding a (group, side, dim)-keyed
     map-side-combinable agg; everything after is aggregate-sized.
     """
-    from fuel_spark.functions import dot_expr
+    from fuel_spark.functions import dot_expr, round6_ratio
 
-    d6m = lambda c: F.round(
-        F.sum(F.round(c.cast("double"), 6).cast("decimal(27,6)"))
-        .cast("double") / F.count(F.lit(1)), 6)
+    # exact-rational 6-dp mean: round(double_quotient, 6) flips at
+    # half-way boundaries between engines (the round6_ratio contract)
+    d6m = lambda c: round6_ratio(
+        F.sum(F.round(c.cast("double"), 6).cast("decimal(27,6)")),
+        F.count(F.lit(1)),
+    )
     sides = []
     for tag, df in (("a", a), ("b", b)):
         sides.append(
@@ -2828,17 +2869,22 @@ def snapshot_drift_certificate(
         F.max(F.when(F.col("side") == "a", F.col("n"))).alias("n_a"),
         F.max(F.when(F.col("side") == "b", F.col("n"))).alias("n_b"),
     )
-    d9 = lambda c: F.round(c, 9).cast("decimal(27,9)")
+    # exact decimal products: (18,6)×(18,6) → DECIMAL(37,12), no
+    # precision loss in either engine, no double-rounding half-way
+    d6c = lambda c: c.cast("decimal(18,6)")
+    diff = (d6c(F.col("ca")) - d6c(F.col("cb"))).cast("decimal(18,6)")
     red = pair.groupBy("g").agg(
         # a group present in only one snapshot reads 0 on the other
         # side (and drifted=true below), not NULL
         F.coalesce(F.max("n_a"), F.lit(0)).cast("bigint").alias("n_a"),
         F.coalesce(F.max("n_b"), F.lit(0)).cast("bigint").alias("n_b"),
-        F.sum(d9(F.col("ca") * F.col("cb"))).cast("double").alias("_dot"),
-        F.sum(d9(F.col("ca") * F.col("ca"))).cast("double").alias("_na"),
-        F.sum(d9(F.col("cb") * F.col("cb"))).cast("double").alias("_nb"),
-        F.sum(d9((F.col("ca") - F.col("cb")) * (F.col("ca") - F.col("cb"))))
-        .cast("double").alias("_l2"),
+        F.sum(d6c(F.col("ca")) * d6c(F.col("cb")))
+        .cast("double").alias("_dot"),
+        F.sum(d6c(F.col("ca")) * d6c(F.col("ca")))
+        .cast("double").alias("_na"),
+        F.sum(d6c(F.col("cb")) * d6c(F.col("cb")))
+        .cast("double").alias("_nb"),
+        F.sum(diff * diff).cast("double").alias("_l2"),
     )
     # per-side mean row norm: per-row norm rounds(6) first, then the
     # exact-decimal mean — same order-independence story

@@ -1107,9 +1107,12 @@ def _sliced_restart_runs(
     built by ``build_query`` with trigger availableNow against ONE
     shared checkpoint — so every run after the first restores its
     operator state from the state store, exactly a production
-    restart.  Returns the LAST run's collected foreachBatch rows
-    (update-mode: the current state of every group the final slice
-    touched).
+    restart.  Returns the collected foreachBatch rows of EVERY run in
+    chronological order — update-mode state is cumulative, so a
+    group's latest emission across all runs IS its final state even
+    when no key of that group falls in the last slice's residue
+    class (callers fold latest-wins per group); returning only the
+    final run would silently drop such groups on skewed fixtures.
 
     Test apparatus by design — the production ops are the bounded-
     state streams themselves; the driver-side read here is the final
@@ -1122,7 +1125,7 @@ def _sliced_restart_runs(
     src = os.path.join(workdir, "src")
     ckpt = os.path.join(workdir, "ckpt")
     os.makedirs(src, exist_ok=True)
-    final: list[list] = []
+    all_batches: list[list] = []
     for run in range(int(n_runs)):
         stage = os.path.join(workdir, f"stage{run}")
         df.where(
@@ -1141,9 +1144,8 @@ def _sliced_restart_runs(
             .start()
         )
         q.awaitTermination(300)
-        if run == int(n_runs) - 1:
-            final = batches
-    return final
+        all_batches.extend(batches)
+    return all_batches
 
 
 def cms_resume_certificate(

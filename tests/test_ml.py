@@ -474,6 +474,30 @@ def test_ann_compact_index_three_decays(spark):
     assert out == {(4, 9)}
 
 
+def test_ann_compact_relative_cap_degrades_not_cliffs(spark):
+    """The scale-relative cap (r9): where the absolute cap empties an
+    index whose every bucket outgrew it, rel_max_bucket keeps every
+    bucket within alpha x mean — only genuinely hot cells drop."""
+    # 4 buckets sized 5/5/5/25 -> mean 10; rel cap 2.0 -> ceil(20)
+    rows = [(100 * b + i, b) for b in range(3) for i in range(5)]
+    rows += [(900 + i, 9) for i in range(25)]
+    idx = from_rows(spark, rows, schema="vec_id bigint, bucket bigint")
+    # absolute cap 4 < every bucket size -> the cliff: empty index
+    assert similarity.ann_compact_index(idx, max_bucket=4).count() == 0
+    # relative cap keeps the three normal cells, drops only the hot one
+    out = similarity.ann_compact_index(idx, rel_max_bucket=2.0)
+    kept = {r.bucket for r in out.collect()}
+    assert kept == {0, 1, 2} and out.count() == 15
+    # boundary exactness: sz == ceil(alpha x mean) is KEPT (<=, not <)
+    # 2 buckets sized 2 and 4 -> mean 3, cap ceil(6) = 6 -> both kept
+    idx2 = from_rows(
+        spark,
+        [(i, 0) for i in range(2)] + [(10 + i, 1) for i in range(4)],
+        schema="vec_id bigint, bucket bigint",
+    )
+    assert similarity.ann_compact_index(idx2, rel_max_bucket=2.0).count() == 6
+
+
 def test_ann_index_profile_exact_stats(spark):
     """Profile stats on a hand-built index: sizes {3, 1} give
     expected_candidates = (9 + 1) / 4 = 2.5 (the size-biased mean a

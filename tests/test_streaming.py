@@ -1180,3 +1180,36 @@ def test_bloom_resume_certificate_matches_batch_positions(spark, workdir):
                    bloom_build(sub, "k", m_bits=128, k_hashes=3,
                                seed=5).collect()}
     assert got == want and all(len(v) > 0 for v in want.values())
+
+
+def test_kmv_resume_covers_group_absent_from_final_slice(spark, workdir):
+    """Skewed-fixture regression (r9, ADVICE): a group whose keys ALL
+    fall in run 1's residue class (key mod n_runs == 0) is never
+    touched by the final run, so its state is only ever emitted by an
+    earlier run — the harness must accumulate emissions across ALL
+    runs (latest-wins per group) or the group silently vanishes from
+    the certificate while present in the batch oracle."""
+    from fuel_spark.ops import sketch
+    from fuel_spark.sources import from_rows
+
+    # "stuck" has only even keys → residue 0 of 2 runs; "live" has both
+    rows = [("stuck", 2 * i) for i in range(40)]
+    rows += [("live", i) for i in range(40)]
+    df = from_rows(spark, rows, schema="g string, u long")
+    got = {
+        r.group: r
+        for r in serve.kmv_resume_certificate(
+            spark, df, "g", "u", workdir=workdir, k=16, seed=7, n_runs=2
+        ).collect()
+    }
+    want = {
+        r.g: r
+        for r in sketch.kmv_distinct_certificate(
+            df, "g", "u", k=16, seed=7
+        ).collect()
+    }
+    assert set(got) == {"stuck", "live"}, "group dropped by the harness"
+    for g in got:
+        assert got[g].n_sketch == want[g].n_sketch, g
+        assert got[g].theta == want[g].theta, g
+        assert got[g].est_distinct == want[g].est_distinct, g

@@ -12,18 +12,30 @@ Prints and checks:
      keys (a rotation-ready block reads exactly 50/50);
   3. the seed pool past position 100: fresh oracle keys that top up
      the NEXT round's staging block;
-  4. duplicate-key sanity: every queries() key unique, every
-     oracle_sql() key present in queries().
+  4. duplicate-key sanity: the registry dict LITERAL in
+     __spark_entry__.py is parsed with ast and checked for duplicate
+     string keys — a shadowed key in the literal silently drops the
+     earlier entry and is invisible in the materialized dict (the r7
+     failure mode); plus every oracle_sql() key present in queries().
 
-Exit 0 when (1) holds completely and (4) is clean; exit 1 otherwise.
-Run it immediately after editing the registry order and again right
-before the driver fires.
+Pre- vs post-rotation: at round close, BEFORE the rotation edit, the
+current first-50 are the round's own freshly-greened keys, so every
+one reads "stale" — that is the healthy pending state, not a broken
+window.  When the stale set exactly equals the NEWEST artifact's key
+set the report prints ROTATION PENDING (exit 2) instead of BROKEN;
+`--pre-rotation` makes that state exit 0 for round-close scripting.
 
-Usage: python tools/window_report.py
+Exit 0 when (1) holds completely and (4) is clean (or pending state
+under --pre-rotation); exit 2 on rotation-pending without the flag;
+exit 1 otherwise.  Run it immediately after editing the registry
+order and again right before the driver fires.
+
+Usage: python tools/window_report.py [--pre-rotation]
 """
 
 from __future__ import annotations
 
+import ast
 import glob
 import importlib.util
 import json
@@ -33,7 +45,29 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def _literal_dup_keys(path: str) -> list[str]:
+    """Duplicate string keys in any dict literal of the module whose
+    values reference q_* functions (the registry shape) — checked on
+    the SOURCE, because the materialized dict can never show them."""
+    tree = ast.parse(open(path).read())
+    dups: list[str] = []
+    for node in ast.walk(tree):
+        if not isinstance(node, ast.Dict):
+            continue
+        keys = [k.value for k in node.keys
+                if isinstance(k, ast.Constant) and isinstance(k.value, str)]
+        if len(keys) < 10:
+            continue  # small literals (configs, test fixtures) — skip
+        seen: set = set()
+        for k in keys:
+            if k in seen:
+                dups.append(k)
+            seen.add(k)
+    return dups
+
+
 def main() -> int:
+    pre_rotation = "--pre-rotation" in sys.argv[1:]
     spec = importlib.util.spec_from_file_location(
         "entry", os.path.join(REPO, "__spark_entry__.py")
     )
@@ -43,9 +77,12 @@ def main() -> int:
     o = set(mod.oracle_sql())
 
     prior: dict[str, str] = {}
+    newest_keys: set = set()
     for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         tag = os.path.basename(path)[len("CORRECTNESS_"):-len(".json")]
-        for key in json.load(open(path)):
+        keys = set(json.load(open(path)))
+        newest_keys = keys  # sorted() → the last one is the newest round
+        for key in keys:
             prior.setdefault(key, tag)
 
     ok = True
@@ -54,7 +91,18 @@ def main() -> int:
     unoracled = [k for k in window if k not in o]
     print(f"window (first 50): {len(window) - len(stale)}/50 never "
           f"driver-checked, {50 - len(unoracled)}/50 oracle-backed")
-    if stale:
+    # round-close state: the window is exactly the newest artifact's
+    # keys (all green, rotation not yet performed) — pending, not
+    # broken
+    rotation_pending = (
+        not unoracled
+        and len(stale) == 50
+        and {k for k, _ in stale} == newest_keys
+    )
+    if rotation_pending:
+        print("  ROTATION PENDING: first-50 == newest artifact's window "
+              "(all green) — rotate before the driver fires")
+    elif stale:
         ok = False
         for k, tag in stale:
             print(f"  STALE window key {k}: already green in {tag}")
@@ -72,11 +120,11 @@ def main() -> int:
     print(f"seed pool (101+): {len(pool)} fresh oracle keys: "
           f"{', '.join(pool[:8])}{' …' if len(pool) > 8 else ''}")
 
-    if len(set(q)) != len(q):
+    dups = _literal_dup_keys(os.path.join(REPO, "__spark_entry__.py"))
+    if dups:
         ok = False
-        seen: set = set()
-        dups = [k for k in q if k in seen or seen.add(k)]
-        print(f"  DUPLICATE queries() keys: {dups}")
+        print(f"  DUPLICATE literal keys in registry dicts "
+              f"(earlier entry silently shadowed): {sorted(set(dups))}")
     orphans = [k for k in o if k not in set(q)]
     if orphans:
         ok = False
@@ -85,6 +133,10 @@ def main() -> int:
     total_checked = len([k for k in q if k in prior])
     print(f"cumulative driver coverage: {total_checked} of {len(o)} oracle "
           f"keys have a CORRECTNESS row ({len(q)} registry total)")
+    if ok and rotation_pending:
+        print("WINDOW OK (rotation pending)" if pre_rotation
+              else "WINDOW PENDING ROTATION")
+        return 0 if pre_rotation else 2
     print("WINDOW OK" if ok else "WINDOW BROKEN")
     return 0 if ok else 1
 
