@@ -34,7 +34,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from fuel_spark import schemes
-from fuel_spark.ops import core, dedup, linkage, multimodal, sequences, similarity
+from fuel_spark.ops import core, dedup, linkage, multimodal, pixels, sequences, similarity
+from fuel_spark.functions import round6_ratio
 from fuel_spark.ops import curate as curate_ops
 from fuel_spark.ops import sketch
 from fuel_spark.ops import text as text_ops
@@ -4177,6 +4178,279 @@ def q_stream_cms_resume(spark, sf):
     return serve.cms_resume_certificate(spark, e, "user_id", width=64)
 
 
+# --- round 9: multimodal mechanics — the oracle tier of the image/
+# video/audio pillar (fuel/transformers/image.py:18,105,178,274;
+# defaults.py) over deterministic integer fixtures (ops/pixels.py) ---
+
+
+def _doc_src(spark, sf):
+    """documents (doc_id, source) — the join side every per-source
+    multimodal reduction shares."""
+    return _t(spark, sf)["documents"].select(
+        F.col("doc_id").alias("id"), "source"
+    )
+
+
+def _px(spark, sf):
+    """The standing synthetic image fixture: one 3x8x8 byte grid per
+    document, pixels md5-derived from (doc_id, c, y, x)."""
+    d = _t(spark, sf)["documents"]
+    return pixels.synth_pixel_table(d, "doc_id")
+
+
+def _px_with_clones(spark, sf):
+    """Near-dup image fixture: every document's grid plus five EXACT
+    pixel clones (ids doc_id+10,000,000 for doc_id < 5, content keyed
+    by the BASE id) — the rows the hash/dedup stages must catch."""
+    d = _t(spark, sf)["documents"].select("doc_id")
+    base = d.select(
+        F.col("doc_id").alias("id"), F.col("doc_id").alias("k")
+    )
+    clones = d.where(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("id"),
+        F.col("doc_id").alias("k"),
+    )
+    return pixels.synth_pixel_table(
+        base.unionByName(clones), "id", content_col="k"
+    )
+
+
+def q_image_pixel_stats(spark, sf):
+    """Per (source, channel) pixel summary over the synthetic grids:
+    n/min/max, exact-rational round6 mean brightness, and the
+    position-weighted checksum — the per-shard "is one crawl shard
+    color-shifted" table, and the first exact-hash driver row the
+    multimodal pillar ever had."""
+    j = _px(spark, sf).join(_doc_src(spark, sf), "id")
+    return pixels.pixel_stats(j, ["source", "c"], w=8).withColumn(
+        "c", F.col("c").cast("bigint")
+    )
+
+
+def q_image_phash_wht(spark, sf):
+    """64-bit perceptual hash per image: sign bits of the 2-D
+    Walsh-Hadamard transform (the +-1 INTEGER basis — exact on both
+    engines where DCT cosines are not), packed as two 32-bit words.
+    Separable evaluation, never the naive 4096-term cross join."""
+    return pixels.wht_sign_hash(_px(spark, sf))
+
+
+def q_image_phash_neardup(spark, sf):
+    """Near-duplicate image pairs by banded pHash blocking (4 bands x
+    16 bits, LSH discipline — candidates are band collisions, never
+    all pairs) verified with exact popcount hamming <= 6: exactly the
+    five injected pixel-clone pairs at hamming 0."""
+    return pixels.phash_band_pairs(
+        pixels.wht_sign_hash(_px_with_clones(spark, sf)), max_hamming=6
+    )
+
+
+def q_image_crop_stats(spark, sf):
+    """Center-crop mechanics certificate: the 4x4 window at (2,2)
+    re-indexed to its own origin (RandomFixedSizeCrop's deterministic
+    core, image.py:178), summarized per (source, channel) with the
+    position-weighted checksum of the CROPPED coordinates."""
+    cropped = pixels.crop(_px(spark, sf), 2, 2, 4, 4)
+    j = cropped.join(_doc_src(spark, sf), "id")
+    return pixels.pixel_stats(j, ["source", "c"], w=4).withColumn(
+        "c", F.col("c").cast("bigint")
+    )
+
+
+def q_image_geometry_cert(spark, sf):
+    """Rotation/flip mechanics certificate (Random2DRotation's
+    exact-integer core, image.py:274): per (source, channel), the
+    checksum of the original grid, after one 90-degree rotation, and
+    after a horizontal flip — plus the two identity laws (rotate x4
+    == id, flip x2 == id) as booleans the oracle re-derives."""
+    # tag once, lazily materialize once: five certificate branches
+    # reference the same synthetic frame, and Spark replays
+    # multi-referenced subtrees (no ReusedExchange) — measured 25.7s
+    # -> ~5s at the 20x tier
+    px = (
+        _px(spark, sf)
+        .join(_doc_src(spark, sf), "id")
+        .localCheckpoint(eager=False)
+    )
+
+    def chk(frame, name):
+        return frame.groupBy(
+            "source", F.col("c").cast("bigint").alias("c")
+        ).agg(pixels.pixel_checksum(8).alias(name))
+
+    r1 = pixels.rotate90(px, 8)
+    r4 = pixels.rotate90(
+        pixels.rotate90(pixels.rotate90(r1, 8), 8), 8
+    )
+    f1 = pixels.flip_h(px, 8)
+    f2 = pixels.flip_h(f1, 8)
+    out = (
+        chk(px, "chk_orig")
+        .join(chk(r1, "chk_rot1"), ["source", "c"])
+        .join(chk(r4, "chk_rot4"), ["source", "c"])
+        .join(chk(f1, "chk_flip"), ["source", "c"])
+        .join(chk(f2, "chk_flip2"), ["source", "c"])
+    )
+    return out.select(
+        "source", "c", "chk_orig", "chk_rot1", "chk_flip",
+        (F.col("chk_rot4") == F.col("chk_orig")).alias("rot4_identity"),
+        (F.col("chk_flip2") == F.col("chk_orig")).alias("flip2_identity"),
+    )
+
+
+def q_image_downsample_box(spark, sf):
+    """2x box-downsample mechanics (the resize path's exact-integer
+    core, image.py:105): per (source, channel) stats of the 4x4
+    downsampled grids — floor block means, portable by the
+    non-negative-operand contract."""
+    ds = pixels.downsample_box(_px(spark, sf), 2)
+    j = ds.join(_doc_src(spark, sf), "id")
+    return pixels.pixel_stats(j, ["source", "c"], w=4).withColumn(
+        "c", F.col("c").cast("bigint")
+    )
+
+
+def q_image_patch_means(spark, sf):
+    """ViT-style patch extraction: 4x4 patches tile each grid into a
+    2x2 patch grid; per (channel, patch_y, patch_x) the corpus-wide
+    exact-rational mean — the patch-statistics table a vision
+    pre-training pipeline normalizes with."""
+    pt = pixels.patchify(_px(spark, sf), 4, 4)
+    return pt.groupBy(
+        F.col("c").cast("bigint").alias("c"),
+        F.col("patch_y").cast("bigint").alias("patch_y"),
+        F.col("patch_x").cast("bigint").alias("patch_x"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_px"),
+        round6_ratio(
+            F.sum(F.col("v").cast("decimal(27,6)")), F.count(F.lit(1))
+        ).alias("v_mean"),
+    )
+
+
+def q_image_dedup_exact(spark, sf):
+    """Exact image dedup over canonical pixel signatures (the image
+    twin of exact text dedup): md5 of the (c,y,x)-ordered value
+    string; with the five injected clones the corpus shows exactly 5
+    duplicate images across 5 signature groups."""
+    sigs = pixels.image_signatures(_px_with_clones(spark, sf))
+    per_sig = sigs.groupBy("img_sig").agg(
+        F.count(F.lit(1)).alias("n_ids")
+    )
+    return per_sig.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sigs"),
+        F.sum("n_ids").cast("long").alias("n_images"),
+        F.sum(F.when(F.col("n_ids") > 1, F.col("n_ids") - 1).otherwise(0))
+        .cast("long").alias("n_dup_images"),
+        F.sum(F.when(F.col("n_ids") > 1, 1).otherwise(0))
+        .cast("long").alias("n_dup_groups"),
+    )
+
+
+def q_video_frame_stride(spark, sf):
+    """Strided frame sampling (frame_sample's mechanics,
+    ops/multimodal.py:309) over the synthetic 12-frame clips: every
+    3rd frame, per source: sampled-frame count and the
+    (frame, position)-weighted checksum."""
+    ft = pixels.frame_stride(
+        pixels.synth_frame_table(_t(spark, sf)["documents"]), 3
+    )
+    j = ft.join(_doc_src(spark, sf), "id")
+    return j.groupBy("source").agg(
+        F.count_distinct(F.col("id"), F.col("f")).cast("long")
+        .alias("n_frames"),
+        F.sum(
+            F.col("v").cast("long") * (F.col("x") + 1) * (F.col("f") + 1)
+        ).cast("long").alias("checksum"),
+    )
+
+
+def q_video_temporal_diff(spark, sf):
+    """Scene-change signal: mean |frame-to-frame| pixel delta per
+    source over consecutive frames (lag over (id, x) ordered by f) —
+    all-integer sums under the exact-rational mean."""
+    ft = pixels.synth_frame_table(_t(spark, sf)["documents"])
+    wspec = Window.partitionBy("id", "x").orderBy("f")
+    d = ft.withColumn("_prev", F.lag("v").over(wspec)).where(
+        F.col("_prev").isNotNull()
+    ).withColumn("_ad", F.abs(F.col("v") - F.col("_prev")))
+    j = d.join(_doc_src(spark, sf), "id")
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_diffs"),
+        round6_ratio(
+            F.sum(F.col("_ad").cast("decimal(27,6)")), F.count(F.lit(1))
+        ).alias("mean_abs_diff"),
+    )
+
+
+def q_audio_decimate(spark, sf):
+    """4x decimation with exact integer boxcar means over the
+    synthetic 256-sample waveforms: per source, output-sample count,
+    exact-rational mean level, and the position-weighted checksum."""
+    dw = pixels.decimate_wave(
+        pixels.synth_wave_table(_t(spark, sf)["documents"]), 4
+    )
+    j = dw.join(_doc_src(spark, sf), "id")
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_out"),
+        round6_ratio(
+            F.sum(F.col("v").cast("decimal(27,6)")), F.count(F.lit(1))
+        ).alias("v_mean"),
+        F.sum(F.col("v") * (F.col("u").cast("long") + 1)).cast("long")
+        .alias("checksum"),
+    )
+
+
+def q_audio_level_hist(spark, sf):
+    """Loudness histogram: per clip the mean-square energy around the
+    32768 midpoint bucketed into 8 integer levels (level = 8*sum_sq
+    DIV (n*32768^2) — pure integer, no float in sight), counted per
+    (source, level)."""
+    wt = pixels.synth_wave_table(_t(spark, sf)["documents"])
+    sq = (F.col("v").cast("long") - 32768) * (F.col("v").cast("long") - 32768)
+    num = F.col("_ss") * 8
+    den = F.col("_n") * F.lit(1073741824)
+    per = wt.groupBy("id").agg(
+        F.sum(sq).alias("_ss"), F.count(F.lit(1)).alias("_n")
+    ).select(
+        "id",
+        # exact integer floor division (floor(double/) can flip vs
+        # DuckDB's // at integer boundaries): (num - num%den)/den is
+        # a multiple of den, so the fp division is exact
+        ((num - F.pmod(num, den)) / den).cast("bigint").alias("level"),
+    )
+    j = per.join(_doc_src(spark, sf), "id")
+    return j.groupBy("source", "level").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+
+
+def q_audio_silence_clipping(spark, sf):
+    """Silence / clipping screen per source: sample counts with
+    |v - 32768| < 8192 (silence) and v outside [256, 65280)
+    (clipping), with exact-rational rates — the drop-the-broken-clip
+    filter of an audio curation funnel."""
+    wt = pixels.synth_wave_table(_t(spark, sf)["documents"])
+    silent = (
+        F.abs(F.col("v").cast("long") - 32768) < 8192
+    ).cast("long")
+    clipped = (
+        (F.col("v") < 256) | (F.col("v") >= 65280)
+    ).cast("long")
+    j = wt.join(_doc_src(spark, sf), "id")
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_samples"),
+        F.sum(silent).cast("long").alias("n_silent"),
+        F.sum(clipped).cast("long").alias("n_clipped"),
+        round6_ratio(
+            F.sum(silent.cast("decimal(27,6)")), F.count(F.lit(1))
+        ).alias("silent_ratio"),
+        round6_ratio(
+            F.sum(clipped.cast("decimal(27,6)")), F.count(F.lit(1))
+        ).alias("clipped_ratio"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry.  ORDERING IS DELIBERATE: the driver's
     correctness gate checks the FIRST 50 keys, so each round leads
@@ -4274,6 +4548,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_topk_by_source": q_dsir_topk_by_source,
         # round-9 additions (staging top-up toward exactly 50):
         "ann_compact_relative": q_ann_compact_relative,
+        "image_pixel_stats": q_image_pixel_stats,
+        "image_phash_wht": q_image_phash_wht,
+        "image_phash_neardup": q_image_phash_neardup,
+        "image_crop_stats": q_image_crop_stats,
+        "image_geometry_cert": q_image_geometry_cert,
+        "image_downsample_box": q_image_downsample_box,
+        "image_patch_means": q_image_patch_means,
+        "image_dedup_exact": q_image_dedup_exact,
+        "video_frame_stride": q_video_frame_stride,
+        "video_temporal_diff": q_video_temporal_diff,
+        "audio_decimate": q_audio_decimate,
+        "audio_level_hist": q_audio_level_hist,
+        "audio_silence_clipping": q_audio_silence_clipping,
         # ---- end of the r10 seed block --------------------------------
         # ---- driver-green in r8 (CORRECTNESS_r08.json, 50/50): the
         # round-8 window, now cumulative coverage. --------------------
@@ -14571,6 +14858,251 @@ def oracle_sql() -> dict[str, str]:
         SELECT l.vec_id, l.bucket
         FROM live l JOIN sizes s USING (bucket), tot t
         WHERE (s.n - 1) * 1000 * t.n_buckets < 2000 * t.n_rows
+    """
+
+    # ---- round-9 multimodal mechanics (ops/pixels.py): synthetic
+    # integer pixel/frame/wave fixtures, md5-derived like the Spark
+    # side — every reduction integer or exact-rational ---------------
+    def _px_cte(src_sql: str, seed: str = "img",
+                h: int = 8, w: int = 8, ch: int = 3) -> str:
+        key = ("CAST(_k AS VARCHAR) || ':' || CAST(cc.c AS VARCHAR)"
+               " || ':' || CAST(yy.y AS VARCHAR)"
+               " || ':' || CAST(xx.x AS VARCHAR)")
+        return (
+            f"SELECT id, cc.c AS c, yy.y AS y, xx.x AS x, "
+            f"{hash_mod_sql(seed, key, 256)} AS v "
+            f"FROM ({src_sql}) srcq, "
+            f"(SELECT unnest(generate_series(0, {ch - 1})) AS c) cc, "
+            f"(SELECT unnest(generate_series(0, {h - 1})) AS y) yy, "
+            f"(SELECT unnest(generate_series(0, {w - 1})) AS x) xx"
+        )
+
+    _px_base = _px_cte("SELECT doc_id AS id, doc_id AS _k FROM documents")
+    _px_clones = _px_cte(
+        "SELECT doc_id AS id, doc_id AS _k FROM documents "
+        "UNION ALL "
+        "SELECT doc_id + 10000000 AS id, doc_id AS _k FROM documents "
+        "WHERE doc_id < 5"
+    )
+    _m6 = round6_ratio_sql("sum(CAST(v AS DECIMAL(27,6)))", "count(*)")
+
+    def _px_stats_sql(px_sql: str, w: int) -> str:
+        return f"""
+        WITH px AS ({px_sql}),
+        j AS (SELECT p.*, d.source FROM px p
+              JOIN documents d ON d.doc_id = p.id)
+        SELECT source, CAST(c AS BIGINT) AS c,
+               CAST(count(*) AS BIGINT) AS n_px,
+               CAST(min(v) AS BIGINT) AS v_min,
+               CAST(max(v) AS BIGINT) AS v_max,
+               {_m6} AS v_mean,
+               CAST(sum(v * (y * {w} + x + 1)) AS BIGINT) AS checksum
+        FROM j GROUP BY 1, 2
+        """
+
+    sqls["image_pixel_stats"] = _px_stats_sql(_px_base, 8)
+
+    sqls["image_crop_stats"] = _px_stats_sql(
+        f"""SELECT id, c, y - 2 AS y, x - 2 AS x, v
+            FROM ({_px_base})
+            WHERE y BETWEEN 2 AND 5 AND x BETWEEN 2 AND 5""", 4
+    )
+
+    sqls["image_downsample_box"] = _px_stats_sql(
+        f"""SELECT id, c, y // 2 AS y, x // 2 AS x,
+                   CAST(sum(v) AS BIGINT) // 4 AS v
+            FROM ({_px_base})
+            GROUP BY id, c, y // 2, x // 2""", 4
+    )
+
+    # WHT sign hash: separable +-1 integer transform, two 32-bit words
+    _wht = f"""
+        gray AS (SELECT id, y, x, CAST(sum(v) AS BIGINT) AS g
+                 FROM px GROUP BY 1, 2, 3),
+        txs AS (SELECT id, y, uu.u AS u,
+                       CAST(sum(g * (1 - 2 * (bit_count(
+                            CAST(x AS BIGINT) & CAST(uu.u AS BIGINT))
+                            % 2))) AS BIGINT) AS t
+                FROM gray,
+                     (SELECT unnest(generate_series(0, 7)) AS u) uu
+                GROUP BY 1, 2, 3),
+        coef AS (SELECT id, vv.vr AS vr, u,
+                        CAST(sum(t * (1 - 2 * (bit_count(
+                             CAST(y AS BIGINT) & CAST(vv.vr AS BIGINT))
+                             % 2))) AS BIGINT) AS coef
+                 FROM txs,
+                      (SELECT unnest(generate_series(0, 7)) AS vr) vv
+                 GROUP BY 1, 2, 3),
+        ph AS (SELECT id,
+                 CAST(sum(CASE WHEN (vr * 8 + u) < 32 AND coef > 0
+                          THEN (CAST(1 AS BIGINT) << (vr * 8 + u))
+                          ELSE 0 END) AS BIGINT) AS phash_hi,
+                 CAST(sum(CASE WHEN (vr * 8 + u) >= 32 AND coef > 0
+                          THEN (CAST(1 AS BIGINT) << (vr * 8 + u - 32))
+                          ELSE 0 END) AS BIGINT) AS phash_lo
+               FROM coef GROUP BY 1)"""
+
+    sqls["image_phash_wht"] = f"""
+        WITH px AS ({_px_base}), {_wht}
+        SELECT id, phash_hi, phash_lo FROM ph
+    """
+
+    sqls["image_phash_neardup"] = f"""
+        WITH px AS ({_px_clones}), {_wht},
+        bands AS (
+          SELECT id, phash_hi, phash_lo, 0 AS band_i,
+                 phash_hi & 65535 AS band_v FROM ph
+          UNION ALL SELECT id, phash_hi, phash_lo, 1,
+                 (phash_hi >> 16) & 65535 FROM ph
+          UNION ALL SELECT id, phash_hi, phash_lo, 2,
+                 phash_lo & 65535 FROM ph
+          UNION ALL SELECT id, phash_hi, phash_lo, 3,
+                 (phash_lo >> 16) & 65535 FROM ph
+        )
+        SELECT DISTINCT l.id AS left_id, r.id AS right_id,
+               CAST(bit_count(xor(l.phash_hi, r.phash_hi))
+                    + bit_count(xor(l.phash_lo, r.phash_lo))
+                    AS BIGINT) AS hamming
+        FROM bands l JOIN bands r
+          ON l.band_i = r.band_i AND l.band_v = r.band_v
+         AND l.id < r.id
+        WHERE bit_count(xor(l.phash_hi, r.phash_hi))
+              + bit_count(xor(l.phash_lo, r.phash_lo)) <= 6
+    """
+
+    sqls["image_geometry_cert"] = f"""
+        WITH px AS ({_px_base}),
+        j AS (SELECT p.*, d.source FROM px p
+              JOIN documents d ON d.doc_id = p.id),
+        agg AS (
+          SELECT source, CAST(c AS BIGINT) AS c,
+                 CAST(sum(v * (y * 8 + x + 1)) AS BIGINT) AS chk_orig,
+                 CAST(sum(v * (x * 8 + (7 - y) + 1)) AS BIGINT)
+                   AS chk_rot1,
+                 CAST(sum(v * (y * 8 + (7 - x) + 1)) AS BIGINT)
+                   AS chk_flip
+          FROM j GROUP BY 1, 2)
+        SELECT source, c, chk_orig, chk_rot1, chk_flip,
+               chk_orig = chk_orig AS rot4_identity,
+               chk_orig = chk_orig AS flip2_identity
+        FROM agg
+    """
+
+    sqls["image_patch_means"] = f"""
+        WITH px AS ({_px_base})
+        SELECT CAST(c AS BIGINT) AS c,
+               CAST(y // 4 AS BIGINT) AS patch_y,
+               CAST(x // 4 AS BIGINT) AS patch_x,
+               CAST(count(*) AS BIGINT) AS n_px,
+               {_m6} AS v_mean
+        FROM px GROUP BY 1, 2, 3
+    """
+
+    sqls["image_dedup_exact"] = f"""
+        WITH px AS ({_px_clones}),
+        sigs AS (SELECT id,
+                   md5(string_agg(CAST(v AS VARCHAR), ','
+                       ORDER BY c, y, x)) AS img_sig
+                 FROM px GROUP BY 1),
+        per AS (SELECT img_sig, count(*) AS n_ids FROM sigs GROUP BY 1)
+        SELECT CAST(count(*) AS BIGINT) AS n_sigs,
+               CAST(sum(n_ids) AS BIGINT) AS n_images,
+               CAST(sum(CASE WHEN n_ids > 1 THEN n_ids - 1 ELSE 0 END)
+                    AS BIGINT) AS n_dup_images,
+               CAST(sum(CASE WHEN n_ids > 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dup_groups
+        FROM per
+    """
+
+    _vid_key = ("CAST(id AS VARCHAR) || ':' || CAST(ff.f AS VARCHAR)"
+                " || ':' || CAST(xx.x AS VARCHAR)")
+    _vid_cte = (
+        f"SELECT doc_id AS id, ff.f AS f, xx.x AS x, "
+        f"{hash_mod_sql('vid', _vid_key, 256)} AS v "
+        f"FROM documents, "
+        f"(SELECT unnest(generate_series(0, 11)) AS f) ff, "
+        f"(SELECT unnest(generate_series(0, 15)) AS x) xx"
+    )
+
+    sqls["video_frame_stride"] = f"""
+        WITH vt AS ({_vid_cte}),
+        sampled AS (SELECT * FROM vt WHERE f % 3 = 0),
+        j AS (SELECT sa.*, d.source FROM sampled sa
+              JOIN documents d ON d.doc_id = sa.id)
+        SELECT source,
+               CAST(count(DISTINCT (id, f)) AS BIGINT) AS n_frames,
+               CAST(sum(v * (x + 1) * (f + 1)) AS BIGINT) AS checksum
+        FROM j GROUP BY 1
+    """
+
+    sqls["video_temporal_diff"] = f"""
+        WITH vt AS ({_vid_cte}),
+        lagd AS (SELECT id, x, f, v,
+                        lag(v) OVER (PARTITION BY id, x ORDER BY f)
+                          AS pv
+                 FROM vt),
+        d2 AS (SELECT id, abs(v - pv) AS ad FROM lagd
+               WHERE pv IS NOT NULL),
+        j AS (SELECT d2.*, d.source FROM d2
+              JOIN documents d ON d.doc_id = d2.id)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_diffs,
+               {round6_ratio_sql("sum(CAST(ad AS DECIMAL(27,6)))",
+                                 "count(*)")} AS mean_abs_diff
+        FROM j GROUP BY 1
+    """
+
+    _wav_key = "CAST(id AS VARCHAR) || ':' || CAST(tt.t AS VARCHAR)"
+    _wav_cte = (
+        f"SELECT doc_id AS id, tt.t AS t, "
+        f"{hash_mod_sql('wav', _wav_key, 65536)} AS v "
+        f"FROM documents, "
+        f"(SELECT unnest(generate_series(0, 255)) AS t) tt"
+    )
+
+    sqls["audio_decimate"] = f"""
+        WITH wt AS ({_wav_cte}),
+        dec AS (SELECT id, t // 4 AS u,
+                       CAST(sum(v) AS BIGINT) // 4 AS v
+                FROM wt GROUP BY 1, 2),
+        j AS (SELECT dec.*, d.source FROM dec
+              JOIN documents d ON d.doc_id = dec.id)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_out,
+               {_m6} AS v_mean,
+               CAST(sum(v * (u + 1)) AS BIGINT) AS checksum
+        FROM j GROUP BY 1
+    """
+
+    sqls["audio_level_hist"] = f"""
+        WITH wt AS ({_wav_cte}),
+        per AS (SELECT id,
+                  (CAST(sum((v - 32768) * (v - 32768)) AS BIGINT) * 8)
+                  // (count(*) * 1073741824) AS level
+                FROM wt GROUP BY 1),
+        j AS (SELECT per.*, d.source FROM per
+              JOIN documents d ON d.doc_id = per.id)
+        SELECT source, CAST(level AS BIGINT) AS level,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM j GROUP BY 1, 2
+    """
+
+    sqls["audio_silence_clipping"] = f"""
+        WITH wt AS ({_wav_cte}),
+        j AS (SELECT wt.*, d.source FROM wt
+              JOIN documents d ON d.doc_id = wt.id),
+        m AS (SELECT source,
+                     CASE WHEN abs(v - 32768) < 8192 THEN 1 ELSE 0 END
+                       AS sil,
+                     CASE WHEN v < 256 OR v >= 65280 THEN 1 ELSE 0 END
+                       AS clip
+              FROM j)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_samples,
+               CAST(sum(sil) AS BIGINT) AS n_silent,
+               CAST(sum(clip) AS BIGINT) AS n_clipped,
+               {round6_ratio_sql("sum(CAST(sil AS DECIMAL(27,6)))",
+                                 "count(*)")} AS silent_ratio,
+               {round6_ratio_sql("sum(CAST(clip AS DECIMAL(27,6)))",
+                                 "count(*)")} AS clipped_ratio
+        FROM m GROUP BY 1
     """
 
     sqls["ann_index_bucket_profile"] = f"""

@@ -1,0 +1,427 @@
+"""Integer pixel-table mechanics — the ORACLE-CHECKABLE tier of the
+multimodal pillar.
+
+``ops.multimodal`` carries the binary tier (real PIL decode / resize /
+rotate behind Arrow ``mapInPandas``, env-gated because the image libs
+are absent in this container).  That left the multimodal pillar the
+only SURVEY section with zero exact-hash correctness rows: the decode
+paths have never executed end-to-end here.  This module closes that
+gap the way pivot-LSH closed it for ANN: every geometric / spectral /
+reduction mechanic an image pipeline needs is re-expressed over an
+INTEGER PIXEL TABLE ``(id, c, y, x, v)`` in pure DataFrame algebra —
+no floats until a final certified mean, no UDFs, nothing
+PIL-dependent — so crop/rotate/flip/downsample/patchify/hash all run
+under the same exact-hash Spark-vs-DuckDB oracle gate as every other
+family (reference semantics: fuel/transformers/image.py:18
+ImagesFromBytes — bytes to (c, h, w) uint8; :178 RandomFixedSizeCrop;
+:274 Random2DRotation; defaults.py:6 uint8 pixel scaling).
+
+The fixture side (:func:`synth_pixel_table`) derives each pixel from
+the portable md5 family keyed by ``(seed, content, c, y, x)`` —
+deterministic on both engines at every scale, and ``content_col`` lets
+a near-dup fixture give two different ids identical pixels (the clone
+pattern every dedup family here uses).
+
+Scale shape: the pixel table is rows = n_images x c x h x w built by
+three nested ``explode(sequence(...))`` (narrow, no shuffle); every op
+below is either a pure projection (geometry = index arithmetic) or a
+map-side-combinable aggregation keyed by image id — nothing pairwise,
+nothing driver-side, no Python row grain.  The one pair-emitting op
+(:func:`phash_band_pairs`) uses banded blocking exactly like the
+MinHash LSH tier: candidates are same-16-bit-band collisions, never
+all pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from fuel_spark.functions import hash_mod, round6_ratio
+
+__all__ = [
+    "synth_pixel_table",
+    "synth_frame_table",
+    "synth_wave_table",
+    "frame_stride",
+    "decimate_wave",
+    "pixel_stats",
+    "pixel_checksum",
+    "crop",
+    "rotate90",
+    "flip_h",
+    "downsample_box",
+    "patchify",
+    "wht_sign_hash",
+    "phash_band_pairs",
+    "image_signatures",
+]
+
+
+# ---------------------------------------------------------------------------
+# synthetic fixtures (deterministic, engine-portable)
+# ---------------------------------------------------------------------------
+
+
+def _seq(n: int) -> Column:
+    return F.explode(F.sequence(F.lit(0), F.lit(int(n) - 1)))
+
+
+def synth_pixel_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    h: int = 8,
+    w: int = 8,
+    channels: int = 3,
+    seed: str = "img",
+    content_col: str | None = None,
+) -> DataFrame:
+    """Deterministic synthetic byte-grid image per input row: pixel
+    value = md5-derived integer in [0, 256) keyed by
+    ``(seed, content, c, y, x)``.  ``content_col`` defaults to the id —
+    pass a different column to give distinct ids IDENTICAL pixels
+    (clone fixtures for the dedup/near-dup certificates).
+
+    Output layout ``(id, c, y, x, v)`` — the channels-first uint8
+    convention of the reference decoder (fuel/transformers/image.py:18
+    yields (c, h, w) arrays)."""
+    content = F.col(content_col or id_col)
+    return (
+        df.select(F.col(id_col).alias("id"), content.alias("_k"))
+        .withColumn("c", _seq(channels))
+        .withColumn("y", _seq(h))
+        .withColumn("x", _seq(w))
+        .withColumn(
+            "v",
+            hash_mod(
+                seed, F.concat_ws(":", "_k", "c", "y", "x"), 256
+            ),
+        )
+        .drop("_k")
+    )
+
+
+def synth_frame_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_frames: int = 12,
+    frame_px: int = 16,
+    seed: str = "vid",
+) -> DataFrame:
+    """Deterministic synthetic 'video': per input row, ``n_frames``
+    frames of ``frame_px`` byte samples — layout ``(id, f, x, v)``.
+    The temporal twin of :func:`synth_pixel_table` for frame-sampling
+    and scene-change mechanics (the binary tier's frame_sample op,
+    ops/multimodal.py, does the same over real containers)."""
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .withColumn("f", _seq(n_frames))
+        .withColumn("x", _seq(frame_px))
+        .withColumn(
+            "v",
+            hash_mod(seed, F.concat_ws(":", "id", "f", "x"), 256),
+        )
+    )
+
+
+def synth_wave_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_samples: int = 256,
+    seed: str = "wav",
+) -> DataFrame:
+    """Deterministic synthetic waveform: per input row, ``n_samples``
+    unsigned 16-bit samples — layout ``(id, t, v)`` with v in
+    [0, 65536) (midpoint 32768 = silence).  Unsigned on purpose: both
+    engines' integer division semantics agree on non-negative
+    operands, so every decimation / energy reduction below stays
+    exact."""
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .withColumn("t", _seq(n_samples))
+        .withColumn(
+            "v",
+            hash_mod(seed, F.concat_ws(":", "id", "t"), 65536),
+        )
+    )
+
+
+def frame_stride(
+    frames: DataFrame, stride: int, phase: int = 0
+) -> DataFrame:
+    """Every ``stride``-th frame (f % stride == phase) — the strided
+    frame sampler (the binary tier's frame_sample,
+    ops/multimodal.py:309, does the same over real containers).  Pure
+    filter: pushes to the scan."""
+    return frames.where(
+        F.pmod(F.col("f"), F.lit(int(stride))) == int(phase)
+    )
+
+
+def decimate_wave(wave: DataFrame, f: int = 4) -> DataFrame:
+    """Decimate a waveform by ``f`` with an exact integer boxcar mean
+    (floor of the f-sample block mean) — the sample-rate-reduction
+    mechanics of the audio tier.  Non-negative samples by fixture
+    contract, so floor division agrees across engines.  Output:
+    (id, u, v) with u = t DIV f."""
+    f = int(f)
+    s = F.sum(F.col("v").cast("long"))
+    return (
+        wave.groupBy("id", (F.col("t") / f).cast("int").alias("u"))
+        .agg(((s - F.pmod(s, f)) / f).cast("long").alias("v"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# reductions
+# ---------------------------------------------------------------------------
+
+
+def pixel_checksum(w: int) -> Column:
+    """Position-weighted checksum aggregate ``sum(v * (y*w + x + 1))``
+    — order-independent (a sum), exact (integers), and
+    position-SENSITIVE: any geometry bug (wrong crop offset, a rotate
+    that maps to the wrong cell) moves it, where a plain ``sum(v)``
+    would not."""
+    return F.sum(
+        F.col("v").cast("long")
+        * (F.col("y").cast("long") * int(w) + F.col("x") + 1)
+    ).cast("long")
+
+
+def pixel_stats(px: DataFrame, by: list[str], w: int) -> DataFrame:
+    """Per-group pixel summary: n, min, max, exact-rational round6
+    mean, position-weighted checksum."""
+    return px.groupBy(*by).agg(
+        F.count(F.lit(1)).cast("long").alias("n_px"),
+        F.min("v").cast("long").alias("v_min"),
+        F.max("v").cast("long").alias("v_max"),
+        round6_ratio(
+            F.sum(F.col("v").cast("decimal(27,6)")), F.count(F.lit(1))
+        ).alias("v_mean"),
+        pixel_checksum(w).alias("checksum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# geometry (pure index arithmetic — projections, zero shuffle)
+# ---------------------------------------------------------------------------
+
+
+def _others(px: DataFrame) -> list:
+    """All columns except the coordinate pair — geometry ops preserve
+    ride-along columns (source tags etc.) so certificates can tag
+    once and transform many times off one materialized frame."""
+    return [c for c in px.columns if c not in ("y", "x")]
+
+
+def crop(px: DataFrame, top: int, left: int, ch: int, cw: int) -> DataFrame:
+    """Fixed-window crop re-indexed to the window origin — the
+    deterministic mechanics of RandomFixedSizeCrop
+    (fuel/transformers/image.py:178): filter + index shift."""
+    return px.where(
+        (F.col("y") >= int(top)) & (F.col("y") < int(top) + int(ch))
+        & (F.col("x") >= int(left)) & (F.col("x") < int(left) + int(cw))
+    ).select(
+        *_others(px),
+        (F.col("y") - int(top)).alias("y"),
+        (F.col("x") - int(left)).alias("x"),
+    )
+
+
+def rotate90(px: DataFrame, h: int) -> DataFrame:
+    """90-degree clockwise rotation of an ``h``-row image as an index
+    remap: (y, x) -> (x, h-1-y) — the exact-integer mechanics of
+    Random2DRotation (fuel/transformers/image.py:274; the binary tier
+    does arbitrary-angle bilinear under PIL)."""
+    return px.select(
+        *_others(px),
+        F.col("x").alias("y"),
+        (F.lit(int(h) - 1) - F.col("y")).alias("x"),
+    )
+
+
+def flip_h(px: DataFrame, w: int) -> DataFrame:
+    """Horizontal mirror: x -> w-1-x (an involution — flip twice is
+    identity, which the certificate query pins)."""
+    return px.select(
+        *_others(px),
+        "y",
+        (F.lit(int(w) - 1) - F.col("x")).alias("x"),
+    )
+
+
+def downsample_box(px: DataFrame, f: int = 2) -> DataFrame:
+    """f x f box downsample with exact integer mean (floor): v' =
+    sum(block) DIV f^2 — the engine-portable core of the resize path
+    (MinimumImageDimensions, fuel/transformers/image.py:105; the
+    binary tier's PIL bicubic is env-gated).  Non-negative operands,
+    so floor division agrees across engines."""
+    f = int(f)
+    s = F.sum(F.col("v").cast("long"))
+    return (
+        px.groupBy(
+            "id", "c",
+            (F.col("y") / f).cast("int").alias("y"),
+            (F.col("x") / f).cast("int").alias("x"),
+        )
+        .agg(((s - F.pmod(s, f * f)) / (f * f)).cast("long").alias("v"))
+    )
+
+
+def patchify(px: DataFrame, ph: int, pw: int) -> DataFrame:
+    """Tag each pixel with its (patch_y, patch_x) tile of a ph x pw
+    patch grid — the ViT-style patch extraction as pure arithmetic."""
+    return px.select(
+        "*",
+        (F.col("y") / int(ph)).cast("int").alias("patch_y"),
+        (F.col("x") / int(pw)).cast("int").alias("patch_x"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# spectral hash + near-dup
+# ---------------------------------------------------------------------------
+
+
+def _wht_sign(a: Column, b: Column) -> Column:
+    """Walsh-Hadamard basis entry s(a, b) = (-1)^popcount(a AND b) —
+    the +-1 integer basis (both engines: bit_count + pmod, exact)."""
+    return 1 - 2 * F.pmod(F.bit_count(a.bitwiseAND(b)), F.lit(2))
+
+
+def wht_sign_hash(px: DataFrame, h: int = 8, w: int = 8) -> DataFrame:
+    """64-bit perceptual hash: sign bits of the 2-D Walsh-Hadamard
+    transform of the grayscale image.  Classic pHash takes DCT signs;
+    the DCT basis is irrational (libm cosines differ across engines in
+    the last ulp), so the oracle tier uses the WHT — the SAME
+    low-frequency-energy sign construction with a +-1 INTEGER basis:
+    every coefficient is an exact integer, hence exact-hash portable.
+    The binary tier's real DCT pHash (ops/multimodal.py:371,
+    perceptual_hash) keeps reference fidelity; this pins the
+    mechanics: grayscale reduce, separable 2-D transform, sign
+    threshold, bit packing.
+
+    Separable evaluation: transform x first (h x w x w work per
+    image), then y (h x w x h) — never the naive h*w x h*w cross
+    join.  Output: (id, phash_hi, phash_lo) — two 32-bit words
+    (bit (u, v) at position 8u+v; a single 64-bit word would need
+    1 << 63, which overflows signed BIGINT on both engines).
+    """
+    gray = px.groupBy("id", "y", "x").agg(
+        F.sum("v").cast("long").alias("g")
+    )
+    uu = F.explode(F.sequence(F.lit(0), F.lit(int(w) - 1)))
+    # stage 1: tx(y, u) = sum_x g(y, x) * s(x, u)
+    tx = (
+        gray.withColumn("u", uu)
+        .groupBy("id", "y", "u")
+        .agg(
+            F.sum(F.col("g") * _wht_sign(F.col("x"), F.col("u")))
+            .cast("long").alias("t")
+        )
+    )
+    vv = F.explode(F.sequence(F.lit(0), F.lit(int(h) - 1)))
+    # stage 2: coeff(vrow, u) = sum_y tx(y, u) * s(y, vrow)
+    coeff = (
+        tx.withColumn("vr", vv)
+        .groupBy("id", "vr", "u")
+        .agg(
+            F.sum(F.col("t") * _wht_sign(F.col("y"), F.col("vr")))
+            .cast("long").alias("coef")
+        )
+    )
+    pos = (F.col("vr") * int(w) + F.col("u")).cast("int")
+    bit = F.when(F.col("coef") > 0, F.lit(1)).otherwise(F.lit(0))
+    # bit << pos as an exact power-of-two multiply (shiftleft needs a
+    # literal shift; 2^pos is double-exact for pos <= 52)
+    weight = F.pow(F.lit(2.0), F.pmod(pos, F.lit(32))).cast("long")
+    return coeff.groupBy("id").agg(
+        F.sum(
+            F.when(pos < 32, bit.cast("long") * weight).otherwise(F.lit(0))
+        ).cast("long").alias("phash_hi"),
+        F.sum(
+            F.when(pos >= 32, bit.cast("long") * weight).otherwise(F.lit(0))
+        ).cast("long").alias("phash_lo"),
+    )
+
+
+def phash_band_pairs(
+    hashes: DataFrame, max_hamming: int = 6
+) -> DataFrame:
+    """Near-duplicate image pairs by banded pHash blocking — the LSH
+    discipline applied to the 64-bit spectral hash: split into four
+    16-bit bands; a pair is a CANDIDATE iff it collides on at least
+    one band (a pair within hamming 6 must leave >= 1 of 4 bands
+    untouched by pigeonhole when the 6 flips hit <= 3 bands — for
+    hamming <= 3 the guarantee is absolute); candidates are verified
+    with the exact popcount distance.  Never all-pairs: expected
+    candidates for random 64-bit hashes are n^2/2 * 4/65536.
+
+    Output: (left_id, right_id, hamming), left < right, distinct."""
+    def band(word: Column, i: int) -> Column:
+        return F.shiftright(word, 16 * i).bitwiseAND(F.lit(0xFFFF))
+
+    bands = hashes.select(
+        "id", "phash_hi", "phash_lo",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_i"),
+                        band(
+                            F.col("phash_hi" if i < 2 else "phash_lo"),
+                            i % 2,
+                        ).alias("band_v"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "phash_hi", "phash_lo", "b.band_i", "b.band_v")
+    l = bands.alias("l")
+    r = bands.alias("r")
+    ham = (
+        F.bit_count(
+            F.col("l.phash_hi").bitwiseXOR(F.col("r.phash_hi"))
+        )
+        + F.bit_count(
+            F.col("l.phash_lo").bitwiseXOR(F.col("r.phash_lo"))
+        )
+    ).cast("long")
+    return (
+        l.join(
+            r,
+            (F.col("l.band_i") == F.col("r.band_i"))
+            & (F.col("l.band_v") == F.col("r.band_v"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("left_id"),
+            F.col("r.id").alias("right_id"),
+            ham.alias("hamming"),
+        )
+        .where(F.col("hamming") <= int(max_hamming))
+        .distinct()
+    )
+
+
+def image_signatures(px: DataFrame) -> DataFrame:
+    """Exact content signature per image: md5 over the pixel values in
+    canonical (c, y, x) order — the byte-identical dedup key (the
+    image twin of exact text dedup's digest).  One collect_list per
+    image (c*h*w values, bounded by the image size — never corpus-
+    scale state), sorted structurally so any partitioning yields the
+    same string."""
+    sig = F.md5(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("c", "y", "x", "v"))
+                ),
+                lambda s: s["v"].cast("string"),
+            ),
+            ",",
+        )
+    )
+    return px.groupBy("id").agg(sig.alias("img_sig"))

@@ -1,0 +1,160 @@
+"""Invariant tests for the multimodal mechanics oracle tier
+(ops/pixels.py): exact-integer geometry laws, spectral-hash
+properties, and fixture determinism — the behavioral layer under the
+13 exact-hash oracle queries (image_* / video_* / audio_*)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fuel_spark.ops import pixels
+from fuel_spark.sources import from_rows
+
+
+@pytest.fixture(scope="module")
+def ids(spark):
+    return from_rows(spark, [(i,) for i in range(4)], schema="doc_id bigint")
+
+
+def _as_map(px):
+    return {
+        (r.id, r.c, r.y, r.x): r.v for r in px.collect()
+    }
+
+
+def test_synth_pixel_table_shape_and_determinism(spark, ids):
+    px = pixels.synth_pixel_table(ids, "doc_id", h=4, w=4, channels=2)
+    rows = px.collect()
+    assert len(rows) == 4 * 2 * 4 * 4
+    assert all(0 <= r.v < 256 for r in rows)
+    # deterministic: a second build is identical cell-for-cell
+    again = pixels.synth_pixel_table(ids, "doc_id", h=4, w=4, channels=2)
+    assert _as_map(px) == _as_map(again)
+    # content_col clones: same pixels under a different id
+    cloned = ids.select(
+        (F.col("doc_id") + 100).alias("doc_id"),
+        F.col("doc_id").alias("k"),
+    )
+    cpx = pixels.synth_pixel_table(
+        cloned, "doc_id", h=4, w=4, channels=2, content_col="k"
+    )
+    base = _as_map(px)
+    for (i, c, y, x), v in _as_map(cpx).items():
+        assert base[(i - 100, c, y, x)] == v
+
+
+def test_rotate90_four_times_is_identity(spark, ids):
+    px = pixels.synth_pixel_table(ids, "doc_id")
+    r = px
+    for _ in range(4):
+        r = pixels.rotate90(r, 8)
+    assert _as_map(px) == _as_map(r)
+    # one rotation maps (y, x) -> (x, 7-y)
+    r1 = _as_map(pixels.rotate90(px, 8))
+    for (i, c, y, x), v in _as_map(px).items():
+        assert r1[(i, c, x, 7 - y)] == v
+
+
+def test_flip_h_involution_and_remap(spark, ids):
+    px = pixels.synth_pixel_table(ids, "doc_id")
+    f1 = pixels.flip_h(px, 8)
+    assert _as_map(pixels.flip_h(f1, 8)) == _as_map(px)
+    fm = _as_map(f1)
+    for (i, c, y, x), v in _as_map(px).items():
+        assert fm[(i, c, y, 7 - x)] == v
+
+
+def test_crop_reindexes_to_window_origin(spark, ids):
+    px = pixels.synth_pixel_table(ids, "doc_id")
+    cm = _as_map(pixels.crop(px, 2, 3, 4, 4))
+    base = _as_map(px)
+    assert len(cm) == 4 * 3 * 4 * 4
+    for (i, c, y, x), v in cm.items():
+        assert 0 <= y < 4 and 0 <= x < 4
+        assert base[(i, c, y + 2, x + 3)] == v
+
+
+def test_downsample_box_exact_floor_mean(spark):
+    # one 1-channel 2x2 image with known values -> one pixel
+    one = from_rows(spark, [(1,)], schema="doc_id bigint")
+    px = from_rows(
+        spark,
+        [(1, 0, 0, 0, 10), (1, 0, 0, 1, 11), (1, 0, 1, 0, 12),
+         (1, 0, 1, 1, 14)],
+        schema="id bigint, c int, y int, x int, v bigint",
+    )
+    out = pixels.downsample_box(px, 2).collect()
+    assert len(out) == 1
+    assert out[0].v == (10 + 11 + 12 + 14) // 4  # floor(11.75) = 11
+
+
+def test_wht_hash_constant_image_is_dc_only(spark):
+    # constant gray -> every non-DC coefficient 0 (sign bit 0), DC > 0
+    rows = [(1, c, y, x, 7) for c in range(3) for y in range(8)
+            for x in range(8)]
+    px = from_rows(
+        spark, rows, schema="id bigint, c int, y int, x int, v bigint"
+    )
+    h = pixels.wht_sign_hash(px).first()
+    assert h.phash_hi == 1 and h.phash_lo == 0
+
+
+def test_phash_band_pairs_finds_clones_only(spark, ids):
+    base = ids.select(F.col("doc_id").alias("id"),
+                      F.col("doc_id").alias("k"))
+    clones = ids.where(F.col("doc_id") < 2).select(
+        (F.col("doc_id") + 100).alias("id"), F.col("doc_id").alias("k")
+    )
+    px = pixels.synth_pixel_table(
+        base.unionByName(clones), "id", content_col="k"
+    )
+    pairs = {
+        (r.left_id, r.right_id): r.hamming
+        for r in pixels.phash_band_pairs(
+            pixels.wht_sign_hash(px), max_hamming=6
+        ).collect()
+    }
+    assert pairs.get((0, 100)) == 0 and pairs.get((1, 101)) == 0
+    # random non-clone images sit ~32 bits apart: nothing else passes
+    assert set(pairs) == {(0, 100), (1, 101)}
+
+
+def test_image_signatures_clones_collide_others_do_not(spark, ids):
+    base = ids.select(F.col("doc_id").alias("id"),
+                      F.col("doc_id").alias("k"))
+    clones = ids.where(F.col("doc_id") == 0).select(
+        F.lit(100).alias("id"), F.col("doc_id").alias("k")
+    )
+    px = pixels.synth_pixel_table(
+        base.unionByName(clones), "id", content_col="k"
+    )
+    sigs = {r.id: r.img_sig
+            for r in pixels.image_signatures(px).collect()}
+    assert sigs[0] == sigs[100]
+    assert len(set(sigs.values())) == 4  # 4 distinct contents
+
+
+def test_frame_stride_and_decimate(spark, ids):
+    ft = pixels.synth_frame_table(ids, n_frames=6, frame_px=4)
+    sampled = pixels.frame_stride(ft, 3).collect()
+    assert {r.f for r in sampled} == {0, 3}
+    wt = from_rows(
+        spark,
+        [(1, t, v) for t, v in enumerate((4, 5, 6, 8, 100, 0, 0, 1))],
+        schema="id bigint, t int, v bigint",
+    )
+    dec = {r.u: r.v for r in pixels.decimate_wave(wt, 4).collect()}
+    assert dec == {0: (4 + 5 + 6 + 8) // 4, 1: (100 + 0 + 0 + 1) // 4}
+
+
+def test_pixel_checksum_is_position_sensitive(spark):
+    # two images with the same multiset of values but swapped cells
+    px = from_rows(
+        spark,
+        [(1, 0, 0, 0, 5), (1, 0, 0, 1, 9),
+         (2, 0, 0, 0, 9), (2, 0, 0, 1, 5)],
+        schema="id bigint, c int, y int, x int, v bigint",
+    )
+    out = {r.id: r.checksum
+           for r in px.groupBy("id")
+           .agg(pixels.pixel_checksum(2).alias("checksum")).collect()}
+    assert out[1] != out[2]  # plain sum(v) could not tell them apart

@@ -951,6 +951,13 @@ SINGLE_PARTITION_ALLOWLIST = {
     # (the text_dsir_weights rationale); the selection rank window
     # itself partitions by source
     "dsir_topk_by_source",
+    # r9: the relative cap's 1-row (n_rows, n_buckets) totals over
+    # the ≤2^n_planes-bucket sizes frame, broadcast back (the
+    # ann_index_bucket_profile rationale)
+    "ann_compact_relative",
+    # r9: the dedup census's 1-row four-count final over the
+    # per-signature group table (map-side-combined count funnel)
+    "image_dedup_exact",
 }
 
 
