@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from fuel_spark import schemes
 from fuel_spark.ops import core, dedup, linkage, multimodal, pixels, sequences, similarity
 from fuel_spark.functions import round6_ratio
+from fuel_spark.ops import profile as profile_ops
 from fuel_spark.ops import curate as curate_ops
 from fuel_spark.ops import sketch
 from fuel_spark.ops import text as text_ops
@@ -4451,6 +4452,130 @@ def q_audio_silence_clipping(spark, sf):
     )
 
 
+# --- round 9: catalog profiling — the pre-training data-quality
+# audit tier (ops/profile.py r9 section) -----------------------------
+
+
+def q_profile_top_values(spark, sf):
+    """Top-3 frequent values per categorical column across the
+    catalog (lineitem/orders/events), deterministic tie-break — the
+    catalog card every curation decision starts from."""
+    t = _t(spark, sf)
+    out = profile_ops.top_values(
+        t["lineitem"], ["l_returnflag", "l_linestatus", "l_shipdate"],
+        k=3, table="lineitem",
+    )
+    out = out.unionByName(profile_ops.top_values(
+        t["orders"], ["o_orderstatus", "o_orderpriority"], k=3,
+        table="orders",
+    ))
+    return out.unionByName(profile_ops.top_values(
+        t["events"], ["event_type"], k=3, table="events",
+    ))
+
+
+def q_profile_fd_audit(spark, sf):
+    """Functional-dependency audit: which unit-of-grain contracts
+    hold (doc_id -> source must; l_orderkey -> l_shipdate must NOT —
+    an order ships over multiple dates) — the assumption check before
+    any groupBy treats a key as a grain."""
+    t = _t(spark, sf)
+    out = profile_ops.fd_violations(
+        t["lineitem"],
+        [("li_orderkey_to_shipdate", "l_orderkey", "l_shipdate"),
+         ("li_orderkey_to_suppkey", "l_orderkey", "l_suppkey")],
+        table="lineitem",
+    )
+    out = out.unionByName(profile_ops.fd_violations(
+        t["orders"],
+        [("ord_custkey_to_priority", "o_custkey", "o_orderpriority")],
+        table="orders",
+    ))
+    return out.unionByName(profile_ops.fd_violations(
+        t["documents"], [("doc_id_to_source", "doc_id", "source")],
+        table="documents",
+    ))
+
+
+def q_profile_duplicate_rows(spark, sf):
+    """Exact duplicate census per table over its natural grain — the
+    exact-dedup savings estimate read table-by-table (PK grains must
+    read 0; the documents text grain reads the raw clone mass)."""
+    t = _t(spark, sf)
+    out = profile_ops.duplicate_row_stats(
+        t["lineitem"], ["l_orderkey", "l_linenumber"], "lineitem"
+    )
+    out = out.unionByName(profile_ops.duplicate_row_stats(
+        t["events"], ["user_id", "ts", "event_type"], "events"
+    ))
+    return out.unionByName(profile_ops.duplicate_row_stats(
+        t["documents"], ["text"], "documents"
+    ))
+
+
+def q_profile_iqr_outliers(spark, sf):
+    """Tukey-fence outlier census for the two revenue columns with
+    EXACT rank quartiles off the value-grid cumulative window (the
+    KS/midrank family — no row-grain global sort) and exact-decimal
+    fences."""
+    t = _t(spark, sf)
+    out = profile_ops.iqr_outlier_stats(t["lineitem"], "l_extendedprice")
+    return out.unionByName(
+        profile_ops.iqr_outlier_stats(t["orders"], "o_totalprice")
+    )
+
+
+def q_profile_modal_coverage(spark, sf):
+    """Cross-modal id coverage: documents vs embeddings — ids in both
+    / text without vectors (the re-embed backlog) / vectors without
+    text (the takedown backlog).  One full-outer id join."""
+    t = _t(spark, sf)
+    return profile_ops.modal_coverage(
+        t["documents"], "doc_id", t["embeddings"], "vec_id"
+    )
+
+
+def q_profile_date_coverage(spark, sf):
+    """Calendar coverage per time-bearing table: min/max day, days
+    present, span, and gap days — the is-this-extract-complete header
+    row."""
+    t = _t(spark, sf)
+    out = profile_ops.date_coverage(t["orders"], "o_orderdate", "orders")
+    return out.unionByName(
+        profile_ops.date_coverage(t["events"], "ts", "events")
+    )
+
+
+def q_profile_categorical_entropy(spark, sf):
+    """Shannon entropy (bits) per categorical column — the diversity
+    number beside the top-values card; per-value -p*ln(p) terms
+    round(9) into DECIMAL (the LLR/MI contract), a shared ln(2)
+    literal on both engines."""
+    t = _t(spark, sf)
+    out = profile_ops.categorical_entropy(
+        t["lineitem"], ["l_returnflag", "l_linestatus"], "lineitem"
+    )
+    out = out.unionByName(profile_ops.categorical_entropy(
+        t["documents"], ["lang", "source"], "documents"
+    ))
+    return out.unionByName(profile_ops.categorical_entropy(
+        t["events"], ["event_type"], "events"
+    ))
+
+
+def q_profile_constancy(spark, sf):
+    """Near-constant-column detector: top-value share per column with
+    the exact-rational ratio — a >= 0.99 share means the column
+    carries ~no signal (drop candidate before feature selection)."""
+    t = _t(spark, sf)
+    out = profile_ops.constancy(
+        t["lineitem"], ["l_returnflag", "l_linestatus"], "lineitem"
+    )
+    return out.unionByName(profile_ops.constancy(
+        t["documents"], ["lang"], "documents"
+    ))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry.  ORDERING IS DELIBERATE: the driver's
     correctness gate checks the FIRST 50 keys, so each round leads
@@ -4561,6 +4686,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_decimate": q_audio_decimate,
         "audio_level_hist": q_audio_level_hist,
         "audio_silence_clipping": q_audio_silence_clipping,
+        "profile_top_values": q_profile_top_values,
+        "profile_fd_audit": q_profile_fd_audit,
+        "profile_duplicate_rows": q_profile_duplicate_rows,
+        "profile_iqr_outliers": q_profile_iqr_outliers,
+        "profile_modal_coverage": q_profile_modal_coverage,
+        "profile_date_coverage": q_profile_date_coverage,
+        "profile_categorical_entropy": q_profile_categorical_entropy,
+        "profile_constancy": q_profile_constancy,
         # ---- end of the r10 seed block --------------------------------
         # ---- driver-green in r8 (CORRECTNESS_r08.json, 50/50): the
         # round-8 window, now cumulative coverage. --------------------
@@ -15104,6 +15237,317 @@ def oracle_sql() -> dict[str, str]:
                                  "count(*)")} AS clipped_ratio
         FROM m GROUP BY 1
     """
+
+    # ---- round-9 catalog profiling (ops/profile.py r9 section) -----
+    sqls["profile_top_values"] = """
+          SELECT 'lineitem' AS "table", 'l_returnflag' AS "column",
+                 value, cnt, CAST(rnk AS BIGINT) AS rnk
+          FROM (SELECT CAST(l_returnflag AS VARCHAR) AS value,
+                       CAST(count(*) AS BIGINT) AS cnt,
+                       row_number() OVER (ORDER BY count(*) DESC,
+                                          CAST(l_returnflag AS VARCHAR) ASC)
+                         AS rnk
+                FROM lineitem GROUP BY 1)
+          WHERE rnk <= 3
+        UNION ALL
+          SELECT 'lineitem' AS "table", 'l_linestatus' AS "column",
+                 value, cnt, CAST(rnk AS BIGINT) AS rnk
+          FROM (SELECT CAST(l_linestatus AS VARCHAR) AS value,
+                       CAST(count(*) AS BIGINT) AS cnt,
+                       row_number() OVER (ORDER BY count(*) DESC,
+                                          CAST(l_linestatus AS VARCHAR) ASC)
+                         AS rnk
+                FROM lineitem GROUP BY 1)
+          WHERE rnk <= 3
+        UNION ALL
+          SELECT 'lineitem' AS "table", 'l_shipdate' AS "column",
+                 value, cnt, CAST(rnk AS BIGINT) AS rnk
+          FROM (SELECT CAST(l_shipdate AS VARCHAR) AS value,
+                       CAST(count(*) AS BIGINT) AS cnt,
+                       row_number() OVER (ORDER BY count(*) DESC,
+                                          CAST(l_shipdate AS VARCHAR) ASC)
+                         AS rnk
+                FROM lineitem GROUP BY 1)
+          WHERE rnk <= 3
+        UNION ALL
+          SELECT 'orders' AS "table", 'o_orderstatus' AS "column",
+                 value, cnt, CAST(rnk AS BIGINT) AS rnk
+          FROM (SELECT CAST(o_orderstatus AS VARCHAR) AS value,
+                       CAST(count(*) AS BIGINT) AS cnt,
+                       row_number() OVER (ORDER BY count(*) DESC,
+                                          CAST(o_orderstatus AS VARCHAR) ASC)
+                         AS rnk
+                FROM orders GROUP BY 1)
+          WHERE rnk <= 3
+        UNION ALL
+          SELECT 'orders' AS "table", 'o_orderpriority' AS "column",
+                 value, cnt, CAST(rnk AS BIGINT) AS rnk
+          FROM (SELECT CAST(o_orderpriority AS VARCHAR) AS value,
+                       CAST(count(*) AS BIGINT) AS cnt,
+                       row_number() OVER (ORDER BY count(*) DESC,
+                                          CAST(o_orderpriority AS VARCHAR) ASC)
+                         AS rnk
+                FROM orders GROUP BY 1)
+          WHERE rnk <= 3
+        UNION ALL
+          SELECT 'events' AS "table", 'event_type' AS "column",
+                 value, cnt, CAST(rnk AS BIGINT) AS rnk
+          FROM (SELECT CAST(event_type AS VARCHAR) AS value,
+                       CAST(count(*) AS BIGINT) AS cnt,
+                       row_number() OVER (ORDER BY count(*) DESC,
+                                          CAST(event_type AS VARCHAR) ASC)
+                         AS rnk
+                FROM events GROUP BY 1)
+          WHERE rnk <= 3
+    """
+
+    sqls["profile_fd_audit"] = """
+          SELECT 'li_orderkey_to_shipdate' AS rule,
+                 CAST(count(*) AS BIGINT) AS n_keys,
+                 CAST(sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_violating_keys,
+                 CAST(max(nv) AS BIGINT) AS max_rhs_variants,
+                 sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END) = 0 AS holds
+          FROM (SELECT l_orderkey, count(DISTINCT l_shipdate) AS nv
+                FROM lineitem GROUP BY 1)
+        UNION ALL
+          SELECT 'li_orderkey_to_suppkey' AS rule,
+                 CAST(count(*) AS BIGINT) AS n_keys,
+                 CAST(sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_violating_keys,
+                 CAST(max(nv) AS BIGINT) AS max_rhs_variants,
+                 sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END) = 0 AS holds
+          FROM (SELECT l_orderkey, count(DISTINCT l_suppkey) AS nv
+                FROM lineitem GROUP BY 1)
+        UNION ALL
+          SELECT 'ord_custkey_to_priority' AS rule,
+                 CAST(count(*) AS BIGINT) AS n_keys,
+                 CAST(sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_violating_keys,
+                 CAST(max(nv) AS BIGINT) AS max_rhs_variants,
+                 sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END) = 0 AS holds
+          FROM (SELECT o_custkey, count(DISTINCT o_orderpriority) AS nv
+                FROM orders GROUP BY 1)
+        UNION ALL
+          SELECT 'doc_id_to_source' AS rule,
+                 CAST(count(*) AS BIGINT) AS n_keys,
+                 CAST(sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_violating_keys,
+                 CAST(max(nv) AS BIGINT) AS max_rhs_variants,
+                 sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END) = 0 AS holds
+          FROM (SELECT doc_id, count(DISTINCT source) AS nv
+                FROM documents GROUP BY 1)
+    """
+
+    sqls["profile_duplicate_rows"] = """
+          SELECT 'lineitem' AS "table",
+                 CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT) AS n_distinct,
+                 CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT)
+                   AS n_dup_rows
+          FROM lineitem
+        UNION ALL
+          SELECT 'events' AS "table",
+                 CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(count(DISTINCT (user_id, ts, event_type)) AS BIGINT) AS n_distinct,
+                 CAST(count(*) - count(DISTINCT (user_id, ts, event_type)) AS BIGINT)
+                   AS n_dup_rows
+          FROM events
+        UNION ALL
+          SELECT 'documents' AS "table",
+                 CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(count(DISTINCT (text)) AS BIGINT) AS n_distinct,
+                 CAST(count(*) - count(DISTINCT (text)) AS BIGINT)
+                   AS n_dup_rows
+          FROM documents
+    """
+
+    sqls["profile_iqr_outliers"] = """
+          SELECT 'l_extendedprice' AS "column", n, q1, q3, n_low, n_high
+          FROM (
+            WITH vals AS (SELECT CAST(l_extendedprice AS DECIMAL(18,2)) AS v,
+                                 count(*) AS cnt
+                          FROM lineitem WHERE l_extendedprice IS NOT NULL
+                          GROUP BY 1),
+            grid AS (SELECT v, cnt, sum(cnt) OVER (ORDER BY v) AS cum
+                     FROM vals),
+            tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS nn FROM vals),
+            qa AS (SELECT min(v) AS q1 FROM grid, tot
+                   WHERE cum >= (nn + 3) // 4),
+            qb AS (SELECT min(v) AS q3 FROM grid, tot
+                   WHERE cum >= (3 * nn + 3) // 4),
+            fen AS (SELECT q1, q3,
+                      CAST(q1 - (q3 - q1) * 1.5 AS DECIMAL(20,3)) AS lo,
+                      CAST(q3 + (q3 - q1) * 1.5 AS DECIMAL(20,3)) AS hi
+                    FROM qa, qb)
+            SELECT CAST(sum(cnt) AS BIGINT) AS n,
+                   CAST(max(q1) AS DOUBLE) AS q1,
+                   CAST(max(q3) AS DOUBLE) AS q3,
+                   CAST(sum(CASE WHEN v < lo THEN cnt ELSE 0 END)
+                        AS BIGINT) AS n_low,
+                   CAST(sum(CASE WHEN v > hi THEN cnt ELSE 0 END)
+                        AS BIGINT) AS n_high
+            FROM vals, fen
+          )
+        UNION ALL
+          SELECT 'o_totalprice' AS "column", n, q1, q3, n_low, n_high
+          FROM (
+            WITH vals AS (SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS v,
+                                 count(*) AS cnt
+                          FROM orders WHERE o_totalprice IS NOT NULL
+                          GROUP BY 1),
+            grid AS (SELECT v, cnt, sum(cnt) OVER (ORDER BY v) AS cum
+                     FROM vals),
+            tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS nn FROM vals),
+            qa AS (SELECT min(v) AS q1 FROM grid, tot
+                   WHERE cum >= (nn + 3) // 4),
+            qb AS (SELECT min(v) AS q3 FROM grid, tot
+                   WHERE cum >= (3 * nn + 3) // 4),
+            fen AS (SELECT q1, q3,
+                      CAST(q1 - (q3 - q1) * 1.5 AS DECIMAL(20,3)) AS lo,
+                      CAST(q3 + (q3 - q1) * 1.5 AS DECIMAL(20,3)) AS hi
+                    FROM qa, qb)
+            SELECT CAST(sum(cnt) AS BIGINT) AS n,
+                   CAST(max(q1) AS DOUBLE) AS q1,
+                   CAST(max(q3) AS DOUBLE) AS q3,
+                   CAST(sum(CASE WHEN v < lo THEN cnt ELSE 0 END)
+                        AS BIGINT) AS n_low,
+                   CAST(sum(CASE WHEN v > hi THEN cnt ELSE 0 END)
+                        AS BIGINT) AS n_high
+            FROM vals, fen
+          )
+    """
+
+    sqls["profile_modal_coverage"] = """
+        WITH a AS (SELECT DISTINCT doc_id AS k FROM documents),
+        b AS (SELECT DISTINCT vec_id AS k FROM embeddings),
+        j AS (SELECT a.k AS ak, b.k AS bk
+              FROM a FULL OUTER JOIN b ON a.k = b.k)
+        SELECT CASE WHEN ak IS NULL THEN 'b_only'
+                    WHEN bk IS NULL THEN 'a_only'
+                    ELSE 'both' END AS status,
+               CAST(count(*) AS BIGINT) AS n_ids
+        FROM j GROUP BY 1
+    
+    """
+
+    sqls["profile_date_coverage"] = """
+        SELECT 'orders' AS "table",
+               CAST(min(d) AS VARCHAR) AS min_d,
+               CAST(max(d) AS VARCHAR) AS max_d,
+               CAST(count(DISTINCT d) AS BIGINT) AS days_present,
+               CAST(max(d) - min(d) + 1 AS BIGINT) AS span_days,
+               CAST(max(d) - min(d) + 1 - count(DISTINCT d) AS BIGINT)
+                 AS gap_days
+        FROM (SELECT CAST(o_orderdate AS DATE) AS d FROM orders
+              WHERE o_orderdate IS NOT NULL)
+        UNION ALL
+        SELECT 'events',
+               CAST(min(d) AS VARCHAR), CAST(max(d) AS VARCHAR),
+               CAST(count(DISTINCT d) AS BIGINT),
+               CAST(max(d) - min(d) + 1 AS BIGINT),
+               CAST(max(d) - min(d) + 1 - count(DISTINCT d) AS BIGINT)
+        FROM (SELECT CAST(ts AS DATE) AS d FROM events
+              WHERE ts IS NOT NULL)
+    
+    """
+
+    sqls["profile_categorical_entropy"] = """
+          SELECT 'lineitem' AS "table", 'l_returnflag' AS "column",
+                 CAST(max(tn) AS BIGINT) AS n,
+                 CAST(max(nd) AS BIGINT) AS n_distinct,
+                 round(CAST(sum(CAST(round(
+                     -(cnt / tn) * ln(cnt / tn), 9)
+                     AS DECIMAL(27,9))) AS DOUBLE) / 0.6931471805599453, 6)
+                   AS entropy_bits
+          FROM (SELECT cnt,
+                       CAST(sum(cnt) OVER () AS DOUBLE) AS tn,
+                       count(*) OVER () AS nd
+                FROM (SELECT count(*) AS cnt FROM lineitem
+                      WHERE l_returnflag IS NOT NULL GROUP BY l_returnflag))
+        UNION ALL
+          SELECT 'lineitem' AS "table", 'l_linestatus' AS "column",
+                 CAST(max(tn) AS BIGINT) AS n,
+                 CAST(max(nd) AS BIGINT) AS n_distinct,
+                 round(CAST(sum(CAST(round(
+                     -(cnt / tn) * ln(cnt / tn), 9)
+                     AS DECIMAL(27,9))) AS DOUBLE) / 0.6931471805599453, 6)
+                   AS entropy_bits
+          FROM (SELECT cnt,
+                       CAST(sum(cnt) OVER () AS DOUBLE) AS tn,
+                       count(*) OVER () AS nd
+                FROM (SELECT count(*) AS cnt FROM lineitem
+                      WHERE l_linestatus IS NOT NULL GROUP BY l_linestatus))
+        UNION ALL
+          SELECT 'documents' AS "table", 'lang' AS "column",
+                 CAST(max(tn) AS BIGINT) AS n,
+                 CAST(max(nd) AS BIGINT) AS n_distinct,
+                 round(CAST(sum(CAST(round(
+                     -(cnt / tn) * ln(cnt / tn), 9)
+                     AS DECIMAL(27,9))) AS DOUBLE) / 0.6931471805599453, 6)
+                   AS entropy_bits
+          FROM (SELECT cnt,
+                       CAST(sum(cnt) OVER () AS DOUBLE) AS tn,
+                       count(*) OVER () AS nd
+                FROM (SELECT count(*) AS cnt FROM documents
+                      WHERE lang IS NOT NULL GROUP BY lang))
+        UNION ALL
+          SELECT 'documents' AS "table", 'source' AS "column",
+                 CAST(max(tn) AS BIGINT) AS n,
+                 CAST(max(nd) AS BIGINT) AS n_distinct,
+                 round(CAST(sum(CAST(round(
+                     -(cnt / tn) * ln(cnt / tn), 9)
+                     AS DECIMAL(27,9))) AS DOUBLE) / 0.6931471805599453, 6)
+                   AS entropy_bits
+          FROM (SELECT cnt,
+                       CAST(sum(cnt) OVER () AS DOUBLE) AS tn,
+                       count(*) OVER () AS nd
+                FROM (SELECT count(*) AS cnt FROM documents
+                      WHERE source IS NOT NULL GROUP BY source))
+        UNION ALL
+          SELECT 'events' AS "table", 'event_type' AS "column",
+                 CAST(max(tn) AS BIGINT) AS n,
+                 CAST(max(nd) AS BIGINT) AS n_distinct,
+                 round(CAST(sum(CAST(round(
+                     -(cnt / tn) * ln(cnt / tn), 9)
+                     AS DECIMAL(27,9))) AS DOUBLE) / 0.6931471805599453, 6)
+                   AS entropy_bits
+          FROM (SELECT cnt,
+                       CAST(sum(cnt) OVER () AS DOUBLE) AS tn,
+                       count(*) OVER () AS nd
+                FROM (SELECT count(*) AS cnt FROM events
+                      WHERE event_type IS NOT NULL GROUP BY event_type))
+    """
+
+    sqls["profile_constancy"] = """
+          SELECT 'lineitem' AS "table", 'l_returnflag' AS "column",
+                 CAST(sum(cnt) AS BIGINT) AS n,
+                 CAST(count(*) AS BIGINT) AS n_distinct,
+                 CAST(max(cnt) AS BIGINT) AS top1_cnt,
+                 (CASE WHEN CAST((CAST(max(cnt) AS DECIMAL(27,6))) * 1000000 AS BIGINT) < 0 THEN -1 ELSE 1 END * ((2 * abs(CAST((CAST(max(cnt) AS DECIMAL(27,6))) * 1000000 AS BIGINT)) + CAST((sum(cnt)) AS BIGINT)) // (2 * CAST((sum(cnt)) AS BIGINT))) / 1000000.0) AS top1_share,
+                 (CASE WHEN CAST((CAST(max(cnt) AS DECIMAL(27,6))) * 1000000 AS BIGINT) < 0 THEN -1 ELSE 1 END * ((2 * abs(CAST((CAST(max(cnt) AS DECIMAL(27,6))) * 1000000 AS BIGINT)) + CAST((sum(cnt)) AS BIGINT)) // (2 * CAST((sum(cnt)) AS BIGINT))) / 1000000.0) >= 0.99 AS near_constant
+          FROM (SELECT count(*) AS cnt FROM lineitem
+                WHERE l_returnflag IS NOT NULL GROUP BY l_returnflag)
+        UNION ALL
+          SELECT 'lineitem' AS "table", 'l_linestatus' AS "column",
+                 CAST(sum(cnt) AS BIGINT) AS n,
+                 CAST(count(*) AS BIGINT) AS n_distinct,
+                 CAST(max(cnt) AS BIGINT) AS top1_cnt,
+                 (CASE WHEN CAST((CAST(max(cnt) AS DECIMAL(27,6))) * 1000000 AS BIGINT) < 0 THEN -1 ELSE 1 END * ((2 * abs(CAST((CAST(max(cnt) AS DECIMAL(27,6))) * 1000000 AS BIGINT)) + CAST((sum(cnt)) AS BIGINT)) // (2 * CAST((sum(cnt)) AS BIGINT))) / 1000000.0) AS top1_share,
+                 (CASE WHEN CAST((CAST(max(cnt) AS DECIMAL(27,6))) * 1000000 AS BIGINT) < 0 THEN -1 ELSE 1 END * ((2 * abs(CAST((CAST(max(cnt) AS DECIMAL(27,6))) * 1000000 AS BIGINT)) + CAST((sum(cnt)) AS BIGINT)) // (2 * CAST((sum(cnt)) AS BIGINT))) / 1000000.0) >= 0.99 AS near_constant
+          FROM (SELECT count(*) AS cnt FROM lineitem
+                WHERE l_linestatus IS NOT NULL GROUP BY l_linestatus)
+        UNION ALL
+          SELECT 'documents' AS "table", 'lang' AS "column",
+                 CAST(sum(cnt) AS BIGINT) AS n,
+                 CAST(count(*) AS BIGINT) AS n_distinct,
+                 CAST(max(cnt) AS BIGINT) AS top1_cnt,
+                 (CASE WHEN CAST((CAST(max(cnt) AS DECIMAL(27,6))) * 1000000 AS BIGINT) < 0 THEN -1 ELSE 1 END * ((2 * abs(CAST((CAST(max(cnt) AS DECIMAL(27,6))) * 1000000 AS BIGINT)) + CAST((sum(cnt)) AS BIGINT)) // (2 * CAST((sum(cnt)) AS BIGINT))) / 1000000.0) AS top1_share,
+                 (CASE WHEN CAST((CAST(max(cnt) AS DECIMAL(27,6))) * 1000000 AS BIGINT) < 0 THEN -1 ELSE 1 END * ((2 * abs(CAST((CAST(max(cnt) AS DECIMAL(27,6))) * 1000000 AS BIGINT)) + CAST((sum(cnt)) AS BIGINT)) // (2 * CAST((sum(cnt)) AS BIGINT))) / 1000000.0) >= 0.99 AS near_constant
+          FROM (SELECT count(*) AS cnt FROM documents
+                WHERE lang IS NOT NULL GROUP BY lang)
+    """
+
 
     sqls["ann_index_bucket_profile"] = f"""
         WITH {_ann_snap},

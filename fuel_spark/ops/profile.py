@@ -675,3 +675,275 @@ def calibration_bins(
     return g.crossJoin(F.broadcast(tot)).select(
         "bin", "n", "mean_score", "pos_rate", "abs_gap", "ece"
     )
+
+
+# ---------------------------------------------------------------------------
+# round 9: catalog profiling — the pre-training data-quality audit
+# tier (top values, functional dependencies, duplicate rows, IQR
+# outliers, cross-modal coverage, date coverage, entropy, constancy)
+# ---------------------------------------------------------------------------
+
+
+def top_values(
+    df: DataFrame, cols: list[str], k: int = 3, table: str = "t"
+) -> DataFrame:
+    """Top-``k`` most frequent values per categorical column, long
+    format — the catalog card every curation decision starts from.
+    Deterministic tie-break (count DESC, value ASC).  One bounded
+    groupBy per column (each keyed by the column's value domain),
+    unioned; rank windows run over the per-column value frames, never
+    row grain.  Output: table, column, value, cnt, rnk."""
+    from pyspark.sql import Window
+
+    parts = []
+    for c in cols:
+        counts = df.groupBy(F.col(c).cast("string").alias("value")).agg(
+            F.count(F.lit(1)).cast("long").alias("cnt")
+        )
+        w = Window.orderBy(F.col("cnt").desc(), F.col("value").asc())
+        parts.append(
+            counts.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= int(k))
+            .select(
+                F.lit(table).alias("table"),
+                F.lit(c).alias("column"),
+                "value",
+                "cnt",
+                F.col("rnk").cast("bigint").alias("rnk"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def fd_violations(
+    df: DataFrame, rules: list[tuple], table: str = "t"
+) -> DataFrame:
+    """Functional-dependency audit: for each candidate ``lhs -> rhs``
+    rule, how many lhs keys map to MORE than one distinct rhs value
+    (0 violating keys = the dependency holds — a unit-of-grain
+    contract worth pinning before any groupBy assumes it).  Each rule
+    is one map-side-combinable distinct-count per key; the verdict
+    reduction runs over the key-count frame.  Rules: (name, lhs_col,
+    rhs_col).  Output per rule: rule, n_keys, n_violating_keys,
+    max_rhs_variants, holds."""
+    parts = []
+    for name, lhs, rhs in rules:
+        per_key = df.groupBy(F.col(lhs).alias("_k")).agg(
+            F.count_distinct(F.col(rhs)).alias("_nv")
+        )
+        parts.append(
+            per_key.agg(
+                F.lit(name).alias("rule"),
+                F.count(F.lit(1)).cast("long").alias("n_keys"),
+                F.sum(F.when(F.col("_nv") > 1, 1).otherwise(0))
+                .cast("long").alias("n_violating_keys"),
+                F.max("_nv").cast("long").alias("max_rhs_variants"),
+            ).withColumn("holds", F.col("n_violating_keys") == 0)
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def duplicate_row_stats(
+    df: DataFrame, cols: list[str], table: str = "t"
+) -> DataFrame:
+    """Exact duplicate census over a column set: total rows, distinct
+    combinations, surplus rows (the exact-dedup savings if this were
+    the dedup key).  One distinct-count pass.  Output: table, n_rows,
+    n_distinct, n_dup_rows."""
+    return df.agg(
+        F.lit(table).alias("table"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count_distinct(*[F.col(c) for c in cols])
+        .cast("long").alias("n_distinct"),
+        (
+            F.count(F.lit(1))
+            - F.count_distinct(*[F.col(c) for c in cols])
+        ).cast("long").alias("n_dup_rows"),
+    )
+
+
+def iqr_outlier_stats(
+    df: DataFrame, value_col: str, label: str | None = None
+) -> DataFrame:
+    """Tukey-fence outlier census with EXACT rank quartiles: q1/q3 are
+    the ceil(n/4)-th / ceil(3n/4)-th smallest values taken off the
+    VALUE-GRID cumulative window (counts per distinct value, cumsum
+    over the value domain — the KS/Mann-Whitney midrank family, never
+    a row-grain global sort), fences q1/q3 -/+ 1.5*IQR in exact
+    decimal arithmetic, outlier counts re-read off the same grid.
+    Output: column, n, q1, q3, n_low, n_high."""
+    vals = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(F.col(value_col).cast("decimal(18,2)").alias("v"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    grid = vals.withColumn("cum", F.sum("cnt").over(w))
+    tot = grid.agg(F.sum("cnt").cast("long").alias("_n"))
+    g = grid.crossJoin(F.broadcast(tot))
+    # ceil(n/4) and ceil(3n/4) in integers
+    q1v = g.where(
+        F.col("cum") >= (F.col("_n") + 3 - F.pmod(F.col("_n") + 3, 4)) / 4
+    ).agg(F.min("v").alias("q1"))
+    q3v = g.where(
+        F.col("cum")
+        >= (F.col("_n") * 3 + 3 - F.pmod(F.col("_n") * 3 + 3, 4)) / 4
+    ).agg(F.min("v").alias("q3"))
+    # 1.5 as a DECIMAL literal: a double 1.5 would demote the fence
+    # arithmetic to floats (DuckDB's 1.5 literal is DECIMAL(2,1))
+    k15 = F.lit("1.5").cast("decimal(2,1)")
+    qq = q1v.crossJoin(F.broadcast(q3v)).select(
+        "q1", "q3",
+        (F.col("q1") - (F.col("q3") - F.col("q1")) * k15)
+        .cast("decimal(20,3)").alias("_lo"),
+        (F.col("q3") + (F.col("q3") - F.col("q1")) * k15)
+        .cast("decimal(20,3)").alias("_hi"),
+    )
+    out = vals.crossJoin(F.broadcast(qq)).agg(
+        F.lit(label or value_col).alias("column"),
+        F.sum("cnt").cast("long").alias("n"),
+        F.max(F.col("q1").cast("double")).alias("q1"),
+        F.max(F.col("q3").cast("double")).alias("q3"),
+        F.sum(F.when(F.col("v") < F.col("_lo"), F.col("cnt"))
+              .otherwise(0)).cast("long").alias("n_low"),
+        F.sum(F.when(F.col("v") > F.col("_hi"), F.col("cnt"))
+              .otherwise(0)).cast("long").alias("n_high"),
+    )
+    return out
+
+
+def modal_coverage(
+    a: DataFrame, a_id: str, b: DataFrame, b_id: str
+) -> DataFrame:
+    """Cross-modal id coverage: which ids exist in both frames, only
+    in A (documents without embeddings — the re-embed backlog), only
+    in B (embeddings without documents — the takedown backlog).  One
+    full-outer id join.  Output: status, n_ids."""
+    j = a.select(F.col(a_id).alias("_a")).distinct().join(
+        b.select(F.col(b_id).alias("_b")).distinct(),
+        F.col("_a") == F.col("_b"),
+        "full_outer",
+    )
+    status = (
+        F.when(F.col("_a").isNull(), F.lit("b_only"))
+        .when(F.col("_b").isNull(), F.lit("a_only"))
+        .otherwise(F.lit("both"))
+    )
+    return j.groupBy(status.alias("status")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_ids")
+    )
+
+
+def date_coverage(
+    df: DataFrame, date_col, table: str = "t"
+) -> DataFrame:
+    """Calendar coverage: min/max date, distinct days present, span
+    days, and the gap count (span - present) — the
+    is-this-extract-complete header row.  One distinct-day census.
+    Output: table, min_d, max_d, days_present, span_days, gap_days."""
+    d = df.select(F.to_date(date_col).alias("_d")).where(
+        F.col("_d").isNotNull()
+    )
+    return d.agg(
+        F.lit(table).alias("table"),
+        # dates as strings: the driver canonicalizer renders date vs
+        # datetime cells differently across engines
+        F.min("_d").cast("string").alias("min_d"),
+        F.max("_d").cast("string").alias("max_d"),
+        F.count_distinct("_d").cast("long").alias("days_present"),
+        (F.datediff(F.max("_d"), F.min("_d")) + 1)
+        .cast("long").alias("span_days"),
+        (
+            F.datediff(F.max("_d"), F.min("_d")) + 1
+            - F.count_distinct("_d")
+        ).cast("long").alias("gap_days"),
+    )
+
+
+_LN2 = 0.6931471805599453  # shared LITERAL so both engines divide by
+# the identical constant (each engine's own ln(2) could differ 1 ulp)
+
+
+def categorical_entropy(
+    df: DataFrame, cols: list[str], table: str = "t"
+) -> DataFrame:
+    """Shannon entropy (bits) per categorical column — the
+    one-number diversity read beside :func:`top_values`.  Per-value
+    terms -p*ln(p) round(9) into DECIMAL before the sum (the LLR/MI
+    float contract), divided by a shared ln(2) literal.  Each column
+    is one value-domain-bounded groupBy.  Output: table, column, n,
+    n_distinct, entropy_bits."""
+    parts = []
+    for c in cols:
+        counts = df.where(F.col(c).isNotNull()).groupBy(
+            F.col(c).cast("string").alias("value")
+        ).agg(F.count(F.lit(1)).alias("cnt"))
+        tot = counts.agg(
+            F.sum("cnt").cast("double").alias("_n"),
+            F.count(F.lit(1)).cast("long").alias("_nd"),
+        )
+        term = F.round(
+            -(F.col("cnt") / F.col("_n"))
+            * F.log(F.col("cnt") / F.col("_n")),
+            9,
+        ).cast("decimal(27,9)")
+        parts.append(
+            counts.crossJoin(F.broadcast(tot)).agg(
+                F.lit(table).alias("table"),
+                F.lit(c).alias("column"),
+                F.max("_n").cast("long").alias("n"),
+                F.max("_nd").alias("n_distinct"),
+                F.round(
+                    F.sum(term).cast("double") / F.lit(_LN2), 6
+                ).alias("entropy_bits"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def constancy(
+    df: DataFrame, cols: list[str], table: str = "t",
+    near_constant_floor: float = 0.99,
+) -> DataFrame:
+    """Near-constant-column detector: the top value's share per
+    column (a column whose top value covers >= ``floor`` of rows
+    carries ~no signal and is a drop candidate).  Exact-rational
+    share.  Output: table, column, n, n_distinct, top1_cnt,
+    top1_share, near_constant."""
+    from fuel_spark.functions import round6_ratio
+
+    parts = []
+    for c in cols:
+        counts = df.where(F.col(c).isNotNull()).groupBy(
+            F.col(c).cast("string").alias("value")
+        ).agg(F.count(F.lit(1)).alias("cnt"))
+        parts.append(
+            counts.agg(
+                F.lit(table).alias("table"),
+                F.lit(c).alias("column"),
+                F.sum("cnt").cast("long").alias("n"),
+                F.count(F.lit(1)).cast("long").alias("n_distinct"),
+                F.max("cnt").cast("long").alias("top1_cnt"),
+                round6_ratio(
+                    F.max("cnt").cast("decimal(27,6)"), F.sum("cnt")
+                ).alias("top1_share"),
+            ).withColumn(
+                "near_constant",
+                F.col("top1_share") >= F.lit(float(near_constant_floor)),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

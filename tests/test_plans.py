@@ -958,6 +958,14 @@ SINGLE_PARTITION_ALLOWLIST = {
     # r9: the dedup census's 1-row four-count final over the
     # per-signature group table (map-side-combined count funnel)
     "image_dedup_exact",
+    # r9 catalog profiling: per-rule / per-table / per-column 1-row
+    # finals over key-count or value-domain-bounded frames (the
+    # check_expectations rationale, unioned), plus the IQR quartile
+    # selection's value-grid cumulative window (the KS/midrank
+    # family — the window runs over DISTINCT values, never row grain)
+    "profile_fd_audit", "profile_duplicate_rows",
+    "profile_iqr_outliers", "profile_date_coverage",
+    "profile_categorical_entropy", "profile_constancy",
 }
 
 

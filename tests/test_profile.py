@@ -293,3 +293,90 @@ def test_calibration_bins_top_edge_and_ece_weighting(spark):
     assert out[9].abs_gap == 0.0
     assert out[5].abs_gap == 0.5
     assert out[5].ece == 0.125
+
+
+# ---------------------------------------------------------------------------
+# round 9: catalog-profiling tier
+# ---------------------------------------------------------------------------
+
+
+def test_top_values_rank_and_tiebreak(spark):
+    df = from_rows(
+        spark, [("a",), ("a",), ("b",), ("b",), ("c",)], schema="k string"
+    )
+    out = [(r.value, r.cnt, r.rnk) for r in profile.top_values(
+        df, ["k"], k=2, table="t").orderBy("rnk").collect()]
+    # a and b tie at 2 -> value ASC breaks the tie deterministically
+    assert out == [("a", 2, 1), ("b", 2, 2)]
+
+
+def test_fd_violations_holds_and_fails(spark):
+    df = from_rows(
+        spark,
+        [(1, "x"), (1, "x"), (2, "y"), (2, "z")],
+        schema="k bigint, v string",
+    )
+    out = {r.rule: r for r in profile.fd_violations(
+        df, [("kv", "k", "v")]).collect()}
+    r = out["kv"]
+    assert (r.n_keys, r.n_violating_keys, r.max_rhs_variants, r.holds) == (
+        2, 1, 2, False)
+
+
+def test_duplicate_row_stats_exact(spark):
+    df = from_rows(
+        spark, [(1, "a"), (1, "a"), (2, "b")], schema="k bigint, v string"
+    )
+    r = profile.duplicate_row_stats(df, ["k", "v"], "t").first()
+    assert (r.n_rows, r.n_distinct, r.n_dup_rows) == (3, 2, 1)
+
+
+def test_iqr_outlier_stats_exact_rank_quartiles(spark):
+    # 1..8 plus one far outlier: n=9, q1 = 3rd smallest (ceil(9/4)=3),
+    # q3 = 7th smallest (ceil(27/4)=7) -> q1=3, q3=7, iqr=4,
+    # fences -3 / 13 -> exactly the 100 is high
+    vals = [(float(v),) for v in (1, 2, 3, 4, 5, 6, 7, 8, 100)]
+    df = from_rows(spark, vals, schema="v double")
+    r = profile.iqr_outlier_stats(df, "v").first()
+    assert (r.n, r.q1, r.q3, r.n_low, r.n_high) == (9, 3.0, 7.0, 0, 1)
+
+
+def test_modal_coverage_three_way(spark):
+    a = from_rows(spark, [(1,), (2,), (3,)], schema="id bigint")
+    b = from_rows(spark, [(2,), (3,), (4,), (5,)], schema="id bigint")
+    out = {r.status: r.n_ids for r in
+           profile.modal_coverage(a, "id", b, "id").collect()}
+    assert out == {"both": 2, "a_only": 1, "b_only": 2}
+
+
+def test_date_coverage_gap_days(spark):
+    from pyspark.sql import functions as F
+
+    df = from_rows(
+        spark,
+        [("2024-01-01",), ("2024-01-02",), ("2024-01-05",)],
+        schema="d string",
+    )
+    r = profile.date_coverage(df, F.col("d"), "t").first()
+    assert (r.min_d, r.max_d) == ("2024-01-01", "2024-01-05")
+    assert (r.days_present, r.span_days, r.gap_days) == (3, 5, 2)
+
+
+def test_categorical_entropy_uniform_and_constant(spark):
+    df = from_rows(
+        spark,
+        [("a", "x"), ("b", "x"), ("c", "x"), ("d", "x")],
+        schema="u string, k string",
+    )
+    out = {r["column"]: r for r in profile.categorical_entropy(
+        df, ["u", "k"], "t").collect()}
+    assert out["u"].entropy_bits == 2.0   # uniform over 4 -> 2 bits
+    assert out["k"].entropy_bits == 0.0   # constant -> 0 bits
+    assert out["u"].n_distinct == 4 and out["k"].n_distinct == 1
+
+
+def test_constancy_flags_near_constant(spark):
+    rows = [("x",)] * 99 + [("y",)]
+    df = from_rows(spark, rows, schema="k string")
+    r = profile.constancy(df, ["k"], "t").first()
+    assert r.top1_share == 0.99 and bool(r.near_constant)
