@@ -4576,6 +4576,81 @@ def q_profile_constancy(spark, sf):
     ))
 
 
+# --- round 9: training-order certificates (schemes.py r9 section —
+# the analysis tier over fuel/schemes.py:195's iteration schemes) ----
+
+ILV_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+
+
+def q_order_epoch_overlap(spark, sf):
+    """Per-epoch reshuffle decorrelation certificate: first-decile
+    id overlap between two seeded epoch orders vs the independent-
+    permutation expectation, plus the mean position displacement —
+    a broken epoch seed reads overlap_rate 1.0."""
+    d = _t(spark, sf)["documents"]
+    return schemes.epoch_overlap_certificate(d, "doc_id", (7, 8), 10)
+
+
+def q_order_seed_overlap_sweep(spark, sf):
+    """The pairwise overlap table across seeds 7/8/9 — the seed-
+    schedule health sweep (every pair should sit near k/n)."""
+    d = _t(spark, sf)["documents"]
+    return schemes.seed_overlap_sweep(d, "doc_id", (7, 8, 9), 10)
+
+
+def q_order_batch_mix(spark, sf):
+    """Batch mixedness histogram: distinct sources per 25-example
+    shuffled batch — a clumpy order piles batches at low counts."""
+    d = _t(spark, sf)["documents"]
+    return schemes.batch_mix_histogram(d, "doc_id", "source", 25, 7)
+
+
+def q_order_position_decorrelation(spark, sf):
+    """Exact integer Spearman between ingest order (doc_id rank) and
+    the shuffled order — the shuffle's whole job is rho ~ 0; rank
+    moments accumulate in DECIMAL(38,0) (exact beyond 2^53)."""
+    d = _t(spark, sf)["documents"]
+    return schemes.position_decorrelation(d, "doc_id", 7)
+
+
+def q_order_stride_coverage(spark, sf):
+    """Strided-subsample audit: every 7th position of the shuffled
+    order — per-source sampled share vs corpus share (the cheap-epoch
+    sampler must not skew the mixture)."""
+    d = _t(spark, sf)["documents"]
+    return schemes.stride_coverage(d, "doc_id", "source", 7, 7)
+
+
+def q_order_epoch_batch_churn(spark, sf):
+    """Co-batch persistence between two epoch reshuffles: |batch_a -
+    batch_b| bucketed — per-epoch reshuffles exist to break gradient
+    correlation, and this is the number that says they did."""
+    d = _t(spark, sf)["documents"]
+    return schemes.epoch_batch_churn(d, "doc_id", 25, (7, 8))
+
+
+def q_order_worker_token_balance(spark, sf):
+    """Shard balance by TOKEN mass, not row count: 8 hash-assigned
+    workers weighed by n_chars with the exact-rational skew ratio —
+    the row-balanced shard that is 3x heavier in payload is the real
+    straggler."""
+    d = _t(spark, sf)["documents"]
+    return schemes.worker_token_balance(
+        d, "doc_id", F.col("n_chars"), 8, 5
+    )
+
+
+def q_order_interleave_proportionality(spark, sf):
+    """Smooth-interleave prefix certificate: at prefixes 50/100/200
+    of the global order, per-source actual count vs the proportional
+    target — smooth weighted round-robin holds proportions at EVERY
+    prefix where a sampled mixture only converges in expectation."""
+    d = _t(spark, sf)["documents"]
+    return schemes.interleave_prefix_proportionality(
+        d, "doc_id", "source", ILV_WEIGHTS, (50, 100, 200), 42
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry.  ORDERING IS DELIBERATE: the driver's
     correctness gate checks the FIRST 50 keys, so each round leads
@@ -4694,6 +4769,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_date_coverage": q_profile_date_coverage,
         "profile_categorical_entropy": q_profile_categorical_entropy,
         "profile_constancy": q_profile_constancy,
+        "order_epoch_overlap": q_order_epoch_overlap,
+        "order_seed_overlap_sweep": q_order_seed_overlap_sweep,
+        "order_batch_mix": q_order_batch_mix,
+        "order_position_decorrelation": q_order_position_decorrelation,
+        "order_stride_coverage": q_order_stride_coverage,
+        "order_epoch_batch_churn": q_order_epoch_batch_churn,
+        "order_worker_token_balance": q_order_worker_token_balance,
+        "order_interleave_proportionality": q_order_interleave_proportionality,
         # ---- end of the r10 seed block --------------------------------
         # ---- driver-green in r8 (CORRECTNESS_r08.json, 50/50): the
         # round-8 window, now cumulative coverage. --------------------
@@ -15236,6 +15319,185 @@ def oracle_sql() -> dict[str, str]:
                {round6_ratio_sql("sum(CAST(clip AS DECIMAL(27,6)))",
                                  "count(*)")} AS clipped_ratio
         FROM m GROUP BY 1
+    """
+
+    # ---- round-9 training-order certificates (schemes.py r9) -------
+    sqls["order_epoch_overlap"] = """
+          SELECT CAST(max(n) AS BIGINT) AS n, CAST(max(k) AS BIGINT) AS k,
+                 CAST(sum(CASE WHEN pa < k AND pb < k THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_overlap,
+                 (CASE WHEN CAST((CAST(sum(CASE WHEN pa < k AND pb < k THEN 1 ELSE 0 END) AS DECIMAL(27,6))) * 1000000 AS BIGINT) < 0 THEN -1 ELSE 1 END * ((2 * abs(CAST((CAST(sum(CASE WHEN pa < k AND pb < k THEN 1 ELSE 0 END) AS DECIMAL(27,6))) * 1000000 AS BIGINT)) + CAST((max(k)) AS BIGINT)) // (2 * CAST((max(k)) AS BIGINT))) / 1000000.0)
+                   AS overlap_rate,
+                 (CASE WHEN CAST((CAST(max(k) AS DECIMAL(27,6))) * 1000000 AS BIGINT) < 0 THEN -1 ELSE 1 END * ((2 * abs(CAST((CAST(max(k) AS DECIMAL(27,6))) * 1000000 AS BIGINT)) + CAST((max(n)) AS BIGINT)) // (2 * CAST((max(n)) AS BIGINT))) / 1000000.0)
+                   AS expected_rate,
+                 (CASE WHEN CAST((sum(CAST(abs(pa - pb) AS DECIMAL(27,6)))) * 1000000 AS BIGINT) < 0 THEN -1 ELSE 1 END * ((2 * abs(CAST((sum(CAST(abs(pa - pb) AS DECIMAL(27,6)))) * 1000000 AS BIGINT)) + CAST((count(*)) AS BIGINT)) // (2 * CAST((count(*)) AS BIGINT))) / 1000000.0)
+                   AS mean_abs_disp
+          FROM (SELECT a.pos AS pa, b.pos AS pb
+                FROM (SELECT doc_id, row_number() OVER (ORDER BY md5(concat('7', '-', CAST(doc_id AS VARCHAR))), doc_id) - 1 AS pos FROM documents) a JOIN (SELECT doc_id, row_number() OVER (ORDER BY md5(concat('8', '-', CAST(doc_id AS VARCHAR))), doc_id) - 1 AS pos FROM documents) b
+                USING (doc_id)),
+               (SELECT count(*) AS n, count(*) // 10 AS k
+                FROM documents)
+    """
+
+    sqls["order_seed_overlap_sweep"] = """
+          SELECT '7-8' AS seed_pair, * FROM (
+          SELECT CAST(max(n) AS BIGINT) AS n, CAST(max(k) AS BIGINT) AS k,
+                 CAST(sum(CASE WHEN pa < k AND pb < k THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_overlap,
+                 (CASE WHEN CAST((CAST(sum(CASE WHEN pa < k AND pb < k THEN 1 ELSE 0 END) AS DECIMAL(27,6))) * 1000000 AS BIGINT) < 0 THEN -1 ELSE 1 END * ((2 * abs(CAST((CAST(sum(CASE WHEN pa < k AND pb < k THEN 1 ELSE 0 END) AS DECIMAL(27,6))) * 1000000 AS BIGINT)) + CAST((max(k)) AS BIGINT)) // (2 * CAST((max(k)) AS BIGINT))) / 1000000.0)
+                   AS overlap_rate,
+                 (CASE WHEN CAST((CAST(max(k) AS DECIMAL(27,6))) * 1000000 AS BIGINT) < 0 THEN -1 ELSE 1 END * ((2 * abs(CAST((CAST(max(k) AS DECIMAL(27,6))) * 1000000 AS BIGINT)) + CAST((max(n)) AS BIGINT)) // (2 * CAST((max(n)) AS BIGINT))) / 1000000.0)
+                   AS expected_rate,
+                 (CASE WHEN CAST((sum(CAST(abs(pa - pb) AS DECIMAL(27,6)))) * 1000000 AS BIGINT) < 0 THEN -1 ELSE 1 END * ((2 * abs(CAST((sum(CAST(abs(pa - pb) AS DECIMAL(27,6)))) * 1000000 AS BIGINT)) + CAST((count(*)) AS BIGINT)) // (2 * CAST((count(*)) AS BIGINT))) / 1000000.0)
+                   AS mean_abs_disp
+          FROM (SELECT a.pos AS pa, b.pos AS pb
+                FROM (SELECT doc_id, row_number() OVER (ORDER BY md5(concat('7', '-', CAST(doc_id AS VARCHAR))), doc_id) - 1 AS pos FROM documents) a JOIN (SELECT doc_id, row_number() OVER (ORDER BY md5(concat('8', '-', CAST(doc_id AS VARCHAR))), doc_id) - 1 AS pos FROM documents) b
+                USING (doc_id)),
+               (SELECT count(*) AS n, count(*) // 10 AS k
+                FROM documents))
+        UNION ALL
+          SELECT '7-9' AS seed_pair, * FROM (
+          SELECT CAST(max(n) AS BIGINT) AS n, CAST(max(k) AS BIGINT) AS k,
+                 CAST(sum(CASE WHEN pa < k AND pb < k THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_overlap,
+                 (CASE WHEN CAST((CAST(sum(CASE WHEN pa < k AND pb < k THEN 1 ELSE 0 END) AS DECIMAL(27,6))) * 1000000 AS BIGINT) < 0 THEN -1 ELSE 1 END * ((2 * abs(CAST((CAST(sum(CASE WHEN pa < k AND pb < k THEN 1 ELSE 0 END) AS DECIMAL(27,6))) * 1000000 AS BIGINT)) + CAST((max(k)) AS BIGINT)) // (2 * CAST((max(k)) AS BIGINT))) / 1000000.0)
+                   AS overlap_rate,
+                 (CASE WHEN CAST((CAST(max(k) AS DECIMAL(27,6))) * 1000000 AS BIGINT) < 0 THEN -1 ELSE 1 END * ((2 * abs(CAST((CAST(max(k) AS DECIMAL(27,6))) * 1000000 AS BIGINT)) + CAST((max(n)) AS BIGINT)) // (2 * CAST((max(n)) AS BIGINT))) / 1000000.0)
+                   AS expected_rate,
+                 (CASE WHEN CAST((sum(CAST(abs(pa - pb) AS DECIMAL(27,6)))) * 1000000 AS BIGINT) < 0 THEN -1 ELSE 1 END * ((2 * abs(CAST((sum(CAST(abs(pa - pb) AS DECIMAL(27,6)))) * 1000000 AS BIGINT)) + CAST((count(*)) AS BIGINT)) // (2 * CAST((count(*)) AS BIGINT))) / 1000000.0)
+                   AS mean_abs_disp
+          FROM (SELECT a.pos AS pa, b.pos AS pb
+                FROM (SELECT doc_id, row_number() OVER (ORDER BY md5(concat('7', '-', CAST(doc_id AS VARCHAR))), doc_id) - 1 AS pos FROM documents) a JOIN (SELECT doc_id, row_number() OVER (ORDER BY md5(concat('9', '-', CAST(doc_id AS VARCHAR))), doc_id) - 1 AS pos FROM documents) b
+                USING (doc_id)),
+               (SELECT count(*) AS n, count(*) // 10 AS k
+                FROM documents))
+        UNION ALL
+          SELECT '8-9' AS seed_pair, * FROM (
+          SELECT CAST(max(n) AS BIGINT) AS n, CAST(max(k) AS BIGINT) AS k,
+                 CAST(sum(CASE WHEN pa < k AND pb < k THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_overlap,
+                 (CASE WHEN CAST((CAST(sum(CASE WHEN pa < k AND pb < k THEN 1 ELSE 0 END) AS DECIMAL(27,6))) * 1000000 AS BIGINT) < 0 THEN -1 ELSE 1 END * ((2 * abs(CAST((CAST(sum(CASE WHEN pa < k AND pb < k THEN 1 ELSE 0 END) AS DECIMAL(27,6))) * 1000000 AS BIGINT)) + CAST((max(k)) AS BIGINT)) // (2 * CAST((max(k)) AS BIGINT))) / 1000000.0)
+                   AS overlap_rate,
+                 (CASE WHEN CAST((CAST(max(k) AS DECIMAL(27,6))) * 1000000 AS BIGINT) < 0 THEN -1 ELSE 1 END * ((2 * abs(CAST((CAST(max(k) AS DECIMAL(27,6))) * 1000000 AS BIGINT)) + CAST((max(n)) AS BIGINT)) // (2 * CAST((max(n)) AS BIGINT))) / 1000000.0)
+                   AS expected_rate,
+                 (CASE WHEN CAST((sum(CAST(abs(pa - pb) AS DECIMAL(27,6)))) * 1000000 AS BIGINT) < 0 THEN -1 ELSE 1 END * ((2 * abs(CAST((sum(CAST(abs(pa - pb) AS DECIMAL(27,6)))) * 1000000 AS BIGINT)) + CAST((count(*)) AS BIGINT)) // (2 * CAST((count(*)) AS BIGINT))) / 1000000.0)
+                   AS mean_abs_disp
+          FROM (SELECT a.pos AS pa, b.pos AS pb
+                FROM (SELECT doc_id, row_number() OVER (ORDER BY md5(concat('8', '-', CAST(doc_id AS VARCHAR))), doc_id) - 1 AS pos FROM documents) a JOIN (SELECT doc_id, row_number() OVER (ORDER BY md5(concat('9', '-', CAST(doc_id AS VARCHAR))), doc_id) - 1 AS pos FROM documents) b
+                USING (doc_id)),
+               (SELECT count(*) AS n, count(*) // 10 AS k
+                FROM documents))
+    """
+
+    sqls["order_batch_mix"] = """
+        WITH p AS (SELECT d.source, q.pos // 25 AS batch_id
+                   FROM (SELECT doc_id, row_number() OVER (ORDER BY md5(concat('7', '-', CAST(doc_id AS VARCHAR))), doc_id) - 1 AS pos FROM documents) q
+                   JOIN documents d USING (doc_id)),
+        per AS (SELECT batch_id, count(DISTINCT source) AS ng
+                FROM p GROUP BY 1)
+        SELECT CAST(ng AS BIGINT) AS n_distinct_groups,
+               CAST(count(*) AS BIGINT) AS n_batches
+        FROM per GROUP BY 1
+    
+    """
+
+    sqls["order_position_decorrelation"] = """
+        WITH a AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1
+                          AS ra FROM documents),
+        b AS ((SELECT doc_id, row_number() OVER (ORDER BY md5(concat('7', '-', CAST(doc_id AS VARCHAR))), doc_id) - 1 AS pos FROM documents)),
+        j AS (SELECT ra, b.pos AS rb FROM a JOIN b USING (doc_id)),
+        red AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(CAST((ra - rb) * (ra - rb)
+                                AS DECIMAL(38,0))) AS BIGINT) AS s
+                FROM j)
+        SELECT n, s AS sum_d2,
+               round(1 - (6.0 * CAST(s AS DOUBLE))
+                     / (CAST(n AS DOUBLE)
+                        * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - 1)),
+                     6) AS rho
+        FROM red
+    
+    """
+
+    sqls["order_stride_coverage"] = """
+        WITH p AS (SELECT d.source, q.pos
+                   FROM (SELECT doc_id, row_number() OVER (ORDER BY md5(concat('7', '-', CAST(doc_id AS VARCHAR))), doc_id) - 1 AS pos FROM documents) q JOIN documents d USING (doc_id)),
+        agg AS (SELECT source,
+                       CAST(count(*) AS BIGINT) AS n_total,
+                       CAST(sum(CASE WHEN pos % 7 = 0 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_sampled
+                FROM p GROUP BY 1),
+        tot AS (SELECT CAST(sum(n_total) AS BIGINT) AS nt,
+                       CAST(sum(n_sampled) AS BIGINT) AS ns FROM agg)
+        SELECT source, n_total, n_sampled,
+               (CASE WHEN CAST((CAST(n_sampled AS DECIMAL(27,6))) * 1000000 AS BIGINT) < 0 THEN -1 ELSE 1 END * ((2 * abs(CAST((CAST(n_sampled AS DECIMAL(27,6))) * 1000000 AS BIGINT)) + CAST((ns) AS BIGINT)) // (2 * CAST((ns) AS BIGINT))) / 1000000.0)
+                 AS share_sampled,
+               (CASE WHEN CAST((CAST(n_total AS DECIMAL(27,6))) * 1000000 AS BIGINT) < 0 THEN -1 ELSE 1 END * ((2 * abs(CAST((CAST(n_total AS DECIMAL(27,6))) * 1000000 AS BIGINT)) + CAST((nt) AS BIGINT)) // (2 * CAST((nt) AS BIGINT))) / 1000000.0)
+                 AS corpus_share
+        FROM agg, tot
+    
+    """
+
+    sqls["order_epoch_batch_churn"] = """
+        WITH a AS (SELECT doc_id, pos // 25 AS ba FROM (SELECT doc_id, row_number() OVER (ORDER BY md5(concat('7', '-', CAST(doc_id AS VARCHAR))), doc_id) - 1 AS pos FROM documents)),
+        b AS (SELECT doc_id, pos // 25 AS bb FROM (SELECT doc_id, row_number() OVER (ORDER BY md5(concat('8', '-', CAST(doc_id AS VARCHAR))), doc_id) - 1 AS pos FROM documents)),
+        d AS (SELECT abs(ba - bb) AS dd FROM a JOIN b USING (doc_id))
+        SELECT CASE WHEN dd = 0 THEN '0'
+                    WHEN dd <= 3 THEN '1-3'
+                    WHEN dd <= 10 THEN '4-10'
+                    ELSE '>10' END AS churn_bucket,
+               CAST(count(*) AS BIGINT) AS n_examples
+        FROM d GROUP BY 1
+    
+    """
+
+    sqls["order_worker_token_balance"] = """
+        WITH w AS (SELECT (CAST('0x' || substring(
+                     md5(concat('5', '-', CAST(doc_id AS VARCHAR))), 1, 6)
+                     AS BIGINT) % 8) AS worker_id,
+                   n_chars
+                   FROM documents),
+        agg AS (SELECT worker_id,
+                       CAST(count(*) AS BIGINT) AS n_rows,
+                       CAST(sum(n_chars) AS BIGINT) AS weight
+                FROM w GROUP BY 1),
+        tot AS (SELECT CAST(sum(weight) AS BIGINT) AS tw,
+                       CAST(count(*) AS BIGINT) AS nw FROM agg)
+        SELECT CAST(worker_id AS BIGINT) AS worker_id, n_rows, weight,
+               (CASE WHEN CAST((CAST(weight * nw AS DECIMAL(27,6))) * 1000000 AS BIGINT) < 0 THEN -1 ELSE 1 END * ((2 * abs(CAST((CAST(weight * nw AS DECIMAL(27,6))) * 1000000 AS BIGINT)) + CAST((tw) AS BIGINT)) // (2 * CAST((tw) AS BIGINT))) / 1000000.0) AS skew
+        FROM agg, tot
+    
+    """
+
+    sqls["order_interleave_proportionality"] = """
+        WITH sub AS (SELECT doc_id, source FROM documents
+                     WHERE source IN ('src0', 'src1', 'src2')),
+        sp AS (SELECT doc_id, source,
+                      row_number() OVER (PARTITION BY source
+                        ORDER BY md5(concat('42', '-',
+                                            CAST(doc_id AS VARCHAR))),
+                                 doc_id) - 1 AS src_pos
+               FROM sub),
+        vt AS (SELECT doc_id, source,
+                      round((src_pos + 1) / (CASE WHEN source = 'src0' THEN CAST(0.5 AS DOUBLE) WHEN source = 'src1' THEN CAST(0.3 AS DOUBLE) WHEN source = 'src2' THEN CAST(0.2 AS DOUBLE) END), 9) AS vt
+               FROM sp),
+        g AS (SELECT doc_id, source,
+                     row_number() OVER (ORDER BY vt, source, doc_id) - 1
+                       AS global_pos
+              FROM vt),
+        tgt(prefix, source, target) AS (VALUES (50, 'src0', CAST(25.0 AS DOUBLE)), (50, 'src1', CAST(15.0 AS DOUBLE)), (50, 'src2', CAST(10.0 AS DOUBLE)), (100, 'src0', CAST(50.0 AS DOUBLE)), (100, 'src1', CAST(30.0 AS DOUBLE)), (100, 'src2', CAST(20.0 AS DOUBLE)), (200, 'src0', CAST(100.0 AS DOUBLE)), (200, 'src1', CAST(60.0 AS DOUBLE)), (200, 'src2', CAST(40.0 AS DOUBLE))),
+        act AS (SELECT t.prefix, g.source,
+                       CAST(count(*) AS BIGINT) AS n_actual
+                FROM g JOIN (SELECT DISTINCT prefix FROM tgt) t
+                  ON g.global_pos < t.prefix
+                GROUP BY 1, 2)
+        SELECT CAST(a.prefix AS BIGINT) AS prefix, a.source, a.n_actual,
+               t.target,
+               round(abs(CAST(a.n_actual AS DOUBLE) - t.target), 6)
+                 AS abs_dev
+        FROM act a JOIN tgt t ON a.prefix = t.prefix
+                            AND a.source = t.source
+    
     """
 
     # ---- round-9 catalog profiling (ops/profile.py r9 section) -----

@@ -450,3 +450,301 @@ def shard_assignment(
         )
         .orderBy("shard_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# round 9: training-order certificates — the analysis tier over the
+# iteration schemes (reference fuel/schemes.py:195 ShuffledScheme;
+# the schemes themselves are oracle-checked above, these certify the
+# ORDER PROPERTIES a trainer actually relies on: fresh reshuffles per
+# epoch, well-mixed batches, decorrelated positions, balanced shards)
+# ---------------------------------------------------------------------------
+
+
+def epoch_overlap_certificate(
+    df: DataFrame,
+    key: str,
+    seeds: tuple = (7, 8),
+    decile: int = 10,
+) -> DataFrame:
+    """Do two epoch reshuffles actually decorrelate?  The first
+    1/``decile`` of epoch A's order vs epoch B's: the id-set overlap
+    should match the independent-permutation expectation (k/n), and
+    the mean absolute position displacement should be ~n/3.  A broken
+    per-epoch seed (same order every epoch) reads overlap_rate 1.0.
+
+    Two parallel position assignments joined on the key, then a 1-row
+    reduction.  Output: n, k, n_overlap, overlap_rate,
+    expected_rate, mean_abs_disp."""
+    a = with_positions(df, key, shuffled=True, seed=seeds[0]).select(
+        F.col(key).alias("_k"), F.col("pos").alias("_pa")
+    )
+    b = with_positions(df, key, shuffled=True, seed=seeds[1]).select(
+        F.col(key).alias("_k"), F.col("pos").alias("_pb")
+    )
+    j = a.join(b, "_k")
+    tot = j.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    out = j.crossJoin(F.broadcast(tot))
+    k = ((F.col("_n") - F.pmod(F.col("_n"), decile)) / decile).cast("long")
+    from fuel_spark.functions import round6_ratio
+
+    return out.agg(
+        F.max("_n").alias("n"),
+        F.max(k).alias("k"),
+        F.sum(
+            F.when((F.col("_pa") < k) & (F.col("_pb") < k), 1).otherwise(0)
+        ).cast("long").alias("n_overlap"),
+        round6_ratio(
+            F.sum(
+                F.when((F.col("_pa") < k) & (F.col("_pb") < k), 1)
+                .otherwise(0).cast("decimal(27,6)")
+            ),
+            F.max(k),
+        ).alias("overlap_rate"),
+        round6_ratio(F.max(k).cast("decimal(27,6)"), F.max("_n"))
+        .alias("expected_rate"),
+        round6_ratio(
+            F.sum(F.abs(F.col("_pa") - F.col("_pb"))
+                  .cast("decimal(27,6)")),
+            F.count(F.lit(1)),
+        ).alias("mean_abs_disp"),
+    )
+
+
+def seed_overlap_sweep(
+    df: DataFrame,
+    key: str,
+    seeds: tuple = (7, 8, 9),
+    decile: int = 10,
+) -> DataFrame:
+    """The pairwise epoch-overlap table across a seed set — one
+    :func:`epoch_overlap_certificate` row per seed pair, the
+    is-my-seed-schedule-healthy sweep."""
+    pairs = [
+        (seeds[i], seeds[j])
+        for i in range(len(seeds))
+        for j in range(i + 1, len(seeds))
+    ]
+    parts = []
+    for sa, sb in pairs:
+        parts.append(
+            epoch_overlap_certificate(df, key, (sa, sb), decile)
+            .select(
+                F.lit(f"{sa}-{sb}").alias("seed_pair"),
+                "n", "k", "n_overlap", "overlap_rate", "expected_rate",
+                "mean_abs_disp",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def batch_mix_histogram(
+    df: DataFrame,
+    key: str,
+    group_col: str,
+    batch_size: int,
+    seed: int = 7,
+) -> DataFrame:
+    """Is every batch well mixed?  Under the seeded shuffle with
+    ``batch_size``, the distinct-group count per batch, histogrammed:
+    (n_distinct_groups -> n_batches).  A clumpy order (storage order,
+    broken shuffle) piles batches at low distinct counts.  One
+    positions pass + two bounded groupBys."""
+    b = shuffled_batches(df, key, batch_size, seed=seed)
+    per_batch = b.groupBy("batch_id").agg(
+        F.count_distinct(F.col(group_col)).alias("n_groups")
+    )
+    return per_batch.groupBy(
+        F.col("n_groups").cast("bigint").alias("n_distinct_groups")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_batches"))
+
+
+def position_decorrelation(
+    df: DataFrame,
+    key: str,
+    seed: int = 7,
+) -> DataFrame:
+    """Spearman rank correlation between the KEY order (ingest order
+    proxy) and the shuffled order — the shuffle's whole job is
+    driving this to ~0.  Exact integer Spearman: rho = 1 - 6*S /
+    (n(n^2-1)) with S = sum of squared rank differences accumulated
+    in DECIMAL(38,0) (exact beyond 2^53 at the 100 TB tier).
+    Output: n, sum_d2, rho."""
+    a = with_positions(df, key, shuffled=False).select(
+        F.col(key).alias("_k"), F.col("pos").alias("_ra")
+    )
+    b = with_positions(df, key, shuffled=True, seed=seed).select(
+        F.col(key).alias("_k"), F.col("pos").alias("_rb")
+    )
+    j = a.join(b, "_k")
+    d2 = (F.col("_ra") - F.col("_rb")) * (F.col("_ra") - F.col("_rb"))
+    red = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(d2.cast("decimal(38,0)")).alias("_s"),
+    )
+    n = F.col("n").cast("double")
+    return red.select(
+        "n",
+        F.col("_s").cast("long").alias("sum_d2"),
+        F.round(
+            1
+            - (F.lit(6.0) * F.col("_s").cast("double"))
+            / (n * (n * n - 1)),
+            6,
+        ).alias("rho"),
+    )
+
+
+def stride_coverage(
+    df: DataFrame,
+    key: str,
+    group_col: str,
+    stride: int,
+    seed: int = 7,
+) -> DataFrame:
+    """Strided subsampling audit: taking every ``stride``-th position
+    of the shuffled order, does each group keep its corpus share?
+    (The cheap-epoch / debug-run sampler must not skew the mixture.)
+    Output per group: n_total, n_sampled, share_sampled,
+    corpus_share."""
+    from fuel_spark.functions import round6_ratio
+
+    p = with_positions(df, key, shuffled=True, seed=seed)
+    agg = p.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum(F.when(F.pmod(F.col("pos"), stride) == 0, 1).otherwise(0))
+        .cast("long").alias("n_sampled"),
+    )
+    tot = agg.agg(
+        F.sum("n_total").cast("long").alias("_nt"),
+        F.sum("n_sampled").cast("long").alias("_ns"),
+    )
+    return agg.crossJoin(F.broadcast(tot)).select(
+        group_col, "n_total", "n_sampled",
+        round6_ratio(
+            F.col("n_sampled").cast("decimal(27,6)"), F.col("_ns")
+        ).alias("share_sampled"),
+        round6_ratio(
+            F.col("n_total").cast("decimal(27,6)"), F.col("_nt")
+        ).alias("corpus_share"),
+    )
+
+
+def epoch_batch_churn(
+    df: DataFrame,
+    key: str,
+    batch_size: int,
+    seeds: tuple = (7, 8),
+) -> DataFrame:
+    """Between two epoch reshuffles, how far does each example's
+    BATCH move?  |batch_a - batch_b| bucketed (0 / 1-3 / 4-10 / >10)
+    — co-batch persistence is what per-epoch reshuffles exist to
+    break (gradient-correlation hygiene).  Output: churn_bucket,
+    n_examples."""
+    a = shuffled_batches(df, key, batch_size, seed=seeds[0]).select(
+        F.col(key).alias("_k"), F.col("batch_id").alias("_ba")
+    )
+    b = shuffled_batches(df, key, batch_size, seed=seeds[1]).select(
+        F.col(key).alias("_k"), F.col("batch_id").alias("_bb")
+    )
+    d = a.join(b, "_k").select(
+        F.abs(F.col("_ba") - F.col("_bb")).alias("_d")
+    )
+    bucket = (
+        F.when(F.col("_d") == 0, F.lit("0"))
+        .when(F.col("_d") <= 3, F.lit("1-3"))
+        .when(F.col("_d") <= 10, F.lit("4-10"))
+        .otherwise(F.lit(">10"))
+    )
+    return d.groupBy(bucket.alias("churn_bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_examples")
+    )
+
+
+def worker_token_balance(
+    df: DataFrame,
+    key: str,
+    weight_col,
+    n_workers: int,
+    seed: int = 5,
+) -> DataFrame:
+    """Shard balance by PAYLOAD mass, not row count: hash-assign rows
+    to ``n_workers`` and weigh each worker by ``weight_col`` (token /
+    byte mass) — the row-balanced shard that is 3x heavier in tokens
+    is the real straggler.  Skew is the exact-rational worker/mean
+    ratio.  Output per worker: n_rows, weight, skew."""
+    from fuel_spark.functions import round6_ratio
+
+    shard = (
+        F.conv(F.substring(det_key(seed, F.col(key)), 1, 6), 16, 10)
+        .cast("bigint") % int(n_workers)
+    ).cast("int")
+    agg = df.select(shard.alias("worker_id"), weight_col.alias("_w")) \
+        .groupBy("worker_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.col("_w").cast("long")).cast("long").alias("weight"),
+        )
+    tot = agg.agg(
+        F.sum("weight").cast("long").alias("_tw"),
+        F.count(F.lit(1)).cast("long").alias("_nw"),
+    )
+    return agg.crossJoin(F.broadcast(tot)).select(
+        F.col("worker_id").cast("bigint").alias("worker_id"),
+        "n_rows", "weight",
+        # worker/mean = weight * n_workers / total, exact-rational
+        round6_ratio(
+            (F.col("weight") * F.col("_nw")).cast("decimal(27,6)"),
+            F.col("_tw"),
+        ).alias("skew"),
+    )
+
+
+def interleave_prefix_proportionality(
+    df: DataFrame,
+    key: str,
+    source_col: str,
+    weights: dict,
+    prefixes: tuple = (50, 100, 200),
+    seed: int = 42,
+) -> DataFrame:
+    """Does the smooth interleave hold its proportions from the very
+    first examples?  For each prefix length P of the global order,
+    per-source actual count vs the exact proportional target
+    (weight-share x P, round6) and the absolute deviation — smooth
+    weighted round-robin should sit within 1 of target at EVERY
+    prefix, where a sampled mixture only converges in expectation.
+    Output: prefix, source, n_actual, target, abs_dev."""
+    from fuel_spark.functions import round6_ratio
+
+    order = interleave_sources(df, key, source_col, weights, seed=seed)
+    total_w = sum(weights.values())
+    parts = []
+    for p in prefixes:
+        pre = order.where(F.col("global_pos") < int(p))
+        counts = pre.groupBy(source_col).agg(
+            F.count(F.lit(1)).cast("long").alias("n_actual")
+        )
+        wexpr = F.lit(None).cast("double")
+        for sname, w in sorted(weights.items()):
+            wexpr = F.when(
+                F.col(source_col) == sname,
+                F.lit(round(float(w) * int(p) / total_w, 6)),
+            ).otherwise(wexpr)
+        parts.append(
+            counts.select(
+                F.lit(int(p)).cast("bigint").alias("prefix"),
+                F.col(source_col).alias("source"),
+                "n_actual",
+                wexpr.alias("target"),
+                F.round(
+                    F.abs(F.col("n_actual").cast("double") - wexpr), 6
+                ).alias("abs_dev"),
+            )
+        )
+    out = parts[0]
+    for p2 in parts[1:]:
+        out = out.unionByName(p2)
+    return out

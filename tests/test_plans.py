@@ -966,6 +966,14 @@ SINGLE_PARTITION_ALLOWLIST = {
     "profile_fd_audit", "profile_duplicate_rows",
     "profile_iqr_outliers", "profile_date_coverage",
     "profile_categorical_entropy", "profile_constancy",
+    # r9 training-order certificates: the positional machinery's
+    # per-partition offsets cumsum (≤ #partitions rows — the
+    # scheme_sequential rationale, once per positions pass), plus
+    # 1-row certificate finals and domain-sized share normalizers
+    "order_epoch_overlap", "order_seed_overlap_sweep",
+    "order_batch_mix", "order_position_decorrelation",
+    "order_stride_coverage", "order_epoch_batch_churn",
+    "order_worker_token_balance", "order_interleave_proportionality",
 }
 
 

@@ -189,3 +189,80 @@ def test_weighted_sample_plans_takeordered(spark):
         .executedPlan().toString()
     assert "TakeOrdered" in p
     assert "Exchange SinglePartition" not in p
+
+
+# ---------------------------------------------------------------------------
+# round 9: training-order certificates
+# ---------------------------------------------------------------------------
+
+
+def test_epoch_overlap_same_seed_reads_degenerate(spark):
+    """Identical seeds = identical order: overlap 100%, displacement
+    0 — the broken-epoch-seed signature the certificate exists to
+    catch."""
+    df = from_rows(spark, [(i,) for i in range(100)], schema="k bigint")
+    r = schemes.epoch_overlap_certificate(df, "k", (7, 7), 10).first()
+    assert (r.n, r.k, r.n_overlap) == (100, 10, 10)
+    assert r.overlap_rate == 1.0 and r.mean_abs_disp == 0.0
+    # different seeds decorrelate: overlap near k/n, displacement > 0
+    r2 = schemes.epoch_overlap_certificate(df, "k", (7, 8), 10).first()
+    assert r2.n_overlap < 10 and r2.mean_abs_disp > 0.0
+    assert r2.expected_rate == 0.1
+
+
+def test_position_decorrelation_bounds(spark):
+    df = from_rows(spark, [(i,) for i in range(200)], schema="k bigint")
+    r = schemes.position_decorrelation(df, "k", 7).first()
+    assert r.n == 200
+    assert -1.0 <= r.rho <= 1.0
+    # a seeded md5 shuffle of 200 ids decorrelates hard
+    assert abs(r.rho) < 0.5
+    # rho is exactly 1 - 6S/(n(n^2-1)) over the integer sum
+    expect = round(1 - (6.0 * r.sum_d2) / (200.0 * (200.0 * 200.0 - 1)), 6)
+    assert r.rho == expect
+
+
+def test_batch_mix_histogram_counts_batches(spark):
+    rows = [(i, "s%d" % (i % 4)) for i in range(80)]
+    df = from_rows(spark, rows, schema="k bigint, src string")
+    out = schemes.batch_mix_histogram(df, "k", "src", 20, 7).collect()
+    assert sum(r.n_batches for r in out) == 4  # 80/20 batches
+    # every batch of 20 over 4 interleaved sources holds all 4
+    assert all(1 <= r.n_distinct_groups <= 4 for r in out)
+
+
+def test_stride_coverage_shares_sum_to_one(spark):
+    rows = [(i, "a" if i % 3 else "b") for i in range(90)]
+    df = from_rows(spark, rows, schema="k bigint, src string")
+    out = schemes.stride_coverage(df, "k", "src", 5, 7).collect()
+    assert sum(r.n_sampled for r in out) == 18  # ceil coverage of 90/5
+    assert abs(sum(r.share_sampled for r in out) - 1.0) < 1e-6
+    assert abs(sum(r.corpus_share for r in out) - 1.0) < 1e-6
+
+
+def test_epoch_batch_churn_partitions_corpus(spark):
+    df = from_rows(spark, [(i,) for i in range(100)], schema="k bigint")
+    out = schemes.epoch_batch_churn(df, "k", 10, (7, 8)).collect()
+    assert sum(r.n_examples for r in out) == 100
+    assert {r.churn_bucket for r in out} <= {"0", "1-3", "4-10", ">10"}
+
+
+def test_worker_token_balance_weights_and_skew(spark):
+    rows = [(i, 10) for i in range(40)]
+    df = from_rows(spark, rows, schema="k bigint, w bigint")
+    out = schemes.worker_token_balance(df, "k", F.col("w"), 4, 5).collect()
+    assert sum(r.weight for r in out) == 400
+    assert sum(r.n_rows for r in out) == 40
+    # skew is worker/mean: the weighted mean of skew over workers is 1
+    assert abs(sum(r.skew for r in out) / len(out) - 1.0) < 0.5
+
+
+def test_interleave_proportionality_within_one_of_target(spark):
+    rows = [(i, "src%d" % (i % 2)) for i in range(200)]
+    df = from_rows(spark, rows, schema="k bigint, source string")
+    out = schemes.interleave_prefix_proportionality(
+        df, "k", "source", {"src0": 0.5, "src1": 0.5}, (10, 50), 42
+    ).collect()
+    # smooth weighted round-robin: every prefix within 1 of target
+    assert all(r.abs_dev <= 1.0 for r in out)
+    assert {r.prefix for r in out} == {10, 50}
