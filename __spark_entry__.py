@@ -4651,6 +4651,178 @@ def q_order_interleave_proportionality(spark, sf):
     )
 
 
+# --- round 9 late: histogram/scene/peak multimodal extensions, PII
+# density, curriculum stability, resume mix, row width, the image
+# dedup composite, and the decimate-cascade certificate --------------
+
+
+def q_image_histogram16(spark, sf):
+    """Corpus brightness histogram: pixel counts per (channel,
+    16-wide value bin) — the channel-balance read before
+    normalization."""
+    return pixels.pixel_histogram(_px(spark, sf), 16)
+
+
+def q_video_scene_cuts(spark, sf):
+    """Scene-cut census per source: transitions whose summed absolute
+    pixel delta exceeds the integer threshold (sum > 1360 = mean
+    delta > 85 at 16 px/frame) — the shot-boundary signal, all
+    integer."""
+    ft = pixels.synth_frame_table(_t(spark, sf)["documents"])
+    cuts = pixels.frame_scene_cuts(ft, 1360)
+    j = cuts.join(_doc_src(spark, sf), "id")
+    return j.groupBy("source").agg(
+        F.sum("n_transitions").cast("long").alias("n_transitions"),
+        F.sum("n_cuts").cast("long").alias("n_cuts"),
+        round6_ratio(
+            F.sum(F.col("n_cuts").cast("decimal(27,6)")),
+            F.sum("n_transitions"),
+        ).alias("cut_rate"),
+    )
+
+
+def q_audio_peak_windows(spark, sf):
+    """Clipping-burst localization per source: 32-sample windows
+    whose max sample reaches 65000 — the windowed twin of the corpus
+    clipping rate."""
+    wt = pixels.synth_wave_table(_t(spark, sf)["documents"])
+    pk = pixels.peak_windows(wt, 32, 65000)
+    j = pk.join(_doc_src(spark, sf), "id")
+    return j.groupBy("source").agg(
+        F.sum("n_windows").cast("long").alias("n_windows"),
+        F.sum("n_peak").cast("long").alias("n_peak"),
+        round6_ratio(
+            F.sum(F.col("n_peak").cast("decimal(27,6)")),
+            F.sum("n_windows"),
+        ).alias("peak_rate"),
+    )
+
+
+def q_text_pii_by_source(spark, sf):
+    """PII density per source over the injected fixture: docs
+    carrying PII, per-type hit totals, and hits per 1000 chars — the
+    which-crawl-shard-needs-scrubbing table (redact_pii's mechanics
+    aggregated to the curation grain)."""
+    d = _inject_pii(
+        _t(spark, sf)["documents"].select("doc_id", "text", "source")
+    )
+    r = text_ops.redact_pii(d, "text")
+    hits = F.col("n_email") + F.col("n_phone") + F.col("n_ipv4")
+    return r.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(hits > 0, 1).otherwise(0)).cast("long")
+        .alias("n_docs_with_pii"),
+        F.sum("n_email").cast("long").alias("n_email"),
+        F.sum("n_phone").cast("long").alias("n_phone"),
+        F.sum("n_ipv4").cast("long").alias("n_ipv4"),
+        round6_ratio(
+            F.sum((hits * 1000).cast("decimal(27,6)")),
+            F.sum(F.length("text")),
+        ).alias("pii_per_kchar"),
+    )
+
+
+def q_order_curriculum_stability(spark, sf):
+    """The curriculum-vs-shuffle contrast certificate: across
+    tie-break seeds, a curriculum's first decile is pinned by the
+    difficulty ramp (overlap ~1.0) while the pure shuffle's reads
+    ~0.1 — proof the difficulty ordering dominates the seed."""
+    d = _t(spark, sf)["documents"]
+    return schemes.curriculum_stability_certificate(
+        d, "doc_id", "n_chars", (7, 8), 10
+    )
+
+
+def q_order_resume_tail_mix(spark, sf):
+    """Mid-epoch resume audit: restarting at pos >= n//2, the
+    remaining half's per-source mix vs the corpus mix — a shuffled
+    order must preserve it."""
+    d = _t(spark, sf)["documents"]
+    return schemes.resume_tail_mix(d, "doc_id", "source", 7)
+
+
+def q_profile_row_width(spark, sf):
+    """Row-width header per table: exact-rational mean and total of
+    the per-row byte estimate (string lengths + fixed numeric widths)
+    — the partition-size planning input beside file_layout_planner."""
+    t = _t(spark, sf)
+    docs = profile_ops.row_width_estimate(
+        t["documents"],
+        F.length("text") + F.length("lang") + F.length("source")
+        + F.lit(16),
+        "documents",
+    )
+    orders = profile_ops.row_width_estimate(
+        t["orders"],
+        F.length(F.col("o_orderstatus"))
+        + F.length(F.col("o_orderpriority")) + F.lit(28),
+        "orders",
+    )
+    return docs.unionByName(orders)
+
+
+def q_image_dedup_pipeline(spark, sf):
+    """The image ingest-dedup lifecycle as one audited composite (the
+    incremental_dedup / ANN-ingest convention): exact-signature
+    census, banded near-dup pair count, and the kept-image count —
+    one row per stage."""
+    # two branches replay the synth generator (narrow md5 projection,
+    # cheaper to recompute than to materialize 19M checkpointed rows
+    # at the 20x tier: 91s -> ~14s without the checkpoint)
+    px = _px_with_clones(spark, sf)
+    sigs = pixels.image_signatures(px)
+    per_sig = sigs.groupBy("img_sig").agg(
+        F.count(F.lit(1)).alias("n_ids")
+    )
+    exact = per_sig.agg(
+        F.sum("n_ids").cast("long").alias("n_images"),
+        F.sum(F.when(F.col("n_ids") > 1, F.col("n_ids") - 1).otherwise(0))
+        .cast("long").alias("n_exact_dups"),
+    )
+    pairs = pixels.phash_band_pairs(
+        pixels.wht_sign_hash(px), max_hamming=6
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_near_pairs"))
+    st = exact.crossJoin(F.broadcast(pairs))
+    return st.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("images").alias("stage"),
+                         F.col("n_images").alias("n")),
+                F.struct(F.lit("exact_dups").alias("stage"),
+                         F.col("n_exact_dups").alias("n")),
+                F.struct(F.lit("near_dup_pairs").alias("stage"),
+                         F.col("n_near_pairs").alias("n")),
+                F.struct(F.lit("kept").alias("stage"),
+                         (F.col("n_images") - F.col("n_exact_dups"))
+                         .alias("n")),
+            )
+        ).alias("s")
+    ).select("s.stage", F.col("s.n").cast("long").alias("n"))
+
+
+def q_audio_decimate_cascade(spark, sf):
+    """Floor-mean non-associativity certificate: decimating 2x twice
+    vs 4x once agree only where the intermediate floors lose nothing
+    — per source, the cell agreement count and the max divergence
+    (bounded by 1, which the oracle re-derives).  The knob-order
+    caution for any integer resample chain."""
+    # same recompute-beats-materialize call as image_dedup_pipeline:
+    # the wave generator is a narrow md5 projection
+    wt = pixels.synth_wave_table(_t(spark, sf)["documents"])
+    twice = pixels.decimate_wave(
+        pixels.decimate_wave(wt, 2).withColumnRenamed("u", "t"), 2
+    ).withColumnRenamed("v", "v2")
+    once = pixels.decimate_wave(wt, 4).withColumnRenamed("v", "v4")
+    j = twice.join(once, ["id", "u"]).join(_doc_src(spark, sf), "id")
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum(F.when(F.col("v2") == F.col("v4"), 1).otherwise(0))
+        .cast("long").alias("n_agree"),
+        F.max(F.abs(F.col("v2") - F.col("v4"))).cast("long")
+        .alias("max_abs_diff"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry.  ORDERING IS DELIBERATE: the driver's
     correctness gate checks the FIRST 50 keys, so each round leads
@@ -4777,6 +4949,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_epoch_batch_churn": q_order_epoch_batch_churn,
         "order_worker_token_balance": q_order_worker_token_balance,
         "order_interleave_proportionality": q_order_interleave_proportionality,
+        "image_histogram16": q_image_histogram16,
+        "video_scene_cuts": q_video_scene_cuts,
+        "audio_peak_windows": q_audio_peak_windows,
+        "text_pii_by_source": q_text_pii_by_source,
+        "order_curriculum_stability": q_order_curriculum_stability,
+        "order_resume_tail_mix": q_order_resume_tail_mix,
+        "profile_row_width": q_profile_row_width,
+        "image_dedup_pipeline": q_image_dedup_pipeline,
+        "audio_decimate_cascade": q_audio_decimate_cascade,
         # ---- end of the r10 seed block --------------------------------
         # ---- driver-green in r8 (CORRECTNESS_r08.json, 50/50): the
         # round-8 window, now cumulative coverage. --------------------
@@ -15158,6 +15339,8 @@ def oracle_sql() -> dict[str, str]:
                           ELSE 0 END) AS BIGINT) AS phash_lo
                FROM coef GROUP BY 1)"""
 
+    _wht_body = _wht.lstrip()
+
     sqls["image_phash_wht"] = f"""
         WITH px AS ({_px_base}), {_wht}
         SELECT id, phash_hi, phash_lo FROM ph
@@ -15319,6 +15502,215 @@ def oracle_sql() -> dict[str, str]:
                {round6_ratio_sql("sum(CAST(clip AS DECIMAL(27,6)))",
                                  "count(*)")} AS clipped_ratio
         FROM m GROUP BY 1
+    """
+
+    # ---- round-9 late additions ------------------------------------
+    sqls["image_histogram16"] = f"""
+        WITH px AS ({_px_base})
+        SELECT CAST(c AS BIGINT) AS c, CAST(v // 16 AS BIGINT) AS bin,
+               CAST(count(*) AS BIGINT) AS n_px
+        FROM px GROUP BY 1, 2
+    
+    """
+
+    sqls["video_scene_cuts"] = f"""
+        WITH vt AS ({_vid_cte}),
+        lagd AS (SELECT id, f, x, v,
+                        lag(v) OVER (PARTITION BY id, x ORDER BY f) AS pv
+                 FROM vt),
+        sad AS (SELECT id, f, sum(abs(v - pv)) AS sad
+                FROM lagd WHERE pv IS NOT NULL GROUP BY 1, 2),
+        per AS (SELECT id,
+                       CAST(count(*) AS BIGINT) AS nt,
+                       CAST(sum(CASE WHEN sad > 1360 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS nc
+                FROM sad GROUP BY 1),
+        j AS (SELECT per.*, d.source FROM per
+              JOIN documents d ON d.doc_id = per.id)
+        SELECT source,
+               CAST(sum(nt) AS BIGINT) AS n_transitions,
+               CAST(sum(nc) AS BIGINT) AS n_cuts,
+               (CASE WHEN CAST((sum(CAST(nc AS DECIMAL(27,6)))) * 1000000 AS BIGINT) < 0 THEN -1 ELSE 1 END * ((2 * abs(CAST((sum(CAST(nc AS DECIMAL(27,6)))) * 1000000 AS BIGINT)) + CAST((sum(nt)) AS BIGINT)) // (2 * CAST((sum(nt)) AS BIGINT))) / 1000000.0)
+                 AS cut_rate
+        FROM j GROUP BY 1
+    
+    """
+
+    sqls["audio_peak_windows"] = f"""
+        WITH wt AS ({_wav_cte}),
+        per_win AS (SELECT id, t // 32 AS w, max(v) AS mx
+                    FROM wt GROUP BY 1, 2),
+        per AS (SELECT id,
+                       CAST(count(*) AS BIGINT) AS nw,
+                       CAST(sum(CASE WHEN mx >= 65000 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS np
+                FROM per_win GROUP BY 1),
+        j AS (SELECT per.*, d.source FROM per
+              JOIN documents d ON d.doc_id = per.id)
+        SELECT source,
+               CAST(sum(nw) AS BIGINT) AS n_windows,
+               CAST(sum(np) AS BIGINT) AS n_peak,
+               (CASE WHEN CAST((sum(CAST(np AS DECIMAL(27,6)))) * 1000000 AS BIGINT) < 0 THEN -1 ELSE 1 END * ((2 * abs(CAST((sum(CAST(np AS DECIMAL(27,6)))) * 1000000 AS BIGINT)) + CAST((sum(nw)) AS BIGINT)) // (2 * CAST((sum(nw)) AS BIGINT))) / 1000000.0)
+                 AS peak_rate
+        FROM j GROUP BY 1
+    
+    """
+
+    sqls["text_pii_by_source"] = """
+        WITH inj AS (
+          SELECT doc_id, source,
+                 CASE WHEN doc_id % 5 = 0 THEN
+                   concat(text, ' reach me at user',
+                          CAST(doc_id AS VARCHAR),
+                          '@example.com or call 555-123-4567 from 10.0.0.',
+                          CAST(doc_id % 256 AS VARCHAR))
+                 ELSE text END AS text
+          FROM documents
+        ),
+        r1 AS (SELECT doc_id, source, len(text) AS nch,
+                      CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                           AS BIGINT) AS ne,
+                      regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+               FROM inj),
+        r2 AS (SELECT doc_id, source, nch, ne,
+                      CAST(len(regexp_extract_all(t1, '\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}'))
+                           AS BIGINT) AS np,
+                      regexp_replace(t1, '\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}', '<PHONE>', 'g') AS t2
+               FROM r1),
+        r3 AS (SELECT doc_id, source, nch, ne, np,
+                      CAST(len(regexp_extract_all(t2, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}'))
+                           AS BIGINT) AS ni
+               FROM r2)
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN ne + np + ni > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_docs_with_pii,
+               CAST(sum(ne) AS BIGINT) AS n_email,
+               CAST(sum(np) AS BIGINT) AS n_phone,
+               CAST(sum(ni) AS BIGINT) AS n_ipv4,
+               (CASE WHEN CAST((sum(CAST((ne + np + ni) * 1000 AS DECIMAL(27,6)))) * 1000000 AS BIGINT) < 0 THEN -1 ELSE 1 END * ((2 * abs(CAST((sum(CAST((ne + np + ni) * 1000 AS DECIMAL(27,6)))) * 1000000 AS BIGINT)) + CAST((sum(nch)) AS BIGINT)) // (2 * CAST((sum(nch)) AS BIGINT))) / 1000000.0) AS pii_per_kchar
+        FROM r3 GROUP BY 1
+    
+    """
+
+    sqls["order_curriculum_stability"] = """
+          SELECT 'curriculum' AS regime,
+                 CAST(max(n) AS BIGINT) AS n, CAST(max(k) AS BIGINT) AS k,
+                 CAST(sum(CASE WHEN pa < k AND pb < k THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_overlap,
+                 (CASE WHEN CAST((CAST(sum(CASE WHEN pa < k AND pb < k THEN 1 ELSE 0 END) AS DECIMAL(27,6))) * 1000000 AS BIGINT) < 0 THEN -1 ELSE 1 END * ((2 * abs(CAST((CAST(sum(CASE WHEN pa < k AND pb < k THEN 1 ELSE 0 END) AS DECIMAL(27,6))) * 1000000 AS BIGINT)) + CAST((max(k)) AS BIGINT)) // (2 * CAST((max(k)) AS BIGINT))) / 1000000.0)
+                   AS overlap_rate
+          FROM (SELECT a.pos AS pa, b.pos AS pb
+                FROM (SELECT doc_id, row_number() OVER (ORDER BY n_chars, md5(concat('7', '-', CAST(doc_id AS VARCHAR))), doc_id) - 1 AS pos FROM documents) a JOIN (SELECT doc_id, row_number() OVER (ORDER BY n_chars, md5(concat('8', '-', CAST(doc_id AS VARCHAR))), doc_id) - 1 AS pos FROM documents) b USING (doc_id)),
+               (SELECT count(*) AS n, count(*) // 10 AS k
+                FROM documents)
+        UNION ALL
+          SELECT 'shuffled' AS regime,
+                 CAST(max(n) AS BIGINT) AS n, CAST(max(k) AS BIGINT) AS k,
+                 CAST(sum(CASE WHEN pa < k AND pb < k THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_overlap,
+                 (CASE WHEN CAST((CAST(sum(CASE WHEN pa < k AND pb < k THEN 1 ELSE 0 END) AS DECIMAL(27,6))) * 1000000 AS BIGINT) < 0 THEN -1 ELSE 1 END * ((2 * abs(CAST((CAST(sum(CASE WHEN pa < k AND pb < k THEN 1 ELSE 0 END) AS DECIMAL(27,6))) * 1000000 AS BIGINT)) + CAST((max(k)) AS BIGINT)) // (2 * CAST((max(k)) AS BIGINT))) / 1000000.0)
+                   AS overlap_rate
+          FROM (SELECT a.pos AS pa, b.pos AS pb
+                FROM (SELECT doc_id, row_number() OVER (ORDER BY md5(concat('7', '-', CAST(doc_id AS VARCHAR))), doc_id) - 1 AS pos FROM documents) a JOIN (SELECT doc_id, row_number() OVER (ORDER BY md5(concat('8', '-', CAST(doc_id AS VARCHAR))), doc_id) - 1 AS pos FROM documents) b USING (doc_id)),
+               (SELECT count(*) AS n, count(*) // 10 AS k
+                FROM documents)
+    """
+
+    sqls["order_resume_tail_mix"] = """
+        WITH p AS (SELECT d.source, q.pos
+                   FROM (SELECT doc_id, row_number() OVER (ORDER BY md5(concat('7', '-', CAST(doc_id AS VARCHAR))), doc_id) - 1 AS pos FROM documents) q JOIN documents d USING (doc_id)),
+        tot AS (SELECT count(*) // 2 AS half FROM p),
+        agg AS (SELECT source,
+                       CAST(count(*) AS BIGINT) AS n_total,
+                       CAST(sum(CASE WHEN pos >= half THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_remaining
+                FROM p, tot GROUP BY 1),
+        tails AS (SELECT CAST(sum(n_total) AS BIGINT) AS nt,
+                         CAST(sum(n_remaining) AS BIGINT) AS nr FROM agg)
+        SELECT source, n_total, n_remaining,
+               (CASE WHEN CAST((CAST(n_remaining AS DECIMAL(27,6))) * 1000000 AS BIGINT) < 0 THEN -1 ELSE 1 END * ((2 * abs(CAST((CAST(n_remaining AS DECIMAL(27,6))) * 1000000 AS BIGINT)) + CAST((nr) AS BIGINT)) // (2 * CAST((nr) AS BIGINT))) / 1000000.0)
+                 AS share_remaining,
+               (CASE WHEN CAST((CAST(n_total AS DECIMAL(27,6))) * 1000000 AS BIGINT) < 0 THEN -1 ELSE 1 END * ((2 * abs(CAST((CAST(n_total AS DECIMAL(27,6))) * 1000000 AS BIGINT)) + CAST((nt) AS BIGINT)) // (2 * CAST((nt) AS BIGINT))) / 1000000.0)
+                 AS corpus_share
+        FROM agg, tails
+    
+    """
+
+    sqls["profile_row_width"] = """
+        SELECT 'documents' AS "table",
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(len(text) + len(lang) + len(source) + 16)
+                    AS BIGINT) AS total_bytes,
+               (CASE WHEN CAST((sum(CAST(len(text) + len(lang) + len(source) + 16 AS DECIMAL(27,6)))) * 1000000 AS BIGINT) < 0 THEN -1 ELSE 1 END * ((2 * abs(CAST((sum(CAST(len(text) + len(lang) + len(source) + 16 AS DECIMAL(27,6)))) * 1000000 AS BIGINT)) + CAST((count(*)) AS BIGINT)) // (2 * CAST((count(*)) AS BIGINT))) / 1000000.0)
+                 AS mean_row_bytes
+        FROM documents
+        UNION ALL
+        SELECT 'orders',
+               CAST(count(*) AS BIGINT),
+               CAST(sum(len(o_orderstatus) + len(o_orderpriority) + 28)
+                    AS BIGINT),
+               (CASE WHEN CAST((sum(CAST(len(o_orderstatus) + len(o_orderpriority) + 28 AS DECIMAL(27,6)))) * 1000000 AS BIGINT) < 0 THEN -1 ELSE 1 END * ((2 * abs(CAST((sum(CAST(len(o_orderstatus) + len(o_orderpriority) + 28 AS DECIMAL(27,6)))) * 1000000 AS BIGINT)) + CAST((count(*)) AS BIGINT)) // (2 * CAST((count(*)) AS BIGINT))) / 1000000.0)
+        FROM orders
+    
+    """
+
+    sqls["image_dedup_pipeline"] = f"""
+        WITH px AS ({_px_clones}),
+        sigs AS (SELECT id,
+                   md5(string_agg(CAST(v AS VARCHAR), ','
+                       ORDER BY c, y, x)) AS img_sig
+                 FROM px GROUP BY 1),
+        per AS (SELECT img_sig, count(*) AS n_ids FROM sigs GROUP BY 1),
+        ex AS (SELECT CAST(sum(n_ids) AS BIGINT) AS n_images,
+                      CAST(sum(CASE WHEN n_ids > 1 THEN n_ids - 1
+                               ELSE 0 END) AS BIGINT) AS n_exact
+               FROM per),
+        {_wht_body},
+        bands AS (
+          SELECT id, phash_hi, phash_lo, 0 AS band_i,
+                 phash_hi & 65535 AS band_v FROM ph
+          UNION ALL SELECT id, phash_hi, phash_lo, 1,
+                 (phash_hi >> 16) & 65535 FROM ph
+          UNION ALL SELECT id, phash_hi, phash_lo, 2,
+                 phash_lo & 65535 FROM ph
+          UNION ALL SELECT id, phash_hi, phash_lo, 3,
+                 (phash_lo >> 16) & 65535 FROM ph
+        ),
+        np AS (SELECT CAST(count(*) AS BIGINT) AS n_near FROM (
+          SELECT DISTINCT l.id AS li, r.id AS ri
+          FROM bands l JOIN bands r
+            ON l.band_i = r.band_i AND l.band_v = r.band_v
+           AND l.id < r.id
+          WHERE bit_count(xor(l.phash_hi, r.phash_hi))
+                + bit_count(xor(l.phash_lo, r.phash_lo)) <= 6))
+        SELECT 'images' AS stage, n_images AS n FROM ex
+        UNION ALL SELECT 'exact_dups', n_exact FROM ex
+        UNION ALL SELECT 'near_dup_pairs', n_near FROM np
+        UNION ALL SELECT 'kept', n_images - n_exact FROM ex
+    
+    """
+
+    sqls["audio_decimate_cascade"] = f"""
+        WITH wt AS ({_wav_cte}),
+        d2 AS (SELECT id, t // 2 AS t2,
+                      CAST(sum(v) AS BIGINT) // 2 AS v
+               FROM wt GROUP BY 1, 2),
+        d22 AS (SELECT id, t2 // 2 AS u,
+                       CAST(sum(v) AS BIGINT) // 2 AS v2
+                FROM d2 GROUP BY 1, 2),
+        d4 AS (SELECT id, t // 4 AS u,
+                      CAST(sum(v) AS BIGINT) // 4 AS v4
+               FROM wt GROUP BY 1, 2),
+        j AS (SELECT a.id, a.u, a.v2, b.v4
+              FROM d22 a JOIN d4 b USING (id, u)),
+        jj AS (SELECT j.*, d.source FROM j
+               JOIN documents d ON d.doc_id = j.id)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_cells,
+               CAST(sum(CASE WHEN v2 = v4 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_agree,
+               CAST(max(abs(v2 - v4)) AS BIGINT) AS max_abs_diff
+        FROM jj GROUP BY 1
     """
 
     # ---- round-9 training-order certificates (schemes.py r9) -------

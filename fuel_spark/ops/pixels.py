@@ -425,3 +425,54 @@ def image_signatures(px: DataFrame) -> DataFrame:
         )
     )
     return px.groupBy("id").agg(sig.alias("img_sig"))
+
+
+def pixel_histogram(px: DataFrame, bin_width: int = 16) -> DataFrame:
+    """Corpus brightness histogram: pixel counts per (channel,
+    value-bin) — the channel-balance read a vision ingest checks
+    before normalization.  One map-side-combinable agg."""
+    return px.groupBy(
+        F.col("c").cast("bigint").alias("c"),
+        (F.col("v") / int(bin_width)).cast("bigint").alias("bin"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_px"))
+
+
+def frame_scene_cuts(
+    frames: DataFrame, sum_thr: int = 1360
+) -> DataFrame:
+    """Scene-cut detector over a frame table: a transition (f-1 -> f)
+    is a CUT when the summed absolute pixel delta exceeds
+    ``sum_thr`` (the threshold applies to the SUM, keeping the test
+    pure-integer; at 16 px/frame the default 1360 = mean delta 85).
+    Output per id: n_transitions, n_cuts."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id", "x").orderBy("f")
+    d = (
+        frames.withColumn("_pv", F.lag("v").over(w))
+        .where(F.col("_pv").isNotNull())
+        .groupBy("id", "f")
+        .agg(F.sum(F.abs(F.col("v") - F.col("_pv"))).alias("_sad"))
+    )
+    return d.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_transitions"),
+        F.sum(F.when(F.col("_sad") > int(sum_thr), 1).otherwise(0))
+        .cast("long").alias("n_cuts"),
+    )
+
+
+def peak_windows(
+    wave: DataFrame, win: int = 32, thr: int = 65000
+) -> DataFrame:
+    """Windowed peak detector: split each waveform into ``win``-sample
+    windows, flag windows whose max sample >= ``thr`` (clipping-burst
+    localization — the per-window twin of the corpus clipping rate).
+    Output per id: n_windows, n_peak."""
+    per_win = wave.groupBy(
+        "id", (F.col("t") / int(win)).cast("int").alias("w")
+    ).agg(F.max("v").alias("_mx"))
+    return per_win.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_windows"),
+        F.sum(F.when(F.col("_mx") >= int(thr), 1).otherwise(0))
+        .cast("long").alias("n_peak"),
+    )

@@ -947,3 +947,23 @@ def constancy(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def row_width_estimate(
+    df: DataFrame, byte_expr, table: str = "t"
+) -> DataFrame:
+    """Row-width header: exact-rational mean and total of a caller-
+    supplied per-row byte estimate (string lengths + fixed numeric
+    widths) — the file-count / partition-size planning input
+    (pair with curate.file_layout_planner).  Output: table, n_rows,
+    total_bytes, mean_row_bytes."""
+    from fuel_spark.functions import round6_ratio
+
+    return df.select(byte_expr.cast("long").alias("_b")).agg(
+        F.lit(table).alias("table"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("_b").cast("long").alias("total_bytes"),
+        round6_ratio(
+            F.sum(F.col("_b").cast("decimal(27,6)")), F.count(F.lit(1))
+        ).alias("mean_row_bytes"),
+    )

@@ -748,3 +748,98 @@ def interleave_prefix_proportionality(
     for p2 in parts[1:]:
         out = out.unionByName(p2)
     return out
+
+
+def curriculum_stability_certificate(
+    df: DataFrame,
+    key: str,
+    difficulty_col: str,
+    seeds: tuple = (7, 8),
+    decile: int = 10,
+) -> DataFrame:
+    """The contrast that certifies the curriculum actually ORDERS:
+    the first decile of a curriculum order is pinned by the
+    difficulty ramp, so across tie-break seeds its id overlap reads
+    ~1.0 — where the pure shuffle's reads ~1/decile.  One row per
+    regime (curriculum / shuffled) with the same overlap columns as
+    :func:`epoch_overlap_certificate`."""
+    from fuel_spark.functions import round6_ratio
+    from fuel_spark.ops.core import with_positions as _core_positions
+
+    def cur_pos(seed, alias):
+        d = df.withColumn("_ord", det_key(seed, F.col(key)))
+        return _core_positions(
+            d, [difficulty_col, "_ord", key], pos_col="pos", base=0
+        ).select(F.col(key).alias("_k"), F.col("pos").alias(alias))
+
+    def shuf_pos(seed, alias):
+        return with_positions(df, key, shuffled=True, seed=seed).select(
+            F.col(key).alias("_k"), F.col("pos").alias(alias)
+        )
+
+    parts = []
+    for regime, mk in (("curriculum", cur_pos), ("shuffled", shuf_pos)):
+        j = mk(seeds[0], "_pa").join(mk(seeds[1], "_pb"), "_k")
+        tot = j.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+        out = j.crossJoin(F.broadcast(tot))
+        k = ((F.col("_n") - F.pmod(F.col("_n"), decile)) / decile) \
+            .cast("long")
+        parts.append(
+            out.agg(
+                F.lit(regime).alias("regime"),
+                F.max("_n").alias("n"),
+                F.max(k).alias("k"),
+                F.sum(
+                    F.when((F.col("_pa") < k) & (F.col("_pb") < k), 1)
+                    .otherwise(0)
+                ).cast("long").alias("n_overlap"),
+                round6_ratio(
+                    F.sum(
+                        F.when((F.col("_pa") < k) & (F.col("_pb") < k), 1)
+                        .otherwise(0).cast("decimal(27,6)")
+                    ),
+                    F.max(k),
+                ).alias("overlap_rate"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def resume_tail_mix(
+    df: DataFrame,
+    key: str,
+    group_col: str,
+    seed: int = 7,
+) -> DataFrame:
+    """Mid-epoch resume audit: restarting at the epoch midpoint
+    (pos >= n//2), does the REMAINING half keep the corpus mixture?
+    (A shuffled order must — a clumpy one front-loads a source and
+    starves the tail.)  Output per group: n_total, n_remaining,
+    share_remaining, corpus_share."""
+    from fuel_spark.functions import round6_ratio
+
+    p = with_positions(df, key, shuffled=True, seed=seed)
+    tot = p.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    p = p.crossJoin(F.broadcast(tot))
+    half = ((F.col("_n") - F.pmod(F.col("_n"), 2)) / 2).cast("long")
+    agg = p.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum(F.when(F.col("pos") >= half, 1).otherwise(0))
+        .cast("long").alias("n_remaining"),
+    )
+    tails = agg.agg(
+        F.sum("n_total").cast("long").alias("_nt"),
+        F.sum("n_remaining").cast("long").alias("_nr"),
+    )
+    return agg.crossJoin(F.broadcast(tails)).select(
+        group_col, "n_total", "n_remaining",
+        round6_ratio(
+            F.col("n_remaining").cast("decimal(27,6)"), F.col("_nr")
+        ).alias("share_remaining"),
+        round6_ratio(
+            F.col("n_total").cast("decimal(27,6)"), F.col("_nt")
+        ).alias("corpus_share"),
+    )

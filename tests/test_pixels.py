@@ -158,3 +158,42 @@ def test_pixel_checksum_is_position_sensitive(spark):
            for r in px.groupBy("id")
            .agg(pixels.pixel_checksum(2).alias("checksum")).collect()}
     assert out[1] != out[2]  # plain sum(v) could not tell them apart
+
+
+def test_pixel_histogram_partitions_all_pixels(spark, ids):
+    px = pixels.synth_pixel_table(ids, "doc_id")
+    out = pixels.pixel_histogram(px, 16).collect()
+    assert sum(r.n_px for r in out) == 4 * 3 * 64
+    assert all(0 <= r.bin < 16 for r in out)
+
+
+def test_frame_scene_cuts_thresholds(spark):
+    # 3 frames x 2 px: flat -> flat (sad 0), flat -> jump (sad 400)
+    rows = [(1, 0, 0, 10), (1, 0, 1, 10),
+            (1, 1, 0, 10), (1, 1, 1, 10),
+            (1, 2, 0, 210), (1, 2, 1, 210)]
+    ft = from_rows(spark, rows,
+                   schema="id bigint, f int, x int, v bigint")
+    r = pixels.frame_scene_cuts(ft, sum_thr=300).first()
+    assert (r.n_transitions, r.n_cuts) == (2, 1)
+
+
+def test_peak_windows_flags_only_hot_windows(spark):
+    rows = [(1, t, 100) for t in range(64)]
+    rows[40] = (1, 40, 65500)  # one hot sample in window 1
+    wt = from_rows(spark, rows, schema="id bigint, t int, v bigint")
+    r = pixels.peak_windows(wt, win=32, thr=65000).first()
+    assert (r.n_windows, r.n_peak) == (2, 1)
+
+
+def test_decimate_cascade_divergence_bounded_by_one(spark, ids):
+    wt = pixels.synth_wave_table(ids, n_samples=64)
+    twice = pixels.decimate_wave(
+        pixels.decimate_wave(wt, 2).withColumnRenamed("u", "t"), 2
+    ).withColumnRenamed("v", "v2")
+    once = pixels.decimate_wave(wt, 4).withColumnRenamed("v", "v4")
+    j = twice.join(once, ["id", "u"]).collect()
+    assert len(j) == 4 * 16
+    # floor(floor((a+b)/2) + floor((c+d)/2)) / 2 differs from
+    # floor((a+b+c+d)/4) by at most 1
+    assert all(abs(r.v2 - r.v4) <= 1 for r in j)

@@ -974,6 +974,12 @@ SINGLE_PARTITION_ALLOWLIST = {
     "order_batch_mix", "order_position_decorrelation",
     "order_stride_coverage", "order_epoch_batch_churn",
     "order_worker_token_balance", "order_interleave_proportionality",
+    # r9 late: the same positional-offsets / 1-row-final rationales —
+    # curriculum-vs-shuffle contrast (4 positions passes), the resume
+    # midpoint's 1-row total broadcast, the per-table 1-row width
+    # headers, and the image composite's per-stage 1-row counts
+    "order_curriculum_stability", "order_resume_tail_mix",
+    "profile_row_width", "image_dedup_pipeline",
 }
 
 

@@ -380,3 +380,12 @@ def test_constancy_flags_near_constant(spark):
     df = from_rows(spark, rows, schema="k string")
     r = profile.constancy(df, ["k"], "t").first()
     assert r.top1_share == 0.99 and bool(r.near_constant)
+
+
+def test_row_width_estimate_exact(spark):
+    from pyspark.sql import functions as F
+
+    df = from_rows(spark, [("ab",), ("abcd",)], schema="t string")
+    r = profile.row_width_estimate(
+        df, F.length("t") + F.lit(8), "t").first()
+    assert (r.n_rows, r.total_bytes, r.mean_row_bytes) == (2, 22, 11.0)

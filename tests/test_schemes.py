@@ -266,3 +266,22 @@ def test_interleave_proportionality_within_one_of_target(spark):
     # smooth weighted round-robin: every prefix within 1 of target
     assert all(r.abs_dev <= 1.0 for r in out)
     assert {r.prefix for r in out} == {10, 50}
+
+
+def test_curriculum_stability_contrast(spark):
+    rows = [(i, i * 3 % 97) for i in range(100)]  # distinct difficulties
+    df = from_rows(spark, rows, schema="k bigint, diff bigint")
+    out = {r.regime: r for r in schemes.curriculum_stability_certificate(
+        df, "k", "diff", (7, 8), 10).collect()}
+    # distinct difficulties pin the curriculum order entirely: the
+    # tie-break seed cannot move anything
+    assert out["curriculum"].overlap_rate == 1.0
+    assert out["shuffled"].overlap_rate < 0.8
+
+
+def test_resume_tail_mix_covers_half(spark):
+    rows = [(i, "s%d" % (i % 2)) for i in range(100)]
+    df = from_rows(spark, rows, schema="k bigint, src string")
+    out = schemes.resume_tail_mix(df, "k", "src", 7).collect()
+    assert sum(r.n_remaining for r in out) == 50
+    assert abs(sum(r.share_remaining for r in out) - 1.0) < 1e-6
