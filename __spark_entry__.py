@@ -4823,6 +4823,100 @@ def q_audio_decimate_cascade(spark, sf):
     )
 
 
+# --- round 9 epilogue (r11 seeds): image planning metadata tier,
+# catalog moments, and the order/text novelty composition ------------
+
+
+def q_image_min_dims_screen(spark, sf):
+    """MinimumImageDimensions' planning half (image.py:105): per
+    source, how many synthetic-metadata images fail the 16x16 floor,
+    on which axes, the worst integer upscale factor, and the pass
+    rate — the per-shard resize bill BEFORE any decode runs."""
+    meta = pixels.synth_image_meta(_t(spark, sf)["documents"])
+    scr = pixels.min_dims_screen(meta, 16, 16)
+    j = scr.join(_doc_src(spark, sf), "id")
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_images"),
+        F.sum(F.when(~F.col("pass_dims"), 1).otherwise(0))
+        .cast("long").alias("n_fail"),
+        F.sum(F.when(F.col("fail_h"), 1).otherwise(0))
+        .cast("long").alias("n_fail_h"),
+        F.sum(F.when(F.col("fail_w"), 1).otherwise(0))
+        .cast("long").alias("n_fail_w"),
+        F.max("upscale_num").cast("long").alias("max_upscale"),
+        round6_ratio(
+            F.sum(F.when(F.col("pass_dims"), 1).otherwise(0))
+            .cast("decimal(27,6)"),
+            F.count(F.lit(1)),
+        ).alias("pass_rate"),
+    )
+
+
+def q_image_aspect_buckets(spark, sf):
+    """Aspect-ratio census: per (source, class) counts with the
+    integer w*100 DIV h ratio bucketed tall/square/wide — the
+    crop-strategy planning table (a wide-heavy shard wants a
+    different RandomFixedSizeCrop setting)."""
+    meta = pixels.synth_image_meta(_t(spark, sf)["documents"])
+    a = F.col("w") * 100
+    ratio = ((a - F.pmod(a, F.col("h"))) / F.col("h")).cast("long")
+    cls = (
+        F.when(ratio < 75, F.lit("tall"))
+        .when(ratio <= 133, F.lit("square"))
+        .otherwise(F.lit("wide"))
+    )
+    j = meta.select("id", cls.alias("aspect_class")).join(
+        _doc_src(spark, sf), "id"
+    )
+    return j.groupBy("source", "aspect_class").agg(
+        F.count(F.lit(1)).cast("long").alias("n_images")
+    )
+
+
+def q_image_bytes_estimate(spark, sf):
+    """Decode-memory bill per source: sum and exact-rational mean of
+    c*h*w over the metadata tier — the executor-memory sizing input
+    for the Arrow decode batches (ops/multimodal.py's batch shape)."""
+    meta = pixels.synth_image_meta(_t(spark, sf)["documents"])
+    px_bytes = (F.col("c") * F.col("h") * F.col("w")).cast("long")
+    j = meta.select("id", px_bytes.alias("_b")).join(
+        _doc_src(spark, sf), "id"
+    )
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_images"),
+        F.sum("_b").cast("long").alias("total_bytes"),
+        round6_ratio(
+            F.sum(F.col("_b").cast("decimal(27,6)")), F.count(F.lit(1))
+        ).alias("mean_bytes"),
+    )
+
+
+def q_profile_numeric_moments(spark, sf):
+    """Shape screen per numeric column: skewness / excess kurtosis
+    from decimal-exact raw moments (the events_jarque_bera contract
+    at catalog grain) — a heavy right tail says winsorize or log
+    before any z-score rule."""
+    t = _t(spark, sf)
+    out = profile_ops.numeric_moments(t["lineitem"], "l_extendedprice")
+    out = out.unionByName(
+        profile_ops.numeric_moments(t["orders"], "o_totalprice")
+    )
+    return out.unionByName(
+        profile_ops.numeric_moments(t["events"], "value")
+    )
+
+
+def q_text_novelty_by_decile(spark, sf):
+    """Novelty decay over the training order: per shuffled-order
+    decile, the distinct trigrams never seen in an earlier decile —
+    the order/text composition that says whether the long tail of
+    rare grams keeps arriving (healthy shuffle) or front-loads."""
+    d = _t(spark, sf)["documents"]
+    return text_ops.ngram_novelty_by_decile(
+        d, "doc_id", "text", n=3, deciles=10, seed=7
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry.  ORDERING IS DELIBERATE: the driver's
     correctness gate checks the FIRST 50 keys, so each round leads
@@ -4959,6 +5053,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dedup_pipeline": q_image_dedup_pipeline,
         "audio_decimate_cascade": q_audio_decimate_cascade,
         # ---- end of the r10 seed block --------------------------------
+        # r11 seeds (positions 101+): round-9 epilogue additions — they
+        # start the r11 pool after r10 rotates.
+        "image_min_dims_screen": q_image_min_dims_screen,
+        "image_aspect_buckets": q_image_aspect_buckets,
+        "image_bytes_estimate": q_image_bytes_estimate,
+        "profile_numeric_moments": q_profile_numeric_moments,
+        "text_novelty_by_decile": q_text_novelty_by_decile,
         # ---- driver-green in r8 (CORRECTNESS_r08.json, 50/50): the
         # round-8 window, now cumulative coverage. --------------------
         "events_kruskal_wallis": q_kruskal_wallis,
@@ -15502,6 +15603,181 @@ def oracle_sql() -> dict[str, str]:
                {round6_ratio_sql("sum(CAST(clip AS DECIMAL(27,6)))",
                                  "count(*)")} AS clipped_ratio
         FROM m GROUP BY 1
+    """
+
+    # ---- round-9 epilogue (r11 seeds) --------------------------------
+    sqls["image_min_dims_screen"] = """
+        WITH meta AS (SELECT doc_id AS id, ((CAST('0x' || substring(md5(concat('dimw', '-', CAST(doc_id AS VARCHAR))), 1, 13) AS BIGINT) % 56)) + 8 AS w, ((CAST('0x' || substring(md5(concat('dimh', '-', CAST(doc_id AS VARCHAR))), 1, 13) AS BIGINT) % 56)) + 8 AS h, 3 AS c FROM documents),
+        scr AS (SELECT id, w, h,
+                  (h >= 16 AND w >= 16) AS pass_dims,
+                  (h < 16) AS fail_h, (w < 16) AS fail_w,
+                  greatest((16 + h - 1) // h, (16 + w - 1) // w, 1)
+                    AS upscale_num
+                FROM meta),
+        j AS (SELECT scr.*, d.source FROM scr
+              JOIN documents d ON d.doc_id = scr.id)
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_images,
+               CAST(sum(CASE WHEN NOT pass_dims THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_fail,
+               CAST(sum(CASE WHEN fail_h THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_fail_h,
+               CAST(sum(CASE WHEN fail_w THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_fail_w,
+               CAST(max(upscale_num) AS BIGINT) AS max_upscale,
+               (CASE WHEN CAST((sum(CAST(CASE WHEN pass_dims THEN 1 ELSE 0 END AS DECIMAL(27,6)))) * 1000000 AS BIGINT) < 0 THEN -1 ELSE 1 END * ((2 * abs(CAST((sum(CAST(CASE WHEN pass_dims THEN 1 ELSE 0 END AS DECIMAL(27,6)))) * 1000000 AS BIGINT)) + CAST((count(*)) AS BIGINT)) // (2 * CAST((count(*)) AS BIGINT))) / 1000000.0)
+                 AS pass_rate
+        FROM j GROUP BY 1
+    
+    """
+
+    sqls["image_aspect_buckets"] = """
+        WITH meta AS (SELECT doc_id AS id, ((CAST('0x' || substring(md5(concat('dimw', '-', CAST(doc_id AS VARCHAR))), 1, 13) AS BIGINT) % 56)) + 8 AS w, ((CAST('0x' || substring(md5(concat('dimh', '-', CAST(doc_id AS VARCHAR))), 1, 13) AS BIGINT) % 56)) + 8 AS h, 3 AS c FROM documents),
+        cl AS (SELECT id,
+                 CASE WHEN (w * 100) // h < 75 THEN 'tall'
+                      WHEN (w * 100) // h <= 133 THEN 'square'
+                      ELSE 'wide' END AS aspect_class
+               FROM meta),
+        j AS (SELECT cl.*, d.source FROM cl
+              JOIN documents d ON d.doc_id = cl.id)
+        SELECT source, aspect_class,
+               CAST(count(*) AS BIGINT) AS n_images
+        FROM j GROUP BY 1, 2
+    
+    """
+
+    sqls["image_bytes_estimate"] = """
+        WITH meta AS (SELECT doc_id AS id, ((CAST('0x' || substring(md5(concat('dimw', '-', CAST(doc_id AS VARCHAR))), 1, 13) AS BIGINT) % 56)) + 8 AS w, ((CAST('0x' || substring(md5(concat('dimh', '-', CAST(doc_id AS VARCHAR))), 1, 13) AS BIGINT) % 56)) + 8 AS h, 3 AS c FROM documents),
+        j AS (SELECT meta.c * meta.h * meta.w AS b, d.source
+              FROM meta JOIN documents d ON d.doc_id = meta.id)
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_images,
+               CAST(sum(b) AS BIGINT) AS total_bytes,
+               (CASE WHEN CAST((sum(CAST(b AS DECIMAL(27,6)))) * 1000000 AS BIGINT) < 0 THEN -1 ELSE 1 END * ((2 * abs(CAST((sum(CAST(b AS DECIMAL(27,6)))) * 1000000 AS BIGINT)) + CAST((count(*)) AS BIGINT)) // (2 * CAST((count(*)) AS BIGINT))) / 1000000.0)
+                 AS mean_bytes
+        FROM j GROUP BY 1
+    
+    """
+
+    sqls["profile_numeric_moments"] = """
+          SELECT 'l_extendedprice' AS "column", CAST(n AS BIGINT) AS n,
+                 round(mu, 6) AS mean,
+                 round(sqrt(greatest(m2, 0.0)), 6) AS stddev,
+                 round(m3 / sqrt(greatest(m2 * m2 * m2, 1e-300)), 6)
+                   AS skewness,
+                 round(m4 / greatest(m2 * m2, 1e-300)
+                       - CAST(3.0 AS DOUBLE), 6) AS excess_kurtosis
+          FROM (
+            SELECT n, mu,
+                   e2 - mu * mu AS m2,
+                   e3 - CAST(3.0 AS DOUBLE) * mu * e2
+                      + CAST(2.0 AS DOUBLE) * mu * mu * mu AS m3,
+                   e4 - CAST(4.0 AS DOUBLE) * mu * e3
+                      + CAST(6.0 AS DOUBLE) * mu * mu * e2
+                      - CAST(3.0 AS DOUBLE) * mu * mu * mu * mu AS m4
+            FROM (
+              SELECT n, s1 / CAST(n AS DOUBLE) AS mu,
+                     s2 / CAST(n AS DOUBLE) AS e2,
+                     s3 / CAST(n AS DOUBLE) AS e3,
+                     s4 / CAST(n AS DOUBLE) AS e4
+              FROM (
+                SELECT count(*) AS n,
+                  CAST(sum(CAST(CAST(l_extendedprice AS DOUBLE) AS DECIMAL(38,4))) AS DOUBLE) AS s1,
+                  CAST(sum(CAST(CAST(l_extendedprice AS DOUBLE) * CAST(l_extendedprice AS DOUBLE) AS DECIMAL(38,4)))
+                       AS DOUBLE) AS s2,
+                  CAST(sum(CAST(CAST(l_extendedprice AS DOUBLE) * CAST(l_extendedprice AS DOUBLE) * CAST(l_extendedprice AS DOUBLE) AS DECIMAL(38,4)))
+                       AS DOUBLE) AS s3,
+                  CAST(sum(CAST(CAST(l_extendedprice AS DOUBLE) * CAST(l_extendedprice AS DOUBLE) * CAST(l_extendedprice AS DOUBLE) * CAST(l_extendedprice AS DOUBLE)
+                            AS DECIMAL(38,4))) AS DOUBLE) AS s4
+                FROM lineitem WHERE l_extendedprice IS NOT NULL)))
+        UNION ALL
+          SELECT 'o_totalprice' AS "column", CAST(n AS BIGINT) AS n,
+                 round(mu, 6) AS mean,
+                 round(sqrt(greatest(m2, 0.0)), 6) AS stddev,
+                 round(m3 / sqrt(greatest(m2 * m2 * m2, 1e-300)), 6)
+                   AS skewness,
+                 round(m4 / greatest(m2 * m2, 1e-300)
+                       - CAST(3.0 AS DOUBLE), 6) AS excess_kurtosis
+          FROM (
+            SELECT n, mu,
+                   e2 - mu * mu AS m2,
+                   e3 - CAST(3.0 AS DOUBLE) * mu * e2
+                      + CAST(2.0 AS DOUBLE) * mu * mu * mu AS m3,
+                   e4 - CAST(4.0 AS DOUBLE) * mu * e3
+                      + CAST(6.0 AS DOUBLE) * mu * mu * e2
+                      - CAST(3.0 AS DOUBLE) * mu * mu * mu * mu AS m4
+            FROM (
+              SELECT n, s1 / CAST(n AS DOUBLE) AS mu,
+                     s2 / CAST(n AS DOUBLE) AS e2,
+                     s3 / CAST(n AS DOUBLE) AS e3,
+                     s4 / CAST(n AS DOUBLE) AS e4
+              FROM (
+                SELECT count(*) AS n,
+                  CAST(sum(CAST(CAST(o_totalprice AS DOUBLE) AS DECIMAL(38,4))) AS DOUBLE) AS s1,
+                  CAST(sum(CAST(CAST(o_totalprice AS DOUBLE) * CAST(o_totalprice AS DOUBLE) AS DECIMAL(38,4)))
+                       AS DOUBLE) AS s2,
+                  CAST(sum(CAST(CAST(o_totalprice AS DOUBLE) * CAST(o_totalprice AS DOUBLE) * CAST(o_totalprice AS DOUBLE) AS DECIMAL(38,4)))
+                       AS DOUBLE) AS s3,
+                  CAST(sum(CAST(CAST(o_totalprice AS DOUBLE) * CAST(o_totalprice AS DOUBLE) * CAST(o_totalprice AS DOUBLE) * CAST(o_totalprice AS DOUBLE)
+                            AS DECIMAL(38,4))) AS DOUBLE) AS s4
+                FROM orders WHERE o_totalprice IS NOT NULL)))
+        UNION ALL
+          SELECT 'value' AS "column", CAST(n AS BIGINT) AS n,
+                 round(mu, 6) AS mean,
+                 round(sqrt(greatest(m2, 0.0)), 6) AS stddev,
+                 round(m3 / sqrt(greatest(m2 * m2 * m2, 1e-300)), 6)
+                   AS skewness,
+                 round(m4 / greatest(m2 * m2, 1e-300)
+                       - CAST(3.0 AS DOUBLE), 6) AS excess_kurtosis
+          FROM (
+            SELECT n, mu,
+                   e2 - mu * mu AS m2,
+                   e3 - CAST(3.0 AS DOUBLE) * mu * e2
+                      + CAST(2.0 AS DOUBLE) * mu * mu * mu AS m3,
+                   e4 - CAST(4.0 AS DOUBLE) * mu * e3
+                      + CAST(6.0 AS DOUBLE) * mu * mu * e2
+                      - CAST(3.0 AS DOUBLE) * mu * mu * mu * mu AS m4
+            FROM (
+              SELECT n, s1 / CAST(n AS DOUBLE) AS mu,
+                     s2 / CAST(n AS DOUBLE) AS e2,
+                     s3 / CAST(n AS DOUBLE) AS e3,
+                     s4 / CAST(n AS DOUBLE) AS e4
+              FROM (
+                SELECT count(*) AS n,
+                  CAST(sum(CAST(CAST(value AS DOUBLE) AS DECIMAL(38,4))) AS DOUBLE) AS s1,
+                  CAST(sum(CAST(CAST(value AS DOUBLE) * CAST(value AS DOUBLE) AS DECIMAL(38,4)))
+                       AS DOUBLE) AS s2,
+                  CAST(sum(CAST(CAST(value AS DOUBLE) * CAST(value AS DOUBLE) * CAST(value AS DOUBLE) AS DECIMAL(38,4)))
+                       AS DOUBLE) AS s3,
+                  CAST(sum(CAST(CAST(value AS DOUBLE) * CAST(value AS DOUBLE) * CAST(value AS DOUBLE) * CAST(value AS DOUBLE)
+                            AS DECIMAL(38,4))) AS DOUBLE) AS s4
+                FROM events WHERE value IS NOT NULL)))
+    """
+
+    sqls["text_novelty_by_decile"] = f"""
+        WITH p AS (SELECT doc_id, text, row_number() OVER (ORDER BY md5(concat('7', '-', CAST(doc_id AS VARCHAR))), doc_id) - 1 AS pos FROM documents),
+        tot AS (SELECT count(*) AS nn FROM documents),
+        dd AS (SELECT doc_id, text,
+                      (pos * 10) // nn AS dec
+               FROM p, tot),
+        g AS (SELECT DISTINCT dec,
+                unnest(CASE WHEN len(w) >= 3 THEN
+                  list_transform(generate_series(1, len(w) - 2),
+                    i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))
+                ELSE [] END) AS gram
+              FROM (SELECT dec, {w} AS w FROM dd)),
+        fg AS (SELECT gram, min(dec) AS first_dec FROM g GROUP BY 1),
+        per AS (SELECT g.dec AS decile,
+                       CAST(count(*) AS BIGINT) AS n_distinct_grams,
+                       CAST(sum(CASE WHEN g.dec = fg.first_dec
+                                THEN 1 ELSE 0 END) AS BIGINT)
+                         AS n_new_grams
+                FROM g JOIN fg USING (gram) GROUP BY 1)
+        SELECT CAST(decile AS BIGINT) AS decile, n_distinct_grams,
+               n_new_grams,
+               (CASE WHEN CAST((CAST(n_new_grams AS DECIMAL(27,6))) * 1000000 AS BIGINT) < 0 THEN -1 ELSE 1 END * ((2 * abs(CAST((CAST(n_new_grams AS DECIMAL(27,6))) * 1000000 AS BIGINT)) + CAST((n_distinct_grams) AS BIGINT)) // (2 * CAST((n_distinct_grams) AS BIGINT))) / 1000000.0) AS novelty_rate
+        FROM per
+    
     """
 
     # ---- round-9 late additions ------------------------------------

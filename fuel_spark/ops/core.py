@@ -318,7 +318,20 @@ def _offset_positions(d: DataFrame, pos_col: str, base: int) -> DataFrame:
     — assigned in partition order, zero extra shuffle), aggregate
     per-partition row counts (num_partitions rows, metadata-sized),
     window them into cumulative offsets, and broadcast back.
-    ``pos = offset[pid] + local_index + base``."""
+    ``pos = offset[pid] + local_index + base``.
+
+    The layout MUST be pinned to one physical evaluation: the counts
+    branch and the main frame both read ``d``, and when the optimizer
+    prunes them differently (a wide payload column survives on one
+    side only) the two plans stop sharing a ReusedExchange — each
+    then re-SAMPLES its own range boundaries (the range exchange's
+    reservoir seed varies per evaluation), the partition ids diverge,
+    and offset[pid] no longer matches the pid the row was numbered
+    under: positions silently corrupt.  Found at the 20x tier (r9:
+    half the order deciles vanished under a text-carrying frame);
+    the lazy localCheckpoint guarantees both branches read the SAME
+    materialized layout at any plan shape."""
+    d = d.localCheckpoint(eager=False)
     d = d.withColumn("_mid", F.monotonically_increasing_id())
     d = d.withColumn(
         "_wpid", F.shiftrightunsigned("_mid", _MID_PARTITION_SHIFT)

@@ -476,3 +476,47 @@ def peak_windows(
         F.sum(F.when(F.col("_mx") >= int(thr), 1).otherwise(0))
         .cast("long").alias("n_peak"),
     )
+
+
+def synth_image_meta(
+    df: DataFrame, id_col: str = "doc_id", seed: str = "dim"
+) -> DataFrame:
+    """Deterministic synthetic image METADATA (no pixels): per row a
+    width/height in [8, 64) and channel count 3 — the metadata-only
+    fixture for the dims/aspect/bytes planning tier (the decode tier
+    never needs to run to PLAN the decode).  Output: (id, w, h, c)."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        (hash_mod(f"{seed}w", F.col(id_col), 56) + 8).alias("w"),
+        (hash_mod(f"{seed}h", F.col(id_col), 56) + 8).alias("h"),
+        F.lit(3).alias("c"),
+    )
+
+
+def min_dims_screen(
+    meta: DataFrame, min_h: int, min_w: int
+) -> DataFrame:
+    """MinimumImageDimensions' PLANNING half (reference
+    fuel/transformers/image.py:105 upscales violators at iteration
+    time; at 100 TB you first want the per-shard bill): per image,
+    whether it passes, which axes violate, and the integer upscale
+    factor ceil(min/dim) the resize stage would pay.  Pure
+    projection.  Output: id, w, h, pass_dims, fail_h, fail_w,
+    upscale_num (max of the two ceil factors, 1 = no work)."""
+    # exact integer ceil division (the standard (n - n%d)/d pattern)
+    def _ceil(minv, dim):
+        num = F.lit(int(minv)) + F.col(dim) - 1
+        return ((num - F.pmod(num, F.col(dim))) / F.col(dim)) \
+            .cast("long")
+
+    ceil_h = _ceil(min_h, "h")
+    ceil_w = _ceil(min_w, "w")
+    return meta.select(
+        "id", "w", "h",
+        ((F.col("h") >= int(min_h)) & (F.col("w") >= int(min_w)))
+        .alias("pass_dims"),
+        (F.col("h") < int(min_h)).alias("fail_h"),
+        (F.col("w") < int(min_w)).alias("fail_w"),
+        F.greatest(ceil_h, ceil_w, F.lit(1).cast("long"))
+        .alias("upscale_num"),
+    )

@@ -967,3 +967,51 @@ def row_width_estimate(
             F.sum(F.col("_b").cast("decimal(27,6)")), F.count(F.lit(1))
         ).alias("mean_row_bytes"),
     )
+
+
+def numeric_moments(
+    df: DataFrame, value_col: str, label: str | None = None
+) -> DataFrame:
+    """Skewness / excess-kurtosis profile row per numeric column —
+    the shape screen beside :func:`profile_columns`'s location/scale
+    (a heavy right tail says winsorize or log before z-rules; the
+    events_jarque_bera numeric contract applied at catalog grain).
+    Four decimal-exact raw moments in one pass (double products
+    rounded into DECIMAL(38,4) sums — exact for the catalog's value
+    ranges, headroom documented in the JB twin), centered moments and
+    the statistics in one fixed double chain the oracle mirrors
+    op-for-op.  Output: column, n, mean, stddev, skewness,
+    excess_kurtosis (round 6)."""
+    DECJ = "decimal(38,4)"
+    v = F.col(value_col).cast("double")
+    m = df.where(F.col(value_col).isNotNull()).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v.cast(DECJ)).cast("double").alias("_s1"),
+        F.sum((v * v).cast(DECJ)).cast("double").alias("_s2"),
+        F.sum((v * v * v).cast(DECJ)).cast("double").alias("_s3"),
+        F.sum((v * v * v * v).cast(DECJ)).cast("double").alias("_s4"),
+    )
+    n = F.col("n").cast("double")
+    mu = F.col("_s1") / n
+    m2 = F.col("_s2") / n - mu * mu
+    m3 = (
+        F.col("_s3") / n
+        - F.lit(3.0) * mu * (F.col("_s2") / n)
+        + F.lit(2.0) * mu * mu * mu
+    )
+    m4 = (
+        F.col("_s4") / n
+        - F.lit(4.0) * mu * (F.col("_s3") / n)
+        + F.lit(6.0) * mu * mu * (F.col("_s2") / n)
+        - F.lit(3.0) * mu * mu * mu * mu
+    )
+    sk = m3 / F.sqrt(F.greatest(m2 * m2 * m2, F.lit(1e-300)))
+    ek = m4 / F.greatest(m2 * m2, F.lit(1e-300)) - F.lit(3.0)
+    return m.select(
+        F.lit(label or value_col).alias("column"),
+        F.col("n").cast("long").alias("n"),
+        F.round(mu, 6).alias("mean"),
+        F.round(F.sqrt(F.greatest(m2, F.lit(0.0))), 6).alias("stddev"),
+        F.round(sk, 6).alias("skewness"),
+        F.round(ek, 6).alias("excess_kurtosis"),
+    )

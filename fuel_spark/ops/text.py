@@ -3665,3 +3665,68 @@ def dsir_topk_by_source(
             "cut_weight",
         )
     )
+
+
+def ngram_novelty_by_decile(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    deciles: int = 10,
+    seed: int = 7,
+) -> DataFrame:
+    """Novelty decay over the TRAINING ORDER: split the seeded
+    shuffled order into ``deciles`` slices; per slice, how many of
+    its distinct word n-grams were never seen in an earlier slice
+    (first_slice == slice).  A healthy shuffle decays smoothly (the
+    long tail of rare grams keeps arriving); a source-clumped order
+    front-loads novelty then starves.  The order/text composition a
+    repetition-sensitive training run actually cares about.
+
+    One positions pass, one gram explode, a (gram -> min slice)
+    aggregation and a distinct-(slice, gram) census — all keyed
+    shuffles, gram-domain-sized state.  Output per slice: decile,
+    n_distinct_grams, n_new_grams, novelty_rate (exact-rational).
+    """
+    from fuel_spark.functions import round6_ratio
+    from fuel_spark.schemes import with_positions
+
+    p = with_positions(
+        df.select(F.col(id_col), F.col(text_col)), id_col,
+        shuffled=True, seed=seed,
+    )
+    tot = p.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    dnum = F.col("pos") * int(deciles)
+    p = p.crossJoin(F.broadcast(tot)).select(
+        F.col(id_col),
+        F.col(text_col),
+        ((dnum - F.pmod(dnum, F.col("_n"))) / F.col("_n"))
+        .cast("int").alias("_dec"),
+    )
+    w = words(F.col(text_col))
+    grams = F.expr(
+        f"CASE WHEN size(_w) >= {n} THEN"
+        f" transform(sequence(1, size(_w) - {n - 1}),"
+        f" i -> array_join(slice(_w, i, {n}), ' '))"
+        f" ELSE CAST(array() AS array<string>) END"
+    )
+    sg = (
+        p.withColumn("_w", w)
+        .select("_dec", F.explode(grams).alias("gram"))
+        .distinct()
+    )
+    first = sg.groupBy("gram").agg(F.min("_dec").alias("_first"))
+    per = sg.join(first, "gram").groupBy(
+        F.col("_dec").cast("bigint").alias("decile")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct_grams"),
+        F.sum(F.when(F.col("_dec") == F.col("_first"), 1).otherwise(0))
+        .cast("long").alias("n_new_grams"),
+    )
+    return per.select(
+        "decile", "n_distinct_grams", "n_new_grams",
+        round6_ratio(
+            F.col("n_new_grams").cast("decimal(27,6)"),
+            F.col("n_distinct_grams"),
+        ).alias("novelty_rate"),
+    )

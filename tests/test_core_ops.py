@@ -339,3 +339,28 @@ def test_salted_join_certificate_hot_key_spreads_and_matches(spark):
         .count()
     )
     assert n_salts == 8
+
+
+def test_with_positions_pinned_layout_with_wide_payload(spark):
+    """Regression (r9): _offset_positions reads its sorted frame
+    TWICE (rows + per-partition counts); when the optimizer prunes
+    the branches differently (a wide payload column survives on one
+    side only) they stop sharing a ReusedExchange, each re-samples
+    its own range boundaries, and offset[pid] mismatches the pid the
+    row was numbered under — positions silently corrupt (observed at
+    the 20x tier: half the deciles vanished).  The lazy
+    localCheckpoint pins one evaluation; this asserts the contract —
+    positions stay a contiguous 0-based permutation even when a
+    payload-carrying pipeline consumes them through an explode."""
+    from fuel_spark.ops.core import with_positions
+
+    rows = [(i, "payload " * 50 + str(i)) for i in range(500)]
+    df = from_rows(spark, rows, schema="k bigint, txt string").repartition(16)
+    p = with_positions(df, "k", pos_col="pos", base=0)
+    # consume through a payload-using branch AND an aggregate branch
+    out = (
+        p.select("pos", F.explode(F.split("txt", " ")).alias("w"))
+        .groupBy("pos").count()
+    )
+    got = sorted(r.pos for r in out.collect())
+    assert got == list(range(500))
