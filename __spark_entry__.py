@@ -4917,6 +4917,113 @@ def q_text_novelty_by_decile(spark, sf):
     )
 
 
+# --- round 9 epilogue, second batch (r11 seeds) ----------------------
+
+
+def q_dedup_pair_degree_hist(spark, sf):
+    """Candidate-pair fanout histogram: per document the number of
+    LSH candidate partners (bucket-capped: oversized buckets
+    contribute star pairs around the bucket minimum, the production
+    degrade), histogrammed — the band-index degree distribution that
+    prices the verify stage (a fat tail says tighten bands or cap
+    buckets before the exact-jaccard pass)."""
+    d = _t(spark, sf)["documents"]
+    # the CAPPED default (bucket > 512 degrades to star pairs with the
+    # bucket minimum) — the first query to put the star-degrade path
+    # itself under the exact-hash oracle; uncapped, the 20x clone
+    # corpus pays a 100s quadratic pair tier (measured) for a
+    # histogram whose whole point is to warn about exactly that
+    pairs = dedup.minhash_candidate_pairs(d, "doc_id", "text")
+    deg = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("id_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return deg.groupBy(
+        F.col("degree").cast("bigint").alias("degree")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+
+
+def q_order_worker_sweep(spark, sf):
+    """Worker token-balance knob sweep: the per-worker payload skew
+    table at 4/8/16 workers in one labeled frame — the pick-the-
+    world-size planning curve (more workers = better wall-clock until
+    payload skew eats the speedup)."""
+    d = _t(spark, sf)["documents"]
+    parts = []
+    for nw in (4, 8, 16):
+        parts.append(
+            schemes.worker_token_balance(
+                d, "doc_id", F.col("n_chars"), nw, 5
+            ).select(
+                F.lit(nw).cast("bigint").alias("n_workers"),
+                "worker_id", "n_rows", "weight", "skew",
+            )
+        )
+    out = parts[0]
+    for pp in parts[1:]:
+        out = out.unionByName(pp)
+    return out
+
+
+def q_profile_corr_matrix(spark, sf):
+    """Pairwise Pearson among the lineitem numeric columns — the
+    catalog correlation card (a near-1 pair is a redundant feature;
+    the lineitem_qty_price_corr contract applied to every pair)."""
+    t = _t(spark, sf)["lineitem"]
+    return profile_ops.pearson_pairs(
+        t, [("l_quantity", "l_extendedprice"),
+            ("l_quantity", "l_discount"),
+            ("l_extendedprice", "l_discount")]
+    )
+
+
+def q_audio_decimate_sweep(spark, sf):
+    """Decimation knob sweep: output mass / exact-rational level /
+    checksum at factors 2, 4, 8 in one labeled table — the
+    sample-rate planning curve beside the cascade certificate."""
+    wt = pixels.synth_wave_table(_t(spark, sf)["documents"])
+    parts = []
+    for f in (2, 4, 8):
+        dw = pixels.decimate_wave(wt, f)
+        parts.append(dw.agg(
+            F.lit(f).cast("bigint").alias("factor"),
+            F.count(F.lit(1)).cast("long").alias("n_out"),
+            round6_ratio(
+                F.sum(F.col("v").cast("decimal(27,6)")),
+                F.count(F.lit(1)),
+            ).alias("v_mean"),
+            F.sum(F.col("v") * (F.col("u").cast("long") + 1))
+            .cast("long").alias("checksum"),
+        ))
+    out = parts[0]
+    for pp in parts[1:]:
+        out = out.unionByName(pp)
+    return out
+
+
+def q_video_stride_sweep(spark, sf):
+    """Frame-stride knob sweep: sampled-frame mass and checksum at
+    strides 2, 3, 4 — the decode-budget curve for the frame sampler
+    (multimodal.py:309's planning half)."""
+    ft = pixels.synth_frame_table(_t(spark, sf)["documents"])
+    parts = []
+    for st in (2, 3, 4):
+        sampled = pixels.frame_stride(ft, st)
+        parts.append(sampled.agg(
+            F.lit(st).cast("bigint").alias("stride"),
+            F.count(F.lit(1)).cast("long").alias("n_samples"),
+            F.sum(
+                F.col("v").cast("long") * (F.col("x") + 1) * (F.col("f") + 1)
+            ).cast("long").alias("checksum"),
+        ))
+    out = parts[0]
+    for pp in parts[1:]:
+        out = out.unionByName(pp)
+    return out
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry.  ORDERING IS DELIBERATE: the driver's
     correctness gate checks the FIRST 50 keys, so each round leads
@@ -5060,6 +5167,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_bytes_estimate": q_image_bytes_estimate,
         "profile_numeric_moments": q_profile_numeric_moments,
         "text_novelty_by_decile": q_text_novelty_by_decile,
+        "dedup_pair_degree_hist": q_dedup_pair_degree_hist,
+        "order_worker_sweep": q_order_worker_sweep,
+        "profile_corr_matrix": q_profile_corr_matrix,
+        "audio_decimate_sweep": q_audio_decimate_sweep,
+        "video_stride_sweep": q_video_stride_sweep,
         # ---- driver-green in r8 (CORRECTNESS_r08.json, 50/50): the
         # round-8 window, now cumulative coverage. --------------------
         "events_kruskal_wallis": q_kruskal_wallis,
@@ -15603,6 +15715,183 @@ def oracle_sql() -> dict[str, str]:
                {round6_ratio_sql("sum(CAST(clip AS DECIMAL(27,6)))",
                                  "count(*)")} AS clipped_ratio
         FROM m GROUP BY 1
+    """
+
+    # ---- round-9 epilogue, second batch (r11 seeds) -------------------
+    sqls["dedup_pair_degree_hist"] = f"""
+        WITH {_minhash_bands_sql()},
+        bsz AS (SELECT band_id, band_key, count(*) AS bn
+                FROM bands GROUP BY 1, 2),
+        bmin AS (SELECT band_id, band_key, min(doc_id) AS mn
+                 FROM bands GROUP BY 1, 2),
+        prs AS (SELECT DISTINCT id_a, id_b FROM (
+                  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM bands a
+                  JOIN bands b ON a.band_id = b.band_id
+                              AND a.band_key = b.band_key
+                              AND a.doc_id < b.doc_id
+                  JOIN bsz s ON s.band_id = a.band_id
+                            AND s.band_key = a.band_key
+                  WHERE s.bn <= 512
+                  UNION ALL
+                  SELECT m.mn AS id_a, b.doc_id AS id_b
+                  FROM bands b
+                  JOIN bsz s ON s.band_id = b.band_id
+                            AND s.band_key = b.band_key
+                  JOIN bmin m ON m.band_id = b.band_id
+                             AND m.band_key = b.band_key
+                  WHERE s.bn > 512 AND b.doc_id <> m.mn)),
+        deg AS (SELECT doc_id, count(*) AS degree FROM (
+                  SELECT id_a AS doc_id FROM prs
+                  UNION ALL SELECT id_b FROM prs) GROUP BY 1)
+        SELECT CAST(degree AS BIGINT) AS degree,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM deg GROUP BY 1
+    """
+
+    sqls["order_worker_sweep"] = """
+          SELECT CAST(4 AS BIGINT) AS n_workers,
+                 CAST(worker_id AS BIGINT) AS worker_id, n_rows, weight,
+                 (CASE WHEN CAST((CAST(weight * nw2 AS DECIMAL(27,6))) * 1000000 AS BIGINT) < 0 THEN -1 ELSE 1 END * ((2 * abs(CAST((CAST(weight * nw2 AS DECIMAL(27,6))) * 1000000 AS BIGINT)) + CAST((tw) AS BIGINT)) // (2 * CAST((tw) AS BIGINT))) / 1000000.0) AS skew
+          FROM (SELECT worker_id,
+                       CAST(count(*) AS BIGINT) AS n_rows,
+                       CAST(sum(n_chars) AS BIGINT) AS weight
+                FROM (SELECT (CAST('0x' || substring(
+                        md5(concat('5', '-', CAST(doc_id AS VARCHAR))),
+                        1, 6) AS BIGINT) % 4) AS worker_id, n_chars
+                      FROM documents)
+                GROUP BY 1) agg,
+               (SELECT CAST(sum(n_chars) AS BIGINT) AS tw,
+                       CAST(4 AS BIGINT) AS nw2 FROM documents) tot
+        UNION ALL
+          SELECT CAST(8 AS BIGINT) AS n_workers,
+                 CAST(worker_id AS BIGINT) AS worker_id, n_rows, weight,
+                 (CASE WHEN CAST((CAST(weight * nw2 AS DECIMAL(27,6))) * 1000000 AS BIGINT) < 0 THEN -1 ELSE 1 END * ((2 * abs(CAST((CAST(weight * nw2 AS DECIMAL(27,6))) * 1000000 AS BIGINT)) + CAST((tw) AS BIGINT)) // (2 * CAST((tw) AS BIGINT))) / 1000000.0) AS skew
+          FROM (SELECT worker_id,
+                       CAST(count(*) AS BIGINT) AS n_rows,
+                       CAST(sum(n_chars) AS BIGINT) AS weight
+                FROM (SELECT (CAST('0x' || substring(
+                        md5(concat('5', '-', CAST(doc_id AS VARCHAR))),
+                        1, 6) AS BIGINT) % 8) AS worker_id, n_chars
+                      FROM documents)
+                GROUP BY 1) agg,
+               (SELECT CAST(sum(n_chars) AS BIGINT) AS tw,
+                       CAST(8 AS BIGINT) AS nw2 FROM documents) tot
+        UNION ALL
+          SELECT CAST(16 AS BIGINT) AS n_workers,
+                 CAST(worker_id AS BIGINT) AS worker_id, n_rows, weight,
+                 (CASE WHEN CAST((CAST(weight * nw2 AS DECIMAL(27,6))) * 1000000 AS BIGINT) < 0 THEN -1 ELSE 1 END * ((2 * abs(CAST((CAST(weight * nw2 AS DECIMAL(27,6))) * 1000000 AS BIGINT)) + CAST((tw) AS BIGINT)) // (2 * CAST((tw) AS BIGINT))) / 1000000.0) AS skew
+          FROM (SELECT worker_id,
+                       CAST(count(*) AS BIGINT) AS n_rows,
+                       CAST(sum(n_chars) AS BIGINT) AS weight
+                FROM (SELECT (CAST('0x' || substring(
+                        md5(concat('5', '-', CAST(doc_id AS VARCHAR))),
+                        1, 6) AS BIGINT) % 16) AS worker_id, n_chars
+                      FROM documents)
+                GROUP BY 1) agg,
+               (SELECT CAST(sum(n_chars) AS BIGINT) AS tw,
+                       CAST(16 AS BIGINT) AS nw2 FROM documents) tot
+    """
+
+    sqls["profile_corr_matrix"] = """
+          SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y,
+                 CAST(n AS BIGINT) AS n,
+                 round((sxy / n - (sx / n) * (sy / n))
+                       / sqrt(greatest((sxx / n - (sx / n) * (sx / n))
+                                       * (syy / n - (sy / n) * (sy / n)),
+                                       1e-300)), 6) AS pearson_r
+          FROM (SELECT count(*) AS n,
+                  CAST(sum(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sx,
+                  CAST(sum(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) AS sy,
+                  CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(27,6)))
+                       AS DOUBLE) AS sxy,
+                  CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(27,6)))
+                       AS DOUBLE) AS sxx,
+                  CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(27,6)))
+                       AS DOUBLE) AS syy
+                FROM lineitem)
+        UNION ALL
+          SELECT 'l_quantity' AS col_x, 'l_discount' AS col_y,
+                 CAST(n AS BIGINT) AS n,
+                 round((sxy / n - (sx / n) * (sy / n))
+                       / sqrt(greatest((sxx / n - (sx / n) * (sx / n))
+                                       * (syy / n - (sy / n) * (sy / n)),
+                                       1e-300)), 6) AS pearson_r
+          FROM (SELECT count(*) AS n,
+                  CAST(sum(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sx,
+                  CAST(sum(CAST(l_discount AS DECIMAL(27,6))) AS DOUBLE) AS sy,
+                  CAST(sum(CAST(l_quantity * l_discount AS DECIMAL(27,6)))
+                       AS DOUBLE) AS sxy,
+                  CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(27,6)))
+                       AS DOUBLE) AS sxx,
+                  CAST(sum(CAST(l_discount * l_discount AS DECIMAL(27,6)))
+                       AS DOUBLE) AS syy
+                FROM lineitem)
+        UNION ALL
+          SELECT 'l_extendedprice' AS col_x, 'l_discount' AS col_y,
+                 CAST(n AS BIGINT) AS n,
+                 round((sxy / n - (sx / n) * (sy / n))
+                       / sqrt(greatest((sxx / n - (sx / n) * (sx / n))
+                                       * (syy / n - (sy / n) * (sy / n)),
+                                       1e-300)), 6) AS pearson_r
+          FROM (SELECT count(*) AS n,
+                  CAST(sum(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) AS sx,
+                  CAST(sum(CAST(l_discount AS DECIMAL(27,6))) AS DOUBLE) AS sy,
+                  CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(27,6)))
+                       AS DOUBLE) AS sxy,
+                  CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(27,6)))
+                       AS DOUBLE) AS sxx,
+                  CAST(sum(CAST(l_discount * l_discount AS DECIMAL(27,6)))
+                       AS DOUBLE) AS syy
+                FROM lineitem)
+    """
+
+    sqls["audio_decimate_sweep"] = f"""
+        WITH wt AS ({_wav_cte})
+          SELECT CAST(2 AS BIGINT) AS factor,
+                 CAST(count(*) AS BIGINT) AS n_out,
+                 (CASE WHEN CAST((sum(CAST(v AS DECIMAL(27,6)))) * 1000000 AS BIGINT) < 0 THEN -1 ELSE 1 END * ((2 * abs(CAST((sum(CAST(v AS DECIMAL(27,6)))) * 1000000 AS BIGINT)) + CAST((count(*)) AS BIGINT)) // (2 * CAST((count(*)) AS BIGINT))) / 1000000.0)
+                   AS v_mean,
+                 CAST(sum(v * (u + 1)) AS BIGINT) AS checksum
+          FROM (SELECT id, t // 2 AS u,
+                       CAST(sum(v) AS BIGINT) // 2 AS v
+                FROM wt GROUP BY 1, 2)
+        UNION ALL
+          SELECT CAST(4 AS BIGINT) AS factor,
+                 CAST(count(*) AS BIGINT) AS n_out,
+                 (CASE WHEN CAST((sum(CAST(v AS DECIMAL(27,6)))) * 1000000 AS BIGINT) < 0 THEN -1 ELSE 1 END * ((2 * abs(CAST((sum(CAST(v AS DECIMAL(27,6)))) * 1000000 AS BIGINT)) + CAST((count(*)) AS BIGINT)) // (2 * CAST((count(*)) AS BIGINT))) / 1000000.0)
+                   AS v_mean,
+                 CAST(sum(v * (u + 1)) AS BIGINT) AS checksum
+          FROM (SELECT id, t // 4 AS u,
+                       CAST(sum(v) AS BIGINT) // 4 AS v
+                FROM wt GROUP BY 1, 2)
+        UNION ALL
+          SELECT CAST(8 AS BIGINT) AS factor,
+                 CAST(count(*) AS BIGINT) AS n_out,
+                 (CASE WHEN CAST((sum(CAST(v AS DECIMAL(27,6)))) * 1000000 AS BIGINT) < 0 THEN -1 ELSE 1 END * ((2 * abs(CAST((sum(CAST(v AS DECIMAL(27,6)))) * 1000000 AS BIGINT)) + CAST((count(*)) AS BIGINT)) // (2 * CAST((count(*)) AS BIGINT))) / 1000000.0)
+                   AS v_mean,
+                 CAST(sum(v * (u + 1)) AS BIGINT) AS checksum
+          FROM (SELECT id, t // 8 AS u,
+                       CAST(sum(v) AS BIGINT) // 8 AS v
+                FROM wt GROUP BY 1, 2)
+    """
+
+    sqls["video_stride_sweep"] = f"""
+        WITH vt AS ({_vid_cte})
+          SELECT CAST(2 AS BIGINT) AS stride,
+                 CAST(count(*) AS BIGINT) AS n_samples,
+                 CAST(sum(v * (x + 1) * (f + 1)) AS BIGINT) AS checksum
+          FROM vt WHERE f % 2 = 0
+        UNION ALL
+          SELECT CAST(3 AS BIGINT) AS stride,
+                 CAST(count(*) AS BIGINT) AS n_samples,
+                 CAST(sum(v * (x + 1) * (f + 1)) AS BIGINT) AS checksum
+          FROM vt WHERE f % 3 = 0
+        UNION ALL
+          SELECT CAST(4 AS BIGINT) AS stride,
+                 CAST(count(*) AS BIGINT) AS n_samples,
+                 CAST(sum(v * (x + 1) * (f + 1)) AS BIGINT) AS checksum
+          FROM vt WHERE f % 4 = 0
     """
 
     # ---- round-9 epilogue (r11 seeds) --------------------------------

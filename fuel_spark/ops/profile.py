@@ -1015,3 +1015,46 @@ def numeric_moments(
         F.round(sk, 6).alias("skewness"),
         F.round(ek, 6).alias("excess_kurtosis"),
     )
+
+
+def pearson_pairs(
+    df: DataFrame, pairs: list[tuple]
+) -> DataFrame:
+    """Pairwise Pearson correlation card: one row per requested
+    column pair, each computed from five decimal-exact sums in a
+    single fixed double chain (the lineitem_qty_price_corr contract
+    generalized).  One aggregation pass per pair over the input.
+    Output: col_x, col_y, n, pearson_r (round 6)."""
+    parts = []
+    for cx, cy in pairs:
+        x, y = F.col(cx), F.col(cy)
+        DEC = "decimal(27,6)"
+        m = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x.cast(DEC)).cast("double").alias("_sx"),
+            F.sum(y.cast(DEC)).cast("double").alias("_sy"),
+            F.sum((x * y).cast(DEC)).cast("double").alias("_sxy"),
+            F.sum((x * x).cast(DEC)).cast("double").alias("_sxx"),
+            F.sum((y * y).cast(DEC)).cast("double").alias("_syy"),
+        )
+        nn = F.col("n").cast("double")
+        mx = F.col("_sx") / nn
+        my = F.col("_sy") / nn
+        num = F.col("_sxy") / nn - mx * my
+        den = F.sqrt(
+            F.greatest(
+                (F.col("_sxx") / nn - mx * mx)
+                * (F.col("_syy") / nn - my * my),
+                F.lit(1e-300),
+            )
+        )
+        parts.append(m.select(
+            F.lit(cx).alias("col_x"),
+            F.lit(cy).alias("col_y"),
+            F.col("n").cast("long").alias("n"),
+            F.round(num / den, 6).alias("pearson_r"),
+        ))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

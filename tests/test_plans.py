@@ -403,7 +403,13 @@ def test_merge_streams_no_single_partition_exchange(spark):
     merged = core.merge_streams(a, b, "ka", "kb")
     p = _plan(merged)
     assert _single_partition_only_over_count_agg(p), p
-    assert "rangepartitioning" in p
+    # r9: _offset_positions pins its sorted layout with a lazy
+    # localCheckpoint (divergent-pruning fix), so the range exchange
+    # happens inside the checkpointed subtree and the downstream plan
+    # shows the checkpoint scan instead — either form is the
+    # parallel-positions contract; a SinglePartition window over row
+    # grain (the thing this test exists to forbid) shows in neither.
+    assert "rangepartitioning" in p or "ExistingRDD" in p
     rows = {r.ka: r for r in merged.collect()}
     assert len(rows) == 100
     # exact positional semantics: i-th of a zips with i-th of b
@@ -463,7 +469,9 @@ def test_pack_token_budget_parallel_and_exact(spark):
     packed = core.pack_token_budget(df, "doc_id", "n_tokens", budget=128)
     p = _plan(packed)
     assert _single_partition_only_over_count_agg(p), p
-    assert "rangepartitioning" in p
+    # see merge_streams note: the r9 layout pin hides the range
+    # exchange behind the checkpoint scan
+    assert "rangepartitioning" in p or "ExistingRDD" in p
     got = {r.doc_id: r.pack_id for r in packed.collect()}
     w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
     naive = df.withColumn(
@@ -980,6 +988,13 @@ SINGLE_PARTITION_ALLOWLIST = {
     # headers, and the image composite's per-stage 1-row counts
     "order_curriculum_stability", "order_resume_tail_mix",
     "profile_row_width", "image_dedup_pipeline",
+    # r9 epilogue: knob sweeps of 1-row finals unioned (the
+    # check_expectations rationale per setting), per-pair 1-row
+    # correlation moments, per-column 1-row moment finals, and the
+    # novelty curve's 1-row total broadcast + positional offsets
+    "order_worker_sweep", "profile_corr_matrix",
+    "profile_numeric_moments", "audio_decimate_sweep",
+    "video_stride_sweep", "text_novelty_by_decile",
 }
 
 

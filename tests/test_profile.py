@@ -389,3 +389,12 @@ def test_row_width_estimate_exact(spark):
     r = profile.row_width_estimate(
         df, F.length("t") + F.lit(8), "t").first()
     assert (r.n_rows, r.total_bytes, r.mean_row_bytes) == (2, 22, 11.0)
+
+
+def test_pearson_pairs_exact_signs(spark):
+    rows = [(float(i), float(2 * i), float(10 - i)) for i in range(10)]
+    df = from_rows(spark, rows, schema="a double, b double, c double")
+    out = {(r.col_x, r.col_y): r.pearson_r for r in profile.pearson_pairs(
+        df, [("a", "b"), ("a", "c")]).collect()}
+    assert out[("a", "b")] == 1.0   # perfectly linear
+    assert out[("a", "c")] == -1.0  # perfectly anti-linear
