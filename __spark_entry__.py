@@ -5028,29 +5028,95 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry.  ORDERING IS DELIBERATE: the driver's
     correctness gate checks the FIRST 50 keys, so each round leads
     with the keys that do not yet have a driver-green CORRECTNESS row.
-    ROUND-9 window (applied): the first 50 keys are the block staged
-    at positions 51-100 in round 8 (``sketch_bloom_merge_cert`` …
-    ``stream_cms_resume`` — the 42 late-r7 seeds plus the 8 round-8
-    additions), verified against CORRECTNESS_r01-r08 as never
+    ROUND-10 window (applied): the first 50 keys are the block staged
+    at positions 51-100 in round 9 (``ann_reindex_sweep`` …
+    ``audio_decimate_cascade`` — the 11 r8-late seeds plus 39 round-9
+    additions), verified against CORRECTNESS_r01-r09 as never
     driver-checked, moved to the front unchanged (pure
     move-to-front).  All 50 are local-pass under
-    ``tools/check_correctness.py``.  The ROUND-10 staging block sits
-    immediately after at positions 51-100: the 11 r8-late seeds
-    (``ann_reindex_sweep`` … ``dsir_topk_by_source``) topped up with
-    round-9's own additions to EXACTLY 50 never-driver-checked oracle
-    keys.  Round 10 moves them to the front, which closes cumulative
-    driver coverage of EVERY oracle-checked query.  Rows-only keys
-    sit past them (a driver rows-only row is weaker than their pytest
-    evidence).  Keys past that all have driver-green rows from r1-r8
-    and stay covered by ``tools/check_correctness.py`` locally every
-    session.
+    ``tools/check_correctness.py``.  After this window the driver has
+    covered 463 of the oracle-checked keys cumulatively.  The
+    ROUND-11 staging block sits immediately after at positions
+    51-100: the 10 round-9 epilogue seeds topped up with round-10's
+    own additions to EXACTLY 50 never-driver-checked oracle keys.
+    Rows-only keys sit past them (a driver rows-only row is weaker
+    than their pytest evidence).  Keys past that all have
+    driver-green rows from r1-r9 and stay covered by
+    ``tools/check_correctness.py`` locally every session.
     """
     return {
-        # ---- ROUND-9 driver window (first 50): the staging block
-        # verified at positions 51-100 last round (42 late-r7 seeds +
-        # 8 round-8 additions), never driver-checked against
-        # CORRECTNESS_r01-r08, all local-pass.  Pure move-to-front;
+        # ---- ROUND-10 driver window (first 50): the staging block
+        # verified at positions 51-100 last round (11 r8-late seeds
+        # ``ann_reindex_sweep`` … ``dsir_topk_by_source`` + 39 round-9
+        # additions), never driver-checked against
+        # CORRECTNESS_r01-r09, all local-pass.  Pure move-to-front;
         # keys and wrappers unchanged. --------------------------------
+        "ann_reindex_sweep": q_ann_reindex_sweep,
+        "document_snapshot_diff": q_document_snapshot_diff,
+        "stream_kmv_resume": q_stream_kmv_resume,
+        "linkage_incremental": q_linkage_incremental,
+        "ann_planes_sweep": q_ann_planes_sweep,
+        "stream_hll_resume": q_stream_hll_resume,
+        "mixture_after_dedup": q_mixture_after_dedup,
+        "stream_bloom_resume": q_stream_bloom_resume,
+        "shard_manifest": q_shard_manifest,
+        "contamination_by_source": q_contamination_by_source,
+        "dsir_topk_by_source": q_dsir_topk_by_source,
+        # round-9 additions (staging top-up toward exactly 50):
+        "ann_compact_relative": q_ann_compact_relative,
+        "image_pixel_stats": q_image_pixel_stats,
+        "image_phash_wht": q_image_phash_wht,
+        "image_phash_neardup": q_image_phash_neardup,
+        "image_crop_stats": q_image_crop_stats,
+        "image_geometry_cert": q_image_geometry_cert,
+        "image_downsample_box": q_image_downsample_box,
+        "image_patch_means": q_image_patch_means,
+        "image_dedup_exact": q_image_dedup_exact,
+        "video_frame_stride": q_video_frame_stride,
+        "video_temporal_diff": q_video_temporal_diff,
+        "audio_decimate": q_audio_decimate,
+        "audio_level_hist": q_audio_level_hist,
+        "audio_silence_clipping": q_audio_silence_clipping,
+        "profile_top_values": q_profile_top_values,
+        "profile_fd_audit": q_profile_fd_audit,
+        "profile_duplicate_rows": q_profile_duplicate_rows,
+        "profile_iqr_outliers": q_profile_iqr_outliers,
+        "profile_modal_coverage": q_profile_modal_coverage,
+        "profile_date_coverage": q_profile_date_coverage,
+        "profile_categorical_entropy": q_profile_categorical_entropy,
+        "profile_constancy": q_profile_constancy,
+        "order_epoch_overlap": q_order_epoch_overlap,
+        "order_seed_overlap_sweep": q_order_seed_overlap_sweep,
+        "order_batch_mix": q_order_batch_mix,
+        "order_position_decorrelation": q_order_position_decorrelation,
+        "order_stride_coverage": q_order_stride_coverage,
+        "order_epoch_batch_churn": q_order_epoch_batch_churn,
+        "order_worker_token_balance": q_order_worker_token_balance,
+        "order_interleave_proportionality": q_order_interleave_proportionality,
+        "image_histogram16": q_image_histogram16,
+        "video_scene_cuts": q_video_scene_cuts,
+        "audio_peak_windows": q_audio_peak_windows,
+        "text_pii_by_source": q_text_pii_by_source,
+        "order_curriculum_stability": q_order_curriculum_stability,
+        "order_resume_tail_mix": q_order_resume_tail_mix,
+        "profile_row_width": q_profile_row_width,
+        "image_dedup_pipeline": q_image_dedup_pipeline,
+        "audio_decimate_cascade": q_audio_decimate_cascade,
+        # ---- end of the round-10 window ------------------------------
+        # r11 staging block (positions 51-100): round-9 epilogue seeds
+        # + round-10 additions, topped up to exactly 50 during r10.
+        "image_min_dims_screen": q_image_min_dims_screen,
+        "image_aspect_buckets": q_image_aspect_buckets,
+        "image_bytes_estimate": q_image_bytes_estimate,
+        "profile_numeric_moments": q_profile_numeric_moments,
+        "text_novelty_by_decile": q_text_novelty_by_decile,
+        "dedup_pair_degree_hist": q_dedup_pair_degree_hist,
+        "order_worker_sweep": q_order_worker_sweep,
+        "profile_corr_matrix": q_profile_corr_matrix,
+        "audio_decimate_sweep": q_audio_decimate_sweep,
+        "video_stride_sweep": q_video_stride_sweep,
+        # ---- driver-green in r9 (CORRECTNESS_r09.json, 50/50): the
+        # round-9 window, now cumulative coverage. --------------------
         "sketch_bloom_merge_cert": q_bloom_merge,
         "split_source_balance": q_split_source_balance,
         "sample_rate_certificate": q_sample_rate_cert,
@@ -5105,73 +5171,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_snapshot_diff": q_embedding_snapshot_diff,
         "embedding_snapshot_drift": q_embedding_snapshot_drift,
         "stream_cms_resume": q_stream_cms_resume,
-        # ---- end of round-9 window ----------------------------------
-        # r10 seeds (positions 101+): r8-late oracle keys, never
-        # driver-checked; they start the r10 pool after r9 rotates.
-        "ann_reindex_sweep": q_ann_reindex_sweep,
-        "document_snapshot_diff": q_document_snapshot_diff,
-        "stream_kmv_resume": q_stream_kmv_resume,
-        "linkage_incremental": q_linkage_incremental,
-        "ann_planes_sweep": q_ann_planes_sweep,
-        "stream_hll_resume": q_stream_hll_resume,
-        "mixture_after_dedup": q_mixture_after_dedup,
-        "stream_bloom_resume": q_stream_bloom_resume,
-        "shard_manifest": q_shard_manifest,
-        "contamination_by_source": q_contamination_by_source,
-        "dsir_topk_by_source": q_dsir_topk_by_source,
-        # round-9 additions (staging top-up toward exactly 50):
-        "ann_compact_relative": q_ann_compact_relative,
-        "image_pixel_stats": q_image_pixel_stats,
-        "image_phash_wht": q_image_phash_wht,
-        "image_phash_neardup": q_image_phash_neardup,
-        "image_crop_stats": q_image_crop_stats,
-        "image_geometry_cert": q_image_geometry_cert,
-        "image_downsample_box": q_image_downsample_box,
-        "image_patch_means": q_image_patch_means,
-        "image_dedup_exact": q_image_dedup_exact,
-        "video_frame_stride": q_video_frame_stride,
-        "video_temporal_diff": q_video_temporal_diff,
-        "audio_decimate": q_audio_decimate,
-        "audio_level_hist": q_audio_level_hist,
-        "audio_silence_clipping": q_audio_silence_clipping,
-        "profile_top_values": q_profile_top_values,
-        "profile_fd_audit": q_profile_fd_audit,
-        "profile_duplicate_rows": q_profile_duplicate_rows,
-        "profile_iqr_outliers": q_profile_iqr_outliers,
-        "profile_modal_coverage": q_profile_modal_coverage,
-        "profile_date_coverage": q_profile_date_coverage,
-        "profile_categorical_entropy": q_profile_categorical_entropy,
-        "profile_constancy": q_profile_constancy,
-        "order_epoch_overlap": q_order_epoch_overlap,
-        "order_seed_overlap_sweep": q_order_seed_overlap_sweep,
-        "order_batch_mix": q_order_batch_mix,
-        "order_position_decorrelation": q_order_position_decorrelation,
-        "order_stride_coverage": q_order_stride_coverage,
-        "order_epoch_batch_churn": q_order_epoch_batch_churn,
-        "order_worker_token_balance": q_order_worker_token_balance,
-        "order_interleave_proportionality": q_order_interleave_proportionality,
-        "image_histogram16": q_image_histogram16,
-        "video_scene_cuts": q_video_scene_cuts,
-        "audio_peak_windows": q_audio_peak_windows,
-        "text_pii_by_source": q_text_pii_by_source,
-        "order_curriculum_stability": q_order_curriculum_stability,
-        "order_resume_tail_mix": q_order_resume_tail_mix,
-        "profile_row_width": q_profile_row_width,
-        "image_dedup_pipeline": q_image_dedup_pipeline,
-        "audio_decimate_cascade": q_audio_decimate_cascade,
-        # ---- end of the r10 seed block --------------------------------
-        # r11 seeds (positions 101+): round-9 epilogue additions — they
-        # start the r11 pool after r10 rotates.
-        "image_min_dims_screen": q_image_min_dims_screen,
-        "image_aspect_buckets": q_image_aspect_buckets,
-        "image_bytes_estimate": q_image_bytes_estimate,
-        "profile_numeric_moments": q_profile_numeric_moments,
-        "text_novelty_by_decile": q_text_novelty_by_decile,
-        "dedup_pair_degree_hist": q_dedup_pair_degree_hist,
-        "order_worker_sweep": q_order_worker_sweep,
-        "profile_corr_matrix": q_profile_corr_matrix,
-        "audio_decimate_sweep": q_audio_decimate_sweep,
-        "video_stride_sweep": q_video_stride_sweep,
         # ---- driver-green in r8 (CORRECTNESS_r08.json, 50/50): the
         # round-8 window, now cumulative coverage. --------------------
         "events_kruskal_wallis": q_kruskal_wallis,
