@@ -212,27 +212,31 @@ def main() -> int:
         pass  # log4j internals moved: cosmetic guard only, keep benching
 
     SPECIAL = ("streaming_screen_availablenow", "curation_pipeline_noprepass")
-    # Load-aware start (VERDICT r8 ask #4): two rounds running, the
-    # driver's bench artifact ran on a hot shared VM (+12-16% vs the
-    # quiesced snapshots with zero plan changes).  If the machine is
-    # already busy BEFORE we spin up Spark work, sleep-and-retry so
-    # the committed artifact is usable without forensics.  The check
-    # runs only at start — once the bench itself is running, our own
+    # Load-aware start (VERDICT r8 ask #4, budget raised per r9 ask
+    # #4): three rounds running, the driver's bench artifact ran on a
+    # hot shared VM (+12-16% vs the quiesced snapshots with zero plan
+    # changes) and one 90s wait against an all-day-hot host did
+    # nothing.  Retry budget is now up to 6 waits with exponential
+    # backoff (90/150/240/300/300/300s ≈ 23 min worst case) — if the
+    # host quiets at any point we start immediately.  The check runs
+    # only at start — once the bench itself is running, our own
     # 32-thread load dominates getloadavg and a per-rep check would
     # self-trigger.
     load_waits = 0
+    _backoff = (90, 150, 240, 300, 300, 300)
     while (
         os.getloadavg()[0] / max(os.cpu_count() or 1, 1) > 0.25
-        and load_waits < 2
+        and load_waits < len(_backoff)
     ):
+        wait = _backoff[load_waits]
         load_waits += 1
         print(
             f"bench: load_avg {os.getloadavg()[0]:.1f} on "
-            f"{os.cpu_count()} cpus — hot machine, waiting 90s "
-            f"(retry {load_waits}/2)",
+            f"{os.cpu_count()} cpus — hot machine, waiting {wait}s "
+            f"(retry {load_waits}/{len(_backoff)})",
             file=sys.stderr,
         )
-        time.sleep(90)
+        time.sleep(wait)
     qs = entry_mod.queries()
     names = args.queries or [
         n for n in HEADLINERS if n in qs or n in SPECIAL
@@ -252,6 +256,29 @@ def main() -> int:
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
 
+    # Load sentinel (VERDICT r9 ask #3b, the load-robust gate): a
+    # FIXED, never-changing scan+hash over lineitem's four key
+    # columns, benched in the same process bracketing the query loop.
+    # Its plan predates every gated query and never changes, so
+    # shared16_subtotal / sentinel_sec normalizes out host contention:
+    # a hot VM slows both numerator and denominator, a real plan
+    # regression moves only the numerator.  The gate reads the RATIO
+    # (reference recorded in bench_quiesced_ref.json) instead of
+    # trusting the wall-clock on a machine state that never occurs.
+    def bench_sentinel(n_reps: int = 5) -> float:
+        li = spark.read.parquet(os.path.join(args.sf_dir, "lineitem.parquet"))
+        cols = ("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+        df = li.select(F.bit_xor(F.xxhash64(*cols)).alias("chk"))
+        df.collect()  # warmup
+        best = float("inf")
+        for _ in range(n_reps):
+            quiesce()
+            t0 = time.perf_counter()
+            df.collect()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 3)
+
+    sentinel_pre = bench_sentinel()
     timings: dict[str, float] = {}
     spreads: dict[str, list[float]] = {}
     for name in names:
@@ -279,14 +306,55 @@ def main() -> int:
         timings[name] = min(reps)
         spreads[name] = reps
 
+    sentinel_post = bench_sentinel()
+    sentinel = min(sentinel_pre, sentinel_post)
+    shared16 = round(sum(timings[n] for n in SHARED16 if n in timings), 3)
+
+    # Self-labeling vs the committed quiesced reference (VERDICT r9
+    # ask #4): compare this run's per-query bests against
+    # bench_quiesced_ref.json (per-query best-of across the committed
+    # quiesced snapshots).  A hot run flags itself with the evidence
+    # inline — no forensics needed to read the artifact.
+    vs_quiesced = None
+    ref_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_quiesced_ref.json")
+    try:
+        with open(ref_path) as fh:
+            ref = json.load(fh)
+        ratios = sorted(
+            timings[n] / ref["queries"][n]
+            for n in timings
+            if n in ref.get("queries", {}) and ref["queries"][n] > 0
+        )
+        if ratios:
+            med = ratios[len(ratios) // 2]
+            p90 = ratios[min(len(ratios) - 1, int(len(ratios) * 0.9))]
+            vs_quiesced = {
+                "n_compared": len(ratios),
+                "median_ratio": round(med, 3),
+                "p90_ratio": round(p90, 3),
+                "ref": ref.get("ref", "?"),
+                "hot": bool(med > 1.2),
+            }
+    except (OSError, ValueError, KeyError, ZeroDivisionError):
+        pass  # no reference committed yet — skip self-labeling
+
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "shared16_subtotal": round(
-            sum(timings[n] for n in SHARED16 if n in timings), 3),
+        "shared16_subtotal": shared16,
+        # load-robust gate fields (VERDICT r9 ask #3b): the fixed
+        # sentinel's best and the shared16/sentinel ratio — contention
+        # cancels in the ratio, a plan regression does not
+        "sentinel_sec": sentinel,
+        "sentinel_pre": sentinel_pre,
+        "sentinel_post": sentinel_post,
+        "shared16_over_sentinel": round(shared16 / sentinel, 2)
+        if sentinel > 0 else None,
+        "vs_quiesced": vs_quiesced,
         "sf": os.path.basename(args.sf_dir.rstrip("/")),
         # Machine-load context (VERDICT r7 ask #6): the r7 driver
         # reading ran on a hot machine (+12% vs quiesced snapshots

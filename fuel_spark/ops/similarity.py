@@ -2572,11 +2572,16 @@ def ann_compact_index(
     that is a rebuild via :func:`pivot_lsh_index` over the live
     corpus.
 
-    Cap semantics: ``max_bucket`` is the ABSOLUTE cap (rows); it
+    Cap semantics — ``rel_max_bucket`` is the PRODUCTION DEFAULT
+    (r10, VERDICT #6): ``max_bucket`` is the ABSOLUTE cap (rows); it
     cliffs once the corpus outgrows cap·2^n_planes (every cell over
-    the cap → empty index — by design, the rebuild signal).
-    ``rel_max_bucket`` is the SCALE-RELATIVE cap (the dedup
-    convention): keep a bucket iff its size ≤ ceil(α · mean bucket
+    the cap → empty index — by design, the rebuild signal; kept as
+    the documented edge-case behavior, pinned by the
+    ``ann_index_compaction`` registry query).  ``rel_max_bucket`` is
+    the SCALE-RELATIVE cap (the dedup convention, pinned by
+    ``ann_compact_relative`` — the driver-window compaction key,
+    non-empty at every SF: 414/409/1646 rows at sf0.001/0.01/0.1):
+    keep a bucket iff its size ≤ ceil(α · mean bucket
     size), so a grown corpus degrades to dropping only genuinely hot
     cells instead of emptying the index.  The comparison is pure
     integer arithmetic — sz ≤ ceil(α·n/b) ⟺ (sz−1)·q·b < p·n with
