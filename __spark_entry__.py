@@ -5024,6 +5024,77 @@ def q_video_stride_sweep(spark, sf):
     return out
 
 
+# ---- round-10 tokenizer-economics tier (merge-table drift, utilization,
+# script mix) — reference semantics fuel/datasets/text.py:46 (per-example
+# dictionary tokenization); these are the corpus-scale planning tables a
+# tokenizer CHOICE needs, all vocab-grain after one word-count shuffle.
+
+
+def q_bpe_merge_utilization(spark, sf):
+    """Per-merge utilization of the fixed table on THIS corpus (r10):
+    how often each merge fires + its share of the total token
+    reduction — the wasted-vocabulary-budget audit."""
+    d = _t(spark, sf)["documents"]
+    return text_ops.bpe_merge_utilization(
+        d, "text", list(BPE_FIXED_MERGES)
+    )
+
+
+def q_bpe_compression_curve(spark, sf):
+    """Compression vs merge-count curve (r10): corpus tokens,
+    fertility and chars/token after each merge prefix k=0..8 — what
+    the next merges actually buy on this corpus."""
+    d = _t(spark, sf)["documents"]
+    return text_ops.bpe_compression_curve(
+        d, "text", list(BPE_FIXED_MERGES)
+    )
+
+
+def q_bpe_fertility_by_script(spark, sf):
+    """Fertility by word charclass (r10): prose-trained merges
+    under-serve digit/mixed tokens — the by-script slice of the
+    tokenizer-choice table."""
+    d = _t(spark, sf)["documents"]
+    return text_ops.bpe_fertility_by_class(
+        d, "text", list(BPE_FIXED_MERGES)
+    )
+
+
+def q_bpe_token_length_hist(spark, sf):
+    """Tokens-per-word histogram under the fixed merges (r10): the
+    fat-tail read that drives packing/truncation budgets."""
+    d = _t(spark, sf)["documents"]
+    return text_ops.bpe_token_length_hist(
+        d, "text", list(BPE_FIXED_MERGES)
+    )
+
+
+def q_bpe_snapshot_drift(spark, sf):
+    """Merge-table drift between snapshots (r10): per-source
+    fertility under the SAME merges on even-id vs odd-id halves —
+    the tokenizer-rot monitor."""
+    d = _t(spark, sf)["documents"]
+    return text_ops.bpe_fertility_drift(
+        d, "doc_id", "text", "source", list(BPE_FIXED_MERGES)
+    )
+
+
+def q_bpe_pair_stats(spark, sf):
+    """Next-merge candidate table (r10): top-20 adjacent symbol pairs
+    by weighted frequency at the char-level init state — what
+    train_bpe's first iteration sees."""
+    d = _t(spark, sf)["documents"]
+    return text_ops.bpe_pair_stats(d, "text", k=20)
+
+
+def q_script_mix(spark, sf):
+    """Charclass composition per source (r10): letters/digits/space/
+    other shares of raw text — the upstream cause the fertility
+    tables quantify."""
+    d = _t(spark, sf)["documents"]
+    return text_ops.script_mix(d, "source", "text")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry.  ORDERING IS DELIBERATE: the driver's
     correctness gate checks the FIRST 50 keys, so each round leads
@@ -5115,6 +5186,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_corr_matrix": q_profile_corr_matrix,
         "audio_decimate_sweep": q_audio_decimate_sweep,
         "video_stride_sweep": q_video_stride_sweep,
+        "text_bpe_merge_utilization": q_bpe_merge_utilization,
+        "text_bpe_compression_curve": q_bpe_compression_curve,
+        "text_bpe_fertility_by_script": q_bpe_fertility_by_script,
+        "text_bpe_token_length_hist": q_bpe_token_length_hist,
+        "text_bpe_snapshot_drift": q_bpe_snapshot_drift,
+        "text_bpe_pair_stats": q_bpe_pair_stats,
+        "text_script_mix": q_script_mix,
         # ---- driver-green in r9 (CORRECTNESS_r09.json, 50/50): the
         # round-9 window, now cumulative coverage. --------------------
         "sketch_bloom_merge_cert": q_bloom_merge,
@@ -17260,6 +17338,221 @@ def oracle_sql() -> dict[str, str]:
                     ELSE 2.0 END AS theta,
                CASE WHEN n_sketch >= 32 THEN round(31.0 / hk, 6)
                     ELSE CAST(n_sketch AS DOUBLE) END AS est_distinct
+        FROM agg
+    """
+
+    # ---- r10 tokenizer economics: the vocab-grain recursive-fold
+    # spine (the text_bpe_encode fixpoint recursion, at word grain
+    # with corpus frequencies).  Key identity: every intermediate
+    # state is retained by the UNION ALL recursion, so the state
+    # ENTERING merge k is max(ntok) among rows at mi=k and the state
+    # LEAVING it is min(ntok) — each single-first-occurrence replace
+    # removes exactly one token, so per-merge application counts and
+    # the whole compression curve are recoverable as max/min stats.
+    _bq_cases = " ".join(
+        f"WHEN {i} THEN regexp_replace(seq, ' {a} {b} ', ' {a}{b} ')"
+        for i, (a, b) in enumerate(BPE_FIXED_MERGES)
+    )
+    _bq_n = len(BPE_FIXED_MERGES)
+    _bq_spine = f"""
+        d AS (SELECT {w} AS ws FROM documents),
+        wfx AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
+                FROM (SELECT unnest(ws) AS word FROM d)
+                WHERE word <> '' GROUP BY 1),
+        init AS (SELECT word,
+                   ' ' || array_to_string(list_transform(
+                       generate_series(1, length(word)),
+                       i -> substring(word, i, 1)), ' ') || ' </w> ' AS seq,
+                   0 AS mi
+                 FROM wfx),
+        step AS (
+          SELECT word, seq, mi FROM init
+          UNION ALL
+          SELECT word,
+                 CASE WHEN nseq <> seq THEN nseq ELSE seq END AS seq,
+                 CASE WHEN nseq <> seq THEN mi ELSE mi + 1 END AS mi
+          FROM (
+            SELECT word, seq, mi, CASE mi {_bq_cases} END AS nseq
+            FROM step WHERE mi < {_bq_n}
+          )
+        ),
+        stepn AS (SELECT word, mi,
+                    CAST(len(string_split(trim(seq), ' ')) AS BIGINT)
+                      AS ntok
+                  FROM step),
+        fin AS (SELECT word, ntok FROM stepn WHERE mi = {_bq_n})
+    """
+    _bq_merge_vals = ", ".join(
+        f"({i + 1}, '{a}', '{b}')"
+        for i, (a, b) in enumerate(BPE_FIXED_MERGES)
+    )
+
+    sqls["text_bpe_merge_utilization"] = f"""
+        WITH RECURSIVE {_bq_spine},
+        mm(rank, a, b) AS (VALUES {_bq_merge_vals}),
+        stg AS (SELECT word, mi, max(ntok) AS mx, min(ntok) AS mn
+                FROM stepn WHERE mi < {_bq_n} GROUP BY 1, 2),
+        ms AS (SELECT mi,
+                 CAST(sum(freq * (mx - mn)) AS BIGINT) AS n_applications,
+                 CAST(sum(freq * mn) AS BIGINT) AS tokens_after
+               FROM stg JOIN wfx USING (word) GROUP BY 1),
+        tot AS (SELECT CAST(sum(n_applications) AS BIGINT) AS t FROM ms)
+        SELECT CAST(ms.mi + 1 AS BIGINT) AS merge_rank,
+               mm.a AS sym_a, mm.b AS sym_b,
+               n_applications, tokens_after,
+               {round6_ratio_sql('CAST(n_applications AS DECIMAL(27,6))',
+                                 'greatest(t, 1)')} AS reduction_share
+        FROM ms JOIN mm ON mm.rank = ms.mi + 1 CROSS JOIN tot
+    """
+
+    sqls["text_bpe_compression_curve"] = f"""
+        WITH RECURSIVE {_bq_spine},
+        stg AS (SELECT word, mi, max(ntok) AS mx, min(ntok) AS mn
+                FROM stepn WHERE mi < {_bq_n} GROUP BY 1, 2),
+        curve AS (
+          SELECT 0 AS k, CAST(sum(freq * mx) AS BIGINT) AS n_tokens
+          FROM stg JOIN wfx USING (word) WHERE mi = 0
+          UNION ALL
+          SELECT mi + 1 AS k, CAST(sum(freq * mn) AS BIGINT) AS n_tokens
+          FROM stg JOIN wfx USING (word) GROUP BY mi + 1
+        ),
+        scal AS (SELECT CAST(sum(freq) AS BIGINT) AS nw,
+                   CAST(sum(freq * length(word)) AS BIGINT) AS nc
+                 FROM wfx)
+        SELECT CAST(k AS BIGINT) AS n_merges_applied, n_tokens,
+               {round6_ratio_sql('CAST(n_tokens AS DECIMAL(27,6))',
+                                 'greatest(nw, 1)')} AS fertility,
+               {round6_ratio_sql('CAST(nc AS DECIMAL(27,6))',
+                                 'greatest(n_tokens, 1)')} AS chars_per_token
+        FROM curve CROSS JOIN scal
+    """
+
+    sqls["text_bpe_fertility_by_script"] = f"""
+        WITH RECURSIVE {_bq_spine},
+        cls AS (SELECT wfx.word, freq, length(wfx.word) AS wlen,
+                  fin.ntok,
+                  CASE WHEN regexp_matches(wfx.word, '^[a-z]+$')
+                       THEN 'alpha'
+                       WHEN regexp_matches(wfx.word, '^[0-9]+$')
+                       THEN 'digit'
+                       ELSE 'mixed' END AS word_class,
+                  CASE WHEN length(wfx.word) <= 2 THEN '1-2'
+                       WHEN length(wfx.word) <= 5 THEN '3-5'
+                       WHEN length(wfx.word) <= 8 THEN '6-8'
+                       ELSE '9+' END AS len_bucket
+                FROM wfx JOIN fin ON fin.word = wfx.word),
+        agg AS (SELECT word_class, len_bucket,
+                  CAST(count(*) AS BIGINT) AS n_distinct_words,
+                  CAST(sum(freq) AS BIGINT) AS n_words,
+                  CAST(sum(freq * wlen) AS BIGINT) AS n_chars,
+                  CAST(sum(freq * ntok) AS BIGINT) AS n_tokens
+                FROM cls GROUP BY 1, 2)
+        SELECT word_class, len_bucket, n_distinct_words, n_words, n_chars,
+               n_tokens,
+               {round6_ratio_sql('CAST(n_tokens AS DECIMAL(27,6))',
+                                 'greatest(n_words, 1)')} AS fertility,
+               {round6_ratio_sql('CAST(n_chars AS DECIMAL(27,6))',
+                                 'greatest(n_tokens, 1)')} AS chars_per_token
+        FROM agg
+    """
+
+    sqls["text_bpe_token_length_hist"] = f"""
+        WITH RECURSIVE {_bq_spine},
+        hist AS (SELECT fin.ntok AS n_tok,
+                   CAST(count(*) AS BIGINT) AS n_distinct_words,
+                   CAST(sum(freq) AS BIGINT) AS n_occurrences
+                 FROM wfx JOIN fin ON fin.word = wfx.word GROUP BY 1),
+        tot AS (SELECT CAST(sum(n_occurrences) AS BIGINT) AS t FROM hist)
+        SELECT CAST(n_tok AS BIGINT) AS n_tok, n_distinct_words,
+               n_occurrences,
+               {round6_ratio_sql('CAST(n_occurrences AS DECIMAL(27,6))',
+                                 'greatest(t, 1)')} AS occurrence_share
+        FROM hist CROSS JOIN tot
+    """
+
+    sqls["text_bpe_snapshot_drift"] = f"""
+        WITH RECURSIVE {_bq_spine},
+        docs AS (SELECT doc_id, source, doc_id % 2 AS par, {w} AS ws
+                 FROM documents),
+        wocc AS (SELECT source, par, word
+                 FROM (SELECT source, par, unnest(ws) AS word FROM docs)
+                 WHERE word <> ''),
+        tokw AS (SELECT source, par,
+                   CAST(count(*) AS BIGINT) AS n_words,
+                   CAST(sum(fin.ntok) AS BIGINT) AS n_tokens
+                 FROM wocc JOIN fin USING (word) GROUP BY 1, 2),
+        dc AS (SELECT source, par, CAST(count(*) AS BIGINT) AS n_docs
+               FROM docs GROUP BY 1, 2),
+        sides AS (SELECT dc.source, dc.par, dc.n_docs,
+                    COALESCE(tokw.n_words, 0) AS n_words,
+                    COALESCE(tokw.n_tokens, 0) AS n_tokens
+                  FROM dc LEFT JOIN tokw USING (source, par)),
+        fert AS (SELECT source, par, n_docs, n_tokens,
+                   {round6_ratio_sql('CAST(n_tokens AS DECIMAL(27,6))',
+                                     'greatest(n_words, 1)')} AS fertility
+                 FROM sides)
+        SELECT source AS "group",
+               CAST(COALESCE(sum(CASE WHEN par = 0 THEN n_docs END), 0)
+                    AS BIGINT) AS n_docs_a,
+               CAST(COALESCE(sum(CASE WHEN par = 1 THEN n_docs END), 0)
+                    AS BIGINT) AS n_docs_b,
+               CAST(COALESCE(sum(CASE WHEN par = 0 THEN n_tokens END), 0)
+                    AS BIGINT) AS n_tokens_a,
+               CAST(COALESCE(sum(CASE WHEN par = 1 THEN n_tokens END), 0)
+                    AS BIGINT) AS n_tokens_b,
+               COALESCE(max(CASE WHEN par = 0 THEN fertility END), 0.0)
+                 AS fertility_a,
+               COALESCE(max(CASE WHEN par = 1 THEN fertility END), 0.0)
+                 AS fertility_b,
+               COALESCE(max(CASE WHEN par = 1 THEN fertility END), 0.0)
+                 - COALESCE(max(CASE WHEN par = 0 THEN fertility END), 0.0)
+                 AS fertility_delta
+        FROM fert GROUP BY 1
+    """
+
+    sqls["text_bpe_pair_stats"] = f"""
+        WITH RECURSIVE {_bq_spine},
+        prs AS (SELECT substring(word, i, 1) AS sym_a,
+                  CASE WHEN i = length(word) THEN '</w>'
+                       ELSE substring(word, i + 1, 1) END AS sym_b,
+                  freq
+                FROM (SELECT word, freq,
+                        unnest(generate_series(1, length(word))) AS i
+                      FROM wfx)),
+        agg AS (SELECT sym_a, sym_b,
+                  CAST(sum(freq) AS BIGINT) AS n_weighted
+                FROM prs GROUP BY 1, 2),
+        rnk AS (SELECT CAST(row_number() OVER (
+                    ORDER BY n_weighted DESC, sym_a, sym_b) AS BIGINT)
+                    AS rank, sym_a, sym_b, n_weighted
+                FROM agg)
+        SELECT rank, sym_a, sym_b, n_weighted FROM rnk WHERE rank <= 20
+    """
+
+    sqls["text_script_mix"] = f"""
+        WITH sm AS (SELECT source,
+                      length(lower(text)) AS nc,
+                      length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                        AS nl,
+                      length(regexp_replace(lower(text), '[^0-9]', '', 'g'))
+                        AS nd,
+                      length(regexp_replace(lower(text), '[^ \\t\\n]', '',
+                                            'g')) AS ns
+                    FROM documents),
+        agg AS (SELECT source AS "group",
+                  CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(sum(nc) AS BIGINT) AS n_chars,
+                  CAST(sum(nl) AS BIGINT) AS n_letters,
+                  CAST(sum(nd) AS BIGINT) AS n_digits,
+                  CAST(sum(ns) AS BIGINT) AS n_spaces
+                FROM sm GROUP BY 1)
+        SELECT "group", n_docs, n_chars, n_letters, n_digits, n_spaces,
+               CAST(n_chars - n_letters - n_digits - n_spaces AS BIGINT)
+                 AS n_other,
+               {round6_ratio_sql('CAST(n_letters AS DECIMAL(27,6))',
+                                 'greatest(n_chars, 1)')} AS letter_share,
+               {round6_ratio_sql('CAST(n_digits AS DECIMAL(27,6))',
+                                 'greatest(n_chars, 1)')} AS digit_share
         FROM agg
     """
 

@@ -3730,3 +3730,444 @@ def ngram_novelty_by_decile(
             F.col("n_distinct_grams"),
         ).alias("novelty_rate"),
     )
+
+
+# --------------------------------------------------------------------------
+# Tokenizer economics (r10): merge-table drift, utilization, script mix
+# --------------------------------------------------------------------------
+# Reference parity note: the reference tokenizes per-example in Python
+# (fuel/datasets/text.py:46 maps a dictionary over word streams); the
+# planning tables below are the corpus-scale economics a tokenizer
+# CHOICE needs — computed once on the word-frequency table (vocab
+# grain), never per document, so the 100 TB corpus contributes one
+# shuffle (the word count) and everything downstream is vocab-sized.
+
+
+def _word_class(col) -> F.Column:
+    """Charclass of a normalized word ([a-z0-9]+ by construction):
+    alpha / digit / mixed — the script bucket a fertility planner
+    slices by (Rust et al. 2021 report fertility varies most across
+    scripts; our synthetic corpus's analogue is the charclass)."""
+    return (
+        F.when(col.rlike("^[a-z]+$"), F.lit("alpha"))
+        .when(col.rlike("^[0-9]+$"), F.lit("digit"))
+        .otherwise(F.lit("mixed"))
+    )
+
+
+def _word_freq(df: DataFrame, text_col: str) -> DataFrame:
+    """Corpus word-frequency table: (word, freq) — the tokenizer-
+    economics spine.  One corpus pass; every economics table below is
+    vocab-sized after this."""
+    return (
+        ensure_parallelism(df.select(F.col(text_col)))
+        .select(F.explode(words(F.col(text_col))).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _bpe_fold_vocab_sizes(
+    vocab: DataFrame, merges, end_of_word: str = "</w>"
+) -> DataFrame:
+    """Per-word token counts after EVERY merge prefix: (word, sizes)
+    where sizes[k] (0-based element k+1 in SQL terms) is the token
+    count after applying merges[0..k-1] — sizes[0] = len(word)+1 (the
+    char + end-of-word init), sizes[n_merges] = the final count.
+
+    Same left-to-right JVM aggregate fold as :func:`_bpe_fold_vocab`
+    (bit-identical states by construction), with the Generate barrier
+    every 4 merges; the extra cost over the plain fold is one
+    ``size()`` per merge per distinct word — vocab-grain, never
+    corpus-grain."""
+    v = vocab.select(
+        "word",
+        F.expr(
+            f"""array(concat(transform(sequence(1, length(word)),
+                                       i -> substring(word, i, 1)),
+                             array('{end_of_word}')))"""
+        ).alias("_sw"),
+        F.array(F.length("word") + F.lit(1)).alias("_szs"),
+    )
+    for i, m in enumerate(merges):
+        a, b = m[0], m[1]
+        qa, qb = a.replace("'", "\\'"), b.replace("'", "\\'")
+        fold = (
+            f"""transform(_sw, syms -> aggregate(syms,
+                CAST(array() AS ARRAY<STRING>),
+                (acc, x) -> CASE WHEN size(acc) > 0
+                                  AND element_at(acc, -1) = '{qa}'
+                                  AND x = '{qb}'
+                            THEN concat(slice(acc, 1, size(acc) - 1),
+                                        array('{qa}{qb}'))
+                            ELSE concat(acc, array(x)) END))"""
+        )
+        if (i + 1) % 4 == 0:
+            v = with_materialized(
+                v.select("word", "_szs", F.expr(fold).alias("_pre")),
+                "_sw", F.col("_pre"),
+            ).drop("_pre")
+        else:
+            v = v.select("word", "_szs", F.expr(fold).alias("_sw"))
+        v = v.select(
+            "word", "_sw",
+            F.concat("_szs", F.array(F.size(F.col("_sw")[0]))).alias("_szs"),
+        )
+    return v.select("word", F.col("_szs").alias("sizes"))
+
+
+def bpe_merge_utilization(
+    df: DataFrame, text_col: str, merges, end_of_word: str = "</w>"
+) -> DataFrame:
+    """Per-merge utilization on THIS corpus: how many times each merge
+    of a fixed table actually fires — the merge-table audit a planner
+    reads before shipping a tokenizer to a new domain (a merge that
+    never fires is vocabulary budget wasted on the wrong domain).
+
+    Each application of merge k removes exactly one token, so
+    n_applications(k) = Σ_word freq · (sizes[k-1] − sizes[k]) — pure
+    arithmetic on the prefix-size table (:func:`_bpe_fold_vocab_sizes`,
+    vocab grain, broadcast back onto the word-frequency table).
+
+    Output per merge rank (1-based, training order): merge_rank,
+    sym_a, sym_b, n_applications, tokens_after, reduction_share
+    (this merge's share of the total token reduction, exact-rational
+    round6)."""
+    from fuel_spark.functions import round6_ratio
+
+    wf = _word_freq(df, text_col)
+    sizes = _bpe_fold_vocab_sizes(
+        wf.select("word").distinct(), merges, end_of_word
+    )
+    per = wf.join(F.broadcast(sizes), "word")
+    n = len(merges)
+    ranks = per.select(
+        "freq",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, {n}),"
+                f" k -> struct(element_at(sizes, k) - element_at(sizes, k + 1)"
+                f" AS apps, element_at(sizes, k + 1) AS after))"
+            )
+        ).alias("pos", "r"),
+    )
+    agg = ranks.groupBy((F.col("pos") + 1).alias("merge_rank")).agg(
+        F.sum(F.col("freq") * F.col("r.apps")).cast("bigint").alias(
+            "n_applications"
+        ),
+        F.sum(F.col("freq") * F.col("r.after")).cast("bigint").alias(
+            "tokens_after"
+        ),
+    )
+    pairs = F.array(
+        *[
+            F.struct(F.lit(m[0]).alias("a"), F.lit(m[1]).alias("b"))
+            for m in merges
+        ]
+    )
+    total = agg.agg(
+        F.sum("n_applications").cast("bigint").alias("_tot")
+    )
+    return (
+        agg.crossJoin(F.broadcast(total))
+        .select(
+            F.col("merge_rank").cast("bigint").alias("merge_rank"),
+            F.element_at(pairs, F.col("merge_rank").cast("int"))["a"].alias(
+                "sym_a"
+            ),
+            F.element_at(pairs, F.col("merge_rank").cast("int"))["b"].alias(
+                "sym_b"
+            ),
+            "n_applications",
+            "tokens_after",
+            round6_ratio(
+                F.col("n_applications").cast("decimal(27,6)"),
+                F.greatest(F.col("_tot"), F.lit(1)),
+            ).alias("reduction_share"),
+        )
+    )
+
+
+def bpe_compression_curve(
+    df: DataFrame, text_col: str, merges, end_of_word: str = "</w>"
+) -> DataFrame:
+    """Corpus compression vs merge-count curve: tokens, fertility and
+    chars/token after the first k merges, k = 0..n — the
+    vocabulary-size economics read (how much context-window do the
+    next 4 merges actually buy on THIS corpus?).
+
+    Same vocab-grain prefix-size table as
+    :func:`bpe_merge_utilization`; the curve is Σ freq·sizes[k] per k
+    plus two corpus scalars (total normalized chars and words)
+    broadcast in.  Output per k: n_merges_applied, n_tokens,
+    fertility, chars_per_token (exact-rational round6)."""
+    from fuel_spark.functions import round6_ratio
+
+    wf = _word_freq(df, text_col)
+    sizes = _bpe_fold_vocab_sizes(
+        wf.select("word").distinct(), merges, end_of_word
+    )
+    per = wf.join(F.broadcast(sizes), "word")
+    n = len(merges)
+    curve = (
+        per.select(
+            "freq",
+            F.posexplode(F.col("sizes")).alias("pos", "sz"),
+        )
+        .groupBy(F.col("pos").cast("bigint").alias("n_merges_applied"))
+        .agg(F.sum(F.col("freq") * F.col("sz")).cast("bigint").alias(
+            "n_tokens"
+        ))
+    )
+    scal = per.agg(
+        F.sum("freq").cast("bigint").alias("_nw"),
+        F.sum(F.col("freq") * F.length("word")).cast("bigint").alias("_nc"),
+    )
+    return curve.crossJoin(F.broadcast(scal)).select(
+        "n_merges_applied",
+        "n_tokens",
+        round6_ratio(
+            F.col("n_tokens").cast("decimal(27,6)"),
+            F.greatest(F.col("_nw"), F.lit(1)),
+        ).alias("fertility"),
+        round6_ratio(
+            F.col("_nc").cast("decimal(27,6)"),
+            F.greatest(F.col("n_tokens"), F.lit(1)),
+        ).alias("chars_per_token"),
+    )
+
+
+def bpe_fertility_by_class(
+    df: DataFrame, text_col: str, merges, end_of_word: str = "</w>"
+) -> DataFrame:
+    """Fertility sliced by word charclass (alpha/digit/mixed) — the
+    fertility-by-script table: merge tables trained on prose
+    under-serve numeric/code-like tokens, and this is the read that
+    shows it (digits stay at ~1 token per char under prose merges).
+
+    Vocab-grain fold + broadcast join (the :func:`bpe_fertility`
+    scale shape); sliced by (charclass, word-length bucket) so the
+    table reads the length gradient too (long words are where a
+    too-small merge table bleeds context budget).  Output per
+    (word_class, len_bucket): n_distinct_words, n_words, n_chars,
+    n_tokens, fertility, chars_per_token."""
+    from fuel_spark.functions import round6_ratio
+
+    wf = _word_freq(df, text_col)
+    sizes = _bpe_fold_vocab_sizes(
+        wf.select("word").distinct(), merges, end_of_word
+    )
+    lb = (
+        F.when(F.length("word") <= 2, F.lit("1-2"))
+        .when(F.length("word") <= 5, F.lit("3-5"))
+        .when(F.length("word") <= 8, F.lit("6-8"))
+        .otherwise(F.lit("9+"))
+    )
+    per = wf.join(F.broadcast(sizes), "word").select(
+        _word_class(F.col("word")).alias("word_class"),
+        lb.alias("len_bucket"),
+        "freq",
+        F.length("word").alias("_len"),
+        F.element_at("sizes", len(merges) + 1).alias("_ntok"),
+    )
+    return (
+        per.groupBy("word_class", "len_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct_words"),
+            F.sum("freq").cast("bigint").alias("n_words"),
+            F.sum(F.col("freq") * F.col("_len")).cast("bigint").alias(
+                "n_chars"
+            ),
+            F.sum(F.col("freq") * F.col("_ntok")).cast("bigint").alias(
+                "n_tokens"
+            ),
+        )
+        .select(
+            "word_class", "len_bucket", "n_distinct_words", "n_words",
+            "n_chars",
+            "n_tokens",
+            round6_ratio(
+                F.col("n_tokens").cast("decimal(27,6)"),
+                F.greatest(F.col("n_words"), F.lit(1)),
+            ).alias("fertility"),
+            round6_ratio(
+                F.col("n_chars").cast("decimal(27,6)"),
+                F.greatest(F.col("n_tokens"), F.lit(1)),
+            ).alias("chars_per_token"),
+        )
+    )
+
+
+def bpe_token_length_hist(
+    df: DataFrame, text_col: str, merges, end_of_word: str = "</w>"
+) -> DataFrame:
+    """Tokens-per-word histogram under a fixed merge table: per final
+    token count, how many distinct words and corpus occurrences land
+    there — the truncation/padding planning read (a fat tail of
+    8-token words is what blows up sequence packing).
+
+    Output per n_tok: n_distinct_words, n_occurrences,
+    occurrence_share (round6)."""
+    from fuel_spark.functions import round6_ratio
+
+    wf = _word_freq(df, text_col)
+    sizes = _bpe_fold_vocab_sizes(
+        wf.select("word").distinct(), merges, end_of_word
+    )
+    per = wf.join(F.broadcast(sizes), "word").select(
+        "freq", F.element_at("sizes", len(merges) + 1).alias("n_tok")
+    )
+    hist = per.groupBy(F.col("n_tok").cast("bigint").alias("n_tok")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_words"),
+        F.sum("freq").cast("bigint").alias("n_occurrences"),
+    )
+    tot = hist.agg(F.sum("n_occurrences").cast("bigint").alias("_tot"))
+    return hist.crossJoin(F.broadcast(tot)).select(
+        "n_tok", "n_distinct_words", "n_occurrences",
+        round6_ratio(
+            F.col("n_occurrences").cast("decimal(27,6)"),
+            F.greatest(F.col("_tot"), F.lit(1)),
+        ).alias("occurrence_share"),
+    )
+
+
+def bpe_fertility_drift(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    merges,
+    end_of_word: str = "</w>",
+) -> DataFrame:
+    """Merge-table drift between corpus snapshots: per-source
+    fertility under the SAME fixed merge table on snapshot A (even
+    ids) vs snapshot B (odd ids) — the tokenizer-rot monitor (a
+    domain whose fertility climbs between snapshots is drifting away
+    from the merge table's training distribution, the signal to
+    retrain before the context-window budget erodes).
+
+    Two :func:`bpe_fertility` passes (vocab-grain fold each) joined
+    on the group; output per group: n_docs_a/b, n_tokens_a/b,
+    fertility_a/b, fertility_delta (b − a, difference of the two
+    exact-6dp ratios)."""
+    a = bpe_fertility(
+        df.where(F.col(id_col) % 2 == 0), id_col, text_col, group_col,
+        merges, end_of_word,
+    ).select(
+        "group",
+        F.col("n_docs").alias("n_docs_a"),
+        F.col("n_tokens").alias("n_tokens_a"),
+        F.col("fertility").alias("fertility_a"),
+    )
+    b = bpe_fertility(
+        df.where(F.col(id_col) % 2 == 1), id_col, text_col, group_col,
+        merges, end_of_word,
+    ).select(
+        "group",
+        F.col("n_docs").alias("n_docs_b"),
+        F.col("n_tokens").alias("n_tokens_b"),
+        F.col("fertility").alias("fertility_b"),
+    )
+    return a.join(b, "group", "full_outer").select(
+        "group",
+        F.coalesce("n_docs_a", F.lit(0)).alias("n_docs_a"),
+        F.coalesce("n_docs_b", F.lit(0)).alias("n_docs_b"),
+        F.coalesce("n_tokens_a", F.lit(0)).alias("n_tokens_a"),
+        F.coalesce("n_tokens_b", F.lit(0)).alias("n_tokens_b"),
+        F.coalesce("fertility_a", F.lit(0.0)).alias("fertility_a"),
+        F.coalesce("fertility_b", F.lit(0.0)).alias("fertility_b"),
+        (
+            F.coalesce("fertility_b", F.lit(0.0))
+            - F.coalesce("fertility_a", F.lit(0.0))
+        ).alias("fertility_delta"),
+    )
+
+
+def bpe_pair_stats(
+    df: DataFrame, text_col: str, k: int = 20, end_of_word: str = "</w>"
+) -> DataFrame:
+    """The next-merge candidate table: top-k adjacent symbol pairs by
+    weighted frequency at the CHAR-level init state (what
+    :func:`train_bpe`'s first iteration would see) — training
+    transparency for the merge table, and the drift signal's raw
+    form (a pair that rockets up this table between snapshots is the
+    merge the current table is missing).
+
+    Vocab-grain pair explode weighted by word frequency; ties break
+    (n desc, a, b) so the ranking is deterministic.  Output:
+    rank, sym_a, sym_b, n_weighted."""
+    wf = _word_freq(df, text_col)
+    pairs = wf.select(
+        "freq",
+        F.explode(
+            F.expr(
+                f"""transform(sequence(1, length(word)),
+                    i -> struct(substring(word, i, 1) AS a,
+                                CASE WHEN i = length(word)
+                                     THEN '{end_of_word}'
+                                     ELSE substring(word, i + 1, 1)
+                                END AS b))"""
+            )
+        ).alias("p"),
+    )
+    agg = pairs.groupBy("p.a", "p.b").agg(
+        F.sum("freq").cast("bigint").alias("n_weighted")
+    )
+    from pyspark.sql import Window
+
+    win = Window.orderBy(
+        F.col("n_weighted").desc(), F.col("a"), F.col("b")
+    )
+    return (
+        agg.select(
+            F.row_number().over(win).cast("bigint").alias("rank"),
+            F.col("a").alias("sym_a"),
+            F.col("b").alias("sym_b"),
+            "n_weighted",
+        )
+        .where(F.col("rank") <= k)
+    )
+
+
+def script_mix(df: DataFrame, group_col: str, text_col: str) -> DataFrame:
+    """Charclass composition census per source: letters / digits /
+    whitespace / other shares of the RAW text — the pre-tokenization
+    profile (a source drifting toward digits or markup is the
+    upstream cause the fertility tables then quantify).
+
+    Pure regexp-length arithmetic, one scan; output per group:
+    n_docs, n_chars, n_letters, n_digits, n_spaces, n_other +
+    round6 shares."""
+    from fuel_spark.functions import round6_ratio
+
+    low = F.lower(F.col(text_col))
+    d = ensure_parallelism(df).select(
+        F.col(group_col).alias("group"),
+        F.length(low).alias("_nc"),
+        F.length(F.regexp_replace(low, "[^a-z]", "")).alias("_nl"),
+        F.length(F.regexp_replace(low, "[^0-9]", "")).alias("_nd"),
+        F.length(F.regexp_replace(low, "[^ \\t\\n]", "")).alias("_ns"),
+    )
+    agg = d.groupBy("group").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("_nc").cast("bigint").alias("n_chars"),
+        F.sum("_nl").cast("bigint").alias("n_letters"),
+        F.sum("_nd").cast("bigint").alias("n_digits"),
+        F.sum("_ns").cast("bigint").alias("n_spaces"),
+    )
+    return agg.select(
+        "group", "n_docs", "n_chars", "n_letters", "n_digits", "n_spaces",
+        (
+            F.col("n_chars") - F.col("n_letters") - F.col("n_digits")
+            - F.col("n_spaces")
+        ).cast("bigint").alias("n_other"),
+        round6_ratio(
+            F.col("n_letters").cast("decimal(27,6)"),
+            F.greatest(F.col("n_chars"), F.lit(1)),
+        ).alias("letter_share"),
+        round6_ratio(
+            F.col("n_digits").cast("decimal(27,6)"),
+            F.greatest(F.col("n_chars"), F.lit(1)),
+        ).alias("digit_share"),
+    )

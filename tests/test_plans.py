@@ -995,6 +995,11 @@ SINGLE_PARTITION_ALLOWLIST = {
     "order_worker_sweep", "profile_corr_matrix",
     "profile_numeric_moments", "audio_decimate_sweep",
     "video_stride_sweep", "text_novelty_by_decile",
+    # r10 tokenizer economics: 1-row total/corpus-scalar broadcasts
+    # over the vocab-grain prefix-size table (the mixture normalizer
+    # rationale) — the fold itself is vocab-sized, never corpus-sized
+    "text_bpe_merge_utilization", "text_bpe_compression_curve",
+    "text_bpe_token_length_hist",
 }
 
 

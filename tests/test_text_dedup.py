@@ -2317,3 +2317,146 @@ def test_dsir_topk_by_source_tilt_and_cap(spark):
     for r in got.values():
         assert r.mean_weight_kept >= r.mean_weight_all
         assert r.cut_weight is not None
+
+
+# ---- r10 tokenizer-economics tier -----------------------------------------
+
+_ECON_MERGES = [("t", "h"), ("th", "e"), ("the", "</w>")]
+
+
+def _econ_corpus(spark):
+    # word freq: "the" x2, "then" x1 — hand-traceable through the
+    # three merges above
+    return from_rows(
+        spark,
+        [(0, "the the then")],
+        schema="doc_id bigint, text string",
+    )
+
+
+def test_bpe_merge_utilization_hand_values(spark):
+    """Each application removes exactly one token: (t,h) fires on
+    every word (3 weighted), (th,e) likewise (3), (the,</w>) only on
+    the bare 'the' (2); shares sum to 1."""
+    rows = {r.merge_rank: r for r in text_ops.bpe_merge_utilization(
+        _econ_corpus(spark), "text", _ECON_MERGES
+    ).collect()}
+    assert [rows[k].n_applications for k in (1, 2, 3)] == [3, 3, 2]
+    assert rows[1].sym_a == "t" and rows[1].sym_b == "h"
+    assert rows[3].tokens_after == 5  # 'the'->1 tok x2 + 'then'->3 toks
+    assert abs(sum(r.reduction_share for r in rows.values()) - 1.0) < 1e-6
+
+
+def test_bpe_compression_curve_monotone(spark):
+    """Curve starts at the char+eow count (2*4 + 1*5 = 13), drops by
+    the per-merge applications (3, 3, 2), and fertility is
+    nonincreasing in k."""
+    rows = {r.n_merges_applied: r for r in text_ops.bpe_compression_curve(
+        _econ_corpus(spark), "text", _ECON_MERGES
+    ).collect()}
+    assert [rows[k].n_tokens for k in (0, 1, 2, 3)] == [13, 10, 7, 5]
+    ferts = [rows[k].fertility for k in (0, 1, 2, 3)]
+    assert all(a >= b for a, b in zip(ferts, ferts[1:]))
+
+
+def test_bpe_utilization_curve_agree(spark):
+    """Cross-operator contract: the utilization table's final
+    tokens_after equals the curve's last point, and total
+    applications equal the end-to-end token reduction."""
+    util = text_ops.bpe_merge_utilization(
+        _econ_corpus(spark), "text", _ECON_MERGES
+    ).collect()
+    curve = {r.n_merges_applied: r.n_tokens
+             for r in text_ops.bpe_compression_curve(
+                 _econ_corpus(spark), "text", _ECON_MERGES
+             ).collect()}
+    n = len(_ECON_MERGES)
+    final = [r.tokens_after for r in util if r.merge_rank == n][0]
+    assert final == curve[n]
+    assert sum(r.n_applications for r in util) == curve[0] - curve[n]
+
+
+def test_bpe_fertility_by_script_classes(spark):
+    """Words split into alpha/digit/mixed charclasses with exact
+    token accounting (no merges -> every word costs len+1 tokens)."""
+    df = from_rows(
+        spark,
+        [(0, "abc 12 a1b abc")],
+        schema="doc_id bigint, text string",
+    )
+    rows = {(r.word_class, r.len_bucket): r
+            for r in text_ops.bpe_fertility_by_class(
+                df, "text", []
+            ).collect()}
+    a = rows[("alpha", "3-5")]
+    assert a.n_distinct_words == 1 and a.n_words == 2
+    assert a.n_tokens == 2 * 4  # 'abc' -> 3 chars + </w>
+    d = rows[("digit", "1-2")]
+    assert d.n_words == 1 and d.n_tokens == 3
+    m = rows[("mixed", "3-5")]
+    assert m.n_words == 1 and m.n_chars == 3
+
+
+def test_bpe_token_length_hist_shares(spark):
+    """Histogram counts distinct words and occurrences per final
+    token count; occurrence shares sum to 1."""
+    rows = text_ops.bpe_token_length_hist(
+        _econ_corpus(spark), "text", _ECON_MERGES
+    ).collect()
+    got = {r.n_tok: (r.n_distinct_words, r.n_occurrences) for r in rows}
+    # 'the' -> 1 token (x2 occurrences), 'then' -> 3 tokens (x1)
+    assert got[1] == (1, 2) and got[3] == (1, 1)
+    assert abs(sum(r.occurrence_share for r in rows) - 1.0) < 1e-6
+
+
+def test_bpe_snapshot_drift_delta(spark):
+    """Even/odd halves tokenize independently; delta = b - a; a
+    source present on one side only reads zeros on the other."""
+    df = from_rows(
+        spark,
+        [
+            (0, "s1", "the the"),      # even -> A
+            (1, "s1", "then then"),    # odd  -> B (higher fertility)
+            (2, "s2", "the"),          # even only
+        ],
+        schema="doc_id bigint, source string, text string",
+    )
+    rows = {r.group: r for r in text_ops.bpe_fertility_drift(
+        df, "doc_id", "text", "source", _ECON_MERGES
+    ).collect()}
+    s1 = rows["s1"]
+    assert s1.n_docs_a == 1 and s1.n_docs_b == 1
+    assert s1.n_tokens_a == 2 and s1.n_tokens_b == 6
+    assert s1.fertility_a == 1.0 and s1.fertility_b == 3.0
+    assert abs(s1.fertility_delta - 2.0) < 1e-9
+    s2 = rows["s2"]
+    assert s2.n_docs_b == 0 and s2.fertility_b == 0.0
+
+
+def test_bpe_pair_stats_ranking(spark):
+    """Weighted adjacent-pair counts at the char+eow init state with
+    the deterministic (n desc, a, b) tie-break."""
+    df = from_rows(
+        spark,
+        [(0, "ab ab b")],
+        schema="doc_id bigint, text string",
+    )
+    rows = text_ops.bpe_pair_stats(df, "text", k=20).collect()
+    by_rank = {r.rank: (r.sym_a, r.sym_b, r.n_weighted) for r in rows}
+    assert by_rank[1] == ("b", "</w>", 3)
+    assert by_rank[2] == ("a", "b", 2)
+
+
+def test_script_mix_hand_values(spark):
+    """Charclass census of raw text: 'Ab 1!' -> 2 letters, 1 digit,
+    1 space, 1 other of 5 chars."""
+    df = from_rows(
+        spark,
+        [(0, "s", "Ab 1!")],
+        schema="doc_id bigint, source string, text string",
+    )
+    r = text_ops.script_mix(df, "source", "text").collect()[0]
+    assert (r.n_chars, r.n_letters, r.n_digits, r.n_spaces, r.n_other) == (
+        5, 2, 1, 1, 1
+    )
+    assert abs(r.letter_share - 0.4) < 1e-9
