@@ -5095,6 +5095,145 @@ def q_script_mix(spark, sf):
     return text_ops.script_mix(d, "source", "text")
 
 
+# ---- round-10 cluster-planning tier: the near-dup pair graph's
+# component structure as planning tables (threshold curve, token mass,
+# clique-ness, contamination, split leakage) — banded candidates +
+# pointer-doubling CC, never all-pairs.
+
+
+def q_cc_threshold_sweep(spark, sf):
+    """Cluster-size planning curve (r10): edges/clusters/rows-removed
+    at jaccard 0.3/0.5/0.7 from ONE MinHash+verify pass — the
+    threshold-choice table for a dedup rollout."""
+    d = _t(spark, sf)["documents"].select("doc_id", "text")
+    return dedup.cc_threshold_sweep(d, "doc_id", "text")
+
+
+def q_component_profile(spark, sf):
+    """Token mass per cluster size (r10): words locked up in
+    duplicate families, with corpus share — the size-resolved dedup
+    savings read."""
+    d = _t(spark, sf)["documents"].select("doc_id", "text")
+    return dedup.component_token_profile(d, "doc_id", "text")
+
+
+def q_cc_edge_density(spark, sf):
+    """Clique-ness audit (r10): verified internal edges over possible
+    pairs per cluster size — density ~1 is true dup families, low is
+    LSH chain accidents a threshold bump would split."""
+    d = _t(spark, sf)["documents"].select("doc_id", "text")
+    return dedup.cc_edge_density(d, "doc_id", "text")
+
+
+def q_cross_source_components(spark, sf):
+    """Cross-source contamination census (r10): clusters straddling
+    sources are syndicated content per-source dedup misses — the
+    global-dedup argument, measured."""
+    d = _t(spark, sf)["documents"]
+    return dedup.cross_source_components(d, "doc_id", "text", "source")
+
+
+def q_split_leakage(spark, sf):
+    """Naive-split leakage certificate (r10): near-dup clusters
+    straddling a doc_id-parity split, per size — every straddler is a
+    paraphrase leak; the measured case for leakage_free_split."""
+    d = _t(spark, sf)["documents"].select("doc_id", "text")
+    return dedup.split_leakage_census(d, "doc_id", "text")
+
+
+# ---- round-10 streaming resume tier: windowed-agg, running-agg and
+# SESSION-WINDOW state under the checkpoint-restart harness — the
+# second availableNow resume family (r9 VERDICT #2(c) ask).
+
+
+def q_stream_window_counts_resume(spark, sf):
+    """Windowed-aggregation RESUME certificate (r10): tumbling-hour
+    per-type counts across a checkpoint restart must equal the batch
+    aggregation — the engine's window-state store under the same gate
+    the sketch cells passed."""
+    e = _t(spark, sf)["events"]
+    return serve.window_counts_resume_certificate(spark, e)
+
+
+def q_stream_agg_minmax_resume(spark, sf):
+    """Running-aggregate RESUME certificate (r10): per-type count /
+    min / max / exact-decimal sum across a restart — the shape where
+    a lost partial sum is invisible without an oracle."""
+    e = _t(spark, sf)["events"]
+    return serve.running_agg_resume_certificate(spark, e)
+
+
+def q_stream_sessionize_resume(spark, sf):
+    """SESSION-WINDOW RESUME certificate (r10): event_id-parity
+    slices put halves of the same session in different runs, so the
+    restarted query must restore open windows and merge into them —
+    folded emissions must equal batch gap-sessionization exactly."""
+    e = _t(spark, sf)["events"]
+    return serve.sessionize_resume_certificate(spark, e)
+
+
+# ---- round-10 multimodal planning twins: the remaining budget tables
+# an ingest pipeline prices from metadata alone (the decode tier still
+# never runs) — storage shards, crop yield, pad-free batches, frame /
+# window decode bills, pixel drift, pHash radius curve.
+
+
+def q_image_storage_planner(spark, sf):
+    """Shard plan per aspect class (r10): decode bytes summed and the
+    integer-ceil shard count at a 1 MiB target — the writer's
+    repartition(n) input for balanced multimodal shards."""
+    meta = pixels.synth_image_meta(_t(spark, sf)["documents"])
+    return pixels.storage_shard_plan(meta)
+
+
+def q_image_augment_grid(spark, sf):
+    """Crop-grid yield per source (r10): 16x16 patches at stride 8
+    per image — the augmented-sample census of a RandomFixedSizeCrop
+    epoch (image.py:178's planning half)."""
+    meta = pixels.synth_image_meta(_t(spark, sf)["documents"])
+    return pixels.augment_grid_plan(meta, _doc_src(spark, sf))
+
+
+def q_image_batch_packing(spark, sf):
+    """Pad-free batch plan per exact resolution (r10): capacity,
+    full batches and remainder at a 16 KiB pixel budget by integer
+    division — the dataloader plan from metadata alone."""
+    meta = pixels.synth_image_meta(_t(spark, sf)["documents"])
+    return pixels.batch_packing_plan(meta)
+
+
+def q_video_frame_budget(spark, sf):
+    """Strided-frame decode bill per source (r10): ceil(n/5) capped
+    at 8 with the truncation census — the decode budget the frame
+    sampler commits to."""
+    vmeta = pixels.synth_video_meta(_t(spark, sf)["documents"])
+    return pixels.video_frame_budget(vmeta, _doc_src(spark, sf))
+
+
+def q_audio_window_budget(spark, sf):
+    """Feature-window bill per source (r10): 400-sample windows at
+    hop 160 per clip plus uncovered tails — the STFT budget from
+    metadata alone."""
+    ameta = pixels.synth_audio_meta(_t(spark, sf)["documents"])
+    return pixels.audio_window_budget(ameta, _doc_src(spark, sf))
+
+
+def q_image_phash_radius_sweep(spark, sf):
+    """Near-dup yield vs hamming radius (r10): one banded blocking
+    pass, cumulative pair counts at radius 0/2/4/6 — the
+    threshold-choice curve for the image near-dup screen."""
+    return pixels.phash_radius_sweep(
+        pixels.wht_sign_hash(_px_with_clones(spark, sf))
+    )
+
+
+def q_image_channel_drift(spark, sf):
+    """Per-channel pixel-mean drift between snapshot halves (r10):
+    exact integer sums, exact-rational means, delta — the
+    colorspace/decoder regression monitor."""
+    return pixels.channel_snapshot_drift(_px(spark, sf))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry.  ORDERING IS DELIBERATE: the driver's
     correctness gate checks the FIRST 50 keys, so each round leads
@@ -5193,6 +5332,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_snapshot_drift": q_bpe_snapshot_drift,
         "text_bpe_pair_stats": q_bpe_pair_stats,
         "text_script_mix": q_script_mix,
+        "dedup_cc_threshold_sweep": q_cc_threshold_sweep,
+        "dedup_component_profile": q_component_profile,
+        "dedup_cc_edge_density": q_cc_edge_density,
+        "dedup_cross_source_components": q_cross_source_components,
+        "dedup_split_leakage": q_split_leakage,
+        "stream_window_counts_resume": q_stream_window_counts_resume,
+        "stream_agg_minmax_resume": q_stream_agg_minmax_resume,
+        "stream_sessionize_resume": q_stream_sessionize_resume,
+        "image_storage_planner": q_image_storage_planner,
+        "image_augment_grid": q_image_augment_grid,
+        "image_batch_packing": q_image_batch_packing,
+        "video_frame_budget": q_video_frame_budget,
+        "audio_window_budget": q_audio_window_budget,
+        "image_phash_radius_sweep": q_image_phash_radius_sweep,
+        "image_channel_drift": q_image_channel_drift,
         # ---- driver-green in r9 (CORRECTNESS_r09.json, 50/50): the
         # round-9 window, now cumulative coverage. --------------------
         "sketch_bloom_merge_cert": q_bloom_merge,
@@ -17339,6 +17493,373 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN n_sketch >= 32 THEN round(31.0 / hk, 6)
                     ELSE CAST(n_sketch AS DOUBLE) END AS est_distinct
         FROM agg
+    """
+
+    # ---- r10 multimodal planning twins: metadata-only budget tables,
+    # all exact integer arithmetic over the md5-derived meta fixtures.
+    _imeta = (
+        f"SELECT doc_id AS id,"
+        f" ({hash_mod_sql('dimw', 'doc_id', 56)}) + 8 AS w,"
+        f" ({hash_mod_sql('dimh', 'doc_id', 56)}) + 8 AS h,"
+        f" 3 AS c FROM documents"
+    )
+
+    sqls["image_storage_planner"] = f"""
+        WITH meta AS ({_imeta}),
+        cl AS (SELECT CAST(c * h * w AS BIGINT) AS b,
+                 CASE WHEN (w * 100) // h < 75 THEN 'tall'
+                      WHEN (w * 100) // h <= 133 THEN 'square'
+                      ELSE 'wide' END AS aspect_class
+               FROM meta),
+        agg AS (SELECT aspect_class,
+                  CAST(count(*) AS BIGINT) AS n_images,
+                  CAST(sum(b) AS BIGINT) AS total_bytes
+                FROM cl GROUP BY 1)
+        SELECT aspect_class, n_images, total_bytes,
+               CAST((total_bytes + 1048575) // 1048576 AS BIGINT)
+                 AS n_shards,
+               {round6_ratio_sql('CAST(total_bytes AS DECIMAL(27,6))',
+                                 'greatest(n_images, 1)')} AS mean_bytes
+        FROM agg
+    """
+
+    sqls["image_augment_grid"] = f"""
+        WITH meta AS ({_imeta}),
+        per AS (SELECT id,
+                  (CASE WHEN h >= 16 THEN (h - 16) // 8 + 1 ELSE 0 END)
+                  * (CASE WHEN w >= 16 THEN (w - 16) // 8 + 1 ELSE 0 END)
+                    AS crops
+                FROM meta),
+        j AS (SELECT per.crops, d.source FROM per
+              JOIN documents d ON d.doc_id = per.id),
+        agg AS (SELECT source,
+                  CAST(count(*) AS BIGINT) AS n_images,
+                  CAST(sum(CASE WHEN crops > 0 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_croppable,
+                  CAST(sum(crops) AS BIGINT) AS total_crops
+                FROM j GROUP BY 1)
+        SELECT source, n_images, n_croppable, total_crops,
+               {round6_ratio_sql('CAST(total_crops AS DECIMAL(27,6))',
+                                 'greatest(n_images, 1)')}
+                 AS crops_per_image
+        FROM agg
+    """
+
+    sqls["image_batch_packing"] = f"""
+        WITH meta AS ({_imeta}),
+        per AS (SELECT CAST(h AS BIGINT) AS h, CAST(w AS BIGINT) AS w,
+                  CAST(count(*) AS BIGINT) AS n_images,
+                  CAST(max(c * h * w) AS BIGINT) AS bytes
+                FROM meta GROUP BY 1, 2),
+        capd AS (SELECT h, w, n_images,
+                   greatest(16384 // bytes, 1) AS batch_cap
+                 FROM per)
+        SELECT h, w, n_images,
+               CAST(batch_cap AS BIGINT) AS batch_cap,
+               CAST(n_images // batch_cap AS BIGINT) AS n_full_batches,
+               CAST(n_images % batch_cap AS BIGINT) AS n_remainder
+        FROM capd
+    """
+
+    sqls["video_frame_budget"] = f"""
+        WITH vm AS (SELECT doc_id AS id,
+                      ({hash_mod_sql('vmetaf', 'doc_id', 60)}) + 4
+                        AS n_frames
+                    FROM documents),
+        per AS (SELECT id, CAST(n_frames AS BIGINT) AS nf,
+                  (n_frames + 4) // 5 AS sw
+                FROM vm),
+        j AS (SELECT per.*, d.source FROM per
+              JOIN documents d ON d.doc_id = per.id),
+        agg AS (SELECT source,
+                  CAST(count(*) AS BIGINT) AS n_videos,
+                  CAST(sum(nf) AS BIGINT) AS total_frames,
+                  CAST(sum(least(sw, 8)) AS BIGINT) AS total_sampled,
+                  CAST(sum(CASE WHEN sw > 8 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_truncated
+                FROM j GROUP BY 1)
+        SELECT source, n_videos, total_frames, total_sampled,
+               n_truncated,
+               {round6_ratio_sql('CAST(total_sampled AS DECIMAL(27,6))',
+                                 'greatest(total_frames, 1)')}
+                 AS sample_rate
+        FROM agg
+    """
+
+    sqls["audio_window_budget"] = f"""
+        WITH am AS (SELECT doc_id AS id,
+                      ({hash_mod_sql('ametas', 'doc_id', 3840)}) + 256
+                        AS n_samples
+                    FROM documents),
+        per AS (SELECT id, CAST(n_samples AS BIGINT) AS ns,
+                  CASE WHEN n_samples >= 400
+                       THEN (n_samples - 400) // 160 + 1 ELSE 0 END AS nw
+                FROM am),
+        per2 AS (SELECT id, ns, nw,
+                   CASE WHEN nw > 0 THEN 400 + (nw - 1) * 160
+                        ELSE 0 END AS cov
+                 FROM per),
+        j AS (SELECT per2.*, d.source FROM per2
+              JOIN documents d ON d.doc_id = per2.id),
+        agg AS (SELECT source,
+                  CAST(count(*) AS BIGINT) AS n_clips,
+                  CAST(sum(CASE WHEN nw = 0 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_too_short,
+                  CAST(sum(nw) AS BIGINT) AS total_windows,
+                  CAST(sum(ns - cov) AS BIGINT) AS total_tail_samples
+                FROM j GROUP BY 1)
+        SELECT source, n_clips, n_too_short, total_windows,
+               total_tail_samples,
+               {round6_ratio_sql('CAST(total_windows AS DECIMAL(27,6))',
+                                 'greatest(n_clips, 1)')}
+                 AS windows_per_clip
+        FROM agg
+    """
+
+    sqls["image_phash_radius_sweep"] = f"""
+        WITH px AS ({_px_clones}), {_wht},
+        pbands AS (
+          SELECT id, phash_hi, phash_lo, 0 AS band_i,
+                 phash_hi & 65535 AS band_v FROM ph
+          UNION ALL SELECT id, phash_hi, phash_lo, 1,
+                 (phash_hi >> 16) & 65535 FROM ph
+          UNION ALL SELECT id, phash_hi, phash_lo, 2,
+                 phash_lo & 65535 FROM ph
+          UNION ALL SELECT id, phash_hi, phash_lo, 3,
+                 (phash_lo >> 16) & 65535 FROM ph
+        ),
+        prs AS (
+          SELECT DISTINCT l.id AS li, r.id AS ri,
+                 CAST(bit_count(xor(l.phash_hi, r.phash_hi))
+                      + bit_count(xor(l.phash_lo, r.phash_lo))
+                      AS BIGINT) AS hm
+          FROM pbands l JOIN pbands r
+            ON l.band_i = r.band_i AND l.band_v = r.band_v
+           AND l.id < r.id
+          WHERE bit_count(xor(l.phash_hi, r.phash_hi))
+                + bit_count(xor(l.phash_lo, r.phash_lo)) <= 6
+        )
+        SELECT CAST(0 AS BIGINT) AS radius,
+               (SELECT CAST(count(*) AS BIGINT) FROM prs WHERE hm <= 0)
+                 AS n_pairs
+        UNION ALL
+        SELECT 2, (SELECT CAST(count(*) AS BIGINT) FROM prs
+                   WHERE hm <= 2)
+        UNION ALL
+        SELECT 4, (SELECT CAST(count(*) AS BIGINT) FROM prs
+                   WHERE hm <= 4)
+        UNION ALL
+        SELECT 6, (SELECT CAST(count(*) AS BIGINT) FROM prs
+                   WHERE hm <= 6)
+    """
+
+    _cd_ma = round6_ratio_sql(
+        "CAST(sum_a AS DECIMAL(27,6))", "greatest(n_px_a, 1)"
+    )
+    _cd_mb = round6_ratio_sql(
+        "CAST(sum_b AS DECIMAL(27,6))", "greatest(n_px_b, 1)"
+    )
+    sqls["image_channel_drift"] = f"""
+        WITH px AS ({_px_base}),
+        agg AS (SELECT CAST(c AS BIGINT) AS c,
+                  CAST(sum(CASE WHEN id % 2 = 0 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_px_a,
+                  CAST(sum(CASE WHEN id % 2 = 1 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_px_b,
+                  CAST(sum(CASE WHEN id % 2 = 0 THEN v ELSE 0 END)
+                       AS BIGINT) AS sum_a,
+                  CAST(sum(CASE WHEN id % 2 = 1 THEN v ELSE 0 END)
+                       AS BIGINT) AS sum_b
+                FROM px GROUP BY 1)
+        SELECT c, n_px_a, n_px_b, sum_a, sum_b,
+               {_cd_ma} AS mean_a, {_cd_mb} AS mean_b,
+               ({_cd_mb}) - ({_cd_ma}) AS mean_drift
+        FROM agg
+    """
+
+    # ---- r10 streaming resume tier: all three final states are
+    # order/batching-independent, so the oracles are the plain batch
+    # aggregations over the whole input (the stream_cms_resume
+    # contract applied to the engine's own window / running-agg /
+    # session-window state stores).
+    sqls["stream_window_counts_resume"] = """
+        SELECT epoch_us(date_trunc('hour', ts)) // 1000000
+                 AS window_start_sec,
+               event_type,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events WHERE event_type IS NOT NULL
+        GROUP BY 1, 2
+    """
+
+    sqls["stream_agg_minmax_resume"] = """
+        WITH r AS (SELECT event_type, round(value, 6) AS v
+                   FROM events WHERE event_type IS NOT NULL)
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               min(v) AS min_value,
+               max(v) AS max_value,
+               CAST(sum(CAST(v AS DECIMAL(27,6))) AS DOUBLE) AS sum_value
+        FROM r GROUP BY 1
+    """
+
+    sqls["stream_sessionize_resume"] = """
+        WITH e AS (SELECT user_id, epoch_us(ts) // 1000000 AS sec
+                   FROM events WHERE user_id IS NOT NULL),
+        g AS (
+          SELECT user_id, sec,
+            CASE WHEN lag(sec) OVER w IS NULL OR sec - lag(sec) OVER w > 1800
+                 THEN 1 ELSE 0 END AS new_s
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec)
+        ),
+        s AS (
+          SELECT user_id, sec,
+            CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY sec
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+              AS session_seq
+          FROM g
+        )
+        SELECT user_id,
+               CAST(min(sec) AS BIGINT) AS session_start_sec,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(max(sec) - min(sec) AS BIGINT) AS duration_sec
+        FROM s GROUP BY user_id, session_seq
+    """
+
+    # ---- r10 cluster-planning tier: the _cc_core spine with jaccard
+    # CARRIED on the verified edges (so one candidate+verify pass
+    # serves every threshold, exactly like the Spark side), and the
+    # reach/comp recursion instantiated per sweep point.
+    _ccj_spine = f"""
+        {_minhash_bands_sql()},
+        ccand AS MATERIALIZED (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b
+            ON a.band_id = b.band_id AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id
+        ),
+        cshd AS MATERIALIZED (SELECT doc_id, {_shingles_sql('text')} AS s
+                 FROM documents),
+        cver AS MATERIALIZED (
+          SELECT id_a, id_b,
+            round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+              / greatest(len(sa.s) + len(sb.s)
+                         - len(list_intersect(sa.s, sb.s)), 1),
+              6) AS j
+          FROM ccand
+          JOIN cshd sa ON sa.doc_id = id_a
+          JOIN cshd sb ON sb.doc_id = id_b
+        )
+    """
+
+    def _ccj_comp(tag: str, thr: float) -> str:
+        """Edges/reach/comp/sizes CTE block at one threshold."""
+        return f"""
+        edges_{tag} AS MATERIALIZED (
+          SELECT id_a AS src, id_b AS dst FROM cver WHERE j >= {thr}
+          UNION
+          SELECT id_b, id_a FROM cver WHERE j >= {thr}
+        ),
+        reach_{tag} AS (
+          SELECT src AS v, dst AS u FROM edges_{tag}
+          UNION
+          SELECT r.v, e.dst FROM reach_{tag} r
+          JOIN edges_{tag} e ON r.u = e.src
+        ),
+        comp_{tag} AS (
+          SELECT v, least(v, min(u)) AS component
+          FROM reach_{tag} GROUP BY v
+        ),
+        sz_{tag} AS (
+          SELECT component, count(*) AS sz FROM comp_{tag} GROUP BY 1
+        )"""
+
+    _cc_sweep_blocks = ",".join(
+        _ccj_comp(t.replace(".", ""), float(t))
+        for t in ("0.3", "0.5", "0.7")
+    )
+    _cc_sweep_stats = " UNION ALL ".join(
+        f"""SELECT CAST({t} AS DOUBLE) AS threshold,
+          (SELECT CAST(count(*) AS BIGINT) FROM cver WHERE j >= {t})
+            AS n_edges,
+          CAST(count(*) AS BIGINT) AS n_clusters,
+          CAST(COALESCE(sum(sz), 0) AS BIGINT) AS n_docs_clustered,
+          CAST(COALESCE(max(sz), 0) AS BIGINT) AS max_cluster_size,
+          CAST(COALESCE(sum(sz), 0) - count(*) AS BIGINT) AS rows_removed
+        FROM sz_{t.replace('.', '')} WHERE sz >= 2"""
+        for t in ("0.3", "0.5", "0.7")
+    )
+    sqls["dedup_cc_threshold_sweep"] = f"""
+        WITH RECURSIVE {_ccj_spine}, {_cc_sweep_blocks}
+        {_cc_sweep_stats}
+    """
+
+    sqls["dedup_component_profile"] = f"""
+        WITH RECURSIVE {_ccj_spine}, {_ccj_comp('p', 0.5)},
+        cnw AS (SELECT doc_id,
+                  CAST(len(list_filter({w}, x -> x <> '')) AS BIGINT)
+                    AS nw
+                FROM documents),
+        lab AS (SELECT c.component, s.sz, cnw.nw
+                FROM comp_p c JOIN sz_p s USING (component)
+                JOIN cnw ON cnw.doc_id = c.v
+                WHERE s.sz >= 2),
+        per AS (SELECT CAST(sz AS BIGINT) AS cluster_size,
+                  CAST(count(DISTINCT component) AS BIGINT) AS n_clusters,
+                  CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(sum(nw) AS BIGINT) AS n_words
+                FROM lab GROUP BY 1),
+        ctw AS (SELECT CAST(sum(nw) AS BIGINT) AS tw FROM cnw)
+        SELECT cluster_size, n_clusters, n_docs, n_words,
+          {round6_ratio_sql('CAST(n_words AS DECIMAL(27,6))',
+                            'greatest(tw, 1)')} AS corpus_word_share
+        FROM per CROSS JOIN ctw
+    """
+
+    sqls["dedup_cc_edge_density"] = f"""
+        WITH RECURSIVE {_ccj_spine}, {_ccj_comp('d', 0.5)},
+        ec AS (SELECT c.component, count(*) AS ne
+               FROM cver v JOIN comp_d c ON c.v = v.id_a
+               WHERE v.j >= 0.5 GROUP BY 1),
+        per AS (SELECT CAST(s.sz AS BIGINT) AS cluster_size,
+                  CAST(count(*) AS BIGINT) AS n_clusters,
+                  CAST(sum(COALESCE(ec.ne, 0)) AS BIGINT) AS n_edges,
+                  CAST(sum(CAST(s.sz AS BIGINT) * (s.sz - 1)) // 2
+                       AS BIGINT) AS n_possible
+                FROM sz_d s LEFT JOIN ec USING (component)
+                WHERE s.sz >= 2 GROUP BY 1)
+        SELECT cluster_size, n_clusters, n_edges, n_possible,
+          {round6_ratio_sql('CAST(n_edges AS DECIMAL(27,6))',
+                            'greatest(n_possible, 1)')} AS density
+        FROM per
+    """
+
+    sqls["dedup_cross_source_components"] = f"""
+        WITH RECURSIVE {_ccj_spine}, {_ccj_comp('x', 0.5)},
+        lab AS (SELECT c.component, d.source
+                FROM comp_x c JOIN documents d ON d.doc_id = c.v),
+        per AS (SELECT component, count(*) AS sz,
+                  count(DISTINCT source) AS ns
+                FROM lab GROUP BY 1)
+        SELECT CAST(ns AS BIGINT) AS n_sources,
+          CAST(count(*) AS BIGINT) AS n_components,
+          CAST(sum(sz) AS BIGINT) AS n_docs
+        FROM per WHERE sz >= 2 GROUP BY 1
+    """
+
+    sqls["dedup_split_leakage"] = f"""
+        WITH RECURSIVE {_ccj_spine}, {_ccj_comp('l', 0.5)},
+        per AS (SELECT component, count(*) AS sz,
+                  max(CASE WHEN v % 2 = 0 THEN 1 ELSE 0 END) AS he,
+                  min(CASE WHEN v % 2 = 0 THEN 1 ELSE 0 END) AS le
+                FROM comp_l GROUP BY 1),
+        flg AS (SELECT sz,
+                  CASE WHEN he <> le THEN 1 ELSE 0 END AS crossing
+                FROM per WHERE sz >= 2)
+        SELECT CAST(sz AS BIGINT) AS cluster_size,
+          CAST(count(*) AS BIGINT) AS n_clusters,
+          CAST(sum(crossing) AS BIGINT) AS n_crossing_clusters,
+          CAST(sum(crossing * sz) AS BIGINT) AS n_docs_in_crossing
+        FROM flg GROUP BY 1
     """
 
     # ---- r10 tokenizer economics: the vocab-grain recursive-fold

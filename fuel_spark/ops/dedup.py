@@ -2817,3 +2817,267 @@ def contamination_rate_by_source(
             ).alias("gram_rate"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Cluster-planning tier (r10): CC size curves, density, leakage census
+# --------------------------------------------------------------------------
+# The near-dup pair graph's COMPONENT structure is what dedup planning
+# actually reads: how many rows a threshold removes, whether clusters
+# are cliques (true dup families) or chains (LSH accidents), and
+# whether clusters straddle sources or split boundaries.  All built
+# from the audited pieces (ngram_jaccard_pairs -> connected_components)
+# — banded candidates, never all-pairs; CC is the log-round
+# pointer-doubling loop.
+
+
+def _verified_edges(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    num_hashes: int = 9,
+    bands: int = 3,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Distinct verified near-dup edges (id_a < id_b, jaccard
+    carried), lazily checkpointed — the shared spine of the
+    cluster-planning queries (CC + the per-edge stats reference it
+    multiple times; without the pin Spark replays the MinHash verify
+    per reference — the connected_components symmetrization lesson)."""
+    return (
+        ngram_jaccard_pairs(
+            df, id_col, text_col, threshold, num_hashes, bands,
+            shingle_k, distinct_pairs=True,
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+        .localCheckpoint(eager=False)
+    )
+
+
+def cc_threshold_sweep(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    thresholds=(0.3, 0.5, 0.7),
+) -> DataFrame:
+    """Cluster-size planning curve: near-dup graph summary at several
+    Jaccard thresholds from ONE MinHash+verify pass (edges computed at
+    the loosest threshold with jaccard carried, then filtered per
+    sweep point; CC re-runs per threshold on the filtered edge set —
+    the only part that can't be shared, and the cheap part).
+
+    Output per threshold: n_edges, n_clusters (multi-doc components),
+    n_docs_clustered, max_cluster_size, rows_removed (docs minus one
+    representative per cluster) — THE table a dedup rollout reads to
+    pick its threshold."""
+    lo = min(thresholds)
+    edges = _verified_edges(df, id_col, text_col, lo)
+    parts = []
+    for t in sorted(thresholds):
+        et = edges.where(F.col("jaccard") >= t).localCheckpoint(
+            eager=False
+        )
+        comp = connected_components(et)
+        sizes = comp.groupBy("component").agg(
+            F.count(F.lit(1)).alias("sz")
+        )
+        e1 = et.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+        m1 = sizes.where(F.col("sz") >= 2).agg(
+            F.coalesce(F.count(F.lit(1)), F.lit(0)).cast("bigint").alias(
+                "n_clusters"
+            ),
+            F.coalesce(F.sum("sz"), F.lit(0)).cast("bigint").alias(
+                "n_docs_clustered"
+            ),
+            F.coalesce(F.max("sz"), F.lit(0)).cast("bigint").alias(
+                "max_cluster_size"
+            ),
+        )
+        parts.append(
+            e1.crossJoin(m1).select(
+                F.lit(float(t)).alias("threshold"),
+                "n_edges", "n_clusters", "n_docs_clustered",
+                "max_cluster_size",
+                (F.col("n_docs_clustered") - F.col("n_clusters"))
+                .cast("bigint").alias("rows_removed"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def component_token_profile(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Token mass locked up per cluster size: for each multi-doc
+    component size, how many clusters, docs and WORDS sit there, and
+    the share of the whole corpus's words — the size-resolved version
+    of "how much does dedup save" (big-cluster mass is boilerplate;
+    long-tail 2-clusters are edits).
+
+    Output per cluster_size: n_clusters, n_docs, n_words,
+    corpus_word_share (exact-rational round6)."""
+    from fuel_spark.functions import round6_ratio, words
+
+    edges = _verified_edges(df, id_col, text_col, threshold)
+    comp = connected_components(edges)
+    nw = df.select(
+        F.col(id_col).alias("_id"),
+        F.size(F.filter(words(F.col(text_col)), lambda x: x != "")).alias(
+            "_nw"
+        ),
+    )
+    sized = comp.groupBy("component").agg(F.count(F.lit(1)).alias("sz"))
+    labeled = (
+        comp.join(nw, comp.v == nw._id)
+        .join(sized, "component")
+        .where(F.col("sz") >= 2)
+    )
+    per = labeled.groupBy(
+        F.col("sz").cast("bigint").alias("cluster_size")
+    ).agg(
+        F.countDistinct("component").cast("bigint").alias("n_clusters"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("_nw").cast("bigint").alias("n_words"),
+    )
+    tot = nw.agg(F.sum("_nw").cast("bigint").alias("_tw"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "cluster_size", "n_clusters", "n_docs", "n_words",
+        round6_ratio(
+            F.col("n_words").cast("decimal(27,6)"),
+            F.greatest(F.col("_tw"), F.lit(1)),
+        ).alias("corpus_word_share"),
+    )
+
+
+def cc_edge_density(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Clique-ness audit per cluster size: verified internal edges
+    over possible pairs — density ~1 means true duplicate families
+    (every pair verifies), low density means chain-shaped transitive
+    merges (the LSH-accident signature a threshold bump would split).
+
+    Output per cluster_size: n_clusters, n_edges, n_possible,
+    density (exact-rational round6)."""
+    from fuel_spark.functions import round6_ratio
+
+    edges = _verified_edges(df, id_col, text_col, threshold)
+    comp = connected_components(edges)
+    sized = comp.groupBy("component").agg(F.count(F.lit(1)).alias("sz"))
+    ec = (
+        edges.join(
+            comp.select(F.col("v").alias("id_a"), "component"), "id_a"
+        )
+        .groupBy("component")
+        .agg(F.count(F.lit(1)).alias("ne"))
+    )
+    per = (
+        sized.where(F.col("sz") >= 2)
+        .join(ec, "component", "left")
+        .groupBy(F.col("sz").cast("bigint").alias("cluster_size"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+            F.sum(F.coalesce("ne", F.lit(0))).cast("bigint").alias(
+                "n_edges"
+            ),
+            # integer-exact: sum sz·(sz−1) first (always even), then
+            # halve with integer div — no double round-trip
+            F.expr(
+                "CAST(sum(CAST(sz AS BIGINT) * (CAST(sz AS BIGINT) - 1))"
+                " div 2 AS BIGINT)"
+            ).alias("n_possible"),
+        )
+    )
+    return per.select(
+        "cluster_size", "n_clusters", "n_edges", "n_possible",
+        round6_ratio(
+            F.col("n_edges").cast("decimal(27,6)"),
+            F.greatest(F.col("n_possible"), F.lit(1)),
+        ).alias("density"),
+    )
+
+
+def cross_source_components(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    source_col: str,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Cross-source contamination census: multi-doc components
+    bucketed by how many distinct sources they straddle — a cluster
+    spanning sources is syndicated/boilerplate content that a
+    per-source dedup would miss entirely (the argument for GLOBAL
+    dedup at 100 TB).
+
+    Output per n_sources: n_components, n_docs."""
+    edges = _verified_edges(df, id_col, text_col, threshold)
+    comp = connected_components(edges)
+    src = df.select(
+        F.col(id_col).alias("_id"), F.col(source_col).alias("_src")
+    )
+    lab = comp.join(src, comp.v == src._id)
+    per = lab.groupBy("component").agg(
+        F.count(F.lit(1)).alias("sz"),
+        F.countDistinct("_src").alias("ns"),
+    )
+    return (
+        per.where(F.col("sz") >= 2)
+        .groupBy(F.col("ns").cast("bigint").alias("n_sources"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_components"),
+            F.sum("sz").cast("bigint").alias("n_docs"),
+        )
+    )
+
+
+def split_leakage_census(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Leakage certificate for a NAIVE row split: per cluster size,
+    how many near-dup clusters straddle the doc_id-parity split
+    boundary and how many docs sit in straddling clusters — the
+    measured case for cluster-aware splitting
+    (:func:`leakage_free_split`): every straddling cluster is a
+    paraphrase leak between train and holdout.
+
+    Output per cluster_size: n_clusters, n_crossing_clusters,
+    n_docs_in_crossing."""
+    edges = _verified_edges(df, id_col, text_col, threshold)
+    comp = connected_components(edges)
+    lab = comp.select(
+        "component",
+        F.col("v"),
+        (F.col("v") % 2 == 0).cast("int").alias("_even"),
+    )
+    per = lab.groupBy("component").agg(
+        F.count(F.lit(1)).alias("sz"),
+        F.max("_even").alias("_he"),
+        F.min("_even").alias("_le"),
+    )
+    per = per.where(F.col("sz") >= 2).withColumn(
+        "_cross", (F.col("_he") != F.col("_le")).cast("int")
+    )
+    return per.groupBy(
+        F.col("sz").cast("bigint").alias("cluster_size")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        F.sum("_cross").cast("bigint").alias("n_crossing_clusters"),
+        F.sum(F.col("_cross") * F.col("sz")).cast("bigint").alias(
+            "n_docs_in_crossing"
+        ),
+    )

@@ -520,3 +520,308 @@ def min_dims_screen(
         F.greatest(ceil_h, ceil_w, F.lit(1).cast("long"))
         .alias("upscale_num"),
     )
+
+
+# --------------------------------------------------------------------------
+# r10 multimodal planning twins: storage/augment/batch/decode budgets
+# --------------------------------------------------------------------------
+# The decode tier still never runs: these are the remaining PLANNING
+# tables an ingest pipeline prices from metadata alone (reference
+# iteration-time semantics: image.py:105 resize, image.py:178 crop,
+# video frame sampling in the binary tier) — all exact integer
+# arithmetic so the oracle twin is hash-identical.
+
+
+def synth_video_meta(
+    df: DataFrame, id_col: str = "doc_id", seed: str = "vmeta"
+) -> DataFrame:
+    """Deterministic synthetic video METADATA: per row a frame count
+    in [4, 64) at a fixed 24 fps — the frame-budget fixture (the
+    frame-table fixture holds pixels; this one only counts).
+    Output: (id, n_frames, fps)."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        (hash_mod(f"{seed}f", F.col(id_col), 60) + 4).alias("n_frames"),
+        F.lit(24).alias("fps"),
+    )
+
+
+def synth_audio_meta(
+    df: DataFrame, id_col: str = "doc_id", seed: str = "ameta"
+) -> DataFrame:
+    """Deterministic synthetic audio METADATA: per row a sample count
+    in [256, 4096) — the window-budget fixture.
+    Output: (id, n_samples)."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        (hash_mod(f"{seed}s", F.col(id_col), 3840) + 256).alias(
+            "n_samples"
+        ),
+    )
+
+
+def _idiv(num, den):
+    """Exact integer floor division of non-negative columns."""
+    return ((num - F.pmod(num, den)) / den).cast("long")
+
+
+def storage_shard_plan(
+    meta: DataFrame, target_bytes: int = 1 << 20
+) -> DataFrame:
+    """Shard plan per aspect class: images bucketed tall/square/wide
+    (the aspect census classes), decode bytes summed, and the shard
+    count at a target shard size (integer ceil) — the writer's
+    repartition(n) input for balanced multimodal shards.
+
+    Output per aspect_class: n_images, total_bytes, n_shards,
+    mean_bytes (exact-rational round6)."""
+    from fuel_spark.functions import round6_ratio
+
+    a = F.col("w") * 100
+    ratio = _idiv(a, F.col("h"))
+    cls = (
+        F.when(ratio < 75, F.lit("tall"))
+        .when(ratio <= 133, F.lit("square"))
+        .otherwise(F.lit("wide"))
+    )
+    b = (F.col("c") * F.col("h") * F.col("w")).cast("long")
+    agg = meta.select(cls.alias("aspect_class"), b.alias("_b")).groupBy(
+        "aspect_class"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_images"),
+        F.sum("_b").cast("bigint").alias("total_bytes"),
+    )
+    t = int(target_bytes)
+    ceil_shards = _idiv(
+        F.col("total_bytes") + F.lit(t - 1), F.lit(t)
+    )
+    return agg.select(
+        "aspect_class", "n_images", "total_bytes",
+        ceil_shards.alias("n_shards"),
+        round6_ratio(
+            F.col("total_bytes").cast("decimal(27,6)"),
+            F.greatest(F.col("n_images"), F.lit(1)),
+        ).alias("mean_bytes"),
+    )
+
+
+def augment_grid_plan(
+    meta: DataFrame,
+    group: DataFrame,
+    crop: int = 16,
+    stride: int = 8,
+) -> DataFrame:
+    """Crop-grid yield per source: how many (crop x crop) patches at
+    the given stride each image supports — the augmented-sample
+    census a RandomFixedSizeCrop epoch produces (image.py:178's
+    planning half).  Images smaller than the crop on either axis
+    yield zero.
+
+    ``group`` is an (id, source) frame.  Output per source:
+    n_images, n_croppable, total_crops, crops_per_image
+    (exact-rational round6)."""
+    from fuel_spark.functions import round6_ratio
+
+    c, s = int(crop), int(stride)
+    ny = F.when(
+        F.col("h") >= c, _idiv(F.col("h") - c, F.lit(s)) + 1
+    ).otherwise(F.lit(0))
+    nx = F.when(
+        F.col("w") >= c, _idiv(F.col("w") - c, F.lit(s)) + 1
+    ).otherwise(F.lit(0))
+    per = meta.select("id", (ny * nx).cast("long").alias("_crops"))
+    j = per.join(group, "id")
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_images"),
+        F.sum(F.when(F.col("_crops") > 0, 1).otherwise(0))
+        .cast("bigint").alias("n_croppable"),
+        F.sum("_crops").cast("bigint").alias("total_crops"),
+    ).select(
+        "source", "n_images", "n_croppable", "total_crops",
+        round6_ratio(
+            F.col("total_crops").cast("decimal(27,6)"),
+            F.greatest(F.col("n_images"), F.lit(1)),
+        ).alias("crops_per_image"),
+    )
+
+
+def batch_packing_plan(
+    meta: DataFrame, budget_bytes: int = 1 << 14
+) -> DataFrame:
+    """Pad-free batch plan per exact resolution: images of identical
+    (h, w) batch together (no padding waste); capacity is the pixel
+    budget over one image's bytes, full batches and remainder by
+    integer division — the dataloader's batch plan from metadata
+    alone.
+
+    Output per (h, w): n_images, batch_cap, n_full_batches,
+    n_remainder."""
+    b = (F.col("c") * F.col("h") * F.col("w")).cast("long")
+    per = meta.select("h", "w", b.alias("_b")).groupBy("h", "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_images"),
+        F.max("_b").alias("_bytes"),  # constant within (h, w): c fixed
+    )
+    cap = F.greatest(
+        _idiv(F.lit(int(budget_bytes)), F.col("_bytes")), F.lit(1)
+    )
+    return per.select(
+        F.col("h").cast("bigint").alias("h"),
+        F.col("w").cast("bigint").alias("w"),
+        "n_images",
+        cap.alias("batch_cap"),
+        _idiv(F.col("n_images"), cap).alias("n_full_batches"),
+        F.pmod(F.col("n_images"), cap).cast("bigint").alias(
+            "n_remainder"
+        ),
+    )
+
+
+def video_frame_budget(
+    vmeta: DataFrame,
+    group: DataFrame,
+    stride: int = 5,
+    cap: int = 8,
+) -> DataFrame:
+    """Decode budget for strided frame sampling per source: frames
+    sampled = ceil(n_frames / stride) capped at ``cap`` — the decode
+    bill and the truncation census (videos whose stride pass exceeds
+    the cap lose tail coverage).
+
+    Output per source: n_videos, total_frames, total_sampled,
+    n_truncated, sample_rate (exact-rational round6)."""
+    from fuel_spark.functions import round6_ratio
+
+    s = int(stride)
+    sampled = _idiv(F.col("n_frames") + F.lit(s - 1), F.lit(s))
+    j = vmeta.select(
+        "id", F.col("n_frames").cast("long").alias("_nf"),
+        sampled.alias("_sw"),
+    ).join(group, "id")
+    capped = F.least(F.col("_sw"), F.lit(int(cap)))
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_videos"),
+        F.sum("_nf").cast("bigint").alias("total_frames"),
+        F.sum(capped).cast("bigint").alias("total_sampled"),
+        F.sum(F.when(F.col("_sw") > int(cap), 1).otherwise(0))
+        .cast("bigint").alias("n_truncated"),
+    ).select(
+        "source", "n_videos", "total_frames", "total_sampled",
+        "n_truncated",
+        round6_ratio(
+            F.col("total_sampled").cast("decimal(27,6)"),
+            F.greatest(F.col("total_frames"), F.lit(1)),
+        ).alias("sample_rate"),
+    )
+
+
+def audio_window_budget(
+    ameta: DataFrame,
+    group: DataFrame,
+    win: int = 400,
+    hop: int = 160,
+) -> DataFrame:
+    """Feature-window budget per source: windows of ``win`` samples at
+    ``hop`` per clip (1 + (n-win) div hop, zero when too short) plus
+    the uncovered tail — the STFT/feature-extraction bill from
+    metadata alone.
+
+    Output per source: n_clips, n_too_short, total_windows,
+    total_tail_samples, windows_per_clip (exact-rational round6)."""
+    from fuel_spark.functions import round6_ratio
+
+    wn, hp = int(win), int(hop)
+    nw = F.when(
+        F.col("n_samples") >= wn,
+        _idiv(F.col("n_samples") - wn, F.lit(hp)) + 1,
+    ).otherwise(F.lit(0))
+    covered = F.when(
+        nw > 0, F.lit(wn) + (nw - 1) * F.lit(hp)
+    ).otherwise(F.lit(0))
+    j = ameta.select(
+        "id", F.col("n_samples").cast("long").alias("_ns"),
+        nw.cast("long").alias("_nw"), covered.cast("long").alias("_cov"),
+    ).join(group, "id")
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clips"),
+        F.sum(F.when(F.col("_nw") == 0, 1).otherwise(0))
+        .cast("bigint").alias("n_too_short"),
+        F.sum("_nw").cast("bigint").alias("total_windows"),
+        F.sum(F.col("_ns") - F.col("_cov")).cast("bigint").alias(
+            "total_tail_samples"
+        ),
+    ).select(
+        "source", "n_clips", "n_too_short", "total_windows",
+        "total_tail_samples",
+        round6_ratio(
+            F.col("total_windows").cast("decimal(27,6)"),
+            F.greatest(F.col("n_clips"), F.lit(1)),
+        ).alias("windows_per_clip"),
+    )
+
+
+def phash_radius_sweep(
+    hashes: DataFrame, radii=(0, 2, 4, 6)
+) -> DataFrame:
+    """Near-dup yield vs hamming radius: candidate pairs from ONE
+    banded blocking pass (max radius), counted cumulatively per
+    radius — the threshold-choice curve for the pHash near-dup
+    screen (the dedup_lsh_scurve discipline applied to the image
+    tier).
+
+    Output per radius: n_pairs."""
+    mx = max(radii)
+    pairs = phash_band_pairs(hashes, max_hamming=mx).localCheckpoint(
+        eager=False
+    )
+    parts = [
+        pairs.where(F.col("hamming") <= int(r)).agg(
+            F.lit(int(r)).cast("bigint").alias("radius"),
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        )
+        for r in sorted(radii)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def channel_snapshot_drift(px: DataFrame) -> DataFrame:
+    """Per-channel pixel-mean drift between snapshot halves (even vs
+    odd ids): exact integer value sums per channel per half, means as
+    exact rationals, drift = mean_b − mean_a — the camera/decode
+    regression monitor at the pixel tier (a channel whose mean moves
+    between ingest snapshots is a colorspace or decoder change).
+
+    Output per c: n_px_a, n_px_b, sum_a, sum_b, mean_a, mean_b,
+    mean_drift."""
+    from fuel_spark.functions import round6_ratio
+
+    par = (F.col("id") % 2 == 1).cast("int")
+    agg = px.groupBy(F.col("c").cast("bigint").alias("c")).agg(
+        F.sum(F.when(par == 0, 1).otherwise(0)).cast("bigint").alias(
+            "n_px_a"
+        ),
+        F.sum(F.when(par == 1, 1).otherwise(0)).cast("bigint").alias(
+            "n_px_b"
+        ),
+        F.sum(F.when(par == 0, F.col("v")).otherwise(0)).cast(
+            "bigint"
+        ).alias("sum_a"),
+        F.sum(F.when(par == 1, F.col("v")).otherwise(0)).cast(
+            "bigint"
+        ).alias("sum_b"),
+    )
+    mean_a = round6_ratio(
+        F.col("sum_a").cast("decimal(27,6)"),
+        F.greatest(F.col("n_px_a"), F.lit(1)),
+    )
+    mean_b = round6_ratio(
+        F.col("sum_b").cast("decimal(27,6)"),
+        F.greatest(F.col("n_px_b"), F.lit(1)),
+    )
+    return agg.select(
+        "c", "n_px_a", "n_px_b", "sum_a", "sum_b",
+        mean_a.alias("mean_a"), mean_b.alias("mean_b"),
+        (mean_b - mean_a).alias("mean_drift"),
+    )

@@ -1100,6 +1100,7 @@ def _sliced_restart_runs(
     workdir: str,
     n_runs: int,
     build_query,
+    output_mode: str = "update",
 ) -> list[list]:
     """Shared restart harness for the resume certificates: split
     ``df`` into ``n_runs`` deterministic slices (``slice_col`` mod
@@ -1137,7 +1138,7 @@ def _sliced_restart_runs(
         stream = spark.readStream.schema(schema_ddl).parquet(src)
         q = (
             build_query(stream)
-            .writeStream.outputMode("update")
+            .writeStream.outputMode(output_mode)
             .foreachBatch(lambda d, i: batches.append(d.collect()))
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
@@ -1471,3 +1472,182 @@ def bloom_resume_certificate(
         (g, p) for g, ps in sorted(latest.items()) for p in ps
     ]
     return spark.createDataFrame(cells, "group string, pos int")
+
+
+def window_counts_resume_certificate(
+    spark: SparkSession,
+    df: DataFrame,
+    workdir: str | None = None,
+    n_runs: int = 2,
+) -> DataFrame:
+    """Checkpoint-RESUME certificate for the WINDOWED-AGGREGATION
+    state family (r10): tumbling 1-hour counts per event type, the
+    input sliced by event_id residue into separate availableNow runs
+    against one checkpoint.  Unlike the sketch certificates (cells /
+    bottom-k / registers), the state here is the engine's own
+    streaming-aggregation store for time windows — run 2 must restore
+    every open window's partial count and keep adding to it.  Window
+    counts are order/batching-independent, so the folded final state
+    (latest emission per (window, type) across all runs — the
+    ``_sliced_restart_runs`` contract) must equal the batch tumbling
+    aggregation over the whole input.
+
+    Output: window_start_sec (epoch), event_type, n_events.
+    """
+    import tempfile
+
+    workdir = workdir or tempfile.mkdtemp(prefix="fuel_spark_wc_resume_")
+    keyed = df.select(
+        F.col("event_id").cast("long").alias("k"),
+        F.col("ts"),
+        F.col("event_type").cast("string").alias("g"),
+    ).where(F.col("g").isNotNull())
+    final_runs = _sliced_restart_runs(
+        spark, keyed, "k", "k long, ts timestamp, g string", workdir,
+        n_runs,
+        lambda stream: (
+            stream.groupBy(
+                F.window(F.col("ts"), "1 hour").alias("w"), F.col("g")
+            )
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+            .select(
+                F.col("w.start").cast("long").alias("ws"), "g", "n"
+            )
+        ),
+    )
+    latest: dict[tuple, int] = {}
+    for rows in final_runs:
+        for r in rows:
+            latest[(int(r.ws), r.g)] = int(r.n)
+    cells = [(ws, g, n) for (ws, g), n in sorted(latest.items())]
+    return spark.createDataFrame(
+        cells, "window_start_sec bigint, event_type string, n_events bigint"
+    )
+
+
+def running_agg_resume_certificate(
+    spark: SparkSession,
+    df: DataFrame,
+    workdir: str | None = None,
+    n_runs: int = 2,
+) -> DataFrame:
+    """Checkpoint-RESUME certificate for the RUNNING-AGGREGATE state
+    family (r10): per event type, count / min / max / exact DECIMAL
+    sum of the (round-6) value — the simplest stateful shape a
+    production dashboard restarts, and the one where a lost partial
+    SUM is invisible without an oracle (counts look plausible; sums
+    drift).  All four are order/batching-independent, so the folded
+    final emission must equal the batch aggregate exactly — the sum
+    accumulates in DECIMAL(27,6) on both sides (the engine-exactness
+    contract), surfaced as a DOUBLE.
+
+    Output: event_type, n_events, min_value, max_value, sum_value.
+    """
+    import tempfile
+
+    workdir = workdir or tempfile.mkdtemp(prefix="fuel_spark_ra_resume_")
+    keyed = df.select(
+        F.col("event_id").cast("long").alias("k"),
+        F.col("event_type").cast("string").alias("g"),
+        F.round(F.col("value"), 6).alias("v"),
+    ).where(F.col("g").isNotNull())
+    final_runs = _sliced_restart_runs(
+        spark, keyed, "k", "k long, g string, v double", workdir, n_runs,
+        lambda stream: (
+            stream.groupBy("g").agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.min("v").alias("mn"),
+                F.max("v").alias("mx"),
+                F.sum(F.col("v").cast("decimal(27,6)")).alias("s"),
+            )
+        ),
+    )
+    latest: dict[str, tuple] = {}
+    for rows in final_runs:
+        for r in rows:
+            latest[r.g] = (int(r.n), float(r.mn), float(r.mx),
+                           float(r.s))
+    cells = [
+        (g, n, mn, mx, s) for g, (n, mn, mx, s) in sorted(latest.items())
+    ]
+    return spark.createDataFrame(
+        cells,
+        "event_type string, n_events bigint, min_value double,"
+        " max_value double, sum_value double",
+    )
+
+
+def sessionize_resume_certificate(
+    spark: SparkSession,
+    df: DataFrame,
+    gap_sec: int = 1800,
+    workdir: str | None = None,
+    n_runs: int = 2,
+) -> DataFrame:
+    """Checkpoint-RESUME certificate for SESSION-WINDOW state (r10) —
+    the hardest restart shape: slicing by event_id parity puts halves
+    of the SAME session in different runs, so run 2 must restore the
+    open session windows and MERGE new events into them (windows
+    grow, fuse, and change their keys across the restart).
+
+    Update-mode emissions are folded by interval supersession: a
+    later emission for a user replaces every earlier emission whose
+    window overlaps it (that is precisely the engine's merge rule —
+    a merged window always covers the partials it absorbed).  The
+    folded result must equal the BATCH gap-sessionization of the
+    whole input — the certificate that restart cannot split, drop,
+    or double-count a session.  Watermark delay is set past the
+    fixture's whole span: every run replays the full time range, so
+    a production-shaped delay would discard run 2 wholesale as late
+    data; state eviction is not what THIS certificate pins.
+
+    Output: user_id, session_start_sec (epoch), n_events,
+    duration_sec.
+    """
+    import tempfile
+
+    workdir = workdir or tempfile.mkdtemp(prefix="fuel_spark_sess_resume_")
+    keyed = df.select(
+        F.col("event_id").cast("long").alias("k"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("ts"),
+    ).where(F.col("user_id").isNotNull())
+    final_runs = _sliced_restart_runs(
+        spark, keyed, "k", "k long, user_id long, ts timestamp", workdir,
+        n_runs,
+        lambda stream: sessionize_native(
+            stream, gap_sec=gap_sec, watermark="3650 days"
+        ).select(
+            "user_id",
+            F.col("session_start").cast("long").alias("ss"),
+            F.col("session_end").cast("long").alias("se"),
+            "n_events",
+            "duration_sec",
+        ),
+        # session-window aggregation forbids update mode (merging
+        # windows cannot retract); complete mode re-emits full state
+        # per batch, which the supersession fold handles naturally
+        output_mode="complete",
+    )
+    per_user: dict[int, list] = {}
+    for rows in final_runs:
+        for r in rows:
+            u = int(r.user_id)
+            iv = [int(r.ss), int(r.se), int(r.n_events),
+                  int(r.duration_sec)]
+            kept = [
+                old for old in per_user.get(u, [])
+                if old[1] <= iv[0] or old[0] >= iv[1]  # non-overlapping
+            ]
+            kept.append(iv)
+            per_user[u] = kept
+    cells = [
+        (u, iv[0], iv[2], iv[3])
+        for u, ivs in sorted(per_user.items())
+        for iv in sorted(ivs)
+    ]
+    return spark.createDataFrame(
+        cells,
+        "user_id bigint, session_start_sec bigint, n_events bigint,"
+        " duration_sec bigint",
+    )

@@ -197,3 +197,104 @@ def test_decimate_cascade_divergence_bounded_by_one(spark, ids):
     # floor(floor((a+b)/2) + floor((c+d)/2)) / 2 differs from
     # floor((a+b+c+d)/4) by at most 1
     assert all(abs(r.v2 - r.v4) <= 1 for r in j)
+
+
+# ---- r10 multimodal planning twins ----------------------------------------
+
+
+def _meta(spark, rows):
+    return from_rows(spark, rows, schema="id bigint, w int, h int, c int")
+
+
+def _grp(spark, rows):
+    return from_rows(spark, rows, schema="id bigint, source string")
+
+
+def test_storage_shard_plan_ceil(spark):
+    """Shard count is the integer ceil of total bytes over target:
+    2 square 8x8x3 images = 384 bytes -> 1 shard at 256, 2 at 192."""
+    m = _meta(spark, [(0, 8, 8, 3), (1, 8, 8, 3)])
+    r = pixels.storage_shard_plan(m, target_bytes=256).collect()[0]
+    assert (r.aspect_class, r.n_images, r.total_bytes, r.n_shards) == (
+        "square", 2, 384, 2
+    )
+    assert r.mean_bytes == 192.0
+
+
+def test_augment_grid_counts(spark):
+    """16x16 at stride 8: a 16x16 image yields 1 crop, 24x32 yields
+    2x3=6, an 8-tall image yields 0."""
+    m = _meta(spark, [(0, 16, 16, 3), (1, 32, 24, 3), (2, 16, 8, 3)])
+    g = _grp(spark, [(0, "s"), (1, "s"), (2, "s")])
+    r = pixels.augment_grid_plan(m, g).collect()[0]
+    assert (r.n_images, r.n_croppable, r.total_crops) == (3, 2, 7)
+
+
+def test_batch_packing_division(spark):
+    """8x8x3 = 192 bytes -> cap 85 at 16 KiB; 3 images = 0 full + 3
+    remainder; capacity floors at 1 for oversized images."""
+    m = _meta(
+        spark,
+        [(0, 8, 8, 3), (1, 8, 8, 3), (2, 8, 8, 3), (3, 64, 90, 3)],
+    )
+    rows = {(r.h, r.w): r for r in pixels.batch_packing_plan(m).collect()}
+    r = rows[(8, 8)]
+    assert (r.batch_cap, r.n_full_batches, r.n_remainder) == (85, 0, 3)
+    big = rows[(90, 64)]  # 17280 bytes > budget -> cap clamps to 1
+    assert (big.batch_cap, big.n_full_batches, big.n_remainder) == (1, 1, 0)
+
+
+def test_video_frame_budget_cap_and_truncation(spark):
+    """ceil(12/5)=3 sampled; ceil(60/5)=12 capped at 8 and flagged
+    truncated."""
+    vm = from_rows(
+        spark, [(0, 12), (1, 60)], schema="id bigint, n_frames int"
+    )
+    g = _grp(spark, [(0, "s"), (1, "s")])
+    r = pixels.video_frame_budget(vm, g).collect()[0]
+    assert (r.n_videos, r.total_frames, r.total_sampled, r.n_truncated) == (
+        2, 72, 11, 1
+    )
+
+
+def test_audio_window_budget_tail(spark):
+    """400@160: 256 samples -> too short; 720 -> 3 windows tail 0;
+    800 -> 3 windows tail 80."""
+    am = from_rows(
+        spark, [(0, 256), (1, 720), (2, 800)],
+        schema="id bigint, n_samples int",
+    )
+    g = _grp(spark, [(0, "s"), (1, "s"), (2, "s")])
+    r = pixels.audio_window_budget(am, g).collect()[0]
+    assert (r.n_clips, r.n_too_short, r.total_windows) == (3, 1, 6)
+    assert r.total_tail_samples == 256 + 0 + 80
+
+
+def test_phash_radius_sweep_cumulative(spark):
+    """Counts are cumulative in the radius, and identical hashes pair
+    at radius 0."""
+    rows = [(0, 5, 9), (1, 5, 9), (2, 5, 8)]  # 0,1 identical; 2 at hm 1
+    h = from_rows(
+        spark, rows, schema="id bigint, phash_hi bigint, phash_lo bigint"
+    )
+    got = {r.radius: r.n_pairs for r in pixels.phash_radius_sweep(
+        h, radii=(0, 2, 4)
+    ).collect()}
+    assert got[0] == 1            # the identical pair
+    assert got[2] == got[4] == 3  # all three pairs within hamming 1
+    assert got[0] <= got[2] <= got[4]
+
+
+def test_channel_snapshot_drift_exact(spark):
+    """Hand pixels: channel 0 reads mean 10 on even ids, 20 on odd —
+    drift exactly 10."""
+    rows = [
+        (0, 0, 0, 0, 10), (2, 0, 0, 0, 10),   # even half
+        (1, 0, 0, 0, 20), (3, 0, 0, 0, 20),   # odd half
+    ]
+    px = from_rows(
+        spark, rows, schema="id bigint, c int, y int, x int, v int"
+    )
+    r = pixels.channel_snapshot_drift(px).collect()[0]
+    assert (r.n_px_a, r.n_px_b, r.sum_a, r.sum_b) == (2, 2, 20, 40)
+    assert (r.mean_a, r.mean_b, r.mean_drift) == (10.0, 20.0, 10.0)

@@ -1000,6 +1000,13 @@ SINGLE_PARTITION_ALLOWLIST = {
     # rationale) — the fold itself is vocab-sized, never corpus-sized
     "text_bpe_merge_utilization", "text_bpe_compression_curve",
     "text_bpe_token_length_hist",
+    # r10 cluster planning: per-threshold 1-row graph-summary finals
+    # (the check_expectations rationale, unioned) and the 1-row
+    # corpus-words total broadcast behind the token profile's share
+    "dedup_cc_threshold_sweep", "dedup_component_profile",
+    # r10 pHash radius curve: per-radius 1-row count finals over the
+    # banded candidate-pair set (the funnel-sweep rationale)
+    "image_phash_radius_sweep",
 }
 
 

@@ -1213,3 +1213,98 @@ def test_kmv_resume_covers_group_absent_from_final_slice(spark, workdir):
         assert got[g].n_sketch == want[g].n_sketch, g
         assert got[g].theta == want[g].theta, g
         assert got[g].est_distinct == want[g].est_distinct, g
+
+
+def test_window_counts_resume_matches_batch(spark, workdir):
+    """Tumbling-window counts across a checkpoint restart equal the
+    batch aggregation — the engine's window-state store restored."""
+    import datetime as dt
+
+    from fuel_spark.sources import from_rows
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (i, base + dt.timedelta(minutes=7 * i), "t%d" % (i % 2), 1.0)
+        for i in range(40)
+    ]
+    df = from_rows(
+        spark, rows,
+        schema="event_id long, ts timestamp, event_type string, value double",
+    )
+    got = {
+        (r.window_start_sec, r.event_type): r.n_events
+        for r in serve.window_counts_resume_certificate(
+            spark, df, workdir=workdir
+        ).collect()
+    }
+    want: dict = {}
+    for i, ts, typ, _ in rows:
+        ws = int(ts.replace(minute=0, second=0).timestamp())
+        want[(ws, typ)] = want.get((ws, typ), 0) + 1
+    assert got == want
+    import os
+
+    commits = os.listdir(os.path.join(workdir, "ckpt", "commits"))
+    assert len([c for c in commits if not c.startswith(".")]) >= 2
+
+
+def test_running_agg_resume_exact_sum(spark, workdir):
+    """Per-type count/min/max/decimal-sum across a restart: a lost
+    partial sum would be invisible in counts — the sum catches it."""
+    import datetime as dt
+
+    from fuel_spark.sources import from_rows
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base, "a" if i % 3 else "b", float(i) + 0.125)
+        for i in range(30)
+    ]
+    df = from_rows(
+        spark, rows,
+        schema="event_id long, ts timestamp, event_type string, value double",
+    )
+    got = {r.event_type: r for r in serve.running_agg_resume_certificate(
+        spark, df, workdir=workdir
+    ).collect()}
+    for typ in ("a", "b"):
+        vals = [v for (i, _, t, v) in rows if t == typ]
+        assert got[typ].n_events == len(vals)
+        assert got[typ].min_value == min(vals)
+        assert got[typ].max_value == max(vals)
+        assert abs(got[typ].sum_value - sum(vals)) < 1e-9
+
+
+def test_sessionize_resume_merges_across_restart(spark, workdir):
+    """The hard restart shape: a session whose events land in
+    DIFFERENT runs (event_id parity) must be restored and MERGED by
+    run 2 — a broken restore reads two half-sessions."""
+    import datetime as dt
+
+    from fuel_spark.sources import from_rows
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # user 1: one true session, halves split across runs
+        (0, 1, base),
+        (1, 1, base + dt.timedelta(seconds=60)),
+        (2, 1, base + dt.timedelta(seconds=120)),
+        # user 2: two well-separated sessions, both in run 0
+        (4, 2, base),
+        (6, 2, base + dt.timedelta(seconds=5000)),
+    ]
+    df = from_rows(
+        spark, rows, schema="event_id long, user_id long, ts timestamp"
+    )
+    got = sorted(
+        (r.user_id, r.session_start_sec, r.n_events, r.duration_sec)
+        for r in serve.sessionize_resume_certificate(
+            spark, df, workdir=workdir
+        ).collect()
+    )
+    b = int(base.timestamp())
+    assert got == [
+        (1, b, 3, 120),
+        (2, b, 1, 0),
+        (2, b + 5000, 1, 0),
+    ]

@@ -2460,3 +2460,102 @@ def test_script_mix_hand_values(spark):
         5, 2, 1, 1, 1
     )
     assert abs(r.letter_share - 0.4) < 1e-9
+
+
+# ---- r10 cluster-planning tier --------------------------------------------
+
+
+def _cluster_corpus(spark):
+    # doc 0,1 identical; doc 2 near-dup of them; doc 3 unrelated —
+    # one 3-cluster + one singleton
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = "the quick brown fox jumps over the lazy cat again and again"
+    other = "completely different words about spark engines and shuffles"
+    return from_rows(
+        spark,
+        [(0, base), (1, base), (2, near), (3, other)],
+        schema="doc_id bigint, text string",
+    )
+
+
+def test_cc_threshold_sweep_monotone(spark):
+    """Edges and clustered docs are nonincreasing in the threshold,
+    and rows_removed = docs_clustered - clusters at every point."""
+    rows = {r.threshold: r for r in dedup.cc_threshold_sweep(
+        _cluster_corpus(spark), "doc_id", "text"
+    ).collect()}
+    assert set(rows) == {0.3, 0.5, 0.7}
+    es = [rows[t].n_edges for t in (0.3, 0.5, 0.7)]
+    ds = [rows[t].n_docs_clustered for t in (0.3, 0.5, 0.7)]
+    assert all(a >= b for a, b in zip(es, es[1:]))
+    assert all(a >= b for a, b in zip(ds, ds[1:]))
+    for r in rows.values():
+        assert r.rows_removed == r.n_docs_clustered - r.n_clusters
+    # at 0.5 the three near-dups form one cluster
+    assert rows[0.5].n_clusters == 1
+    assert rows[0.5].n_docs_clustered == 3
+    assert rows[0.5].rows_removed == 2
+
+
+def test_component_token_profile_shares(spark):
+    """The single 3-cluster holds its docs' words; the corpus share
+    is words_in_cluster / total corpus words."""
+    out = dedup.component_token_profile(
+        _cluster_corpus(spark), "doc_id", "text"
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.cluster_size == 3 and r.n_clusters == 1 and r.n_docs == 3
+    assert r.n_words == 3 * 12  # each clustered doc is 12 words
+    assert abs(r.corpus_word_share - 36.0 / 44.0) < 1e-6  # 'other' is 8
+
+
+def test_cc_edge_density_clique(spark):
+    """All three near-dups pairwise verify -> the 3-cluster is a
+    clique: 3 edges of 3 possible, density 1."""
+    out = dedup.cc_edge_density(
+        _cluster_corpus(spark), "doc_id", "text"
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.cluster_size, r.n_edges, r.n_possible) == (3, 3, 3)
+    assert r.density == 1.0
+
+
+def test_cross_source_components_census(spark):
+    """A cluster spanning two sources lands in the n_sources=2
+    bucket; a same-source cluster in n_sources=1."""
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    other = "completely different words about spark engines and shuffles"
+    df = from_rows(
+        spark,
+        [
+            (0, "a", base), (1, "b", base),          # cross-source pair
+            (2, "a", other), (3, "a", other),        # same-source pair
+        ],
+        schema="doc_id bigint, source string, text string",
+    )
+    rows = {r.n_sources: r for r in dedup.cross_source_components(
+        df, "doc_id", "text", "source"
+    ).collect()}
+    assert rows[2].n_components == 1 and rows[2].n_docs == 2
+    assert rows[1].n_components == 1 and rows[1].n_docs == 2
+
+
+def test_split_leakage_parity(spark):
+    """Cluster {0,1,2} mixes parities (crossing); cluster {4,6} is
+    all-even (safe)."""
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    other = "completely different words about spark engines and shuffles"
+    df = from_rows(
+        spark,
+        [(0, base), (1, base), (2, base), (4, other), (6, other)],
+        schema="doc_id bigint, text string",
+    )
+    rows = {r.cluster_size: r for r in dedup.split_leakage_census(
+        df, "doc_id", "text"
+    ).collect()}
+    assert rows[3].n_crossing_clusters == 1
+    assert rows[3].n_docs_in_crossing == 3
+    assert rows[2].n_crossing_clusters == 0
+    assert rows[2].n_docs_in_crossing == 0
