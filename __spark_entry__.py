@@ -5234,6 +5234,455 @@ def q_image_channel_drift(spark, sf):
     return pixels.channel_snapshot_drift(_px(spark, sf))
 
 
+# ---- round-10 catalog round-out: key audit, dtype inference,
+# sortedness, masks, extremes, peak load, and the curation knob grid.
+
+
+def q_profile_key_uniqueness(spark, sf):
+    """Candidate-key audit (r10): exact row/distinct counts + is_key
+    verdict for six candidates across orders/lineitem/customer —
+    the constraint-discovery read behind bucketing and merge keys."""
+    from fuel_spark.ops import profile
+
+    t = _t(spark, sf)
+    o, li, c = t["orders"], t["lineitem"], t["customer"]
+    return profile.key_uniqueness([
+        ("orders", "o_orderkey", o.select("o_orderkey")),
+        ("orders", "o_custkey", o.select("o_custkey")),
+        ("lineitem", "l_orderkey,l_linenumber",
+         li.select("l_orderkey", "l_linenumber")),
+        ("lineitem", "l_partkey,l_suppkey",
+         li.select("l_partkey", "l_suppkey")),
+        ("customer", "c_custkey", c.select("c_custkey")),
+        ("customer", "c_nationkey", c.select("c_nationkey")),
+    ])
+
+
+def q_profile_dtype_inference(spark, sf):
+    """Schema-inference audit (r10): int/double/date parse rates over
+    string-RENDERED columns — catches the numeric column shipped as
+    strings (no pushdown, no stats, string compares at 100 TB)."""
+    from fuel_spark.ops import profile
+
+    t = _t(spark, sf)
+    stacks = [
+        t["customer"].select(
+            F.lit("c_name").alias("col_name"),
+            F.col("c_name").alias("val"),
+        ),
+        t["part"].select(
+            F.lit("p_size_str").alias("col_name"),
+            F.format_string("%d", F.col("p_size")).alias("val"),
+        ),
+        t["orders"].select(
+            F.lit("o_date_str").alias("col_name"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("val"),
+        ),
+        t["events"].select(
+            F.lit("value_str").alias("col_name"),
+            F.format_string("%.2f", F.col("value")).alias("val"),
+        ),
+        t["events"].select(
+            F.lit("props").alias("col_name"), F.col("props").alias("val")
+        ),
+    ]
+    out = stacks[0]
+    for s in stacks[1:]:
+        out = out.unionByName(s)
+    return profile.dtype_inference(out)
+
+
+def q_lineitem_sortedness(spark, sf):
+    """Within-order sortedness audit (r10): fraction of adjacent
+    nondecreasing pairs per column inside each order — prices range
+    pruning and delta encoding; the window partitions by the order
+    key, never a global sort."""
+    from fuel_spark.ops import profile
+
+    li = _t(spark, sf)["lineitem"]
+    return profile.group_sortedness(
+        li, "l_orderkey",
+        ["l_linenumber", "l_shipdate", "l_quantity", "l_extendedprice",
+         "l_partkey", "l_suppkey"],
+        ["l_shipdate", "l_quantity", "l_extendedprice"],
+    )
+
+
+def q_profile_mask_census(spark, sf):
+    """Char-class mask census (r10): values collapsed to A/a/9 run
+    masks, top-5 per column — the format-discovery read (a rogue mask
+    in an id column is malformed ingest no schema check sees)."""
+    from fuel_spark.ops import profile
+
+    t = _t(spark, sf)
+    stacks = [
+        t["customer"].select(
+            F.lit("c_name").alias("col_name"), F.col("c_name").alias("val")
+        ),
+        t["part"].select(
+            F.lit("p_brand").alias("col_name"),
+            F.col("p_brand").alias("val"),
+        ),
+        t["part"].select(
+            F.lit("p_name").alias("col_name"), F.col("p_name").alias("val")
+        ),
+        t["events"].select(
+            F.lit("props").alias("col_name"), F.col("props").alias("val")
+        ),
+    ]
+    out = stacks[0]
+    for s in stacks[1:]:
+        out = out.unionByName(s)
+    return profile.mask_census(out, top_k=5)
+
+
+def q_profile_extreme_rows(spark, sf):
+    """Outlier dossier (r10): top/bottom-3 values WITH row ids per
+    numeric column (TakeOrdered per direction — never a global sort
+    exchange) — the rows an anomaly triage opens."""
+    from fuel_spark.ops import profile
+
+    t = _t(spark, sf)
+    li = t["lineitem"].withColumn(
+        "_lid", F.col("l_orderkey") * 8 + F.col("l_linenumber")
+    )
+    return profile.extreme_rows([
+        ("events.value", t["events"], "value", "event_id"),
+        ("o_totalprice", t["orders"], "o_totalprice", "o_orderkey"),
+        ("c_acctbal", t["customer"], "c_acctbal", "c_custkey"),
+        ("l_extendedprice", li, "l_extendedprice", "_lid"),
+    ])
+
+
+def q_events_peak_windows(spark, sf):
+    """Peak-load windows (r10): top-5 five-minute windows by event
+    count, ties broken on window start — the provisioning read
+    (burst capacity is sized off exactly this table)."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf)["events"]
+    ws = (F.col("ts").cast("long") - F.pmod(
+        F.col("ts").cast("long"), F.lit(300)
+    )).alias("window_start_sec")
+    agg = e.select(ws).groupBy("window_start_sec").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events")
+    )
+    sel = agg.orderBy(F.col("n_events").desc(), "window_start_sec").limit(5)
+    w = Window.orderBy(F.col("n_events").desc(), "window_start_sec")
+    return sel.select(
+        F.row_number().over(w).cast("bigint").alias("rank"),
+        F.col("window_start_sec").cast("bigint").alias("window_start_sec"),
+        "n_events",
+    )
+
+
+def q_curation_grid(spark, sf):
+    """Curation knob grid (r10): quality threshold x min-words joint
+    sweep — docs and words retained per cell with corpus shares; the
+    two-knob version of curation_threshold_sweep (knobs interact:
+    the quality score already contains a length term)."""
+    from fuel_spark.functions import round6_ratio
+
+    d = _t(spark, sf)["documents"]
+    # pin the scored frame: 6 grid cells + the total each reference
+    # it, and quality_score's regex features are the whole cost
+    # (7 recomputes measured 54s at the 20x smoke; pinned ~8s)
+    scored = text_ops.quality_score(d, "text").select(
+        "quality", F.col("n_words").alias("nw")
+    ).localCheckpoint(eager=False)
+    tot = scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("_td"),
+        F.sum("nw").cast("bigint").alias("_tw"),
+    )
+    parts = []
+    for qt in (0.25, 0.5, 0.75):
+        for mw in (5, 20):
+            kept = scored.where(
+                (F.col("quality") >= qt) & (F.col("nw") >= mw)
+            )
+            parts.append(
+                kept.agg(
+                    F.lit(float(qt)).alias("q_threshold"),
+                    F.lit(int(mw)).cast("bigint").alias("min_words"),
+                    F.coalesce(F.count(F.lit(1)), F.lit(0)).cast("bigint")
+                    .alias("n_docs_kept"),
+                    F.coalesce(F.sum("nw"), F.lit(0)).cast("bigint")
+                    .alias("n_words_kept"),
+                )
+            )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.crossJoin(F.broadcast(tot)).select(
+        "q_threshold", "min_words", "n_docs_kept", "n_words_kept",
+        round6_ratio(
+            F.col("n_docs_kept").cast("decimal(27,6)"),
+            F.greatest(F.col("_td"), F.lit(1)),
+        ).alias("doc_share"),
+        round6_ratio(
+            F.col("n_words_kept").cast("decimal(27,6)"),
+            F.greatest(F.col("_tw"), F.lit(1)),
+        ).alias("word_share"),
+    )
+
+
+# ---- round-10 sketch / fingerprint round-out: overlap estimates,
+# measured FPR/precision curves, hash-width and partition planning.
+
+
+def q_hll_intersection(spark, sf):
+    """Audience-overlap by HLL inclusion-exclusion (r10): per
+    event-type pair, est(A)+est(B)-est(A∪B) from merged register
+    tables with the exact intersection as certificate."""
+    e = _t(spark, sf)["events"]
+    return sketch.hll_intersection_certificate(e, "event_type", "user_id")
+
+
+def q_bloom_fpr_curve(spark, sf):
+    """Measured Bloom FPR curve (r10): filters over even user ids at
+    256/1024/4096 bits probed with the disjoint odd ids — every hit a
+    false positive by construction."""
+    e = _t(spark, sf)["events"]
+    return sketch.bloom_fpr_curve(e, "user_id")
+
+
+def q_embedding_coord_drift(spark, sf):
+    """Coordinate-marginal drift between snapshot halves (r10): the
+    first embedding coordinate histogrammed in 0.1 buckets (floor of
+    the RAW double x10 — multiplication and floor are deterministic
+    on both engines, no rounding needed), even vs odd vec_id counts
+    and delta — the encoder-regression monitor at histogram grain
+    (the corpus is unit-normalized, so norms carry no signal; the
+    coordinate marginals do)."""
+    e = _t(spark, sf)["embeddings"]
+    c0 = F.col("embedding").getItem(0).cast("double")
+    par = (F.col("vec_id") % 2 == 1).cast("int")
+    agg = e.select(
+        F.floor(c0 * 10).cast("bigint").alias("coord_bucket"),
+        par.alias("_p"),
+    ).groupBy("coord_bucket").agg(
+        F.sum(F.when(F.col("_p") == 0, 1).otherwise(0)).cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("_p") == 1, 1).otherwise(0)).cast("bigint")
+        .alias("n_b"),
+    )
+    return agg.select(
+        "coord_bucket", "n_a", "n_b",
+        (F.col("n_b") - F.col("n_a")).cast("bigint").alias("delta"),
+    )
+
+
+def q_ngram_collision_rate(spark, sf):
+    """Hash-width planning (r10): exact shingle-hash collision counts
+    at 24/32/40 bits — pick the fingerprint width before a narrow
+    digest silently merges distinct content."""
+    d = _t(spark, sf)["documents"]
+    return text_ops.ngram_collision_rate(d, "text")
+
+
+def q_banding_precision_sweep(spark, sf):
+    """Measured banding-choice table (r10): candidate volume and
+    verify precision per (bands x rows) split of the same 9-hash
+    budget — the measured side of the lsh_scurve theory."""
+    d = _t(spark, sf)["documents"].select("doc_id", "text")
+    return dedup.banding_precision_sweep(d, "doc_id", "text")
+
+
+def q_partition_evenness(spark, sf):
+    """Shuffle-evenness certificate (r10): rows per deterministic
+    hash bucket at p=8/32/128 — min/max/imbalance of the partition
+    histogram; the skew pre-read before choosing partition counts."""
+    from fuel_spark.functions import hash_mod
+
+    li = _t(spark, sf)["lineitem"]
+    parts = []
+    for p in (8, 32, 128):
+        b = hash_mod("pe", F.col("l_orderkey"), p)
+        cnt = li.select(b.alias("_b")).groupBy("_b").agg(
+            F.count(F.lit(1)).alias("_n")
+        )
+        agg = cnt.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets_used"),
+            F.min("_n").cast("bigint").alias("min_rows"),
+            F.max("_n").cast("bigint").alias("max_rows"),
+            F.sum("_n").cast("bigint").alias("_tot"),
+        )
+        parts.append(
+            agg.select(
+                F.lit(int(p)).cast("bigint").alias("n_partitions"),
+                "n_buckets_used", "min_rows", "max_rows",
+                round6_ratio(
+                    (F.col("max_rows") * F.lit(int(p)))
+                    .cast("decimal(27,6)"),
+                    F.greatest(F.col("_tot"), F.lit(1)),
+                ).alias("imbalance"),
+            )
+        )
+    out = parts[0]
+    for pp in parts[1:]:
+        out = out.unionByName(pp)
+    return out
+
+
+# ---- round-10 closing five: supply-breadth, value cross-tabs,
+# drift and aging planning tables (single-agg scans, exact decimal).
+
+
+def q_supplier_part_breadth(spark, sf):
+    """Supply-breadth profile (r10): per-supplier distinct-part
+    counts reduced to the exact (min, low-median, max, mean) profile
+    row — the single-source-risk summary (the synthetic incidence is
+    uniform, so a bucketed census degenerates; the profile row stays
+    informative at every SF).  Low median = value at rank ceil(n/2),
+    deterministic on both engines; the rank window runs over the
+    supplier DIMENSION (bounded), never fact grain."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf)["lineitem"]
+    per = li.groupBy("l_suppkey").agg(
+        F.count_distinct("l_partkey").alias("_np"),
+        F.count(F.lit(1)).alias("_nl"),
+    )
+    w = Window.orderBy(F.col("_np"), F.col("l_suppkey"))
+    rk = per.select(
+        "_np", "_nl", F.row_number().over(w).alias("_r")
+    )
+    agg = rk.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+        F.min("_np").cast("bigint").alias("min_breadth"),
+        F.max("_np").cast("bigint").alias("max_breadth"),
+        F.sum("_np").cast("bigint").alias("_tnp"),
+        F.sum("_nl").cast("bigint").alias("total_lines"),
+    )
+    # rank (n+1) div 2 — the low median, integer-exact
+    med = rk.crossJoin(
+        F.broadcast(agg.select(F.col("n_suppliers").alias("_n")))
+    ).where(
+        F.col("_r")
+        == ((F.col("_n") + 1) - F.pmod(F.col("_n") + 1, 2)) / 2
+    ).select(F.col("_np").cast("bigint").alias("low_median_breadth"))
+    return agg.crossJoin(F.broadcast(med)).select(
+        "n_suppliers", "min_breadth", "low_median_breadth",
+        "max_breadth", "total_lines",
+        round6_ratio(
+            F.col("_tnp").cast("decimal(27,6)"),
+            F.greatest(F.col("n_suppliers"), F.lit(1)),
+        ).alias("mean_breadth"),
+    )
+
+
+def q_segment_value_matrix(spark, sf):
+    """Segment × order-value cross-tab (r10): counts and exact
+    decimal revenue per (mktsegment, 50k-wide totalprice band) —
+    the where-does-revenue-live planning table."""
+    t = _t(spark, sf)
+    j = t["orders"].join(
+        t["customer"],
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    band = F.floor(F.col("o_totalprice") / 50000).cast("bigint")
+    return j.groupBy(
+        F.col("c_mktsegment").alias("segment"),
+        band.alias("value_band"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(27,6)"))
+        .cast("double").alias("revenue"),
+    )
+
+
+def q_stopword_density_drift(spark, sf):
+    """Stopword-density drift between snapshot halves (r10): corpus
+    stopword rate per (source, parity) as Σhits/Σwords exact
+    rationals, with the delta — the quality-drift monitor upstream
+    of the filter thresholds."""
+    d = _t(spark, sf)["documents"]
+    en = F.array(*[F.lit(x) for x in STOPWORDS["en"]])
+    from fuel_spark.functions import with_materialized, words
+
+    base = with_materialized(
+        d.select("doc_id", "source", "text"), "_w", words(F.col("text"))
+    ).select(
+        "source",
+        (F.col("doc_id") % 2).alias("_p"),
+        F.size(F.filter(F.col("_w"), lambda x: x != "")).alias("_nw"),
+        F.size(
+            F.filter(F.col("_w"), lambda x: F.array_contains(en, x))
+        ).alias("_nh"),
+    )
+    agg = base.groupBy("source").agg(
+        F.sum(F.when(F.col("_p") == 0, F.col("_nw")).otherwise(0))
+        .cast("bigint").alias("n_words_a"),
+        F.sum(F.when(F.col("_p") == 1, F.col("_nw")).otherwise(0))
+        .cast("bigint").alias("n_words_b"),
+        F.sum(F.when(F.col("_p") == 0, F.col("_nh")).otherwise(0))
+        .cast("bigint").alias("n_hits_a"),
+        F.sum(F.when(F.col("_p") == 1, F.col("_nh")).otherwise(0))
+        .cast("bigint").alias("n_hits_b"),
+    )
+    ra = round6_ratio(
+        F.col("n_hits_a").cast("decimal(27,6)"),
+        F.greatest(F.col("n_words_a"), F.lit(1)),
+    )
+    rb = round6_ratio(
+        F.col("n_hits_b").cast("decimal(27,6)"),
+        F.greatest(F.col("n_words_b"), F.lit(1)),
+    )
+    return agg.select(
+        "source", "n_words_a", "n_words_b", "n_hits_a", "n_hits_b",
+        ra.alias("rate_a"), rb.alias("rate_b"),
+        (rb - ra).alias("rate_delta"),
+    )
+
+
+def q_lineitem_discount_grid(spark, sf):
+    """Discount × quantity grid (r10): line counts and exact decimal
+    discounted revenue per (discount-percent, quantity band) — the
+    promo-planning cross-tab (discount_revenue_curve's second
+    axis)."""
+    li = _t(spark, sf)["lineitem"]
+    disc_pct = F.round(F.col("l_discount") * 100).cast("bigint")
+    qb = (
+        F.when(F.col("l_quantity") <= 10, F.lit("1-10"))
+        .when(F.col("l_quantity") <= 25, F.lit("11-25"))
+        .otherwise(F.lit("26+"))
+    )
+    rev = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    ).cast("decimal(27,6)")
+    return li.groupBy(
+        disc_pct.alias("discount_pct"), qb.alias("qty_band")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum(rev).cast("double").alias("revenue"),
+    )
+
+
+def q_orders_priority_aging(spark, sf):
+    """Open-order aging by priority (r10): non-final orders bucketed
+    by age relative to the newest order date (1-row anchor
+    broadcast) × priority — the ops backlog-triage table."""
+    o = _t(spark, sf)["orders"]
+    anchor = o.agg(F.max("o_orderdate").alias("_mx"))
+    opn = o.where(F.col("o_orderstatus") != "F").crossJoin(
+        F.broadcast(anchor)
+    )
+    age = F.datediff(F.col("_mx"), F.col("o_orderdate"))
+    ab = (
+        F.when(age <= 90, F.lit("0-90"))
+        .when(age <= 365, F.lit("91-365"))
+        .otherwise(F.lit("366+"))
+    )
+    return opn.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        ab.alias("age_bucket"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(27,6)"))
+        .cast("double").alias("open_value"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry.  ORDERING IS DELIBERATE: the driver's
     correctness gate checks the FIRST 50 keys, so each round leads
@@ -5347,6 +5796,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_window_budget": q_audio_window_budget,
         "image_phash_radius_sweep": q_image_phash_radius_sweep,
         "image_channel_drift": q_image_channel_drift,
+        "profile_key_uniqueness": q_profile_key_uniqueness,
+        "profile_dtype_inference": q_profile_dtype_inference,
+        "lineitem_sortedness_audit": q_lineitem_sortedness,
+        "profile_mask_census": q_profile_mask_census,
+        "profile_extreme_rows": q_profile_extreme_rows,
+        "events_peak_windows": q_events_peak_windows,
+        "curation_grid_tradeoff": q_curation_grid,
+        "sketch_hll_intersection": q_hll_intersection,
+        "sketch_bloom_fpr_curve": q_bloom_fpr_curve,
+        "embedding_coord_drift": q_embedding_coord_drift,
+        "text_ngram_collision_rate": q_ngram_collision_rate,
+        "dedup_banding_precision_sweep": q_banding_precision_sweep,
+        "layout_partition_evenness": q_partition_evenness,
+        "supplier_part_breadth": q_supplier_part_breadth,
+        "customer_segment_value_matrix": q_segment_value_matrix,
+        "text_stopword_density_drift": q_stopword_density_drift,
+        "lineitem_discount_grid": q_lineitem_discount_grid,
+        "orders_priority_aging": q_orders_priority_aging,
         # ---- driver-green in r9 (CORRECTNESS_r09.json, 50/50): the
         # round-9 window, now cumulative coverage. --------------------
         "sketch_bloom_merge_cert": q_bloom_merge,
@@ -17493,6 +17960,485 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN n_sketch >= 32 THEN round(31.0 / hk, 6)
                     ELSE CAST(n_sketch AS DOUBLE) END AS est_distinct
         FROM agg
+    """
+
+    # ---- r10 closing five: supply breadth / cross-tabs / drift /
+    # aging planning tables.
+    sqls["supplier_part_breadth"] = f"""
+        WITH per AS (SELECT l_suppkey,
+                       count(DISTINCT l_partkey) AS np,
+                       count(*) AS nl
+                     FROM lineitem GROUP BY 1),
+        rk AS (SELECT np, nl,
+                 row_number() OVER (ORDER BY np, l_suppkey) AS r
+               FROM per),
+        agg AS (SELECT CAST(count(*) AS BIGINT) AS n_suppliers,
+                  CAST(min(np) AS BIGINT) AS min_breadth,
+                  CAST(max(np) AS BIGINT) AS max_breadth,
+                  CAST(sum(np) AS BIGINT) AS tnp,
+                  CAST(sum(nl) AS BIGINT) AS total_lines
+                FROM rk),
+        med AS (SELECT CAST(np AS BIGINT) AS low_median_breadth
+                FROM rk, agg WHERE r = (n_suppliers + 1) // 2)
+        SELECT n_suppliers, min_breadth, low_median_breadth,
+          max_breadth, total_lines,
+          {round6_ratio_sql('CAST(tnp AS DECIMAL(27,6))',
+                            'greatest(n_suppliers, 1)')} AS mean_breadth
+        FROM agg CROSS JOIN med
+    """
+
+    sqls["customer_segment_value_matrix"] = f"""
+        SELECT c_mktsegment AS segment,
+          CAST(floor(o_totalprice / 50000) AS BIGINT) AS value_band,
+          CAST(count(*) AS BIGINT) AS n_orders,
+          {_dsum_sql('o_totalprice')} AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2
+    """
+
+    sqls["text_stopword_density_drift"] = f"""
+        WITH sd AS (SELECT source, doc_id % 2 AS p,
+                      CAST(len(list_filter({w}, x -> x <> ''))
+                           AS BIGINT) AS nw,
+                      CAST(len(list_filter({w},
+                           x -> list_contains({en}, x))) AS BIGINT) AS nh
+                    FROM documents),
+        agg AS (SELECT source,
+          CAST(sum(CASE WHEN p = 0 THEN nw ELSE 0 END) AS BIGINT)
+            AS n_words_a,
+          CAST(sum(CASE WHEN p = 1 THEN nw ELSE 0 END) AS BIGINT)
+            AS n_words_b,
+          CAST(sum(CASE WHEN p = 0 THEN nh ELSE 0 END) AS BIGINT)
+            AS n_hits_a,
+          CAST(sum(CASE WHEN p = 1 THEN nh ELSE 0 END) AS BIGINT)
+            AS n_hits_b
+        FROM sd GROUP BY 1)
+        SELECT source, n_words_a, n_words_b, n_hits_a, n_hits_b,
+          {round6_ratio_sql('CAST(n_hits_a AS DECIMAL(27,6))',
+                            'greatest(n_words_a, 1)')} AS rate_a,
+          {round6_ratio_sql('CAST(n_hits_b AS DECIMAL(27,6))',
+                            'greatest(n_words_b, 1)')} AS rate_b,
+          ({round6_ratio_sql('CAST(n_hits_b AS DECIMAL(27,6))',
+                             'greatest(n_words_b, 1)')})
+          - ({round6_ratio_sql('CAST(n_hits_a AS DECIMAL(27,6))',
+                               'greatest(n_words_a, 1)')}) AS rate_delta
+        FROM agg
+    """
+
+    sqls["lineitem_discount_grid"] = f"""
+        SELECT CAST(round(l_discount * 100) AS BIGINT) AS discount_pct,
+          CASE WHEN l_quantity <= 10 THEN '1-10'
+               WHEN l_quantity <= 25 THEN '11-25'
+               ELSE '26+' END AS qty_band,
+          CAST(count(*) AS BIGINT) AS n_lines,
+          {_dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+        FROM lineitem GROUP BY 1, 2
+    """
+
+    sqls["orders_priority_aging"] = f"""
+        WITH mx AS (SELECT max(o_orderdate) AS m FROM orders),
+        opn AS (SELECT o_orderpriority AS priority,
+                  date_diff('day', o_orderdate, mx.m) AS age,
+                  o_totalprice
+                FROM orders, mx WHERE o_orderstatus <> 'F')
+        SELECT priority,
+          CASE WHEN age <= 90 THEN '0-90'
+               WHEN age <= 365 THEN '91-365'
+               ELSE '366+' END AS age_bucket,
+          CAST(count(*) AS BIGINT) AS n_orders,
+          {_dsum_sql('o_totalprice')} AS open_value
+        FROM opn GROUP BY 1, 2
+    """
+
+    # ---- r10 sketch / fingerprint round-out ------------------------
+    _hi_est = (
+        lambda ns, ss: f"""round(CASE
+          WHEN ({_hll_alpha} / ((CAST({ss} AS DOUBLE)
+                 + CAST((256 - {ns}) AS DOUBLE) * {_two52}) / {_two52}))
+               <= {repr(2.5 * 256)} AND (256 - {ns}) > 0
+          THEN (-{repr(256.0)})
+               * ln(CAST(256 - {ns} AS DOUBLE) / {repr(256.0)})
+          ELSE ({_hll_alpha} / ((CAST({ss} AS DOUBLE)
+                 + CAST((256 - {ns}) AS DOUBLE) * {_two52}) / {_two52}))
+          END, 6)"""
+    )
+    sqls["sketch_hll_intersection"] = f"""
+        WITH regs AS MATERIALIZED (
+          SELECT event_type,
+            {hash_mod_sql('hllb13', 'user_id', 256)} AS b,
+            {hash_mod_sql('hllr13', 'user_id', 1 << 52)} AS h
+          FROM events),
+        r2 AS MATERIALIZED (SELECT event_type, b,
+                 max(53 - {_hll_bitlen('h')}) AS m
+               FROM regs GROUP BY 1, 2),
+        gagg AS MATERIALIZED (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS ns,
+            CAST(sum(CAST(pow(CAST(2 AS DOUBLE), 52 - m) AS BIGINT))
+                 AS BIGINT) AS ss
+          FROM r2 GROUP BY 1),
+        gs AS (SELECT DISTINCT event_type FROM events
+               WHERE event_type IS NOT NULL),
+        prs AS (SELECT a.event_type AS group_a, b.event_type AS group_b
+                FROM gs a JOIN gs b ON a.event_type < b.event_type),
+        ra AS (SELECT p.group_a, p.group_b, r.b, r.m AS ma
+               FROM prs p JOIN r2 r ON r.event_type = p.group_a),
+        rb AS (SELECT p.group_a, p.group_b, r.b, r.m AS mb
+               FROM prs p JOIN r2 r ON r.event_type = p.group_b),
+        ru AS (SELECT COALESCE(ra.group_a, rb.group_a) AS group_a,
+                 COALESCE(ra.group_b, rb.group_b) AS group_b,
+                 greatest(COALESCE(ma, 0), COALESCE(mb, 0)) AS mu
+               FROM ra FULL JOIN rb
+                 ON ra.group_a = rb.group_a AND ra.group_b = rb.group_b
+                AND ra.b = rb.b),
+        uagg AS (SELECT group_a, group_b,
+                   CAST(count(*) AS BIGINT) AS nu,
+                   CAST(sum(CAST(pow(CAST(2 AS DOUBLE), 52 - mu)
+                        AS BIGINT)) AS BIGINT) AS su
+                 FROM ru GROUP BY 1, 2),
+        kk AS MATERIALIZED (SELECT DISTINCT event_type, user_id
+                            FROM events
+                            WHERE event_type IS NOT NULL
+                              AND user_id IS NOT NULL),
+        ex AS (SELECT x.event_type AS group_a, y.event_type AS group_b,
+                 CAST(count(*) AS BIGINT) AS exact_intersection
+               FROM kk x JOIN kk y ON x.user_id = y.user_id
+                AND x.event_type < y.event_type
+               GROUP BY 1, 2)
+        SELECT u.group_a, u.group_b,
+          {_hi_est('a.ns', 'a.ss')} AS est_a,
+          {_hi_est('b.ns', 'b.ss')} AS est_b,
+          {_hi_est('u.nu', 'u.su')} AS est_union,
+          round(({_hi_est('a.ns', 'a.ss')}) + ({_hi_est('b.ns', 'b.ss')})
+                - ({_hi_est('u.nu', 'u.su')}), 6) AS est_intersection,
+          COALESCE(ex.exact_intersection, 0) AS exact_intersection
+        FROM uagg u
+        JOIN gagg a ON a.event_type = u.group_a
+        JOIN gagg b ON b.event_type = u.group_b
+        LEFT JOIN ex ON ex.group_a = u.group_a AND ex.group_b = u.group_b
+    """
+
+    _bf_parts = []
+    for _m in (256, 1024, 4096):
+        _probe = " UNION ALL ".join(
+            f"SELECT k, {hash_mod_sql(f'bl5h{_i}', 'k', _m)} AS pos"
+            " FROM tst"
+            for _i in range(3)
+        )
+        _pos = " UNION ALL ".join(
+            f"SELECT {hash_mod_sql(f'bl5h{_i}', 'k', _m)} AS pos"
+            " FROM mem"
+            for _i in range(3)
+        )
+        _bf_parts.append(f"""
+        SELECT CAST({_m} AS BIGINT) AS m_bits,
+          (SELECT CAST(count(*) AS BIGINT) FROM mem) AS n_members,
+          (SELECT CAST(count(*) AS BIGINT) FROM tst) AS n_tested,
+          CAST(COALESCE((SELECT count(*) FROM (
+            SELECT p.k FROM ({_probe}) p
+            JOIN (SELECT DISTINCT pos FROM ({_pos})) f USING (pos)
+            GROUP BY p.k HAVING count(*) = 3)), 0) AS BIGINT)
+            AS n_false_positives""")
+    _bf_body = " UNION ALL ".join(_bf_parts)
+    sqls["sketch_bloom_fpr_curve"] = f"""
+        WITH ks AS MATERIALIZED (
+          SELECT DISTINCT CAST(user_id AS BIGINT) AS k FROM events
+          WHERE user_id IS NOT NULL),
+        mem AS MATERIALIZED (SELECT k FROM ks WHERE k % 2 = 0),
+        tst AS MATERIALIZED (SELECT k FROM ks WHERE k % 2 = 1),
+        fr AS ({_bf_body})
+        SELECT m_bits, n_members, n_tested, n_false_positives,
+          {round6_ratio_sql('CAST(n_false_positives AS DECIMAL(27,6))',
+                            'greatest(n_tested, 1)')} AS fpr
+        FROM fr
+    """
+
+    sqls["embedding_coord_drift"] = """
+        WITH b AS (SELECT
+            CAST(floor(CAST(embedding[1] AS DOUBLE) * 10) AS BIGINT)
+              AS coord_bucket,
+            vec_id % 2 AS par
+          FROM embeddings)
+        SELECT coord_bucket,
+          CAST(sum(CASE WHEN par = 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_a,
+          CAST(sum(CASE WHEN par = 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_b,
+          CAST(sum(CASE WHEN par = 1 THEN 1 ELSE 0 END)
+               - sum(CASE WHEN par = 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS delta
+        FROM b GROUP BY 1
+    """
+
+    _ncr_rows = " UNION ALL ".join(
+        f"""SELECT CAST({bits} AS BIGINT) AS bits,
+          (SELECT CAST(count(*) AS BIGINT) FROM shset) AS n_shingles,
+          CAST(count(DISTINCT
+            {hash_mod_sql(f'ncr{bits}', 's', 1 << bits)}) AS BIGINT)
+            AS n_hashes
+        FROM shset"""
+        for bits in (24, 32, 40)
+    )
+    sqls["text_ngram_collision_rate"] = f"""
+        WITH shl AS (SELECT {_shingles_sql('text')} AS sl
+                     FROM documents),
+        shset AS MATERIALIZED (
+          SELECT DISTINCT unnest(sl) AS s FROM shl),
+        nc AS ({_ncr_rows})
+        SELECT bits, n_shingles, n_hashes,
+          CAST(n_shingles - n_hashes AS BIGINT) AS n_collisions,
+          {round6_ratio_sql(
+              'CAST(n_shingles - n_hashes AS DECIMAL(27,6))',
+              'greatest(n_shingles, 1)')} AS collision_rate
+        FROM nc
+    """
+
+    _bp_blocks = []
+    _bp_rows = []
+    for _bands, _rpb in ((1, 9), (3, 3), (9, 1)):
+        pfx = f"bp{_bands}_"
+        _bp_blocks.append(_minhash_bands_sql(
+            9, _bands, prefix=pfx,
+            src="(SELECT * FROM documents WHERE doc_id % 4 = 0)"))
+        _bp_blocks.append(f"""{pfx}bsz AS MATERIALIZED (
+          SELECT band_id, band_key, count(*) AS bn,
+                 min(doc_id) AS mn
+          FROM {pfx}bands GROUP BY 1, 2)""")
+        _bp_blocks.append(f"""{pfx}cand AS MATERIALIZED (
+          SELECT DISTINCT id_a, id_b FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM {pfx}bands a
+            JOIN {pfx}bands b ON a.band_id = b.band_id
+                             AND a.band_key = b.band_key
+                             AND a.doc_id < b.doc_id
+            JOIN {pfx}bsz s ON s.band_id = a.band_id
+                           AND s.band_key = a.band_key
+            WHERE s.bn <= 512
+            UNION ALL
+            SELECT least(s.mn, b.doc_id), greatest(s.mn, b.doc_id)
+            FROM {pfx}bands b
+            JOIN {pfx}bsz s ON s.band_id = b.band_id
+                           AND s.band_key = b.band_key
+            WHERE s.bn > 512 AND b.doc_id <> s.mn))""")
+        _bp_rows.append(f"""
+        SELECT CAST({_bands} AS BIGINT) AS n_bands,
+          CAST({_rpb} AS BIGINT) AS rows_per_band,
+          CAST(count(*) AS BIGINT) AS n_candidates,
+          CAST(sum(CASE WHEN round(
+              CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+              / greatest(len(sa.s) + len(sb.s)
+                         - len(list_intersect(sa.s, sb.s)), 1), 6)
+              >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_verified
+        FROM {pfx}cand c
+        JOIN bpshd sa ON sa.doc_id = c.id_a
+        JOIN bpshd sb ON sb.doc_id = c.id_b""")
+    sqls["dedup_banding_precision_sweep"] = f"""
+        WITH {', '.join(_bp_blocks)},
+        bpshd AS MATERIALIZED (
+          SELECT doc_id, {_shingles_sql('text')} AS s FROM documents
+          WHERE doc_id % 4 = 0),
+        bp AS ({' UNION ALL '.join(_bp_rows)})
+        SELECT n_bands, rows_per_band, n_candidates, n_verified,
+          {round6_ratio_sql('CAST(n_verified AS DECIMAL(27,6))',
+                            'greatest(n_candidates, 1)')} AS precision
+        FROM bp
+    """
+
+    _pe_rows = " UNION ALL ".join(
+        f"""SELECT CAST({p} AS BIGINT) AS n_partitions,
+          CAST(count(*) AS BIGINT) AS n_buckets_used,
+          CAST(min(n) AS BIGINT) AS min_rows,
+          CAST(max(n) AS BIGINT) AS max_rows,
+          {round6_ratio_sql(f'CAST(max(n) * {p} AS DECIMAL(27,6))',
+                            'greatest(sum(n), 1)')} AS imbalance
+        FROM (SELECT {hash_mod_sql('pe', 'l_orderkey', p)} AS b,
+                count(*) AS n
+              FROM lineitem GROUP BY 1)"""
+        for p in (8, 32, 128)
+    )
+    sqls["layout_partition_evenness"] = _pe_rows
+
+    # ---- r10 catalog round-out: key audit / dtype inference /
+    # sortedness / masks / extremes / peak load / curation grid.
+    _ku = " UNION ALL ".join(
+        f"""SELECT '{tbl}' AS table_name, '{cand}' AS candidate,
+          CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(count(DISTINCT {expr}) AS BIGINT) AS n_distinct
+        FROM {tbl}"""
+        for tbl, cand, expr in [
+            ("orders", "o_orderkey", "o_orderkey"),
+            ("orders", "o_custkey", "o_custkey"),
+            ("lineitem", "l_orderkey,l_linenumber",
+             "(l_orderkey, l_linenumber)"),
+            ("lineitem", "l_partkey,l_suppkey", "(l_partkey, l_suppkey)"),
+            ("customer", "c_custkey", "c_custkey"),
+            ("customer", "c_nationkey", "c_nationkey"),
+        ]
+    )
+    sqls["profile_key_uniqueness"] = f"""
+        WITH ku AS ({_ku})
+        SELECT table_name, candidate, n_rows, n_distinct,
+               CAST(n_rows - n_distinct AS BIGINT) AS n_dup_rows,
+               (n_rows = n_distinct) AS is_key
+        FROM ku
+    """
+
+    sqls["profile_dtype_inference"] = f"""
+        WITH stk AS (
+          SELECT 'c_name' AS col_name, c_name AS val FROM customer
+          UNION ALL
+          SELECT 'p_size_str', printf('%d', p_size) FROM part
+          UNION ALL
+          SELECT 'o_date_str', strftime(o_orderdate, '%Y-%m-%d')
+          FROM orders
+          UNION ALL
+          SELECT 'value_str', printf('%.2f', value) FROM events
+          UNION ALL
+          SELECT 'props', props FROM events
+        ),
+        agg AS (SELECT col_name,
+          CAST(count(*) AS BIGINT) AS n_values,
+          CAST(sum(CASE WHEN regexp_matches(val, '^-?[0-9]+$')
+                   THEN 1 ELSE 0 END) AS BIGINT) AS ni,
+          CAST(sum(CASE WHEN regexp_matches(val,
+                   '^-?[0-9]+(\\.[0-9]+)?$') THEN 1 ELSE 0 END)
+               AS BIGINT) AS nd,
+          CAST(sum(CASE WHEN regexp_matches(val,
+                   '^[0-9]{{4}}-[0-9]{{2}}-[0-9]{{2}}$') THEN 1 ELSE 0
+                   END) AS BIGINT) AS ndt,
+          CAST(sum(CASE WHEN COALESCE(val, '') = '' THEN 1 ELSE 0 END)
+               AS BIGINT) AS ne
+        FROM stk GROUP BY 1)
+        SELECT col_name, n_values,
+          {round6_ratio_sql('CAST(ni AS DECIMAL(27,6))',
+                            'greatest(n_values, 1)')} AS int_rate,
+          {round6_ratio_sql('CAST(nd AS DECIMAL(27,6))',
+                            'greatest(n_values, 1)')} AS double_rate,
+          {round6_ratio_sql('CAST(ndt AS DECIMAL(27,6))',
+                            'greatest(n_values, 1)')} AS date_rate,
+          {round6_ratio_sql('CAST(ne AS DECIMAL(27,6))',
+                            'greatest(n_values, 1)')} AS empty_rate
+        FROM agg
+    """
+
+    _srt = " UNION ALL ".join(
+        f"""SELECT '{c}' AS column_name,
+          CAST(count(*) AS BIGINT) AS n_pairs,
+          CAST(sum(CASE WHEN {c} >= p THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_sorted
+        FROM (SELECT {c}, lag({c}) OVER (PARTITION BY l_orderkey
+                ORDER BY l_linenumber, l_shipdate, l_quantity,
+                         l_extendedprice, l_partkey, l_suppkey) AS p
+              FROM lineitem)
+        WHERE p IS NOT NULL"""
+        for c in ("l_shipdate", "l_quantity", "l_extendedprice")
+    )
+    sqls["lineitem_sortedness_audit"] = f"""
+        WITH srt AS ({_srt})
+        SELECT column_name, n_pairs, n_sorted,
+          {round6_ratio_sql('CAST(n_sorted AS DECIMAL(27,6))',
+                            'greatest(n_pairs, 1)')} AS sorted_fraction
+        FROM srt
+    """
+
+    sqls["profile_mask_census"] = """
+        WITH stk AS (
+          SELECT 'c_name' AS col_name, c_name AS val FROM customer
+          UNION ALL SELECT 'p_brand', p_brand FROM part
+          UNION ALL SELECT 'p_name', p_name FROM part
+          UNION ALL SELECT 'props', props FROM events
+        ),
+        msk AS (SELECT col_name,
+                  regexp_replace(regexp_replace(regexp_replace(val,
+                    '[A-Z]+', 'A', 'g'), '[a-z]+', 'a', 'g'),
+                    '[0-9]+', '9', 'g') AS mask
+                FROM stk),
+        agg AS (SELECT col_name, mask,
+                  CAST(count(*) AS BIGINT) AS n_values
+                FROM msk GROUP BY 1, 2),
+        rnk AS (SELECT col_name,
+                  CAST(row_number() OVER (PARTITION BY col_name
+                    ORDER BY n_values DESC, mask) AS BIGINT) AS rank,
+                  mask, n_values
+                FROM agg)
+        SELECT col_name, rank, mask, n_values FROM rnk WHERE rank <= 5
+    """
+
+    _ext = " UNION ALL ".join(
+        f"""SELECT '{label}' AS col_name, '{direction}' AS direction,
+          CAST(row_number() OVER (ORDER BY round({vc}, 6) {o},
+               {idc}) AS BIGINT) AS rank,
+          CAST({idc} AS BIGINT) AS row_id,
+          round({vc}, 6) AS value
+        FROM {tbl} QUALIFY rank <= 3"""
+        for label, tbl, vc, idc in [
+            ("events.value", "events", "value", "event_id"),
+            ("o_totalprice", "orders", "o_totalprice", "o_orderkey"),
+            ("c_acctbal", "customer", "c_acctbal", "c_custkey"),
+            ("l_extendedprice", "lineitem", "l_extendedprice",
+             "l_orderkey * 8 + l_linenumber"),
+        ]
+        for direction, o in (("top", "DESC"), ("bottom", "ASC"))
+    )
+    sqls["profile_extreme_rows"] = _ext
+
+    sqls["events_peak_windows"] = """
+        WITH win AS (SELECT
+            (epoch_us(ts) // 1000000 // 300) * 300 AS window_start_sec,
+            CAST(count(*) AS BIGINT) AS n_events
+          FROM events GROUP BY 1),
+        rnk AS (SELECT CAST(row_number() OVER (
+                  ORDER BY n_events DESC, window_start_sec) AS BIGINT)
+                  AS rank,
+                CAST(window_start_sec AS BIGINT) AS window_start_sec,
+                n_events
+                FROM win)
+        SELECT rank, window_start_sec, n_events FROM rnk WHERE rank <= 5
+    """
+
+    _cg_cells = " UNION ALL ".join(
+        f"""SELECT CAST({qt} AS DOUBLE) AS q_threshold,
+          CAST({mw} AS BIGINT) AS min_words,
+          CAST(COALESCE(sum(CASE WHEN q >= {qt} AND nw >= {mw}
+               THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_docs_kept,
+          CAST(COALESCE(sum(CASE WHEN q >= {qt} AND nw >= {mw}
+               THEN nw ELSE 0 END), 0) AS BIGINT) AS n_words_kept
+        FROM cgq"""
+        for qt in ("0.25", "0.5", "0.75") for mw in (5, 20)
+    )
+    sqls["curation_grid_tradeoff"] = f"""
+        WITH cgw AS (SELECT doc_id, text, {w} AS w FROM documents),
+        cgq AS (
+          SELECT CAST(len(w) AS BIGINT) AS nw,
+            round(
+              (CASE WHEN len(w) >= 10 AND len(w) <= 100000
+                    THEN 0.25 ELSE 0.0 END)
+              + (CASE WHEN round(CAST(COALESCE(list_sum(
+                           list_transform(w, x -> length(x))), 0)
+                         AS DOUBLE) / greatest(len(w), 1), 6) >= 3
+                   AND round(CAST(COALESCE(list_sum(
+                           list_transform(w, x -> length(x))), 0)
+                         AS DOUBLE) / greatest(len(w), 1), 6) <= 10
+                    THEN 0.25 ELSE 0.0 END)
+              + (CASE WHEN round(CAST(length(regexp_replace(lower(text),
+                           '[^a-z]', '', 'g')) AS DOUBLE)
+                         / greatest(length(text), 1), 6) >= 0.6
+                    THEN 0.25 ELSE 0.0 END)
+              + (CASE WHEN round(CAST(len(list_filter(w,
+                           x -> list_contains({en}, x))) AS DOUBLE)
+                         / greatest(len(w), 1), 6) >= 0.05
+                    THEN 0.25 ELSE 0.0 END), 2) AS q
+          FROM cgw
+        ),
+        cgt AS (SELECT CAST(count(*) AS BIGINT) AS td,
+                  CAST(sum(nw) AS BIGINT) AS tw
+                FROM cgq),
+        cells AS ({_cg_cells})
+        SELECT q_threshold, min_words, n_docs_kept, n_words_kept,
+          {round6_ratio_sql('CAST(n_docs_kept AS DECIMAL(27,6))',
+                            'greatest(td, 1)')} AS doc_share,
+          {round6_ratio_sql('CAST(n_words_kept AS DECIMAL(27,6))',
+                            'greatest(tw, 1)')} AS word_share
+        FROM cells CROSS JOIN cgt
     """
 
     # ---- r10 multimodal planning twins: metadata-only budget tables,

@@ -3081,3 +3081,68 @@ def split_leakage_census(
             "n_docs_in_crossing"
         ),
     )
+
+
+def banding_precision_sweep(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    configs=((1, 9), (3, 3), (9, 1)),
+    num_hashes: int = 9,
+    verify_threshold: float = 0.5,
+) -> DataFrame:
+    """MEASURED banding-choice table: candidate volume and verify
+    precision per (bands, rows-per-band) split of the same signature
+    budget — dedup_lsh_scurve gives the THEORY curve; this measures
+    both sides of the LSH trade on the real corpus (1 band of 9 rows
+    = high precision / low recall; 9 bands of 1 row = the flood of
+    candidates the verify stage then pays for).
+
+    One shingle/minhash computation per config (the banded candidate
+    machinery), verify at ``verify_threshold``.  The sweep runs on a
+    deterministic 25% sample (``id % 4 == 0``): knob-choice tables
+    are SAMPLED by design — the 9-single-row-band config's candidate
+    volume is quadratic in co-bucket occupancy, and measuring it on
+    the full corpus costs more than the decision is worth (the
+    chosen config then runs full-corpus); the sample is the same
+    predicate on both engines, so the table stays exact-hash.
+    Output per config: n_bands, rows_per_band, n_candidates,
+    n_verified, precision (exact-rational round6)."""
+    from fuel_spark.functions import round6_ratio
+
+    df = df.where(F.col(id_col) % 4 == 0)
+    parts = []
+    for bands, rpb in configs:
+        assert bands * rpb == num_hashes
+        # production cap ON (star-degrade past 512-row buckets): the
+        # sweep measures the candidate flood THROUGH the production
+        # candidate path, and the oracle twin models the star
+        # explicitly (the dedup_pair_degree_hist convention) — an
+        # uncapped sweep on a boilerplate-heavy corpus would cost
+        # more than the knob decision is worth
+        pairs = ngram_jaccard_pairs(
+            df, id_col, text_col, 0.0, num_hashes, bands,
+            distinct_pairs=True,
+        ).localCheckpoint(eager=False)
+        agg = pairs.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+            F.sum(
+                F.when(F.col("jaccard") >= verify_threshold, 1)
+                .otherwise(0)
+            ).cast("bigint").alias("n_verified"),
+        )
+        parts.append(
+            agg.select(
+                F.lit(int(bands)).cast("bigint").alias("n_bands"),
+                F.lit(int(rpb)).cast("bigint").alias("rows_per_band"),
+                "n_candidates", "n_verified",
+                round6_ratio(
+                    F.col("n_verified").cast("decimal(27,6)"),
+                    F.greatest(F.col("n_candidates"), F.lit(1)),
+                ).alias("precision"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

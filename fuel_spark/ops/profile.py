@@ -1058,3 +1058,221 @@ def pearson_pairs(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# --------------------------------------------------------------------------
+# r10 catalog round-out: key audit, dtype inference, sortedness, masks
+# --------------------------------------------------------------------------
+
+
+def key_uniqueness(candidates) -> DataFrame:
+    """Candidate-key audit: for each (table, candidate, frame-of-key-
+    columns), exact row / distinct counts and the is_key verdict —
+    the constraint-discovery read that decides bucketing and merge
+    keys (a 'key' with dups silently double-counts every downstream
+    join).
+
+    ``candidates`` is a list of (table_name, candidate_name, df) where
+    df is the projection of exactly the candidate's columns; each
+    audit is one count + one distinct per candidate (map-side-
+    combinable), unioned into the summary frame."""
+    parts = []
+    for table, cand, df in candidates:
+        parts.append(
+            df.agg(
+                F.lit(table).alias("table_name"),
+                F.lit(cand).alias("candidate"),
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.count_distinct(*[F.col(c) for c in df.columns])
+                .cast("bigint").alias("n_distinct"),
+            ).select(
+                "table_name", "candidate", "n_rows", "n_distinct",
+                (F.col("n_rows") - F.col("n_distinct")).cast("bigint")
+                .alias("n_dup_rows"),
+                (F.col("n_rows") == F.col("n_distinct")).alias("is_key"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+_INT_RE = "^-?[0-9]+$"
+_DBL_RE = "^-?[0-9]+(\\.[0-9]+)?$"
+_DATE_RE = "^[0-9]{4}-[0-9]{2}-[0-9]{2}$"
+
+
+def dtype_inference(stacked: DataFrame) -> DataFrame:
+    """Schema-inference audit over STRING-rendered values: per column
+    name in the stacked (col_name, val) frame, the share of values
+    parseable as int / double / date and the empty share — the read
+    that catches a numeric column shipped as strings (the classic
+    silent 100 TB CSV tax: string comparisons, no pushdown, no
+    stats).
+
+    Pure regexp census (identical regexes both engines — try_cast
+    semantics differ cross-engine, regex classes do not).  Output per
+    col_name: n_values, int_rate, double_rate, date_rate,
+    empty_rate (exact-rational round6)."""
+    from fuel_spark.functions import round6_ratio
+
+    v = F.col("val")
+    agg = stacked.groupBy("col_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_values"),
+        F.sum(F.when(v.rlike(_INT_RE), 1).otherwise(0)).cast("bigint")
+        .alias("_int"),
+        F.sum(F.when(v.rlike(_DBL_RE), 1).otherwise(0)).cast("bigint")
+        .alias("_dbl"),
+        F.sum(F.when(v.rlike(_DATE_RE), 1).otherwise(0)).cast("bigint")
+        .alias("_dt"),
+        F.sum(F.when(F.coalesce(v, F.lit("")) == "", 1).otherwise(0))
+        .cast("bigint").alias("_emp"),
+    )
+    den = F.greatest(F.col("n_values"), F.lit(1))
+    return agg.select(
+        "col_name", "n_values",
+        round6_ratio(F.col("_int").cast("decimal(27,6)"), den).alias(
+            "int_rate"
+        ),
+        round6_ratio(F.col("_dbl").cast("decimal(27,6)"), den).alias(
+            "double_rate"
+        ),
+        round6_ratio(F.col("_dt").cast("decimal(27,6)"), den).alias(
+            "date_rate"
+        ),
+        round6_ratio(F.col("_emp").cast("decimal(27,6)"), den).alias(
+            "empty_rate"
+        ),
+    )
+
+
+def group_sortedness(
+    df: DataFrame, part_col: str, order_cols, value_cols
+) -> DataFrame:
+    """Within-group sortedness audit: for each value column, the
+    fraction of adjacent (by ``order_col`` inside each ``part_col``
+    group) pairs that are nondecreasing — the physical-layout read
+    that prices range pruning and delta encoding (a column already
+    ~sorted within its natural key compresses and prunes for free).
+
+    The window partitions by the GROUP key — never a global sort, so
+    the audit scales with ordinary shuffle parallelism.
+    ``order_cols`` must be a list forming an order that is TOTAL up
+    to rows identical in every audited column (synthetic lineitem has
+    duplicate (orderkey, linenumber) pairs — a non-total order makes
+    the adjacency nondeterministic ACROSS ENGINES and the audit
+    unhashable; including the audited columns in the tie-break makes
+    any residual ties comparison-neutral).  Output per column:
+    n_pairs, n_sorted, sorted_fraction (round6)."""
+    from pyspark.sql import Window
+
+    from fuel_spark.functions import round6_ratio
+
+    w = Window.partitionBy(part_col).orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    # ONE window pass computes every column's lag (3 separate windows
+    # measured 21s at the 20x smoke; the shared sort is the cost)
+    lagged = df.select(
+        *[F.col(c).alias(f"_v{i}") for i, c in enumerate(value_cols)],
+        *[
+            F.lag(c).over(w).alias(f"_p{i}")
+            for i, c in enumerate(value_cols)
+        ],
+    ).localCheckpoint(eager=False)
+    parts = []
+    for i, c in enumerate(value_cols):
+        pair = lagged.where(F.col(f"_p{i}").isNotNull())
+        parts.append(
+            pair.agg(
+                F.lit(c).alias("column_name"),
+                F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+                F.sum(
+                    F.when(
+                        F.col(f"_v{i}") >= F.col(f"_p{i}"), 1
+                    ).otherwise(0)
+                ).cast("bigint").alias("n_sorted"),
+            ).select(
+                "column_name", "n_pairs", "n_sorted",
+                round6_ratio(
+                    F.col("n_sorted").cast("decimal(27,6)"),
+                    F.greatest(F.col("n_pairs"), F.lit(1)),
+                ).alias("sorted_fraction"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def mask_census(stacked: DataFrame, top_k: int = 5) -> DataFrame:
+    """Character-class mask census: values collapse to masks
+    (uppercase runs -> 'A', lowercase runs -> 'a', digit runs -> '9',
+    punctuation kept) and the top masks per column are ranked — the
+    format-discovery read (one rogue mask in an id column is the
+    malformed ingest a schema check can't see).
+
+    Output per (col_name, rank<=top_k): mask, n_values, the rank
+    deterministic on (count desc, mask)."""
+    from pyspark.sql import Window
+
+    mask = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("val"), "[A-Z]+", "A"),
+            "[a-z]+", "a",
+        ),
+        "[0-9]+", "9",
+    )
+    agg = stacked.select("col_name", mask.alias("mask")).groupBy(
+        "col_name", "mask"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_values"))
+    w = Window.partitionBy("col_name").orderBy(
+        F.col("n_values").desc(), F.col("mask")
+    )
+    return (
+        agg.select(
+            "col_name",
+            F.row_number().over(w).cast("bigint").alias("rank"),
+            "mask", "n_values",
+        )
+        .where(F.col("rank") <= int(top_k))
+    )
+
+
+def extreme_rows(specs, k: int = 3) -> DataFrame:
+    """Outlier dossier: per numeric column, the k largest and k
+    smallest values WITH their row ids (exact ties broken by id) —
+    the rows an anomaly triage actually opens.  Each direction is an
+    orderBy+limit (TakeOrdered — a per-partition top-k merge, never a
+    global sort exchange).
+
+    ``specs`` is a list of (col_label, df, value_col, id_col).
+    Output: col_name, direction, rank, row_id, value (round6)."""
+    from pyspark.sql import Window
+
+    parts = []
+    for label, df, vc, idc in specs:
+        base = df.select(
+            F.col(idc).cast("long").alias("row_id"),
+            F.round(F.col(vc), 6).alias("value"),
+        ).where(F.col("value").isNotNull())
+        for direction, ordering in (
+            ("top", [F.col("value").desc(), F.col("row_id")]),
+            ("bottom", [F.col("value").asc(), F.col("row_id")]),
+        ):
+            sel = base.orderBy(*ordering).limit(int(k))
+            w = Window.orderBy(*ordering)
+            parts.append(
+                sel.select(
+                    F.lit(label).alias("col_name"),
+                    F.lit(direction).alias("direction"),
+                    F.row_number().over(w).cast("bigint").alias("rank"),
+                    "row_id", "value",
+                )
+            )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1371,3 +1371,180 @@ def priority_sample_certificate(
             6,
         ).alias("rel_err"),
     )
+
+
+def _hll_est(n_set, sum_set, m: int):
+    """The hll_distinct estimate formula as a reusable Column: raw
+    harmonic estimate with the standard small-range linear-counting
+    fallback, rounded 6 — identical arithmetic to the oracle twin
+    (integer register sums in, double out)."""
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    two52 = float(1 << 52)
+    denom = (
+        sum_set.cast("double")
+        + (F.lit(m) - n_set).cast("double") * F.lit(two52)
+    ) / F.lit(two52)
+    raw = F.lit(alpha * m * m) / denom
+    zeros = F.lit(m) - n_set
+    lc = -F.lit(float(m)) * F.log(zeros.cast("double") / F.lit(float(m)))
+    return F.round(
+        F.when((raw <= 2.5 * m) & (zeros > 0), lc).otherwise(raw), 6
+    )
+
+
+def hll_intersection_certificate(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    m: int = 256,
+    seed: int = 13,
+) -> DataFrame:
+    """Audience-overlap estimates by HLL inclusion–exclusion: for
+    every group pair, union the register tables (per-bucket MAX — the
+    merge operation HLL exists for) and estimate |A∩B| as
+    est(A)+est(B)−est(A∪B), with the EXACT intersection alongside as
+    the certificate — the overlap planner that at 100 TB runs off
+    m-row register tables instead of a distinct-pair self-join.
+
+    All register arithmetic is the hll_distinct integer contract
+    (Σ2^(52−M) as BIGINT), so the estimates are engine-exact.
+    Output per (group_a < group_b): est_a, est_b, est_union,
+    est_intersection, exact_intersection."""
+    from fuel_spark.functions import hash_mod  # noqa: F401 (doc link)
+
+    rg = _hll_registers(df, group_col, key_col, m, seed)
+    g = F.col(group_col)
+    groups = df.select(g.alias("_g")).where(g.isNotNull()).distinct()
+    pairs = (
+        groups.select(F.col("_g").alias("group_a"))
+        .crossJoin(F.broadcast(groups.select(F.col("_g").alias("group_b"))))
+        .where(F.col("group_a") < F.col("group_b"))
+    )
+    ra = pairs.join(
+        F.broadcast(rg), F.col(group_col) == F.col("group_a")
+    ).select("group_a", "group_b", "_b", F.col("_m").alias("_ma"))
+    rb = pairs.join(
+        F.broadcast(rg), F.col(group_col) == F.col("group_b")
+    ).select("group_a", "group_b", "_b", F.col("_m").alias("_mb"))
+    ru = ra.join(rb, ["group_a", "group_b", "_b"], "full_outer").select(
+        "group_a", "group_b", "_b",
+        F.greatest(
+            F.coalesce("_ma", F.lit(0)), F.coalesce("_mb", F.lit(0))
+        ).alias("_mu"),
+    )
+    pw = F.expr("CAST(pow(CAST(2 AS DOUBLE), 52 - _mu) AS BIGINT)")
+    uagg = ru.groupBy("group_a", "group_b").agg(
+        F.count(F.lit(1)).alias("_nu"), F.sum(pw).alias("_su")
+    )
+    gagg = rg.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("_ns"),
+        F.sum(F.expr("CAST(pow(CAST(2 AS DOUBLE), 52 - _m) AS BIGINT)"))
+        .alias("_ss"),
+    )
+    keyed = df.select(g.alias("_g"), F.col(key_col).alias("_k")).where(
+        g.isNotNull() & F.col(key_col).isNotNull()
+    ).distinct()
+    exact = (
+        keyed.alias("x")
+        .join(keyed.alias("y"), F.col("x._k") == F.col("y._k"))
+        .where(F.col("x._g") < F.col("y._g"))
+        .groupBy(
+            F.col("x._g").alias("group_a"), F.col("y._g").alias("group_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_intersection"))
+    )
+    est_a = _hll_est(F.col("a._ns"), F.col("a._ss"), m)
+    est_b = _hll_est(F.col("b._ns"), F.col("b._ss"), m)
+    est_u = _hll_est(F.col("_nu"), F.col("_su"), m)
+    return (
+        uagg.join(
+            F.broadcast(gagg.alias("a")),
+            F.col("group_a") == F.col(f"a.{group_col}"),
+        )
+        .join(
+            F.broadcast(gagg.alias("b")),
+            F.col("group_b") == F.col(f"b.{group_col}"),
+        )
+        .join(exact, ["group_a", "group_b"], "left")
+        .select(
+            "group_a", "group_b",
+            est_a.alias("est_a"), est_b.alias("est_b"),
+            est_u.alias("est_union"),
+            F.round(est_a + est_b - est_u, 6).alias("est_intersection"),
+            F.coalesce("exact_intersection", F.lit(0)).cast("bigint")
+            .alias("exact_intersection"),
+        )
+    )
+
+
+def bloom_fpr_curve(
+    df: DataFrame,
+    key_col: str,
+    m_list=(256, 1024, 4096),
+    k_hashes: int = 3,
+    seed: int = 5,
+) -> DataFrame:
+    """Measured Bloom false-positive curve: filters built over the
+    even keys at several sizes, probed with the (disjoint) odd keys —
+    every hit is a false positive by construction, so the measured
+    FPR needs no truth join.  The m-bits-choice table
+    (:func:`bloom_size_planner` predicts; this MEASURES on the real
+    key distribution).
+
+    Output per m_bits: n_members, n_tested, n_false_positives,
+    fpr (exact-rational round6)."""
+    from fuel_spark.functions import hash_mod, round6_ratio
+
+    keys = (
+        df.select(F.col(key_col).cast("long").alias("k"))
+        .where(F.col("k").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    members = keys.where(F.col("k") % 2 == 0)
+    tests = keys.where(F.col("k") % 2 == 1)
+    parts = []
+    for m_bits in m_list:
+        pos = bloom_build(members, "k", m_bits=m_bits,
+                          k_hashes=k_hashes, seed=seed)
+        probes = _union_all([
+            tests.select(
+                "k",
+                hash_mod(f"bl{seed}h{i}", F.col("k"), m_bits).alias(
+                    "pos"
+                ),
+            )
+            for i in range(k_hashes)
+        ])
+        hits = (
+            probes.join(F.broadcast(pos), "pos")
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("_nh"))
+            .where(F.col("_nh") == k_hashes)
+        )
+        stats = members.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members")
+        ).crossJoin(
+            tests.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_tested")
+            )
+        ).crossJoin(
+            hits.agg(
+                F.coalesce(F.count(F.lit(1)), F.lit(0)).cast("bigint")
+                .alias("n_false_positives")
+            )
+        )
+        parts.append(
+            stats.select(
+                F.lit(int(m_bits)).cast("bigint").alias("m_bits"),
+                "n_members", "n_tested", "n_false_positives",
+                round6_ratio(
+                    F.col("n_false_positives").cast("decimal(27,6)"),
+                    F.greatest(F.col("n_tested"), F.lit(1)),
+                ).alias("fpr"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -4171,3 +4171,58 @@ def script_mix(df: DataFrame, group_col: str, text_col: str) -> DataFrame:
             F.greatest(F.col("n_chars"), F.lit(1)),
         ).alias("digit_share"),
     )
+
+
+def ngram_collision_rate(
+    df: DataFrame, text_col: str, bit_widths=(24, 32, 40), k: int = 5
+) -> DataFrame:
+    """Hash-width planning table: the corpus's distinct character
+    k-shingles hashed at several widths, with exact collision counts
+    (distinct shingles − distinct hashes) — the read that picks the
+    fingerprint width BEFORE a 32-bit digest silently merges distinct
+    content at the 100 TB shingle count (birthday bound: ~2^16
+    shingles already collide at 32 bits).
+
+    Output per bits: n_shingles, n_hashes, n_collisions,
+    collision_rate (exact-rational round6)."""
+    from fuel_spark.functions import (
+        hash_mod, norm_text, round6_ratio, shingles_over_norm,
+    )
+
+    # Generate-barrier the normalization (with_materialized): a bare
+    # projection would let CollapseProject inline the regex into the
+    # shingle lambda — the O(len²) trap the helper exists to prevent
+    sh = (
+        with_materialized(
+            ensure_parallelism(df.select(F.col(text_col))),
+            "_n", norm_text(F.col(text_col)),
+        )
+        .select(F.explode(shingles_over_norm("_n", k)).alias("s"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    parts = []
+    for bits in bit_widths:
+        m = 1 << int(bits)
+        agg = sh.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.count_distinct(hash_mod(f"ncr{bits}", F.col("s"), m))
+            .cast("bigint").alias("n_hashes"),
+        )
+        parts.append(
+            agg.select(
+                F.lit(int(bits)).cast("bigint").alias("bits"),
+                "n_shingles", "n_hashes",
+                (F.col("n_shingles") - F.col("n_hashes")).cast("bigint")
+                .alias("n_collisions"),
+                round6_ratio(
+                    (F.col("n_shingles") - F.col("n_hashes"))
+                    .cast("decimal(27,6)"),
+                    F.greatest(F.col("n_shingles"), F.lit(1)),
+                ).alias("collision_rate"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

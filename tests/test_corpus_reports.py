@@ -818,3 +818,62 @@ def test_calinski_harabasz_orders_separation(spark):
     assert cht.n == 24 and cht.k == 3
     assert cht.ch > chl.ch > 0
     assert cht.between_ss > cht.within_ss  # separation dominates
+
+
+# ---- r10 closing five ------------------------------------------------------
+
+
+def test_stopword_density_drift_split(spark):
+    """Parity halves accumulate independently; delta = b - a."""
+    import __spark_entry__ as E
+    from fuel_spark.sources import from_rows
+
+    rows = [
+        (0, "s", "the and of to in"),       # even: all stopwords
+        (1, "s", "alpha beta gamma delta"),  # odd: none
+    ]
+    df = from_rows(spark, rows, schema="doc_id bigint, source string, text string")
+    t = {"documents": df}
+    # drive the wrapper through the registry shape with a stub loader
+    orig = E._t
+    E._t = lambda spark_, sf_: t
+    try:
+        r = E.q_stopword_density_drift(spark, "x").collect()[0]
+    finally:
+        E._t = orig
+    assert (r.n_words_a, r.n_hits_a) == (5, 5)
+    assert (r.n_words_b, r.n_hits_b) == (4, 0)
+    assert r.rate_a == 1.0 and r.rate_b == 0.0 and r.rate_delta == -1.0
+
+
+def test_priority_aging_buckets(spark):
+    """Ages bucket relative to the newest order; final orders drop."""
+    import datetime as dt
+
+    import __spark_entry__ as E
+    from fuel_spark.sources import from_rows
+
+    base = dt.datetime(2024, 12, 31)
+    rows = [
+        (1, 1, "O", 100.0, base, "1-URGENT"),
+        (2, 1, "O", 50.0, base - dt.timedelta(days=100), "1-URGENT"),
+        (3, 1, "F", 70.0, base - dt.timedelta(days=10), "1-URGENT"),
+        (4, 1, "P", 30.0, base - dt.timedelta(days=400), "2-HIGH"),
+    ]
+    df = from_rows(
+        spark, rows,
+        schema="o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+               " o_totalprice double, o_orderdate timestamp,"
+               " o_orderpriority string",
+    )
+    orig = E._t
+    E._t = lambda spark_, sf_: {"orders": df}
+    try:
+        got = {(r.priority, r.age_bucket): r
+               for r in E.q_orders_priority_aging(spark, "x").collect()}
+    finally:
+        E._t = orig
+    assert got[("1-URGENT", "0-90")].n_orders == 1
+    assert got[("1-URGENT", "91-365")].n_orders == 1
+    assert got[("2-HIGH", "366+")].open_value == 30.0
+    assert ("1-URGENT", "0-90") in got and len(got) == 3  # 'F' excluded

@@ -1007,6 +1007,21 @@ SINGLE_PARTITION_ALLOWLIST = {
     # r10 pHash radius curve: per-radius 1-row count finals over the
     # banded candidate-pair set (the funnel-sweep rationale)
     "image_phash_radius_sweep",
+    # r10 catalog round-out: per-candidate / per-column / per-cell
+    # 1-row audit finals (the check_expectations rationale, unioned)
+    # and the curation grid's 1-row corpus-total broadcast; the
+    # sortedness audit's per-column 1-row reductions
+    "profile_key_uniqueness", "lineitem_sortedness_audit",
+    "curation_grid_tradeoff",
+    # r10 sketch round-out: per-m/per-width/per-config/per-p 1-row
+    # summary finals over sketch-sized or bucket-census frames (the
+    # sketch_bloom_merge_cert rationale, swept)
+    "sketch_bloom_fpr_curve", "text_ngram_collision_rate",
+    "dedup_banding_precision_sweep", "layout_partition_evenness",
+    # r10 closing five: the breadth profile's rank window runs over
+    # the supplier DIMENSION (bounded) + 1-row profile finals; the
+    # aging table's 1-row max-date anchor broadcast
+    "supplier_part_breadth", "orders_priority_aging",
 }
 
 

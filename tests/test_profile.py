@@ -398,3 +398,83 @@ def test_pearson_pairs_exact_signs(spark):
         df, [("a", "b"), ("a", "c")]).collect()}
     assert out[("a", "b")] == 1.0   # perfectly linear
     assert out[("a", "c")] == -1.0  # perfectly anti-linear
+
+
+# ---- r10 catalog round-out -------------------------------------------------
+
+
+def test_key_uniqueness_verdicts(spark):
+    from fuel_spark.ops import profile
+    from fuel_spark.sources import from_rows
+
+    df = from_rows(
+        spark, [(1, 10), (2, 10), (3, 20)], schema="a bigint, b bigint"
+    )
+    rows = {r.candidate: r for r in profile.key_uniqueness([
+        ("t", "a", df.select("a")),
+        ("t", "b", df.select("b")),
+        ("t", "a,b", df.select("a", "b")),
+    ]).collect()}
+    assert rows["a"].is_key and rows["a"].n_dup_rows == 0
+    assert not rows["b"].is_key and rows["b"].n_dup_rows == 1
+    assert rows["a,b"].is_key
+
+
+def test_dtype_inference_rates(spark):
+    from fuel_spark.ops import profile
+    from fuel_spark.sources import from_rows
+
+    df = from_rows(
+        spark,
+        [("c", "123"), ("c", "4.5"), ("c", "2024-01-02"),
+         ("c", "word"), ("c", "")],
+        schema="col_name string, val string",
+    )
+    r = profile.dtype_inference(df).collect()[0]
+    assert r.n_values == 5
+    assert r.int_rate == 0.2       # '123'
+    assert r.double_rate == 0.4    # '123' and '4.5'
+    assert r.date_rate == 0.2 and r.empty_rate == 0.2
+
+
+def test_group_sortedness_fraction(spark):
+    from fuel_spark.ops import profile
+    from fuel_spark.sources import from_rows
+
+    # group 1: 3 pairs, values sorted; group 2: 1 pair, descending
+    rows = [(1, 1, 10.0), (1, 2, 20.0), (1, 3, 20.0), (1, 4, 30.0),
+            (2, 1, 9.0), (2, 2, 5.0)]
+    df = from_rows(spark, rows, schema="g bigint, o bigint, v double")
+    r = profile.group_sortedness(df, "g", ["o"], ["v"]).collect()[0]
+    assert (r.n_pairs, r.n_sorted) == (4, 3)
+    assert r.sorted_fraction == 0.75
+
+
+def test_mask_census_collapse(spark):
+    from fuel_spark.ops import profile
+    from fuel_spark.sources import from_rows
+
+    df = from_rows(
+        spark,
+        [("c", "Customer#000042"), ("c", "Customer#000043"), ("c", "x9y")],
+        schema="col_name string, val string",
+    )
+    rows = {r.mask: r for r in profile.mask_census(df).collect()}
+    assert rows["Aa#9"].n_values == 2 and rows["Aa#9"].rank == 1
+    assert rows["a9a"].n_values == 1
+
+
+def test_extreme_rows_ranks_and_ties(spark):
+    from fuel_spark.ops import profile
+    from fuel_spark.sources import from_rows
+
+    df = from_rows(
+        spark, [(1, 5.0), (2, 9.0), (3, 9.0), (4, 1.0)],
+        schema="id bigint, v double",
+    )
+    out = profile.extreme_rows([("v", df, "v", "id")], k=2).collect()
+    top = {r.rank: r for r in out if r.direction == "top"}
+    bot = {r.rank: r for r in out if r.direction == "bottom"}
+    # tie at 9.0 breaks on id: row 2 before row 3
+    assert (top[1].row_id, top[2].row_id) == (2, 3)
+    assert (bot[1].row_id, bot[1].value) == (4, 1.0)

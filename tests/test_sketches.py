@@ -625,3 +625,42 @@ def test_rbo_certificate_identity_order_and_misorder(spark):
     )
     gone = similarity.rbo_certificate(e, other, k=3, p=0.9).collect()[0]
     assert gone.n_common == 0 and gone.rbo == 0.0
+
+
+# ---- r10 sketch round-out --------------------------------------------------
+
+
+def test_hll_intersection_exact_and_ie(spark):
+    """Inclusion-exclusion on planted overlap: groups a={1..40},
+    b={21..60} share 20 keys; the exact certificate reads 20 and the
+    register-based estimates satisfy est_int = est_a+est_b-est_u."""
+    from fuel_spark.sources import from_rows
+
+    rows = [("a", i) for i in range(1, 41)] + [
+        ("b", i) for i in range(21, 61)
+    ]
+    df = from_rows(spark, rows, schema="g string, k long")
+    out = sketch.hll_intersection_certificate(df, "g", "k").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.group_a, r.group_b) == ("a", "b")
+    assert r.exact_intersection == 20
+    assert abs(r.est_intersection - (r.est_a + r.est_b - r.est_union)) < 1e-6
+    # m=256 registers on 40-key sets: linear counting is near-exact
+    assert abs(r.est_a - 40) < 4 and abs(r.est_union - 60) < 6
+
+
+def test_bloom_fpr_curve_monotone(spark):
+    """FPR is nonincreasing in m_bits, and a filter big enough for
+    the member set reads (near) zero false positives."""
+    from fuel_spark.sources import from_rows
+
+    df = from_rows(spark, [(i,) for i in range(400)], schema="user_id long")
+    rows = {r.m_bits: r for r in sketch.bloom_fpr_curve(
+        df, "user_id", m_list=(64, 1024, 65536)
+    ).collect()}
+    assert rows[64].n_members == 200 and rows[64].n_tested == 200
+    fprs = [rows[m].fpr for m in (64, 1024, 65536)]
+    assert fprs[0] >= fprs[1] >= fprs[2]
+    assert rows[64].fpr > 0.9       # 600 set bits into 64 -> saturated
+    assert rows[65536].fpr < 0.05

@@ -2559,3 +2559,45 @@ def test_split_leakage_parity(spark):
     assert rows[3].n_docs_in_crossing == 3
     assert rows[2].n_crossing_clusters == 0
     assert rows[2].n_docs_in_crossing == 0
+
+
+def test_ngram_collision_rate_widths(spark):
+    """Collisions are nonincreasing in hash width and bounded by the
+    shingle count; n_hashes <= n_shingles always."""
+    df = from_rows(
+        spark,
+        [(i, f"document number {i} with some shared words") for i in range(40)],
+        schema="doc_id bigint, text string",
+    )
+    rows = {r.bits: r for r in text_ops.ngram_collision_rate(
+        df, "text", bit_widths=(8, 16, 40)
+    ).collect()}
+    ns = rows[8].n_shingles
+    assert all(r.n_shingles == ns for r in rows.values())
+    assert rows[8].n_collisions >= rows[16].n_collisions >= rows[40].n_collisions
+    assert rows[8].n_hashes <= ns
+    # 8-bit space (256) must collide on a few hundred shingles
+    assert rows[8].n_collisions > 0
+
+
+def test_banding_precision_sweep_nested(spark):
+    """Candidate sets are nested: 1 band of 9 rows ⊆ 3x3 ⊆ 9x1, and
+    precision is nonincreasing as candidates widen.  Fixture ids are
+    multiples of 4 so every doc survives the sweep's deterministic
+    25% sample."""
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = "the quick brown fox jumps over the lazy cat again and again"
+    other = "completely different words about spark engines and shuffles"
+    df = from_rows(
+        spark,
+        [(0, base), (4, base), (8, near), (12, other)],
+        schema="doc_id bigint, text string",
+    )
+    out = {r.n_bands: r for r in dedup.banding_precision_sweep(
+        df, "doc_id", "text"
+    ).collect()}
+    assert out[9].n_candidates >= 3  # the near-dup trio floods in
+    assert out[1].n_candidates <= out[3].n_candidates <= out[9].n_candidates
+    assert out[1].precision >= out[3].precision >= out[9].precision
+    for r in out.values():
+        assert r.n_verified <= r.n_candidates
