@@ -1676,14 +1676,22 @@ def q_curation_pipeline(spark, sf, prededup_exact: bool = True):
     d = _t(spark, sf)["documents"]
     corpus = d.where(F.col("doc_id") >= 20).select("doc_id", "text", "lang")
     bench = d.where(F.col("doc_id") < 20).select("text")
+    # r10 optimization (guide §5 localCheckpoint / verify-skill replay
+    # note): `kept` is referenced 2-3x inside apply_dedup (digest
+    # rollup, sketch input, final anti-join) and `deduped` 4x
+    # (decontaminate's gram pass + id spine, the clean join) — Spark
+    # replays multi-referenced subtrees (no ReusedExchange across the
+    # anti-join), so without the two lazy checkpoints the quality pass
+    # and the whole near-dup pipeline re-run per reference.
     kept = (
         text_ops.quality_score(corpus, "text")
         .where(F.col("quality") >= 0.9)
         .select("doc_id", "text", "lang")
+        .localCheckpoint(eager=False)
     )
     deduped = dedup.apply_dedup(
         kept, "doc_id", "text", threshold=0.5, prededup_exact=prededup_exact
-    )
+    ).localCheckpoint(eager=False)
     flags = dedup.decontaminate(deduped, "doc_id", "text", bench, "text", n=3)
     clean = deduped.join(
         flags.where(~F.col("contaminated")).select("doc_id"), "doc_id"
@@ -2026,28 +2034,49 @@ def q_pretrain_pipeline(spark, sf):
     collapsing from 100k rows to the 4,992 true survivors.  On corpora without exact twins the stage
     is a no-op (gate hashes identical with and without)."""
     d = _t(spark, sf)["documents"]
-    c4_keep = (
-        text_ops.c4_filters(d, "doc_id", "text")
-        .where(F.col("keep"))
-        .select("doc_id")
+    # r10 optimization (guide §2.4/§2.3): both filter families are pure
+    # row-local projections (their docstrings), so attaching them via
+    # two doc_id joins re-scanned the corpus three times and paid two
+    # sort-merge shuffles for what one WHERE computes.  Fused: a single
+    # scan pass evaluates c4 then policy flags, text riding through
+    # under a temp name so neither op sees a duplicate text column.
+    # Rows identical (inner join on unique doc_id == filter).
+    c4 = text_ops.c4_filters(
+        d.select("doc_id", "text", F.col("text").alias("_thru")),
+        "doc_id", "text", keep_cols=("_thru",),
     )
-    pol_keep = (
-        text_ops.policy_filters(d, "doc_id", "text")
-        .where(F.col("keep"))
-        .select("doc_id")
+    kept1 = c4.where(F.col("keep")).select(
+        "doc_id", F.col("_thru").alias("text")
     )
-    kept = d.select("doc_id", "text").join(c4_keep, "doc_id").join(
-        pol_keep, "doc_id"
+    pol = text_ops.policy_filters(
+        kept1.select("doc_id", "text", F.col("text").alias("_thru")),
+        "doc_id", "text", keep_cols=("_thru",),
     )
-    survivors = dedup.exact_dedup(kept, "doc_id", "text").select(
-        F.col("keep_id").alias("doc_id")
+    kept = pol.where(F.col("keep")).select(
+        "doc_id", F.col("_thru").alias("text")
     )
+    # r10 optimization (guide §2.3): exact dedup + min-id join-back
+    # collapsed into ONE digest-keyed aggregation — min doc_id and its
+    # text per md5 group (min_by keeps the surviving row's own text,
+    # exactly the row the old inner join kept).  Partial map-side
+    # aggregation combines duplicate texts before the exchange, so the
+    # shuffle carries each distinct text roughly once instead of
+    # digests twice plus the full corpus once through the SMJ — and
+    # `kept` is referenced exactly once (no subtree replay).
     # lazy localCheckpoint: the substring stage references its input
     # three times (seed pass, span-hash word arrays, rebuild pass) and
     # Spark replays multi-referenced subtrees — without this the
     # filter+dedup chain upstream runs ~5x (measured 9.7s -> 6.8s at
     # sf0.1, rows/hashes unchanged)
-    deduped = kept.join(survivors, "doc_id").localCheckpoint(eager=False)
+    deduped = (
+        kept.groupBy(F.md5(F.col("text")).alias("_h"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min_by("text", "doc_id").alias("text"),
+        )
+        .select("doc_id", "text")
+        .localCheckpoint(eager=False)
+    )
     cleaned = dedup.exact_substring_apply(
         deduped, "doc_id", "text", min_len=10, seed_k=5
     ).select("doc_id", F.col("text_clean").alias("text"))
@@ -5133,7 +5162,7 @@ def q_cross_source_components(spark, sf):
     return dedup.cross_source_components(d, "doc_id", "text", "source")
 
 
-def q_split_leakage(spark, sf):
+def q_dedup_split_leakage(spark, sf):
     """Naive-split leakage certificate (r10): near-dup clusters
     straddling a doc_id-parity split, per size — every straddler is a
     paraphrase leak; the measured case for leakage_free_split."""
@@ -5785,7 +5814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_component_profile": q_component_profile,
         "dedup_cc_edge_density": q_cc_edge_density,
         "dedup_cross_source_components": q_cross_source_components,
-        "dedup_split_leakage": q_split_leakage,
+        "dedup_split_leakage": q_dedup_split_leakage,
         "stream_window_counts_resume": q_stream_window_counts_resume,
         "stream_agg_minmax_resume": q_stream_agg_minmax_resume,
         "stream_sessionize_resume": q_stream_sessionize_resume,

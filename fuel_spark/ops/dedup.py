@@ -1133,6 +1133,10 @@ def incremental_dedup_summary(
     inc_bands = with_minhash_bands(
         incoming, id_col, text_col, num_hashes, bands, shingle_k
     ).localCheckpoint(eager=False)
+    # flagged is an id-only frame referenced by three consumers (the
+    # stage-6 count, the survivors anti-join, the merged-bands
+    # anti-join below) — lazy checkpoint so the band semi-join runs
+    # once, not per consumer
     flagged = (
         inc_bands.join(
             idx.select("band_id", "band_key").distinct(),
@@ -1141,10 +1145,23 @@ def incremental_dedup_summary(
         )
         .select(id_col)
         .distinct()
+        .localCheckpoint(eager=False)
     )
     survivors = incoming.join(flagged, id_col, "left_anti")
-    merged = merge_into_index(
-        idx, survivors, id_col, text_col, num_hashes, bands, shingle_k
+    # r10 optimization (guide §1.2 "don't compute things you throw
+    # away"): merge_into_index(idx, survivors) would re-run the whole
+    # minhash subtree (normalize + shingle + K rehashes) over the
+    # survivor texts — but their band rows are already IN the
+    # checkpointed inc_bands (banding is a deterministic per-row
+    # projection, so bands(survivors) == inc_bands minus the flagged
+    # ids).  Reuse them with one id anti-join instead of re-sketching.
+    id_type = dict(idx.dtypes)[idx.columns[0]]
+    merged = idx.unionByName(
+        inc_bands.join(flagged, id_col, "left_anti").select(
+            F.col(id_col).cast(id_type).alias(idx.columns[0]),
+            "band_id",
+            "band_key",
+        )
     )
     compacted = compact_index(
         merged,
@@ -1952,12 +1969,21 @@ def exact_substring_spans(
         F.col(id_col).alias("_id"), "pos", "gh"
     )
     if max_positions is not None:
-        hot = seeds.groupBy("gh").agg(F.count(F.lit(1)).alias("_n"))
+        # r10 optimization (guide §2.4): the posting-list cap was an
+        # aggregate + join-back — TWO evaluations of the seed subtree
+        # (it was unreferenced-elsewhere and Spark replays shared
+        # subtrees) and two shuffles.  A window count over the same gh
+        # key is ONE shuffle, no sort (no orderBy), identical rows.
         seeds = (
-            seeds.join(hot, "gh")
+            seeds.withColumn(
+                "_n", F.count(F.lit(1)).over(Window.partitionBy("gh"))
+            )
             .where(F.col("_n") <= max_positions)
             .drop("_n")
         )
+    # consumed by both sides of the diagonal self-join — checkpoint
+    # lazily so the seed pass (and the cap shuffle) computes once
+    seeds = seeds.localCheckpoint(eager=False)
     a = seeds.select(
         F.col("gh"), F.col("_id").alias("doc_a"), F.col("pos").alias("pos_a")
     )
@@ -2034,12 +2060,16 @@ def self_repetition_spans(
 
     seeds = substring_seeds(df, id_col, text_col, seed_k)
     if max_positions is not None:
-        hot = seeds.groupBy("gh").agg(F.count(F.lit(1)).alias("_n"))
+        # window-count cap: one shuffle, no subtree replay (see
+        # exact_substring_spans — same r10 optimization)
         seeds = (
-            seeds.join(hot, "gh")
+            seeds.withColumn(
+                "_n", F.count(F.lit(1)).over(Window.partitionBy("gh"))
+            )
             .where(F.col("_n") <= max_positions)
             .drop("_n")
         )
+    seeds = seeds.localCheckpoint(eager=False)
     a = seeds.select(id_col, F.col("gh"), F.col("pos").alias("pos_a"))
     b = seeds.select(id_col, F.col("gh"), F.col("pos").alias("pos_b"))
     diag = (
@@ -2226,13 +2256,19 @@ def decontaminate_spans(
         "gh",
     )
     if max_positions is not None:
-        hot = seeds.groupBy("gh").agg(F.count(F.lit(1)).alias("_n"))
+        # window-count caps: one shuffle per side, no subtree replay
+        # (see exact_substring_spans — same r10 optimization)
         seeds = (
-            seeds.join(hot, "gh").where(F.col("_n") <= max_positions).drop("_n")
+            seeds.withColumn(
+                "_n", F.count(F.lit(1)).over(Window.partitionBy("gh"))
+            )
+            .where(F.col("_n") <= max_positions)
+            .drop("_n")
         )
-        bhot = bseeds.groupBy("gh").agg(F.count(F.lit(1)).alias("_n"))
         bseeds = (
-            bseeds.join(bhot, "gh")
+            bseeds.withColumn(
+                "_n", F.count(F.lit(1)).over(Window.partitionBy("gh"))
+            )
             .where(F.col("_n") <= max_positions)
             .drop("_n")
         )

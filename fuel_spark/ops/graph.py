@@ -26,6 +26,7 @@ def pagerank(
     undirected: bool = True,
     contrib_scale: int = 15,
     out_scale: int = 12,
+    broadcast_ranks: bool = True,
 ) -> DataFrame:
     """PageRank by power iteration over an edge DataFrame.
 
@@ -89,8 +90,17 @@ def pagerank(
     ).cache()
     try:
         for it in range(iterations):
+            # r10 optimization (guide §3.1, the hits_fixed pattern —
+            # measured 17.8s -> 12.8s there at the 20x smoke): the rank
+            # frame is vertex-sized, so broadcasting it into the
+            # src-keyed join means the edge list is NEVER shuffled —
+            # each iteration is one broadcast hash join plus one
+            # map-side-combinable sum.  Pass broadcast_ranks=False for
+            # web-scale vertex sets exceeding executor memory (the
+            # shuffle-join fallback, identical arithmetic either way).
+            r = F.broadcast(ranks) if broadcast_ranks else ranks
             contribs = (
-                e.join(ranks, e.src == ranks.vertex)
+                e.join(r, e.src == r.vertex)
                 .select(
                     F.col("dst").alias("vertex"),
                     F.round(F.col("rank") / F.col("src_deg"), contrib_scale)
@@ -101,7 +111,8 @@ def pagerank(
             summed = contribs.groupBy("vertex").agg(
                 F.sum("c").cast("double").alias("_in")
             )
-            new_ranks = base.join(summed, "vertex", "left")
+            s = F.broadcast(summed) if broadcast_ranks else summed
+            new_ranks = base.join(s, "vertex", "left")
             if undirected:
                 # mirrored edges mean deg >= 1 everywhere: no dangling
                 # mass, so skip that whole per-iteration aggregate

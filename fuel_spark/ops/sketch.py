@@ -1197,13 +1197,39 @@ def theta_set_ops_certificate(
         .otherwise(F.lit(2.0))
         .alias("_theta"),
     )
-    base = (
-        scoped.select(group_col, key_col)
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    # r10 optimization (guide §2.3/§2.4): the old per-pair exact branch
+    # re-aggregated a distinct (group, key) base once per pair — three
+    # full shuffles of the key set for three pairs.  ONE groupBy(key)
+    # with a membership flag per group replaces them all (the distinct
+    # pre-pass is subsumed by the groupBy, and partial map-side
+    # aggregation compresses repeated keys before the exchange); every
+    # pair's exact union/intersection/difference is then a conditional
+    # sum over that frame, folded into a single 1-row aggregate.  The
+    # lazy localCheckpoint pins the 1-row result so the per-pair
+    # crossJoins reuse it instead of replaying the membership shuffle.
+    gidx = {g: i for i, g in enumerate(groups)}
+    flags_all = scoped.groupBy(F.col(key_col).alias("_k")).agg(*[
+        F.max(F.when(F.col(group_col) == g, 1).otherwise(0)).alias(f"_i{i}")
+        for i, g in enumerate(groups)
+    ])
+    exact_all = flags_all.agg(*[
+        agg
+        for j, (a, b) in enumerate(pairs)
+        for agg in (
+            F.sum(
+                F.when(
+                    (F.col(f"_i{gidx[a]}") == 1) | (F.col(f"_i{gidx[b]}") == 1),
+                    1,
+                ).otherwise(0)
+            ).cast("bigint").alias(f"_ex{j}_union"),
+            F.sum(F.col(f"_i{gidx[a]}") * F.col(f"_i{gidx[b]}"))
+            .cast("bigint").alias(f"_ex{j}_intersection"),
+            F.sum(F.col(f"_i{gidx[a]}") * (1 - F.col(f"_i{gidx[b]}")))
+            .cast("bigint").alias(f"_ex{j}_a_not_b"),
+        )
+    ]).localCheckpoint(eager=False)
     out = None
-    for a, b in pairs:
+    for j, (a, b) in enumerate(pairs):
         th = (
             thetas.filter(F.col("_g") == a)
             .select(F.col("_theta").alias("_ta"))
@@ -1258,20 +1284,10 @@ def theta_set_ops_certificate(
             ).alias("est_a_not_b"),
             F.round(F.first(F.col("_theta")), 6).alias("theta"),
         )
-        flags = (
-            base.filter(F.col(group_col).isin([a, b]))
-            .groupBy(key_col)
-            .agg(
-                F.max(F.when(F.col(group_col) == a, 1).otherwise(0)).alias("_ia"),
-                F.max(F.when(F.col(group_col) == b, 1).otherwise(0)).alias("_ib"),
-            )
-        )
-        exact_row = flags.agg(
-            F.count(F.lit(1)).alias("exact_union"),
-            F.sum(F.col("_ia") * F.col("_ib")).cast("bigint")
-            .alias("exact_intersection"),
-            F.sum(F.col("_ia") * (1 - F.col("_ib"))).cast("bigint")
-            .alias("exact_a_not_b"),
+        exact_row = exact_all.select(
+            F.col(f"_ex{j}_union").alias("exact_union"),
+            F.col(f"_ex{j}_intersection").alias("exact_intersection"),
+            F.col(f"_ex{j}_a_not_b").alias("exact_a_not_b"),
         )
         joined = est_row.crossJoin(F.broadcast(exact_row))
         for op in ("union", "intersection", "a_not_b"):

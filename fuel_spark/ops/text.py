@@ -202,7 +202,13 @@ def tfidf_similar_docs(
     terms = out.select(
         F.col(id_col), F.explode(words(F.col(text_col))).alias("term")
     ).where(F.col("term") != "")
-    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    # r10 optimization (guide §5): tf feeds both the df count and the
+    # weighting join, unit feeds both sides of the term self-join —
+    # without the lazy checkpoints the tokenize+count subtree replays
+    # up to 6x (Spark has no ReusedExchange across these references)
+    tf = terms.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    ).localCheckpoint(eager=False)
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
     DEC9 = "decimal(27,9)"
@@ -226,6 +232,7 @@ def tfidf_similar_docs(
         .select(
             F.col(id_col), "term", (F.col("w") / F.col("_nrm")).alias("u")
         )
+        .localCheckpoint(eager=False)
     )
     a = unit.select(
         F.col(id_col).alias("id_a"), "term", F.col("u").alias("ua")
@@ -1542,6 +1549,11 @@ def span_corruption(
             f" ':', _p0 + 1)), 1, 8), 16, 10) AS BIGINT)"
         ).alias("_u2"),
     )
+    # r10 optimization (guide §5): `pos` (the explode + two md5 draws
+    # per word position) feeds both the span-start pass and the token
+    # assembly join — without the lazy checkpoint the whole subtree
+    # (including everything upstream of `df`) replays per reference
+    pos = pos.localCheckpoint(eager=False)
     starts = pos.where(F.col("_u1") % 1_000_000 < start_ppm).select(
         id_col, "p", "_n",
         (F.lit(1) + F.col("_u2") % span_mod).alias("_len"),
