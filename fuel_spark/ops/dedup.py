@@ -258,6 +258,12 @@ def ngram_jaccard_pairs(
         shingles_over_norm("_norm", shingle_k).alias("sh"),
         *[F.col(f"_c_{n}") for n in carry],
     )
+    # NOTE (r10, measured): a lazy checkpoint of `sh` here is NOT a
+    # win — the shingle arrays are ~5x the text bytes, so
+    # materializing them costs as much as the second compute pass
+    # (interleaved best-of-5: 2.59s without vs 2.79s with on
+    # dedup_apply), and at scale the memory blow-up is worse.  The
+    # two-sided replay stays, deliberately.
     a = sh.select(
         F.col(id_col).alias("id_a"),
         F.col("sh").alias("sh_a"),
@@ -454,6 +460,10 @@ def cross_doc_ngram_dup(
         )
         .select(F.col(id_col), grams.alias("_g"))
         .select(F.col(id_col), F.explode("_g").alias("gh"))
+        # r10 (guide §5): narrow (id, 16-hex gh) frame feeding both the
+        # corpus gram count and the join back — checkpoint lazily so
+        # the tokenize+gram+md5 pass runs once, not twice
+        .localCheckpoint(eager=False)
     )
     doc_counts = per_doc.groupBy("gh").agg(
         F.count(F.lit(1)).alias("n_docs")
@@ -520,7 +530,12 @@ def decontaminate(
     bench_grams = (
         grams_of(benchmark, F.lit(0), F.col(bench_text_col)).select("gh").distinct()
     )
-    doc_grams = grams_of(df, F.col(id_col), F.col(text_col))
+    # r10 (guide §5): narrow (id, 16-hex gh) frame feeding both the
+    # per-doc gram count and the benchmark semi-join — checkpoint
+    # lazily so the tokenize+gram+md5 pass runs once, not twice
+    doc_grams = grams_of(df, F.col(id_col), F.col(text_col)).localCheckpoint(
+        eager=False
+    )
     per_doc = doc_grams.groupBy("_id").agg(F.count(F.lit(1)).alias("n_grams"))
     hits = (
         doc_grams.join(broadcast(bench_grams), "gh", "left_semi")
@@ -639,15 +654,21 @@ def connected_components(
                 new_labels = new_labels.localCheckpoint(eager=True)
             else:
                 new_labels = new_labels.cache()
-            changed = (
+            # r10: isEmpty() instead of count() — the loop only asks
+            # WHETHER anything changed, and isEmpty short-circuits at
+            # the first changed row (limit-1 pushdown) while count()
+            # scans the full comparison join every round.  Converged
+            # rounds (the empty case) cost the same; every earlier
+            # round gets cheaper.  Loop exit condition identical.
+            converged = (
                 new_labels.alias("n")
                 .join(labels.alias("o"), "v")
                 .where(F.col("n.component") != F.col("o.component"))
-                .count()
+                .isEmpty()
             )
             labels.unpersist()
             labels = new_labels
-            if changed == 0:
+            if converged:
                 break
         return labels.select("v", "component")
     finally:

@@ -26,7 +26,7 @@ def pagerank(
     undirected: bool = True,
     contrib_scale: int = 15,
     out_scale: int = 12,
-    broadcast_ranks: bool = True,
+    broadcast_ranks: bool = False,
 ) -> DataFrame:
     """PageRank by power iteration over an edge DataFrame.
 
@@ -90,14 +90,15 @@ def pagerank(
     ).cache()
     try:
         for it in range(iterations):
-            # r10 optimization (guide §3.1, the hits_fixed pattern —
-            # measured 17.8s -> 12.8s there at the 20x smoke): the rank
-            # frame is vertex-sized, so broadcasting it into the
-            # src-keyed join means the edge list is NEVER shuffled —
-            # each iteration is one broadcast hash join plus one
-            # map-side-combinable sum.  Pass broadcast_ranks=False for
-            # web-scale vertex sets exceeding executor memory (the
-            # shuffle-join fallback, identical arithmetic either way).
+            # r10: with broadcast_ranks the vertex-sized rank frame
+            # broadcasts into the src-keyed join and the edge list is
+            # NEVER shuffled — a win ONLY when the vertex set is
+            # BOUNDED (a vocabulary graph: textrank passes True).
+            # Measured at the 20x smoke on the part co-purchase graph
+            # (vertices scale with the data, ~4M): broadcast 83.5s vs
+            # shuffle join 54.4s — so the default stays False and
+            # data-scaled graphs keep the shuffle join.  Identical
+            # arithmetic either way.
             r = F.broadcast(ranks) if broadcast_ranks else ranks
             contribs = (
                 e.join(r, e.src == r.vertex)

@@ -2450,6 +2450,13 @@ def textrank_keywords(
         iterations=iterations,
         contrib_scale=contrib_scale,
         out_scale=out_scale,
+        # vocabulary graph: the vertex set is vocab-BOUNDED (grows
+        # sublinearly with corpus size), so broadcasting the rank
+        # frame keeps the edge list unshuffled at every scale — the
+        # case where pagerank's broadcast mode is safe (see the
+        # measured 20x note in ops/graph.py for the contrast with
+        # data-scaled vertex sets)
+        broadcast_ranks=True,
     )
     return (
         ranks.select(F.col("vertex").alias("word"), "rank")

@@ -270,3 +270,28 @@ def test_lpa_fixed_deterministic_tie_break(spark):
     again = {r.community: r.n_members for r in
              graph.lpa_fixed(edges, iters=2).collect()}
     assert out == again and sum(out.values()) == 3
+
+
+def test_pagerank_broadcast_mode_identical(spark):
+    """r10: broadcast_ranks only changes the JOIN STRATEGY (broadcast
+    hash vs shuffle), never the arithmetic — ranks must be
+    bit-identical in both modes on an asymmetric multi-component
+    graph."""
+    edges = from_rows(
+        spark,
+        [(1, 2), (2, 3), (3, 4), (1, 4), (10, 11), (11, 12), (5, 1)],
+        schema="src bigint, dst bigint",
+    )
+    shuf = {
+        (r.vertex, r.rank)
+        for r in graph.pagerank(
+            edges, iterations=4, broadcast_ranks=False
+        ).collect()
+    }
+    bcast = {
+        (r.vertex, r.rank)
+        for r in graph.pagerank(
+            edges, iterations=4, broadcast_ranks=True
+        ).collect()
+    }
+    assert shuf == bcast and len(shuf) == 8
