@@ -374,11 +374,23 @@ def kmeans_fixed(
     requires an adversarial init on real data).
 
     Scale shape: centroids are a k-row broadcast at every step —
-    assignment never shuffles the corpus (one broadcast nested-loop
-    + argmin combine); the update is a posexplode to (cluster, dim)
-    keys — N×dims narrow rows reduced by map-side combine to
-    k×dims×partitions before the one tiny shuffle.  Per iteration:
-    two corpus scans, zero corpus-wide shuffles.
+    assignment never shuffles the corpus: the centroid set collapses
+    to ONE broadcast row holding a sorted array of (cluster, cvec)
+    structs, and the argmax-cosine winner is a per-row higher-order
+    ``aggregate`` fold over that array (r11, guide §2.3/§2.4 — the
+    previous shape crossJoined k centroid rows and re-grouped by
+    vec_id, which put one vec-payload Exchange under EVERY assign
+    pass; the fold keeps assignment exchange-free).  The fold
+    iterates the array in ascending-cluster order taking the lexical
+    minimum of (−round-6 cosine, cluster), which is exactly the old
+    ``min(struct(_negcos, cluster))`` total order, ties to the
+    lowest cluster id; the cosine inside the lambda is the same
+    strict left-to-right double accumulation as
+    :func:`fuel_spark.functions.cosine_expr`, so every assignment is
+    bit-identical to the crossJoin shape.  The update is a posexplode
+    to (cluster, dim) keys — N×dims narrow rows reduced by map-side
+    combine to k×dims×partitions before the one tiny shuffle.  Per
+    iteration: two corpus scans, zero corpus-wide shuffles.
 
     Output: vec_id, cluster (the winning pivot's id), cosine to its
     final centroid (round 6).
@@ -395,16 +407,46 @@ def kmeans_fixed(
         .limit(int(k))
     )
 
+    id_type = dict(corpus.dtypes)[id_col]
+    # cosine(vec, cc.cvec) with cosine_expr's exact operation order:
+    # dot / (norm_a * norm_b).  norm_a is per-ROW (hoisted to the _na
+    # column, computed once instead of once per centroid) and norm_b
+    # is per-CENTROID (precomputed into the collected array), so the
+    # fold evaluates k dot products per row — the arithmetic values
+    # and their combination order are bit-identical to cosine_expr.
+    _dot = (
+        "aggregate(zip_with(vec, cc.cvec,"
+        " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    _norm_a_sql = (
+        "sqrt(aggregate(transform(vec, x -> CAST(x AS DOUBLE)"
+        " * CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
+    )
+    _norm_b_sql = (
+        "sqrt(aggregate(transform(cvec, x -> CAST(x AS DOUBLE)"
+        " * CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
+    )
+    _argmin = (
+        "aggregate(_cs,"
+        f" CAST(NULL AS STRUCT<_n: DOUBLE, _c: {id_type}>),"
+        " (acc, cc) -> least(acc, struct("
+        f"  -round(({_dot}) / (_na * cc._nb), 6) AS _n,"
+        "  cc.cluster AS _c)),"
+        " acc -> acc._c)"
+    )
+
     def _assign(centroids):
+        cent_arr = centroids.select(
+            "cluster", "cvec", F.expr(_norm_b_sql).alias("_nb")
+        ).agg(
+            F.expr("array_sort(collect_list(struct(cluster, cvec, _nb)))")
+            .alias("_cs")
+        )
         return (
-            c.crossJoin(centroids)
-            .withColumn("_negcos", -F.round(cosine_expr("vec", "cvec"), 6))
-            .groupBy("vec_id")
-            .agg(
-                F.min(F.struct(F.col("_negcos"), F.col("cluster"))).alias("_m"),
-                F.any_value("vec").alias("vec"),
-            )
-            .select("vec_id", "vec", F.col("_m.cluster").alias("cluster"))
+            c.crossJoin(broadcast(cent_arr))
+            .withColumn("_na", F.expr(_norm_a_sql))
+            .select("vec_id", "vec", F.expr(_argmin).alias("cluster"))
         )
 
     for _ in range(int(iterations)):

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from fuel_spark.functions import words
+from fuel_spark.functions import checkpoint_if_narrow, words
 
 
 def domain_mixture_weights(
@@ -237,7 +237,10 @@ def truncation_savings(
     frac_saved.
     """
     n = F.size(words(F.col(text_col))).cast("bigint")
-    lens = df.select(n.alias("_n"))
+    # referenced by the grid, the total AND once per prob in the
+    # savings loop (2 + len(probs) replays of the tokenize pass) —
+    # 8 bytes/row, well inside the narrow-checkpoint budget (r11)
+    lens = checkpoint_if_narrow(df.select(n.alias("_n")))
     grid = lens.groupBy("_n").agg(F.count(F.lit(1)).alias("_c"))
     wcum = Window.orderBy("_n").rowsBetween(Window.unboundedPreceding, 0)
     cum = grid.withColumn("_cum", F.sum("_c").over(wcum))
@@ -312,7 +315,10 @@ def mixture_schedule_slots(
     domain asc) over the domain-sized frame.  Output: domain,
     n_tokens, slots_alloc.
     """
-    toks = (
+    # referenced by the total and the apportionment select — each
+    # reference replays the corpus tokenize+groupBy; domain-sized
+    # narrow rows, checkpoint budget passes (r11)
+    toks = checkpoint_if_narrow(
         df.select(F.col(domain_col), F.size(words(F.col(text_col))).alias("_n"))
         .groupBy(domain_col)
         .agg(F.sum("_n").cast("bigint").alias("n_tokens"))

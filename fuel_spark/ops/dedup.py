@@ -577,9 +577,20 @@ def connected_components(
     distances halve each round, so convergence needs O(log diameter)
     rounds, not O(diameter).  Near-dup clusters are dense (tiny
     diameter) anyway, but the log bound keeps pathological chain
-    graphs from turning into diameter-many full-data shuffles.  The
-    driver checks convergence with a count per round, the standard
-    Spark CC loop.
+    graphs from turning into diameter-many full-data shuffles.
+
+    Convergence check (r11): labels are MONOTONE NON-INCREASING
+    (every update takes a min over a candidate set that includes the
+    old label), so "no label changed" is exactly "sum of labels is
+    unchanged" — one map-side-combinable aggregation over the new
+    label frame, computed as exact DECIMAL(38,0) so no vertex count
+    can overflow it.  This replaces the r9 count()/r10 isEmpty() of a
+    new-vs-old comparison JOIN: the join itself is gone (one fewer
+    vertex-keyed shuffle per iteration, guide §2.4), and unlike
+    isEmpty() — whose limit-1 job scans partitions in sequential
+    scale-up waves exactly when the result is empty, i.e. on every
+    converged round — the aggregation is one parallel job.  Exit
+    condition identical by monotonicity.
 
     Lineage is truncated with ``localCheckpoint`` every
     ``checkpoint_interval`` iterations (the GraphFrames pattern):
@@ -619,6 +630,13 @@ def connected_components(
         .withColumn("component", F.col("v"))
     ).cache()
     edges = edges.cache()
+
+    def _label_sum(frame):
+        return frame.agg(
+            F.sum(F.col("component").cast("decimal(38,0)")).alias("_s")
+        ).collect()[0][0]
+
+    prev_sum = None
     try:
         for it in range(max_iter):
             msgs = (
@@ -654,22 +672,19 @@ def connected_components(
                 new_labels = new_labels.localCheckpoint(eager=True)
             else:
                 new_labels = new_labels.cache()
-            # r10: isEmpty() instead of count() — the loop only asks
-            # WHETHER anything changed, and isEmpty short-circuits at
-            # the first changed row (limit-1 pushdown) while count()
-            # scans the full comparison join every round.  Converged
-            # rounds (the empty case) cost the same; every earlier
-            # round gets cheaper.  Loop exit condition identical.
-            converged = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "v")
-                .where(F.col("n.component") != F.col("o.component"))
-                .isEmpty()
-            )
+            # r11: monotone-sum convergence (see docstring) — the
+            # new-vs-old comparison join is gone; this one aggregation
+            # both materializes the cached/checkpointed new_labels and
+            # answers "did anything change".  Seed the previous sum
+            # from the initial label frame on the first round.
+            if prev_sum is None:
+                prev_sum = _label_sum(labels)
+            new_sum = _label_sum(new_labels)
             labels.unpersist()
             labels = new_labels
-            if converged:
+            if new_sum == prev_sum:
                 break
+            prev_sum = new_sum
         return labels.select("v", "component")
     finally:
         edges.unpersist()
@@ -1050,7 +1065,7 @@ def compact_index(
             f"(columns: {cols}); pass index_id_col explicitly"
         )
     idx_id = index_id_col
-    out = index.dropDuplicates(cols)
+    out = index
     if live_ids is not None:
         id_type = dict(index.dtypes)[idx_id]
         keep = live_ids.select(
@@ -1058,14 +1073,35 @@ def compact_index(
         ).distinct()
         out = out.join(keep, idx_id, "left_semi")
     if max_bucket is not None:
-        sizes = out.groupBy("band_id", "band_key").agg(
-            F.count(F.lit(1)).alias("_bucket_n")
-        )
+        # r11 (guide §2.4 "share one exchange"): dedup and bucket
+        # sizing are both (band_id, band_key)-clustered operations,
+        # so ONE explicit repartition on the bucket key serves both —
+        # distinct() needs clustering on all columns (satisfied by
+        # the subset hash partitioning, no new Exchange) and the
+        # bucket count becomes a window over the same partitioning
+        # instead of an aggregate + join-back.  Before: three index
+        # Exchanges (full-row dedup hash, sizes aggregation, the
+        # size join-back re-shuffling the index by bucket key);
+        # after: one.  The live-id semi-join moved ahead of the
+        # dedup (filter commutes with distinct) so it cannot disturb
+        # the bucket-key partitioning.  Skew exposure is unchanged:
+        # the old size JOIN-BACK already co-located the index by
+        # (band_id, band_key); hot boilerplate buckets above the cap
+        # are dropped right after they are counted either way.
         out = (
-            out.join(sizes, ["band_id", "band_key"])
+            out.repartition("band_id", "band_key")
+            .distinct()
+            .withColumn(
+                "_bucket_n",
+                F.count(F.lit(1)).over(
+                    Window.partitionBy("band_id", "band_key")
+                ),
+            )
             .where(F.col("_bucket_n") <= int(max_bucket))
             .drop("_bucket_n")
         )
+    else:
+        out = out.dropDuplicates(cols)
     return out
 
 
@@ -2444,11 +2480,24 @@ def edit_distance_pairs(
     # in [-(tau-delta)/2, +(tau+delta)/2] — tau+1 positions instead
     # of the naive 2*tau+1 (probe volume 1.75M -> 0.99M on the sf0.1
     # corpus, 8.5s -> 5.6s end-to-end; completeness property-tested).
+    #
+    # r11, the paper's SECOND multi-match bound (segment-index-aware):
+    # take the FIRST clean segment i of the partner — each earlier
+    # segment then contains >= 1 edit, so the prefix holds >= i edits
+    # and, with the suffix needing >= |delta - shift| edits for the
+    # length bookkeeping, i + |delta - shift| <= tau.  The shift is
+    # therefore ALSO confined to [delta - (tau-i), delta + (tau-i)],
+    # which tightens sharply for late segments (i = tau admits exactly
+    # shift = delta).  Intersecting both bounds cuts probe volume a
+    # further ~30% at tau=5 (completeness property-tested: the planted
+    # -edit suites below and tests/test_properties.py re-run green).
     probe_parts = []
     for i in range(nseg):
         st, ln = _seg(i, "l")
-        lo = f"GREATEST(0, {st} - (({tau} - (_L - l)) DIV 2))"
-        hi = f"LEAST(_L - {ln}, {st} + (({tau} + (_L - l)) DIV 2))"
+        lo = (f"GREATEST(0, {st} - (({tau} - (_L - l)) DIV 2),"
+              f" {st} + (_L - l) - ({tau} - {i}))")
+        hi = (f"LEAST(_L - {ln}, {st} + (({tau} + (_L - l)) DIV 2),"
+              f" {st} + (_L - l) + ({tau} - {i}))")
         probe_parts.append(
             f"flatten(transform("
             f"filter(sequence(GREATEST(_L - {tau}, {nseg}), GREATEST(_L, {nseg})), l -> l <= _L), "

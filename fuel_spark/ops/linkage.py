@@ -33,6 +33,8 @@ import math
 
 from pyspark.sql import DataFrame, functions as F
 
+from fuel_spark.functions import checkpoint_if_narrow
+
 # Fixed, documented m/u priors per comparison field (the certificate
 # checks the MECHANICS — pattern counts and weight arithmetic — not
 # the priors themselves, which production would re-fit with EM /
@@ -274,7 +276,11 @@ def fs_incremental_summary(
     relink); the links frame is referenced by three stages so it
     lazily localCheckpoints once.
     """
-    pairs = fs_candidate_pairs(registry, new_batch, bal_band)
+    # pairs is referenced by the stage-3 count AND the links
+    # derivation — 2 replays of the two-pass blocking join; ~40
+    # bytes/row (two ids + three agreement bits), narrow-checkpoint
+    # budget passes (r11)
+    pairs = checkpoint_if_narrow(fs_candidate_pairs(registry, new_batch, bal_band))
     links = fs_matches(pairs, threshold).localCheckpoint(eager=False)
     matched = links.select("r_id").distinct()
     unmatched = new_batch.join(matched, "r_id", "left_anti")

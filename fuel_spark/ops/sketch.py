@@ -1188,6 +1188,9 @@ def theta_set_ops_certificate(
         F.col(group_col).alias("_g"), F.col(key_col).alias("_k"),
         "_h", "rank",
     ).localCheckpoint(eager=False)
+    # r11: thetas is a groups-sized aggregate referenced twice per
+    # pair (filter a / filter b) — lazy checkpoint so the aggregation
+    # over sk runs once, not 2x len(pairs) times.
     thetas = sk.groupBy("_g").agg(
         F.count(F.lit(1)).alias("_n"),
         F.max(F.when(F.col("rank") == k, F.col("_h"))).alias("_hk"),
@@ -1196,7 +1199,7 @@ def theta_set_ops_certificate(
         F.when(F.col("_n") >= k, F.col("_hk"))
         .otherwise(F.lit(2.0))
         .alias("_theta"),
-    )
+    ).localCheckpoint(eager=False)
     # r10 optimization (guide §2.3/§2.4): the old per-pair exact branch
     # re-aggregated a distinct (group, key) base once per pair — three
     # full shuffles of the key set for three pairs.  ONE groupBy(key)
@@ -1290,14 +1293,18 @@ def theta_set_ops_certificate(
             F.col(f"_ex{j}_a_not_b").alias("exact_a_not_b"),
         )
         joined = est_row.crossJoin(F.broadcast(exact_row))
-        for op in ("union", "intersection", "a_not_b"):
+
+        # r11 (§2.4 subtree replay): the old 3-way union referenced
+        # `joined` once per set-op, replaying the per-pair estimate
+        # aggregation (sketch filters + full_outer join + agg) 3x.
+        # ONE select exploding a 3-struct array evaluates the pair's
+        # est/exact row exactly once; values and row multiset are
+        # bit-identical (verified against the old shape at all 3 SFs).
+        def _op_struct(op: str):
             est_c = F.col(f"est_{op}")
             ex_c = F.col(f"exact_{op}").cast("bigint")
-            row = joined.select(
-                F.lit(a).alias("group_a"),
-                F.lit(b).alias("group_b"),
+            return F.struct(
                 F.lit(op).alias("set_op"),
-                F.col("theta"),
                 est_c.alias("est"),
                 ex_c.alias("exact"),
                 F.when(
@@ -1309,7 +1316,25 @@ def theta_set_ops_certificate(
                     ),
                 ).alias("rel_err"),
             )
-            out = row if out is None else out.unionByName(row)
+
+        rows = joined.select(
+            F.lit(a).alias("group_a"),
+            F.lit(b).alias("group_b"),
+            F.col("theta"),
+            F.explode(F.array(
+                _op_struct("union"),
+                _op_struct("intersection"),
+                _op_struct("a_not_b"),
+            )).alias("_s"),
+        ).select(
+            "group_a", "group_b",
+            F.col("_s.set_op").alias("set_op"),
+            "theta",
+            F.col("_s.est").alias("est"),
+            F.col("_s.exact").alias("exact"),
+            F.col("_s.rel_err").alias("rel_err"),
+        )
+        out = rows if out is None else out.unionByName(rows)
     return out
 
 

@@ -364,3 +364,33 @@ def test_with_positions_pinned_layout_with_wide_payload(spark):
     )
     got = sorted(r.pos for r in out.collect())
     assert got == list(range(500))
+
+
+def test_checkpoint_if_narrow_width_gate(spark):
+    """r11 narrow-checkpoint helper: frames inside the byte budget
+    come back lazily checkpointed (plan truncated on first use),
+    wide payload frames come back UNTOUCHED — the written form of
+    the r10 measured rule (shingle arrays lost, id frames won)."""
+    from fuel_spark.functions import (
+        NARROW_CHECKPOINT_ROW_BYTES,
+        checkpoint_if_narrow,
+        est_row_bytes,
+    )
+
+    narrow = spark.range(10).selectExpr("id", "id * 2 AS v")
+    wide = spark.range(10).selectExpr(
+        "id", "array_repeat(repeat('x', 40), 8) AS shingles"
+    )
+    assert sum(est_row_bytes(t) for _, t in narrow.dtypes) \
+        <= NARROW_CHECKPOINT_ROW_BYTES
+    assert sum(est_row_bytes(t) for _, t in wide.dtypes) \
+        > NARROW_CHECKPOINT_ROW_BYTES
+
+    n2 = checkpoint_if_narrow(narrow)
+    w2 = checkpoint_if_narrow(wide)
+    assert w2 is wide  # untouched: replay cheaper than materializing
+    assert n2 is not narrow
+    assert sorted(r.v for r in n2.collect()) == [i * 2 for i in range(10)]
+    # a checkpointed frame's materialized plan is lineage-truncated
+    assert "Scan ExistingRDD" in n2._jdf.queryExecution().toString() or \
+        "LogicalRDD" in n2._jdf.queryExecution().toString()

@@ -1658,6 +1658,75 @@ def test_edit_distance_pairs_short_docs(spark):
     assert not any(4 in p for p in got)
 
 
+def test_edit_distance_pairs_segment_index_bound_complete(spark):
+    """r11 probe refinement (the segment-index-aware multi-match
+    bound, Li et al. §4): seeded random corpus with 1..7 planted
+    edits per variant, exhaustively cross-checked against a
+    reference Levenshtein — the tightened probe window must lose NO
+    qualifying pair and invent none (exact distances included)."""
+    import random
+    import re
+
+    from fuel_spark.ops.dedup import edit_distance_pairs
+
+    def lev(a, b):
+        m, n = len(a), len(b)
+        prev = list(range(n + 1))
+        for i in range(1, m + 1):
+            cur = [i] + [0] * n
+            for j in range(1, n + 1):
+                cur[j] = min(
+                    prev[j] + 1,
+                    cur[j - 1] + 1,
+                    prev[j - 1] + (a[i - 1] != b[j - 1]),
+                )
+            prev = cur
+        return prev[n]
+
+    def norm(s):
+        return re.sub(r"[^a-z0-9]+", " ", s.lower()).strip()
+
+    rng = random.Random(11)
+    alpha = "abcdefghij "
+    docs, did = [], 0
+    for _ in range(6):
+        base = "".join(
+            rng.choice(alpha)
+            for _ in range(rng.choice([3, 6, 12, 25, 50, 90]))
+        )
+        docs.append((did, base))
+        did += 1
+        for _ in range(4):
+            s = list(base)
+            for _ in range(rng.randint(1, 7)):
+                op = rng.choice("ids")
+                if op == "i":
+                    s.insert(rng.randint(0, len(s)), rng.choice(alpha))
+                elif op == "d" and s:
+                    del s[rng.randint(0, len(s) - 1)]
+                elif s:
+                    s[rng.randint(0, len(s) - 1)] = rng.choice(alpha)
+            docs.append((did, "".join(s)))
+            did += 1
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        (r.id_a, r.id_b): r.dist
+        for r in edit_distance_pairs(df, "doc_id", "text", max_dist=5).collect()
+    }
+    normed = [(i, norm(t)) for i, t in docs]
+    normed = [(i, t) for i, t in normed if len(t) >= 1]
+    want = {}
+    for x in range(len(normed)):
+        for y in range(x + 1, len(normed)):
+            i, a = normed[x]
+            j, b = normed[y]
+            d = lev(a, b)
+            if d <= 5:
+                want[(min(i, j), max(i, j))] = d
+    assert got == want
+
+
 def test_edit_distance_pairs_max_bucket_degrade(spark):
     """A boilerplate segment bucket past the cap is skipped (the
     documented fuzzy_join-style recall trade), not exploded.  The
