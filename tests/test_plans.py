@@ -765,6 +765,11 @@ SINGLE_PARTITION_ALLOWLIST = {
     "part_abc_classification", "customer_gini_by_nation",
     # k-row final: top-20 rule table ordered for output
     "basket_association_rules",
+    # k-row centroid set collapsed to ONE broadcast array row per
+    # assign pass (r11 kmeans fold — the funneled frame is <= k=8
+    # (cluster, cvec, norm) structs by construction; the corpus-sized
+    # assignment itself is exchange-free)
+    "embedding_kmeans_fixed",
     # 1-row / few-row global finals (counts, corr, chi-square, DiD,
     # expectation & referential suites, calibration/summary reports)
     "check_expectations", "check_referential", "events_chi_square",
