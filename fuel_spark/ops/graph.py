@@ -13,6 +13,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from fuel_spark.functions import checkpoint_if_narrow
+
 DEC = "decimal(27,18)"
 
 
@@ -59,6 +61,12 @@ def pagerank(
             edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
         )
     e = e.distinct()
+    # The distinct edge frame is referenced 5x before any cache
+    # materializes (verts twice, deg once, the degree weld once, and
+    # deg's second use in `base`) — for a corpus-derived graph
+    # (textrank) every replay is the full extraction+distinct pass.
+    # Two vertex-id columns keep it inside the width gate at any type.
+    e = checkpoint_if_narrow(e)
 
     verts = (
         e.select(F.col("src").alias("vertex"))
