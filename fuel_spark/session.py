@@ -21,6 +21,18 @@ DEFAULT_CONF = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # r11: let AQE coalescing apply to CACHED plan output too.  With
+    # the default (false) a .cache() freezes its plan at full
+    # spark.sql.shuffle.partitions width, so the iterative loops
+    # (connected components, pagerank) ran every per-iteration stage
+    # 32-64 tasks wide over kilobyte label frames — pure per-task
+    # overhead (profiled: linkage's six hottest stages were 64 tasks
+    # over 0.1 MB).  With the flag on the loop width tracks data size
+    # at ANY scale — the guide's "scale-adaptive partitioning, not a
+    # constant" (§2).  Interleaved 7-rep A/B (ab_r11g):
+    # linkage_pipeline 7/7 wins, median 6.69->4.32s; textrank and the
+    # data-scaled part_pagerank par-to-better; outputs identical.
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
     # Dims are broadcast via explicit broadcast() hints in the query
     # library (hints override this threshold), so the automatic bar
     # stays conservative: a column-pruned FACT scan can estimate under
