@@ -28,10 +28,10 @@ sys.path.insert(0, REPO)
 from pyspark.sql import functions as F  # noqa: E402
 
 
-def load_head_module(module: str):
+def load_head_module(module: str, ref: str = "HEAD"):
     rel = module.replace(".", "/") + ".py"
     src = subprocess.run(
-        ["git", "show", f"HEAD:{rel}"], capture_output=True, cwd=REPO,
+        ["git", "show", f"{ref}:{rel}"], capture_output=True, cwd=REPO,
         check=True,
     ).stdout
     fd, path = tempfile.mkstemp(suffix="_head.py")
@@ -52,13 +52,18 @@ def main() -> int:
     ap.add_argument("--reps", type=int, default=9)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default="/tmp/ab_head_worktree.json")
+    ap.add_argument("--ref", default="HEAD",
+                    help="git ref for the OLD version (default HEAD)")
+    ap.add_argument("--no-identity", action="store_true",
+                    help="skip the output-identity collect (scale "
+                         "smokes where identity is already gated)")
     args = ap.parse_args()
 
     import __spark_entry__ as entry
     from fuel_spark.session import get_spark
 
     live = importlib.import_module(args.module)
-    head = load_head_module(args.module)
+    head = load_head_module(args.module, args.ref)
     fn_new = getattr(live, args.func)
     fn_old = getattr(head, args.func)
 
@@ -83,13 +88,16 @@ def main() -> int:
 
     results = {}
     for qname in args.queries.split(","):
-        setattr(live, args.func, fn_old)
-        rows_old = sorted(map(tuple, qs[qname](spark, args.sf_dir).collect()))
-        setattr(live, args.func, fn_new)
-        rows_new = sorted(map(tuple, qs[qname](spark, args.sf_dir).collect()))
-        assert rows_old == rows_new, f"{qname}: old/new outputs differ"
-        print(f"{qname}: outputs identical ({len(rows_new)} rows)",
-              flush=True)
+        if not args.no_identity:
+            setattr(live, args.func, fn_old)
+            rows_old = sorted(
+                map(tuple, qs[qname](spark, args.sf_dir).collect()))
+            setattr(live, args.func, fn_new)
+            rows_new = sorted(
+                map(tuple, qs[qname](spark, args.sf_dir).collect()))
+            assert rows_old == rows_new, f"{qname}: old/new outputs differ"
+            print(f"{qname}: outputs identical ({len(rows_new)} rows)",
+                  flush=True)
         res = {"old": [], "new": []}
         for rep in range(args.reps):
             for label, fn in (("old", fn_old), ("new", fn_new)):
