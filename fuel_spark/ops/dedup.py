@@ -2441,18 +2441,15 @@ def edit_distance_pairs(
     else:
         groups = base.withColumn("_ids", F.array("_id"))
     # consumed by index, probe, verify x2, and restoration:
-    # checkpoint lazily so the subtree computes once.  r11: re-widen
-    # AFTER the checkpoint — AQE coalesces the md5 rollup to ~2
-    # partitions on a small corpus and the localCheckpoint FREEZES
-    # that count, so every downstream pass (segment indexing, probe
-    # explosion, restoration) inherited near-serial parallelism
-    # (profiled: the probe-generation stage ran 2 tasks wide under a
-    # 9.6s CPU load).  ensure_parallelism is conditional: when the
-    # frame is already at cluster width (any real scale) it is a
-    # no-op, so the corpus-bearing frame is never reshuffled for
-    # nothing (an unconditional pre-checkpoint repartition measured
-    # ~+1s at the 20x tier, plans/r11/ab/ab_ed_groupswidth_20x.json).
-    groups = ensure_parallelism(groups.localCheckpoint(eager=False))
+    # checkpoint lazily so the subtree computes once.  r11: pin the
+    # checkpoint's width first — AQE coalesces the md5 rollup to ~2
+    # partitions at sf0.1, and a localCheckpoint FREEZES that count,
+    # so every downstream pass (segment indexing, probe explosion,
+    # restoration) inherited near-serial parallelism (profiled: the
+    # probe-generation stage ran 2 tasks wide under a 9.6s CPU load).
+    groups = groups.repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    ).localCheckpoint(eager=False)
 
     # -- index: own segmentation, keyed xxhash64(own length, seg idx,
     # content)
@@ -2527,24 +2524,42 @@ def edit_distance_pairs(
         ).alias("_k"),
     )
 
-    # NOTE (r11, measured): explicit-count key repartitions feeding
-    # these groupBys (to keep the final collect_set merges at full
-    # width instead of AQE-coalesced) were a 5/5 interleaved LOSS once
-    # the groups checkpoint above was widened — losing the map-side
-    # partial collect_set costs more than the now-small coalesced
-    # merges (plans/r11/ab/ab_ed_3variant_sf01.json).  They stay
-    # ENSURE_REQUIREMENTS exchanges, deliberately.
-    gi = idx_long.unionByName(idx_short).groupBy("_k").agg(
-        F.array_sort(F.collect_set("_id")).alias("_ai")
+    # r11: both bucket aggregations emit ~1.3MB of partial sets, so
+    # AQE coalesced the final collect_set+array_sort merge to ONE
+    # task (profiled: 4.2s of single-threaded CPU of a 6.8s wall).
+    # An explicit-count key repartition is AQE-coalesce-exempt and
+    # satisfies the aggregation's distribution, keeping the merge at
+    # full width; the raw (_id, _k) rows it shuffles are 16 bytes.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    gi = (
+        idx_long.unionByName(idx_short)
+        .repartition(par, "_k")
+        .groupBy("_k")
+        .agg(F.array_sort(F.collect_set("_id")).alias("_ai"))
     )
-    gp = probes.groupBy("_k").agg(
-        F.array_sort(F.collect_set("_id")).alias("_ap")
+    gp = (
+        probes.repartition(par, "_k")
+        .groupBy("_k")
+        .agg(F.array_sort(F.collect_set("_id")).alias("_ap"))
     )
     if max_bucket is not None:
         gi = gi.where(F.size("_ai") <= max_bucket)
         gp = gp.where(F.size("_ap") <= max_bucket)
+    # r11: the bucket join's inputs are two bytes-tiny aggregated
+    # frames, so AQE coalesces the join read to ONE partition — and
+    # the CPU-heavy pair explode fused into that stage ran
+    # single-threaded (profiled: a 1-task stage with ~4s of CPU of a
+    # 6.8s wall at sf0.1).  An explicit-count round-robin repartition
+    # between join and explode is AQE-coalesce-exempt and fans the
+    # explode back out; the (ra, rb) hash repartition then both feeds
+    # the distinct (same keys — no second exchange) and pins the
+    # verify width (pair rows are bytes-tiny, AQE would coalesce them
+    # to one partition and single-thread the CPU-heavy levenshtein —
+    # same defect class fixed in minhash_candidate_pairs' verify,
+    # measured 15.6s -> 1.9s there).
     pairs = (
         gi.join(gp, "_k")
+        .repartition(par)
         .select(F.explode("_ai").alias("_x"), "_ap")
         .select("_x", F.explode("_ap").alias("_y"))
         .where(F.col("_x") != F.col("_y"))
@@ -2552,13 +2567,9 @@ def edit_distance_pairs(
             F.least("_x", "_y").alias("ra"),
             F.greatest("_x", "_y").alias("rb"),
         )
+        .repartition(par, "ra", "rb")
         .distinct()
     )
-    # pin the verify width: pair rows are bytes-tiny, AQE would
-    # coalesce them to one partition and single-thread the
-    # CPU-heavy levenshtein (same defect class fixed in
-    # minhash_candidate_pairs' verify — measured 15.6s -> 1.9s there).
-    pairs = pairs.repartition(df.sparkSession.sparkContext.defaultParallelism)
     ta = groups.select(F.col("_id").alias("ra"), F.col("_t").alias("_ta"))
     tb = groups.select(F.col("_id").alias("rb"), F.col("_t").alias("_tb"))
     rep_pairs = (
